@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Data-quality check operators as queries (SURVEY.md §2.A, reference:
+  * core/quality/checks.py). Unlike the reference — which runs two separate
+  * actions per check (e.g. a null count and a total count) — every check
+  * here is a SINGLE aggregation pass, so at 100 TB each check costs one
+  * scan, with count/sum partial aggregation pushed map-side.
+  *
+  * The reusable check engine (timings, failure modes, thresholds) lives in
+  * [[graft.core.quality]]; these entries expose the check computations to
+  * the driver's DuckDB-oracle gate.
+  */
+object QualityQueries {
+
+  /** row_count_check (checks.py:14-37): COUNT(*) >= min_rows. */
+  def dqRowCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders").agg(count(lit(1)).as("row_count"))
+      .select(lit("orders").as("table_name"), $"row_count",
+        ($"row_count" >= 100L).as("passed"))
+  }
+
+  /** null_check (checks.py:40-67): null percentage ≤ threshold, one pass. */
+  def dqNullCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .agg(
+        sum(when($"props".isNull, 1L).otherwise(0L)).as("null_count"),
+        count(lit(1)).as("row_count"))
+      .select(lit("events.props").as("checked"), $"null_count", $"row_count",
+        ($"null_count".cast("double") * 100.0 / $"row_count").as("null_pct"),
+        (($"null_count".cast("double") * 100.0 / $"row_count") <= 5.0).as("passed"))
+  }
+
+  /** unique_check (checks.py:70-107): COUNT(*) == COUNT(DISTINCT key).
+    * Composite keys supported the same way (count_distinct(cols*)).
+    * At 100 TB: run approx_count_distinct as a cheap pre-check first —
+    * exposed as approx_distinct below.
+    */
+  def dqUniqueCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .agg(count(lit(1)).as("row_count"),
+        countDistinct($"o_orderkey").as("distinct_count"))
+      .select(lit("orders.o_orderkey").as("checked"), $"row_count", $"distinct_count",
+        ($"row_count" === $"distinct_count").as("passed"))
+  }
+
+  /** range_check (checks.py:110-174): values outside [min,max], one pass. */
+  def dqRangeCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .agg(
+        sum(when($"l_discount" < 0.0 || $"l_discount" > 0.1, 1L).otherwise(0L)).as("violations"),
+        count(lit(1)).as("row_count"))
+      .select(lit("lineitem.l_discount").as("checked"), $"violations", $"row_count",
+        ($"violations" === 0L).as("passed"))
+  }
+
+  /** custom_sql_check (checks.py:258-308): arbitrary SQL → passed row. */
+  def dqCustomSql(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("dq_lineitem")
+    s.sql("""
+      SELECT COUNT(*) = 0 AS passed, COUNT(*) AS violation_count
+      FROM dq_lineitem
+      WHERE l_quantity < 1.0 OR l_quantity > 50.0 OR l_extendedprice <= 0.0
+    """)
+  }
+
+  /** 100 TB variant of unique_check: HLL sketch instead of exact distinct
+    * — no exact-distinct shuffle; rsd 1% default. Oracle-checked on the
+    * exact row count; the approx estimate is bounds-checked, not
+    * hash-matched.
+    */
+  def dqApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .agg(count(lit(1)).as("row_count"),
+        approx_count_distinct($"o_orderkey").as("approx_distinct"))
+      .select($"row_count",
+        ($"approx_distinct" > $"row_count" * 9 / 10).as("within_10pct"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_row_count" -> dqRowCount,
+    "dq_null_check" -> dqNullCheck,
+    "dq_unique_check" -> dqUniqueCheck,
+    "dq_range_check" -> dqRangeCheck,
+    "dq_custom_sql" -> dqCustomSql)
+
+  val oracles: Map[String, String] = Map(
+    "dq_row_count" -> """
+      SELECT 'orders' AS table_name, COUNT(*) AS row_count,
+        COUNT(*) >= 100 AS passed
+      FROM orders""",
+    "dq_null_check" -> """
+      SELECT 'events.props' AS checked,
+        CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+        COUNT(*) AS row_count,
+        CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / COUNT(*) AS null_pct,
+        (CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / COUNT(*)) <= 5.0 AS passed
+      FROM events""",
+    "dq_unique_check" -> """
+      SELECT 'orders.o_orderkey' AS checked,
+        COUNT(*) AS row_count,
+        COUNT(DISTINCT o_orderkey) AS distinct_count,
+        COUNT(*) = COUNT(DISTINCT o_orderkey) AS passed
+      FROM orders""",
+    "dq_range_check" -> """
+      SELECT 'lineitem.l_discount' AS checked,
+        CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        COUNT(*) AS row_count,
+        CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS passed
+      FROM lineitem""",
+    "dq_custom_sql" -> """
+      SELECT COUNT(*) = 0 AS passed, COUNT(*) AS violation_count
+      FROM lineitem
+      WHERE l_quantity < 1.0 OR l_quantity > 50.0 OR l_extendedprice <= 0.0""")
+}
