@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Near-duplicate detection for LLM training corpora, at four levels of
+  * fidelity/cost. All variants are pure DataFrame plans (no collect, no
+  * driver loops) so they scale by partitioning:
+  *
+  *  - exact:        one hash-groupBy — a single shuffle of (key → id).
+  *  - minhash LSH:  shingle → k minhashes → band buckets → bucket join.
+  *    Candidate generation touches only docs sharing a band bucket, so
+  *    the pair space is ~linear in corpus size instead of O(n²).
+  *  - simhash:      64-bit signature via per-bit majority vote — one
+  *    aggregation pass, then banded candidate join + hamming verify.
+  *  - ngram exact:  inverted shingle index join with a document-frequency
+  *    cap (hot shingles contribute no information but O(df²) candidate
+  *    pairs — the cap is the skew guard that keeps 100 TB runs alive).
+  *
+  * Hash functions are Spark's codegen'd murmur3 `hash(…, seed)` and
+  * `xxhash64` — deterministic across runs and cluster layouts.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = TextAnalysis.tokens(text)
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + lit(1), lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  val ShingleN = 3
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Exploded distinct (doc_id, shingle) pairs. */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", explode(shingles($"text", ShingleN)).as("sh"))
+  }
+
+  /** Exact dedup: group identical texts, keep the smallest doc_id as the
+    * canonical representative. One shuffle on the text hash.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy(md5($"text").as("text_hash"))
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select($"canonical_id", $"n_copies", $"text_hash")
+      .orderBy("canonical_id")
+  }
+
+  /** MinHash signatures: k independent hash functions simulated as
+    * murmur3 with k seeds; signature i = min over shingles. Single
+    * aggregation — the shuffle key is doc_id.
+    */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map(i => min(hash(col("sh"), lit(i))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: b bands of r signature components, band bucket key =
+    * hash of the band's components. Docs agreeing on any full band land
+    * in the same bucket.
+    */
+  def lshBuckets(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val comps = (b * RowsPerBand until (b + 1) * RowsPerBand).map(r => col(s"h$r"))
+      struct(lit(b).as("band"), hash(comps: _*).as("bh"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+  }
+
+  /** Candidate pairs from shared LSH buckets. `maxBucket` caps the
+    * self-join fan-out per bucket (skew guard: a degenerate bucket of
+    * size m yields m² pairs; at 100 TB a cap is mandatory).
+    */
+  def candidatePairs(buckets: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val sized = buckets
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    sized.as("x").join(sized.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the full
+    * shingle sets (LSH recall is probabilistic; the verify step makes
+    * the final answer exact, so the oracle is the all-pairs truth).
+    */
+  def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.as("ca"), col("a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("b") === col("cb.doc_id"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-verified at jaccard ≥ 0.8. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val cand = candidatePairs(lshBuckets(minhashSignatures(sh)))
+    verifyJaccard(cand, sh, 0.8).orderBy("a", "b")
+  }
+
+  /** Inverted-index exact n-gram Jaccard: candidates = doc pairs sharing
+    * ≥1 shingle whose document frequency is under the cap; then exact
+    * verify. Same answer as all-pairs Jaccard whenever every qualifying
+    * pair shares at least one sub-cap shingle (always true at threshold
+    * 0.8 unless the corpus is a single giant cluster).
+    */
+  def dedupNgramJaccard(s: SparkSession, dir: String, maxDocFreq: Int = 100): DataFrame = {
+    val sh = shingled(s, dir).cache()
+    val rare = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("df") <= maxDocFreq)
+      .drop("df")
+    val cand = rare.as("x").join(rare.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyJaccard(cand, sh, 0.8).orderBy("a", "b")
+  }
+
+  /** 64-bit SimHash per document over shingle features: bit j of the
+    * signature = majority vote of feature-hash bit j. One aggregation
+    * with 64 conditional sums — single pass, map-side partials.
+    */
+  def simhashSignatures(sh: DataFrame): DataFrame = {
+    val h = xxhash64(col("sh"))
+    val votes = (0 until 64).map { j =>
+      sum(when(h.bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"v$j")
+    }
+    val sig = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    sh.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashSignatures(shingled(s, dir)).orderBy("doc_id")
+
+  /** SimHash near-dup pairs: 4×16-bit band candidates (a pair within
+    * hamming ≤ 3 must agree on ≥1 full 16-bit band by pigeonhole when
+    * flips spread, and with high probability otherwise), verified with
+    * an exact popcount on the XOR.
+    */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = (0 until 4).map { k =>
+      struct(lit(k).as("band"),
+        shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
+    }
+    val buckets = sigs.select(col("doc_id"), col("simhash"),
+      explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bh"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
+    "dedup_simhash" -> dedupSimhash)
+
+  /** DuckDB-side distinct (doc_id, shingle) pairs, mirroring
+    * shingles(text, 3).
+    */
+  private val shingleCte = """
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)])) AS sh
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws
+            FROM documents)
+      WHERE len(ws) >= 3)"""
+
+  /** All-pairs exact Jaccard ≥ 0.8 — the ground truth that both the LSH
+    * and the inverted-index plan must reproduce. Feasible in DuckDB at
+    * oracle scale; the Spark plans exist because this O(n²) form is not
+    * feasible at corpus scale.
+    */
+  private val jaccardOracle = s"""
+    WITH $shingleCte,
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id)
+    SELECT a, b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+    FROM inter
+    JOIN cnt ca ON a = ca.doc_id
+    JOIN cnt cb ON b = cb.doc_id
+    WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+    ORDER BY a, b"""
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> """
+      SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies, md5(text) AS text_hash
+      FROM documents
+      GROUP BY text
+      ORDER BY canonical_id""",
+    "dedup_minhash_lsh" -> jaccardOracle,
+    "dedup_ngram_jaccard" -> jaccardOracle)
+  // dedup_simhash: xxhash64 signatures are not expressible in DuckDB →
+  // rows-only check; pair semantics covered by DedupSpec.
+}
