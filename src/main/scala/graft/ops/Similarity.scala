@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float> 64-dim, label).
+  *
+  * Three tiers, mirroring how an ANN stack is deployed at corpus scale:
+  *
+  *  - brute-force top-k: the exact baseline. Queries are broadcast, so
+  *    the big side streams through ONE scan with no shuffle of the
+  *    corpus; per-query top-k is a window over (query, candidate) rows
+  *    whose cardinality is |Q|·|N| — linear in the corpus when |Q| is
+  *    bounded. This is the correctness oracle for everything below.
+  *  - random-hyperplane LSH ANN: 16-bit signatures; 4-bit band buckets
+  *    generate candidates, exact cosine re-ranks them. Candidate
+  *    generation is a bucket join (shuffle on bucket key), so cost is
+  *    ~linear in corpus size; recall is probabilistic → verified by a
+  *    ScalaTest recall bound against brute force, not a SQL oracle.
+  *  - IVF (inverted-file) ANN: coarse quantizer = per-label centroids
+  *    (k-means stand-in with deterministic assignment); queries probe
+  *    the nearest `nprobe` centroids and search only those partitions.
+  *    At 100 TB the corpus would be bucketed/partitioned by centroid id
+  *    on disk so a probe reads only its partitions.
+  *
+  * All cosine arithmetic is double-precision with a single left-to-right
+  * `aggregate` fold per vector pair — bit-identical to the DuckDB oracle,
+  * which sums the same products in the same order.
+  */
+object Similarity {
+
+  /** embedding cast to double once, so every product/sum below is IEEE
+    * double — float partials would diverge from the oracle.
+    */
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Left-to-right double dot product (deterministic fold, codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  val TopK = 5
+  val NumQueries = 10 // queries = vec_id < NumQueries
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+
+  /** Exact top-k cosine neighbors for each query vector. The query set
+    * is broadcast; the corpus is scanned once; rank() would tie-break
+    * non-deterministically so row_number with vec_id tiebreak is used.
+    */
+  def simBruteTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir)
+    val q = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), asDouble($"embedding").as("qe"))
+    val c = all.select($"vec_id".as("cand_id"), asDouble($"embedding").as("ce"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"cand_id".asc)
+    c.join(broadcast(q), $"query_id" =!= $"cand_id")
+      .select($"query_id", $"cand_id", cosine($"qe", $"ce").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= TopK)
+      .select($"query_id", $"rk", $"cand_id", $"cos")
+      .orderBy("query_id", "rk")
+  }
+
+  // ---- random-hyperplane LSH ----
+
+  val NumPlanes = 16
+  val BandBits = 4
+  val NumBands: Int = NumPlanes / BandBits
+
+  /** Deterministic ±1 hyperplanes (seeded PRNG, fixed at plan time —
+    * equivalent to shipping a precomputed model to executors).
+    */
+  lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumPlanes, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** 16-bit signature column: bit i = (v · plane_i) >= 0. The plane is a
+    * literal array so the whole signature is one codegen'd expression —
+    * no UDF, no shuffle.
+    */
+  def signature(v: Column): Column =
+    (0 until NumPlanes).map { i =>
+      val p = typedLit(planes(i))
+      when(dot(v, p) >= 0.0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ bitwiseOR _)
+
+  /** LSH ANN: same output shape as brute force; recall < 1 by design
+    * (ScalaTest asserts recall ≥ 0.6 vs brute force at k=5).
+    * Candidates = corpus vectors sharing ≥1 signature band with the
+    * query; exact cosine re-rank on candidates only.
+    */
+  def simLshANN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir)
+      .select($"vec_id", asDouble($"embedding").as("e"))
+      .withColumn("sig", signature($"e"))
+    val banded = all.select($"vec_id", $"e",
+      explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned($"sig", b * BandBits)
+            .bitwiseAND(lit((1 << BandBits) - 1)).as("bh"))
+      }: _*)).as("bk"))
+      .select($"vec_id", $"e", $"bk.band", $"bk.bh")
+    val q = banded.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"e".as("qe"), $"band", $"bh")
+    val cand = banded.as("c")
+      .join(broadcast(q).as("q"),
+        $"c.band" === $"q.band" && $"c.bh" === $"q.bh" &&
+          $"c.vec_id" =!= $"q.query_id")
+      .select($"q.query_id", $"c.vec_id".as("cand_id"), $"q.qe", $"c.e")
+      .distinct()
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+    cand
+      .select($"query_id", $"cand_id", cosine($"qe", $"e").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= TopK)
+      .select($"query_id", $"rk", $"cand_id", $"cos")
+      .orderBy("query_id", "rk")
+  }
+
+  // ---- IVF ----
+
+  val NProbe = 2
+
+  /** Coarse centroids: per-label mean vectors. Deterministic (sums are
+    * per-dimension over a groupBy — order-independent because each
+    * dimension's sum uses double addition over a bounded partition...
+    * NOT bit-stable across partitionings, which is why IVF output is
+    * gated by the recall spec rather than a hash-matching oracle).
+    */
+  def centroids(all: DataFrame): DataFrame = {
+    val s = all.sparkSession
+    import s.implicits._
+    val byDim = all.select($"label", posexplode(asDouble($"embedding")).as(Seq("dim", "x")))
+      .groupBy($"label", $"dim").agg(avg($"x").as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"m"))).as("dm"))
+      .select($"label".as("cent_id"), transform($"dm", s => s("m")).as("cent"))
+    byDim
+  }
+
+  /** IVF ANN: assign every corpus vector to its nearest centroid (10
+    * partitions); each query probes its NProbe nearest centroids and
+    * brute-forces only those partitions (~nprobe/k of the corpus read).
+    */
+  def simIvfANN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    val cents = broadcast(centroids(emb(s, dir)))
+    def nearest(n: Int, vecCol: String, idCol: String, df: DataFrame) = {
+      val w = Window.partitionBy(col(idCol)).orderBy($"d".asc, $"cent_id".asc)
+      df.crossJoin(cents)
+        .select(col(idCol), col(vecCol), $"cent_id",
+          (-cosine(col(vecCol), $"cent")).as("d"))
+        .withColumn("cr", row_number().over(w))
+        .filter($"cr" <= n)
+    }
+    val assigned = nearest(1, "e", "vec_id", all)
+      .select($"vec_id".as("cand_id"), $"e", $"cent_id")
+    val probes = nearest(NProbe, "qe", "query_id",
+      all.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("query_id"), $"e".as("qe")))
+      .select($"query_id", $"qe", $"cent_id")
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+    assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter($"cand_id" =!= $"query_id")
+      .select($"query_id", $"cand_id", cosine($"qe", $"e").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= TopK)
+      .select($"query_id", $"rk", $"cand_id", $"cos")
+      .orderBy("query_id", "rk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold), exact.
+    * Threshold 0.40 is tuned to the synthetic corpus (max pairwise cosine
+    * ~0.5 — no true dups exist, so a 0.9-style dedup cut would be empty).
+    * All-pairs is the oracle-matching baseline; at corpus scale the same
+    * verify step runs over LSH candidates instead (see simLshANN) —
+    * trading guaranteed completeness for linear cost.
+    */
+  def dedupEmbCosine(s: SparkSession, dir: String, threshold: Double = 0.40): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    all.as("x").join(all.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        cosine(col("x.e"), col("y.e")).as("cos"))
+      .filter($"cos" >= threshold)
+      .orderBy("a", "b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_brute_topk" -> simBruteTopK,
+    "sim_lsh_ann" -> simLshANN,
+    "sim_ivf_ann" -> simIvfANN,
+    "dedup_embcos" -> ((s, d) => dedupEmbCosine(s, d)))
+
+  /** DuckDB double cosine with the same left-to-right fold:
+    * list comprehension products + list_sum over DOUBLE.
+    */
+  private def duckCos(a: String, b: String) = {
+    def d(v: String) = s"CAST($v AS DOUBLE[])"
+    def dt(x: String, y: String) =
+      s"list_sum([${d(x)}[i] * ${d(y)}[i] for i in range(1, 65)])"
+    s"(${dt(a, b)} / (sqrt(${dt(a, a)}) * sqrt(${dt(b, b)})))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "sim_brute_topk" -> s"""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ${duckCos("q.embedding", "c.embedding")} AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < $NumQueries),
+      ranked AS (
+        SELECT query_id, cand_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+        FROM pairs)
+      SELECT query_id, rk, cand_id, cos FROM ranked
+      WHERE rk <= $TopK
+      ORDER BY query_id, rk""",
+    "dedup_embcos" -> s"""
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             ${duckCos("x.embedding", "y.embedding")} AS cos
+      FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+      WHERE ${duckCos("x.embedding", "y.embedding")} >= 0.40
+      ORDER BY a, b""")
+  // sim_lsh_ann / sim_ivf_ann: probabilistic recall → rows-only check
+  // here; recall ≥ bound vs brute force asserted in SimilaritySpec.
+}
