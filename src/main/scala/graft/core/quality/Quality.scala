@@ -1,0 +1,146 @@
+package graft.core.quality
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.schema.{SchemaConverter, SchemaDefinition}
+
+/** Data-quality checks (reference: core/quality/checks.py + types.py).
+  *
+  * Each factory returns a DataQualityCheck whose check function runs a
+  * SINGLE aggregation action against a view — unlike the reference, which
+  * issues two actions for null/unique/range checks. At 100 TB one scan
+  * per check instead of two is the difference that matters; partial
+  * aggregation keeps the shuffle at one row per check.
+  */
+final case class CheckResult(
+    name: String,
+    passed: Boolean,
+    message: String,
+    metrics: Map[String, Double] = Map.empty)
+
+sealed abstract class CheckTiming(val name: String)
+object CheckTiming {
+  case object BeforePipeline extends CheckTiming("before_pipeline")
+  case object AfterPipeline extends CheckTiming("after_pipeline")
+  case object AfterComponent extends CheckTiming("after_component")
+}
+
+sealed abstract class FailureMode(val name: String)
+object FailureMode {
+  /** Check failure fails the pipeline run's quality summary. */
+  case object FailOnError extends FailureMode("fail_on_error")
+  /** Check failure is logged only. */
+  case object WarnOnly extends FailureMode("warn_only")
+  /** Fail only after maxFailures accumulated failures. */
+  case object Threshold extends FailureMode("threshold")
+}
+
+final case class DataQualityCheck(
+    name: String,
+    timing: CheckTiming,
+    check: SparkSession => CheckResult,
+    componentName: Option[String] = None,
+    failureMode: FailureMode = FailureMode.FailOnError,
+    maxFailures: Int = 0)
+
+object Checks {
+
+  /** COUNT(*) >= minRows (checks.py:14-37). */
+  def rowCountCheck(table: String, minRows: Long): DataQualityCheck =
+    DataQualityCheck(s"row_count_$table", CheckTiming.AfterPipeline, { spark =>
+      val n = spark.table(table).count()
+      CheckResult(s"row_count_$table", n >= minRows,
+        s"$table has $n rows (min $minRows)", Map("row_count" -> n.toDouble))
+    })
+
+  /** Null ratio ≤ maxNullPct, single pass (checks.py:40-67). */
+  def nullCheck(table: String, column: String, maxNullPct: Double): DataQualityCheck =
+    DataQualityCheck(s"null_${table}_$column", CheckTiming.AfterPipeline, { spark =>
+      val row = spark.table(table).agg(
+        sum(when(col(column).isNull, 1L).otherwise(0L)).as("nulls"),
+        count(lit(1)).as("total")).head()
+      val nulls = Option(row.getAs[Any]("nulls")).fold(0L)(_.asInstanceOf[Long])
+      val total = row.getAs[Long]("total")
+      val pct = if (total == 0) 0.0 else nulls * 100.0 / total
+      CheckResult(s"null_${table}_$column", pct <= maxNullPct,
+        f"$table.$column null ratio $pct%.2f%% (max $maxNullPct%%)",
+        Map("null_count" -> nulls.toDouble, "null_pct" -> pct))
+    })
+
+  /** COUNT(*) == COUNT(DISTINCT cols); composite keys supported
+    * (checks.py:70-107). Exact by default; pass approx=true for an HLL
+    * pre-check at corpus scale (SURVEY §7.3).
+    */
+  def uniqueCheck(table: String, columns: Seq[String], approx: Boolean = false): DataQualityCheck =
+    DataQualityCheck(s"unique_${table}_${columns.mkString("_")}", CheckTiming.AfterPipeline, { spark =>
+      val cols = columns.map(col)
+      val distinctAgg =
+        if (approx) approx_count_distinct(struct(cols: _*))
+        else countDistinct(cols.head, cols.tail: _*)
+      val row = spark.table(table)
+        .agg(count(lit(1)).as("total"), distinctAgg.as("distinct")).head()
+      val total = row.getAs[Long]("total")
+      val dist = row.getAs[Long]("distinct")
+      val ok = if (approx) dist >= (total * 0.99).toLong else dist == total
+      CheckResult(s"unique_${table}_${columns.mkString("_")}", ok,
+        s"$table(${columns.mkString(",")}): $dist distinct of $total rows" +
+          (if (approx) " (approximate)" else ""),
+        Map("total" -> total.toDouble, "distinct" -> dist.toDouble))
+    })
+
+  /** No values outside [min,max], single pass (checks.py:110-174). */
+  def rangeCheck(
+      table: String, column: String,
+      min: Option[Double] = None, max: Option[Double] = None): DataQualityCheck = {
+    require(min.nonEmpty || max.nonEmpty, "range_check needs min and/or max")
+    DataQualityCheck(s"range_${table}_$column", CheckTiming.AfterPipeline, { spark =>
+      val c = col(column)
+      val outside = (min, max) match {
+        case (Some(lo), Some(hi)) => c < lo || c > hi
+        case (Some(lo), None) => c < lo
+        case (None, Some(hi)) => c > hi
+        case _ => lit(false)
+      }
+      val row = spark.table(table).agg(
+        sum(when(outside, 1L).otherwise(0L)).as("violations"),
+        count(lit(1)).as("total")).head()
+      val v = Option(row.getAs[Any]("violations")).fold(0L)(_.asInstanceOf[Long])
+      CheckResult(s"range_${table}_$column", v == 0,
+        s"$table.$column: $v values outside [${min.getOrElse("-inf")}, ${max.getOrElse("inf")}]",
+        Map("violations" -> v.toDouble))
+    })
+  }
+
+  /** Declared fields present with matching Spark DDL type names
+    * (checks.py:194-255). Driver-side only — no job runs.
+    */
+  def schemaCheck(table: String, expected: SchemaDefinition, checkTypes: Boolean = true): DataQualityCheck =
+    DataQualityCheck(s"schema_$table", CheckTiming.AfterPipeline, { spark =>
+      val actual = spark.table(table).schema
+      val problems = expected.fields.flatMap { f =>
+        actual.fields.find(_.name == f.name) match {
+          case None => Some(s"missing field ${f.name}")
+          case Some(af) if checkTypes &&
+            af.dataType != SchemaConverter.toSparkType(f.dataType) =>
+            Some(s"field ${f.name}: expected ${f.dataType.ddl}, got ${af.dataType.simpleString}")
+          case _ => None
+        }
+      }
+      CheckResult(s"schema_$table", problems.isEmpty,
+        if (problems.isEmpty) s"$table schema ok" else problems.mkString("; "))
+    })
+
+  /** Arbitrary SQL returning a row with `passed: Boolean` (+ optional
+    * `message`) (checks.py:258-308).
+    */
+  def customSqlCheck(name: String, sql: String): DataQualityCheck =
+    DataQualityCheck(name, CheckTiming.AfterPipeline, { spark =>
+      val row = spark.sql(sql).head()
+      val passed = row.getAs[Boolean]("passed")
+      val message =
+        if (row.schema.fieldNames.contains("message"))
+          Option(row.getAs[String]("message")).getOrElse("")
+        else s"$name: passed=$passed"
+      CheckResult(name, passed, message)
+    })
+}

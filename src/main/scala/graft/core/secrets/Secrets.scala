@@ -1,0 +1,97 @@
+package graft.core.secrets
+
+/** Secrets resolution (reference: the core/secrets package +
+  * core/config/secret_resolver.py).
+  *
+  * `secret://PROVIDER/KEY` references inside config values are rewritten
+  * to resolved secrets; providers are pluggable (env built-in; AWS/Vault
+  * are optional extras in the reference and are represented here by the
+  * provider SPI — wiring real SDKs is deployment-specific). Resolution
+  * goes through a TTL cache and an optional audit wrapper.
+  */
+trait SecretsProvider {
+  def name: String
+  def getSecret(key: String): Option[String]
+}
+
+/** Environment-variable provider (core/secrets/providers.py:16-40). */
+final class EnvSecretsProvider(env: String => Option[String] = sys.env.get)
+  extends SecretsProvider {
+  val name = "env"
+  def getSecret(key: String): Option[String] = env(key)
+}
+
+final case class SecretNotFoundError(provider: String, key: String)
+  extends RuntimeException(s"secret $key not found in provider $provider")
+
+/** TTL cache (core/secrets/resolver.py:48-98); clock injectable. */
+final class SecretsCache(
+    ttlSeconds: Double,
+    clock: () => Double = () => System.nanoTime() / 1e9) {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Double)]()
+  def get(key: String): Option[String] =
+    Option(cache.get(key)).collect {
+      case (v, at) if clock() - at < ttlSeconds => v
+    }
+  def put(key: String, value: String): Unit =
+    cache.put(key, (value, clock()))
+  def invalidate(): Unit = cache.clear()
+}
+
+/** Provider-dispatching resolver with cache (core/secrets/resolver.py:17-45). */
+final class SecretsResolver(
+    providers: Seq[SecretsProvider],
+    cacheTtlSeconds: Double = 300.0,
+    clock: () => Double = () => System.nanoTime() / 1e9,
+    onAccess: (String, String, Boolean) => Unit = (_, _, _) => ()) {
+
+  private val byName = providers.map(p => p.name -> p).toMap
+  private val cache = new SecretsCache(cacheTtlSeconds, clock)
+
+  def resolve(provider: String, key: String): String = {
+    val cacheKey = s"$provider/$key"
+    cache.get(cacheKey) match {
+      case Some(v) =>
+        onAccess(provider, key, true)
+        v
+      case None =>
+        val p = byName.getOrElse(provider,
+          throw SecretNotFoundError(provider, key))
+        val v = p.getSecret(key).getOrElse {
+          onAccess(provider, key, false)
+          throw SecretNotFoundError(provider, key)
+        }
+        cache.put(cacheKey, v)
+        onAccess(provider, key, true)
+        v
+    }
+  }
+}
+
+/** `secret://PROVIDER/KEY` rewriting over a parsed config tree
+  * (core/config/secret_resolver.py:31-111). Values that are exactly a
+  * reference are replaced; inline occurrences inside longer strings are
+  * substituted too.
+  */
+object SecretRefResolver {
+  private val Ref = "secret://([A-Za-z0-9_-]+)/([^\\s\"]+)".r
+
+  def parseRef(s: String): Option[(String, String)] = s match {
+    case Ref(p, k) if s"secret://$p/$k" == s => Some((p, k))
+    case _ => None
+  }
+
+  def rewrite(tree: Map[String, Any], resolver: SecretsResolver): Map[String, Any] = {
+    def walk(v: Any): Any = v match {
+      case s: String => Ref.replaceAllIn(s, m =>
+        scala.util.matching.Regex.quoteReplacement(
+          resolver.resolve(m.group(1), m.group(2))))
+      case m: Map[String @unchecked, Any @unchecked] =>
+        m.map { case (k, x) => k -> walk(x) }
+      case l: List[Any @unchecked] => l.map(walk)
+      case other => other
+    }
+    walk(tree).asInstanceOf[Map[String, Any]]
+  }
+}
