@@ -74,9 +74,12 @@ object Checks {
   def uniqueCheck(table: String, columns: Seq[String], approx: Boolean = false): DataQualityCheck =
     DataQualityCheck(s"unique_${table}_${columns.mkString("_")}", CheckTiming.AfterPipeline, { spark =>
       val cols = columns.map(col)
+      // struct() wrapping keeps rows with null key parts in the distinct
+      // count (matching the reference's df.select(cols).distinct().count()
+      // — bare countDistinct would drop any row with a null column)
       val distinctAgg =
         if (approx) approx_count_distinct(struct(cols: _*))
-        else countDistinct(cols.head, cols.tail: _*)
+        else countDistinct(struct(cols: _*))
       val row = spark.table(table)
         .agg(count(lit(1)).as("total"), distinctAgg.as("distinct")).head()
       val total = row.getAs[Long]("total")

@@ -75,18 +75,29 @@ final class SecretsResolver(
   * substituted too.
   */
 object SecretRefResolver {
-  private val Ref = "secret://([A-Za-z0-9_-]+)/([^\\s\"]+)".r
+  /** Exact-value reference: the whole config value is one ref. Key may
+    * contain ':' (Vault's `path:field` syntax, providers.py:104-149).
+    */
+  private val ExactRef = "secret://([A-Za-z0-9_-]+)/(\\S+)".r
+  /** Inline reference embedded in a longer string: key stops at ':' so
+    * surrounding text like ":5432" in a JDBC URL isn't swallowed.
+    */
+  private val InlineRef = "secret://([A-Za-z0-9_-]+)/([^\\s:\"]+)".r
 
   def parseRef(s: String): Option[(String, String)] = s match {
-    case Ref(p, k) if s"secret://$p/$k" == s => Some((p, k))
+    case ExactRef(p, k) if s"secret://$p/$k" == s => Some((p, k))
     case _ => None
   }
 
   def rewrite(tree: Map[String, Any], resolver: SecretsResolver): Map[String, Any] = {
     def walk(v: Any): Any = v match {
-      case s: String => Ref.replaceAllIn(s, m =>
-        scala.util.matching.Regex.quoteReplacement(
-          resolver.resolve(m.group(1), m.group(2))))
+      case s: String =>
+        parseRef(s) match {
+          case Some((p, k)) => resolver.resolve(p, k)
+          case None => InlineRef.replaceAllIn(s, m =>
+            scala.util.matching.Regex.quoteReplacement(
+              resolver.resolve(m.group(1), m.group(2))))
+        }
       case m: Map[String @unchecked, Any @unchecked] =>
         m.map { case (k, x) => k -> walk(x) }
       case l: List[Any @unchecked] => l.map(walk)

@@ -15,7 +15,7 @@ import graft.Tables.t
   *    corpus; per-query top-k is a window over (query, candidate) rows
   *    whose cardinality is |Q|·|N| — linear in the corpus when |Q| is
   *    bounded. This is the correctness oracle for everything below.
-  *  - random-hyperplane LSH ANN: 16-bit signatures; 4-bit band buckets
+  *  - random-hyperplane LSH ANN: 24-bit signatures; 8 bands of 3 bits
   *    generate candidates, exact cosine re-ranks them. Candidate
   *    generation is a bucket join (shuffle on bucket key), so cost is
   *    ~linear in corpus size; recall is probabilistic → verified by a
@@ -73,8 +73,8 @@ object Similarity {
 
   // ---- random-hyperplane LSH ----
 
-  val NumPlanes = 16
-  val BandBits = 4
+  val NumPlanes = 24
+  val BandBits = 3
   val NumBands: Int = NumPlanes / BandBits
 
   /** Deterministic ±1 hyperplanes (seeded PRNG, fixed at plan time —
@@ -85,7 +85,7 @@ object Similarity {
     Array.fill(NumPlanes, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** 16-bit signature column: bit i = (v · plane_i) >= 0. The plane is a
+  /** 24-bit signature column: bit i = (v · plane_i) >= 0. The plane is a
     * literal array so the whole signature is one codegen'd expression —
     * no UDF, no shuffle.
     */
@@ -131,7 +131,7 @@ object Similarity {
 
   // ---- IVF ----
 
-  val NProbe = 2
+  val NProbe = 4
 
   /** Coarse centroids: per-label mean vectors. Deterministic (sums are
     * per-dimension over a groupBy — order-independent because each

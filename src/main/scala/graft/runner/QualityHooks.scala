@@ -39,12 +39,14 @@ final class DataQualityHooks(
       .filter(c => timing != CheckTiming.AfterComponent ||
         c.componentName.forall(component.contains))
       .foreach { c =>
+        // results are keyed by the DataQualityCheck's name (a factory
+        // check renamed via .copy must be tracked under the new name)
         val r =
-          try c.check(spark())
+          (try c.check(spark())
           catch {
             case e: Throwable =>
               CheckResult(c.name, passed = false, s"check error: ${e.getMessage}")
-          }
+          }).copy(name = c.name)
         resultsBuf += r
         if (!r.passed) {
           failureCounts(c.name) = failureCounts.getOrElse(c.name, 0) + 1

@@ -1,0 +1,147 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.core.quality._
+import graft.core.schema._
+
+/** Quality checks against the reference's canonical 4-row fixture
+  * (tests/integration/test_quality_checks_spark.py:27-39, FIXTURES.md §2):
+  * id 1..4 unique; name has 1 null + a duplicate; age 25..40;
+  * score has 1 null.
+  */
+class QualitySpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("age", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = true)))
+    val rows = Seq(
+      Row(1L, "Alice", 25L, 85.0),
+      Row(2L, "Bob", 30L, 92.5),
+      Row(3L, "Alice", 35L, 78.0),
+      Row(4L, null, 40L, null))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+      .createOrReplaceTempView("dq_test_data")
+  }
+
+  test("row_count_check") {
+    assert(Checks.rowCountCheck("dq_test_data", 4).check(spark).passed)
+    assert(!Checks.rowCountCheck("dq_test_data", 5).check(spark).passed)
+  }
+
+  test("null_check: 25% nulls in name") {
+    val r = Checks.nullCheck("dq_test_data", "name", 25.0).check(spark)
+    assert(r.passed && r.metrics("null_pct") == 25.0)
+    assert(!Checks.nullCheck("dq_test_data", "name", 10.0).check(spark).passed)
+    assert(Checks.nullCheck("dq_test_data", "id", 0.0).check(spark).passed)
+  }
+
+  test("unique_check: id unique, name not, composite (id,name) unique") {
+    assert(Checks.uniqueCheck("dq_test_data", Seq("id")).check(spark).passed)
+    assert(!Checks.uniqueCheck("dq_test_data", Seq("name")).check(spark).passed)
+    assert(Checks.uniqueCheck("dq_test_data", Seq("id", "name")).check(spark).passed)
+  }
+
+  test("range_check: [20,50] passes, [30,50] has violations, min-only works") {
+    assert(Checks.rangeCheck("dq_test_data", "age", Some(20), Some(50)).check(spark).passed)
+    val r = Checks.rangeCheck("dq_test_data", "age", Some(30), Some(50)).check(spark)
+    assert(!r.passed && r.metrics("violations") == 1.0)
+    assert(Checks.rangeCheck("dq_test_data", "age", min = Some(0)).check(spark).passed)
+  }
+
+  test("schema_check: declared fields + type matching") {
+    import GDataType._
+    val good = SchemaDefinition(Seq(
+      SchemaField("id", GLong), SchemaField("name", GString),
+      SchemaField("age", GLong), SchemaField("score", GDouble)))
+    assert(Checks.schemaCheck("dq_test_data", good).check(spark).passed)
+    val badType = SchemaDefinition(Seq(SchemaField("id", GString)))
+    assert(!Checks.schemaCheck("dq_test_data", badType).check(spark).passed)
+    val missing = SchemaDefinition(Seq(SchemaField("ghost", GString)))
+    assert(!Checks.schemaCheck("dq_test_data", missing).check(spark).passed)
+    // checkTypes=false: presence only
+    assert(Checks.schemaCheck("dq_test_data", badType, checkTypes = false).check(spark).passed)
+  }
+
+  test("custom_sql_check with passed + message columns") {
+    val ok = Checks.customSqlCheck("no_minors",
+      "SELECT COUNT(*) = 0 AS passed, 'minors found' AS message FROM dq_test_data WHERE age < 18")
+    assert(ok.check(spark).passed)
+    val bad = Checks.customSqlCheck("all_scored",
+      "SELECT COUNT(*) = 0 AS passed FROM dq_test_data WHERE score IS NULL")
+    assert(!bad.check(spark).passed)
+  }
+
+  test("quality hooks: timings, failure modes, threshold counting") {
+    import graft.runner._
+    val failing = Checks.rowCountCheck("dq_test_data", 100)
+    val warnOnly = failing.copy(name = "warn", failureMode = FailureMode.WarnOnly)
+    val threshold = failing.copy(name = "thr",
+      failureMode = FailureMode.Threshold, maxFailures = 2)
+    val before = Checks.rowCountCheck("dq_test_data", 1)
+      .copy(name = "pre", timing = CheckTiming.BeforePipeline)
+    val hooks = new DataQualityHooks(
+      Seq(failing, warnOnly, threshold, before), () => spark)
+
+    hooks.beforePipeline("p")
+    assert(hooks.results.map(_.name) == Seq("pre"))
+    hooks.afterPipeline("p", PipelineResult("p", PipelineStatus.Success, Nil, 0))
+    assert(hooks.results.size == 4)
+    // fail_on_error check failed => overall not passed
+    assert(!hooks.passed)
+    // warn-only alone would pass; threshold with 1 failure <= 2 passes
+    val lenient = new DataQualityHooks(Seq(warnOnly, threshold), () => spark)
+    lenient.afterPipeline("p", PipelineResult("p", PipelineStatus.Success, Nil, 0))
+    assert(lenient.passed)
+  }
+}
+
+class SchemaSpec extends SparkSpec {
+  import GDataType._
+
+  test("round-trip SchemaDefinition <-> StructType incl. nested types") {
+    val schema = SchemaDefinition(Seq(
+      SchemaField("s", GString), SchemaField("i", GInteger, nullable = false),
+      SchemaField("arr", GArray(GDouble)),
+      SchemaField("m", GMap(GString, GLong)),
+      SchemaField("st", GStruct(Seq(SchemaField("x", GBoolean))))))
+    val st = SchemaConverter.toStructType(schema)
+    assert(SchemaConverter.fromStructType(st) == schema)
+  }
+
+  test("string spellings coerce; nested array spelling parses") {
+    assert(GDataType.from("BIGINT") == GLong)
+    assert(GDataType.from("int") == GInteger)
+    assert(GDataType.from("array<string>") == GArray(GString))
+    intercept[IllegalArgumentException](GDataType.from("wat"))
+  }
+
+  test("validator: identity valid, missing field error, extra is warning") {
+    val p = SchemaDefinition(Seq(SchemaField("a", GLong), SchemaField("b", GString)))
+    assert(SchemaValidator.validate(Some(p), Some(p)).isValid)
+
+    val consumer = SchemaDefinition(Seq(SchemaField("a", GLong), SchemaField("c", GString)))
+    val r = SchemaValidator.validate(Some(p), Some(consumer))
+    assert(!r.isValid && r.errors.exists(_.field == "c"))
+    assert(r.warnings.exists(_.field == "b"))
+  }
+
+  test("validator: type mismatch + nullability narrowing are errors") {
+    val p = SchemaDefinition(Seq(SchemaField("a", GLong, nullable = true)))
+    val cType = SchemaDefinition(Seq(SchemaField("a", GString)))
+    assert(!SchemaValidator.validate(Some(p), Some(cType)).isValid)
+    val cNull = SchemaDefinition(Seq(SchemaField("a", GLong, nullable = false)))
+    assert(!SchemaValidator.validate(Some(p), Some(cNull)).isValid)
+  }
+
+  test("validator: None sides valid unless strict") {
+    assert(SchemaValidator.validate(None, None).isValid)
+    assert(!SchemaValidator.validate(None, None, strict = true).isValid)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.secrets._
+import graft.core.audit._
+
+class SecretsSpec extends AnyFunSuite {
+
+  test("env provider resolves; missing secret raises") {
+    val env = Map("DB_PASS" -> "hunter2")
+    val resolver = new SecretsResolver(Seq(new EnvSecretsProvider(env.get)))
+    assert(resolver.resolve("env", "DB_PASS") == "hunter2")
+    intercept[SecretNotFoundError](resolver.resolve("env", "NOPE"))
+    intercept[SecretNotFoundError](resolver.resolve("vault", "DB_PASS"))
+  }
+
+  test("TTL cache: served within ttl, refetched after expiry") {
+    var now = 0.0
+    var fetches = 0
+    val provider = new SecretsProvider {
+      val name = "env"
+      def getSecret(key: String) = { fetches += 1; Some(s"v$fetches") }
+    }
+    val resolver = new SecretsResolver(Seq(provider),
+      cacheTtlSeconds = 10.0, clock = () => now)
+    assert(resolver.resolve("env", "k") == "v1")
+    now = 5.0
+    assert(resolver.resolve("env", "k") == "v1") // cached
+    now = 15.0
+    assert(resolver.resolve("env", "k") == "v2") // expired → refetch
+    assert(fetches == 2)
+  }
+
+  test("secret:// references rewritten across nested config") {
+    val resolver = new SecretsResolver(Seq(new EnvSecretsProvider(
+      Map("PASS" -> "pw", "HOST" -> "db.example").get)))
+    val tree: Map[String, Any] = Map(
+      "url" -> "jdbc://secret://env/HOST:5432",
+      "nested" -> Map("password" -> "secret://env/PASS"),
+      "list" -> List("secret://env/PASS", 42L),
+      "plain" -> "unchanged")
+    val out = SecretRefResolver.rewrite(tree, resolver)
+    assert(out("url") == "jdbc://db.example:5432")
+    assert(out("nested").asInstanceOf[Map[String, Any]]("password") == "pw")
+    assert(out("list") == List("pw", 42L))
+    assert(out("plain") == "unchanged")
+  }
+
+  test("parseRef accepts exact references only") {
+    assert(SecretRefResolver.parseRef("secret://env/KEY").contains(("env", "KEY")))
+    assert(SecretRefResolver.parseRef("prefix secret://env/KEY").isEmpty)
+  }
+
+  test("access callback sees hits and misses") {
+    val accesses = scala.collection.mutable.ListBuffer[(String, String, Boolean)]()
+    val resolver = new SecretsResolver(
+      Seq(new EnvSecretsProvider(Map("A" -> "1").get)),
+      onAccess = (p, k, ok) => accesses += ((p, k, ok)))
+    resolver.resolve("env", "A")
+    intercept[SecretNotFoundError](resolver.resolve("env", "B"))
+    assert(accesses.toList == List(("env", "A", true), ("env", "B", false)))
+  }
+}
+
+class AuditSpec extends AnyFunSuite {
+
+  test("ConfigFilter scrubs sensitive keys recursively") {
+    val scrubbed = ConfigFilter.scrub(Map(
+      "password" -> "x", "api_token" -> "y", "AWS_SECRET_KEY" -> "z",
+      "auth_header" -> "h", "path" -> "/data",
+      "nested" -> Map("credential" -> "c", "view" -> "v")))
+    assert(scrubbed("password") == ConfigFilter.Redacted)
+    assert(scrubbed("api_token") == ConfigFilter.Redacted)
+    assert(scrubbed("AWS_SECRET_KEY") == ConfigFilter.Redacted)
+    assert(scrubbed("auth_header") == ConfigFilter.Redacted)
+    assert(scrubbed("path") == "/data")
+    val nested = scrubbed("nested").asInstanceOf[Map[String, Any]]
+    assert(nested("credential") == ConfigFilter.Redacted)
+    assert(nested("view") == "v")
+  }
+
+  test("file sink writes JSONL; events carry one trace id per run") {
+    val f = java.nio.file.Files.createTempFile("audit", ".jsonl")
+    val sink = new FileAuditSink(f.toString)
+    val hooks = new AuditHooks(sink, actor = "tester", now = () => 123L)
+    hooks.beforePipeline("p")
+    val trace1 = hooks.currentTraceId
+    hooks.beforeComponent("c1")
+    hooks.afterComponent("c1",
+      graft.runner.ComponentResult("c1", graft.runner.ComponentStatus.Success, 10))
+    hooks.afterPipeline("p", graft.runner.PipelineResult("p",
+      graft.runner.PipelineStatus.Success, Nil, 99))
+    val lines = scala.jdk.CollectionConverters
+      .ListHasAsScala(java.nio.file.Files.readAllLines(f)).asScala
+    assert(lines.size == 4)
+    assert(lines(0).contains("\"pipeline_start\""))
+    assert(lines(0).contains(s""""trace_id": "$trace1""""))
+    assert(lines.forall(_.contains(trace1)))
+    // JSON escaping sanity: parse each line with a naive check
+    assert(lines(3).contains("\"duration_ms\": \"99\""))
+
+    hooks.beforePipeline("p")
+    assert(hooks.currentTraceId != trace1, "new run, new trace id")
+  }
+
+  test("composite sink swallows sink failures") {
+    val seen = scala.collection.mutable.ListBuffer[String]()
+    val bad = new AuditSink { def emit(e: AuditEvent) = throw new RuntimeException("io") }
+    val good = new AuditSink { def emit(e: AuditEvent) = seen += e.action }
+    val c = new CompositeAuditSink(Seq(bad, good))
+    c.emit(AuditEvent("a", "u", "r", "ok", 0L, "t"))
+    assert(seen.toList == List("a"))
+  }
+}
+
+class MetricsSpec extends AnyFunSuite {
+  test("counters/gauges/timers accumulate; prometheus text renders") {
+    val reg = new graft.core.metrics.InMemoryMeterRegistry
+    reg.counter("runs", "p" -> "x").increment()
+    reg.counter("runs", "p" -> "x").increment(2)
+    reg.gauge("depth").set(3.5)
+    reg.timer("dur", "c" -> "a").record(10.0)
+    reg.timer("dur", "c" -> "a").record(30.0)
+    assert(reg.counter("runs", "p" -> "x").value == 3)
+    assert(reg.timer("dur", "c" -> "a").count == 2)
+    assert(reg.timer("dur", "c" -> "a").maxMs == 30.0)
+    val text = reg.prometheusText
+    assert(text.contains("""runs{p="x"} 3"""))
+    assert(text.contains("depth 3.5"))
+    assert(text.contains("""dur_count{c="a"} 2"""))
+  }
+
+  test("registry is thread-safe under concurrent increments") {
+    val reg = new graft.core.metrics.InMemoryMeterRegistry
+    val threads = (1 to 8).map(_ => new Thread(() =>
+      (1 to 500).foreach(_ => reg.counter("n").increment())))
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    assert(reg.counter("n").value == 4000)
+  }
+}

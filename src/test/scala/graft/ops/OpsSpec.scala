@@ -1,0 +1,146 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: distinct word 3-grams; short docs yield empty") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x x x x x"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L) == Seq("a b c", "b c d"))
+    assert(m(2L).isEmpty)
+    assert(m(3L) == Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("exact dedup groups identical texts under min doc_id") {
+    val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("docs_tmp")
+    val out = df.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(2L) == 2L && out(9L) == 1L)
+  }
+
+  test("simhash: identical docs share signatures; disjoint docs differ") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words describing some other topic entirely here"))
+      .toDF("doc_id", "text")
+    val sh = docs.select($"doc_id", explode(Dedup.shingles($"text", 3)).as("sh"))
+    val sigs = Dedup.simhashSignatures(sh).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 3,
+      "disjoint shingle sets should be far in hamming space")
+    // banded pairing finds the identical pair
+    val pairs = Dedup.simhashPairs(Dedup.simhashSignatures(sh))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("minhash LSH + verify finds near-identical docs at jaccard 0.8") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " wX" // ~0.9 jaccard
+    val far = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, far)).toDF("doc_id", "text")
+    val sh = docs.select($"doc_id", explode(Dedup.shingles($"text", 3)).as("sh"))
+    val cand = Dedup.candidatePairs(Dedup.lshBuckets(Dedup.minhashSignatures(sh)))
+    val verified = Dedup.verifyJaccard(cand, sh, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == Set((1L, 2L)))
+  }
+
+  test("ngram-jaccard inverted index agrees with the LSH+verify answer") {
+    val a = Dedup.dedupMinhashLsh(spark, sfDir).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.dedupNgramJaccard(spark, sfDir).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    assert(a.nonEmpty, "sf0.001 corpus contains known near-dups")
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  lazy val brute: Map[Long, Set[Long]] = topkSet(Similarity.simBruteTopK(spark, sfDir))
+
+  test("brute-force topk: k results per query, no self-matches") {
+    assert(brute.size == Similarity.NumQueries)
+    assert(brute.forall(_._2.size == Similarity.TopK))
+    assert(brute.forall { case (q, cands) => !cands.contains(q) })
+  }
+
+  test("LSH ANN recall >= 0.6 vs brute force") {
+    val lsh = topkSet(Similarity.simLshANN(spark, sfDir))
+    val recall = brute.keys.toSeq.map { q =>
+      val hits = lsh.getOrElse(q, Set.empty).intersect(brute(q)).size
+      hits.toDouble / Similarity.TopK
+    }.sum / brute.size
+    assert(recall >= 0.6, s"LSH recall $recall below bound")
+  }
+
+  test("IVF ANN recall >= 0.5 vs brute force with nprobe=2 of 10") {
+    val ivf = topkSet(Similarity.simIvfANN(spark, sfDir))
+    val recall = brute.keys.toSeq.map { q =>
+      val hits = ivf.getOrElse(q, Set.empty).intersect(brute(q)).size
+      hits.toDouble / Similarity.TopK
+    }.sum / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall below bound")
+  }
+
+  test("cosine is symmetric and self-cosine is 1") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(
+        Similarity.cosine(col("a").cast("array<double>"), col("b").cast("array<double>")).as("ab"),
+        Similarity.cosine(col("b").cast("array<double>"), col("a").cast("array<double>")).as("ba"),
+        Similarity.cosine(col("a").cast("array<double>"), col("a").cast("array<double>")).as("aa"))
+    val r = df.head()
+    assert(r.getDouble(0) == r.getDouble(1))
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count ignores extra whitespace; empty text is zero") {
+    val df = Seq((1L, "  a   b\tc "), (2L, ""), (3L, "word"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 3L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("language id picks the dominant profile; ties resolve to first") {
+    val df = Seq(
+      (1L, "the cat is on the mat and the dog is in the house"),
+      (2L, "el gato y la casa de los perros que viven en una calle"),
+      (3L, "zzz qqq www")) // no profile hits
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.langId($"text").as("lang"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+}
