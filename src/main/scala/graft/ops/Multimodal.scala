@@ -1,0 +1,217 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/
+  * video payloads ride through Spark as opaque `binary` columns with
+  * typed metadata, and per-item decode/feature-extraction runs as a
+  * partition-local batch transform.
+  *
+  * The decode itself is a STUB — media codec libraries are not in this
+  * build, so [[FakeCodec]] derives deterministic pseudo-media properties
+  * from the payload bytes. Everything around the stub is the real
+  * engineering surface and is tested: the (id, kind, payload, metadata)
+  * schema, binary columns flowing through shuffles/joins, the
+  * partition-local batch execution shape (`mapPartitions` over a typed
+  * Dataset — the JVM analog of a vectorized batch UDF: one codec init
+  * per partition, then a streamed batch of records), and byte-level
+  * stats computed as codegen'd expressions where no decode is needed.
+  *
+  * At 100 TB: payloads dominate the bytes. Rules encoded here —
+  * (a) never shuffle payloads for metadata-only queries (prune to
+  * metadata columns first, `mmStats` reads only byte lengths);
+  * (b) decode once per partition batch, not per row;
+  * (c) keep per-partition batches bounded by repartitioning on media_id
+  * before the decode stage.
+  */
+object Multimodal {
+
+  /** Typed record: media payload + metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      kind: String, // image | audio | video
+      payload: Array[Byte],
+      source: String)
+
+  final case class DecodedFeatures(
+      media_id: Long,
+      kind: String,
+      byte_len: Long,
+      width: Int, // image/video: pixels; audio: 0
+      height: Int,
+      channels: Int,
+      duration_ms: Long, // audio/video: derived; image: 0
+      feature: Array[Float]) // fixed-width embedding-like vector
+
+  /** Deterministic stand-in for a real media codec. A production build
+    * replaces decode() with actual JNI/library calls — the call shape
+    * (bytes in, typed features out, partition-local init) is what the
+    * pipeline depends on, not the pixel math.
+    */
+  object FakeCodec {
+    /** Per-partition "codec handle" — stands in for an expensive native
+      * init that must NOT happen per record.
+      */
+    final class Handle private[FakeCodec] () {
+      def decode(r: MediaRecord): DecodedFeatures = {
+        val len = r.payload.length.toLong
+        // deterministic pseudo-properties from payload content
+        val h = java.util.Arrays.hashCode(r.payload)
+        val w = 64 + math.abs(h % 512)
+        val ht = 64 + math.abs((h / 512) % 512)
+        val feat = Array.tabulate(8)(i =>
+          ((h >>> (i * 4)) & 0xF).toFloat / 15.0f)
+        r.kind match {
+          case "image" => DecodedFeatures(r.media_id, r.kind, len, w, ht, 3, 0L, feat)
+          case "audio" => DecodedFeatures(r.media_id, r.kind, len, 0, 0, 2, 1 + len / 4, feat)
+          case _ => DecodedFeatures(r.media_id, r.kind, len, w, ht, 3, 1 + len / 100, feat)
+        }
+      }
+    }
+    def open(): Handle = new Handle()
+  }
+
+  /** Synthesize a media table from `documents` (no binary fixtures ship
+    * with the testdata): payload = UTF-8 text bytes, kind assigned
+    * round-robin. Deterministic, so oracles can recompute byte stats.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(
+      $"doc_id".as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        ($"doc_id" % 3 + 1).cast("int")).as("kind"),
+      encode($"text", "UTF-8").as("payload"),
+      $"source")
+  }
+
+  /** Metadata-only stats over binary payloads — pure expressions, no
+    * decode, and crucially no shuffle of the payload bytes: the
+    * aggregation reads only (kind, length(payload)).
+    */
+  def mmStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select($"kind", length($"payload").cast("long").as("blen"))
+      .groupBy($"kind")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum($"blen").as("total_bytes"),
+        min($"blen").as("min_bytes"),
+        max($"blen").as("max_bytes"))
+      .orderBy("kind")
+  }
+
+  /** Partition-local batch decode: one codec handle per partition, then
+    * a streamed pass over its records (the mapPartitions analog of a
+    * vectorized batch UDF). Repartition bounds batch size and spreads
+    * decode work regardless of upstream file layout.
+    */
+  def decodeFeatures(media: Dataset[MediaRecord], partitions: Int): Dataset[DecodedFeatures] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(partitions, col("media_id"))
+      .mapPartitions { it =>
+        val codec = FakeCodec.open() // once per partition, not per row
+        it.map(codec.decode)
+      }
+  }
+
+  /** Decode stage as a query: documents-derived media → features.
+    * Feature vector echoed as its sum (scalar) to keep the result
+    * hash-friendly.
+    */
+  def mmDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, dir).as[MediaRecord]
+    decodeFeatures(media, partitions = 32).toDF()
+      .select($"media_id", $"kind", $"byte_len", $"width", $"height",
+        $"channels", $"duration_ms",
+        aggregate($"feature", lit(0.0), (a, x) => a + x).as("feature_sum"))
+      .orderBy("media_id")
+  }
+
+  /** Resize plumbing: new dims from a target box, payload re-emitted
+    * (stub: truncation stands in for re-encoding). The point under test
+    * is binary columns surviving a transform + shuffle round-trip.
+    */
+  def mmResize(s: SparkSession, dir: String, maxDim: Int = 128): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, dir).as[MediaRecord]
+    val decoded = decodeFeatures(media, partitions = 32).toDF()
+      .select($"media_id", $"width", $"height")
+    mediaTable(s, dir)
+      .join(decoded, "media_id")
+      .select(
+        $"media_id",
+        $"width", $"height",
+        least($"width", lit(maxDim)).as("new_width"),
+        least($"height", lit(maxDim)).as("new_height"),
+        substring($"payload", 1, 1024).as("payload_head"))
+      .select($"media_id", $"width", $"height", $"new_width", $"new_height",
+        length($"payload_head").cast("long").as("head_len"))
+      .orderBy("media_id")
+  }
+
+  /** Frame sampling: split a "video" payload into fixed-size frame
+    * chunks and keep every k-th — the batch-shape pattern for
+    * video-to-image fan-out (explode multiplies rows, payload bytes
+    * stay partition-local until the explode).
+    */
+  def mmFrameSample(s: SparkSession, dir: String, frameBytes: Int = 256, every: Int = 4): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .filter($"kind" === "video")
+      .select($"media_id", length($"payload").cast("long").as("blen"), $"payload")
+      .select($"media_id", $"blen",
+        explode(sequence(lit(0),
+          greatest((($"blen" - 1) / frameBytes).cast("int"), lit(0)))).as("frame_no"))
+      .filter($"frame_no" % every === 0)
+      .groupBy($"media_id")
+      .agg(count(lit(1)).as("n_sampled_frames"),
+        max($"frame_no").cast("long").as("last_frame"))
+      .orderBy("media_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_stats" -> mmStats,
+    "mm_decode" -> ((s, d) => mmDecode(s, d)),
+    "mm_resize" -> ((s, d) => mmResize(s, d)),
+    "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)))
+
+  /** kind expression shared by the oracles (media_id % 3 → image/audio/
+    * video; DuckDB lists are 1-based like element_at).
+    */
+  private val kindSql =
+    "(['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]"
+
+  val oracles: Map[String, String] = Map(
+    "mm_stats" -> s"""
+      SELECT $kindSql AS kind,
+        COUNT(*) AS n_files,
+        SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+        MIN(CAST(octet_length(encode(text)) AS BIGINT)) AS min_bytes,
+        MAX(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
+      FROM documents
+      GROUP BY 1 ORDER BY 1""",
+    "mm_frame_sample" -> s"""
+      WITH v AS (
+        SELECT doc_id AS media_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS blen
+        FROM documents
+        WHERE $kindSql = 'video'),
+      frames AS (
+        SELECT media_id, unnest(range(0, GREATEST(CAST((blen - 1) / 256 AS INT), 0) + 1)) AS frame_no
+        FROM v)
+      SELECT media_id,
+        COUNT(*) AS n_sampled_frames,
+        MAX(frame_no) AS last_frame
+      FROM frames
+      WHERE frame_no % 4 = 0
+      GROUP BY media_id
+      ORDER BY media_id""")
+  // mm_decode / mm_resize depend on the JVM stub codec (Arrays.hashCode)
+  // → not SQL-expressible; rows-only check + MultimodalSpec assertions.
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import Multimodal._
+
+  test("media table: binary payload column with typed metadata") {
+    val df = mediaTable(spark, sfDir)
+    assert(df.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(df.select("kind").distinct().collect().map(_.getString(0)).toSet ==
+      Set("image", "audio", "video"))
+    assert(df.count() == 500)
+  }
+
+  test("decode is deterministic, batch-shaped, and kind-aware") {
+    import spark.implicits._
+    val media = mediaTable(spark, sfDir).as[MediaRecord]
+    val a = decodeFeatures(media, 8).collect().map(f => f.media_id -> f).toMap
+    val b = decodeFeatures(media, 3).collect().map(f => f.media_id -> f).toMap
+    assert(a.keySet == b.keySet)
+    // partitioning must not change decoded values
+    assert(a.forall { case (id, f) =>
+      val g = b(id)
+      f.width == g.width && f.byte_len == g.byte_len &&
+        f.feature.toSeq == g.feature.toSeq
+    })
+    val byKind = a.values.groupBy(_.kind)
+    assert(byKind("image").forall(f => f.duration_ms == 0 && f.width > 0))
+    assert(byKind("audio").forall(f => f.width == 0 && f.duration_ms > 0))
+    assert(byKind("video").forall(f => f.duration_ms > 0 && f.width > 0))
+    assert(a.values.forall(_.feature.length == 8))
+  }
+
+  test("decoded byte_len matches the payload length") {
+    import spark.implicits._
+    val media = mediaTable(spark, sfDir)
+    val expected = media
+      .select($"media_id", length($"payload").cast("long").as("blen"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val decoded = decodeFeatures(media.as[MediaRecord], 8)
+      .collect().map(f => f.media_id -> f.byte_len).toMap
+    assert(decoded == expected)
+  }
+
+  test("resize never exceeds the target box; payload survives the join") {
+    val out = mmResize(spark, sfDir, maxDim = 100).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("new_width") <= 100)
+      assert(r.getAs[Int]("new_height") <= 100)
+      assert(r.getAs[Long]("head_len") > 0)
+    }
+  }
+
+  test("frame sampling keeps every 4th frame") {
+    val rows = mmFrameSample(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("last_frame") % 4 == 0)
+      assert(r.getAs[Long]("n_sampled_frames") >= 1)
+    }
+  }
+}
