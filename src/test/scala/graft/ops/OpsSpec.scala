@@ -49,7 +49,9 @@ class DedupSpec extends SparkSpec {
     val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " wX" // ~0.9 jaccard
     val far = (100 to 140).map(i => s"v$i").mkString(" ")
     val docs = Seq((1L, base), (2L, nearDup), (3L, far)).toDF("doc_id", "text")
-    val sh = docs.select($"doc_id", explode(Dedup.shingles($"text", 3)).as("sh"))
+    val sh = docs
+      .select($"doc_id", explode(Dedup.shingles($"text", 3)).as("sh_str"))
+      .select($"doc_id", xxhash64($"sh_str").as("sh")) // verify expects long hashes
     val cand = Dedup.candidatePairs(Dedup.lshBuckets(Dedup.minhashSignatures(sh)))
     val verified = Dedup.verifyJaccard(cand, sh, 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
