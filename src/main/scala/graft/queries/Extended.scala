@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables.t
+
+/** Extended relational surface: the SQL-pass-through capabilities from
+  * SURVEY.md §2.B not already covered by Relational — CUBE/GROUPING
+  * SETS, PIVOT, JSON extraction, array/collection functions, EXISTS/IN
+  * subqueries through spark.sql, and UNION ALL. All stay declarative so
+  * Catalyst owns the physical plan.
+  */
+object Extended {
+  private val D = DecimalType(18, 4)
+
+  /** q18: CUBE over two dims — 4 grouping combinations in one pass
+    * (Spark expands to an Expand node: one shuffle, not four scans).
+    */
+  def q18Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(D)).cast(D).as("revenue"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  /** q19: PIVOT — explicit value list so the schema is static (a
+    * dynamic pivot would need an extra distinct-scan job).
+    */
+  def q19Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("c_mktsegment")
+  }
+
+  /** q20: JSON extraction from the events props column + aggregation.
+    * get_json_object is codegen'd; schema-on-read without parsing cost
+    * for unused keys.
+    */
+  def q20Json(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .filter($"props".isNotNull)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .filter($"k".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy("event_type")
+  }
+
+  /** q21: EXISTS + scalar subquery through SQL text (the reference's
+    * SqlTransform path). Catalyst decorrelates EXISTS into a semi join.
+    */
+  def q21ExistsSql(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("x_customer")
+    t(s, dir, "orders").createOrReplaceTempView("x_orders")
+    s.sql("""
+      SELECT c_custkey, c_name
+      FROM x_customer
+      WHERE EXISTS (SELECT 1 FROM x_orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        AND c_acctbal > (SELECT AVG(c_acctbal) FROM x_customer)
+      ORDER BY c_custkey
+    """)
+  }
+
+  /** q22: GROUPING SETS via SQL with GROUPING() disambiguation. */
+  def q22GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("x_lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+             CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+             COUNT(*) AS n
+      FROM x_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """)
+  }
+
+  /** q23: collection functions — per-nation sorted list of market
+    * segments (collect_set is order-unstable; array_sort makes the
+    * result deterministic) + element access.
+    */
+  def q23ArrayAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .groupBy($"c_nationkey")
+      .agg(array_sort(collect_set($"c_mktsegment")).as("segments"))
+      .select($"c_nationkey",
+        $"segments",
+        size($"segments").cast("int").as("n_segments"),
+        element_at($"segments", 1).as("first_segment"))
+      .orderBy("c_nationkey")
+  }
+
+  /** q24: UNION ALL + distinct-union parity across two filters. */
+  def q24Union(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val big = o.filter($"o_totalprice" > 400000.0)
+      .select($"o_orderkey", lit("big").as("tag"))
+    val urgent = o.filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 400000.0)
+      .select($"o_orderkey", lit("urgent").as("tag"))
+    big.unionAll(urgent).orderBy("o_orderkey", "tag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_cube" -> q18Cube,
+    "q19_pivot" -> q19Pivot,
+    "q20_json" -> q20Json,
+    "q21_exists_sql" -> q21ExistsSql,
+    "q22_grouping_sets" -> q22GroupingSets,
+    "q23_array_agg" -> q23ArrayAgg,
+    "q24_union" -> q24Union)
+
+  val oracles: Map[String, String] = Map(
+    "q18_cube" -> """
+      SELECT o_orderstatus, o_orderpriority,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q19_pivot" -> """
+      SELECT c_mktsegment,
+        COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+        COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+        COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+    "q20_json" -> """
+      SELECT event_type,
+        COUNT(*) AS n,
+        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events
+      WHERE props IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type""",
+    "q21_exists_sql" -> """
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+      ORDER BY c_custkey""",
+    "q22_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q23_array_agg" -> """
+      SELECT c_nationkey,
+        list_sort(list_distinct(list(c_mktsegment))) AS segments,
+        CAST(len(list_distinct(list(c_mktsegment))) AS INT) AS n_segments,
+        list_sort(list_distinct(list(c_mktsegment)))[1] AS first_segment
+      FROM customer
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""",
+    "q24_union" -> """
+      SELECT o_orderkey, tag FROM (
+        SELECT o_orderkey, 'big' AS tag FROM orders WHERE o_totalprice > 400000.0
+        UNION ALL
+        SELECT o_orderkey, 'urgent' AS tag FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0) u
+      ORDER BY o_orderkey, tag""")
+}
