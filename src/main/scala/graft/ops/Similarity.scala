@@ -37,19 +37,33 @@ object Similarity {
     */
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Left-to-right double dot product (deterministic fold, codegen'd). */
+  /** Left-to-right double dot product as a Column fold. NOTE: Catalyst
+    * higher-order functions are interpreted per element — this exists as
+    * the readable reference implementation and for tests; hot paths use
+    * [[graft.functions.CosineSimilarity]] (codegen'd, same op order,
+    * bit-identical results) or the primitive-array kernel below.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Reference fold implementation (interpreted). */
+  def cosineFold(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Codegen'd cosine via the native expression; sessions are registered
+    * in emb() so every query path has the function available.
+    */
+  def cosine(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 
   val TopK = 5
   val NumQueries = 10 // queries = vec_id < NumQueries
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     t(s, dir, "embeddings")
+  }
 
   /** Exact top-k cosine neighbors for each query vector. The query set
     * is broadcast; the corpus is scanned once; rank() would tie-break

@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftFunctions.register(spark)
+  }
+
+  test("cosine_sim usable from SQL text after registration") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(0.5d, 0.5d)) AS c").head()
+    assert(math.abs(r.getDouble(0) - math.sqrt(2) / 2) < 1e-12)
+  }
+
+  test("null inputs propagate null; registration is idempotent") {
+    GraftFunctions.register(spark) // second call must not throw
+    val r = spark.sql(
+      "SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS c").head()
+    assert(r.isNullAt(0))
+  }
+
+  test("interpreted eval and codegen agree on random vectors") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rnd.nextDouble() * 2 - 1),
+      Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val viaExpr = df.select(call_function("cosine_sim", $"a", $"b"))
+      .as[Double].collect()
+    val viaKernel = rows.map { case (a, b) =>
+      graft.ops.Similarity.dotArr(a, b) /
+        (math.sqrt(graft.ops.Similarity.dotArr(a, a)) *
+          math.sqrt(graft.ops.Similarity.dotArr(b, b)))
+    }
+    viaExpr.zip(viaKernel).foreach { case (x, y) =>
+      assert(x == y, "codegen vs kernel not bit-identical")
+    }
+  }
+
+  test("mismatched lengths fold over the common prefix (all accumulators)") {
+    // dot, |a|², |b|² all run over min(len) — identical prefixes give 1.0
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 5.0d, 9.0d), array(1.0d, 5.0d)) AS c").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12) // sqrt(26)² != 26 exactly
+  }
+}

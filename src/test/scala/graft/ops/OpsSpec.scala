@@ -101,17 +101,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall below bound")
   }
 
-  test("cosine is symmetric and self-cosine is 1") {
+  test("cosine is symmetric, self-cosine is 1, expression == fold bit-exact") {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def d(c: String) = col(c).cast("array<double>")
     val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 1.0f, 2.0f)))
       .toDF("a", "b")
       .select(
-        Similarity.cosine(col("a").cast("array<double>"), col("b").cast("array<double>")).as("ab"),
-        Similarity.cosine(col("b").cast("array<double>"), col("a").cast("array<double>")).as("ba"),
-        Similarity.cosine(col("a").cast("array<double>"), col("a").cast("array<double>")).as("aa"))
+        Similarity.cosine(d("a"), d("b")).as("ab"),
+        Similarity.cosine(d("b"), d("a")).as("ba"),
+        Similarity.cosine(d("a"), d("a")).as("aa"),
+        Similarity.cosineFold(d("a"), d("b")).as("fold"))
     val r = df.head()
     assert(r.getDouble(0) == r.getDouble(1))
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(r.getDouble(0) == r.getDouble(3),
+      "codegen'd expression must be bit-identical to the Column fold")
   }
 }
 
