@@ -24,6 +24,33 @@ final class EnvSecretsProvider(env: String => Option[String] = sys.env.get)
 final case class SecretNotFoundError(provider: String, key: String)
   extends RuntimeException(s"secret $key not found in provider $provider")
 
+/** AWS Secrets Manager provider contract (providers.py:44-99). The SDK
+  * call is injected (the AWS SDK is an optional extra in the reference
+  * too); production wires `fetch` to SecretsManagerClient.getSecretValue.
+  */
+final class AwsSecretsProvider(fetch: String => Option[String])
+  extends SecretsProvider {
+  val name = "aws"
+  def getSecret(key: String): Option[String] = fetch(key)
+}
+
+/** Vault KV-v2 provider contract with the reference's `path:field`
+  * key syntax (providers.py:104-149): "secret/data/db:password" reads
+  * field `password` at path `secret/data/db`. `readPath` returns the
+  * field map at a path; production wires it to a Vault client.
+  */
+final class VaultSecretsProvider(readPath: String => Option[Map[String, String]])
+  extends SecretsProvider {
+  val name = "vault"
+  def getSecret(key: String): Option[String] = {
+    val (path, field) = key.lastIndexOf(':') match {
+      case -1 => (key, "value")
+      case i => (key.substring(0, i), key.substring(i + 1))
+    }
+    readPath(path).flatMap(_.get(field))
+  }
+}
+
 /** TTL cache (core/secrets/resolver.py:48-98); clock injectable. */
 final class SecretsCache(
     ttlSeconds: Double,

@@ -110,6 +110,52 @@ final case class ConnectorStreamingSource(
     spark.readStream.format(format).options(options).load()
 }
 
+/** Azure Event Hubs source (sources.py:136-191) — typed options over
+  * the external `eventhubs` connector format.
+  */
+final case class EventHubsStreamingSource(
+    connectionString: String,
+    eventHubName: String,
+    consumerGroup: String = "$Default",
+    startingPosition: String = "latest",
+    maxEventsPerTrigger: Option[Long] = None,
+    receiverTimeoutSeconds: Option[Int] = None,
+    operationTimeoutSeconds: Option[Int] = None) extends StreamingSource {
+  def readStream(spark: SparkSession): DataFrame = {
+    val base = Map(
+      "eventhubs.connectionString" -> connectionString,
+      "eventhubs.name" -> eventHubName,
+      "eventhubs.consumerGroup" -> consumerGroup,
+      "eventhubs.startingPosition" -> startingPosition) ++
+      maxEventsPerTrigger.map("maxEventsPerTrigger" -> _.toString) ++
+      receiverTimeoutSeconds.map(s => "eventhubs.receiverTimeout" -> s.toString) ++
+      operationTimeoutSeconds.map(s => "eventhubs.operationTimeout" -> s.toString)
+    ConnectorStreamingSource("eventhubs", base).readStream(spark)
+  }
+}
+
+/** AWS Kinesis source (sources.py:199-245) — typed options over the
+  * external `kinesis` connector format.
+  */
+final case class KinesisStreamingSource(
+    streamName: String,
+    region: String,
+    startingPosition: String = "latest",
+    endpointUrl: Option[String] = None,
+    maxFetchRecordsPerShard: Option[Long] = None,
+    maxFetchTimePerShardSec: Option[Int] = None) extends StreamingSource {
+  def readStream(spark: SparkSession): DataFrame = {
+    val base = Map(
+      "streamName" -> streamName,
+      "region" -> region,
+      "startingPosition" -> startingPosition) ++
+      endpointUrl.map("endpointUrl" -> _) ++
+      maxFetchRecordsPerShard.map("maxFetchRecordsPerShard" -> _.toString) ++
+      maxFetchTimePerShardSec.map(s => "maxFetchTimePerShardSec" -> s.toString)
+    ConnectorStreamingSource("kinesis", base).readStream(spark)
+  }
+}
+
 /** Streaming sink abstraction (runtime/streaming/sinks.py). */
 trait StreamingSink {
   def writeStream(df: DataFrame): DataStreamWriter[Row]
@@ -128,6 +174,26 @@ final case class FileStreamingSink(
     partitionBy: Seq[String] = Nil) extends StreamingSink {
   def writeStream(df: DataFrame): DataStreamWriter[Row] = {
     val w = df.writeStream.format(fileFormat).option("path", path)
+    if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+  }
+}
+
+/** Delta Lake sink (sinks.py:41-61); requires the delta connector on
+  * the classpath at runtime.
+  */
+final case class DeltaStreamingSink(
+    path: String, partitionBy: Seq[String] = Nil) extends StreamingSink {
+  def writeStream(df: DataFrame): DataStreamWriter[Row] = {
+    val w = df.writeStream.format("delta").option("path", path)
+    if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+  }
+}
+
+/** Iceberg table sink (sinks.py:82-103). */
+final case class IcebergStreamingSink(
+    table: String, partitionBy: Seq[String] = Nil) extends StreamingSink {
+  def writeStream(df: DataFrame): DataStreamWriter[Row] = {
+    val w = df.writeStream.format("iceberg").option("path", table)
     if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
   }
 }
