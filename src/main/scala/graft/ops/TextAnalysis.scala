@@ -52,6 +52,57 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** BPE-ish subword segmentation count: a GPT-2-style pre-tokenizer
+    * regex (contraction suffixes, letter runs, digit runs, punctuation
+    * runs — no lookahead, so the same pattern runs under Java regex and
+    * DuckDB's RE2). Counts segments, which is the token count a BPE
+    * vocabulary would start from.
+    */
+  val BpePattern = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+  def bpeishCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("long")
+
+  /** Winnowing document fingerprints (the standard k-gram rolling-hash
+    * min-sampling scheme): polynomial rolling hash over character
+    * k-grams (O(1) per step via precomputed base^(k-1)), then the
+    * minimum hash of each window of w consecutive k-grams, rightmost
+    * tie-break, deduplicated. Guarantees any substring match of length
+    * ≥ k+w-1 shares a fingerprint — the property plagiarism/near-dup
+    * detection relies on. Runs compiled (no Catalyst expressions) —
+    * same rationale as the shingling path in [[Dedup]].
+    */
+  def winnow(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
+    val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (s.length < k) return Array.empty
+    val B = 1000003L
+    var bk = 1L // B^(k-1), wrapping in Long is fine: deterministic
+    var i = 0
+    while (i < k - 1) { bk *= B; i += 1 }
+    val n = s.length - k + 1
+    val hs = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * bk) * B + s.charAt(i + k - 1)
+      hs(i) = h
+      i += 1
+    }
+    if (n <= w) return Array(hs.min)
+    val out = new scala.collection.mutable.TreeSet[Long]()
+    i = 0
+    while (i + w <= n) {
+      var m = hs(i)
+      var j = i + 1
+      while (j < i + w) { if (hs(j) <= m) m = hs(j); j += 1 }
+      out += m
+      i += 1
+    }
+    out.toArray
+  }
+
   // ---- queries ----
 
   def taTokens(s: SparkSession, dir: String): DataFrame = {
@@ -92,11 +143,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  def taBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", bpeishCount($"text").as("n_bpe_tokens"),
+        tokenCount($"text").as("n_ws_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing fingerprints per doc, summarized to a hash-stable row
+    * (count + fold) — the full set feeds dedup joins in practice.
+    */
+  def taWinnow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val fps = winnow(text)
+        (id, fps.length.toLong, fps.foldLeft(0L)(_ ^ _))
+      }
+      .toDF("doc_id", "n_fingerprints", "fp_xor")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tokens" -> taTokens,
     "ta_quality" -> taQuality,
     "ta_langid" -> taLangId,
-    "ta_fingerprint" -> taFingerprint)
+    "ta_fingerprint" -> taFingerprint,
+    "ta_bpe_tokens" -> taBpeTokens,
+    "ta_winnow" -> taWinnow)
 
   private val enPat = "\\b(" + langProfiles.head._2.mkString("|") + ")\\b"
   private def hitsSql(pat: String) =
@@ -139,5 +214,12 @@ object TextAnalysis {
     },
     "ta_fingerprint" -> """
       SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents ORDER BY doc_id""",
+    "ta_bpe_tokens" -> s"""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '${BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+        CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens
       FROM documents ORDER BY doc_id""")
+  // ta_winnow: rolling-hash fingerprints are not SQL-expressible →
+  // rows-only check; substring-match guarantee covered by its spec.
 }

@@ -142,6 +142,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m == Map(1L -> "en", 2L -> "es", 3L -> "und"))
   }
 
+  test("winnowing: substring matches of length >= k+w-1 share a fingerprint") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps"
+    val withSharedSubstring = "PREFIX " + base + " SUFFIX"
+    val unrelated = "0123456789abcdefghij0123456789abcdefghij no overlap at all here"
+    val a = TextAnalysis.winnow(base).toSet
+    val b = TextAnalysis.winnow(withSharedSubstring).toSet
+    val c = TextAnalysis.winnow(unrelated).toSet
+    assert(a.nonEmpty && a.intersect(b).nonEmpty,
+      "documents sharing a long substring must share fingerprints")
+    assert(a.intersect(c).isEmpty, "unrelated documents should not collide")
+    assert(TextAnalysis.winnow(base).toSeq == TextAnalysis.winnow(base).toSeq,
+      "deterministic")
+    assert(TextAnalysis.winnow("short").isEmpty, "below k yields no fingerprints")
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val df = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
