@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns as reusable operators: skew-salted aggregation and
+  * bucketed co-located joins. These exist so pipelines have first-class
+  * tools for the two failure modes that kill 100 TB jobs — a hot key
+  * overwhelming one reducer, and a fact-fact join shuffling both sides.
+  */
+object Scale {
+
+  /** Two-phase salted aggregation: groupBy (key, salt) with map-side
+    * partials spreads a hot key over `salts` reducers, then a second
+    * tiny aggregation merges the salted partials. Correct for any
+    * algebraic aggregate given its merge expression. AQE's skew handling
+    * covers joins; for aggregations over a hot key this is still the
+    * pattern.
+    *
+    * aggs: (partialExpr, mergeExpr, name) — e.g.
+    * (sum(c), sum(col(name)), "total").
+    */
+  def saltedAggregate(
+      df: DataFrame,
+      key: Column,
+      salts: Int,
+      aggs: Seq[(Column, Column, String)]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts)))
+    val phase1 = salted
+      .groupBy(key.as("__key"), col("__salt"))
+      .agg(aggs.head._1.as(aggs.head._3),
+        aggs.tail.map { case (p, _, n) => p.as(n) }: _*)
+    phase1
+      .groupBy(col("__key"))
+      .agg(aggs.head._2.as(aggs.head._3),
+        aggs.tail.map { case (_, m, n) => m.as(n) }: _*)
+  }
+
+  /** Write both sides bucketed + sorted on the join key, then join the
+    * bucketed tables: with matching bucket counts Spark plans a
+    * sort-merge join with NO shuffle exchange on either side — the
+    * co-located join that makes repeated fact-fact joins affordable.
+    * Returns the joined frame; PlanSpec asserts the exchange-free plan.
+    */
+  def bucketedJoin(
+      s: SparkSession,
+      left: DataFrame, right: DataFrame,
+      leftName: String, rightName: String,
+      key: String, buckets: Int): DataFrame = {
+    def writeBucketed(df: DataFrame, table: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      // a dropped-but-orphaned location (e.g. from a killed session)
+      // blocks CREATE TABLE — clear it
+      val loc = new java.io.File(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, table)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(loc)
+      }
+      df.write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .saveAsTable(table)
+    }
+    writeBucketed(left, leftName)
+    writeBucketed(right, rightName)
+    s.table(leftName).join(s.table(rightName), key)
+  }
+}

@@ -246,11 +246,63 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** Block-tiled exact all-pairs cosine — the form that runs when the
+    * corpus does NOT fit driver/executor memory. Vectors are assigned to
+    * `numBlocks` tiles by id hash; every unordered tile pair (bi ≤ bj)
+    * becomes one task whose working set is exactly two tiles, cogrouped
+    * via one shuffle each (duplication factor = numBlocks, the standard
+    * all-pairs blocking trade-off). Within a task the same primitive
+    * kernel runs, so results are bit-identical to [[dedupEmbCosine]] —
+    * asserted in SimilaritySpec.
+    */
+  def dedupEmbCosineTiled(
+      s: SparkSession, dir: String,
+      threshold: Double = 0.40, numBlocks: Int = 8): DataFrame = {
+    import s.implicits._
+    val vecs = emb(s, dir).select($"vec_id", asDouble($"embedding"))
+      .as[(Long, Array[Double])].rdd
+      .map { case (id, v) => (id, v, math.sqrt(dotArr(v, v))) }
+    // replicate each vector to every tile pair it participates in
+    val keyed = vecs.flatMap { case t @ (id, _, _) =>
+      val b = ((id % numBlocks) + numBlocks) % numBlocks
+      (0 until numBlocks).map { o =>
+        val (bi, bj) = (math.min(b, o), math.max(b, o))
+        ((bi, bj), t)
+      }.distinct
+    }
+    val pairs = keyed.groupByKey(numBlocks * (numBlocks + 1) / 2)
+      .flatMap { case ((bi, bj), members) =>
+        val arr = members.toArray.sortBy(_._1)
+        def blockOf(id: Long) = ((id % numBlocks) + numBlocks) % numBlocks
+        val left = arr.filter(t => blockOf(t._1) == bi)
+        val right = if (bi == bj) left else arr.filter(t => blockOf(t._1) == bj)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        var i = 0
+        while (i < left.length) {
+          val (ida, va, na) = left(i)
+          var j = if (bi == bj) i + 1 else 0
+          while (j < right.length) {
+            val (idb, vb, nb) = right(j)
+            if (ida != idb) {
+              val c = dotArr(va, vb) / (na * nb)
+              if (c >= threshold)
+                out += (if (ida < idb) (ida, idb, c) else (idb, ida, c))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+    s.createDataFrame(pairs).toDF("a", "b", "cos").orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_brute_topk" -> simBruteTopK,
     "sim_lsh_ann" -> simLshANN,
     "sim_ivf_ann" -> simIvfANN,
-    "dedup_embcos" -> ((s, d) => dedupEmbCosine(s, d)))
+    "dedup_embcos" -> ((s, d) => dedupEmbCosine(s, d)),
+    "dedup_embcos_tiled" -> ((s, d) => dedupEmbCosineTiled(s, d)))
 
   /** DuckDB double cosine with the same left-to-right fold:
     * list comprehension products + list_sum over DOUBLE.
@@ -276,12 +328,15 @@ object Similarity {
       SELECT query_id, rk, cand_id, cos FROM ranked
       WHERE rk <= $TopK
       ORDER BY query_id, rk""",
-    "dedup_embcos" -> s"""
+    "dedup_embcos" -> embCosOracle,
+    "dedup_embcos_tiled" -> embCosOracle)
+
+  private lazy val embCosOracle = s"""
       SELECT x.vec_id AS a, y.vec_id AS b,
              ${duckCos("x.embedding", "y.embedding")} AS cos
       FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
       WHERE ${duckCos("x.embedding", "y.embedding")} >= 0.40
-      ORDER BY a, b""")
+      ORDER BY a, b"""
   // sim_lsh_ann / sim_ivf_ann: probabilistic recall → rows-only check
   // here; recall ≥ bound vs brute force asserted in SimilaritySpec.
 }

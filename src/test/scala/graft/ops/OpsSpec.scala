@@ -101,6 +101,15 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall below bound")
   }
 
+  test("tiled all-pairs cosine is bit-identical to the broadcast kernel") {
+    val a = Similarity.dedupEmbCosine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Similarity.dedupEmbCosineTiled(spark, sfDir, numBlocks = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("cosine is symmetric, self-cosine is 1, expression == fold bit-exact") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
