@@ -133,6 +133,34 @@ object Checks {
         if (problems.isEmpty) s"$table schema ok" else problems.mkString("; "))
     })
 
+  /** Percentile bound check (beyond-reference): approx quantile of a
+    * numeric column must stay within [min,max]. Uses approx_percentile
+    * (t-digest sketch, mergeable map-side) — one pass at any scale, no
+    * exact-sort shuffle.
+    */
+  def percentileCheck(
+      table: String, column: String, percentile: Double,
+      min: Option[Double] = None, max: Option[Double] = None,
+      accuracy: Int = 10000): DataQualityCheck = {
+    require(percentile >= 0 && percentile <= 1, "percentile must be in [0,1]")
+    require(min.nonEmpty || max.nonEmpty, "percentile_check needs min and/or max")
+    DataQualityCheck(s"pct_${table}_$column", CheckTiming.AfterPipeline, { spark =>
+      val row = spark.table(table).agg(
+        expr(s"approx_percentile($column, $percentile, $accuracy)").as("p")).head()
+      val p = row.getAs[Any]("p") match {
+        case d: Double => d
+        case l: Long => l.toDouble
+        case i: Int => i.toDouble
+        case other => String.valueOf(other).toDouble
+      }
+      val ok = min.forall(p >= _) && max.forall(p <= _)
+      CheckResult(s"pct_${table}_$column", ok,
+        f"$table.$column p$percentile%.2f = $p%.4f " +
+          s"(bounds [${min.getOrElse("-inf")}, ${max.getOrElse("inf")}])",
+        Map("percentile_value" -> p))
+    })
+  }
+
   /** Arbitrary SQL returning a row with `passed: Boolean` (+ optional
     * `message`) (checks.py:258-308).
     */

@@ -147,21 +147,22 @@ object Similarity {
 
   val NProbe = 4
 
-  /** Coarse centroids: per-label mean vectors. Deterministic (sums are
-    * per-dimension over a groupBy — order-independent because each
-    * dimension's sum uses double addition over a bounded partition...
-    * NOT bit-stable across partitionings, which is why IVF output is
-    * gated by the recall spec rather than a hash-matching oracle).
+  /** Coarse centroids: per-label mean vectors in ONE typed aggregation
+    * pass via [[graft.functions.VectorMeanAggregator]] — the shuffle
+    * carries one (sum[64], count) buffer per label instead of 64
+    * exploded rows per vector (the previous posexplode + two-groupBy
+    * form). Double sums are not bit-stable across partitionings, which
+    * is why IVF output is gated by the recall spec rather than a
+    * hash-matching oracle.
     */
   def centroids(all: DataFrame): DataFrame = {
     val s = all.sparkSession
     import s.implicits._
-    val byDim = all.select($"label", posexplode(asDouble($"embedding")).as(Seq("dim", "x")))
-      .groupBy($"label", $"dim").agg(avg($"x").as("m"))
+    val meanUdaf = udaf(new graft.functions.VectorMeanAggregator(64))
+    all.select($"label", asDouble($"embedding").as("e"))
       .groupBy($"label")
-      .agg(array_sort(collect_list(struct($"dim", $"m"))).as("dm"))
-      .select($"label".as("cent_id"), transform($"dm", s => s("m")).as("cent"))
-    byDim
+      .agg(meanUdaf($"e").as("cent"))
+      .select($"label".as("cent_id"), $"cent")
   }
 
   /** IVF ANN: assign every corpus vector to its nearest centroid (10

@@ -69,6 +69,15 @@ class QualitySpec extends SparkSpec {
     assert(Checks.schemaCheck("dq_test_data", badType, checkTypes = false).check(spark).passed)
   }
 
+  test("percentile_check: median of age within bounds") {
+    assert(Checks.percentileCheck("dq_test_data", "age", 0.5,
+      min = Some(25), max = Some(40)).check(spark).passed)
+    assert(!Checks.percentileCheck("dq_test_data", "age", 0.5,
+      max = Some(10)).check(spark).passed)
+    intercept[IllegalArgumentException](
+      Checks.percentileCheck("dq_test_data", "age", 1.5, min = Some(0)))
+  }
+
   test("custom_sql_check with passed + message columns") {
     val ok = Checks.customSqlCheck("no_minors",
       "SELECT COUNT(*) = 0 AS passed, 'minors found' AS message FROM dq_test_data WHERE age < 18")
