@@ -120,13 +120,18 @@ object Dedup {
   /** Candidate pairs from shared LSH buckets. `maxBucket` caps the
     * self-join fan-out per bucket (skew guard: a degenerate bucket of
     * size m yields m² pairs; at 100 TB a cap is mandatory).
+    *
+    * The cap is applied as a broadcast ANTI-join against the (tiny)
+    * over-cap bucket list rather than a size window over all bucket
+    * rows — a window would shuffle+sort the full bucket table just to
+    * drop a handful of hot buckets.
     */
   def candidatePairs(buckets: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    val sized = buckets
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
+    val hot = buckets.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+      .select(col("band"), col("bh"))
+    val sized = buckets.join(broadcast(hot), Seq("band", "bh"), "left_anti")
     sized.as("x").join(sized.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -195,11 +200,12 @@ object Dedup {
   def dedupNgramJaccard(s: SparkSession, dir: String, maxDocFreq: Int = 100): DataFrame = {
     val sh = shingled(s, dir).cache()
     try {
-      val rare = sh
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-        .filter(col("df") <= maxDocFreq)
-        .drop("df")
+      // df cap as a broadcast anti-join on the (small) hot-shingle list —
+      // same rationale as candidatePairs' bucket cap
+      val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq)
+        .select(col("sh"))
+      val rare = sh.join(broadcast(hot), Seq("sh"), "left_anti")
       val cand = rare.as("x").join(rare.as("y"),
           col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
