@@ -257,11 +257,20 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash near-dup pairs over the corpus (banded candidates +
+    * hamming verify). xxhash64 signatures aren't expressible in DuckDB
+    * → rows-only check; pair semantics covered by DedupSpec.
+    */
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(simhashSignatures(shingled(s, dir)))
+      .orderBy("a", "b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
-    "dedup_simhash" -> dedupSimhash)
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_pairs" -> dedupSimhashPairs)
 
   /** DuckDB-side distinct (doc_id, shingle) pairs, mirroring
     * shingles(text, 3).
