@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables.t
 
@@ -114,6 +115,41 @@ object Extended {
     big.unionAll(urgent).orderBy("o_orderkey", "tag")
   }
 
+  /** q25: AS-OF join — each event matched to the most recent order of
+    * its user at-or-before the event time. Spark has no native as-of
+    * join; per the custom-operator preference order this is option (a),
+    * composition of existing ops: UNION both sides keyed by (key, time)
+    * and take a running `last(orderCols, ignoreNulls)` window — ONE
+    * shuffle on the key, O(n log n) in-partition sort, no range
+    * cross-join blowup. Tie-breaks are explicit (orders sort before
+    * same-timestamp events; equal order timestamps resolve to the
+    * highest order key) so the result is deterministic and
+    * hash-comparable against DuckDB's LATERAL form.
+    */
+  def q25AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id",
+        lit(null).cast("struct<od:timestamp,ok:bigint>").as("ord"),
+        lit(1).as("tag"))
+    val orders = t(s, dir, "orders")
+      .select($"o_custkey".as("user_id"), $"o_orderdate".as("ts"),
+        lit(null).cast("long").as("event_id"),
+        struct($"o_orderdate".as("od"), $"o_orderkey".as("ok")).as("ord"),
+        lit(0).as("tag"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"tag".asc, $"ord.ok".asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.unionByName(orders)
+      .withColumn("m", last($"ord", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("event_time"),
+        $"m.ok".as("matched_orderkey"),
+        date_format($"m.od", "yyyy-MM-dd HH:mm:ss").as("matched_orderdate"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_cube" -> q18Cube,
     "q19_pivot" -> q19Pivot,
@@ -121,7 +157,8 @@ object Extended {
     "q21_exists_sql" -> q21ExistsSql,
     "q22_grouping_sets" -> q22GroupingSets,
     "q23_array_agg" -> q23ArrayAgg,
-    "q24_union" -> q24Union)
+    "q24_union" -> q24Union,
+    "q25_asof_join" -> q25AsofJoin)
 
   val oracles: Map[String, String] = Map(
     "q18_cube" -> """
@@ -179,5 +216,15 @@ object Extended {
         UNION ALL
         SELECT o_orderkey, 'urgent' AS tag FROM orders
         WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0) u
-      ORDER BY o_orderkey, tag""")
+      ORDER BY o_orderkey, tag""",
+    "q25_asof_join" -> """
+      SELECT e.event_id, e.user_id,
+        STRFTIME(e.ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+        o.o_orderkey AS matched_orderkey,
+        STRFTIME(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS matched_orderdate
+      FROM events e LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_orderdate FROM orders
+        WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE
+      ORDER BY e.event_id""")
 }
