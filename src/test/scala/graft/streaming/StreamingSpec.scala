@@ -126,6 +126,41 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("deduped").select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-batch parity: windowed aggregation over the events table") {
+    import spark.implicits._
+    // batch truth
+    val batch = graft.Tables.t(spark, sfDir, "events")
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH").as("hour"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").cast("decimal(18,4)").as("sv"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDecimal(3)))).toMap
+
+    // same aggregation through Structured Streaming (availableNow; the
+    // file source needs a directory, so stage the single parquet file;
+    // events carries nano timestamps read as longs, so the stream
+    // converts exactly like Tables.t does)
+    val streamDir = Files.createTempDirectory("graft-parity")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = new StreamingPipeline(
+      source = FileStreamingSource(streamDir.toString,
+        schemaDdl = Some("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")),
+      sink = MemoryStreamingSink("events_hourly_stream"),
+      transform = df => df
+        .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).cast("decimal(18,4)").as("sv")),
+      outputMode = OutputMode.Complete,
+      queryName = Some("events_hourly_stream"),
+      trigger = TriggerConfig.AvailableNow).startStream(spark)
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("events_hourly_stream").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDecimal(3)))).toMap
+    assert(streamed == batch, "incremental plan must agree with the batch plan")
+  }
+
   test("trigger config validation") {
     intercept[IllegalArgumentException](TriggerConfig.ProcessingTime(" "))
     intercept[IllegalArgumentException](TriggerConfig.Continuous(""))
