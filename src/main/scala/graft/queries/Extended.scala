@@ -150,6 +150,28 @@ object Extended {
       .orderBy("event_id")
   }
 
+  /** q26: RANGE window frame — per-customer trailing-90-day revenue at
+    * each order date. RANGE frames bound by the ORDER BY *value* (epoch
+    * day here), so all same-day rows enter the frame together — which
+    * also makes the result deterministic under ties, unlike a ROWS
+    * frame. One shuffle on o_custkey.
+    */
+  def q26RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"day")
+      .rangeBetween(-90, Window.currentRow)
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        datediff(to_date($"o_orderdate"), lit("1990-01-01").cast("date"))
+          .cast("long").as("day"),
+        $"o_totalprice")
+      .withColumn("trailing_90d_revenue",
+        sum($"o_totalprice".cast(D)).over(w).cast(D))
+      .select($"o_custkey", $"o_orderkey", $"day", $"trailing_90d_revenue")
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_cube" -> q18Cube,
     "q19_pivot" -> q19Pivot,
@@ -158,7 +180,8 @@ object Extended {
     "q22_grouping_sets" -> q22GroupingSets,
     "q23_array_agg" -> q23ArrayAgg,
     "q24_union" -> q24Union,
-    "q25_asof_join" -> q25AsofJoin)
+    "q25_asof_join" -> q25AsofJoin,
+    "q26_range_frame" -> q26RangeFrame)
 
   val oracles: Map[String, String] = Map(
     "q18_cube" -> """
@@ -226,5 +249,14 @@ object Extended {
         SELECT o_orderkey, o_orderdate FROM orders
         WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE
-      ORDER BY e.event_id""")
+      ORDER BY e.event_id""",
+    "q26_range_frame" -> """
+      SELECT o_custkey, o_orderkey,
+        CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+          PARTITION BY o_custkey
+          ORDER BY CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+          RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS trailing_90d_revenue
+      FROM orders
+      ORDER BY o_custkey, day, o_orderkey""")
 }
