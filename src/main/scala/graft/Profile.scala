@@ -46,10 +46,6 @@ object Profile {
     time("lsh buckets count")(buckets.count())
     val bucketsC = buckets.cache()
     time("lsh buckets cache")(bucketsC.count())
-    val sized = bucketsC.withColumn("bsz", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("bsz") <= 1000).drop("bsz")
-    time("bucket size window")(sized.count())
     val cand = ops.Dedup.candidatePairs(bucketsC)
     time("candidate pairs count")(cand.count())
     time("verify jaccard count")(
