@@ -21,6 +21,29 @@ class ScaleSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("IVF probe over a centroid-partitioned corpus prunes partitions") {
+    import spark.implicits._
+    // materialize the IVF layout SCALING.md describes: corpus written
+    // partitioned by nearest-centroid id
+    val work = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val all = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"), $"label")
+    val assigned = all.select($"vec_id", $"e", $"label".as("cent_id"))
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(work)
+
+    val probes = Seq(3, 7) // the nprobe centroid ids a query would probe
+    val scan = spark.read.parquet(work).filter($"cent_id".isin(probes: _*))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("cent_id"), "partition filter not on the probe key")
+    // pruning is real: only the probed partitions' rows are read
+    val expected = all.filter($"label".isin(probes: _*)).count()
+    assert(scan.count() == expected && expected > 0)
+    val pruned = "PartitionFilters: \\[[^\\]]*cent_id[^\\]]*\\]".r
+      .findFirstIn(plan)
+    assert(pruned.nonEmpty, s"no partition filter section:\n$plan")
+  }
+
   test("bucketed join plans without a shuffle exchange on either side") {
     import spark.implicits._
     val orders = graft.Tables.t(spark, sfDir, "orders")
