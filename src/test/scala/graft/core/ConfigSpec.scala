@@ -98,6 +98,15 @@ class ConfigModelSpec extends AnyFunSuite {
     intercept[ConfigError](RetryConfig(initialDelaySeconds = 10, maxDelaySeconds = 1))
   }
 
+  test("presets are valid configurations with documented shapes") {
+    import graft.core.config.Presets._
+    assert(NoRetry.maxAttempts == 1)
+    assert(AggressiveRetry.maxAttempts > DefaultRetry.maxAttempts)
+    assert(ConservativeRetry.initialDelaySeconds > DefaultRetry.initialDelaySeconds)
+    assert(SensitiveCircuitBreaker.failureThreshold < DefaultCircuitBreaker.failureThreshold)
+    assert(ResilientCircuitBreaker.failureThreshold > DefaultCircuitBreaker.failureThreshold)
+  }
+
   test("spark conf flattening; explicit spark_conf wins") {
     val sc = SparkConfig(appName = "x", master = Some("local[2]"),
       sparkConf = Map("spark.executor.memory" -> "16g"))

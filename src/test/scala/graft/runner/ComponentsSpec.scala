@@ -1,0 +1,55 @@
+package graft.runner
+
+import graft.SparkSpec
+import graft.core.config.ConfigLoader
+import graft.runtime.SessionWrapper
+
+/** Catalog-backed component round-trip (WriteTable/ReadTable) and
+  * session-wrapper ownership semantics.
+  */
+class ComponentsSpec extends SparkSpec {
+
+  test("WriteTable -> ReadTable round-trip through the catalog with partitioning") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS ct_orders")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, "ct_orders")
+    if (loc.exists()) { def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit }; rm(loc) }
+
+    Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "A", 30.0))
+      .toDF("id", "grp", "v").createOrReplaceTempView("ct_src")
+    val cfg = ConfigLoader.loadString("""
+      name = catalog-demo
+      components = [
+        { name = save, component_type = sink
+          class_path = "graft.components.WriteTable"
+          config { input_view = ct_src, output_table = ct_orders,
+            partition_by = [grp] } },
+        { name = readback, component_type = source
+          class_path = "graft.components.ReadTable"
+          depends_on = [save]
+          config { table_name = ct_orders, output_view = ct_back,
+            filter_condition = "grp = 'A'" } }
+      ]
+    """)
+    val r = new SimplePipelineRunner(cfg, NoOpHooks, Some(spark)).run()
+    assert(r.status == PipelineStatus.Success)
+    // partitioned layout on disk + filtered readback view
+    assert(spark.table("ct_orders").count() == 3)
+    assert(spark.table("ct_back").count() == 2)
+    assert(new java.io.File(loc, "grp=A").exists(), "partition dirs written")
+    spark.sql("DROP TABLE IF EXISTS ct_orders")
+  }
+
+  test("session wrapper: injected sessions are never stopped; connect gating") {
+    val injected = new SessionWrapper(injected = Some(spark))
+    assert(!injected.ownsSession)
+    injected.stop() // must be a no-op on an injected session
+    assert(!spark.sparkContext.isStopped, "injected session must survive stop()")
+
+    val connect = new SessionWrapper(
+      graft.core.config.SparkConfig(connectString = Some("sc://example:15002")))
+    assert(connect.isConnect)
+    intercept[UnsupportedOperationException](connect.sparkContext)
+  }
+}
