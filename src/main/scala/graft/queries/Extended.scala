@@ -172,6 +172,24 @@ object Extended {
       .orderBy("o_custkey", "day", "o_orderkey")
   }
 
+  /** q27: multiset set-ops — EXCEPT ALL / INTERSECT ALL keep duplicate
+    * multiplicity (the plain set forms in q8 deduplicate). Exercised on
+    * the per-customer status multiset of orders.
+    */
+  def q27MultisetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    def keys(status: String) =
+      o.filter($"o_orderstatus" === status).select($"o_custkey")
+    val except = keys("O").exceptAll(keys("F"))
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      .select($"o_custkey", $"n", lit("except_all").as("op"))
+    val intersect = keys("O").intersectAll(keys("F"))
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      .select($"o_custkey", $"n", lit("intersect_all").as("op"))
+    except.unionByName(intersect).orderBy("op", "o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_cube" -> q18Cube,
     "q19_pivot" -> q19Pivot,
@@ -181,7 +199,8 @@ object Extended {
     "q23_array_agg" -> q23ArrayAgg,
     "q24_union" -> q24Union,
     "q25_asof_join" -> q25AsofJoin,
-    "q26_range_frame" -> q26RangeFrame)
+    "q26_range_frame" -> q26RangeFrame,
+    "q27_multiset_ops" -> q27MultisetOps)
 
   val oracles: Map[String, String] = Map(
     "q18_cube" -> """
@@ -258,5 +277,19 @@ object Extended {
           ORDER BY CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
           RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS trailing_90d_revenue
       FROM orders
-      ORDER BY o_custkey, day, o_orderkey""")
+      ORDER BY o_custkey, day, o_orderkey""",
+    "q27_multiset_ops" -> """
+      WITH ex AS (
+        SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus='F'),
+      ia AS (
+        SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus='F')
+      SELECT o_custkey, n, op FROM (
+        SELECT o_custkey, COUNT(*) AS n, 'except_all' AS op FROM ex GROUP BY o_custkey
+        UNION ALL
+        SELECT o_custkey, COUNT(*) AS n, 'intersect_all' AS op FROM ia GROUP BY o_custkey) u
+      ORDER BY op, o_custkey""")
 }
