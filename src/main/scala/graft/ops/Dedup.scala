@@ -151,11 +151,89 @@ object Dedup {
     * O(|set a| + |set b|); jaccard = i/(na+nb-i) as a single double
     * division of exact ints, bit-identical to the DuckDB oracle.
     */
-  def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+  def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardSets(cand,
+      sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("sh"))).as("set")),
+      threshold)
+
+  /** Per-document sorted shingle-hash sets in ONE narrow pass — no
+    * explode, no groupBy shuffle; the set column feeds both band-bucket
+    * generation and the verify join.
+    */
+  def shingleSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+        val seen = new scala.collection.mutable.TreeSet[Long]
+        var i = 0
+        while (i + ShingleN <= ws.length) {
+          seen += fnv64(ws.slice(i, i + ShingleN).mkString(" "))
+          i += 1
+        }
+        (id, seen.toArray)
+      }
+      .toDF("doc_id", "set")
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-verified at jaccard ≥ 0.8.
+    *
+    * Fused pipeline: shingle sets, the 64 minhashes, and the band
+    * buckets are all computed per document row inside one narrow typed
+    * pass (`Murmur3_x86_32.hashLong` — the same murmur Spark's hash()
+    * applies to longs). The ONLY shuffles left are the candidate
+    * bucket self-join and the two verify set-joins; the previous form
+    * paid an extra explode + groupBy(doc_id) round-trip to assemble
+    * signatures from exploded shingle rows.
+    */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sets = shingleSets(s, dir).cache()
+    try {
+      val buckets = sets.as[(Long, Array[Long])]
+        .flatMap { case (id, hashes) =>
+          if (hashes.isEmpty) Iterator.empty
+          else {
+            val sig = new Array[Int](NumHashes)
+            var i = 0
+            while (i < NumHashes) {
+              var m = Int.MaxValue
+              var j = 0
+              while (j < hashes.length) {
+                val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+                  .hashLong(hashes(j), i)
+                if (h < m) m = h
+                j += 1
+              }
+              sig(i) = m
+              i += 1
+            }
+            (0 until Bands).iterator.map { b =>
+              var bh = 42
+              var r = b * RowsPerBand
+              while (r < (b + 1) * RowsPerBand) {
+                bh = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(sig(r), bh)
+                r += 1
+              }
+              (id, b, bh)
+            }
+          }
+        }
+        .toDF("doc_id", "band", "bh")
+      val cand = candidatePairs(buckets)
+      verifyJaccardSets(cand, sets, 0.8).orderBy("a", "b")
+        .localCheckpoint(eager = true)
+    } finally sets.unpersist()
+  }
+
+  /** Verify against precomputed per-doc sorted sets (two equi-joins +
+    * two-pointer intersection; see verifyJaccard for rationale).
+    */
+  def verifyJaccardSets(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
     val s = cand.sparkSession
     import s.implicits._
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("sh"))).as("set"))
     cand
       .join(sets.as("pa"), col("a") === col("pa.doc_id"))
       .join(sets.as("pb"), col("b") === col("pb.doc_id"))
@@ -174,21 +252,6 @@ object Dedup {
       }
       .toDF("a", "b", "jaccard")
       .filter(col("jaccard") >= threshold)
-  }
-
-  /** MinHash-LSH near-dup pairs, exact-verified at jaccard ≥ 0.8.
-    * The shingle set feeds signature generation AND three joins in the
-    * verify step; caching it avoids re-running the shingling expressions
-    * (higher-order array functions are interpreted, not codegen'd — the
-    * recompute, not the joins, dominated before caching).
-    */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir).cache()
-    try {
-      val cand = candidatePairs(lshBuckets(minhashSignatures(sh)))
-      verifyJaccard(cand, sh, 0.8).orderBy("a", "b")
-        .localCheckpoint(eager = true)
-    } finally sh.unpersist()
   }
 
   /** Inverted-index exact n-gram Jaccard: candidates = doc pairs sharing
