@@ -261,8 +261,11 @@ object Dedup {
     * 0.8 unless the corpus is a single giant cluster).
     */
   def dedupNgramJaccard(s: SparkSession, dir: String, maxDocFreq: Int = 100): DataFrame = {
-    val sh = shingled(s, dir).cache()
+    val sets = shingleSets(s, dir).cache()
     try {
+      // the inverted index genuinely needs the exploded (doc, shingle)
+      // form — derived narrowly from the cached sets
+      val sh = sets.select(col("doc_id"), explode(col("set")).as("sh"))
       // df cap as a broadcast anti-join on the (small) hot-shingle list —
       // same rationale as candidatePairs' bucket cap
       val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -273,9 +276,9 @@ object Dedup {
           col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
-      verifyJaccard(cand, sh, 0.8).orderBy("a", "b")
+      verifyJaccardSets(cand, sets, 0.8).orderBy("a", "b")
         .localCheckpoint(eager = true)
-    } finally sh.unpersist()
+    } finally sets.unpersist()
   }
 
   /** 64-bit SimHash per document over shingle features: bit j of the
