@@ -298,8 +298,49 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** splitmix64 finalizer — decorrelates signature bits from the FNV
+    * shingle hash in the fused kernel (any well-mixed 64-bit hash works
+    * for simhash; the Column path uses xxhash64 instead).
+    */
+  def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Fused simhash: per-document signature from the cached shingle-hash
+    * set in one narrow pass (no explode, no groupBy shuffle) — same
+    * fusion as the minhash path. Docs below the shingle length are
+    * excluded, matching the exploded form's semantics.
+    */
+  def simhashSets(sets: DataFrame): DataFrame = {
+    val s = sets.sparkSession
+    import s.implicits._
+    sets.as[(Long, Array[Long])]
+      .filter(_._2.nonEmpty)
+      .map { case (id, hashes) =>
+        val votes = new Array[Int](64)
+        var k = 0
+        while (k < hashes.length) {
+          val h = splitmix64(hashes(k))
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+          k += 1
+        }
+        var sig = 0L
+        var j = 0
+        while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+        (id, sig)
+      }
+      .toDF("doc_id", "simhash")
+  }
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    simhashSignatures(shingled(s, dir)).orderBy("doc_id")
+    simhashSets(shingleSets(s, dir)).orderBy("doc_id")
 
   /** SimHash near-dup pairs: 4×16-bit band candidates (a pair within
     * hamming ≤ 3 must agree on ≥1 full 16-bit band by pigeonhole when
@@ -324,11 +365,12 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs over the corpus (banded candidates +
-    * hamming verify). xxhash64 signatures aren't expressible in DuckDB
-    * → rows-only check; pair semantics covered by DedupSpec.
+    * hamming verify), from the fused signature kernel. Hash signatures
+    * aren't expressible in DuckDB → rows-only check; pair semantics
+    * covered by DedupSpec.
     */
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    simhashPairs(simhashSignatures(shingled(s, dir)))
+    simhashPairs(simhashSets(shingleSets(s, dir)))
       .orderBy("a", "b")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
