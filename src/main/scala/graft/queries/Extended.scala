@@ -190,6 +190,31 @@ object Extended {
     except.unionByName(intersect).orderBy("op", "o_custkey")
   }
 
+  /** q28: time-series gap fill — a dense hourly grid per event type
+    * with zero-filled missing buckets (regular time grids are what
+    * downstream trainers consume). The grid is generated from the
+    * global [min,max] hour (one tiny scalar agg) × the distinct type
+    * dimension — both broadcast-sized — then left-joined to the actual
+    * hourly aggregates; the only real shuffle is the hourly groupBy.
+    */
+  def q28GapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+      .select(date_trunc("hour", $"ts").as("h"), $"event_type", $"value")
+    val grid = e.agg(min($"h").as("mn"), max($"h").as("mx"))
+      .select(explode(sequence($"mn", $"mx", expr("interval 1 hour"))).as("h"))
+      .crossJoin(e.select($"event_type").distinct())
+    val counts = e.groupBy($"h", $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value".cast(D)).cast(D).as("sum_value"))
+    grid.join(counts, Seq("h", "event_type"), "left")
+      .select(
+        date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type",
+        coalesce($"n", lit(0L)).as("n"),
+        coalesce($"sum_value", lit(0).cast(D)).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_cube" -> q18Cube,
     "q19_pivot" -> q19Pivot,
@@ -200,7 +225,8 @@ object Extended {
     "q24_union" -> q24Union,
     "q25_asof_join" -> q25AsofJoin,
     "q26_range_frame" -> q26RangeFrame,
-    "q27_multiset_ops" -> q27MultisetOps)
+    "q27_multiset_ops" -> q27MultisetOps,
+    "q28_gap_fill" -> q28GapFill)
 
   val oracles: Map[String, String] = Map(
     "q18_cube" -> """
@@ -291,5 +317,24 @@ object Extended {
         SELECT o_custkey, COUNT(*) AS n, 'except_all' AS op FROM ex GROUP BY o_custkey
         UNION ALL
         SELECT o_custkey, COUNT(*) AS n, 'intersect_all' AS op FROM ia GROUP BY o_custkey) u
-      ORDER BY op, o_custkey""")
+      ORDER BY op, o_custkey""",
+    "q28_gap_fill" -> """
+      WITH e AS (
+        SELECT DATE_TRUNC('hour', ts) AS h, event_type, value FROM events),
+      grid AS (
+        SELECT g.h, t.event_type
+        FROM (SELECT UNNEST(generate_series((SELECT MIN(h) FROM e),
+                                            (SELECT MAX(h) FROM e),
+                                            INTERVAL 1 HOUR)) AS h) g
+        CROSS JOIN (SELECT DISTINCT event_type FROM e) t),
+      counts AS (
+        SELECT h, event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        FROM e GROUP BY h, event_type)
+      SELECT STRFTIME(grid.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        grid.event_type,
+        COALESCE(counts.n, 0) AS n,
+        COALESCE(counts.sum_value, CAST(0 AS DECIMAL(18,4))) AS sum_value
+      FROM grid LEFT JOIN counts USING (h, event_type)
+      ORDER BY hour, event_type""")
 }
