@@ -108,8 +108,14 @@ object SecretRefResolver {
   private val ExactRef = "secret://([A-Za-z0-9_-]+)/(\\S+)".r
   /** Inline reference embedded in a longer string: key stops at ':' so
     * surrounding text like ":5432" in a JDBC URL isn't swallowed.
+    *
+    * Inline refs therefore do NOT support Vault's `path:field` key syntax
+    * (only exact-value refs do). `:digits` after the key is allowed — a
+    * port in a URL — but `:identifier` is indistinguishable from a Vault
+    * field selector, would silently resolve a DIFFERENT secret than the
+    * same ref as a whole value, and is rejected loudly below.
     */
-  private val InlineRef = "secret://([A-Za-z0-9_-]+)/([^\\s:\"]+)".r
+  private val InlineRef = "secret://([A-Za-z0-9_-]+)/([^\\s:\"]+)(:?)".r
 
   def parseRef(s: String): Option[(String, String)] = s match {
     case ExactRef(p, k) if s"secret://$p/$k" == s => Some((p, k))
@@ -121,9 +127,16 @@ object SecretRefResolver {
       case s: String =>
         parseRef(s) match {
           case Some((p, k)) => resolver.resolve(p, k)
-          case None => InlineRef.replaceAllIn(s, m =>
+          case None => InlineRef.replaceAllIn(s, m => {
+            val after = s.drop(m.end)
+            if (m.group(3) == ":" && after.headOption.exists(c => !c.isDigit))
+              throw new IllegalArgumentException(
+                s"inline secret ref 'secret://${m.group(1)}/${m.group(2)}:…' " +
+                  "looks like Vault path:field syntax, which inline refs do not " +
+                  "support — use an exact-value reference for field selectors")
             scala.util.matching.Regex.quoteReplacement(
-              resolver.resolve(m.group(1), m.group(2))))
+              resolver.resolve(m.group(1), m.group(2))) + m.group(3)
+          })
         }
       case m: Map[String @unchecked, Any @unchecked] =>
         m.map { case (k, x) => k -> walk(x) }

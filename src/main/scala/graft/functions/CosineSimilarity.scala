@@ -25,6 +25,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * left-to-right, result = dot / (sqrt(na)·sqrt(nb)) — the same op
   * order as the engine's Column-level fold and the DuckDB oracle, so
   * all three agree bit-exactly.
+  *
+  * Null semantics: a null element in either vector makes the whole
+  * result NULL (not silently 0.0 — getDouble on a null slot reads a
+  * zeroed buffer), matching how null operands poison arithmetic
+  * everywhere else in SQL.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -43,6 +48,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // Always nullable: a null ELEMENT nulls the result even when the array
+  // columns themselves are non-nullable (and guarantees codegen gets a
+  // mutable isNull slot rather than the literal `false`).
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -53,6 +62,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i)
       val yi = y.getDouble(i)
       dot += xi * yi
@@ -78,13 +88,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |double $na = 0.0;
          |double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xi = $a.getDouble($i);
          |  double $yi = $b.getDouble($i);
          |  $dot += $xi * $yi;
          |  $na += $xi * $xi;
          |  $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

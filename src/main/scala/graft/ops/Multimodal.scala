@@ -191,7 +191,7 @@ object Multimodal {
     "mm_stats" -> s"""
       SELECT $kindSql AS kind,
         COUNT(*) AS n_files,
-        SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+        CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
         MIN(CAST(octet_length(encode(text)) AS BIGINT)) AS min_bytes,
         MAX(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
       FROM documents

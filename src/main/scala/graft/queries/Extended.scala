@@ -23,7 +23,7 @@ object Extended {
     t(s, dir, "orders")
       .cube($"o_orderstatus", $"o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-        sum($"o_totalprice".cast(D)).cast(D).as("revenue"))
+        sum($"o_totalprice".cast(D)).cast("double").as("revenue"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
   }
 
@@ -96,11 +96,11 @@ object Extended {
     import s.implicits._
     t(s, dir, "customer")
       .groupBy($"c_nationkey")
-      .agg(array_sort(collect_set($"c_mktsegment")).as("segments"))
+      .agg(array_sort(collect_set($"c_mktsegment")).as("seg"))
       .select($"c_nationkey",
-        $"segments",
-        size($"segments").cast("int").as("n_segments"),
-        element_at($"segments", 1).as("first_segment"))
+        array_join($"seg", ",").as("segments"),
+        size($"seg").cast("int").as("n_segments"),
+        element_at($"seg", 1).as("first_segment"))
       .orderBy("c_nationkey")
   }
 
@@ -167,7 +167,7 @@ object Extended {
           .cast("long").as("day"),
         $"o_totalprice")
       .withColumn("trailing_90d_revenue",
-        sum($"o_totalprice".cast(D)).over(w).cast(D))
+        sum($"o_totalprice".cast(D)).over(w).cast("double"))
       .select($"o_custkey", $"o_orderkey", $"day", $"trailing_90d_revenue")
       .orderBy("o_custkey", "day", "o_orderkey")
   }
@@ -205,13 +205,13 @@ object Extended {
       .select(explode(sequence($"mn", $"mx", expr("interval 1 hour"))).as("h"))
       .crossJoin(e.select($"event_type").distinct())
     val counts = e.groupBy($"h", $"event_type")
-      .agg(count(lit(1)).as("n"), sum($"value".cast(D)).cast(D).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum($"value".cast(D)).cast("double").as("sum_value"))
     grid.join(counts, Seq("h", "event_type"), "left")
       .select(
         date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
         $"event_type",
         coalesce($"n", lit(0L)).as("n"),
-        coalesce($"sum_value", lit(0).cast(D)).as("sum_value"))
+        coalesce($"sum_value", lit(0.0)).as("sum_value"))
       .orderBy("hour", "event_type")
   }
 
@@ -232,7 +232,7 @@ object Extended {
     "q18_cube" -> """
       SELECT o_orderstatus, o_orderpriority,
         COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
       FROM orders
       GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
@@ -247,7 +247,7 @@ object Extended {
     "q20_json" -> """
       SELECT event_type,
         COUNT(*) AS n,
-        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       FROM events
@@ -272,7 +272,7 @@ object Extended {
       ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q23_array_agg" -> """
       SELECT c_nationkey,
-        list_sort(list_distinct(list(c_mktsegment))) AS segments,
+        array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
         CAST(len(list_distinct(list(c_mktsegment))) AS INT) AS n_segments,
         list_sort(list_distinct(list(c_mktsegment)))[1] AS first_segment
       FROM customer
@@ -298,10 +298,10 @@ object Extended {
     "q26_range_frame" -> """
       SELECT o_custkey, o_orderkey,
         CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
           PARTITION BY o_custkey
           ORDER BY CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
-          RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS trailing_90d_revenue
+          RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS trailing_90d_revenue
       FROM orders
       ORDER BY o_custkey, day, o_orderkey""",
     "q27_multiset_ops" -> """
@@ -329,12 +329,12 @@ object Extended {
         CROSS JOIN (SELECT DISTINCT event_type FROM e) t),
       counts AS (
         SELECT h, event_type, COUNT(*) AS n,
-          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+          CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         FROM e GROUP BY h, event_type)
       SELECT STRFTIME(grid.h, '%Y-%m-%d %H:%M:%S') AS hour,
         grid.event_type,
         COALESCE(counts.n, 0) AS n,
-        COALESCE(counts.sum_value, CAST(0 AS DECIMAL(18,4))) AS sum_value
+        COALESCE(counts.sum_value, 0.0) AS sum_value
       FROM grid LEFT JOIN counts USING (h, event_type)
       ORDER BY hour, event_type""")
 }

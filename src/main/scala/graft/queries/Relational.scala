@@ -14,17 +14,25 @@ import graft.Tables.t
   *
   * Determinism conventions (the driver hash-compares against a DuckDB
   * oracle):
-  *  - money/quantity aggregates go through DECIMAL(18,4) so sums are
-  *    exact and order-independent (double summation is not);
+  *  - money/quantity aggregates go through DECIMAL(18,4) INTERNALLY so
+  *    sums are exact and order-independent (double summation is not),
+  *    but the FINAL projection is always DOUBLE/BIGINT/STRING — never
+  *    decimal. The driver loads the oracle via DuckDB→pandas (decimal →
+  *    float64) but Spark parquet decimals arrive as python Decimal
+  *    objects, so a decimal output column hash-mismatches even when
+  *    values are equal. Decimal→double is correctly rounded in both
+  *    engines, so casting the exact sum to double is bit-deterministic;
   *  - averages = exact decimal sum cast to double, divided by count
   *    (single IEEE division — bit-identical across engines);
+  *  - DuckDB SUM(BIGINT) yields HUGEINT (→ float64 in pandas): oracle
+  *    SQL must CAST integer sums back to BIGINT;
   *  - every result has a total ORDER BY with a unique tiebreaker;
   *  - timestamps are never echoed raw (physical unit mismatch ms/us/ns);
   *    they are projected as DATE or formatted strings.
   */
 object Relational {
   private val D = DecimalType(18, 4)
-  private def dec(c: org.apache.spark.sql.Column) = sum(c.cast(D)).cast(D)
+  private def dec(c: org.apache.spark.sql.Column) = sum(c.cast(D)).cast("double")
 
   /** Money arithmetic is done in exact DECIMAL, not double: the source
     * columns are 2-dp money values, so products have ≤6 decimal places and
@@ -50,9 +58,9 @@ object Relational {
         dec($"l_quantity").as("sum_qty"),
         dec($"l_extendedprice").as("sum_base_price"),
         sum(money($"l_extendedprice") * factor(lit(1.0) - $"l_discount"))
-          .cast(DecimalType(18, 4)).as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         sum(money($"l_extendedprice") * factor(lit(1.0) - $"l_discount") * factor(lit(1.0) + $"l_tax"))
-          .cast(DecimalType(18, 6)).as("sum_charge"),
+          .cast("double").as("sum_charge"),
         (sum($"l_quantity".cast(D)).cast("double") / count(lit(1))).as("avg_qty"),
         (sum($"l_extendedprice".cast(D)).cast("double") / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -71,7 +79,7 @@ object Relational {
         $"o_orderkey",
         upper($"o_orderpriority").as("priority_uc"),
         lower($"o_orderstatus").as("status_lc"),
-        $"o_totalprice".cast(D).as("price_dec"))
+        $"o_totalprice".as("price"))
       .orderBy("o_orderkey")
   }
 
@@ -107,7 +115,7 @@ object Relational {
       .join(dims, $"o_custkey" === $"c_custkey")
       .groupBy($"r_name", $"n_name")
       .agg(sum(money($"l_extendedprice") * factor(lit(1.0) - $"l_discount"))
-        .cast(DecimalType(18, 4)).as("revenue"),
+        .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -123,7 +131,7 @@ object Relational {
     t(s, dir, "orders")
       .select($"o_custkey", $"o_orderkey", $"o_totalprice",
         row_number().over(w).cast("long").as("rn"),
-        sum($"o_totalprice".cast(D)).over(Window.partitionBy($"o_custkey")).cast(D).as("cust_total"))
+        sum($"o_totalprice".cast(D)).over(Window.partitionBy($"o_custkey")).cast("double").as("cust_total"))
       .filter($"rn" <= 3)
       .orderBy("o_custkey", "rn")
   }
@@ -266,7 +274,7 @@ object Relational {
     s.sql("""
       SELECT l_returnflag,
              COUNT(*) AS n_items,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       FROM q15_lineitem
       WHERE l_discount BETWEEN 0.02 AND 0.08
       GROUP BY l_returnflag
@@ -333,12 +341,12 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0-l_discount AS DECIMAL(6,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0-l_discount AS DECIMAL(6,4)) * CAST(1.0+l_tax AS DECIMAL(6,4))) AS DECIMAL(18,6)) AS sum_charge,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_price,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0-l_discount AS DECIMAL(6,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0-l_discount AS DECIMAL(6,4)) * CAST(1.0+l_tax AS DECIMAL(6,4))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS avg_qty,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS avg_price,
         COUNT(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -348,20 +356,20 @@ object Relational {
       SELECT o_orderkey,
         UPPER(o_orderpriority) AS priority_uc,
         LOWER(o_orderstatus) AS status_lc,
-        CAST(o_totalprice AS DECIMAL(18,4)) AS price_dec
+        o_totalprice AS price
       FROM orders
       WHERE o_totalprice > 450000.0 AND o_orderstatus <> 'P'
       ORDER BY o_orderkey""",
     "q3_join_agg" -> """
       SELECT c_mktsegment,
         COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
     "q4_star_join" -> """
       SELECT r_name, n_name,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0-l_discount AS DECIMAL(6,4))) AS DECIMAL(18,4)) AS revenue,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1.0-l_discount AS DECIMAL(6,4))) AS VARCHAR) AS DOUBLE) AS revenue,
         COUNT(*) AS n_items
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -374,7 +382,7 @@ object Relational {
       SELECT * FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey) AS DECIMAL(18,4)) AS cust_total
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey) AS VARCHAR) AS DOUBLE) AS cust_total
         FROM orders) x
       WHERE rn <= 3
       ORDER BY o_custkey, rn""",
@@ -403,7 +411,7 @@ object Relational {
     "q10_rollup" -> """
       SELECT r_name, n_name,
         COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
@@ -435,7 +443,7 @@ object Relational {
       SELECT l_linestatus,
         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_returned,
         SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-        CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS returned_value
+        CAST(CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS returned_value
       FROM lineitem
       GROUP BY l_linestatus
       ORDER BY l_linestatus""",
@@ -443,7 +451,7 @@ object Relational {
       SELECT o_orderkey, o_custkey
       FROM orders
       JOIN (SELECT o_custkey AS k,
-              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_price
+              CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS avg_price
             FROM orders GROUP BY o_custkey) a
         ON o_custkey = k
       WHERE o_totalprice > avg_price * 1.5
@@ -451,7 +459,7 @@ object Relational {
     "q15_sql_passthrough" -> """
       SELECT l_returnflag,
         COUNT(*) AS n_items,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
       FROM lineitem
       WHERE l_discount BETWEEN 0.02 AND 0.08
       GROUP BY l_returnflag
@@ -460,7 +468,7 @@ object Relational {
       SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         event_type,
         COUNT(*) AS n_events,
-        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
         COUNT(DISTINCT user_id) AS n_users
       FROM events
       GROUP BY 1, 2

@@ -17,21 +17,31 @@ object Cli {
       skipValidation: Boolean = false,
       logLevel: String = "INFO")
 
+  private val usage =
+    "usage: graft-run <config.conf> [--dry-run] [--no-fail-fast] [--skip-validation] [--log-level LEVEL]"
+
+  /** Single left-to-right pass: value-bearing flags consume the following
+    * token, so `--log-level DEBUG cfg.conf` and `cfg.conf --log-level
+    * DEBUG` both parse.
+    */
   def parseArgs(argv: Seq[String]): Either[String, Args] = {
-    argv.filterNot(_.startsWith("--")) match {
-      case Seq(path) =>
-        var a = Args(path)
-        var rest = argv.filter(_.startsWith("--")).toList
-        while (rest.nonEmpty) rest match {
-          case "--dry-run" :: t => a = a.copy(dryRun = true); rest = t
-          case "--no-fail-fast" :: t => a = a.copy(failFast = false); rest = t
-          case "--skip-validation" :: t => a = a.copy(skipValidation = true); rest = t
-          case "--log-level" :: v :: t => a = a.copy(logLevel = v); rest = t
-          case other :: _ => return Left(s"unknown option: $other")
-          case Nil => ()
-        }
-        Right(a)
-      case _ => Left("usage: graft-run <config.conf> [--dry-run] [--no-fail-fast] [--skip-validation] [--log-level LEVEL]")
+    var positional = List.empty[String]
+    var a = Args("")
+    var rest = argv.toList
+    while (rest.nonEmpty) rest match {
+      case "--dry-run" :: t => a = a.copy(dryRun = true); rest = t
+      case "--no-fail-fast" :: t => a = a.copy(failFast = false); rest = t
+      case "--skip-validation" :: t => a = a.copy(skipValidation = true); rest = t
+      case "--log-level" :: v :: t if !v.startsWith("--") =>
+        a = a.copy(logLevel = v); rest = t
+      case "--log-level" :: _ => return Left("--log-level requires a value")
+      case other :: _ if other.startsWith("--") => return Left(s"unknown option: $other")
+      case p :: t => positional = p :: positional; rest = t
+      case Nil => ()
+    }
+    positional.reverse match {
+      case path :: Nil => Right(a.copy(configPath = path))
+      case _ => Left(usage)
     }
   }
 

@@ -276,34 +276,44 @@ final class StreamingPipeline(
     queryName: Option[String] = None,
     hooks: StreamingHooks = NoOpStreamingHooks) {
 
-  /** Wire hooks through a real StreamingQueryListener, scoped to this
-    * pipeline's query id.
+  /** Hook-forwarding StreamingQueryListener. Scoped to ONE query by the
+    * id captured from `writer.start()` (never by name — a name match
+    * could latch onto a foreign query on a shared session), and
+    * self-deregistering on termination so restarts don't stack
+    * listeners.
     */
-  private def listenerFor(spark: SparkSession): org.apache.spark.sql.streaming.StreamingQueryListener =
-    new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      @volatile private var myId: Option[java.util.UUID] = None
-      override def onQueryStarted(e: QueryStartedEvent): Unit =
-        if (queryName.forall(_ == e.name)) {
-          myId = Some(e.id)
-          hooks.onQueryStart(e.id.toString, String.valueOf(e.name))
-        }
-      override def onQueryProgress(e: QueryProgressEvent): Unit =
-        if (myId.contains(e.progress.id)) {
-          val totalMs = scala.jdk.CollectionConverters
-            .CollectionHasAsScala(e.progress.durationMs.values).asScala
-            .map(_.toLong).sum
-          hooks.onBatchProgress(e.progress.batchId, e.progress.numInputRows, totalMs)
-        }
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (myId.contains(e.id))
-          hooks.onQueryTerminated(e.id.toString, e.exception)
-    }
+  private final class HookListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    @volatile private[streaming] var myId: Option[java.util.UUID] = None
+    @volatile private[streaming] var owner: SparkSession = _
+    // onQueryStarted fires synchronously inside writer.start(), before the
+    // caller can know the id — so onQueryStart is invoked from
+    // startStream() with the returned handle, not from here.
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      if (myId.contains(e.progress.id)) {
+        val totalMs = scala.jdk.CollectionConverters
+          .CollectionHasAsScala(e.progress.durationMs.values).asScala
+          .map(_.toLong).sum
+        hooks.onBatchProgress(e.progress.batchId, e.progress.numInputRows, totalMs)
+      }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      if (myId.contains(e.id)) {
+        hooks.onQueryTerminated(e.id.toString, e.exception)
+        if (owner != null) owner.streams.removeListener(this)
+      }
+  }
 
   /** Start and return the query handle (base.py:143-175). */
   def startStream(spark: SparkSession): StreamingQuery = {
-    if (hooks != NoOpStreamingHooks)
-      spark.streams.addListener(listenerFor(spark))
+    val listener =
+      if (hooks != NoOpStreamingHooks) {
+        val l = new HookListener
+        l.owner = spark
+        spark.streams.addListener(l)
+        Some(l)
+      } else None
     val raw = source.readStream(spark)
     val watermarked = (source.watermarkColumn, source.watermarkDelay) match {
       case (Some(c), Some(d)) => raw.withWatermark(c, d)
@@ -315,7 +325,12 @@ final class StreamingPipeline(
       .trigger(trigger.toSpark)
     checkpointLocation.foreach(cp => writer = writer.option("checkpointLocation", cp))
     queryName.foreach(n => writer = writer.queryName(n))
-    writer.start()
+    val query = writer.start()
+    listener.foreach { l =>
+      l.myId = Some(query.id)
+      hooks.onQueryStart(query.id.toString, String.valueOf(query.name))
+    }
+    query
   }
 
   /** Blocking run (base.py:138-141). */

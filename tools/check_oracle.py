@@ -20,6 +20,20 @@ def norm(v):
         return ("f", v)
     return v
 
+# Column types that hash-mismatch in the REAL driver even when values are
+# equal: the driver loads the oracle via DuckDB->pandas (DECIMAL/HUGEINT ->
+# float64) but reads Spark parquet so decimals stay python Decimal objects;
+# LIST/STRUCT columns break pandas sort_values (unhashable numpy arrays).
+# Final outputs must be DOUBLE/BIGINT/STRING/DATE only.
+HAZARD = ("DECIMAL", "HUGEINT", "STRUCT", "[]")
+
+def hazards(rel, side):
+    out = []
+    for c, t in zip(rel.columns, [str(t) for t in rel.types]):
+        if any(h in t for h in HAZARD):
+            out.append(f"{side}.{c}:{t}")
+    return out
+
 def rows_of(rel):
     cols = rel.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -64,6 +78,16 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"{name:28s} NO SPARK OUTPUT"); n_bad += 1; continue
         spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        haz = hazards(spark_rel, "spark")
+        if name in oracle:
+            try:
+                haz += hazards(con.sql(oracle[name]), "oracle")
+            except Exception:
+                pass
+        if haz:
+            print(f"{name:28s} DRIVER-HAZARD TYPES: {', '.join(haz)}")
+            n_bad += 1
+            continue
         scols, srows = rows_of(spark_rel)
         if name not in oracle:
             print(f"{name:28s} rows-only: {len(srows)} rows "
@@ -79,7 +103,8 @@ def main(sf_dir, out_dir):
             n_bad += 1; continue
         verdict = cmp_rows(srows, orows)
         print(f"{name:28s} {verdict}  ({len(srows)} rows)")
-        if verdict.startswith("OK"): n_ok += 1
+        # the real driver hashes values EXACTLY: float-close is a failure
+        if verdict == "OK": n_ok += 1
         else: n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} bad")
     return 1 if n_bad else 0
