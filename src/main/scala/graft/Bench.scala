@@ -24,7 +24,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    SparkEntry.queries.get("q1_pricing_summary")
+    // One warmup per kernel family so JIT/codegen/page-cache costs land
+    // here, not on the first measured query of each family: relational
+    // scan+agg (lineitem/orders), document shingling (documents), and
+    // the embedding cosine kernel (embeddings).
+    Seq("q1_pricing_summary", "dedup_minhash_lsh", "sim_brute_topk")
+      .flatMap(SparkEntry.queries.get)
       .foreach(fn => try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () })
 

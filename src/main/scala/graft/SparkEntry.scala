@@ -23,15 +23,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Extended.queries ++ QualityQueries.queries ++
-      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      Multimodal.queries
+    Relational.queries ++ Extended.queries ++ Extended2.queries ++
+      QualityQueries.queries ++ Dedup.queries ++ TextAnalysis.queries ++
+      Similarity.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Extended.oracles ++ QualityQueries.oracles ++
-      Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
-      Multimodal.oracles
+    Relational.oracles ++ Extended.oracles ++ Extended2.oracles ++
+      QualityQueries.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
+      Similarity.oracles ++ Multimodal.oracles
 }

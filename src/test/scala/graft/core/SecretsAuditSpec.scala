@@ -51,6 +51,18 @@ class SecretsSpec extends AnyFunSuite {
     assert(SecretRefResolver.parseRef("prefix secret://env/KEY").isEmpty)
   }
 
+  test("inline ref followed by :identifier is rejected (Vault field ambiguity)") {
+    val resolver = new SecretsResolver(Seq(new EnvSecretsProvider(
+      Map("HOST" -> "db.example", "db" -> "creds").get)))
+    // :digits = port, fine; :identifier = looks like Vault path:field → loud error
+    val ok = SecretRefResolver.rewrite(
+      Map("url" -> "jdbc://secret://env/HOST:5432/x"), resolver)
+    assert(ok("url") == "jdbc://db.example:5432/x")
+    val e = intercept[IllegalArgumentException](SecretRefResolver.rewrite(
+      Map("url" -> "x secret://env/db:password y"), resolver))
+    assert(e.getMessage.contains("path:field"))
+  }
+
   test("access callback sees hits and misses") {
     val accesses = scala.collection.mutable.ListBuffer[(String, String, Boolean)]()
     val resolver = new SecretsResolver(

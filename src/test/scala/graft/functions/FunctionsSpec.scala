@@ -24,6 +24,22 @@ class FunctionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("null vector ELEMENTS null the result in both eval paths") {
+    // codegen path (literal-free so the projection stays compiled)
+    val df = Seq(
+      (Array[java.lang.Double](1.0, null, 3.0), Array[java.lang.Double](1.0, 2.0, 3.0)),
+      (Array[java.lang.Double](1.0, 2.0, 3.0), Array[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+    val rows = df.select(call_function("cosine_sim", $"a", $"b").as("c"))
+      .collect()
+    assert(rows(0).isNullAt(0), "null element must null the result")
+    assert(math.abs(rows(1).getDouble(0) - 1.0) < 1e-12)
+    // interpreted path
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS c").head()
+    assert(r.isNullAt(0))
+  }
+
   test("interpreted eval and codegen agree on random vectors") {
     val rnd = new scala.util.Random(7)
     val rows = Seq.fill(50)((

@@ -229,4 +229,18 @@ class LocalDemoSpec extends SparkSpec {
         |""".stripMargin)
     assert(Cli.execute(Seq(bad.toString, "--dry-run")) == 1)
   }
+
+  test("parseArgs: value-bearing --log-level works in any position") {
+    assert(Cli.parseArgs(Seq("p.conf", "--log-level", "DEBUG"))
+      .exists(a => a.configPath == "p.conf" && a.logLevel == "DEBUG"))
+    assert(Cli.parseArgs(Seq("--log-level", "DEBUG", "p.conf"))
+      .exists(a => a.configPath == "p.conf" && a.logLevel == "DEBUG"))
+    assert(Cli.parseArgs(Seq("--dry-run", "--log-level", "WARN", "p.conf"))
+      .exists(a => a.dryRun && a.logLevel == "WARN"))
+    assert(Cli.parseArgs(Seq("p.conf", "--log-level")).isLeft) // missing value
+    assert(Cli.parseArgs(Seq("p.conf", "--log-level", "--dry-run")).isLeft)
+    assert(Cli.parseArgs(Seq("p.conf", "--bogus")).isLeft)
+    assert(Cli.parseArgs(Seq("a.conf", "b.conf")).isLeft) // two positionals
+    assert(Cli.parseArgs(Seq("--dry-run")).isLeft) // no config path
+  }
 }
