@@ -12,7 +12,11 @@ import scala.collection.mutable
   *   - `=` or `:` separators; objects may omit the separator
   *   - quoted + unquoted strings, ints, doubles, booleans, null
   *   - arrays `[a, b]`, newline- or comma-separated members
-  *   - `${ENV_VAR}` / `${?ENV_VAR}` environment substitution
+  *   - `${path.in.config}` substitution (resolved against the final
+  *     merged tree, chains allowed, cycles rejected), falling back to
+  *     environment variables; `${?NAME}` optional form
+  *   - `include "other.conf"` at object level, resolved relative to the
+  *     including file, object-merged in place (later keys win)
   *
   * Parsed result is an immutable tree of Scala values:
   * Map[String, Any] / List[Any] / String / Long / Double / Boolean / null.
@@ -22,11 +26,77 @@ object Hocon {
   final case class ParseError(msg: String, line: Int)
     extends RuntimeException(s"HOCON parse error at line $line: $msg")
 
-  def parse(text: String): Map[String, Any] = new Parser(text).parseRoot()
+  /** Unresolved `${path}` placeholder; eliminated by the resolve pass. */
+  private final case class Subst(name: String, optional: Boolean)
 
-  def parseFile(path: String): Map[String, Any] =
-    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      java.nio.charset.StandardCharsets.UTF_8))
+  def parse(text: String): Map[String, Any] =
+    resolveTree(new Parser(text, None).parseRoot())
+
+  def parseFile(path: String): Map[String, Any] = {
+    val p = java.nio.file.Paths.get(path)
+    resolveTree(new Parser(
+      new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8),
+      Option(p.toAbsolutePath.getParent)).parseRoot())
+  }
+
+  /** Fixed-point substitution resolution: `${a.b}` reads the (possibly
+    * itself substituted) value at that path in the final tree, then the
+    * environment. HOCON's lazy-final-value semantics without a full
+    * dependency graph: iterate until no placeholder resolves further.
+    */
+  private def resolveTree(root: Map[String, Any]): Map[String, Any] = {
+    var tree: Map[String, Any] = root
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      changed = false
+      rounds += 1
+      if (rounds > 64) throw ParseError("substitution cycle detected", 0)
+      // Three-way lookup: Right(value) = resolved; Left(true) = blocked
+      // behind a placeholder that a later round may resolve; Left(false)
+      // = the path definitely does not exist in the config.
+      def lookup(path: String): Either[Boolean, Any] = {
+        def go(cur: Any, parts: List[String]): Either[Boolean, Any] = (cur, parts) match {
+          case (_: Subst, _) => Left(true)
+          case (v2, Nil) => Right(v2)
+          case (m: Map[String @unchecked, Any @unchecked], p :: rest) =>
+            m.get(p) match {
+              case Some(nxt) => go(nxt, rest)
+              case None => Left(false)
+            }
+          case _ => Left(false)
+        }
+        go(tree, path.split('.').toList)
+      }
+      def walk(v: Any): Any = v match {
+        case s @ Subst(name, optional) =>
+          lookup(name) match {
+            case Right(resolved) => changed = true; resolved
+            case Left(true) => s // not yet resolvable; next round
+            case Left(false) => sys.env.get(name) match {
+              case Some(ev) => changed = true; ev
+              case None if optional => changed = true; null
+              case None => throw ParseError(s"unresolved substitution $${$name}", 0)
+            }
+          }
+        case m: Map[String @unchecked, Any @unchecked] =>
+          m.map { case (k, x) => k -> walk(x) }
+        case l: List[Any @unchecked] => l.map(walk)
+        case other => other
+      }
+      tree = walk(tree).asInstanceOf[Map[String, Any]]
+    }
+    // fixed point with placeholders left = an unresolvable cycle
+    def anySubst(v: Any): Boolean = v match {
+      case _: Subst => true
+      case m: Map[String @unchecked, Any @unchecked] => m.values.exists(anySubst)
+      case l: List[Any @unchecked] => l.exists(anySubst)
+      case _ => false
+    }
+    if (anySubst(tree)) throw ParseError("substitution cycle detected", 0)
+    tree
+  }
 
   /** Navigate a dotted path into the parsed tree. */
   def at(tree: Map[String, Any], path: String): Option[Any] = {
@@ -39,7 +109,7 @@ object Hocon {
     go(tree, path.split('.').toList)
   }
 
-  private final class Parser(text: String) {
+  private final class Parser(text: String, baseDir: Option[java.nio.file.Path]) {
     private var pos = 0
     private var line = 1
     private def err(msg: String) = throw ParseError(msg, line)
@@ -88,6 +158,24 @@ object Hocon {
     private def parseObjectBody(atRoot: Boolean): Map[String, Any] = {
       val acc = mutable.LinkedHashMap[String, Any]()
       while ({ skipWs(stopAtNewline = false); !eof && peek != '}' }) {
+        // `include "file.conf"` splices the included root object here
+        if (text.startsWith("include", pos) &&
+            { val after = pos + 7; after < text.length && (text(after) == ' ' || text(after) == '\t') }) {
+          pos += 7
+          skipWs(stopAtNewline = true)
+          if (peek != '"') err("include expects a quoted path")
+          val rel = parseQuoted()
+          val p0 = java.nio.file.Paths.get(rel)
+          val p = if (p0.isAbsolute) p0 else baseDir.fold(p0)(_.resolve(rel))
+          if (!java.nio.file.Files.exists(p)) err(s"included file not found: $p")
+          val sub = new Parser(
+            new String(java.nio.file.Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8),
+            Option(p.toAbsolutePath.getParent)).parseRoot()
+          sub.foreach { case (k, v) => merge(acc, List(k), v) }
+          skipWs(stopAtNewline = true)
+          if (!eof && (peek == ',' || peek == '\n')) advance()
+        } else {
         val keyPath = parseKey()
         skipWs(stopAtNewline = false)
         val value: Any = peek match {
@@ -99,6 +187,7 @@ object Hocon {
         merge(acc, keyPath, value)
         skipWs(stopAtNewline = true)
         if (!eof && (peek == ',' || peek == '\n')) advance()
+        }
       }
       acc.toMap
     }
@@ -198,12 +287,9 @@ object Hocon {
       while (!eof && peek != '}') sb += advance()
       if (eof) err("unterminated substitution")
       advance() // '}'
-      val name = sb.toString.trim
-      sys.env.get(name) match {
-        case Some(v) => v
-        case None if optional => null
-        case None => err(s"unresolved substitution $${$name}")
-      }
+      // resolution is deferred to the post-parse pass: config paths first
+      // (against the final merged tree), environment second
+      Subst(sb.toString.trim, optional)
     }
 
     /** Unquoted scalar: runs to newline/comma/brace/comment, then typed.

@@ -82,4 +82,40 @@ final class InMemoryMeterRegistry extends MeterRegistry {
         }
     lines.mkString("", "\n", "\n")
   }
+
+  /** OTLP/JSON metrics payload (the OpenTelemetry adapter surface from
+    * core/metrics/exporters.py:121-235, expressed as the open OTLP wire
+    * schema rather than an SDK dependency — this build is offline).
+    * Mapping mirrors the reference: counter → monotonic cumulative Sum,
+    * gauge → Gauge, timer → cumulative Histogram in milliseconds
+    * (count/sum/max; no buckets, like the reference's summary-style
+    * recording). `timeUnixNano` is supplied by the caller so exports are
+    * reproducible in tests.
+    */
+  def otlpJson(timeUnixNano: Long, serviceName: String = "graft"): String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def attrs(tags: Seq[(String, String)]) = tags.map { case (k, v) =>
+      s"""{"key":"${esc(k)}","value":{"stringValue":"${esc(v)}"}}"""
+    }.mkString("[", ",", "]")
+    def dp(id: MeterId, valueField: String) =
+      s"""{"attributes":${attrs(id.tags)},"timeUnixNano":"$timeUnixNano",$valueField}"""
+    val cs = counters.asScala.toSeq.sortBy(_._1.name).map { case (id, c) =>
+      s"""{"name":"${esc(id.name)}","sum":{"aggregationTemporality":2,"isMonotonic":true,""" +
+        s""""dataPoints":[${dp(id, s""""asInt":"${c.value}"""")}]}}"""
+    }
+    val gs = gauges.asScala.toSeq.sortBy(_._1.name).map { case (id, g) =>
+      s"""{"name":"${esc(id.name)}","gauge":{"dataPoints":[${dp(id, s""""asDouble":${g.value}""")}]}}"""
+    }
+    val ts = timers.asScala.toSeq.sortBy(_._1.name).map { case (id, t) =>
+      s"""{"name":"${esc(id.name)}","unit":"ms","histogram":{"aggregationTemporality":2,""" +
+        s""""dataPoints":[${dp(id, s""""count":"${t.count}","sum":${t.totalMs},"max":${t.maxMs}""")}]}}"""
+    }
+    s"""{"resourceMetrics":[{"resource":{"attributes":[{"key":"service.name",""" +
+      s""""value":{"stringValue":"${esc(serviceName)}"}}]},"scopeMetrics":[{""" +
+      s""""scope":{"name":"graft.core.metrics"},"metrics":[${(cs ++ gs ++ ts).mkString(",")}]}]}]}"""
+  }
 }

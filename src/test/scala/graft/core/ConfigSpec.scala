@@ -46,6 +46,38 @@ class HoconSpec extends AnyFunSuite {
     assert(tree("opt") == null)
   }
 
+  test("config-path substitution: chains, objects, env fallback, cycles") {
+    val tree = Hocon.parse(
+      """base { host = db.example, port = 5432 }
+        |primary = ${base}
+        |url = ${primary.host}
+        |alias = ${url}
+        |""".stripMargin)
+    assert(Hocon.at(tree, "primary.port").contains(5432L))
+    assert(tree("url") == "db.example")
+    assert(tree("alias") == "db.example")
+    val e = intercept[Hocon.ParseError](
+      Hocon.parse("a = ${b}\nb = ${a}"))
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("include splices a file relative to the includer; later keys win") {
+    val dir = java.nio.file.Files.createTempDirectory("hocon")
+    java.nio.file.Files.writeString(dir.resolve("common.conf"),
+      "shared { retries = 3, mode = common }\n")
+    java.nio.file.Files.writeString(dir.resolve("main.conf"),
+      """include "common.conf"
+        |shared.mode = overridden
+        |own = 1
+        |""".stripMargin)
+    val tree = Hocon.parseFile(dir.resolve("main.conf").toString)
+    assert(Hocon.at(tree, "shared.retries").contains(3L))
+    assert(Hocon.at(tree, "shared.mode").contains("overridden"))
+    assert(tree("own") == 1L)
+    val e = intercept[Hocon.ParseError](Hocon.parse("include \"/nope/missing.conf\""))
+    assert(e.getMessage.contains("not found"))
+  }
+
   test("parse errors carry line numbers") {
     val e = intercept[Hocon.ParseError](Hocon.parse("a = 1\nb = "))
     assert(e.line >= 2)

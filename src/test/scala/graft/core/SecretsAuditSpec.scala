@@ -142,6 +142,22 @@ class MetricsSpec extends AnyFunSuite {
     assert(text.contains("""dur_count{c="a"} 2"""))
   }
 
+  test("otlp json export maps counter->sum, gauge->gauge, timer->histogram") {
+    val reg = new graft.core.metrics.InMemoryMeterRegistry
+    reg.counter("runs", "p" -> "x").increment(3)
+    reg.gauge("depth").set(3.5)
+    reg.timer("dur").record(10.0); reg.timer("dur").record(30.0)
+    val json = reg.otlpJson(timeUnixNano = 123L, serviceName = "svc")
+    assert(json.contains(""""isMonotonic":true"""))
+    assert(json.contains(""""asInt":"3""""))
+    assert(json.contains(""""key":"p","value":{"stringValue":"x"}"""))
+    assert(json.contains(""""asDouble":3.5"""))
+    assert(json.contains(""""count":"2","sum":40.0,"max":30.0"""))
+    assert(json.contains(""""service.name""""))
+    // well-formed JSON (parsed with Spark's bundled Jackson)
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+  }
+
   test("registry is thread-safe under concurrent increments") {
     val reg = new graft.core.metrics.InMemoryMeterRegistry
     val threads = (1 to 8).map(_ => new Thread(() =>
