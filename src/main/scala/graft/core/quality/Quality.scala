@@ -161,6 +161,64 @@ object Checks {
     })
   }
 
+  /** Referential-integrity check (beyond-reference): every non-null
+    * child key must exist in the parent table. Runs as a LEFT ANTI join
+    * — Catalyst broadcasts the parent side when it's dimension-sized, so
+    * at 100 TB the fact table streams through without a shuffle.
+    */
+  def referentialCheck(
+      childTable: String, childCol: String,
+      parentTable: String, parentCol: String): DataQualityCheck =
+    DataQualityCheck(s"ref_${childTable}_$childCol", CheckTiming.AfterPipeline, { spark =>
+      val orphans = spark.table(childTable)
+        .filter(col(childCol).isNotNull)
+        .join(spark.table(parentTable), col(childCol) === col(parentCol), "left_anti")
+        .count()
+      CheckResult(s"ref_${childTable}_$childCol", orphans == 0,
+        s"$childTable.$childCol → $parentTable.$parentCol: $orphans orphan keys",
+        Map("orphans" -> orphans.toDouble))
+    })
+
+  /** Freshness check (beyond-reference): max(tsColumn) must be within
+    * maxAge of `asOf`. The caller supplies `asOf` so runs are
+    * reproducible; production passes Instant.now(). One MAX aggregation
+    * — partial map-side, a single long per partition to the driver.
+    */
+  def freshnessCheck(
+      table: String, tsColumn: String,
+      maxAge: java.time.Duration, asOf: java.time.Instant): DataQualityCheck =
+    DataQualityCheck(s"fresh_${table}_$tsColumn", CheckTiming.AfterPipeline, { spark =>
+      val row = spark.table(table).agg(max(col(tsColumn)).as("max_ts")).head()
+      Option(row.getAs[java.sql.Timestamp]("max_ts")) match {
+        case None =>
+          CheckResult(s"fresh_${table}_$tsColumn", passed = false, s"$table is empty")
+        case Some(ts) =>
+          val age = java.time.Duration.between(ts.toInstant, asOf)
+          CheckResult(s"fresh_${table}_$tsColumn", age.compareTo(maxAge) <= 0,
+            s"$table.$tsColumn newest=$ts age=${age.toMillis}ms (max ${maxAge.toMillis}ms)",
+            Map("age_ms" -> age.toMillis.toDouble))
+      }
+    })
+
+  /** Category-share check (beyond-reference): the fraction of rows with
+    * `column = value` must lie in [minShare, maxShare] — a cheap drift
+    * detector for label/category distributions. Single aggregation pass.
+    */
+  def distributionCheck(
+      table: String, column: String, value: String,
+      minShare: Double, maxShare: Double): DataQualityCheck =
+    DataQualityCheck(s"dist_${table}_$column", CheckTiming.AfterPipeline, { spark =>
+      val row = spark.table(table).agg(
+        sum(when(col(column) === value, 1L).otherwise(0L)).as("hits"),
+        count(lit(1)).as("total")).head()
+      val hits = Option(row.getAs[Any]("hits")).fold(0L)(_.asInstanceOf[Long])
+      val total = row.getAs[Long]("total")
+      val share = if (total == 0) 0.0 else hits.toDouble / total
+      CheckResult(s"dist_${table}_$column", share >= minShare && share <= maxShare,
+        f"$table.$column='$value' share $share%.4f (bounds [$minShare, $maxShare])",
+        Map("share" -> share, "hits" -> hits.toDouble))
+    })
+
   /** Arbitrary SQL returning a row with `passed: Boolean` (+ optional
     * `message`) (checks.py:258-308).
     */

@@ -85,12 +85,54 @@ object QualityQueries {
         ($"approx_distinct" > $"row_count" * 9 / 10).as("within_10pct"))
   }
 
+  /** referential_check (beyond-reference): orphan o_custkey values.
+    * LEFT ANTI against the (broadcastable) parent: the fact side never
+    * shuffles.
+    */
+  def dqReferential(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orphans = t(s, dir, "orders")
+      .filter($"o_custkey".isNotNull)
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    orphans.select(lit("orders.o_custkey->customer").as("checked"),
+      $"orphans", ($"orphans" === 0L).as("passed"))
+  }
+
+  /** freshness_check (beyond-reference): newest event vs a fixed as-of
+    * instant (fixed so the oracle is deterministic).
+    */
+  def dqFreshness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .agg(date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
+      .select(lit("events.ts").as("checked"), $"max_ts",
+        ($"max_ts" >= "2024-01-01 00:00:00").as("passed"))
+  }
+
+  /** distribution_check (beyond-reference): share of event_type='click'
+    * within bounds; share = single integer division, bit-deterministic.
+    */
+  def dqDistribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .agg(
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("hits"),
+        count(lit(1)).as("total"))
+      .select(lit("events.event_type=click").as("checked"), $"hits", $"total",
+        ($"hits".cast("double") / $"total").as("share"),
+        ($"hits".cast("double") / $"total").between(0.05, 0.5).as("passed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_row_count" -> dqRowCount,
     "dq_null_check" -> dqNullCheck,
     "dq_unique_check" -> dqUniqueCheck,
     "dq_range_check" -> dqRangeCheck,
-    "dq_custom_sql" -> dqCustomSql)
+    "dq_custom_sql" -> dqCustomSql,
+    "dq_referential" -> dqReferential,
+    "dq_freshness" -> dqFreshness,
+    "dq_distribution" -> dqDistribution)
 
   val oracles: Map[String, String] = Map(
     "dq_row_count" -> """
@@ -119,5 +161,24 @@ object QualityQueries {
     "dq_custom_sql" -> """
       SELECT COUNT(*) = 0 AS passed, COUNT(*) AS violation_count
       FROM lineitem
-      WHERE l_quantity < 1.0 OR l_quantity > 50.0 OR l_extendedprice <= 0.0""")
+      WHERE l_quantity < 1.0 OR l_quantity > 50.0 OR l_extendedprice <= 0.0""",
+    "dq_referential" -> """
+      SELECT 'orders.o_custkey->customer' AS checked,
+        COUNT(*) AS orphans,
+        COUNT(*) = 0 AS passed
+      FROM orders
+      WHERE o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)""",
+    "dq_freshness" -> """
+      SELECT 'events.ts' AS checked,
+        STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+        STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') >= '2024-01-01 00:00:00' AS passed
+      FROM events""",
+    "dq_distribution" -> """
+      SELECT 'events.event_type=click' AS checked,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        COUNT(*) AS total,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS share,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) BETWEEN 0.05 AND 0.5 AS passed
+      FROM events""")
 }

@@ -78,6 +78,42 @@ class QualitySpec extends SparkSpec {
       Checks.percentileCheck("dq_test_data", "age", 1.5, min = Some(0)))
   }
 
+  test("referential_check: orphans detected; null child keys ignored") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("pid", "pv").createOrReplaceTempView("dq_parent")
+    Seq(Some(1L), Some(2L), Some(1L), None).toDF("fk").createOrReplaceTempView("dq_child_ok")
+    Seq(Some(1L), Some(9L)).toDF("fk").createOrReplaceTempView("dq_child_bad")
+    assert(Checks.referentialCheck("dq_child_ok", "fk", "dq_parent", "pid")
+      .check(spark).passed)
+    val bad = Checks.referentialCheck("dq_child_bad", "fk", "dq_parent", "pid").check(spark)
+    assert(!bad.passed && bad.metrics("orphans") == 1.0)
+  }
+
+  test("freshness_check: age computed against caller-supplied asOf") {
+    import spark.implicits._
+    Seq("2024-01-30 10:00:00").toDF("s")
+      .selectExpr("CAST(s AS TIMESTAMP) AS ts")
+      .createOrReplaceTempView("dq_fresh")
+    val asOf = java.time.Instant.parse("2024-01-30T11:00:00Z")
+    assert(Checks.freshnessCheck("dq_fresh", "ts",
+      java.time.Duration.ofHours(2), asOf).check(spark).passed)
+    val stale = Checks.freshnessCheck("dq_fresh", "ts",
+      java.time.Duration.ofMinutes(30), asOf).check(spark)
+    assert(!stale.passed && stale.metrics("age_ms") == 3600000.0)
+    spark.emptyDataFrame.selectExpr("CAST(NULL AS TIMESTAMP) AS ts")
+      .limit(0).createOrReplaceTempView("dq_fresh_empty")
+    assert(!Checks.freshnessCheck("dq_fresh_empty", "ts",
+      java.time.Duration.ofHours(1), asOf).check(spark).passed)
+  }
+
+  test("distribution_check: category share bounds") {
+    val ok = Checks.distributionCheck("dq_test_data", "name", "Alice", 0.25, 0.75)
+      .check(spark)
+    assert(ok.passed && ok.metrics("share") == 0.5)
+    assert(!Checks.distributionCheck("dq_test_data", "name", "Alice", 0.0, 0.25)
+      .check(spark).passed)
+  }
+
   test("custom_sql_check with passed + message columns") {
     val ok = Checks.customSqlCheck("no_minors",
       "SELECT COUNT(*) = 0 AS passed, 'minors found' AS message FROM dq_test_data WHERE age < 18")
