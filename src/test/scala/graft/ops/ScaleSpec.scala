@@ -60,4 +60,40 @@ class ScaleSpec extends SparkSpec {
     val expected = orders.join(customer, "o_custkey").count()
     assert(joined.count() == expected)
   }
+
+  test("range-clustered layout yields disjoint per-file key ranges; plain write does not") {
+    import spark.implicits._
+    val orders = graft.Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val base = java.nio.file.Files.createTempDirectory("rangelayout").toString
+
+    Scale.writeRangeClustered(orders, $"o_orderkey", s"$base/clustered", partitions = 8)
+    val clustered = Scale.parquetFileRanges(spark, s"$base/clustered", "o_orderkey")
+      .sortBy(_._2)
+    assert(clustered.size >= 2, "expected multiple output files")
+    // pairwise-disjoint: every file's min exceeds the previous file's max
+    clustered.sliding(2).foreach {
+      case Seq((_, _, prevMax), (f, mn, _)) =>
+        assert(mn > prevMax, s"file $f overlaps the previous range")
+      case _ => ()
+    }
+
+    // control: a hash-repartitioned write scatters keys across files -
+    // each file spans nearly the full key range, nothing can be skipped
+    orders.repartition(8).write.mode("overwrite").parquet(s"$base/scattered")
+    val scattered = Scale.parquetFileRanges(spark, s"$base/scattered", "o_orderkey")
+    val fullMin = scattered.map(_._2).min
+    val fullMax = scattered.map(_._3).max
+    val overlapping = scattered.count { case (_, mn, mx) =>
+      (mx - mn) > (fullMax - fullMin) / 2 }
+    assert(overlapping == scattered.size,
+      "control files should each span most of the key range")
+
+    // the property the layout buys: a selective range predicate matches
+    // only 1-2 files' [min,max] - a reader skips the rest on footers alone
+    val probeLo = fullMin + (fullMax - fullMin) / 2
+    val probeHi = probeLo + (fullMax - fullMin) / 20
+    val touched = clustered.count { case (_, mn, mx) => mx >= probeLo && mn <= probeHi }
+    assert(touched <= 2, s"range probe should touch <=2 clustered files, got $touched")
+  }
 }

@@ -71,7 +71,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("no relational query plans a CartesianProduct") {
-    for ((name, fn) <- Relational.queries ++ Extended.queries) {
+    for ((name, fn) <- Relational.queries ++ Extended.queries ++ Extended2.queries) {
       val p = plan(fn(spark, sfDir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
     }
@@ -81,7 +81,35 @@ class PlanSpec extends SparkSpec {
     for ((name, fn) <- QualityQueries.queries) {
       val df = fn(spark, sfDir)
       val scans = "FileScan|BatchScan".r.findAllIn(plan(df)).size
-      assert(scans <= 1, s"$name reads its input more than once")
+      // the referential check joins child to parent: exactly two scans
+      val allowed = if (name == "dq_referential") 2 else 1
+      assert(scans <= allowed, s"$name reads its input more than once")
     }
+  }
+
+  test("q31 unpivot is an Expand over one scan - no shuffle before the sort") {
+    val p = plan(Extended2.q31Unpivot(spark, sfDir))
+    assert(p.contains("Expand"), s"unpivot should plan an Expand node:\n$p")
+    assert("FileScan|BatchScan".r.findAllIn(p).size == 1, "unpivot re-scans its input")
+  }
+
+  test("q34 global top-k word count ends in TakeOrderedAndProject") {
+    val p = plan(Extended2.q34ExplodeWords(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k should not full-sort:\n$p")
+    assert(p.contains("Generate"), "explode should plan a Generate node")
+  }
+
+  test("dq_referential anti-joins with a broadcast parent (fact side never shuffles)") {
+    val p = plan(QualityQueries.dqReferential(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti join:\n$p")
+  }
+
+  test("q29 window zoo computes all five functions in ONE window node") {
+    val p = plan(Extended2.q29WindowZoo(spark, sfDir))
+    assert("(?s)Window".r.findAllIn(p).size >= 1)
+    // a single shuffle on the partition key feeds the window
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"window functions should share one shuffle:\n$p")
   }
 }
