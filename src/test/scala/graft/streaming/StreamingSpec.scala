@@ -126,6 +126,39 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("deduped").select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("session_window transform: stream-batch parity on gap sessions") {
+    import spark.implicits._
+    // two users; user 1 has two sessions split by a >5 min gap
+    val fixture = Seq(
+      ("2024-01-01 00:00:10", 1L, 1.0), ("2024-01-01 00:02:00", 1L, 2.0),
+      ("2024-01-01 00:20:00", 1L, 4.0),
+      ("2024-01-01 00:01:00", 2L, 8.0))
+    val transform = WindowTransforms.session(
+      "ts", "5 minutes", Seq("user_id"),
+      Seq(count(lit(1)).as("n"), sum($"value").as("sv")))
+
+    val batchDf = fixture.toDF("ts_s", "user_id", "value")
+      .selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "user_id", "value")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getStruct(0).getTimestamp(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3))
+    val batch = transform(batchDf).collect().map(key).toSet
+    assert(batch.size == 3, s"expected 3 sessions, got $batch")
+
+    val work = Files.createTempDirectory("graft-session")
+    batchDf.write.parquet(work.resolve("in/b1").toString)
+    val q = new StreamingPipeline(
+      source = FileStreamingSource(work.resolve("in").toString + "/*",
+        schemaDdl = Some("ts TIMESTAMP, user_id LONG, value DOUBLE")),
+      sink = MemoryStreamingSink("sessioned"),
+      transform = transform,
+      outputMode = OutputMode.Complete,
+      queryName = Some("sessioned"),
+      trigger = TriggerConfig.AvailableNow).startStream(spark)
+    q.awaitTermination(60000)
+    val streamed = spark.table("sessioned").collect().map(key).toSet
+    assert(streamed == batch, "streaming session windows must match batch")
+  }
+
   test("stream-batch parity: windowed aggregation over the events table") {
     import spark.implicits._
     // batch truth
