@@ -25,7 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Extended.queries ++ Extended2.queries ++
       QualityQueries.queries ++ Dedup.queries ++ TextAnalysis.queries ++
-      Similarity.queries ++ Multimodal.queries
+      Similarity.queries ++ Multimodal.queries ++ Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -33,5 +33,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Extended.oracles ++ Extended2.oracles ++
       QualityQueries.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
-      Similarity.oracles ++ Multimodal.oracles
+      Similarity.oracles ++ Multimodal.oracles ++ Sampling.oracles
 }

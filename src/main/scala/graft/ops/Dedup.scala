@@ -378,7 +378,8 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "dedup_simhash" -> dedupSimhash,
-    "dedup_simhash_pairs" -> dedupSimhashPairs)
+    "dedup_simhash_pairs" -> dedupSimhashPairs,
+    "dedup_components" -> dedupComponents)
 
   /** DuckDB-side distinct (doc_id, shingle) pairs, mirroring
     * shingles(text, 3).
@@ -410,6 +411,51 @@ object Dedup {
     WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
     ORDER BY a, b"""
 
+  /** Connected components over a near-dup pair set: every document in a
+    * transitive cluster gets the cluster's minimum doc_id as its
+    * component id — the canonical-representative assignment a dedup
+    * pipeline keeps/drops by.
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors; rounds = graph
+    * diameter. Near-dup graphs are shallow (clusters of mutually similar
+    * docs, diameter ≲ 4) so this converges in a handful of rounds;
+    * a corpus with adversarially long chains would switch to the
+    * large-star/small-star contraction (O(log n) rounds, same join
+    * shape). Each round localCheckpoints to truncate lineage, and the
+    * convergence probe is a LIMIT 1 count — no full-result collect.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(eager = true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(eager = true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("nid")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(eager = true)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .limit(1).isEmpty
+      labels = next
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("component_id"))
+  }
+
+  /** Near-dup clusters from the MinHash-LSH verified pairs. */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(dedupMinhashLsh(s, dir))
+      .orderBy("doc_id")
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> """
       SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies, md5(text) AS text_hash
@@ -417,7 +463,29 @@ object Dedup {
       GROUP BY text
       ORDER BY canonical_id""",
     "dedup_minhash_lsh" -> jaccardOracle,
-    "dedup_ngram_jaccard" -> jaccardOracle)
+    "dedup_ngram_jaccard" -> jaccardOracle,
+    // transitive closure over the exact pair set: min reachable doc_id
+    // per node via a recursive CTE — DuckDB's answer to what the Spark
+    // side computes with iterative min-label propagation
+    "dedup_components" -> s"""
+      WITH RECURSIVE $shingleCte,
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id),
+      pairs AS (
+        SELECT a, b FROM inter
+        JOIN cnt ca ON a = ca.doc_id
+        JOIN cnt cb ON b = cb.doc_id
+        WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8),
+      edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+      reach(id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)
+      SELECT id AS doc_id, MIN(lbl) AS component_id
+      FROM reach GROUP BY id ORDER BY doc_id""")
   // dedup_simhash: xxhash64 signatures are not expressible in DuckDB →
   // rows-only check; pair semantics covered by DedupSpec.
 }

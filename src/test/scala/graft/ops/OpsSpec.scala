@@ -66,6 +66,50 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
     assert(a.nonEmpty, "sf0.001 corpus contains known near-dups")
   }
+
+  test("connected components: transitive chains collapse to the min id") {
+    // chain 1-2-3 (no direct 1-3 edge), pair 10-11, chain 20-21-22-23
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (21L, 20L), (21L, 22L), (23L, 22L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash split: deterministic membership, disjoint and complete") {
+    val df = (1L to 2000L).toDF("id")
+    val once = Sampling.hashSplit(df, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val again = Sampling.hashSplit(df.repartition(7), "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once == again, "split must not depend on partitioning")
+    assert(once.size == 2000)
+    val shares = once.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(shares("train") - 0.80) < 0.04, s"train share ${shares("train")}")
+    assert(math.abs(shares("val") - 0.10) < 0.03)
+    assert(math.abs(shares("test") - 0.10) < 0.03)
+  }
+
+  test("stratified sample keeps ~fraction of every class, deterministically") {
+    val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "cls")
+    val kept = Sampling.stratifiedSample(df, "id", 0.25)
+    val byCls = kept.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byCls("a") / 1000.0 - 0.25) < 0.06)
+    assert(math.abs(byCls("b") / 2000.0 - 0.25) < 0.06)
+    // re-evaluation returns the identical member set
+    val ids1 = kept.select("id").as[Long].collect().toSet
+    val ids2 = Sampling.stratifiedSample(df.repartition(5), "id", 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
