@@ -161,6 +161,26 @@ object Checks {
     })
   }
 
+  /** Pattern check: share of non-null values matching `regex` must be
+    * ≥ minMatchPct. Listed in the reference's CHANGELOG 1.0.0 inventory
+    * (`pattern_check`) but never implemented there — present here for
+    * real. Single conditional-count pass; rlike is codegen'd.
+    */
+  def patternCheck(
+      table: String, column: String, regex: String,
+      minMatchPct: Double = 100.0): DataQualityCheck =
+    DataQualityCheck(s"pattern_${table}_$column", CheckTiming.AfterPipeline, { spark =>
+      val row = spark.table(table).filter(col(column).isNotNull).agg(
+        sum(when(col(column).rlike(regex), 1L).otherwise(0L)).as("matches"),
+        count(lit(1)).as("total")).head()
+      val m = Option(row.getAs[Any]("matches")).fold(0L)(_.asInstanceOf[Long])
+      val total = row.getAs[Long]("total")
+      val pct = if (total == 0) 100.0 else m * 100.0 / total
+      CheckResult(s"pattern_${table}_$column", pct >= minMatchPct,
+        f"$table.$column: $pct%.2f%% match '$regex' (min $minMatchPct%%)",
+        Map("match_pct" -> pct, "matches" -> m.toDouble))
+    })
+
   /** Referential-integrity check (beyond-reference): every non-null
     * child key must exist in the parent table. Runs as a LEFT ANTI join
     * — Catalyst broadcasts the parent side when it's dimension-sized, so

@@ -124,7 +124,22 @@ object QualityQueries {
         ($"hits".cast("double") / $"total").between(0.05, 0.5).as("passed"))
   }
 
+  /** pattern_check (CHANGELOG-listed in the reference, implemented
+    * here): customer names must match the generator's shape.
+    */
+  def dqPattern(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .filter($"c_name".isNotNull)
+      .agg(
+        sum(when($"c_name".rlike("^Customer#[0-9]+$"), 1L).otherwise(0L)).as("matches"),
+        count(lit(1)).as("total"))
+      .select(lit("customer.c_name").as("checked"), $"matches", $"total",
+        ($"matches" === $"total").as("passed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_pattern" -> dqPattern,
     "dq_row_count" -> dqRowCount,
     "dq_null_check" -> dqNullCheck,
     "dq_unique_check" -> dqUniqueCheck,
@@ -162,6 +177,13 @@ object QualityQueries {
       SELECT COUNT(*) = 0 AS passed, COUNT(*) AS violation_count
       FROM lineitem
       WHERE l_quantity < 1.0 OR l_quantity > 50.0 OR l_extendedprice <= 0.0""",
+    "dq_pattern" -> """
+      SELECT 'customer.c_name' AS checked,
+        CAST(SUM(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+        COUNT(*) AS total,
+        CAST(SUM(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) = COUNT(*) AS passed
+      FROM customer
+      WHERE c_name IS NOT NULL""",
     "dq_referential" -> """
       SELECT 'orders.o_custkey->customer' AS checked,
         COUNT(*) AS orphans,

@@ -78,6 +78,13 @@ class QualitySpec extends SparkSpec {
       Checks.percentileCheck("dq_test_data", "age", 1.5, min = Some(0)))
   }
 
+  test("pattern_check: match share against threshold; nulls excluded") {
+    // names: Alice, Bob, Alice, null -> 2/3 start with 'A' = 66.7%
+    assert(Checks.patternCheck("dq_test_data", "name", "^A", 60.0).check(spark).passed)
+    assert(!Checks.patternCheck("dq_test_data", "name", "^A", 70.0).check(spark).passed)
+    assert(Checks.patternCheck("dq_test_data", "name", "^[A-Z][a-z]+$").check(spark).passed)
+  }
+
   test("referential_check: orphans detected; null child keys ignored") {
     import spark.implicits._
     Seq((1L, "a"), (2L, "b")).toDF("pid", "pv").createOrReplaceTempView("dq_parent")
