@@ -121,15 +121,22 @@ object Multimodal {
 
   /** Decode stage as a query: documents-derived media → features.
     * Feature vector echoed as its sum (scalar) to keep the result
-    * hash-friendly.
+    * hash-friendly. The sum is folded inside the typed decode pass —
+    * compiled JVM loop, not Catalyst's interpreted `aggregate` HOF.
     */
   def mmDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = mediaTable(s, dir).as[MediaRecord]
-    decodeFeatures(media, partitions = 32).toDF()
-      .select($"media_id", $"kind", $"byte_len", $"width", $"height",
-        $"channels", $"duration_ms",
-        aggregate($"feature", lit(0.0), (a, x) => a + x).as("feature_sum"))
+    decodeFeatures(media, partitions = 32)
+      .map { d =>
+        var sum = 0.0
+        var i = 0
+        while (i < d.feature.length) { sum += d.feature(i); i += 1 }
+        (d.media_id, d.kind, d.byte_len, d.width, d.height,
+          d.channels, d.duration_ms, sum)
+      }
+      .toDF("media_id", "kind", "byte_len", "width", "height",
+        "channels", "duration_ms", "feature_sum")
       .orderBy("media_id")
   }
 

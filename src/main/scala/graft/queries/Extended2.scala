@@ -132,7 +132,26 @@ object Extended2 {
       .limit(20)
   }
 
+  /** q35: FULL OUTER join — per-customer order counts vs per-user event
+    * counts; either side may be missing. Shuffle join on the key with
+    * both sides aggregated first (join inputs are one row per key, so
+    * the join is the cheap part).
+    */
+  def q35FullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+      .groupBy($"o_custkey".as("k")).agg(count(lit(1)).as("n_orders"))
+    val events = t(s, dir, "events")
+      .groupBy($"user_id".as("k")).agg(count(lit(1)).as("n_events"))
+    orders.join(events, Seq("k"), "full_outer")
+      .select($"k",
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"n_events", lit(0L)).as("n_events"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_full_outer" -> q35FullOuter,
     "q29_window_zoo" -> q29WindowZoo,
     "q30_datetime" -> q30Datetime,
     "q31_unpivot" -> q31Unpivot,
@@ -141,6 +160,14 @@ object Extended2 {
     "q34_explode_words" -> q34ExplodeWords)
 
   val oracles: Map[String, String] = Map(
+    "q35_full_outer" -> """
+      SELECT COALESCE(o.k, e.k) AS k,
+        COALESCE(o.n_orders, 0) AS n_orders,
+        COALESCE(e.n_events, 0) AS n_events
+      FROM (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+      FULL OUTER JOIN (SELECT user_id AS k, COUNT(*) AS n_events FROM events GROUP BY 1) e
+        ON o.k = e.k
+      ORDER BY k""",
     "q29_window_zoo" -> """
       SELECT o_custkey, o_orderkey,
         LAG(o_totalprice, 1) OVER w AS prev_price,
