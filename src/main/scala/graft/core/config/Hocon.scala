@@ -29,6 +29,11 @@ object Hocon {
   /** Unresolved `${path}` placeholder; eliminated by the resolve pass. */
   private final case class Subst(name: String, optional: Boolean)
 
+  /** Value concatenation (`${root}/data`, `prefix-${x}`): parts joined
+    * as strings once every substitution resolves.
+    */
+  private final case class Concat(parts: List[Any])
+
   def parse(text: String): Map[String, Any] =
     resolveTree(new Parser(text, None).parseRoot())
 
@@ -80,6 +85,17 @@ object Hocon {
               case None => throw ParseError(s"unresolved substitution $${$name}", 0)
             }
           }
+        case Concat(parts) =>
+          val resolved = parts.map(walk)
+          if (resolved.exists { case _: Subst => true; case _: Concat => true; case _ => false })
+            Concat(resolved) // some part still pending; next round
+          else {
+            changed = true
+            resolved.map {
+              case null => "" // optional substitution that resolved empty
+              case other => other.toString
+            }.mkString
+          }
         case m: Map[String @unchecked, Any @unchecked] =>
           m.map { case (k, x) => k -> walk(x) }
         case l: List[Any @unchecked] => l.map(walk)
@@ -90,6 +106,7 @@ object Hocon {
     // fixed point with placeholders left = an unresolvable cycle
     def anySubst(v: Any): Boolean = v match {
       case _: Subst => true
+      case Concat(parts) => parts.exists(anySubst)
       case m: Map[String @unchecked, Any @unchecked] => m.values.exists(anySubst)
       case l: List[Any @unchecked] => l.exists(anySubst)
       case _ => false
@@ -256,12 +273,79 @@ object Hocon {
     private def parseValue(): Any = peek match {
       case '{' => parseObject()
       case '[' => parseArray()
-      case '"' =>
-        val s = parseQuoted()
-        // adjacent-string concatenation is out of scope; one string per value
-        s
-      case '$' => parseSubstitution()
-      case _ => parseUnquoted()
+      case _ => parseScalarSequence()
+    }
+
+    /** Scalar value = a run of quoted strings, substitutions, and
+      * unquoted chunks on one line (HOCON value concatenation:
+      * `${root}/data`, `prefix-${x}`, `"a"${b}`). A single unquoted
+      * token keeps scalar typing; multiple tokens concatenate as a
+      * string once substitutions resolve.
+      */
+    private def parseScalarSequence(): Any = {
+      val parts = mutable.ListBuffer[Any]()
+      var done = false
+      while (!done && !eof) {
+        peek match {
+          case '"' => parts += parseQuoted()
+          case '$' => parts += parseSubstitution()
+          case c if !"\n,}]#".contains(c) &&
+              !(c == '/' && pos + 1 < text.length && text(pos + 1) == '/') =>
+            val chunk = parseUnquotedChunk()
+            if (chunk.nonEmpty) parts += UnquotedChunk(chunk) else done = true
+          case _ => done = true
+        }
+      }
+      parts.toList match {
+        case Nil => err("empty value")
+        case UnquotedChunk(one) :: Nil => typed(one.trim)
+        case (s: String) :: Nil => s
+        case (s: Subst) :: Nil => s
+        case many =>
+          // trailing unquoted whitespace (before a newline/comment) is
+          // not part of the value
+          val normalized = many.map {
+            case UnquotedChunk(c) => c
+            case other => other
+          }
+          val trimmed = normalized.reverse match {
+            case (s: String) :: rest => ((s.replaceAll("\\s+$", "")) :: rest).reverse
+            case other => other.reverse
+          }
+          Concat(trimmed.map {
+            case s: String => s: Any
+            case other => other
+          })
+      }
+    }
+
+    /** Raw unquoted run, stopping at value terminators AND at `$`/`"`
+      * so concatenation tokens separate. Leading whitespace is kept
+      * (interior separators like `a ${x}` preserve their space); the
+      * sequence-level logic trims the edges.
+      */
+    private def parseUnquotedChunk(): String = {
+      val sb = new StringBuilder
+      while (!eof && !"\n,}]#$\"".contains(peek) &&
+          !(peek == '/' && pos + 1 < text.length && text(pos + 1) == '/'))
+        sb += advance()
+      sb.toString
+    }
+
+    private def typed(raw: String): Any = {
+      if (raw.isEmpty) err("empty value")
+      raw match {
+        case "true" => true
+        case "false" => false
+        case "null" => null
+        case _ =>
+          try java.lang.Long.parseLong(raw)
+          catch {
+            case _: NumberFormatException =>
+              try java.lang.Double.parseDouble(raw)
+              catch { case _: NumberFormatException => raw }
+          }
+      }
     }
 
     private def parseArray(): List[Any] = {
@@ -292,28 +376,10 @@ object Hocon {
       Subst(sb.toString.trim, optional)
     }
 
-    /** Unquoted scalar: runs to newline/comma/brace/comment, then typed.
-      * `//` ends the value (comment) — URL-ish values must be quoted.
-      */
-    private def parseUnquoted(): Any = {
-      val sb = new StringBuilder
-      while (!eof && !"\n,}]#".contains(peek) &&
-          !(peek == '/' && pos + 1 < text.length && text(pos + 1) == '/'))
-        sb += advance()
-      val raw = sb.toString.trim
-      if (raw.isEmpty) err("empty value")
-      raw match {
-        case "true" => true
-        case "false" => false
-        case "null" => null
-        case _ =>
-          try java.lang.Long.parseLong(raw)
-          catch {
-            case _: NumberFormatException =>
-              try java.lang.Double.parseDouble(raw)
-              catch { case _: NumberFormatException => raw }
-          }
-      }
-    }
   }
+
+  /** Parser-internal marker distinguishing unquoted text (whose edges
+    * trim and whose lone form types) from quoted strings.
+    */
+  private final case class UnquotedChunk(text: String)
 }

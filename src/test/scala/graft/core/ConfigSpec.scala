@@ -61,6 +61,22 @@ class HoconSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("value concatenation: substitutions inside longer values") {
+    val tree = Hocon.parse(
+      """root = "/data"
+        |orders = ${root}/orders.parquet
+        |tagged = pre-${root}-post
+        |quoted = "a "${root}" b"
+        |spaced = "x" "y"
+        |plain = 12.5
+        |""".stripMargin)
+    assert(tree("orders") == "/data/orders.parquet")
+    assert(tree("tagged") == "pre-/data-post")
+    assert(tree("quoted") == "a /data b")
+    assert(tree("spaced") == "x y")
+    assert(tree("plain") == 12.5) // single unquoted token keeps its type
+  }
+
   test("include splices a file relative to the includer; later keys win") {
     val dir = java.nio.file.Files.createTempDirectory("hocon")
     java.nio.file.Files.writeString(dir.resolve("common.conf"),
