@@ -119,3 +119,43 @@ object WriteParquet extends ComponentFactory {
     new WriteParquet(Cfg.str(c, "input_view"), Cfg.str(c, "path"),
       Cfg.strOr(c, "mode", "overwrite"), Cfg.seqOr(c, "partition_by", Nil))
 }
+
+/** Generic format scan → temp view: one component for every
+  * DataSource V2 format on the classpath (json, orc, csv, text, …;
+  * avro/delta/iceberg when their connectors ship). `options` passes
+  * straight to the reader; an optional DDL schema skips inference —
+  * at scale, schema inference is an extra full scan for JSON/CSV, so
+  * production configs should always pin one.
+  */
+final class ReadFormat(format: String, path: String, outputView: String,
+    options: Map[String, String], schemaDdl: Option[String]) extends DataFlow {
+  val name = s"read_$format($outputView)"
+  def run(): Unit = {
+    var r = spark.read.format(format).options(options)
+    schemaDdl.foreach(ddl => r = r.schema(ddl))
+    r.load(path).createOrReplaceTempView(outputView)
+  }
+}
+object ReadFormat extends ComponentFactory {
+  def fromConfig(c: Map[String, Any]): PipelineComponent =
+    new ReadFormat(Cfg.str(c, "format"), Cfg.str(c, "path"),
+      Cfg.str(c, "output_view"), Cfg.mapOr(c, "options"),
+      Cfg.strOpt(c, "schema"))
+}
+
+/** Temp view → any classpath format, optional partitioning. */
+final class WriteFormat(inputView: String, format: String, path: String,
+    mode: String, partitionBy: Seq[String], options: Map[String, String]) extends DataFlow {
+  val name = s"write_$format($inputView)"
+  def run(): Unit = {
+    var w = spark.table(inputView).write.format(format).mode(mode).options(options)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    w.save(path)
+  }
+}
+object WriteFormat extends ComponentFactory {
+  def fromConfig(c: Map[String, Any]): PipelineComponent =
+    new WriteFormat(Cfg.str(c, "input_view"), Cfg.str(c, "format"),
+      Cfg.str(c, "path"), Cfg.strOr(c, "mode", "overwrite"),
+      Cfg.seqOr(c, "partition_by", Nil), Cfg.mapOr(c, "options"))
+}

@@ -82,4 +82,11 @@ object Cfg {
       case Some(o) => throw ComponentInstantiationError(s"key '$k': expected array, got $o")
       case None => d
     }
+  def mapOr(c: Map[String, Any], k: String): Map[String, String] =
+    c.get(k) match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) =>
+        m.map { case (mk, mv) => mk -> String.valueOf(mv) }
+      case Some(o) => throw ComponentInstantiationError(s"key '$k': expected object, got $o")
+      case None => Map.empty
+    }
 }

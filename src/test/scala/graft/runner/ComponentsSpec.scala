@@ -41,6 +41,27 @@ class ComponentsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ct_orders")
   }
 
+  test("ReadFormat/WriteFormat round-trip json and orc with options + schema") {
+    import graft.components.{ReadFormat, WriteFormat}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fmt").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("fmt_in")
+    for (fmt <- Seq("json", "orc")) {
+      val w = WriteFormat.fromConfig(Map(
+        "input_view" -> "fmt_in", "format" -> fmt, "path" -> s"$dir/$fmt"))
+        .asInstanceOf[graft.core.component.DataFlow]
+      w.setSparkSession(spark); w.run()
+      val r = ReadFormat.fromConfig(Map(
+        "format" -> fmt, "path" -> s"$dir/$fmt", "output_view" -> s"fmt_out_$fmt",
+        "schema" -> "id LONG, v STRING"))
+        .asInstanceOf[graft.core.component.DataFlow]
+      r.setSparkSession(spark); r.run()
+      val back = spark.table(s"fmt_out_$fmt").orderBy("id")
+        .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+      assert(back == Seq((1L, "a"), (2L, "b")), s"round-trip failed for $fmt")
+    }
+  }
+
   test("session wrapper: injected sessions are never stopped; connect gating") {
     val injected = new SessionWrapper(injected = Some(spark))
     assert(!injected.ownsSession)
