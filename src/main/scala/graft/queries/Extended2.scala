@@ -150,7 +150,31 @@ object Extended2 {
       .orderBy("k")
   }
 
+  /** q36: higher-order array functions + map access — transform/filter/
+    * aggregate over a collected array, reduced to scalars (array
+    * columns never reach the output; the driver compare is
+    * scalar-only). HOFs are interpreted in Catalyst, fine here: the
+    * arrays are per-group segment lists (≤5 elements), not per-row hot
+    * loops.
+    */
+  def q36ArrayHof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .groupBy($"c_nationkey")
+      .agg(array_sort(collect_set($"c_mktsegment")).as("segs"))
+      .select(
+        $"c_nationkey",
+        aggregate(transform($"segs", x => length(x)), lit(0),
+          (acc, x) => acc + x).cast("long").as("total_len"),
+        size(filter($"segs", x => x.startsWith("A"))).cast("long").as("n_a_segs"),
+        element_at(map_from_arrays($"segs", transform($"segs", x => length(x))),
+          element_at($"segs", 1)).cast("long").as("first_len"),
+        regexp_extract(element_at($"segs", -1), "^([A-Z]+)", 1).as("last_word"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_array_hof" -> q36ArrayHof,
     "q35_full_outer" -> q35FullOuter,
     "q29_window_zoo" -> q29WindowZoo,
     "q30_datetime" -> q30Datetime,
@@ -160,6 +184,17 @@ object Extended2 {
     "q34_explode_words" -> q34ExplodeWords)
 
   val oracles: Map[String, String] = Map(
+    "q36_array_hof" -> """
+      WITH segs AS (
+        SELECT c_nationkey, list_sort(list_distinct(list(c_mktsegment))) AS s
+        FROM customer GROUP BY c_nationkey)
+      SELECT c_nationkey,
+        CAST(list_sum(list_transform(s, x -> len(x))) AS BIGINT) AS total_len,
+        CAST(len(list_filter(s, x -> starts_with(x, 'A'))) AS BIGINT) AS n_a_segs,
+        CAST(len(s[1]) AS BIGINT) AS first_len,
+        regexp_extract(s[-1], '^([A-Z]+)', 1) AS last_word
+      FROM segs
+      ORDER BY c_nationkey""",
     "q35_full_outer" -> """
       SELECT COALESCE(o.k, e.k) AS k,
         COALESCE(o.n_orders, 0) AS n_orders,

@@ -61,6 +61,35 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
+  test("AQE splits the skewed partition of a sort-merge join at runtime") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carrying ~100× the median partition's bytes
+      val left = (1 to 200000).map(i => (0L, s"payload-$i")) ++
+        (1 to 2000).map(i => ((i % 100 + 1).toLong, s"p-$i"))
+      val right = (0 to 100).flatMap(k => (1 to 20).map(i => (k.toLong, i)))
+      val joined = left.toDF("k", "v").join(right.toDF("k", "w"), "k")
+      // run THIS Dataset's adaptive plan (a write action would build its
+      // own QueryExecution and leave this one isFinalPlan=false)
+      val qe = joined.queryExecution
+      qe.executedPlan.execute().count()
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("range-clustered layout yields disjoint per-file key ranges; plain write does not") {
     import spark.implicits._
     val orders = graft.Tables.t(spark, sfDir, "orders")
