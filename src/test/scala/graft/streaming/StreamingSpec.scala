@@ -159,6 +159,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "streaming session windows must match batch")
   }
 
+  test("stream-stream join with watermarks matches the batch join") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-ssjoin")
+    val impressions = Seq(
+      ("2024-01-01 00:00:05", 1L, "ad_a"), ("2024-01-01 00:00:20", 2L, "ad_b"),
+      ("2024-01-01 00:01:00", 3L, "ad_c"))
+      .toDF("ts_s", "id", "ad")
+      .selectExpr("CAST(ts_s AS TIMESTAMP) AS i_ts", "id", "ad")
+    val clicks = Seq(
+      ("2024-01-01 00:00:30", 1L), ("2024-01-01 00:01:10", 3L),
+      ("2024-01-01 00:09:00", 9L)) // no matching impression
+      .toDF("ts_s", "id")
+      .selectExpr("CAST(ts_s AS TIMESTAMP) AS c_ts", "id")
+    impressions.write.parquet(work.resolve("imp/b1").toString)
+    clicks.write.parquet(work.resolve("clk/b1").toString)
+
+    // batch truth: click within 2 minutes after its impression
+    val cond = "i.id = c.id AND c_ts >= i_ts AND c_ts <= i_ts + INTERVAL 2 MINUTES"
+    impressions.as("i").createOrReplaceTempView("ss_imp_b")
+    clicks.as("c").createOrReplaceTempView("ss_clk_b")
+    val batch = spark.sql(
+      s"SELECT i.id, ad FROM ss_imp_b i JOIN ss_clk_b c ON $cond")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batch == Set((1L, "ad_a"), (3L, "ad_c")))
+
+    // same join as stream-stream (both sides watermarked; inner join
+    // with a time-bound condition so state is evictable)
+    val si = spark.readStream
+      .schema("i_ts TIMESTAMP, id LONG, ad STRING")
+      .parquet(work.resolve("imp").toString + "/*")
+      .withWatermark("i_ts", "10 minutes").as("i")
+    val sc = spark.readStream
+      .schema("c_ts TIMESTAMP, id LONG")
+      .parquet(work.resolve("clk").toString + "/*")
+      .withWatermark("c_ts", "10 minutes").as("c")
+    val q = si.join(sc, expr(cond))
+      .selectExpr("i.id", "ad")
+      .writeStream.format("memory").queryName("ss_joined")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("ss_joined")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch, "stream-stream join must match batch join")
+  }
+
   test("stream-batch parity: windowed aggregation over the events table") {
     import spark.implicits._
     // batch truth
