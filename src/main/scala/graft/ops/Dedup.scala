@@ -437,15 +437,15 @@ object Dedup {
     while (!converged && it < maxIter) {
       val nbrMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("nid")).agg(min(col("lbl")).as("nlbl"))
+      // changed-flag rides along with the new label, so the convergence
+      // probe below reads the checkpointed frame instead of re-joining
       val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("moved"))
         .localCheckpoint(eager = true)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .limit(1).isEmpty
-      labels = next
+      converged = next.filter(col("moved")).limit(1).isEmpty
+      labels = next.select(col("id"), col("lbl"))
       it += 1
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("component_id"))
