@@ -165,13 +165,72 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Portable winnowing: same window-minimum selection as [[winnow]]
+    * but grams hash through md5 hex strings (lexicographic order), so
+    * fingerprints are reproducible in ANY engine with an md5 — the
+    * cross-system-auditable variant (and the DuckDB-oracle-checkable
+    * one; the fnv64 form needs wrapping 64-bit arithmetic SQL engines
+    * refuse). Value-ties make the tie-break rule irrelevant: equal
+    * minima dedupe to one fingerprint either way.
+    */
+  def winnowPortable(text: String, md: java.security.MessageDigest,
+      k: Int = 8, w: Int = 4): Array[String] = {
+    val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (s.length < k) return Array.empty
+    val n = s.length - k + 1
+    val hs = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(s.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(32)
+      var b = 0
+      while (b < d.length) { sb.append(f"${d(b) & 0xff}%02x"); b += 1 }
+      hs(i) = sb.toString
+      i += 1
+    }
+    if (n <= w) return Array(hs.min)
+    val out = new scala.collection.mutable.TreeSet[String]()
+    i = 0
+    while (i + w <= n) {
+      var m = hs(i)
+      var j = i + 1
+      while (j < i + w) { if (hs(j) <= m) m = hs(j); j += 1 }
+      out += m
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Portable-winnow query: fingerprint count + md5 digest of the
+    * sorted fingerprint set (scalar outputs for the hash gate).
+    */
+  def taWinnowPortable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val fps = winnowPortable(text, md)
+          val digest = md.digest(fps.mkString(",")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val sb = new java.lang.StringBuilder(32)
+          var b = 0
+          while (b < digest.length) { sb.append(f"${digest(b) & 0xff}%02x"); b += 1 }
+          (id, fps.length.toLong, sb.toString)
+        }
+      }
+      .toDF("doc_id", "n_fp", "fp_digest")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tokens" -> taTokens,
     "ta_quality" -> taQuality,
     "ta_langid" -> taLangId,
     "ta_fingerprint" -> taFingerprint,
     "ta_bpe_tokens" -> taBpeTokens,
-    "ta_winnow" -> taWinnow)
+    "ta_winnow" -> taWinnow,
+    "ta_winnow_portable" -> taWinnowPortable)
 
   private val enPat = "\\b(" + langProfiles.head._2.mkString("|") + ")\\b"
   private def hitsSql(pat: String) =
@@ -219,7 +278,26 @@ object TextAnalysis {
       SELECT doc_id,
         CAST(len(regexp_extract_all(text, '${BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens
-      FROM documents ORDER BY doc_id""")
-  // ta_winnow: rolling-hash fingerprints are not SQL-expressible →
-  // rows-only check; substring-match guarantee covered by its spec.
+      FROM documents ORDER BY doc_id""",
+    "ta_winnow_portable" -> """
+      WITH norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        FROM documents),
+      grams AS (
+        SELECT doc_id, [md5(s[i:i+7]) for i in range(1, len(s) - 8 + 2)] AS hs
+        FROM norm WHERE len(s) >= 8),
+      fps AS (
+        SELECT doc_id,
+          CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+               ELSE list_sort(list_distinct(
+                 [list_min(hs[i:i+3]) for i in range(1, len(hs) - 4 + 2)]))
+          END AS f
+        FROM grams)
+      SELECT doc_id,
+        CAST(len(f) AS BIGINT) AS n_fp,
+        md5(array_to_string(f, ',')) AS fp_digest
+      FROM fps ORDER BY doc_id""")
+  // ta_winnow (fnv64 form): wrapping 64-bit rolling-hash arithmetic is
+  // not SQL-expressible → rows-only check; substring-match guarantee
+  // covered by its spec. ta_winnow_portable is the oracle-checked twin.
 }

@@ -98,6 +98,38 @@ class HoconSpec extends AnyFunSuite {
     val e = intercept[Hocon.ParseError](Hocon.parse("a = 1\nb = "))
     assert(e.line >= 2)
   }
+
+  test("property: random config trees render-parse round-trip") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genKey = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val genLeaf: Gen[Any] = Gen.oneOf(
+      Gen.choose(-1000000L, 1000000L).map(x => x: Any),
+      Gen.oneOf(true, false).map(x => x: Any),
+      Gen.choose(1, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString: Any)))
+    def genTree(depth: Int): Gen[Map[String, Any]] =
+      Gen.choose(1, 4).flatMap { n =>
+        Gen.listOfN(n, for {
+          k <- genKey
+          v <- if (depth <= 0) genLeaf
+               else Gen.frequency(3 -> genLeaf, 1 -> genTree(depth - 1))
+        } yield k -> v).map(kvs => kvs.toMap)
+      }
+    def render(m: Map[String, Any], indent: String = ""): String =
+      m.map {
+        case (k, sub: Map[String @unchecked, Any @unchecked]) =>
+          s"$indent$k {\n${render(sub, indent + "  ")}$indent}\n"
+        case (k, s: String) => s"""$indent$k = "$s"""" + "\n"
+        case (k, v) => s"$indent$k = $v\n"
+      }.mkString
+    (0 until 60).foreach { i =>
+      genTree(2).apply(Gen.Parameters.default, Seed(i.toLong)).foreach { tree =>
+        assert(Hocon.parse(render(tree)) == tree, s"round-trip failed:\n${render(tree)}")
+      }
+    }
+  }
 }
 
 class ConfigModelSpec extends AnyFunSuite {

@@ -210,6 +210,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.winnow("short").isEmpty, "below k yields no fingerprints")
   }
 
+  test("portable winnowing keeps the substring-sharing guarantee") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps"
+    val a = TextAnalysis.winnowPortable(base, md).toSet
+    val b = TextAnalysis.winnowPortable("PREFIX " + base + " SUFFIX", md).toSet
+    val c = TextAnalysis.winnowPortable(
+      "0123456789abcdefghij0123456789abcdefghij no overlap at all here", md).toSet
+    assert(a.nonEmpty && a.intersect(b).nonEmpty)
+    assert(a.intersect(c).isEmpty)
+    assert(TextAnalysis.winnowPortable("short", md).isEmpty)
+    assert(a.forall(_.matches("[0-9a-f]{32}")), "md5 hex fingerprints")
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val df = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
