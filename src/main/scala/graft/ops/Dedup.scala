@@ -188,40 +188,51 @@ object Dedup {
     * paid an extra explode + groupBy(doc_id) round-trip to assemble
     * signatures from exploded shingle rows.
     */
+  /** Fused (doc_id, band, bh) bucket rows straight from per-doc shingle
+    * sets: signature and band hashes computed in one narrow compiled
+    * pass. Shared by the full self-dedup and the incremental
+    * cross-corpus form.
+    */
+  def lshBucketsFused(sets: DataFrame): DataFrame = {
+    val s = sets.sparkSession
+    import s.implicits._
+    sets.as[(Long, Array[Long])]
+      .flatMap { case (id, hashes) =>
+        if (hashes.isEmpty) Iterator.empty
+        else {
+          val sig = new Array[Int](NumHashes)
+          var i = 0
+          while (i < NumHashes) {
+            var m = Int.MaxValue
+            var j = 0
+            while (j < hashes.length) {
+              val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+                .hashLong(hashes(j), i)
+              if (h < m) m = h
+              j += 1
+            }
+            sig(i) = m
+            i += 1
+          }
+          (0 until Bands).iterator.map { b =>
+            var bh = 42
+            var r = b * RowsPerBand
+            while (r < (b + 1) * RowsPerBand) {
+              bh = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(sig(r), bh)
+              r += 1
+            }
+            (id, b, bh)
+          }
+        }
+      }
+      .toDF("doc_id", "band", "bh")
+  }
+
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sets = shingleSets(s, dir).cache()
     try {
-      val buckets = sets.as[(Long, Array[Long])]
-        .flatMap { case (id, hashes) =>
-          if (hashes.isEmpty) Iterator.empty
-          else {
-            val sig = new Array[Int](NumHashes)
-            var i = 0
-            while (i < NumHashes) {
-              var m = Int.MaxValue
-              var j = 0
-              while (j < hashes.length) {
-                val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
-                  .hashLong(hashes(j), i)
-                if (h < m) m = h
-                j += 1
-              }
-              sig(i) = m
-              i += 1
-            }
-            (0 until Bands).iterator.map { b =>
-              var bh = 42
-              var r = b * RowsPerBand
-              while (r < (b + 1) * RowsPerBand) {
-                bh = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(sig(r), bh)
-                r += 1
-              }
-              (id, b, bh)
-            }
-          }
-        }
-        .toDF("doc_id", "band", "bh")
+      val buckets = lshBucketsFused(sets)
       val cand = candidatePairs(buckets)
       verifyJaccardSets(cand, sets, 0.8).orderBy("a", "b")
         .localCheckpoint(eager = true)
@@ -455,6 +466,37 @@ object Dedup {
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
     connectedComponents(dedupMinhashLsh(s, dir))
       .orderBy("doc_id")
+
+  /** Incremental dedup: near-dup pairs between a NEW batch and an
+    * EXISTING corpus, never base×base — the production shape where a
+    * daily batch lands against a 100 TB corpus. Cost ∝ batch size:
+    * only buckets containing at least one new doc produce candidates,
+    * the existing side contributes its (precomputed, stored) bucket
+    * and shingle-set tables, and the verify joins touch only candidate
+    * ids. Output: (a=new doc, b=base doc, jaccard).
+    */
+  def crossCorpusNearDups(
+      newSets: DataFrame, baseSets: DataFrame,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    val nb = lshBucketsFused(newSets)
+    val bb = lshBucketsFused(baseSets)
+    // skew cap across the union, same anti-join form as candidatePairs
+    val hot = nb.select(col("band"), col("bh"))
+      .unionAll(bb.select(col("band"), col("bh")))
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+      .select(col("band"), col("bh"))
+    val nOk = nb.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+    val bOk = bb.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+    val cand = nOk.as("x").join(bOk.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyJaccardSets(cand,
+      newSets.unionByName(baseSets).dropDuplicates("doc_id"), threshold)
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> """

@@ -67,6 +67,27 @@ class DedupSpec extends SparkSpec {
     assert(a.nonEmpty, "sf0.001 corpus contains known near-dups")
   }
 
+  test("cross-corpus incremental dedup = full-run pairs restricted to cross pairs") {
+    import org.apache.spark.sql.functions.col
+    val sets = Dedup.shingleSets(spark, sfDir).cache()
+    try {
+      val base = sets.filter(col("doc_id") < 250)
+      val fresh = sets.filter(col("doc_id") >= 250)
+      val cross = Dedup.crossCorpusNearDups(fresh, base)
+        .select("a", "b").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+        .toSet
+      val full = Dedup.dedupMinhashLsh(spark, sfDir)
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => (a < 250) != (b < 250) }
+        .toSet
+      assert(cross == full,
+        "incremental pairs must equal the full run's cross-split pairs")
+      assert(cross.nonEmpty, "sf0.001 corpus has near-dups spanning the split")
+    } finally { sets.unpersist(); () }
+  }
+
   test("connected components: transitive chains collapse to the min id") {
     // chain 1-2-3 (no direct 1-3 edge), pair 10-11, chain 20-21-22-23
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
