@@ -161,9 +161,17 @@ object Dedup {
     * explode, no groupBy shuffle; the set column feeds both band-bucket
     * generation and the verify join.
     */
-  def shingleSets(s: SparkSession, dir: String): DataFrame = {
+  def shingleSets(s: SparkSession, dir: String): DataFrame =
+    shingleSetsOf(t(s, dir, "documents"))
+
+  /** Same, over any (doc_id, text) frame — the entry point for
+    * incremental/streaming batches that don't come from the documents
+    * table.
+    */
+  def shingleSetsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    t(s, dir, "documents")
+    docs
       .select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, text) =>
         val ws = text.trim.split("\\s+").filter(_.nonEmpty)

@@ -159,6 +159,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "streaming session windows must match batch")
   }
 
+  test("streaming incremental dedup: incoming docs near-dup-checked per batch") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // static corpus: two docs
+    val baseText = "the quick brown fox jumps over the lazy dog again and again and again"
+    val base = Seq((1L, baseText), (2L, "completely different content about spark plans and shuffles here"))
+      .toDF("doc_id", "text")
+    val baseSets = Dedup.shingleSetsOf(base).cache()
+    baseSets.count()
+
+    // stream: one near-dup of doc 1, one novel doc
+    val work = Files.createTempDirectory("graft-incdedup")
+    Seq((10L, baseText + " extra"), (11L, "novel text that matches nothing in the corpus at all today"))
+      .toDF("doc_id", "text")
+      .write.parquet(work.resolve("in/b1").toString)
+
+    val flagged = scala.collection.mutable.Set[Long]()
+    val q = new StreamingPipeline(
+      source = FileStreamingSource(work.resolve("in").toString + "/*",
+        schemaDdl = Some("doc_id LONG, text STRING")),
+      sink = ForeachBatchSink { (batch, _) =>
+        val dups = Dedup.crossCorpusNearDups(
+          Dedup.shingleSetsOf(batch), baseSets, threshold = 0.7)
+          .select("a").collect().map(_.getLong(0))
+        flagged.synchronized { flagged ++= dups; () }
+      },
+      trigger = TriggerConfig.AvailableNow).startStream(spark)
+    q.awaitTermination(60000)
+    assert(flagged.toSet == Set(10L),
+      s"only the near-dup of the corpus doc should be flagged, got $flagged")
+    baseSets.unpersist()
+  }
+
   test("stream-stream join with watermarks matches the batch join") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-ssjoin")
