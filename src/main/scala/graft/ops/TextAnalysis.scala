@@ -173,7 +173,45 @@ object TextAnalysis {
     * refuse). Value-ties make the tie-break rule irrelevant: equal
     * minima dedupe to one fingerprint either way.
     */
-  def winnowPortable(text: String, md: java.security.MessageDigest,
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** 32-char lowercase hex of an md5 digest — table-driven; a
+    * String.format per byte costs more than the md5 itself.
+    */
+  def md5Hex(md: java.security.MessageDigest, bytes: Array[Byte]): String = {
+    val d = md.digest(bytes)
+    val cs = new Array[Char](32)
+    var b = 0
+    while (b < d.length) {
+      cs(b * 2) = HexChars((d(b) >> 4) & 0xf)
+      cs(b * 2 + 1) = HexChars(d(b) & 0xf)
+      b += 1
+    }
+    new String(cs)
+  }
+
+  /** Per-partition gram→md5hex memo: natural-language k-grams repeat
+    * heavily, so the corpus-wide md5 count collapses to ~|vocab| per
+    * partition. Size-capped so adversarial high-entropy text can't
+    * balloon the executor heap.
+    */
+  final class Md5Memo(max: Int = 1 << 20) {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    private val m = new java.util.HashMap[String, String]()
+    def apply(gram: String): String = {
+      val hit = m.get(gram)
+      if (hit != null) hit
+      else {
+        val h = md5Hex(md, gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (m.size < max) m.put(gram, h)
+        h
+      }
+    }
+    def digestOf(s: String): String =
+      md5Hex(md, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def winnowPortable(text: String, memo: Md5Memo,
       k: Int = 8, w: Int = 4): Array[String] = {
     val s = text.toLowerCase.replaceAll("\\s+", " ").trim
     if (s.length < k) return Array.empty
@@ -181,11 +219,7 @@ object TextAnalysis {
     val hs = new Array[String](n)
     var i = 0
     while (i < n) {
-      val d = md.digest(s.substring(i, i + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val sb = new java.lang.StringBuilder(32)
-      var b = 0
-      while (b < d.length) { sb.append(f"${d(b) & 0xff}%02x"); b += 1 }
-      hs(i) = sb.toString
+      hs(i) = memo(s.substring(i, i + k))
       i += 1
     }
     if (n <= w) return Array(hs.min)
@@ -208,15 +242,10 @@ object TextAnalysis {
     import s.implicits._
     t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val memo = new Md5Memo()
         it.map { case (id, text) =>
-          val fps = winnowPortable(text, md)
-          val digest = md.digest(fps.mkString(",")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val sb = new java.lang.StringBuilder(32)
-          var b = 0
-          while (b < digest.length) { sb.append(f"${digest(b) & 0xff}%02x"); b += 1 }
-          (id, fps.length.toLong, sb.toString)
+          val fps = winnowPortable(text, memo)
+          (id, fps.length.toLong, memo.digestOf(fps.mkString(",")))
         }
       }
       .toDF("doc_id", "n_fp", "fp_digest")

@@ -232,7 +232,7 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("portable winnowing keeps the substring-sharing guarantee") {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = new TextAnalysis.Md5Memo()
     val base = "the quick brown fox jumps over the lazy dog while the cat sleeps"
     val a = TextAnalysis.winnowPortable(base, md).toSet
     val b = TextAnalysis.winnowPortable("PREFIX " + base + " SUFFIX", md).toSet
