@@ -435,14 +435,15 @@ object Dedup {
     * component id — the canonical-representative assignment a dedup
     * pipeline keeps/drops by.
     *
-    * Iterative min-label propagation: each round every node takes the
-    * minimum label among itself and its neighbors; rounds = graph
-    * diameter. Near-dup graphs are shallow (clusters of mutually similar
-    * docs, diameter ≲ 4) so this converges in a handful of rounds;
-    * a corpus with adversarially long chains would switch to the
-    * large-star/small-star contraction (O(log n) rounds, same join
-    * shape). Each round localCheckpoints to truncate lineage, and the
-    * convergence probe is a LIMIT 1 count — no full-result collect.
+    * Iterative min-label propagation with pointer jumping: each round
+    * every node takes the minimum label among itself and its neighbors
+    * (one hop), then jumps to its label's label (path doubling) — so
+    * label distance to the component minimum roughly halves per round
+    * and convergence is O(log diameter), not O(diameter). Near-dup
+    * graphs are shallow (diameter ≲ 4); the jump is what keeps
+    * adversarially long chains from stalling the loop. Each round
+    * localCheckpoints to truncate lineage, and the convergence probe is
+    * a LIMIT 1 count — no full-result collect.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
@@ -456,14 +457,22 @@ object Dedup {
     while (!converged && it < maxIter) {
       val nbrMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("nid")).agg(min(col("lbl")).as("nlbl"))
-      // changed-flag rides along with the new label, so the convergence
-      // probe below reads the checkpointed frame instead of re-joining
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+      val hop = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("moved"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jump: follow the label to ITS label (every label is a
+      // node id, so the self-join always matches); changed-flag rides
+      // along so the convergence probe reads the checkpointed frame
+      val next = hop.as("h")
+        .join(labels.as("p"), col("h.lbl") === col("p.id"))
+        .select(col("h.id").as("id"),
+          least(col("h.lbl"), col("p.lbl")).as("lbl"))
         .localCheckpoint(eager = true)
-      converged = next.filter(col("moved")).limit(1).isEmpty
+      // converged when no node's label changed vs the previous round
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .limit(1).isEmpty
       labels = next.select(col("id"), col("lbl"))
       it += 1
     }

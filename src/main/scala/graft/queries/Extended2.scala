@@ -173,7 +173,32 @@ object Extended2 {
       .orderBy("c_nationkey")
   }
 
+  /** q37: exact discrete quantiles (p25/p50/p75) per group — the q32
+    * midpoint mechanism generalized: rank rows once, pick the
+    * ceil(p·n)-th value per quantile via conditional aggregation. One
+    * shuffle, no sort-to-driver, engine-independent (no interpolation).
+    */
+  def q37Quantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    def pick(p: Double) =
+      max(when($"rn" === greatest(ceil(lit(p) * $"n"), lit(1L)), $"o_totalprice"))
+    t(s, dir, "orders")
+      .select($"o_orderpriority", $"o_totalprice", $"o_orderkey",
+        row_number().over(w).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy($"o_orderpriority")).as("n"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        pick(0.25).as("p25"),
+        pick(0.50).as("p50"),
+        pick(0.75).as("p75"),
+        max($"n").as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_quantiles" -> q37Quantiles,
     "q36_array_hof" -> q36ArrayHof,
     "q35_full_outer" -> q35FullOuter,
     "q29_window_zoo" -> q29WindowZoo,
@@ -184,6 +209,21 @@ object Extended2 {
     "q34_explode_words" -> q34ExplodeWords)
 
   val oracles: Map[String, String] = Map(
+    "q37_quantiles" -> """
+      WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+          COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders)
+      SELECT o_orderpriority,
+        MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.25 * n) AS BIGINT), 1) THEN o_totalprice END) AS p25,
+        MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.50 * n) AS BIGINT), 1) THEN o_totalprice END) AS p50,
+        MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.75 * n) AS BIGINT), 1) THEN o_totalprice END) AS p75,
+        CAST(MAX(n) AS BIGINT) AS n_orders
+      FROM ranked
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
     "q36_array_hof" -> """
       WITH segs AS (
         SELECT c_nationkey, list_sort(list_distinct(list(c_mktsegment))) AS s

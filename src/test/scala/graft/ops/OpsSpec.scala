@@ -99,6 +99,16 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
+
+  test("connected components: pointer jumping converges on a 60-node chain") {
+    // diameter 60 >> maxIter 20: plain one-hop propagation cannot finish;
+    // path doubling must
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(chain, maxIter = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 60)
+    assert(comp.values.forall(_ == 0L), "whole chain must collapse to node 0")
+  }
 }
 
 class SamplingSpec extends SparkSpec {
