@@ -166,10 +166,13 @@ object Similarity {
   }
 
   /** IVF ANN: assign every corpus vector to its nearest centroid (10
-    * partitions); each query probes its NProbe nearest centroids and
+    * partitions); each query probes its `nprobe` nearest centroids and
     * brute-forces only those partitions (~nprobe/k of the corpus read).
+    * With nprobe = #centroids the search is exhaustive and must equal
+    * brute force EXACTLY — the recall knob's correctness anchor, pinned
+    * by spec.
     */
-  def simIvfANN(s: SparkSession, dir: String): DataFrame = {
+  def simIvfANN(s: SparkSession, dir: String, nprobe: Int = NProbe): DataFrame = {
     import s.implicits._
     val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
     val cents = broadcast(centroids(emb(s, dir)))
@@ -183,7 +186,7 @@ object Similarity {
     }
     val assigned = nearest(1, "e", "vec_id", all)
       .select($"vec_id".as("cand_id"), $"e", $"cent_id")
-    val probes = nearest(NProbe, "qe", "query_id",
+    val probes = nearest(nprobe, "qe", "query_id",
       all.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("query_id"), $"e".as("qe")))
       .select($"query_id", $"qe", $"cent_id")
@@ -301,7 +304,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_brute_topk" -> simBruteTopK,
     "sim_lsh_ann" -> simLshANN,
-    "sim_ivf_ann" -> simIvfANN,
+    "sim_ivf_ann" -> ((s, d) => simIvfANN(s, d)),
     "dedup_embcos" -> ((s, d) => dedupEmbCosine(s, d)),
     "dedup_embcos_tiled" -> ((s, d) => dedupEmbCosineTiled(s, d)))
 

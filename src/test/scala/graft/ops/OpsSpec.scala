@@ -176,6 +176,15 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall below bound")
   }
 
+  test("IVF with all probes equals brute force exactly (rank, id, AND score)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rk", "cand_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val exhaustive = rows(Similarity.simIvfANN(spark, sfDir, nprobe = 10))
+    assert(exhaustive == rows(Similarity.simBruteTopK(spark, sfDir)),
+      "exhaustive IVF must reduce to brute force bit-exactly")
+  }
+
   test("tiled all-pairs cosine is bit-identical to the broadcast kernel") {
     val a = Similarity.dedupEmbCosine(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
