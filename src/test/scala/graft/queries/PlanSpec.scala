@@ -105,6 +105,12 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast anti join:\n$p")
   }
 
+  test("q37 quantiles: rank + count windows and the final agg share ONE shuffle") {
+    val p = plan(Extended2.q37Quantiles(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"quantile pipeline should partition once on the group key:\n$p")
+  }
+
   test("q29 window zoo computes all five functions in ONE window node") {
     val p = plan(Extended2.q29WindowZoo(spark, sfDir))
     assert("(?s)Window".r.findAllIn(p).size >= 1)
