@@ -361,6 +361,80 @@ object Dedup {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhashSets(shingleSets(s, dir)).orderBy("doc_id")
 
+  /** Portable simhash: the same per-bit majority vote as [[simhashSets]]
+    * but feature bit j of a shingle = bit (j mod 4) of hex nibble
+    * (j div 4) of the shingle's md5 — reproducible in ANY engine with an
+    * md5 (and so DuckDB-oracle-checkable), unlike the fnv64/splitmix64
+    * form whose wrapping 64-bit arithmetic SQL engines refuse. One
+    * narrow compiled pass per document; the per-partition md5 memo
+    * collapses repeated natural-language shingles to ~|vocab| digests.
+    */
+  def simhashPortableSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new TextAnalysis.Md5Memo()
+        it.flatMap { case (id, text) =>
+          val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+          if (ws.length < ShingleN) Iterator.empty
+          else {
+            val votes = new Array[Int](64)
+            val seen = new scala.collection.mutable.HashSet[String]
+            var i = 0
+            while (i + ShingleN <= ws.length) {
+              val g = ws.slice(i, i + ShingleN).mkString(" ")
+              if (seen.add(g)) {
+                val hx = memo(g)
+                var j = 0
+                while (j < 64) {
+                  if (((Character.digit(hx.charAt(j >> 2), 16) >> (j & 3)) & 1) == 1)
+                    votes(j) += 1
+                  else votes(j) -= 1
+                  j += 1
+                }
+              }
+              i += 1
+            }
+            var sig = 0L
+            var j = 0
+            while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+            Iterator.single((id, sig))
+          }
+        }
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Signature rendered as 16 hex chars, char i = nibble (sig >>> 4i) —
+    * char 0 is the LEAST significant nibble. A string output keeps the
+    * driver compare scalar-typed on every engine.
+    */
+  private def sigHex(sig: Long): String = {
+    val cs = new Array[Char](16)
+    var i = 0
+    while (i < 16) { cs(i) = TextAnalysis.HexChars(((sig >>> (4 * i)) & 0xFL).toInt); i += 1 }
+    new String(cs)
+  }
+
+  def dedupSimhashPortable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    simhashPortableSigs(s, dir).as[(Long, Long)]
+      .map { case (id, sig) => (id, sigHex(sig)) }
+      .toDF("doc_id", "simhash_hex")
+      .orderBy("doc_id")
+  }
+
+  /** Portable simhash near-dup pairs. The 4×16-bit banding is EXACT at
+    * maxHamming ≤ 3: three flipped bits can touch at most three of the
+    * four bands, so every qualifying pair agrees on ≥1 full band
+    * (pigeonhole) and the banded candidate join loses nothing — the
+    * oracle is all-pairs hamming, and this plan must equal it.
+    */
+  def dedupSimhashPairsPortable(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(simhashPortableSigs(s, dir))
+      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("a", "b")
+
   /** SimHash near-dup pairs: 4×16-bit band candidates (a pair within
     * hamming ≤ 3 must agree on ≥1 full 16-bit band by pigeonhole when
     * flips spread, and with high probability otherwise), verified with
@@ -398,6 +472,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
+    "dedup_simhash_portable" -> dedupSimhashPortable,
+    "dedup_simhash_pairs_portable" -> dedupSimhashPairsPortable,
     "dedup_components" -> dedupComponents)
 
   /** DuckDB-side distinct (doc_id, shingle) pairs, mirroring
@@ -544,7 +620,46 @@ object Dedup {
         UNION
         SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)
       SELECT id AS doc_id, MIN(lbl) AS component_id
-      FROM reach GROUP BY id ORDER BY doc_id""")
-  // dedup_simhash: xxhash64 signatures are not expressible in DuckDB →
-  // rows-only check; pair semantics covered by DedupSpec.
+      FROM reach GROUP BY id ORDER BY doc_id""",
+    "dedup_simhash_portable" -> s"""
+      WITH $portableSigCte
+      SELECT doc_id, simhash_hex FROM sigs ORDER BY doc_id""",
+    "dedup_simhash_pairs_portable" -> s"""
+      WITH $portableSigCte
+      SELECT a, b, hamming FROM (
+        SELECT x.doc_id AS a, y.doc_id AS b,
+          CAST(list_sum(
+            [bit_count(xor(strpos('0123456789abcdef', substr(x.simhash_hex, i, 1)) - 1,
+                           strpos('0123456789abcdef', substr(y.simhash_hex, i, 1)) - 1))
+             for i in range(1, 17)]) AS BIGINT) AS hamming
+        FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id) p
+      WHERE hamming <= 3
+      ORDER BY a, b""")
+  // dedup_simhash / dedup_simhash_pairs (fnv64+splitmix64 form): the
+  // wrapping 64-bit arithmetic is not SQL-expressible → rows-only check;
+  // pair semantics covered by DedupSpec. The *_portable twins above are
+  // the oracle-checked equivalents (md5-nibble feature bits).
+
+  /** DuckDB mirror of [[simhashPortableSigs]] + [[sigHex]]: per-shingle
+    * md5 nibble bits → per-bit majority votes → hex-rendered signature
+    * (char i = bits 4i..4i+3, bit r of the nibble = signature bit 4i+r).
+    */
+  private lazy val portableSigCte = s"""$shingleCte,
+    hx AS (SELECT doc_id, md5(sh) AS h FROM sh),
+    bits AS (
+      SELECT doc_id, bb.b AS b,
+        ((strpos('0123456789abcdef', substr(h, CAST(bb.b // 4 AS INT) + 1, 1)) - 1)
+          >> CAST(bb.b % 4 AS INT)) & 1 AS bit
+      FROM hx CROSS JOIN (SELECT unnest(range(64)) AS b) bb),
+    votes AS (
+      SELECT doc_id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY doc_id, b),
+    nibs AS (
+      SELECT doc_id, b // 4 AS ni,
+        SUM(CASE WHEN v > 0 THEN (1 << CAST(b % 4 AS INT)) ELSE 0 END) AS nib
+      FROM votes GROUP BY doc_id, b // 4),
+    sigs AS (
+      SELECT doc_id,
+        string_agg(substr('0123456789abcdef', CAST(nib AS INT) + 1, 1), '' ORDER BY ni) AS simhash_hex
+      FROM nibs GROUP BY doc_id)"""
 }

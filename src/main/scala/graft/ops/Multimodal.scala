@@ -49,20 +49,32 @@ object Multimodal {
     * replaces decode() with actual JNI/library calls — the call shape
     * (bytes in, typed features out, partition-local init) is what the
     * pipeline depends on, not the pixel math.
+    *
+    * Pseudo-properties derive from the md5 of the payload (not a JVM
+    * hashCode): md5 is reproducible in any engine, so the decode stage
+    * is cross-system auditable — and oracle-checkable — rather than
+    * JVM-bound. All arithmetic stays in non-negative ints (no
+    * engine-specific negative division/modulo semantics) and the
+    * feature components are IEEE single-precision quotients, which
+    * divide identically on every IEEE-754 platform.
     */
   object FakeCodec {
     /** Per-partition "codec handle" — stands in for an expensive native
       * init that must NOT happen per record.
       */
     final class Handle private[FakeCodec] () {
+      private val md = java.security.MessageDigest.getInstance("MD5")
       def decode(r: MediaRecord): DecodedFeatures = {
         val len = r.payload.length.toLong
-        // deterministic pseudo-properties from payload content
-        val h = java.util.Arrays.hashCode(r.payload)
-        val w = 64 + math.abs(h % 512)
-        val ht = 64 + math.abs((h / 512) % 512)
-        val feat = Array.tabulate(8)(i =>
-          ((h >>> (i * 4)) & 0xF).toFloat / 15.0f)
+        val hx = TextAnalysis.md5Hex(md, r.payload)
+        def nib(i: Int): Int = Character.digit(hx.charAt(i), 16)
+        // 28-bit non-negative value from the first 7 md5 nibbles
+        var hv = 0
+        var i = 0
+        while (i < 7) { hv = (hv << 4) | nib(i); i += 1 }
+        val w = 64 + hv % 512
+        val ht = 64 + (hv / 512) % 512
+        val feat = Array.tabulate(8)(i => nib(i).toFloat / 15.0f)
         r.kind match {
           case "image" => DecodedFeatures(r.media_id, r.kind, len, w, ht, 3, 0L, feat)
           case "audio" => DecodedFeatures(r.media_id, r.kind, len, 0, 0, 2, 1 + len / 4, feat)
@@ -132,8 +144,8 @@ object Multimodal {
         var sum = 0.0
         var i = 0
         while (i < d.feature.length) { sum += d.feature(i); i += 1 }
-        (d.media_id, d.kind, d.byte_len, d.width, d.height,
-          d.channels, d.duration_ms, sum)
+        (d.media_id, d.kind, d.byte_len, d.width.toLong, d.height.toLong,
+          d.channels.toLong, d.duration_ms, sum)
       }
       .toDF("media_id", "kind", "byte_len", "width", "height",
         "channels", "duration_ms", "feature_sum")
@@ -153,9 +165,9 @@ object Multimodal {
       .join(decoded, "media_id")
       .select(
         $"media_id",
-        $"width", $"height",
-        least($"width", lit(maxDim)).as("new_width"),
-        least($"height", lit(maxDim)).as("new_height"),
+        $"width".cast("long").as("width"), $"height".cast("long").as("height"),
+        least($"width", lit(maxDim)).cast("long").as("new_width"),
+        least($"height", lit(maxDim)).cast("long").as("new_height"),
         substring($"payload", 1, 1024).as("payload_head"))
       .select($"media_id", $"width", $"height", $"new_width", $"new_height",
         length($"payload_head").cast("long").as("head_len"))
@@ -194,7 +206,54 @@ object Multimodal {
   private val kindSql =
     "(['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]"
 
+  /** DuckDB mirror of the stub codec's md5-nibble math. md5(text) in
+    * DuckDB hashes the UTF-8 bytes — exactly the payload bytes — and
+    * `CAST(n AS REAL)/CAST(15 AS REAL)` is the same IEEE single
+    * division the JVM performs, so feature_sum is bit-identical when
+    * added in the same left-to-right order.
+    */
+  private def nibSql(i: Int) =
+    s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1)"
+  private val featureSumSql = (0 until 8)
+    .map(i => s"CAST(CAST(${nibSql(i)} AS REAL) / CAST(15 AS REAL) AS DOUBLE)")
+    .reduce((a, b) => s"($a + $b)")
+  private val hvSql = (0 until 7).map(nibSql).reduce((a, b) => s"($a * 16 + $b)")
+  private val decodedCte = s"""
+    d AS (
+      SELECT doc_id AS media_id, $kindSql AS kind,
+        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        md5(text) AS hx
+      FROM documents),
+    geom AS (
+      SELECT media_id, kind, byte_len, hx, $hvSql AS hv
+      FROM d)"""
+
   val oracles: Map[String, String] = Map(
+    "mm_decode" -> s"""
+      WITH $decodedCte
+      SELECT media_id, kind, byte_len,
+        CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + hv % 512 END AS BIGINT) AS width,
+        CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (hv // 512) % 512 END AS BIGINT) AS height,
+        CAST(CASE WHEN kind = 'audio' THEN 2 ELSE 3 END AS BIGINT) AS channels,
+        CAST(CASE kind WHEN 'image' THEN 0
+                       WHEN 'audio' THEN 1 + byte_len // 4
+                       ELSE 1 + byte_len // 100 END AS BIGINT) AS duration_ms,
+        $featureSumSql AS feature_sum
+      FROM geom ORDER BY media_id""",
+    "mm_resize" -> s"""
+      WITH $decodedCte,
+      dims AS (
+        SELECT media_id, byte_len,
+          CASE WHEN kind = 'audio' THEN 0 ELSE 64 + hv % 512 END AS w,
+          CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (hv // 512) % 512 END AS h
+        FROM geom)
+      SELECT media_id,
+        CAST(w AS BIGINT) AS width,
+        CAST(h AS BIGINT) AS height,
+        CAST(LEAST(w, 128) AS BIGINT) AS new_width,
+        CAST(LEAST(h, 128) AS BIGINT) AS new_height,
+        LEAST(byte_len, 1024) AS head_len
+      FROM dims ORDER BY media_id""",
     "mm_stats" -> s"""
       SELECT $kindSql AS kind,
         COUNT(*) AS n_files,
@@ -219,6 +278,4 @@ object Multimodal {
       WHERE frame_no % 4 = 0
       GROUP BY media_id
       ORDER BY media_id""")
-  // mm_decode / mm_resize depend on the JVM stub codec (Arrays.hashCode)
-  // → not SQL-expressible; rows-only check + MultimodalSpec assertions.
 }

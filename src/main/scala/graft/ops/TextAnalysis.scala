@@ -173,7 +173,7 @@ object TextAnalysis {
     * refuse). Value-ties make the tie-break rule irrelevant: equal
     * minima dedupe to one fingerprint either way.
     */
-  private val HexChars = "0123456789abcdef".toCharArray
+  private[ops] val HexChars = "0123456789abcdef".toCharArray
 
   /** 32-char lowercase hex of an md5 digest — table-driven; a
     * String.format per byte costs more than the md5 itself.

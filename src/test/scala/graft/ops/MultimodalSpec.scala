@@ -49,8 +49,8 @@ class MultimodalSpec extends SparkSpec {
     val out = mmResize(spark, sfDir, maxDim = 100).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      assert(r.getAs[Int]("new_width") <= 100)
-      assert(r.getAs[Int]("new_height") <= 100)
+      assert(r.getAs[Long]("new_width") <= 100)
+      assert(r.getAs[Long]("new_height") <= 100)
       assert(r.getAs[Long]("head_len") > 0)
     }
   }
