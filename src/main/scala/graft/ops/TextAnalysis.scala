@@ -252,7 +252,97 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- PII redaction ----
+
+  /** PII patterns in the Java∩RE2 common subset (ASCII classes, \b
+    * word boundaries, no lookaround/backrefs — one pattern text behaves
+    * identically under Spark's Java regex and RE2-family engines).
+    * Applied URL-first so an address inside a URL is consumed as URL.
+    */
+  val PiiUrl = "https?://[^\\s]+"
+  val PiiEmail = "\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}\\b"
+  val PiiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PiiPhone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Chained single-pass redaction: four codegen'd regexp_replace stages
+    * over the scan — no UDF, no shuffle; at 100 TB this runs entirely
+    * inside whole-stage codegen with only (doc_id, text) read.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, PiiUrl, "<URL>"),
+          PiiEmail, "<EMAIL>"),
+        PiiIp, "<IP>"),
+      PiiPhone, "<PHONE>")
+
+  /** The synthetic corpus carries no PII, so the query plants a
+    * deterministic doc_id-derived contact block first (same expression
+    * in the oracle) — the redaction then has real matches to erase and
+    * the counts/digest prove every pattern fired.
+    */
+  def taPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = concat($"text",
+      lit(" Contact user"), $"doc_id", lit("@example.com or http://site"),
+      $"doc_id" % 10, lit(".example.org/a?b=1 at 192.168."),
+      $"doc_id" % 256, lit(".7 tel 555-123-4567."))
+    t(s, dir, "documents")
+      .select($"doc_id", planted.as("txt"))
+      .select(
+        $"doc_id",
+        regexp_count($"txt", lit(PiiEmail)).cast("long").as("n_emails"),
+        regexp_count($"txt", lit(PiiUrl)).cast("long").as("n_urls"),
+        regexp_count($"txt", lit(PiiIp)).cast("long").as("n_ips"),
+        regexp_count($"txt", lit(PiiPhone)).cast("long").as("n_phones"),
+        md5(redactPii($"txt")).as("redacted_md5"),
+        length(redactPii($"txt")).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
+  }
+
+  // ---- repetition / boilerplate scoring ----
+
+  /** Per-document repetition metrics in ONE compiled pass — no token
+    * explode, no shuffle (the 100 TB shape: a doc-parallel map, stats
+    * folded in-loop). Ratios are single exact-integer divisions, so
+    * they're bit-identical across engines.
+    */
+  def taRepetition(s: SparkSession, dir: String): DataFrame =
+    repetitionOf(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** Same metrics over any (doc_id, text) frame. */
+  def repetitionOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+        val counts = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i < ws.length) {
+          counts.merge(ws(i), 1, (a, b) => a + b)
+          i += 1
+        }
+        var maxC = 0
+        val it = counts.values().iterator()
+        while (it.hasNext) { val c = it.next(); if (c > maxC) maxC = c }
+        val sents = text.split("\\. ").filter(_.nonEmpty)
+        val distinctSents = sents.toSet.size
+        (id, ws.length.toLong, counts.size.toLong,
+          if (ws.length == 0) 0.0 else counts.size.toDouble / ws.length,
+          if (ws.length == 0) 0.0 else maxC.toDouble / ws.length,
+          sents.length.toLong,
+          if (sents.length == 0) 0.0
+          else (sents.length - distinctSents).toDouble / sents.length)
+      }
+      .toDF("doc_id", "n_tokens", "n_distinct_tokens", "distinct_ratio",
+        "max_token_frac", "n_sents", "dup_sent_frac")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_pii_redact" -> taPiiRedact,
+    "ta_repetition" -> taRepetition,
     "ta_tokens" -> taTokens,
     "ta_quality" -> taQuality,
     "ta_langid" -> taLangId,
@@ -265,7 +355,62 @@ object TextAnalysis {
   private def hitsSql(pat: String) =
     s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)"
 
+  /** The DuckDB twin of the planted contact block + redaction chain —
+    * `||` casts doc_id the same way concat does, and the pattern texts
+    * are shared constants so the two engines run literally the same
+    * regexes.
+    */
+  private val piiRedactSql = {
+    def rr(inner: String, pat: String, tok: String) =
+      s"regexp_replace($inner, '$pat', '$tok', 'g')"
+    val chain = rr(rr(rr(rr("txt", PiiUrl, "<URL>"), PiiEmail, "<EMAIL>"),
+      PiiIp, "<IP>"), PiiPhone, "<PHONE>")
+    s"""
+      WITH p AS (
+        SELECT doc_id,
+          text || ' Contact user' || doc_id || '@example.com or http://site'
+               || (doc_id % 10) || '.example.org/a?b=1 at 192.168.'
+               || (doc_id % 256) || '.7 tel 555-123-4567.' AS txt
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(txt, '$PiiEmail')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(txt, '$PiiUrl')) AS BIGINT) AS n_urls,
+        CAST(len(regexp_extract_all(txt, '$PiiIp')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(txt, '$PiiPhone')) AS BIGINT) AS n_phones,
+        md5($chain) AS redacted_md5,
+        CAST(length($chain) AS BIGINT) AS redacted_len
+      FROM p ORDER BY doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "ta_pii_redact" -> piiRedactSql,
+    "ta_repetition" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS tk
+        FROM documents),
+      tc AS (SELECT doc_id, tk, COUNT(*) AS c FROM toks GROUP BY doc_id, tk),
+      ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_distinct, MAX(c) AS max_c
+             FROM tc GROUP BY doc_id),
+      sstat AS (
+        SELECT doc_id, len(ss) AS n_sents, len(list_distinct(ss)) AS n_distinct_sents
+        FROM (SELECT doc_id, list_filter(string_split(text, '. '), x -> len(x) > 0) AS ss
+              FROM documents))
+      SELECT d.doc_id,
+        CAST(COALESCE(ts.n_tokens, 0) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(ts.n_distinct, 0) AS BIGINT) AS n_distinct_tokens,
+        CASE WHEN COALESCE(ts.n_tokens, 0) = 0 THEN 0.0
+             ELSE CAST(ts.n_distinct AS DOUBLE) / ts.n_tokens END AS distinct_ratio,
+        CASE WHEN COALESCE(ts.n_tokens, 0) = 0 THEN 0.0
+             ELSE CAST(ts.max_c AS DOUBLE) / ts.n_tokens END AS max_token_frac,
+        CAST(COALESCE(s.n_sents, 0) AS BIGINT) AS n_sents,
+        CASE WHEN COALESCE(s.n_sents, 0) = 0 THEN 0.0
+             ELSE CAST(s.n_sents - s.n_distinct_sents AS DOUBLE) / s.n_sents END AS dup_sent_frac
+      FROM documents d
+      LEFT JOIN ts ON d.doc_id = ts.doc_id
+      LEFT JOIN sstat s ON d.doc_id = s.doc_id
+      ORDER BY d.doc_id""",
     "ta_tokens" -> """
       SELECT doc_id,
         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,

@@ -224,6 +224,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m == Map(1L -> 3L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("PII redaction masks emails, urls, ips, phones; clean text unchanged") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.co now"),
+      (2L, "see https://a.example.org/p?q=1 and http://b.io"),
+      (3L, "host 10.0.255.7 dialed 555-123-4567"),
+      (4L, "no pii here at all"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.redactPii($"text").as("r"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "mail <EMAIL> now")
+    assert(m(2L) == "see <URL> and <URL>")
+    assert(m(3L) == "host <IP> dialed <PHONE>")
+    assert(m(4L) == "no pii here at all")
+  }
+
+  test("repetition metrics: ratios are exact divisions; dup sentences counted") {
+    val df = Seq(
+      (1L, "a a a b. x y. x y"), // tokens: a a a b. x y. x y -> 8; sents: "a a a b","x y","x y"
+      (2L, ""))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionOf(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = m(1L)
+    assert(r1.getLong(1) == 8L) // n_tokens
+    assert(r1.getLong(5) == 3L) // n_sents
+    assert(r1.getDouble(6) == 1.0 / 3.0) // one duplicated sentence of three
+    assert(r1.getDouble(4) == 3.0 / 8.0) // max token 'a' appears 3 of 8
+    val r2 = m(2L)
+    assert(r2.getLong(1) == 0L && r2.getDouble(3) == 0.0)
+  }
+
   test("language id picks the dominant profile; ties resolve to first") {
     val df = Seq(
       (1L, "the cat is on the mat and the dog is in the house"),
