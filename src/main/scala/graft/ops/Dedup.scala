@@ -474,7 +474,8 @@ object Dedup {
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_simhash_portable" -> dedupSimhashPortable,
     "dedup_simhash_pairs_portable" -> dedupSimhashPairsPortable,
-    "dedup_components" -> dedupComponents)
+    "dedup_components" -> dedupComponents,
+    "dedup_components_alt" -> dedupComponentsAlternating)
 
   /** DuckDB-side distinct (doc_id, shingle) pairs, mirroring
     * shingles(text, 3).
@@ -560,6 +561,76 @@ object Dedup {
     connectedComponents(dedupMinhashLsh(s, dir))
       .orderBy("doc_id")
 
+  /** Alternating large-star/small-star connected components (the
+    * MapReduce-era two-phase algorithm: Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — public algorithm,
+    * re-expressed as DataFrame rounds). Each round is two
+    * groupBy+join shuffles over the EDGE set only — no per-node label
+    * table — and converges in O(log n) rounds on ANY graph shape,
+    * including the adversarial long-path graphs where plain label
+    * propagation needs diameter rounds. The fixpoint is a star forest:
+    * every node points directly at its component minimum.
+    *
+    *  - large-star: every node attaches its strictly-LARGER neighbors
+    *    to min(N(u) ∪ u) — lengthens no path, halves tall trees;
+    *  - small-star: with edges oriented high→low, every node attaches
+    *    its smaller neighbors (and itself) to the neighborhood min.
+    */
+  def connectedComponentsAlternating(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val allNodes = edges.select(col("hi").as("id"))
+      .union(edges.select(col("lo").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star over symmetric neighborhoods; each undirected edge
+      // is emitted once, from its smaller endpoint's perspective
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val m1 = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(m1, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo")) // v > u >= m
+        .distinct()
+      // small-star on the high→low orientation
+      val m2 = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val next = ls.join(m2, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(m2.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      // fixpoint when the canonical edge set stops changing (both
+      // sides are distinct sets, so two one-row except probes decide)
+      converged = next.except(edges).limit(1).isEmpty &&
+        edges.except(next).limit(1).isEmpty
+      edges = next
+      it += 1
+    }
+    // star forest: non-roots point at the component min; roots (and
+    // any node only ever seen as a minimum) label themselves
+    val labels = edges.select(col("hi").as("nid"), col("lo").as("cid"))
+    allNodes.join(labels, allNodes("id") === labels("nid"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("cid"), col("id")).as("component_id"))
+  }
+
+  /** The same near-dup clustering answer as dedup_components, computed
+    * by the alternating algorithm — oracle-checked against the same
+    * recursive-CTE transitive closure.
+    */
+  def dedupComponentsAlternating(s: SparkSession, dir: String): DataFrame =
+    connectedComponentsAlternating(dedupMinhashLsh(s, dir))
+      .orderBy("doc_id")
+
   /** Incremental dedup: near-dup pairs between a NEW batch and an
     * EXISTING corpus, never base×base — the production shape where a
     * daily batch lands against a 100 TB corpus. Cost ∝ batch size:
@@ -602,7 +673,24 @@ object Dedup {
     // transitive closure over the exact pair set: min reachable doc_id
     // per node via a recursive CTE — DuckDB's answer to what the Spark
     // side computes with iterative min-label propagation
-    "dedup_components" -> s"""
+    "dedup_components" -> componentsOracle,
+    "dedup_components_alt" -> componentsOracle,
+    "dedup_simhash_portable" -> s"""
+      WITH $portableSigCte
+      SELECT doc_id, simhash_hex FROM sigs ORDER BY doc_id""",
+    "dedup_simhash_pairs_portable" -> s"""
+      WITH $portableSigCte
+      SELECT a, b, hamming FROM (
+        SELECT x.doc_id AS a, y.doc_id AS b,
+          CAST(list_sum(
+            [bit_count(xor(strpos('0123456789abcdef', substr(x.simhash_hex, i, 1)) - 1,
+                           strpos('0123456789abcdef', substr(y.simhash_hex, i, 1)) - 1))
+             for i in range(1, 17)]) AS BIGINT) AS hamming
+        FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id) p
+      WHERE hamming <= 3
+      ORDER BY a, b""")
+
+  private lazy val componentsOracle = s"""
       WITH RECURSIVE $shingleCte,
       cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       inter AS (
@@ -620,21 +708,7 @@ object Dedup {
         UNION
         SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)
       SELECT id AS doc_id, MIN(lbl) AS component_id
-      FROM reach GROUP BY id ORDER BY doc_id""",
-    "dedup_simhash_portable" -> s"""
-      WITH $portableSigCte
-      SELECT doc_id, simhash_hex FROM sigs ORDER BY doc_id""",
-    "dedup_simhash_pairs_portable" -> s"""
-      WITH $portableSigCte
-      SELECT a, b, hamming FROM (
-        SELECT x.doc_id AS a, y.doc_id AS b,
-          CAST(list_sum(
-            [bit_count(xor(strpos('0123456789abcdef', substr(x.simhash_hex, i, 1)) - 1,
-                           strpos('0123456789abcdef', substr(y.simhash_hex, i, 1)) - 1))
-             for i in range(1, 17)]) AS BIGINT) AS hamming
-        FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id) p
-      WHERE hamming <= 3
-      ORDER BY a, b""")
+      FROM reach GROUP BY id ORDER BY doc_id"""
   // dedup_simhash / dedup_simhash_pairs (fnv64+splitmix64 form): the
   // wrapping 64-bit arithmetic is not SQL-expressible → rows-only check;
   // pair semantics covered by DedupSpec. The *_portable twins above are

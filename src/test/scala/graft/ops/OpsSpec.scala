@@ -109,6 +109,32 @@ class DedupSpec extends SparkSpec {
     assert(comp.size == 60)
     assert(comp.values.forall(_ == 0L), "whole chain must collapse to node 0")
   }
+
+  test("alternating large-star/small-star CC equals label propagation") {
+    // mixed shapes: chains, a star, an isolated pair, plus a random
+    // sparse graph — both algorithms must produce identical labelings
+    val rnd = new scala.util.Random(7)
+    val random = (0 until 120).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val shapes = Seq((100L, 101L), (101L, 102L), (102L, 103L),
+      (200L, 201L), (200L, 202L), (200L, 203L), (300L, 301L))
+    val pairs = (random ++ shapes).toDF("a", "b")
+    val viaProp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = Dedup.connectedComponentsAlternating(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars == viaProp)
+  }
+
+  test("alternating CC collapses a 200-node path in O(log n) rounds") {
+    // diameter 200: one-hop-per-round algorithms would need 200 rounds;
+    // the star-contraction pair must finish well inside maxIter=15
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponentsAlternating(chain, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 200)
+    assert(comp.values.forall(_ == 0L), "whole path must collapse to node 0")
+  }
 }
 
 class SamplingSpec extends SparkSpec {
