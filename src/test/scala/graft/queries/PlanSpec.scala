@@ -118,4 +118,46 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       s"window functions should share one shuffle:\n$p")
   }
+
+  test("q38 multi-distinct plans ONE Expand, not one scan per distinct") {
+    val p = plan(Extended3.q38MultiDistinct(spark, sfDir))
+    assert("Expand".r.findAllIn(p).size == 1,
+      s"k distinct measures should share one Expand:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q44 correlated scalar subqueries decorrelate to aggregate joins, no per-row probe") {
+    val p = plan(Extended3.q44CorrelatedScalar(spark, sfDir))
+    // decorrelation rewrites both subqueries into joins against
+    // pre-aggregated orders — a surviving per-row subquery would show
+    // up as a Subquery/BroadcastNestedLoopJoin per input row
+    assert(!p.contains("CartesianProduct"), s"correlated subquery not decorrelated:\n$p")
+    assert(p.contains("HashAggregate"), "orders side should pre-aggregate")
+    assert("Join".r.findAllIn(p).nonEmpty)
+  }
+
+  test("q45 lateral top-k rewrites to a ranked window join, not a per-nation re-scan") {
+    val p = plan(Extended3.q45Lateral(spark, sfDir))
+    assert(p.contains("Window"), s"correlated LIMIT should become a window rank:\n$p")
+    // exactly one scan of the customer table
+    assert("q45_customer|customer\\.parquet".r.findAllIn(p).size <= 2,
+      s"customer must not be re-scanned per nation:\n$p")
+  }
+
+  test("ta_pii_redact is projection-over-scan: no shuffle except the output sort") {
+    val p = formatted(TaPlanProbe.pii(spark, sfDir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "per-doc redaction must not shuffle")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SerializeFromObject"),
+      "redaction must stay in native expressions, not a UDF/typed pass")
+    assert(p.contains("Scan parquet"), s"expected a direct parquet scan:\n$p")
+  }
+}
+
+/** Tiny indirection so PlanSpec (package queries) can reach the ops
+  * query without a wildcard import clash.
+  */
+private object TaPlanProbe {
+  def pii(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.ops.TextAnalysis.taPiiRedact(s, dir)
 }
