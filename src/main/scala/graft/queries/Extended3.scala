@@ -202,7 +202,96 @@ object Extended3 {
       .orderBy("c_custkey")
   }
 
+  /** q47: positional generator — posexplode over the token array keeps
+    * (pos, word) pairs; the Generate node multiplies rows inside the
+    * scan stage, and only the tiny output sorts.
+    */
+  def q47Posexplode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .filter($"doc_id" % 100 === 0)
+      .select($"doc_id", posexplode(graft.ops.TextAnalysis.tokens($"text")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("word"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** q48: month-granularity date arithmetic — add_months clamps to the
+    * target month's last day exactly like SQL INTERVAL month addition,
+    * so the two engines agree on every end-of-month edge.
+    */
+  def q48AddMonths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .filter($"o_orderkey" % 100 === 0)
+      .select($"o_orderkey",
+        to_date($"o_orderdate").as("d"),
+        add_months(to_date($"o_orderdate"), 3).as("plus_3m"),
+        add_months(to_date($"o_orderdate"), -1).as("minus_1m"),
+        date_trunc("quarter", $"o_orderdate").cast("date").as("quarter_start"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q49: ordered string aggregation — per-nation sorted name roll-up.
+    * collect_list is partition-order-nondeterministic, so the sort
+    * INSIDE the aggregate (array_sort before join) is what makes the
+    * result reproducible — same contract as SQL string_agg ORDER BY.
+    */
+  def q49StringAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .filter($"c_custkey" % 25 === 0)
+      .groupBy($"c_nationkey".cast("long").as("c_nationkey"))
+      .agg(array_join(array_sort(collect_list($"c_name")), "|").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
+  /** q50: NULL ordering semantics — rank with DESC NULLS LAST and a
+    * running non-null count, over a sparsely observed measure. NULL
+    * placement is engine-defined unless spelled out; this pins it.
+    */
+  def q50NullsOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rankW = Window.partitionBy($"user_id")
+      .orderBy($"obs".desc_nulls_last, $"event_id".asc)
+    t(s, dir, "events")
+      .filter($"user_id" % 50 === 0)
+      .withColumn("obs", when($"event_type" =!= "click", $"value"))
+      .select($"event_id", $"user_id", $"obs",
+        row_number().over(rankW).cast("long").as("rnk_nulls_last"),
+        count($"obs").over(Window.partitionBy($"user_id")).as("n_obs"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q51: zip_with + sequence — per-order position-weighted quantity
+    * fold over the (line_number, quantity)-ordered quantity array (the
+    * quantity tiebreak matters: the synthetic lineitem repeats line
+    * numbers within an order). The arrays are per-group (≤9 elements),
+    * so the interpreted HOF cost is bounded; quantities are small
+    * integers in doubles, so the fold is exact in any order.
+    */
+  def q51ZipWith(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_orderkey" % 50 === 0)
+      .groupBy($"l_orderkey")
+      .agg(transform(
+        sort_array(collect_list(struct($"l_linenumber", $"l_quantity"))),
+        x => x.getField("l_quantity")).as("qtys"))
+      .select($"l_orderkey",
+        size($"qtys").cast("long").as("n_lines"),
+        aggregate(
+          zip_with(sequence(lit(1), size($"qtys")), $"qtys", (i, q) => i * q),
+          lit(0.0), (acc, x) => acc + x).as("weighted_qty"))
+      .orderBy("l_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_posexplode" -> q47Posexplode,
+    "q48_add_months" -> q48AddMonths,
+    "q49_string_agg" -> q49StringAgg,
+    "q50_nulls_order" -> q50NullsOrder,
+    "q51_zip_with" -> q51ZipWith,
     "q38_multi_distinct" -> q38MultiDistinct,
     "q39_regex_zoo" -> q39RegexZoo,
     "q40_time_range_frame" -> q40TimeRangeFrame,
@@ -214,6 +303,53 @@ object Extended3 {
     "q46_json_struct" -> q46JsonStruct)
 
   val oracles: Map[String, String] = Map(
+    "q47_posexplode" -> """
+      SELECT doc_id,
+        unnest(range(0, len(ws))) AS pos,
+        unnest(ws) AS word
+      FROM (SELECT doc_id,
+              list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws
+            FROM documents
+            WHERE doc_id % 100 = 0)
+      ORDER BY doc_id, pos""",
+    "q48_add_months" -> """
+      SELECT o_orderkey,
+        CAST(o_orderdate AS DATE) AS d,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+        CAST(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH AS DATE) AS minus_1m,
+        CAST(DATE_TRUNC('quarter', o_orderdate) AS DATE) AS quarter_start
+      FROM orders
+      WHERE o_orderkey % 100 = 0
+      ORDER BY o_orderkey""",
+    "q49_string_agg" -> """
+      SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        string_agg(c_name, '|' ORDER BY c_name) AS names,
+        COUNT(*) AS n
+      FROM customer
+      WHERE c_custkey % 25 = 0
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""",
+    "q50_nulls_order" -> """
+      SELECT event_id, user_id,
+        CASE WHEN event_type <> 'click' THEN value END AS obs,
+        CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY (CASE WHEN event_type <> 'click' THEN value END) DESC NULLS LAST,
+                   event_id ASC) AS BIGINT) AS rnk_nulls_last,
+        COUNT(CASE WHEN event_type <> 'click' THEN value END)
+          OVER (PARTITION BY user_id) AS n_obs
+      FROM events
+      WHERE user_id % 50 = 0
+      ORDER BY user_id, event_id""",
+    "q51_zip_with" -> """
+      SELECT l_orderkey,
+        CAST(len(qtys) AS BIGINT) AS n_lines,
+        list_sum(list_transform(range(len(qtys)), i -> (i + 1) * qtys[i + 1])) AS weighted_qty
+      FROM (SELECT l_orderkey,
+              array_agg(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys
+            FROM lineitem
+            WHERE l_orderkey % 50 = 0
+            GROUP BY l_orderkey)
+      ORDER BY l_orderkey""",
     "q38_multi_distinct" -> """
       SELECT o_orderpriority,
         COUNT(DISTINCT o_custkey) AS n_cust,
