@@ -192,6 +192,45 @@ class StreamingSpec extends SparkSpec {
     baseSets.unpersist()
   }
 
+  test("streaming curation transforms: PII redaction + repetition metrics match batch") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "mail me at alice@example.com or visit https://ex.org/a. same text. same text"),
+      (2L, "clean document with no contact details and no repeats at all"))
+    val work = Files.createTempDirectory("graft-pii-stream")
+    docs.toDF("doc_id", "text").write.parquet(work.resolve("in/b1").toString)
+
+    val batchExpected = TextAnalysis.repetitionOf(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val batchRedacted = docs.toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val streamed = scala.collection.mutable.Map[Long, (Seq[Any], String)]()
+    val q = new StreamingPipeline(
+      source = FileStreamingSource(work.resolve("in").toString + "/*",
+        schemaDdl = Some("doc_id LONG, text STRING")),
+      sink = ForeachBatchSink { (batch, _) =>
+        val rep = TextAnalysis.repetitionOf(batch)
+          .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+        val red = batch.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("r"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        streamed.synchronized {
+          rep.foreach { case (id, m) => streamed(id) = (m, red(id)) }
+        }
+        ()
+      },
+      trigger = TriggerConfig.AvailableNow).startStream(spark)
+    q.awaitTermination(60000)
+    assert(streamed.keySet == Set(1L, 2L))
+    streamed.foreach { case (id, (rep, red)) =>
+      assert(rep == batchExpected(id), s"repetition metrics diverge for doc $id")
+      assert(red == batchRedacted(id), s"redaction diverges for doc $id")
+    }
+    assert(streamed(1L)._2.contains("<EMAIL>") && streamed(1L)._2.contains("<URL>"))
+  }
+
   test("stream-stream join with watermarks matches the batch join") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-ssjoin")
