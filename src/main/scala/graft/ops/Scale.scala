@@ -85,6 +85,47 @@ object Scale {
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(path)
 
+  /** Morton (z-order) interleave of two non-negative ints already
+    * scaled to [0, 2^bits): bit b of x lands at 2b, bit b of y at 2b+1.
+    * Pure codegen'd shift/and/or expressions — no UDF. Public-knowledge
+    * technique (Morton 1966; used by every lakehouse layout engine) for
+    * multi-dimensional file clustering: sorting by the interleaved key
+    * keeps files tight in BOTH dimensions at once, so a 2-D box
+    * predicate prunes ~quadratically more files than clustering on one
+    * column alone.
+    */
+  def zOrderValue(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { b =>
+      val xb = shiftleft(shiftrightunsigned(x, b).bitwiseAND(lit(1L)), 2 * b)
+      val yb = shiftleft(shiftrightunsigned(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
+      xb.bitwiseOR(yb)
+    }.reduce(_ bitwiseOR _)
+
+  /** Linear scaling of a value in [min, max] to the [0, 2^bits) grid —
+    * the normalization step before interleaving. Rank-based bucketing
+    * (percentile boundaries) is the skew-robust alternative; linear is
+    * exact and cheap when bounds are known.
+    */
+  def scaleToBits(c: Column, minV: Long, maxV: Long, bits: Int): Column =
+    least(lit((1L << bits) - 1),
+      ((c - minV) * ((1L << bits) - 1) / (maxV - minV)).cast("long"))
+
+  /** Z-ordered parquet layout: cluster files on the Morton interleave
+    * of two dimensions, so per-file min/max footer stats are tight on
+    * BOTH columns and a 2-D predicate skips all but the files whose
+    * z-curve segment crosses the query box. Same write mechanics as
+    * [[writeRangeClustered]] — range partition + in-partition sort on
+    * the z-value, which never reaches the files.
+    */
+  def writeZOrdered(
+      df: DataFrame, x: Column, y: Column, path: String,
+      partitions: Int, bits: Int = 16): Unit =
+    df.withColumn("__z", zOrderValue(x, y, bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   /** Per-file [min,max] of a long column, straight from the parquet
     * footers (no data read) — the stats a range-clustered scan prunes
     * with, exposed so layout quality is testable and monitorable.

@@ -90,6 +90,46 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered layout prunes a 2-D box better than single-column clustering") {
+    import spark.implicits._
+    val bits = 10
+    val n = 1L << bits // 1024-wide grid on both axes
+    // two decorrelated uniform dimensions (Knuth multiplicative hash on
+    // the second so (x, y) fills the grid instead of the diagonal)
+    val df = spark.range(1 << 16)
+      .select(($"id" % n).as("x"),
+        (expr("id * 2654435761") % n).as("y"))
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+
+    Scale.writeZOrdered(df, $"x", $"y", s"$base/zorder", partitions = 32, bits = bits)
+    Scale.writeRangeClustered(df, $"x", s"$base/xonly", partitions = 32)
+
+    def filesTouching(path: String, lo: Long, hi: Long): Set[String] = {
+      val xr = Scale.parquetFileRanges(spark, path, "x")
+      val yr = Scale.parquetFileRanges(spark, path, "y").map(r => r._1 -> r).toMap
+      xr.filter { case (f, xmn, xmx) =>
+        val (_, ymn, ymx) = yr(f)
+        xmx >= lo && xmn <= hi && ymx >= lo && ymn <= hi
+      }.map(_._1).toSet
+    }
+    // a box covering 1/8 x 1/8 of the grid
+    val (lo, hi) = (0L, n / 8 - 1)
+    val zTouched = filesTouching(s"$base/zorder", lo, hi).size
+    val xTouched = filesTouching(s"$base/xonly", lo, hi).size
+    val zTotal = Scale.parquetFileRanges(spark, s"$base/zorder", "x").size
+    assert(zTotal >= 16, "expected many z-ordered files")
+    assert(zTouched < xTouched,
+      s"z-order should prune more files for a 2-D box: z=$zTouched x=$xTouched")
+    assert(zTouched <= zTotal / 4,
+      s"z-order should touch a small fraction of files: $zTouched of $zTotal")
+
+    // correctness: the layout changes bytes on disk, never the data
+    val readBack = spark.read.parquet(s"$base/zorder")
+      .agg(count(lit(1)), sum($"x"), sum($"y")).collect()(0)
+    val direct = df.agg(count(lit(1)), sum($"x"), sum($"y")).collect()(0)
+    assert(readBack == direct)
+  }
+
   test("range-clustered layout yields disjoint per-file key ranges; plain write does not") {
     import spark.implicits._
     val orders = graft.Tables.t(spark, sfDir, "orders")

@@ -25,6 +25,16 @@ def load(path):
     m = re.search(r'\{"metric".*\}', text)
     if m:
         return json.loads(m.group(0))
+    # Fallback: a driver tail truncated mid-line (the leading
+    # {"metric":"total",... got cut). Scrape whatever "name":secs pairs
+    # survive and synthesize a partial record; per-query diffs still
+    # work, the total becomes the partial sum.
+    source = d["tail"] if d is not None and "tail" in d else text
+    pairs = re.findall(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', source)
+    queries = {k: float(v) for k, v in pairs if k not in ("value", "sf")}
+    if queries:
+        return {"value": sum(queries.values()), "queries": queries,
+                "partial": True}
     raise SystemExit(f"no bench JSON found in {path}")
 
 
