@@ -1,0 +1,107 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Sampling, TextAnalysis}
+import graft.streaming.{FileStreamingSource, ForeachBatchSink, StreamingPipeline, TriggerConfig}
+
+/** Incremental streaming curation — the batch capstone pipeline
+  * ([[TrainingDataPipeline]]) restructured for the production shape: a
+  * stream of document batches lands against a STORED corpus, and each
+  * micro-batch pays cost ∝ batch size, never corpus size.
+  *
+  * Per micro-batch:
+  *   1. PII redaction      — codegen'd replace chain, no shuffle
+  *   2. quality gate       — same thresholds as ta_quality
+  *   3. exact dedup        — in-batch md5 canonicalization, then a
+  *                           broadcast-able anti-join against the stored
+  *                           corpus md5 table (never corpus×corpus)
+  *   4. near-dup dedup     — in-batch LSH + components keeps cluster
+  *                           canonicals; [[Dedup.crossCorpusNearDups]]
+  *                           drops batch docs near-duplicating the
+  *                           corpus (bucket tables only join where a
+  *                           NEW doc lands)
+  *   5. accept + split     — deterministic md5 split; accepted docs and
+  *                           their shingle sets APPEND to the corpus
+  *                           state tables, becoming the base for the
+  *                           next batch
+  *
+  * Corpus state = two parquet tables under `stateDir`:
+  * `corpus_docs(doc_id, text_md5, split)` and
+  * `corpus_sets(doc_id, set)` — the precomputed shingle sets the
+  * cross-corpus join needs, stored once at accept time so no batch
+  * ever re-shingles the corpus.
+  */
+object StreamingCuration {
+
+  /** Quality gate shared with the batch pipeline. */
+  def qualityGate(df: DataFrame): DataFrame = {
+    val nTok = TextAnalysis.tokenCount(col("text"))
+    val nonAlpha = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long")
+    df.filter(
+      nTok >= 5L && nTok <= 10000L &&
+        (nonAlpha.cast("double") / greatest(length(col("text")).cast("long"), lit(1L))) < 0.3)
+  }
+
+  /** One micro-batch through the curation graph. Returns the number of
+    * accepted documents (also appended to the state tables).
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
+      threshold: Double = 0.8): Long = {
+    import spark.implicits._
+    val docsDir = s"$stateDir/corpus_docs"
+    val setsDir = s"$stateDir/corpus_sets"
+    val haveCorpus = new java.io.File(docsDir).exists()
+
+    // 1–2: redact, gate
+    val clean = qualityGate(
+      batch.select($"doc_id", TextAnalysis.redactPii($"text").as("text")))
+
+    // 3: exact dedup — in-batch canonical (min doc_id per md5), then
+    // anti-join the corpus md5 table
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"text_md5").orderBy($"doc_id".asc)
+    val inBatchExact = clean.withColumn("text_md5", md5($"text"))
+      .withColumn("__rk", row_number().over(w))
+      .filter($"__rk" === 1).drop("__rk")
+    val novelExact =
+      if (!haveCorpus) inBatchExact
+      else inBatchExact.join(
+        broadcast(spark.read.parquet(docsDir).select($"text_md5")),
+        Seq("text_md5"), "left_anti")
+
+    // 4: near-dup dedup — in-batch clusters keep their canonical, then
+    // cross-corpus candidates drop batch docs near-duplicating the base
+    val batchSets = Dedup.shingleSetsOf(novelExact).cache()
+    try {
+      val inBatchPairs = Dedup.verifyJaccardSets(
+        Dedup.candidatePairs(Dedup.lshBucketsFused(batchSets)), batchSets, threshold)
+      val inBatchDups = Dedup.connectedComponents(inBatchPairs)
+        .filter($"doc_id" =!= $"component_id").select($"doc_id")
+      val crossDups =
+        if (!haveCorpus) inBatchDups.limit(0)
+        else Dedup.crossCorpusNearDups(
+            batchSets, spark.read.parquet(setsDir), threshold)
+          .select($"a".as("doc_id")).distinct()
+      val accepted = novelExact
+        .join(inBatchDups.unionByName(crossDups).distinct(), Seq("doc_id"), "left_anti")
+
+      // 5: split assignment; state append (docs then their sets)
+      val withSplit = Sampling.hashSplit(accepted, "doc_id")
+        .select($"doc_id", $"text_md5", $"split")
+      withSplit.write.mode("append").parquet(docsDir)
+      batchSets.join(withSplit.select($"doc_id"), Seq("doc_id"), "left_semi")
+        .write.mode("append").parquet(setsDir)
+      spark.read.parquet(docsDir).count() // post-append corpus size
+    } finally { batchSets.unpersist(); () }
+  }
+
+  /** Wire the per-batch graph into a file-source micro-batch stream. */
+  def start(spark: SparkSession, inGlob: String, stateDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    new StreamingPipeline(
+      source = FileStreamingSource(inGlob, schemaDdl = Some("doc_id LONG, text STRING")),
+      sink = ForeachBatchSink { (batch, _) =>
+        processBatch(batch.sparkSession, batch, stateDir); ()
+      },
+      trigger = TriggerConfig.AvailableNow).startStream(spark)
+}

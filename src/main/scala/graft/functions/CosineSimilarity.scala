@@ -118,13 +118,37 @@ object GraftFunctions {
       CosineSimilarity(args.head, args(1))
     })
 
+  /** `pii_redact(text)` as a SQL function — an EXPRESSION MACRO, not a
+    * UDF: the builder expands to the same four-stage RegExpReplace
+    * chain [[graft.ops.TextAnalysis.redactPii]] composes (shared
+    * pattern constants, same order), so SQL-text pipelines
+    * (`SqlTransform`, the reference's primary extension path) get the
+    * codegen'd native chain with zero interpretation overhead — the
+    * analyzer sees nested RegExpReplace nodes exactly as if the user
+    * had written them out.
+    */
+  val piiRedact: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pii_redact"),
+    new ExpressionInfo("graft.ops.TextAnalysis", "pii_redact"),
+    { args =>
+      require(args.length == 1, "pii_redact expects exactly 1 argument")
+      import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+      import graft.ops.TextAnalysis._
+      def rr(child: Expression, pat: String, tok: String): Expression =
+        RegExpReplace(child, Literal(pat), Literal(tok))
+      rr(rr(rr(rr(args.head, PiiUrl, "<URL>"),
+        PiiEmail, "<EMAIL>"), PiiIp, "<IP>"), PiiPhone, "<PHONE>")
+    })
+
   /** Idempotent runtime registration for sessions built without the
     * extensions config.
     */
   def register(spark: SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(cosineSim._1))
-      registry.registerFunction(cosineSim._1, cosineSim._2, cosineSim._3)
+    Seq(cosineSim, piiRedact).foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, info, builder)
+    }
   }
 }
 
@@ -134,6 +158,8 @@ object GraftFunctions {
   * without touching driver code.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSim)
+    ext.injectFunction(GraftFunctions.piiRedact)
+  }
 }

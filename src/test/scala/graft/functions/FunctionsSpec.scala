@@ -64,4 +64,27 @@ class FunctionsSpec extends SparkSpec {
       "SELECT cosine_sim(array(1.0d, 5.0d, 9.0d), array(1.0d, 5.0d)) AS c").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12) // sqrt(26)² != 26 exactly
   }
+
+  test("pii_redact is a SQL-callable expression macro, not a UDF") {
+    val r = spark.sql(
+      "SELECT pii_redact('mail a@b.io, see https://x.y/z, ip 10.0.0.1, tel 555-123-4567') AS t")
+    // note: [^\s]+ greedily takes the comma after the URL — by design
+    // (URLs legitimately contain commas; only whitespace terminates)
+    assert(r.head().getString(0) ==
+      "mail <EMAIL>, see <URL> ip <IP>, tel <PHONE>")
+    // macro expansion: the analyzed plan contains the native
+    // regexp_replace chain, never a ScalaUDF node
+    val analyzed = r.queryExecution.analyzed.toString
+    assert(analyzed.contains("regexp_replace"), analyzed)
+    assert(!analyzed.contains("UDF"), s"pii_redact must expand to native expressions:\n$analyzed")
+    // equals the Column-API form on real data
+    val viaSql = graft.Tables.t(spark, sfDir, "documents")
+      .limit(50).createOrReplaceTempView("pii_docs")
+    val a = spark.sql("SELECT doc_id, pii_redact(text) AS t FROM pii_docs ORDER BY doc_id")
+      .collect().map(_.toSeq)
+    val b = spark.table("pii_docs")
+      .select($"doc_id", graft.ops.TextAnalysis.redactPii($"text").as("t"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
 }

@@ -231,6 +231,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(1L)._2.contains("<EMAIL>") && streamed(1L)._2.contains("<URL>"))
   }
 
+  test("incremental streaming curation: PII+quality+exact+near-dup against a growing corpus") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-curation")
+    val state = work.resolve("state").toString
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps nearby today"
+
+    // batch 1: two novel docs (one carrying PII that must not block acceptance)
+    Seq((1L, base),
+      (2L, "completely different content about spark plans and shuffle behavior mail bob@x.io"))
+      .toDF("doc_id", "text")
+      .write.parquet(work.resolve("in/b1").toString)
+    val q1 = StreamingCuration.start(spark, work.resolve("in").toString + "/*", state)
+    q1.awaitTermination(60000)
+
+    // batch 2 (new stream over the same state): an exact dup of doc 1,
+    // a near-dup of doc 1, and one novel doc
+    Seq((10L, base), (11L, base + " extra"),
+      (12L, "a wholly novel document with enough tokens to pass the quality gate fine"))
+      .toDF("doc_id", "text")
+      .write.parquet(work.resolve("in2/b2").toString)
+    val q2 = StreamingCuration.start(spark, work.resolve("in2").toString + "/*", state)
+    q2.awaitTermination(60000)
+
+    val corpus = spark.read.parquet(s"$state/corpus_docs")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(corpus.keySet == Set(1L, 2L, 12L),
+      s"exact dup 10 and near-dup 11 must be rejected, got ${corpus.keySet}")
+    assert(corpus.values.forall(Set("train", "val", "test")), "every doc gets a split")
+    // the stored shingle sets cover exactly the accepted docs
+    val setIds = spark.read.parquet(s"$state/corpus_sets")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(setIds == corpus.keySet)
+  }
+
   test("stream-stream join with watermarks matches the batch join") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-ssjoin")
