@@ -72,7 +72,12 @@ object StreamingCuration {
 
     // 4: near-dup dedup — in-batch clusters keep their canonical, then
     // cross-corpus candidates drop batch docs near-duplicating the base
-    val batchSets = Dedup.shingleSetsOf(novelExact).cache()
+    // localCheckpoint (not cache): the later append to docsDir triggers a
+    // refreshByPath that would INVALIDATE a cache whose plan reads docsDir
+    // (novelExact's anti-join does), forcing re-evaluation against the
+    // batch's own appended rows. Checkpointing truncates the lineage so
+    // the sets append cannot see the docs append.
+    val batchSets = Dedup.shingleSetsOf(novelExact).localCheckpoint(eager = true)
     try {
       val inBatchPairs = Dedup.verifyJaccardSets(
         Dedup.candidatePairs(Dedup.lshBucketsFused(batchSets)), batchSets, threshold)
@@ -86,9 +91,15 @@ object StreamingCuration {
       val accepted = novelExact
         .join(inBatchDups.unionByName(crossDups).distinct(), Seq("doc_id"), "left_anti")
 
-      // 5: split assignment; state append (docs then their sets)
+      // 5: split assignment; state append (docs then their sets).
+      // MATERIALIZE before the first append: the plan anti-joins
+      // spark.read.parquet(docsDir), so a lazy re-evaluation after the
+      // docs append would see the batch's own rows and resolve to empty,
+      // silently dropping every corpus_sets row. localCheckpoint(eager)
+      // truncates the lineage so both writes read the same computed set.
       val withSplit = Sampling.hashSplit(accepted, "doc_id")
         .select($"doc_id", $"text_md5", $"split")
+        .localCheckpoint(eager = true)
       withSplit.write.mode("append").parquet(docsDir)
       batchSets.join(withSplit.select($"doc_id"), Seq("doc_id"), "left_semi")
         .write.mode("append").parquet(setsDir)

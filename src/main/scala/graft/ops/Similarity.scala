@@ -99,9 +99,10 @@ object Similarity {
     Array.fill(NumPlanes, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** 24-bit signature column: bit i = (v · plane_i) >= 0. The plane is a
-    * literal array so the whole signature is one codegen'd expression —
-    * no UDF, no shuffle.
+  /** 24-bit signature column: bit i = (v · plane_i) >= 0. Interpreted
+    * (24 HOF folds per row) — kept as the readable reference form and
+    * for the kernel-equivalence spec; the query path uses the fused
+    * compiled kernel in [[lshBandsFused]].
     */
   def signature(v: Column): Column =
     (0 until NumPlanes).map { i =>
@@ -109,33 +110,60 @@ object Similarity {
       when(dot(v, p) >= 0.0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ bitwiseOR _)
 
+  /** Fused (vec_id, band, bh) rows straight from the vectors: the 24
+    * plane dot products and the band split run in one narrow compiled
+    * pass per row (pattern: [[Dedup.lshBucketsFused]]). Output rows are
+    * 3 scalars — the vector itself never enters the band explode or any
+    * downstream shuffle.
+    */
+  def lshBandsFused(vecs: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val pl = planes
+    vecs.as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        var sig = 0
+        var i = 0
+        while (i < NumPlanes) {
+          val p = pl(i)
+          var acc = 0.0
+          var j = 0
+          while (j < v.length) { acc += v(j) * p(j); j += 1 }
+          if (acc >= 0.0) sig |= (1 << i)
+          i += 1
+        }
+        val m = (1 << BandBits) - 1
+        (0 until NumBands).iterator.map(b => (id, b, (sig >>> (b * BandBits)) & m))
+      }
+      .toDF("vec_id", "band", "bh")
+  }
+
   /** LSH ANN: same output shape as brute force; recall < 1 by design
     * (ScalaTest asserts recall ≥ 0.6 vs brute force at k=5).
-    * Candidates = corpus vectors sharing ≥1 signature band with the
-    * query; exact cosine re-rank on candidates only.
+    *
+    * Scale shape: band rows and the candidate distinct carry only id
+    * scalars (16 bytes/pair, not the two 64-dim vectors a fat distinct
+    * would shuffle); vectors are re-attached AFTER dedup — the candidate
+    * set is broadcast back onto the corpus, so the corpus is scanned,
+    * never shuffled; the query vectors (bounded set) broadcast last.
     */
   def simLshANN(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val all = emb(s, dir)
-      .select($"vec_id", asDouble($"embedding").as("e"))
-      .withColumn("sig", signature($"e"))
-    val banded = all.select($"vec_id", $"e",
-      explode(array((0 until NumBands).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned($"sig", b * BandBits)
-            .bitwiseAND(lit((1 << BandBits) - 1)).as("bh"))
-      }: _*)).as("bk"))
-      .select($"vec_id", $"e", $"bk.band", $"bk.bh")
-    val q = banded.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"e".as("qe"), $"band", $"bh")
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    val banded = lshBandsFused(all)
+    val qBands = banded.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"band", $"bh")
     val cand = banded.as("c")
-      .join(broadcast(q).as("q"),
+      .join(broadcast(qBands).as("q"),
         $"c.band" === $"q.band" && $"c.bh" === $"q.bh" &&
           $"c.vec_id" =!= $"q.query_id")
-      .select($"q.query_id", $"c.vec_id".as("cand_id"), $"q.qe", $"c.e")
+      .select($"q.query_id", $"c.vec_id".as("cand_id"))
       .distinct()
+    val qVecs = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"e".as("qe"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
-    cand
+    all.join(broadcast(cand), $"vec_id" === $"cand_id")
+      .join(broadcast(qVecs), Seq("query_id"))
       .select($"query_id", $"cand_id", cosine($"qe", $"e").as("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= TopK)
@@ -211,19 +239,19 @@ object Similarity {
     acc
   }
 
-  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold), exact.
+  /** TEST-ONLY baseline: embedding-cosine near-duplicate pairs (cosine ≥
+    * threshold), exact, via a driver `collect()` + corpus broadcast.
     * Threshold 0.40 is tuned to the synthetic corpus (max pairwise cosine
     * ~0.5 — no true dups exist, so a 0.9-style dedup cut would be empty).
     *
-    * Kernel shape: the corpus is broadcast as primitive double arrays and
-    * each task sweeps a slice of row indices against it with tight JVM
-    * loops. The declarative alternative (self-join + `aggregate` fold per
-    * pair) is ~50× slower because Catalyst's higher-order array functions
-    * are interpreted per element, and a non-equi join evaluates them for
-    * every candidate pair. At corpus scale the same kernel runs per tile
-    * pair of a block-partitioned matrix (broadcast one tile, stream the
-    * other); the LSH path (simLshANN) replaces it when approximate recall
-    * is acceptable.
+    * NOT registered as a query: the collect caps it at driver memory, a
+    * scale-killer at 100 TB. The production plan is [[dedupEmbCosineTiled]]
+    * (bit-identical — asserted in SimilaritySpec); this form exists as the
+    * simplest-possible kernel the tiled plan is verified against. The
+    * tight-JVM-loop kernel itself is shared rationale: the declarative
+    * alternative (self-join + `aggregate` fold per pair) is ~50× slower
+    * because Catalyst's higher-order array functions are interpreted per
+    * element, and a non-equi join evaluates them for every candidate pair.
     */
   def dedupEmbCosine(s: SparkSession, dir: String, threshold: Double = 0.40): DataFrame = {
     import s.implicits._
@@ -305,8 +333,10 @@ object Similarity {
     "sim_brute_topk" -> simBruteTopK,
     "sim_lsh_ann" -> simLshANN,
     "sim_ivf_ann" -> ((s, d) => simIvfANN(s, d)),
-    "dedup_embcos" -> ((s, d) => dedupEmbCosine(s, d)),
-    "dedup_embcos_tiled" -> ((s, d) => dedupEmbCosineTiled(s, d)))
+    // both routes are the tiled (no-driver-collect) plan; two block
+    // counts prove the tiling is invariant under the same oracle
+    "dedup_embcos" -> ((s, d) => dedupEmbCosineTiled(s, d, numBlocks = 8)),
+    "dedup_embcos_tiled" -> ((s, d) => dedupEmbCosineTiled(s, d, numBlocks = 4)))
 
   /** DuckDB double cosine with the same left-to-right fold:
     * list comprehension products + list_sum over DOUBLE.

@@ -193,6 +193,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall $recall below bound")
   }
 
+  test("fused LSH band kernel matches the Column signature form exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val all = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val viaColumn = all
+      .withColumn("sig", Similarity.signature($"e"))
+      .select($"vec_id", explode(array((0 until Similarity.NumBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned($"sig", b * Similarity.BandBits)
+            .bitwiseAND(lit((1 << Similarity.BandBits) - 1)).cast("int").as("bh"))
+      }: _*)).as("bk"))
+      .select($"vec_id", $"bk.band", $"bk.bh")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val viaKernel = Similarity.lshBandsFused(all)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(viaKernel == viaColumn)
+    assert(viaKernel.nonEmpty)
+  }
+
   test("IVF ANN recall >= 0.5 vs brute force with nprobe=2 of 10") {
     val ivf = topkSet(Similarity.simIvfANN(spark, sfDir))
     val recall = brute.keys.toSeq.map { q =>
