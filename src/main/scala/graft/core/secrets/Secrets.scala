@@ -24,14 +24,62 @@ final class EnvSecretsProvider(env: String => Option[String] = sys.env.get)
 final case class SecretNotFoundError(provider: String, key: String)
   extends RuntimeException(s"secret $key not found in provider $provider")
 
+/** The provider's SDK is not on the classpath. Mirrors the reference's
+  * lazy `import boto3` / `import hvac` inside the first resolve
+  * (providers.py:60-63, :115-118): construction always succeeds; the
+  * missing dependency surfaces on first use with an actionable message.
+  */
+final case class ProviderUnavailableError(provider: String, detail: String)
+  extends RuntimeException(s"secrets provider '$provider' unavailable: $detail")
+
 /** AWS Secrets Manager provider contract (providers.py:44-99). The SDK
   * call is injected (the AWS SDK is an optional extra in the reference
-  * too); production wires `fetch` to SecretsManagerClient.getSecretValue.
+  * too); [[AwsSecretsProvider.reflective]] wires the real SDK when it is
+  * on the classpath.
   */
 final class AwsSecretsProvider(fetch: String => Option[String])
   extends SecretsProvider {
   val name = "aws"
   def getSecret(key: String): Option[String] = fetch(key)
+}
+
+object AwsSecretsProvider {
+  private val ClientClass =
+    "software.amazon.awssdk.services.secretsmanager.SecretsManagerClient"
+  private val RequestClass =
+    "software.amazon.awssdk.services.secretsmanager.model.GetSecretValueRequest"
+
+  /** Production wiring: reflectively load AWS SDK v2 on FIRST use (the
+    * reference's lazy-import pattern — construction never fails, a
+    * missing SDK raises at resolve time). `load` is injectable so specs
+    * can exercise the not-on-classpath path deterministically.
+    */
+  def reflective(load: String => Class[_] = Class.forName(_)): AwsSecretsProvider = {
+    lazy val client: AnyRef = {
+      val cls = try load(ClientClass) catch {
+        case _: ClassNotFoundException | _: NoClassDefFoundError =>
+          throw ProviderUnavailableError("aws",
+            s"$ClientClass not on classpath — add the AWS SDK v2 " +
+              "secretsmanager artifact (the reference requires boto3 the same way)")
+      }
+      cls.getMethod("create").invoke(null)
+    }
+    new AwsSecretsProvider(key => {
+      val c = client // force the lazy SDK load (and its unavailable error) first
+      val reqCls = load(RequestClass)
+      val b = reqCls.getMethod("builder").invoke(null)
+      val b2 = b.getClass.getMethod("secretId", classOf[String]).invoke(b, key)
+      val req = b2.getClass.getMethod("build").invoke(b2)
+      val resp = c.getClass.getMethods
+        .find(m => m.getName == "getSecretValue" && m.getParameterCount == 1 &&
+          m.getParameterTypes()(0).isAssignableFrom(reqCls))
+        .getOrElse(throw ProviderUnavailableError("aws",
+          "SDK getSecretValue(request) signature not found"))
+        .invoke(c, req)
+      Option(resp.getClass.getMethod("secretString").invoke(resp))
+        .map(_.asInstanceOf[String])
+    })
+  }
 }
 
 /** Vault KV-v2 provider contract with the reference's `path:field`
@@ -48,6 +96,47 @@ final class VaultSecretsProvider(readPath: String => Option[Map[String, String]]
       case i => (key.substring(0, i), key.substring(i + 1))
     }
     readPath(path).flatMap(_.get(field))
+  }
+}
+
+object VaultSecretsProvider {
+  private val VaultClass = "com.bettercloud.vault.Vault"
+  private val ConfigClass = "com.bettercloud.vault.VaultConfig"
+
+  /** Production wiring over the BetterCloud Vault driver (KV v2),
+    * reflectively loaded on FIRST read — same lazy-import contract as
+    * [[AwsSecretsProvider.reflective]] and the reference's `import hvac`
+    * (providers.py:115-118). `mountPoint` prefixes paths the way the
+    * reference's `mount_point` does.
+    */
+  def reflective(
+      url: String, token: String,
+      mountPoint: String = "secret",
+      load: String => Class[_] = Class.forName(_)): VaultSecretsProvider = {
+    require(url.nonEmpty, "url is required")
+    lazy val vault: AnyRef = {
+      val (vCls, cCls) = try (load(VaultClass), load(ConfigClass)) catch {
+        case _: ClassNotFoundException | _: NoClassDefFoundError =>
+          throw ProviderUnavailableError("vault",
+            s"$VaultClass not on classpath — add the vault-java-driver " +
+              "artifact (the reference requires hvac the same way)")
+      }
+      val cfg0 = cCls.getConstructor().newInstance().asInstanceOf[AnyRef]
+      val cfg1 = cCls.getMethod("address", classOf[String]).invoke(cfg0, url)
+      val cfg2 = cCls.getMethod("token", classOf[String]).invoke(cfg1, token)
+      val cfg = cCls.getMethod("build").invoke(cfg2)
+      vCls.getConstructor(cCls).newInstance(cfg).asInstanceOf[AnyRef]
+    }
+    new VaultSecretsProvider(path => {
+      val logical = vault.getClass.getMethod("logical").invoke(vault)
+      val resp = logical.getClass
+        .getMethod("read", classOf[String])
+        .invoke(logical, s"$mountPoint/data/$path")
+      val data = resp.getClass.getMethod("getData").invoke(resp)
+        .asInstanceOf[java.util.Map[String, String]]
+      if (data == null || data.isEmpty) None
+      else Some(scala.jdk.CollectionConverters.MapHasAsScala(data).asScala.toMap)
+    })
   }
 }
 

@@ -73,4 +73,83 @@ object ComponentLoader {
       throw ComponentInstantiationError(s"factory for $path returned null")
     c
   }
+
+  /** Pre-flight warnings for a component class path — loadable but
+    * suspicious shapes (reference: loader.py:88-113). Unloadable paths
+    * still throw, exactly as `validate_component_class` does.
+    */
+  def validateComponentClass(path: String): List[String] = {
+    if (registry.get(path) != null) return Nil
+    val warnings = scala.collection.mutable.ListBuffer[String]()
+    val companion =
+      try Class.forName(path + "$").getField("MODULE$").get(null)
+        .isInstanceOf[ComponentFactory]
+      catch { case _: ReflectiveOperationException => false }
+    if (!companion) {
+      val cls =
+        try Class.forName(path)
+        catch {
+          case e: ClassNotFoundException =>
+            throw ComponentNotFoundError(s"class not found: $path (${e.getMessage})")
+        }
+      warnings += s"'$path' has no ComponentFactory companion; will fall back to constructor instantiation"
+      if (java.lang.reflect.Modifier.isAbstract(cls.getModifiers))
+        warnings += s"'$path' is abstract and cannot be instantiated"
+      if (!classOf[PipelineComponent].isAssignableFrom(cls))
+        warnings += s"'$path' does not implement PipelineComponent"
+    }
+    warnings.toList
+  }
+
+  /** All concrete [[PipelineComponent]] classes directly inside a package
+    * (reference: loader.py:115-137 `list_available_components`). The JVM
+    * analogue of scanning a module's vars: enumerate the package's
+    * `.class` resources across classpath directories AND jars, load each
+    * candidate, keep non-abstract PipelineComponent subtypes. Nested and
+    * companion classes (names containing '$') are skipped, like the
+    * reference skips module-private names. Raises if the package has no
+    * classpath presence (the reference's ImportError path).
+    */
+  def listAvailableComponents(
+      pkg: String,
+      loader: ClassLoader = Thread.currentThread.getContextClassLoader): List[String] = {
+    import scala.jdk.CollectionConverters._
+    val rel = pkg.replace('.', '/')
+    val urls = loader.getResources(rel).asScala.toList
+    if (urls.isEmpty)
+      throw ComponentNotFoundError(s"package not found on classpath: $pkg")
+    val classFiles: List[String] = urls.flatMap { url =>
+      url.getProtocol match {
+        case "file" =>
+          val dir = new java.io.File(url.toURI)
+          Option(dir.listFiles()).toList.flatten
+            .filter(f => f.isFile && f.getName.endsWith(".class"))
+            .map(_.getName.stripSuffix(".class"))
+        case "jar" =>
+          val conn = url.openConnection().asInstanceOf[java.net.JarURLConnection]
+          val jar = conn.getJarFile
+          jar.entries().asScala
+            .map(_.getName)
+            .filter(n => n.startsWith(rel + "/") && n.endsWith(".class") &&
+              !n.drop(rel.length + 1).contains('/')) // direct children only
+            .map(_.drop(rel.length + 1).stripSuffix(".class"))
+            .toList
+        case _ => Nil
+      }
+    }
+    classFiles.distinct
+      .filterNot(_.contains('$'))
+      .flatMap { simple =>
+        val fqcn = s"$pkg.$simple"
+        try {
+          val cls = Class.forName(fqcn, false, loader)
+          if (classOf[PipelineComponent].isAssignableFrom(cls) &&
+              !java.lang.reflect.Modifier.isAbstract(cls.getModifiers) &&
+              !cls.isInterface && cls != classOf[PipelineComponent])
+            Some(fqcn)
+          else None
+        } catch { case _: LinkageError | _: ClassNotFoundException => None }
+      }
+      .sorted
+  }
 }

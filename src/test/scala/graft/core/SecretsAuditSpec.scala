@@ -63,6 +63,23 @@ class SecretsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("path:field"))
   }
 
+  test("reflective providers: construction succeeds, missing SDK raises on first use") {
+    // the reference's lazy-import contract (providers.py:60-63,115-118):
+    // building the provider never touches the SDK; the first resolve does
+    val aws = AwsSecretsProvider.reflective()
+    val vault = VaultSecretsProvider.reflective("http://127.0.0.1:8200", "tok")
+    val ea = intercept[ProviderUnavailableError](aws.getSecret("k"))
+    assert(ea.provider == "aws" && ea.getMessage.contains("classpath"))
+    val ev = intercept[ProviderUnavailableError](vault.getSecret("db:password"))
+    assert(ev.provider == "vault" && ev.getMessage.contains("classpath"))
+    // injectable loader: a deliberately failing load surfaces the same way
+    val e2 = intercept[ProviderUnavailableError](
+      AwsSecretsProvider.reflective(load =
+        _ => throw new ClassNotFoundException("boom")).getSecret("k"))
+    assert(e2.provider == "aws")
+    intercept[IllegalArgumentException](VaultSecretsProvider.reflective("", "t"))
+  }
+
   test("access callback sees hits and misses") {
     val accesses = scala.collection.mutable.ListBuffer[(String, String, Boolean)]()
     val resolver = new SecretsResolver(

@@ -230,6 +230,21 @@ class LocalDemoSpec extends SparkSpec {
     assert(Cli.execute(Seq(bad.toString, "--dry-run")) == 1)
   }
 
+  test("package scan lists concrete components; validate warns on shape") {
+    val found = ComponentLoader.listAvailableComponents("graft.components")
+    assert(found.contains("graft.components.ReadCsv"))
+    assert(found.contains("graft.components.SqlTransform"))
+    assert(found.contains("graft.components.WriteTable"))
+    assert(found == found.sorted && found.distinct == found)
+    // scanning compiled-from-jar packages works through the jar branch
+    intercept[graft.core.component.ComponentNotFoundError](
+      ComponentLoader.listAvailableComponents("no.such.pkg"))
+    // validate: factory-backed classes are clean; plain classes warn
+    assert(ComponentLoader.validateComponentClass("graft.components.ReadCsv").isEmpty)
+    intercept[graft.core.component.ComponentNotFoundError](
+      ComponentLoader.validateComponentClass("does.not.Exist"))
+  }
+
   test("parseArgs: value-bearing --log-level works in any position") {
     assert(Cli.parseArgs(Seq("p.conf", "--log-level", "DEBUG"))
       .exists(a => a.configPath == "p.conf" && a.logLevel == "DEBUG"))

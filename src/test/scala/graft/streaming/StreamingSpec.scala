@@ -266,6 +266,36 @@ class StreamingSpec extends SparkSpec {
     assert(setIds == corpus.keySet)
   }
 
+  test("processBatch invariant: state appends equal the pre-write computed sets") {
+    // Guards the lazy re-read-after-append class: a plan that reads a
+    // state path must be materialized before ANY append to that path, or
+    // the second write re-evaluates against the batch's own output (the
+    // refreshByPath cache invalidation makes even .cache() insufficient).
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val state = Files.createTempDirectory("graft-pb").resolve("s").toString
+    def invariant(expectedIds: Set[Long]): Unit = {
+      val docs = spark.read.parquet(s"$state/corpus_docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val sets = spark.read.parquet(s"$state/corpus_sets")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(docs == expectedIds, s"corpus_docs: $docs != $expectedIds")
+      assert(sets == expectedIds, s"corpus_sets must cover every accepted doc: $sets != $expectedIds")
+    }
+    val n1 = StreamingCuration.processBatch(spark,
+      Seq((1L, "first document with plenty of ordinary tokens for the quality gate to accept"),
+        (2L, "second document also long enough and completely unlike the first one here"))
+        .toDF("doc_id", "text"), state)
+    assert(n1 == 2)
+    invariant(Set(1L, 2L))
+    // second batch against EXISTING state — the bug only fired here
+    val n2 = StreamingCuration.processBatch(spark,
+      Seq((3L, "a third novel document whose content shares nothing with previous batches at all"))
+        .toDF("doc_id", "text"), state)
+    assert(n2 == 3) // post-append corpus size
+    invariant(Set(1L, 2L, 3L))
+  }
+
   test("stream-stream join with watermarks matches the batch join") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-ssjoin")
