@@ -26,7 +26,8 @@ object SparkEntry {
     Relational.queries ++ Extended.queries ++ Extended2.queries ++
       Extended3.queries ++
       QualityQueries.queries ++ Dedup.queries ++ TextAnalysis.queries ++
-      Similarity.queries ++ Multimodal.queries ++ Sampling.queries
+      Similarity.queries ++ Multimodal.queries ++ Sampling.queries ++
+      Packing.queries ++ Decontamination.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
     Relational.oracles ++ Extended.oracles ++ Extended2.oracles ++
       Extended3.oracles ++
       QualityQueries.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
-      Similarity.oracles ++ Multimodal.oracles ++ Sampling.oracles
+      Similarity.oracles ++ Multimodal.oracles ++ Sampling.oracles ++
+      Packing.oracles ++ Decontamination.oracles
 }

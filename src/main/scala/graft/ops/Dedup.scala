@@ -61,9 +61,18 @@ object Dedup {
     *    downstream shuffle, window, and join keys on 8 bytes, never on a
     *    multi-word string.
     */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def shingled(s: SparkSession, dir: String): DataFrame =
+    shingledOf(t(s, dir, "documents"))
+
+  /** As [[shingled]] but over an arbitrary (doc_id, text) frame, so
+    * callers can push row filters BELOW the typed flatMap (a filter
+    * written after it cannot cross the object boundary, forcing a full
+    * corpus shingle pass — see [[Decontamination]]).
+    */
+  private[ops] def shingledOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    t(s, dir, "documents")
+    docs
       .select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
         val ws = text.trim.split("\\s+").filter(_.nonEmpty)
@@ -480,7 +489,7 @@ object Dedup {
   /** DuckDB-side distinct (doc_id, shingle) pairs, mirroring
     * shingles(text, 3).
     */
-  private val shingleCte = """
+  private[ops] val shingleCte = """
     sh AS (
       SELECT doc_id, unnest(list_distinct(
         [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)])) AS sh

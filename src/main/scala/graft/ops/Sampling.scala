@@ -61,8 +61,48 @@ object Sampling {
       .orderBy("split")
   }
 
+  /** Temperature-flattening constant: keepFrac(domain) = min(1, K/√n).
+    * Big domains are downsampled ∝ n^-1/2 (α = 0.5 temperature), small
+    * domains kept whole — the standard multi-source mixing move that
+    * stops one giant crawl from drowning curated sources.
+    */
+  val TempK = 8.0
+
+  /** Deterministic per-domain temperature sampling over `source`:
+    * membership = 16-bit md5 prefix under a per-domain cutoff, so the
+    * sample is recomputable row-by-row anywhere. All cutoff arithmetic
+    * is correctly-rounded IEEE ops (÷, √, ×, floor) in a fixed order —
+    * bit-identical in any engine, which is what lets DuckDB replay it.
+    *
+    * 100 TB shape: one small per-domain aggregate (|domains| rows)
+    * broadcast back onto the scan; the filter is pure codegen per row —
+    * no shuffle of the corpus.
+    */
+  def temperatureSummary(s: SparkSession, dir: String, k: Double = TempK): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select($"doc_id", $"source")
+    val cut = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("cutoff",
+        floor(least(lit(1.0), lit(k) / sqrt($"n_docs".cast("double"))) * 65536.0)
+          .cast("long"))
+    val kept = docs.join(broadcast(cut), "source")
+      .filter($"cutoff" >= 65536L ||
+        substring(md5($"doc_id".cast("string")), 1, 4) <
+          format_string("%04x", $"cutoff"))
+    cut.join(
+        kept.groupBy($"source").agg(
+          count(lit(1)).as("n_kept"), sum($"doc_id").as("sum_kept_ids")),
+        Seq("source"), "left")
+      .select($"source", $"n_docs", $"cutoff",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"sum_kept_ids", lit(0L)).as("sum_kept_ids"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sample_split" -> splitSummary)
+    "sample_split" -> splitSummary,
+    "sample_temperature" -> ((s, d) => temperatureSummary(s, d)))
 
   val oracles: Map[String, String] = Map(
     "sample_split" -> s"""
@@ -74,5 +114,23 @@ object Sampling {
         MIN(doc_id) AS min_id,
         MAX(doc_id) AS max_id
       FROM documents
-      GROUP BY 1 ORDER BY 1""")
+      GROUP BY 1 ORDER BY 1""",
+    "sample_temperature" -> s"""
+      WITH cut AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+            CAST($TempK AS DOUBLE) / sqrt(CAST(COUNT(*) AS DOUBLE))) * 65536.0)
+            AS BIGINT) AS cutoff
+        FROM documents GROUP BY source),
+      kept AS (
+        SELECT d.source, d.doc_id
+        FROM documents d JOIN cut c ON d.source = c.source
+        WHERE c.cutoff >= 65536
+           OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', c.cutoff))
+      SELECT c.source, c.n_docs, c.cutoff,
+        CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+        CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS sum_kept_ids
+      FROM cut c LEFT JOIN kept k ON c.source = k.source
+      GROUP BY c.source, c.n_docs, c.cutoff
+      ORDER BY c.source""")
 }

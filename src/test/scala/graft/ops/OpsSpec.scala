@@ -167,6 +167,32 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(ids1 == ids2)
   }
+
+  test("temperature sampling flattens big domains, keeps small ones whole") {
+    val rows = Sampling.temperatureSummary(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nDocs, cutoff, nKept, _) =>
+      val expected = math.min(1.0, Sampling.TempK / math.sqrt(nDocs.toDouble))
+      assert(cutoff == math.floor(expected * 65536.0).toLong)
+      assert(nKept <= nDocs)
+      if (cutoff >= 65536L) assert(nKept == nDocs, "domains under K^2 docs kept whole")
+      // hash-uniform: kept share tracks the cutoff within binomial noise
+      else {
+        val share = nKept.toDouble / nDocs
+        val p = cutoff / 65536.0
+        assert(math.abs(share - p) < 4 * math.sqrt(p * (1 - p) / nDocs) + 0.02,
+          s"share $share vs p $p over $nDocs docs")
+      }
+    }
+    // a domain with more docs never keeps a LARGER fraction
+    val fracs = rows.filter(_._2 > 0)
+      .map { case (_, n, _, k, _) => (n, k.toDouble / n) }.sortBy(_._1)
+    fracs.sliding(2).foreach {
+      case Array((n1, f1), (n2, f2)) if n1 < n2 => assert(f2 <= f1 + 0.05)
+      case _ => ()
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
