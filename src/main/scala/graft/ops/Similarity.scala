@@ -228,6 +228,78 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  // ---- int8 scalar quantization (SQ8) ----
+
+  /** Re-rank pool size: approx search keeps 4k candidates, exact cosine
+    * keeps the final k.
+    */
+  val QuantCand: Int = 4 * TopK
+
+  /** SQ8 code of a vector: each coordinate of the UNIT vector scaled to
+    * [-127, 127] and floor(x+0.5)-rounded (explicit, so the oracle can
+    * replay it — `round` half-cases differ between engines; floor(x+0.5)
+    * is the same correctly-rounded IEEE op chain everywhere).
+    */
+  def quantize(v: Array[Double]): Array[Byte] = {
+    val n = math.sqrt(dotArr(v, v))
+    val out = new Array[Byte](v.length)
+    var i = 0
+    while (i < v.length) {
+      out(i) = math.floor(v(i) / n * 127.0 + 0.5).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** SQ8 ANN: approximate candidate search over int8 codes (integer dot
+    * products — exact arithmetic, so fully oracle-checkable, unlike the
+    * probabilistic LSH/IVF tiers), then exact double-cosine re-rank of
+    * the top-[[QuantCand]] pool.
+    *
+    * 100 TB shape: the quantized corpus is 4× smaller than float32 (32×
+    * smaller than the doubles the exact pass uses) — at scale the SQ8
+    * codes are the resident index scanned for every query batch, and
+    * full-precision vectors are fetched only for the tiny re-rank pool.
+    * Here both live in the same table, but the plan preserves the
+    * access pattern: one corpus scan computes int dots against the
+    * broadcast quantized queries (bounded set, like shipping a model),
+    * and only ids cross the top-C shuffle.
+    */
+  def simSqANN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    val typed = all.as[(Long, Array[Double])]
+    val qQuant = typed.filter(_._1 < NumQueries).collect()
+      .map { case (id, v) => (id, quantize(v)) }
+    val bc = s.sparkContext.broadcast(qQuant)
+    val approx = typed.mapPartitions { it =>
+      val qs = bc.value
+      it.flatMap { case (id, v) =>
+        val qv = quantize(v)
+        qs.iterator.filter(_._1 != id).map { case (qid, qq) =>
+          var acc = 0
+          var i = 0
+          while (i < qv.length) { acc += qv(i) * qq(i); i += 1 }
+          (qid, id, acc.toLong)
+        }
+      }
+    }.toDF("query_id", "cand_id", "adot")
+    val wA = Window.partitionBy($"query_id").orderBy($"adot".desc, $"cand_id".asc)
+    val cand = approx.withColumn("ark", row_number().over(wA))
+      .filter($"ark" <= QuantCand)
+      .select($"query_id", $"cand_id")
+    val qVecs = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"e".as("qe"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+    all.join(broadcast(cand), $"vec_id" === $"cand_id")
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select($"query_id", $"cand_id", cosine($"qe", $"e").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= TopK)
+      .select($"query_id", $"rk", $"cand_id", $"cos")
+      .orderBy("query_id", "rk")
+  }
+
   /** Primitive left-to-right dot product — the same op order as the
     * Column-level fold and the DuckDB oracle, so results stay
     * bit-identical across all three implementations.
@@ -333,6 +405,7 @@ object Similarity {
     "sim_brute_topk" -> simBruteTopK,
     "sim_lsh_ann" -> simLshANN,
     "sim_ivf_ann" -> ((s, d) => simIvfANN(s, d)),
+    "sim_sq_ann" -> simSqANN,
     // both routes are the tiled (no-driver-collect) plan; two block
     // counts prove the tiling is invariant under the same oracle
     "dedup_embcos" -> ((s, d) => dedupEmbCosineTiled(s, d, numBlocks = 8)),
@@ -363,7 +436,39 @@ object Similarity {
       WHERE rk <= $TopK
       ORDER BY query_id, rk""",
     "dedup_embcos" -> embCosOracle,
-    "dedup_embcos_tiled" -> embCosOracle)
+    "dedup_embcos_tiled" -> embCosOracle,
+    // SQ8 is deterministic end-to-end (integer dots + IEEE-exact
+    // quantization + exact re-rank), so unlike LSH/IVF it gets a full
+    // hash-matching oracle replaying the same quantize → top-C → re-rank
+    "sim_sq_ann" -> s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q8 AS (
+        SELECT vec_id,
+          [CAST(floor(v[i] / sqrt(list_sum([x * x for x in v])) * 127.0 + 0.5)
+            AS BIGINT) for i in range(1, 65)] AS qv
+        FROM e),
+      adots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          CAST(list_sum([q.qv[i] * c.qv[i] for i in range(1, 65)]) AS BIGINT) AS adot
+        FROM q8 q JOIN q8 c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < $NumQueries),
+      pool AS (
+        SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id ASC) AS ark
+          FROM adots) WHERE ark <= $QuantCand),
+      rer AS (
+        SELECT p.query_id, p.cand_id,
+          ${duckCos("qe.embedding", "ce.embedding")} AS cos
+        FROM pool p
+        JOIN embeddings qe ON qe.vec_id = p.query_id
+        JOIN embeddings ce ON ce.vec_id = p.cand_id)
+      SELECT query_id, rk, cand_id, cos FROM (
+        SELECT query_id, cand_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+        FROM rer) WHERE rk <= $TopK
+      ORDER BY query_id, rk""")
 
   private lazy val embCosOracle = s"""
       SELECT x.vec_id AS a, y.vec_id AS b,

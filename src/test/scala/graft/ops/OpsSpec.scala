@@ -248,6 +248,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall below bound")
   }
 
+  test("SQ8 ANN recall >= 0.8 vs brute force; codes bounded to [-127,127]") {
+    val sq = topkSet(Similarity.simSqANN(spark, sfDir))
+    val recall = brute.keys.toSeq.map { q =>
+      val hits = sq.getOrElse(q, Set.empty).intersect(brute(q)).size
+      hits.toDouble / Similarity.TopK
+    }.sum / brute.size
+    assert(recall >= 0.8, s"SQ8 recall $recall below bound — int8 on 64-dim unit vectors should be near-exact")
+    // code range and unit-norm preservation of the quantizer
+    val v = Array.tabulate(64)(i => math.sin(i + 1.0))
+    val q = Similarity.quantize(v)
+    assert(q.forall(b => b >= -127 && b <= 127))
+    val n = math.sqrt(Similarity.dotArr(v, v))
+    q.zip(v).foreach { case (b, x) =>
+      assert(math.abs(b - x / n * 127.0) <= 0.5 + 1e-9)
+    }
+  }
+
   test("IVF with all probes equals brute force exactly (rank, id, AND score)") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "rk", "cand_id", "cos").collect()
