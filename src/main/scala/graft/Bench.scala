@@ -7,21 +7,24 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology (documented in BASELINE.md): every query runs once as an
   * UNMEASURED warm sweep — JIT, codegen caches, parquet footers, and OS
-  * page cache all land there — then once more as the measured
-  * steady-state sweep. The old single-warmup-per-family protocol left
-  * the first measured query of most families cold, which is how r3's
-  * q1 7.6s outlier happened (q1 doubled as the global warmup). Each run
-  * goes to a noop sink — full materialization of every output column,
-  * unlike count(), which lets Catalyst prune projections and drop
-  * sorts. Queries run in sorted name order for run-to-run
-  * comparability. SPARK_GRAFT_BENCH_PASSES (default 2; min 1) controls
-  * total sweeps — the last one is reported.
+  * page cache all land there — then in measured steady-state sweeps;
+  * the reported figure is the per-query MIN across measured sweeps, so
+  * a one-off GC pause in a single sweep can't masquerade as a
+  * regression (r4 observed a 5 s spike on a 0.7 s query exactly once).
+  * The old single-warmup-per-family protocol left the first measured
+  * query of most families cold, which is how r3's q1 7.6s outlier
+  * happened (q1 doubled as the global warmup). Each run goes to a noop
+  * sink — full materialization of every output column, unlike count(),
+  * which lets Catalyst prune projections and drop sorts. Queries run in
+  * sorted name order for run-to-run comparability.
+  * SPARK_GRAFT_BENCH_PASSES (default 3 = 1 warm + 2 measured; min 1)
+  * controls total sweeps.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,8 +44,13 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
 
-    (1 until passes).foreach(_ => sweep()) // warm sweeps, unmeasured
-    val results = sweep()                  // steady-state, reported
+    if (passes > 1) sweep() // warm sweep, unmeasured (skipped at passes=1)
+    // measured sweeps: per-query min — robust to one-off GC/page-cache
+    // spikes (a single sweep IS the min when passes=2)
+    val measured = (1 until math.max(2, passes)).map(_ => sweep())
+    val results = measured.head.indices.map { i =>
+      measured.head(i)._1 -> measured.map(_(i)._2).min
+    }
     // Millisecond precision keeps the whole line under ~2KB (the
     // driver captures a bounded tail of the output; full-precision
     // doubles pushed the leading "total" metric past the window).

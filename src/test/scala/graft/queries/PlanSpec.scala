@@ -152,6 +152,30 @@ class PlanSpec extends SparkSpec {
       "redaction must stay in native expressions, not a UDF/typed pass")
     assert(p.contains("Scan parquet"), s"expected a direct parquet scan:\n$p")
   }
+
+  test("decon_pairs: eval side broadcasts; shingle join never sort-merges") {
+    val p = plan(TaPlanProbe.decon(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounded eval shingles must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "contamination probe fell back to a corpus-wide SMJ")
+  }
+
+  test("pack_chunks: no shuffle before the output sort (doc-parallel explode)") {
+    val p = formatted(TaPlanProbe.chunks(spark, sfDir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-doc chunking must not hash-shuffle:\n$p")
+    assert(p.contains("Generate explode") || p.contains("Generate"),
+      "chunk fan-out should be a Generate over the scan")
+    // only text/doc_id are read; the chunker must not drag other columns
+    assert(!p.contains("source"), "unused columns read from parquet")
+  }
+
+  test("sample_temperature: per-domain cutoffs broadcast back onto the scan") {
+    val p = plan(TaPlanProbe.temperature(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"|domains|-row cutoff table must broadcast:\n$p")
+  }
 }
 
 /** Tiny indirection so PlanSpec (package queries) can reach the ops
@@ -160,4 +184,10 @@ class PlanSpec extends SparkSpec {
 private object TaPlanProbe {
   def pii(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.ops.TextAnalysis.taPiiRedact(s, dir)
+  def decon(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.ops.Decontamination.contaminationPairs(s, dir)
+  def chunks(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.ops.Packing.packChunks(s, dir)
+  def temperature(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.ops.Sampling.temperatureSummary(s, dir)
 }
