@@ -33,24 +33,31 @@ object Decontamination {
     */
   val MinShared = 2L
 
+  /** Wide-window sweep: a single shared 13-gram is already strong
+    * evidence of verbatim overlap (the conventional production window),
+    * so the wide variant uses minShared = 1.
+    */
+  val WideN = 13
+
   private def isEval(id: Column): Column =
     md5(id.cast("string")) >= EvalLower
 
   /** (train_id, eval_id, n_shared) for every train/eval pair sharing ≥
-    * [[MinShared]] distinct 3-gram shingles.
+    * `minShared` distinct `n`-gram shingles.
     */
-  def contaminationPairs(s: SparkSession, dir: String): DataFrame = {
+  def contaminationPairs(s: SparkSession, dir: String,
+      n: Int = Dedup.ShingleN, minShared: Long = MinShared): DataFrame = {
     import s.implicits._
     // filter BEFORE shingling: the md5 predicate runs on the scan, so the
     // eval side reads ~3% of the corpus and the broadcast stays bounded
     val docs = graft.Tables.t(s, dir, "documents")
-    val evalSh = Dedup.shingledOf(docs.filter(isEval($"doc_id")))
+    val evalSh = Dedup.shingledOf(docs.filter(isEval($"doc_id")), n)
       .select($"doc_id".as("eval_id"), $"sh")
-    Dedup.shingledOf(docs.filter(!isEval($"doc_id")))
+    Dedup.shingledOf(docs.filter(!isEval($"doc_id")), n)
       .join(broadcast(evalSh), "sh")
       .groupBy($"doc_id".as("train_id"), $"eval_id")
       .agg(count(lit(1)).as("n_shared"))
-      .filter($"n_shared" >= MinShared)
+      .filter($"n_shared" >= minShared)
       .orderBy("train_id", "eval_id")
   }
 
@@ -69,11 +76,24 @@ object Decontamination {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "decon_pairs" -> contaminationPairs,
+    "decon_pairs" -> ((s, d) => contaminationPairs(s, d)),
+    "decon_pairs_13gram" -> ((s, d) =>
+      contaminationPairs(s, d, n = WideN, minShared = 1L)),
     "decon_report" -> contaminationReport)
 
-  private val pairsSql = s"""
-      WITH ${Dedup.shingleCte},
+  /** DuckDB n-gram shingle CTE, the n-parameterized twin of
+    * [[Dedup.shingleCte]] (identical output at n=3).
+    */
+  private def shingleCteN(n: Int) = s"""
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        [array_to_string(ws[i:i+${n - 1}], ' ') for i in range(1, len(ws) - ${n - 2})])) AS sh
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS ws
+            FROM documents)
+      WHERE len(ws) >= $n)"""
+
+  private def pairsSql(n: Int, minShared: Long) = s"""
+      WITH ${shingleCteN(n)},
       pairs AS (
         SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
           CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -81,15 +101,19 @@ object Decontamination {
         WHERE md5(CAST(e.doc_id AS VARCHAR)) >= '$EvalLower'
           AND md5(CAST(t.doc_id AS VARCHAR)) < '$EvalLower'
         GROUP BY 1, 2
-        HAVING COUNT(*) >= $MinShared)"""
+        HAVING COUNT(*) >= $minShared)"""
 
   val oracles: Map[String, String] = Map(
     "decon_pairs" -> s"""
-      $pairsSql
+      ${pairsSql(Dedup.ShingleN, MinShared)}
+      SELECT train_id, eval_id, n_shared FROM pairs
+      ORDER BY train_id, eval_id""",
+    "decon_pairs_13gram" -> s"""
+      ${pairsSql(WideN, 1L)}
       SELECT train_id, eval_id, n_shared FROM pairs
       ORDER BY train_id, eval_id""",
     "decon_report" -> s"""
-      $pairsSql
+      ${pairsSql(Dedup.ShingleN, MinShared)}
       SELECT eval_id,
         CAST(COUNT(*) AS BIGINT) AS n_train_docs,
         MAX(n_shared) AS max_shared,

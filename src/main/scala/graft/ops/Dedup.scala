@@ -64,25 +64,27 @@ object Dedup {
   private[ops] def shingled(s: SparkSession, dir: String): DataFrame =
     shingledOf(t(s, dir, "documents"))
 
-  /** As [[shingled]] but over an arbitrary (doc_id, text) frame, so
+  /** As [[shingled]] but over an arbitrary (doc_id, text) frame — so
     * callers can push row filters BELOW the typed flatMap (a filter
     * written after it cannot cross the object boundary, forcing a full
-    * corpus shingle pass — see [[Decontamination]]).
+    * corpus shingle pass — see [[Decontamination]]) — and with the
+    * window width `n` a parameter (dedup uses 3; decontamination
+    * sweeps are conventionally run at much wider windows, e.g. 13).
     */
-  private[ops] def shingledOf(docs: DataFrame): DataFrame = {
+  private[ops] def shingledOf(docs: DataFrame, n: Int = ShingleN): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs
       .select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
         val ws = text.trim.split("\\s+").filter(_.nonEmpty)
-        if (ws.length < ShingleN) Iterator.empty
+        if (ws.length < n) Iterator.empty
         else {
           val seen = new scala.collection.mutable.HashSet[Long]
           val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
           var i = 0
-          while (i + ShingleN <= ws.length) {
-            val h = fnv64(ws.slice(i, i + ShingleN).mkString(" "))
+          while (i + n <= ws.length) {
+            val h = fnv64(ws.slice(i, i + n).mkString(" "))
             if (seen.add(h)) out += ((id, h))
             i += 1
           }

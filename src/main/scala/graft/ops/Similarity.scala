@@ -254,7 +254,7 @@ object Similarity {
   /** SQ8 ANN: approximate candidate search over int8 codes (integer dot
     * products — exact arithmetic, so fully oracle-checkable, unlike the
     * probabilistic LSH/IVF tiers), then exact double-cosine re-rank of
-    * the top-[[QuantCand]] pool.
+    * the top-[[PqCand]] pool.
     *
     * 100 TB shape: the quantized corpus is 4× smaller than float32 (32×
     * smaller than the doubles the exact pass uses) — at scale the SQ8
@@ -287,6 +287,154 @@ object Similarity {
     val wA = Window.partitionBy($"query_id").orderBy($"adot".desc, $"cand_id".asc)
     val cand = approx.withColumn("ark", row_number().over(wA))
       .filter($"ark" <= QuantCand)
+      .select($"query_id", $"cand_id")
+    val qVecs = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"e".as("qe"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+    all.join(broadcast(cand), $"vec_id" === $"cand_id")
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select($"query_id", $"cand_id", cosine($"qe", $"e").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= TopK)
+      .select($"query_id", $"rk", $"cand_id", $"cos")
+      .orderBy("query_id", "rk")
+  }
+
+  // ---- product quantization (PQ) ----
+
+  val PqM = 8        // subspaces
+  val PqDim = 8      // dims per subspace (PqM * PqDim = 64)
+  val PqK = 16       // centroids per subspace → 4-bit codes, 8 B/vector
+  val PqSampleIds = 256L // training sample = vec_id < this (bounded)
+  val PqIters = 10
+  /** PQ re-rank pool: wider than SQ8's (10k vs 4k) — 4-bit codes are a
+    * much coarser sieve than int8, and the exact re-rank makes pool
+    * width cheap (it touches full vectors only for pool members).
+    */
+  val PqCand: Int = 10 * TopK
+
+  /** Lloyd's k-means per subspace over a SMALL deterministic sample,
+    * driver-side: sample rows are processed in vec_id order with
+    * first-K-spread init and lowest-index tie-breaks, so the codebook is
+    * a pure function of the sample — the "train a bounded model, then
+    * broadcast it" pattern (same trust model as broadcasting the query
+    * set). Returns [PqM][PqK][PqDim] centroids.
+    */
+  def pqTrain(sample: Array[Array[Double]]): Array[Array[Array[Double]]] =
+    Array.tabulate(PqM) { m =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, m * PqDim, (m + 1) * PqDim))
+      // init: evenly spaced sample points (deterministic spread)
+      var cents = Array.tabulate(PqK)(k => subs(k * subs.length / PqK).clone())
+      var it = 0
+      while (it < PqIters) {
+        val sums = Array.fill(PqK, PqDim)(0.0)
+        val counts = new Array[Int](PqK)
+        subs.foreach { x =>
+          val k = pqNearest(x, cents)
+          counts(k) += 1
+          var d = 0
+          while (d < PqDim) { sums(k)(d) += x(d); d += 1 }
+        }
+        cents = Array.tabulate(PqK) { k =>
+          if (counts(k) == 0) cents(k) // empty cell keeps its centroid
+          else sums(k).map(_ / counts(k))
+        }
+        it += 1
+      }
+      cents
+    }
+
+  private def pqNearest(x: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var k = 0
+    while (k < cents.length) {
+      var d = 0.0
+      var i = 0
+      val c = cents(k)
+      while (i < x.length) { val t = x(i) - c(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = k } // strict < → lowest index wins ties
+      k += 1
+    }
+    best
+  }
+
+  /** v / ||v|| — object-level (NOT a local def inside the query method:
+    * a local def compiles to an instance method of the enclosing module,
+    * so an executor closure calling it captures `Similarity$`, which is
+    * not serializable; object-level methods route through the static
+    * MODULE$ field with no capture).
+    */
+  def unitVec(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(dotArr(v, v))
+    v.map(_ / n)
+  }
+
+  /** PQ code of a unit vector: nearest centroid per subspace. */
+  def pqEncode(unit: Array[Double], books: Array[Array[Array[Double]]]): Array[Byte] = {
+    val code = new Array[Byte](PqM)
+    var m = 0
+    while (m < PqM) {
+      code(m) = pqNearest(
+        java.util.Arrays.copyOfRange(unit, m * PqDim, (m + 1) * PqDim),
+        books(m)).toByte
+      m += 1
+    }
+    code
+  }
+
+  /** PQ ANN via asymmetric distance computation: the corpus is encoded
+    * to [[PqM]] 4-bit codes (8 B/vector — 32× smaller than the float32
+    * it stands for); each query precomputes a [PqM][PqK] table of
+    * query-subvector·centroid dots, so the per-candidate approx cosine
+    * is PqM table lookups + adds, no float math against the vector at
+    * all. Exact double re-rank of the top-[[PqCand]] pool.
+    *
+    * 100 TB shape: the codebook trains once on a bounded sample and
+    * broadcasts (it IS a model artifact); the code table is the
+    * resident index; the scan never shuffles — only
+    * (query_id, cand_id, approx) scalars reach the top-C window, ids
+    * re-attach vectors for the re-rank exactly as SQ8/LSH do. Recall is
+    * data-dependent (codebook quality) → recall-bound spec, not a SQL
+    * oracle, like LSH/IVF.
+    */
+  def simPqANN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    val typed = all.as[(Long, Array[Double])]
+    val sample = typed.filter(_._1 < PqSampleIds).collect()
+      .sortBy(_._1).map(t => unitVec(t._2))
+    val books = pqTrain(sample)
+    val queries = typed.filter(_._1 < NumQueries).collect().sortBy(_._1)
+    // per-query ADC tables: table(q)(m)(k) = qUnit_sub(m) · centroid k
+    val tables = queries.map { case (qid, qv) =>
+      val qu = unitVec(qv)
+      (qid, Array.tabulate(PqM, PqK) { (m, k) =>
+        var acc = 0.0
+        var i = 0
+        val c = books(m)(k)
+        while (i < PqDim) { acc += qu(m * PqDim + i) * c(i); i += 1 }
+        acc
+      })
+    }
+    val bcBooks = s.sparkContext.broadcast(books)
+    val bcTables = s.sparkContext.broadcast(tables)
+    val approx = typed.mapPartitions { it =>
+      val bks = bcBooks.value
+      val tbs = bcTables.value
+      it.flatMap { case (id, v) =>
+        val code = pqEncode(unitVec(v), bks)
+        tbs.iterator.filter(_._1 != id).map { case (qid, tb) =>
+          var acc = 0.0
+          var m = 0
+          while (m < PqM) { acc += tb(m)(code(m) & 0xff); m += 1 }
+          (qid, id, acc)
+        }
+      }
+    }.toDF("query_id", "cand_id", "approx")
+    val wA = Window.partitionBy($"query_id").orderBy($"approx".desc, $"cand_id".asc)
+    val cand = approx.withColumn("ark", row_number().over(wA))
+      .filter($"ark" <= PqCand)
       .select($"query_id", $"cand_id")
     val qVecs = all.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"e".as("qe"))
@@ -406,6 +554,7 @@ object Similarity {
     "sim_lsh_ann" -> simLshANN,
     "sim_ivf_ann" -> ((s, d) => simIvfANN(s, d)),
     "sim_sq_ann" -> simSqANN,
+    "sim_pq_ann" -> simPqANN,
     // both routes are the tiled (no-driver-collect) plan; two block
     // counts prove the tiling is invariant under the same oracle
     "dedup_embcos" -> ((s, d) => dedupEmbCosineTiled(s, d, numBlocks = 8)),
@@ -476,6 +625,7 @@ object Similarity {
       FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
       WHERE ${duckCos("x.embedding", "y.embedding")} >= 0.40
       ORDER BY a, b"""
-  // sim_lsh_ann / sim_ivf_ann: probabilistic recall → rows-only check
-  // here; recall ≥ bound vs brute force asserted in SimilaritySpec.
+  // sim_lsh_ann / sim_ivf_ann / sim_pq_ann: data-dependent recall →
+  // rows-only check here; recall ≥ bound vs brute force asserted in
+  // SimilaritySpec.
 }

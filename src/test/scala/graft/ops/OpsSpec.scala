@@ -265,6 +265,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ ANN recall vs brute force; deterministic codebook and codes") {
+    val pq = topkSet(Similarity.simPqANN(spark, sfDir))
+    val recall = brute.keys.toSeq.map { q =>
+      val hits = pq.getOrElse(q, Set.empty).intersect(brute(q)).size
+      hits.toDouble / Similarity.TopK
+    }.sum / brute.size
+    info(s"PQ recall@${Similarity.TopK} = $recall")
+    assert(recall >= 0.4, s"PQ recall $recall below bound")
+    // codebook determinism: training twice on the same sample is identical
+    val sample = Array.tabulate(64)(i =>
+      Array.tabulate(64)(j => math.sin(i * 64 + j + 1.0)))
+    val b1 = Similarity.pqTrain(sample)
+    val b2 = Similarity.pqTrain(sample)
+    assert(b1.flatten.flatten.toSeq == b2.flatten.flatten.toSeq)
+    // codes are 4-bit
+    val code = Similarity.pqEncode(sample(0), b1)
+    assert(code.length == Similarity.PqM && code.forall(c => c >= 0 && c < Similarity.PqK))
+  }
+
   test("IVF with all probes equals brute force exactly (rank, id, AND score)") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "rk", "cand_id", "cos").collect()
