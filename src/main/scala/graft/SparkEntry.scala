@@ -27,7 +27,7 @@ object SparkEntry {
       Extended3.queries ++
       QualityQueries.queries ++ Dedup.queries ++ TextAnalysis.queries ++
       Similarity.queries ++ Multimodal.queries ++ Sampling.queries ++
-      Packing.queries ++ Decontamination.queries
+      Packing.queries ++ Decontamination.queries ++ Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -37,5 +37,5 @@ object SparkEntry {
       Extended3.oracles ++
       QualityQueries.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Sampling.oracles ++
-      Packing.oracles ++ Decontamination.oracles
+      Packing.oracles ++ Decontamination.oracles ++ Curation.oracles
 }

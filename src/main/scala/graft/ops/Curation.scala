@@ -1,0 +1,282 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Corpus-curation operators layered on the dedup/similarity stack:
+  * boilerplate segment removal (CCNet-style), clustered semantic
+  * dedup (SemDeDup-style), and per-cluster representative selection.
+  *
+  * Reference has no equivalents (its surface stops at SqlTransform,
+  * `examples/batch.py:288`); these are the LLM-training-data operators
+  * the assignment adds as first-class capabilities.
+  */
+object Curation {
+
+  // ---- boilerplate segment removal ----
+
+  val ChunkTokens = 8
+  val BoilerMinDocs = 2
+
+  /** Fixed-width token chunks of a document, in order. Documents with
+    * no tokens produce no chunks (and drop out of the result, matching
+    * the oracle's UNNEST-of-empty-range semantics).
+    */
+  def chunksOf(text: Column, width: Int = ChunkTokens): Column = {
+    val tk = TextAnalysis.tokens(text)
+    transform(
+      sequence(lit(0), (ceil(size(tk) / lit(width.toDouble)) - 1).cast("int")),
+      i => concat_ws(" ", slice(tk, i * width + 1, lit(width))))
+  }
+
+  /** CCNet-style boilerplate removal, on fixed 8-token chunks instead
+    * of lines (the corpus's documents are single-line). A chunk is
+    * boilerplate when its md5 occurs in >= `minDocs` DISTINCT documents;
+    * every occurrence is removed and the document is re-assembled from
+    * its surviving chunks in order.
+    *
+    * Scale shape (the CCNet two-pass):
+    *  1. frequency pass — explode chunks, hash, groupBy(hash) with a
+    *     distinct-doc count: one shuffle with map-side partial
+    *     aggregation; output is only the FREQUENT hashes, i.e. the
+    *     head of the chunk-frequency distribution, which is tiny
+    *     relative to the corpus (Zipf head) and safely broadcastable.
+    *  2. removal pass — re-scan, explode, broadcast-left-join the
+    *     frequent set (no shuffle of the corpus side), then ONE
+    *     regroup by doc_id to reassemble. Nothing ever shuffles on the
+    *     raw chunk hash in this pass, so a pathological boilerplate
+    *     chunk (appearing in millions of docs) cannot skew a reducer.
+    */
+  def taBoilerplate(
+      s: SparkSession, dir: String,
+      width: Int = ChunkTokens, minDocs: Int = BoilerMinDocs): DataFrame =
+    boilerplateOf(t(s, dir, "documents"), width, minDocs)
+
+  /** [[taBoilerplate]] over an arbitrary (doc_id, text, …) frame. */
+  def boilerplateOf(
+      docsIn: DataFrame,
+      width: Int = ChunkTokens, minDocs: Int = BoilerMinDocs): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val docs = docsIn.select($"doc_id", $"text")
+    val hashed = docs
+      .select($"doc_id", posexplode(chunksOf($"text", width)).as(Seq("idx", "chunk")))
+      .withColumn("h", md5($"chunk"))
+    val frequent = hashed.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= minDocs)
+      .select($"h", lit(true).as("boiler"))
+    val flagged = hashed.join(broadcast(frequent), Seq("h"), "left")
+      .withColumn("boiler", coalesce($"boiler", lit(false)))
+    flagged.groupBy($"doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when($"boiler", 1L).otherwise(0L)).as("n_removed"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(!$"boiler", struct($"idx", $"chunk")))),
+            c => c.getField("chunk")))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  // ---- clustered semantic dedup (SemDeDup-style) ----
+
+  val NumCentroids = 8
+  val SemThreshold = 0.40
+
+  /** Deterministic centroids derived from md5 so the DuckDB oracle can
+    * regenerate them bit-for-bit: component j (1-based) of centroid k is
+    * `strpos('0123456789abcdef', first hex char of md5("c{k}_{j}")) - 8.5`
+    * — uniform in {-7.5 … 7.5} \ {0}. A deployment would plug k-means
+    * centroids in here; the operator shape is identical.
+    */
+  lazy val centroids: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NumCentroids) { k =>
+      Array.tabulate(64) { j0 =>
+        val h = md.digest(s"c${k}_${j0 + 1}".getBytes("UTF-8"))
+        // first hex char = high nibble of byte 0; strpos is 1-based
+        (((h(0) >> 4) & 0xf) + 1) - 8.5
+      }
+    }
+  }
+
+  /** Embeddings with their assigned cluster: argmax cosine over the
+    * fixed centroids, ties to the lowest k. All cosines run through the
+    * codegen'd `cosine_sim` expression — 8 fused evaluations per row,
+    * no shuffle; the assignment is a pure map over the scan.
+    */
+  def assignClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val vecs = t(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cosK = (0 until NumCentroids).map { k =>
+      call_function("cosine_sim", $"v", typedLit(centroids(k)))
+    }
+    val best = cosK.reduce(greatest(_, _))
+    val cluster = cosK.zipWithIndex.foldRight(lit(-1L): Column) {
+      case ((c, k), els) => when(c === best, lit(k.toLong)).otherwise(els)
+    }
+    vecs.select($"vec_id", $"v", cluster.as("cluster"))
+  }
+
+  /** SemDeDup-style semantic dedup: vectors are assigned to a coarse
+    * cluster, then exact cosine dedup (keep-first: a duplicate's keeper
+    * is the smallest same-cluster vec_id with cos >= threshold) runs
+    * WITHIN each cluster only. The cluster count caps pairwise cost at
+    * sum(|cluster|²) instead of n² — at corpus scale NumCentroids grows
+    * ~sqrt(n) (k-means over a sample) so cluster sizes stay bounded and
+    * the within-cluster step stays embarrassingly parallel; here K is
+    * fixed small so the oracle can replay the assignment exactly.
+    */
+  def dedupSemantic(
+      s: SparkSession, dir: String,
+      threshold: Double = SemThreshold): DataFrame = {
+    import s.implicits._
+    val assign = assignClusters(s, dir)
+    val x = assign.select($"cluster", $"vec_id".as("a"), $"v".as("va"))
+    val y = assign.select($"cluster", $"vec_id".as("b"), $"v".as("vb"))
+    x.join(y, Seq("cluster"))
+      .filter($"a" < $"b")
+      .select($"cluster", $"a", $"b",
+        call_function("cosine_sim", $"va", $"vb").as("cos"))
+      .filter($"cos" >= threshold)
+      .groupBy($"cluster", $"b".as("dup_id"))
+      .agg(min(struct($"a", $"cos")).as("m"))
+      .select($"cluster", $"dup_id",
+        $"m.a".as("keeper_id"), $"m.cos".as("cos"))
+      .orderBy("dup_id")
+  }
+
+  // ---- per-component representative selection ----
+
+  /** Canonical-representative selection over the MinHash near-dup
+    * clusters: for each connected component, keep the longest document
+    * (max n_chars, ties to the lowest doc_id). This is the "which copy
+    * survives dedup" policy step a curation pipeline runs after
+    * clustering; n_members is what a dedup report aggregates.
+    *
+    * Scale shape: the component table is tiny relative to the corpus
+    * (only docs that appear in a near-dup pair), so the doc-metadata
+    * join broadcasts the component side; the window and size
+    * aggregation then run on that small table only.
+    */
+  def dedupRepresentatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val comp = dedupComponentsOf(s, dir)
+    val docs = t(s, dir, "documents").select($"doc_id", $"n_chars")
+    val scored = docs.join(broadcast(comp), Seq("doc_id"))
+    val w = Window.partitionBy($"component_id")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    val sizes = scored.groupBy($"component_id").agg(count(lit(1)).as("n_members"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .join(sizes, Seq("component_id"))
+      .select($"component_id", $"n_members",
+        $"doc_id".as("rep_doc_id"), $"n_chars".cast("long").as("rep_chars"))
+      .orderBy("component_id")
+  }
+
+  private def dedupComponentsOf(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(Dedup.dedupMinhashLsh(s, dir))
+
+  // ---- registry ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_boilerplate" -> ((s, d) => taBoilerplate(s, d)),
+    "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
+    "dedup_representatives" -> dedupRepresentatives)
+
+  /** DuckDB oracles. Cosine arithmetic replays the same left-to-right
+    * IEEE-double folds as `cosine_sim` (pattern proven bit-exact by the
+    * sim_* oracles); centroids regenerate from md5 as documented on
+    * [[centroids]].
+    */
+  private def duckCosL(a: String, b: String) = {
+    def dt(x: String, y: String) =
+      s"list_sum([$x[i] * $y[i] for i in range(1, 65)])"
+    s"(${dt(a, b)} / (sqrt(${dt(a, a)}) * sqrt(${dt(b, b)})))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ta_boilerplate" -> s"""
+      WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS tk
+        FROM documents),
+      chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(tk[(i-1)*$ChunkTokens+1 : i*$ChunkTokens], ' ') AS chunk
+        FROM toks, UNNEST(range(1, CAST(ceil(len(tk)/$ChunkTokens.0) AS BIGINT)+1)) AS u(i)),
+      hashed AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS h FROM chunks),
+      freq AS (
+        SELECT h FROM hashed GROUP BY h
+        HAVING count(DISTINCT doc_id) >= $BoilerMinDocs),
+      flagged AS (
+        SELECT c.doc_id, c.chunk_idx, c.chunk, (f.h IS NOT NULL) AS boiler
+        FROM hashed c LEFT JOIN freq f ON c.h = f.h)
+      SELECT doc_id,
+        count(*) AS n_chunks,
+        CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        md5(coalesce(
+          string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE NOT boiler),
+          '')) AS clean_md5
+      FROM flagged
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+    "dedup_semantic" -> s"""
+      WITH cents AS (
+        SELECT k,
+          [CAST(strpos('0123456789abcdef', substr(md5('c' || k || '_' || j), 1, 1)) - 8.5 AS DOUBLE)
+           for j in range(1, 65)] AS cv
+        FROM (SELECT unnest(range($NumCentroids)) AS k)),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      assign AS (
+        SELECT vec_id, v, k AS cluster FROM (
+          SELECT e.vec_id, e.v, c.k,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${duckCosL("v", "cv")} DESC, c.k ASC) AS rk
+          FROM e CROSS JOIN cents c) WHERE rk = 1),
+      hits AS (
+        SELECT x.cluster, x.vec_id AS a, y.vec_id AS b,
+               ${duckCosL("x.v", "y.v")} AS cos
+        FROM assign x JOIN assign y
+          ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+      SELECT cluster, b AS dup_id, min(a) AS keeper_id, min_by(cos, a) AS cos
+      FROM hits WHERE cos >= $SemThreshold
+      GROUP BY cluster, b
+      ORDER BY dup_id""",
+    "dedup_representatives" -> s"""
+      WITH RECURSIVE ${Dedup.shingleCte},
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id),
+      pairs AS (
+        SELECT a, b FROM inter
+        JOIN cnt ca ON a = ca.doc_id
+        JOIN cnt cb ON b = cb.doc_id
+        WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8),
+      edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+      reach(id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id),
+      comp AS (SELECT id AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY id),
+      scored AS (
+        SELECT c.component_id, c.doc_id, d.n_chars,
+          ROW_NUMBER() OVER (PARTITION BY c.component_id
+            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+      sizes AS (
+        SELECT component_id, CAST(count(*) AS BIGINT) AS n_members
+        FROM scored GROUP BY component_id)
+      SELECT s.component_id, z.n_members, s.doc_id AS rep_doc_id,
+        CAST(s.n_chars AS BIGINT) AS rep_chars
+      FROM scored s JOIN sizes z ON s.component_id = z.component_id
+      WHERE s.rk = 1
+      ORDER BY s.component_id""")
+}

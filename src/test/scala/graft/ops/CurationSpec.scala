@@ -1,0 +1,116 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("boilerplate: removed chunks are exactly the cross-doc-frequent ones") {
+    val docs = graft.Tables.t(spark, sfDir, "documents").select($"doc_id", $"text")
+    val chunks = docs
+      .select($"doc_id", explode(Curation.chunksOf($"text")).as("chunk"))
+    val freq = chunks.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("nd"))
+    val expected = chunks.join(freq, "chunk")
+      .groupBy($"doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when($"nd" >= Curation.BoilerMinDocs, 1L).otherwise(0L)).as("n_removed"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = Curation.taBoilerplate(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nc, nr) = expected(r.getLong(0))
+      assert(r.getLong(1) == nc && r.getLong(2) == nr, s"doc ${r.getLong(0)}")
+    }
+    assert(got.exists(_.getLong(2) > 0), "corpus has cross-doc repeated chunks")
+  }
+
+  test("boilerplate: exact dups vanish, shared headers strip, unique text survives") {
+    val w = Curation.ChunkTokens
+    val header = (1 to w).map(i => s"h$i").mkString(" ")
+    def body(seed: String) = (1 to w).map(i => s"$seed$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$header ${body("a")}"), // header shared with 2 and 3
+      (2L, s"$header ${body("b")}"),
+      (3L, s"$header ${body("b")}"), // exact dup of 2
+      (4L, body("z"))                // fully unique
+    ).toDF("doc_id", "text")
+    val out = Curation.boilerplateOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L, out(1L)._3))) // header stripped, body kept
+    assert(out(2L)._1 == 2L && out(2L)._2 == 2L, "exact dup removed in full")
+    assert(out(3L) == out(2L))
+    assert(out(4L) == ((1L, 0L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(body("z").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)))
+  }
+
+  test("boilerplate: frequent-set join broadcasts; untouched docs keep their text") {
+    val df = Curation.taBoilerplate(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frequent-chunk set must broadcast, not shuffle the corpus:\n$plan")
+    // a doc with zero removals reassembles to its own chunking
+    val clean = df.filter($"n_removed" === 0).limit(1).collect().head
+    val docId = clean.getLong(0)
+    val txt = graft.Tables.t(spark, sfDir, "documents")
+      .filter($"doc_id" === docId)
+      .select(md5(concat_ws(" ", Curation.chunksOf($"text"))).as("m"))
+      .collect().head.getString(0)
+    assert(clean.getString(3) == txt)
+  }
+
+  test("semantic dedup: flags exactly the same-cluster embcos pairs, keep-first") {
+    val assign = Curation.assignClusters(spark, sfDir)
+      .select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign.values.toSet.subsetOf((0L until Curation.NumCentroids).toSet))
+    assert(assign.values.toSet.size > 1, "assignment uses multiple clusters")
+    // ground truth: the proven exact all-pairs cosine dedup, restricted
+    // to pairs whose endpoints share a cluster
+    val truth = Similarity.dedupEmbCosineTiled(spark, sfDir,
+        threshold = Curation.SemThreshold, numBlocks = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => assign(a) == assign(b) }
+    val expectedKeeper = truth.groupBy(_._2).map { case (b, ps) =>
+      b -> ps.map(_._1).min
+    }
+    val got = Curation.dedupSemantic(spark, sfDir).collect()
+      .map(r => r.getLong(1) -> (r.getLong(0), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == expectedKeeper.keySet)
+    expectedKeeper.foreach { case (dup, keeper) =>
+      val (cl, k, cos) = got(dup)
+      assert(k == keeper, s"dup $dup keeper")
+      assert(cl == assign(dup) && cl == assign(keeper))
+      assert(cos >= Curation.SemThreshold)
+    }
+  }
+
+  test("semantic dedup: centroid assignment is a shuffle-free map over the scan") {
+    val df = Curation.assignClusters(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+  }
+
+  test("representatives: one per component, longest doc wins, sizes add up") {
+    val comp = Dedup.connectedComponents(Dedup.dedupMinhashLsh(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val chars = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byComp = comp.groupBy(_._2).map { case (c, ms) => c -> ms.map(_._1) }
+    val got = Curation.dedupRepresentatives(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSet == byComp.keySet)
+    got.foreach { r =>
+      val members = byComp(r.getLong(0))
+      assert(r.getLong(1) == members.length, "n_members")
+      val best = members.map(id => (-chars(id), id)).min._2
+      assert(r.getLong(2) == best, s"component ${r.getLong(0)} representative")
+      assert(r.getLong(3) == chars(best))
+    }
+    assert(got.map(_.getLong(1)).sum == comp.length)
+  }
+}
