@@ -183,3 +183,68 @@ class MetricsSpec extends AnyFunSuite {
     assert(reg.counter("n").value == 4000)
   }
 }
+
+class MetricsTransportSpec extends AnyFunSuite {
+  import graft.core.metrics.{InMemoryMeterRegistry, Transport}
+
+  private def httpGet(url: String): (Int, String) = {
+    val conn = java.net.URI.create(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      val code = conn.getResponseCode
+      val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+      val body = if (is == null) "" else
+        new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      (code, body)
+    } finally conn.disconnect()
+  }
+
+  test("prometheus scrape server serves live registry text over real HTTP") {
+    val reg = new InMemoryMeterRegistry
+    reg.counter("pipeline_runs", "status" -> "ok").increment(2)
+    val srv = Transport.serveScrapes(reg)
+    try {
+      val (code, body) = httpGet(s"http://127.0.0.1:${srv.boundPort}/metrics")
+      assert(code == 200)
+      assert(body.contains("""pipeline_runs{status="ok"} 2"""))
+      // scrapes see registry UPDATES, not a bind-time snapshot
+      reg.counter("pipeline_runs", "status" -> "ok").increment()
+      val (_, body2) = httpGet(s"http://127.0.0.1:${srv.boundPort}/metrics")
+      assert(body2.contains("""pipeline_runs{status="ok"} 3"""))
+    } finally srv.close()
+  }
+
+  test("otlp push POSTs the payload to a collector endpoint") {
+    val received = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val ctype = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val collector = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    collector.createContext("/v1/metrics", (x: com.sun.net.httpserver.HttpExchange) => {
+      received.set(new String(x.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      ctype.set(x.getRequestHeaders.getFirst("Content-Type"))
+      x.sendResponseHeaders(200, -1); x.close()
+    })
+    collector.start()
+    try {
+      val reg = new InMemoryMeterRegistry
+      reg.counter("runs").increment(7)
+      val status = Transport.pushOtlp(reg,
+        s"http://127.0.0.1:${collector.getAddress.getPort}/v1/metrics",
+        timeUnixNano = 42L)
+      assert(status == 200)
+      assert(ctype.get() == "application/json")
+      assert(received.get().contains(""""asInt":"7""""))
+      assert(received.get().contains(""""timeUnixNano":"42""""))
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(received.get())
+    } finally collector.stop(0)
+  }
+
+  test("otlp push to an unreachable endpoint raises, matching the retryable contract") {
+    val reg = new InMemoryMeterRegistry
+    intercept[java.io.IOException] {
+      // port 1 on localhost: nothing listens there
+      Transport.pushOtlp(reg, "http://127.0.0.1:1/v1/metrics", 0L, timeoutMs = 500)
+    }
+  }
+}
