@@ -182,10 +182,78 @@ object Curation {
   private def dedupComponentsOf(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(Dedup.dedupMinhashLsh(s, dir))
 
+  // ---- corpus-trigram familiarity (model-based quality scoring) ----
+
+  /** Character-trigram familiarity: train a frequency model ON the
+    * corpus, then score each document by the mean corpus frequency of
+    * its trigrams — the distributed shape of LM-perplexity filtering
+    * (train/load model → broadcast → score), with an exactly-checkable
+    * integer statistic in place of float log-probs. Low familiarity =
+    * improbable character sequences (mojibake, binary spill, wrong
+    * language); real deployments swap the model pass for KenLM scores,
+    * the plan shape is identical.
+    *
+    * Scale shape: the model is a trigram→count table — Zipf-bounded, and
+    * at corpus scale capped to the top-V trigrams before broadcast (the
+    * tail contributes ~0 to any score). Scoring is then a broadcast
+    * join: the corpus never shuffles on trigram, and the per-doc
+    * reduction is one doc_id-keyed aggregation with map-side combine.
+    */
+  def taFamiliarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tris = t(s, dir, "documents")
+      .select($"doc_id",
+        lower(regexp_replace(trim($"text"), "\\s+", " ")).as("norm"))
+      .filter(length($"norm") >= 3)
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), length($"norm") - 2),
+          i => $"norm".substr(i, lit(3)))).as("tri"))
+    val model = tris.groupBy($"tri").agg(count(lit(1)).as("freq"))
+    tris.join(broadcast(model), Seq("tri"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tris"), sum($"freq").as("fam_sum"))
+      .select($"doc_id", $"n_tris", $"fam_sum",
+        ($"fam_sum".cast("double") / $"n_tris".cast("double")).as("familiarity"))
+      .orderBy("doc_id")
+  }
+
+  // ---- token-budget mixture selection ----
+
+  val MixBudget = 600L
+
+  /** Per-source token-budget fill: within every source, take documents
+    * longest-first (ties to the lowest doc_id) until the source's token
+    * budget is spent — the "build a training mix under a per-domain
+    * token budget" selection step. Inclusive greedy: a document is kept
+    * while the running total INCLUDING it stays within budget.
+    *
+    * Scale shape: one hash shuffle on source + a per-source sort for the
+    * running sum. Source count is small relative to the corpus, so a
+    * pathological mega-source turns into a single-reducer sort — at
+    * 100 TB that source would be pre-aggregated per (source, length
+    * bucket) or the budget check pushed into a two-pass prefix sum like
+    * [[Packing.packSequences]]; the greedy semantics are unchanged.
+    */
+  def mixBudget(s: SparkSession, dir: String, budget: Long = MixBudget): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars",
+        TextAnalysis.tokenCount($"text").as("n_tokens"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= budget)
+      .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
+      .orderBy("source", "cum_tokens")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_boilerplate" -> ((s, d) => taBoilerplate(s, d)),
+    "ta_familiarity" -> taFamiliarity,
+    "mix_budget" -> ((s, d) => mixBudget(s, d)),
     "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
     "dedup_representatives" -> dedupRepresentatives)
 
@@ -201,6 +269,36 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "ta_familiarity" -> """
+      WITH nd AS (
+        SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        FROM documents),
+      tris AS (
+        SELECT doc_id, substr(norm, i, 3) AS tri
+        FROM nd, UNNEST(range(1, len(norm) - 1)) AS u(i)
+        WHERE len(norm) >= 3),
+      model AS (SELECT tri, count(*) AS freq FROM tris GROUP BY tri)
+      SELECT t.doc_id,
+        count(*) AS n_tris,
+        CAST(sum(m.freq) AS BIGINT) AS fam_sum,
+        CAST(sum(m.freq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS familiarity
+      FROM tris t JOIN model m ON t.tri = m.tri
+      GROUP BY t.doc_id
+      ORDER BY t.doc_id""",
+    "mix_budget" -> s"""
+      WITH sized AS (
+        SELECT source, doc_id, n_chars,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      cum AS (
+        SELECT source, doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM sized)
+      SELECT source, doc_id, n_tokens, cum_tokens
+      FROM cum WHERE cum_tokens <= $MixBudget
+      ORDER BY source, cum_tokens""",
     "ta_boilerplate" -> s"""
       WITH toks AS (
         SELECT doc_id,

@@ -95,6 +95,55 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
   }
 
+  test("familiarity: matches an in-memory trigram model of the whole corpus") {
+    val texts = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def norm(t: String) = t.trim.replaceAll("\\s+", " ").toLowerCase
+    def tris(t: String) = {
+      val n = norm(t)
+      (0 to n.length - 3).map(i => n.substring(i, i + 3))
+    }
+    val model = texts.flatMap { case (_, t) => tris(t) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = texts.collect { case (id, t) if norm(t).length >= 3 =>
+      val ts = tris(t)
+      id -> (ts.size.toLong, ts.map(model).sum)
+    }.toMap
+    val got = Curation.taFamiliarity(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, s) = expected(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == s, s"doc ${r.getLong(0)}")
+      assert(r.getDouble(3) == s.toDouble / n.toDouble)
+    }
+  }
+
+  test("mix budget: greedy longest-first fill is tight per source") {
+    val rows = Curation.mixBudget(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._3).sum == rs.map(_._4).max, s"$src cum consistent")
+      assert(rs.map(_._4).max <= Curation.MixBudget)
+    }
+    // completeness: the first doc a source skips would blow the budget
+    val all = graft.Tables.t(spark, sfDir, "documents")
+      .select($"source", $"doc_id", $"n_chars",
+        graft.ops.TextAnalysis.tokenCount($"text").as("nt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val kept = rows.map(r => (r._1, r._2)).toSet
+    all.groupBy(_._1).foreach { case (src, docs) =>
+      val ordered = docs.sortBy(d => (-d._3, d._2))
+      var cum = 0L
+      ordered.foreach { d =>
+        cum += d._4
+        assert(kept.contains((src, d._2)) == (cum <= Curation.MixBudget),
+          s"greedy membership for $src/${d._2}")
+      }
+    }
+  }
+
   test("representatives: one per component, longest doc wins, sizes add up") {
     val comp = Dedup.connectedComponents(Dedup.dedupMinhashLsh(spark, sfDir))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
