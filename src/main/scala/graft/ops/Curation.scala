@@ -103,23 +103,49 @@ object Curation {
   }
 
   /** Embeddings with their assigned cluster: argmax cosine over the
-    * fixed centroids, ties to the lowest k. All cosines run through the
-    * codegen'd `cosine_sim` expression — 8 fused evaluations per row,
-    * no shuffle; the assignment is a pure map over the scan.
+    * fixed centroids, ties to the lowest k (strictly-greater update in
+    * k order = ROW_NUMBER(cos DESC, k ASC) in the oracle). One fused
+    * compiled pass per row — K dots + the argmax in primitive loops
+    * (pattern: [[Dedup]]'s fused kernels). An expression-level argmax
+    * (greatest + CASE chain) is NOT used because Catalyst inlines the
+    * shared cosines into every branch: the executed plan evaluated
+    * each centroid cosine ~10×/row. No shuffle either way; arithmetic
+    * is the same left-to-right IEEE fold as `cosine_sim`, so the
+    * DuckDB oracle replays it bit-exactly.
     */
   def assignClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.functions.GraftFunctions.register(s)
-    val vecs = t(s, dir, "embeddings")
+    val cents = centroids
+    val centNorms = cents.map { c =>
+      var n = 0.0; var j = 0
+      while (j < c.length) { n += c(j) * c(j); j += 1 }
+      math.sqrt(n)
+    }
+    t(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    val cosK = (0 until NumCentroids).map { k =>
-      call_function("cosine_sim", $"v", typedLit(centroids(k)))
-    }
-    val best = cosK.reduce(greatest(_, _))
-    val cluster = cosK.zipWithIndex.foldRight(lit(-1L): Column) {
-      case ((c, k), els) => when(c === best, lit(k.toLong)).otherwise(els)
-    }
-    vecs.select($"vec_id", $"v", cluster.as("cluster"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          var nv = 0.0
+          var i = 0
+          while (i < v.length) { nv += v(i) * v(i); i += 1 }
+          val nvs = math.sqrt(nv)
+          var bestK = 0
+          var bestC = Double.NegativeInfinity
+          var k = 0
+          while (k < cents.length) {
+            val c = cents(k)
+            var d = 0.0
+            var j = 0
+            while (j < c.length) { d += v(j) * c(j); j += 1 }
+            val cos = d / (nvs * centNorms(k))
+            if (cos > bestC) { bestC = cos; bestK = k }
+            k += 1
+          }
+          (id, v, bestK.toLong)
+        }
+      }
+      .toDF("vec_id", "v", "cluster")
   }
 
   /** SemDeDup-style semantic dedup: vectors are assigned to a coarse
@@ -135,6 +161,7 @@ object Curation {
       s: SparkSession, dir: String,
       threshold: Double = SemThreshold): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val assign = assignClusters(s, dir)
     val x = assign.select($"cluster", $"vec_id".as("a"), $"v".as("va"))
     val y = assign.select($"cluster", $"vec_id".as("b"), $"v".as("vb"))
