@@ -228,6 +228,63 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Persist the IVF layout SCALING.md describes: every corpus vector
+    * written under its nearest centroid's partition directory
+    * (`cent_id=<k>/`). This is the on-disk form that makes [[searchIvfIndex]]
+    * I/O-proportional to nprobe/k of the corpus: partition pruning
+    * happens in the parquet scan, before any row is read.
+    */
+  def writeIvfIndex(s: SparkSession, dir: String, path: String): Unit = {
+    import s.implicits._
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    val cents = broadcast(centroids(emb(s, dir)))
+    val w = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cent_id".asc)
+    all.crossJoin(cents)
+      .select($"vec_id", $"e", $"cent_id", (-cosine($"e", $"cent")).as("d"))
+      .withColumn("cr", row_number().over(w))
+      .filter($"cr" === 1)
+      .select($"vec_id", $"e", $"cent_id")
+      .write.mode("overwrite").partitionBy("cent_id").parquet(path)
+  }
+
+  /** IVF ANN against a [[writeIvfIndex]] layout: queries pick their
+    * `nprobe` nearest centroids, the probed centroid ids become a
+    * PARTITION FILTER on the index scan (directories outside the probe
+    * set are never opened — asserted by spec), and exact cosine re-ranks
+    * inside the probed partitions. The probe-id collect is bounded by
+    * the centroid count — the coarse quantizer is small by construction.
+    * With nprobe >= #centroids the search is exhaustive and equals brute
+    * force bit-exactly (spec-pinned), independent of centroid-mean
+    * nondeterminism: every partition is probed, and the re-rank reads
+    * the exact stored doubles.
+    */
+  def searchIvfIndex(
+      s: SparkSession, dir: String, path: String,
+      nprobe: Int = NProbe): DataFrame = {
+    import s.implicits._
+    val cents = broadcast(centroids(emb(s, dir)))
+    val wp = Window.partitionBy($"query_id").orderBy($"d".asc, $"cent_id".asc)
+    val probes = emb(s, dir)
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), asDouble($"embedding").as("qe"))
+      .crossJoin(cents)
+      .select($"query_id", $"qe", $"cent_id", (-cosine($"qe", $"cent")).as("d"))
+      .withColumn("cr", row_number().over(wp))
+      .filter($"cr" <= nprobe)
+      .select($"query_id", $"qe", $"cent_id")
+    val probeIds = probes.select($"cent_id").distinct().collect().map(_.get(0))
+    val idx = s.read.parquet(path).filter($"cent_id".isin(probeIds: _*))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+    idx.select($"vec_id".as("cand_id"), $"e", $"cent_id")
+      .join(broadcast(probes), Seq("cent_id"))
+      .filter($"cand_id" =!= $"query_id")
+      .select($"query_id", $"cand_id", cosine($"qe", $"e").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= TopK)
+      .select($"query_id", $"rk", $"cand_id", $"cos")
+      .orderBy("query_id", "rk")
+  }
+
   // ---- int8 scalar quantization (SQ8) ----
 
   /** Re-rank pool size: approx search keeps 4k candidates, exact cosine

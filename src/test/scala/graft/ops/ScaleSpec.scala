@@ -21,27 +21,35 @@ class ScaleSpec extends SparkSpec {
     assert(salted == direct)
   }
 
-  test("IVF probe over a centroid-partitioned corpus prunes partitions") {
+  test("IVF index on disk: probes prune partitions; exhaustive equals brute force") {
     import spark.implicits._
-    // materialize the IVF layout SCALING.md describes: corpus written
-    // partitioned by nearest-centroid id
     val work = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-    val all = graft.Tables.t(spark, sfDir, "embeddings")
-      .select($"vec_id", $"embedding".cast("array<double>").as("e"), $"label")
-    val assigned = all.select($"vec_id", $"e", $"label".as("cent_id"))
-    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(work)
+    graft.ops.Similarity.writeIvfIndex(spark, sfDir, work)
+    // one directory per centroid on disk
+    val dirs = new java.io.File(work).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cent_id=")).map(_.getName)
+    assert(dirs.length > 2, s"expected several centroid partitions, got ${dirs.toSeq}")
 
-    val probes = Seq(3, 7) // the nprobe centroid ids a query would probe
-    val scan = spark.read.parquet(work).filter($"cent_id".isin(probes: _*))
-    val plan = scan.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"), plan)
-    assert(plan.contains("cent_id"), "partition filter not on the probe key")
-    // pruning is real: only the probed partitions' rows are read
-    val expected = all.filter($"label".isin(probes: _*)).count()
-    assert(scan.count() == expected && expected > 0)
-    val pruned = "PartitionFilters: \\[[^\\]]*cent_id[^\\]]*\\]".r
-      .findFirstIn(plan)
-    assert(pruned.nonEmpty, s"no partition filter section:\n$plan")
+    // pruned probe: the scan carries a partition filter on cent_id and
+    // never opens un-probed directories
+    val pruned = graft.ops.Similarity.searchIvfIndex(spark, sfDir, work, nprobe = 2)
+    pruned.collect()
+    val scans = pruned.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val idxScan = scans.find(p => p.contains(work) || p.contains("cent_id"))
+    assert(idxScan.exists(_.contains("PartitionFilters")),
+      s"index scan has no partition filter:\n${scans.mkString("\n")}")
+    assert(idxScan.exists(p =>
+        "PartitionFilters: \\[[^\\]]*cent_id[^\\]]*\\]".r.findFirstIn(p).nonEmpty),
+      s"partition filter not on cent_id:\n${idxScan.get}")
+
+    // exhaustive probing covers every partition -> must equal brute
+    // force bit-exactly (the re-rank reads the exact stored doubles)
+    val k = dirs.length
+    val exhaustive = graft.ops.Similarity.searchIvfIndex(spark, sfDir, work, nprobe = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val brute = graft.ops.Similarity.simBruteTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(exhaustive.toSeq == brute.toSeq)
   }
 
   test("bucketed join plans without a shuffle exchange on either side") {
