@@ -230,39 +230,65 @@ object Similarity {
 
   /** Persist the IVF layout SCALING.md describes: every corpus vector
     * written under its nearest centroid's partition directory
-    * (`cent_id=<k>/`). This is the on-disk form that makes [[searchIvfIndex]]
-    * I/O-proportional to nprobe/k of the corpus: partition pruning
-    * happens in the parquet scan, before any row is read.
+    * (`cent_id=<k>/`), plus the coarse quantizer itself FROZEN at
+    * `_centroids/` inside the same root (underscore-prefixed, so corpus
+    * scans skip it). Freezing matters: probes, appends, and the stored
+    * assignment must all use the SAME centroids — recomputing means
+    * from a grown corpus would silently shift assignments. This is the
+    * on-disk form that makes [[searchIvfIndex]] I/O-proportional to
+    * nprobe/k of the corpus: partition pruning happens in the parquet
+    * scan, before any row is read.
     */
   def writeIvfIndex(s: SparkSession, dir: String, path: String): Unit = {
     import s.implicits._
-    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
-    val cents = broadcast(centroids(emb(s, dir)))
+    // overwrite of the root truncates it, so the corpus goes first and
+    // the quantizer snapshot second (from the same materialized frame)
+    val cents = centroids(emb(s, dir)).localCheckpoint(true)
+    assignTo(cents, emb(s, dir).select($"vec_id", asDouble($"embedding").as("e")))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(path)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Incremental index maintenance: a new batch is assigned against the
+    * FROZEN quantizer and appended into the existing partition
+    * directories. Cost ∝ batch; the resident index never rewrites —
+    * the same contract as [[Dedup]]'s incremental cross-corpus dedup.
+    */
+  def appendIvfBatch(s: SparkSession, path: String, batch: DataFrame): Unit =
+    assignTo(storedCentroids(s, path), batch)
+      .write.mode("append").partitionBy("cent_id").parquet(path)
+
+  private def storedCentroids(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/_centroids")
+
+  /** Nearest-centroid assignment of (vec_id, e) rows. */
+  private def assignTo(centroidDf: DataFrame, vecs: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val cents = broadcast(centroidDf)
     val w = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cent_id".asc)
-    all.crossJoin(cents)
+    vecs.crossJoin(cents)
       .select($"vec_id", $"e", $"cent_id", (-cosine($"e", $"cent")).as("d"))
       .withColumn("cr", row_number().over(w))
       .filter($"cr" === 1)
       .select($"vec_id", $"e", $"cent_id")
-      .write.mode("overwrite").partitionBy("cent_id").parquet(path)
   }
 
-  /** IVF ANN against a [[writeIvfIndex]] layout: queries pick their
-    * `nprobe` nearest centroids, the probed centroid ids become a
+  /** IVF ANN against a [[writeIvfIndex]] layout: queries rank the FROZEN
+    * stored centroids, the `nprobe` probed centroid ids become a
     * PARTITION FILTER on the index scan (directories outside the probe
     * set are never opened — asserted by spec), and exact cosine re-ranks
     * inside the probed partitions. The probe-id collect is bounded by
     * the centroid count — the coarse quantizer is small by construction.
     * With nprobe >= #centroids the search is exhaustive and equals brute
-    * force bit-exactly (spec-pinned), independent of centroid-mean
-    * nondeterminism: every partition is probed, and the re-rank reads
-    * the exact stored doubles.
+    * force over the indexed corpus bit-exactly (spec-pinned): every
+    * partition is probed and the re-rank reads the exact stored doubles.
     */
   def searchIvfIndex(
       s: SparkSession, dir: String, path: String,
       nprobe: Int = NProbe): DataFrame = {
     import s.implicits._
-    val cents = broadcast(centroids(emb(s, dir)))
+    val cents = broadcast(storedCentroids(s, path))
     val wp = Window.partitionBy($"query_id").orderBy($"d".asc, $"cent_id".asc)
     val probes = emb(s, dir)
       .filter($"vec_id" < NumQueries)

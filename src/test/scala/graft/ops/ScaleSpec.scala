@@ -50,6 +50,36 @@ class ScaleSpec extends SparkSpec {
     val brute = graft.ops.Similarity.simBruteTopK(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(exhaustive.toSeq == brute.toSeq)
+
+    // incremental maintenance: append a batch against the FROZEN
+    // quantizer; exhaustive search must now equal brute force over the
+    // union (appended vectors are exact twins of corpus vectors, so
+    // they MUST surface right next to their originals)
+    graft.functions.GraftFunctions.register(spark)
+    val all = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val twinIds = brute.map(_._3).distinct.take(5)
+    val batch = all.filter($"vec_id".isInCollection(twinIds))
+      .select(($"vec_id" + 100000L).as("vec_id"), $"e")
+    graft.ops.Similarity.appendIvfBatch(spark, work, batch)
+    val after = graft.ops.Similarity.searchIvfIndex(spark, sfDir, work, nprobe = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val union = all.union(batch)
+    val q = union.filter($"vec_id" < graft.ops.Similarity.NumQueries)
+      .select($"vec_id".as("query_id"), $"e".as("qe"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+    val bruteUnion = union.select($"vec_id".as("cand_id"), $"e")
+      .join(broadcast(q), $"query_id" =!= $"cand_id")
+      .select($"query_id", $"cand_id",
+        call_function("cosine_sim", $"qe", $"e").as("cos"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter($"rk" <= graft.ops.Similarity.TopK)
+      .select($"query_id", $"rk", $"cand_id", $"cos")
+      .orderBy("query_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(after.toSeq == bruteUnion.toSeq)
+    assert(after.exists(_._3 >= 100000L), "an appended twin reaches the top-k")
   }
 
   test("bucketed join plans without a shuffle exchange on either side") {
