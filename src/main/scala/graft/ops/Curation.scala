@@ -226,22 +226,46 @@ object Curation {
     * join: the corpus never shuffles on trigram, and the per-doc
     * reduction is one doc_id-keyed aggregation with map-side combine.
     */
-  def taFamiliarity(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, tri) rows: every character-trigram position of the
+    * normalized (case-folded, whitespace-collapsed) text.
+    */
+  def trigramsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val tris = t(s, dir, "documents")
+    docs
       .select($"doc_id",
         lower(regexp_replace(trim($"text"), "\\s+", " ")).as("norm"))
       .filter(length($"norm") >= 3)
       .select($"doc_id",
         explode(transform(sequence(lit(1), length($"norm") - 2),
           i => $"norm".substr(i, lit(3)))).as("tri"))
-    val model = tris.groupBy($"tri").agg(count(lit(1)).as("freq"))
-    tris.join(broadcast(model), Seq("tri"))
+  }
+
+  /** The trigram frequency model: one count per distinct trigram. */
+  def trainTrigramModel(docs: DataFrame): DataFrame =
+    trigramsOf(docs).groupBy(col("tri")).agg(count(lit(1)).as("freq"))
+
+  /** Score documents against a (possibly frozen, pre-trained) model.
+    * Trigrams the model has never seen contribute 0 to the sum but DO
+    * count in the denominator — unseen text lowers familiarity, which
+    * is the filter's point. Left join + broadcast: the scored corpus
+    * never shuffles on trigram.
+    */
+  def scoreFamiliarity(docs: DataFrame, model: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    trigramsOf(docs).join(broadcast(model), Seq("tri"), "left")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tris"), sum($"freq").as("fam_sum"))
+      .agg(count(lit(1)).as("n_tris"),
+        sum(coalesce($"freq", lit(0L))).as("fam_sum"))
       .select($"doc_id", $"n_tris", $"fam_sum",
         ($"fam_sum".cast("double") / $"n_tris".cast("double")).as("familiarity"))
       .orderBy("doc_id")
+  }
+
+  def taFamiliarity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    scoreFamiliarity(docs, trainTrigramModel(docs))
   }
 
   // ---- token-budget mixture selection ----

@@ -231,6 +231,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(1L)._2.contains("<EMAIL>") && streamed(1L)._2.contains("<URL>"))
   }
 
+  test("streaming familiarity: frozen batch-trained model scores micro-batches like batch") {
+    import spark.implicits._
+    import graft.ops.Curation
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown cat naps under the warm sun"))
+    // freeze the model trained on the corpus — the streaming side must
+    // not retrain per batch (localCheckpoint = ship the table, the
+    // foreachBatch closure only scores)
+    val model = Curation.trainTrigramModel(corpus.toDF("doc_id", "text"))
+      .localCheckpoint(true)
+    val incoming = Seq(
+      (10L, "the quick brown fox naps in the sun"), // familiar
+      (11L, "zzzz qqqq xxxx vvvv kkkk jjjj wwww"))  // unseen trigrams
+    val batchExpected = Curation
+      .scoreFamiliarity(incoming.toDF("doc_id", "text"), model)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+
+    val work = Files.createTempDirectory("graft-fam-stream")
+    incoming.toDF("doc_id", "text").write.parquet(work.resolve("in/b1").toString)
+    val streamed = scala.collection.mutable.Map[Long, Seq[Any]]()
+    val q = new StreamingPipeline(
+      source = FileStreamingSource(work.resolve("in").toString + "/*",
+        schemaDdl = Some("doc_id LONG, text STRING")),
+      sink = ForeachBatchSink { (batch, _) =>
+        val scored = Curation.scoreFamiliarity(batch, model)
+          .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+        streamed.synchronized { streamed ++= scored }
+        ()
+      },
+      trigger = TriggerConfig.AvailableNow).startStream(spark)
+    q.awaitTermination(60000)
+    assert(streamed.keySet == Set(10L, 11L))
+    streamed.foreach { case (id, row) =>
+      assert(row == batchExpected(id), s"familiarity diverges for doc $id")
+    }
+    // unseen text scores strictly lower than familiar text, and the
+    // all-unseen doc has fam_sum 0 with a full denominator
+    val fam10 = streamed(10L)(3).asInstanceOf[Double]
+    val fam11 = streamed(11L)(3).asInstanceOf[Double]
+    assert(fam11 == 0.0 && streamed(11L)(1).asInstanceOf[Long] > 0)
+    assert(fam10 > fam11)
+  }
+
   test("incremental streaming curation: PII+quality+exact+near-dup against a growing corpus") {
     import spark.implicits._
     import graft.examples.StreamingCuration
