@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Fourth extension block of the SQL-pass-through surface (SURVEY.md
+  * §2.B): error-safe (`try_*`) arithmetic and casts, map higher-order
+  * functions, a second array higher-order-function zoo, and GROUPING
+  * SETS introspection via grouping()/grouping_id semantics. Same
+  * determinism conventions as [[Relational]].
+  */
+object Extended4 {
+
+  /** q52: error-safe arithmetic — try_divide (null on zero divisor),
+    * try_add at Long.MaxValue (null on overflow instead of a thrown
+    * error), try_cast of non-numeric and numeric strings, and
+    * try_element_at past the end of an array. ANSI-mode pipelines keep
+    * running on dirty data because of exactly these forms; each maps to
+    * an explicit CASE guard in engines without try_ variants.
+    */
+  def q52TryArithmetic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_orderkey" % 37 === 0 && $"l_linenumber" === 1)
+      .select(
+        $"l_orderkey",
+        expr("try_divide(l_extendedprice, l_quantity - 25.0)").as("per_off25"),
+        expr("try_add(9223372036854775807L, l_orderkey + 1)").as("overflowed"),
+        expr("try_cast(l_returnflag AS DOUBLE)").as("flag_num"),
+        expr("try_cast(cast(l_quantity AS STRING) AS DOUBLE)").as("qty_rt"),
+        expr("try_element_at(array(l_quantity, l_discount), 5)").as("oob"))
+      .orderBy("l_orderkey")
+  }
+
+  /** q53: map higher-order functions — a per-user map of event-type
+    * counts transformed with transform_keys / transform_values /
+    * map_filter and reduced back to scalars with aggregate over
+    * map_values. The map stays an INTERMEDIATE (final schema is
+    * scalar-only); the oracle computes the same reductions relationally.
+    */
+  def q53MapZoo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(
+        array_sort(collect_list(struct($"event_type", $"cnt")))).as("m"))
+      .select(
+        $"user_id",
+        size($"m").cast("long").as("n_types"),
+        concat_ws(",",
+          array_sort(map_keys(transform_keys($"m", (k, _) => upper(k))))).as("keys_str"),
+        aggregate(map_values(transform_values($"m", (_, v) => v * 2L)),
+          lit(0L), (acc, x) => acc + x).as("doubled_sum"),
+        aggregate(map_values(map_filter($"m", (_, v) => v >= 3L)),
+          lit(0L), (acc, x) => acc + x).as("busy_sum"))
+      .orderBy("user_id")
+  }
+
+  /** q54: array higher-order functions, second zoo — exists / forall /
+    * filter + element_at (first match), array_distinct, array_remove,
+    * slice on a per-order quantity array assembled in linenumber order.
+    */
+  def q54ArrayZoo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_orderkey" % 19 === 0)
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_list(struct($"l_linenumber", $"l_quantity"))).as("ln"))
+      .select($"l_orderkey",
+        transform($"ln", e => e.getField("l_quantity")).as("arr"))
+      .select(
+        $"l_orderkey",
+        size($"arr").cast("long").as("n"),
+        size(array_distinct($"arr")).cast("long").as("n_distinct"),
+        exists($"arr", x => x > 45.0).as("has_gt45"),
+        forall($"arr", x => x > 0.0).as("all_pos"),
+        try_element_at(filter($"arr", x => x > 40.0), lit(1)).as("first_gt40"),
+        size(array_remove($"arr", 1.0)).cast("long").as("n_no_ones"),
+        aggregate(slice($"arr", 1, 3), lit(0.0), (acc, x) => acc + x).as("head3_sum"))
+      .orderBy("l_orderkey")
+  }
+
+  /** q55: GROUPING SETS with grouping() introspection — subtotal rows
+    * are labeled by the grouping bitmask built explicitly from
+    * grouping(col) terms (portable across engines, unlike native
+    * grouping_id() whose bit order is a per-engine convention).
+    * One Expand + one aggregation, like q22.
+    */
+  def q55GroupingId(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("x_orders")
+    s.sql("""
+      SELECT
+        coalesce(o_orderstatus, '<all>') AS status,
+        coalesce(o_orderpriority, '<all>') AS priority,
+        CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM x_orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY gid, status, priority""")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_try_arithmetic" -> q52TryArithmetic,
+    "q53_map_zoo" -> q53MapZoo,
+    "q54_array_zoo2" -> q54ArrayZoo,
+    "q55_grouping_id" -> q55GroupingId)
+
+  val oracles: Map[String, String] = Map(
+    "q52_try_arithmetic" -> """
+      SELECT l_orderkey,
+        CASE WHEN l_quantity - 25.0 = 0 THEN NULL
+             ELSE l_extendedprice / (l_quantity - 25.0) END AS per_off25,
+        CAST(NULL AS BIGINT) AS overflowed,
+        TRY_CAST(l_returnflag AS DOUBLE) AS flag_num,
+        TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_rt,
+        ([l_quantity, l_discount])[5] AS oob
+      FROM lineitem
+      WHERE l_orderkey % 37 = 0 AND l_linenumber = 1
+      ORDER BY l_orderkey""",
+    "q53_map_zoo" -> """
+      WITH cnts AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY user_id, event_type)
+      SELECT user_id,
+        count(*) AS n_types,
+        string_agg(upper(event_type), ',' ORDER BY upper(event_type)) AS keys_str,
+        CAST(sum(cnt * 2) AS BIGINT) AS doubled_sum,
+        CAST(coalesce(sum(cnt) FILTER (WHERE cnt >= 3), 0) AS BIGINT) AS busy_sum
+      FROM cnts
+      GROUP BY user_id
+      ORDER BY user_id""",
+    "q54_array_zoo2" -> """
+      WITH arrs AS (
+        SELECT l_orderkey,
+          list(l_quantity ORDER BY l_linenumber, l_quantity) AS arr
+        FROM lineitem
+        WHERE l_orderkey % 19 = 0
+        GROUP BY l_orderkey)
+      SELECT l_orderkey,
+        CAST(len(arr) AS BIGINT) AS n,
+        CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
+        len([x for x in arr if x > 45.0]) > 0 AS has_gt45,
+        len([x for x in arr if x <= 0.0]) = 0 AS all_pos,
+        ([x for x in arr if x > 40.0])[1] AS first_gt40,
+        CAST(len([x for x in arr if x <> 1.0]) AS BIGINT) AS n_no_ones,
+        list_sum([CAST(x AS DOUBLE) for x in arr[1:3]]) AS head3_sum
+      FROM arrs
+      ORDER BY l_orderkey""",
+    "q55_grouping_id" -> """
+      SELECT
+        coalesce(o_orderstatus, '<all>') AS status,
+        coalesce(o_orderpriority, '<all>') AS priority,
+        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY gid, status, priority""")
+}

@@ -176,6 +176,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"|domains|-row cutoff table must broadcast:\n$p")
   }
+
+  test("q55 grouping sets plan ONE Expand + one aggregation, not one scan per set") {
+    val p = plan(Extended4.q55GroupingId(spark, sfDir))
+    assert("Expand".r.findAllIn(p).size == 1,
+      s"3 grouping sets should share one Expand:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"grouping sets must not re-scan per set:\n$p")
+  }
 }
 
 /** Tiny indirection so PlanSpec (package queries) can reach the ops
