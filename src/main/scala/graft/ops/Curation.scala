@@ -160,9 +160,18 @@ object Curation {
   def dedupSemantic(
       s: SparkSession, dir: String,
       threshold: Double = SemThreshold): DataFrame = {
-    import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val assign = assignClusters(s, dir)
+    dedupSemanticWith(assignClusters(s, dir), threshold)
+  }
+
+  /** The within-cluster keep-first pair stage, over any (vec_id, v,
+    * cluster) assignment — md5 centroids (oracle path), k-means
+    * centroids ([[dedupSemanticKmeans]]), or an externally-trained
+    * quantizer.
+    */
+  def dedupSemanticWith(assign: DataFrame, threshold: Double): DataFrame = {
+    val s = assign.sparkSession
+    import s.implicits._
     val x = assign.select($"cluster", $"vec_id".as("a"), $"v".as("va"))
     val y = assign.select($"cluster", $"vec_id".as("b"), $"v".as("vb"))
     x.join(y, Seq("cluster"))
@@ -175,6 +184,29 @@ object Curation {
       .select($"cluster", $"dup_id",
         $"m.a".as("keeper_id"), $"m.cos".as("cos"))
       .orderBy("dup_id")
+  }
+
+  /** Semantic dedup under a TRAINED quantizer: Lloyd's k-means
+    * centroids ([[Similarity.kmeans]]) replace the fixed md5 centroids.
+    * This is the deployment form — tighter clusters catch more
+    * near-dups at the same pairwise budget. Float centroid means are
+    * not cross-engine replayable, so this variant is rows-only at the
+    * driver and property-gated in CurationSpec (every flagged pair is
+    * a true cosine near-dup; the md5-centroid twin is the oracle-exact
+    * anchor of the shared pair stage).
+    */
+  def dedupSemanticKmeans(
+      s: SparkSession, dir: String,
+      threshold: Double = SemThreshold, k: Int = NumCentroids): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val vecs = t(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val cents = Similarity.kmeans(vecs, k)
+    val assign = Similarity
+      .assignEuclidean(vecs.as[(Long, Array[Double])], cents)
+      .select($"vec_id", $"v", $"cluster")
+    dedupSemanticWith(assign, threshold)
   }
 
   // ---- per-component representative selection ----
@@ -226,8 +258,16 @@ object Curation {
     * join: the corpus never shuffles on trigram, and the per-doc
     * reduction is one doc_id-keyed aggregation with map-side combine.
     */
-  /** (doc_id, tri) rows: every character-trigram position of the
-    * normalized (case-folded, whitespace-collapsed) text.
+  /** (doc_id, code, occ) rows: per-document occurrence counts of every
+    * character trigram of the normalized (case-folded,
+    * whitespace-collapsed) text, with the trigram packed into a long
+    * (three UTF-16 units, 16 bits each) inside one compiled pass — the
+    * per-doc pre-aggregation happens in the kernel, so what leaves the
+    * scan is a few hundred (long, long) pairs per document instead of
+    * one string row per character position. The packing is a bijection
+    * onto BMP-text trigram strings, so counts (and therefore every
+    * downstream integer statistic) are identical to the exploded-string
+    * form the DuckDB oracle computes.
     */
   def trigramsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -236,14 +276,39 @@ object Curation {
       .select($"doc_id",
         lower(regexp_replace(trim($"text"), "\\s+", " ")).as("norm"))
       .filter(length($"norm") >= 3)
-      .select($"doc_id",
-        explode(transform(sequence(lit(1), length($"norm") - 2),
-          i => $"norm".substr(i, lit(3)))).as("tri"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, txt) =>
+          val m = new java.util.HashMap[java.lang.Long, Array[Long]]()
+          var i = 0
+          val n = txt.length - 2
+          while (i < n) {
+            val code = (txt.charAt(i).toLong << 32) |
+              (txt.charAt(i + 1).toLong << 16) | txt.charAt(i + 2).toLong
+            val slot = m.get(code)
+            if (slot == null) m.put(code, Array(1L)) else slot(0) += 1L
+            i += 1
+          }
+          val out = new Array[(Long, Long, Long)](m.size)
+          val entries = m.entrySet().iterator()
+          var j = 0
+          while (entries.hasNext) {
+            val e = entries.next()
+            out(j) = (id, e.getKey, e.getValue()(0))
+            j += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("doc_id", "code", "occ")
   }
 
-  /** The trigram frequency model: one count per distinct trigram. */
+  /** The trigram frequency model: one total count per distinct packed
+    * trigram code.
+    */
   def trainTrigramModel(docs: DataFrame): DataFrame =
-    trigramsOf(docs).groupBy(col("tri")).agg(count(lit(1)).as("freq"))
+    trigramsOf(docs).groupBy(col("code"))
+      .agg(sum(col("occ")).as("freq"))
 
   /** Score documents against a (possibly frozen, pre-trained) model.
     * Trigrams the model has never seen contribute 0 to the sum but DO
@@ -254,10 +319,10 @@ object Curation {
   def scoreFamiliarity(docs: DataFrame, model: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    trigramsOf(docs).join(broadcast(model), Seq("tri"), "left")
+    trigramsOf(docs).join(broadcast(model), Seq("code"), "left")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tris"),
-        sum(coalesce($"freq", lit(0L))).as("fam_sum"))
+      .agg(sum($"occ").as("n_tris"),
+        sum($"occ" * coalesce($"freq", lit(0L))).as("fam_sum"))
       .select($"doc_id", $"n_tris", $"fam_sum",
         ($"fam_sum".cast("double") / $"n_tris".cast("double")).as("familiarity"))
       .orderBy("doc_id")
@@ -306,6 +371,8 @@ object Curation {
     "ta_familiarity" -> taFamiliarity,
     "mix_budget" -> ((s, d) => mixBudget(s, d)),
     "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
+    // rows-only: k-means float centroids aren't cross-engine replayable
+    "dedup_semantic_kmeans" -> ((s, d) => dedupSemanticKmeans(s, d)),
     "dedup_representatives" -> dedupRepresentatives)
 
   /** DuckDB oracles. Cosine arithmetic replays the same left-to-right

@@ -193,6 +193,89 @@ object Similarity {
       .select($"label".as("cent_id"), $"cent")
   }
 
+  /** Distributed Lloyd's k-means over (vec_id, e) rows — the trainer
+    * for a production coarse quantizer (IVF partitioning, SemDeDup
+    * clustering). Deterministic init: the k lowest vec_ids. Each round
+    * is one broadcast (the k×dim centroid array rides the closure) +
+    * one fused compiled assignment pass + ONE shuffle of (sum, count)
+    * buffers via [[graft.functions.VectorMeanAggregator]] — per round
+    * the corpus moves zero bytes, only k buffers per partition do.
+    * Empty clusters keep their previous centroid. Stops when no
+    * assignment changes or after maxIter rounds. Float means are not
+    * bit-replayable cross-engine, so k-means consumers are spec-gated
+    * (monotone WCSS, stable fixpoint) rather than oracle-gated.
+    */
+  def kmeans(vecs: DataFrame, k: Int, maxIter: Int = 10): Array[Array[Double]] = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val ds = vecs.select(col("vec_id"), col("e"))
+      .as[(Long, Array[Double])]
+      .localCheckpoint(true)
+    var cents: Array[Array[Double]] =
+      ds.orderBy(col("vec_id").asc).limit(k).collect().map(_._2)
+    val meanUdaf = udaf(new graft.functions.VectorMeanAggregator(64))
+    var prevAssign: DataFrame = null
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val assign = assignEuclidean(ds, cents).localCheckpoint(true)
+      converged = prevAssign != null &&
+        assign.as("n").join(prevAssign.as("p"), col("n.vec_id") === col("p.vec_id"))
+          .filter(col("n.cluster") =!= col("p.cluster"))
+          .limit(1).isEmpty
+      if (!converged) {
+        val means = ds.toDF("vec_id", "e")
+          .join(assign, "vec_id")
+          .groupBy(col("cluster"))
+          .agg(meanUdaf(col("e")).as("cent"))
+          .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
+          .toMap
+        cents = Array.tabulate(k)(i => means.getOrElse(i, cents(i)))
+      }
+      prevAssign = assign
+      it += 1
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment by squared euclidean distance, ties to
+    * the lowest centroid index — one compiled pass, no shuffle.
+    */
+  def assignEuclidean(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      cents: Array[Array[Double]]): DataFrame = {
+    val s = ds.sparkSession
+    import s.implicits._
+    ds.mapPartitions { it =>
+      it.map { case (id, v) =>
+        var bestK = 0
+        var bestD = Double.PositiveInfinity
+        var k = 0
+        while (k < cents.length) {
+          val c = cents(k)
+          var d = 0.0
+          var j = 0
+          while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; bestK = k }
+          k += 1
+        }
+        (id, v, bestK.toLong, bestD)
+      }
+    }.toDF("vec_id", "v", "cluster", "dist2")
+  }
+
+  /** Within-cluster sum of squares for a given centroid set — the
+    * objective Lloyd's algorithm descends; the spec asserts
+    * monotonicity across rounds.
+    */
+  def wcss(vecs: DataFrame, cents: Array[Array[Double]]): Double = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    assignEuclidean(
+      vecs.select(col("vec_id"), col("e")).as[(Long, Array[Double])], cents)
+      .agg(sum(col("dist2"))).collect()(0).getDouble(0)
+  }
+
   /** IVF ANN: assign every corpus vector to its nearest centroid (10
     * partitions); each query probes its `nprobe` nearest centroids and
     * brute-forces only those partitions (~nprobe/k of the corpus read).

@@ -144,6 +144,62 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("kmeans: Lloyd rounds descend WCSS and reach an assignment fixpoint") {
+    val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val init = vecs.orderBy($"vec_id".asc).limit(8)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val trained = Similarity.kmeans(vecs, k = 8, maxIter = 30)
+    val w0 = Similarity.wcss(vecs, init)
+    val w1 = Similarity.wcss(vecs, trained)
+    assert(w1 <= w0, s"training must not increase WCSS: $w0 -> $w1")
+    assert(w1 < w0 * 0.9, s"training should meaningfully descend: $w0 -> $w1")
+    // fixpoint: recomputing means from the trained assignment and
+    // re-assigning changes nothing
+    import spark.implicits._
+    val ds = vecs.as[(Long, Array[Double])]
+    val a1 = Similarity.assignEuclidean(ds, trained)
+      .select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val meanUdaf = udaf(new graft.functions.VectorMeanAggregator(64))
+    val means = vecs
+      .join(Similarity.assignEuclidean(ds, trained).select($"vec_id", $"cluster"), "vec_id")
+      .groupBy($"cluster").agg(meanUdaf($"e").as("cent"))
+      .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
+    val next = Array.tabulate(8)(i => means.getOrElse(i, trained(i)))
+    val a2 = Similarity.assignEuclidean(ds, next)
+      .select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a1 == a2, "converged k-means must be a Lloyd fixpoint")
+  }
+
+  test("kmeans-backed semantic dedup: flags exactly the same-cluster near-dups") {
+    val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    import spark.implicits._
+    val cents = Similarity.kmeans(vecs, k = 8, maxIter = 30)
+    val assign = Similarity.assignEuclidean(vecs.as[(Long, Array[Double])], cents)
+      .select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = Similarity.dedupEmbCosineTiled(spark, sfDir,
+        threshold = Curation.SemThreshold, numBlocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => assign(a) == assign(b) }
+    val expectedKeeper = truth.groupBy(_._2).map { case (b, ps) =>
+      b -> ps.map(_._1).min
+    }
+    val got = Curation.dedupSemanticWith(
+        Similarity.assignEuclidean(vecs.as[(Long, Array[Double])], cents)
+          .select($"vec_id", $"v", $"cluster"),
+        Curation.SemThreshold)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got.keySet == expectedKeeper.keySet)
+    expectedKeeper.foreach { case (dup, keeper) =>
+      assert(got(dup) == keeper, s"dup $dup keeper")
+    }
+    assert(got.nonEmpty, "trained clusters still surface near-dups")
+  }
+
   test("representatives: one per component, longest doc wins, sizes add up") {
     val comp = Dedup.connectedComponents(Dedup.dedupMinhashLsh(spark, sfDir))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
