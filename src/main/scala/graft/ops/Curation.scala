@@ -38,16 +38,19 @@ object Curation {
     * its surviving chunks in order.
     *
     * Scale shape (the CCNet two-pass):
-    *  1. frequency pass — explode chunks, hash, groupBy(hash) with a
-    *     distinct-doc count: one shuffle with map-side partial
-    *     aggregation; output is only the FREQUENT hashes, i.e. the
-    *     head of the chunk-frequency distribution, which is tiny
-    *     relative to the corpus (Zipf head) and safely broadcastable.
-    *  2. removal pass — re-scan, explode, broadcast-left-join the
-    *     frequent set (no shuffle of the corpus side), then ONE
-    *     regroup by doc_id to reassemble. Nothing ever shuffles on the
-    *     raw chunk hash in this pass, so a pathological boilerplate
-    *     chunk (appearing in millions of docs) cannot skew a reducer.
+    *  1. frequency pass — chunk hashes only (32-hex strings, never the
+    *     chunk text) shuffle once into a distinct-doc count with
+    *     map-side partial aggregation; what survives the >= minDocs
+    *     filter is the head of the chunk-frequency distribution — tiny
+    *     relative to the corpus (Zipf head) and safely collectable/
+    *     broadcastable (same contract as the LSH bucket-cap and probe-id
+    *     lists).
+    *  2. removal pass — one compiled kernel per document with the
+    *     frequent set broadcast: re-chunk, drop members, hash the
+    *     reassembled text in place. No explode, no join, no regroup —
+    *     the document text never enters a shuffle, so a pathological
+    *     boilerplate chunk (appearing in millions of docs) cannot skew
+    *     a reducer.
     */
   def taBoilerplate(
       s: SparkSession, dir: String,
@@ -61,23 +64,75 @@ object Curation {
     val s = docsIn.sparkSession
     import s.implicits._
     val docs = docsIn.select($"doc_id", $"text")
-    val hashed = docs
-      .select($"doc_id", posexplode(chunksOf($"text", width)).as(Seq("idx", "chunk")))
-      .withColumn("h", md5($"chunk"))
-    val frequent = hashed.groupBy($"h")
-      .agg(countDistinct($"doc_id").as("nd"))
+    // frequency pass, fused: one kernel emits each document's DISTINCT
+    // chunk hashes (per-doc dedup in a local set = countDistinct
+    // semantics), so only 16-byte hashes reach the one shuffle
+    val frequent = docs.as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (_, text) =>
+          val seen = new java.util.HashSet[String]()
+          chunkStrings(text, width).foreach { chunk =>
+            md.reset()
+            seen.add(md5Hex(md, chunk))
+          }
+          scala.jdk.CollectionConverters.IteratorHasAsScala(seen.iterator()).asScala
+        }
+      }
+      .toDF("h")
+      .groupBy($"h").agg(count(lit(1)).as("nd"))
       .filter($"nd" >= minDocs)
-      .select($"h", lit(true).as("boiler"))
-    val flagged = hashed.join(broadcast(frequent), Seq("h"), "left")
-      .withColumn("boiler", coalesce($"boiler", lit(false)))
-    flagged.groupBy($"doc_id").agg(
-        count(lit(1)).as("n_chunks"),
-        sum(when($"boiler", 1L).otherwise(0L)).as("n_removed"),
-        md5(concat_ws(" ",
-          transform(
-            array_sort(collect_list(when(!$"boiler", struct($"idx", $"chunk")))),
-            c => c.getField("chunk")))).as("clean_md5"))
+      .select($"h")
+      .collect().map(_.getString(0)).toSet
+    val frequentBc = s.sparkContext.broadcast(frequent)
+    docs.as[(Long, String)].mapPartitions { it =>
+      val freq = frequentBc.value
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, text) =>
+        var removed = 0L
+        var nChunks = 0L
+        val kept = new java.lang.StringBuilder
+        chunkStrings(text, width).foreach { chunk =>
+          nChunks += 1L
+          md.reset()
+          if (freq.contains(md5Hex(md, chunk))) removed += 1L
+          else {
+            if (kept.length > 0) kept.append(' ')
+            kept.append(chunk)
+          }
+        }
+        md.reset()
+        val cleanMd5 = md5Hex(md, kept.toString)
+        (id, nChunks, removed, cleanMd5)
+      }
+    }.toDF("doc_id", "n_chunks", "n_removed", "clean_md5")
+      .filter(col("n_chunks") > 0L)
       .orderBy("doc_id")
+  }
+
+  /** The document's fixed-width token chunks — same tokenization as
+    * [[chunksOf]]/TextAnalysis.tokens (trim, split \s+, drop empties;
+    * Java and Spark share the regex engine, so token streams are
+    * identical).
+    */
+  private def chunkStrings(text: String, width: Int): Iterator[String] = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    val nChunks = (toks.length + width - 1) / width
+    (0 until nChunks).iterator.map { c =>
+      toks.slice(c * width, math.min(toks.length, (c + 1) * width)).mkString(" ")
+    }
+  }
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    val bytes = md.digest(s.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(Character.forDigit((bytes(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(bytes(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
   }
 
   // ---- clustered semantic dedup (SemDeDup-style) ----

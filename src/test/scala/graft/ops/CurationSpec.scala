@@ -47,11 +47,11 @@ class CurationSpec extends SparkSpec {
         .map("%02x".format(_)).mkString)))
   }
 
-  test("boilerplate: frequent-set join broadcasts; untouched docs keep their text") {
+  test("boilerplate: removal pass never shuffles text; untouched docs keep theirs") {
     val df = Curation.taBoilerplate(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"frequent-chunk set must broadcast, not shuffle the corpus:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"removal pass must be a per-doc map over the scan (frequent set rides a broadcast):\n$plan")
     // a doc with zero removals reassembles to its own chunking
     val clean = df.filter($"n_removed" === 0).limit(1).collect().head
     val docId = clean.getLong(0)
