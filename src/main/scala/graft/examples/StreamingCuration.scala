@@ -100,11 +100,58 @@ object StreamingCuration {
       val withSplit = Sampling.hashSplit(accepted, "doc_id")
         .select($"doc_id", $"text_md5", $"split")
         .localCheckpoint(eager = true)
+      // 6: chunk-frequency state for incremental boilerplate removal —
+      // the accepted docs' distinct chunk hashes, ALSO materialized
+      // before any append (same lazy-re-read hazard as withSplit:
+      // `accepted` anti-joins the docsDir read)
+      val newChunks = graft.ops.Curation
+        .distinctChunkHashes(accepted.select($"doc_id", $"text"))
+        .localCheckpoint(eager = true)
       withSplit.write.mode("append").parquet(docsDir)
       batchSets.join(withSplit.select($"doc_id"), Seq("doc_id"), "left_semi")
         .write.mode("append").parquet(setsDir)
+      mergeChunkFreq(spark, stateDir, newChunks)
       spark.read.parquet(docsDir).count() // post-append corpus size
     } finally { batchSets.unpersist(); () }
+  }
+
+  /** Fold a batch's (doc_id, h) distinct chunk hashes into the
+    * persistent `chunk_freq(h, nd)` table (nd = how many accepted docs
+    * ever contained the chunk; doc_ids are unique across batches, so
+    * per-batch distinct counts add). The merged table is MATERIALIZED
+    * before the overwrite — the overwrite's input is the table being
+    * replaced, the exact read-your-own-write hazard class the
+    * processBatch regression spec guards.
+    */
+  def mergeChunkFreq(spark: SparkSession, stateDir: String, newChunks: DataFrame): Unit = {
+    import spark.implicits._
+    val freqDir = s"$stateDir/chunk_freq"
+    val batchCounts = newChunks.groupBy($"h").agg(count(lit(1)).as("nd"))
+    val merged =
+      if (!new java.io.File(freqDir).exists()) batchCounts
+      else spark.read.parquet(freqDir).unionByName(batchCounts)
+        .groupBy($"h").agg(sum($"nd").as("nd"))
+    val frozen = merged.localCheckpoint(eager = true)
+    frozen.write.mode("overwrite").parquet(freqDir)
+  }
+
+  /** Score documents against the ACCUMULATED chunk-frequency state:
+    * chunks that `minDocs`+ accepted corpus documents contain are
+    * stripped (the incremental form of [[graft.ops.Curation.taBoilerplate]] —
+    * the stored counts stand in for the corpus-wide frequency pass, so
+    * a batch pays batch-sized cost only).
+    */
+  def boilerplateAgainstState(
+      spark: SparkSession, stateDir: String, docs: DataFrame,
+      minDocs: Int = graft.ops.Curation.BoilerMinDocs): DataFrame = {
+    import spark.implicits._
+    val freqDir = s"$stateDir/chunk_freq"
+    val frequent =
+      if (!new java.io.File(freqDir).exists()) Set.empty[String]
+      else spark.read.parquet(freqDir)
+        .filter($"nd" >= minDocs).select($"h")
+        .collect().map(_.getString(0)).toSet
+    graft.ops.Curation.removeChunks(docs, frequent)
   }
 
   /** Wire the per-batch graph into a file-source micro-batch stream. */

@@ -63,29 +63,50 @@ object Curation {
       width: Int = ChunkTokens, minDocs: Int = BoilerMinDocs): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
-    val docs = docsIn.select($"doc_id", $"text")
-    // frequency pass, fused: one kernel emits each document's DISTINCT
-    // chunk hashes (per-doc dedup in a local set = countDistinct
-    // semantics), so only 16-byte hashes reach the one shuffle
-    val frequent = docs.as[(Long, String)]
+    val frequent = distinctChunkHashes(docsIn, width)
+      .groupBy($"h").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= minDocs)
+      .select($"h")
+      .collect().map(_.getString(0)).toSet
+    removeChunks(docsIn, frequent, width)
+  }
+
+  /** Each document's DISTINCT chunk hashes, (doc_id, h) — the frequency
+    * pass's kernel, fused: per-doc dedup happens in a local set, so only
+    * 32-hex hashes (never chunk text) reach any shuffle. Also the unit
+    * that incremental pipelines aggregate into a persistent
+    * chunk-frequency state table.
+    */
+  def distinctChunkHashes(docsIn: DataFrame, width: Int = ChunkTokens): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    docsIn.select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (_, text) =>
-          val seen = new java.util.HashSet[String]()
+        it.flatMap { case (id, text) =>
+          val seen = new java.util.LinkedHashSet[String]()
           chunkStrings(text, width).foreach { chunk =>
             md.reset()
             seen.add(md5Hex(md, chunk))
           }
           scala.jdk.CollectionConverters.IteratorHasAsScala(seen.iterator()).asScala
+            .map(h => (id, h))
         }
       }
-      .toDF("h")
-      .groupBy($"h").agg(count(lit(1)).as("nd"))
-      .filter($"nd" >= minDocs)
-      .select($"h")
-      .collect().map(_.getString(0)).toSet
+      .toDF("doc_id", "h")
+  }
+
+  /** The removal pass against a given frequent-chunk set (computed
+    * corpus-wide by [[boilerplateOf]], or read from a persistent
+    * frequency table by an incremental pipeline).
+    */
+  def removeChunks(
+      docsIn: DataFrame, frequent: Set[String],
+      width: Int = ChunkTokens): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
     val frequentBc = s.sparkContext.broadcast(frequent)
-    docs.as[(Long, String)].mapPartitions { it =>
+    docsIn.select($"doc_id", $"text").as[(Long, String)].mapPartitions { it =>
       val freq = frequentBc.value
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, text) =>
@@ -224,9 +245,23 @@ object Curation {
     * centroids ([[dedupSemanticKmeans]]), or an externally-trained
     * quantizer.
     */
-  def dedupSemanticWith(assign: DataFrame, threshold: Double): DataFrame = {
-    val s = assign.sparkSession
+  def dedupSemanticWith(
+      assign0: DataFrame, threshold: Double,
+      maxCluster: Option[Int] = None): DataFrame = {
+    val s = assign0.sparkSession
     import s.implicits._
+    // skew guard (the Dedup bucket-cap pattern): a cluster above the
+    // cap would contribute |cluster|² pairs to one task, so its members
+    // are excluded via a broadcast anti-join of the (tiny) over-cap
+    // cluster list; the cap is the explicit recall/cost dial. None (the
+    // oracle path) means exact.
+    val assign = maxCluster match {
+      case None => assign0
+      case Some(cap) =>
+        val over = assign0.groupBy($"cluster").agg(count(lit(1)).as("n"))
+          .filter($"n" > cap).select($"cluster")
+        assign0.join(broadcast(over), Seq("cluster"), "left_anti")
+    }
     val x = assign.select($"cluster", $"vec_id".as("a"), $"v".as("va"))
     val y = assign.select($"cluster", $"vec_id".as("b"), $"v".as("vb"))
     x.join(y, Seq("cluster"))

@@ -144,6 +144,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup cluster cap: over-cap clusters drop, the rest are exact") {
+    val assign = Curation.assignClusters(spark, sfDir)
+    val sizes = assign.groupBy($"cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cap = sizes.values.toSeq.sorted.apply(sizes.size / 2).toInt // median
+    val overCap = sizes.filter(_._2 > cap).keySet
+    assert(overCap.nonEmpty && overCap.size < sizes.size, "cap splits clusters")
+    val full = Curation.dedupSemantic(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val capped = Curation.dedupSemanticWith(
+        Curation.assignClusters(spark, sfDir), Curation.SemThreshold, Some(cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.toSet == full.filterNot(p => overCap.contains(p._1)).toSet,
+      "capped result = full result minus over-cap clusters' pairs")
+  }
+
   test("kmeans: Lloyd rounds descend WCSS and reach an assignment fixpoint") {
     val vecs = graft.Tables.t(spark, sfDir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))

@@ -310,6 +310,49 @@ class StreamingSpec extends SparkSpec {
     assert(setIds == corpus.keySet)
   }
 
+  test("incremental boilerplate: frequency state accumulates; cross-batch repeats strip") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val state = Files.createTempDirectory("graft-bp-inc").resolve("s").toString
+    val header = (1 to 8).map(i => s"shared$i").mkString(" ")
+    def body(tag: String) = (1 to 16).map(i => s"$tag$i").mkString(" ")
+    // batch 1: two docs sharing an 8-token header chunk + one unique doc
+    val b1 = Seq(
+      (1L, s"$header ${body("alpha")}"),
+      (2L, s"$header ${body("beta")}"),
+      (3L, body("gamma")))
+    StreamingCuration.processBatch(spark, b1.toDF("doc_id", "text"), state)
+    // batch 2: a third doc carrying the same header
+    val b2 = Seq((10L, s"$header ${body("delta")}"))
+    StreamingCuration.processBatch(spark, b2.toDF("doc_id", "text"), state)
+
+    // state invariant: chunk_freq == distinct-doc chunk counts over ALL
+    // accepted docs (batches add, never overwrite-lose)
+    val accepted = (b1 ++ b2).toDF("doc_id", "text")
+    val expected = graft.ops.Curation.distinctChunkHashes(accepted)
+      .groupBy($"h").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stored = spark.read.parquet(s"$state/chunk_freq")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stored == expected, "chunk_freq must equal batch-side counts")
+
+    // a new probe doc repeating the header gets it stripped against the
+    // ACCUMULATED state (nd=3 across two batches); its novel chunks stay
+    val probe = Seq((99L, s"$header ${body("omega")}")).toDF("doc_id", "text")
+    val scored = StreamingCuration.boilerplateAgainstState(spark, state, probe)
+      .collect().head
+    assert(scored.getLong(1) == 3L && scored.getLong(2) == 1L,
+      s"header chunk should strip, novel chunks survive: $scored")
+    // cross-check: same answer as batch boilerplate over corpus+probe,
+    // restricted to the probe doc
+    val batchForm = graft.ops.Curation
+      .boilerplateOf(accepted.unionByName(probe))
+      .filter($"doc_id" === 99L).collect().head
+    assert(scored.getLong(2) == batchForm.getLong(2) &&
+      scored.getString(3) == batchForm.getString(3),
+      "incremental flagging must agree with the batch two-pass on the probe")
+  }
+
   test("processBatch invariant: state appends equal the pre-write computed sets") {
     // Guards the lazy re-read-after-append class: a plan that reads a
     // state path must be materialized before ANY append to that path, or
