@@ -20,9 +20,13 @@ object Curation {
   val ChunkTokens = 8
   val BoilerMinDocs = 2
 
-  /** Fixed-width token chunks of a document, in order. Documents with
-    * no tokens produce no chunks (and drop out of the result, matching
-    * the oracle's UNNEST-of-empty-range semantics).
+  /** Fixed-width token chunks of a document, in order — the declarative
+    * (Column-expression) reference form of [[chunkStrings]]. The hot
+    * path runs the fused kernel; this form exists so specs can state
+    * expected values in independent Spark SQL and so SQL-text pipelines
+    * can reuse the chunking. Documents with no tokens produce no chunks
+    * (and drop out of the result, matching the oracle's
+    * UNNEST-of-empty-range semantics).
     */
   def chunksOf(text: Column, width: Int = ChunkTokens): Column = {
     val tk = TextAnalysis.tokens(text)

@@ -104,11 +104,33 @@ object Extended4 {
       ORDER BY gid, status, priority""")
   }
 
+  /** q56: string-function zoo 2 + width_bucket histogramming — the
+    * SQL-standard bucketing function plus split_part / translate /
+    * lpad / repeat / reverse, none exercised by q33's first string zoo.
+    * All run identically under Spark and DuckDB (pure codegen, one
+    * scan).
+    */
+  def q56StringBucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .filter($"event_id" % 13 === 0)
+      .select(
+        $"event_id",
+        expr("width_bucket(value, 0.0, 100.0, 10)").as("vbucket"),
+        expr("split_part(event_type, 'i', 1)").as("et_head"),
+        translate($"event_type", "aeiou", "AEIOU").as("et_caps"),
+        lpad($"event_type", 10, ".").as("et_pad"),
+        repeat(substring($"event_type", 1, 2), 3).as("et_rep"),
+        reverse($"event_type").as("et_rev"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_try_arithmetic" -> q52TryArithmetic,
     "q53_map_zoo" -> q53MapZoo,
     "q54_array_zoo2" -> q54ArrayZoo,
-    "q55_grouping_id" -> q55GroupingId)
+    "q55_grouping_id" -> q55GroupingId,
+    "q56_string_bucket" -> q56StringBucket)
 
   val oracles: Map[String, String] = Map(
     "q52_try_arithmetic" -> """
@@ -151,6 +173,20 @@ object Extended4 {
         list_sum([CAST(x AS DOUBLE) for x in arr[1:3]]) AS head3_sum
       FROM arrs
       ORDER BY l_orderkey""",
+    "q56_string_bucket" -> """
+      SELECT event_id,
+        CAST(CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 100.0 THEN 11
+                  ELSE CAST(floor((value - 0.0) / ((100.0 - 0.0) / 10)) AS BIGINT) + 1
+             END AS BIGINT) AS vbucket,
+        split_part(event_type, 'i', 1) AS et_head,
+        translate(event_type, 'aeiou', 'AEIOU') AS et_caps,
+        lpad(event_type, 10, '.') AS et_pad,
+        repeat(substr(event_type, 1, 2), 3) AS et_rep,
+        reverse(event_type) AS et_rev
+      FROM events
+      WHERE event_id % 13 = 0
+      ORDER BY event_id""",
     "q55_grouping_id" -> """
       SELECT
         coalesce(o_orderstatus, '<all>') AS status,
