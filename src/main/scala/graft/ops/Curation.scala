@@ -458,12 +458,35 @@ object Curation {
       .orderBy("source", "cum_tokens")
   }
 
+  /** The mixture report a training run records next to its data
+    * snapshot: per source, how much survived the budget cut and what
+    * fraction of the source's tokens made it in. Integer sums + one
+    * IEEE division per row, so the oracle hash-matches exactly.
+    */
+  def mixReport(s: SparkSession, dir: String, budget: Long = MixBudget): DataFrame = {
+    import s.implicits._
+    val sized = t(s, dir, "documents")
+      .select($"source", TextAnalysis.tokenCount($"text").as("n_tokens"))
+    val totals = sized.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+    val kept = mixBudget(s, dir, budget).groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("kept_tokens"))
+    totals.join(kept, Seq("source"), "left")
+      .select($"source", $"n_docs", $"total_tokens",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"kept_tokens", lit(0L)).as("kept_tokens"),
+        (coalesce($"kept_tokens", lit(0L)).cast("double") /
+          $"total_tokens".cast("double")).as("kept_frac"))
+      .orderBy("source")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_boilerplate" -> ((s, d) => taBoilerplate(s, d)),
     "ta_familiarity" -> taFamiliarity,
     "mix_budget" -> ((s, d) => mixBudget(s, d)),
+    "mix_report" -> ((s, d) => mixReport(s, d)),
     "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
     // rows-only: k-means float centroids aren't cross-engine replayable
     "dedup_semantic_kmeans" -> ((s, d) => dedupSemanticKmeans(s, d)),
@@ -497,6 +520,31 @@ object Curation {
       FROM tris t JOIN model m ON t.tri = m.tri
       GROUP BY t.doc_id
       ORDER BY t.doc_id""",
+    "mix_report" -> s"""
+      WITH sized AS (
+        SELECT source, doc_id, n_chars,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      cum AS (
+        SELECT source, doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM sized),
+      totals AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM sized GROUP BY source),
+      kept AS (
+        SELECT source, count(*) AS n_kept,
+          CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+        FROM cum WHERE cum_tokens <= $MixBudget GROUP BY source)
+      SELECT t.source, t.n_docs, t.total_tokens,
+        coalesce(k.n_kept, 0) AS n_kept,
+        coalesce(k.kept_tokens, 0) AS kept_tokens,
+        CAST(coalesce(k.kept_tokens, 0) AS DOUBLE) / CAST(t.total_tokens AS DOUBLE) AS kept_frac
+      FROM totals t LEFT JOIN kept k ON t.source = k.source
+      ORDER BY t.source""",
     "mix_budget" -> s"""
       WITH sized AS (
         SELECT source, doc_id, n_chars,

@@ -142,6 +142,16 @@ class CurationSpec extends SparkSpec {
           s"greedy membership for $src/${d._2}")
       }
     }
+    // the report aggregates the same selection
+    val report = Curation.mixReport(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val bySrc = rows.groupBy(_._1)
+    report.foreach { case (src, (nKept, keptToks)) =>
+      val rs = bySrc.getOrElse(src, Array.empty)
+      assert(nKept == rs.length && keptToks == rs.map(_._3).sum,
+        s"report disagrees with selection for $src")
+    }
+    assert(report.keySet == all.map(_._1).toSet, "report covers every source")
   }
 
   test("semantic dedup cluster cap: over-cap clusters drop, the rest are exact") {
