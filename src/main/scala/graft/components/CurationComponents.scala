@@ -1,0 +1,91 @@
+package graft.components
+
+import graft.core.component._
+import graft.ops.Curation
+import org.apache.spark.sql.functions._
+
+/** Curation operators exposed as pipeline components (the reference's
+  * extension path: write a DataFlow, wire it in HOCON —
+  * reference README.md:49-76). Like every component, these read and
+  * write NAMED TEMP VIEWS, so a read → curate → write chain stays one
+  * lazy Catalyst plan except where a kernel's frequency pass genuinely
+  * needs its own job.
+  */
+
+/** CCNet-style boilerplate removal over a (doc_id, text, …) view: the
+  * cleaned text REPLACES `text` (plus n_chunks/n_removed metadata), so
+  * downstream text components compose unchanged. Extra input columns
+  * ride through by a doc_id join so source/lang metadata survives.
+  */
+final class BoilerplateRemoval(
+    inputView: String, outputView: String, width: Int, minDocs: Int)
+  extends DataFlow {
+  val name = s"boilerplate_removal($outputView)"
+  def run(): Unit = {
+    val docs = spark.table(inputView)
+    val frequent = Curation.distinctChunkHashes(docs, width)
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+      .collect().map(_.getString(0)).toSet
+    val cleaned = Curation.cleanChunks(docs, frequent, width)
+      .withColumnRenamed("clean_text", "text")
+    val meta = docs.drop("text")
+    cleaned.join(meta, Seq("doc_id"))
+      .createOrReplaceTempView(outputView)
+  }
+}
+object BoilerplateRemoval extends ComponentFactory {
+  def fromConfig(c: Map[String, Any]): PipelineComponent =
+    new BoilerplateRemoval(
+      Cfg.str(c, "input_view"), Cfg.str(c, "output_view"),
+      Cfg.intOr(c, "chunk_tokens", Curation.ChunkTokens),
+      Cfg.intOr(c, "min_docs", Curation.BoilerMinDocs))
+}
+
+/** Corpus-trigram familiarity scoring over a (doc_id, text, …) view:
+  * trains the frequency model on `model_view` (defaults to the input
+  * view itself — self-scoring) and appends (n_tris, fam_sum,
+  * familiarity) columns.
+  */
+final class FamiliarityScore(
+    inputView: String, outputView: String, modelView: Option[String])
+  extends DataFlow {
+  val name = s"familiarity_score($outputView)"
+  def run(): Unit = {
+    val docs = spark.table(inputView)
+    val model = Curation.trainTrigramModel(
+      spark.table(modelView.getOrElse(inputView)))
+    docs.join(Curation.scoreFamiliarity(docs, model), Seq("doc_id"))
+      .createOrReplaceTempView(outputView)
+  }
+}
+object FamiliarityScore extends ComponentFactory {
+  def fromConfig(c: Map[String, Any]): PipelineComponent =
+    new FamiliarityScore(
+      Cfg.str(c, "input_view"), Cfg.str(c, "output_view"),
+      Cfg.strOpt(c, "model_view"))
+}
+
+/** Per-source token-budget mixture selection over a
+  * (doc_id, source, n_chars, text, …) view: keeps only the selected
+  * documents (longest-first greedy under `budget` tokens per source).
+  */
+final class TokenBudgetMix(
+    inputView: String, outputView: String, budget: Long)
+  extends DataFlow {
+  val name = s"token_budget_mix($outputView)"
+  def run(): Unit = {
+    val docs = spark.table(inputView)
+    docs.join(
+        Curation.mixBudgetOf(docs, budget).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .createOrReplaceTempView(outputView)
+  }
+}
+object TokenBudgetMix extends ComponentFactory {
+  def fromConfig(c: Map[String, Any]): PipelineComponent =
+    new TokenBudgetMix(
+      Cfg.str(c, "input_view"), Cfg.str(c, "output_view"),
+      Cfg.longOr(c, "budget_tokens", Curation.MixBudget))
+}

@@ -76,6 +76,15 @@ object Cfg {
       case Some(o) => throw ComponentInstantiationError(s"key '$k': expected boolean, got $o")
       case None => d
     }
+  def intOr(c: Map[String, Any], k: String, d: Int): Int =
+    longOr(c, k, d.toLong).toInt
+  def longOr(c: Map[String, Any], k: String, d: Long): Long =
+    c.get(k) match {
+      case Some(n: Number) => n.longValue()
+      case Some(s: String) => s.toLong
+      case Some(o) => throw ComponentInstantiationError(s"key '$k': expected number, got $o")
+      case None => d
+    }
   def seqOr(c: Map[String, Any], k: String, d: Seq[String]): Seq[String] =
     c.get(k) match {
       case Some(l: List[Any @unchecked]) => l.map(String.valueOf(_))

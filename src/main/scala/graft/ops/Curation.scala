@@ -109,6 +109,23 @@ object Curation {
       width: Int = ChunkTokens): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
+    cleanChunks(docsIn, frequent, width)
+      .select($"doc_id", $"n_chunks", $"n_removed",
+        // Spark md5() = MD5 of the UTF-8 bytes, identical to the
+        // kernel-side digest the frequency pass uses
+        md5($"clean_text").as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** The removal kernel with the reassembled text kept — the form a
+    * pipeline component passes downstream (the md5 report form above is
+    * what the oracle gate hashes).
+    */
+  def cleanChunks(
+      docsIn: DataFrame, frequent: Set[String],
+      width: Int = ChunkTokens): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
     val frequentBc = s.sparkContext.broadcast(frequent)
     docsIn.select($"doc_id", $"text").as[(Long, String)].mapPartitions { it =>
       val freq = frequentBc.value
@@ -126,13 +143,10 @@ object Curation {
             kept.append(chunk)
           }
         }
-        md.reset()
-        val cleanMd5 = md5Hex(md, kept.toString)
-        (id, nChunks, removed, cleanMd5)
+        (id, nChunks, removed, kept.toString)
       }
-    }.toDF("doc_id", "n_chunks", "n_removed", "clean_md5")
+    }.toDF("doc_id", "n_chunks", "n_removed", "clean_text")
       .filter(col("n_chunks") > 0L)
-      .orderBy("doc_id")
   }
 
   /** The document's fixed-width token chunks — same tokenization as
@@ -444,12 +458,19 @@ object Curation {
     * bucket) or the budget check pushed into a two-pass prefix sum like
     * [[Packing.packSequences]]; the greedy semantics are unchanged.
     */
-  def mixBudget(s: SparkSession, dir: String, budget: Long = MixBudget): DataFrame = {
+  def mixBudget(s: SparkSession, dir: String, budget: Long = MixBudget): DataFrame =
+    mixBudgetOf(t(s, dir, "documents"), budget)
+
+  /** [[mixBudget]] over an arbitrary (doc_id, source, n_chars, text)
+    * frame.
+    */
+  def mixBudgetOf(docs: DataFrame, budget: Long = MixBudget): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val w = Window.partitionBy($"source")
       .orderBy($"n_chars".desc, $"doc_id".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "documents")
+    docs
       .select($"doc_id", $"source", $"n_chars",
         TextAnalysis.tokenCount($"text").as("n_tokens"))
       .withColumn("cum_tokens", sum($"n_tokens").over(w))

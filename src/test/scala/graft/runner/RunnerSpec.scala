@@ -211,6 +211,31 @@ class LocalDemoSpec extends SparkSpec {
     assert(rows.head == "1,ALICE,alice@x.com,us-east")
   }
 
+  test("curation pipeline e2e: boilerplate -> familiarity -> filter -> budget -> parquet") {
+    val work = Files.createTempDirectory("graft-curation-e2e")
+    val out = work.resolve("snapshot").toString
+    val conf = Files.readString(java.nio.file.Path.of("examples/curation_pipeline.conf"))
+      .replace("/root/testdata/sf0.001/documents.parquet",
+        "/root/testdata/sf0.001/documents.parquet")
+      .replace("/tmp/graft_curation_snapshot", out)
+    val cfg = ConfigLoader.loadString(conf)
+    val r = new SimplePipelineRunner(cfg, NoOpHooks, Some(spark)).run()
+    assert(r.status == PipelineStatus.Success,
+      s"pipeline failed: ${r.components.map(c => c.name -> c.error)}")
+    val snap = spark.read.parquet(out)
+    assert(snap.columns.toSet ==
+      Set("doc_id", "text", "source", "lang", "n_chars", "familiarity"))
+    val n = snap.count()
+    assert(n > 0 && n < 500, s"budget cut must drop docs, kept $n")
+    // the snapshot respects the per-source budget on CLEANED token counts
+    import org.apache.spark.sql.functions._
+    val overBudget = snap
+      .groupBy(col("source"))
+      .agg(sum(graft.ops.TextAnalysis.tokenCount(col("text"))).as("toks"))
+      .filter(col("toks") > 600L).count()
+    assert(overBudget == 0L, "every source stays within its token budget")
+  }
+
   test("CLI dry-run validates config; bad class path rejected") {
     val good = Files.createTempFile("graft", ".conf")
     Files.writeString(good,
