@@ -296,12 +296,15 @@ object Curation {
 
   /** Semantic dedup under a TRAINED quantizer: Lloyd's k-means
     * centroids ([[Similarity.kmeans]]) replace the fixed md5 centroids.
-    * This is the deployment form — tighter clusters catch more
-    * near-dups at the same pairwise budget. Float centroid means are
-    * not cross-engine replayable, so this variant is rows-only at the
-    * driver and property-gated in CurationSpec (every flagged pair is
-    * a true cosine near-dup; the md5-centroid twin is the oracle-exact
-    * anchor of the shared pair stage).
+    * Assignment uses squared-euclidean distance (Lloyd's objective);
+    * the dedup criterion inside a cluster stays exact cosine — the
+    * clustering only bounds WHERE pairs are examined, never what
+    * qualifies as a duplicate. This is the deployment form — tighter
+    * clusters catch more near-dups at the same pairwise budget. Float
+    * centroid means are not cross-engine replayable, so this variant is
+    * rows-only at the driver and property-gated in CurationSpec (every
+    * flagged pair is a true cosine near-dup; the md5-centroid twin is
+    * the oracle-exact anchor of the shared pair stage).
     */
   def dedupSemanticKmeans(
       s: SparkSession, dir: String,

@@ -381,7 +381,8 @@ object Similarity {
       .withColumn("cr", row_number().over(wp))
       .filter($"cr" <= nprobe)
       .select($"query_id", $"qe", $"cent_id")
-    val probeIds = probes.select($"cent_id").distinct().collect().map(_.get(0))
+    val probeIds = probes.select($"cent_id").distinct().collect()
+      .map(_.get(0)).toIndexedSeq
     val idx = s.read.parquet(path).filter($"cent_id".isin(probeIds: _*))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
     idx.select($"vec_id".as("cand_id"), $"e", $"cent_id")
