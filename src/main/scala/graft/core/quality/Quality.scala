@@ -239,6 +239,41 @@ object Checks {
         Map("share" -> share, "hits" -> hits.toDouble))
     })
 
+  /** Anomaly check (beyond-ref): the share of |z| > `zThreshold`
+    * outliers per `groupCol` group must stay ≤ maxOutlierPct. Statistics
+    * are engine-exact (integer-cents sums, fixed IEEE derivation — see
+    * QualityQueries.dqAnomaly), so the gate's answer is reproducible
+    * across runs and partitionings; a float stddev aggregate would not
+    * be. Two jobs: the integer-stats aggregation, then a counting
+    * rescan with the tiny stats broadcast.
+    */
+  def anomalyCheck(
+      table: String, column: String, groupCol: String,
+      zThreshold: Double = 3.0, maxOutlierPct: Double = 5.0): DataQualityCheck =
+    DataQualityCheck(s"anomaly_${table}_$column", CheckTiming.AfterPipeline, { spark =>
+      val cents = spark.table(table)
+        .select(col(groupCol).as("g"),
+          floor(col(column) * 100.0 + 0.5).cast("long").as("cents"))
+      val stats = cents.groupBy(col("g")).agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("s"),
+        sum(col("cents") * col("cents")).as("q"))
+      val mean = col("s").cast("double") / col("n").cast("double")
+      val variance = col("q").cast("double") / col("n").cast("double") - mean * mean
+      val row = cents.join(broadcast(stats), Seq("g"))
+        .select(((col("cents").cast("double") - mean) / sqrt(variance)).as("z"))
+        .agg(
+          sum(when(abs(col("z")) > zThreshold, 1L).otherwise(0L)).as("outliers"),
+          count(lit(1)).as("total")).head()
+      val outliers = Option(row.getAs[Any]("outliers")).fold(0L)(_.asInstanceOf[Long])
+      val total = row.getAs[Long]("total")
+      val pct = if (total == 0) 0.0 else outliers.toDouble * 100.0 / total
+      CheckResult(s"anomaly_${table}_$column",
+        pct <= maxOutlierPct,
+        f"$table.$column: $outliers outliers of $total (|z|>$zThreshold%.1f, $pct%.3f%%, max $maxOutlierPct%.1f%%)",
+        Map("outlier_pct" -> pct, "outliers" -> outliers.toDouble))
+    })
+
   /** Arbitrary SQL returning a row with `passed: Boolean` (+ optional
     * `message`) (checks.py:258-308).
     */

@@ -124,6 +124,38 @@ object QualityQueries {
         ($"hits".cast("double") / $"total").between(0.05, 0.5).as("passed"))
   }
 
+  /** anomaly_check (beyond-ref): per-group z-score outlier detection
+    * with ENGINE-EXACT statistics — values quantize to integer cents via
+    * the IEEE-exact floor(x*100+0.5) (the SQ8 trick), so sums and
+    * sums-of-squares are integers, and mean/variance/z re-derive from
+    * them through a fixed IEEE op sequence both engines replay
+    * bit-identically. The usual stddev aggregate is NOT used: float
+    * accumulation order varies with partitioning, which would make the
+    * check's own answer non-reproducible — a bad property for a gate.
+    * Scale shape: one integer-stats aggregation (map-side combine) +
+    * the tiny per-group stats broadcast back over the scan.
+    */
+  val AnomalyZ = 3.0
+
+  def dqAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = t(s, dir, "events")
+      .select($"event_id", $"event_type",
+        floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
+    val stats = cents.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum($"cents").as("s"),
+      sum($"cents" * $"cents").as("q"))
+    val mean = $"s".cast("double") / $"n".cast("double")
+    val variance = $"q".cast("double") / $"n".cast("double") - mean * mean
+    cents.join(broadcast(stats), Seq("event_type"))
+      .select($"event_id", $"event_type", $"cents",
+        (($"cents".cast("double") - mean) / sqrt(variance)).as("z"))
+      .filter(abs($"z") > AnomalyZ)
+      .select($"event_id", $"event_type", $"cents", $"z")
+      .orderBy("event_id")
+  }
+
   /** pattern_check (CHANGELOG-listed in the reference, implemented
     * here): customer names must match the generator's shape.
     */
@@ -147,7 +179,8 @@ object QualityQueries {
     "dq_custom_sql" -> dqCustomSql,
     "dq_referential" -> dqReferential,
     "dq_freshness" -> dqFreshness,
-    "dq_distribution" -> dqDistribution)
+    "dq_distribution" -> dqDistribution,
+    "dq_anomaly" -> dqAnomaly)
 
   val oracles: Map[String, String] = Map(
     "dq_row_count" -> """
@@ -196,6 +229,27 @@ object QualityQueries {
         STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
         STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') >= '2024-01-01 00:00:00' AS passed
       FROM events""",
+    "dq_anomaly" -> s"""
+      WITH c AS (
+        SELECT event_id, event_type,
+          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events),
+      st AS (
+        SELECT event_type, COUNT(*) AS n,
+          CAST(sum(cents) AS BIGINT) AS s,
+          CAST(sum(cents * cents) AS BIGINT) AS q
+        FROM c GROUP BY event_type)
+      SELECT event_id, c.event_type, cents,
+        (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          / sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+      FROM c JOIN st ON c.event_type = st.event_type
+      WHERE abs((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          / sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) > $AnomalyZ
+      ORDER BY event_id""",
     "dq_distribution" -> """
       SELECT 'events.event_type=click' AS checked,
         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS hits,

@@ -121,6 +121,21 @@ class QualitySpec extends SparkSpec {
       .check(spark).passed)
   }
 
+  test("anomaly_check: z-score outlier share, exact integer statistics") {
+    import spark.implicits._
+    // one group of 100 tight values plus two wild outliers
+    val vals = (1 to 100).map(i => ("a", 50.0 + (i % 5))) ++
+      Seq(("a", 5000.0), ("a", -4000.0))
+    vals.toDF("g", "v").createOrReplaceTempView("dq_anom")
+    val tight = Checks.anomalyCheck("dq_anom", "v", "g",
+      zThreshold = 3.0, maxOutlierPct = 0.5).check(spark)
+    assert(!tight.passed, s"2/102 outliers must fail a 0.5% gate: ${tight.message}")
+    assert(tight.metrics("outliers") == 2.0)
+    val loose = Checks.anomalyCheck("dq_anom", "v", "g",
+      zThreshold = 3.0, maxOutlierPct = 5.0).check(spark)
+    assert(loose.passed, loose.message)
+  }
+
   test("custom_sql_check with passed + message columns") {
     val ok = Checks.customSqlCheck("no_minors",
       "SELECT COUNT(*) = 0 AS passed, 'minors found' AS message FROM dq_test_data WHERE age < 18")
