@@ -194,11 +194,58 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  val AudioWindowBytes = 64
+  val AudioHopBytes = 32
+
+  /** STFT-style framing over audio payloads: overlapping byte windows
+    * (64-byte window, 32-byte hop), per-window energy = sum of unsigned
+    * byte values — integer arithmetic end to end, so unlike a real FFT
+    * the whole framing+feature stage is hash-oracle-checkable. The
+    * kernel shape is the real one (per-partition streamed pass over
+    * payload bytes, one output row per media item); a production build
+    * swaps the energy loop for the DSP call. Payloads shorter than one
+    * window emit nothing (matching the oracle's empty range).
+    */
+  def mmAudioWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = AudioWindowBytes
+    val H = AudioHopBytes
+    mediaTable(s, dir)
+      .filter($"kind" === "audio")
+      .select($"media_id", $"payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val n = bytes.length
+          if (n < W) Iterator.empty
+          else {
+            val nw = (n - W) / H + 1
+            var total = 0L
+            var peak = Long.MinValue
+            var peakW = -1L
+            var w = 0
+            while (w < nw) {
+              var e = 0L
+              var i = w * H
+              val end = i + W
+              while (i < end) { e += (bytes(i) & 0xff).toLong; i += 1 }
+              total += e
+              if (e > peak) { peak = e; peakW = w.toLong }
+              w += 1
+            }
+            Iterator.single((id, nw.toLong, total, peak, peakW))
+          }
+        }
+      }
+      .toDF("media_id", "n_windows", "total_energy", "peak_energy", "peak_window")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_stats" -> mmStats,
     "mm_decode" -> ((s, d) => mmDecode(s, d)),
     "mm_resize" -> ((s, d) => mmResize(s, d)),
-    "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)))
+    "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)),
+    "mm_audio_windows" -> mmAudioWindows)
 
   /** kind expression shared by the oracles (media_id % 3 → image/audio/
     * video; DuckDB lists are 1-based like element_at).
@@ -229,6 +276,30 @@ object Multimodal {
       FROM d)"""
 
   val oracles: Map[String, String] = Map(
+    // documents text is ASCII, so ord(char) == UTF-8 byte value and the
+    // oracle can frame the TEXT where the kernel frames payload BYTES
+    "mm_audio_windows" -> s"""
+      WITH audio AS (
+        SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1),
+      b AS (
+        SELECT media_id, [ord(substr(text, i, 1)) for i in range(1, len(text)+1)] AS bv
+        FROM audio),
+      wins AS (
+        SELECT media_id, u.w AS w,
+          CAST(list_sum(bv[(u.w*$AudioHopBytes+1):(u.w*$AudioHopBytes+$AudioWindowBytes)]) AS BIGINT) AS energy
+        FROM b, UNNEST(range(0,
+          CAST(floor((len(bv)-$AudioWindowBytes)/$AudioHopBytes.0) AS BIGINT) + 1)) AS u(w)
+        WHERE len(bv) >= $AudioWindowBytes),
+      ranked AS (
+        SELECT media_id, w, energy,
+          ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY energy DESC, w ASC) AS rk
+        FROM wins)
+      SELECT media_id,
+        count(*) AS n_windows,
+        CAST(sum(energy) AS BIGINT) AS total_energy,
+        CAST(max(energy) AS BIGINT) AS peak_energy,
+        CAST(min(CASE WHEN rk = 1 THEN w END) AS BIGINT) AS peak_window
+      FROM ranked GROUP BY media_id ORDER BY media_id""",
     "mm_decode" -> s"""
       WITH $decodedCte
       SELECT media_id, kind, byte_len,

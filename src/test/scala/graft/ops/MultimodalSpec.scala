@@ -63,4 +63,27 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("n_sampled_frames") >= 1)
     }
   }
+
+  test("audio windows: overlapping frames match an in-memory reference") {
+    import spark.implicits._
+    val audio = mediaTable(spark, sfDir).filter($"kind" === "audio")
+      .select($"media_id", $"payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    val W = Multimodal.AudioWindowBytes
+    val H = Multimodal.AudioHopBytes
+    val expected = audio.collect { case (id, bytes) if bytes.length >= W =>
+      val wins = (0 to (bytes.length - W) / H).map { w =>
+        bytes.slice(w * H, w * H + W).map(b => (b & 0xff).toLong).sum
+      }
+      val peakW = wins.indexOf(wins.max).toLong
+      id -> ((wins.length.toLong, wins.sum, wins.max, peakW))
+    }.toMap
+    val got = Multimodal.mmAudioWindows(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // 50% hop: consecutive windows genuinely overlap
+    assert(got.values.exists(_._1 > 1), "multi-window payloads exist")
+  }
 }
