@@ -106,6 +106,60 @@ object Dedup {
       .orderBy("canonical_id")
   }
 
+  /** Bloom-prefiltered incremental exact dedup: which batch documents
+    * are NOVEL against a stored corpus. The corpus's md5 set compresses
+    * into a Bloom filter (`df.stat.bloomFilter` — Spark's own sketch,
+    * the same structure its runtime-filter injection ships) that rides
+    * a broadcast; a compiled per-partition pass splits the batch into
+    * definite-novel (bloom says absent — Bloom filters have NO false
+    * negatives) and candidate-duplicate rows, and only the candidates —
+    * batch_size × fpp + true dups, not the whole batch — pay the exact
+    * anti-join against the corpus. The answer is therefore EXACT
+    * (oracle = plain anti-join); the bloom only moves work off the join.
+    *
+    * 100 TB shape: ~1.2 GB of bloom bits covers 1e9 corpus docs at 1%
+    * fpp — resident where the corpus itself never could be, and
+    * incrementally maintainable (`BloomFilter.put`/`mergeInPlace`) as
+    * batches are accepted, the same contract as the chunk_freq and
+    * corpus_sets state tables.
+    */
+  def bloomNovel(
+      batch: DataFrame, corpus: DataFrame,
+      expectedCorpusItems: Long, fpp: Double = 0.01): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val bloom = corpus.select(col("text_md5"))
+      .stat.bloomFilter("text_md5", math.max(1L, expectedCorpusItems), fpp)
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    val flagged = batch.select(col("doc_id"), col("text_md5"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val bf = bloomBc.value
+        it.map { case (id, h) => (id, h, bf.mightContainString(h)) }
+      }
+      .toDF("doc_id", "text_md5", "maybe_dup")
+    val definiteNovel = flagged.filter(!col("maybe_dup"))
+      .select(col("doc_id"), col("text_md5"))
+    val verifiedNovel = flagged.filter(col("maybe_dup"))
+      .select(col("doc_id"), col("text_md5"))
+      .join(corpus.select(col("text_md5")), Seq("text_md5"), "left_anti")
+      .select(col("doc_id"), col("text_md5"))
+    definiteNovel.unionByName(verifiedNovel).orderBy("doc_id")
+  }
+
+  /** [[bloomNovel]] as a driver-checkable query: corpus = documents with
+    * doc_id % 10 != 0, batch = the rest; novel = batch docs whose text
+    * md5 the corpus does not contain.
+    */
+  def dedupBloomNovel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = t(s, dir, "documents")
+      .select($"doc_id", md5($"text").as("text_md5"))
+    val corpus = all.filter($"doc_id" % 10 =!= 0)
+    val batch = all.filter($"doc_id" % 10 === 0)
+    bloomNovel(batch, corpus, expectedCorpusItems = 10000L)
+  }
+
   /** MinHash signatures: k independent hash functions simulated as
     * murmur3 with k seeds; signature i = min over shingles. Single
     * aggregation — the shuffle key is doc_id.
@@ -479,6 +533,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_bloom_novel" -> dedupBloomNovel,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "dedup_simhash" -> dedupSimhash,
@@ -679,6 +734,14 @@ object Dedup {
       FROM documents
       GROUP BY text
       ORDER BY canonical_id""",
+    // the bloom is only an accelerator — the exact answer is the plain
+    // anti-join, which is the oracle
+    "dedup_bloom_novel" -> """
+      WITH h AS (SELECT doc_id, md5(text) AS text_md5 FROM documents)
+      SELECT doc_id, text_md5 FROM h
+      WHERE doc_id % 10 = 0
+        AND text_md5 NOT IN (SELECT text_md5 FROM h WHERE doc_id % 10 <> 0)
+      ORDER BY doc_id""",
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
     // transitive closure over the exact pair set: min reachable doc_id

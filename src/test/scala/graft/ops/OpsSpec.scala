@@ -16,6 +16,22 @@ class DedupSpec extends SparkSpec {
     assert(m(3L) == Seq("x x x")) // distinct collapses repeats
   }
 
+  test("bloom-prefiltered novelty is exact: equals the plain anti-join") {
+    val corpus = (1L to 1000L).map(i => (i, s"corpus-doc-$i"))
+      .toDF("doc_id", "text_md5")
+    // batch: 50 true duplicates of corpus hashes + 450 novels
+    val batch = ((1L to 50L).map(i => (10000L + i, s"corpus-doc-${i * 7}")) ++
+      (1L to 450L).map(i => (20000L + i, s"novel-doc-$i")))
+      .toDF("doc_id", "text_md5")
+    val got = Dedup.bloomNovel(batch, corpus, expectedCorpusItems = 1000L)
+      .collect().map(_.getLong(0)).toSet
+    val expected = batch.join(corpus.select($"text_md5"), Seq("text_md5"), "left_anti")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected, "bloom acceleration must not change the answer")
+    assert(got.size == 450 && got.forall(_ > 20000L),
+      "every novel survives (no false negatives), every dup is dropped")
+  }
+
   test("exact dedup groups identical texts under min doc_id") {
     val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
       .toDF("doc_id", "text")
