@@ -58,7 +58,12 @@ object StreamingCuration {
       batch.select($"doc_id", TextAnalysis.redactPii($"text").as("text")))
 
     // 3: exact dedup — in-batch canonical (min doc_id per md5), then
-    // anti-join the corpus md5 table
+    // novelty against the corpus via the PERSISTED BLOOM: the corpus
+    // md5 broadcast would grow with the corpus (unbounded at 1e9 docs),
+    // while the bloom stays fixed-size; only bloom-positive rows (batch
+    // × fpp + true dups) pay the exact anti-join, so the join probe is
+    // batch-bounded too. Bloom filters have no false negatives, so the
+    // novelty answer is exact.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"text_md5").orderBy($"doc_id".asc)
     val inBatchExact = clean.withColumn("text_md5", md5($"text"))
@@ -67,8 +72,12 @@ object StreamingCuration {
     val novelExact =
       if (!haveCorpus) inBatchExact
       else inBatchExact.join(
-        broadcast(spark.read.parquet(docsDir).select($"text_md5")),
-        Seq("text_md5"), "left_anti")
+        Dedup.bloomNovelWith(
+            inBatchExact.select($"doc_id", $"text_md5"),
+            readBloom(stateDir),
+            spark.read.parquet(docsDir))
+          .select($"doc_id"),
+        Seq("doc_id"), "left_semi")
 
     // 4: near-dup dedup — in-batch clusters keep their canonical, then
     // cross-corpus candidates drop batch docs near-duplicating the base
@@ -111,8 +120,50 @@ object StreamingCuration {
       batchSets.join(withSplit.select($"doc_id"), Seq("doc_id"), "left_semi")
         .write.mode("append").parquet(setsDir)
       mergeChunkFreq(spark, stateDir, newChunks)
+      // fold the accepted md5s into the persisted corpus bloom (the
+      // collect is batch-bounded; withSplit is already materialized)
+      updateBloom(stateDir,
+        withSplit.select($"text_md5").collect().map(_.getString(0)))
       spark.read.parquet(docsDir).count() // post-append corpus size
     } finally { batchSets.unpersist(); () }
+  }
+
+  /** Persisted corpus Bloom filter — the fixed-size exact-dedup
+    * prefilter (see [[graft.ops.Dedup.bloomNovelWith]]): sized for 10M
+    * docs at 1% fpp (~12 MB); a deployment sizes it for the target
+    * corpus and rebuilds from `corpus_docs` when the corpus outgrows
+    * it (false-positive rate degrades gracefully, never correctness —
+    * positives are exact-verified).
+    */
+  val BloomExpectedDocs = 10000000L
+  val BloomFpp = 0.01
+
+  private def bloomPath(stateDir: String) = s"$stateDir/corpus_bloom.bin"
+
+  def readBloom(stateDir: String): org.apache.spark.util.sketch.BloomFilter = {
+    val in = new java.io.FileInputStream(bloomPath(stateDir))
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
+  }
+
+  /** Put a batch's accepted md5s into the stored bloom (creating it on
+    * first use) — write-to-temp + atomic rename, so a crashed update
+    * can't leave a torn sketch.
+    */
+  def updateBloom(stateDir: String, acceptedMd5s: Array[String]): Unit = {
+    val path = new java.io.File(bloomPath(stateDir))
+    val bloom =
+      if (path.exists()) readBloom(stateDir)
+      else org.apache.spark.util.sketch.BloomFilter
+        .create(BloomExpectedDocs, BloomFpp)
+    acceptedMd5s.foreach(bloom.putString)
+    val tmp = new java.io.File(path.getParentFile, path.getName + ".tmp")
+    val out = new java.io.FileOutputStream(tmp)
+    try bloom.writeTo(out) finally out.close()
+    if (!tmp.renameTo(path)) {
+      java.nio.file.Files.move(tmp.toPath, path.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Fold a batch's (doc_id, h) distinct chunk hashes into the

@@ -126,10 +126,21 @@ object Dedup {
   def bloomNovel(
       batch: DataFrame, corpus: DataFrame,
       expectedCorpusItems: Long, fpp: Double = 0.01): DataFrame = {
-    val s = batch.sparkSession
-    import s.implicits._
     val bloom = corpus.select(col("text_md5"))
       .stat.bloomFilter("text_md5", math.max(1L, expectedCorpusItems), fpp)
+    bloomNovelWith(batch, bloom, corpus)
+  }
+
+  /** [[bloomNovel]] against an ALREADY-BUILT (typically persisted and
+    * incrementally maintained) bloom — the form a streaming pipeline
+    * uses so no batch ever rebuilds the corpus sketch.
+    */
+  def bloomNovelWith(
+      batch: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      corpus: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
     val bloomBc = s.sparkContext.broadcast(bloom)
     val flagged = batch.select(col("doc_id"), col("text_md5"))
       .as[(Long, String)]

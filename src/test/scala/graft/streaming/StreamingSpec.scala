@@ -308,6 +308,12 @@ class StreamingSpec extends SparkSpec {
     val setIds = spark.read.parquet(s"$state/corpus_sets")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(setIds == corpus.keySet)
+    // the persisted corpus bloom exists and covers every accepted doc's
+    // md5 (no false negatives = the exact-dup gate stays exact)
+    val bloom = StreamingCuration.readBloom(state)
+    val md5s = spark.read.parquet(s"$state/corpus_docs")
+      .select("text_md5").collect().map(_.getString(0))
+    assert(md5s.nonEmpty && md5s.forall(bloom.mightContainString))
   }
 
   test("incremental boilerplate: frequency state accumulates; cross-batch repeats strip") {
