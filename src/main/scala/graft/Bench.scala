@@ -51,14 +51,18 @@ object Bench {
     val results = measured.head.indices.map { i =>
       measured.head(i)._1 -> measured.map(_(i)._2).min
     }
-    // Millisecond precision keeps the whole line under ~2KB (the
-    // driver captures a bounded tail of the output; full-precision
-    // doubles pushed the leading "total" metric past the window).
+    // The driver stores only the LAST ~2KB of output, cutting the line
+    // from the FRONT once the query count outgrows the window. Degrade
+    // gracefully: one valid JSON line (key order is free in JSON), with
+    // the queries map sorted by ASCENDING duration so truncation eats
+    // the cheapest entries first, and the suite total at the very END
+    // so it always survives. Millisecond precision.
     def fmt(v: Double) = "%.3f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.sortBy(_._2)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","value":${fmt(total)}}""")
     spark.stop()
   }
 }

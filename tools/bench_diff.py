@@ -33,8 +33,11 @@ def load(path):
     pairs = re.findall(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', source)
     queries = {k: float(v) for k, v in pairs if k not in ("value", "sf")}
     if queries:
-        return {"value": sum(queries.values()), "queries": queries,
-                "partial": True}
+        # round-4+ format puts the suite total LAST so it survives
+        # front-truncation; prefer it over the partial sum when present
+        mv = re.findall(r'"value":([0-9]+\.[0-9]+)\}', source)
+        total = float(mv[-1]) if mv else sum(queries.values())
+        return {"value": total, "queries": queries, "partial": True}
     raise SystemExit(f"no bench JSON found in {path}")
 
 
