@@ -74,7 +74,7 @@ object StreamingCuration {
       else inBatchExact.join(
         Dedup.bloomNovelWith(
             inBatchExact.select($"doc_id", $"text_md5"),
-            readBloom(stateDir),
+            readOrRebuildBloom(spark, stateDir),
             spark.read.parquet(docsDir))
           .select($"doc_id"),
         Seq("doc_id"), "left_semi")
@@ -145,6 +145,21 @@ object StreamingCuration {
     try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
     finally in.close()
   }
+
+  /** A corpus without a sketch (state written by an earlier version, or
+    * a deleted/torn file) must not crash ingestion OR silently skip the
+    * dedup gate: rebuild the bloom from the authoritative corpus_docs
+    * table, persist it, and proceed.
+    */
+  def readOrRebuildBloom(
+      spark: SparkSession, stateDir: String): org.apache.spark.util.sketch.BloomFilter =
+    if (new java.io.File(bloomPath(stateDir)).exists()) readBloom(stateDir)
+    else {
+      val md5s = spark.read.parquet(s"$stateDir/corpus_docs")
+        .select(col("text_md5")).collect().map(_.getString(0))
+      updateBloom(stateDir, md5s)
+      readBloom(stateDir)
+    }
 
   /** Put a batch's accepted md5s into the stored bloom (creating it on
     * first use) — write-to-temp + atomic rename, so a crashed update

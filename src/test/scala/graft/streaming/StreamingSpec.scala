@@ -314,6 +314,12 @@ class StreamingSpec extends SparkSpec {
     val md5s = spark.read.parquet(s"$state/corpus_docs")
       .select("text_md5").collect().map(_.getString(0))
     assert(md5s.nonEmpty && md5s.forall(bloom.mightContainString))
+    // upgrade path: a corpus whose sketch is missing rebuilds it from
+    // corpus_docs instead of crashing or skipping the gate
+    Files.delete(java.nio.file.Path.of(s"$state/corpus_bloom.bin"))
+    val rebuilt = StreamingCuration.readOrRebuildBloom(spark, state)
+    assert(md5s.forall(rebuilt.mightContainString))
+    assert(Files.exists(java.nio.file.Path.of(s"$state/corpus_bloom.bin")))
   }
 
   test("incremental boilerplate: frequency state accumulates; cross-batch repeats strip") {
