@@ -340,7 +340,52 @@ object TextAnalysis {
         "max_token_frac", "n_sents", "dup_sent_frac")
   }
 
+  /** Character-diversity scoring via the Simpson index Σp² — the
+    * probability two random character positions hold the same char.
+    * Repetitive spans, binary spill, and single-char padding push it
+    * toward 1; natural text sits low. Unlike Shannon entropy (whose
+    * log() is not bit-identical across libm implementations), Simpson
+    * is RATIONAL: per-char counts are integers, the collision mass
+    * Σn_c² is an integer, and one final IEEE division produces the
+    * score — so the whole signal hash-matches the oracle. One compiled
+    * pass per document, counts in a local map, no char-grain explode.
+    */
+  def taCharDiversity(s: SparkSession, dir: String): DataFrame =
+    charDiversityOf(t(s, dir, "documents"))
+
+  /** [[taCharDiversity]] over an arbitrary (doc_id, text, …) frame. */
+  def charDiversityOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", $"text")
+      .filter(length($"text") > 0)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, txt) =>
+          val counts = new java.util.HashMap[Character, Array[Long]]()
+          var i = 0
+          while (i < txt.length) {
+            val slot = counts.get(txt.charAt(i))
+            if (slot == null) counts.put(txt.charAt(i), Array(1L))
+            else slot(0) += 1L
+            i += 1
+          }
+          var mass = 0L
+          val vals = counts.values().iterator()
+          while (vals.hasNext) { val n = vals.next()(0); mass += n * n }
+          (id, txt.length.toLong, counts.size.toLong, mass)
+        }
+      }
+      .toDF("doc_id", "n_chars_t", "distinct_chars", "coll_mass")
+      .select($"doc_id", $"n_chars_t", $"distinct_chars", $"coll_mass",
+        ($"coll_mass".cast("double") /
+          ($"n_chars_t".cast("double") * $"n_chars_t".cast("double"))).as("simpson"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_char_diversity" -> taCharDiversity,
     "ta_pii_redact" -> taPiiRedact,
     "ta_repetition" -> taRepetition,
     "ta_tokens" -> taTokens,
@@ -383,6 +428,19 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "ta_char_diversity" -> """
+      WITH ch AS (
+        SELECT doc_id,
+          unnest([substr(text, i, 1) for i in range(1, len(text) + 1)]) AS c
+        FROM documents WHERE len(text) > 0),
+      cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c)
+      SELECT doc_id,
+        CAST(sum(n) AS BIGINT) AS n_chars_t,
+        count(*) AS distinct_chars,
+        CAST(sum(n * n) AS BIGINT) AS coll_mass,
+        CAST(sum(n * n) AS DOUBLE)
+          / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS simpson
+      FROM cnt GROUP BY doc_id ORDER BY doc_id""",
     "ta_pii_redact" -> piiRedactSql,
     "ta_repetition" -> """
       WITH toks AS (

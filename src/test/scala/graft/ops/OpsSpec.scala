@@ -340,6 +340,24 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("char diversity: simpson index separates padding from natural text") {
+    val docs = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aabb"), (4L, ""))
+      .toDF("doc_id", "text")
+    val res = graft.ops.TextAnalysis.charDiversityOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(res(1L) == ((4L, 1L, 16L, 1.0)))  // pure padding collides always
+    assert(res(2L) == ((4L, 4L, 4L, 0.25)))  // all-distinct: 1/n
+    assert(res(3L) == ((4L, 2L, 8L, 0.5)))
+    assert(!res.contains(4L), "empty text drops out, matching the oracle")
+    // and the full op on real data: simpson in (0,1], padding-free corpus sits low
+    val real = graft.ops.TextAnalysis.taCharDiversity(spark, sfDir)
+      .collect().map(_.getDouble(4))
+    assert(real.nonEmpty && real.forall(s => s > 0.0 && s <= 1.0))
+    assert(real.count(_ < 0.2).toDouble / real.length > 0.9,
+      "natural text has low collision probability")
+  }
+
   test("token count ignores extra whitespace; empty text is zero") {
     val df = Seq((1L, "  a   b\tc "), (2L, ""), (3L, "word"))
       .toDF("doc_id", "text")
