@@ -322,6 +322,64 @@ class StreamingSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Path.of(s"$state/corpus_bloom.bin")))
   }
 
+  test("streaming IVF ingestion: micro-batches append against the frozen quantizer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sfd = sfDir
+    val work = Files.createTempDirectory("graft-ivf-stream")
+    val index = work.resolve("index").toString
+    graft.ops.Similarity.writeIvfIndex(spark, sfd, index)
+    val before = spark.read.parquet(index).count()
+
+    // two micro-batches of new vectors (twins of existing top-k
+    // candidates, ids offset) land via the streaming path
+    val brute = graft.ops.Similarity.simBruteTopK(spark, sfd)
+      .select($"cand_id").distinct().limit(6)
+      .collect().map(_.getLong(0))
+    val all = graft.Tables.t(spark, sfd, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val newVecs = all.filter($"vec_id".isInCollection(brute))
+      .select(($"vec_id" + 500000L).as("vec_id"), $"e")
+    newVecs.filter($"vec_id" % 2 === 0).write
+      .parquet(work.resolve("in/b1").toString)
+    newVecs.filter($"vec_id" % 2 =!= 0).write
+      .parquet(work.resolve("in/b2").toString)
+    val q = new StreamingPipeline(
+      source = FileStreamingSource(work.resolve("in").toString + "/*",
+        schemaDdl = Some("vec_id LONG, e ARRAY<DOUBLE>")),
+      sink = ForeachBatchSink { (batch, _) =>
+        if (!batch.isEmpty)
+          graft.ops.Similarity.appendIvfBatch(batch.sparkSession, index, batch)
+        ()
+      },
+      trigger = TriggerConfig.AvailableNow).startStream(spark)
+    q.awaitTermination(60000)
+
+    assert(spark.read.parquet(index).count() == before + newVecs.count())
+    // exhaustive search from the grown index == brute force over the union
+    graft.functions.GraftFunctions.register(spark)
+    val k = new java.io.File(index).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cent_id="))
+    val got = graft.ops.Similarity.searchIvfIndex(spark, sfd, index, nprobe = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val union = all.union(newVecs)
+    val qv = union.filter($"vec_id" < graft.ops.Similarity.NumQueries)
+      .select($"vec_id".as("query_id"), $"e".as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+    val expected = union.select($"vec_id".as("cand_id"), $"e")
+      .join(broadcast(qv), $"query_id" =!= $"cand_id")
+      .select($"query_id", $"cand_id",
+        call_function("cosine_sim", $"qe", $"e").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= graft.ops.Similarity.TopK)
+      .select($"query_id", $"rk", $"cand_id", $"cos")
+      .orderBy("query_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.exists(_._3 >= 500000L), "a streamed twin reaches the top-k")
+  }
+
   test("incremental boilerplate: frequency state accumulates; cross-batch repeats strip") {
     import spark.implicits._
     import graft.examples.StreamingCuration
