@@ -81,8 +81,11 @@ class PlanSpec extends SparkSpec {
     for ((name, fn) <- QualityQueries.queries) {
       val df = fn(spark, sfDir)
       val scans = "FileScan|BatchScan".r.findAllIn(plan(df)).size
-      // the referential check joins child to parent: exactly two scans
-      val allowed = if (name == "dq_referential") 2 else 1
+      // two-scan exceptions: referential joins child to parent;
+      // anomaly is a stats pass + a broadcast-stats rescan (the
+      // model-then-score shape — per-row z against GROUP statistics
+      // can't be one aggregation)
+      val allowed = if (Set("dq_referential", "dq_anomaly")(name)) 2 else 1
       assert(scans <= allowed, s"$name reads its input more than once")
     }
   }
