@@ -23,12 +23,10 @@ final class BoilerplateRemoval(
   val name = s"boilerplate_removal($outputView)"
   def run(): Unit = {
     val docs = spark.table(inputView)
-    val frequent = Curation.distinctChunkHashes(docs, width)
-      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("h"))
-      .collect().map(_.getString(0)).toSet
-    val cleaned = Curation.cleanChunks(docs, frequent, width)
+    // budget-switched removal (Curation.cleanWithFrequent): broadcast
+    // kernel for a small frequent set, distributed hash join above it
+    val cleaned = Curation.cleanWithFrequent(
+        docs, Curation.frequentChunkHashes(docs, width, minDocs), width)
       .withColumnRenamed("clean_text", "text")
     val meta = docs.drop("text")
     cleaned.join(meta, Seq("doc_id"))

@@ -209,15 +209,21 @@ object StreamingCuration {
     */
   def boilerplateAgainstState(
       spark: SparkSession, stateDir: String, docs: DataFrame,
-      minDocs: Int = graft.ops.Curation.BoilerMinDocs): DataFrame = {
+      minDocs: Int = graft.ops.Curation.BoilerMinDocs,
+      broadcastBudget: Int = graft.ops.Curation.BoilerBroadcastBudget): DataFrame = {
     import spark.implicits._
     val freqDir = s"$stateDir/chunk_freq"
-    val frequent =
-      if (!new java.io.File(freqDir).exists()) Set.empty[String]
-      else spark.read.parquet(freqDir)
-        .filter($"nd" >= minDocs).select($"h")
-        .collect().map(_.getString(0)).toSet
-    graft.ops.Curation.removeChunks(docs, frequent)
+    if (!new java.io.File(freqDir).exists())
+      graft.ops.Curation.removeChunks(docs, Set.empty[String])
+    else
+      // same budget switch as the batch form: the accumulated frequent
+      // set stays a DataFrame and is only collected if it fits the
+      // broadcast budget — a long-lived corpus's chunk_freq table is
+      // exactly the case that outgrows the driver
+      graft.ops.Curation.boilerplateWithFrequent(
+        docs,
+        spark.read.parquet(freqDir).filter($"nd" >= minDocs).select($"h"),
+        broadcastBudget = broadcastBudget)
   }
 
   /** Wire the per-batch graph into a file-source micro-batch stream. */

@@ -35,6 +35,20 @@ object Curation {
       i => concat_ws(" ", slice(tk, i * width + 1, lit(width))))
   }
 
+  /** Max frequent-hash rows the removal pass will collect and broadcast
+    * (32-hex strings, ~130 B each in a java Set → ~130 MB at the
+    * default). At `minDocs = 2` the frequent set is NOT a Zipf head — on
+    * a template-heavy corpus every chunk shared by even two documents
+    * qualifies, so its size is O(distinct repeated chunks), i.e.
+    * corpus-scale. Above the budget the broadcast-kernel path would OOM
+    * the driver, so removal switches to the distributed join plan
+    * ([[cleanChunksJoin]]); below it the kernel path keeps its
+    * zero-shuffle property. The switch costs one bounded probe job
+    * (`limit(budget+1)` — never more than budget+1 rows reach the
+    * driver).
+    */
+  val BoilerBroadcastBudget = 1000000
+
   /** CCNet-style boilerplate removal, on fixed 8-token chunks instead
     * of lines (the corpus's documents are single-line). A chunk is
     * boilerplate when its md5 occurs in >= `minDocs` DISTINCT documents;
@@ -44,17 +58,13 @@ object Curation {
     * Scale shape (the CCNet two-pass):
     *  1. frequency pass — chunk hashes only (32-hex strings, never the
     *     chunk text) shuffle once into a distinct-doc count with
-    *     map-side partial aggregation; what survives the >= minDocs
-    *     filter is the head of the chunk-frequency distribution — tiny
-    *     relative to the corpus (Zipf head) and safely collectable/
-    *     broadcastable (same contract as the LSH bucket-cap and probe-id
-    *     lists).
-    *  2. removal pass — one compiled kernel per document with the
-    *     frequent set broadcast: re-chunk, drop members, hash the
-    *     reassembled text in place. No explode, no join, no regroup —
-    *     the document text never enters a shuffle, so a pathological
-    *     boilerplate chunk (appearing in millions of docs) cannot skew
-    *     a reducer.
+    *     map-side partial aggregation.
+    *  2. removal pass — budget-switched ([[boilerplateWithFrequent]]):
+    *     a small frequent set broadcasts into one compiled kernel per
+    *     document (re-chunk, drop members, hash the reassembled text in
+    *     place — no explode, no join, the text never enters a shuffle);
+    *     a corpus-scale frequent set stays distributed and removal runs
+    *     as a hash-only semi-join keyed on chunk hash instead.
     */
   def taBoilerplate(
       s: SparkSession, dir: String,
@@ -64,15 +74,46 @@ object Curation {
   /** [[taBoilerplate]] over an arbitrary (doc_id, text, …) frame. */
   def boilerplateOf(
       docsIn: DataFrame,
-      width: Int = ChunkTokens, minDocs: Int = BoilerMinDocs): DataFrame = {
+      width: Int = ChunkTokens, minDocs: Int = BoilerMinDocs,
+      broadcastBudget: Int = BoilerBroadcastBudget): DataFrame =
+    boilerplateWithFrequent(
+      docsIn, frequentChunkHashes(docsIn, width, minDocs), width, broadcastBudget)
+
+  /** The frequency pass as a DataFrame: chunk hashes in >= `minDocs`
+    * distinct documents. Stays distributed — the caller decides whether
+    * it is small enough to collect.
+    */
+  def frequentChunkHashes(
+      docsIn: DataFrame, width: Int = ChunkTokens,
+      minDocs: Int = BoilerMinDocs): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
-    val frequent = distinctChunkHashes(docsIn, width)
+    distinctChunkHashes(docsIn, width)
       .groupBy($"h").agg(count(lit(1)).as("nd"))
       .filter($"nd" >= minDocs)
       .select($"h")
-      .collect().map(_.getString(0)).toSet
-    removeChunks(docsIn, frequent, width)
+  }
+
+  /** Removal against a frequent-hash TABLE, budget-switched: probe the
+    * set size with a bounded `limit(budget+1)` collect; if the whole set
+    * came back it is broadcast into the zero-shuffle kernel
+    * ([[cleanChunks]]), otherwise removal runs distributed
+    * ([[cleanChunksJoin]]) and the driver never holds the set. Both
+    * paths produce identical rows (spec-pinned).
+    */
+  def boilerplateWithFrequent(
+      docsIn: DataFrame, frequentDf: DataFrame, width: Int = ChunkTokens,
+      broadcastBudget: Int = BoilerBroadcastBudget): DataFrame =
+    reportOf(cleanWithFrequent(docsIn, frequentDf, width, broadcastBudget))
+
+  /** [[boilerplateWithFrequent]] with the reassembled text kept. */
+  def cleanWithFrequent(
+      docsIn: DataFrame, frequentDf: DataFrame, width: Int = ChunkTokens,
+      broadcastBudget: Int = BoilerBroadcastBudget): DataFrame = {
+    val head = frequentDf.limit(broadcastBudget + 1)
+      .collect().map(_.getString(0))
+    if (head.length <= broadcastBudget) cleanChunks(docsIn, head.toSet, width)
+    else cleanChunksJoin(docsIn, frequentDf, width)
   }
 
   /** Each document's DISTINCT chunk hashes, (doc_id, h) — the frequency
@@ -106,16 +147,17 @@ object Curation {
     */
   def removeChunks(
       docsIn: DataFrame, frequent: Set[String],
-      width: Int = ChunkTokens): DataFrame = {
-    val s = docsIn.sparkSession
-    import s.implicits._
-    cleanChunks(docsIn, frequent, width)
-      .select($"doc_id", $"n_chunks", $"n_removed",
+      width: Int = ChunkTokens): DataFrame =
+    reportOf(cleanChunks(docsIn, frequent, width))
+
+  /** The oracle-gated report form of a clean-chunks frame. */
+  private def reportOf(clean: DataFrame): DataFrame =
+    clean
+      .select(col("doc_id"), col("n_chunks"), col("n_removed"),
         // Spark md5() = MD5 of the UTF-8 bytes, identical to the
         // kernel-side digest the frequency pass uses
-        md5($"clean_text").as("clean_md5"))
+        md5(col("clean_text")).as("clean_md5"))
       .orderBy("doc_id")
-  }
 
   /** The removal kernel with the reassembled text kept — the form a
     * pipeline component passes downstream (the md5 report form above is
@@ -147,6 +189,73 @@ object Curation {
       }
     }.toDF("doc_id", "n_chunks", "n_removed", "clean_text")
       .filter(col("n_chunks") > 0L)
+  }
+
+  /** Distributed removal for a frequent set too large to broadcast.
+    * Only HASHES shuffle: (doc_id, chunk_idx, h) rows semi-join the
+    * frequent table on `h` (one right row per key, so a boilerplate
+    * chunk in millions of docs skews only the LEFT side of a join group
+    * — AQE skew-split territory, never a driver structure), the removed
+    * indices collapse to one bounded list per affected document, and a
+    * doc_id-keyed join hands that list to the same reassembly kernel.
+    * Documents' text crosses the final join once, keyed by unique
+    * doc_id — no skew. Output is row-identical to [[cleanChunks]]
+    * (spec-pinned).
+    */
+  def cleanChunksJoin(
+      docsIn: DataFrame, frequentDf: DataFrame,
+      width: Int = ChunkTokens): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val removed = chunkHashesIndexed(docsIn, width)
+      .join(frequentDf.select($"h"), Seq("h"), "left_semi")
+      .groupBy($"doc_id").agg(collect_list($"chunk_idx").as("removed_idx"))
+    docsIn.select($"doc_id", $"text")
+      .join(removed, Seq("doc_id"), "left")
+      .select($"doc_id", $"text",
+        coalesce($"removed_idx", typedLit(Seq.empty[Int])).as("removed_idx"))
+      .as[(Long, String, Seq[Int])]
+      .mapPartitions { it =>
+        it.map { case (id, text, removedIdx) =>
+          val rem = removedIdx.toSet
+          var nChunks = 0L
+          var nRemoved = 0L
+          val kept = new java.lang.StringBuilder
+          var ci = 0
+          chunkStrings(text, width).foreach { chunk =>
+            nChunks += 1L
+            if (rem.contains(ci)) nRemoved += 1L
+            else {
+              if (kept.length > 0) kept.append(' ')
+              kept.append(chunk)
+            }
+            ci += 1
+          }
+          (id, nChunks, nRemoved, kept.toString)
+        }
+      }.toDF("doc_id", "n_chunks", "n_removed", "clean_text")
+      .filter(col("n_chunks") > 0L)
+  }
+
+  /** Every chunk occurrence with its position, (doc_id, chunk_idx, h) —
+    * the join path's left side. Unlike [[distinctChunkHashes]] repeats
+    * within a document are kept (each occurrence must be removable
+    * independently); still hashes only, never chunk text.
+    */
+  def chunkHashesIndexed(docsIn: DataFrame, width: Int = ChunkTokens): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    docsIn.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          chunkStrings(text, width).zipWithIndex.map { case (chunk, i) =>
+            md.reset()
+            (id, i, md5Hex(md, chunk))
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "h")
   }
 
   /** The document's fixed-width token chunks — same tokenization as

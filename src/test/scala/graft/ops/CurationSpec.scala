@@ -62,6 +62,26 @@ class CurationSpec extends SparkSpec {
     assert(clean.getString(3) == txt)
   }
 
+  test("boilerplate: join path == kernel path when the frequent set exceeds the budget") {
+    val docs = graft.Tables.t(spark, sfDir, "documents").select($"doc_id", $"text")
+    val frequent = Curation.frequentChunkHashes(docs)
+    val nFrequent = frequent.count()
+    assert(nFrequent > 1, "corpus has a multi-entry frequent set")
+    // budget 0 forces the distributed join plan; a budget above the set
+    // size keeps the broadcast kernel — identical rows either way
+    val viaJoin = Curation.boilerplateWithFrequent(docs, frequent, broadcastBudget = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val viaKernel = Curation
+      .boilerplateWithFrequent(docs, frequent, broadcastBudget = nFrequent.toInt + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(viaJoin.sameElements(viaKernel), "removal paths must agree row-for-row")
+    assert(viaJoin.exists(_._3 > 0), "the comparison actually removed chunks")
+    // and the join plan holds no driver-side frequent set: its only
+    // collected artifact is the bounded budget probe (0+1 rows here)
+    val probe = frequent.limit(1).collect()
+    assert(probe.length == 1)
+  }
+
   test("semantic dedup: flags exactly the same-cluster embcos pairs, keep-first") {
     val assign = Curation.assignClusters(spark, sfDir)
       .select($"vec_id", $"cluster").collect()

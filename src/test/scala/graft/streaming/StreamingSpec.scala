@@ -421,6 +421,14 @@ class StreamingSpec extends SparkSpec {
     assert(scored.getLong(2) == batchForm.getLong(2) &&
       scored.getString(3) == batchForm.getString(3),
       "incremental flagging must agree with the batch two-pass on the probe")
+    // budget switch parity on the state form: broadcastBudget = 0 forces
+    // the distributed join plan against the stored chunk_freq table —
+    // same rows as the broadcast-kernel default
+    val scoredJoin = StreamingCuration
+      .boilerplateAgainstState(spark, state, probe, broadcastBudget = 0)
+      .collect().head
+    assert(scoredJoin == scored,
+      "state-form join path must equal the kernel path")
   }
 
   test("processBatch invariant: state appends equal the pre-write computed sets") {
