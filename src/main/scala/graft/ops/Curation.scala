@@ -563,12 +563,17 @@ object Curation {
     * token budget" selection step. Inclusive greedy: a document is kept
     * while the running total INCLUDING it stays within budget.
     *
-    * Scale shape: one hash shuffle on source + a per-source sort for the
-    * running sum. Source count is small relative to the corpus, so a
-    * pathological mega-source turns into a single-reducer sort — at
-    * 100 TB that source would be pre-aggregated per (source, length
-    * bucket) or the budget check pushed into a two-pass prefix sum like
-    * [[Packing.packSequences]]; the greedy semantics are unchanged.
+    * Scale shape: the per-source running sum is a prefix sum over the
+    * (source, n_chars desc, doc_id) total order, computed as the
+    * two-pass distributed prefix sum ([[Packing.packSequences]]'s
+    * pattern) instead of a `Window.partitionBy(source)` running sum —
+    * the window form serializes each source through ONE reducer, so a
+    * mega-source (the realistic mix case: few sources, one huge) stalls
+    * the stage. Here the corpus range-partitions on the full sort key,
+    * so a mega-source PARALLELIZES across partitions; pass 1 ships one
+    * (partition, source) partial per boundary to the driver (≤
+    * partitions + sources rows), pass 2 emits each partition's rows
+    * knowing only its per-source base offsets.
     */
   def mixBudget(s: SparkSession, dir: String, budget: Long = MixBudget): DataFrame =
     mixBudgetOf(t(s, dir, "documents"), budget)
@@ -576,18 +581,55 @@ object Curation {
   /** [[mixBudget]] over an arbitrary (doc_id, source, n_chars, text)
     * frame.
     */
-  def mixBudgetOf(docs: DataFrame, budget: Long = MixBudget): DataFrame = {
+  def mixBudgetOf(
+      docs: DataFrame, budget: Long = MixBudget,
+      partitions: Int = 32): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val w = Window.partitionBy($"source")
-      .orderBy($"n_chars".desc, $"doc_id".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select($"doc_id", $"source", $"n_chars",
+    // range-partition + sort on the FULL greedy order (source, n_chars
+    // desc, doc_id): partition p holds a contiguous slice, sources may
+    // span partitions. localCheckpoint freezes the sampled range
+    // boundaries so both passes see identical partitions.
+    val sized = docs
+      .select($"doc_id", $"source", $"n_chars".cast("long").as("n_chars"),
         TextAnalysis.tokenCount($"text").as("n_tokens"))
-      .withColumn("cum_tokens", sum($"n_tokens").over(w))
-      .filter($"cum_tokens" <= budget)
-      .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
+      .repartitionByRange(partitions, $"source".asc, $"n_chars".desc, $"doc_id".asc)
+      .sortWithinPartitions($"source".asc, $"n_chars".desc, $"doc_id".asc)
+      .as[(Long, String, Long, Long)]
+      .localCheckpoint(true)
+    // pass 1: per-(partition, source) token totals — bounded by
+    // #partitions + #sources rows, never corpus-sized
+    val partials = sized.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (_, src, _, n) =>
+        m.update(src, m.getOrElse(src, 0L) + n)
+      }
+      m.iterator.map { case (src, tot) => (pid, src, tot) }
+    }.collect()
+    // base(pid, src) = src's tokens in partitions before pid
+    val base: Map[(Int, String), Long] =
+      partials.groupBy(_._2).flatMap { case (src, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, tot) =>
+          val entry = ((pid, src), acc)
+          acc += tot
+          entry
+        }
+      }
+    val baseBc = s.sparkContext.broadcast(base)
+    // pass 2: sequential scan per partition; rows arrive in greedy order
+    val rows = sized.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val bases = baseBc.value
+      var cur: String = null
+      var run = 0L
+      it.flatMap { case (id, src, _, n) =>
+        if (src != cur) { cur = src; run = bases.getOrElse((pid, src), 0L) }
+        run += n
+        if (run <= budget) Iterator.single((src, id, n, run))
+        else Iterator.empty
+      }
+    }
+    s.createDataFrame(rows).toDF("source", "doc_id", "n_tokens", "cum_tokens")
       .orderBy("source", "cum_tokens")
   }
 

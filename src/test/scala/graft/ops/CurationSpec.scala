@@ -174,6 +174,30 @@ class CurationSpec extends SparkSpec {
     assert(report.keySet == all.map(_._1).toSet, "report covers every source")
   }
 
+  test("mix budget: two-pass prefix sum is partition-independent and matches the window form") {
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val at32 = Curation.mixBudgetOf(docs, partitions = 32).collect().map(key)
+    val at1 = Curation.mixBudgetOf(docs, partitions = 1).collect().map(key)
+    val at5 = Curation.mixBudgetOf(docs, partitions = 5).collect().map(key)
+    assert(at32.sameElements(at1) && at32.sameElements(at5),
+      "selection must not depend on the partition count")
+    // independent reference: the single-reducer window running sum
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ref = docs
+      .select($"doc_id", $"source", $"n_chars",
+        TextAnalysis.tokenCount($"text").as("n_tokens"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= Curation.MixBudget)
+      .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
+      .orderBy("source", "cum_tokens").collect().map(key)
+    assert(at32.sameElements(ref), "prefix-sum form must equal the window form")
+  }
+
   test("semantic dedup cluster cap: over-cap clusters drop, the rest are exact") {
     val assign = Curation.assignClusters(spark, sfDir)
     val sizes = assign.groupBy($"cluster").count().collect()
