@@ -270,6 +270,44 @@ class CurationSpec extends SparkSpec {
     assert(got.nonEmpty, "trained clusters still surface near-dups")
   }
 
+  test("frozen semantic quantizer: batches assign against the stored model, no drift") {
+    val qdir = java.nio.file.Files
+      .createTempDirectory("graft-semq").resolve("q").toString
+    Curation.writeSemanticQuantizer(spark, sfDir, qdir)
+    val frozen = Curation.readSemanticQuantizer(spark, qdir)
+    assert(frozen.length == Curation.NumCentroids && frozen.head.length == 64)
+    // the frozen-apply path gives the registered query's exact rows
+    // (deterministic Lloyd's: cached quantizer == retrained quantizer)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val viaFrozen = Curation.dedupSemanticFrozen(spark, sfDir, qdir)
+      .collect().map(key)
+    val viaQuery = Curation.dedupSemanticKmeans(spark, sfDir).collect().map(key)
+    assert(viaFrozen.sameElements(viaQuery))
+    // a new batch assigns under the FROZEN centroids: the stored model
+    // is byte-identical after the batch, and the batch's clusters equal
+    // a driver-side nearest-centroid check against the pre-batch model
+    val batch = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id" + 1000000L,
+        $"embedding".cast("array<double>"))
+      .toDF("vec_id", "e").limit(20)
+    val got = Curation.assignBatchFrozen(batch, qdir)
+      .select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = Curation.readSemanticQuantizer(spark, qdir)
+    assert(after.length == frozen.length &&
+      after.indices.forall(i => after(i).sameElements(frozen(i))),
+      "batch assignment must not move the frozen centroids")
+    batch.collect().foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Double](1).toArray
+      val expected = frozen.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map { case (a, b) => (b - a) * (b - a) }.sum, i)
+      }.min._2.toLong
+      assert(got(id) == expected, s"batch vec $id must use the frozen model")
+    }
+  }
+
   test("representatives: one per component, longest doc wins, sizes add up") {
     val comp = Dedup.connectedComponents(Dedup.dedupMinhashLsh(spark, sfDir))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
