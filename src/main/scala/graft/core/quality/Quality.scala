@@ -254,13 +254,19 @@ object Checks {
       val cents = spark.table(table)
         .select(col(groupCol).as("g"),
           floor(col(column) * 100.0 + 0.5).cast("long").as("cents"))
-      val stats = cents.groupBy(col("g")).agg(
-        count(lit(1)).as("n"),
-        sum(col("cents")).as("s"),
-        sum(col("cents") * col("cents")).as("q"))
       val mean = col("s").cast("double") / col("n").cast("double")
       val variance = col("q").cast("double") / col("n").cast("double") - mean * mean
-      val row = cents.join(broadcast(stats), Seq("g"))
+      // zero-variance guard: a constant or single-row group would give
+      // z = 0/0 = NaN and silently fall out of the |z| comparison. The
+      // stats keep only groups with a defined z (n > 1, variance > 0);
+      // the LEFT join leaves other groups' rows in `total` with a null
+      // z — by definition not outliers, but still scanned rows.
+      val stats = cents.groupBy(col("g")).agg(
+          count(lit(1)).as("n"),
+          sum(col("cents")).as("s"),
+          sum(col("cents") * col("cents")).as("q"))
+        .filter(col("n") > 1L && variance > 0.0)
+      val row = cents.join(broadcast(stats), Seq("g"), "left")
         .select(((col("cents").cast("double") - mean) / sqrt(variance)).as("z"))
         .agg(
           sum(when(abs(col("z")) > zThreshold, 1L).otherwise(0L)).as("outliers"),

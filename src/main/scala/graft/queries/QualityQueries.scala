@@ -142,12 +142,19 @@ object QualityQueries {
     val cents = t(s, dir, "events")
       .select($"event_id", $"event_type",
         floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
-    val stats = cents.groupBy($"event_type").agg(
-      count(lit(1)).as("n"),
-      sum($"cents").as("s"),
-      sum($"cents" * $"cents").as("q"))
     val mean = $"s".cast("double") / $"n".cast("double")
     val variance = $"q".cast("double") / $"n".cast("double") - mean * mean
+    // zero-variance guard: a constant or single-row group would make
+    // z = 0/0 = NaN, and NaN ordering DIFFERS across engines (Spark
+    // drops the row, DuckDB sorts NaN above every value and keeps it).
+    // Filtering the group stats by n > 1 AND variance > 0 — the same
+    // IEEE expression both engines replay — removes the divergence by
+    // construction: such groups have no outliers to flag.
+    val stats = cents.groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"cents").as("s"),
+        sum($"cents" * $"cents").as("q"))
+      .filter($"n" > 1L && variance > 0.0)
     cents.join(broadcast(stats), Seq("event_type"))
       .select($"event_id", $"event_type", $"cents",
         (($"cents".cast("double") - mean) / sqrt(variance)).as("z"))
@@ -234,11 +241,20 @@ object QualityQueries {
         SELECT event_id, event_type,
           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
         FROM events),
-      st AS (
+      st0 AS (
         SELECT event_type, COUNT(*) AS n,
           CAST(sum(cents) AS BIGINT) AS s,
           CAST(sum(cents * cents) AS BIGINT) AS q
-        FROM c GROUP BY event_type)
+        FROM c GROUP BY event_type),
+      st AS (
+        -- zero-variance guard, same IEEE expression as the engine: a
+        -- constant/single-row group yields z = 0/0 = NaN, which the two
+        -- engines order differently — exclude the group in both
+        SELECT * FROM st0
+        WHERE n > 1
+          AND CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0.0)
       SELECT event_id, c.event_type, cents,
         (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
           / sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)

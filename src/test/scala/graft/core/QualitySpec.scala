@@ -136,6 +136,24 @@ class QualitySpec extends SparkSpec {
     assert(loose.passed, loose.message)
   }
 
+  test("anomaly_check: zero-variance and single-row groups flag nothing, not NaN") {
+    import spark.implicits._
+    // group "c" is constant (variance 0 → z would be 0/0 = NaN), group
+    // "s" has one row (n = 1), group "a" is the normal case with one
+    // genuine outlier among 100 tight values
+    val vals = (1 to 50).map(_ => ("c", 7.0)) ++
+      Seq(("s", 3.0)) ++
+      (1 to 100).map(i => ("a", 50.0 + (i % 5))) ++ Seq(("a", 9999.0))
+    vals.toDF("g", "v").createOrReplaceTempView("dq_anom_zv")
+    val res = Checks.anomalyCheck("dq_anom_zv", "v", "g",
+      zThreshold = 3.0, maxOutlierPct = 2.0).check(spark)
+    // guarded groups contribute rows to the denominator but can never
+    // flag: exactly 1 outlier out of all 152 scanned rows
+    assert(res.metrics("outliers") == 1.0, res.message)
+    assert(res.message.contains("of 152"), res.message)
+    assert(res.passed, res.message)
+  }
+
   test("custom_sql_check with passed + message columns") {
     val ok = Checks.customSqlCheck("no_minors",
       "SELECT COUNT(*) = 0 AS passed, 'minors found' AS message FROM dq_test_data WHERE age < 18")
