@@ -43,11 +43,14 @@ object StreamingCuration {
         (nonAlpha.cast("double") / greatest(length(col("text")).cast("long"), lit(1L))) < 0.3)
   }
 
-  /** One micro-batch through the curation graph. Returns the number of
-    * accepted documents (also appended to the state tables).
+  /** One micro-batch through the curation graph. Accepted documents
+    * append to the state tables; returns the POST-APPEND total corpus
+    * row count (callers wanting the per-batch acceptance count should
+    * diff successive returns or count the appended split table).
     */
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
-      threshold: Double = 0.8): Long = {
+      threshold: Double = 0.8,
+      bloomExpectedDocs: Long = BloomExpectedDocs): Long = {
     import spark.implicits._
     val docsDir = s"$stateDir/corpus_docs"
     val setsDir = s"$stateDir/corpus_sets"
@@ -74,7 +77,7 @@ object StreamingCuration {
       else inBatchExact.join(
         Dedup.bloomNovelWith(
             inBatchExact.select($"doc_id", $"text_md5"),
-            readOrRebuildBloom(spark, stateDir),
+            readOrRebuildBloom(spark, stateDir, bloomExpectedDocs),
             spark.read.parquet(docsDir))
           .select($"doc_id"),
         Seq("doc_id"), "left_semi")
@@ -123,27 +126,48 @@ object StreamingCuration {
       // fold the accepted md5s into the persisted corpus bloom (the
       // collect is batch-bounded; withSplit is already materialized)
       updateBloom(stateDir,
-        withSplit.select($"text_md5").collect().map(_.getString(0)))
-      spark.read.parquet(docsDir).count() // post-append corpus size
+        withSplit.select($"text_md5").collect().map(_.getString(0)),
+        bloomExpectedDocs)
+      val corpusSize = spark.read.parquet(docsDir).count() // post-append
+      // lifecycle trigger: once the corpus outgrows the sizing the
+      // bloom was created with, its fpp degrades toward all-positive —
+      // still correct (positives are exact-verified) but every row pays
+      // the anti-join. Rebuild distributed, at double the current size.
+      maybeRebuildBloom(spark, stateDir, corpusSize, bloomExpectedDocs)
+      corpusSize
     } finally { batchSets.unpersist(); () }
   }
 
   /** Persisted corpus Bloom filter — the fixed-size exact-dedup
     * prefilter (see [[graft.ops.Dedup.bloomNovelWith]]): sized for 10M
-    * docs at 1% fpp (~12 MB); a deployment sizes it for the target
-    * corpus and rebuilds from `corpus_docs` when the corpus outgrows
-    * it (false-positive rate degrades gracefully, never correctness —
-    * positives are exact-verified).
+    * docs at 1% fpp (~12 MB) by default. The sizing it was created with
+    * persists in a sidecar capacity file; when the corpus outgrows it,
+    * [[maybeRebuildBloom]] rebuilds at double the corpus size with a
+    * DISTRIBUTED sketch aggregation (fpp degradation is a throughput
+    * problem, never a correctness one — positives are exact-verified,
+    * and bloom filters have no false negatives).
     */
   val BloomExpectedDocs = 10000000L
   val BloomFpp = 0.01
 
   private def bloomPath(stateDir: String) = s"$stateDir/corpus_bloom.bin"
+  private def capacityPath(stateDir: String) = s"$stateDir/corpus_bloom.capacity"
 
   def readBloom(stateDir: String): org.apache.spark.util.sketch.BloomFilter = {
     val in = new java.io.FileInputStream(bloomPath(stateDir))
     try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
     finally in.close()
+  }
+
+  /** The doc count the stored bloom was sized for (None: sketch written
+    * by a version without the sidecar — callers fall back to the
+    * configured default).
+    */
+  def bloomCapacity(stateDir: String): Option[Long] = {
+    val f = new java.io.File(capacityPath(stateDir))
+    if (!f.exists()) None
+    else Some(new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong)
   }
 
   /** A corpus without a sketch (state written by an earlier version, or
@@ -152,31 +176,78 @@ object StreamingCuration {
     * table, persist it, and proceed.
     */
   def readOrRebuildBloom(
-      spark: SparkSession, stateDir: String): org.apache.spark.util.sketch.BloomFilter =
+      spark: SparkSession, stateDir: String,
+      expectedDocs: Long = BloomExpectedDocs): org.apache.spark.util.sketch.BloomFilter =
     if (new java.io.File(bloomPath(stateDir)).exists()) readBloom(stateDir)
     else {
-      val md5s = spark.read.parquet(s"$stateDir/corpus_docs")
-        .select(col("text_md5")).collect().map(_.getString(0))
-      updateBloom(stateDir, md5s)
+      rebuildBloom(spark, stateDir,
+        math.max(expectedDocs,
+          2L * spark.read.parquet(s"$stateDir/corpus_docs").count()))
       readBloom(stateDir)
     }
 
-  /** Put a batch's accepted md5s into the stored bloom (creating it on
-    * first use) — write-to-temp + atomic rename, so a crashed update
-    * can't leave a torn sketch.
+  /** Rebuild the sketch when the corpus has outgrown the capacity the
+    * stored one was created with. The check is two cheap scalars (the
+    * post-append count the caller already has + the sidecar file);
+    * the rebuild itself is corpus-sized but runs distributed and fires
+    * O(log corpus) times over a corpus's lifetime (capacity doubles).
     */
-  def updateBloom(stateDir: String, acceptedMd5s: Array[String]): Unit = {
-    val path = new java.io.File(bloomPath(stateDir))
+  def maybeRebuildBloom(
+      spark: SparkSession, stateDir: String, corpusSize: Long,
+      expectedDocs: Long = BloomExpectedDocs): Boolean = {
+    val cap = bloomCapacity(stateDir).getOrElse(expectedDocs)
+    val outgrown = corpusSize > cap
+    if (outgrown)
+      rebuildBloom(spark, stateDir,
+        math.max(expectedDocs, 2L * corpusSize))
+    outgrown
+  }
+
+  /** Rebuild from the authoritative corpus_docs table with Spark's
+    * distributed bloom aggregation — executors fold partitions into
+    * partial sketches and only the final ~MB sketch reaches the driver
+    * (the md5 rows never do).
+    */
+  def rebuildBloom(spark: SparkSession, stateDir: String, capacity: Long): Unit = {
+    val bloom = spark.read.parquet(s"$stateDir/corpus_docs")
+      .stat.bloomFilter("text_md5", math.max(1L, capacity), BloomFpp)
+    writeBloomAtomic(stateDir, bloom, capacity)
+  }
+
+  /** Put a batch's accepted md5s into the stored bloom (creating it on
+    * first use).
+    */
+  def updateBloom(stateDir: String, acceptedMd5s: Array[String],
+      expectedDocs: Long = BloomExpectedDocs): Unit = {
+    val exists = new java.io.File(bloomPath(stateDir)).exists()
     val bloom =
-      if (path.exists()) readBloom(stateDir)
+      if (exists) readBloom(stateDir)
       else org.apache.spark.util.sketch.BloomFilter
-        .create(BloomExpectedDocs, BloomFpp)
+        .create(math.max(1L, expectedDocs), BloomFpp)
     acceptedMd5s.foreach(bloom.putString)
+    writeBloomAtomic(stateDir, bloom,
+      if (exists) bloomCapacity(stateDir).getOrElse(expectedDocs) else expectedDocs)
+  }
+
+  /** Write-to-temp + atomic rename for sketch and capacity sidecar, so
+    * a crashed update can't leave a torn pair.
+    */
+  private def writeBloomAtomic(
+      stateDir: String, bloom: org.apache.spark.util.sketch.BloomFilter,
+      capacity: Long): Unit = {
+    val path = new java.io.File(bloomPath(stateDir))
     val tmp = new java.io.File(path.getParentFile, path.getName + ".tmp")
     val out = new java.io.FileOutputStream(tmp)
     try bloom.writeTo(out) finally out.close()
     if (!tmp.renameTo(path)) {
       java.nio.file.Files.move(tmp.toPath, path.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val capFile = new java.io.File(capacityPath(stateDir))
+    val capTmp = new java.io.File(capFile.getParentFile, capFile.getName + ".tmp")
+    java.nio.file.Files.write(capTmp.toPath, capacity.toString.getBytes("UTF-8"))
+    if (!capTmp.renameTo(capFile)) {
+      java.nio.file.Files.move(capTmp.toPath, capFile.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }

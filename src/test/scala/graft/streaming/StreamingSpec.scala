@@ -322,6 +322,40 @@ class StreamingSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Path.of(s"$state/corpus_bloom.bin")))
   }
 
+  test("bloom lifecycle: an outgrown sketch rebuilds at 2x and novelty stays exact") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val state = Files.createTempDirectory("graft-bloom-grow").resolve("s").toString
+    def doc(id: Long, tag: String) =
+      (id, s"document $tag with plenty of ordinary tokens to clear the quality gate")
+    // undersized on purpose: capacity 2, first batch accepts 3 docs →
+    // the post-append corpus (3) outgrows the sizing and must trigger a
+    // distributed rebuild at max(expected, 2*corpus) = 6
+    StreamingCuration.processBatch(spark,
+      Seq(doc(1, "alpha"), doc(2, "beta"), doc(3, "gamma")).toDF("doc_id", "text"),
+      state, bloomExpectedDocs = 2L)
+    assert(StreamingCuration.bloomCapacity(state).contains(6L),
+      s"outgrown sketch must rebuild at 2x corpus, got ${StreamingCuration.bloomCapacity(state)}")
+    // the rebuilt sketch still covers the whole corpus (no false
+    // negatives survived the rebuild) …
+    val bloom = StreamingCuration.readBloom(state)
+    val md5s = spark.read.parquet(s"$state/corpus_docs")
+      .select("text_md5").collect().map(_.getString(0))
+    assert(md5s.length == 3 && md5s.forall(bloom.mightContainString))
+    // … so the next batch's novelty answer is exact: the repeat of doc
+    // 1 is rejected, the novel doc accepted
+    val total = StreamingCuration.processBatch(spark,
+      Seq(doc(10, "alpha"), doc(11, "delta")).toDF("doc_id", "text"),
+      state, bloomExpectedDocs = 2L)
+    val ids = spark.read.parquet(s"$state/corpus_docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 11L), s"got $ids")
+    assert(total == 4L, "processBatch returns the post-append corpus size")
+    // capacity keeps pace with growth but only via doubling (4 <= 6, no
+    // re-trigger)
+    assert(StreamingCuration.bloomCapacity(state).contains(6L))
+  }
+
   test("streaming IVF ingestion: micro-batches append against the frozen quantizer") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
