@@ -125,14 +125,66 @@ object Extended4 {
       .orderBy("event_id")
   }
 
+  /** q57: mode() / str_to_map / percentile_disc. Attributes are packed
+    * into a 'k:v;k:v' string, parsed back with str_to_map, and the
+    * grouped aggregation takes the modal band plus DISCRETE percentiles.
+    * percentile_disc always returns an actual data value, so it is
+    * engine-portable; percentile_cont is deliberately avoided — its
+    * interpolation op ORDER differs across engines, which breaks
+    * hash-exactness on the last ulp. The mode's band split (quantity
+    * <= 40 → ~4:1 majority) makes the modal value tie-free by
+    * construction, sidestepping cross-engine tie-break divergence.
+    */
+  def q57ModePercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_quantity",
+        expr("""str_to_map(
+          concat('band:', CASE WHEN l_quantity <= 40.0 THEN 'common' ELSE 'rare' END,
+                 ';qty:', CAST(CAST(l_quantity AS INT) AS STRING)),
+          ';', ':')""").as("m"))
+      .select($"l_returnflag", $"l_quantity",
+        expr("m['band']").as("band"),
+        expr("CAST(m['qty'] AS INT)").as("qty_i"))
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("mode(band)").as("mode_band"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY qty_i) AS BIGINT)")
+          .as("med_qty"),
+        expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE)")
+          .as("q1_qty"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE)")
+          .as("p90_qty"),
+        count(lit(1)).as("n"),
+        sum(when($"band" === "common", 1L).otherwise(0L)).as("n_common"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_try_arithmetic" -> q52TryArithmetic,
     "q53_map_zoo" -> q53MapZoo,
     "q54_array_zoo2" -> q54ArrayZoo,
     "q55_grouping_id" -> q55GroupingId,
-    "q56_string_bucket" -> q56StringBucket)
+    "q56_string_bucket" -> q56StringBucket,
+    "q57_mode_percentile" -> q57ModePercentile)
 
   val oracles: Map[String, String] = Map(
+    "q57_mode_percentile" -> """
+      WITH enriched AS (
+        SELECT l_returnflag, l_quantity,
+          CASE WHEN l_quantity <= 40.0 THEN 'common' ELSE 'rare' END AS band,
+          CAST(l_quantity AS INT) AS qty_i
+        FROM lineitem)
+      SELECT l_returnflag,
+        mode(band) AS mode_band,
+        CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY qty_i) AS BIGINT) AS med_qty,
+        CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS q1_qty,
+        CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p90_qty,
+        COUNT(*) AS n,
+        CAST(SUM(CASE WHEN band = 'common' THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+      FROM enriched
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
     "q52_try_arithmetic" -> """
       SELECT l_orderkey,
         CASE WHEN l_quantity - 25.0 = 0 THEN NULL
