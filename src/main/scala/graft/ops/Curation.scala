@@ -621,6 +621,95 @@ object Curation {
     scoreFamiliarity(docs, trainTrigramModel(docs))
   }
 
+  // ---- char-LM log-prob quality score (perplexity-style filter) ----
+
+  /** Character-trigram language model with add-one (Laplace) smoothing
+    * — the float log-prob form of the standard LM-perplexity quality
+    * filter that [[taFamiliarity]]'s integer statistic stands in for:
+    * P(c3 | c1 c2) = (count(c1c2c3) + 1) / (count(c1c2·) + V), V = the
+    * distinct third-character vocabulary. A document's score is the
+    * occurrence-weighted mean log P over its trigrams; perplexity =
+    * exp(−score). Mojibake, binary spill, and wrong-language text land
+    * in low-probability transitions and sink.
+    *
+    * Same train/freeze/score plan shape as familiarity: the model is
+    * two Zipf-bounded tables (trigram counts + context counts) and a
+    * scalar, broadcast at scoring time — the scored corpus never
+    * shuffles on trigram; the per-doc reduction is one doc_id-keyed
+    * aggregation with map-side combine. Float log arithmetic is not
+    * bit-replayable cross-engine, so this operator is rows-only at the
+    * driver gate and property-pinned in CurationSpec (ranking agreement
+    * with familiarity on clean-vs-mojibake fixtures, frozen-model
+    * streaming parity).
+    */
+  final case class CharLm(tri: DataFrame, ctx: DataFrame, vocab: Long)
+
+  /** Train on a corpus: trigram counts (reusing [[trigramsOf]]'s packed
+    * codes), context (first-two-chars) counts, and the third-character
+    * vocabulary size.
+    */
+  def trainCharLm(docs: DataFrame): CharLm = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tri = trainTrigramModel(docs).localCheckpoint(true)
+    val ctx = tri.groupBy(shiftright($"code", 16).as("ctx"))
+      .agg(sum($"freq").as("cfreq"))
+    val vocab = tri
+      .select(countDistinct($"code".bitwiseAND(lit(0xffffL))))
+      .head.getLong(0)
+    CharLm(tri, ctx, vocab)
+  }
+
+  /** Score documents under a (possibly frozen) char LM. Unseen trigrams
+    * take the smoothed floor 1 / (cfreq + V) — or 1 / V for an unseen
+    * context — so probabilities never hit zero and log stays finite.
+    */
+  def scoreCharLm(docs: DataFrame, lm: CharLm): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    trigramsOf(docs)
+      .withColumn("ctx", shiftright($"code", 16))
+      .join(broadcast(lm.tri), Seq("code"), "left")
+      .join(broadcast(lm.ctx), Seq("ctx"), "left")
+      .select($"doc_id", $"occ",
+        log((coalesce($"freq", lit(0L)).cast("double") + 1.0) /
+          (coalesce($"cfreq", lit(0L)).cast("double") + lm.vocab.toDouble))
+          .as("logp"))
+      .groupBy($"doc_id")
+      .agg(sum($"occ").as("n_tris"),
+        (sum($"occ".cast("double") * $"logp") / sum($"occ").cast("double"))
+          .as("avg_logprob"))
+      .select($"doc_id", $"n_tris", $"avg_logprob",
+        exp(-$"avg_logprob").as("perplexity"))
+      .orderBy("doc_id")
+  }
+
+  /** Persist a trained LM (tri + ctx tables, vocab scalar) — the freeze
+    * half; streaming scorers read it back and never retrain per batch.
+    */
+  def writeCharLm(lm: CharLm, path: String): Unit = {
+    val s = lm.tri.sparkSession
+    import s.implicits._
+    lm.tri.write.mode("overwrite").parquet(s"$path/tri")
+    lm.ctx.write.mode("overwrite").parquet(s"$path/ctx")
+    Seq(lm.vocab).toDF("vocab").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  def readCharLm(s: SparkSession, path: String): CharLm =
+    CharLm(
+      s.read.parquet(s"$path/tri"),
+      s.read.parquet(s"$path/ctx"),
+      s.read.parquet(s"$path/vocab").head.getLong(0))
+
+  /** Registered self-scoring form (train on the corpus, score the
+    * corpus) — rows-only at the gate, like the other float-model ops.
+    */
+  def taCharLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    scoreCharLm(docs, trainCharLm(docs))
+  }
+
   // ---- token-budget mixture selection ----
 
   val MixBudget = 600L
@@ -728,6 +817,8 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_boilerplate" -> ((s, d) => taBoilerplate(s, d)),
     "ta_familiarity" -> taFamiliarity,
+    // rows-only: float log-prob arithmetic isn't cross-engine replayable
+    "ta_charlm" -> taCharLm,
     "mix_budget" -> ((s, d) => mixBudget(s, d)),
     "mix_report" -> ((s, d) => mixReport(s, d)),
     "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),

@@ -139,6 +139,57 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("char LM: mojibake sinks below clean text, agreeing with familiarity") {
+    // clean docs share common English character transitions; the
+    // mojibake docs are improbable transitions — BOTH scorers must rank
+    // every mojibake doc below every clean doc
+    val clean = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the lazy dog sleeps under the warm sun beside the quiet river"),
+      (3L, "a quick brown cat jumps over the sleepy dog near the bank"))
+    val mojibake = Seq(
+      (10L, "zq xv jk qz vx kj zzqq xxvv wqkz jxqv"),
+      (11L, "Ã©Â¿Â½ Ã©Â¿Â½ qzx vkj wqz"))
+    val docs = (clean ++ mojibake).toDF("doc_id", "text")
+    val lmScores = Curation.scoreCharLm(docs, Curation.trainCharLm(docs))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val famScores = Curation
+      .scoreFamiliarity(docs, Curation.trainTrigramModel(docs))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val cleanIds = clean.map(_._1)
+    val mojiIds = mojibake.map(_._1)
+    for (c <- cleanIds; m <- mojiIds) {
+      assert(lmScores(c) > lmScores(m), s"char LM must rank doc $c above $m")
+      assert(famScores(c) > famScores(m), s"familiarity must rank doc $c above $m")
+    }
+    // smoothed probabilities stay in (0, 1]: log-probs are <= 0 and
+    // finite even for the all-unseen transitions
+    lmScores.values.foreach(v => assert(v <= 0.0 && !v.isNaN && !v.isInfinite))
+  }
+
+  test("char LM: frozen model round-trips and scores new docs without retraining") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown cat naps under the warm sun")).toDF("doc_id", "text")
+    val lm = Curation.trainCharLm(corpus)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-charlm").resolve("m").toString
+    Curation.writeCharLm(lm, dir)
+    val frozen = Curation.readCharLm(spark, dir)
+    assert(frozen.vocab == lm.vocab)
+    val incoming = Seq(
+      (10L, "the quick brown fox naps in the sun"),
+      (11L, "zzzz qqqq xxxx vvvv kkkk jjjj wwww")).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val live = Curation.scoreCharLm(incoming, lm).collect().map(key)
+    val thawed = Curation.scoreCharLm(incoming, frozen).collect().map(key)
+    assert(live.sameElements(thawed), "frozen model must score identically")
+    // the unseen-trigram doc lands strictly below the familiar one
+    val byId = live.map(t => t._1 -> t._3).toMap
+    assert(byId(10L) > byId(11L))
+  }
+
   test("mix budget: greedy longest-first fill is tight per source") {
     val rows = Curation.mixBudget(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

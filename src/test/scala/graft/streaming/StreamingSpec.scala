@@ -275,6 +275,48 @@ class StreamingSpec extends SparkSpec {
     assert(fam10 > fam11)
   }
 
+  test("streaming char LM: frozen batch-trained model scores micro-batches like batch") {
+    import spark.implicits._
+    import graft.ops.Curation
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown cat naps under the warm sun"))
+    // train + FREEZE on disk; the foreachBatch closure reads the model
+    // back once and only scores — no per-batch retraining
+    val work = Files.createTempDirectory("graft-charlm-stream")
+    Curation.writeCharLm(
+      Curation.trainCharLm(corpus.toDF("doc_id", "text")),
+      work.resolve("model").toString)
+    val model = Curation.readCharLm(spark, work.resolve("model").toString)
+    val incoming = Seq(
+      (10L, "the quick brown fox naps in the sun"),
+      (11L, "zzzz qqqq xxxx vvvv kkkk jjjj wwww"))
+    val batchExpected = Curation
+      .scoreCharLm(incoming.toDF("doc_id", "text"), model)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    incoming.toDF("doc_id", "text").write.parquet(work.resolve("in/b1").toString)
+    val streamed = scala.collection.mutable.Map[Long, Seq[Any]]()
+    val q = new StreamingPipeline(
+      source = FileStreamingSource(work.resolve("in").toString + "/*",
+        schemaDdl = Some("doc_id LONG, text STRING")),
+      sink = ForeachBatchSink { (batch, _) =>
+        val scored = Curation.scoreCharLm(batch, model)
+          .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+        streamed.synchronized { streamed ++= scored }
+        ()
+      },
+      trigger = TriggerConfig.AvailableNow).startStream(spark)
+    q.awaitTermination(60000)
+    assert(streamed.keySet == Set(10L, 11L))
+    streamed.foreach { case (id, row) =>
+      assert(row == batchExpected(id), s"char LM diverges for doc $id")
+    }
+    // the all-unseen doc scores strictly lower under the frozen model
+    val lp10 = streamed(10L)(2).asInstanceOf[Double]
+    val lp11 = streamed(11L)(2).asInstanceOf[Double]
+    assert(lp10 > lp11)
+  }
+
   test("incremental streaming curation: PII+quality+exact+near-dup against a growing corpus") {
     import spark.implicits._
     import graft.examples.StreamingCuration
