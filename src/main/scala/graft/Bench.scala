@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.streaming._
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
@@ -57,12 +59,47 @@ object Bench {
     // the queries map sorted by ASCENDING duration so truncation eats
     // the cheapest entries first, and the suite total at the very END
     // so it always survives. Millisecond precision.
+    // streaming throughput row: a short SATURATED rate → transform →
+    // parquet run (source faster than sink capacity, so the figure
+    // reflects capacity, not the source), measured through the same
+    // listener-backed hooks as graft.StreamBench's full protocol. One
+    // extra JSON key near the line's end — streaming regressions now
+    // gate per round exactly like batch ones.
+    val streamSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_SECS", "8").toInt
+    val streamRps: Long =
+      if (streamSecs <= 0) 0L
+      else {
+        val out = java.nio.file.Files.createTempDirectory("benchstream").toString
+        @volatile var rows = 0L
+        val hooks = new StreamingHooks {
+          override def onBatchProgress(
+              batchId: Long, numInputRows: Long, durationMs: Long): Unit =
+            rows += numInputRows
+        }
+        val t0 = System.nanoTime()
+        val q = new StreamingPipeline(
+          source = RateStreamingSource(
+            rowsPerSecond = 5000000, numPartitions = cpus.toInt),
+          sink = FileStreamingSink(s"$out/data"),
+          checkpointLocation = Some(s"$out/cp"),
+          transform = df => df.select(
+            col("timestamp"), col("value"),
+            (col("value") * 2).as("value_x2"),
+            pmod(hash(col("value")), lit(64)).as("bucket")),
+          outputMode = OutputMode.Append,
+          trigger = TriggerConfig.ProcessingTime("1 second"),
+          hooks = hooks).startStream(spark)
+        Thread.sleep(streamSecs * 1000L)
+        q.stop()
+        q.awaitTermination()
+        math.round(rows / ((System.nanoTime() - t0) / 1e9))
+      }
     def fmt(v: Double) = "%.3f".format(v)
     val qs = results.sortBy(_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","value":${fmt(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","stream_rows_per_sec":$streamRps,"value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -80,6 +80,23 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(after.toSeq == bruteUnion.toSeq)
     assert(after.exists(_._3 >= 100000L), "an appended twin reaches the top-k")
+
+    // directory fragmentation: several more small appends multiply the
+    // files inside each cent_id= directory; the probe scan must STILL
+    // prune at the FileSourceScan level — the partition filter is on
+    // the directory value, so fragment count cannot erode it
+    (1 to 4).foreach { i =>
+      graft.ops.Similarity.appendIvfBatch(spark, work,
+        all.filter($"vec_id".isInCollection(twinIds))
+          .select(($"vec_id" + 200000L + i * 1000L).as("vec_id"), $"e"))
+    }
+    val fragProbe = graft.ops.Similarity.searchIvfIndex(spark, sfDir, work, nprobe = 2)
+    fragProbe.collect()
+    val fragScans = fragProbe.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val fragIdx = fragScans.find(p => p.contains(work) || p.contains("cent_id"))
+    assert(fragIdx.exists(p =>
+        "PartitionFilters: \\[[^\\]]*cent_id[^\\]]*\\]".r.findFirstIn(p).nonEmpty),
+      s"post-append probe lost partition pruning:\n${fragScans.mkString("\n")}")
   }
 
   test("bucketed join plans without a shuffle exchange on either side") {
