@@ -160,7 +160,49 @@ object Extended4 {
       .orderBy("l_returnflag")
   }
 
+  /** q58: correlation/regression statistics with ENGINE-EXACT moments —
+    * the dq_anomaly integer-quantization trick applied to bivariate
+    * stats. The built-in corr()/regr_slope() aggregates accumulate
+    * floats in partition order (non-reproducible bit patterns), so
+    * instead x quantizes to whole units and y to whole dollars, the
+    * five moment sums accumulate as BIGINTs (order-free), and
+    * corr/slope/intercept/r² re-derive through a fixed IEEE op chain
+    * both engines replay bit-identically. A spec cross-checks the
+    * derived values against Spark's built-in corr()/regr_slope() to
+    * 1e-9 relative, so the portable form provably computes the standard
+    * statistics. y = revenue (extendedprice × (1−discount)) against
+    * x = extendedprice (whole dollars): a genuinely correlated pair
+    * whose slope ≈ the mean discount retention.
+    */
+  def q58CorrRegression(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = $"n".cast("double")
+    val mx = $"sx".cast("double") / n
+    val my = $"sy".cast("double") / n
+    val cov = $"sxy".cast("double") / n - mx * my
+    val varX = $"sxx".cast("double") / n - mx * mx
+    val varY = $"syy".cast("double") / n - my * my
+    val corrC = cov / (sqrt(varX) * sqrt(varY))
+    val slope = cov / varX
+    t(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_linestatus",
+        floor($"l_extendedprice" + 0.5).cast("long").as("qx"),
+        floor($"l_extendedprice" * (lit(1.0) - $"l_discount") + 0.5)
+          .cast("long").as("qy"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"qx").as("sx"), sum($"qy").as("sy"),
+        sum($"qx" * $"qx").as("sxx"), sum($"qy" * $"qy").as("syy"),
+        sum($"qx" * $"qy").as("sxy"))
+      .select($"l_returnflag", $"l_linestatus", $"n",
+        corrC.as("corr_xy"), slope.as("slope"),
+        (my - slope * mx).as("intercept"),
+        (corrC * corrC).as("r2"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_corr_regression" -> q58CorrRegression,
     "q52_try_arithmetic" -> q52TryArithmetic,
     "q53_map_zoo" -> q53MapZoo,
     "q54_array_zoo2" -> q54ArrayZoo,
@@ -169,6 +211,36 @@ object Extended4 {
     "q57_mode_percentile" -> q57ModePercentile)
 
   val oracles: Map[String, String] = Map(
+    "q58_corr_regression" -> """
+      WITH m AS (
+        SELECT l_returnflag, l_linestatus,
+          CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS qx,
+          CAST(floor(l_extendedprice * (1.0 - l_discount) + 0.5) AS BIGINT) AS qy
+        FROM lineitem),
+      s AS (
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+          CAST(sum(qx*qx) AS BIGINT) AS sxx, CAST(sum(qy*qy) AS BIGINT) AS syy,
+          CAST(sum(qx*qy) AS BIGINT) AS sxy
+        FROM m GROUP BY l_returnflag, l_linestatus),
+      d AS (
+        SELECT l_returnflag, l_linestatus, n,
+          CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) AS mx,
+          CAST(sy AS DOUBLE)/CAST(n AS DOUBLE) AS my,
+          CAST(sxy AS DOUBLE)/CAST(n AS DOUBLE)
+            - (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) AS cov,
+          CAST(sxx AS DOUBLE)/CAST(n AS DOUBLE)
+            - (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) AS var_x,
+          CAST(syy AS DOUBLE)/CAST(n AS DOUBLE)
+            - (CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) AS var_y
+        FROM s)
+      SELECT l_returnflag, l_linestatus, n,
+        cov / (sqrt(var_x) * sqrt(var_y)) AS corr_xy,
+        cov / var_x AS slope,
+        my - (cov / var_x) * mx AS intercept,
+        (cov / (sqrt(var_x) * sqrt(var_y))) * (cov / (sqrt(var_x) * sqrt(var_y))) AS r2
+      FROM d
+      ORDER BY l_returnflag, l_linestatus""",
     "q57_mode_percentile" -> """
       WITH enriched AS (
         SELECT l_returnflag, l_quantity,

@@ -21,6 +21,38 @@ class PlanSpec extends SparkSpec {
     out.toString
   }
 
+  test("q58 moment-derived stats equal the built-in corr/regr aggregates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = Extended4.q58CorrRegression(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // the standard float aggregates as ground truth (their accumulation
+    // order varies, so they gate the VALUE, not the bits)
+    val ref = graft.Tables.t(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_linestatus",
+        floor($"l_extendedprice" + 0.5).cast("long").cast("double").as("x"),
+        floor($"l_extendedprice" * (lit(1.0) - $"l_discount") + 0.5)
+          .cast("long").cast("double").as("y"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(corr($"x", $"y").as("c"),
+        regr_slope($"y", $"x").as("sl"),
+        regr_intercept($"y", $"x").as("ic"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    def close(a: Double, b: Double) =
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+    got.foreach { case (k, (c, sl, ic)) =>
+      val (rc, rsl, ric) = ref(k)
+      assert(close(c, rc) && close(sl, rsl) && close(ic, ric),
+        s"$k: derived ($c, $sl, $ic) vs builtin ($rc, $rsl, $ric)")
+    }
+    // the chosen pair is genuinely correlated, not a degenerate zero
+    assert(got.values.forall(_._1 > 0.9), "revenue~price must correlate strongly")
+  }
+
   test("q2 filter + projection push into the parquet scan") {
     val p = formatted(Relational.q2FilterProject(spark, sfDir))
     assert(p.contains("PushedFilters"), "no pushdown section in scan")
