@@ -512,8 +512,21 @@ object Curation {
     */
   def dedupRepresentatives(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val comp = dedupComponentsOf(s, dir)
-    val docs = t(s, dir, "documents").select($"doc_id", $"n_chars")
+    dedupRepresentativesOf(
+      dedupComponentsOf(s, dir),
+      t(s, dir, "documents").select($"doc_id", $"n_chars"))
+  }
+
+  /** [[dedupRepresentatives]] over a MATERIALIZED (doc_id, component_id)
+    * table — the production shape: at corpus scale the component table
+    * is computed once (or maintained incrementally) and persisted, and
+    * the survivor policy reruns against it without re-running the
+    * LSH + connected-components chain. The registered query recomputes
+    * the chain only because the driver gate invokes it standalone.
+    */
+  def dedupRepresentativesOf(comp: DataFrame, docs: DataFrame): DataFrame = {
+    val s = comp.sparkSession
+    import s.implicits._
     val scored = docs.join(broadcast(comp), Seq("doc_id"))
     val w = Window.partitionBy($"component_id")
       .orderBy($"n_chars".desc, $"doc_id".asc)

@@ -249,6 +249,40 @@ class CurationSpec extends SparkSpec {
     assert(at32.sameElements(ref), "prefix-sum form must equal the window form")
   }
 
+  test("mix budget: one mega-source parallelizes and matches the window form") {
+    // the exact case the prefix sum exists for: EVERY doc in a single
+    // source, so the old window form would serialize the whole corpus
+    // through one reducer — the two-pass form must give the same greedy
+    // answer from many partitions, including zero-token (whitespace)
+    // docs that ride along without advancing the running sum
+    val docs = (1L to 400L).map { i =>
+      val body =
+        if (i % 97 == 0) "   " // whitespace-only: 0 tokens
+        else (1 to (i % 13 + 1).toInt).map(j => s"w$j").mkString(" ")
+      (i, "mega", body.length.toLong, body)
+    }.toDF("doc_id", "source", "n_chars", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // zero-token docs tie on cum_tokens, so the output ORDER BY is not
+    // a total order — compare under a full sort key instead
+    val at8 = Curation.mixBudgetOf(docs, budget = 150L, partitions = 8)
+      .collect().map(key).sortBy(r => (r._1, r._4, r._2))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ref = docs
+      .select($"doc_id", $"source", $"n_chars",
+        TextAnalysis.tokenCount($"text").as("n_tokens"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= 150L)
+      .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
+      .collect().map(key).sortBy(r => (r._1, r._4, r._2))
+    assert(at8.length == ref.length && at8.sameElements(ref),
+      "mega-source prefix sum must equal the window form")
+    assert(at8.nonEmpty)
+  }
+
   test("semantic dedup cluster cap: over-cap clusters drop, the rest are exact") {
     val assign = Curation.assignClusters(spark, sfDir)
     val sizes = assign.groupBy($"cluster").count().collect()
