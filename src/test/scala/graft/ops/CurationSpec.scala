@@ -62,6 +62,51 @@ class CurationSpec extends SparkSpec {
     assert(clean.getString(3) == txt)
   }
 
+  test("property: boilerplate matches an in-memory CCNet reference on generated corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val w = Curation.ChunkTokens
+    // tiny vocabulary forces cross-doc chunk collisions; lengths span
+    // empty, sub-chunk, and multi-chunk documents
+    val genDoc = Gen.choose(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))
+    val genCorpus = Gen.choose(4, 18).flatMap(n => Gen.listOfN(n, genDoc))
+    def reference(texts: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+      def chunks(t: String) = {
+        val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+        (0 until (toks.length + w - 1) / w)
+          .map(c => toks.slice(c * w, math.min(toks.length, (c + 1) * w)).mkString(" "))
+      }
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val freq = texts.flatMap { case (id, t) => chunks(t).distinct.map(c => (c, id)) }
+        .groupBy(_._1).collect { case (c, xs) if xs.map(_._2).distinct.size >= 2 => c }
+        .toSet
+      texts.flatMap { case (id, t) =>
+        val cs = chunks(t)
+        if (cs.isEmpty) None
+        else {
+          val kept = cs.filterNot(freq)
+          Some(id -> ((cs.size.toLong, (cs.size - kept.size).toLong,
+            md5hex(kept.mkString(" ")))))
+        }
+      }.toMap
+    }
+    (0 until 6).foreach { i =>
+      genCorpus(Gen.Parameters.default, Seed(i.toLong)).foreach { texts0 =>
+        val texts = texts0.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        val df = texts.toDF("doc_id", "text")
+        val expected = reference(texts)
+        def got(budget: Int) =
+          Curation.boilerplateOf(df, broadcastBudget = budget).collect()
+            .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+            .toMap
+        assert(got(1000000) == expected, s"seed $i: kernel path != reference")
+        assert(got(0) == expected, s"seed $i: join path != reference")
+      }
+    }
+  }
+
   test("boilerplate: join path == kernel path when the frequent set exceeds the budget") {
     val docs = graft.Tables.t(spark, sfDir, "documents").select($"doc_id", $"text")
     val frequent = Curation.frequentChunkHashes(docs)
