@@ -51,14 +51,53 @@ object Decontamination {
     // filter BEFORE shingling: the md5 predicate runs on the scan, so the
     // eval side reads ~3% of the corpus and the broadcast stays bounded
     val docs = graft.Tables.t(s, dir, "documents")
-    val evalSh = Dedup.shingledOf(docs.filter(isEval($"doc_id")), n)
-      .select($"doc_id".as("eval_id"), $"sh")
-    Dedup.shingledOf(docs.filter(!isEval($"doc_id")), n)
+    contaminationPairsOf(
+      docs.filter(!isEval($"doc_id")),
+      docs.filter(isEval($"doc_id")), n, minShared)
+  }
+
+  /** [[contaminationPairs]] over arbitrary (doc_id, text) frames — the
+    * production shape where the eval side is an external benchmark
+    * table, not a hash split of the corpus.
+    */
+  def contaminationPairsOf(train: DataFrame, evalDocs: DataFrame,
+      n: Int = Dedup.ShingleN, minShared: Long = MinShared): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    contaminationAgainst(train,
+      Dedup.shingledOf(evalDocs, n).select($"doc_id".as("eval_id"), $"sh"),
+      minShared, n)
+  }
+
+  /** The probe stage against a PRE-SHINGLED eval table, (eval_id, sh) —
+    * pair with [[writeEvalShingles]]: benchmarks change rarely, so a
+    * pipeline shingles them once, persists the table, and every corpus
+    * batch (streaming or backfill) joins the frozen table without ever
+    * re-reading benchmark text. Cost ∝ batch; the eval side broadcasts
+    * (benchmarks are thousands of docs, not billions).
+    */
+  def contaminationAgainst(train: DataFrame, evalSh: DataFrame,
+      minShared: Long = MinShared, n: Int = Dedup.ShingleN): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    Dedup.shingledOf(train, n)
       .join(broadcast(evalSh), "sh")
       .groupBy($"doc_id".as("train_id"), $"eval_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= minShared)
       .orderBy("train_id", "eval_id")
+  }
+
+  /** Shingle an eval/benchmark set once and persist it — the frozen
+    * state [[contaminationAgainst]] probes.
+    */
+  def writeEvalShingles(evalDocs: DataFrame, path: String,
+      n: Int = Dedup.ShingleN): Unit = {
+    val s = evalDocs.sparkSession
+    import s.implicits._
+    Dedup.shingledOf(evalDocs, n)
+      .select($"doc_id".as("eval_id"), $"sh")
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Per-eval-doc contamination report: how many training docs hit it,

@@ -127,4 +127,27 @@ class DecontaminationSpec extends SparkSpec {
       "verbatim leak must be flagged")
     assert(!found.exists(r => r.getLong(0) == trainClean), "clean doc must pass")
   }
+
+  test("decon: frozen eval shingles probe batches like the inline form") {
+    val leakText = "the quick brown fox jumps over the lazy dog again and again"
+    val evalDocs = Seq((900L, leakText)).toDF("doc_id", "text")
+    // freeze the benchmark's shingles once; batches probe the stored
+    // table without re-reading benchmark text
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-evalsh").resolve("sh").toString
+    Decontamination.writeEvalShingles(evalDocs, path)
+    val batch = Seq(
+      (1L, s"intro $leakText outro"),
+      (2L, "wholly unrelated material on rivers and bridges and stones"))
+      .toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val viaFrozen = Decontamination
+      .contaminationAgainst(batch, spark.read.parquet(path))
+      .collect().map(key)
+    val inline = Decontamination.contaminationPairsOf(batch, evalDocs)
+      .collect().map(key)
+    assert(viaFrozen.sameElements(inline), "frozen probe must equal inline")
+    assert(viaFrozen.exists(r => r._1 == 1L && r._2 == 900L), "leak flagged")
+    assert(!viaFrozen.exists(_._1 == 2L), "clean batch doc passes")
+  }
 }
