@@ -497,6 +497,46 @@ object Curation {
     s"${System.getProperty("java.io.tmpdir")}/graft_semquant_${tag}_k$k"
   }
 
+  // ---- cluster-balanced sampling (topic balancing) ----
+
+  /** Topic-balanced sampling over embedding clusters: every cluster is
+    * downsampled to ~the smallest cluster's size, so no topic dominates
+    * the mix — the embedding-space analogue of [[Sampling]]'s per-domain
+    * temperature flattening. Membership is the same deterministic
+    * md5-prefix idiom (16-bit prefix under a per-cluster cutoff), so the
+    * sample is recomputable row-by-row anywhere; cutoff arithmetic is a
+    * fixed IEEE op chain and the md5 centroids are engine-replayable,
+    * making the whole summary hash-exact under the DuckDB oracle.
+    *
+    * 100 TB shape: the fused assignment kernel (no shuffle) + one tiny
+    * per-cluster aggregate broadcast back over the scan; the keep filter
+    * is pure codegen per row. The scalar min rides a broadcast 1-row
+    * cross join — no driver collect.
+    */
+  def sampleClusterBalanced(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assign = assignClusters(s, dir).select($"vec_id", $"cluster")
+    val counts = assign.groupBy($"cluster").agg(count(lit(1)).as("n_vecs"))
+    val cut = counts
+      .crossJoin(broadcast(counts.agg(min($"n_vecs").as("min_cluster"))))
+      .withColumn("cutoff",
+        floor(least(lit(1.0),
+          $"min_cluster".cast("double") / $"n_vecs".cast("double")) * 65536.0)
+          .cast("long"))
+    val kept = assign.join(broadcast(cut.select($"cluster", $"cutoff")), "cluster")
+      .filter($"cutoff" >= 65536L ||
+        substring(md5($"vec_id".cast("string")), 1, 4) <
+          format_string("%04x", $"cutoff"))
+    cut.join(
+        kept.groupBy($"cluster").agg(
+          count(lit(1)).as("n_kept"), sum($"vec_id").as("sum_kept_ids")),
+        Seq("cluster"), "left")
+      .select($"cluster", $"n_vecs", $"min_cluster", $"cutoff",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"sum_kept_ids", lit(0L)).as("sum_kept_ids"))
+      .orderBy("cluster")
+  }
+
   // ---- per-component representative selection ----
 
   /** Canonical-representative selection over the MinHash near-dup
@@ -835,6 +875,7 @@ object Curation {
     "mix_budget" -> ((s, d) => mixBudget(s, d)),
     "mix_report" -> ((s, d) => mixReport(s, d)),
     "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
+    "sample_cluster_balanced" -> sampleClusterBalanced,
     // rows-only: k-means float centroids aren't cross-engine replayable
     "dedup_semantic_kmeans" -> ((s, d) => dedupSemanticKmeans(s, d)),
     "dedup_representatives" -> dedupRepresentatives)
@@ -931,6 +972,40 @@ object Curation {
       FROM flagged
       GROUP BY doc_id
       ORDER BY doc_id""",
+    "sample_cluster_balanced" -> s"""
+      WITH cents AS (
+        SELECT k,
+          [CAST(strpos('0123456789abcdef', substr(md5('c' || k || '_' || j), 1, 1)) - 8.5 AS DOUBLE)
+           for j in range(1, 65)] AS cv
+        FROM (SELECT unnest(range($NumCentroids)) AS k)),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      assign AS (
+        SELECT vec_id, k AS cluster FROM (
+          SELECT e.vec_id, c.k,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${duckCosL("v", "cv")} DESC, c.k ASC) AS rk
+          FROM e CROSS JOIN cents c) WHERE rk = 1),
+      counts AS (
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM assign GROUP BY cluster),
+      cut AS (
+        SELECT cluster, n_vecs,
+          (SELECT MIN(n_vecs) FROM counts) AS min_cluster,
+          CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+            CAST((SELECT MIN(n_vecs) FROM counts) AS DOUBLE)
+              / CAST(n_vecs AS DOUBLE)) * 65536.0) AS BIGINT) AS cutoff
+        FROM counts),
+      kept AS (
+        SELECT a.cluster, a.vec_id
+        FROM assign a JOIN cut c ON a.cluster = c.cluster
+        WHERE c.cutoff >= 65536
+           OR substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 4) < printf('%04x', c.cutoff))
+      SELECT c.cluster, c.n_vecs, c.min_cluster, c.cutoff,
+        CAST(COUNT(k.vec_id) AS BIGINT) AS n_kept,
+        CAST(COALESCE(SUM(k.vec_id), 0) AS BIGINT) AS sum_kept_ids
+      FROM cut c LEFT JOIN kept k ON c.cluster = k.cluster
+      GROUP BY c.cluster, c.n_vecs, c.min_cluster, c.cutoff
+      ORDER BY c.cluster""",
     "dedup_semantic" -> s"""
       WITH cents AS (
         SELECT k,

@@ -400,6 +400,33 @@ class CurationSpec extends SparkSpec {
     assert(got.nonEmpty, "trained clusters still surface near-dups")
   }
 
+  test("cluster-balanced sampling: replayable membership, smallest cluster kept whole") {
+    val rows = Curation.sampleClusterBalanced(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val minC = rows.map(_._2).min
+    rows.foreach { case (cl, n, m, cutoff, kept) =>
+      assert(m == minC, s"cluster $cl min mismatch")
+      if (n == m) assert(cutoff == 65536L && kept == n,
+        s"smallest cluster $cl must keep everything")
+      else assert(kept <= n)
+    }
+    // membership is recomputable row-by-row from ids alone: replay the
+    // md5-prefix rule on the driver and reproduce every kept count
+    val assign = Curation.assignClusters(spark, sfDir)
+      .select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val cutoffs = rows.map(r => r._1 -> r._4).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val replay = assign.filter { case (id, cl) =>
+      cutoffs(cl) >= 65536L || md5hex(id.toString).take(4) < f"${cutoffs(cl)}%04x"
+    }.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (cl, _, _, _, kept) =>
+      assert(replay.getOrElse(cl, 0L) == kept, s"cluster $cl membership replay")
+    }
+  }
+
   test("frozen semantic quantizer: batches assign against the stored model, no drift") {
     val qdir = java.nio.file.Files
       .createTempDirectory("graft-semq").resolve("q").toString
