@@ -258,6 +258,44 @@ object Curation {
       .toDF("doc_id", "chunk_idx", "h")
   }
 
+  /** Intra-document dedup: drop every repeat of a chunk WITHIN its own
+    * document (scraped pages love repeating nav blocks and footers
+    * inside one page), keeping first occurrences in order — the in-doc
+    * counterpart of the cross-doc boilerplate pass, and typically run
+    * before it so repeats can't inflate the corpus frequency table.
+    * Pure per-document kernel over the scan: no shuffle, no state, the
+    * cheapest curation operator in the registry.
+    */
+  def taIntradoc(
+      s: SparkSession, dir: String, width: Int = ChunkTokens): DataFrame =
+    intraDocDedupOf(t(s, dir, "documents"), width)
+
+  /** [[taIntradoc]] over an arbitrary (doc_id, text, …) frame. */
+  def intraDocDedupOf(docsIn: DataFrame, width: Int = ChunkTokens): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val clean = docsIn.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val seen = new java.util.HashSet[String]()
+          var nChunks = 0L
+          var dropped = 0L
+          val kept = new java.lang.StringBuilder
+          chunkStrings(text, width).foreach { chunk =>
+            nChunks += 1L
+            if (!seen.add(chunk)) dropped += 1L
+            else {
+              if (kept.length > 0) kept.append(' ')
+              kept.append(chunk)
+            }
+          }
+          (id, nChunks, dropped, kept.toString)
+        }
+      }.toDF("doc_id", "n_chunks", "n_removed", "clean_text")
+      .filter(col("n_chunks") > 0L)
+    reportOf(clean)
+  }
+
   /** The document's fixed-width token chunks — same tokenization as
     * [[chunksOf]]/TextAnalysis.tokens (trim, split \s+, drop empties;
     * Java and Spark share the regex engine, so token streams are
@@ -869,6 +907,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_boilerplate" -> ((s, d) => taBoilerplate(s, d)),
+    "ta_intradoc" -> ((s, d) => taIntradoc(s, d)),
     "ta_familiarity" -> taFamiliarity,
     // rows-only: float log-prob arithmetic isn't cross-engine replayable
     "ta_charlm" -> taCharLm,
@@ -947,6 +986,29 @@ object Curation {
       SELECT source, doc_id, n_tokens, cum_tokens
       FROM cum WHERE cum_tokens <= $MixBudget
       ORDER BY source, cum_tokens""",
+    "ta_intradoc" -> s"""
+      WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS tk
+        FROM documents),
+      chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(tk[(i-1)*$ChunkTokens+1 : i*$ChunkTokens], ' ') AS chunk
+        FROM toks, UNNEST(range(1, CAST(ceil(len(tk)/$ChunkTokens.0) AS BIGINT)+1)) AS u(i)),
+      firsts AS (
+        SELECT doc_id, chunk, MIN(chunk_idx) AS first_idx
+        FROM chunks GROUP BY doc_id, chunk),
+      tot AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+        FROM chunks GROUP BY doc_id),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_uniq,
+          md5(string_agg(chunk, ' ' ORDER BY first_idx)) AS clean_md5
+        FROM firsts GROUP BY doc_id)
+      SELECT t.doc_id, t.n_chunks,
+        t.n_chunks - a.n_uniq AS n_removed, a.clean_md5
+      FROM tot t JOIN agg a ON t.doc_id = a.doc_id
+      ORDER BY t.doc_id""",
     "ta_boilerplate" -> s"""
       WITH toks AS (
         SELECT doc_id,

@@ -107,6 +107,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("intra-doc dedup: repeated chunks drop, first occurrences keep their order") {
+    val w = Curation.ChunkTokens
+    def block(tag: String) = (1 to w).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      // nav A, body, nav A again, footer, nav A a third time
+      (1L, s"${block("nav")} ${block("body")} ${block("nav")} ${block("foot")} ${block("nav")}"),
+      (2L, block("solo")),            // nothing repeats
+      (3L, s"${block("x")} ${block("x")}")) // immediate repeat
+      .toDF("doc_id", "text")
+    val out = Curation.intraDocDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((5L, 2L,
+      md5hex(s"${block("nav")} ${block("body")} ${block("foot")}"))),
+      "two nav repeats drop, order preserved")
+    assert(out(2L) == ((1L, 0L, md5hex(block("solo")))))
+    assert(out(3L) == ((2L, 1L, md5hex(block("x")))))
+  }
+
   test("boilerplate: join path == kernel path when the frequent set exceeds the budget") {
     val docs = graft.Tables.t(spark, sfDir, "documents").select($"doc_id", $"text")
     val frequent = Curation.frequentChunkHashes(docs)
