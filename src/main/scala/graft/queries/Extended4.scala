@@ -201,7 +201,29 @@ object Extended4 {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** q59: scalar bit-manipulation zoo — bit_count popcount, shifts,
+    * and/or/xor masks, and hex rendering (two's-complement 64-bit for
+    * both engines). Complements q42's bitwise AGGREGATES with the
+    * scalar forms; all pure codegen over one scan.
+    */
+  def q59BitOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .filter($"o_orderkey" % 31 === 0)
+      .select(
+        $"o_orderkey",
+        bit_count($"o_orderkey").cast("long").as("popcount"),
+        shiftleft($"o_orderkey", 3).as("shl3"),
+        shiftright($"o_orderkey", 2).as("shr2"),
+        ($"o_orderkey".bitwiseAND(lit(255L))).as("low_byte"),
+        ($"o_orderkey".bitwiseOR(lit(4096L))).as("with_flag"),
+        ($"o_orderkey".bitwiseXOR(lit(255L))).as("flipped"),
+        hex($"o_orderkey").as("hx"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_bit_ops" -> q59BitOps,
     "q58_corr_regression" -> q58CorrRegression,
     "q52_try_arithmetic" -> q52TryArithmetic,
     "q53_map_zoo" -> q53MapZoo,
@@ -211,6 +233,18 @@ object Extended4 {
     "q57_mode_percentile" -> q57ModePercentile)
 
   val oracles: Map[String, String] = Map(
+    "q59_bit_ops" -> """
+      SELECT o_orderkey,
+        CAST(bit_count(o_orderkey) AS BIGINT) AS popcount,
+        o_orderkey << 3 AS shl3,
+        o_orderkey >> 2 AS shr2,
+        o_orderkey & 255 AS low_byte,
+        o_orderkey | 4096 AS with_flag,
+        xor(o_orderkey, 255) AS flipped,
+        hex(o_orderkey) AS hx
+      FROM orders
+      WHERE o_orderkey % 31 = 0
+      ORDER BY o_orderkey""",
     "q58_corr_regression" -> """
       WITH m AS (
         SELECT l_returnflag, l_linestatus,
