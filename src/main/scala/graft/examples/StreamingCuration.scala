@@ -100,8 +100,23 @@ object StreamingCuration {
         else Dedup.crossCorpusNearDups(
             batchSets, spark.read.parquet(setsDir), threshold)
           .select($"a".as("doc_id")).distinct()
-      val accepted = novelExact
+      val acceptedDedup = novelExact
         .join(inBatchDups.unionByName(crossDups).distinct(), Seq("doc_id"), "left_anti")
+
+      // 4b: benchmark decontamination — when the state dir carries a
+      // frozen eval-shingle table (written once via
+      // Decontamination.writeEvalShingles), batch docs sharing n-grams
+      // with the benchmark are rejected before they can enter the
+      // corpus. Probe cost ∝ batch (the eval side broadcasts); absent
+      // the table, the gate is a no-op.
+      val evalShDir = s"$stateDir/eval_shingles"
+      val accepted =
+        if (!new java.io.File(evalShDir).exists()) acceptedDedup
+        else acceptedDedup.join(
+          graft.ops.Decontamination
+            .contaminationAgainst(acceptedDedup, spark.read.parquet(evalShDir))
+            .select($"train_id".as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
 
       // 5: split assignment; state append (docs then their sets).
       // MATERIALIZE before the first append: the plan anti-joins

@@ -364,6 +364,32 @@ class StreamingSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Path.of(s"$state/corpus_bloom.bin")))
   }
 
+  test("streaming decontamination: a frozen eval-shingle table gates batch acceptance") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val state = Files.createTempDirectory("graft-decon-stream").resolve("s").toString
+    val leakText =
+      "the quick brown fox jumps over the lazy dog beside the river bank today"
+    // freeze the benchmark's shingles into the curation state dir
+    graft.ops.Decontamination.writeEvalShingles(
+      Seq((900L, leakText)).toDF("doc_id", "text"), s"$state/eval_shingles")
+    val batch = Seq(
+      (1L, s"intro words $leakText closing words"), // verbatim leak
+      (2L, "wholly unrelated material on rivers and bridges and stones built long ago"))
+      .toDF("doc_id", "text")
+    StreamingCuration.processBatch(spark, batch, state)
+    val ids = spark.read.parquet(s"$state/corpus_docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L), s"leaked doc must be rejected, clean doc kept: $ids")
+    // and the gate is per-batch: a later clean batch still lands
+    StreamingCuration.processBatch(spark,
+      Seq((3L, "another clean document with plenty of ordinary tokens to pass the gate"))
+        .toDF("doc_id", "text"), state)
+    val ids2 = spark.read.parquet(s"$state/corpus_docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2 == Set(2L, 3L))
+  }
+
   test("bloom lifecycle: an outgrown sketch rebuilds at 2x and novelty stays exact") {
     import spark.implicits._
     import graft.examples.StreamingCuration
