@@ -535,6 +535,34 @@ object Curation {
     s"${System.getProperty("java.io.tmpdir")}/graft_semquant_${tag}_k$k"
   }
 
+  // ---- per-source corpus profile ----
+
+  /** The per-source corpus health report a pipeline records before and
+    * after every curation stage: volume (docs, tokens), exact-dup rate
+    * (distinct text md5s vs rows), and the short-doc count the quality
+    * gate would cut. One shuffle on source with map-side partials; the
+    * exact distinct-md5 count is a second partial-agg pass — at 100 TB
+    * a profile would swap it for approx_count_distinct (the
+    * dq_unique_check pattern), same plan shape.
+    */
+  def taProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"source", md5($"text").as("m"),
+        TextAnalysis.tokenCount($"text").as("n_tokens"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        countDistinct($"m").as("distinct_texts"),
+        sum(when($"n_tokens" < 5L, 1L).otherwise(0L)).as("short_docs"))
+      .select($"source", $"n_docs", $"total_tokens", $"distinct_texts",
+        ($"n_docs" - $"distinct_texts").as("dup_docs"), $"short_docs",
+        ($"total_tokens".cast("double") / $"n_docs".cast("double"))
+          .as("mean_tokens"))
+      .orderBy("source")
+  }
+
   // ---- cluster-balanced sampling (topic balancing) ----
 
   /** Topic-balanced sampling over embedding clusters: every cluster is
@@ -908,6 +936,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_boilerplate" -> ((s, d) => taBoilerplate(s, d)),
     "ta_intradoc" -> ((s, d) => taIntradoc(s, d)),
+    "ta_profile" -> taProfile,
     "ta_familiarity" -> taFamiliarity,
     // rows-only: float log-prob arithmetic isn't cross-engine replayable
     "ta_charlm" -> taCharLm,
@@ -986,6 +1015,21 @@ object Curation {
       SELECT source, doc_id, n_tokens, cum_tokens
       FROM cum WHERE cum_tokens <= $MixBudget
       ORDER BY source, cum_tokens""",
+    "ta_profile" -> """
+      WITH sized AS (
+        SELECT source, md5(text) AS m,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT source,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        COUNT(DISTINCT m) AS distinct_texts,
+        COUNT(*) - COUNT(DISTINCT m) AS dup_docs,
+        CAST(SUM(CASE WHEN n_tokens < 5 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+        CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
+      FROM sized
+      GROUP BY source
+      ORDER BY source""",
     "ta_intradoc" -> s"""
       WITH toks AS (
         SELECT doc_id,

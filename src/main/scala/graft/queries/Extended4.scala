@@ -222,7 +222,33 @@ object Extended4 {
       .orderBy("o_orderkey")
   }
 
+  /** q60: array SET operations — array_intersect / array_union /
+    * array_except / flatten over per-order quantity sets against a
+    * constant probe array. Outputs render as sorted comma-joined INT
+    * strings: the driver compare rejects LIST-typed columns, and
+    * sorting canonicalizes the (engine-unspecified) set-op element
+    * order, so the strings are hash-exact.
+    */
+  def q60ArraySetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probe = array((10 to 50 by 10).map(i => lit(i)): _*)
+    t(s, dir, "lineitem")
+      .filter($"l_orderkey" % 23 === 0)
+      .groupBy($"l_orderkey")
+      .agg(array_sort(array_distinct(collect_list($"l_quantity".cast("int"))))
+        .as("arr"))
+      .select(
+        $"l_orderkey",
+        concat_ws(",", array_sort(array_intersect($"arr", probe))).as("inter_s"),
+        concat_ws(",", array_sort(array_union($"arr", probe))).as("union_s"),
+        concat_ws(",", array_sort(array_except($"arr", probe))).as("except_s"),
+        concat_ws(",", flatten(array($"arr", probe))).as("flat_s"),
+        size(array_intersect($"arr", probe)).cast("long").as("n_inter"))
+      .orderBy("l_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_array_setops" -> q60ArraySetOps,
     "q59_bit_ops" -> q59BitOps,
     "q58_corr_regression" -> q58CorrRegression,
     "q52_try_arithmetic" -> q52TryArithmetic,
@@ -233,6 +259,22 @@ object Extended4 {
     "q57_mode_percentile" -> q57ModePercentile)
 
   val oracles: Map[String, String] = Map(
+    "q60_array_setops" -> """
+      WITH arrs AS (
+        SELECT l_orderkey,
+          list_sort(list_distinct(list(CAST(l_quantity AS INT)))) AS arr
+        FROM lineitem
+        WHERE l_orderkey % 23 = 0
+        GROUP BY l_orderkey)
+      SELECT l_orderkey,
+        -- DuckDB renders an empty list as NULL; Spark's concat_ws gives ''
+        COALESCE(array_to_string(list_sort(list_intersect(arr, [10,20,30,40,50])), ','), '') AS inter_s,
+        COALESCE(array_to_string(list_sort(list_distinct(list_concat(arr, [10,20,30,40,50]))), ','), '') AS union_s,
+        COALESCE(array_to_string(list_sort(list_filter(arr, e -> NOT list_contains([10,20,30,40,50], e))), ','), '') AS except_s,
+        COALESCE(array_to_string(list_concat(arr, [10,20,30,40,50]), ','), '') AS flat_s,
+        CAST(len(list_intersect(arr, [10,20,30,40,50])) AS BIGINT) AS n_inter
+      FROM arrs
+      ORDER BY l_orderkey""",
     "q59_bit_ops" -> """
       SELECT o_orderkey,
         CAST(bit_count(o_orderkey) AS BIGINT) AS popcount,
