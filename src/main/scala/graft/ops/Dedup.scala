@@ -376,6 +376,42 @@ object Dedup {
     } finally sets.unpersist()
   }
 
+  /** Edit-distance-verified near-dup: candidate pairs must share ≥
+    * `minShared` distinct word-trigram shingles (the same inverted-index
+    * blocking as [[dedupNgramJaccard]]), then exact character
+    * Levenshtein decides — a pair qualifies when distance ≤
+    * `maxDistFrac` × the longer text. Character-level edit distance
+    * catches small in-place edits (typo farms, template fills) that
+    * set-based Jaccard over-penalizes, at O(len²) per SURVIVING
+    * candidate only — the blocking join is what keeps the quadratic
+    * step off the full pair space. Texts attach to candidates by unique
+    * doc_id keys, so no skew; the corpus is ASCII, where Spark's
+    * char-based and DuckDB's byte-based levenshtein agree (the operator
+    * itself is encoding-agnostic).
+    */
+  def dedupEditDistance(
+      s: SparkSession, dir: String,
+      minShared: Long = 2L, maxDistFrac: Double = 0.25): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.t(s, dir, "documents").select($"doc_id", $"text")
+    val sh = shingledOf(docs)
+    val cand = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+      .select($"a", $"b")
+    cand
+      .join(docs.select($"doc_id".as("a"), $"text".as("ta")), "a")
+      .join(docs.select($"doc_id".as("b"), $"text".as("tb")), "b")
+      .select($"a", $"b",
+        levenshtein($"ta", $"tb").cast("long").as("dist"),
+        greatest(length($"ta"), length($"tb")).cast("long").as("max_len"))
+      .filter($"dist".cast("double") <=
+        lit(maxDistFrac) * $"max_len".cast("double"))
+      .orderBy("a", "b")
+  }
+
   /** 64-bit SimHash per document over shingle features: bit j of the
     * signature = majority vote of feature-hash bit j. One aggregation
     * with 64 conditional sums — single pass, map-side partials.
@@ -547,6 +583,7 @@ object Dedup {
     "dedup_bloom_novel" -> dedupBloomNovel,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
+    "dedup_editdist" -> ((s, d) => dedupEditDistance(s, d)),
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_simhash_portable" -> dedupSimhashPortable,
@@ -755,6 +792,22 @@ object Dedup {
       ORDER BY doc_id""",
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_editdist" -> s"""
+      WITH $shingleCte,
+      cand AS (
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2)
+      SELECT c.a, c.b,
+        CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+        CAST(GREATEST(length(da.text), length(db.text)) AS BIGINT) AS max_len
+      FROM cand c
+      JOIN documents da ON c.a = da.doc_id
+      JOIN documents db ON c.b = db.doc_id
+      WHERE CAST(levenshtein(da.text, db.text) AS DOUBLE)
+            <= 0.25 * CAST(GREATEST(length(da.text), length(db.text)) AS DOUBLE)
+      ORDER BY a, b""",
     // transitive closure over the exact pair set: min reachable doc_id
     // per node via a recursive CTE — DuckDB's answer to what the Spark
     // side computes with iterative min-label propagation

@@ -83,6 +83,25 @@ class DedupSpec extends SparkSpec {
     assert(a.nonEmpty, "sf0.001 corpus contains known near-dups")
   }
 
+  test("edit-distance near-dup: planted typo pair flagged, unrelated docs pass") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank at dawn"
+    val work = java.nio.file.Files.createTempDirectory("graft-editdist")
+    Seq(
+      (1L, base, "en", "src", base.length.toLong),
+      // two single-char typos: tiny edit distance, still shares shingles
+      (2L, base.replace("quick", "qwick").replace("lazy", "hazy"), "en", "src", base.length.toLong),
+      (3L, "entirely different material about ports and cargo and long sea routes",
+        "en", "src", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val pairs = Dedup.dedupEditDistance(spark, work.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 2L),
+      s"typo twin must be flagged at distance 2: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc passes")
+  }
+
   test("cross-corpus incremental dedup = full-run pairs restricted to cross pairs") {
     import org.apache.spark.sql.functions.col
     val sets = Dedup.shingleSets(spark, sfDir).cache()
