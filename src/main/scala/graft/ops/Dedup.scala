@@ -391,11 +391,21 @@ object Dedup {
     */
   def dedupEditDistance(
       s: SparkSession, dir: String,
-      minShared: Long = 2L, maxDistFrac: Double = 0.25): DataFrame = {
+      minShared: Long = 2L, maxDistFrac: Double = 0.25,
+      maxDocFreq: Int = 100): DataFrame = {
     import s.implicits._
     val docs = graft.Tables.t(s, dir, "documents").select($"doc_id", $"text")
     val sh = shingledOf(docs)
-    val cand = sh.as("x").join(sh.as("y"),
+    // df cap (the dedupNgramJaccard guard): a stop-shingle in a million
+    // docs would alone contribute 10^12 candidate pairs — drop shingles
+    // above the document-frequency cap via a broadcast anti-join BEFORE
+    // pairing. The cap is part of the operator's definition (pairs must
+    // share >= minShared RARE shingles), so the oracle replays it
+    // identically and the result stays hash-exact.
+    val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDocFreq).select($"sh")
+    val rare = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val cand = rare.as("x").join(rare.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -794,9 +804,12 @@ object Dedup {
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_editdist" -> s"""
       WITH $shingleCte,
+      rare AS (
+        SELECT doc_id, sh FROM sh
+        WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100)),
       cand AS (
         SELECT x.doc_id AS a, y.doc_id AS b
-        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
         GROUP BY 1, 2
         HAVING COUNT(*) >= 2)
       SELECT c.a, c.b,
