@@ -535,6 +535,42 @@ object Curation {
     s"${System.getProperty("java.io.tmpdir")}/graft_semquant_${tag}_k$k"
   }
 
+  // ---- per-language top-k n-grams ----
+
+  /** The most frequent word bigrams per language — the corpus statistic
+    * behind stopword lists, boilerplate candidates, and language-drift
+    * monitoring. Ties break to the lexicographically smaller bigram so
+    * the top-k is total-ordered and engine-exact.
+    *
+    * Scale shape: one (lang, bigram) count aggregation with map-side
+    * partial combine (the explode never reaches the shuffle unreduced),
+    * then a per-lang window over the counted table — the window input
+    * is |distinct bigrams|, not corpus rows, and at 100 TB the count
+    * table would be pre-filtered by a min-count before ranking.
+    */
+  def taNgramTop(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    // filter BEFORE building positions: sequence(1, 0) would DESCEND
+    // ([1, 0]) on a sub-2-token doc instead of being empty
+    val docs = t(s, dir, "documents")
+      .select($"lang", TextAnalysis.tokens($"text").as("tks"))
+      .filter(size($"tks") >= 2)
+    val bigrams = docs
+      .select($"lang",
+        explode(
+          transform(sequence(lit(1), size($"tks") - 1),
+            i => concat_ws(" ",
+              try_element_at($"tks", i), try_element_at($"tks", i + 1))))
+          .as("bigram"))
+    val counted = bigrams.groupBy($"lang", $"bigram")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram".asc)
+    counted.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"lang", $"rk", $"bigram", $"n")
+      .orderBy("lang", "rk")
+  }
+
   // ---- per-source corpus profile ----
 
   /** The per-source corpus health report a pipeline records before and
@@ -937,6 +973,7 @@ object Curation {
     "ta_boilerplate" -> ((s, d) => taBoilerplate(s, d)),
     "ta_intradoc" -> ((s, d) => taIntradoc(s, d)),
     "ta_profile" -> taProfile,
+    "ta_ngram_top" -> ((s, d) => taNgramTop(s, d)),
     "ta_familiarity" -> taFamiliarity,
     // rows-only: float log-prob arithmetic isn't cross-engine replayable
     "ta_charlm" -> taCharLm,
@@ -1015,6 +1052,22 @@ object Curation {
       SELECT source, doc_id, n_tokens, cum_tokens
       FROM cum WHERE cum_tokens <= $MixBudget
       ORDER BY source, cum_tokens""",
+    "ta_ngram_top" -> """
+      WITH toks AS (
+        SELECT lang,
+          list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS tk
+        FROM documents),
+      bg AS (
+        SELECT lang, tk[i] || ' ' || tk[i+1] AS bigram
+        FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+        WHERE len(tk) >= 2),
+      counted AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+      ranked AS (
+        SELECT lang, bigram, n,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS rk
+        FROM counted)
+      SELECT lang, rk, bigram, n FROM ranked WHERE rk <= 5
+      ORDER BY lang, rk""",
     "ta_profile" -> """
       WITH sized AS (
         SELECT source, md5(text) AS m,
