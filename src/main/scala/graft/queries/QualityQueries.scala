@@ -163,6 +163,33 @@ object QualityQueries {
       .orderBy("event_id")
   }
 
+  /** completeness profile (beyond-reference): null counts for EVERY
+    * audited column in ONE scan — the reference's null_check costs one
+    * action per column; this is the profiling form a wide table needs
+    * (one pass, conditional sums with map-side combine, then the single
+    * stats row unpivots to one row per column).
+    */
+  def dqCompleteness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"props".isNull, 1L).otherwise(0L)).as("np"),
+        sum(when($"user_id".isNull, 1L).otherwise(0L)).as("nu"),
+        sum(when($"value".isNull, 1L).otherwise(0L)).as("nv"),
+        sum(when($"event_type".isNull, 1L).otherwise(0L)).as("ne"))
+      .selectExpr("n",
+        """stack(4,
+          'props', np,
+          'user_id', nu,
+          'value', nv,
+          'event_type', ne) AS (col_name, nulls)""")
+      .select($"col_name", $"nulls", $"n".as("n_rows"),
+        ($"nulls".cast("double") * 100.0 / $"n").as("null_pct"),
+        (($"nulls".cast("double") * 100.0 / $"n") <= 5.0).as("passed"))
+      .orderBy("col_name")
+  }
+
   /** pattern_check (CHANGELOG-listed in the reference, implemented
     * here): customer names must match the generator's shape.
     */
@@ -187,7 +214,8 @@ object QualityQueries {
     "dq_referential" -> dqReferential,
     "dq_freshness" -> dqFreshness,
     "dq_distribution" -> dqDistribution,
-    "dq_anomaly" -> dqAnomaly)
+    "dq_anomaly" -> dqAnomaly,
+    "dq_completeness" -> dqCompleteness)
 
   val oracles: Map[String, String] = Map(
     "dq_row_count" -> """
@@ -266,6 +294,24 @@ object QualityQueries {
                  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) > $AnomalyZ
       ORDER BY event_id""",
+    "dq_completeness" -> """
+      WITH a AS (
+        SELECT COUNT(*) AS n,
+          CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS np,
+          CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+          CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nv,
+          CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ne
+        FROM events),
+      rows_ AS (
+        SELECT 'props' AS col_name, np AS nulls, n FROM a
+        UNION ALL SELECT 'user_id', nu, n FROM a
+        UNION ALL SELECT 'value', nv, n FROM a
+        UNION ALL SELECT 'event_type', ne, n FROM a)
+      SELECT col_name, nulls, n AS n_rows,
+        CAST(nulls AS DOUBLE) * 100.0 / n AS null_pct,
+        (CAST(nulls AS DOUBLE) * 100.0 / n) <= 5.0 AS passed
+      FROM rows_
+      ORDER BY col_name""",
     "dq_distribution" -> """
       SELECT 'events.event_type=click' AS checked,
         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS hits,
