@@ -391,7 +391,7 @@ object Dedup {
     */
   def dedupEditDistance(
       s: SparkSession, dir: String,
-      minShared: Long = 2L, maxDistFrac: Double = 0.25,
+      minShared: Long = 4L, maxDistFrac: Double = 0.25,
       maxDocFreq: Int = 100): DataFrame = {
     import s.implicits._
     val docs = graft.Tables.t(s, dir, "documents").select($"doc_id", $"text")
@@ -411,13 +411,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= minShared)
       .select($"a", $"b")
+    // two semantics-preserving cost cuts before/inside the quadratic DP
+    // (neither can change the answer, so the oracle stays the plain
+    // unbounded form):
+    //  1. length-gap prefilter — levenshtein >= |len(a) - len(b)|, so a
+    //     gap beyond the row's own budget can never qualify; pure
+    //     arithmetic kills most candidates before any DP runs.
+    //  2. early-exit DP — the 3-arg levenshtein with a GLOBAL threshold
+    //     floor(maxDistFrac * corpus max length) returns -1 past the
+    //     bound at O(len × threshold) instead of O(len²); any row's own
+    //     budget is <= the global bound, so -1 rows are exactly the
+    //     rows the per-row filter would drop anyway. The corpus-max
+    //     scalar is one bounded 1-row aggregate.
+    val maxLenAll = docs.agg(max(length($"text"))).head.getInt(0)
+    val thr = math.max(1, math.floor(maxDistFrac * maxLenAll).toInt)
     cand
       .join(docs.select($"doc_id".as("a"), $"text".as("ta")), "a")
       .join(docs.select($"doc_id".as("b"), $"text".as("tb")), "b")
-      .select($"a", $"b",
-        levenshtein($"ta", $"tb").cast("long").as("dist"),
+      .select($"a", $"b", $"ta", $"tb",
         greatest(length($"ta"), length($"tb")).cast("long").as("max_len"))
-      .filter($"dist".cast("double") <=
+      .filter(abs(length($"ta") - length($"tb")).cast("double") <=
+        lit(maxDistFrac) * $"max_len".cast("double"))
+      .select($"a", $"b",
+        levenshtein($"ta", $"tb", thr).cast("long").as("dist"),
+        $"max_len")
+      .filter($"dist" >= 0L && $"dist".cast("double") <=
         lit(maxDistFrac) * $"max_len".cast("double"))
       .orderBy("a", "b")
   }
@@ -811,7 +829,7 @@ object Dedup {
         SELECT x.doc_id AS a, y.doc_id AS b
         FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
         GROUP BY 1, 2
-        HAVING COUNT(*) >= 2)
+        HAVING COUNT(*) >= 4)
       SELECT c.a, c.b,
         CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
         CAST(GREATEST(length(da.text), length(db.text)) AS BIGINT) AS max_len
