@@ -65,10 +65,24 @@ object Bench {
     // listener-backed hooks as graft.StreamBench's full protocol. One
     // extra JSON key near the line's end — streaming regressions now
     // gate per round exactly like batch ones.
+    // Shutdown protocol (r5 post-mortem): stopping the saturated stream
+    // mid-batch aborts in-flight FileFormatWriter tasks whose ERROR
+    // stack traces — multi-KB, logged by THIS JVM in local mode — landed
+    // after the stdout JSON line and flushed it out of the driver's
+    // bounded ~2KB tail (BENCH_r05.json parsed:null). quiescing via
+    // processAllAvailable() is NOT an option: the source intentionally
+    // offers more than sink capacity, so the backlog only grows and that
+    // call would never return. Instead: (1) the throughput window closes
+    // BEFORE stop — elapsed and the batch-progress row count are
+    // snapshotted first, so abort latency never skews the figure; (2)
+    // log4j is turned OFF before stop() so the aborted batch cannot spew;
+    // (3) stop/awaitTermination failures are swallowed (rps is already
+    // computed); (4) the JSON line prints AFTER spark.stop(), when no
+    // executor or listener thread is left to interleave output.
     val streamSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_SECS", "8").toInt
     val streamRps: Long =
       if (streamSecs <= 0) 0L
-      else {
+      else try {
         val out = java.nio.file.Files.createTempDirectory("benchstream").toString
         @volatile var rows = 0L
         val hooks = new StreamingHooks {
@@ -90,16 +104,21 @@ object Bench {
           trigger = TriggerConfig.ProcessingTime("1 second"),
           hooks = hooks).startStream(spark)
         Thread.sleep(streamSecs * 1000L)
-        q.stop()
-        q.awaitTermination()
-        math.round(rows / ((System.nanoTime() - t0) / 1e9))
-      }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        val measuredRows = rows
+        spark.sparkContext.setLogLevel("OFF")
+        try { q.stop(); q.awaitTermination() } catch { case _: Throwable => () }
+        math.round(measuredRows / elapsed)
+      } catch { case _: Throwable => 0L }
     def fmt(v: Double) = "%.3f".format(v)
     val qs = results.sortBy(_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","stream_rows_per_sec":$streamRps,"value":${fmt(total)}}""")
+    val line = s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","stream_rows_per_sec":$streamRps,"value":${fmt(total)}}"""
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
