@@ -464,10 +464,23 @@ object Curation {
   def dedupSemanticKmeans(
       s: SparkSession, dir: String,
       threshold: Double = SemThreshold, k: Int = NumCentroids): DataFrame = {
-    val qpath = cachedQuantizerPath(dir, k)
-    if (!new java.io.File(s"$qpath/_SUCCESS").exists())
-      writeSemanticQuantizer(s, dir, qpath, k)
+    val qpath = cachedQuantizerPath(dir, k, corpusFingerprint(s, dir))
+    if (!new java.io.File(s"$qpath/_SUCCESS").exists()) {
+      // race-safe publish: train into a private dir, then atomically
+      // rename into place. Training is deterministic, so a concurrent
+      // session losing the rename race discards a bit-identical copy.
+      val tmp = qpath + "_w" + java.util.UUID.randomUUID().toString.take(8)
+      writeSemanticQuantizer(s, dir, tmp, k)
+      if (!new java.io.File(tmp).renameTo(new java.io.File(qpath)))
+        deleteRecursively(new java.io.File(tmp))
+    }
     dedupSemanticFrozen(s, dir, qpath, threshold)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Train the Lloyd's quantizer on a corpus's embeddings and persist
@@ -524,14 +537,32 @@ object Curation {
       .select(col("vec_id"), col("v"), col("cluster"))
   }
 
-  /** Quantizer cache location for the registered query form: one frozen
-    * model per (corpus dir, k), under the JVM temp root — the driver and
-    * bench invoke queries as (SparkSession, dir) pairs, so the first
-    * invocation trains and every later one applies.
+  /** Cheap content fingerprint of a corpus's embeddings: row count plus
+    * an order-independent sum of per-row murmur hashes, in one bounded
+    * 1-row aggregate. Rewriting the corpus IN PLACE — even with the same
+    * row count and ids — changes the fingerprint, so a cached quantizer
+    * can never silently outlive the data it was trained on (the /tmp
+    * cache survives JVM restarts, so a path-only key could).
     */
-  private def cachedQuantizerPath(dir: String, k: Int): String = {
+  private[graft] def corpusFingerprint(s: SparkSession, dir: String): String = {
+    val r = t(s, dir, "embeddings")
+      .agg(count(lit(1)),
+        coalesce(sum(hash(col("vec_id"), col("embedding")).cast("long")),
+          lit(0L)))
+      .head()
+    s"${r.getLong(0)}x${java.lang.Long.toHexString(r.getLong(1))}"
+  }
+
+  /** Quantizer cache location for the registered query form: one frozen
+    * model per (corpus dir, k, corpus fingerprint), under the JVM temp
+    * root — the driver and bench invoke queries as (SparkSession, dir)
+    * pairs, so the first invocation trains and every later one applies;
+    * a corpus rewrite shifts the fingerprint and forces a retrain.
+    */
+  private[graft] def cachedQuantizerPath(dir: String, k: Int, fp: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val tag = md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val tag = md.digest(s"$dir|$fp".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
     s"${System.getProperty("java.io.tmpdir")}/graft_semquant_${tag}_k$k"
   }
 
@@ -619,12 +650,18 @@ object Curation {
     import s.implicits._
     val assign = assignClusters(s, dir).select($"vec_id", $"cluster")
     val counts = assign.groupBy($"cluster").agg(count(lit(1)).as("n_vecs"))
+    // cutoff clamped to >= 1: a cluster more than 65536x the smallest
+    // would otherwise floor to 0 and be DROPPED rather than downsampled
+    // — the clamp keeps ~1/65536 of such a cluster, preserving the
+    // "every cluster survives, downsampled" contract on pathologically
+    // imbalanced corpora. Mirrored in the DuckDB oracle.
     val cut = counts
       .crossJoin(broadcast(counts.agg(min($"n_vecs").as("min_cluster"))))
       .withColumn("cutoff",
-        floor(least(lit(1.0),
-          $"min_cluster".cast("double") / $"n_vecs".cast("double")) * 65536.0)
-          .cast("long"))
+        greatest(lit(1L),
+          floor(least(lit(1.0),
+            $"min_cluster".cast("double") / $"n_vecs".cast("double")) * 65536.0)
+            .cast("long")))
     val kept = assign.join(broadcast(cut.select($"cluster", $"cutoff")), "cluster")
       .filter($"cutoff" >= 65536L ||
         substring(md5($"vec_id".cast("string")), 1, 4) <
@@ -1150,9 +1187,10 @@ object Curation {
       cut AS (
         SELECT cluster, n_vecs,
           (SELECT MIN(n_vecs) FROM counts) AS min_cluster,
-          CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
-            CAST((SELECT MIN(n_vecs) FROM counts) AS DOUBLE)
-              / CAST(n_vecs AS DOUBLE)) * 65536.0) AS BIGINT) AS cutoff
+          GREATEST(CAST(1 AS BIGINT),
+            CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+              CAST((SELECT MIN(n_vecs) FROM counts) AS DOUBLE)
+                / CAST(n_vecs AS DOUBLE)) * 65536.0) AS BIGINT)) AS cutoff
         FROM counts),
       kept AS (
         SELECT a.cluster, a.vec_id

@@ -213,7 +213,11 @@ object Similarity {
       .localCheckpoint(true)
     var cents: Array[Array[Double]] =
       ds.orderBy(col("vec_id").asc).limit(k).collect().map(_._2)
-    val meanUdaf = udaf(new graft.functions.VectorMeanAggregator(64))
+    // buffer width = the corpus's actual dimensionality (the init
+    // centroids are real vectors) — a hardcoded width would pad
+    // centroids on narrower corpora and overrun assignEuclidean
+    val dim = if (cents.nonEmpty) cents(0).length else 0
+    val meanUdaf = udaf(new graft.functions.VectorMeanAggregator(dim))
     var prevAssign: DataFrame = null
     var it = 0
     var converged = false

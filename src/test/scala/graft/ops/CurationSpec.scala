@@ -503,4 +503,76 @@ class CurationSpec extends SparkSpec {
     }
     assert(got.map(_.getLong(1)).sum == comp.length)
   }
+
+  test("semantic quantizer cache: in-place corpus rewrite retrains, identical corpus hits") {
+    val work = java.nio.file.Files.createTempDirectory("graft-quantcache").toString
+    // same path, same vec_ids, same row count across rewrites — only the
+    // embedding VALUES change, the exact case a path-keyed cache misses
+    def writeCorpus(seed: Int): Unit =
+      (0 until 40).map { i =>
+        val r = new scala.util.Random(seed * 1000 + i)
+        (i.toLong, Array.fill(8)(r.nextFloat()))
+      }.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    writeCorpus(1)
+    val fp1 = Curation.corpusFingerprint(spark, work)
+    assert(Curation.corpusFingerprint(spark, work) == fp1,
+      "fingerprint is deterministic over an unchanged corpus")
+    val p1 = Curation.cachedQuantizerPath(work, 4, fp1)
+    Curation.dedupSemanticKmeans(spark, work, k = 4)
+    val success1 = new java.io.File(s"$p1/_SUCCESS")
+    assert(success1.exists(), "first invocation trains and publishes the quantizer")
+    val mtime1 = success1.lastModified()
+    Curation.dedupSemanticKmeans(spark, work, k = 4)
+    assert(success1.lastModified() == mtime1,
+      "unchanged corpus must hit the cache, not retrain")
+    writeCorpus(2)
+    val fp2 = Curation.corpusFingerprint(spark, work)
+    assert(fp2 != fp1,
+      "a content rewrite shifts the fingerprint even with identical ids and row count")
+    val p2 = Curation.cachedQuantizerPath(work, 4, fp2)
+    assert(p2 != p1)
+    Curation.dedupSemanticKmeans(spark, work, k = 4)
+    assert(new java.io.File(s"$p2/_SUCCESS").exists(),
+      "rewritten corpus must retrain under the new fingerprint key")
+  }
+
+  // ---- ScalaCheck: broadcast-kernel and join removal paths agree ----
+
+  private def forAllSampled[T](gen: org.scalacheck.Gen[T], n: Int)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)).foreach(body)
+    }
+
+  test("ScalaCheck: cleanChunksJoin == cleanChunks on adversarially overlapping corpora") {
+    import org.scalacheck.Gen
+    // tiny vocabulary → the same chunk text recurs across and WITHIN
+    // documents (repeat occurrences at different chunk_idx are the join
+    // path's hard case), and whole documents collapse to all-boilerplate
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val genDoc = for {
+      n <- Gen.choose(0, 40)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val genCase = for {
+      nDocs <- Gen.choose(3, 10)
+      texts <- Gen.listOfN(nDocs, genDoc)
+      width <- Gen.oneOf(1, 2, 3, 8)
+    } yield (texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }, width)
+    forAllSampled(genCase, n = 8) { case (docsSeq, width) =>
+      val docs = docsSeq.toDF("doc_id", "text")
+      val freqDf = Curation.frequentChunkHashes(docs, width, minDocs = 2)
+        .localCheckpoint(eager = true)
+      val freqSet = freqDf.collect().map(_.getString(0)).toSet
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val viaKernel = Curation.cleanChunks(docs, freqSet, width)
+        .collect().map(key).sortBy(_._1).toSeq
+      val viaJoin = Curation.cleanChunksJoin(docs, freqDf, width)
+        .collect().map(key).sortBy(_._1).toSeq
+      assert(viaKernel == viaJoin,
+        s"paths diverged at width=$width:\n kernel=$viaKernel\n join=$viaJoin")
+    }
+  }
 }
