@@ -32,7 +32,17 @@ object TrainingDataPipeline {
       input: Long, afterQuality: Long, afterExact: Long, afterNearDup: Long,
       bySplit: Map[String, Long])
 
-  def run(spark: SparkSession, sfDir: String, outDir: String): Summary = {
+  /** `editDistVerified = false`: near-dup stage = MinHash-LSH pairs →
+    * components → keep each cluster's min-id canonical (the fast path).
+    * `true`: the full production chain with a stricter verifier and a
+    * smarter survivor policy — shingle-blocked candidates verified by
+    * bounded edit distance ([[Dedup.dedupEditDistanceOf]]) → connected
+    * components → longest-document representatives
+    * ([[graft.ops.Curation.dedupRepresentativesOf]]). Same plan skeleton,
+    * only the verify kernel and the per-component keep rule change.
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      editDistVerified: Boolean = false): Summary = {
     val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val input = docs.count()
 
@@ -53,19 +63,41 @@ object TrainingDataPipeline {
       .filter(col("__rk") === 1).drop("__h", "__rk")
     val nExact = canonicalExact.count()
 
-    // 3. near-dup removal: LSH pairs on the survivors → components →
-    //    drop every doc whose component id isn't itself
-    val sets = Dedup.shingleSetsOf(canonicalExact).cache()
-    val pairs = {
-      val buckets = Dedup.lshBucketsFused(sets)
-      Dedup.verifyJaccardSets(Dedup.candidatePairs(buckets), sets, 0.8)
-    }
-    val dupIds = Dedup.connectedComponents(pairs)
-      .filter(col("doc_id") =!= col("component_id"))
-      .select(col("doc_id"))
-    val kept = canonicalExact.join(dupIds, Seq("doc_id"), "left_anti")
+    // 3. near-dup removal. Fast path: LSH pairs on the survivors →
+    //    components → drop every doc whose component id isn't itself.
+    //    Edit-distance-verified path: blocked candidates verified by
+    //    bounded Levenshtein, then keep each component's LONGEST member
+    //    (ties to the lowest doc_id) via the representative policy.
+    val kept =
+      if (editDistVerified) {
+        val pairs = Dedup.dedupEditDistanceOf(canonicalExact)
+          .select(col("a"), col("b"))
+        val comps = Dedup.connectedComponents(pairs)
+        val reps = graft.ops.Curation.dedupRepresentativesOf(
+          comps,
+          canonicalExact.select(
+            col("doc_id"), length(col("text")).as("n_chars")))
+        // docs in no component survive untouched; each component keeps
+        // exactly its representative
+        canonicalExact
+          .join(comps.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(canonicalExact.join(
+            reps.select(col("rep_doc_id").as("doc_id")),
+            Seq("doc_id"), "left_semi"))
+      } else {
+        val sets = Dedup.shingleSetsOf(canonicalExact).cache()
+        try {
+          val buckets = Dedup.lshBucketsFused(sets)
+          val pairs =
+            Dedup.verifyJaccardSets(Dedup.candidatePairs(buckets), sets, 0.8)
+          val dupIds = Dedup.connectedComponents(pairs)
+            .filter(col("doc_id") =!= col("component_id"))
+            .select(col("doc_id"))
+          canonicalExact.join(dupIds, Seq("doc_id"), "left_anti")
+            .localCheckpoint(eager = true)
+        } finally { sets.unpersist(); () }
+      }
     val nKept = kept.count()
-    sets.unpersist()
 
     // 4+5. deterministic split, partitioned write
     val split = Sampling.hashSplit(kept, "doc_id")

@@ -388,13 +388,32 @@ object Dedup {
     * doc_id keys, so no skew; the corpus is ASCII, where Spark's
     * char-based and DuckDB's byte-based levenshtein agree (the operator
     * itself is encoding-agnostic).
+    *
+    * Oracle scope: the registered DuckDB oracle replays the DEFAULT
+    * parameters (minShared=4, maxDocFreq=100, maxDistFrac=0.25) —
+    * non-default invocations are gated by the ScalaCheck kernel
+    * property in OpsSpec (blocked+prefiltered+bounded DP == naive
+    * unbounded reference), not by the oracle.
     */
   def dedupEditDistance(
       s: SparkSession, dir: String,
       minShared: Long = 4L, maxDistFrac: Double = 0.25,
       maxDocFreq: Int = 100): DataFrame = {
     import s.implicits._
-    val docs = graft.Tables.t(s, dir, "documents").select($"doc_id", $"text")
+    dedupEditDistanceOf(
+      graft.Tables.t(s, dir, "documents").select($"doc_id", $"text"),
+      minShared, maxDistFrac, maxDocFreq)
+  }
+
+  /** [[dedupEditDistance]] over an arbitrary (doc_id, text) frame — the
+    * form the ScalaCheck kernel property drives with generated corpora.
+    */
+  def dedupEditDistanceOf(
+      docs: DataFrame,
+      minShared: Long = 4L, maxDistFrac: Double = 0.25,
+      maxDocFreq: Int = 100): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     val sh = shingledOf(docs)
     // df cap (the dedupNgramJaccard guard): a stop-shingle in a million
     // docs would alone contribute 10^12 candidate pairs — drop shingles
@@ -423,7 +442,10 @@ object Dedup {
     //     budget is <= the global bound, so -1 rows are exactly the
     //     rows the per-row filter would drop anyway. The corpus-max
     //     scalar is one bounded 1-row aggregate.
-    val maxLenAll = docs.agg(max(length($"text"))).head.getInt(0)
+    // max over zero rows is null — an empty corpus must yield an empty
+    // result, not an NPE (thr falls back to 1; cand is empty anyway)
+    val maxRow = docs.agg(max(length($"text"))).head
+    val maxLenAll = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
     val thr = math.max(1, math.floor(maxDistFrac * maxLenAll).toInt)
     cand
       .join(docs.select($"doc_id".as("a"), $"text".as("ta")), "a")

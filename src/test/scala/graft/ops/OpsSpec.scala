@@ -170,6 +170,109 @@ class DedupSpec extends SparkSpec {
     assert(comp.size == 200)
     assert(comp.values.forall(_ == 0L), "whole path must collapse to node 0")
   }
+
+  test("edit-distance dedup: empty corpus yields an empty result, not an NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.dedupEditDistanceOf(empty).count() == 0L)
+  }
+
+  // ---- ScalaCheck: the edit-distance kernel's two cost cuts are lossless ----
+
+  /** Plain unbounded Levenshtein — the naive reference the bounded
+    * kernel must match (no length-gap prefilter, no early-exit bound).
+    */
+  private def levNaive(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    var i = 1
+    while (i <= a.length) {
+      var prev = dp(0); dp(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+        prev = cur
+        j += 1
+      }
+      i += 1
+    }
+    dp(b.length)
+  }
+
+  /** The operator's CONTRACT replayed naively: candidates = pairs
+    * sharing >= minShared rare (df <= maxDocFreq) distinct word-trigram
+    * fnv shingles; verify = UNBOUNDED Levenshtein <= maxDistFrac × the
+    * longer length. The Spark form adds the length-gap prefilter and the
+    * threshold-bounded early-exit DP — both argued lossless in
+    * Dedup.scala; this reference contains neither, so any divergence is
+    * a broken argument.
+    */
+  private def editDistRef(
+      docs: Seq[(Long, String)], minShared: Long, maxDistFrac: Double,
+      maxDocFreq: Int): Seq[(Long, Long, Long, Long)] = {
+    def shingleSet(t: String): Set[Long] = {
+      val ws = t.trim.split("\\s+").filter(_.nonEmpty)
+      (0 to ws.length - 3)
+        .map(i => Dedup.fnv64(ws.slice(i, i + 3).mkString(" "))).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val df = sh.values.toSeq.flatten.groupBy(identity).map { case (h, xs) => h -> xs.size }
+    val rare = sh.map { case (id, st) => id -> st.filter(h => df(h) <= maxDocFreq) }
+    (for {
+      (a, ta) <- docs
+      (b, tb) <- docs
+      if a < b && (rare(a) & rare(b)).size >= minShared
+      maxLen = math.max(ta.length, tb.length)
+      d = levNaive(ta, tb)
+      if d.toDouble <= maxDistFrac * maxLen.toDouble
+    } yield (a, b, d.toLong, maxLen.toLong)).sortBy(p => (p._1, p._2))
+  }
+
+  private def forAllSampled[T](gen: org.scalacheck.Gen[T], n: Int)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)).foreach(body)
+    }
+
+  test("ScalaCheck: blocked+prefiltered+bounded-DP editdist equals the naive unbounded reference") {
+    import org.scalacheck.Gen
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    val genDoc = for {
+      n <- Gen.choose(6, 14)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    // mutate: k in-place char substitutions — near-dups the length-gap
+    // prefilter must NOT kill and the bounded DP must still admit
+    def mutate(t: String): Gen[String] = for {
+      k <- Gen.choose(1, 3)
+      ps <- Gen.listOfN(k, Gen.choose(0, t.length - 1))
+      cs <- Gen.listOfN(k, Gen.alphaLowerChar)
+    } yield ps.zip(cs).foldLeft(t) { case (acc, (p, c)) => acc.updated(p, c) }
+    val genCorpus = for {
+      nBase <- Gen.choose(3, 5)
+      bases <- Gen.listOfN(nBase, genDoc)
+      twins <- Gen.sequence[List[String], String](bases.map(mutate))
+      minShared <- Gen.oneOf(2L, 4L)
+      maxDistFrac <- Gen.oneOf(0.2, 0.25, 0.4)
+      maxDocFreq <- Gen.oneOf(3, 100)
+    } yield {
+      val docs = (bases ++ twins).zipWithIndex
+        .map { case (t, i) => ((i + 1).toLong, t) }
+      (docs, minShared, maxDistFrac, maxDocFreq)
+    }
+    forAllSampled(genCorpus, n = 6) { case (docs, minShared, maxDistFrac, maxDocFreq) =>
+      val got = Dedup
+        .dedupEditDistanceOf(docs.toDF("doc_id", "text"),
+          minShared, maxDistFrac, maxDocFreq)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      val want = editDistRef(docs, minShared, maxDistFrac, maxDocFreq)
+      assert(got == want,
+        s"kernel diverged (minShared=$minShared frac=$maxDistFrac df=$maxDocFreq):\n got=$got\nwant=$want")
+    }
+  }
 }
 
 class SamplingSpec extends SparkSpec {
