@@ -56,6 +56,12 @@ object StreamingCuration {
     val setsDir = s"$stateDir/corpus_sets"
     val haveCorpus = new java.io.File(docsDir).exists()
 
+    // 0: per-source profile state — the incoming batch's volume, dup
+    // and short-doc counts fold into profile_texts BEFORE any curation
+    // stage, so the accumulated profile describes what ARRIVED (the
+    // health signal a pipeline alerts on), not what survived
+    mergeProfileState(spark, stateDir, batch)
+
     // 1–2: redact, gate
     val clean = qualityGate(
       batch.select($"doc_id", TextAnalysis.redactPii($"text").as("text")))
@@ -285,6 +291,60 @@ object StreamingCuration {
         .groupBy($"h").agg(sum($"nd").as("nd"))
     val frozen = merged.localCheckpoint(eager = true)
     frozen.write.mode("overwrite").parquet(freqDir)
+  }
+
+  /** Fold a batch into the persistent per-source profile state
+    * `profile_texts(source, m, n, tokens, short)` — one row per
+    * (source, text-md5) with additive doc/token/short-doc counts. Every
+    * [[graft.ops.Curation.taProfile]] metric is derivable from it
+    * EXACTLY: n_docs = Σn, total_tokens = Σtokens, distinct_texts =
+    * row count, dup_docs = Σn − rows, short_docs = Σshort — so corpus
+    * health stays monitorable per batch without ever rescanning the
+    * corpus (the [[mergeChunkFreq]] pattern; doc rows never accumulate,
+    * only the md5-keyed counts do). Batches without a `source` column
+    * profile under the single source "stream".
+    */
+  def mergeProfileState(spark: SparkSession, stateDir: String, batch: DataFrame): Unit = {
+    import spark.implicits._
+    val dir = s"$stateDir/profile_texts"
+    val src =
+      if (batch.columns.contains("source")) col("source") else lit("stream")
+    val rows = batch
+      .select(src.as("source"), md5(col("text")).as("m"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .groupBy($"source", $"m")
+      .agg(count(lit(1)).as("n"), sum($"n_tokens").as("tokens"),
+        sum(when($"n_tokens" < 5L, 1L).otherwise(0L)).as("short"))
+    val merged =
+      if (!new java.io.File(dir).exists()) rows
+      else spark.read.parquet(dir).unionByName(rows)
+        .groupBy($"source", $"m")
+        .agg(sum($"n").as("n"), sum($"tokens").as("tokens"),
+          sum($"short").as("short"))
+    // materialize before the overwrite — the merge reads the table it
+    // replaces (the mergeChunkFreq read-your-own-write hazard)
+    val frozen = merged.localCheckpoint(eager = true)
+    frozen.write.mode("overwrite").parquet(dir)
+  }
+
+  /** The accumulated profile, shaped exactly like
+    * [[graft.ops.Curation.taProfile]] (same columns, same types, same
+    * ordering): integer metrics aggregate exactly from the state table
+    * and mean_tokens is the same two-integer IEEE division, so after N
+    * batches this EQUALS the batch profile of their concatenation
+    * (spec-pinned in StreamingCurationSpec).
+    */
+  def profileFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$stateDir/profile_texts")
+      .groupBy($"source")
+      .agg(sum($"n").as("n_docs"), sum($"tokens").as("total_tokens"),
+        count(lit(1)).as("distinct_texts"), sum($"short").as("short_docs"))
+      .select($"source", $"n_docs", $"total_tokens", $"distinct_texts",
+        ($"n_docs" - $"distinct_texts").as("dup_docs"), $"short_docs",
+        ($"total_tokens".cast("double") / $"n_docs".cast("double"))
+          .as("mean_tokens"))
+      .orderBy("source")
   }
 
   /** Score documents against the ACCUMULATED chunk-frequency state:

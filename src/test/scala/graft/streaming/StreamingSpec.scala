@@ -424,6 +424,37 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingCuration.bloomCapacity(state).contains(6L))
   }
 
+  test("incremental profile state equals the batch taProfile after N batches") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val state = Files.createTempDirectory("graft-profile").resolve("s").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    // the corpus arrives as 3 disjoint batches; the md5-keyed state must
+    // merge duplicate texts landing in DIFFERENT batches correctly
+    (0 until 3).foreach { i =>
+      StreamingCuration.mergeProfileState(spark, state,
+        docs.filter(pmod($"doc_id", lit(3)) === i))
+    }
+    val got = StreamingCuration.profileFromState(spark, state).collect()
+    val want = graft.ops.Curation.taProfile(spark, sfDir).collect()
+    assert(got.length == want.length && want.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"incremental profile diverged: $g != $w")
+    }
+    // processBatch wires the state update: a source-less stream batch
+    // profiles under the single source "stream"
+    val st2 = Files.createTempDirectory("graft-profile2").resolve("s").toString
+    StreamingCuration.processBatch(spark,
+      Seq((1L, "a document with plenty of ordinary tokens to clear the quality gate"),
+        (2L, "tiny doc"))
+        .toDF("doc_id", "text"), st2)
+    val p2 = StreamingCuration.profileFromState(spark, st2).collect()
+    assert(p2.length == 1 && p2.head.getString(0) == "stream")
+    assert(p2.head.getLong(1) == 2L,
+      "profile counts what ARRIVED (pre-gate), not what survived")
+    assert(p2.head.getLong(5) == 1L, "the 2-token doc counts as short")
+  }
+
   test("streaming IVF ingestion: micro-batches append against the frozen quantizer") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
