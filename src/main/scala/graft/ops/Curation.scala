@@ -321,6 +321,101 @@ object Curation {
     sb.toString
   }
 
+  // ---- exact repeated-substring removal (ExactSubstr-style) ----
+
+  val SubstrWindow = 8
+
+  /** Cross-document repeated-span removal: every sliding `k`-token
+    * window that occurs verbatim in `minDocs`+ distinct documents marks
+    * its tokens; per document the marked windows are merged into maximal
+    * spans and those tokens removed. This is the exact-substring dedup
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (2022), §4.1 (suffix-array ExactSubstr), re-expressed as a
+    * window-hash inverted index: a shared passage of L >= k tokens
+    * produces L-k+1 overlapping marked windows that merge back into ONE
+    * span covering exactly its L tokens — same spans as the
+    * suffix-array formulation for any duplicate of length >= k, without
+    * the non-distributable global suffix sort.
+    *
+    * Distinct from [[taBoilerplate]] (fixed non-overlapping chunks:
+    * misses duplicates straddling a chunk boundary or offset by one
+    * token) and [[taIntradoc]] (within-document repeats only).
+    *
+    * 100 TB shape: the window table is ~n_tokens rows/doc — the same
+    * inverted index every shingle operator here builds; the df count is
+    * one hash-partitioned aggregate with map-side partials; the
+    * mark-back join carries (hash, doc_id, pos) only; the per-doc
+    * regroup is bounded by document length. A site-wide hot passage
+    * skews its hash's join bucket — AQE skew-join splits it, and the
+    * occurrences must all be marked anyway (they are the operator's
+    * output, not waste).
+    */
+  def taExactSubstr(
+      s: SparkSession, dir: String, k: Int = SubstrWindow,
+      minDocs: Int = BoilerMinDocs): DataFrame =
+    exactSubstrOf(t(s, dir, "documents"), k, minDocs)
+
+  /** [[taExactSubstr]] over an arbitrary (doc_id, text, …) frame. */
+  def exactSubstrOf(
+      docsIn: DataFrame, k: Int = SubstrWindow,
+      minDocs: Int = BoilerMinDocs): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val docs = docsIn.select($"doc_id", $"text").as[(Long, String)]
+    val wins = docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < k) Iterator.empty
+        else (0 to toks.length - k).iterator.map { p0 =>
+          (id, (p0 + 1).toLong, md5Hex(md, toks.slice(p0, p0 + k).mkString(" ")))
+        }
+      }
+    }.toDF("doc_id", "p", "h")
+    val dup = wins.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= minDocs).select($"h")
+    val marks = wins.join(dup, "h")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"p")).as("ps"))
+    docs.toDF("doc_id", "text")
+      .join(marks, Seq("doc_id"), "left")
+      .select($"doc_id", $"text",
+        coalesce($"ps", array().cast("array<bigint>")).as("ps"))
+      .as[(Long, String, Seq[Long])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text, ps) =>
+          val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+          val n = toks.length
+          val covered = new Array[Boolean](n)
+          ps.foreach { p =>
+            var i = p.toInt - 1
+            val end = math.min(n, p.toInt - 1 + k)
+            while (i < end) { covered(i) = true; i += 1 }
+          }
+          var nSpans = 0L
+          var nRemoved = 0L
+          val kept = new java.lang.StringBuilder
+          var i = 0
+          while (i < n) {
+            if (covered(i)) {
+              nRemoved += 1L
+              if (i == 0 || !covered(i - 1)) nSpans += 1L
+            } else {
+              if (kept.length > 0) kept.append(' ')
+              kept.append(toks(i))
+            }
+            i += 1
+          }
+          (id, n.toLong, nSpans, nRemoved, md5Hex(md, kept.toString))
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_spans", "n_removed", "clean_md5")
+      .filter($"n_tokens" > 0L)
+      .orderBy("doc_id")
+  }
+
   // ---- clustered semantic dedup (SemDeDup-style) ----
 
   val NumCentroids = 8
@@ -1009,6 +1104,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_boilerplate" -> ((s, d) => taBoilerplate(s, d)),
     "ta_intradoc" -> ((s, d) => taIntradoc(s, d)),
+    "ta_exact_substr" -> ((s, d) => taExactSubstr(s, d)),
     "ta_profile" -> taProfile,
     "ta_ngram_top" -> ((s, d) => taNgramTop(s, d)),
     "ta_familiarity" -> taFamiliarity,
@@ -1143,6 +1239,50 @@ object Curation {
         t.n_chunks - a.n_uniq AS n_removed, a.clean_md5
       FROM tot t JOIN agg a ON t.doc_id = a.doc_id
       ORDER BY t.doc_id""",
+    "ta_exact_substr" -> s"""
+      WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS tk
+        FROM documents),
+      base AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+      wins AS (
+        SELECT doc_id, p,
+          md5(array_to_string(tk[p : p + $SubstrWindow - 1], ' ')) AS h
+        FROM base, UNNEST(range(1, n - $SubstrWindow + 2)) AS u(p)
+        WHERE n >= $SubstrWindow),
+      dup AS (
+        SELECT h FROM wins GROUP BY h
+        HAVING count(DISTINCT doc_id) >= $BoilerMinDocs),
+      cover AS (
+        SELECT DISTINCT w.doc_id, t AS pos
+        FROM wins w JOIN dup d ON w.h = d.h,
+          UNNEST(range(w.p, w.p + $SubstrWindow)) AS u(t)),
+      runs AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos - 1 = lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+               THEN 0 ELSE 1 END AS brk
+        FROM cover),
+      per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed,
+               CAST(sum(brk) AS BIGINT) AS n_spans
+        FROM runs GROUP BY doc_id),
+      clean AS (
+        SELECT b.doc_id,
+          md5(coalesce(
+            string_agg(b.tk[u.p], ' ' ORDER BY u.p)
+              FILTER (WHERE c.pos IS NULL), '')) AS clean_md5
+        FROM base b
+        CROSS JOIN UNNEST(range(1, b.n + 1)) AS u(p)
+        LEFT JOIN cover c ON c.doc_id = b.doc_id AND c.pos = u.p
+        GROUP BY b.doc_id)
+      SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+        coalesce(p.n_spans, 0) AS n_spans,
+        coalesce(p.n_removed, 0) AS n_removed,
+        c.clean_md5
+      FROM base b
+      LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+      JOIN clean c ON b.doc_id = c.doc_id
+      ORDER BY b.doc_id""",
     "ta_boilerplate" -> s"""
       WITH toks AS (
         SELECT doc_id,

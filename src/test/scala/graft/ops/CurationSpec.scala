@@ -127,6 +127,38 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == ((2L, 1L, md5hex(block("x")))))
   }
 
+  test("exact-substr: shared passages merge to one span; offsets and boundaries don't hide them") {
+    val k = Curation.SubstrWindow
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val shared = words("dup", k + 4) // 12 tokens: k+4 overlapping windows -> ONE span
+    val docs = Seq(
+      // the shared passage sits at a different token OFFSET in each doc
+      // (1 vs 3 leading tokens), so the fixed-chunk boilerplate pass
+      // would hash different chunks and miss it — the window form can't
+      (1L, s"lead1 $shared ${words("tail", 6)}"),
+      (2L, s"pre1 pre2 pre3 $shared ${words("end", 5)}"),
+      (3L, words("uniq", 20)),                       // nothing shared
+      (4L, s"${words("solo", 4)} ${words("solo", 4)}"), // intra-doc repeat ONLY: 2 distinct docs required
+      (5L, "short doc"))                              // < k tokens: no windows
+      .toDF("doc_id", "text")
+    val out = Curation.exactSubstrOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((1L + (k + 4L) + 6L, 1L, k + 4L,
+      md5hex(s"lead1 ${words("tail", 6)}"))),
+      "doc 1: the k+4-token passage merges to one span, exactly its tokens removed")
+    assert(out(2L) == ((3L + (k + 4L) + 5L, 1L, k + 4L,
+      md5hex(s"pre1 pre2 pre3 ${words("end", 5)}"))),
+      "doc 2: same passage at a different offset, same single span")
+    assert(out(3L)._3 == 0L, "unshared text untouched")
+    assert(out(4L)._3 == 0L,
+      "a repeat within ONE doc is not cross-doc duplication (minDocs=2 distinct docs)")
+    assert(out(5L) == ((2L, 0L, 0L, md5hex("short doc"))),
+      "sub-window docs have no windows and survive whole")
+  }
+
   test("boilerplate: join path == kernel path when the frequent set exceeds the budget") {
     val docs = graft.Tables.t(spark, sfDir, "documents").select($"doc_id", $"text")
     val frequent = Curation.frequentChunkHashes(docs)
