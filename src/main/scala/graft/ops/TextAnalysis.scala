@@ -384,7 +384,94 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- BM25 ranked retrieval ----
+
+  /** Default retrieval query for the registered form: one rare corpus
+    * term (high idf) plus three common ones — exercises the idf spread.
+    */
+  val Bm25Query = "dup hash join stream"
+  val Bm25TopN = 50
+
+  /** BM25 top-n retrieval over the documents table — the
+    * relevance-selection primitive of a training-data pipeline ("find
+    * the documents most like this topic probe"). Okapi BM25 with
+    * k1 = 6/5 and b = 3/4 kept as EXACT RATIONALS, and the
+    * Robertson–Sparck-Jones idf ratio (2N−2df+1)/(2df+1) WITHOUT the
+    * usual ln() damping: every per-term contribution is then one IEEE
+    * division of two exact integer products, and the per-doc score a
+    * fixed left-to-right fold over query-term order — bit-reproducible
+    * in any engine (the ln form mixes libm implementations; the
+    * rational idf is the same monotone-in-df ordering per term). The
+    * closed form per (term, doc):
+    *   (2N−2df+1)·44·tf·T / ((2df+1)·(20·tf·T + 6·T + 18·dl·N))
+    * where N = docs, T = total tokens, dl = doc length (so avgdl = T/N;
+    * 44/20 = (k1+1)·k1-free scaling, 6/20 = k1(1−b), 18/20 = k1·b).
+    * Products stay exact in Long up to ~2^63 — holds through bench
+    * scales; a 100 TB deployment flips the noted double-product form.
+    *
+    * 100 TB shape: one kernel pass computes (dl, tf-vector) per doc —
+    * only that skinny projection ever shuffles or persists; corpus
+    * stats and per-term dfs are TWO bounded 1-row aggregates; scoring
+    * is a map with the (N, T, df[]) closure; top-n compiles to
+    * TakeOrderedAndProject (no global sort materialization).
+    */
+  def taBm25(
+      s: SparkSession, dir: String, query: String = Bm25Query,
+      n: Int = Bm25TopN): DataFrame =
+    bm25Of(t(s, dir, "documents"), query, n)
+
+  /** [[taBm25]] over an arbitrary (doc_id, text, …) frame. */
+  def bm25Of(docsIn: DataFrame, query: String, n: Int): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val terms: Array[String] =
+      query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+    val k = terms.length
+    require(k > 0, "bm25 needs at least one query term")
+    val base = docsIn.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+          val tfs = new Array[Long](k)
+          toks.foreach { tk =>
+            var i = 0
+            while (i < k) { if (terms(i) == tk) tfs(i) += 1L; i += 1 }
+          }
+          (id, toks.length.toLong, tfs.toSeq)
+        }
+      }
+      .toDF("doc_id", "dl", "tfs")
+      .filter($"dl" > 0L)
+      .localCheckpoint(eager = true) // skinny (id, dl, k ints): one text scan feeds all three passes
+    val statsRow = base.agg(
+      count(lit(1)), sum($"dl"),
+      array((0 until k).map(i =>
+        sum(when(element_at($"tfs", i + 1) > 0L, 1L).otherwise(0L))): _*))
+      .head()
+    val nd = statsRow.getLong(0)
+    val tt = statsRow.getLong(1)
+    val dfs = statsRow.getSeq[Long](2).toArray
+    base.as[(Long, Long, Seq[Long])]
+      .map { case (id, dl, tfs) =>
+        var score = 0.0
+        var i = 0
+        while (i < k) {
+          val tf = tfs(i)
+          val num = (2L * nd - 2L * dfs(i) + 1L) * 44L * tf * tt
+          val den = (2L * dfs(i) + 1L) *
+            (20L * tf * tt + 6L * tt + 18L * dl * nd)
+          score += num.toDouble / den.toDouble
+          i += 1
+        }
+        (id, dl, score)
+      }
+      .toDF("doc_id", "n_tokens", "score")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(n)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_bm25" -> ((s, d) => taBm25(s, d)),
     "ta_char_diversity" -> taCharDiversity,
     "ta_pii_redact" -> taPiiRedact,
     "ta_repetition" -> taRepetition,
@@ -427,7 +514,43 @@ object TextAnalysis {
       FROM p ORDER BY doc_id"""
   }
 
+  /** The registered query's terms as a DuckDB VALUES list, (1-based
+    * order, term) — the oracle folds contributions in this order, like
+    * the kernel.
+    */
+  private def bm25TermValues: String =
+    Bm25Query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+      .zipWithIndex.map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "ta_bm25" -> s"""
+      WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS tk
+        FROM documents),
+      base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM toks WHERE len(tk) > 0),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS tt
+        FROM base),
+      terms(i, term) AS (VALUES $bm25TermValues),
+      tf AS (
+        SELECT b.doc_id, b.dl, t.i,
+          CAST(len(list_filter(b.tk, x -> x = t.term)) AS BIGINT) AS tf
+        FROM base b CROSS JOIN terms t),
+      dfs AS (
+        SELECT i, CAST(count(*) FILTER (WHERE tf > 0) AS BIGINT) AS df
+        FROM tf GROUP BY i),
+      contrib AS (
+        SELECT f.doc_id, f.i,
+          CAST((2*s.nd - 2*d.df + 1) * 44 * f.tf * s.tt AS DOUBLE) /
+          CAST((2*d.df + 1) * (20*f.tf*s.tt + 6*s.tt + 18*f.dl*s.nd) AS DOUBLE) AS c
+        FROM tf f JOIN dfs d ON f.i = d.i CROSS JOIN stats s),
+      scores AS (
+        SELECT doc_id, list_sum(list(c ORDER BY i)) AS score
+        FROM contrib GROUP BY doc_id)
+      SELECT b.doc_id, b.dl AS n_tokens, sc.score
+      FROM scores sc JOIN base b ON sc.doc_id = b.doc_id
+      ORDER BY sc.score DESC, b.doc_id ASC LIMIT $Bm25TopN""",
     "ta_char_diversity" -> """
       WITH ch AS (
         SELECT doc_id,

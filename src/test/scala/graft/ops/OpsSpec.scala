@@ -462,6 +462,36 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bm25: rare-term docs outrank common-term docs; tf saturates; top-n is a heap, not a sort") {
+    // 10 filler docs give the common term high df and the rare term df=1
+    val filler = (10L to 19L).map(i => (i, "common words everywhere common"))
+    val docs = (Seq(
+      (1L, "needle common words here"),       // the only rare-term doc
+      (2L, "common common common common"),    // tf-stuffed common term
+      (3L, "words words unrelated stuff")) ++ filler)
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.bm25Of(docs, "needle common", 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.length == 5)
+    assert(got.head._1 == 1L,
+      "the df=1 term dominates: its one holder must rank first")
+    val scores = got.map(_._2)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "descending scores")
+    // tf saturation: doc 2 has 4x the common-term tf of each filler doc
+    // but the same length; its advantage must be well under 4x
+    val byId = graft.ops.TextAnalysis.bm25Of(docs, "common", 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId(2L) > byId(10L), "higher tf still scores higher")
+    assert(byId(2L) < 2.5 * byId(10L),
+      s"k1 must saturate tf (got ${byId(2L)} vs ${byId(10L)})")
+    // scale shape: LIMIT compiles to TakeOrderedAndProject
+    val plan = graft.ops.TextAnalysis.bm25Of(docs, "needle", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-n should be a bounded heap, not a global sort:\n$plan")
+  }
+
   test("char diversity: simpson index separates padding from natural text") {
     val docs = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aabb"), (4L, ""))
       .toDF("doc_id", "text")
