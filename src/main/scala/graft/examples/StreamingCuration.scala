@@ -347,6 +347,54 @@ object StreamingCuration {
       .orderBy("source")
   }
 
+  /** Fold a batch into the persistent token-budget mix state — the
+    * incremental form of [[graft.ops.Curation.mixBudgetOf]]. Per
+    * source the batch is filled in the same greedy order (n_chars
+    * desc, doc_id), CONTINUING the source's cumulative run from
+    * `mix_runs(source, run)`; admitted rows append to `mix_selected`
+    * and the run advances by the batch's TOTAL tokens (admitted or
+    * not), exactly like the batch form's prefix-cut semantics — so
+    * when batches arrive in greedy order the accumulated selection is
+    * row-identical to the batch fill of their concatenation
+    * (spec-pinned), and a source that exhausted its budget admits
+    * nothing ever after. Driver state is one bounded #sources-row
+    * collect per batch (the same boundedness as the prefix-sum bases);
+    * selection work is ∝ batch via the shared two-pass kernel.
+    */
+  def mergeMixState(spark: SparkSession, stateDir: String, batch: DataFrame,
+      budget: Long = graft.ops.Curation.MixBudget): DataFrame = {
+    import spark.implicits._
+    val runsDir = s"$stateDir/mix_runs"
+    val selDir = s"$stateDir/mix_selected"
+    val prior: Map[String, Long] =
+      if (!new java.io.File(runsDir).exists()) Map.empty
+      else spark.read.parquet(runsDir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sel = graft.ops.Curation
+      .mixBudgetOf(batch, budget, initialRuns = prior)
+      .localCheckpoint(eager = true)
+    sel.write.mode("append").parquet(selDir)
+    val batchTotals = batch
+      .groupBy($"source")
+      .agg(sum(graft.ops.TextAnalysis.tokenCount($"text")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val runs = (prior.keySet ++ batchTotals.keySet).toSeq.sorted
+      .map(src => (src, prior.getOrElse(src, 0L) + batchTotals.getOrElse(src, 0L)))
+    runs.toDF("source", "run").coalesce(1)
+      .write.mode("overwrite").parquet(runsDir)
+    sel
+  }
+
+  /** The accumulated mix selection, shaped exactly like the batch
+    * [[graft.ops.Curation.mixBudgetOf]] output (cum_tokens continues
+    * across batches).
+    */
+  def mixFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$stateDir/mix_selected")
+      .orderBy($"source", $"cum_tokens")
+  }
+
   /** Score documents against the ACCUMULATED chunk-frequency state:
     * chunks that `minDocs`+ accepted corpus documents contain are
     * stripped (the incremental form of [[graft.ops.Curation.taBoilerplate]] —

@@ -1027,7 +1027,8 @@ object Curation {
     */
   def mixBudgetOf(
       docs: DataFrame, budget: Long = MixBudget,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 32,
+      initialRuns: Map[String, Long] = Map.empty): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // range-partition + sort on the FULL greedy order (source, n_chars
@@ -1050,10 +1051,12 @@ object Curation {
       }
       m.iterator.map { case (src, tot) => (pid, src, tot) }
     }.collect()
-    // base(pid, src) = src's tokens in partitions before pid
+    // base(pid, src) = src's tokens in partitions before pid, seeded
+    // with the caller's prior per-source run (the incremental streaming
+    // form continues a source's greedy fill across batches this way)
     val base: Map[(Int, String), Long] =
       partials.groupBy(_._2).flatMap { case (src, rows) =>
-        var acc = 0L
+        var acc = initialRuns.getOrElse(src, 0L)
         rows.sortBy(_._1).map { case (pid, _, tot) =>
           val entry = ((pid, src), acc)
           acc += tot

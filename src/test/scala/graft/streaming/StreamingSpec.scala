@@ -455,6 +455,41 @@ class StreamingSpec extends SparkSpec {
     assert(p2.head.getLong(5) == 1L, "the 2-token doc counts as short")
   }
 
+  test("incremental mix state equals the batch greedy fill when batches respect the order") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val state = Files.createTempDirectory("graft-mixstate").resolve("s").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    // band the corpus on DISTINCT n_chars values (equal lengths never
+    // split across batches, so batch order extends the greedy
+    // n_chars-desc, doc_id-asc order exactly)
+    val cuts = docs.select($"n_chars").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val (a, b) = (cuts(cuts.length / 3), cuts(2 * cuts.length / 3))
+    val batches = Seq(
+      docs.filter($"n_chars" > b),
+      docs.filter($"n_chars" > a && $"n_chars" <= b),
+      docs.filter($"n_chars" <= a))
+    assert(batches.forall(_.count() > 0), "all three bands must be non-empty")
+    batches.foreach(bt => StreamingCuration.mergeMixState(spark, state, bt))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val got = StreamingCuration.mixFromState(spark, state)
+      .collect().map(key).sortBy(identity).toSeq
+    val want = graft.ops.Curation.mixBudgetOf(docs)
+      .collect().map(key).sortBy(identity).toSeq
+    assert(got == want,
+      "incremental selection must be row-identical (incl. cum_tokens) to the batch fill")
+    // the persisted run covers the WHOLE corpus (admitted or not): an
+    // exhausted source can never admit again
+    val runs = spark.read.parquet(s"$state/mix_runs")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy($"source")
+      .agg(sum(graft.ops.TextAnalysis.tokenCount($"text")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(runs == totals, "state runs must equal per-source corpus token totals")
+  }
+
   test("streaming IVF ingestion: micro-batches append against the frozen quantizer") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
