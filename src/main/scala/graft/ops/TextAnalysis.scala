@@ -470,8 +470,55 @@ object TextAnalysis {
       .limit(n)
   }
 
+  // ---- heavy hitters (sketch + exact verify) ----
+
+  /** Heavy = a token holding more than 1/32 of all corpus tokens. */
+  val HhPhiInv = 32L
+
+  /** 63 counters: the Misra–Gries guarantee then covers every token
+    * with frequency > n/64, a 2x safety margin under the 1/32 report
+    * threshold — no true heavy hitter can be missed.
+    */
+  val HhSketchK = 63
+
+  /** Corpus-wide heavy-hitter tokens by the production sketch-then-
+    * verify pattern: pass 1 folds the corpus into ONE bounded
+    * [[graft.functions.MisraGriesAggregator]] summary per partition
+    * (fixed k counters each — the shuffle carries sketches, never the
+    * full token-count table) whose merged candidate set provably
+    * contains every token with frequency > n/(k+1); pass 2 re-counts
+    * the <= k candidates EXACTLY (broadcast isin filter over the scan)
+    * and thresholds at freq·$HhPhiInv > n in integers. The output is
+    * therefore the exact heavy-hitter set — deterministic and
+    * oracle-gated even though the sketch's candidate set varies with
+    * merge order. At 100 TB pass 2 touches only rows matching <= k
+    * tokens; the exact GROUP BY the oracle runs would shuffle the
+    * whole vocabulary instead.
+    */
+  def taHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHittersOf(t(s, dir, "documents"))
+
+  /** [[taHeavyHitters]] over an arbitrary (doc_id, text, …) frame. */
+  def heavyHittersOf(docsIn: DataFrame): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val toks = docsIn.select(explode(tokens(lower($"text"))).as("token"))
+    val mg = udaf(new graft.functions.MisraGriesAggregator(HhSketchK))
+    val row = toks.agg(count(lit(1)).as("n"), mg($"token").as("sketch")).head()
+    val n = row.getLong(0)
+    val cand = row.getMap[String, Long](1).keys.toSeq
+    if (cand.isEmpty)
+      Seq.empty[(String, Long)].toDF("token", "freq")
+    else
+      toks.filter($"token".isin(cand: _*))
+        .groupBy($"token").agg(count(lit(1)).as("freq"))
+        .filter($"freq" * HhPhiInv > n)
+        .orderBy($"freq".desc, $"token".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bm25" -> ((s, d) => taBm25(s, d)),
+    "ta_heavy_hitters" -> taHeavyHitters,
     "ta_char_diversity" -> taCharDiversity,
     "ta_pii_redact" -> taPiiRedact,
     "ta_repetition" -> taRepetition,
@@ -523,6 +570,16 @@ object TextAnalysis {
       .zipWithIndex.map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "ta_heavy_hitters" -> s"""
+      WITH toks AS (
+        SELECT unnest(list_filter(
+          string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS token
+        FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+      cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY token)
+      SELECT c.token, c.freq FROM cnt c CROSS JOIN tot t
+      WHERE c.freq * $HhPhiInv > t.n
+      ORDER BY c.freq DESC, c.token ASC""",
     "ta_bm25" -> s"""
       WITH toks AS (
         SELECT doc_id,

@@ -87,4 +87,66 @@ class FunctionsSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq)
     assert(a.sameElements(b))
   }
+
+  test("ScalaCheck: Misra-Gries superset guarantee survives adversarial splits and merge orders") {
+    import org.scalacheck.Gen
+    import graft.functions.MisraGriesAggregator
+    // skewed vocab: a few planted heavies over a long tail
+    val genItem = Gen.frequency(
+      8 -> Gen.oneOf("hot1", "hot2"),
+      3 -> Gen.oneOf("warm1", "warm2", "warm3"),
+      5 -> Gen.choose(0, 500).map("tail" + _))
+    val genCase = for {
+      n <- Gen.choose(50, 800)
+      items <- Gen.listOfN(n, genItem)
+      k <- Gen.oneOf(3, 7, 15)
+      nSplits <- Gen.choose(1, 8)
+    } yield (items, k, nSplits)
+    (0 until 12).foreach { seed =>
+      genCase.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed.toLong)).foreach { case (items, k, nSplits) =>
+        val agg = new MisraGriesAggregator(k)
+        // partition round-robin, reduce each chunk, then merge in a
+        // seed-dependent adversarial order (reversed / interleaved)
+        val chunks = items.zipWithIndex.groupBy(_._2 % nSplits).toSeq
+          .sortBy(_._1).map(_._2.map(_._1))
+        val buffers = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+        val ordered = if (seed % 2 == 0) buffers.reverse else
+          buffers.indices.sortBy(i => (i % 2, i)).map(buffers)
+        val sketch = ordered.foldLeft(agg.zero)(agg.merge)
+        assert(sketch.size <= k, s"seed $seed: sketch exceeded $k counters")
+        val exact = items.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+        val n = items.size.toLong
+        val mustHold = exact.filter { case (_, f) => f > n / (k + 1) }.keySet
+        assert(mustHold.subsetOf(sketch.keySet),
+          s"seed $seed: lost guaranteed heavies ${mustHold -- sketch.keySet} (n=$n k=$k)")
+        sketch.foreach { case (t, est) =>
+          val f = exact.getOrElse(t, 0L)
+          assert(est <= f && est >= f - n / (k + 1),
+            s"seed $seed: estimate $est outside [f - n/(k+1), f] for $t (f=$f)")
+        }
+      }
+    }
+    // op level: sketch+verify output == the exact heavy-hitter set
+    val docs = Seq(
+      (1L, "alpha alpha alpha alpha beta beta gamma delta"),
+      (2L, "alpha alpha beta beta beta epsilon zeta eta"),
+      (3L, "alpha beta theta iota kappa lambda mu nu")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.heavyHittersOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 24 tokens; threshold freq*32 > 24 -> freq >= 1 ... every token
+    // qualifies at this size, so shrink via the exact definition
+    val toks = Seq.fill(1)(()).flatMap(_ => Seq(
+      "alpha alpha alpha alpha beta beta gamma delta",
+      "alpha alpha beta beta beta epsilon zeta eta",
+      "alpha beta theta iota kappa lambda mu nu"))
+      .flatMap(_.split(" "))
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      .filter { case (_, f) => f * graft.ops.TextAnalysis.HhPhiInv > toks.size }
+      .toSeq.sortBy { case (t, f) => (-f, t) }
+    assert(got == exact, s"op output $got != exact $exact")
+    // empty corpus degrades to an empty frame, not a crash
+    assert(graft.ops.TextAnalysis.heavyHittersOf(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0L)
+  }
 }
