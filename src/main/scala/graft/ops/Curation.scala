@@ -1104,7 +1104,34 @@ object Curation {
 
   // ---- registry ----
 
+  /** Curriculum ordering: each source's documents ranked easy→hard
+    * (short→long, the classic LM curriculum; doc_id breaks ties), then
+    * interleaved round-robin — global training order is (src_rank,
+    * source), so every consecutive |sources|-block mixes all sources at
+    * the same difficulty band. The order is carried by the emitted
+    * (src_rank, source) key pair, NOT a global row_number — a global
+    * position column would force a single-partition window at 100 TB,
+    * while the key pair sorts distributively whenever the order is
+    * actually consumed.
+    *
+    * 100 TB shape: one window rank partitioned by source (same shuffle
+    * and skew story as [[Sampling.capPerSourceSummary]]).
+    */
+  def mixCurriculum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy($"n_tokens".asc, $"doc_id".asc)
+    t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        TextAnalysis.tokenCount($"text").as("n_tokens"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .select($"src_rank", $"source", $"doc_id", $"n_tokens")
+      .orderBy($"src_rank", $"source", $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_curriculum" -> mixCurriculum,
     "ta_boilerplate" -> ((s, d) => taBoilerplate(s, d)),
     "ta_intradoc" -> ((s, d) => taIntradoc(s, d)),
     "ta_exact_substr" -> ((s, d) => taExactSubstr(s, d)),
@@ -1242,6 +1269,17 @@ object Curation {
         t.n_chunks - a.n_uniq AS n_removed, a.clean_md5
       FROM tot t JOIN agg a ON t.doc_id = a.doc_id
       ORDER BY t.doc_id""",
+    "mix_curriculum" -> """
+      WITH sized AS (
+        SELECT doc_id, source,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_tokens ASC, doc_id ASC) AS BIGINT) AS src_rank,
+             source, doc_id, n_tokens
+      FROM sized
+      ORDER BY src_rank, source, doc_id""",
     "ta_exact_substr" -> s"""
       WITH toks AS (
         SELECT doc_id,

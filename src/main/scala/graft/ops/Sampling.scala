@@ -100,9 +100,41 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Per-source document cap (C4/RefinedWeb-style domain capping). */
+  val CapPerSource = 15
+
+  /** Cap every source at `cap` documents, chosen by md5(doc_id) rank —
+    * an unbiased, recomputable draw (same membership contract as the
+    * split/temperature ops), unlike "first N by id", which biases
+    * toward whatever the id order encodes (usually crawl time). The
+    * standard guard against one domain dominating a mixed corpus when
+    * temperature flattening is too gentle.
+    *
+    * 100 TB shape: one window rank partitioned by source — a single
+    * shuffle on the cap key; a pathologically hot source concentrates
+    * its rank in one partition, which AQE splits, and the alternative
+    * (16-bit-prefix threshold like temperature sampling) trades the
+    * exact cap for shuffle-freedom when that matters more.
+    */
+  def capPerSourceSummary(
+      s: SparkSession, dir: String, cap: Int = CapPerSource): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
+    t(s, dir, "documents").select($"doc_id", $"source")
+      .withColumn("rk", row_number().over(w))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"rk" <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"rk" <= cap, $"doc_id").otherwise(0L)).as("sum_kept_ids"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split" -> splitSummary,
-    "sample_temperature" -> ((s, d) => temperatureSummary(s, d)))
+    "sample_temperature" -> ((s, d) => temperatureSummary(s, d)),
+    "sample_cap_per_source" -> ((s, d) => capPerSourceSummary(s, d)))
 
   val oracles: Map[String, String] = Map(
     "sample_split" -> s"""
@@ -132,5 +164,15 @@ object Sampling {
         CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS sum_kept_ids
       FROM cut c LEFT JOIN kept k ON c.source = k.source
       GROUP BY c.source, c.n_docs, c.cutoff
-      ORDER BY c.source""")
+      ORDER BY c.source""",
+    "sample_cap_per_source" -> s"""
+      WITH ranked AS (
+        SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+        FROM documents)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN rk <= $CapPerSource THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN rk <= $CapPerSource THEN doc_id ELSE 0 END) AS BIGINT) AS sum_kept_ids
+      FROM ranked GROUP BY source ORDER BY source""")
 }

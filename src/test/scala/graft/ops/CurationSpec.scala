@@ -159,6 +159,26 @@ class CurationSpec extends SparkSpec {
       "sub-window docs have no windows and survive whole")
   }
 
+  test("curriculum: contiguous per-source ranks, monotone difficulty, full interleave") {
+    val rows = Curation.mixCurriculum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySrc = rows.groupBy(_._2)
+    assert(bySrc.size > 1)
+    bySrc.foreach { case (src, rs) =>
+      val ranked = rs.sortBy(_._1)
+      assert(ranked.map(_._1).toSeq == (1L to rs.length).toSeq,
+        s"$src: ranks must be contiguous from 1")
+      val toks = ranked.map(_._4)
+      assert(toks.zip(toks.tail).forall { case (a, b) => a <= b },
+        s"$src: difficulty (n_tokens) must be non-decreasing in rank")
+    }
+    // the first |sources| rows of the curriculum order are one doc from
+    // EVERY source (the round-robin property)
+    val firstBlock = rows.sortBy(r => (r._1, r._2, r._3)).take(bySrc.size)
+    assert(firstBlock.map(_._2).distinct.length == bySrc.size,
+      "rank-1 block must cover every source exactly once")
+  }
+
   test("boilerplate: join path == kernel path when the frequent set exceeds the budget") {
     val docs = graft.Tables.t(spark, sfDir, "documents").select($"doc_id", $"text")
     val frequent = Curation.frequentChunkHashes(docs)

@@ -292,6 +292,18 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(shares("test") - 0.10) < 0.03)
   }
 
+  test("per-source cap: exact cap enforced, small sources untouched, counts consistent") {
+    val got = Sampling.capPerSourceSummary(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (src, nDocs, nKept) =>
+      assert(nKept == math.min(nDocs, Sampling.CapPerSource.toLong),
+        s"source $src: kept $nKept of $nDocs under cap ${Sampling.CapPerSource}")
+    }
+    assert(got.exists(_._2 > Sampling.CapPerSource.toLong),
+      "test data must exercise the capped branch")
+  }
+
   test("stratified sample keeps ~fraction of every class, deterministically") {
     val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "cls")
     val kept = Sampling.stratifiedSample(df, "id", 0.25)
