@@ -395,6 +395,62 @@ object StreamingCuration {
       .orderBy($"source", $"cum_tokens")
   }
 
+  /** Fold a batch into the persistent heavy-hitter sketch state: ONE
+    * bounded Misra–Gries summary (<= k counters) plus the running token
+    * total — per-batch cost is one aggregation over the batch and a
+    * <= k-row state rewrite, never a corpus rescan. Mergeability
+    * (Agarwal et al.) makes the folded state carry the same guarantee
+    * as a single-pass sketch over the concatenation: every token above
+    * n/(k+1) of ALL tokens seen so far is in the candidate set.
+    */
+  def mergeHeavyHitterState(spark: SparkSession, stateDir: String,
+      batch: DataFrame): Unit = {
+    import spark.implicits._
+    val agg = new graft.functions.MisraGriesAggregator(TextAnalysis.HhSketchK)
+    val mg = udaf(agg)
+    val row = batch
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .agg(count(lit(1)), mg(col("token")))
+      .head()
+    val batchN = row.getLong(0)
+    val batchSketch = row.getMap[String, Long](1).toMap
+    val (priorN, priorSketch) = readHeavyHitterState(spark, stateDir)
+    agg.merge(priorSketch, batchSketch).toSeq.toDF("token", "est")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/hh_sketch")
+    Seq(priorN + batchN).toDF("n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/hh_n")
+  }
+
+  /** (total tokens seen, sketch) — bounded: 1 + <= k rows. */
+  def readHeavyHitterState(spark: SparkSession, stateDir: String): (Long, Map[String, Long]) =
+    if (!new java.io.File(s"$stateDir/hh_n").exists()) (0L, Map.empty)
+    else (
+      spark.read.parquet(s"$stateDir/hh_n").head().getLong(0),
+      spark.read.parquet(s"$stateDir/hh_sketch").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+
+  /** The on-demand verify half over an accumulated corpus: exact
+    * recount RESTRICTED to the <= k sketch candidates (a filtered scan
+    * that counts at most k distinct tokens — it never shuffles the
+    * vocabulary), thresholded like the batch op. Output equals
+    * [[graft.ops.TextAnalysis.heavyHittersOf]] of the corpus whenever
+    * the corpus is exactly the concatenation of the folded batches
+    * (spec-pinned).
+    */
+  def heavyHittersFromState(spark: SparkSession, stateDir: String,
+      corpus: DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val (n, sketch) = readHeavyHitterState(spark, stateDir)
+    val cand = sketch.keys.toSeq
+    if (cand.isEmpty) Seq.empty[(String, Long)].toDF("token", "freq")
+    else corpus
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .filter(col("token").isin(cand: _*))
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+      .filter($"freq" * TextAnalysis.HhPhiInv > n)
+      .orderBy($"freq".desc, $"token".asc)
+  }
+
   /** Score documents against the ACCUMULATED chunk-frequency state:
     * chunks that `minDocs`+ accepted corpus documents contain are
     * stripped (the incremental form of [[graft.ops.Curation.taBoilerplate]] —

@@ -490,6 +490,36 @@ class StreamingSpec extends SparkSpec {
     assert(runs == totals, "state runs must equal per-source corpus token totals")
   }
 
+  test("incremental heavy-hitter sketch: folded state verifies to the batch answer") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val state = Files.createTempDirectory("graft-hh").resolve("s").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    (0 until 3).foreach { i =>
+      StreamingCuration.mergeHeavyHitterState(spark, state,
+        docs.filter(pmod($"doc_id", lit(3)) === i))
+    }
+    val (n, sketch) = StreamingCuration.readHeavyHitterState(spark, state)
+    assert(sketch.size <= graft.ops.TextAnalysis.HhSketchK)
+    // the folded sketch keeps the mergeable guarantee over the corpus
+    val exact = docs
+      .select(explode(graft.ops.TextAnalysis.tokens(lower($"text"))).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("f")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n == exact.values.sum, "state token total must be exact")
+    val guaranteed = exact.filter {
+      case (_, f) => f > n / (graft.ops.TextAnalysis.HhSketchK + 1L)
+    }.keySet
+    assert(guaranteed.subsetOf(sketch.keySet),
+      s"sketch lost guaranteed candidates: ${guaranteed -- sketch.keySet}")
+    // verify pass over the accumulated corpus == the one-shot batch op
+    val got = StreamingCuration.heavyHittersFromState(spark, state, docs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = graft.ops.TextAnalysis.heavyHittersOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, "state-verified heavies must equal the batch computation")
+  }
+
   test("streaming IVF ingestion: micro-batches append against the frozen quantizer") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
