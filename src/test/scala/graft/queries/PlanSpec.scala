@@ -219,6 +219,45 @@ class PlanSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(p).size == 1,
       s"grouping sets must not re-scan per set:\n$p")
   }
+
+  test("ta_bm25: scan prunes to (doc_id, text); top-n is a bounded heap") {
+    val df = graft.ops.TextAnalysis.taBm25(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-n must not materialize a global sort:\n$p")
+    val f = formatted(df)
+    val read = "ReadSchema: [^\n]*".r.findAllIn(f).mkString("\n")
+    assert(!read.contains("lang") && !read.contains("n_chars"),
+      s"bm25 consumes only doc_id+text; unused columns must not be read:\n$read")
+  }
+
+  test("ta_heavy_hitters: both passes partial-aggregate map-side") {
+    val df = graft.ops.TextAnalysis.taHeavyHitters(spark, sfDir)
+    // the verify pass (this plan) must partial-aggregate before its one
+    // exchange — the sketch pass already ran inside taHeavyHitters
+    val p = plan(df)
+    assert("partial".r.findAllIn(p.toLowerCase).nonEmpty,
+      s"verify count must map-side combine:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"verify pass is one agg shuffle (+ output sort):\n$p")
+  }
+
+  test("ta_exact_substr: no cartesian product; window df-count partial-aggregates") {
+    val p = plan(graft.ops.Curation.taExactSubstr(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      s"window mark-back must stay a hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"window mark-back must stay a hash join:\n$p")
+  }
+
+  test("cap/curriculum windows: one shuffle on source, no extra exchanges") {
+    val cap = plan(graft.ops.Sampling.capPerSourceSummary(spark, sfDir))
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(cap).size == 1,
+      s"cap rank should shuffle by source exactly once:\n$cap")
+    val cur = plan(graft.ops.Curation.mixCurriculum(spark, sfDir))
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(cur).size == 1,
+      s"curriculum rank should shuffle by source exactly once:\n$cur")
+  }
 }
 
 /** Tiny indirection so PlanSpec (package queries) can reach the ops
