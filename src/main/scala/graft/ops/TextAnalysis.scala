@@ -516,9 +516,126 @@ object TextAnalysis {
         .orderBy($"freq".desc, $"token".asc)
   }
 
+  // ---- BPE vocabulary training ----
+
+  val BpeMerges = 30
+
+  /** Train a byte-pair-encoding merge table on the corpus — the real
+    * iterative algorithm (Sennrich et al. 2016), not a pre-tokenizer
+    * heuristic: V rounds of (count adjacent symbol pairs → take the
+    * most frequent → fuse it everywhere). Distributed in the
+    * fastBPE/word-frequency shape: the corpus collapses ONCE to a
+    * (word, freq) table (vocabulary-sized — at 100 TB maybe 10^8 rows
+    * against 10^12 documents), and every round is then one
+    * pair-count aggregation with map-side partials + one bounded
+    * 1-row argmax collect + one kernel pass fusing the winning pair
+    * left-to-right. Lineage is truncated every few rounds
+    * (localCheckpoint, the kmeans/connected-components pattern) so V
+    * rounds stay O(V) not O(2^V).
+    *
+    * Deterministic everywhere: pair counts are integer sums and the
+    * argmax tie-breaks by (count desc, left asc, right asc) — a total
+    * order — so the merge sequence is partition-independent
+    * (spec-pinned against an in-memory reference). Registered
+    * rows-only BY DESIGN: a data-dependent iterative argmax loop is
+    * not expressible as one SQL oracle.
+    */
+  def taBpeTrain(
+      s: SparkSession, dir: String, nMerges: Int = BpeMerges): DataFrame =
+    bpeTrainOf(t(s, dir, "documents"), nMerges)
+
+  /** [[taBpeTrain]] over an arbitrary (doc_id, text, …) frame. */
+  def bpeTrainOf(docsIn: DataFrame, nMerges: Int): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val wordFreq = docsIn
+      .select(explode(tokens(lower($"text"))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(eager = true)
+    // right-size the iteration: ~50k words per task keeps each of the
+    // V rounds one short stage instead of |shuffle.partitions| empty
+    // tasks — the vocabulary (not the corpus) sets the parallelism
+    val nPart = math.max(1,
+      math.min(512L, wordFreq.count() / 50000L + 1L)).toInt
+    var words = wordFreq
+      .select($"w", $"freq").as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString).toArray.toSeq, f) }
+      .toDF("syms", "freq")
+      .as[(Seq[String], Long)]
+      .repartition(nPart)
+      .localCheckpoint(eager = true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      // one shuffle-free job per round: per-partition pair-count maps,
+      // tree-merged — the pair table is what every in-memory BPE
+      // trainer (fastBPE et al.) holds anyway; treeAggregate keeps the
+      // driver merging log(nPart) maps, not nPart
+      val counts = words.rdd.treeAggregate(
+        scala.collection.mutable.HashMap.empty[(String, String), Long])(
+        seqOp = { (m, row) =>
+          val (syms, f) = row
+          var i = 0
+          while (i + 1 < syms.length) {
+            val p = (syms(i), syms(i + 1))
+            m.update(p, m.getOrElse(p, 0L) + f)
+            i += 1
+          }
+          m
+        },
+        combOp = { (x, y) =>
+          y.foreach { case (p, c) => x.update(p, x.getOrElse(p, 0L) + c) }
+          x
+        })
+      if (counts.isEmpty) done = true
+      else {
+        val ((ma, mb), cnt) = counts.toSeq
+          .sortBy { case ((x, y), c) => (-c, x, y) }.head
+        merges += ((round + 1L, ma, mb, cnt))
+        words = words.map { case (syms, f) =>
+          // classic left-to-right greedy fuse of the winning pair
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == ma && syms(i + 1) == mb) {
+              out += (ma + mb); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toSeq, f)
+        }
+        if (round % 5 == 4) words = words.localCheckpoint(eager = true)
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_freq").orderBy("rank")
+  }
+
+  /** Encode one token stream under a learned merge table (merges applied
+    * in rank order, each fused left-to-right) — the apply half.
+    */
+  def bpeEncode(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms = word.map(_.toString).toArray
+    merges.foreach { case (a, b) =>
+      if (syms.length >= 2) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+    }
+    syms
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bm25" -> ((s, d) => taBm25(s, d)),
     "ta_heavy_hitters" -> taHeavyHitters,
+    // rows-only: data-dependent iterative argmax, not one-SQL-expressible
+    "ta_bpe_train" -> ((s, d) => taBpeTrain(s, d)),
     "ta_char_diversity" -> taCharDiversity,
     "ta_pii_redact" -> taPiiRedact,
     "ta_repetition" -> taRepetition,

@@ -474,6 +474,74 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Classic single-machine BPE (Sennrich et al.) over a word-freq map
+    * — the ground truth the distributed trainer must reproduce merge
+    * for merge, same tie-break.
+    */
+  private def bpeRef(
+      wordFreq: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+    var words = wordFreq.map { case (w, f) => w.map(_.toString).toVector -> f }.toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var stop = false
+    while (out.length < n && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+        }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), c) = counts.toSeq
+          .sortBy { case ((x, y), cnt) => (-cnt, x, y) }.head
+        out += ((a, b, c))
+        words = words.map { case (syms, f) =>
+          val fused = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              fused += (a + b); i += 2
+            } else { fused += syms(i); i += 1 }
+          }
+          fused.toVector -> f
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("BPE trainer: distributed merges equal the classic reference; encoding compresses") {
+    // the canonical BPE corpus: shared prefixes force multi-char merges
+    val docs = Seq(
+      (1L, "low low low low low lower lower newest newest"),
+      (2L, "newest newest newest newest widest widest widest"),
+      (3L, "low newest widest lower")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.bpeTrainOf(docs, 12).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val wf = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    val want = bpeRef(wf, 12)
+    assert(got == want,
+      s"distributed merge sequence diverged:\n got=$got\nwant=$want")
+    assert(got.nonEmpty && got.exists(_._1.length > 1),
+      "later merges must fuse multi-char symbols")
+    // partition independence: same merges from a different layout
+    val got2 = graft.ops.TextAnalysis.bpeTrainOf(docs.repartition(7), 12)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got2 == got, "merge sequence must not depend on partitioning")
+    // the apply half: encoding under the merges shortens every word the
+    // trainer saw, and 'lowest' (unseen) still benefits from shared stems
+    val merges = got.map(p => (p._1, p._2))
+    assert(graft.ops.TextAnalysis.bpeEncode("newest", merges).length <
+      "newest".length)
+    assert(graft.ops.TextAnalysis.bpeEncode("lowest", merges).length <
+      "lowest".length, "learned subwords must generalize to unseen words")
+    // real corpus smoke: full round count, deterministic row shape
+    val real = graft.ops.TextAnalysis.taBpeTrain(spark, sfDir, 8).collect()
+    assert(real.length == 8 && real.map(_.getLong(0)).toSeq == (1L to 8L))
+  }
+
   test("bm25: rare-term docs outrank common-term docs; tf saturates; top-n is a heap, not a sort") {
     // 10 filler docs give the common term high df and the rare term df=1
     val filler = (10L to 19L).map(i => (i, "common words everywhere common"))
