@@ -247,7 +247,56 @@ object Extended4 {
       .orderBy("l_orderkey")
   }
 
+  /** q61: recursive CTE hierarchy walk (Spark 4's WITH RECURSIVE) —
+    * region → nation → customer as a parent/child tree, each node
+    * carrying its ROOT region down the recursion; the aggregate then
+    * reports subtree sizes and an id checksum per (root, depth). A tree
+    * walk recurses in O(depth) rounds with no path explosion (every
+    * node has exactly one parent), so the recursion is scale-safe —
+    * each round is one join of the frontier against the edge table,
+    * exactly the label-propagation shape the dedup connected-components
+    * operators run. The oracle runs the IDENTICAL text in DuckDB
+    * (shared recursive-SQL dialect).
+    */
+  def q61RecursiveHierarchy(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "region").createOrReplaceTempView("q61_region")
+    t(s, dir, "nation").createOrReplaceTempView("q61_nation")
+    t(s, dir, "customer").createOrReplaceTempView("q61_customer")
+    s.sql(q61Sql("q61_region", "q61_nation", "q61_customer"))
+  }
+
+  private def q61Sql(region: String, nation: String, customer: String): String = s"""
+      WITH RECURSIVE edges AS (
+        SELECT 'R' || CAST(r_regionkey AS STRING) AS parent,
+               'N' || CAST(n_nationkey AS STRING) AS child,
+               CAST(n_nationkey AS BIGINT) AS child_key
+        FROM $nation JOIN $region ON n_regionkey = r_regionkey
+        UNION ALL
+        SELECT 'N' || CAST(c_nationkey AS STRING) AS parent,
+               'C' || CAST(c_custkey AS STRING) AS child,
+               CAST(c_custkey AS BIGINT) AS child_key
+        FROM $customer),
+      walk(node, root, depth, node_key) AS (
+        SELECT 'R' || CAST(r_regionkey AS STRING),
+               'R' || CAST(r_regionkey AS STRING),
+               0, CAST(r_regionkey AS BIGINT)
+        FROM $region
+        UNION ALL
+        SELECT e.child, w.root, w.depth + 1, e.child_key
+        FROM walk w JOIN edges e ON e.parent = w.node)
+      SELECT root, CAST(depth AS BIGINT) AS depth,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(node_key) AS BIGINT) AS key_sum
+      FROM walk
+      GROUP BY root, depth
+      ORDER BY root, depth"""
+
+  /** The oracle is the same recursive SQL over the raw tables. */
+  private[queries] def q61Oracle: String =
+    q61Sql("region", "nation", "customer")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_recursive_hierarchy" -> q61RecursiveHierarchy,
     "q60_array_setops" -> q60ArraySetOps,
     "q59_bit_ops" -> q59BitOps,
     "q58_corr_regression" -> q58CorrRegression,
@@ -259,6 +308,7 @@ object Extended4 {
     "q57_mode_percentile" -> q57ModePercentile)
 
   val oracles: Map[String, String] = Map(
+    "q61_recursive_hierarchy" -> q61Oracle,
     "q60_array_setops" -> """
       WITH arrs AS (
         SELECT l_orderkey,
@@ -339,7 +389,7 @@ object Extended4 {
              ELSE l_extendedprice / (l_quantity - 25.0) END AS per_off25,
         CAST(NULL AS BIGINT) AS overflowed,
         TRY_CAST(l_returnflag AS DOUBLE) AS flag_num,
-        TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_rt,
+        TRY_CAST(CAST(l_quantity AS STRING) AS DOUBLE) AS qty_rt,
         ([l_quantity, l_discount])[5] AS oob
       FROM lineitem
       WHERE l_orderkey % 37 = 0 AND l_linenumber = 1
