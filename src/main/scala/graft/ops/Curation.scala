@@ -908,6 +908,61 @@ object Curation {
     scoreFamiliarity(docs, trainTrigramModel(docs))
   }
 
+  // ---- DSIR-shaped importance scoring (domain-targeted selection) ----
+
+  /** Importance scoring for domain-targeted data selection — the DSIR
+    * shape (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every raw document by how much its
+    * hashed-feature distribution looks like a TARGET domain versus the
+    * raw corpus. Features are the packed character trigrams of
+    * [[trigramsOf]]; instead of DSIR's float log-ratio
+    * Σ log(p_t(f)/p_r(f)) the score is the first-order linear
+    * discriminant in EXACT integers:
+    *
+    *   score(doc) = Σ_f occ(f, doc) · (cnt_t(f)·N_r − cnt_r(f)·N_t)
+    *
+    * (cnt/N = trigram counts and totals in the target/raw models) —
+    * positive exactly when the doc's trigrams are on average relatively
+    * more frequent in the target domain, order-free and hash-exact
+    * cross-engine where a log-sum is not. Products stay in Long through
+    * bench scales; a 100 TB deployment divides per-feature first (two
+    * IEEE divs) and accepts float scores.
+    *
+    * Scale shape: identical to [[taFamiliarity]] — two Zipf-bounded
+    * trigram models joined and broadcast, two bounded 1-row totals, one
+    * broadcast-join scoring pass with map-side combine; the corpus
+    * never shuffles on trigram.
+    */
+  def taImportance(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    importanceOf(docs, docs.filter(col("lang") === "en"))
+  }
+
+  /** [[taImportance]] scoring `docs` against an arbitrary target-domain
+    * sample (need not be a subset of `docs`).
+    */
+  def importanceOf(docs: DataFrame, target: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val mr = trainTrigramModel(docs).withColumnRenamed("freq", "freq_r")
+    val mt = trainTrigramModel(target).withColumnRenamed("freq", "freq_t")
+    val nR = mr.agg(coalesce(sum($"freq_r"), lit(0L))).head().getLong(0)
+    val nT = mt.agg(coalesce(sum($"freq_t"), lit(0L))).head().getLong(0)
+    val model = mr.join(mt, Seq("code"), "full")
+      .select($"code",
+        coalesce($"freq_r", lit(0L)).as("freq_r"),
+        coalesce($"freq_t", lit(0L)).as("freq_t"))
+    trigramsOf(docs).join(broadcast(model), Seq("code"), "left")
+      .groupBy($"doc_id")
+      .agg(sum($"occ").as("n_tris"),
+        sum($"occ" * (coalesce($"freq_t", lit(0L)) * nR -
+          coalesce($"freq_r", lit(0L)) * nT)).as("raw_score"))
+      .select($"doc_id", $"n_tris", $"raw_score",
+        ($"raw_score".cast("double") / $"n_tris".cast("double"))
+          .as("mean_score"))
+      .orderBy("doc_id")
+  }
+
   // ---- char-LM log-prob quality score (perplexity-style filter) ----
 
   /** Character-trigram language model with add-one (Laplace) smoothing
@@ -1138,6 +1193,7 @@ object Curation {
     "ta_profile" -> taProfile,
     "ta_ngram_top" -> ((s, d) => taNgramTop(s, d)),
     "ta_familiarity" -> taFamiliarity,
+    "ta_importance" -> taImportance,
     // rows-only: float log-prob arithmetic isn't cross-engine replayable
     "ta_charlm" -> taCharLm,
     "mix_budget" -> ((s, d) => mixBudget(s, d)),
@@ -1160,6 +1216,31 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "ta_importance" -> """
+      WITH nd AS (
+        SELECT doc_id, lang,
+          lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        FROM documents),
+      tris AS (
+        SELECT doc_id, lang, substr(norm, i, 3) AS tri
+        FROM nd, UNNEST(range(1, len(norm) - 1)) AS u(i)
+        WHERE len(norm) >= 3),
+      model AS (
+        SELECT tri, CAST(count(*) AS BIGINT) AS freq_r,
+          CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS freq_t
+        FROM tris GROUP BY tri),
+      tot AS (
+        SELECT CAST(sum(freq_r) AS BIGINT) AS n_r,
+               CAST(sum(freq_t) AS BIGINT) AS n_t
+        FROM model)
+      SELECT t.doc_id,
+        count(*) AS n_tris,
+        CAST(sum(m.freq_t * x.n_r - m.freq_r * x.n_t) AS BIGINT) AS raw_score,
+        CAST(sum(m.freq_t * x.n_r - m.freq_r * x.n_t) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS mean_score
+      FROM tris t JOIN model m ON t.tri = m.tri CROSS JOIN tot x
+      GROUP BY t.doc_id
+      ORDER BY t.doc_id""",
     "ta_familiarity" -> """
       WITH nd AS (
         SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm

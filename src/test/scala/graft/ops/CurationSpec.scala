@@ -159,6 +159,40 @@ class CurationSpec extends SparkSpec {
       "sub-window docs have no windows and survive whole")
   }
 
+  test("importance: target-like docs outscore off-domain docs; real-data en > rest") {
+    // raw corpus = English-ish + Spanish-ish + mojibake; target = the
+    // English half only. The linear discriminant must rank every
+    // English doc above every non-English one.
+    val en = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the morning"),
+      (2L, "a quiet evening with the old book and the warm fire inside"),
+      (3L, "the children walk to the school along the river every day"))
+    val off = Seq(
+      (11L, "el zorro marron salta sobre el perro perezoso cada manana"),
+      (12L, "los ninos caminan a la escuela junto al rio cada dia"),
+      (13L, "Ã©Â±Ã¨ Ã©Â± garbled Ã© bytes Â±Ã"))
+    val docs = (en ++ off).toDF("doc_id", "text")
+    val target = en.toDF("doc_id", "text")
+    val scores = Curation.importanceOf(docs, target).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val worstEn = en.map(d => scores(d._1)).min
+    val bestOff = off.map(d => scores(d._1)).max
+    assert(worstEn > bestOff,
+      s"every target-domain doc must outrank every off-domain doc " +
+        s"(worst en $worstEn vs best off $bestOff)\n$scores")
+    // registered form on real data: en docs average above non-en
+    val real = Curation.taImportance(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val langs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def mean(xs: Iterable[Double]) = xs.sum / xs.size
+    val enMean = mean(real.collect { case (id, sc) if langs(id) == "en" => sc })
+    val restMean = mean(real.collect { case (id, sc) if langs(id) != "en" => sc })
+    assert(enMean > restMean,
+      s"en docs must average above the rest ($enMean vs $restMean)")
+  }
+
   test("curriculum: contiguous per-source ranks, monotone difficulty, full interleave") {
     val rows = Curation.mixCurriculum(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
