@@ -87,3 +87,61 @@ object TokenBudgetMix extends ComponentFactory {
       Cfg.str(c, "input_view"), Cfg.str(c, "output_view"),
       Cfg.longOr(c, "budget_tokens", Curation.MixBudget))
 }
+
+/** DSIR-shaped importance scoring over a (doc_id, text, …) view:
+  * appends an `importance` column (the per-trigram mean discriminant,
+  * [[Curation.importanceOf]]). The target domain is either a separate
+  * view (`target_view`) or a SQL predicate over the input
+  * (`target_filter`, e.g. "lang = 'en'").
+  */
+final class ImportanceScore(
+    inputView: String, outputView: String,
+    targetView: Option[String], targetFilter: Option[String])
+  extends DataFlow {
+  val name = s"importance_score($outputView)"
+  def run(): Unit = {
+    val docs = spark.table(inputView)
+    val target = targetView.map(spark.table).getOrElse {
+      val f = targetFilter.getOrElse(sys.error(
+        s"$name: need target_view or target_filter"))
+      docs.where(f)
+    }
+    docs.join(
+        Curation.importanceOf(docs, target)
+          .select(col("doc_id"), col("mean_score").as("importance")),
+        Seq("doc_id"))
+      .createOrReplaceTempView(outputView)
+  }
+}
+object ImportanceScore extends ComponentFactory {
+  def fromConfig(c: Map[String, Any]): PipelineComponent =
+    new ImportanceScore(
+      Cfg.str(c, "input_view"), Cfg.str(c, "output_view"),
+      Cfg.strOpt(c, "target_view"), Cfg.strOpt(c, "target_filter"))
+}
+
+/** Per-source document cap over a (doc_id, source, …) view: keeps at
+  * most `cap` documents per source, drawn by md5(doc_id) rank — the
+  * domain-capping guard with recomputable membership
+  * ([[graft.ops.Sampling.capPerSourceSummary]] semantics, row form).
+  */
+final class PerSourceCap(
+    inputView: String, outputView: String, cap: Int)
+  extends DataFlow {
+  val name = s"per_source_cap($outputView)"
+  def run(): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    spark.table(inputView)
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rk") <= cap).drop("__rk")
+      .createOrReplaceTempView(outputView)
+  }
+}
+object PerSourceCap extends ComponentFactory {
+  def fromConfig(c: Map[String, Any]): PipelineComponent =
+    new PerSourceCap(
+      Cfg.str(c, "input_view"), Cfg.str(c, "output_view"),
+      Cfg.intOr(c, "cap", graft.ops.Sampling.CapPerSource))
+}

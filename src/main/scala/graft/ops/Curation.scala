@@ -934,8 +934,20 @@ object Curation {
     * never shuffles on trigram.
     */
   def taImportance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val docs = t(s, dir, "documents")
-    importanceOf(docs, docs.filter(col("lang") === "en"))
+    // fused model pass: when the target is a predicate over the scored
+    // corpus itself, both models come out of ONE trigram aggregation
+    // (freq_t = the predicate-conditional sum) — one corpus scan
+    // instead of two. importanceOf stays the general form for disjoint
+    // target samples.
+    val isTarget = $"lang" === "en"
+    val tagged = trigramsOf(docs.select($"doc_id", $"text"))
+      .join(docs.select($"doc_id", isTarget.as("is_t")), "doc_id")
+    val model = tagged.groupBy($"code")
+      .agg(sum($"occ").as("freq_r"),
+        sum(when($"is_t", $"occ").otherwise(0L)).as("freq_t"))
+    scoreImportance(trigramsOf(docs.select($"doc_id", $"text")), model)
   }
 
   /** [[taImportance]] scoring `docs` against an arbitrary target-domain
@@ -946,13 +958,26 @@ object Curation {
     import s.implicits._
     val mr = trainTrigramModel(docs).withColumnRenamed("freq", "freq_r")
     val mt = trainTrigramModel(target).withColumnRenamed("freq", "freq_t")
-    val nR = mr.agg(coalesce(sum($"freq_r"), lit(0L))).head().getLong(0)
-    val nT = mt.agg(coalesce(sum($"freq_t"), lit(0L))).head().getLong(0)
     val model = mr.join(mt, Seq("code"), "full")
       .select($"code",
         coalesce($"freq_r", lit(0L)).as("freq_r"),
         coalesce($"freq_t", lit(0L)).as("freq_t"))
-    trigramsOf(docs).join(broadcast(model), Seq("code"), "left")
+    scoreImportance(trigramsOf(docs), model)
+  }
+
+  /** The shared scoring half: per-doc discriminant sums against a
+    * (code, freq_r, freq_t) model (broadcast; two bounded 1-row
+    * totals).
+    */
+  private def scoreImportance(tris: DataFrame, model: DataFrame): DataFrame = {
+    val s = tris.sparkSession
+    import s.implicits._
+    val frozen = model.localCheckpoint(eager = true)
+    val totals = frozen
+      .agg(coalesce(sum($"freq_r"), lit(0L)),
+        coalesce(sum($"freq_t"), lit(0L))).head()
+    val (nR, nT) = (totals.getLong(0), totals.getLong(1))
+    tris.join(broadcast(frozen), Seq("code"), "left")
       .groupBy($"doc_id")
       .agg(sum($"occ").as("n_tris"),
         sum($"occ" * (coalesce($"freq_t", lit(0L)) * nR -

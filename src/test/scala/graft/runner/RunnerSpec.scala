@@ -211,7 +211,7 @@ class LocalDemoSpec extends SparkSpec {
     assert(rows.head == "1,ALICE,alice@x.com,us-east")
   }
 
-  test("curation pipeline e2e: boilerplate -> familiarity -> filter -> budget -> parquet") {
+  test("curation pipeline e2e: boilerplate -> familiarity -> importance -> filter -> budget -> cap -> parquet") {
     val work = Files.createTempDirectory("graft-curation-e2e")
     val out = work.resolve("snapshot").toString
     val conf = Files.readString(java.nio.file.Path.of("examples/curation_pipeline.conf"))
@@ -224,7 +224,8 @@ class LocalDemoSpec extends SparkSpec {
       s"pipeline failed: ${r.components.map(c => c.name -> c.error)}")
     val snap = spark.read.parquet(out)
     assert(snap.columns.toSet ==
-      Set("doc_id", "text", "source", "lang", "n_chars", "familiarity"))
+      Set("doc_id", "text", "source", "lang", "n_chars", "familiarity",
+        "importance"))
     val n = snap.count()
     assert(n > 0 && n < 500, s"budget cut must drop docs, kept $n")
     // the snapshot respects the per-source budget on CLEANED token counts
@@ -234,6 +235,10 @@ class LocalDemoSpec extends SparkSpec {
       .agg(sum(graft.ops.TextAnalysis.tokenCount(col("text"))).as("toks"))
       .filter(col("toks") > 600L).count()
     assert(overBudget == 0L, "every source stays within its token budget")
+    // and the per-source cap (conf: cap = 10)
+    val overCap = snap.groupBy(col("source"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 10L).count()
+    assert(overCap == 0L, "no source exceeds its document cap")
   }
 
   test("CLI dry-run validates config; bad class path rejected") {
