@@ -395,6 +395,47 @@ object StreamingCuration {
       .orderBy($"source", $"cum_tokens")
   }
 
+  /** Fold a batch into the persistent window-frequency state
+    * `window_freq(h, nd)` — the incremental half of
+    * [[graft.ops.Curation.taExactSubstr]], the [[mergeChunkFreq]]
+    * pattern at sliding-window granularity: per batch, each distinct
+    * window hash contributes its batch distinct-doc count. Under the
+    * pipeline's invariant that every accepted document enters exactly
+    * one batch (exact/near-dup gates run first), the accumulated nd
+    * equals the corpus-wide distinct-doc count, so state-driven removal
+    * matches the batch operator exactly (spec-pinned).
+    */
+  def mergeWindowFreq(spark: SparkSession, stateDir: String, batch: DataFrame,
+      k: Int = graft.ops.Curation.SubstrWindow): Unit = {
+    import spark.implicits._
+    val dir = s"$stateDir/window_freq"
+    val batchCounts = graft.ops.Curation.windowHashes(batch, k)
+      .groupBy($"h").agg(countDistinct($"doc_id").as("nd"))
+    val merged =
+      if (!new java.io.File(dir).exists()) batchCounts
+      else spark.read.parquet(dir).unionByName(batchCounts)
+        .groupBy($"h").agg(sum($"nd").as("nd"))
+    val frozen = merged.localCheckpoint(eager = true)
+    frozen.write.mode("overwrite").parquet(dir)
+  }
+
+  /** Strip repeated spans from documents against the ACCUMULATED
+    * window-frequency state — cost ∝ the scored frame, never a corpus
+    * rescan.
+    */
+  def exactSubstrAgainstState(
+      spark: SparkSession, stateDir: String, docs: DataFrame,
+      k: Int = graft.ops.Curation.SubstrWindow,
+      minDocs: Int = graft.ops.Curation.BoilerMinDocs): DataFrame = {
+    import spark.implicits._
+    val dir = s"$stateDir/window_freq"
+    val dup =
+      if (!new java.io.File(dir).exists())
+        Seq.empty[String].toDF("h")
+      else spark.read.parquet(dir).filter($"nd" >= minDocs).select($"h")
+    graft.ops.Curation.exactSubstrWithDup(docs, dup, k)
+  }
+
   /** Fold a batch into the persistent heavy-hitter sketch state: ONE
     * bounded Misra–Gries summary (<= k counters) plus the running token
     * total — per-batch cost is one aggregation over the batch and a

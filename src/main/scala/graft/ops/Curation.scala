@@ -361,21 +361,43 @@ object Curation {
       minDocs: Int = BoilerMinDocs): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
-    val docs = docsIn.select($"doc_id", $"text").as[(Long, String)]
-    val wins = docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.flatMap { case (id, text) =>
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-        if (toks.length < k) Iterator.empty
-        else (0 to toks.length - k).iterator.map { p0 =>
-          (id, (p0 + 1).toLong, md5Hex(md, toks.slice(p0, p0 + k).mkString(" ")))
-        }
-      }
-    }.toDF("doc_id", "p", "h")
+    val wins = windowHashes(docsIn, k)
     val dup = wins.groupBy($"h")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= minDocs).select($"h")
-    val marks = wins.join(dup, "h")
+    exactSubstrWithDup(docsIn, dup, k)
+  }
+
+  /** The (doc_id, p, h) sliding-window hash table of a corpus — the
+    * inverted index both the batch dup-count and the streaming
+    * window-frequency state build on.
+    */
+  def windowHashes(docsIn: DataFrame, k: Int = SubstrWindow): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    docsIn.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+          if (toks.length < k) Iterator.empty
+          else (0 to toks.length - k).iterator.map { p0 =>
+            (id, (p0 + 1).toLong, md5Hex(md, toks.slice(p0, p0 + k).mkString(" ")))
+          }
+        }
+      }.toDF("doc_id", "p", "h")
+  }
+
+  /** The removal pass against a GIVEN duplicated-window-hash frame
+    * (computed corpus-wide by [[exactSubstrOf]], or read from the
+    * accumulated window-frequency state by the streaming form).
+    */
+  def exactSubstrWithDup(
+      docsIn: DataFrame, dup: DataFrame, k: Int = SubstrWindow): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val docs = docsIn.select($"doc_id", $"text").as[(Long, String)]
+    val marks = windowHashes(docsIn, k).join(dup.select($"h"), "h")
       .groupBy($"doc_id")
       .agg(sort_array(collect_list($"p")).as("ps"))
     docs.toDF("doc_id", "text")

@@ -490,6 +490,36 @@ class StreamingSpec extends SparkSpec {
     assert(runs == totals, "state runs must equal per-source corpus token totals")
   }
 
+  test("incremental window-freq state: state-driven span removal equals the batch operator") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val state = Files.createTempDirectory("graft-winfreq").resolve("s").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    // disjoint batches (each doc arrives once — the dedup-gate invariant)
+    (0 until 3).foreach { i =>
+      StreamingCuration.mergeWindowFreq(spark, state,
+        docs.filter(pmod($"doc_id", lit(3)) === i))
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+    val got = StreamingCuration.exactSubstrAgainstState(spark, state, docs)
+      .collect().map(key).toSeq
+    val want = graft.ops.Curation.taExactSubstr(spark, sfDir)
+      .collect().map(key).toSeq
+    assert(got == want,
+      "accumulated window counts must reproduce the batch span removal exactly")
+    assert(want.exists(_._4 > 0L), "the corpus must exercise removal")
+    // a FUTURE batch scored against state sees only PAST duplication:
+    // a fresh doc repeating an already-frequent passage is stripped
+    val dupText = docs.filter($"doc_id" === 0L)
+      .select($"text").head().getString(0)
+    val probe = Seq((100000L, dupText)).toDF("doc_id", "text")
+    val scored = StreamingCuration.exactSubstrAgainstState(spark, state, probe)
+      .collect()
+    assert(scored.length == 1 && scored.head.getLong(3) > 0L,
+      "a new doc repeating a corpus-frequent passage must lose those spans")
+  }
+
   test("incremental heavy-hitter sketch: folded state verifies to the batch answer") {
     import spark.implicits._
     import graft.examples.StreamingCuration
