@@ -61,8 +61,18 @@ object Packing {
     * sequence boundary mid-document splits the document's slice.
     */
   def packSequences(s: SparkSession, dir: String, seqLen: Long = SeqLen,
-      partitions: Int = 32): DataFrame = {
-    val ranged = rangedTokenCounts(s, dir, partitions)
+      partitions: Int = 32): DataFrame =
+    packSequencesOf(rangedTokenCounts(s, dir, partitions), seqLen)
+
+  /** [[packSequences]] over a pre-ranged (doc_id, n) Dataset — the form
+    * the ScalaCheck property drives with generated corpora. The input
+    * MUST be range-partitioned and sorted by doc_id (the registered
+    * query's rangedTokenCounts guarantees it).
+    */
+  def packSequencesOf(
+      ranged: org.apache.spark.sql.Dataset[(Long, Long)],
+      seqLen: Long): DataFrame = {
+    val s = ranged.sparkSession
     // pass 1: per-partition token totals -> base offset per partition
     val totals = ranged.rdd
       .mapPartitionsWithIndex { (pid, it) =>

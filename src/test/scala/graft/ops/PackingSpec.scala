@@ -50,6 +50,45 @@ class PackingSpec extends SparkSpec {
     assert(a == b, "layout must not depend on the physical partitioning")
   }
 
+  test("ScalaCheck: packSequences tiles any corpus exactly under any partitioning") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.functions._
+    val genCase = for {
+      nDocs <- Gen.choose(1, 60)
+      lens <- Gen.listOfN(nDocs, Gen.choose(1L, 40L))
+      seqLen <- Gen.oneOf(1L, 7L, 32L, 1000L)
+      parts <- Gen.oneOf(1, 3, 8)
+    } yield (lens.zipWithIndex.map { case (n, i) => ((i + 1).toLong, n) }, seqLen, parts)
+    (0 until 10).foreach { seed =>
+      genCase.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed.toLong)).foreach { case (docs, seqLen, parts) =>
+        val ranged = docs.toDF("doc_id", "n")
+          .repartitionByRange(parts, $"doc_id")
+          .sortWithinPartitions($"doc_id")
+          .as[(Long, Long)]
+        val rows = Packing.packSequencesOf(ranged, seqLen).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        // reference: sequential scan of the doc_id-ordered token stream
+        var off = 0L
+        val want = docs.flatMap { case (id, n) =>
+          val start = off; off += n
+          (start / seqLen to (start + n - 1) / seqLen).map { sq =>
+            (id, sq, math.max(0L, sq * seqLen - start),
+              math.min(n, (sq + 1) * seqLen - start))
+          }
+        }
+        assert(rows.sortBy(r => (r._1, r._2)).toSeq ==
+          want.sortBy(r => (r._1, r._2)),
+          s"seed $seed (seqLen=$seqLen parts=$parts) diverged from the sequential reference")
+        // tiling invariants: per-doc slice widths sum to n; no overlap
+        val widths = rows.groupBy(_._1).view
+          .mapValues(_.map(r => r._4 - r._3).sum).toMap
+        assert(docs.forall { case (id, n) => widths(id) == n },
+          s"seed $seed: slices must cover each doc exactly once")
+      }
+    }
+  }
+
   test("pack_chunks: stride/overlap contract") {
     val rows = Packing.packChunks(spark, sfDir)
       .collect()
