@@ -470,6 +470,93 @@ object TextAnalysis {
       .limit(n)
   }
 
+  /** The registered multi-query probe set: three queries spanning the
+    * idf spectrum (rare-term, common-term, mixed).
+    */
+  val Bm25MultiQueries: Seq[(String, String)] = Seq(
+    "q_rare" -> "dup window",
+    "q_common" -> "scan column order",
+    "q_mixed" -> "dup hash join stream")
+  val Bm25PerQueryK = 10
+
+  /** Batch retrieval: BM25 top-k per query over a query SET — the
+    * production shape (a probe batch amortizes the corpus pass; one
+    * query per pass would rescan per probe). One kernel pass computes
+    * (dl, tf over the UNION of all query terms) per document; scoring
+    * then folds each query's own terms in its own order (same
+    * exact-rational closed form as [[bm25Of]]), emitting one (query,
+    * doc, score) row per pair; per-query top-k is a qid-partitioned
+    * rank — the shuffle carries scored pairs only, never text.
+    */
+  def taBm25Multi(
+      s: SparkSession, dir: String,
+      queries: Seq[(String, String)] = Bm25MultiQueries,
+      k: Int = Bm25PerQueryK): DataFrame =
+    bm25MultiOf(t(s, dir, "documents"), queries, k)
+
+  /** [[taBm25Multi]] over an arbitrary (doc_id, text, …) frame. */
+  def bm25MultiOf(docsIn: DataFrame, queries: Seq[(String, String)],
+      k: Int): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val qTerms: Seq[(String, Array[String])] = queries.map { case (qid, q) =>
+      qid -> q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+    }
+    val union: Array[String] = qTerms.flatMap(_._2).distinct.toArray
+    val nu = union.length
+    require(nu > 0, "bm25 multi needs at least one term")
+    val base = docsIn.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+          val tfs = new Array[Long](nu)
+          toks.foreach { tk =>
+            var i = 0
+            while (i < nu) { if (union(i) == tk) tfs(i) += 1L; i += 1 }
+          }
+          (id, toks.length.toLong, tfs.toSeq)
+        }
+      }
+      .toDF("doc_id", "dl", "tfs")
+      .filter($"dl" > 0L)
+      .localCheckpoint(eager = true)
+    val statsRow = base.agg(
+      count(lit(1)), sum($"dl"),
+      array((0 until nu).map(i =>
+        sum(when(element_at($"tfs", i + 1) > 0L, 1L).otherwise(0L))): _*))
+      .head()
+    val nd = statsRow.getLong(0)
+    val tt = statsRow.getLong(1)
+    val dfs = statsRow.getSeq[Long](2).toArray
+    val unionIdx = union.zipWithIndex.toMap
+    val plans: Seq[(String, Array[Int])] =
+      qTerms.map { case (qid, ts) => qid -> ts.map(unionIdx) }
+    val scored = base.as[(Long, Long, Seq[Long])]
+      .flatMap { case (id, dl, tfs) =>
+        plans.iterator.map { case (qid, idxs) =>
+          var score = 0.0
+          var j = 0
+          while (j < idxs.length) {
+            val i = idxs(j)
+            val tf = tfs(i)
+            val num = (2L * nd - 2L * dfs(i) + 1L) * 44L * tf * tt
+            val den = (2L * dfs(i) + 1L) *
+              (20L * tf * tt + 6L * tt + 18L * dl * nd)
+            score += num.toDouble / den.toDouble
+            j += 1
+          }
+          (qid, id, score)
+        }
+      }
+      .toDF("query_id", "doc_id", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id", $"score")
+      .orderBy($"query_id", $"rank")
+  }
+
   // ---- heavy hitters (sketch + exact verify) ----
 
   /** Heavy = a token holding more than 1/32 of all corpus tokens. */
@@ -633,6 +720,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bm25" -> ((s, d) => taBm25(s, d)),
+    "ta_bm25_multi" -> ((s, d) => taBm25Multi(s, d)),
     "ta_heavy_hitters" -> taHeavyHitters,
     // rows-only: data-dependent iterative argmax, not one-SQL-expressible
     "ta_bpe_train" -> ((s, d) => taBpeTrain(s, d)),
@@ -686,7 +774,48 @@ object TextAnalysis {
     Bm25Query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
       .zipWithIndex.map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
 
+  /** (qid, fold-order i, term) VALUES for the multi-query oracle. */
+  private def bm25MultiTermValues: String =
+    Bm25MultiQueries.flatMap { case (qid, q) =>
+      q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+        .zipWithIndex.map { case (t, i) => s"('$qid', ${i + 1}, '$t')" }
+    }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "ta_bm25_multi" -> s"""
+      WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS tk
+        FROM documents),
+      base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM toks WHERE len(tk) > 0),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS tt
+        FROM base),
+      terms(qid, i, term) AS (VALUES $bm25MultiTermValues),
+      tf AS (
+        SELECT b.doc_id, b.dl, t.qid, t.i,
+          CAST(len(list_filter(b.tk, x -> x = t.term)) AS BIGINT) AS tf
+        FROM base b CROSS JOIN terms t),
+      dfs AS (
+        SELECT qid, i, CAST(count(*) FILTER (WHERE tf > 0) AS BIGINT) AS df
+        FROM tf GROUP BY qid, i),
+      contrib AS (
+        SELECT f.doc_id, f.qid, f.i,
+          CAST((2*s.nd - 2*d.df + 1) * 44 * f.tf * s.tt AS DOUBLE) /
+          CAST((2*d.df + 1) * (20*f.tf*s.tt + 6*s.tt + 18*f.dl*s.nd) AS DOUBLE) AS c
+        FROM tf f JOIN dfs d ON f.qid = d.qid AND f.i = d.i CROSS JOIN stats s),
+      scores AS (
+        SELECT qid, doc_id, list_sum(list(c ORDER BY i)) AS score
+        FROM contrib GROUP BY qid, doc_id),
+      ranked AS (
+        SELECT qid AS query_id,
+          CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+          doc_id, score
+        FROM scores)
+      SELECT query_id, rank, doc_id, score FROM ranked
+      WHERE rank <= $Bm25PerQueryK
+      ORDER BY query_id, rank""",
     "ta_heavy_hitters" -> s"""
       WITH toks AS (
         SELECT unnest(list_filter(

@@ -542,6 +542,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(real.length == 8 && real.map(_.getLong(0)).toSeq == (1L to 8L))
   }
 
+  test("bm25 multi: each query's block equals the single-query form") {
+    val qs = graft.ops.TextAnalysis.Bm25MultiQueries
+    val k = graft.ops.TextAnalysis.Bm25PerQueryK
+    val multi = graft.ops.TextAnalysis.taBm25Multi(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(multi.keySet == qs.map(_._1).toSet)
+    qs.foreach { case (qid, q) =>
+      val single = graft.ops.TextAnalysis
+        .bm25Of(graft.Tables.t(spark, sfDir, "documents"), q, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val block = multi(qid).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(block == single,
+        s"$qid: multi block must equal the single-query top-$k")
+      assert(multi(qid).map(_._2).sorted.toSeq == (1L to k).toSeq,
+        s"$qid: ranks must be contiguous 1..$k")
+    }
+  }
+
   test("bm25: rare-term docs outrank common-term docs; tf saturates; top-n is a heap, not a sort") {
     // 10 filler docs give the common term high df and the rare term df=1
     val filler = (10L to 19L).map(i => (i, "common words everywhere common"))
