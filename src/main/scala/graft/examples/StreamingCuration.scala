@@ -436,6 +436,34 @@ object StreamingCuration {
     graft.ops.Curation.exactSubstrWithDup(docs, dup, k)
   }
 
+  /** Fold a batch's distinct-text evidence into a persistent
+    * HyperLogLog register file — a CONSTANT-SIZE (2^p bytes) streaming
+    * distinct-count state, the bounded twin of the profile state's
+    * exact md5 table. Register max is commutative/associative/
+    * idempotent, so the folded state is bit-equal to a single pass over
+    * the concatenated batches (spec-pinned) — re-delivered documents
+    * cannot inflate the count.
+    */
+  def mergeDistinctSketch(spark: SparkSession, stateDir: String,
+      batch: DataFrame): Unit = {
+    import spark.implicits._
+    val agg = new graft.functions.HllAggregator()
+    val hll = udaf(agg)
+    val batchRegs = batch.select(xxhash64(col("text")).as("h"))
+      .agg(hll($"h")).head().getAs[Array[Byte]](0)
+    val dir = s"$stateDir/hll_regs"
+    val merged =
+      if (!new java.io.File(dir).exists()) batchRegs
+      else agg.merge(
+        spark.read.parquet(dir).head().getAs[Array[Byte]](0), batchRegs)
+    Seq(merged).toDF("regs").coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** The accumulated distinct-text estimate (deterministic). */
+  def distinctFromState(spark: SparkSession, stateDir: String): Long =
+    graft.functions.HllAggregator.estimate(
+      spark.read.parquet(s"$stateDir/hll_regs").head().getAs[Array[Byte]](0))
+
   /** Fold a batch into the persistent heavy-hitter sketch state: ONE
     * bounded Misra–Gries summary (<= k counters) plus the running token
     * total — per-batch cost is one aggregation over the batch and a

@@ -204,7 +204,32 @@ object QualityQueries {
         ($"matches" === $"total").as("passed"))
   }
 
+  /** Distinct-text cardinality via the hand-rolled mergeable
+    * [[graft.functions.HllAggregator]] sketch (4 KiB registers,
+    * partition-independent by register-max merge), next to the exact
+    * count for the error to be visible in the row. Rows-only BY
+    * DESIGN: DuckDB's approx_count_distinct is a different HLL
+    * implementation, so no cross-engine oracle can exist; the sketch's
+    * guarantees (bit-equal state under any merge order, <2% error at
+    * p=12) are ScalaCheck/spec-gated instead, and the streaming
+    * register state is the constant-size twin of the profile state's
+    * exact md5 table.
+    */
+  def dqUniqueHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hll = udaf(new graft.functions.HllAggregator())
+    val row = t(s, dir, "documents")
+      .select(xxhash64($"text").as("h"))
+      .agg(hll($"h"), countDistinct($"h")).head()
+    val est = graft.functions.HllAggregator.estimate(row.getAs[Array[Byte]](0))
+    val exact = row.getLong(1)
+    Seq(("documents.text", est, exact,
+      math.abs(est - exact).toDouble / math.max(1L, exact).toDouble))
+      .toDF("checked", "estimate", "exact_distinct", "rel_error")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_unique_hll" -> dqUniqueHll,
     "dq_pattern" -> dqPattern,
     "dq_row_count" -> dqRowCount,
     "dq_null_check" -> dqNullCheck,

@@ -88,6 +88,43 @@ class FunctionsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("HLL: registers are bit-equal under any split/merge order; estimate within bounds") {
+    import graft.functions.HllAggregator
+    val agg = new HllAggregator()
+    def regsOf(values: Seq[Long], nSplits: Int, reverse: Boolean): Array[Byte] = {
+      val chunks = values.zipWithIndex.groupBy(_._2 % nSplits).toSeq
+        .sortBy(_._1).map(_._2.map(_._1))
+      val bufs = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      (if (reverse) bufs.reverse else bufs).foldLeft(agg.zero)(agg.merge)
+    }
+    // xxhash64-like spread via a splitmix finalizer over dense ids
+    def mix(x0: Long): Long = {
+      var x = x0 + -7046029254386353131L
+      x = (x ^ (x >>> 30)) * -4658895280553007687L
+      x = (x ^ (x >>> 27)) * -7723592293110705685L
+      x ^ (x >>> 31)
+    }
+    Seq(100, 3000, 50000).foreach { n =>
+      val values = (1L to n.toLong).map(mix)
+      val single = regsOf(values, 1, reverse = false)
+      Seq((3, false), (8, true), (32, false)).foreach { case (k, rev) =>
+        assert(java.util.Arrays.equals(single, regsOf(values, k, rev)),
+          s"n=$n: registers must be bit-equal under $k-way split (rev=$rev)")
+      }
+      val est = HllAggregator.estimate(single)
+      val err = math.abs(est - n).toDouble / n
+      assert(err < 0.05, s"n=$n: estimate $est off by ${err * 100}%")
+      // duplicates are idempotent: feeding everything twice changes nothing
+      val doubled = (values ++ values).foldLeft(agg.zero)(agg.reduce)
+      assert(java.util.Arrays.equals(single, doubled),
+        s"n=$n: re-delivered values must not move the registers")
+    }
+    // the registered dq row on real data
+    val row = graft.queries.QualityQueries.dqUniqueHll(spark, sfDir).head()
+    assert(row.getDouble(3) < 0.05,
+      s"real-data estimate off by ${row.getDouble(3) * 100}%")
+  }
+
   test("ScalaCheck: Misra-Gries superset guarantee survives adversarial splits and merge orders") {
     import org.scalacheck.Gen
     import graft.functions.MisraGriesAggregator

@@ -520,6 +520,34 @@ class StreamingSpec extends SparkSpec {
       "a new doc repeating a corpus-frequent passage must lose those spans")
   }
 
+  test("incremental HLL state: folded registers bit-equal the single pass; estimate sane") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val state = Files.createTempDirectory("graft-hll-state").resolve("s").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    (0 until 3).foreach { i =>
+      StreamingCuration.mergeDistinctSketch(spark, state,
+        docs.filter(pmod($"doc_id", lit(3)) === i))
+    }
+    // re-deliver batch 0 whole: idempotent, registers must not move
+    val before = spark.read.parquet(s"$state/hll_regs").head().getAs[Array[Byte]](0)
+    StreamingCuration.mergeDistinctSketch(spark, state,
+      docs.filter(pmod($"doc_id", lit(3)) === 0))
+    val after = spark.read.parquet(s"$state/hll_regs").head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(before, after),
+      "re-delivered documents must not inflate the sketch")
+    // and the folded state equals one pass over the whole corpus
+    val hll = udaf(new graft.functions.HllAggregator())
+    val single = docs.select(xxhash64($"text").as("h"))
+      .agg(hll($"h")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(after, single),
+      "batch-folded registers must bit-equal the single-pass sketch")
+    val est = StreamingCuration.distinctFromState(spark, state)
+    val exact = docs.select($"text").distinct().count()
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"estimate $est vs exact $exact")
+  }
+
   test("incremental heavy-hitter sketch: folded state verifies to the batch answer") {
     import spark.implicits._
     import graft.examples.StreamingCuration
