@@ -720,7 +720,67 @@ object Similarity {
     s.createDataFrame(pairs).toDF("a", "b", "cos").orderBy("a", "b")
   }
 
+  /** Contrastive triplet mining for embedding-model training: per
+    * anchor, positive = its highest-cosine near-dup (ties to the lowest
+    * id) from the tiled exact pair pass, negative = a PSEUDORANDOM BUT
+    * RECOMPUTABLE draw — the anchor's successor on an md5 ring,
+    * bucketed by the hash's first nibble so the ring windows are
+    * 16-way-partitioned rather than one global sort (the same
+    * recomputable-membership doctrine as the sampling ops: any row's
+    * negative is re-derivable from ids alone, no RNG state). The CASE
+    * fallback chain (next, next-next, bucket-first, bucket-second)
+    * wraps the ring and skips anchor/positive collisions identically in
+    * both engines.
+    *
+    * 100 TB shape: pair mining is the tiled all-pairs op (or any
+    * blocked candidate source); the ring adds one id-only 16-bucket
+    * window and two broadcast-joinable id lookups; vectors attach to
+    * triplet rows only (∝ anchors, not pairs).
+    */
+  def sampleTriplets(
+      s: SparkSession, dir: String, threshold: Double = 0.40): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val pairs = dedupEmbCosineTiled(s, dir, threshold)
+    val best = pairs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"a").orderBy($"cos".desc, $"b".asc)))
+      .filter($"rk" === 1)
+      .select($"a".as("anchor_id"), $"b".as("pos_id"), $"cos".as("pos_cos"))
+    val ring = emb(s, dir).select($"vec_id")
+      .withColumn("h", md5($"vec_id".cast("string")))
+      .withColumn("bkt", substring($"h", 1, 1))
+    val w = Window.partitionBy($"bkt").orderBy($"h", $"vec_id")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ringx = ring
+      .withColumn("nx1", lead($"vec_id", 1).over(w))
+      .withColumn("nx2", lead($"vec_id", 2).over(w))
+      .withColumn("f1", first($"vec_id").over(wf))
+      .withColumn("f2", nth_value($"vec_id", 2).over(wf))
+    val trip = best
+      .join(ringx, best("anchor_id") === ringx("vec_id"))
+      .withColumn("neg_id",
+        when($"nx1".isNotNull && $"nx1" =!= $"pos_id", $"nx1")
+          .when($"nx2".isNotNull && $"nx2" =!= $"pos_id" &&
+            $"nx2" =!= $"anchor_id", $"nx2")
+          .when($"f1" =!= $"pos_id" && $"f1" =!= $"anchor_id", $"f1")
+          .when($"f2".isNotNull && $"f2" =!= $"pos_id" &&
+            $"f2" =!= $"anchor_id", $"f2"))
+      .filter($"neg_id".isNotNull)
+      .select($"anchor_id", $"pos_id", $"neg_id", $"pos_cos")
+    val ea = emb(s, dir)
+      .select($"vec_id".as("anchor_id"), asDouble($"embedding").as("va"))
+    val en = emb(s, dir)
+      .select($"vec_id".as("neg_id"), asDouble($"embedding").as("vn"))
+    trip.join(ea, "anchor_id").join(en, "neg_id")
+      .select($"anchor_id", $"pos_id", $"neg_id", $"pos_cos",
+        call_function("cosine_sim", $"va", $"vn").as("neg_cos"))
+      .orderBy("anchor_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_triplets" -> ((s, d) => sampleTriplets(s, d)),
     "sim_brute_topk" -> simBruteTopK,
     "sim_lsh_ann" -> simLshANN,
     "sim_ivf_ann" -> ((s, d) => simIvfANN(s, d)),
@@ -742,6 +802,51 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "sample_triplets" -> s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      pairs AS (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               ${duckCos("x.embedding", "y.embedding")} AS cos
+        FROM e x JOIN e y ON x.vec_id < y.vec_id
+        WHERE ${duckCos("x.embedding", "y.embedding")} >= 0.40),
+      best AS (
+        SELECT a AS anchor_id, b AS pos_id, cos AS pos_cos
+        FROM (SELECT a, b, cos,
+                row_number() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS rk
+              FROM pairs)
+        WHERE rk = 1),
+      ring AS (
+        SELECT vec_id, md5(CAST(vec_id AS STRING)) AS h,
+               substr(md5(CAST(vec_id AS STRING)), 1, 1) AS bkt
+        FROM e),
+      ringx AS (
+        SELECT vec_id,
+          lead(vec_id, 1) OVER w AS nx1,
+          lead(vec_id, 2) OVER w AS nx2,
+          first_value(vec_id) OVER wf AS f1,
+          nth_value(vec_id, 2) OVER wf AS f2
+        FROM ring
+        WINDOW w AS (PARTITION BY bkt ORDER BY h, vec_id),
+               wf AS (PARTITION BY bkt ORDER BY h, vec_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      trip AS (
+        SELECT b.anchor_id, b.pos_id, b.pos_cos,
+          CASE
+            WHEN r.nx1 IS NOT NULL AND r.nx1 <> b.pos_id THEN r.nx1
+            WHEN r.nx2 IS NOT NULL AND r.nx2 <> b.pos_id
+                 AND r.nx2 <> b.anchor_id THEN r.nx2
+            WHEN r.f1 <> b.pos_id AND r.f1 <> b.anchor_id THEN r.f1
+            WHEN r.f2 IS NOT NULL AND r.f2 <> b.pos_id
+                 AND r.f2 <> b.anchor_id THEN r.f2
+          END AS neg_id
+        FROM best b JOIN ringx r ON b.anchor_id = r.vec_id)
+      SELECT t.anchor_id, t.pos_id, t.neg_id, t.pos_cos,
+             ${duckCos("ea.embedding", "en.embedding")} AS neg_cos
+      FROM trip t
+      JOIN e ea ON t.anchor_id = ea.vec_id
+      JOIN e en ON t.neg_id = en.vec_id
+      WHERE t.neg_id IS NOT NULL
+      ORDER BY t.anchor_id""",
     "sim_brute_topk" -> s"""
       WITH pairs AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

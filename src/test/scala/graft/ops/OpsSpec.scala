@@ -471,6 +471,34 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class TripletSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triplets: distinct roles, thresholded positives, replayable negatives") {
+    val rows = graft.ops.Similarity.sampleTriplets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, p, n, pc, _) =>
+      assert(a != p && a != n && p != n, s"roles must be distinct: ($a,$p,$n)")
+      assert(pc >= 0.40, s"positive cosine $pc below threshold")
+    }
+    assert(rows.map(_._1).distinct.length == rows.length,
+      "one triplet per anchor")
+    // negatives are hash-derived: a re-run reproduces the identical set
+    val again = graft.ops.Similarity.sampleTriplets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == rows.map(r => (r._1, r._2, r._3)).toSeq,
+      "triplets must be deterministic")
+    // the contrastive signal exists corpus-wide: positives are on
+    // average far more similar than the hash-drawn negatives
+    val meanPos = rows.map(_._4).sum / rows.length
+    val meanNeg = rows.map(_._5).sum / rows.length
+    assert(meanPos > meanNeg + 0.2,
+      s"positives must separate from negatives ($meanPos vs $meanNeg)")
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
