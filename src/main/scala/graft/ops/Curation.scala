@@ -998,8 +998,14 @@ object Curation {
     val totals = frozen
       .agg(coalesce(sum($"freq_r"), lit(0L)),
         coalesce(sum($"freq_t"), lit(0L))).head()
-    val (nR, nT) = (totals.getLong(0), totals.getLong(1))
-    tris.join(broadcast(frozen), Seq("code"), "left")
+    scoreImportanceWith(tris, frozen, totals.getLong(0), totals.getLong(1))
+  }
+
+  private def scoreImportanceWith(
+      tris: DataFrame, model: DataFrame, nR: Long, nT: Long): DataFrame = {
+    val s = tris.sparkSession
+    import s.implicits._
+    tris.join(broadcast(model), Seq("code"), "left")
       .groupBy($"doc_id")
       .agg(sum($"occ").as("n_tris"),
         sum($"occ" * (coalesce($"freq_t", lit(0L)) * nR -
@@ -1008,6 +1014,42 @@ object Curation {
         ($"raw_score".cast("double") / $"n_tris".cast("double"))
           .as("mean_score"))
       .orderBy("doc_id")
+  }
+
+  /** Persist a trained importance model — (code, freq_r, freq_t) plus a
+    * one-row `_totals/` sidecar (written AFTER the main table; Spark
+    * scans skip underscore dirs) — the train-once half: a deployment
+    * scores every incoming batch under the frozen discriminant without
+    * rescanning either corpus ([[writeCharLm]]'s contract).
+    */
+  def writeImportanceModel(docs: DataFrame, target: DataFrame, path: String): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val mr = trainTrigramModel(docs).withColumnRenamed("freq", "freq_r")
+    val mt = trainTrigramModel(target).withColumnRenamed("freq", "freq_t")
+    val model = mr.join(mt, Seq("code"), "full")
+      .select($"code",
+        coalesce($"freq_r", lit(0L)).as("freq_r"),
+        coalesce($"freq_t", lit(0L)).as("freq_t"))
+      .localCheckpoint(eager = true)
+    model.write.mode("overwrite").parquet(path)
+    model.agg(
+        coalesce(sum($"freq_r"), lit(0L)).as("n_r"),
+        coalesce(sum($"freq_t"), lit(0L)).as("n_t"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_totals")
+  }
+
+  /** Score an arbitrary (doc_id, text, …) frame under a FROZEN
+    * importance model — cost ∝ the scored frame; bit-identical to
+    * inline training on the same corpora (spec-pinned), because the
+    * discriminant is pure integer arithmetic.
+    */
+  def scoreImportanceFrozen(batch: DataFrame, modelPath: String): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val model = s.read.parquet(modelPath)
+    val tot = s.read.parquet(s"$modelPath/_totals").head()
+    scoreImportanceWith(trigramsOf(batch), model, tot.getLong(0), tot.getLong(1))
   }
 
   // ---- char-LM log-prob quality score (perplexity-style filter) ----

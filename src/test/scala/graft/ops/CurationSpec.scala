@@ -193,6 +193,28 @@ class CurationSpec extends SparkSpec {
       s"en docs must average above the rest ($enMean vs $restMean)")
   }
 
+  test("importance: frozen model scores batches bit-identically to inline training") {
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val target = docs.filter($"lang" === "en")
+    val path = java.nio.file.Files.createTempDirectory("graft-impmodel")
+      .resolve("m").toString
+    Curation.writeImportanceModel(docs, target, path)
+    val inline = Curation.importanceOf(docs, target).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val frozen = Curation.scoreImportanceFrozen(docs, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(frozen == inline,
+      "integer discriminant must round-trip the freeze bit-exactly")
+    // batch scoring: a subset frame scores under the frozen model with
+    // the same rows it gets inside the full-corpus run
+    val sub = Curation.scoreImportanceFrozen(
+      docs.filter($"doc_id" % 7 === 0), path).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val full = inline.map(r => r._1 -> r._3).toMap
+    assert(sub.nonEmpty && sub.forall { case (id, sc) => full(id) == sc },
+      "per-doc scores must not depend on which batch a doc arrives in")
+  }
+
   test("curriculum: contiguous per-source ranks, monotone difficulty, full interleave") {
     val rows = Curation.mixCurriculum(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

@@ -250,6 +250,14 @@ class PlanSpec extends SparkSpec {
       s"window mark-back must stay a hash join:\n$p")
   }
 
+  test("sample_triplets: ring windows are bucket-partitioned, never a single-partition sort") {
+    val p = plan(graft.ops.Similarity.sampleTriplets(spark, sfDir))
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"the md5 ring must not funnel through one partition:\n$p")
+    assert("hashpartitioning\\(bkt".r.findAllIn(p).nonEmpty,
+      s"ring windows should partition by the hash bucket:\n$p")
+  }
+
   test("cap/curriculum windows: one shuffle on source, no extra exchanges") {
     val cap = plan(graft.ops.Sampling.capPerSourceSummary(spark, sfDir))
     assert("Exchange hashpartitioning\\(source".r.findAllIn(cap).size == 1,
