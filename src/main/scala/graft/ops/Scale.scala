@@ -130,6 +130,41 @@ object Scale {
     * footers (no data read) — the stats a range-clustered scan prunes
     * with, exposed so layout quality is testable and monitorable.
     */
+  /** Compact a small-file parquet directory toward `targetBytes` output
+    * files — the standard maintenance pass against the 100 TB
+    * small-file problem (every file costs a footer read, a task, and
+    * NameNode/liststatus pressure; 10^6 64 KB files read slower than
+    * 10^3 64 MB ones). The file count comes from the directory's ACTUAL
+    * on-disk bytes (one liststatus, no data read), then one
+    * `repartition(n)` round-robin rewrite produces evenly-sized files.
+    * Returns (files before, bytes before, files after). Data is
+    * preserved row-for-row (spec-checked); ordering is not — callers
+    * needing co-location compact via [[writeRangeClustered]]/
+    * [[writeZOrdered]] instead, which this does not replace.
+    */
+  def compactSmallFiles(
+      s: SparkSession, path: String, targetBytes: Long = 128L << 20): (Long, Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(dir).toSeq
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = path.stripSuffix("/") + "_compact_tmp"
+    s.read.parquet(path).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp)
+    // swap atomically-ish: remove originals, move compacted files in
+    files.foreach(f => fs.delete(f.getPath, false))
+    fs.listStatus(new Path(tmp)).toSeq
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+    fs.delete(new Path(tmp), true)
+    val after = fs.listStatus(dir).toSeq
+      .count(f => f.getPath.getName.endsWith(".parquet")).toLong
+    (files.size.toLong, totalBytes, after)
+  }
+
   def parquetFileRanges(s: SparkSession, path: String, column: String): Seq[(String, Long, Long)] = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader

@@ -220,4 +220,27 @@ class ScaleSpec extends SparkSpec {
     val touched = clustered.count { case (_, mn, mx) => mx >= probeLo && mn <= probeHi }
     assert(touched <= 2, s"range probe should touch <=2 clustered files, got $touched")
   }
+
+  test("small-file compaction: file count collapses to the byte target, rows survive exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").resolve("t").toString
+    // 64 deliberately tiny files
+    (1L to 20000L).map(i => (i, s"row$i")).toDF("id", "payload")
+      .repartition(64).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val total = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = math.max(1L, total / 4) // aim for ~4 output files
+    val (nBefore, bytes, nAfter) = Scale.compactSmallFiles(spark, dir, target)
+    assert(nBefore == 64L && bytes == total)
+    assert(nAfter <= 6L, s"64 small files should collapse to ~4-5, got $nAfter")
+    val after = spark.read.parquet(dir)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(after == before, "compaction must preserve every row exactly")
+    // idempotence: a second pass at the same target is a near-no-op
+    val (n2, _, n3) = Scale.compactSmallFiles(spark, dir, target)
+    assert(n2 == nAfter && n3 <= nAfter,
+      "re-compacting an already-compact directory must not fragment it")
+  }
 }
