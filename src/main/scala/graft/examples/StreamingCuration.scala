@@ -155,9 +155,32 @@ object StreamingCuration {
       // still correct (positives are exact-verified) but every row pays
       // the anti-join. Rebuild distributed, at double the current size.
       maybeRebuildBloom(spark, stateDir, corpusSize, bloomExpectedDocs)
+      // per-batch appends fragment the state tables one file per
+      // partition per batch — compact once the count crosses the
+      // threshold (liststatus check only; a no-op most batches)
+      maybeCompactCorpus(spark, stateDir)
       corpusSize
     } finally { batchSets.unpersist(); () }
   }
+
+  /** Compact the append-fragmented corpus state tables once either
+    * crosses `maxFiles` parquet files — micro-batch appends are the
+    * canonical small-file generator ([[graft.ops.Scale.compactSmallFiles]]
+    * doc); rows are preserved exactly, and every consumer re-lists the
+    * directory per batch, so a swap between batches is safe.
+    */
+  def maybeCompactCorpus(spark: SparkSession, stateDir: String,
+      maxFiles: Int = 256, targetBytes: Long = 128L << 20): Unit =
+    Seq(s"$stateDir/corpus_docs", s"$stateDir/corpus_sets").foreach { dir =>
+      val d = new java.io.File(dir)
+      if (d.exists()) {
+        val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+        if (n > maxFiles) {
+          graft.ops.Scale.compactSmallFiles(spark, dir, targetBytes)
+          ()
+        }
+      }
+    }
 
   /** Persisted corpus Bloom filter — the fixed-size exact-dedup
     * prefilter (see [[graft.ops.Dedup.bloomNovelWith]]): sized for 10M

@@ -490,6 +490,38 @@ class StreamingSpec extends SparkSpec {
     assert(runs == totals, "state runs must equal per-source corpus token totals")
   }
 
+  test("corpus compaction: fragmented state collapses; dedup stays exact afterward") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val state = Files.createTempDirectory("graft-compact-st").resolve("s").toString
+    // 6 batches of real docs fragment corpus_docs
+    val docs = graft.Tables.t(spark, sfDir, "documents").limit(60)
+    (0 until 6).foreach { i =>
+      StreamingCuration.processBatch(spark,
+        docs.filter(pmod($"doc_id", lit(6)) === i).select($"doc_id", $"text"),
+        state)
+    }
+    val dir = new java.io.File(s"$state/corpus_docs")
+    def nFiles = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    val fragmented = nFiles
+    assert(fragmented > 3, s"appends should fragment the table, got $fragmented files")
+    val rowsBefore = spark.read.parquet(dir.toString)
+      .collect().map(_.toSeq).toSet
+    StreamingCuration.maybeCompactCorpus(spark, state, maxFiles = 2)
+    assert(nFiles < fragmented, "compaction must reduce the file count")
+    val rowsAfter = spark.read.parquet(dir.toString)
+      .collect().map(_.toSeq).toSet
+    assert(rowsAfter == rowsBefore, "compaction must preserve the corpus exactly")
+    // the pipeline still dedups exactly against the compacted corpus:
+    // re-delivering already-accepted docs accepts nothing new
+    val before = spark.read.parquet(dir.toString).count()
+    StreamingCuration.processBatch(spark,
+      docs.filter(pmod($"doc_id", lit(6)) === 0).select($"doc_id", $"text"),
+      state)
+    assert(spark.read.parquet(dir.toString).count() == before,
+      "re-delivered docs must still be rejected after compaction")
+  }
+
   test("incremental window-freq state: state-driven span removal equals the batch operator") {
     import spark.implicits._
     import graft.examples.StreamingCuration
