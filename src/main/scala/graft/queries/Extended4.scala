@@ -295,7 +295,40 @@ object Extended4 {
   private[queries] def q61Oracle: String =
     q61Sql("region", "nation", "customer")
 
+  /** q62: strict-order funnel analysis over the events stream — per
+    * user, the first 'view', the first 'click' strictly AFTER that
+    * view, and the first 'purchase' strictly after that click (the
+    * standard conversion-funnel contract: later stages can't borrow
+    * events that preceded the earlier stage). Three conditional-min
+    * aggregations chained by broadcast-joined thresholds — each stage
+    * is one groupBy(user) with map-side partials, no window over the
+    * raw stream and no self-join on events; at scale the funnel costs
+    * three aggregations of (user, ts) pairs regardless of event volume.
+    * Timestamps ship as epoch micros (the q28/q40 parity convention).
+    */
+  def q62Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t_view"))
+    val c = ev.filter($"event_type" === "click")
+      .join(broadcast(v), "user_id")
+      .filter($"us" > $"t_view")
+      .groupBy($"user_id").agg(min($"us").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(broadcast(c), "user_id")
+      .filter($"us" > $"t_click")
+      .groupBy($"user_id").agg(min($"us").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select($"user_id", $"t_view", $"t_click", $"t_purchase",
+        (lit(1L) + when($"t_click".isNotNull, 1L).otherwise(0L) +
+          when($"t_purchase".isNotNull, 1L).otherwise(0L)).as("depth"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_funnel" -> q62Funnel,
     "q61_recursive_hierarchy" -> q61RecursiveHierarchy,
     "q60_array_setops" -> q60ArraySetOps,
     "q59_bit_ops" -> q59BitOps,
@@ -308,6 +341,30 @@ object Extended4 {
     "q57_mode_percentile" -> q57ModePercentile)
 
   val oracles: Map[String, String] = Map(
+    "q62_funnel" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      v AS (
+        SELECT user_id, MIN(us) AS t_view FROM ev
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, MIN(e.us) AS t_click
+        FROM ev e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.us > v.t_view
+        GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, MIN(e.us) AS t_purchase
+        FROM ev e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.us > c.t_click
+        GROUP BY e.user_id)
+      SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END
+             AS BIGINT) AS depth
+      FROM v
+      LEFT JOIN c ON v.user_id = c.user_id
+      LEFT JOIN p ON v.user_id = p.user_id
+      ORDER BY v.user_id""",
     "q61_recursive_hierarchy" -> q61Oracle,
     "q60_array_setops" -> """
       WITH arrs AS (
