@@ -24,7 +24,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Extended.queries ++ Extended2.queries ++
-      Extended3.queries ++ Extended4.queries ++
+      Extended3.queries ++ Extended4.queries ++ Extended5.queries ++
       QualityQueries.queries ++ Dedup.queries ++ TextAnalysis.queries ++
       Similarity.queries ++ Multimodal.queries ++ Sampling.queries ++
       Packing.queries ++ Decontamination.queries ++ Curation.queries
@@ -34,7 +34,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Extended.oracles ++ Extended2.oracles ++
-      Extended3.oracles ++ Extended4.oracles ++
+      Extended3.oracles ++ Extended4.oracles ++ Extended5.oracles ++
       QualityQueries.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Sampling.oracles ++
       Packing.oracles ++ Decontamination.oracles ++ Curation.oracles

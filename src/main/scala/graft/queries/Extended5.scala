@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Fifth extension block of the SQL-pass-through surface (SURVEY.md
+  * §2.B): the interval/temporal join family Spark has no dedicated
+  * operator for — a global (no equi-key) range join via band
+  * bucketing, and the forward-with-tolerance member of the as-of
+  * family (backward as-of is q25). Same determinism conventions as
+  * [[Relational]].
+  */
+object Extended5 {
+
+  /** Band width for q63: pairs within 10 seconds. */
+  private val BandUs = 10000000L
+
+  /** Tolerance for q64: next purchase within 1 hour. */
+  private val TolUs = 3600000000L
+
+  /** q63: global range join — all pairs of events from DIFFERENT users
+    * within 10 s of each other. There is no equi key, so the naive plan
+    * is a cartesian product with a band predicate (O(n²) — dead at any
+    * scale). The scale shape is band bucketing: quantize time into
+    * W-sized buckets, replicate the smaller-id probe side into its
+    * bucket ±1 (3× — a pair at most W apart spans at most adjacent
+    * buckets), equi-join on the bucket, then apply the exact band
+    * predicate. Each qualifying pair matches EXACTLY once (the build
+    * side keeps its single home bucket), so no dedup pass is needed.
+    *
+    * At 100 TB: the shuffle is an ordinary hash join on the bucket key;
+    * candidates per bucket are bounded by (event density × W), W tunes
+    * replication vs candidate count, and a hot second (skewed bucket)
+    * is split by AQE's skew-join handling — never a cartesian. Gap is
+    * integer microseconds (both engines floor ns → µs), so the output
+    * is hash-exact.
+    */
+  def q63RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tus"))
+      .withColumn("bucket", expr(s"tus DIV $BandUs"))
+    val probe = ev
+      .select($"event_id".as("id_a"), $"user_id".as("user_a"),
+        $"tus".as("tus_a"),
+        explode(array($"bucket" - 1, $"bucket", $"bucket" + 1)).as("pb"))
+    val build = ev
+      .select($"event_id".as("id_b"), $"user_id".as("user_b"),
+        $"tus".as("tus_b"), $"bucket")
+    probe.join(build,
+        $"pb" === $"bucket" && $"id_a" < $"id_b" &&
+          $"user_a" =!= $"user_b" &&
+          abs($"tus_a" - $"tus_b") <= BandUs)
+      .select($"id_a", $"id_b", $"user_a", $"user_b",
+        abs($"tus_a" - $"tus_b").as("gap_us"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q64: forward as-of join with tolerance — for every 'view' event,
+    * the user's NEXT 'purchase' at-or-after it, but only within 1 hour
+    * (else no match). Backward as-of is q25; forward-with-tolerance
+    * completes the family (pandas merge_asof direction='forward').
+    *
+    * Same union-then-window shape as q25 — no join at all: tag both
+    * streams, sort per user by (time, tag, id) with purchases after
+    * views at equal timestamps (inclusive >=), and take
+    * first(ignoreNulls) over the forward frame; one shuffle on
+    * user_id total, so it scales as a single window, not a per-row
+    * probe. The tolerance is applied afterwards as a filter on the
+    * matched timestamp. Ties (several purchases in the same
+    * microsecond) resolve to the lowest event_id — a total order, so
+    * the result is deterministic and hash-comparable against DuckDB's
+    * LATERAL form. NULL match is encoded as -1 on both engines (the
+    * driver compare is happier with non-null integer columns).
+    */
+  def q64ForwardAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tus"),
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("view_time"),
+        $"event_type")
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"tus", $"view_time",
+        lit(null).cast("struct<pt:bigint,pid:bigint>").as("p"),
+        lit(0).as("tag"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select(lit(null).cast("long").as("event_id"), $"user_id", $"tus",
+        lit(null).cast("string").as("view_time"),
+        struct($"tus".as("pt"), $"event_id".as("pid")).as("p"),
+        lit(1).as("tag"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"tus".asc, $"tag".asc, $"p.pid".asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    views.unionByName(purchases)
+      .withColumn("m", first($"p", ignoreNulls = true).over(w))
+      .filter($"tag" === 0)
+      .withColumn("ok", $"m".isNotNull && $"m.pt" - $"tus" <= TolUs)
+      .select($"event_id".as("view_id"), $"user_id", $"view_time",
+        when($"ok", $"m.pid").otherwise(-1L).as("purchase_id"),
+        when($"ok", $"m.pt" - $"tus").otherwise(-1L).as("gap_us"))
+      .orderBy("view_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_range_join" -> q63RangeJoin,
+    "q64_forward_asof" -> q64ForwardAsof)
+
+  val oracles: Map[String, String] = Map(
+    "q63_range_join" -> s"""
+      SELECT a.event_id AS id_a, b.event_id AS id_b,
+        a.user_id AS user_a, b.user_id AS user_b,
+        CAST(abs(epoch_us(a.ts) - epoch_us(b.ts)) AS BIGINT) AS gap_us
+      FROM events a JOIN events b
+        ON a.event_id < b.event_id AND a.user_id <> b.user_id
+       AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= $BandUs
+      ORDER BY id_a, id_b""",
+    "q64_forward_asof" -> s"""
+      SELECT v.event_id AS view_id, v.user_id,
+        STRFTIME(v.ts, '%Y-%m-%d %H:%M:%S') AS view_time,
+        coalesce(p.pid, -1) AS purchase_id,
+        coalesce(p.pt - epoch_us(v.ts), -1) AS gap_us
+      FROM events v LEFT JOIN LATERAL (
+        SELECT event_id AS pid, epoch_us(ts) AS pt
+        FROM events
+        WHERE user_id = v.user_id AND event_type = 'purchase'
+          AND epoch_us(ts) >= epoch_us(v.ts)
+          AND epoch_us(ts) <= epoch_us(v.ts) + $TolUs
+        ORDER BY epoch_us(ts), event_id LIMIT 1) p ON TRUE
+      WHERE v.event_type = 'view'
+      ORDER BY view_id"""
+  )
+}

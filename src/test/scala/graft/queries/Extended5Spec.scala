@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.Tables.t
+import org.apache.spark.sql.functions._
+
+/** Semantics + plan shape for the interval-join family (q63/q64). The
+  * oracle gate already pins both hash-exact vs DuckDB; these specs pin
+  * the properties the oracle can't see — that the band-bucketed plan
+  * EQUALS the naive all-pairs definition, and that the physical plans
+  * are the scale shapes (hash join on the band bucket / one window, no
+  * join), not a cartesian that merely happens to finish at test SF.
+  */
+class Extended5Spec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q63 band-bucketed range join equals the naive all-pairs filter") {
+    import spark.implicits._
+    val got = Extended5.q63RangeJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val ev = t(spark, sfDir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tus"))
+    val a = ev.select($"event_id".as("ia"), $"user_id".as("ua"), $"tus".as("ta"))
+    val b = ev.select($"event_id".as("ib"), $"user_id".as("ub"), $"tus".as("tb"))
+    // the definition, shape be damned: a cross product with the band
+    // predicate (fine at sf0.001)
+    val naive = a.crossJoin(b)
+      .filter($"ia" < $"ib" && $"ua" =!= $"ub" &&
+        abs($"ta" - $"tb") <= 10000000L)
+      .select($"ia", $"ib", abs($"ta" - $"tb").as("gap"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive, s"bucketed=${got.size} naive=${naive.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("q63 plans an equi join on the band bucket, not a cartesian") {
+    val p = plan(Extended5.q63RangeJoin(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to an all-pairs physical plan:\n$p")
+  }
+
+  test("q64 forward as-of equals the naive per-view lookup") {
+    import spark.implicits._
+    val got = Extended5.q64ForwardAsof(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val ev = t(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val purchases = ev.filter(_._3 == "purchase")
+    val views = ev.filter(_._3 == "view")
+    assert(views.nonEmpty && purchases.nonEmpty)
+    views.foreach { case (vid, uid, _, vt) =>
+      val cand = purchases
+        .filter(p => p._2 == uid && p._4 >= vt && p._4 <= vt + 3600000000L)
+        .sortBy(p => (p._4, p._1))
+      val want = cand.headOption.map(p => (p._1, p._4 - vt)).getOrElse((-1L, -1L))
+      assert(got(vid) == want, s"view $vid: got ${got(vid)} want $want")
+    }
+  }
+
+  test("q64 is one window pass — no join operator in the plan") {
+    val p = plan(Extended5.q64ForwardAsof(spark, sfDir))
+    assert(p.contains("Window"), s"expected a window:\n$p")
+    assert(!p.contains("Join"), s"as-of must not plan a per-row join:\n$p")
+  }
+}
