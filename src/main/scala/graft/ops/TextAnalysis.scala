@@ -718,12 +718,90 @@ object TextAnalysis {
     syms
   }
 
+  // ---- BPE encoding (the apply half of taBpeTrain) ----
+
+  /** Persist a learned merge table ([[bpeTrainOf]] output) so scoring
+    * jobs and streaming batches encode under a FROZEN tokenizer instead
+    * of retraining — the same train/freeze/apply split as the char-LM
+    * and importance models. The table is V rows (the merge budget), so
+    * the apply side always broadcasts it.
+    */
+  def writeBpeMerges(merges: DataFrame, path: String): Unit =
+    merges.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def readBpeMerges(s: SparkSession, path: String): Seq[(String, String)] =
+    s.read.parquet(path).orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+
+  /** Encode every document under a merge table: per-doc whitespace
+    * words (same tokenization the trainer collapsed on), each encoded
+    * by [[bpeEncode]], reduced to (word count, BPE symbol count, most
+    * frequent symbol). One fused mapPartitions kernel, zero shuffles:
+    * the merge table is a broadcast of ≤V pairs, and a per-partition
+    * memo caches the symbol count of hot words (Zipf does the rest —
+    * the cache is capped, and a miss just re-encodes, so the output is
+    * cache-independent). At 100 TB the alternative shape is the
+    * trainer's: encode the DISTINCT-word table once (vocabulary-sized)
+    * and equi-join counts back — worth it when documents repeat a
+    * small vocabulary; the kernel form needs no shuffle at all.
+    * top_sym ties break lexicographically — a total order, so the
+    * result is deterministic and partition-independent.
+    */
+  def bpeEncodeDocs(docsIn: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(merges)
+    docsIn.select($"doc_id", lower($"text").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        it.map { case (id, text) =>
+          val words = text.trim.split("\\s+").filter(_.nonEmpty)
+          val freq = scala.collection.mutable.HashMap.empty[String, Long]
+          var nSyms = 0L
+          words.foreach { w =>
+            val syms =
+              if (memo.contains(w)) memo(w)
+              else {
+                val e = bpeEncode(w, ms)
+                if (memo.size < 65536) memo.update(w, e)
+                e
+              }
+            nSyms += syms.length
+            syms.foreach(sy => freq.update(sy, freq.getOrElse(sy, 0L) + 1L))
+          }
+          val (topSym, topFreq) =
+            if (freq.isEmpty) ("", 0L)
+            else freq.toSeq.minBy { case (sy, c) => (-c, sy) }
+          (id, words.length.toLong, nSyms, topSym, topFreq)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_syms", "top_sym", "top_freq")
+      .orderBy("doc_id")
+  }
+
+  /** Registered form: train on the corpus, then encode the corpus under
+    * the learned table. Rows-only BY DESIGN — the merge table comes
+    * from the iterative trainer (see [[taBpeTrain]]), so no single SQL
+    * oracle exists; the spec pins the kernel against a direct
+    * in-memory re-encode and the frozen round-trip.
+    */
+  def taBpeEncode(s: SparkSession, dir: String, nMerges: Int = BpeMerges): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = bpeTrainOf(docs, nMerges).orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    bpeEncodeDocs(docs, merges)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bm25" -> ((s, d) => taBm25(s, d)),
     "ta_bm25_multi" -> ((s, d) => taBm25Multi(s, d)),
     "ta_heavy_hitters" -> taHeavyHitters,
     // rows-only: data-dependent iterative argmax, not one-SQL-expressible
     "ta_bpe_train" -> ((s, d) => taBpeTrain(s, d)),
+    // rows-only: encodes under the iteratively-trained merge table
+    "ta_bpe_encode" -> ((s, d) => taBpeEncode(s, d)),
     "ta_char_diversity" -> taCharDiversity,
     "ta_pii_redact" -> taPiiRedact,
     "ta_repetition" -> taRepetition,

@@ -570,6 +570,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(real.length == 8 && real.map(_.getLong(0)).toSeq == (1L to 8L))
   }
 
+  test("BPE encode: kernel equals direct re-encode; frozen merges round-trip") {
+    import graft.ops.TextAnalysis._
+    val docs = Seq(
+      (1L, "low low low low low lower lower newest newest"),
+      (2L, "newest newest newest newest widest widest widest"),
+      (3L, "low newest widest lower"),
+      (4L, "   "),
+      (5L, "Mixed CASE lowest")).toDF("doc_id", "text")
+    val mergesDf = bpeTrainOf(docs, 12)
+    val merges = mergesDf.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = bpeEncodeDocs(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    // ground truth: encode every word directly with the public helper
+    val want = docs.as[(Long, String)].collect().sortBy(_._1).map { case (id, text) =>
+      val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val syms = words.flatMap(w => bpeEncode(w, merges))
+      val top =
+        if (syms.isEmpty) ("", 0L)
+        else syms.groupBy(identity).map { case (sy, xs) => (sy, xs.length.toLong) }
+          .toSeq.minBy { case (sy, c) => (-c, sy) }
+      (id, words.length.toLong, syms.length.toLong, top._1, top._2)
+    }
+    assert(got.toSeq == want.toSeq, s"\n got=${got.toSeq}\nwant=${want.toSeq}")
+    // cache-independence: a different partitioning (different memo fill
+    // order) must not change a single row
+    val got2 = bpeEncodeDocs(docs.repartition(5), merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    assert(got2.toSeq == got.toSeq)
+    // freeze half: written merges read back identical, encode identical
+    val dir = java.nio.file.Files.createTempDirectory("bpe_frozen").toString
+    writeBpeMerges(mergesDf, s"$dir/merges")
+    val frozen = readBpeMerges(spark, s"$dir/merges")
+    assert(frozen == merges, "frozen merge table must round-trip in rank order")
+    // registered form on the real corpus: every doc present, symbol
+    // count bounded by character count (merges only ever shorten)
+    val real = taBpeEncode(spark, sfDir, 6).collect()
+    val nDocs = graft.Tables.t(spark, sfDir, "documents").count()
+    assert(real.length == nDocs)
+    assert(real.forall(r => r.getLong(2) >= r.getLong(1)),
+      "a word is at least one symbol")
+  }
+
   test("bm25 multi: each query's block equals the single-query form") {
     val qs = graft.ops.TextAnalysis.Bm25MultiQueries
     val k = graft.ops.TextAnalysis.Bm25PerQueryK
