@@ -630,6 +630,111 @@ object Similarity {
     acc
   }
 
+  // ---- approximate k-NN graph (NN-Descent) ----
+
+  val GraphK = 5 // neighbors kept per vector
+  val GraphRounds = 2 // neighbor-of-neighbor refinement rounds
+  val SeedChunk = 32 // LSH-bucket chunk cap for seeding
+
+  /** Attach both endpoint vectors to an id-pair frame and score with the
+    * codegen'd cosine — two equi joins on vec_id; the pair set itself
+    * shuffles as bare id scalars.
+    */
+  private def scorePairs(pairs: DataFrame, vecs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs
+      .join(vecs.select($"vec_id".as("src"), $"e".as("se")), Seq("src"))
+      .join(vecs.select($"vec_id".as("dst"), $"e".as("de")), Seq("dst"))
+      .select($"src", $"dst", cosine($"se", $"de").as("cos"))
+  }
+
+  /** Keep each source's k best neighbors, ties broken by dst id — a
+    * total order, so the graph is deterministic for a given pair set.
+    */
+  private def topKEdges(scored: DataFrame, k: Int): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+  }
+
+  /** Approximate k-NN GRAPH over the whole corpus — NN-Descent (Dong et
+    * al., WWW 2011): seed each vector's neighbor list cheaply, then
+    * refine by the observation that a neighbor's neighbor is likely a
+    * neighbor. Where the other sim_* operators answer a bounded query
+    * set, this builds the all-corpus structure (the precursor to
+    * HNSW-style serving indexes, clustering, and graph-based dedup).
+    *
+    * Seeding reuses the LSH band machinery: bucket-mates are likely
+    * neighbors, and each (band, bucket) is split into ≤[[SeedChunk]]-row
+    * chunks so seed pairs are ∝ n·chunk — NEVER bucket² (a hot bucket at
+    * corpus scale would otherwise go quadratic; NN-Descent converges
+    * from any sparse seeding, so capping costs recall only at round 0).
+    *
+    * Each round: U = current edges both directions (degree ≤ 2k), the
+    * neighbor-of-neighbor candidates are one equi self-join of U on the
+    * shared endpoint (≤ n·(2k)² id-pairs — linear in n for fixed k),
+    * scoring attaches vectors by two equi joins, and a per-source
+    * window keeps the k best. The candidate set CONTAINS the current
+    * edges, so neighbor quality is monotonically non-decreasing
+    * (spec-pinned along with recall vs brute force). Rounds are O(1)
+    * (2 here; convergence is empirically fast), with localCheckpoint
+    * truncating lineage between rounds — the kmeans/connected-
+    * components pattern. Every shuffle carries id scalars or one
+    * vector per corpus row; nothing is ever broadcast or collected,
+    * so the build runs at any corpus size.
+    *
+    * Deterministic BY CONSTRUCTION (fixed planes, total-order
+    * tie-breaks) but iterative, so not one-SQL-expressible — the
+    * registered form is rows-only by design; SimilaritySpec gates
+    * recall ≥ 0.6 vs [[simBruteTopK]] and round-over-round improvement.
+    */
+  def knnGraphEdges(vecsIn: DataFrame, k: Int = GraphK,
+      rounds: Int = GraphRounds): DataFrame = {
+    val s = vecsIn.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val vecs = vecsIn.localCheckpoint(eager = true)
+    val banded = lshBandsFused(vecs)
+    val wB = Window.partitionBy($"band", $"bh").orderBy($"vec_id")
+    val chunked = banded
+      .withColumn("chunk", floor((row_number().over(wB) - 1) / SeedChunk))
+    val left = chunked.select($"band", $"bh", $"chunk", $"vec_id".as("src"))
+    val right = chunked.select($"band", $"bh", $"chunk", $"vec_id".as("dst"))
+    val seed = left.join(right, Seq("band", "bh", "chunk"))
+      .filter($"src" =!= $"dst")
+      .select($"src", $"dst").distinct()
+    var edges = topKEdges(scorePairs(seed, vecs), k)
+      .localCheckpoint(eager = true)
+    var r = 0
+    while (r < rounds) {
+      val u = edges.select($"src", $"dst")
+        .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      val nn = u.as("x").join(u.as("y"), $"x.dst" === $"y.src")
+        .select($"x.src".as("src"), $"y.dst".as("dst"))
+        .filter($"src" =!= $"dst")
+      val cand = u.union(nn).distinct()
+      edges = topKEdges(scorePairs(cand, vecs), k)
+        .localCheckpoint(eager = true)
+      r += 1
+    }
+    edges.select($"src", $"rk", $"dst", $"cos")
+  }
+
+  /** Registered form: build the graph, emit the query vectors' rows in
+    * the common sim_* output shape.
+    */
+  def simKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    knnGraphEdges(all, GraphK, GraphRounds)
+      .filter($"src" < NumQueries)
+      .select($"src".as("query_id"), $"rk", $"dst".as("cand_id"), $"cos")
+      .orderBy("query_id", "rk")
+  }
+
   /** TEST-ONLY baseline: embedding-cosine near-duplicate pairs (cosine ≥
     * threshold), exact, via a driver `collect()` + corpus broadcast.
     * Threshold 0.40 is tuned to the synthetic corpus (max pairwise cosine
@@ -786,6 +891,8 @@ object Similarity {
     "sim_ivf_ann" -> ((s, d) => simIvfANN(s, d)),
     "sim_sq_ann" -> simSqANN,
     "sim_pq_ann" -> simPqANN,
+    // rows-only: iterative NN-Descent refinement, recall-gated by spec
+    "sim_knn_graph" -> simKnnGraph,
     // both routes are the tiled (no-driver-collect) plan; two block
     // counts prove the tiling is invariant under the same oracle
     "dedup_embcos" -> ((s, d) => dedupEmbCosineTiled(s, d, numBlocks = 8)),

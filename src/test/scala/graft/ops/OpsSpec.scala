@@ -369,6 +369,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall $recall below bound")
   }
 
+  test("kNN-graph ANN: recall >= 0.6; refinement monotonically improves; degree bounded") {
+    import spark.implicits._
+    val knn = topkSet(Similarity.simKnnGraph(spark, sfDir))
+    val recall = brute.keys.toSeq.map { q =>
+      val hits = knn.getOrElse(q, Set.empty).intersect(brute(q)).size
+      hits.toDouble / Similarity.TopK
+    }.sum / brute.size
+    assert(recall >= 0.6, s"kNN-graph recall $recall below bound")
+    // NN-Descent property: each round's candidates include the current
+    // edges, so mean neighbor quality can only go up
+    val all = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    def meanCos(rounds: Int): Double =
+      Similarity.knnGraphEdges(all, Similarity.GraphK, rounds)
+        .agg(avg($"cos")).head.getDouble(0)
+    val seedQ = meanCos(0)
+    val refinedQ = meanCos(2)
+    assert(refinedQ >= seedQ - 1e-12,
+      s"refinement regressed neighbor quality: seed=$seedQ refined=$refinedQ")
+    // structural invariants: no self-edges, at most k neighbors per node
+    val g = Similarity.knnGraphEdges(all, Similarity.GraphK, 1)
+    assert(g.filter($"src" === $"dst").isEmpty)
+    val degrees = g.groupBy($"src").count().agg(max($"count")).head.getLong(0)
+    assert(degrees <= Similarity.GraphK)
+  }
+
   test("fused LSH band kernel matches the Column signature form exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
