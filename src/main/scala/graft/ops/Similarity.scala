@@ -735,6 +735,82 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  // ---- graph centrality over the k-NN graph ----
+
+  val CentralityIters = 5
+  val RankUnit = 1000000L // ranks live in integer micro-units
+
+  /** PageRank-style centrality over a directed graph, in EXACT integer
+    * arithmetic: ranks are Long micro-units, each node sends
+    * floor(rank/outdeg) along every out-edge, and the update is
+    * rank' = 0.15·unit + floor(0.85·Σcontribs) — every operation is an
+    * integer sum or floor-division, so the result is bit-identical
+    * under ANY partitioning or aggregation order (the same
+    * integer-exactness trick as BM25/importance; float PageRank sums
+    * would be merge-order-dependent). On a k-NN graph there are no
+    * dangling nodes (every node emits k edges), so no dangling
+    * redistribution term is needed; nodes nobody points at settle at
+    * the 0.15 base. Overflow bound: 85·Σcontribs must stay under
+    * Long.MaxValue — contribs are ≤ rank ≤ ~unit·indeg/outdeg, so even
+    * a 10⁹-in-degree hub stays ~10¹⁵, five orders under the bound.
+    *
+    * Per iteration: one equi join of edges to ranks on src (id-only +
+    * one Long), one integer aggregation on dst, one left join back to
+    * the node set — all hash-partitioned by id; nothing is collected
+    * or broadcast, and localCheckpoint truncates lineage each round
+    * (the connected-components pattern). Fixed iteration count keeps
+    * the whole thing O(iters · |E|).
+    *
+    * Why it's here: centrality over the neighbor graph ranks
+    * PROTOTYPICAL documents (many near-neighbors point at them) —
+    * the selection signal coreset/diversity samplers want, computed
+    * from the [[knnGraphEdges]] structure this module already builds.
+    */
+  def graphCentrality(edgesIn: DataFrame, iters: Int = CentralityIters): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val edges = edgesIn.select($"src", $"dst").localCheckpoint(eager = true)
+    val nodes = edges.select($"src".as("id"))
+      .union(edges.select($"dst".as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    var ranks = nodes.select($"id", lit(RankUnit).as("rank"))
+    var i = 0
+    while (i < iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select($"dst", expr("rank DIV deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("contribs"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select($"id",
+          (lit(RankUnit * 15L / 100L) +
+            expr("(85 * coalesce(contribs, 0L)) DIV 100")).as("rank"))
+        .localCheckpoint(eager = true)
+      i += 1
+    }
+    val indeg = edges.groupBy($"dst").agg(count(lit(1)).as("in_deg"))
+    ranks
+      .join(indeg.withColumnRenamed("dst", "id"), Seq("id"), "left")
+      .select($"id".as("vec_id"), $"rank",
+        coalesce($"in_deg", lit(0L)).as("in_deg"))
+      .orderBy($"rank".desc, $"vec_id".asc)
+  }
+
+  /** Registered form: centrality of every corpus vector over the
+    * 1-round NN-Descent graph. Rows-only BY DESIGN (iterative, like
+    * the graph build itself); the spec pins the distributed integer
+    * iteration against an in-memory replay — exact equality, not
+    * approximate.
+    */
+  def simGraphCentrality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    graphCentrality(knnGraphEdges(all, GraphK, rounds = 1))
+  }
+
   /** TEST-ONLY baseline: embedding-cosine near-duplicate pairs (cosine ≥
     * threshold), exact, via a driver `collect()` + corpus broadcast.
     * Threshold 0.40 is tuned to the synthetic corpus (max pairwise cosine
@@ -893,6 +969,8 @@ object Similarity {
     "sim_pq_ann" -> simPqANN,
     // rows-only: iterative NN-Descent refinement, recall-gated by spec
     "sim_knn_graph" -> simKnnGraph,
+    // rows-only: iterative integer PageRank, spec-pinned vs in-memory replay
+    "sim_graph_centrality" -> simGraphCentrality,
     // both routes are the tiled (no-driver-collect) plan; two block
     // counts prove the tiling is invariant under the same oracle
     "dedup_embcos" -> ((s, d) => dedupEmbCosineTiled(s, d, numBlocks = 8)),

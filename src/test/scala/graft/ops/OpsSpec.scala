@@ -395,6 +395,40 @@ class SimilaritySpec extends SparkSpec {
     assert(degrees <= Similarity.GraphK)
   }
 
+  test("graph centrality: distributed integer PageRank equals an in-memory replay exactly") {
+    import spark.implicits._
+    val all = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val edges = Similarity.knnGraphEdges(all, Similarity.GraphK, rounds = 1)
+      .select($"src", $"dst")
+    val got = Similarity.graphCentrality(edges, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // replay the same integer iteration single-threaded
+    val e = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val outdeg = e.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val indeg = e.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    var rank = nodes.map(_ -> Similarity.RankUnit).toMap
+    for (_ <- 1 to 3) {
+      val contribs = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      e.foreach { case (s0, d) => contribs(d) += rank(s0) / outdeg(s0) }
+      rank = nodes.map(n =>
+        n -> (Similarity.RankUnit * 15L / 100L + 85L * contribs(n) / 100L)).toMap
+    }
+    val want = nodes.map(n => (n, rank(n), indeg.getOrElse(n, 0L)))
+      .sortBy { case (id, rk, _) => (-rk, id) }
+    assert(got.toSeq == want.toSeq,
+      s"first diff: ${got.toSeq.zip(want.toSeq).find { case (a, b) => a != b }}")
+    // prototypicality sanity: unreferenced nodes sit at the 0.15 base
+    val base = Similarity.RankUnit * 15L / 100L
+    assert(got.filter(_._3 == 0L).forall(_._2 == base))
+    assert(got.exists(_._2 > base), "somebody must be pointed at")
+    // partition-independence: integer sums under a different layout
+    val got2 = Similarity.graphCentrality(edges.repartition(7), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got2.toSeq == got.toSeq)
+  }
+
   test("fused LSH band kernel matches the Column signature form exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
