@@ -735,6 +735,104 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  // ---- on-disk k-NN graph index (build / append / compact) ----
+
+  /** Persist the NN-Descent graph as an index: `edges/` (src, rk, dst,
+    * cos), `vecs/` (vec_id, e), `bands/` (the LSH band rows — kept so
+    * appends can bucket a new batch WITHOUT rescanning the corpus
+    * vectors). Same lifecycle contract as the IVF index: build once,
+    * append ∝ batch, compact amortized.
+    */
+  def writeKnnGraphOf(vecsIn: DataFrame, path: String,
+      k: Int = GraphK, rounds: Int = GraphRounds): Unit = {
+    val s = vecsIn.sparkSession
+    import s.implicits._
+    val vecs = vecsIn.localCheckpoint(eager = true)
+    knnGraphEdges(vecs, k, rounds).write.mode("overwrite").parquet(s"$path/edges")
+    vecs.write.mode("overwrite").parquet(s"$path/vecs")
+    lshBandsFused(vecs).write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Neighbor lists with the ≤k invariant ENFORCED AT READ: appends
+    * leave surplus rows (a node's old list plus better reverse edges);
+    * one dedup + per-source window restores the exact graph without
+    * rewriting the index. Deterministic: cos is a pure function of the
+    * pair, so duplicate appended rows carry equal cos and the
+    * (cos desc, dst asc) order is total.
+    */
+  def knnNeighbors(s: SparkSession, path: String, k: Int = GraphK): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
+    s.read.parquet(s"$path/edges")
+      .select($"src", $"dst", $"cos").dropDuplicates("src", "dst")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"src", $"rk", $"dst", $"cos")
+  }
+
+  /** Incremental graph maintenance — cost ∝ batch, corpus never
+    * rescanned or rewritten. A new batch is bucketed by the SAME frozen
+    * hyperplanes, candidate-matched against the STORED band table
+    * (capped per bucket — the build's skew guard), expanded one hop
+    * through the stored neighbor lists (the NN-Descent step, scoped to
+    * the batch), and scored with vectors attached by equi join from
+    * the stored corpus + the batch itself. Forward top-k rows cover
+    * the new nodes; the REVERSE top-k rows let existing nodes adopt a
+    * better new neighbor (planted-duplicate spec) — both are appended,
+    * and the ≤k invariant is restored lazily by [[knnNeighbors]] /
+    * durably by [[compactKnnGraph]], the small-file-compaction pattern.
+    */
+  def appendKnnBatch(s: SparkSession, path: String, batchIn: DataFrame,
+      k: Int = GraphK): Unit = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val batch = batchIn.select($"vec_id", $"e").localCheckpoint(eager = true)
+    val oldVecs = s.read.parquet(s"$path/vecs")
+    val oldBands = s.read.parquet(s"$path/bands")
+    val oldEdges = s.read.parquet(s"$path/edges").select($"src", $"dst")
+    val newBands = lshBandsFused(batch).localCheckpoint(eager = true)
+    // stored bucket-mates, capped per (new node, bucket) in id order
+    val wc = Window.partitionBy($"nid", $"band", $"bh").orderBy($"cand")
+    val mates = newBands.select($"vec_id".as("nid"), $"band", $"bh")
+      .join(oldBands.select($"vec_id".as("cand"), $"band", $"bh"),
+        Seq("band", "bh"))
+      .withColumn("rn", row_number().over(wc)).filter($"rn" <= SeedChunk)
+      .select($"nid", $"cand")
+    // one NN-Descent hop: the mates' stored neighbors
+    val expand = mates
+      .join(oldEdges.withColumnRenamed("src", "cand"), Seq("cand"))
+      .select($"nid", $"dst".as("cand"))
+    // batch-internal pairs, chunk-capped like the build
+    val wB = Window.partitionBy($"band", $"bh").orderBy($"vec_id")
+    val chunked = newBands
+      .withColumn("chunk", floor((row_number().over(wB) - 1) / SeedChunk))
+    val internal = chunked.select($"band", $"bh", $"chunk", $"vec_id".as("nid"))
+      .join(chunked.select($"band", $"bh", $"chunk", $"vec_id".as("cand")),
+        Seq("band", "bh", "chunk"))
+      .select($"nid", $"cand")
+    val cands = mates.union(expand).union(internal)
+      .filter($"nid" =!= $"cand").distinct()
+      .select($"nid".as("src"), $"cand".as("dst"))
+    val allVecs = oldVecs.unionByName(batch)
+    val scored = scorePairs(cands, allVecs).localCheckpoint(eager = true)
+    val fwd = topKEdges(scored, k).select($"src", $"rk", $"dst", $"cos")
+    val rev = topKEdges(
+      scored.select($"dst".as("src"), $"src".as("dst"), $"cos"), k)
+      .select($"src", $"rk", $"dst", $"cos")
+    fwd.union(rev).write.mode("append").parquet(s"$path/edges")
+    batch.write.mode("append").parquet(s"$path/vecs")
+    newBands.write.mode("append").parquet(s"$path/bands")
+  }
+
+  /** Rewrite `edges/` down to the exact ≤k rows (read-your-own-write
+    * guarded by an eager checkpoint). Run when append surplus builds
+    * up — the same maintenance cadence as small-file compaction.
+    */
+  def compactKnnGraph(s: SparkSession, path: String, k: Int = GraphK): Unit = {
+    val snap = knnNeighbors(s, path, k).localCheckpoint(eager = true)
+    snap.write.mode("overwrite").parquet(s"$path/edges")
+  }
+
   // ---- graph centrality over the k-NN graph ----
 
   val CentralityIters = 5

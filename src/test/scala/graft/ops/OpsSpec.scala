@@ -395,6 +395,40 @@ class SimilaritySpec extends SparkSpec {
     assert(degrees <= Similarity.GraphK)
   }
 
+  test("on-disk kNN graph: build round-trips; append adopts a planted duplicate; compaction keeps the view") {
+    import spark.implicits._
+    val all = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val path = java.nio.file.Files.createTempDirectory("knn_idx").toString
+    Similarity.writeKnnGraphOf(all, path, rounds = 1)
+    val stored = Similarity.knnNeighbors(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Similarity.knnGraphEdges(all, Similarity.GraphK, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == direct, "top-k-on-read must reproduce the direct build")
+    // plant an exact duplicate of vec 7: id 7 is ALWAYS inside the
+    // id-ordered bucket cap, so the mate pair is guaranteed
+    val v7 = all.filter($"vec_id" === 7L).collect().head.getSeq[Double](1)
+    val batch = Seq((9007L, v7)).toDF("vec_id", "e")
+    Similarity.appendKnnBatch(spark, path, batch)
+    val nb = Similarity.knnNeighbors(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val newTop = nb.filter(_._1 == 9007L).minBy(_._2)
+    assert(newTop._3 == 7L && newTop._4 >= 0.999999,
+      s"planted duplicate must find its source: $newTop")
+    val oldTop = nb.filter(_._1 == 7L).minBy(_._2)
+    assert(oldTop._3 == 9007L && oldTop._4 >= 0.999999,
+      s"existing node must ADOPT the planted duplicate via the reverse append: $oldTop")
+    // compaction rewrites to the exact <=k rows without changing the view
+    Similarity.compactKnnGraph(spark, path)
+    val after = Similarity.knnNeighbors(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(after.toSet == nb.toSet, "compaction must be view-preserving")
+    val maxDeg = spark.read.parquet(s"$path/edges")
+      .groupBy($"src").count().agg(max($"count")).head.getLong(0)
+    assert(maxDeg <= Similarity.GraphK, "compacted edges must hold the degree bound on disk")
+  }
+
   test("graph centrality: distributed integer PageRank equals an in-memory replay exactly") {
     import spark.implicits._
     val all = graft.Tables.t(spark, sfDir, "embeddings")
