@@ -39,9 +39,20 @@ object Extended5 {
     */
   def q63RangeJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = t(s, dir, "events")
-      .select($"event_id", $"user_id", unix_micros($"ts").as("tus"))
-      .withColumn("bucket", expr(s"tus DIV $BandUs"))
+    rangeJoinBucketed(
+      t(s, dir, "events")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("tus")),
+      BandUs)
+  }
+
+  /** The band-bucketed kernel over any (event_id, user_id, tus) frame —
+    * exposed so the property spec can drive it with adversarial
+    * boundary-straddling timestamps.
+    */
+  def rangeJoinBucketed(evIn: DataFrame, bandUs: Long): DataFrame = {
+    val s = evIn.sparkSession
+    import s.implicits._
+    val ev = evIn.withColumn("bucket", expr(s"tus DIV $bandUs"))
     val probe = ev
       .select($"event_id".as("id_a"), $"user_id".as("user_a"),
         $"tus".as("tus_a"),
@@ -52,7 +63,7 @@ object Extended5 {
     probe.join(build,
         $"pb" === $"bucket" && $"id_a" < $"id_b" &&
           $"user_a" =!= $"user_b" &&
-          abs($"tus_a" - $"tus_b") <= BandUs)
+          abs($"tus_a" - $"tus_b") <= bandUs)
       .select($"id_a", $"id_b", $"user_a", $"user_b",
         abs($"tus_a" - $"tus_b").as("gap_us"))
       .orderBy("id_a", "id_b")

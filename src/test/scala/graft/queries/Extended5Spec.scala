@@ -35,6 +35,34 @@ class Extended5Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q63 kernel property: bucketed == naive on adversarial boundary-straddling corpora") {
+    import spark.implicits._
+    val W = 1000L // small band so boundaries are dense
+    val rnd = new scala.util.Random(4242)
+    for (round <- 1 to 3) {
+      // timestamps deliberately piled onto bucket edges: exact
+      // multiples of W, ±1 around them, and the half-band midpoints —
+      // the places where an off-by-one in the ±1 replication loses or
+      // double-counts a pair
+      val evs = (0 until 200).map { i =>
+        val bucket = rnd.nextInt(20).toLong
+        val offset = Seq(0L, 1L, W - 1, W, W / 2, W + 1)(rnd.nextInt(6))
+        (i.toLong, rnd.nextInt(5).toLong, bucket * W + offset)
+      }
+      val df = evs.toDF("event_id", "user_id", "tus")
+      val got = Extended5.rangeJoinBucketed(df, W).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+      val want = (for {
+        a <- evs; b <- evs
+        if a._1 < b._1 && a._2 != b._2 && math.abs(a._3 - b._3) <= W
+      } yield (a._1, b._1, math.abs(a._3 - b._3))).toSet
+      assert(got == want,
+        s"round $round: bucketed=${got.size} naive=${want.size}; " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      assert(want.nonEmpty, s"round $round generated no pairs — widen the generator")
+    }
+  }
+
   test("q63 plans an equi join on the band bucket, not a cartesian") {
     val p = plan(Extended5.q63RangeJoin(spark, sfDir))
     assert(!p.contains("CartesianProduct") &&
