@@ -220,6 +220,45 @@ object Checks {
       }
     })
 
+  /** Benford first-digit check (beyond-reference): the first
+    * significant digit of a numeric column must track Benford's law
+    * within `maxDeviation` per digit — the classic fabricated-data /
+    * corrupted-feed screen. One scan: a 9-group aggregation; the
+    * 9-row digit table folds on the driver. First digits come from the
+    * shortest-roundtrip string rendering (see
+    * queries.QualityQueries.dqBenford for the engine-portability
+    * argument).
+    */
+  def benfordCheck(
+      table: String, column: String,
+      maxDeviation: Double = 0.05): DataQualityCheck =
+    DataQualityCheck(s"benford_${table}_$column", CheckTiming.AfterPipeline, { spark =>
+      val shares = Map(
+        "1" -> 0.301029995663981, "2" -> 0.176091259055681,
+        "3" -> 0.124938736608300, "4" -> 0.096910013008056,
+        "5" -> 0.079181246047625, "6" -> 0.066946789630613,
+        "7" -> 0.057991946977687, "8" -> 0.051152522447381,
+        "9" -> 0.045757490560675)
+      val counts = spark.table(table)
+        .select(regexp_extract(col(column).cast("string"), "[1-9]", 0).as("d"))
+        .filter(col("d") =!= "")
+        .groupBy(col("d")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = counts.values.sum
+      if (total == 0L)
+        CheckResult(s"benford_${table}_$column", passed = false,
+          s"$table.$column has no nonzero values")
+      else {
+        val devs = shares.map { case (d, p) =>
+          d -> math.abs(counts.getOrElse(d, 0L).toDouble / total - p)
+        }
+        val (worstD, worstDev) = devs.maxBy { case (d, v) => (v, d) }
+        CheckResult(s"benford_${table}_$column", worstDev <= maxDeviation,
+          f"$table.$column worst digit $worstD dev $worstDev%.4f (max $maxDeviation%.4f, n=$total)",
+          Map("worst_dev" -> worstDev, "n" -> total.toDouble))
+      }
+    })
+
   /** Category-share check (beyond-reference): the fraction of rows with
     * `column = value` must lie in [minShare, maxShare] — a cheap drift
     * detector for label/category distributions. Single aggregation pass.

@@ -228,7 +228,48 @@ object QualityQueries {
       .toDF("checked", "estimate", "exact_distinct", "rel_error")
   }
 
+  /** Benford-distribution shares: log10(1+1/d), written as decimal
+    * literals so BOTH engines round the identical text to the identical
+    * nearest double (computing log10 at runtime would hit each libm's
+    * own rounding).
+    */
+  private val BenfordShares: Seq[(String, Double)] = Seq(
+    "1" -> 0.301029995663981, "2" -> 0.176091259055681,
+    "3" -> 0.124938736608300, "4" -> 0.096910013008056,
+    "5" -> 0.079181246047625, "6" -> 0.066946789630613,
+    "7" -> 0.057991946977687, "8" -> 0.051152522447381,
+    "9" -> 0.045757490560675)
+
+  /** dq_benford (beyond-ref): first-significant-digit distribution of a
+    * numeric column vs Benford's law — the classic fabricated-data
+    * screen. The first digit comes from the STRING rendering (both
+    * engines print shortest-roundtrip doubles, so the first [1-9] char
+    * agrees even when one side chooses scientific notation); shares are
+    * exact IEEE divisions of integer counts, so every output double is
+    * engine-identical. One scan: the per-digit counts feed a 9-row
+    * unpartitioned window for the total — no second pass.
+    */
+  def dqBenford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val benford = BenfordShares.foldLeft(lit(0.0)) {
+      case (acc, (d, p)) => when($"digit" === d, lit(p)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    t(s, dir, "events")
+      .select(regexp_extract($"value".cast("string"), "[1-9]", 0).as("digit"))
+      .filter($"digit" =!= "")
+      .groupBy($"digit").agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum($"cnt").over(w))
+      .select($"digit", $"cnt",
+        ($"cnt".cast("double") / $"total").as("obs_share"),
+        benford.as("benford_share"),
+        abs($"cnt".cast("double") / $"total" - benford).as("abs_dev"))
+      .withColumn("passed", $"abs_dev" <= 0.05)
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_benford" -> dqBenford,
     "dq_unique_hll" -> dqUniqueHll,
     "dq_pattern" -> dqPattern,
     "dq_row_count" -> dqRowCount,
@@ -242,7 +283,27 @@ object QualityQueries {
     "dq_anomaly" -> dqAnomaly,
     "dq_completeness" -> dqCompleteness)
 
+  private val benfordCase: String =
+    "CASE digit " + BenfordShares.map { case (d, p) =>
+      s"WHEN '$d' THEN CAST($p AS DOUBLE) "
+    }.mkString + "ELSE 0.0 END"
+
   val oracles: Map[String, String] = Map(
+    "dq_benford" -> s"""
+      WITH d AS (
+        SELECT regexp_extract(CAST(value AS VARCHAR), '[1-9]') AS digit
+        FROM events),
+      g AS (
+        SELECT digit, COUNT(*) AS cnt FROM d WHERE digit <> '' GROUP BY digit),
+      t_ AS (
+        SELECT digit, cnt, CAST(SUM(cnt) OVER () AS BIGINT) AS total FROM g)
+      SELECT digit, cnt,
+        CAST(cnt AS DOUBLE) / total AS obs_share,
+        $benfordCase AS benford_share,
+        abs(CAST(cnt AS DOUBLE) / total - $benfordCase) AS abs_dev,
+        abs(CAST(cnt AS DOUBLE) / total - $benfordCase) <= 0.05 AS passed
+      FROM t_
+      ORDER BY digit""",
     "dq_row_count" -> """
       SELECT 'orders' AS table_name, COUNT(*) AS row_count,
         COUNT(*) >= 100 AS passed

@@ -121,6 +121,29 @@ class QualitySpec extends SparkSpec {
       .check(spark).passed)
   }
 
+  test("benford_check: conforming sample passes, uniform digits fail, subunit values count") {
+    import spark.implicits._
+    // counts proportional to log10(1+1/d) — worst per-digit deviation is
+    // the rounding residue, far under the 0.05 gate. Mix magnitudes
+    // (d, d/100, d*1000) so the first-SIGNIFICANT-digit extraction is
+    // exercised across plain and subunit renderings.
+    val shares = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+    val benford = shares.zipWithIndex.flatMap { case (n, i) =>
+      (1 to n).map(j => (i + 1).toDouble * Seq(1.0, 0.01, 1000.0)(j % 3))
+    }
+    benford.toDF("v").createOrReplaceTempView("dq_benford_ok")
+    val ok = Checks.benfordCheck("dq_benford_ok", "v").check(spark)
+    assert(ok.passed, ok.message)
+    // uniform first digits: every digit at ~1/9, digit 1 deviates by ~0.19
+    (100 to 999).map(_.toDouble).toDF("v")
+      .createOrReplaceTempView("dq_benford_uniform")
+    val bad = Checks.benfordCheck("dq_benford_uniform", "v").check(spark)
+    assert(!bad.passed && bad.metrics("worst_dev") > 0.15, bad.message)
+    // all-zero column: no first digits at all
+    Seq(0.0, 0.0).toDF("v").createOrReplaceTempView("dq_benford_zero")
+    assert(!Checks.benfordCheck("dq_benford_zero", "v").check(spark).passed)
+  }
+
   test("anomaly_check: z-score outlier share, exact integer statistics") {
     import spark.implicits._
     // one group of 100 tight values plus two wild outliers
