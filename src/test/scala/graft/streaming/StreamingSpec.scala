@@ -668,6 +668,51 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_._3 >= 500000L), "a streamed twin reaches the top-k")
   }
 
+  test("streaming kNN-graph ingestion: micro-batches append; twins adopted in both directions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val work = Files.createTempDirectory("graft-knn-stream")
+    val index = work.resolve("index").toString
+    val all = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    graft.ops.Similarity.writeKnnGraphOf(all, index, rounds = 1)
+    val beforeVecs = spark.read.parquet(s"$index/vecs").count()
+    // twins of ids 0..5 — tiny source ids sit INSIDE the id-ordered
+    // bucket cap, so every twin is guaranteed its mate pair
+    val newVecs = all.filter($"vec_id" < 6)
+      .select(($"vec_id" + 500000L).as("vec_id"), $"e")
+    newVecs.filter($"vec_id" % 2 === 0).write
+      .parquet(work.resolve("in/b1").toString)
+    newVecs.filter($"vec_id" % 2 =!= 0).write
+      .parquet(work.resolve("in/b2").toString)
+    val q = new StreamingPipeline(
+      source = FileStreamingSource(work.resolve("in").toString + "/*",
+        schemaDdl = Some("vec_id LONG, e ARRAY<DOUBLE>")),
+      sink = ForeachBatchSink { (batch, _) =>
+        if (!batch.isEmpty)
+          graft.ops.Similarity.appendKnnBatch(batch.sparkSession, index, batch)
+        ()
+      },
+      trigger = TriggerConfig.AvailableNow).startStream(spark)
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(s"$index/vecs").count() == beforeVecs + 6)
+    val nb = graft.ops.Similarity.knnNeighbors(spark, index).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    (0L until 6L).foreach { v =>
+      val twinTop = nb.filter(_._1 == v + 500000L).minBy(_._2)
+      assert(twinTop._3 == v && twinTop._4 >= 0.999999,
+        s"streamed twin of $v must find its source: $twinTop")
+      val srcTop = nb.filter(_._1 == v).minBy(_._2)
+      assert(srcTop._3 == v + 500000L && srcTop._4 >= 0.999999,
+        s"node $v must adopt its streamed twin: $srcTop")
+    }
+    // maintenance compaction after the stream preserves the view
+    graft.ops.Similarity.compactKnnGraph(spark, index)
+    val after = graft.ops.Similarity.knnNeighbors(spark, index).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(after.toSet == nb.toSet)
+  }
+
   test("incremental boilerplate: frequency state accumulates; cross-batch repeats strip") {
     import spark.implicits._
     import graft.examples.StreamingCuration
