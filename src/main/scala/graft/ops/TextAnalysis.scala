@@ -781,17 +781,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Registered form: train on the corpus, then encode the corpus under
-    * the learned table. Rows-only BY DESIGN — the merge table comes
-    * from the iterative trainer (see [[taBpeTrain]]), so no single SQL
-    * oracle exists; the spec pins the kernel against a direct
-    * in-memory re-encode and the frozen round-trip.
+  /** Cheap corpus identity for the merge-table cache: row count + an
+    * order-independent integer hash-sum over (doc_id, text) — an
+    * in-place rewrite of the corpus changes it, so a stale model can
+    * never be silently reused (the dedupSemanticKmeans quantizer-cache
+    * pattern, post its round-5 fingerprint fix).
+    */
+  private def docsFingerprint(s: SparkSession, dir: String): String = {
+    val r = t(s, dir, "documents")
+      .agg(count(lit(1)),
+        coalesce(sum(hash(col("doc_id"), col("text")).cast("long")), lit(0L)))
+      .head()
+    s"${r.getLong(0)}x${java.lang.Long.toHexString(r.getLong(1))}"
+  }
+
+  private def cachedMergesPath(dir: String, n: Int, fp: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tag = md.digest(s"$dir|$fp".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    s"${System.getProperty("java.io.tmpdir")}/graft_bpemerges_${tag}_n$n"
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  /** Registered form: train on the corpus ONCE per (corpus fingerprint,
+    * merge budget) and encode under the frozen table — the
+    * train/freeze/apply split of dedupSemanticKmeans, with the same
+    * race-safe atomic-rename publish. The trainer is deterministic and
+    * partition-independent (spec-pinned), so a cache hit is
+    * bit-identical to a retrain: freezing changes COST, not rows.
+    * Rows-only BY DESIGN — the merge table comes from the iterative
+    * trainer (see [[taBpeTrain]]), so no single SQL oracle exists; the
+    * spec pins the kernel against a direct in-memory re-encode, the
+    * frozen round-trip, and stale-cache invalidation on corpus rewrite.
     */
   def taBpeEncode(s: SparkSession, dir: String, nMerges: Int = BpeMerges): DataFrame = {
     val docs = t(s, dir, "documents")
-    val merges = bpeTrainOf(docs, nMerges).orderBy("rank").collect()
-      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
-    bpeEncodeDocs(docs, merges)
+    val mpath = cachedMergesPath(dir, nMerges, docsFingerprint(s, dir))
+    if (!new java.io.File(s"$mpath/_SUCCESS").exists()) {
+      val tmp = mpath + "_w" + java.util.UUID.randomUUID().toString.take(8)
+      writeBpeMerges(bpeTrainOf(docs, nMerges), tmp)
+      if (!new java.io.File(tmp).renameTo(new java.io.File(mpath)))
+        deleteRec(new java.io.File(tmp))
+    }
+    bpeEncodeDocs(docs, readBpeMerges(s, mpath))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

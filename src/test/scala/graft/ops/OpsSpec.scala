@@ -707,6 +707,35 @@ class TextAnalysisSpec extends SparkSpec {
       "a word is at least one symbol")
   }
 
+  test("BPE encode cache: hit is bit-identical; corpus rewrite in place retrains") {
+    import graft.ops.TextAnalysis._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_cache").toString
+    def writeCorpus(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+    def direct(n: Int): Seq[(Long, Long, Long, String, Long)] = {
+      val docs = graft.Tables.t(spark, dir, "documents")
+      val merges = bpeTrainOf(docs, n).orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeEncodeDocs(docs, merges).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toSeq
+    }
+    def cached(n: Int): Seq[(Long, Long, Long, String, Long)] =
+      taBpeEncode(spark, dir, n).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toSeq
+    writeCorpus(Seq((1L, "low low low lower newest"), (2L, "newest newest widest")))
+    val first = cached(8)
+    assert(first == direct(8), "cold path must equal a direct train+encode")
+    assert(cached(8) == first, "cache hit must be bit-identical")
+    // REWRITE the corpus at the same path: different pair statistics →
+    // the fingerprint changes → a stale merge table must NOT be reused
+    writeCorpus(Seq((1L, "zig zig zigzag zag"), (2L, "zagzag zig zag zag")))
+    val second = cached(8)
+    assert(second == direct(8),
+      "rewritten corpus must retrain, not reuse the stale cached merges")
+    assert(second != first)
+  }
+
   test("bm25 multi: each query's block equals the single-query form") {
     val qs = graft.ops.TextAnalysis.Bm25MultiQueries
     val k = graft.ops.TextAnalysis.Bm25PerQueryK
