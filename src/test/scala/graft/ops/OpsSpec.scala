@@ -463,6 +463,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got2.toSeq == got.toSeq)
   }
 
+  test("graph centrality property: random graphs (with dangling nodes) equal the replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    for (round <- 1 to 3) {
+      // arbitrary directed graph: duplicate-free edges over 40 nodes,
+      // some nodes source-only, some sink-only (dangling), some isolated
+      // from the edge set entirely (they simply don't appear)
+      val e = (0 until 120).map { _ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      val edges = e.toDF("src", "dst")
+      val got = Similarity.graphCentrality(edges, iters = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+      val outdeg = e.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val indeg = e.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      var rank = nodes.map(_ -> Similarity.RankUnit).toMap
+      for (_ <- 1 to 3) {
+        val contribs = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        e.foreach { case (s0, d) => contribs(d) += rank(s0) / outdeg(s0) }
+        rank = nodes.map(n =>
+          n -> (Similarity.RankUnit * 15L / 100L + 85L * contribs(n) / 100L)).toMap
+      }
+      val want = nodes.map(n => (n, rank(n), indeg.getOrElse(n, 0L)))
+        .sortBy { case (id, rk, _) => (-rk, id) }
+      assert(got.toSeq == want.toSeq, s"round $round diverged")
+    }
+  }
+
   test("fused LSH band kernel matches the Column signature form exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -705,6 +734,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(real.length == nDocs)
     assert(real.forall(r => r.getLong(2) >= r.getLong(1)),
       "a word is at least one symbol")
+  }
+
+  test("BPE encode property: kernel equals helper re-encode on generated corpora") {
+    import graft.ops.TextAnalysis._
+    val rnd = new scala.util.Random(31337)
+    val alphabet = "abcd"
+    def word(): String =
+      (0 until 1 + rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (round <- 1 to 3) {
+      // small alphabet → dense pair statistics → deep merge chains
+      val docs = (1L to 20L).map(i =>
+        (i, (0 until 1 + rnd.nextInt(30)).map(_ => word()).mkString(" ")))
+      val df = docs.toDF("doc_id", "text")
+      val merges = bpeTrainOf(df, 10).orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val got = bpeEncodeDocs(df.repartition(1 + rnd.nextInt(7)), merges)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      val want = docs.map { case (id, text) =>
+        val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        val syms = words.flatMap(w => bpeEncode(w, merges))
+        val top =
+          if (syms.isEmpty) ("", 0L)
+          else syms.groupBy(identity).map { case (sy, xs) => (sy, xs.length.toLong) }
+            .toSeq.minBy { case (sy, c) => (-c, sy) }
+        (id, words.length.toLong, syms.length.toLong, top._1, top._2)
+      }
+      assert(got.toSeq == want.toSeq, s"round $round diverged")
+      // encoding is lossless: symbols of each word concatenate back
+      docs.flatMap(_._2.split(" ")).filter(_.nonEmpty).take(50).foreach { w =>
+        assert(bpeEncode(w, merges).mkString == w, s"'$w' did not reassemble")
+      }
+    }
   }
 
   test("BPE encode cache: hit is bit-identical; corpus rewrite in place retrains") {
