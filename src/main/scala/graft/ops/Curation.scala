@@ -594,7 +594,7 @@ object Curation {
     dedupSemanticFrozen(s, dir, qpath, threshold)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRecursively)
     f.delete(): Unit

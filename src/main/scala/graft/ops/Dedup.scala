@@ -462,6 +462,84 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Asymmetric n-gram CONTAINMENT near-dup: a pair qualifies when the
+    * smaller document's shingle set is ≥ `threshold` contained in the
+    * larger's — containment = |A∩B| / min(|A|,|B|). Jaccard punishes
+    * length asymmetry (a paragraph quoted verbatim inside a 100×-longer
+    * page has Jaccard ≈ 0.01), so subset duplicates — boilerplate-
+    * wrapped articles, quote farms, page-of-pages aggregators — are
+    * invisible to [[dedupNgramJaccard]] but exactly what this operator
+    * catches. Broder's resemblance-vs-containment distinction (SEQUENCES
+    * 1997) is the published basis.
+    *
+    * Same inverted-index blocking as Jaccard (candidates share ≥1
+    * under-df-cap shingle; verify is the exact two-pointer intersection
+    * over the per-doc sorted sets), so one shuffle on shingle hash for
+    * candidates and id-only pair rows throughout — the df cap bounds a
+    * hot shingle's pair fan-out at scale, and the quadratic step never
+    * runs (containment is computed per surviving candidate only). Equals
+    * the all-pairs truth whenever every qualifying pair shares at least
+    * one sub-cap shingle (at threshold 0.9 a qualifying pair shares
+    * ≥ 0.9·min distinct shingles — the same justification as the
+    * Jaccard plan, and the oracle IS the uncapped all-pairs form).
+    */
+  def dedupContainment(
+      s: SparkSession, dir: String,
+      threshold: Double = 0.9, maxDocFreq: Int = 100): DataFrame =
+    dedupContainmentOf(t(s, dir, "documents"), threshold, maxDocFreq)
+
+  /** [[dedupContainment]] over any (doc_id, text) frame — the spec
+    * entry point for planted subset-duplicate corpora.
+    */
+  def dedupContainmentOf(
+      docs: DataFrame,
+      threshold: Double = 0.9, maxDocFreq: Int = 100): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sets = shingleSetsOf(docs.select($"doc_id", $"text")).cache()
+    try {
+      val sh = sets.select($"doc_id", explode($"set").as("sh"))
+      val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .filter($"df" > maxDocFreq).select($"sh")
+      val rare = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      val cand = rare.as("x").join(rare.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      verifyContainmentSets(cand, sets, threshold).orderBy("a", "b")
+        .localCheckpoint(eager = true)
+    } finally sets.unpersist()
+  }
+
+  /** Exact containment verify over precomputed sorted sets: two-pointer
+    * intersection, then one IEEE division |A∩B| / min(|A|,|B|) — the
+    * same single-division discipline that keeps [[verifyJaccardSets]]
+    * hash-exact cross-engine. Empty sets never reach here (a candidate
+    * pair shares ≥1 shingle by construction).
+    */
+  def verifyContainmentSets(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    cand
+      .join(sets.as("pa"), col("a") === col("pa.doc_id"))
+      .join(sets.as("pb"), col("b") === col("pb.doc_id"))
+      .select(col("a"), col("b"), col("pa.set").as("sa"), col("pb.set").as("sb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, sa, sb) =>
+        var i = 0
+        var j = 0
+        var inter = 0
+        while (i < sa.length && j < sb.length) {
+          if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+          else if (sa(i) < sb(j)) i += 1
+          else j += 1
+        }
+        (a, b, inter.toDouble / math.min(sa.length, sb.length))
+      }
+      .toDF("a", "b", "containment")
+      .filter(col("containment") >= threshold)
+  }
+
   /** 64-bit SimHash per document over shingle features: bit j of the
     * signature = majority vote of feature-hash bit j. One aggregation
     * with 64 conditional sums — single pass, map-side partials.
@@ -633,6 +711,7 @@ object Dedup {
     "dedup_bloom_novel" -> dedupBloomNovel,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
+    "dedup_containment" -> ((s, d) => dedupContainment(s, d)),
     "dedup_editdist" -> ((s, d) => dedupEditDistance(s, d)),
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
@@ -842,6 +921,21 @@ object Dedup {
       ORDER BY doc_id""",
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    // all-pairs containment truth — the inverted-index plan must
+    // reproduce it exactly (same stance as the Jaccard oracle)
+    "dedup_containment" -> s"""
+      WITH $shingleCte,
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT a, b, CAST(i AS DOUBLE) / LEAST(ca.n, cb.n) AS containment
+      FROM inter
+      JOIN cnt ca ON a = ca.doc_id
+      JOIN cnt cb ON b = cb.doc_id
+      WHERE CAST(i AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.9
+      ORDER BY a, b""",
     "dedup_editdist" -> s"""
       WITH $shingleCte,
       rare AS (

@@ -240,12 +240,129 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  // ---- perceptual-hash near-dup over binary payloads ----
+
+  val PhashWindow = 8 // bytes per payload shingle
+  val PhashStride = 4 // shingle stride (window/2 overlap)
+  val PhashBands = 4 // 4 × 16-bit bands — exact at hamming ≤ 3
+  val PhashMaxHamming = 3
+
+  /** 64-bit perceptual signature per payload: majority vote over the
+    * md5-nibble feature bits of the payload's byte 8-gram shingles
+    * (stride 4) — the byte-stream analog of the portable document
+    * simhash ([[Dedup.simhashPortableSigs]]). Unlike a cryptographic
+    * digest, a small payload edit flips only the bits whose vote margin
+    * was thin, so near-identical media land at small hamming distance —
+    * the property a real pHash gets from DCT coefficients. A production
+    * build swaps the byte shingles for decoded-domain features (DCT
+    * blocks, chroma histograms); the signature/banding/verify plumbing
+    * is codec-independent and is what's tested here.
+    *
+    * One narrow typed pass per row (one MessageDigest per partition, no
+    * shuffle); signature rendered as 16 hex chars, char i = signature
+    * bits 4i..4i+3 (LSB nibble first) — the [[Dedup]] hex convention,
+    * chosen because both engines can recompute it from md5 strings.
+    */
+  def phashSigsOf(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    val W = PhashWindow
+    val S = PhashStride
+    media.select($"media_id", $"kind", $"payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, kind, bytes) =>
+          val votes = new Array[Int](64)
+          val seen = new java.util.HashSet[String]()
+          var off = 0
+          while (off + W <= bytes.length) {
+            // dedupe windows on their byte CONTENT (ISO-8859-1 is a
+            // bijective byte↔char map, so the key is exactly the bytes)
+            val key = new String(bytes, off, W, java.nio.charset.StandardCharsets.ISO_8859_1)
+            if (seen.add(key)) {
+              val d = md.digest(java.util.Arrays.copyOfRange(bytes, off, off + W))
+              var j = 0
+              while (j < 64) {
+                // nibble j/4 of the hex rendering; high nibble of each
+                // byte prints first, so nibble i lives in d(i/2)
+                val ni = j >> 2
+                val nib = if ((ni & 1) == 0) (d(ni >> 1) >> 4) & 0xf else d(ni >> 1) & 0xf
+                if (((nib >> (j & 3)) & 1) == 1) votes(j) += 1 else votes(j) -= 1
+                j += 1
+              }
+            }
+            off += S
+          }
+          val cs = new Array[Char](16)
+          var ni = 0
+          while (ni < 16) {
+            var nib = 0
+            var r = 0
+            while (r < 4) {
+              if (votes(ni * 4 + r) > 0) nib |= (1 << r)
+              r += 1
+            }
+            cs(ni) = "0123456789abcdef".charAt(nib)
+            ni += 1
+          }
+          (id, kind, new String(cs))
+        }
+      }
+      .toDF("media_id", "kind", "phash_hex")
+  }
+
+  /** Perceptual-hash near-dup pairs, same kind only, hamming ≤ 3.
+    *
+    * Banded candidate join (4 × 4-hex-char bands — EXACT at hamming ≤ 3
+    * by pigeonhole: 3 flipped bits touch ≤ 3 of the 4 bands, so one
+    * band always survives intact), then a per-pair nibble-xor popcount
+    * verify. Band rows carry (kind, band, 4 chars, id, 16-char sig) —
+    * never the payload — so the shuffle is a few dozen bytes per row at
+    * any corpus size, and a pathological all-same-payload corpus is
+    * bounded by the same-band bucket like the simhash plan.
+    */
+  def mmPhashDedup(s: SparkSession, dir: String): DataFrame =
+    phashPairs(phashSigsOf(mediaTable(s, dir)))
+
+  def phashPairs(sigs: DataFrame, maxHamming: Int = PhashMaxHamming): DataFrame = {
+    val s = sigs.sparkSession
+    import s.implicits._
+    val bands = sigs.select($"media_id", $"kind", $"phash_hex",
+        explode(array((0 until PhashBands).map(b =>
+          struct(lit(b).as("band"),
+            substring($"phash_hex", b * 4 + 1, 4).as("bs"))): _*)).as("bk"))
+      .select($"media_id", $"kind", $"phash_hex", $"bk.band", $"bk.bs")
+    bands.as("x").join(bands.as("y"),
+        col("x.kind") === col("y.kind") && col("x.band") === col("y.band") &&
+          col("x.bs") === col("y.bs") && col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        col("x.kind").as("kind"),
+        col("x.phash_hex").as("ha"), col("y.phash_hex").as("hb"))
+      .distinct()
+      .as[(Long, Long, String, String, String)]
+      .map { case (a, b, kind, ha, hb) =>
+        var hamming = 0
+        var i = 0
+        while (i < 16) {
+          hamming += java.lang.Integer.bitCount(
+            Character.digit(ha.charAt(i), 16) ^ Character.digit(hb.charAt(i), 16))
+          i += 1
+        }
+        (a, b, kind, hamming.toLong)
+      }
+      .toDF("a", "b", "kind", "hamming")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_stats" -> mmStats,
     "mm_decode" -> ((s, d) => mmDecode(s, d)),
     "mm_resize" -> ((s, d) => mmResize(s, d)),
     "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)),
-    "mm_audio_windows" -> mmAudioWindows)
+    "mm_audio_windows" -> mmAudioWindows,
+    "mm_phash_dedup" -> mmPhashDedup)
 
   /** kind expression shared by the oracles (media_id % 3 → image/audio/
     * video; DuckDB lists are 1-based like element_at).
@@ -275,7 +392,56 @@ object Multimodal {
       SELECT media_id, kind, byte_len, hx, $hvSql AS hv
       FROM d)"""
 
+  /** DuckDB mirror of [[phashSigsOf]]: payload byte 8-grams at stride 4
+    * are substrings of the (ASCII) document text, md5-nibble feature
+    * bits are majority-voted per signature bit, and the hex rendering
+    * follows the same LSB-nibble-first convention. Pairs are the
+    * all-pairs truth (no banding) — the banded Spark plan must
+    * reproduce it exactly at hamming ≤ 3. Scope: every corpus doc has
+    * ≥ 1 window (min payload 48 bytes); sub-window payloads are
+    * spec-covered, not oracle-covered.
+    */
+  private val phashSigCte = s"""
+    w AS (
+      SELECT doc_id, unnest(list_distinct(
+        [substr(text, i*$PhashStride+1, $PhashWindow)
+         for i in range(0, CAST(floor((len(text)-$PhashWindow)/$PhashStride.0) AS BIGINT) + 1)])) AS sh
+      FROM documents WHERE len(text) >= $PhashWindow),
+    hx AS (SELECT doc_id, md5(sh) AS h FROM w),
+    bits AS (
+      SELECT doc_id, bb.b AS b,
+        ((strpos('0123456789abcdef', substr(h, CAST(bb.b // 4 AS INT) + 1, 1)) - 1)
+          >> CAST(bb.b % 4 AS INT)) & 1 AS bit
+      FROM hx CROSS JOIN (SELECT unnest(range(64)) AS b) bb),
+    votes AS (
+      SELECT doc_id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY doc_id, b),
+    nibs AS (
+      SELECT doc_id, b // 4 AS ni,
+        SUM(CASE WHEN v > 0 THEN (1 << CAST(b % 4 AS INT)) ELSE 0 END) AS nib
+      FROM votes GROUP BY doc_id, b // 4),
+    sigs AS (
+      SELECT doc_id,
+        string_agg(substr('0123456789abcdef', CAST(nib AS INT) + 1, 1), '' ORDER BY ni) AS hex
+      FROM nibs GROUP BY doc_id)"""
+
   val oracles: Map[String, String] = Map(
+    "mm_phash_dedup" -> s"""
+      WITH $phashSigCte,
+      m AS (
+        SELECT s.doc_id AS media_id, $kindSql AS kind, s.hex
+        FROM sigs s JOIN documents USING (doc_id)),
+      p AS (
+        SELECT x.media_id AS a, y.media_id AS b, x.kind AS kind,
+          CAST(list_sum(
+            [bit_count(xor(strpos('0123456789abcdef', substr(x.hex, i, 1)) - 1,
+                           strpos('0123456789abcdef', substr(y.hex, i, 1)) - 1))
+             for i in range(1, 17)]) AS BIGINT) AS hamming
+        FROM m x JOIN m y
+          ON x.media_id < y.media_id AND x.kind = y.kind)
+      SELECT a, b, kind, hamming FROM p
+      WHERE hamming <= $PhashMaxHamming
+      ORDER BY a, b""",
     // documents text is ASCII, so ord(char) == UTF-8 byte value and the
     // oracle can frame the TEXT where the kernel frames payload BYTES
     "mm_audio_windows" -> s"""

@@ -909,6 +909,126 @@ object Similarity {
     graphCentrality(knnGraphEdges(all, GraphK, rounds = 1))
   }
 
+  // ---- graph-walk ANN serving (DiskANN / HNSW-style search) ----
+
+  val BeamWidth = 8 // candidates kept per query per round
+  val SearchRounds = 3 // graph-expansion rounds
+  val NumSeeds = 4 // fixed entry points
+
+  /** Best-first BEAM SEARCH over a k-NN graph — the serving-side
+    * counterpart of [[knnGraphEdges]]: queries navigate the stored
+    * neighbor structure instead of scanning the corpus. Start every
+    * query at the same few fixed entry points, then repeat: expand the
+    * current beam one hop through the graph, score candidates against
+    * the query, keep the `beam` best. This is the greedy walk at the
+    * heart of HNSW (Malkov & Yashunin, 2016) and DiskANN (Subramanya
+    * et al., NeurIPS 2019), flattened to a fixed round count so it runs
+    * as a bounded dataflow instead of a per-query pointer chase.
+    *
+    * Everything is set-at-a-time, so ALL queries advance together:
+    * the beam table is (query_id, node) id-pairs, one equi join against
+    * edges per round (edges hash-partitioned on src — at 100 TB the
+    * only big table here, and it's never broadcast), candidate vectors
+    * attach by equi join, and the bounded query set broadcasts for
+    * scoring. Per query per round the candidate set is ≤ beam·(k+1)
+    * rows, so query-time cost is independent of corpus size — the
+    * entire point of serving from a graph index. The query's own
+    * corpus row is excluded from the walk (a corpus member would
+    * otherwise find itself at cos 1.0), simulating out-of-corpus
+    * queries.
+    *
+    * Deterministic: md5-ordered entry points, total-order (cos desc,
+    * node asc) beam cuts, and a candidate set that CONTAINS the
+    * previous beam — so the per-query best cosine is monotonically
+    * non-decreasing over rounds (spec-pinned along with recall vs
+    * brute force).
+    */
+  def graphBeamSearch(
+      vecsIn: DataFrame, edgesIn: DataFrame, queriesIn: DataFrame,
+      k: Int = TopK, beam: Int = BeamWidth, rounds: Int = SearchRounds,
+      seeds: Int = NumSeeds): DataFrame = {
+    val s = vecsIn.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val vecs = vecsIn.select($"vec_id", $"e")
+    val edges = edgesIn.select($"src", $"dst").localCheckpoint(eager = true)
+    val q = queriesIn.select($"query_id", $"qe")
+    def score(cand: DataFrame): DataFrame =
+      cand.join(vecs.select($"vec_id".as("node"), $"e".as("ce")), Seq("node"))
+        .join(broadcast(q), Seq("query_id"))
+        .select($"query_id", $"node", cosine($"qe", $"ce").as("cos"))
+    val wq = Window.partitionBy($"query_id").orderBy($"cos".desc, $"node".asc)
+    def cut(scored: DataFrame, n: Int): DataFrame =
+      scored.withColumn("rk", row_number().over(wq)).filter($"rk" <= n)
+        .select($"query_id", $"node", $"cos")
+    val entry = vecs.select($"vec_id".as("node"))
+      .orderBy(md5($"node".cast("string")), $"node").limit(seeds)
+    var beamDf = cut(score(
+        entry.crossJoin(q.select($"query_id")).filter($"node" =!= $"query_id")),
+      beam).localCheckpoint(eager = true)
+    var r = 0
+    while (r < rounds) {
+      val frontier = beamDf.select($"query_id", $"node")
+        .join(edges.select($"src".as("node"), $"dst"), Seq("node"))
+        .select($"query_id", $"dst".as("node"))
+      val cand = beamDf.select($"query_id", $"node").union(frontier)
+        .filter($"node" =!= $"query_id").distinct()
+      beamDf = cut(score(cand), beam).localCheckpoint(eager = true)
+      r += 1
+    }
+    beamDf.withColumn("rk", row_number().over(wq).cast("long"))
+      .filter($"rk" <= k)
+      .select($"query_id", $"rk", $"node".as("cand_id"), $"cos")
+  }
+
+  /** Serve queries from an on-disk [[writeKnnGraphOf]] index: neighbor
+    * lists come through [[knnNeighbors]] (≤k invariant enforced at
+    * read, so appends don't distort the walk), vectors from the stored
+    * corpus — query-time cost is the walk, never a corpus scan.
+    */
+  def searchKnnGraphIndex(
+      s: SparkSession, path: String, queriesIn: DataFrame,
+      k: Int = TopK, beam: Int = BeamWidth, rounds: Int = SearchRounds): DataFrame =
+    graphBeamSearch(
+      s.read.parquet(s"$path/vecs"),
+      knnNeighbors(s, path).select(col("src"), col("dst")),
+      queriesIn, k, beam, rounds)
+
+  /** Graph-index cache location for the registered query form — the
+    * [[Curation.cachedQuantizerPath]] pattern: one frozen index per
+    * (corpus dir, fingerprint); a corpus rewrite shifts the
+    * fingerprint and forces a rebuild.
+    */
+  private[graft] def cachedGraphPath(dir: String, fp: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tag = md.digest(s"$dir|$fp".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    s"${System.getProperty("java.io.tmpdir")}/graft_knngraph_$tag"
+  }
+
+  /** Registered form: beam-search the query set against the corpus's
+    * FROZEN on-disk k-NN graph — built on first invocation, cached per
+    * corpus fingerprint (build cost amortizes exactly like the frozen
+    * k-means quantizer; a deployment rebuilds on corpus refresh
+    * cadence, never per query). Rows-only BY DESIGN (graph build and
+    * walk are iterative); SimilaritySpec gates recall vs brute force,
+    * round-monotonicity, and frozen-index-equals-fresh-build.
+    */
+  def simGraphSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gpath = cachedGraphPath(dir, Curation.corpusFingerprint(s, dir))
+    if (!new java.io.File(s"$gpath/edges/_SUCCESS").exists()) {
+      val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+      val tmp = gpath + "_w" + java.util.UUID.randomUUID().toString.take(8)
+      writeKnnGraphOf(all, tmp)
+      if (!new java.io.File(tmp).renameTo(new java.io.File(gpath)))
+        Curation.deleteRecursively(new java.io.File(tmp))
+    }
+    val q = emb(s, dir).filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), asDouble($"embedding").as("qe"))
+    searchKnnGraphIndex(s, gpath, q).orderBy("query_id", "rk")
+  }
+
   /** TEST-ONLY baseline: embedding-cosine near-duplicate pairs (cosine ≥
     * threshold), exact, via a driver `collect()` + corpus broadcast.
     * Threshold 0.40 is tuned to the synthetic corpus (max pairwise cosine
@@ -1069,6 +1189,9 @@ object Similarity {
     "sim_knn_graph" -> simKnnGraph,
     // rows-only: iterative integer PageRank, spec-pinned vs in-memory replay
     "sim_graph_centrality" -> simGraphCentrality,
+    // rows-only: iterative graph walk over the frozen on-disk index,
+    // recall- and monotonicity-gated by spec
+    "sim_graph_search" -> simGraphSearch,
     // both routes are the tiled (no-driver-collect) plan; two block
     // counts prove the tiling is invariant under the same oracle
     "dedup_embcos" -> ((s, d) => dedupEmbCosineTiled(s, d, numBlocks = 8)),

@@ -115,9 +115,69 @@ object Extended5 {
       .orderBy("view_id")
   }
 
+  /** q65: gaps-and-islands — each user's LONGEST run of consecutive
+    * active days. The classic island trick: distinct (user, day),
+    * then day_number − row_number() is constant within a consecutive
+    * run, so one groupBy collapses each island and a per-user window
+    * picks the longest (ties to the earliest start — total order).
+    *
+    * Scale shape: the distinct and both windows all partition by
+    * user_id — one shuffle key end to end, no self-join (the naive
+    * formulation is a per-row "previous day" self-join). Day
+    * arithmetic is integer (days since epoch), so engine-exact.
+    */
+  def q65GapsIslands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = t(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    val st = days
+      .withColumn("grp",
+        datediff($"d", lit("1970-01-01").cast("date")) - row_number().over(w))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("streak_days"),
+        min($"d").as("start_day"), max($"d").as("end_day"))
+    val wr = Window.partitionBy($"user_id")
+      .orderBy($"streak_days".desc, $"start_day".asc)
+    st.withColumn("rk", row_number().over(wr)).filter($"rk" === 1)
+      .select($"user_id", $"streak_days", $"start_day", $"end_day")
+      .orderBy("user_id")
+  }
+
+  /** q66: exact equi-depth (decile) histogram of a measure — the
+    * boundary statistic behind range-partition planning, skew
+    * detection, and bucketed sampling. Cutpoints are the nine
+    * percentile_disc deciles (ACTUAL data values — hash-portable where
+    * interpolating percentile_cont is not), computed in ONE aggregate;
+    * the single 9-value cutpoint row broadcasts back over the scan and
+    * each row's bucket is a sum of nine comparisons — no sort, no
+    * re-shuffle of the data. At 100 TB the same plan holds with
+    * approx_percentile cutpoints (exact percentiles buffer per-group
+    * values); the bucketing pass is unchanged — that swap is the only
+    * scale knob.
+    */
+  def q66EquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").select($"l_extendedprice".as("x"))
+    val aggs = (1 to 9).map(i =>
+      expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY x)").as(s"c$i"))
+    val cuts = li.agg(aggs.head, aggs.tail: _*)
+    val bucket = (1 to 9)
+      .map(i => when($"x" > col(s"c$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    li.crossJoin(broadcast(cuts))
+      .select($"x", bucket.as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), min($"x").as("lo"), max($"x").as("hi"))
+      .select($"bucket".cast("long").as("bucket"), $"n", $"lo", $"hi")
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_range_join" -> q63RangeJoin,
-    "q64_forward_asof" -> q64ForwardAsof)
+    "q64_forward_asof" -> q64ForwardAsof,
+    "q65_gaps_islands" -> q65GapsIslands,
+    "q66_equidepth_hist" -> q66EquidepthHist)
 
   val oracles: Map[String, String] = Map(
     "q63_range_join" -> s"""
@@ -141,6 +201,38 @@ object Extended5 {
           AND epoch_us(ts) <= epoch_us(v.ts) + $TolUs
         ORDER BY epoch_us(ts), event_id LIMIT 1) p ON TRUE
       WHERE v.event_type = 'view'
-      ORDER BY view_id"""
+      ORDER BY view_id""",
+    "q65_gaps_islands" -> """
+      WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      isl AS (
+        SELECT user_id, d,
+          date_diff('day', DATE '1970-01-01', d)
+            - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM days),
+      st AS (
+        SELECT user_id, COUNT(*) AS streak_days,
+          MIN(d) AS start_day, MAX(d) AS end_day
+        FROM isl GROUP BY user_id, grp),
+      rk AS (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY streak_days DESC, start_day ASC) AS rk
+        FROM st)
+      SELECT user_id, CAST(streak_days AS BIGINT) AS streak_days,
+        start_day, end_day
+      FROM rk WHERE rk = 1 ORDER BY user_id""",
+    "q66_equidepth_hist" -> ("""
+      WITH cuts AS (
+        SELECT """ + (1 to 9).map(i =>
+          s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY l_extendedprice) AS c$i")
+          .mkString(", ") + """
+        FROM lineitem),
+      b AS (
+        SELECT """ + (1 to 9).map(i =>
+          s"CASE WHEN l_extendedprice > c$i THEN 1 ELSE 0 END")
+          .mkString(" + ") + """ AS bucket, l_extendedprice AS x
+        FROM lineitem CROSS JOIN cuts)
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n, MIN(x) AS lo, MAX(x) AS hi
+      FROM b GROUP BY bucket ORDER BY bucket""")
   )
 }

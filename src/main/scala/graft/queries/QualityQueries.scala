@@ -163,6 +163,43 @@ object QualityQueries {
       .orderBy("event_id")
   }
 
+  /** robust-outlier check (beyond-ref): median/MAD screen per group —
+    * the distribution-free counterpart of [[dqAnomaly]]'s z-score.
+    * Mean/stddev are themselves dragged by the outliers they're meant
+    * to find (masking); the median and the median absolute deviation
+    * have a 50% breakdown point, so the flag count is stable even on
+    * heavily contaminated columns — the standard robust screen
+    * (Hampel's rule). A row is an outlier when
+    * |x − median| > k·MAD with k = 1.5.
+    *
+    * Engine-exactness: percentile_disc SELECTS an actual data value
+    * (no interpolation), so median and MAD are hash-portable where
+    * percentile_cont would not be; |x−med| and k·MAD are single IEEE
+    * ops both engines replay identically. Scale shape: two grouped
+    * percentile passes + one conditional-count pass, each a scan with
+    * the tiny (3-group) stats table broadcast back — no row-level
+    * shuffle beyond the groupBys.
+    */
+  val MadK = 1.5
+
+  def dqOutlierMad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").select($"l_returnflag".as("flag"),
+      $"l_extendedprice".as("x"))
+    val med = li.groupBy($"flag").agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)").as("med"))
+    val mad = li.join(broadcast(med), Seq("flag"))
+      .groupBy($"flag", $"med").agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(x - med))").as("mad"),
+        count(lit(1)).as("n_rows"))
+    li.join(broadcast(mad), Seq("flag"))
+      .groupBy($"flag", $"med", $"mad", $"n_rows").agg(
+        sum(when(abs($"x" - $"med") > lit(MadK) * $"mad", 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select($"flag", $"med", $"mad", $"n_outliers", $"n_rows")
+      .orderBy("flag")
+  }
+
   /** completeness profile (beyond-reference): null counts for EVERY
     * audited column in ONE scan — the reference's null_check costs one
     * action per column; this is the profiling form a wide table needs
@@ -281,6 +318,7 @@ object QualityQueries {
     "dq_freshness" -> dqFreshness,
     "dq_distribution" -> dqDistribution,
     "dq_anomaly" -> dqAnomaly,
+    "dq_outlier_mad" -> dqOutlierMad,
     "dq_completeness" -> dqCompleteness)
 
   private val benfordCase: String =
@@ -380,6 +418,25 @@ object QualityQueries {
                  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) > $AnomalyZ
       ORDER BY event_id""",
+    "dq_outlier_mad" -> s"""
+      WITH li AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS x FROM lineitem),
+      med AS (
+        SELECT flag, percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS med
+        FROM li GROUP BY flag),
+      mad AS (
+        SELECT li.flag, med,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(x - med)) AS mad,
+          COUNT(*) AS n_rows
+        FROM li JOIN med ON li.flag = med.flag
+        GROUP BY li.flag, med)
+      SELECT li.flag, med, mad,
+        CAST(SUM(CASE WHEN abs(x - med) > $MadK * mad THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers,
+        CAST(n_rows AS BIGINT) AS n_rows
+      FROM li JOIN mad ON li.flag = mad.flag
+      GROUP BY li.flag, med, mad, n_rows
+      ORDER BY li.flag""",
     "dq_completeness" -> """
       WITH a AS (
         SELECT COUNT(*) AS n,
