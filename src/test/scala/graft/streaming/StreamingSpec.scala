@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Streaming end-to-end (reference:
@@ -851,17 +852,27 @@ class StreamingSpec extends SparkSpec {
 
     // same aggregation through Structured Streaming (availableNow; the
     // file source needs a directory, so stage the single parquet file;
-    // events carries nano timestamps read as longs, so the stream
-    // converts exactly like Tables.t does)
+    // ts normalizes to session-zoned TimestampType exactly like
+    // Tables.t does — the raw encoding differs across testdata
+    // generations: INT64 nanos read as LONG vs TIMESTAMP_NTZ micros —
+    // so probe the file's actual type and declare the matching schema)
     val streamDir = Files.createTempDirectory("graft-parity")
     Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       streamDir.resolve("events.parquet"))
+    val rawIsLong = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val (tsDdl, normalize): (String, DataFrame => DataFrame) =
+      if (rawIsLong)
+        ("ts LONG",
+          df => df.withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)"))))
+      else
+        ("ts TIMESTAMP_NTZ",
+          df => df.withColumn("ts", col("ts").cast("timestamp")))
     val q = new StreamingPipeline(
       source = FileStreamingSource(streamDir.toString,
-        schemaDdl = Some("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")),
+        schemaDdl = Some(s"event_id LONG, $tsDdl, user_id LONG, event_type STRING, value DOUBLE, props STRING")),
       sink = MemoryStreamingSink("events_hourly_stream"),
-      transform = df => df
-        .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+      transform = df => normalize(df)
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).cast("decimal(18,4)").as("sv")),
