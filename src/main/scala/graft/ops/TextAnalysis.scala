@@ -603,6 +603,61 @@ object TextAnalysis {
         .orderBy($"freq".desc, $"token".asc)
   }
 
+  // ---- count-min sketch point-frequency estimates ----
+
+  /** Probe tokens for the registered CMS query: a frequency spread from
+    * stop-words down, plus one token guaranteed absent from the corpus —
+    * its exact count is 0, so any nonzero estimate in the output row is
+    * pure, visible collision mass.
+    */
+  val CmsProbes: Seq[String] = Seq(
+    "the", "of", "and", "data", "model", "quantum", "zzzabsentprobe")
+
+  /** Corpus token frequencies through a count-min sketch
+    * ([[graft.functions.CountMinAggregator]]), estimates next to exact
+    * counts for the probe set. The sketch pass is the 100 TB shape: the
+    * exploded token stream never shuffles — each partition folds into
+    * one 4×4096 long buffer (map-side partial aggregation) and only the
+    * fixed 128 KiB buffers merge, vs the full-vocabulary shuffle the
+    * exact GROUP BY pays. The md5-prefix cells are computed by
+    * codegen'd SQL functions (`conv(substring(md5(token), 8r+1, 3), 16,
+    * 10)`) so the pre-aggregation pipeline stays whole-stage; the exact
+    * side only ever re-counts the ≤|probes| matching tokens (broadcast
+    * isin filter over the scan — the heavy-hitters verify pattern).
+    * Driver traffic is bounded: one 128 KiB sketch + |probes| rows.
+    *
+    * Deterministic end to end (integer sums + min over md5-derived
+    * cells), so unlike the HLL register sketch this one carries a full
+    * cross-engine oracle: DuckDB rebuilds the identical sketch from the
+    * identical cells and must reproduce every estimate bit-exactly.
+    */
+  def taCmsFreq(s: SparkSession, dir: String): DataFrame =
+    cmsFreqOf(t(s, dir, "documents"), CmsProbes)
+
+  /** [[taCmsFreq]] over an arbitrary (doc_id, text, …) frame. */
+  def cmsFreqOf(docsIn: DataFrame, probes: Seq[String]): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val depth = graft.functions.CountMinAggregator.DefaultDepth
+    val width = graft.functions.CountMinAggregator.DefaultWidth
+    val toks = docsIn.select(explode(tokens(lower($"text"))).as("token"))
+    val cellCols = (0 until depth).map(r =>
+      conv(substring(md5($"token"), 8 * r + 1, 3), 16, 10).cast("int"))
+    val cm = udaf(new graft.functions.CountMinAggregator(depth, width))
+    val sketch = toks
+      .select(array(cellCols: _*).as("cells"))
+      .agg(cm($"cells")).head().getSeq[Long](0).toArray
+    val exact = toks.filter($"token".isin(probes: _*))
+      .groupBy($"token").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    probes.sorted.map { p =>
+      val est = graft.functions.CountMinAggregator.estimate(
+        sketch, graft.functions.CountMinAggregator.cellsOf(p, depth), width)
+      val ex = exact.getOrElse(p, 0L)
+      (p, est, ex, est - ex)
+    }.toDF("token", "est", "exact", "overcount")
+  }
+
   // ---- BPE vocabulary training ----
 
   val BpeMerges = 30
@@ -835,6 +890,7 @@ object TextAnalysis {
     "ta_bm25" -> ((s, d) => taBm25(s, d)),
     "ta_bm25_multi" -> ((s, d) => taBm25Multi(s, d)),
     "ta_heavy_hitters" -> taHeavyHitters,
+    "ta_cms_freq" -> taCmsFreq,
     // rows-only: data-dependent iterative argmax, not one-SQL-expressible
     "ta_bpe_train" -> ((s, d) => taBpeTrain(s, d)),
     // rows-only: encodes under the iteratively-trained merge table
@@ -941,6 +997,40 @@ object TextAnalysis {
       SELECT c.token, c.freq FROM cnt c CROSS JOIN tot t
       WHERE c.freq * $HhPhiInv > t.n
       ORDER BY c.freq DESC, c.token ASC""",
+    "ta_cms_freq" -> {
+      // one cell term per digest window: 3 hex nibbles at 1-based
+      // positions 8r+1..8r+3 read base-16 — the CountMinAggregator.cellsOf
+      // contract, replayed per-nibble because DuckDB has no conv()
+      def cellSql(hexExpr: String): String =
+        s"""(strpos('0123456789abcdef', substr($hexExpr, CAST(8*r+1 AS INT), 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr($hexExpr, CAST(8*r+2 AS INT), 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr($hexExpr, CAST(8*r+3 AS INT), 1)) - 1)"""
+      val probeValues = CmsProbes.map(p => s"('$p')").mkString(", ")
+      s"""
+      WITH toks AS (
+        SELECT unnest(list_filter(
+          string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS token
+        FROM documents),
+      cnt AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+      rr AS (SELECT unnest(range(4)) AS r),
+      cells AS (
+        SELECT token, c, r, ${cellSql("md5(token)")} AS cell
+        FROM cnt CROSS JOIN rr),
+      sums AS (SELECT r, cell, SUM(c) AS s FROM cells GROUP BY r, cell),
+      probe AS (SELECT * FROM (VALUES $probeValues) p(token)),
+      pcells AS (
+        SELECT token, r, ${cellSql("md5(token)")} AS cell
+        FROM probe CROSS JOIN rr),
+      est AS (
+        SELECT p.token, MIN(COALESCE(s.s, 0)) AS est
+        FROM pcells p LEFT JOIN sums s ON s.r = p.r AND s.cell = p.cell
+        GROUP BY p.token)
+      SELECT e.token, CAST(e.est AS BIGINT) AS est,
+        CAST(COALESCE(c.c, 0) AS BIGINT) AS exact,
+        CAST(e.est - COALESCE(c.c, 0) AS BIGINT) AS overcount
+      FROM est e LEFT JOIN cnt c ON c.token = e.token
+      ORDER BY e.token"""
+    },
     "ta_bm25" -> s"""
       WITH toks AS (
         SELECT doc_id,

@@ -186,4 +186,66 @@ class FunctionsSpec extends SparkSpec {
     assert(graft.ops.TextAnalysis.heavyHittersOf(
       Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0L)
   }
+
+  test("ScalaCheck: count-min sketch is merge-order-invariant and never under-counts") {
+    import org.scalacheck.Gen
+    import graft.functions.CountMinAggregator
+    val depth = 4
+    val width = 64 // narrow on purpose: collisions must actually happen
+    val agg = new CountMinAggregator(depth, width)
+    val genItem = Gen.frequency(
+      6 -> Gen.oneOf("hot1", "hot2"),
+      4 -> Gen.choose(0, 300).map("tail" + _))
+    val genCase = for {
+      n <- Gen.choose(50, 600)
+      items <- Gen.listOfN(n, genItem)
+      nSplits <- Gen.choose(1, 8)
+    } yield (items, nSplits)
+    (0 until 12).foreach { seed =>
+      genCase.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed.toLong)).foreach { case (items, nSplits) =>
+        val cells = items.map(t => CountMinAggregator.cellsOf(t, depth, width).toSeq)
+        val single = cells.foldLeft(agg.zero)(agg.reduce)
+        // adversarial split + merge order must be bit-equal (sums commute)
+        val chunks = cells.zipWithIndex.groupBy(_._2 % nSplits).toSeq
+          .sortBy(_._1).map(_._2.map(_._1))
+        val bufs = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+        val ordered = if (seed % 2 == 0) bufs.reverse else
+          bufs.indices.sortBy(i => (i % 2, i)).map(bufs)
+        val merged = ordered.foldLeft(agg.zero)(agg.merge)
+        assert(java.util.Arrays.equals(single, merged),
+          s"seed $seed: sketch must be bit-equal under $nSplits-way merge")
+        // one-sided error: estimate >= exact for EVERY token (incl. absent)
+        val exact = items.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+        (exact.keys.toSeq :+ "never-seen").foreach { t =>
+          val est = CountMinAggregator.estimate(
+            single, CountMinAggregator.cellsOf(t, depth, width), width)
+          assert(est >= exact.getOrElse(t, 0L),
+            s"seed $seed: CMS under-counted $t: $est < ${exact.getOrElse(t, 0L)}")
+        }
+        // total mass per row is exactly n — sums never lose anything
+        (0 until depth).foreach { r =>
+          val mass = (0 until width).map(c => single(r * width + c)).sum
+          assert(mass == items.size.toLong, s"seed $seed row $r mass $mass != n")
+        }
+      }
+    }
+    // op level: estimates vs exact counts on a tiny corpus; the planted
+    // absent probe must report exact 0 and overcount = est
+    val docs = Seq(
+      (1L, "alpha alpha beta gamma"),
+      (2L, "alpha beta beta delta")).toDF("doc_id", "text")
+    val rows = graft.ops.TextAnalysis.cmsFreqOf(
+        docs, Seq("alpha", "beta", "gamma", "zzzabsentprobe"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows("alpha")._2 == 3L && rows("beta")._2 == 3L &&
+      rows("gamma")._2 == 1L && rows("zzzabsentprobe")._2 == 0L)
+    rows.values.foreach { case (est, exact, over) =>
+      assert(est >= exact && over == est - exact)
+    }
+    // at width 4096 and 7 distinct tokens, collisions are essentially
+    // impossible — estimates should be exact here
+    assert(rows("alpha")._1 == 3L && rows("zzzabsentprobe")._1 == 0L)
+  }
 }
