@@ -36,8 +36,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // local-iteration aid: SPARK_GRAFT_BENCH_FILTER=substr1,substr2
+    // restricts the sweep to matching query names. The driver never sets
+    // it, so the round artifact is always the full suite.
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      nameFilter.forall(_.exists(n.contains)) }
+
     def sweep(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>

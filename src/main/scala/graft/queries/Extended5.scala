@@ -146,27 +146,61 @@ object Extended5 {
 
   /** q66: exact equi-depth (decile) histogram of a measure — the
     * boundary statistic behind range-partition planning, skew
-    * detection, and bucketed sampling. Cutpoints are the nine
-    * percentile_disc deciles (ACTUAL data values — hash-portable where
-    * interpolating percentile_cont is not), computed in ONE aggregate;
-    * the single 9-value cutpoint row broadcasts back over the scan and
-    * each row's bucket is a sum of nine comparisons — no sort, no
-    * re-shuffle of the data. At 100 TB the same plan holds with
-    * approx_percentile cutpoints (exact percentiles buffer per-group
-    * values); the bucketing pass is unchanged — that swap is the only
-    * scale knob.
+    * detection, and bucketed sampling. Cutpoint q is the smallest data
+    * value whose cumulative count clears rank q·n/10 — the
+    * percentile_disc definition (cdf(x) ≥ q/10) with the division
+    * cleared to pure integers (10·cum ≥ q·n), so there is no float
+    * boundary hazard on either engine and both replay it identically.
+    *
+    * Scale shape: a monolithic percentile aggregate buffers the whole
+    * column in ONE reducer per percentile (the first cut of this query
+    * cost 18 s at sf0.1 — 9 aggregates × 600 k buffered doubles); here
+    * the column collapses to (value, count) with map-side partials,
+    * range-partitions by value, and the cumulative count is the
+    * standard two-pass distributed prefix sum ([[graft.ops.Curation
+    * .mixBudgetOf]]'s pattern): pass 1 ships one per-partition total
+    * (≤ #partitions rows) to the driver, pass 2 finds the ≤ 9 rows
+    * whose cumulative count crosses a decile rank — every stage is
+    * parallel, nothing corpus-sized ever sits in one buffer. The nine
+    * cutpoints then broadcast back over the scan and each row's bucket
+    * is a sum of nine comparisons — same bucketing pass as before. At
+    * 100 TB swap the exact cutpoints for approx_percentile if the
+    * (value, count) table itself is too hot — the bucket pass is
+    * unchanged; that swap is the only scale knob.
     */
   def q66EquidepthHist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = t(s, dir, "lineitem").select($"l_extendedprice".as("x"))
-    val aggs = (1 to 9).map(i =>
-      expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY x)").as(s"c$i"))
-    val cuts = li.agg(aggs.head, aggs.tail: _*)
+    val parts = 32
+    val sorted = li.groupBy($"x").agg(count(lit(1)).as("c"))
+      .repartitionByRange(parts, $"x".asc)
+      .sortWithinPartitions($"x".asc)
+      .as[(Double, Long)]
+      .localCheckpoint(eager = true) // freeze sampled range boundaries
+    val partials = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var tot = 0L
+      it.foreach(tot += _._2)
+      Iterator.single((pid, tot))
+    }.collect().sortBy(_._1) // bounded: one row per partition
+    val n = partials.map(_._2).sum
+    val bases = partials.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
+      (pid + 1, acc + tot)
+    }.init.map { case (pid, acc) => pid -> acc }.toMap
+    val basesBc = s.sparkContext.broadcast(bases)
+    val cuts = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = basesBc.value(pid)
+      it.flatMap { case (x, c) =>
+        val prev = cum
+        cum += c
+        (1 to 9).iterator
+          .filter(q => 10L * prev < q * n && 10L * cum >= q * n)
+          .map(q => q -> x)
+      }
+    }.collect().toMap // bounded: exactly 9 rows
     val bucket = (1 to 9)
-      .map(i => when($"x" > col(s"c$i"), 1).otherwise(0))
+      .map(q => when($"x" > lit(cuts(q)), 1).otherwise(0))
       .reduce(_ + _)
-    li.crossJoin(broadcast(cuts))
-      .select($"x", bucket.as("bucket"))
+    li.select($"x", bucket.as("bucket"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n"), min($"x").as("lo"), max($"x").as("hi"))
       .select($"bucket".cast("long").as("bucket"), $"n", $"lo", $"hi")
@@ -220,6 +254,11 @@ object Extended5 {
       SELECT user_id, CAST(streak_days AS BIGINT) AS streak_days,
         start_day, end_day
       FROM rk WHERE rk = 1 ORDER BY user_id""",
+    // deliberately NOT the Spark plan's formula: DuckDB's native
+    // percentile_disc is the same inclusive-rank definition
+    // (min x with cum >= ceil(q*n/10), probed exact at the
+    // float-hazard boundaries), so this is an INDEPENDENT check of the
+    // distributed prefix-sum cutpoints
     "q66_equidepth_hist" -> ("""
       WITH cuts AS (
         SELECT """ + (1 to 9).map(i =>

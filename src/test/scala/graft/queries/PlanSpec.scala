@@ -118,7 +118,10 @@ class PlanSpec extends SparkSpec {
       // two-scan exceptions: referential joins child to parent;
       // anomaly is a stats pass + a broadcast-stats rescan (the
       // model-then-score shape — per-row z against GROUP statistics
-      // can't be one aggregation)
+      // can't be one aggregation). outlier_mad's median/MAD passes run
+      // eagerly inside groupedDiscMedian (localCheckpoint-truncated),
+      // so its RETURNED plan is one scan + a broadcast local stats
+      // table and the default bound applies.
       val allowed = if (Set("dq_referential", "dq_anomaly")(name)) 2 else 1
       assert(scans <= allowed, s"$name reads its input more than once")
     }
