@@ -1224,6 +1224,86 @@ object Curation {
       .orderBy("source", "cum_tokens")
   }
 
+  /** Epoch cap and budget for the registered epoch-aware mix: at the
+    * test corpus' per-source totals (~1.1–1.6 k tokens) a 4 k budget
+    * makes some sources exhaust the full epoch cap before the budget
+    * (the "small high-quality source repeated 3×" case) while others
+    * cut mid-epoch — both stop conditions exercised in one run.
+    */
+  val MixEpochs = 3
+  val MixEpochBudget = 4000L
+
+  /** Epoch-aware token-budget mix — the multi-epoch generalization of
+    * [[mixBudget]]: a source whose corpus is smaller than its budget
+    * REPEATS (up to `maxEpochs` passes — the "epoching" knob of
+    * LLM data recipes, where scarce high-quality sources are seen
+    * several times) and the greedy fill walks (epoch asc, n_chars desc,
+    * doc_id asc) per source, so every repeat replays the same
+    * longest-first order and the budget cuts mid-epoch exactly where
+    * the running total crosses.
+    *
+    * Scale shape: identical to [[mixBudgetOf]] — the epoch column just
+    * joins the range-partition sort key, so the replicated corpus
+    * (×maxEpochs) still parallelizes across partitions and only
+    * per-(partition, source) totals reach the driver. The replication
+    * itself is a codegen'd explode of a maxEpochs-long sequence, never
+    * a driver loop.
+    */
+  def mixEpochs(
+      s: SparkSession, dir: String,
+      budget: Long = MixEpochBudget, maxEpochs: Int = MixEpochs): DataFrame =
+    mixEpochsOf(t(s, dir, "documents"), budget, maxEpochs)
+
+  /** [[mixEpochs]] over an arbitrary (doc_id, source, n_chars, text)
+    * frame.
+    */
+  def mixEpochsOf(
+      docs: DataFrame, budget: Long = MixEpochBudget,
+      maxEpochs: Int = MixEpochs, partitions: Int = 32): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sized = docs
+      .select($"doc_id", $"source", $"n_chars".cast("long").as("n_chars"),
+        TextAnalysis.tokenCount($"text").as("n_tokens"))
+      .withColumn("epoch", explode(sequence(lit(1L), lit(maxEpochs.toLong))))
+      .repartitionByRange(partitions,
+        $"source".asc, $"epoch".asc, $"n_chars".desc, $"doc_id".asc)
+      .sortWithinPartitions(
+        $"source".asc, $"epoch".asc, $"n_chars".desc, $"doc_id".asc)
+      .select($"doc_id", $"source", $"epoch", $"n_chars", $"n_tokens")
+      .as[(Long, String, Long, Long, Long)]
+      .localCheckpoint(eager = true) // freeze sampled range boundaries
+    val partials = sized.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (_, src, _, _, n) =>
+        m.update(src, m.getOrElse(src, 0L) + n)
+      }
+      m.iterator.map { case (src, tot) => (pid, src, tot) }
+    }.collect() // bounded: <= partitions + sources rows
+    val base: Map[(Int, String), Long] =
+      partials.groupBy(_._2).flatMap { case (src, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, tot) =>
+          val e = ((pid, src), acc); acc += tot; e
+        }
+      }
+    val baseBc = s.sparkContext.broadcast(base)
+    val rows = sized.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val bases = baseBc.value
+      var cur: String = null
+      var run = 0L
+      it.flatMap { case (id, src, epoch, _, n) =>
+        if (src != cur) { cur = src; run = bases.getOrElse((pid, src), 0L) }
+        run += n
+        if (run <= budget) Iterator.single((src, epoch, id, n, run))
+        else Iterator.empty
+      }
+    }
+    s.createDataFrame(rows)
+      .toDF("source", "epoch", "doc_id", "n_tokens", "cum_tokens")
+      .orderBy("source", "cum_tokens")
+  }
+
   /** The mixture report a training run records next to its data
     * snapshot: per source, how much survived the budget cut and what
     * fraction of the source's tokens made it in. Integer sums + one
@@ -1286,6 +1366,7 @@ object Curation {
     // rows-only: float log-prob arithmetic isn't cross-engine replayable
     "ta_charlm" -> taCharLm,
     "mix_budget" -> ((s, d) => mixBudget(s, d)),
+    "mix_epochs" -> ((s, d) => mixEpochs(s, d)),
     "mix_report" -> ((s, d) => mixReport(s, d)),
     "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
     "sample_cluster_balanced" -> sampleClusterBalanced,
@@ -1384,6 +1465,23 @@ object Curation {
         FROM sized)
       SELECT source, doc_id, n_tokens, cum_tokens
       FROM cum WHERE cum_tokens <= $MixBudget
+      ORDER BY source, cum_tokens""",
+    "mix_epochs" -> s"""
+      WITH sized AS (
+        SELECT source, doc_id, n_chars,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      rep AS (
+        SELECT source, doc_id, n_chars, n_tokens, CAST(e.epoch AS BIGINT) AS epoch
+        FROM sized CROSS JOIN (SELECT unnest(range(1, $MixEpochs + 1)) AS epoch) e),
+      cum AS (
+        SELECT source, epoch, doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY epoch ASC, n_chars DESC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM rep)
+      SELECT source, epoch, doc_id, n_tokens, cum_tokens
+      FROM cum WHERE cum_tokens <= $MixEpochBudget
       ORDER BY source, cum_tokens""",
     "ta_ngram_top" -> """
       WITH toks AS (

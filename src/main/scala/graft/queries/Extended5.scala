@@ -207,11 +207,42 @@ object Extended5 {
       .orderBy("bucket")
   }
 
+  /** q67: first-order Markov transition matrix over per-user event
+    * sequences — which event type follows which, with conditional
+    * probabilities. The sequence order is (ts, event_id) per user (a
+    * total order, so lead() is deterministic); transitions count per
+    * (from, to) pair and P(to|from) is one IEEE division of exact
+    * longs, replayed identically by the oracle.
+    *
+    * Scale shape: ONE shuffle on user_id for the lead window (the
+    * sessionize/as-of pattern — per-user sequences are the parallel
+    * unit), then the grouped count collapses to |types|² rows with
+    * map-side partials; the share window runs over that tiny grouped
+    * table, not the corpus.
+    */
+  def q67Transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("tus"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"tus".asc, $"event_id".asc)
+    val wt = Window.partitionBy($"from_type")
+    ev.withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", $"n".cast("double") / sum($"n").over(wt))
+      .select($"from_type", $"to_type", $"n", $"p")
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_range_join" -> q63RangeJoin,
     "q64_forward_asof" -> q64ForwardAsof,
     "q65_gaps_islands" -> q65GapsIslands,
-    "q66_equidepth_hist" -> q66EquidepthHist)
+    "q66_equidepth_hist" -> q66EquidepthHist,
+    "q67_transitions" -> q67Transitions)
 
   val oracles: Map[String, String] = Map(
     "q63_range_join" -> s"""
@@ -272,6 +303,20 @@ object Extended5 {
         FROM lineitem CROSS JOIN cuts)
       SELECT CAST(bucket AS BIGINT) AS bucket,
         CAST(COUNT(*) AS BIGINT) AS n, MIN(x) AS lo, MAX(x) AS hi
-      FROM b GROUP BY bucket ORDER BY bucket""")
+      FROM b GROUP BY bucket ORDER BY bucket"""),
+    "q67_transitions" -> """
+      WITH seq AS (
+        SELECT event_type AS from_type,
+          lead(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts) ASC, event_id ASC) AS to_type
+        FROM events),
+      cnt AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type)
+      SELECT from_type, to_type, n,
+        CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+      FROM cnt
+      ORDER BY from_type, to_type"""
   )
 }

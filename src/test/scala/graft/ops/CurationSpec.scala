@@ -456,6 +456,52 @@ class CurationSpec extends SparkSpec {
     assert(at8.nonEmpty)
   }
 
+  test("mix epochs: full epochs precede partial ones, cap and budget bind, partition-independent") {
+    val rows = Curation.mixEpochs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, e, _, _, cum) =>
+      assert(e >= 1L && e <= Curation.MixEpochs.toLong, "epoch within cap")
+      assert(cum <= Curation.MixEpochBudget, "budget respected")
+    }
+    // a (source, epoch, doc) triple is selected at most once
+    assert(rows.map(r => (r._1, r._2, r._3)).distinct.length == rows.length)
+    // epoch e+1 of a source only starts once epoch e is COMPLETE (every
+    // corpus doc of the source present) — the greedy order replays the
+    // whole corpus before wrapping
+    val corpusDocs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"source", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val byEpoch = rs.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+      val maxE = byEpoch.keys.max
+      (1L until maxE).foreach { e =>
+        assert(byEpoch(e) == corpusDocs(src),
+          s"$src epoch $e must be complete before epoch ${e + 1} starts")
+      }
+    }
+    // the chosen budget makes repeats actually happen
+    assert(rows.exists(_._2 >= 2L), "some source must wrap into epoch 2+")
+    // maxEpochs = 1 degenerates exactly to the single-epoch mix
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    def key4(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val e1 = Curation.mixEpochsOf(docs, budget = Curation.MixBudget, maxEpochs = 1)
+      .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
+      .collect().map(key4)
+    val mb = Curation.mixBudgetOf(docs).collect().map(key4)
+    assert(e1.sameElements(mb), "maxEpochs=1 must equal mixBudget")
+    // partition-count independence (the prefix-sum contract)
+    def key5(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val at32 = Curation.mixEpochsOf(docs, partitions = 32).collect().map(key5)
+    val at1 = Curation.mixEpochsOf(docs, partitions = 1).collect().map(key5)
+    val at7 = Curation.mixEpochsOf(docs, partitions = 7).collect().map(key5)
+    assert(at32.sameElements(at1) && at32.sameElements(at7),
+      "selection must not depend on the partition count")
+  }
+
   test("semantic dedup cluster cap: over-cap clusters drop, the rest are exact") {
     val assign = Curation.assignClusters(spark, sfDir)
     val sizes = assign.groupBy($"cluster").count().collect()

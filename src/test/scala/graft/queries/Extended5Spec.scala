@@ -94,4 +94,38 @@ class Extended5Spec extends SparkSpec {
     assert(p.contains("Window"), s"expected a window:\n$p")
     assert(!p.contains("Join"), s"as-of must not plan a per-row join:\n$p")
   }
+
+  test("q67 transition matrix equals an in-memory replay") {
+    import spark.implicits._
+    val got = Extended5.q67Transitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val ev = t(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._4, e._2)).toList.sliding(2).collect {
+        case List(a, b) => (a._3, b._3)
+      }
+    }
+    val cnt = trans.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val fromTot = cnt.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    assert(got.nonEmpty && got.length == cnt.size)
+    got.foreach { case (f, t2, n, p) =>
+      assert(cnt((f, t2)) == n, s"count mismatch for $f->$t2")
+      assert(p == n.toDouble / fromTot(f), s"share mismatch for $f->$t2")
+    }
+    // shares are a probability distribution per from_type
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("q67 groups after ONE user-keyed window — no corpus-sized share window") {
+    val p = plan(Extended5.q67Transitions(spark, sfDir))
+    // the p-share window must consume the grouped |types|^2 table, so
+    // the plan has an aggregate BELOW the final window
+    assert(p.contains("Window"), s"expected windows:\n$p")
+    assert("HashAggregate|SortAggregate".r.findFirstIn(p).nonEmpty, s"expected aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"))
+  }
 }
