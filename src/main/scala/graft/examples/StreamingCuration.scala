@@ -543,6 +543,50 @@ object StreamingCuration {
       .orderBy($"freq".desc, $"token".asc)
   }
 
+  /** Fold a batch into the persistent count-min frequency state: one
+    * constant-size depth×width register file regardless of vocabulary
+    * or corpus size — the point-estimate twin of the heavy-hitter
+    * candidate state (which answers "which tokens are heavy"; this one
+    * answers "roughly how often is token X" for ANY token). The batch
+    * sketch comes from the same codegen'd md5-cell pipeline as the
+    * registered [[graft.ops.TextAnalysis.cmsFreqOf]]; element-wise-sum
+    * mergeability makes the folded state BIT-EQUAL to a single-pass
+    * sketch over the concatenation (spec-pinned), so estimates keep the
+    * one-sided error bound at any batch split.
+    */
+  def mergeCmsState(spark: SparkSession, stateDir: String, batch: DataFrame): Unit = {
+    import spark.implicits._
+    val depth = graft.functions.CountMinAggregator.DefaultDepth
+    val width = graft.functions.CountMinAggregator.DefaultWidth
+    val agg = new graft.functions.CountMinAggregator(depth, width)
+    val cm = udaf(agg)
+    val cells = (0 until depth).map(r =>
+      conv(substring(md5(col("token")), 8 * r + 1, 3), 16, 10).cast("int"))
+    val batchSketch = batch
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .select(array(cells: _*).as("cells"))
+      .agg(cm(col("cells"))).head().getSeq[Long](0).toArray
+    val merged = agg.merge(readCmsState(spark, stateDir), batchSketch)
+    Seq(merged).toDF("sketch").coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/cms_sketch")
+  }
+
+  /** The accumulated register file (zeros when no state exists). */
+  def readCmsState(spark: SparkSession, stateDir: String): Array[Long] =
+    if (!new java.io.File(s"$stateDir/cms_sketch").exists())
+      new Array[Long](graft.functions.CountMinAggregator.DefaultDepth *
+        graft.functions.CountMinAggregator.DefaultWidth)
+    else spark.read.parquet(s"$stateDir/cms_sketch")
+      .head().getSeq[Long](0).toArray
+
+  /** Point-frequency estimate for any token from the accumulated state
+    * — a pure driver-side array lookup, no corpus rescan.
+    */
+  def cmsEstimateFromState(spark: SparkSession, stateDir: String, token: String): Long =
+    graft.functions.CountMinAggregator.estimate(
+      readCmsState(spark, stateDir),
+      graft.functions.CountMinAggregator.cellsOf(token))
+
   /** Score documents against the ACCUMULATED chunk-frequency state:
     * chunks that `minDocs`+ accepted corpus documents contain are
     * stripped (the incremental form of [[graft.ops.Curation.taBoilerplate]] —

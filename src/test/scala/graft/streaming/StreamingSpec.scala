@@ -611,6 +611,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "state-verified heavies must equal the batch computation")
   }
 
+  test("incremental CMS state: folded registers bit-equal the single pass; estimates one-sided") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-cms")
+    val folded = work.resolve("folded").toString
+    val oneShot = work.resolve("oneshot").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    (0 until 3).foreach { i =>
+      StreamingCuration.mergeCmsState(spark, folded,
+        docs.filter(pmod($"doc_id", lit(3)) === i))
+    }
+    StreamingCuration.mergeCmsState(spark, oneShot, docs)
+    val f = StreamingCuration.readCmsState(spark, folded)
+    val o = StreamingCuration.readCmsState(spark, oneShot)
+    assert(f.sameElements(o), "folded registers must bit-equal the single pass")
+    // state estimates agree with the registered batch op's sketch (same
+    // cells, same sums) and never under-count the exact frequency
+    val exact = docs
+      .select(explode(graft.ops.TextAnalysis.tokens(lower($"text"))).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("f")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchRows = graft.ops.TextAnalysis
+      .cmsFreqOf(docs, graft.ops.TextAnalysis.CmsProbes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.ops.TextAnalysis.CmsProbes.foreach { p =>
+      val est = StreamingCuration.cmsEstimateFromState(spark, folded, p)
+      assert(est == batchRows(p), s"$p: state estimate must equal the batch op's")
+      assert(est >= exact.getOrElse(p, 0L), s"$p: CMS must never under-count")
+    }
+    // total register mass per row is the exact token total
+    val n = exact.values.sum
+    val width = graft.functions.CountMinAggregator.DefaultWidth
+    (0 until graft.functions.CountMinAggregator.DefaultDepth).foreach { r =>
+      assert((0 until width).map(c => f(r * width + c)).sum == n)
+    }
+  }
+
   test("streaming IVF ingestion: micro-batches append against the frozen quantizer") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
