@@ -131,9 +131,129 @@ object Sampling {
       .orderBy("source")
   }
 
+  // ---- UniMax language-balanced budget allocation ----
+
+  /** Budget/epoch-cap for the registered UniMax run: at the test
+    * corpus' capacities (20 sources × ~1.1–1.6 k tokens × 3 epochs ≈
+    * 81 k total) a 75 k budget makes small sources bind on CAPACITY
+    * (fully used at the epoch cap) while the largest bind on the fair
+    * SHARE — both regimes of the allocator exercised in one run.
+    */
+  val UnimaxBudget = 75000L
+  val UnimaxEpochs = 3
+
+  /** UniMax allocation (Chung et al. 2023): distribute a total token
+    * budget over sources so every source gets the SAME share unless its
+    * capacity (total tokens × epoch cap) is smaller — walk sources in
+    * ascending capacity order, give each min(capacity,
+    * remaining / sources_left) (integer floor division — the documented
+    * contract), and fold what a capped source couldn't take back into
+    * the pool. Unlike temperature flattening there is no tuned
+    * exponent: scarce sources are fully used up to the epoch cap and
+    * abundant ones split the rest evenly.
+    *
+    * The allocation loop is DRIVER-side by design: its input is the
+    * per-source totals table (≤ |sources| rows — bounded at any corpus
+    * scale) and the loop is inherently sequential (each step's share
+    * depends on what capped sources returned to the pool). Selection is
+    * distributed: the corpus replicates ×epochs (codegen'd sequence
+    * explode), orders per source by (epoch, md5(doc_id), doc_id) — the
+    * uniform recomputable draw of the cap/temperature ops — and the
+    * inclusive running total comes from the same two-pass distributed
+    * prefix sum as the mix family (range-partitioned on the full sort
+    * key, so a mega-source parallelizes; only per-(partition, source)
+    * partials reach the driver). All-integer output → hash-exact
+    * against the DuckDB oracle, whose allocator is a recursive CTE over
+    * the same capacity order.
+    */
+  def sampleUnimax(
+      s: SparkSession, dir: String,
+      budget: Long = UnimaxBudget, maxEpochs: Int = UnimaxEpochs): DataFrame =
+    unimaxOf(t(s, dir, "documents"), budget, maxEpochs)
+
+  /** [[sampleUnimax]] over an arbitrary (doc_id, source, text) frame. */
+  def unimaxOf(
+      docs: DataFrame, budget: Long = UnimaxBudget,
+      maxEpochs: Int = UnimaxEpochs, partitions: Int = 32): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sized = docs.select($"doc_id", $"source",
+      TextAnalysis.tokenCount($"text").as("n_tokens"))
+    val totals = sized.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // UniMax loop: ascending capacity (ties by source — a total order)
+    val byCap = totals
+      .map { case (src, nd, tot) => (src, nd, tot, tot * maxEpochs) }
+      .sortBy { case (src, _, _, cap) => (cap, src) }
+    var remaining = budget
+    val allocs = byCap.zipWithIndex.map { case ((src, nd, tot, cap), i) =>
+      val share = remaining / (byCap.length - i)
+      val a = math.min(cap, share)
+      remaining -= a
+      (src, nd, tot, cap, a)
+    }
+    val budgetOf = allocs.map { case (src, _, _, _, a) => src -> a }.toMap
+    // epoch-replicated uniform-draw order + distributed prefix sum
+    val rep = sized
+      .withColumn("epoch", explode(sequence(lit(1L), lit(maxEpochs.toLong))))
+      .withColumn("h", md5($"doc_id".cast("string")))
+      .repartitionByRange(partitions,
+        $"source".asc, $"epoch".asc, $"h".asc, $"doc_id".asc)
+      .sortWithinPartitions(
+        $"source".asc, $"epoch".asc, $"h".asc, $"doc_id".asc)
+      .select($"source", $"epoch", $"doc_id", $"n_tokens")
+      .as[(String, Long, Long, Long)]
+      .localCheckpoint(eager = true) // freeze sampled range boundaries
+    val partials = rep.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (src, _, _, n) =>
+        m.update(src, m.getOrElse(src, 0L) + n)
+      }
+      m.iterator.map { case (src, tot) => (pid, src, tot) }
+    }.collect() // bounded: <= partitions + sources rows
+    val base: Map[(Int, String), Long] =
+      partials.groupBy(_._2).flatMap { case (src, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, tot) =>
+          val e = ((pid, src), acc); acc += tot; e
+        }
+      }
+    val baseBc = s.sparkContext.broadcast(base)
+    val budgetBc = s.sparkContext.broadcast(budgetOf)
+    val kept = rep.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val bases = baseBc.value
+      val buds = budgetBc.value
+      var cur: String = null
+      var run = 0L
+      it.flatMap { case (src, _, id, n) =>
+        if (src != cur) { cur = src; run = bases.getOrElse((pid, src), 0L) }
+        run += n
+        if (run <= buds(src)) Iterator.single((src, id, n))
+        else Iterator.empty
+      }
+    }
+    val keptSummary = s.createDataFrame(kept)
+      .toDF("source", "doc_id", "n_tokens")
+      .groupBy($"source").agg(
+        count(lit(1)).as("n_kept"),
+        sum($"n_tokens").as("kept_tokens"),
+        sum($"doc_id").as("sum_kept_ids"))
+    allocs.toSeq
+      .toDF("source", "n_docs", "total_tokens", "capacity", "alloc")
+      .join(keptSummary, Seq("source"), "left")
+      .select($"source", $"n_docs", $"total_tokens", $"capacity", $"alloc",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"kept_tokens", lit(0L)).as("kept_tokens"),
+        coalesce($"sum_kept_ids", lit(0L)).as("sum_kept_ids"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split" -> splitSummary,
     "sample_temperature" -> ((s, d) => temperatureSummary(s, d)),
+    "sample_unimax" -> ((s, d) => sampleUnimax(s, d)),
     "sample_cap_per_source" -> ((s, d) => capPerSourceSummary(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -164,6 +284,54 @@ object Sampling {
         CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS sum_kept_ids
       FROM cut c LEFT JOIN kept k ON c.source = k.source
       GROUP BY c.source, c.n_docs, c.cutoff
+      ORDER BY c.source""",
+    // the allocator replays as a recursive CTE walking the same
+    // ascending-capacity order; '//' is DuckDB's integer floor division
+    // = the Spark driver loop's Long division (remaining stays >= 0)
+    "sample_unimax" -> s"""
+      WITH RECURSIVE sized AS (
+        SELECT source, doc_id,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS nt
+        FROM documents),
+      tot AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(nt) AS BIGINT) AS total
+        FROM sized GROUP BY source),
+      caps AS (
+        SELECT source, n_docs, total,
+          total * $UnimaxEpochs AS capacity,
+          row_number() OVER (ORDER BY total * $UnimaxEpochs ASC, source ASC) AS i,
+          COUNT(*) OVER () AS k
+        FROM tot),
+      a AS (
+        SELECT 0 AS i, CAST($UnimaxBudget AS BIGINT) AS remaining,
+          CAST(NULL AS VARCHAR) AS source, CAST(0 AS BIGINT) AS alloc
+        UNION ALL
+        SELECT c.i,
+          a.remaining - LEAST(c.capacity, a.remaining // (c.k - c.i + 1)),
+          c.source,
+          LEAST(c.capacity, a.remaining // (c.k - c.i + 1))
+        FROM a JOIN caps c ON c.i = a.i + 1),
+      rep AS (
+        SELECT s.source, s.doc_id, s.nt,
+          SUM(s.nt) OVER (PARTITION BY s.source
+            ORDER BY e.epoch ASC, md5(CAST(s.doc_id AS VARCHAR)) ASC, s.doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM sized s
+        CROSS JOIN (SELECT unnest(range(1, $UnimaxEpochs + 1)) AS epoch) e),
+      kept AS (
+        SELECT r.source, r.doc_id, r.nt
+        FROM rep r JOIN a ON a.source = r.source
+        WHERE r.cum <= a.alloc)
+      SELECT c.source, c.n_docs, c.total AS total_tokens,
+        CAST(c.capacity AS BIGINT) AS capacity, CAST(a.alloc AS BIGINT) AS alloc,
+        CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+        CAST(COALESCE(SUM(k.nt), 0) AS BIGINT) AS kept_tokens,
+        CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS sum_kept_ids
+      FROM caps c
+      JOIN a ON a.source = c.source
+      LEFT JOIN kept k ON k.source = c.source
+      GROUP BY c.source, c.n_docs, c.total, c.capacity, a.alloc
       ORDER BY c.source""",
     "sample_cap_per_source" -> s"""
       WITH ranked AS (

@@ -304,6 +304,51 @@ class SamplingSpec extends SparkSpec {
       "test data must exercise the capped branch")
   }
 
+  test("unimax: budget exactly spent, both binding regimes, water-filling order-free") {
+    val rows = Sampling.sampleUnimax(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    // the budget is exactly spent when total capacity exceeds it
+    val totalCap = rows.map(_._4).sum
+    assert(totalCap > Sampling.UnimaxBudget, "test corpus must be budget-bound")
+    assert(rows.map(_._5).sum == Sampling.UnimaxBudget, "alloc must sum to budget")
+    rows.foreach { case (src, _, total, cap, alloc, nKept, keptToks, _) =>
+      assert(cap == total * Sampling.UnimaxEpochs)
+      assert(alloc <= cap, s"$src alloc over capacity")
+      assert(keptToks <= alloc, s"$src kept tokens over alloc")
+      assert(nKept >= 0 && keptToks >= 0)
+    }
+    // both regimes: some source fully used at capacity, some share-bound
+    assert(rows.exists(r => r._5 == r._4), "a scarce source must bind on capacity")
+    assert(rows.exists(r => r._5 < r._4), "an abundant source must bind on share")
+    // water-filling: every share-bound source gets one of (at most) two
+    // adjacent share values (integer-division crumbs), both >= any
+    // capacity-bound alloc
+    val shareBound = rows.filter(r => r._5 < r._4).map(_._5)
+    assert(shareBound.distinct.length <= 2,
+      s"share-bound allocs must be near-equal, got ${shareBound.distinct.toSeq}")
+    val capBound = rows.filter(r => r._5 == r._4).map(_._5)
+    if (capBound.nonEmpty && shareBound.nonEmpty)
+      assert(capBound.max <= shareBound.min,
+        "capacity-bound sources take less than the fair share")
+    // budget above total capacity: every source fully used, selection =
+    // the whole corpus x epochs
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val all = Sampling.unimaxOf(docs, budget = totalCap + 1000L).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(6)))
+    all.foreach { case (src, cap, alloc, keptToks) =>
+      assert(alloc == cap && keptToks == cap,
+        s"$src under an unconstrained budget must be fully used")
+    }
+    // selection membership must not depend on the partition count
+    val a1 = Sampling.unimaxOf(docs, partitions = 1).collect()
+      .map(r => (r.getString(0), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val a7 = Sampling.unimaxOf(docs, partitions = 7).collect()
+      .map(r => (r.getString(0), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(a1.sameElements(a7), "selection must not depend on partitioning")
+  }
+
   test("stratified sample keeps ~fraction of every class, deterministically") {
     val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "cls")
     val kept = Sampling.stratifiedSample(df, "id", 0.25)
