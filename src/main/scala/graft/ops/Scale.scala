@@ -126,6 +126,83 @@ object Scale {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Equi-depth cutpoints of a numeric column: the 2^bits − 1 inclusive
+    * integer-rank boundaries (cut_q = min v with 2^bits·cum ≥ q·n) of
+    * the ACTUAL distribution — the rank grid behind [[rankScaleToBits]].
+    * Computed by the q66 kernel: (value, count) collapse with map-side
+    * partials, range partition, two-pass distributed prefix sum; no
+    * monolithic percentile buffer, and only the ≤ 2^bits − 1 crossing
+    * rows ever reach the driver. Empty input yields an empty array.
+    */
+  def rankCutpoints(
+      df: DataFrame, c: Column, bits: Int, partitions: Int = 32): Array[Double] = {
+    val s = df.sparkSession
+    import s.implicits._
+    val den = 1 << bits
+    val sorted = df.select(c.cast("double").as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("c"))
+      .repartitionByRange(partitions, $"v".asc)
+      .sortWithinPartitions($"v".asc)
+      .as[(Double, Long)]
+      .localCheckpoint(eager = true) // freeze sampled range boundaries
+    val partials = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var tot = 0L
+      it.foreach(tot += _._2)
+      Iterator.single((pid, tot))
+    }.collect().sortBy(_._1)
+    val n = partials.map(_._2).sum
+    if (n == 0L) return Array.empty
+    val bases = partials.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
+      (pid + 1, acc + tot)
+    }.init.map { case (pid, acc) => pid -> acc }.toMap
+    val basesBc = s.sparkContext.broadcast(bases)
+    val cuts = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = basesBc.value(pid)
+      it.flatMap { case (v, cnt) =>
+        val prev = cum
+        cum += cnt
+        (1 until den).iterator
+          .filter(q => den.toLong * prev < q.toLong * n && den.toLong * cum >= q.toLong * n)
+          .map(q => q -> v)
+      }
+    }.collect().toMap
+    (1 until den).map(cuts).toArray
+  }
+
+  /** Rank (equi-depth) scaling to the [0, 2^bits) grid: a value's cell
+    * is how many cutpoints it exceeds — each cell holds ~the same row
+    * count no matter how skewed the distribution. [[scaleToBits]]'
+    * linear grid collapses a heavy-tailed dimension into a handful of
+    * cells (the z-curve then degenerates to 1-D clustering and footer
+    * pruning dies on that axis); the rank grid is the skew-robust
+    * alternative, at the cost of one cutpoints pass over the data. The
+    * mapping is a codegen'd sum of comparisons against broadcast
+    * literals — no UDF, no join.
+    */
+  def rankScaleToBits(c: Column, cuts: Array[Double]): Column =
+    if (cuts.isEmpty) lit(0L)
+    else cuts.map(cut => when(c.cast("double") > lit(cut), 1L).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Z-ordered layout over the RANK grid of both dimensions: equi-depth
+    * cells ([[rankCutpoints]] + [[rankScaleToBits]]) feed the Morton
+    * interleave, so file clustering stays 2-D even when one or both
+    * dimensions are heavily skewed. 6 bits/dim (4096 z-cells) is ample
+    * for FILE-level pruning — cells only need to outnumber files.
+    */
+  def writeZOrderedRank(
+      df: DataFrame, x: Column, y: Column, path: String,
+      partitions: Int, bits: Int = 6): Unit = {
+    val cx = rankCutpoints(df, x, bits, partitions)
+    val cy = rankCutpoints(df, y, bits, partitions)
+    df.withColumn("__z",
+        zOrderValue(rankScaleToBits(x, cx), rankScaleToBits(y, cy), bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Per-file [min,max] of a long column, straight from the parquet
     * footers (no data read) — the stats a range-clustered scan prunes
     * with, exposed so layout quality is testable and monitorable.

@@ -185,6 +185,61 @@ class ScaleSpec extends SparkSpec {
     assert(readBack == direct)
   }
 
+  test("rank-scaled z-order prunes a skewed dimension where linear scaling collapses") {
+    import spark.implicits._
+    val bits = 6
+    // x is heavy-tailed: 15/16 of rows live in [0, 4096) while the top
+    // 1/16 stretch the range to 2^20 — a linear 6-bit grid puts ~94% of
+    // rows in cell 0 of x, so the z-curve degenerates to y-only
+    // clustering for the dense mass. y stays uniform.
+    val df = spark.range(1 << 16).select(
+      when(($"id" % 16) === 0, (expr("id * 2654435761") % (1L << 20)))
+        .otherwise((expr("id * 40503") % 4096L)).as("x"),
+      (expr("id * 2654435761") % 1024L).as("y"))
+    val base = java.nio.file.Files.createTempDirectory("zrank").toString
+
+    Scale.writeZOrderedRank(df, $"x", $"y", s"$base/rank", partitions = 32, bits = bits)
+    val maxX = df.agg(max($"x")).head().getLong(0)
+    Scale.writeZOrdered(df,
+      Scale.scaleToBits($"x", 0L, maxX, bits),
+      Scale.scaleToBits($"y", 0L, 1023L, bits),
+      s"$base/linear", partitions = 32, bits = bits)
+
+    // the rank cutpoints really are equi-depth: each of the 2^bits cells
+    // holds ~n/2^bits rows (ties can only merge cells, never overfill
+    // one beyond the duplicate mass; this corpus has distinct-ish x)
+    val cuts = Scale.rankCutpoints(df, $"x", bits)
+    assert(cuts.length == (1 << bits) - 1 && cuts.sorted.sameElements(cuts))
+    val occ = df.select(Scale.rankScaleToBits($"x", cuts).as("cell"))
+      .groupBy($"cell").count().collect().map(_.getLong(1))
+    val expected = (1 << 16).toDouble / (1 << bits)
+    assert(occ.max <= expected * 2.0,
+      s"rank cells must stay balanced: max ${occ.max} vs expected $expected")
+
+    // a 2-D box over the DENSE region: x in [0, 4096), y in the bottom
+    // eighth — the query shape skew kills for linearly-scaled layouts
+    def touching(path: String): Int = {
+      val xr = Scale.parquetFileRanges(spark, path, "x")
+      val yr = Scale.parquetFileRanges(spark, path, "y").map(r => r._1 -> r).toMap
+      xr.count { case (f, xmn, xmx) =>
+        val (_, ymn, ymx) = yr(f)
+        xmx >= 0L && xmn <= 4095L && ymx >= 0L && ymn <= 127L
+      }
+    }
+    val rankTouched = touching(s"$base/rank")
+    val linTouched = touching(s"$base/linear")
+    val total = Scale.parquetFileRanges(spark, s"$base/rank", "x").size
+    assert(total >= 16, "expected many files")
+    assert(rankTouched < linTouched,
+      s"rank grid must prune the dense box better: rank=$rankTouched linear=$linTouched")
+
+    // the layout changes bytes on disk, never the data
+    val back = spark.read.parquet(s"$base/rank")
+      .agg(count(lit(1)), sum($"x"), sum($"y")).collect()(0)
+    val direct = df.agg(count(lit(1)), sum($"x"), sum($"y")).collect()(0)
+    assert(back == direct)
+  }
+
   test("range-clustered layout yields disjoint per-file key ranges; plain write does not") {
     import spark.implicits._
     val orders = graft.Tables.t(spark, sfDir, "orders")
