@@ -135,10 +135,18 @@ object Scale {
     * rows ever reach the driver. Empty input yields an empty array.
     */
   def rankCutpoints(
-      df: DataFrame, c: Column, bits: Int, partitions: Int = 32): Array[Double] = {
+      df: DataFrame, c: Column, bits: Int, partitions: Int = 32): Array[Double] =
+    rankCutpointsN(df, c, 1 << bits, partitions)
+
+  /** [[rankCutpoints]] with an arbitrary denominator: the den − 1
+    * inclusive integer-rank boundaries (cut_q = min v with den·cum ≥
+    * q·n). den = 10 gives exact deciles — the q66 definition, exposed
+    * for any operator needing equi-depth boundaries of a column.
+    */
+  def rankCutpointsN(
+      df: DataFrame, c: Column, den: Int, partitions: Int = 32): Array[Double] = {
     val s = df.sparkSession
     import s.implicits._
-    val den = 1 << bits
     val sorted = df.select(c.cast("double").as("v"))
       .groupBy($"v").agg(count(lit(1)).as("c"))
       .repartitionByRange(partitions, $"v".asc)

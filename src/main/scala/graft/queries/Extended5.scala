@@ -237,12 +237,37 @@ object Extended5 {
       .orderBy("from_type", "to_type")
   }
 
+  /** q68: top-10 three-step event paths — the n-gram generalization of
+    * q67's transition matrix (funnel discovery: which 3-step journeys
+    * actually happen). Two leads over the same per-user (ts, event_id)
+    * window — ONE shuffle on user_id total; the grouped path counts are
+    * |types|³-bounded and the global top-10 is a TakeOrderedAndProject
+    * heap with the full path as tiebreak (a total order, so the cut is
+    * deterministic).
+    */
+  def q68PathTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"tus".asc, $"event_id".asc)
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("tus"))
+      .withColumn("t2", lead($"event_type", 1).over(w))
+      .withColumn("t3", lead($"event_type", 2).over(w))
+      .filter($"t2".isNotNull && $"t3".isNotNull)
+      .groupBy($"event_type".as("s1"), $"t2".as("s2"), $"t3".as("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"s1".asc, $"s2".asc, $"s3".asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_range_join" -> q63RangeJoin,
     "q64_forward_asof" -> q64ForwardAsof,
     "q65_gaps_islands" -> q65GapsIslands,
     "q66_equidepth_hist" -> q66EquidepthHist,
-    "q67_transitions" -> q67Transitions)
+    "q67_transitions" -> q67Transitions,
+    "q68_path_topk" -> q68PathTopk)
 
   val oracles: Map[String, String] = Map(
     "q63_range_join" -> s"""
@@ -317,6 +342,18 @@ object Extended5 {
       SELECT from_type, to_type, n,
         CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
       FROM cnt
-      ORDER BY from_type, to_type"""
+      ORDER BY from_type, to_type""",
+    "q68_path_topk" -> """
+      WITH seq AS (
+        SELECT event_type AS s1,
+          lead(event_type, 1) OVER w AS s2,
+          lead(event_type, 2) OVER w AS s3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC))
+      SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+      GROUP BY s1, s2, s3
+      ORDER BY n DESC, s1 ASC, s2 ASC, s3 ASC
+      LIMIT 10"""
   )
 }

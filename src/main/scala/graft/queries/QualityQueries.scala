@@ -260,6 +260,62 @@ object QualityQueries {
       .orderBy("flag")
   }
 
+  /** distribution-drift check (beyond-ref): chi-square of the CURRENT
+    * half of the event stream's `value` distribution against the
+    * REFERENCE (earlier) half, over the reference's own exact deciles —
+    * the standard production screen for "did the data shift under the
+    * model". The time split is the integer midpoint of the observed
+    * micros range; decile boundaries come from
+    * [[graft.ops.Scale.rankCutpointsN]] (den = 10 — the q66 distributed
+    * prefix-sum kernel, no monolithic percentile buffer) computed on
+    * the reference slice only, and the count pass buckets BOTH slices
+    * against those broadcast literal cutpoints in one scan.
+    *
+    * Engine-exactness: counts are integer; expected_i =
+    * cur_total·ref_i/ref_total and each chi² term are single IEEE
+    * expressions both engines replay; the running chi² total
+    * accumulates through DECIMAL(18,6) (the q26/q40 window-sum
+    * precedent — decimal addition is associative, so the fold is
+    * engine-independent) and casts back to double. Chi² is preferred
+    * over PSI here because PSI's ln() would hit each libm's own
+    * rounding. The oracle rebuilds the deciles with DuckDB's native
+    * percentile_disc — an INDEPENDENT check of the kernel's cutpoints.
+    */
+  def dqDriftChi2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .filter($"value".isNotNull)
+      .select(unix_micros($"ts").as("tus"), $"value")
+    val mm = ev.agg(min($"tus"), max($"tus")).head()
+    val thr = (mm.getLong(0) + mm.getLong(1)) / 2
+    val cuts = graft.ops.Scale.rankCutpointsN(
+      ev.filter($"tus" < thr).select($"value"), $"value", 10)
+    val bucket = cuts
+      .map(cut => when($"value" > lit(cut), 1).otherwise(0))
+      .reduce(_ + _)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ev.select(($"tus" < thr).as("is_ref"), bucket.as("bucket"))
+      .groupBy($"bucket").agg(
+        sum(when($"is_ref", 1L).otherwise(0L)).as("ref_n"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("cur_n"))
+      .withColumn("expected",
+        sum($"cur_n").over(wAll).cast("double") * $"ref_n" /
+          sum($"ref_n").over(wAll))
+      .withColumn("chi2_term",
+        when($"expected" > 0.0,
+          ($"cur_n".cast("double") - $"expected") *
+            ($"cur_n".cast("double") - $"expected") / $"expected")
+          .otherwise(0.0))
+      .withColumn("cum_chi2",
+        sum($"chi2_term".cast("decimal(18,6)")).over(wCum).cast("double"))
+      .select($"bucket".cast("long").as("bucket"), $"ref_n", $"cur_n",
+        $"expected", $"chi2_term", $"cum_chi2")
+      .orderBy("bucket")
+  }
+
   /** completeness profile (beyond-reference): null counts for EVERY
     * audited column in ONE scan — the reference's null_check costs one
     * action per column; this is the profiling form a wide table needs
@@ -366,6 +422,7 @@ object QualityQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_drift_chi2" -> dqDriftChi2,
     "dq_benford" -> dqBenford,
     "dq_unique_hll" -> dqUniqueHll,
     "dq_pattern" -> dqPattern,
@@ -387,6 +444,47 @@ object QualityQueries {
     }.mkString + "ELSE 0.0 END"
 
   val oracles: Map[String, String] = Map(
+    // deciles deliberately via DuckDB's native percentile_disc (the
+    // same inclusive-rank definition) — an independent check of the
+    // Spark side's distributed prefix-sum cutpoints
+    "dq_drift_chi2" -> s"""
+      WITH ev AS (
+        SELECT epoch_us(ts) AS tus, value FROM events WHERE value IS NOT NULL),
+      mm AS (SELECT (MIN(tus) + MAX(tus)) // 2 AS thr FROM ev),
+      ref AS (SELECT value FROM ev CROSS JOIN mm WHERE tus < thr),
+      cuts AS (
+        SELECT ${(1 to 9).map(i =>
+          s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY value) AS c$i")
+          .mkString(", ")}
+        FROM ref),
+      b AS (
+        SELECT ${(1 to 9).map(i =>
+          s"CASE WHEN value > c$i THEN 1 ELSE 0 END").mkString(" + ")} AS bucket,
+          tus < thr AS is_ref
+        FROM ev CROSS JOIN mm CROSS JOIN cuts),
+      cnt AS (
+        SELECT bucket,
+          CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+          CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cur_n
+        FROM b GROUP BY bucket),
+      tot AS (
+        SELECT bucket, ref_n, cur_n,
+          CAST(SUM(cur_n) OVER () AS DOUBLE) * ref_n
+            / CAST(SUM(ref_n) OVER () AS BIGINT) AS expected
+        FROM cnt),
+      terms AS (
+        SELECT bucket, ref_n, cur_n, expected,
+          CASE WHEN expected > 0
+            THEN (CAST(cur_n AS DOUBLE) - expected)
+               * (CAST(cur_n AS DOUBLE) - expected) / expected
+            ELSE 0.0 END AS chi2_term
+        FROM tot)
+      SELECT CAST(bucket AS BIGINT) AS bucket, ref_n, cur_n, expected,
+        chi2_term,
+        CAST(SUM(CAST(chi2_term AS DECIMAL(18,6))) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_chi2
+      FROM terms
+      ORDER BY bucket""",
     "dq_benford" -> s"""
       WITH d AS (
         SELECT regexp_extract(CAST(value AS VARCHAR), '[1-9]') AS digit
