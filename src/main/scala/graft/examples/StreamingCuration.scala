@@ -61,6 +61,10 @@ object StreamingCuration {
     // stage, so the accumulated profile describes what ARRIVED (the
     // health signal a pipeline alerts on), not what survived
     mergeProfileState(spark, stateDir, batch)
+    // 0b: token-frequency sketch state — same pre-gate placement, so
+    // cmsEstimateFromState answers "how often has token X arrived"
+    // without any corpus rescan (constant-size register fold ∝ batch)
+    mergeCmsState(spark, stateDir, batch)
 
     // 1–2: redact, gate
     val clean = qualityGate(

@@ -202,15 +202,18 @@ object QualityQueries {
       parts: Int = 32): Map[String, Double] = {
     val s = pairs.sparkSession
     import s.implicits._
+    // raw rows range-partition directly (one exchange) — a (group,
+    // value) pre-count would be a second shuffle for no reduction when
+    // values are near-distinct, and duplicate rows walk the same
+    // crossing logic at c = 1
     val sorted = pairs.toDF("g", "v")
-      .groupBy($"g", $"v").agg(count(lit(1)).as("c"))
       .repartitionByRange(parts, $"g".asc, $"v".asc)
       .sortWithinPartitions($"g".asc, $"v".asc)
-      .as[(String, Double, Long)]
+      .as[(String, Double)]
       .localCheckpoint(eager = true) // freeze sampled range boundaries
     val partials = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      it.foreach { case (g, _, c) => m.update(g, m.getOrElse(g, 0L) + c) }
+      it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1L) }
       m.iterator.map { case (g, tot) => (pid, g, tot) }
     }.collect() // bounded: <= partitions + groups rows
     val nByG = partials.groupBy(_._2).map { case (g, rs) => g -> rs.map(_._3).sum }
@@ -226,10 +229,10 @@ object QualityQueries {
     sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var cur: String = null
       var cum = 0L
-      it.flatMap { case (g, v, c) =>
+      it.flatMap { case (g, v) =>
         if (g != cur) { cur = g; cum = baseBc.value.getOrElse((pid, g), 0L) }
         val prev = cum
-        cum += c
+        cum += 1L
         val n = nBc.value(g)
         if (2L * prev < n && 2L * cum >= n) Iterator.single(g -> v)
         else Iterator.empty

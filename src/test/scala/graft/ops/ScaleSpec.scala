@@ -216,14 +216,17 @@ class ScaleSpec extends SparkSpec {
     assert(occ.max <= expected * 2.0,
       s"rank cells must stay balanced: max ${occ.max} vs expected $expected")
 
-    // a 2-D box over the DENSE region: x in [0, 4096), y in the bottom
-    // eighth — the query shape skew kills for linearly-scaled layouts
+    // a 2-D box SELECTIVE IN BOTH DIMS inside the dense region: x in
+    // [0, 256) — 1/16 of the dense mass, but entirely inside the linear
+    // grid's cell 0 (94% of all rows), so the linear layout gets NO x
+    // pruning there and falls back to y-only clustering; the rank grid
+    // resolves the same slice into ~4 of 64 x-cells
     def touching(path: String): Int = {
       val xr = Scale.parquetFileRanges(spark, path, "x")
       val yr = Scale.parquetFileRanges(spark, path, "y").map(r => r._1 -> r).toMap
       xr.count { case (f, xmn, xmx) =>
         val (_, ymn, ymx) = yr(f)
-        xmx >= 0L && xmn <= 4095L && ymx >= 0L && ymn <= 127L
+        xmx >= 0L && xmn <= 255L && ymx >= 0L && ymn <= 127L
       }
     }
     val rankTouched = touching(s"$base/rank")
