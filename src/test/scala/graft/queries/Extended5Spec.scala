@@ -120,6 +120,22 @@ class Extended5Spec extends SparkSpec {
     }
   }
 
+  test("q68 top-10 paths end in TakeOrderedAndProject, not a global sort") {
+    val df = Extended5.q68PathTopk(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), s"expected a top-k heap:\n$p")
+    // both leads ride one shared window — no join, no extra sort-exchange
+    // chain (the AQE dump repeats plan sections, so count distinct
+    // window NODES via the lead functions appearing together)
+    assert(!p.contains("Join"), s"paths must not plan a join:\n$p")
+    val initIdx = p.indexOf("Initial Plan")
+    val finalSection = p.substring(p.indexOf("Final Plan"),
+      if (initIdx >= 0) initIdx else p.length)
+    assert("Window \\[".r.findAllIn(finalSection).size == 1,
+      s"both leads must share ONE window node:\n$p")
+  }
+
   test("q67 groups after ONE user-keyed window — no corpus-sized share window") {
     val p = plan(Extended5.q67Transitions(spark, sfDir))
     // the p-share window must consume the grouped |types|^2 table, so
