@@ -129,6 +129,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-rule stop list (Rae et al. 2021 §A1.1 use common English
+    * function words; the published rule asks for ≥ 2 DISTINCT hits).
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule bundle (Rae et al. 2021, Appendix A —
+    * the canonical public pre-filter for LLM corpora), distinct from
+    * [[taQuality]]'s generic ratios: word-count window, mean word
+    * length window, symbol-to-word ratios (#, ellipsis), fraction of
+    * words containing an alphabetic character, and ≥ 2 distinct
+    * stop-word hits. One codegen'd projection over the scan — counts
+    * are exact integers, ratios single IEEE divisions, so the whole
+    * row set is hash-exact cross-engine. `passed` is the published
+    * conjunction.
+    */
+  def taGopherRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val nWords = size(toks).cast("long")
+    val wordChars = length(regexp_replace($"text", "\\s+", "")).cast("long")
+    val meanWl = wordChars.cast("double") / nWords
+    val hashRatio = regexp_count($"text", lit("#")).cast("double") / nWords
+    val ellipsisRatio = regexp_count($"text", lit("\\.\\.\\.")).cast("double") / nWords
+    val alphaFrac = size(filter(toks, w => w.rlike("[a-zA-Z]")))
+      .cast("double") / nWords
+    val stopHits = GopherStops
+      .map(w => when($"text".rlike(s"\\b$w\\b"), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    t(s, dir, "documents")
+      .select($"doc_id", nWords.as("n_words"), meanWl.as("mean_word_len"),
+        hashRatio.as("hash_ratio"), ellipsisRatio.as("ellipsis_ratio"),
+        alphaFrac.as("alpha_word_frac"), stopHits.as("n_stop_hits"),
+        (nWords >= 50L && nWords <= 100000L &&
+          meanWl >= 3.0 && meanWl <= 10.0 &&
+          hashRatio <= 0.1 && ellipsisRatio <= 0.1 &&
+          alphaFrac >= 0.8 && stopHits >= 2L).as("passed"))
+      .orderBy("doc_id")
+  }
+
   def taLangId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
@@ -900,6 +940,7 @@ object TextAnalysis {
     "ta_repetition" -> taRepetition,
     "ta_tokens" -> taTokens,
     "ta_quality" -> taQuality,
+    "ta_gopher_rules" -> taGopherRules,
     "ta_langid" -> taLangId,
     "ta_fingerprint" -> taFingerprint,
     "ta_bpe_tokens" -> taBpeTokens,
@@ -1133,6 +1174,36 @@ object TextAnalysis {
       mx AS (SELECT *, $best AS best FROM sc)
       SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
       FROM mx ORDER BY doc_id"""
+    },
+    "ta_gopher_rules" -> {
+      val stopTerms = GopherStops.map(w =>
+        s"CASE WHEN regexp_matches(text, '\\b$w\\b') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH b AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
+          CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS word_chars,
+          CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+          CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ell,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> len(x) > 0 AND regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+          CAST($stopTerms AS BIGINT) AS n_stop_hits
+        FROM documents)
+      SELECT doc_id, n_words,
+        CAST(word_chars AS DOUBLE) / n_words AS mean_word_len,
+        CAST(n_hash AS DOUBLE) / n_words AS hash_ratio,
+        CAST(n_ell AS DOUBLE) / n_words AS ellipsis_ratio,
+        CAST(n_alpha AS DOUBLE) / n_words AS alpha_word_frac,
+        n_stop_hits,
+        (n_words >= 50 AND n_words <= 100000
+          AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
+          AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
+          AND CAST(n_hash AS DOUBLE) / n_words <= 0.1
+          AND CAST(n_ell AS DOUBLE) / n_words <= 0.1
+          AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+          AND n_stop_hits >= 2) AS passed
+      FROM b ORDER BY doc_id"""
     },
     "ta_fingerprint" -> """
       SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
