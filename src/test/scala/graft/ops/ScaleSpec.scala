@@ -243,6 +243,39 @@ class ScaleSpec extends SparkSpec {
     assert(back == direct)
   }
 
+  test("ScalaCheck: distributed rank cutpoints equal the naive sorted reference") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // value pools with heavy duplication AND spread; mixed signs
+    val genVals = for {
+      n <- Gen.choose(1, 400)
+      vs <- Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.choose(-50, 50),
+        3 -> Gen.oneOf(0, 1, 7),
+        2 -> Gen.choose(-100000, 100000)))
+    } yield vs.map(_.toDouble)
+    (0 until 10).foreach { seed =>
+      genVals.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed.toLong)).foreach { vs =>
+        val den = Seq(4, 10, 64)(seed % 3)
+        val df = vs.toDF("v").repartition(1 + seed % 5)
+        val got = Scale.rankCutpointsN(df, $"v", den, partitions = 1 + seed % 7)
+        // naive: cut_q = first value (sorted) whose 1-based rank r has
+        // den*r >= q*n — the inclusive integer-rank definition
+        val sorted = vs.sorted
+        val n = sorted.length
+        val want = (1 until den).map { q =>
+          sorted(sorted.indices.find(i => den.toLong * (i + 1) >= q.toLong * n).get)
+        }.toArray
+        assert(got.sameElements(want),
+          s"seed $seed den $den n $n: ${got.toSeq} != ${want.toSeq}")
+      }
+    }
+    // empty input degrades to no cutpoints, not a crash
+    assert(Scale.rankCutpointsN(
+      Seq.empty[Double].toDF("v"), $"v", 10).isEmpty)
+  }
+
   test("range-clustered layout yields disjoint per-file key ranges; plain write does not") {
     import spark.implicits._
     val orders = graft.Tables.t(spark, sfDir, "orders")
