@@ -591,6 +591,94 @@ object StreamingCuration {
       readCmsState(spark, stateDir),
       graft.functions.CountMinAggregator.cellsOf(token))
 
+  /** Fold a batch into the persistent BM25 corpus-statistics state:
+    * (token, df) per distinct token — vocabulary-sized, the same bound
+    * as the window-freq/chunk-freq states, never corpus-sized — plus
+    * the (n_docs, total_tokens) scalar pair. All integer counts, so the
+    * folded state is EXACTLY the stats a one-shot pass over the
+    * concatenation computes (spec-pinned), which is what lets
+    * [[bm25FromState]] reproduce batch BM25 scores bit-identically
+    * without ever rescanning the corpus — the streaming-retrieval twin
+    * of [[graft.ops.TextAnalysis.bm25Of]]'s stats pass.
+    */
+  def mergeBm25State(spark: SparkSession, stateDir: String, batch: DataFrame): Unit = {
+    import spark.implicits._
+    val dfDir = s"$stateDir/bm25_df"
+    val scalarDir = s"$stateDir/bm25_scalars"
+    val toks = batch
+      .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+    val batchDf = toks.distinct().groupBy($"token").agg(count(lit(1)).as("df"))
+    val row = toks.agg(countDistinct($"doc_id"), count(lit(1))).head()
+    val (batchNd, batchTt) = (row.getLong(0), row.getLong(1))
+    val (priorNd, priorTt) = readBm25Scalars(spark, stateDir)
+    val merged =
+      if (!new java.io.File(dfDir).exists()) batchDf
+      else spark.read.parquet(dfDir).unionByName(batchDf)
+        .groupBy($"token").agg(sum($"df").as("df"))
+    val tmp = s"$stateDir/bm25_df_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(dfDir)
+    Seq((priorNd + batchNd, priorTt + batchTt)).toDF("n_docs", "total_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(scalarDir)
+  }
+
+  /** (docs seen, tokens seen) — the BM25 scalars (zeros when absent). */
+  def readBm25Scalars(spark: SparkSession, stateDir: String): (Long, Long) =
+    if (!new java.io.File(s"$stateDir/bm25_scalars").exists()) (0L, 0L)
+    else {
+      val r = spark.read.parquet(s"$stateDir/bm25_scalars").head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+  /** BM25 top-n of `docs` against the ACCUMULATED corpus statistics:
+    * dfs for the query's ≤k terms come from a filtered state read
+    * (bounded collect), nd/tt from the scalar pair, and the scoring
+    * kernel is the identical exact-rational closed form as
+    * [[graft.ops.TextAnalysis.bm25Of]] — so when `docs` is the
+    * concatenation of the folded batches, the output is bit-equal to
+    * the one-shot batch op (spec-pinned). Per-call cost ∝ scored docs,
+    * never the corpus.
+    */
+  def bm25FromState(spark: SparkSession, stateDir: String, docs: DataFrame,
+      query: String, n: Int): DataFrame = {
+    import spark.implicits._
+    val terms: Array[String] =
+      query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+    val k = terms.length
+    require(k > 0, "bm25 needs at least one query term")
+    val (nd, tt) = readBm25Scalars(spark, stateDir)
+    val dfMap = spark.read.parquet(s"$stateDir/bm25_df")
+      .filter($"token".isin(terms.toSeq: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfs = terms.map(t => dfMap.getOrElse(t, 0L))
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+          val tfs = new Array[Long](k)
+          toks.foreach { tk =>
+            var i = 0
+            while (i < k) { if (terms(i) == tk) tfs(i) += 1L; i += 1 }
+          }
+          var score = 0.0
+          var i = 0
+          while (i < k) {
+            val tf = tfs(i)
+            val num = (2L * nd - 2L * dfs(i) + 1L) * 44L * tf * tt
+            val den = (2L * dfs(i) + 1L) *
+              (20L * tf * tt + 6L * tt + 18L * toks.length.toLong * nd)
+            score += num.toDouble / den.toDouble
+            i += 1
+          }
+          (id, toks.length.toLong, score)
+        }
+      }
+      .filter(_._2 > 0L)
+      .toDF("doc_id", "n_tokens", "score")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(n)
+  }
+
   /** Score documents against the ACCUMULATED chunk-frequency state:
     * chunks that `minDocs`+ accepted corpus documents contain are
     * stripped (the incremental form of [[graft.ops.Curation.taBoilerplate]] —

@@ -648,6 +648,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental BM25 stats: folded state reproduces the batch scores bit-exactly") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val state = Files.createTempDirectory("graft-bm25").resolve("s").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    (0 until 3).foreach { i =>
+      StreamingCuration.mergeBm25State(spark, state,
+        docs.filter(pmod($"doc_id", lit(3)) === i))
+    }
+    // folded scalars equal the one-shot corpus stats
+    val (nd, tt) = StreamingCuration.readBm25Scalars(spark, state)
+    val toks = docs.select($"doc_id",
+      explode(graft.ops.TextAnalysis.tokens(lower($"text"))).as("t"))
+    val wantRow = toks.agg(countDistinct($"doc_id"), count(lit(1))).head()
+    assert(nd == wantRow.getLong(0) && tt == wantRow.getLong(1))
+    // scoring a probe against the state == the one-shot batch op, for a
+    // rare and a common query
+    Seq("dup window", "scan column order").foreach { q =>
+      val got = StreamingCuration.bm25FromState(spark, state, docs, q, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val want = graft.ops.TextAnalysis.bm25Of(docs, q, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == want, s"state-scored '$q' must equal the batch op")
+    }
+    // unseen query terms score zero but don't crash (df = 0 path)
+    assert(StreamingCuration
+      .bm25FromState(spark, state, docs, "zzznotoken", 5).count() == 5L)
+  }
+
   test("streaming IVF ingestion: micro-batches append against the frozen quantizer") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
