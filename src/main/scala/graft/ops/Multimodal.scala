@@ -356,12 +356,43 @@ object Multimodal {
       .orderBy("a", "b")
   }
 
+  /** ViT patch edge (pixels per square patch). */
+  val PatchSize = 64
+
+  /** ViT-style patch grid over decoded image geometry — the fan-out a
+    * vision pipeline runs between decode and the encoder: per image,
+    * one row per (px, py) patch with edge-clamped sizes. The explode
+    * multiplies METADATA rows (media_id + six ints), never payload
+    * bytes — the same byte-locality rule as frame sampling — and the
+    * patch count is ceil(w/P)·ceil(h/P), bounded by the decoded dims.
+    * Pure integer geometry (DIV/least), so the whole fan-out is
+    * hash-exact against the oracle's range() replay.
+    */
+  def mmPatches(s: SparkSession, dir: String, patch: Int = PatchSize): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, dir).as[MediaRecord]
+    decodeFeatures(media, partitions = 32).toDF()
+      .filter($"kind" === "image")
+      .select($"media_id", $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"))
+      .withColumn("px",
+        explode(sequence(lit(0L), expr(s"(width + ${patch - 1}) DIV $patch") - 1L)))
+      .withColumn("py",
+        explode(sequence(lit(0L), expr(s"(height + ${patch - 1}) DIV $patch") - 1L)))
+      .select($"media_id", $"width", $"height", $"px", $"py",
+        ($"px" * patch).as("x0"), ($"py" * patch).as("y0"),
+        least(lit(patch.toLong), $"width" - $"px" * patch).as("pw"),
+        least(lit(patch.toLong), $"height" - $"py" * patch).as("ph"))
+      .orderBy("media_id", "px", "py")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_stats" -> mmStats,
     "mm_decode" -> ((s, d) => mmDecode(s, d)),
     "mm_resize" -> ((s, d) => mmResize(s, d)),
     "mm_frame_sample" -> ((s, d) => mmFrameSample(s, d)),
     "mm_audio_windows" -> mmAudioWindows,
+    "mm_patches" -> ((s, d) => mmPatches(s, d)),
     "mm_phash_dedup" -> mmPhashDedup)
 
   /** kind expression shared by the oracles (media_id % 3 → image/audio/
@@ -426,6 +457,28 @@ object Multimodal {
       FROM nibs GROUP BY doc_id)"""
 
   val oracles: Map[String, String] = Map(
+    "mm_patches" -> s"""
+      WITH $decodedCte,
+      img AS (
+        SELECT media_id,
+          CAST(64 + hv % 512 AS BIGINT) AS width,
+          CAST(64 + (hv // 512) % 512 AS BIGINT) AS height
+        FROM geom WHERE kind = 'image'),
+      gx AS (
+        SELECT media_id, width, height,
+          unnest(range((width + $PatchSize - 1) // $PatchSize)) AS px
+        FROM img),
+      g AS (
+        SELECT media_id, width, height, px,
+          unnest(range((height + $PatchSize - 1) // $PatchSize)) AS py
+        FROM gx)
+      SELECT media_id, width, height,
+        CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+        CAST(px * $PatchSize AS BIGINT) AS x0,
+        CAST(py * $PatchSize AS BIGINT) AS y0,
+        CAST(LEAST($PatchSize, width - px * $PatchSize) AS BIGINT) AS pw,
+        CAST(LEAST($PatchSize, height - py * $PatchSize) AS BIGINT) AS ph
+      FROM g ORDER BY media_id, px, py""",
     "mm_phash_dedup" -> s"""
       WITH $phashSigCte,
       m AS (
