@@ -171,6 +171,25 @@ object Sampling {
       budget: Long = UnimaxBudget, maxEpochs: Int = UnimaxEpochs): DataFrame =
     unimaxOf(t(s, dir, "documents"), budget, maxEpochs)
 
+  /** The pure UniMax water-filling loop over (source, capacity) pairs:
+    * walk ascending capacity (ties by source — a total order), give
+    * each source min(capacity, remaining / sources_left) with integer
+    * floor division, fold the surplus of capped sources back into the
+    * pool. Extracted so the ScalaCheck properties (exact spend,
+    * cap-respect, near-equal share-bound allocs, input-order
+    * independence) can drive it without Spark.
+    */
+  def unimaxAllocate(caps: Seq[(String, Long)], budget: Long): Map[String, Long] = {
+    val byCap = caps.sortBy { case (src, cap) => (cap, src) }
+    var remaining = budget
+    byCap.zipWithIndex.map { case ((src, cap), i) =>
+      val share = remaining / (byCap.length - i)
+      val a = math.min(cap, share)
+      remaining -= a
+      src -> a
+    }.toMap
+  }
+
   /** [[sampleUnimax]] over an arbitrary (doc_id, source, text) frame. */
   def unimaxOf(
       docs: DataFrame, budget: Long = UnimaxBudget,
@@ -183,17 +202,13 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    // UniMax loop: ascending capacity (ties by source — a total order)
-    val byCap = totals
-      .map { case (src, nd, tot) => (src, nd, tot, tot * maxEpochs) }
-      .sortBy { case (src, _, _, cap) => (cap, src) }
-    var remaining = budget
-    val allocs = byCap.zipWithIndex.map { case ((src, nd, tot, cap), i) =>
-      val share = remaining / (byCap.length - i)
-      val a = math.min(cap, share)
-      remaining -= a
-      (src, nd, tot, cap, a)
-    }
+    val allocBySrc = unimaxAllocate(
+      totals.map { case (src, _, tot) => src -> tot * maxEpochs }, budget)
+    val allocs = totals
+      .map { case (src, nd, tot) =>
+        (src, nd, tot, tot * maxEpochs, allocBySrc(src))
+      }
+      .sortBy(_._1)
     val budgetOf = allocs.map { case (src, _, _, _, a) => src -> a }.toMap
     // epoch-replicated uniform-draw order + distributed prefix sum
     val rep = sized

@@ -349,6 +349,50 @@ class SamplingSpec extends SparkSpec {
     assert(a1.sameElements(a7), "selection must not depend on partitioning")
   }
 
+  test("ScalaCheck: unimax allocator spends exactly, respects caps, ignores input order") {
+    import org.scalacheck.Gen
+    val genCase = for {
+      k <- Gen.choose(1, 30)
+      caps <- Gen.listOfN(k, Gen.choose(0L, 5000L))
+      budget <- Gen.choose(0L, 80000L)
+    } yield (caps.zipWithIndex.map { case (c, i) => s"s$i" -> c }, budget)
+    (0 until 20).foreach { seed =>
+      genCase.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed.toLong)).foreach { case (caps, budget) =>
+        val alloc = Sampling.unimaxAllocate(caps, budget)
+        val capOf = caps.toMap
+        // caps respected, allocations non-negative
+        alloc.foreach { case (s2, a) =>
+          assert(a >= 0L && a <= capOf(s2), s"seed $seed: $s2 alloc $a cap ${capOf(s2)}")
+        }
+        // spend = min(budget, total capacity) up to integer-division
+        // crumbs: crumbs only remain when NO source is share-bound
+        // (everyone capped), in which case spend == total capacity
+        val spent = alloc.values.sum
+        val totalCap = caps.map(_._2).sum
+        if (totalCap <= budget) assert(spent == totalCap, s"seed $seed: under-capacity spend")
+        else assert(spent <= budget &&
+          spent >= budget - caps.length, s"seed $seed: spend $spent of $budget")
+        // share-bound sources (alloc < cap) get one of at most two
+        // adjacent values and never less than any capped source's alloc
+        val shareBound = alloc.filter { case (s2, a) => a < capOf(s2) }.values.toSeq
+        if (shareBound.nonEmpty) {
+          assert(shareBound.max - shareBound.min <= 1,
+            s"seed $seed: share-bound allocs ${shareBound.distinct.sorted}")
+          val capBound = alloc.filter { case (s2, a) => a == capOf(s2) }
+          // every fully-used source has capacity <= the fair share it
+          // would otherwise have received
+          capBound.foreach { case (s2, a) =>
+            assert(a <= shareBound.max, s"seed $seed: capped $s2=$a > share ${shareBound.max}")
+          }
+        }
+        // input order must not matter
+        val shuffled = Sampling.unimaxAllocate(caps.reverse, budget)
+        assert(shuffled == alloc, s"seed $seed: order-dependent allocation")
+      }
+    }
+  }
+
   test("stratified sample keeps ~fraction of every class, deterministically") {
     val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "cls")
     val kept = Sampling.stratifiedSample(df, "id", 0.25)
