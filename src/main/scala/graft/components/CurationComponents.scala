@@ -120,6 +120,36 @@ object ImportanceScore extends ComponentFactory {
       Cfg.strOpt(c, "target_view"), Cfg.strOpt(c, "target_filter"))
 }
 
+/** UniMax language-balanced selection over a (doc_id, source, text, …)
+  * view: allocates a GLOBAL token budget across sources by the
+  * water-filling rule ([[graft.ops.Sampling.unimaxSelection]] — equal
+  * shares unless capacity = total×epochs binds) and keeps the selected
+  * document instances with an `epoch` column appended; rows replicate
+  * when a scarce source is taken for several epochs. The per-source
+  * TokenBudgetMix caps each source independently; this one balances
+  * ACROSS sources under one budget.
+  */
+final class UnimaxMix(
+    inputView: String, outputView: String, budget: Long, maxEpochs: Int)
+  extends DataFlow {
+  val name = s"unimax_mix($outputView)"
+  def run(): Unit = {
+    val docs = spark.table(inputView)
+    docs.join(
+        graft.ops.Sampling.unimaxSelection(docs, budget, maxEpochs)
+          .select(col("doc_id"), col("epoch")),
+        Seq("doc_id"))
+      .createOrReplaceTempView(outputView)
+  }
+}
+object UnimaxMix extends ComponentFactory {
+  def fromConfig(c: Map[String, Any]): PipelineComponent =
+    new UnimaxMix(
+      Cfg.str(c, "input_view"), Cfg.str(c, "output_view"),
+      Cfg.longOr(c, "budget_tokens", graft.ops.Sampling.UnimaxBudget),
+      Cfg.intOr(c, "max_epochs", graft.ops.Sampling.UnimaxEpochs))
+}
+
 /** Per-source document cap over a (doc_id, source, …) view: keeps at
   * most `cap` documents per source, drawn by md5(doc_id) rank — the
   * domain-capping guard with recomputable membership

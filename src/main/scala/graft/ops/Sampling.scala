@@ -190,8 +190,12 @@ object Sampling {
     }.toMap
   }
 
-  /** [[sampleUnimax]] over an arbitrary (doc_id, source, text) frame. */
-  def unimaxOf(
+  /** The row-level UniMax selection: the kept (source, epoch, doc_id,
+    * n_tokens) instances under the water-filling allocation — the form
+    * a pipeline consumes (the registered summary aggregates it). Rows
+    * replicate per epoch when a scarce source is taken several times.
+    */
+  def unimaxSelection(
       docs: DataFrame, budget: Long = UnimaxBudget,
       maxEpochs: Int = UnimaxEpochs, partitions: Int = 32): DataFrame = {
     val s = docs.sparkSession
@@ -199,17 +203,10 @@ object Sampling {
     val sized = docs.select($"doc_id", $"source",
       TextAnalysis.tokenCount($"text").as("n_tokens"))
     val totals = sized.groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val allocBySrc = unimaxAllocate(
-      totals.map { case (src, _, tot) => src -> tot * maxEpochs }, budget)
-    val allocs = totals
-      .map { case (src, nd, tot) =>
-        (src, nd, tot, tot * maxEpochs, allocBySrc(src))
-      }
-      .sortBy(_._1)
-    val budgetOf = allocs.map { case (src, _, _, _, a) => src -> a }.toMap
+      .agg(sum($"n_tokens").as("total")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val budgetOf = unimaxAllocate(
+      totals.map { case (src, tot) => src -> tot * maxEpochs }, budget)
     // epoch-replicated uniform-draw order + distributed prefix sum
     val rep = sized
       .withColumn("epoch", explode(sequence(lit(1L), lit(maxEpochs.toLong))))
@@ -242,15 +239,36 @@ object Sampling {
       val buds = budgetBc.value
       var cur: String = null
       var run = 0L
-      it.flatMap { case (src, _, id, n) =>
+      it.flatMap { case (src, epoch, id, n) =>
         if (src != cur) { cur = src; run = bases.getOrElse((pid, src), 0L) }
         run += n
-        if (run <= buds(src)) Iterator.single((src, id, n))
+        if (run <= buds(src)) Iterator.single((src, epoch, id, n))
         else Iterator.empty
       }
     }
-    val keptSummary = s.createDataFrame(kept)
-      .toDF("source", "doc_id", "n_tokens")
+    s.createDataFrame(kept).toDF("source", "epoch", "doc_id", "n_tokens")
+  }
+
+  /** [[sampleUnimax]] over an arbitrary (doc_id, source, text) frame. */
+  def unimaxOf(
+      docs: DataFrame, budget: Long = UnimaxBudget,
+      maxEpochs: Int = UnimaxEpochs, partitions: Int = 32): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sized = docs.select($"doc_id", $"source",
+      TextAnalysis.tokenCount($"text").as("n_tokens"))
+    val totals = sized.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val allocBySrc = unimaxAllocate(
+      totals.map { case (src, _, tot) => src -> tot * maxEpochs }, budget)
+    val allocs = totals
+      .map { case (src, nd, tot) =>
+        (src, nd, tot, tot * maxEpochs, allocBySrc(src))
+      }
+      .sortBy(_._1)
+    val keptSummary = unimaxSelection(docs, budget, maxEpochs, partitions)
       .groupBy($"source").agg(
         count(lit(1)).as("n_kept"),
         sum($"n_tokens").as("kept_tokens"),

@@ -62,6 +62,40 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("UnimaxMix component: balanced selection with epoch replication through the runner") {
+    import spark.implicits._
+    // two sources: tiny (12 tokens capacity-bound) and large (share-bound)
+    val docs = ((1L to 3L).map(i => (i, "tiny", s"a b c d")) ++
+      (10L to 29L).map(i => (i, "big", (1 to 10).map(j => s"w$j").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    docs.createOrReplaceTempView("um_src")
+    val cfg = ConfigLoader.loadString("""
+      name = unimax-demo
+      components = [
+        { name = mix, component_type = transformation
+          class_path = "graft.components.UnimaxMix"
+          config { input_view = um_src, output_view = um_out,
+            budget_tokens = 60, max_epochs = 2 } }
+      ]
+    """)
+    val r = new SimplePipelineRunner(cfg, NoOpHooks, Some(spark)).run()
+    assert(r.status == PipelineStatus.Success)
+    val out = spark.table("um_out")
+      .select($"doc_id", $"source", $"epoch")
+      .collect().map(r2 => (r2.getLong(0), r2.getString(1), r2.getLong(2)))
+    // tiny source: capacity 12*2=24 < fair share 30 -> fully used, BOTH
+    // epochs of all 3 docs present (epoch replication visible)
+    assert(out.count(_._2 == "tiny") == 6, s"tiny fully used twice: ${out.toSeq}")
+    // big source: share-bound at 60-24=36 tokens -> 3 docs of epoch 1
+    val big = out.filter(_._2 == "big")
+    assert(big.length == 3 && big.forall(_._3 == 1L), s"big share-bound: ${big.toSeq}")
+    // matches the op-level selection exactly
+    val want = graft.ops.Sampling.unimaxSelection(docs, budget = 60, maxEpochs = 2)
+      .select($"doc_id", $"source", $"epoch")
+      .collect().map(r2 => (r2.getLong(0), r2.getString(1), r2.getLong(2)))
+    assert(out.sorted.toSeq == want.sorted.toSeq)
+  }
+
   test("session wrapper: injected sessions are never stopped; connect gating") {
     val injected = new SessionWrapper(injected = Some(spark))
     assert(!injected.ownsSession)
