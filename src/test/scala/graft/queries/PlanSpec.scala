@@ -271,6 +271,31 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(source".r.findAllIn(cur).size == 1,
       s"curriculum rank should shuffle by source exactly once:\n$cur")
   }
+
+  test("CMS sketch pass never hash-shuffles the token stream") {
+    // the sketch aggregation must fold tokens into per-partition
+    // buffers (ObjectHashAggregate partial) and exchange only the
+    // fixed-size buffers to one reducer — a hashpartitioning exchange
+    // would mean the exploded token stream itself is shuffling
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val depth = graft.functions.CountMinAggregator.DefaultDepth
+    val cells = (0 until depth).map(r =>
+      conv(substring(md5($"token"), 8 * r + 1, 3), 16, 10).cast("int"))
+    val cm = udaf(new graft.functions.CountMinAggregator(
+      depth, graft.functions.CountMinAggregator.DefaultWidth))
+    val agg = docs
+      .select(explode(graft.ops.TextAnalysis.tokens(lower($"text"))).as("token"))
+      .select(array(cells: _*).as("cells"))
+      .agg(cm($"cells"))
+    agg.collect()
+    val p = plan(agg)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"token stream must not shuffle — only sketch buffers move:\n$p")
+    assert(p.contains("Exchange SinglePartition"),
+      s"expected only the fixed-size buffer merge exchange:\n$p")
+  }
 }
 
 /** Tiny indirection so PlanSpec (package queries) can reach the ops
