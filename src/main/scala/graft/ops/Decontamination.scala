@@ -100,6 +100,58 @@ object Decontamination {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Cosine threshold for the semantic sweep (the synthetic embeddings
+    * cluster loosely; 0.30 is well into the upper tail — see the probe
+    * counts in the spec).
+    */
+  val SemThreshold = 0.30
+
+  /** Semantic decontamination: training documents whose EMBEDDING is
+    * near-parallel to an eval vector — catches paraphrased/translated
+    * benchmark leakage the verbatim n-gram sweep cannot see (the
+    * standard second gate next to [[contaminationPairs]]). Eval side =
+    * the same md5-tail split, on the embeddings table.
+    *
+    * 100 TB shape: benchmarks are SMALL, so the eval vectors collect
+    * once (bounded, the query-vector idiom) and broadcast; the training
+    * side is scanned exactly once with a per-row compiled kernel — no
+    * shuffle at all before the output sort, and nothing corpus-sized
+    * ever moves. Cosine is the same left-to-right IEEE fold as the
+    * sim_* kernels, so DuckDB replays every value bit-exactly.
+    */
+  def deconSemantic(s: SparkSession, dir: String,
+      threshold: Double = SemThreshold): DataFrame = {
+    import s.implicits._
+    val e = graft.Tables.t(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    deconSemanticOf(
+      e.filter(!isEval($"vec_id")), e.filter(isEval($"vec_id")), threshold)
+  }
+
+  /** [[deconSemantic]] over arbitrary (vec_id, v: array<double>) frames
+    * — the production shape with an external benchmark embedding table.
+    */
+  def deconSemanticOf(train: DataFrame, evalVecs: DataFrame,
+      threshold: Double = SemThreshold): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    val ev = evalVecs.as[(Long, Array[Double])].collect().sortBy(_._1)
+      .map { case (id, v) =>
+        (id, v, math.sqrt(Similarity.dotArr(v, v)))
+      } // bounded: benchmarks are thousands of vectors, not billions
+    val bc = s.sparkContext.broadcast(ev)
+    train.as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val na = math.sqrt(Similarity.dotArr(v, v))
+        bc.value.iterator.flatMap { case (eid, evv, ne) =>
+          val c = Similarity.dotArr(v, evv) / (na * ne)
+          if (c >= threshold) Some((id, eid, c)) else None
+        }
+      }
+      .toDF("train_id", "eval_id", "cos")
+      .orderBy("train_id", "eval_id")
+  }
+
   /** Per-eval-doc contamination report: how many training docs hit it,
     * and how hard — the summary a pipeline gates a training run on.
     */
@@ -118,6 +170,7 @@ object Decontamination {
     "decon_pairs" -> ((s, d) => contaminationPairs(s, d)),
     "decon_pairs_13gram" -> ((s, d) =>
       contaminationPairs(s, d, n = WideN, minShared = 1L)),
+    "decon_semantic" -> ((s, d) => deconSemantic(s, d)),
     "decon_report" -> contaminationReport)
 
   /** DuckDB n-gram shingle CTE, the n-parameterized twin of
@@ -142,7 +195,30 @@ object Decontamination {
         GROUP BY 1, 2
         HAVING COUNT(*) >= $minShared)"""
 
+  /** Left-to-right IEEE dot fold over DOUBLE-cast lists — the proven
+    * cosine-oracle idiom (the raw list is FLOAT; folding it uncast
+    * diverges in the 9th digit).
+    */
+  private def dt(x: String, y: String) =
+    s"list_sum([CAST($x AS DOUBLE[])[i] * CAST($y AS DOUBLE[])[i] for i in range(1, 65)])"
+
   val oracles: Map[String, String] = Map(
+    "decon_semantic" -> s"""
+      WITH ev AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE md5(CAST(vec_id AS VARCHAR)) >= '$EvalLower'),
+      tr AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE md5(CAST(vec_id AS VARCHAR)) < '$EvalLower'),
+      p AS (
+        SELECT tr.vec_id AS train_id, ev.vec_id AS eval_id,
+          (${dt("tr.embedding", "ev.embedding")}
+            / (sqrt(${dt("tr.embedding", "tr.embedding")})
+             * sqrt(${dt("ev.embedding", "ev.embedding")}))) AS cos
+        FROM tr CROSS JOIN ev)
+      SELECT train_id, eval_id, cos FROM p
+      WHERE cos >= $SemThreshold
+      ORDER BY train_id, eval_id""",
     "decon_pairs" -> s"""
       ${pairsSql(Dedup.ShingleN, MinShared)}
       SELECT train_id, eval_id, n_shared FROM pairs

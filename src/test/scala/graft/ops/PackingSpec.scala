@@ -167,6 +167,38 @@ class DecontaminationSpec extends SparkSpec {
     assert(!found.exists(r => r.getLong(0) == trainClean), "clean doc must pass")
   }
 
+  test("decon_semantic: a planted paraphrase (same embedding) is caught; orthogonal passes") {
+    // the semantic gate exists for leaks the n-gram sweep can't see:
+    // identical/near-identical EMBEDDINGS with no shared words. Plant a
+    // train vector parallel to the eval vector (scaled — cosine is
+    // scale-invariant) and an orthogonal clean one.
+    val dim = 64
+    val evalVec = Array.tabulate(dim)(i => math.sin(i + 1.0))
+    val paraphrase = evalVec.map(_ * 2.5) // parallel: cosine exactly 1.0
+    val orthogonal = Array.tabulate(dim)(i => if (i % 2 == 0) evalVec(i + 1) else -evalVec(i - 1))
+    val train = Seq((1L, paraphrase.toSeq), (2L, orthogonal.toSeq)).toDF("vec_id", "v")
+    val ev = Seq((900L, evalVec.toSeq)).toDF("vec_id", "v")
+    val got = Decontamination.deconSemanticOf(train, ev, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.exists(t => t._1 == 1L && t._2 == 900L && t._3 > 0.999999),
+      s"parallel embedding must be flagged: ${got.toSeq}")
+    assert(!got.exists(_._1 == 2L), "orthogonal embedding must pass")
+    // registered form: sides are disjoint md5 splits and every pair
+    // clears the threshold
+    val rows = Decontamination.deconSemantic(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val hashOf = (id: Long) =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    rows.foreach { case (tid, eid, c) =>
+      assert(hashOf(tid) < Decontamination.EvalLower, "train side is train")
+      assert(hashOf(eid) >= Decontamination.EvalLower, "eval side is eval")
+      assert(c >= Decontamination.SemThreshold)
+    }
+    assert(rows.nonEmpty, "sf corpus must produce semantic candidates")
+  }
+
   test("decon: frozen eval shingles probe batches like the inline form") {
     val leakText = "the quick brown fox jumps over the lazy dog again and again"
     val evalDocs = Seq((900L, leakText)).toDF("doc_id", "text")
