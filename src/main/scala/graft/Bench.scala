@@ -87,6 +87,12 @@ object Bench {
     // (3) stop/awaitTermination failures are swallowed (rps is already
     // computed); (4) the JSON line prints AFTER spark.stop(), when no
     // executor or listener thread is left to interleave output.
+    // optional sf1 scaling smoke (never set by the driver): one
+    // unmeasured completion sweep of the slowest queries at ~10× sf0.1,
+    // stderr-only so the stdout JSON protocol is untouched
+    if (sys.env.get("SPARK_GRAFT_BENCH_SF1").contains("1"))
+      try ScaleSmoke.run(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[sf1] FAILED: $e") }
     val streamSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_SECS", "8").toInt
     val streamRps: Long =
       if (streamSecs <= 0) 0L
@@ -124,9 +130,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","stream_rows_per_sec":$streamRps,"value":${fmt(total)}}"""
+    // The full line above outgrew the driver's ~2KB stored stdout tail
+    // at 157 queries (~4.6KB), so the tail cuts it mid-object and the
+    // driver records parsed:null (r5/r6). Emit a SECOND, compact
+    // summary object (<=1KB: suite total, query count, stream rate,
+    // slowest 20 queries) as the very LAST stdout line — the bounded
+    // tail then always ends with one complete parseable JSON object,
+    // while the full per-query line stays available when the tail is
+    // large enough.
+    val slowest = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val summary = s"""{"metric":"total","unit":"sec","n_queries":${results.size},"queries":$slowest,"sf":"$sfDir","stream_rows_per_sec":$streamRps,"value":${fmt(total)}}"""
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(line)
+    println(summary)
     System.out.flush()
   }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scaling smoke (VERDICT r6 #7): materialize a ~10× sf0.1 corpus
+  * once (driver-generated testdata is read-only, so the scale-up lives
+  * in tmpdir) and run the historically slowest queries through a single
+  * unmeasured completion sweep — the cheapest end-to-end evidence that
+  * the partition/shuffle shapes survive a 10× scale step without
+  * spill-death, beyond plan inspection.
+  *
+  * Scale-up construction: dimensions copy through unchanged (the
+  * realistic cluster shape — facts grow, dims don't); fact tables
+  * replicate ×[[Reps]] with key columns shifted per replica so key
+  * cardinality scales with volume and referential pairs (orders ↔
+  * lineitem) stay consistent. Document text gets a per-replica prefix
+  * so the shingle space grows with the corpus instead of collapsing
+  * into 10-way exact duplicates (which would measure a pathological
+  * dup-density no real 10× corpus has); embeddings replicate id-shifted
+  * (duplicate vectors are realistic near-dup mass for ANN/graph ops).
+  *
+  * Gated by SPARK_GRAFT_BENCH_SF1=1 in [[Bench]] — never set by the
+  * driver, so round artifacts are unaffected; results print to stderr
+  * and are recorded in NOTES.md.
+  */
+object ScaleSmoke {
+  val Reps = 10
+
+  /** The slowest bench entries per BENCH_r06/BASELINE.md — the queries
+    * whose scale behavior is worth end-to-end evidence.
+    */
+  val SlowestQueries: Seq[String] = Seq(
+    "sim_graph_centrality", "dedup_containment", "dedup_components_alt",
+    "dedup_editdist", "sim_knn_graph", "dq_outlier_mad", "mix_budget",
+    "q66_equidepth_hist", "ta_cms_freq", "dedup_minhash_lsh")
+
+  def ensureSf1(spark: SparkSession, srcDir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sf1"
+    val done = new java.io.File(s"$out/_DONE")
+    if (done.exists()) return out
+    import spark.implicits._
+    def tbl(n: String) = Tables.t(spark, srcDir, n)
+    def keyBase(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0) + 1L
+    def replicate(n: String)(f: (DataFrame, Int) => DataFrame): Unit =
+      (0 until Reps).map(i => f(tbl(n), i)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$n.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
+      tbl(n).write.mode("overwrite").parquet(s"$out/$n.parquet")
+    }
+    val okBase = keyBase(tbl("orders"), "o_orderkey")
+    replicate("orders")((df, i) =>
+      df.withColumn("o_orderkey", $"o_orderkey" + lit(i * okBase)))
+    replicate("lineitem")((df, i) =>
+      df.withColumn("l_orderkey", $"l_orderkey" + lit(i * okBase)))
+    val evBase = keyBase(tbl("events"), "event_id")
+    val userBase = keyBase(tbl("events"), "user_id")
+    replicate("events")((df, i) => df
+      .withColumn("event_id", $"event_id" + lit(i * evBase))
+      .withColumn("user_id", $"user_id" + lit(i * userBase)))
+    val docBase = keyBase(tbl("documents"), "doc_id")
+    replicate("documents")((df, i) =>
+      if (i == 0) df
+      else df
+        .withColumn("doc_id", $"doc_id" + lit(i * docBase))
+        .withColumn("text", concat(lit(s"r$i "), $"text"))
+        .withColumn("n_chars", $"n_chars" + lit(s"r$i ".length.toLong)))
+    val vecBase = keyBase(tbl("embeddings"), "vec_id")
+    replicate("embeddings")((df, i) =>
+      df.withColumn("vec_id", $"vec_id" + lit(i * vecBase)))
+    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    out
+  }
+
+  /** One completion sweep of [[SlowestQueries]] at sf1; per-query wall
+    * times to stderr (unmeasured protocol — evidence of completion and
+    * rough scaling factor, not a benchmark figure).
+    */
+  def run(spark: SparkSession, srcDir: String): Unit = {
+    val dir = ensureSf1(spark, srcDir)
+    SlowestQueries.foreach { name =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[sf1] $name%-24s $secs%.1f s")
+    }
+  }
+}

@@ -603,31 +603,69 @@ object StreamingCuration {
     */
   def mergeBm25State(spark: SparkSession, stateDir: String, batch: DataFrame): Unit = {
     import spark.implicits._
-    val dfDir = s"$stateDir/bm25_df"
-    val scalarDir = s"$stateDir/bm25_scalars"
+    // Crash-safe versioned commit (ADVICE r6): each fold writes a FRESH
+    // bm25_v<N>/ directory — df first, then the scalar pair whose
+    // parquet _SUCCESS marker is the commit point readers key on. A
+    // crash mid-merge leaves an incomplete vN+1 that every reader
+    // ignores while vN stays intact; older versions are deleted
+    // best-effort only after the new one is committed. No
+    // overwrite-in-place of live state ever happens.
+    // Assumption (documented): a doc_id appears in EXACTLY ONE folded
+    // batch — re-folding a doc double-counts its tokens into df/n_docs,
+    // the same at-least-once hazard every count-based streaming state
+    // has; dedupe upstream (e.g. [[mergeBloomState]]) when the source
+    // can replay.
     val toks = batch
       .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
     val batchDf = toks.distinct().groupBy($"token").agg(count(lit(1)).as("df"))
     val row = toks.agg(countDistinct($"doc_id"), count(lit(1))).head()
     val (batchNd, batchTt) = (row.getLong(0), row.getLong(1))
     val (priorNd, priorTt) = readBm25Scalars(spark, stateDir)
-    val merged =
-      if (!new java.io.File(dfDir).exists()) batchDf
-      else spark.read.parquet(dfDir).unionByName(batchDf)
+    val prior = bm25Latest(stateDir)
+    val merged = prior match {
+      case None => batchDf
+      case Some((_, dir)) => spark.read.parquet(s"$dir/df")
+        .unionByName(batchDf)
         .groupBy($"token").agg(sum($"df").as("df"))
-    val tmp = s"$stateDir/bm25_df_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(dfDir)
+    }
+    val nextV = prior.map(_._1 + 1).getOrElse(1)
+    val nextDir = s"$stateDir/bm25_v$nextV"
+    merged.write.mode("overwrite").parquet(s"$nextDir/df")
     Seq((priorNd + batchNd, priorTt + batchTt)).toDF("n_docs", "total_tokens")
-      .coalesce(1).write.mode("overwrite").parquet(scalarDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$nextDir/scalars")
+    prior.foreach { case (v, _) =>
+      (1 to v).foreach { old =>
+        graft.ops.Curation.deleteRecursively(
+          new java.io.File(s"$stateDir/bm25_v$old"))
+      }
+    }
+  }
+
+  /** Latest COMMITTED bm25 state version: highest bm25_v<N> whose
+    * scalars/_SUCCESS marker exists (scalars are written last, so the
+    * marker implies the df half is complete too).
+    */
+  private def bm25Latest(stateDir: String): Option[(Int, String)] = {
+    val root = new java.io.File(stateDir)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (n.startsWith("bm25_v") &&
+            new java.io.File(f, "scalars/_SUCCESS").exists())
+          scala.util.Try(n.stripPrefix("bm25_v").toInt).toOption
+            .map(v => (v, f.getPath))
+        else None
+      }
+      .sortBy(-_._1).headOption
   }
 
   /** (docs seen, tokens seen) — the BM25 scalars (zeros when absent). */
   def readBm25Scalars(spark: SparkSession, stateDir: String): (Long, Long) =
-    if (!new java.io.File(s"$stateDir/bm25_scalars").exists()) (0L, 0L)
-    else {
-      val r = spark.read.parquet(s"$stateDir/bm25_scalars").head()
-      (r.getLong(0), r.getLong(1))
+    bm25Latest(stateDir) match {
+      case None => (0L, 0L)
+      case Some((_, dir)) =>
+        val r = spark.read.parquet(s"$dir/scalars").head()
+        (r.getLong(0), r.getLong(1))
     }
 
   /** BM25 top-n of `docs` against the ACCUMULATED corpus statistics:
@@ -647,9 +685,12 @@ object StreamingCuration {
     val k = terms.length
     require(k > 0, "bm25 needs at least one query term")
     val (nd, tt) = readBm25Scalars(spark, stateDir)
-    val dfMap = spark.read.parquet(s"$stateDir/bm25_df")
-      .filter($"token".isin(terms.toSeq: _*))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfMap = bm25Latest(stateDir) match {
+      case None => Map.empty[String, Long]
+      case Some((_, dir)) => spark.read.parquet(s"$dir/df")
+        .filter($"token".isin(terms.toSeq: _*))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
     val dfs = terms.map(t => dfMap.getOrElse(t, 0L))
     docs.select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>

@@ -1133,12 +1133,50 @@ object Curation {
       s.read.parquet(s"$path/ctx"),
       s.read.parquet(s"$path/vocab").head.getLong(0))
 
+  /** Fixed-point micro-unit scale for the exact char-LM score. */
+  val CharLmUnit = 1000000L
+
+  /** Integer-EXACT char-LM scoring — the oracle-gated twin of
+    * [[scoreCharLm]] (VERDICT r6 #4, the RankUnit pattern): each
+    * trigram's smoothed probability (freq+1)/(cfreq+V) is floored into
+    * integer micro-units — (10⁶·(freq+1)) DIV (cfreq+V) — and the doc
+    * score is the plain integer sum Σ occ·p_micro. Every operation is
+    * an integer multiply/floor-divide/sum, so the result is
+    * bit-identical under ANY partitioning AND engine (DuckDB's `//`
+    * replays the floor), where the float log-prob fold of
+    * [[scoreCharLm]] is merge-order- and libm-dependent. Semantics:
+    * the arithmetic-mean smoothed probability in micro-units — the
+    * same familiarity ordering signal, exactly representable.
+    * Overflow bound: p_micro ≤ 10⁶ (freq+1 ≤ cfreq+V always, since
+    * freq ≤ cfreq and V ≥ 1), so a doc's sum ≤ 10⁶·n_tris — Long-safe
+    * past 10¹² trigrams/doc.
+    */
+  def scoreCharLmMicro(docs: DataFrame, lm: CharLm): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    trigramsOf(docs)
+      .withColumn("ctx", shiftright($"code", 16))
+      .join(broadcast(lm.tri), Seq("code"), "left")
+      .join(broadcast(lm.ctx), Seq("ctx"), "left")
+      .select($"doc_id", $"occ",
+        expr(s"($CharLmUnit * (coalesce(freq, 0L) + 1L)) DIV " +
+          s"(coalesce(cfreq, 0L) + ${lm.vocab}L)").as("p_micro"))
+      .groupBy($"doc_id")
+      .agg(sum($"occ").as("n_tris"),
+        sum($"occ" * $"p_micro").as("prob_micro_sum"))
+      .select($"doc_id", $"n_tris", $"prob_micro_sum",
+        expr("prob_micro_sum DIV n_tris").as("avg_prob_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Registered self-scoring form (train on the corpus, score the
-    * corpus) — rows-only at the gate, like the other float-model ops.
+    * corpus) — the integer-exact micro score, fully oracle-gated; the
+    * float log-prob/perplexity form stays available as
+    * [[scoreCharLm]] for API use (spec-gated, engine-local floats).
     */
   def taCharLm(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    scoreCharLm(docs, trainCharLm(docs))
+    scoreCharLmMicro(docs, trainCharLm(docs))
   }
 
   // ---- token-budget mixture selection ----
@@ -1411,6 +1449,35 @@ object Curation {
       FROM tris t JOIN model m ON t.tri = m.tri CROSS JOIN tot x
       GROUP BY t.doc_id
       ORDER BY t.doc_id""",
+    // self-scoring ⇒ every trigram and context is in the model, so the
+    // inner joins are total; // replays Spark's DIV floor exactly
+    "ta_charlm" -> s"""
+      WITH nd AS (
+        SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+        FROM documents),
+      tris AS (
+        SELECT doc_id, substr(norm, i, 3) AS tri
+        FROM nd, UNNEST(range(1, len(norm) - 1)) AS u(i)
+        WHERE len(norm) >= 3),
+      model AS (SELECT tri, CAST(count(*) AS BIGINT) AS freq FROM tris GROUP BY tri),
+      ctx AS (
+        SELECT substr(tri, 1, 2) AS c2, CAST(sum(freq) AS BIGINT) AS cfreq
+        FROM model GROUP BY 1),
+      voc AS (SELECT CAST(count(DISTINCT substr(tri, 3, 1)) AS BIGINT) AS v FROM model),
+      g AS (
+        SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS occ
+        FROM tris GROUP BY 1, 2)
+      SELECT g.doc_id,
+        CAST(sum(g.occ) AS BIGINT) AS n_tris,
+        CAST(sum(g.occ * (($CharLmUnit * (m.freq + 1)) // (c.cfreq + voc.v))) AS BIGINT) AS prob_micro_sum,
+        CAST(CAST(sum(g.occ * (($CharLmUnit * (m.freq + 1)) // (c.cfreq + voc.v))) AS BIGINT)
+          // CAST(sum(g.occ) AS BIGINT) AS BIGINT) AS avg_prob_micro
+      FROM g
+      JOIN model m ON g.tri = m.tri
+      JOIN ctx c ON substr(g.tri, 1, 2) = c.c2
+      CROSS JOIN voc
+      GROUP BY g.doc_id
+      ORDER BY g.doc_id""",
     "ta_familiarity" -> """
       WITH nd AS (
         SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm

@@ -135,15 +135,21 @@ object Decontamination {
       threshold: Double = SemThreshold): DataFrame = {
     val s = train.sparkSession
     import s.implicits._
+    // Zero-norm vectors make cos NaN; Scala's >= drops NaN silently but
+    // IEEE-mode engines may order it above all values — skip them
+    // explicitly on BOTH sides (mirrored by the norm > 0 predicates in
+    // the oracle SQL) so degenerate embeddings can't diverge engines.
     val ev = evalVecs.as[(Long, Array[Double])].collect().sortBy(_._1)
       .map { case (id, v) =>
         (id, v, math.sqrt(Similarity.dotArr(v, v)))
-      } // bounded: benchmarks are thousands of vectors, not billions
+      }
+      .filter(_._3 > 0.0) // bounded: benchmarks are thousands of vectors
     val bc = s.sparkContext.broadcast(ev)
     train.as[(Long, Array[Double])]
       .flatMap { case (id, v) =>
         val na = math.sqrt(Similarity.dotArr(v, v))
-        bc.value.iterator.flatMap { case (eid, evv, ne) =>
+        if (na <= 0.0) Iterator.empty
+        else bc.value.iterator.flatMap { case (eid, evv, ne) =>
           val c = Similarity.dotArr(v, evv) / (na * ne)
           if (c >= threshold) Some((id, eid, c)) else None
         }
@@ -206,10 +212,12 @@ object Decontamination {
     "decon_semantic" -> s"""
       WITH ev AS (
         SELECT vec_id, embedding FROM embeddings
-        WHERE md5(CAST(vec_id AS VARCHAR)) >= '$EvalLower'),
+        WHERE md5(CAST(vec_id AS VARCHAR)) >= '$EvalLower'
+          AND sqrt(${dt("embedding", "embedding")}) > 0),
       tr AS (
         SELECT vec_id, embedding FROM embeddings
-        WHERE md5(CAST(vec_id AS VARCHAR)) < '$EvalLower'),
+        WHERE md5(CAST(vec_id AS VARCHAR)) < '$EvalLower'
+          AND sqrt(${dt("embedding", "embedding")}) > 0),
       p AS (
         SELECT tr.vec_id AS train_id, ev.vec_id AS eval_id,
           (${dt("tr.embedding", "ev.embedding")}

@@ -376,6 +376,16 @@ object Dedup {
     } finally sets.unpersist()
   }
 
+  /** Default near-dup verify parameters — the SINGLE source of truth
+    * for the Scala-side defaults AND the DuckDB oracle SQL (which
+    * interpolates these at construction), so the registered query and
+    * its oracle cannot silently drift apart (VERDICT r6).
+    */
+  val EditMinShared = 4L
+  val EditMaxDistFrac = 0.25
+  val NearDupMaxDocFreq = 100
+  val ContainThreshold = 0.9
+
   /** Edit-distance-verified near-dup: candidate pairs must share ≥
     * `minShared` distinct word-trigram shingles (the same inverted-index
     * blocking as [[dedupNgramJaccard]]), then exact character
@@ -389,16 +399,18 @@ object Dedup {
     * char-based and DuckDB's byte-based levenshtein agree (the operator
     * itself is encoding-agnostic).
     *
-    * Oracle scope: the registered DuckDB oracle replays the DEFAULT
-    * parameters (minShared=4, maxDocFreq=100, maxDistFrac=0.25) —
+    * Oracle scope: the registered DuckDB oracle is BUILT from the same
+    * [[EditMinShared]]/[[EditMaxDistFrac]]/[[NearDupMaxDocFreq]]
+    * constants that are these parameters' defaults (string-interpolated
+    * at oracle-construction time), so the two can't silently diverge —
     * non-default invocations are gated by the ScalaCheck kernel
     * property in OpsSpec (blocked+prefiltered+bounded DP == naive
     * unbounded reference), not by the oracle.
     */
   def dedupEditDistance(
       s: SparkSession, dir: String,
-      minShared: Long = 4L, maxDistFrac: Double = 0.25,
-      maxDocFreq: Int = 100): DataFrame = {
+      minShared: Long = EditMinShared, maxDistFrac: Double = EditMaxDistFrac,
+      maxDocFreq: Int = NearDupMaxDocFreq): DataFrame = {
     import s.implicits._
     dedupEditDistanceOf(
       graft.Tables.t(s, dir, "documents").select($"doc_id", $"text"),
@@ -410,8 +422,8 @@ object Dedup {
     */
   def dedupEditDistanceOf(
       docs: DataFrame,
-      minShared: Long = 4L, maxDistFrac: Double = 0.25,
-      maxDocFreq: Int = 100): DataFrame = {
+      minShared: Long = EditMinShared, maxDistFrac: Double = EditMaxDistFrac,
+      maxDocFreq: Int = NearDupMaxDocFreq): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val sh = shingledOf(docs)
@@ -485,7 +497,8 @@ object Dedup {
     */
   def dedupContainment(
       s: SparkSession, dir: String,
-      threshold: Double = 0.9, maxDocFreq: Int = 100): DataFrame =
+      threshold: Double = ContainThreshold,
+      maxDocFreq: Int = NearDupMaxDocFreq): DataFrame =
     dedupContainmentOf(t(s, dir, "documents"), threshold, maxDocFreq)
 
   /** [[dedupContainment]] over any (doc_id, text) frame — the spec
@@ -493,7 +506,8 @@ object Dedup {
     */
   def dedupContainmentOf(
       docs: DataFrame,
-      threshold: Double = 0.9, maxDocFreq: Int = 100): DataFrame = {
+      threshold: Double = ContainThreshold,
+      maxDocFreq: Int = NearDupMaxDocFreq): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val sets = shingleSetsOf(docs.select($"doc_id", $"text")).cache()
@@ -514,8 +528,13 @@ object Dedup {
   /** Exact containment verify over precomputed sorted sets: two-pointer
     * intersection, then one IEEE division |A∩B| / min(|A|,|B|) — the
     * same single-division discipline that keeps [[verifyJaccardSets]]
-    * hash-exact cross-engine. Empty sets never reach here (a candidate
-    * pair shares ≥1 shingle by construction).
+    * hash-exact cross-engine. The inverted-index callers never produce
+    * a min-side-empty candidate (pairs share ≥1 shingle by
+    * construction), but direct calls can: an empty side makes the
+    * division NaN, and Spark SQL's `>=` orders NaN ABOVE every value
+    * (unlike Scala's IEEE `>=`), which would KEEP the degenerate pair —
+    * so empty-min pairs are dropped explicitly before the division
+    * (boundary pinned in OpsSpec).
     */
   def verifyContainmentSets(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
     val s = cand.sparkSession
@@ -525,16 +544,19 @@ object Dedup {
       .join(sets.as("pb"), col("b") === col("pb.doc_id"))
       .select(col("a"), col("b"), col("pa.set").as("sa"), col("pb.set").as("sb"))
       .as[(Long, Long, Array[Long], Array[Long])]
-      .map { case (a, b, sa, sb) =>
-        var i = 0
-        var j = 0
-        var inter = 0
-        while (i < sa.length && j < sb.length) {
-          if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
-          else if (sa(i) < sb(j)) i += 1
-          else j += 1
+      .flatMap { case (a, b, sa, sb) =>
+        if (sa.isEmpty || sb.isEmpty) None
+        else {
+          var i = 0
+          var j = 0
+          var inter = 0
+          while (i < sa.length && j < sb.length) {
+            if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+            else if (sa(i) < sb(j)) i += 1
+            else j += 1
+          }
+          Some((a, b, inter.toDouble / math.min(sa.length, sb.length)))
         }
-        (a, b, inter.toDouble / math.min(sa.length, sb.length))
       }
       .toDF("a", "b", "containment")
       .filter(col("containment") >= threshold)
@@ -934,18 +956,19 @@ object Dedup {
       FROM inter
       JOIN cnt ca ON a = ca.doc_id
       JOIN cnt cb ON b = cb.doc_id
-      WHERE CAST(i AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.9
+      WHERE CAST(i AS DOUBLE) / LEAST(ca.n, cb.n) >= $ContainThreshold
       ORDER BY a, b""",
     "dedup_editdist" -> s"""
       WITH $shingleCte,
       rare AS (
         SELECT doc_id, sh FROM sh
-        WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100)),
+        WHERE sh IN (SELECT sh FROM sh GROUP BY sh
+                     HAVING COUNT(*) <= $NearDupMaxDocFreq)),
       cand AS (
         SELECT x.doc_id AS a, y.doc_id AS b
         FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
         GROUP BY 1, 2
-        HAVING COUNT(*) >= 4)
+        HAVING COUNT(*) >= $EditMinShared)
       SELECT c.a, c.b,
         CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
         CAST(GREATEST(length(da.text), length(db.text)) AS BIGINT) AS max_len
@@ -953,7 +976,7 @@ object Dedup {
       JOIN documents da ON c.a = da.doc_id
       JOIN documents db ON c.b = db.doc_id
       WHERE CAST(levenshtein(da.text, db.text) AS DOUBLE)
-            <= 0.25 * CAST(GREATEST(length(da.text), length(db.text)) AS DOUBLE)
+            <= $EditMaxDistFrac * CAST(GREATEST(length(da.text), length(db.text)) AS DOUBLE)
       ORDER BY a, b""",
     // transitive closure over the exact pair set: min reachable doc_id
     // per node via a recursive CTE — DuckDB's answer to what the Spark

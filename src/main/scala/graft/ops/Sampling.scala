@@ -207,6 +207,20 @@ object Sampling {
       .map(r => (r.getString(0), r.getLong(1)))
     val budgetOf = unimaxAllocate(
       totals.map { case (src, tot) => src -> tot * maxEpochs }, budget)
+    unimaxSelectionFrom(sized, budgetOf, maxEpochs, partitions)
+  }
+
+  /** [[unimaxSelection]] over a PRECOMPUTED (doc_id, source, n_tokens)
+    * frame and allocation map — lets callers that already aggregated
+    * the per-source totals (e.g. [[unimaxOf]]'s report half) thread
+    * them through instead of paying a second full tokenize+aggregate
+    * scan and driver round-trip (ADVICE r6).
+    */
+  def unimaxSelectionFrom(
+      sized: DataFrame, budgetOf: Map[String, Long],
+      maxEpochs: Int = UnimaxEpochs, partitions: Int = 32): DataFrame = {
+    val s = sized.sparkSession
+    import s.implicits._
     // epoch-replicated uniform-draw order + distributed prefix sum
     val rep = sized
       .withColumn("epoch", explode(sequence(lit(1L), lit(maxEpochs.toLong))))
@@ -268,7 +282,7 @@ object Sampling {
         (src, nd, tot, tot * maxEpochs, allocBySrc(src))
       }
       .sortBy(_._1)
-    val keptSummary = unimaxSelection(docs, budget, maxEpochs, partitions)
+    val keptSummary = unimaxSelectionFrom(sized, allocBySrc, maxEpochs, partitions)
       .groupBy($"source").agg(
         count(lit(1)).as("n_kept"),
         sum($"n_tokens").as("kept_tokens"),

@@ -151,12 +151,15 @@ object TextAnalysis {
     val nWords = size(toks).cast("long")
     val wordChars = length(regexp_replace($"text", "\\s+", "")).cast("long")
     val meanWl = wordChars.cast("double") / nWords
+    // Rae et al. count the '…' glyph alongside '...' and match stop
+    // words case-insensitively ('The' counts) — match on lower(text)
+    // since the stop list is lowercase (ADVICE r6).
     val hashRatio = regexp_count($"text", lit("#")).cast("double") / nWords
-    val ellipsisRatio = regexp_count($"text", lit("\\.\\.\\.")).cast("double") / nWords
+    val ellipsisRatio = regexp_count($"text", lit("\\.\\.\\.|…")).cast("double") / nWords
     val alphaFrac = size(filter(toks, w => w.rlike("[a-zA-Z]")))
       .cast("double") / nWords
     val stopHits = GopherStops
-      .map(w => when($"text".rlike(s"\\b$w\\b"), 1).otherwise(0))
+      .map(w => when(lower($"text").rlike(s"\\b$w\\b"), 1).otherwise(0))
       .reduce(_ + _).cast("long")
     t(s, dir, "documents")
       .select($"doc_id", nWords.as("n_words"), meanWl.as("mean_word_len"),
@@ -1177,7 +1180,7 @@ object TextAnalysis {
     },
     "ta_gopher_rules" -> {
       val stopTerms = GopherStops.map(w =>
-        s"CASE WHEN regexp_matches(text, '\\b$w\\b') THEN 1 ELSE 0 END")
+        s"CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END")
         .mkString(" + ")
       s"""
       WITH b AS (
@@ -1185,7 +1188,7 @@ object TextAnalysis {
           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS word_chars,
           CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
-          CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ell,
+          CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT) AS n_ell,
           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
             x -> len(x) > 0 AND regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
           CAST($stopTerms AS BIGINT) AS n_stop_hits

@@ -119,10 +119,10 @@ class FunctionsSpec extends SparkSpec {
       assert(java.util.Arrays.equals(single, doubled),
         s"n=$n: re-delivered values must not move the registers")
     }
-    // the registered dq row on real data
+    // the registered dq row on real data: bounds_ok carries the
+    // within-HllRelBound claim the oracle asserts
     val row = graft.queries.QualityQueries.dqUniqueHll(spark, sfDir).head()
-    assert(row.getDouble(3) < 0.05,
-      s"real-data estimate off by ${row.getDouble(3) * 100}%")
+    assert(row.getBoolean(2), s"real-data estimate out of bounds: $row")
   }
 
   test("ScalaCheck: Misra-Gries superset guarantee survives adversarial splits and merge orders") {

@@ -273,6 +273,91 @@ class DedupSpec extends SparkSpec {
         s"kernel diverged (minShared=$minShared frac=$maxDistFrac df=$maxDocFreq):\n got=$got\nwant=$want")
     }
   }
+
+  // ---- ScalaCheck: the containment two-pointer verify is exact ----
+
+  /** The containment operator's CONTRACT replayed naively: candidates
+    * = pairs sharing >= 1 rare (df <= maxDocFreq) shingle; containment
+    * = |A∩B| / min(|A|,|B|) over the FULL shingle sets via plain Scala
+    * Set intersection — no inverted index, no two-pointer walk. Any
+    * divergence is a broken kernel or blocking argument.
+    */
+  private def containRef(
+      docs: Seq[(Long, String)], threshold: Double,
+      maxDocFreq: Int): Seq[(Long, Long, Double)] = {
+    def shingleSet(t: String): Set[Long] = {
+      val ws = t.trim.split("\\s+").filter(_.nonEmpty)
+      (0 to ws.length - 3)
+        .map(i => Dedup.fnv64(ws.slice(i, i + 3).mkString(" "))).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val df = sh.values.toSeq.flatten.groupBy(identity).map { case (h, xs) => h -> xs.size }
+    val rare = sh.map { case (id, st) => id -> st.filter(h => df(h) <= maxDocFreq) }
+    (for {
+      (a, _) <- docs
+      (b, _) <- docs
+      if a < b && (rare(a) & rare(b)).nonEmpty
+      mn = math.min(sh(a).size, sh(b).size)
+      if mn > 0
+      c = (sh(a) & sh(b)).size.toDouble / mn
+      if c >= threshold
+    } yield (a, b, c)).sortBy(p => (p._1, p._2))
+  }
+
+  test("ScalaCheck: inverted-index containment equals the naive set-intersection reference") {
+    import org.scalacheck.Gen
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    val other = Vector("kilo", "lima", "mike", "november", "oscar",
+      "papa", "quebec", "romeo", "sierra", "tango")
+    def genDocFrom(vs: Vector[String]) = for {
+      n <- Gen.choose(6, 14)
+      ws <- Gen.listOfN(n, Gen.oneOf(vs))
+    } yield ws.mkString(" ")
+    // subset twin: a contiguous word slice — its trigram set is a strict
+    // subset of the base's, exactly the containment-not-Jaccard case
+    def subsetOf(t: String): Gen[String] = {
+      val ws = t.split(" ")
+      for {
+        st <- Gen.choose(0, ws.length - 4)
+        len <- Gen.choose(3, ws.length - st)
+      } yield ws.slice(st, st + len).mkString(" ")
+    }
+    val genCorpus = for {
+      nBase <- Gen.choose(3, 5)
+      bases <- Gen.listOfN(nBase, genDocFrom(vocab))
+      subs <- Gen.sequence[List[String], String](bases.map(subsetOf))
+      disjoint <- Gen.listOfN(2, genDocFrom(other)) // never candidates
+      threshold <- Gen.oneOf(0.5, 0.9, 1.0)
+      maxDocFreq <- Gen.oneOf(2, 100)
+    } yield {
+      val docs = (bases ++ subs ++ disjoint).zipWithIndex
+        .map { case (t, i) => ((i + 1).toLong, t) }
+      (docs, threshold, maxDocFreq)
+    }
+    forAllSampled(genCorpus, n = 6) { case (docs, threshold, maxDocFreq) =>
+      val got = Dedup
+        .dedupContainmentOf(docs.toDF("doc_id", "text"), threshold, maxDocFreq)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      val want = containRef(docs, threshold, maxDocFreq)
+      assert(got == want,
+        s"containment diverged (threshold=$threshold df=$maxDocFreq):\n got=$got\nwant=$want")
+    }
+  }
+
+  test("verifyContainmentSets: min-side-empty candidates are dropped, not NaN-kept") {
+    // an empty set makes |A∩B| / min NaN — Scala's >= drops it; the
+    // boundary must yield NO row (and no crash), never a NaN row
+    val sets = Seq(
+      (1L, Array.empty[Long]), (2L, Array(5L, 9L)), (3L, Array(5L, 9L, 11L)))
+      .toDF("doc_id", "set")
+    val cand = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val got = Dedup.verifyContainmentSets(cand, sets, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((2L, 3L, 1.0)), s"got ${got.toSeq}")
+  }
 }
 
 class SamplingSpec extends SparkSpec {
