@@ -1179,6 +1179,56 @@ object Curation {
     scoreCharLmMicro(docs, trainCharLm(docs))
   }
 
+  /** Decile histogram of the exact char-LM micro score — the
+    * "perplexity bucketing" step of CCNet-style quality filtering
+    * (Wenzek et al. 2020 split Common Crawl into head/middle/tail by
+    * LM-score quantiles), over [[scoreCharLmMicro]]'s integer scores
+    * and [[Scale.rankCutpointsN]]'s distributed prefix-sum deciles —
+    * the same composition as dq_drift_chi2, so the cutpoint kernel
+    * gets a second INDEPENDENT oracle check via DuckDB's native
+    * percentile_disc. One scoring pass + one bounded cutpoint pass +
+    * one bucket-count aggregation; nothing corpus-sized leaves the
+    * executors.
+    */
+  def taCharLmBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = taCharLm(s, dir)
+      .select(($"prob_micro_sum".cast("double") / $"n_tris".cast("double"))
+        .as("v"))
+      .localCheckpoint(eager = true) // score once, scan twice
+    val cuts = graft.ops.Scale.rankCutpointsN(scored, $"v", 10)
+    val bucket =
+      if (cuts.isEmpty) lit(0)
+      else cuts.map(c => when($"v" > lit(c), 1).otherwise(0)).reduce(_ + _)
+    scored.select(bucket.as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_docs"))
+      .select($"bucket".cast("long").as("bucket"), $"n_docs")
+      .orderBy("bucket")
+  }
+
+  val DsirPerSource = 10
+
+  /** The DSIR SELECTION half: per-source top-n documents by the exact
+    * integer importance discriminant (ties doc_id asc) — what
+    * [[taImportance]]'s scores exist FOR (Xie et al. 2023 resample the
+    * raw corpus toward the target domain; the deterministic top-n is
+    * the auditable variant). Per-source ranking via one window over
+    * the scored rows — the heavy lifting (model build, scoring) is the
+    * importance pass itself; the selection adds one source-partitioned
+    * shuffle of (doc_id, source, score) id-rows only.
+    */
+  def sampleDsirTopK(s: SparkSession, dir: String, n: Int = DsirPerSource): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"raw_score".desc, $"doc_id".asc)
+    taImportance(s, dir)
+      .select($"doc_id", $"raw_score")
+      .join(t(s, dir, "documents").select($"doc_id", $"source"), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= n)
+      .select($"source", $"rk", $"doc_id", $"raw_score")
+      .orderBy("source", "rk")
+  }
+
   // ---- token-budget mixture selection ----
 
   val MixBudget = 600L
@@ -1401,8 +1451,9 @@ object Curation {
     "ta_ngram_top" -> ((s, d) => taNgramTop(s, d)),
     "ta_familiarity" -> taFamiliarity,
     "ta_importance" -> taImportance,
-    // rows-only: float log-prob arithmetic isn't cross-engine replayable
     "ta_charlm" -> taCharLm,
+    "ta_charlm_buckets" -> taCharLmBuckets,
+    "sample_dsir_topk" -> ((s, d) => sampleDsirTopK(s, d)),
     "mix_budget" -> ((s, d) => mixBudget(s, d)),
     "mix_epochs" -> ((s, d) => mixEpochs(s, d)),
     "mix_report" -> ((s, d) => mixReport(s, d)),
@@ -1423,9 +1474,12 @@ object Curation {
     s"(${dt(a, b)} / (sqrt(${dt(a, a)}) * sqrt(${dt(b, b)})))"
   }
 
-  val oracles: Map[String, String] = Map(
-    "ta_importance" -> """
-      WITH nd AS (
+  /** Shared per-doc importance-score CTE chain (ends in `isc`) — one
+    * source of truth for the ta_importance oracle and the dsir-top-k
+    * oracle built on it.
+    */
+  private val importanceScoreCte = """
+      nd AS (
         SELECT doc_id, lang,
           lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
         FROM documents),
@@ -1440,19 +1494,22 @@ object Curation {
       tot AS (
         SELECT CAST(sum(freq_r) AS BIGINT) AS n_r,
                CAST(sum(freq_t) AS BIGINT) AS n_t
-        FROM model)
-      SELECT t.doc_id,
-        count(*) AS n_tris,
-        CAST(sum(m.freq_t * x.n_r - m.freq_r * x.n_t) AS BIGINT) AS raw_score,
-        CAST(sum(m.freq_t * x.n_r - m.freq_r * x.n_t) AS DOUBLE)
-          / CAST(count(*) AS DOUBLE) AS mean_score
-      FROM tris t JOIN model m ON t.tri = m.tri CROSS JOIN tot x
-      GROUP BY t.doc_id
-      ORDER BY t.doc_id""",
-    // self-scoring ⇒ every trigram and context is in the model, so the
-    // inner joins are total; // replays Spark's DIV floor exactly
-    "ta_charlm" -> s"""
-      WITH nd AS (
+        FROM model),
+      isc AS (
+        SELECT t.doc_id,
+          count(*) AS n_tris,
+          CAST(sum(m.freq_t * x.n_r - m.freq_r * x.n_t) AS BIGINT) AS raw_score,
+          CAST(sum(m.freq_t * x.n_r - m.freq_r * x.n_t) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS mean_score
+        FROM tris t JOIN model m ON t.tri = m.tri CROSS JOIN tot x
+        GROUP BY t.doc_id)"""
+
+  /** Shared per-doc char-LM micro-score CTE chain (ends in `lmsc`).
+    * Self-scoring ⇒ every trigram and context is in the model, so the
+    * inner joins are total; `//` replays Spark's DIV floor exactly.
+    */
+  private val charLmScoreCte = s"""
+      nd AS (
         SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
         FROM documents),
       tris AS (
@@ -1466,18 +1523,57 @@ object Curation {
       voc AS (SELECT CAST(count(DISTINCT substr(tri, 3, 1)) AS BIGINT) AS v FROM model),
       g AS (
         SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS occ
-        FROM tris GROUP BY 1, 2)
-      SELECT g.doc_id,
-        CAST(sum(g.occ) AS BIGINT) AS n_tris,
-        CAST(sum(g.occ * (($CharLmUnit * (m.freq + 1)) // (c.cfreq + voc.v))) AS BIGINT) AS prob_micro_sum,
-        CAST(CAST(sum(g.occ * (($CharLmUnit * (m.freq + 1)) // (c.cfreq + voc.v))) AS BIGINT)
-          // CAST(sum(g.occ) AS BIGINT) AS BIGINT) AS avg_prob_micro
-      FROM g
-      JOIN model m ON g.tri = m.tri
-      JOIN ctx c ON substr(g.tri, 1, 2) = c.c2
-      CROSS JOIN voc
-      GROUP BY g.doc_id
-      ORDER BY g.doc_id""",
+        FROM tris GROUP BY 1, 2),
+      lmsc AS (
+        SELECT g.doc_id,
+          CAST(sum(g.occ) AS BIGINT) AS n_tris,
+          CAST(sum(g.occ * (($CharLmUnit * (m.freq + 1)) // (c.cfreq + voc.v))) AS BIGINT) AS prob_micro_sum
+        FROM g
+        JOIN model m ON g.tri = m.tri
+        JOIN ctx c ON substr(g.tri, 1, 2) = c.c2
+        CROSS JOIN voc
+        GROUP BY g.doc_id)"""
+
+  val oracles: Map[String, String] = Map(
+    "ta_importance" -> s"""
+      WITH $importanceScoreCte
+      SELECT doc_id, n_tris, raw_score, mean_score
+      FROM isc ORDER BY doc_id""",
+    "sample_dsir_topk" -> s"""
+      WITH $importanceScoreCte,
+      ranked AS (
+        SELECT d.source, isc.doc_id, isc.raw_score,
+          ROW_NUMBER() OVER (PARTITION BY d.source
+            ORDER BY isc.raw_score DESC, isc.doc_id ASC) AS rk
+        FROM isc JOIN documents d ON isc.doc_id = d.doc_id)
+      SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, raw_score
+      FROM ranked WHERE rk <= $DsirPerSource
+      ORDER BY source, rk""",
+    "ta_charlm" -> s"""
+      WITH $charLmScoreCte
+      SELECT doc_id, n_tris, prob_micro_sum,
+        CAST(prob_micro_sum // n_tris AS BIGINT) AS avg_prob_micro
+      FROM lmsc ORDER BY doc_id""",
+    // deciles via DuckDB's native percentile_disc — the second
+    // independent check of the rankCutpointsN prefix-sum kernel
+    // (dq_drift_chi2 is the first)
+    "ta_charlm_buckets" -> s"""
+      WITH $charLmScoreCte,
+      sc2 AS (
+        SELECT CAST(prob_micro_sum AS DOUBLE) / CAST(n_tris AS DOUBLE) AS v
+        FROM lmsc),
+      cuts AS (
+        SELECT ${(1 to 9).map(i =>
+          s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY v) AS c$i")
+          .mkString(", ")}
+        FROM sc2),
+      b AS (
+        SELECT ${(1 to 9).map(i =>
+          s"CASE WHEN v > c$i THEN 1 ELSE 0 END").mkString(" + ")} AS bucket
+        FROM sc2 CROSS JOIN cuts)
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM b GROUP BY bucket ORDER BY bucket""",
     "ta_familiarity" -> """
       WITH nd AS (
         SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm

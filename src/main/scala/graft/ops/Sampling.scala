@@ -297,13 +297,39 @@ object Sampling {
       .orderBy("source")
   }
 
+  val ReservoirK = 50
+
+  /** Deterministic fixed-k uniform "reservoir" sample: keep the k docs
+    * with the smallest md5(doc_id) (ties doc_id asc) — the family's
+    * recomputable uniform draw, expressed as a global top-k. Spark
+    * plans TakeOrderedAndProject: every partition keeps a k-row heap
+    * and the driver merges k·partitions rows — no global sort, no
+    * reservoir state to thread, and membership is recheckable from the
+    * id alone on any node (the property streaming reservoirs lose).
+    * This is the distributed answer to "give me a fixed-size uniform
+    * sample of a 100 TB corpus".
+    */
+  def sampleReservoir(s: SparkSession, dir: String, k: Int = ReservoirK): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", $"source", md5($"doc_id".cast("string")).as("h"))
+      .orderBy($"h".asc, $"doc_id".asc)
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split" -> splitSummary,
     "sample_temperature" -> ((s, d) => temperatureSummary(s, d)),
     "sample_unimax" -> ((s, d) => sampleUnimax(s, d)),
+    "sample_reservoir" -> ((s, d) => sampleReservoir(s, d)),
     "sample_cap_per_source" -> ((s, d) => capPerSourceSummary(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "sample_reservoir" -> s"""
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+      ORDER BY h ASC, doc_id ASC
+      LIMIT $ReservoirK""",
     "sample_split" -> s"""
       SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '$TrainUpper' THEN 'train'
                   WHEN md5(CAST(doc_id AS VARCHAR)) < '$ValUpper' THEN 'val'

@@ -929,7 +929,45 @@ object TextAnalysis {
     bpeEncodeDocs(docs, readBpeMerges(s, mpath))
   }
 
+  /** Cumulative n-gram novelty: the fraction of a doc's distinct
+    * word-trigram shingles whose FIRST corpus occurrence (min doc_id)
+    * is this doc — the per-document novelty diagnostic of the
+    * exact-substring dedup literature (Lee et al. 2022 report corpus
+    * memorization by first-occurrence fraction): low-novelty docs are
+    * template fills/boilerplate even when no single pair crosses a
+    * dedup threshold, so this scores what pairwise dedup can't see.
+    *
+    * 100 TB shape: reuses [[Dedup.shingledOf]]'s distinct
+    * (doc_id, shingle-hash) rows — one shuffle on shingle hash for the
+    * min-doc_id first-occurrence table (map-side combine: min is
+    * associative), one shingle-keyed join back, one doc_id
+    * aggregation. Nothing is collected; a hot shingle contributes ONE
+    * first-occurrence row regardless of df, so skew stays in the join
+    * (where AQE split handles it), never the driver. Counts are
+    * integers + one IEEE division → hash-exact.
+    */
+  def taNovelty(s: SparkSession, dir: String): DataFrame =
+    noveltyOf(t(s, dir, "documents"))
+
+  /** [[taNovelty]] over any (doc_id, text) frame — the spec entry
+    * point for planted copy/disjoint corpora.
+    */
+  def noveltyOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sh = Dedup.shingledOf(docs.select($"doc_id", $"text"))
+    val first = sh.groupBy($"sh").agg(min($"doc_id").as("first_id"))
+    sh.join(first, Seq("sh"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"doc_id" === $"first_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        ($"n_novel".cast("double") / $"n_shingles".cast("double")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_novelty" -> taNovelty,
     "ta_bm25" -> ((s, d) => taBm25(s, d)),
     "ta_bm25_multi" -> ((s, d) => taBm25Multi(s, d)),
     "ta_heavy_hitters" -> taHeavyHitters,
@@ -997,6 +1035,21 @@ object TextAnalysis {
     }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // same doc-distinct word-trigram space as the dedup family
+    // (Dedup.shingleCte); hashed vs string shingles agree on every
+    // count as long as fnv is collision-free on the corpus — the same
+    // standing assumption the jaccard oracles rest on
+    "ta_novelty" -> s"""
+      WITH ${Dedup.shingleCte},
+      first AS (SELECT sh AS g, MIN(doc_id) AS first_id FROM sh GROUP BY 1)
+      SELECT s.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        CAST(SUM(CASE WHEN s.doc_id = f.first_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        CAST(SUM(CASE WHEN s.doc_id = f.first_id THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS novelty
+      FROM sh s JOIN first f ON s.sh = f.g
+      GROUP BY s.doc_id
+      ORDER BY s.doc_id""",
     "ta_bm25_multi" -> s"""
       WITH toks AS (
         SELECT doc_id,

@@ -441,7 +441,37 @@ object QualityQueries {
       .orderBy("digit")
   }
 
+  /** Cross-table field-consistency check (beyond-ref): a lineitem must
+    * not ship before its order's date — the standard temporal
+    * referential screen (the single-table checks can't see it). One
+    * equi join on the key + one conditional aggregation: at scale both
+    * sides shuffle on orderkey (or AQE converts to broadcast when one
+    * side fits), and only the violation counters cross stages. All
+    * integer output → hash-exact.
+    */
+  def dqCrossField(s: SparkSession, dir: String): DataFrame =
+    dqCrossFieldOf(t(s, dir, "lineitem"), t(s, dir, "orders"))
+
+  /** [[dqCrossField]] over arbitrary frames — the planted-violation
+    * spec entry point.
+    */
+  def dqCrossFieldOf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val s = lineitem.sparkSession
+    import s.implicits._
+    lineitem.select($"l_orderkey", $"l_shipdate")
+      .join(
+        orders.select($"o_orderkey".as("l_orderkey"), $"o_orderdate"),
+        Seq("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"l_shipdate" < $"o_orderdate", 1L).otherwise(0L))
+          .as("n_violations"))
+      .select(lit("l_shipdate >= o_orderdate").as("checked"),
+        $"n_rows", $"n_violations", ($"n_violations" === 0L).as("passed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_cross_field" -> dqCrossField,
     "dq_drift_chi2" -> dqDriftChi2,
     "dq_benford" -> dqBenford,
     "dq_unique_hll" -> dqUniqueHll,
@@ -472,6 +502,12 @@ object QualityQueries {
         CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct,
         TRUE AS bounds_ok
       FROM documents""",
+    "dq_cross_field" -> """
+      SELECT 'l_shipdate >= o_orderdate' AS checked,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) = 0 AS passed
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
     // deciles deliberately via DuckDB's native percentile_disc (the
     // same inclusive-rank definition) — an independent check of the
     // Spark side's distributed prefix-sum cutpoints

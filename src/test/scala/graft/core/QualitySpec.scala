@@ -208,6 +208,26 @@ class QualitySpec extends SparkSpec {
     lenient.afterPipeline("p", PipelineResult("p", PipelineStatus.Success, Nil, 0))
     assert(lenient.passed)
   }
+
+  test("cross-field check: planted ship-before-order violation is counted, clean data passes") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val orders = Seq(
+      (10L, ts("2024-01-05 00:00:00")),
+      (11L, ts("2024-02-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val clean = Seq(
+      (10L, ts("2024-01-06 00:00:00")),
+      (10L, ts("2024-01-05 00:00:00")), // same instant: allowed (>=)
+      (11L, ts("2024-03-01 00:00:00")))
+      .toDF("l_orderkey", "l_shipdate")
+    val ok = graft.queries.QualityQueries.dqCrossFieldOf(clean, orders).head()
+    assert(ok.getLong(1) == 3L && ok.getLong(2) == 0L && ok.getBoolean(3))
+    val dirty = clean.unionByName(
+      Seq((11L, ts("2024-01-31 00:00:00"))).toDF("l_orderkey", "l_shipdate"))
+    val bad = graft.queries.QualityQueries.dqCrossFieldOf(dirty, orders).head()
+    assert(bad.getLong(1) == 4L && bad.getLong(2) == 1L && !bad.getBoolean(3))
+  }
 }
 
 class SchemaSpec extends SparkSpec {

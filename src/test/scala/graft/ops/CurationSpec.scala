@@ -729,4 +729,47 @@ class CurationSpec extends SparkSpec {
         s"paths diverged at width=$width:\n kernel=$viaKernel\n join=$viaJoin")
     }
   }
+
+  test("dsir top-k: per-source argmax of the exact importance score, ties to low id") {
+    val got = Curation.sampleDsirTopK(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // rank sequences are 1..n per source, scores non-increasing
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val byRk = rows.sortBy(_._2)
+      assert(byRk.map(_._2).toSeq == (1L to byRk.length.toLong),
+        s"$src ranks ${byRk.map(_._2).toSeq}")
+      byRk.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+            s"$src order violated: $a then $b")
+        case _ => ()
+      }
+      assert(byRk.length <= Curation.DsirPerSource)
+    }
+    // membership = naive top-n over the full scored table
+    val docsSrc = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scored = Curation.taImportance(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val want = scored.groupBy(p => docsSrc(p._1)).toSeq.flatMap { case (src, xs) =>
+      xs.sortBy { case (id, sc) => (-sc, id) }.take(Curation.DsirPerSource)
+        .zipWithIndex
+        .map { case ((id, sc), i) => (src, (i + 1).toLong, id, sc) }
+    }.sortBy(p => (p._1, p._2))
+    assert(got.toSeq.sortBy(p => (p._1, p._2)) == want)
+  }
+
+  test("charlm buckets: decile histogram conserves the corpus and stays near-uniform") {
+    val got = Curation.taCharLmBuckets(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nScored = Curation.taCharLm(spark, sfDir).count()
+    assert(got.map(_._2).sum == nScored, "every scored doc lands in exactly one bucket")
+    assert(got.forall { case (b, _) => b >= 0L && b <= 9L })
+    // inclusive-rank deciles over near-distinct micro scores: all 10
+    // buckets present, none collapses or balloons past 2x its share
+    assert(got.length >= 8, s"buckets missing: ${got.toSeq}")
+    assert(got.forall(_._2 <= nScored / 5 + 2), s"skewed buckets: ${got.toSeq}")
+  }
 }

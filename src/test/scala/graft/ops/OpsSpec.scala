@@ -517,6 +517,23 @@ class SamplingSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("reservoir sample: deterministic top-k by md5, heap plan, no global sort") {
+    val got = Sampling.sampleReservoir(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(got.length == Sampling.ReservoirK)
+    // membership = the k smallest md5 hashes — recomputable ground truth
+    val all = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", md5($"doc_id".cast("string")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, h) => (h, id) }.take(Sampling.ReservoirK)
+    assert(got.toSeq == all.toSeq, "sample must be the exact k-smallest-hash set")
+    // the plan must be a per-partition heap + driver merge, not a sort
+    val plan = Sampling.sampleReservoir(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject, got:\n$plan")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -1123,5 +1140,28 @@ class TextAnalysisSpec extends SparkSpec {
     val fps = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
+  }
+
+  test("novelty: verbatim copies score 0, disjoint docs score 1, overlap is the shared fraction") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, base),                                   // first occurrence of everything
+      (2L, base),                                   // full copy -> novelty 0
+      (3L, "kilo lima mike november oscar papa"),   // disjoint -> novelty 1
+      (4L, base + " india juliet"),                 // suffix extension: only the crossing+new trigrams are novel
+      (5L, "xx"))                                   // < 3 words -> absent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!got.contains(5L))
+    assert(got(1L)._3 == 1.0, s"first doc owns all its shingles: ${got(1L)}")
+    assert(got(2L)._2 == 0L && got(2L)._3 == 0.0, s"copy must be 0-novel: ${got(2L)}")
+    assert(got(3L)._3 == 1.0)
+    // doc 4: base has 6 trigrams (8 words), doc 4 has 8 (10 words) — the
+    // 2 involving the appended words are novel
+    assert(got(4L)._1 == 8L && got(4L)._2 == 2L, s"${got(4L)}")
+    // conservation: n_novel across the corpus == number of distinct shingles
+    val distinctShingles = Dedup.shingledOf(docs).select("sh").distinct().count()
+    assert(got.values.map(_._2).sum == distinctShingles)
   }
 }
