@@ -720,6 +720,85 @@ object StreamingCuration {
       .limit(n)
   }
 
+  /** Fold a batch into the persistent shingle FIRST-OCCURRENCE table:
+    * (sh, first_id) with min-merge — the streaming twin of
+    * [[graft.ops.TextAnalysis.taNovelty]]. State is
+    * shingle-vocabulary-bounded (the window-freq/chunk-freq bound, one
+    * row per distinct trigram ever seen, never corpus-sized) and the
+    * fold is associative/idempotent (min), so re-folding an identical
+    * batch cannot corrupt it. Crash-safe versioned commit: each fold
+    * writes a fresh novelty_v<N>/first whose parquet _SUCCESS is the
+    * commit marker; prior versions are deleted only after.
+    */
+  def mergeNoveltyState(spark: SparkSession, stateDir: String, batch: DataFrame): Unit = {
+    import spark.implicits._
+    val batchFirst = Dedup.shingledOf(batch.select(col("doc_id"), col("text")))
+      .groupBy($"sh").agg(min($"doc_id").as("first_id"))
+    val prior = noveltyLatest(stateDir)
+    val merged = prior match {
+      case None => batchFirst
+      case Some((_, dir)) => spark.read.parquet(s"$dir/first")
+        .unionByName(batchFirst)
+        .groupBy($"sh").agg(min($"first_id").as("first_id"))
+    }
+    val nextV = prior.map(_._1 + 1).getOrElse(1)
+    merged.write.mode("overwrite")
+      .parquet(s"$stateDir/novelty_v$nextV/first")
+    prior.foreach { case (v, _) =>
+      (1 to v).foreach { old =>
+        graft.ops.Curation.deleteRecursively(
+          new java.io.File(s"$stateDir/novelty_v$old"))
+      }
+    }
+  }
+
+  private def noveltyLatest(stateDir: String): Option[(Int, String)] = {
+    val root = new java.io.File(stateDir)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (n.startsWith("novelty_v") &&
+            new java.io.File(f, "first/_SUCCESS").exists())
+          scala.util.Try(n.stripPrefix("novelty_v").toInt).toOption
+            .map(v => (v, f.getPath))
+        else None
+      }
+      .sortBy(-_._1).headOption
+  }
+
+  /** Score a batch's novelty against the ACCUMULATED first-occurrence
+    * state: a shingle is novel for doc d iff NO prior batch saw it AND
+    * d is its first holder within this batch. When batches arrive in
+    * ascending doc_id order (the streaming contract — ids are
+    * monotonic), the concatenation of per-batch scores is EXACTLY the
+    * one-shot [[graft.ops.TextAnalysis.noveltyOf]] over the full
+    * corpus (spec-pinned): the state stands in for "every earlier
+    * doc", so a batch pays batch-scan + state-join cost, never a
+    * corpus rescan.
+    */
+  def noveltyFromState(spark: SparkSession, stateDir: String, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sh = Dedup.shingledOf(docs.select(col("doc_id"), col("text")))
+    val batchFirst = sh.groupBy($"sh").agg(min($"doc_id").as("bfirst"))
+    val withState = noveltyLatest(stateDir) match {
+      case None => sh.join(batchFirst, Seq("sh"))
+        .withColumn("sfirst", lit(null).cast("long"))
+      case Some((_, dir)) => sh.join(batchFirst, Seq("sh"))
+        .join(
+          spark.read.parquet(s"$dir/first")
+            .withColumnRenamed("first_id", "sfirst"),
+          Seq("sh"), "left")
+    }
+    withState
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"sfirst".isNull && $"doc_id" === $"bfirst", 1L)
+          .otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        ($"n_novel".cast("double") / $"n_shingles".cast("double")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Score documents against the ACCUMULATED chunk-frequency state:
     * chunks that `minDocs`+ accepted corpus documents contain are
     * stripped (the incremental form of [[graft.ops.Curation.taBoilerplate]] —

@@ -1174,10 +1174,24 @@ object Curation {
     * float log-prob/perplexity form stays available as
     * [[scoreCharLm]] for API use (spec-gated, engine-local floats).
     */
-  def taCharLm(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    scoreCharLmMicro(docs, trainCharLm(docs))
-  }
+  private val lmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CharLm]()
+
+  /** Frozen per-corpus-fingerprint char LM — train once per (dir,
+    * corpus content), reuse across registered calls in the session
+    * (ta_charlm, ta_charlm_buckets, repeat bench sweeps). The model is
+    * all-integer (trigram counts on a lineage-truncated frame), so a
+    * cache hit is bit-identical to a retrain; the fingerprint is the
+    * rewrite-sensitive [[TextAnalysis.docsFingerprint]], the
+    * quantizer/BPE-cache invalidation discipline.
+    */
+  def charLmFor(s: SparkSession, dir: String): CharLm =
+    lmCache.computeIfAbsent(
+      dir + "|" + TextAnalysis.docsFingerprint(s, dir),
+      _ => trainCharLm(t(s, dir, "documents")))
+
+  def taCharLm(s: SparkSession, dir: String): DataFrame =
+    scoreCharLmMicro(t(s, dir, "documents"), charLmFor(s, dir))
 
   /** Decile histogram of the exact char-LM micro score — the
     * "perplexity bucketing" step of CCNet-style quality filtering
@@ -1192,7 +1206,7 @@ object Curation {
     */
   def taCharLmBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scored = taCharLm(s, dir)
+    val scored = scoreCharLmMicro(t(s, dir, "documents"), charLmFor(s, dir))
       .select(($"prob_micro_sum".cast("double") / $"n_tris".cast("double"))
         .as("v"))
       .localCheckpoint(eager = true) // score once, scan twice

@@ -71,7 +71,7 @@ object Dedup {
     * window width `n` a parameter (dedup uses 3; decontamination
     * sweeps are conventionally run at much wider windows, e.g. 13).
     */
-  private[ops] def shingledOf(docs: DataFrame, n: Int = ShingleN): DataFrame = {
+  private[graft] def shingledOf(docs: DataFrame, n: Int = ShingleN): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs

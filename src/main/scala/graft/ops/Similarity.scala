@@ -85,6 +85,36 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Cosine threshold for the registered range search — tuned to the
+    * synthetic corpus's loose clusters the same way the embcos dedup
+    * threshold is (max pairwise cosine ~0.5).
+    */
+  val RangeThreshold = 0.25
+
+  /** RANGE (radius) search: every corpus vector within cosine ≥
+    * threshold of each query — the fixed-radius companion of the top-k
+    * family (dedup sweeps, recall sets, and near-duplicate audits want
+    * "everything this similar", not "the k best"). Same 100 TB shape
+    * as [[simBruteTopK]]: the bounded query set broadcasts, the corpus
+    * is scanned once with a codegen'd cosine kernel, and — unlike
+    * top-k — there is NO rank window at all: the threshold filter is
+    * applied in the scan stage, so nothing shuffles before the output
+    * sort. The bucketed accelerations (IVF partition-filter probes,
+    * LSH bands) compose in front unchanged when the radius is tight.
+    */
+  def simRangeSearch(s: SparkSession, dir: String,
+      threshold: Double = RangeThreshold): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir)
+    val q = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), asDouble($"embedding").as("qe"))
+    val c = all.select($"vec_id".as("cand_id"), asDouble($"embedding").as("ce"))
+    c.join(broadcast(q), $"query_id" =!= $"cand_id")
+      .select($"query_id", $"cand_id", cosine($"qe", $"ce").as("cos"))
+      .filter($"cos" >= threshold)
+      .orderBy("query_id", "cand_id")
+  }
+
   // ---- random-hyperplane LSH ----
 
   val NumPlanes = 24
@@ -1204,6 +1234,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_triplets" -> ((s, d) => sampleTriplets(s, d)),
     "sim_brute_topk" -> simBruteTopK,
+    "sim_range_search" -> ((s, d) => simRangeSearch(s, d)),
     "sim_lsh_ann" -> simLshANN,
     "sim_ivf_ann" -> ((s, d) => simIvfANN(s, d)),
     "sim_sq_ann" -> simSqANN,
@@ -1289,6 +1320,13 @@ object Similarity {
       SELECT query_id, rk, cand_id, cos FROM ranked
       WHERE rk <= $TopK
       ORDER BY query_id, rk""",
+    "sim_range_search" -> s"""
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             ${duckCos("q.embedding", "c.embedding")} AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < $NumQueries
+        AND ${duckCos("q.embedding", "c.embedding")} >= $RangeThreshold
+      ORDER BY query_id, cand_id""",
     "dedup_embcos" -> embCosOracle,
     "dedup_embcos_tiled" -> embCosOracle,
     // SQ8 is deterministic end-to-end (integer dots + IEEE-exact

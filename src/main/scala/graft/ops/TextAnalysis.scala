@@ -885,7 +885,7 @@ object TextAnalysis {
     * never be silently reused (the dedupSemanticKmeans quantizer-cache
     * pattern, post its round-5 fingerprint fix).
     */
-  private def docsFingerprint(s: SparkSession, dir: String): String = {
+  private[ops] def docsFingerprint(s: SparkSession, dir: String): String = {
     val r = t(s, dir, "documents")
       .agg(count(lit(1)),
         coalesce(sum(hash(col("doc_id"), col("text")).cast("long")), lit(0L)))

@@ -470,7 +470,49 @@ object QualityQueries {
         $"n_rows", $"n_violations", ($"n_violations" === 0L).as("passed"))
   }
 
+  /** One-pass table statistics (the ANALYZE/CBO stats shape): per
+    * audited column — null count, EXACT distinct count, numeric
+    * min/max — from a SINGLE scan. The k COUNT(DISTINCT) measures
+    * compile to one Expand feeding one aggregation (the q38 plan, not
+    * k scans); min/max/null counters ride the same pass with map-side
+    * partials, and the one stats row unpivots via stack. Exact NDV is
+    * the documented scale hazard (it shuffles the distinct values) —
+    * at 100 TB swap in the mergeable HLL sketch of [[dqUniqueHll]] per
+    * column; everything else is O(1) state per task at any scale.
+    * Numeric min/max stay typed DOUBLE (never rendered to strings, so
+    * no cross-engine formatting hazard); ids < 2⁵³ cast exactly.
+    */
+  def dqTableStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"event_id".isNull, 1L).otherwise(0L)).as("nn1"),
+        countDistinct($"event_id").as("d1"),
+        min($"event_id").cast("double").as("mn1"),
+        max($"event_id").cast("double").as("mx1"),
+        sum(when($"user_id".isNull, 1L).otherwise(0L)).as("nn2"),
+        countDistinct($"user_id").as("d2"),
+        min($"user_id").cast("double").as("mn2"),
+        max($"user_id").cast("double").as("mx2"),
+        sum(when($"event_type".isNull, 1L).otherwise(0L)).as("nn3"),
+        countDistinct($"event_type").as("d3"),
+        sum(when($"value".isNull, 1L).otherwise(0L)).as("nn4"),
+        countDistinct($"value").as("d4"),
+        min($"value").as("mn4"),
+        max($"value").as("mx4"))
+      .selectExpr("n", """stack(4,
+        'event_id', nn1, d1, mn1, mx1,
+        'user_id', nn2, d2, mn2, mx2,
+        'event_type', nn3, d3, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        'value', nn4, d4, mn4, mx4) AS (col_name, n_nulls, n_distinct, min_num, max_num)""")
+      .select($"col_name", $"n".as("n_rows"), $"n_nulls", $"n_distinct",
+        $"min_num", $"max_num")
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_table_stats" -> dqTableStats,
     "dq_cross_field" -> dqCrossField,
     "dq_drift_chi2" -> dqDriftChi2,
     "dq_benford" -> dqBenford,
@@ -502,6 +544,32 @@ object QualityQueries {
         CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct,
         TRUE AS bounds_ok
       FROM documents""",
+    "dq_table_stats" -> """
+      SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        CAST(MIN(event_id) AS DOUBLE) AS min_num,
+        CAST(MAX(event_id) AS DOUBLE) AS max_num
+      FROM events
+      UNION ALL
+      SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(COUNT(DISTINCT user_id) AS BIGINT),
+        CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+      FROM events
+      UNION ALL
+      SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(COUNT(DISTINCT event_type) AS BIGINT),
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+      FROM events
+      UNION ALL
+      SELECT 'value', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(COUNT(DISTINCT value) AS BIGINT),
+        MIN(value), MAX(value)
+      FROM events
+      ORDER BY col_name""",
     "dq_cross_field" -> """
       SELECT 'l_shipdate >= o_orderdate' AS checked,
         CAST(COUNT(*) AS BIGINT) AS n_rows,

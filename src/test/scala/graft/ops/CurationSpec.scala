@@ -761,6 +761,18 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq.sortBy(p => (p._1, p._2)) == want)
   }
 
+  test("char-LM fingerprint cache: hits are bit-identical to a fresh retrain") {
+    val docs = graft.Tables.t(spark, sfDir, "documents").select($"doc_id", $"text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val fresh = Curation.scoreCharLmMicro(docs, Curation.trainCharLm(docs))
+      .collect().map(key).toSeq
+    val first = Curation.taCharLm(spark, sfDir).collect().map(key).toSeq
+    val hit = Curation.taCharLm(spark, sfDir).collect().map(key).toSeq
+    assert(first == fresh && hit == fresh,
+      "cached model must reproduce the fresh retrain exactly")
+  }
+
   test("charlm buckets: decile histogram conserves the corpus and stays near-uniform") {
     val got = Curation.taCharLmBuckets(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))

@@ -115,14 +115,16 @@ class PlanSpec extends SparkSpec {
     for ((name, fn) <- QualityQueries.queries) {
       val df = fn(spark, sfDir)
       val scans = "FileScan|BatchScan".r.findAllIn(plan(df)).size
-      // two-scan exceptions: referential joins child to parent;
-      // anomaly is a stats pass + a broadcast-stats rescan (the
-      // model-then-score shape — per-row z against GROUP statistics
-      // can't be one aggregation). outlier_mad's median/MAD passes run
-      // eagerly inside groupedDiscMedian (localCheckpoint-truncated),
-      // so its RETURNED plan is one scan + a broadcast local stats
-      // table and the default bound applies.
-      val allowed = if (Set("dq_referential", "dq_anomaly")(name)) 2 else 1
+      // two-scan exceptions: referential and cross_field join child to
+      // parent (two-table checks by definition); anomaly is a stats
+      // pass + a broadcast-stats rescan (the model-then-score shape —
+      // per-row z against GROUP statistics can't be one aggregation).
+      // outlier_mad's median/MAD passes run eagerly inside
+      // groupedDiscMedian (localCheckpoint-truncated), so its RETURNED
+      // plan is one scan + a broadcast local stats table and the
+      // default bound applies.
+      val allowed =
+        if (Set("dq_referential", "dq_anomaly", "dq_cross_field")(name)) 2 else 1
       assert(scans <= allowed, s"$name reads its input more than once")
     }
   }
@@ -295,6 +297,21 @@ class PlanSpec extends SparkSpec {
       s"token stream must not shuffle — only sketch buffers move:\n$p")
     assert(p.contains("Exchange SinglePartition"),
       s"expected only the fixed-size buffer merge exchange:\n$p")
+  }
+
+  test("dq_table_stats: k distinct measures + min/max/null stats in ONE scan, one Expand") {
+    val p = plan(graft.queries.QualityQueries.dqTableStats(spark, sfDir))
+    assert("FileScan|BatchScan".r.findAllIn(p).size == 1,
+      s"table stats must cost one scan regardless of column count:\n$p")
+    assert("Expand".r.findAllIn(p).size == 1,
+      s"the k COUNT(DISTINCT) measures should share one Expand (q38 shape):\n$p")
+  }
+
+  test("sim_range_search: threshold filter in the scan stage, no rank window, corpus never broadcast") {
+    val p = plan(graft.ops.Similarity.simRangeSearch(spark, sfDir))
+    assert(!p.contains("Window"), s"radius search needs no rank window:\n$p")
+    assert("BroadcastExchange".r.findAllIn(p).size == 1,
+      s"exactly the bounded query set broadcasts:\n$p")
   }
 }
 

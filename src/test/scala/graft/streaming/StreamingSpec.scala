@@ -677,6 +677,38 @@ class StreamingSpec extends SparkSpec {
       .bm25FromState(spark, state, docs, "zzznotoken", 5).count() == 5L)
   }
 
+  test("incremental novelty state: per-batch scores concatenate to the one-shot batch answer") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val state = Files.createTempDirectory("graft-novelty").resolve("s").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    // ascending-id batches (the streaming contract): thirds by id range
+    val ids = docs.select(max($"doc_id")).head.getLong(0)
+    val bounds = Seq(0L, ids / 3, 2 * ids / 3, ids + 1)
+    val perBatch = (0 until 3).map { i =>
+      val b = docs.filter($"doc_id" >= bounds(i) && $"doc_id" < bounds(i + 1))
+      // score BEFORE folding (the state must describe only PRIOR batches)
+      val scored = StreamingCuration.noveltyFromState(spark, state, b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      StreamingCuration.mergeNoveltyState(spark, state, b)
+      scored
+    }
+    val got = perBatch.flatten.sortBy(_._1).toSeq
+    val want = graft.ops.TextAnalysis.noveltyOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got == want, "per-batch novelty must equal the one-shot batch operator")
+    // idempotence: re-folding the last batch cannot change the state
+    val before = StreamingCuration.noveltyFromState(spark, state,
+      docs.filter($"doc_id" >= bounds(2))).collect().map(_.toSeq).toSeq
+    StreamingCuration.mergeNoveltyState(spark, state,
+      docs.filter($"doc_id" >= bounds(2)))
+    val after = StreamingCuration.noveltyFromState(spark, state,
+      docs.filter($"doc_id" >= bounds(2))).collect().map(_.toSeq).toSeq
+    assert(before == after, "min-merge must be idempotent to re-delivery")
+  }
+
   test("streaming IVF ingestion: micro-batches append against the frozen quantizer") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
