@@ -144,10 +144,18 @@ object StreamingCuration {
       val newChunks = graft.ops.Curation
         .distinctChunkHashes(accepted.select($"doc_id", $"text"))
         .localCheckpoint(eager = true)
+      // 6b: first-occurrence novelty state input — the accepted docs'
+      // (doc_id, text), ALSO materialized before any append (the same
+      // lazy-re-read hazard: `accepted` anti-joins the docsDir read,
+      // so evaluating it after the docs append would resolve empty and
+      // silently fold nothing)
+      val noveltyDocs = accepted.select($"doc_id", $"text")
+        .localCheckpoint(eager = true)
       withSplit.write.mode("append").parquet(docsDir)
       batchSets.join(withSplit.select($"doc_id"), Seq("doc_id"), "left_semi")
         .write.mode("append").parquet(setsDir)
       mergeChunkFreq(spark, stateDir, newChunks)
+      mergeNoveltyState(spark, stateDir, noveltyDocs)
       // fold the accepted md5s into the persisted corpus bloom (the
       // collect is batch-bounded; withSplit is already materialized)
       updateBloom(stateDir,

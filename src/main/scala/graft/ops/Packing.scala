@@ -125,8 +125,63 @@ object Packing {
       .orderBy("doc_id", "chunk_id")
   }
 
+  val ShardCount = 8
+
+  /** Balanced SHARD assignment — the "write the corpus as N training
+    * shards of near-equal token mass" step every packed-dataset export
+    * ends with (webdataset/TFRecord shard writing). Docs are ranked by
+    * (n_tokens desc, doc_id asc) and dealt SERPENTINE over the N
+    * shards (block k deals left-to-right, block k+1 right-to-left) —
+    * the classic LPT-style greedy that bounds shard imbalance by one
+    * document per block, deterministic and engine-replayable where
+    * true greedy bin-packing is inherently sequential.
+    *
+    * 100 TB shape: the global size rank is the [[packSequencesOf]]
+    * two-pass distributed prefix COUNT over the
+    * range-partitioned (n desc, id) order — no single-partition
+    * window; per-partition row counts (≤ partitions rows) are the only
+    * driver traffic, and the per-shard summary aggregates with
+    * map-side partials. Output is the N-row shard manifest.
+    */
+  def packShards(s: SparkSession, dir: String,
+      shards: Int = ShardCount, partitions: Int = 32): DataFrame = {
+    import s.implicits._
+    val ranged = t(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
+      .filter($"n" > 0L)
+      .repartitionByRange(partitions, $"n".desc, $"doc_id".asc)
+      .sortWithinPartitions($"n".desc, $"doc_id".asc)
+      .as[(Long, Long)]
+      .localCheckpoint(true)
+    val counts = ranged.rdd
+      .mapPartitionsWithIndex { (pid, it) => Iterator.single((pid, it.size.toLong)) }
+      .collect().sortBy(_._1)
+    val base = new Array[Long](counts.length + 1)
+    counts.foreach { case (pid, c) => base(pid + 1) = c }
+    var i = 1
+    while (i < base.length) { base(i) += base(i - 1); i += 1 }
+    val baseBc = s.sparkContext.broadcast(base)
+    val assigned = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = baseBc.value(pid) // 0-based global rank
+      it.map { case (id, n) =>
+        val block = r / shards
+        val pos = (r % shards).toInt
+        val shard = if (block % 2 == 0L) pos else shards - 1 - pos
+        r += 1
+        (shard.toLong, id, n)
+      }
+    }
+    s.createDataFrame(assigned).toDF("shard_id", "doc_id", "n_tokens")
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("shard_tokens"),
+        sum($"doc_id").as("sum_doc_ids"))
+      .orderBy("shard_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
+    "pack_shards" -> ((s, d) => packShards(s, d)),
     "pack_chunks" -> packChunks)
 
   /** DuckDB token count, identical to TextAnalysis.tokenCount (parity
@@ -161,5 +216,21 @@ object Packing {
         CAST(LEAST(n, tok_from + $ChunkLen) AS BIGINT) AS tok_to
       FROM (SELECT doc_id, n, unnest(range(0, n, $ChunkStride)) AS tok_from
             FROM toks WHERE n > 0)
-      ORDER BY doc_id, chunk_id""")
+      ORDER BY doc_id, chunk_id""",
+    "pack_shards" -> s"""
+      WITH $tokCte,
+      ranked AS (
+        SELECT doc_id, n,
+          ROW_NUMBER() OVER (ORDER BY n DESC, doc_id ASC) - 1 AS r
+        FROM toks WHERE n > 0),
+      dealt AS (
+        SELECT doc_id, n,
+          CASE WHEN (r // $ShardCount) % 2 = 0 THEN r % $ShardCount
+               ELSE $ShardCount - 1 - (r % $ShardCount) END AS shard_id
+        FROM ranked)
+      SELECT CAST(shard_id AS BIGINT) AS shard_id,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n) AS BIGINT) AS shard_tokens,
+        CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+      FROM dealt GROUP BY shard_id ORDER BY shard_id""")
 }

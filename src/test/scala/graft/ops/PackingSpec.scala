@@ -111,6 +111,29 @@ class PackingSpec extends SparkSpec {
       assert(doc >= 0)
     }
   }
+
+  test("pack_shards: serpentine deal conserves mass, covers all shards, stays balanced") {
+    import spark.implicits._
+    val got = Packing.packShards(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == (0L until Packing.ShardCount.toLong),
+      "every shard id present, in order")
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select(TextAnalysis.tokenCount($"text").as("n")).filter($"n" > 0L)
+      .localCheckpoint(true)
+    assert(got.map(_._2).sum == docs.count(), "every doc dealt exactly once")
+    assert(got.map(_._3).sum == docs.agg(sum($"n")).head.getLong(0),
+      "token mass conserved")
+    // serpentine bound: block k deals desc, block k+1 asc, so shard
+    // totals stay within a couple of max-doc sizes of each other
+    val maxDoc = docs.agg(max($"n")).head.getLong(0)
+    val spread = got.map(_._3).max - got.map(_._3).min
+    assert(spread <= 2 * maxDoc, s"imbalance $spread vs max doc $maxDoc")
+    // partition-independence: a different layout deals identically
+    val again = Packing.packShards(spark, sfDir, partitions = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == got.toSeq)
+  }
 }
 
 class DecontaminationSpec extends SparkSpec {
