@@ -115,6 +115,75 @@ object Similarity {
       .orderBy("query_id", "cand_id")
   }
 
+  // ---- margin-based bitext mining (Artetxe & Schwenk, ACL 2019) ----
+
+  val BitextK = 4
+  val BitextBound = 200L
+
+  /** Margin-based BITEXT MINING — the standard parallel-pair miner for
+    * MT training data (LASER/CCMatrix): a candidate pair scores by its
+    * cosine RELATIVE to each side's neighborhood density,
+    * margin(x,y) = cos(x,y) / ((avgNNk(x,Y) + avgNNk(y,X)) / 2),
+    * which kills hub vectors that are "close to everything" and is the
+    * published reason raw-cosine mining underperforms. Registered form
+    * mines the even-id side against the odd-id side of the bounded
+    * probe window (the two stand-in "languages"); [[bitextOf]] is the
+    * general two-corpus form.
+    *
+    * Exactness: ONE cosine pass feeds candidate scores and both
+    * neighborhood averages (lineage-truncated); the k-NN averages fold
+    * in explicit (rk asc) order via sort_array + aggregate, so every
+    * double — cos, averages, margins, and therefore the margin
+    * ORDERING — is bit-identical cross-engine and the top-1-per-x
+    * output hash-matches.
+    *
+    * 100 TB shape: the probe set broadcasts (bounded, the query-vector
+    * idiom); corpus-×-corpus mining swaps the brute candidate pass for
+    * the banded/IVF candidate generators unchanged — the margin
+    * formula only ever sees (id, id, cos) rows, and the k-NN averages
+    * are id-keyed aggregations of those same rows, never a second
+    * vector pass.
+    */
+  def simBitextMining(s: SparkSession, dir: String,
+      k: Int = BitextK, bound: Long = BitextBound): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).filter($"vec_id" < bound)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+    bitextOf(
+      e.filter($"vec_id" % 2 === 0).select($"vec_id".as("x_id"), $"v".as("xv")),
+      e.filter($"vec_id" % 2 =!= 0).select($"vec_id".as("y_id"), $"v".as("yv")),
+      k)
+  }
+
+  /** [[simBitextMining]] over arbitrary (x_id, xv) / (y_id, yv) frames. */
+  def bitextOf(xs: DataFrame, ys: DataFrame, k: Int = BitextK): DataFrame = {
+    val s = xs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val pairs = ys.join(broadcast(xs))
+      .select($"x_id", $"y_id", cosine($"xv", $"yv").as("cos"))
+      .localCheckpoint(eager = true) // one cosine pass feeds all three uses
+    def knnAvg(idCol: String, w: org.apache.spark.sql.expressions.WindowSpec,
+        out: String): DataFrame =
+      pairs.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+        .groupBy(col(idCol))
+        .agg(sort_array(collect_list(struct($"rk", $"cos"))).as("nb"))
+        .select(col(idCol),
+          (aggregate($"nb", lit(0.0), (acc, x) => acc + x.getField("cos"))
+            / k.toDouble).as(out))
+    val ax = knnAvg("x_id",
+      Window.partitionBy($"x_id").orderBy($"cos".desc, $"y_id".asc), "ax")
+    val ay = knnAvg("y_id",
+      Window.partitionBy($"y_id").orderBy($"cos".desc, $"x_id".asc), "ay")
+    val wBest = Window.partitionBy($"x_id").orderBy($"margin".desc, $"y_id".asc)
+    pairs.join(ax, Seq("x_id")).join(ay, Seq("y_id"))
+      .select($"x_id", $"y_id", $"cos",
+        ($"cos" / (($"ax" + $"ay") / 2.0)).as("margin"))
+      .withColumn("rk", row_number().over(wBest)).filter($"rk" === 1)
+      .select($"x_id", $"y_id", $"cos", $"margin")
+      .orderBy("x_id")
+  }
+
   // ---- random-hyperplane LSH ----
 
   val NumPlanes = 24
@@ -1235,6 +1304,7 @@ object Similarity {
     "sample_triplets" -> ((s, d) => sampleTriplets(s, d)),
     "sim_brute_topk" -> simBruteTopK,
     "sim_range_search" -> ((s, d) => simRangeSearch(s, d)),
+    "sim_bitext_mining" -> ((s, d) => simBitextMining(s, d)),
     "sim_lsh_ann" -> simLshANN,
     "sim_ivf_ann" -> ((s, d) => simIvfANN(s, d)),
     "sim_sq_ann" -> simSqANN,
@@ -1327,6 +1397,48 @@ object Similarity {
       WHERE q.vec_id < $NumQueries
         AND ${duckCos("q.embedding", "c.embedding")} >= $RangeThreshold
       ORDER BY query_id, cand_id""",
+    // the k-NN averages fold in explicit rank order (list(... ORDER BY
+    // rk) + left-to-right list_sum), mirroring the Spark
+    // sort_array+aggregate fold bit for bit
+    "sim_bitext_mining" -> {
+      def dt(x: String, y: String) =
+        s"list_sum([$x[i] * $y[i] for i in range(1, 65)])"
+      def cosv(x: String, y: String) =
+        s"(${dt(x, y)} / (sqrt(${dt(x, x)}) * sqrt(${dt(y, y)})))"
+      s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id < $BitextBound),
+      xs AS (SELECT vec_id AS x_id, v AS xv FROM e WHERE vec_id % 2 = 0),
+      ys AS (SELECT vec_id AS y_id, v AS yv FROM e WHERE vec_id % 2 <> 0),
+      p AS (
+        SELECT x_id, y_id, ${cosv("xv", "yv")} AS cos
+        FROM xs CROSS JOIN ys),
+      rx AS (
+        SELECT x_id, y_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id ASC) AS rk
+        FROM p),
+      ax AS (
+        SELECT x_id, list_sum(list(cos ORDER BY rk)) / $BitextK AS ax
+        FROM rx WHERE rk <= $BitextK GROUP BY x_id),
+      ry AS (
+        SELECT x_id, y_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id ASC) AS rk
+        FROM p),
+      ay AS (
+        SELECT y_id, list_sum(list(cos ORDER BY rk)) / $BitextK AS ay
+        FROM ry WHERE rk <= $BitextK GROUP BY y_id),
+      sc AS (
+        SELECT p.x_id, p.y_id, p.cos,
+          p.cos / ((ax.ax + ay.ay) / 2.0) AS margin
+        FROM p JOIN ax ON p.x_id = ax.x_id JOIN ay ON p.y_id = ay.y_id),
+      best AS (
+        SELECT x_id, y_id, cos, margin,
+          ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id ASC) AS rk
+        FROM sc)
+      SELECT x_id, y_id, cos, margin FROM best WHERE rk = 1
+      ORDER BY x_id"""
+    },
     "dedup_embcos" -> embCosOracle,
     "dedup_embcos_tiled" -> embCosOracle,
     // SQ8 is deterministic end-to-end (integer dots + IEEE-exact

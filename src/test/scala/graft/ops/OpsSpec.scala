@@ -538,6 +538,60 @@ class SamplingSpec extends SparkSpec {
 
 class SimilaritySpec extends SparkSpec {
 
+  /** Naive margin-mining replay with the identical fold orders. */
+  private def bitextRef(
+      xs: Seq[(Long, Array[Double])], ys: Seq[(Long, Array[Double])],
+      k: Int): Seq[(Long, Long, Double, Double)] = {
+    def cos(a: Array[Double], b: Array[Double]) =
+      Similarity.dotArr(a, b) /
+        (math.sqrt(Similarity.dotArr(a, a)) * math.sqrt(Similarity.dotArr(b, b)))
+    val p = for { (xi, xv) <- xs; (yi, yv) <- ys } yield (xi, yi, cos(xv, yv))
+    val ax = p.groupBy(_._1).map { case (xi, rows) =>
+      xi -> rows.map(r => (r._3, r._2)).sortBy { case (c, y) => (-c, y) }
+        .take(k).map(_._1).foldLeft(0.0)(_ + _) / k
+    }
+    val ay = p.groupBy(_._2).map { case (yi, rows) =>
+      yi -> rows.map(r => (r._3, r._1)).sortBy { case (c, x) => (-c, x) }
+        .take(k).map(_._1).foldLeft(0.0)(_ + _) / k
+    }
+    p.map { case (xi, yi, c) => (xi, yi, c, c / ((ax(xi) + ay(yi)) / 2.0)) }
+      .groupBy(_._1).map { case (_, rows) =>
+        rows.sortBy(r => (-r._4, r._2)).head
+      }.toSeq.sortBy(_._1)
+  }
+
+  test("bitext mining: margin suppresses the hub a raw-cosine miner would pick") {
+    import spark.implicits._
+    // y3 is a HUB: cos 1/sqrt(3) to EVERY x — the highest raw cosine for
+    // x0. y1 aligns only with x0 (cos 0.55 < the hub's 0.577) but has a
+    // sparse neighborhood, so the margin flips the choice to y1 — the
+    // published reason margin mining beats raw cosine (Artetxe & Schwenk).
+    val xs = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0, 0.0)),
+      (4L, Array(0.0, 0.0, 1.0, 0.0)))
+    val ys = Seq(
+      (1L, Array(0.55, 0.0, 0.0, 0.835)),
+      (3L, Array(1.0, 1.0, 1.0, 0.0)), // the hub
+      (5L, Array(0.0, 0.6, 0.0, 0.8)),
+      (7L, Array(0.0, 0.0, 0.7, 0.714)))
+    val got = Similarity.bitextOf(
+        xs.toDF("x_id", "xv"), ys.toDF("y_id", "yv"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    val want = bitextRef(xs, ys, k = 2)
+    assert(got == want, s"\n got=$got\nwant=$want")
+    // raw cosine for x0 prefers the hub; the margin must pick y1
+    val rawBest = ys.map { case (yi, yv) =>
+      (yi, Similarity.dotArr(xs.head._2, yv) /
+        (math.sqrt(Similarity.dotArr(xs.head._2, xs.head._2)) *
+          math.sqrt(Similarity.dotArr(yv, yv))))
+    }.maxBy(_._2)._1
+    assert(rawBest == 3L, "test construction: the hub must win on raw cosine")
+    assert(got.find(_._1 == 0L).get._2 == 1L,
+      s"margin must suppress the hub for x0: ${got.find(_._1 == 0L)}")
+  }
+
   private def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
     df.select("query_id", "cand_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
