@@ -261,7 +261,37 @@ object Extended5 {
       .limit(10)
   }
 
+  /** q69: ROLLING DISTINCT COUNT — per (user, day), the distinct event
+    * types seen in the trailing 7-day window. SQL engines write
+    * `COUNT(DISTINCT x) OVER (RANGE 6 PRECEDING)`; Spark has no
+    * distinct window aggregate, so the emulation is
+    * `size(collect_set(x))` over a numeric RANGE frame on the day
+    * ordinal — set state is bounded by the type cardinality (small by
+    * definition for a distinct-count-of-categories query), the frame
+    * bounds state to 7 days of rows per user, and the resulting size
+    * is an exact integer regardless of collect order. One shuffle on
+    * user_id shared by the dedup and the window (the q5/q17 pattern).
+    * The oracle deliberately takes the self-join formulation — an
+    * INDEPENDENT derivation of the same counts.
+    */
+  def q69RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .filter($"user_id".isNotNull)
+      .select($"user_id", to_date($"ts").as("day"), $"event_type")
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"dayNum")
+      .rangeBetween(-6L, 0L)
+    ev.withColumn("dayNum",
+        datediff($"day", lit("2024-01-01").cast("date")).cast("long"))
+      .withColumn("n7", size(collect_set($"event_type").over(w)).cast("long"))
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n_types_today"), max($"n7").as("n_types_7d"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_rolling_distinct" -> q69RollingDistinct,
     "q63_range_join" -> q63RangeJoin,
     "q64_forward_asof" -> q64ForwardAsof,
     "q65_gaps_islands" -> q65GapsIslands,
@@ -270,6 +300,25 @@ object Extended5 {
     "q68_path_topk" -> q68PathTopk)
 
   val oracles: Map[String, String] = Map(
+    "q69_rolling_distinct" -> """
+      WITH ev AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events WHERE user_id IS NOT NULL),
+      days AS (SELECT DISTINCT user_id, day FROM ev),
+      rolled AS (
+        SELECT d.user_id, d.day,
+          CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS n_types_7d
+        FROM days d
+        JOIN ev e ON e.user_id = d.user_id
+          AND e.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1, 2),
+      today AS (
+        SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_types_today
+        FROM ev GROUP BY 1, 2)
+      SELECT t.user_id, t.day, t.n_types_today, r.n_types_7d
+      FROM today t
+      JOIN rolled r ON t.user_id = r.user_id AND t.day = r.day
+      ORDER BY t.user_id, t.day""",
     "q63_range_join" -> s"""
       SELECT a.event_id AS id_a, b.event_id AS id_b,
         a.user_id AS user_a, b.user_id AS user_b,
