@@ -1397,6 +1397,47 @@ object Similarity {
       WHERE q.vec_id < $NumQueries
         AND ${duckCos("q.embedding", "c.embedding")} >= $RangeThreshold
       ORDER BY query_id, cand_id""",
+    // LSH is fully DETERMINISTIC given the fixed hyperplanes (recall
+    // < 1 is a quality property, not nondeterminism): the ±1 plane
+    // matrix interpolates into the SQL as literals, the sign of each
+    // left-to-right dot fold is engine-identical (the proven list_sum
+    // idiom), and bands/candidates/re-rank replay exactly
+    "sim_lsh_ann" -> {
+      val planesSql = planes.zipWithIndex.map { case (p, i) =>
+        s"($i, [${p.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")}])"
+      }.mkString(", ")
+      s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      planes AS (SELECT * FROM (VALUES $planesSql) t(pid, p)),
+      sigs AS (
+        SELECT e.vec_id,
+          CAST(SUM(CASE WHEN list_sum([v[i] * p[i] for i in range(1, 65)]) >= 0
+            THEN (1 << pid) ELSE 0 END) AS BIGINT) AS s
+        FROM e CROSS JOIN planes
+        GROUP BY e.vec_id),
+      bands AS (
+        SELECT vec_id, b AS band, (s >> (b * $BandBits)) & ${(1 << BandBits) - 1} AS bh
+        FROM sigs, UNNEST(range(0, $NumBands)) AS u(b)),
+      qb AS (SELECT vec_id AS query_id, band, bh FROM bands WHERE vec_id < $NumQueries),
+      cand AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS cand_id
+        FROM bands c JOIN qb q
+          ON c.band = q.band AND c.bh = q.bh AND c.vec_id <> q.query_id),
+      scored AS (
+        SELECT cand.query_id, cand.cand_id,
+          ${duckCos("q.embedding", "c.embedding")} AS cos
+        FROM cand
+        JOIN embeddings q ON cand.query_id = q.vec_id
+        JOIN embeddings c ON cand.cand_id = c.vec_id),
+      ranked AS (
+        SELECT query_id, cand_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+        FROM scored)
+      SELECT query_id, rk, cand_id, cos FROM ranked
+      WHERE rk <= $TopK
+      ORDER BY query_id, rk"""
+    },
     // the k-NN averages fold in explicit rank order (list(... ORDER BY
     // rk) + left-to-right list_sum), mirroring the Spark
     // sort_array+aggregate fold bit for bit
