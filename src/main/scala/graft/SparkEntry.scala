@@ -27,7 +27,8 @@ object SparkEntry {
       Extended3.queries ++ Extended4.queries ++ Extended5.queries ++
       QualityQueries.queries ++ Dedup.queries ++ TextAnalysis.queries ++
       Similarity.queries ++ Multimodal.queries ++ Sampling.queries ++
-      Packing.queries ++ Decontamination.queries ++ Curation.queries
+      Packing.queries ++ Decontamination.queries ++ Curation.queries ++
+      CorpusFilters.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -37,5 +38,6 @@ object SparkEntry {
       Extended3.oracles ++ Extended4.oracles ++ Extended5.oracles ++
       QualityQueries.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Sampling.oracles ++
-      Packing.oracles ++ Decontamination.oracles ++ Curation.oracles
+      Packing.oracles ++ Decontamination.oracles ++ Curation.oracles ++
+      CorpusFilters.oracles
 }

@@ -1,0 +1,397 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Corpus-cleaning filters for LLM training-data pipelines: the C4
+  * line/document rules (Raffel et al. 2020, "Exploring the Limits of
+  * Transfer Learning…" §2.2), RefinedWeb/MassiveText-style exact
+  * line-level deduplication (Penedo et al. 2023 §3; Rae et al. 2021
+  * A1.2), Flesch readability scoring, a code-vs-prose heuristic, and
+  * per-document TF-IDF keyword extraction.
+  *
+  * The synthetic `documents` text is a single line with no punctuation,
+  * so the line-structured operators first impose a deterministic line
+  * structure (every 8 whitespace tokens becomes a line) and plant the
+  * features the rules react to (terminal punctuation, boilerplate
+  * markers) keyed off `(doc_id + line_idx)` residues — the same
+  * planted-fixture pattern as [[TextAnalysis.taPiiRedact]]. Both
+  * engines build literally the same lines, so the rule kernels are
+  * verified hash-exact end-to-end.
+  *
+  * 100 TB shape: every operator here is one documents scan → narrow
+  * per-row string work (codegen'd `functions`, no UDFs) → at most one
+  * aggregation keyed by `doc_id` or a line hash. No all-pairs step, no
+  * driver collect; the only shuffles move (id, short-string) rows.
+  */
+object CorpusFilters {
+
+  // ---- shared deterministic line structure ----
+
+  /** 8 whitespace-separated tokens + the following space → a line break
+    * after the 8th token. Non-overlapping left-to-right replacement has
+    * the same semantics under Java regex and DuckDB's RE2.
+    */
+  private[ops] val LineRegex = "((?:\\S+ ){7}\\S+) "
+
+  /** Spark-side lines-with-index: (doc_id, idx, line). */
+  private def lines(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id",
+        split(regexp_replace(trim($"text"), LineRegex, "$1\n"), "\n").as("ls"))
+      .select($"doc_id", posexplode($"ls").as(Seq("idx", "line")))
+  }
+
+  /** DuckDB twin of [[lines]] — lateral UNNEST(range(…)) gives the
+    * 0-based index posexplode gives.
+    */
+  private[ops] val linesCte = """
+    l0 AS (
+      SELECT doc_id,
+        string_split(regexp_replace(trim(text), '((?:\S+ ){7}\S+) ',
+          '\1' || chr(10), 'g'), chr(10)) AS ls
+      FROM documents),
+    lines AS (
+      SELECT doc_id, i - 1 AS idx, ls[i] AS line
+      FROM l0, UNNEST(range(1, len(ls) + 1)) AS t(i))"""
+
+  private def wordCount(c: Column): Column =
+    size(filter(split(trim(c), "\\s+"), tk => length(tk) > 0)).cast("long")
+
+  // ---- C4 cleaning rules (Raffel et al. 2020 §2.2) ----
+
+  /** Planted per-line features, keyed off m = doc_id + idx:
+    * terminal '.' on 3 of 4 lines, boilerplate markers on sparse
+    * residues. Shared constants so both engines plant identically.
+    */
+  private val C4Lorem = " lorem ipsum"
+  private val C4Brace = " {"
+  private val C4Js = " javascript needed"
+
+  private def c4Planted(docId: Column, idx: Column, line: Column): Column = {
+    val m = docId + idx
+    concat(line,
+      when(m % 11 === 5, lit(C4Lorem)).otherwise(lit("")),
+      when(m % 13 === 7, lit(C4Brace)).otherwise(lit("")),
+      when(m % 17 === 9, lit(C4Js)).otherwise(lit("")),
+      when(m % 4 =!= 3, lit(".")).otherwise(lit("")))
+  }
+
+  /** C4 line rules over the planted lines — keep a line iff it (a) has
+    * no boilerplate marker ("lorem ipsum", '{', "javascript"), (b) ends
+    * in terminal punctuation, and (c) has ≥ 5 words; a dropped line is
+    * attributed to its FIRST failing rule in that order. Document rule:
+    * pass iff ≥ 3 kept lines. Emits the cleaned document (kept lines
+    * re-joined in order) as an md5 so the whole reassembly is verified.
+    *
+    * One scan → posexplode → one groupBy(doc_id): the explode fans out
+    * short strings only and the aggregation is map-side combinable
+    * except for the bounded per-doc kept-line list.
+    */
+  def taC4Rules(s: SparkSession, dir: String): DataFrame =
+    c4Of(t(s, dir, "documents"))
+
+  def c4Of(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val l = lines(docs)
+      .withColumn("pl", c4Planted($"doc_id", $"idx", $"line"))
+      .withColumn("dirty",
+        $"pl".contains("lorem ipsum") || $"pl".contains("{") ||
+          lower($"pl").contains("javascript"))
+      .withColumn("punct_ok", $"pl".rlike("[.!?\"]$"))
+      .withColumn("w", wordCount($"pl"))
+      .withColumn("kept", !$"dirty" && $"punct_ok" && $"w" >= 5)
+    l.groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"dirty", 1L).otherwise(0L)).as("n_dropped_dirty"),
+        sum(when(!$"dirty" && !$"punct_ok", 1L).otherwise(0L))
+          .as("n_dropped_punct"),
+        sum(when(!$"dirty" && $"punct_ok" && $"w" < 5, 1L).otherwise(0L))
+          .as("n_dropped_short"),
+        sum(when($"kept", $"w").otherwise(0L)).as("kept_words"),
+        md5(array_join(
+          transform(sort_array(collect_list(when($"kept",
+            struct($"idx", $"pl")))), x => x.getField("pl")),
+          "\n")).as("clean_md5"))
+      .withColumn("doc_pass", $"n_kept" >= 3)
+      .orderBy("doc_id")
+  }
+
+  // ---- exact line-level dedup (RefinedWeb §3 / MassiveText A1.2) ----
+
+  /** Remove every occurrence of a (normalized) line after its global
+    * first occurrence — ordered by (doc_id, idx) — and reassemble each
+    * document from its surviving lines.
+    *
+    * Scale shape: lines carry only (doc_id, idx, md5-key, short line);
+    * the first-occurrence table is a map-side-combinable min-struct per
+    * key, then one equi-join back on the key. No window over the whole
+    * corpus, no driver state. At 100 TB the key shuffle is the cost —
+    * (16-byte hash, id) pairs, the minimum any global line-dedup moves.
+    */
+  def dedupParagraph(s: SparkSession, dir: String): DataFrame =
+    paragraphDedupOf(t(s, dir, "documents"))
+
+  def paragraphDedupOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val l = lines(docs)
+      .withColumn("key", md5(lower(trim($"line"))))
+    val firsts = l.groupBy($"key")
+      .agg(min(struct($"doc_id", $"idx")).as("f"))
+    l.join(firsts, Seq("key"))
+      .withColumn("kept", struct($"doc_id", $"idx") === $"f")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(!$"kept", 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(
+          transform(sort_array(collect_list(when($"kept",
+            struct($"idx", $"line")))), x => x.getField("line")),
+          "\n")).as("clean_md5"))
+      .withColumn("kept_frac",
+        ($"n_lines" - $"n_removed").cast("double") / $"n_lines".cast("double"))
+      .orderBy("doc_id")
+  }
+
+  // ---- Flesch readability (integer-rational exact) ----
+
+  /** Flesch reading ease + Flesch–Kincaid grade with the float constants
+    * cleared to integers: both scores are emitted as an exact
+    * (numerator, denominator) BIGINT pair scaled by 1000·S·W, plus the
+    * IEEE-exact double quotient — the same rational trick that made BM25
+    * and the importance scores hash-exact cross-engine.
+    *
+    * W = whitespace tokens, S = ⌈W/8⌉ (the deterministic line count —
+    * the corpus has no sentence punctuation), Syl = vowel-group count
+    * (the standard [aeiouy]+ heuristic). flesch = 206.835 − 1.015·(W/S)
+    * − 84.6·(Syl/W); grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59.
+    */
+  def taReadability(s: SparkSession, dir: String): DataFrame =
+    readabilityOf(t(s, dir, "documents"))
+
+  def readabilityOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", trim($"text").as("tx"))
+      .withColumn("w", wordCount($"tx"))
+      .filter($"w" > 0)
+      .withColumn("sn", (($"w" + 7L) / 8L).cast("long"))
+      .withColumn("syl", regexp_count(lower($"tx"), lit("[aeiouy]+")).cast("long"))
+      .withColumn("den", lit(1000L) * $"sn" * $"w")
+      .withColumn("flesch_num",
+        lit(206835L) * $"sn" * $"w" - lit(1015L) * $"w" * $"w" -
+          lit(84600L) * $"syl" * $"sn")
+      .withColumn("grade_num",
+        lit(390L) * $"w" * $"w" + lit(11800L) * $"syl" * $"sn" -
+          lit(15590L) * $"sn" * $"w")
+      .select($"doc_id", $"w".as("n_words"), $"sn".as("n_sentences"),
+        $"syl".as("n_syllables"), $"flesch_num", $"grade_num",
+        $"den".as("score_den"),
+        ($"flesch_num".cast("double") / $"den".cast("double")).as("flesch"),
+        ($"grade_num".cast("double") / $"den".cast("double")).as("fk_grade"))
+      .orderBy("doc_id")
+  }
+
+  // ---- code-vs-prose heuristic ----
+
+  /** Integer structural-signal counts (braces, semicolons, assignment,
+    * code keywords) with a planted code block on two doc_id residues —
+    * the classifier shape used to route code out of prose corpora.
+    * is_code is an integer-threshold rule; density is an IEEE-exact
+    * integer quotient.
+    */
+  private val CodeSnippetA = " def f(x): { return x * 2; }"
+  private val CodeSnippetB = " var x = 1; let y = x;"
+
+  def taCodeDetect(s: SparkSession, dir: String): DataFrame =
+    codeDetectOf(t(s, dir, "documents"))
+
+  def codeDetectOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val planted = docs
+      .select($"doc_id",
+        concat(trim($"text"),
+          when($"doc_id" % 9 === 0, lit(CodeSnippetA))
+            .when($"doc_id" % 9 === 4, lit(CodeSnippetB))
+            .otherwise(lit(""))).as("tx"))
+    planted
+      .withColumn("n_brace", regexp_count($"tx", lit("[{}]")).cast("long"))
+      .withColumn("n_semi", regexp_count($"tx", lit(";")).cast("long"))
+      .withColumn("n_kw", regexp_count($"tx",
+        lit("\\b(def|class|return|import|function|var|let|const)\\b")).cast("long"))
+      .withColumn("n_eq", regexp_count($"tx", lit("=")).cast("long"))
+      .withColumn("n_words", wordCount($"tx"))
+      .withColumn("score",
+        lit(3L) * $"n_brace" + lit(3L) * $"n_semi" + lit(2L) * $"n_kw" + $"n_eq")
+      .select($"doc_id", $"n_brace", $"n_semi", $"n_kw", $"n_eq", $"n_words",
+        $"score", ($"score" >= 6L).as("is_code"),
+        (($"score" * 1000L).cast("double") / $"n_words".cast("double"))
+          .as("density"))
+      .orderBy("doc_id")
+  }
+
+  // ---- per-document TF-IDF keywords ----
+
+  /** Top-3 df-normalized salient terms per document: score = tf · N/df
+    * (the log-free TF-IDF variant — an exact integer ratio, so the
+    * double is bit-identical cross-engine), ties broken by term. The
+    * vocabulary df table is tiny relative to the corpus (it is the
+    * distinct token set), so at scale the df join is a broadcast and
+    * the only big shuffle is the (doc_id, term) partial-count combine.
+    */
+  def taTfidf(s: SparkSession, dir: String): DataFrame =
+    tfidfOf(t(s, dir, "documents"))
+
+  def tfidfOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .select($"doc_id",
+        explode(filter(split(lower(trim($"text")), "\\s+"),
+          tk => length(tk) > 0)).as("term"))
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = tf.select(countDistinct($"doc_id").as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        ($"tf" * $"n_docs").cast("double") / $"df".cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"term", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  // ---- registry ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_c4_rules" -> taC4Rules,
+    "dedup_paragraph" -> dedupParagraph,
+    "ta_readability" -> taReadability,
+    "ta_code_detect" -> taCodeDetect,
+    "ta_tfidf" -> taTfidf)
+
+  val oracles: Map[String, String] = Map(
+    "ta_c4_rules" -> s"""
+      WITH $linesCte,
+      pl AS (
+        SELECT doc_id, idx,
+          line
+            || CASE WHEN (doc_id + idx) % 11 = 5 THEN '$C4Lorem' ELSE '' END
+            || CASE WHEN (doc_id + idx) % 13 = 7 THEN '$C4Brace' ELSE '' END
+            || CASE WHEN (doc_id + idx) % 17 = 9 THEN '$C4Js' ELSE '' END
+            || CASE WHEN (doc_id + idx) % 4 <> 3 THEN '.' ELSE '' END AS pl
+        FROM lines),
+      r AS (
+        SELECT doc_id, idx, pl,
+          (pl LIKE '%lorem ipsum%' OR pl LIKE '%{%'
+            OR lower(pl) LIKE '%javascript%') AS dirty,
+          regexp_matches(pl, '[.!?"]$$') AS punct_ok,
+          CAST(len(list_filter(string_split_regex(trim(pl), '\\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS w
+        FROM pl),
+      k AS (
+        SELECT *, (NOT dirty AND punct_ok AND w >= 5) AS kept FROM r)
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN dirty THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_dirty,
+        CAST(SUM(CASE WHEN NOT dirty AND NOT punct_ok THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dropped_punct,
+        CAST(SUM(CASE WHEN NOT dirty AND punct_ok AND w < 5 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_dropped_short,
+        CAST(SUM(CASE WHEN kept THEN w ELSE 0 END) AS BIGINT) AS kept_words,
+        md5(coalesce(string_agg(CASE WHEN kept THEN pl END, chr(10) ORDER BY idx),
+          '')) AS clean_md5,
+        (SUM(CASE WHEN kept THEN 1 ELSE 0 END) >= 3) AS doc_pass
+      FROM k GROUP BY doc_id ORDER BY doc_id""",
+    "dedup_paragraph" -> s"""
+      WITH $linesCte,
+      k AS (
+        SELECT doc_id, idx, line,
+          ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(line)))
+            ORDER BY doc_id, idx) AS rn
+        FROM lines)
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+          ORDER BY idx), '')) AS clean_md5,
+        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS kept_frac
+      FROM k GROUP BY doc_id ORDER BY doc_id""",
+    "ta_readability" -> """
+      WITH b AS (
+        SELECT doc_id, trim(text) AS tx,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS w,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl
+        FROM documents),
+      c AS (
+        SELECT doc_id, w, (w + 7) // 8 AS sn, syl FROM b WHERE w > 0)
+      SELECT doc_id, w AS n_words, sn AS n_sentences, syl AS n_syllables,
+        206835 * sn * w - 1015 * w * w - 84600 * syl * sn AS flesch_num,
+        390 * w * w + 11800 * syl * sn - 15590 * sn * w AS grade_num,
+        1000 * sn * w AS score_den,
+        CAST(206835 * sn * w - 1015 * w * w - 84600 * syl * sn AS DOUBLE)
+          / CAST(1000 * sn * w AS DOUBLE) AS flesch,
+        CAST(390 * w * w + 11800 * syl * sn - 15590 * sn * w AS DOUBLE)
+          / CAST(1000 * sn * w AS DOUBLE) AS fk_grade
+      FROM c ORDER BY doc_id""",
+    "ta_code_detect" -> s"""
+      WITH p AS (
+        SELECT doc_id,
+          trim(text)
+            || CASE WHEN doc_id % 9 = 0 THEN '$CodeSnippetA'
+                    WHEN doc_id % 9 = 4 THEN '$CodeSnippetB'
+                    ELSE '' END AS tx
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(tx, '[{}]')) AS BIGINT) AS n_brace,
+          CAST(len(regexp_extract_all(tx, ';')) AS BIGINT) AS n_semi,
+          CAST(len(regexp_extract_all(tx,
+            '\\b(def|class|return|import|function|var|let|const)\\b'))
+            AS BIGINT) AS n_kw,
+          CAST(len(regexp_extract_all(tx, '=')) AS BIGINT) AS n_eq,
+          CAST(len(list_filter(string_split_regex(trim(tx), '\\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS n_words
+        FROM p)
+      SELECT doc_id, n_brace, n_semi, n_kw, n_eq, n_words,
+        3 * n_brace + 3 * n_semi + 2 * n_kw + n_eq AS score,
+        (3 * n_brace + 3 * n_semi + 2 * n_kw + n_eq >= 6) AS is_code,
+        CAST((3 * n_brace + 3 * n_semi + 2 * n_kw + n_eq) * 1000 AS DOUBLE)
+          / CAST(n_words AS DOUBLE) AS density
+      FROM c ORDER BY doc_id""",
+    "ta_tfidf" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+      sc AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      rk AS (
+        SELECT doc_id, term, tf, df, score,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term ASC) AS rk
+        FROM sc)
+      SELECT doc_id, rk, term, tf, df, score FROM rk
+      WHERE rk <= 3 ORDER BY doc_id, rk""")
+}

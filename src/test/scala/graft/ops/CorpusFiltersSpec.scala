@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** CorpusFilters: the C4 rule kernel and line-dedup reassembly are
+  * pinned against naive in-memory string replays (independent of both
+  * Spark SQL and the DuckDB oracle); readability against the float
+  * formula; code-detect and tfidf against hand-built fixtures.
+  */
+class CorpusFiltersSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** The shared deterministic line structure, replayed in plain Scala. */
+  private def linesOf(text: String): Seq[String] =
+    text.trim.split("\\s+").filter(_.nonEmpty).grouped(8)
+      .map(_.mkString(" ")).toSeq
+
+  test("c4: counts, rule attribution, and reassembly match a naive replay") {
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") < 60).select("doc_id", "text")
+    val got = CorpusFilters.c4Of(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val raw = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(raw.length == 60 && got.size == 60)
+    raw.foreach { case (id, text) =>
+      val planted = linesOf(text).zipWithIndex.map { case (ln, idx) =>
+        val m = id + idx
+        ln + (if (m % 11 == 5) " lorem ipsum" else "") +
+          (if (m % 13 == 7) " {" else "") +
+          (if (m % 17 == 9) " javascript needed" else "") +
+          (if (m % 4 != 3) "." else "")
+      }
+      def dirty(l: String) = l.contains("lorem ipsum") || l.contains("{") ||
+        l.toLowerCase.contains("javascript")
+      def punct(l: String) = l.nonEmpty && "[.!?\"]$".r.findFirstIn(l).isDefined
+      def words(l: String) = l.trim.split("\\s+").count(_.nonEmpty)
+      val kept = planted.filter(l => !dirty(l) && punct(l) && words(l) >= 5)
+      val r = got(id)
+      assert(r.getAs[Long]("n_lines") == planted.length, s"doc $id n_lines")
+      assert(r.getAs[Long]("n_kept") == kept.length, s"doc $id n_kept")
+      assert(r.getAs[Long]("n_dropped_dirty") == planted.count(dirty), s"doc $id dirty")
+      assert(r.getAs[Long]("n_dropped_punct") ==
+        planted.count(l => !dirty(l) && !punct(l)), s"doc $id punct")
+      assert(r.getAs[Long]("n_dropped_short") ==
+        planted.count(l => !dirty(l) && punct(l) && words(l) < 5), s"doc $id short")
+      assert(r.getAs[Long]("kept_words") == kept.map(words).map(_.toLong).sum)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("clean_md5") == md, s"doc $id md5")
+      assert(r.getAs[Boolean]("doc_pass") == (kept.length >= 3))
+    }
+  }
+
+  test("paragraph dedup: global first occurrence survives, later copies drop") {
+    val docs = docsDf(Seq(
+      (1L, "a b c d e f g h x1 x2 x3 x4 x5 x6 x7 x8"), // lines L1, L2
+      (2L, "a b c d e f g h y1 y2 y3 y4 y5 y6 y7 y8"), // L1 dup, L3
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8"),                 // L2 dup
+      (4L, "fresh only line here")))
+    val got = CorpusFilters.paragraphDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_removed") == 0)
+    assert(got(2L).getAs[Long]("n_removed") == 1) // its copy of L1
+    assert(got(3L).getAs[Long]("n_removed") == 1) // its copy of L2
+    assert(got(4L).getAs[Long]("n_removed") == 0)
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(2L).getAs[String]("clean_md5") == md5s("y1 y2 y3 y4 y5 y6 y7 y8"))
+    assert(got(3L).getAs[String]("clean_md5") == md5s("")) // everything removed
+    assert(got(3L).getAs[Double]("kept_frac") == 0.0)
+  }
+
+  test("paragraph dedup: intra-doc repeats also deduplicate to the first") {
+    val line = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val docs = docsDf(Seq((7L, s"$line $line $line")))
+    val r = CorpusFilters.paragraphDedupOf(docs).collect().head
+    assert(r.getAs[Long]("n_lines") == 3 && r.getAs[Long]("n_removed") == 2)
+  }
+
+  test("readability: rational pair equals the float Flesch formula") {
+    val rows = CorpusFilters.taReadability(spark, sfDir).limit(100).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("n_words").toDouble
+      val sn = r.getAs[Long]("n_sentences").toDouble
+      val syl = r.getAs[Long]("n_syllables").toDouble
+      val flesch = 206.835 - 1.015 * (w / sn) - 84.6 * (syl / w)
+      val grade = 0.39 * (w / sn) + 11.8 * (syl / w) - 15.59
+      assert(math.abs(r.getAs[Double]("flesch") - flesch) < 1e-9)
+      assert(math.abs(r.getAs[Double]("fk_grade") - grade) < 1e-9)
+      assert(r.getAs[Long]("n_sentences") == (r.getAs[Long]("n_words") + 7) / 8)
+    }
+  }
+
+  test("code detect: planted residues classify as code, clean prose does not") {
+    val docs = docsDf(Seq(
+      (0L, "plain words only here"),            // %9==0 → snippet A
+      (1L, "plain words only here"),            // clean
+      (4L, "plain words only here"),            // %9==4 → snippet B
+      (13L, "plain words only here")))          // %9==4 → snippet B
+    val got = CorpusFilters.codeDetectOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[Boolean]("is_code"))
+    assert(got(4L).getAs[Boolean]("is_code"))
+    assert(got(13L).getAs[Boolean]("is_code"))
+    assert(!got(1L).getAs[Boolean]("is_code"))
+    assert(got(1L).getAs[Long]("score") == 0)
+    // snippet A: ' def f(x): { return x * 2; }' → 2 braces, 1 semi, 2 kw, 0 eq
+    assert(got(0L).getAs[Long]("score") == 3 * 2 + 3 * 1 + 2 * 2)
+  }
+
+  test("tfidf: scores are tf·N/df, descending, tie-broken by term") {
+    val docs = docsDf(Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana cherry cherry date"),
+      (3L, "apple date date date")))
+    val rows = CorpusFilters.tfidfOf(docs).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == Set(1L, 2L, 3L))
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // doc 1: apple tf=2 df=2 → 2*3/2=3.0; banana tf=1 df=2 → 1.5; cherry 1.5
+    val d1 = byDoc(1L).sortBy(_.getAs[Int]("rk"))
+    assert(d1.head.getAs[String]("term") == "apple" &&
+      d1.head.getAs[Double]("score") == 3.0)
+    assert(d1(1).getAs[String]("term") == "banana") // 1.5 tie → term asc
+    assert(d1(2).getAs[String]("term") == "cherry")
+  }
+}
