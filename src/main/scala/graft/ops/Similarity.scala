@@ -1300,7 +1300,61 @@ object Similarity {
       .orderBy("anchor_id")
   }
 
+  // ---- ColBERT-style MaxSim late interaction (Khattab & Zaharia,
+  //      SIGIR 2020) ----
+
+  /** Query tokens per MaxSim query (consecutive vec_ids). */
+  val MaxSimTokens = 4
+
+  /** MaxSim queries: vec_id < MaxSimQueries·MaxSimTokens, qid = vec_id
+    * div MaxSimTokens.
+    */
+  val MaxSimQueries = 4
+
+  /** Late-interaction retrieval scoring: each "document" is a label
+    * group's vector set, each query is [[MaxSimTokens]] consecutive
+    * embedding vectors, and score(q, doc) = Σ_qt max_dv cos(qt, dv) —
+    * the MaxSim operator. The per-token max is order-free; the final
+    * sum folds in qt order (sorted struct array), so the doubles are
+    * bit-identical cross-engine — the [[bitextOf]] precedent.
+    *
+    * 100 TB shape: the query token set is tiny and broadcast; the
+    * corpus is scanned once, the per-(query-token, doc) max is a
+    * map-side-combinable aggregation keyed by (qid, qt, label), and the
+    * final fold touches MaxSimTokens rows per (query, doc). Zero-norm
+    * vectors are excluded on both sides (NaN cos orders differently in
+    * Spark and DuckDB).
+    */
+  def simMaxSim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    maxSimOf(emb(s, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"), $"label"))
+  }
+
+  /** MaxSim kernel over any (vec_id, v: array<double>, label) frame. */
+  def maxSimOf(vecs: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val e = vecs.filter(dot($"v", $"v") > 0.0)
+    val q = e.filter($"vec_id" < MaxSimQueries * MaxSimTokens)
+      .select($"vec_id".as("qt"),
+        ($"vec_id" / MaxSimTokens).cast("long").as("qid"), $"v".as("qv"))
+    val mx = e.join(broadcast(q))
+      .select($"qid", $"qt", $"label",
+        call_function("cosine_sim", $"qv", $"v").as("cos"))
+      .groupBy($"qid", $"qt", $"label").agg(max($"cos").as("mx"))
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"label".asc)
+    mx.groupBy($"qid", $"label")
+      .agg(aggregate(sort_array(collect_list(struct($"qt", $"mx"))),
+        lit(0.0), (acc, x) => acc + x.getField("mx")).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .select($"qid", $"rk", $"label", $"score")
+      .orderBy($"qid", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_maxsim" -> simMaxSim,
     "sample_triplets" -> ((s, d) => sampleTriplets(s, d)),
     "sim_brute_topk" -> simBruteTopK,
     "sim_range_search" -> ((s, d) => simRangeSearch(s, d)),
@@ -1332,6 +1386,28 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "sim_maxsim" -> s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+        WHERE list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]) > 0),
+      q AS (
+        SELECT vec_id AS qt, vec_id // $MaxSimTokens AS qid, v AS qv
+        FROM e WHERE vec_id < ${MaxSimQueries * MaxSimTokens}),
+      p AS (
+        SELECT q.qid, q.qt, e.label,
+          (list_sum([q.qv[i] * e.v[i] for i in range(1, 65)])
+            / (sqrt(list_sum([q.qv[i] * q.qv[i] for i in range(1, 65)]))
+             * sqrt(list_sum([e.v[i] * e.v[i] for i in range(1, 65)])))) AS cos
+        FROM e CROSS JOIN q),
+      mx AS (SELECT qid, qt, label, MAX(cos) AS mx FROM p GROUP BY 1, 2, 3),
+      sc AS (
+        SELECT qid, label, list_sum(list(mx ORDER BY qt)) AS score
+        FROM mx GROUP BY 1, 2)
+      SELECT qid, rk, label, score FROM (
+        SELECT qid, label, score,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, label ASC) AS rk
+        FROM sc)
+      ORDER BY qid, rk""",
     "sample_triplets" -> s"""
       WITH e AS (SELECT vec_id, embedding FROM embeddings),
       pairs AS (

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Sixth extension block of the SQL-pass-through surface (SURVEY.md
+  * §2.B): the product-analytics pair every events warehouse runs —
+  * cohort retention matrices and RFM (recency/frequency/monetary)
+  * segmentation. Same determinism conventions as [[Relational]]:
+  * integer month arithmetic, decimal money folds, ntile over a total
+  * order.
+  */
+object Extended6 {
+
+  /** q70: classic cohort retention at week grain (the events corpus
+    * spans one month, so monthly cohorts are degenerate) — users
+    * bucketed by the ISO week of their first event (the cohort), then
+    * distinct active users per (cohort-week, week-offset) cell. Week
+    * arithmetic is integer day-diff / 7 between Monday-truncated
+    * dates, so every column is engine-portable.
+    *
+    * Scale shape: the first-event table is one map-side-combinable
+    * min per user; the join back is a user-keyed equi-join (sort-merge
+    * at 100 TB, no broadcast assumption); the final count-distinct is
+    * keyed by (cohort, offset) — a few hundred cells regardless of
+    * corpus size, so the last shuffle is tiny.
+    */
+  def q70CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cohortRetentionOf(t(s, dir, "events")
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("ew")))
+  }
+
+  /** Retention kernel over any (user_id, ew: date) activity frame. */
+  def cohortRetentionOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val first = ev.groupBy($"user_id").agg(min($"ew").as("cohort"))
+    ev.join(first, Seq("user_id"))
+      .groupBy($"cohort",
+        (datediff($"ew", $"cohort") / 7).cast("long").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort", $"week_offset")
+  }
+
+  /** q71: RFM segmentation — per user, days since last event (vs the
+    * corpus max), event count, and decimal-exact monetary sum, then
+    * quintile scores from ntile(5) over total orders (metric + user_id
+    * tiebreak, so the bucketing is deterministic in both engines) and
+    * the composite RFM segment code.
+    *
+    * Scale shape: one events scan → one user-keyed aggregation; the
+    * corpus max timestamp is a scalar broadcast; the three ntiles
+    * share one per-user frame (thousands of rows per million users —
+    * window cost is trivial next to the scan). The monetary fold is
+    * DECIMAL (exact, order-free) and cast to double only on output.
+    */
+  def q71Rfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val byUser = ev.groupBy($"user_id").agg(
+      max(unix_micros($"ts")).as("last_us"),
+      count(lit(1)).as("frequency"),
+      sum($"value".cast("decimal(18,6)")).as("mon_dec"))
+    val ref = ev.agg(max(unix_micros($"ts")).as("ref_us"))
+    val base = byUser.crossJoin(broadcast(ref))
+      .select($"user_id",
+        (($"ref_us" - $"last_us") / lit(86400000000L)).cast("long")
+          .as("recency_days"),
+        $"frequency", $"mon_dec")
+    val r = Window.orderBy($"recency_days".asc, $"user_id".asc)
+    val f = Window.orderBy($"frequency".desc, $"user_id".asc)
+    val m = Window.orderBy($"mon_dec".desc, $"user_id".asc)
+    base
+      .withColumn("r_score", ntile(5).over(r).cast("long"))
+      .withColumn("f_score", ntile(5).over(f).cast("long"))
+      .withColumn("m_score", ntile(5).over(m).cast("long"))
+      .select($"user_id", $"recency_days", $"frequency",
+        $"mon_dec".cast("double").as("monetary"),
+        $"r_score", $"f_score", $"m_score",
+        ($"r_score" * 100 + $"f_score" * 10 + $"m_score").as("segment"))
+      .orderBy($"user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_cohort_retention" -> q70CohortRetention,
+    "q71_rfm" -> q71Rfm)
+
+  val oracles: Map[String, String] = Map(
+    "q70_cohort_retention" -> """
+      WITH ev AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS ew
+        FROM events),
+      first AS (
+        SELECT user_id, MIN(ew) AS cohort FROM ev GROUP BY user_id)
+      SELECT f.cohort,
+        CAST((ev.ew - f.cohort) // 7 AS BIGINT) AS week_offset,
+        CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+      FROM ev JOIN first f USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q71_rfm" -> """
+      WITH by_user AS (
+        SELECT user_id,
+          MAX(epoch_us(ts)) AS last_us,
+          CAST(COUNT(*) AS BIGINT) AS frequency,
+          SUM(CAST(value AS DECIMAL(18,6))) AS mon_dec
+        FROM events GROUP BY user_id),
+      ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events),
+      base AS (
+        SELECT user_id,
+          (ref_us - last_us) // 86400000000 AS recency_days,
+          frequency, mon_dec
+        FROM by_user CROSS JOIN ref),
+      scored AS (
+        SELECT user_id, recency_days, frequency,
+          CAST(mon_dec AS DOUBLE) AS monetary,
+          CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT)
+            AS r_score,
+          CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT)
+            AS f_score,
+          CAST(ntile(5) OVER (ORDER BY mon_dec DESC, user_id ASC) AS BIGINT)
+            AS m_score
+        FROM base)
+      SELECT user_id, recency_days, frequency, monetary,
+        r_score, f_score, m_score,
+        r_score * 100 + f_score * 10 + m_score AS segment
+      FROM scored ORDER BY user_id""")
+}

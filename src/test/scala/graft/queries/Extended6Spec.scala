@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import java.sql.Date
+
+/** Extended6 (cohort retention, RFM) + sim_maxsim: kernels driven by
+  * hand-built fixtures with known answers.
+  */
+class Extended6Spec extends SparkSpec {
+
+  test("q70 kernel: cohort cells count distinct users at the right offsets") {
+    val s = spark
+    import s.implicits._
+    val d = (x: String) => Date.valueOf(x) // all Mondays
+    val ev = Seq(
+      (1L, d("2024-01-01")), (1L, d("2024-01-08")), (1L, d("2024-01-22")),
+      (2L, d("2024-01-01")), (2L, d("2024-01-01")), // dup activity, one user
+      (3L, d("2024-01-08")), (3L, d("2024-01-15"))).toDF("user_id", "ew")
+    val got = Extended6.cohortRetentionOf(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> 2L, // users 1,2 in their first week
+      ("2024-01-01", 1L) -> 1L, // user 1 back in week 2
+      ("2024-01-01", 3L) -> 1L, // user 1 back in week 4
+      ("2024-01-08", 0L) -> 1L, // user 3's cohort
+      ("2024-01-08", 1L) -> 1L))
+  }
+
+  test("q71: distinct metrics land in distinct quintiles, segment composes") {
+    val rows = Extended6.q71Rfm(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+        r.getAs[Long]("m_score"))
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(r.getAs[Long]("segment") == rs * 100 + fs * 10 + ms)
+    }
+    // ntile(5) balance: bucket sizes differ by at most 1
+    val sizes = rows.groupBy(_.getAs[Long]("r_score")).view.mapValues(_.size)
+    assert(sizes.values.max - sizes.values.min <= 1)
+  }
+
+  test("maxsim: a doc containing every query token vector ranks first") {
+    val s = spark
+    import s.implicits._
+    def unit(i: Int): Array[Double] =
+      Array.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+    // 16 query tokens (labels 0..3, 4 tokens each); label 0's vectors ARE
+    // qid 0's tokens, so MaxSim(q0, label 0) = 4 exact-cos hits.
+    val qtoks = (0 until 16).map(i => (i.toLong, unit(i), i / 4))
+    // an extra doc (label 9) orthogonal to qid 0's tokens
+    val far = (100 until 104).map(i => (i.toLong, unit(40 + i - 100), 9))
+    val e = (qtoks ++ far).toDF("vec_id", "v", "label")
+    val got = Similarity.maxSimOf(e).collect()
+      .filter(_.getAs[Long]("qid") == 0L)
+      .sortBy(_.getAs[Int]("rk"))
+    assert(got.head.getAs[Int]("label") == 0)
+    assert(math.abs(got.head.getAs[Double]("score") - 4.0) < 1e-12)
+    // the orthogonal doc scores 0 for qid 0
+    val far9 = got.find(_.getAs[Int]("label") == 9).get
+    assert(math.abs(far9.getAs[Double]("score")) < 1e-12)
+  }
+}
