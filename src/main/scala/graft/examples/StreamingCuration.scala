@@ -156,6 +156,9 @@ object StreamingCuration {
         .write.mode("append").parquet(setsDir)
       mergeChunkFreq(spark, stateDir, newChunks)
       mergeNoveltyState(spark, stateDir, noveltyDocs)
+      // line first-occurrence state for incremental paragraph dedup —
+      // reuses the already-materialized accepted (doc_id, text) frame
+      mergeParaState(spark, stateDir, noveltyDocs)
       // fold the accepted md5s into the persisted corpus bloom (the
       // collect is batch-bounded; withSplit is already materialized)
       updateBloom(stateDir,
@@ -804,6 +807,93 @@ object StreamingCuration {
           .otherwise(0L)).as("n_novel"))
       .select($"doc_id", $"n_shingles", $"n_novel",
         ($"n_novel".cast("double") / $"n_shingles".cast("double")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Fold a batch into the persistent line first-occurrence table:
+    * (key, fdoc, fidx) with struct-min merge — the streaming twin of
+    * [[graft.ops.CorpusFilters.paragraphDedupOf]] (RefinedWeb exact
+    * line dedup). State is one row per distinct normalized line ever
+    * seen (vocabulary-bounded like the novelty/chunk-freq states, never
+    * corpus-sized); the fold is associative and idempotent, so
+    * re-delivery of a batch cannot corrupt it. Same crash-safe
+    * versioned-commit protocol as [[mergeNoveltyState]].
+    */
+  def mergeParaState(spark: SparkSession, stateDir: String, batch: DataFrame): Unit = {
+    import spark.implicits._
+    val batchFirst = graft.ops.CorpusFilters
+      .lines(batch.select(col("doc_id"), col("text")))
+      .withColumn("key", md5(lower(trim($"line"))))
+      .groupBy($"key").agg(min(struct($"doc_id", $"idx")).as("f"))
+      .select($"key", $"f.doc_id".as("fdoc"), $"f.idx".as("fidx"))
+    val prior = paraLatest(stateDir)
+    val merged = prior match {
+      case None => batchFirst
+      case Some((_, dir)) => spark.read.parquet(s"$dir/first")
+        .unionByName(batchFirst)
+        .groupBy($"key").agg(min(struct($"fdoc", $"fidx")).as("f"))
+        .select($"key", $"f.fdoc".as("fdoc"), $"f.fidx".as("fidx"))
+    }
+    val nextV = prior.map(_._1 + 1).getOrElse(1)
+    merged.write.mode("overwrite").parquet(s"$stateDir/paradedup_v$nextV/first")
+    prior.foreach { case (v, _) =>
+      (1 to v).foreach { old =>
+        graft.ops.Curation.deleteRecursively(
+          new java.io.File(s"$stateDir/paradedup_v$old"))
+      }
+    }
+  }
+
+  private def paraLatest(stateDir: String): Option[(Int, String)] = {
+    val root = new java.io.File(stateDir)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (n.startsWith("paradedup_v") &&
+            new java.io.File(f, "first/_SUCCESS").exists())
+          scala.util.Try(n.stripPrefix("paradedup_v").toInt).toOption
+            .map(v => (v, f.getPath))
+        else None
+      }
+      .sortBy(-_._1).headOption
+  }
+
+  /** Deduplicate a batch's lines against the ACCUMULATED
+    * first-occurrence state: a line instance survives iff no prior
+    * batch holds its key AND it is the batch-first instance. Under
+    * ascending doc_id batches (the streaming contract), the
+    * concatenation of per-batch results is EXACTLY the one-shot
+    * [[graft.ops.CorpusFilters.paragraphDedupOf]] over the full corpus
+    * (spec-pinned): every prior doc_id is smaller than every current
+    * one, so "state hit" ⇔ "an earlier doc held the line". A batch
+    * pays batch-scan + state-join cost, never a corpus rescan.
+    */
+  def paraDedupFromState(spark: SparkSession, stateDir: String, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val l = graft.ops.CorpusFilters
+      .lines(docs.select(col("doc_id"), col("text")))
+      .withColumn("key", md5(lower(trim($"line"))))
+    val batchFirst = l.groupBy($"key")
+      .agg(min(struct($"doc_id", $"idx")).as("bf"))
+    val withState = paraLatest(stateDir) match {
+      case None => l.join(batchFirst, Seq("key"))
+        .withColumn("sdoc", lit(null).cast("long"))
+      case Some((_, dir)) => l.join(batchFirst, Seq("key"))
+        .join(spark.read.parquet(s"$dir/first")
+          .select($"key", $"fdoc".as("sdoc")), Seq("key"), "left")
+    }
+    withState
+      .withColumn("kept", $"sdoc".isNull && struct($"doc_id", $"idx") === $"bf")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(!$"kept", 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(
+          transform(sort_array(collect_list(when($"kept",
+            struct($"idx", $"line")))), x => x.getField("line")),
+          "\n")).as("clean_md5"))
+      .withColumn("kept_frac",
+        ($"n_lines" - $"n_removed").cast("double") / $"n_lines".cast("double"))
       .orderBy("doc_id")
   }
 

@@ -36,8 +36,11 @@ object CorpusFilters {
     */
   private[ops] val LineRegex = "((?:\\S+ ){7}\\S+) "
 
-  /** Spark-side lines-with-index: (doc_id, idx, line). */
-  private def lines(docs: DataFrame): DataFrame = {
+  /** Spark-side lines-with-index: (doc_id, idx, line). Shared with the
+    * streaming paragraph-dedup state so batch and incremental forms
+    * split identically.
+    */
+  private[graft] def lines(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs

@@ -179,9 +179,166 @@ object Packing {
       .orderBy("shard_id")
   }
 
+  // ---- whole-document bin packing (Krell et al. 2021-style) ----
+
+  /** Context length for pack_bfd bins. */
+  val BfdLen = 128L
+
+  /** One placement segment of the histogram BFD solve: ranks
+    * [rankFrom, rankFrom + nBins·perBin) of length-class `len` map to
+    * bins firstBin + (rank − rankFrom) / perBin.
+    */
+  final case class BfdSeg(len: Long, rankFrom: Long, nBins: Long,
+      perBin: Long, firstBin: Long)
+
+  /** Best-fit-decreasing bin packing solved on the LENGTH HISTOGRAM —
+    * the observation (Krell et al. 2021, "Efficient Sequence Packing")
+    * that with lengths capped at L there are ≤ L distinct values, so
+    * the whole packing plan is a driver-side solve over a bounded
+    * histogram no matter how many documents exist.
+    *
+    * Semantics: item-level best-fit-decreasing with total determinism —
+    * items ordered (len desc, doc_id asc), each placed in the bin with
+    * the smallest remaining capacity ≥ len, ties to the lowest bin id.
+    * Identical items drain a chosen bin completely before the next
+    * (the absorbed bin stays the best fit as its capacity shrinks), so
+    * the histogram solve batches [[BfdSeg]] segments over bin GROUPS
+    * (contiguous id ranges with equal remaining capacity) instead of
+    * looping per item: state is O(L²) segments, never corpus-sized.
+    * Pinned equal to the naive per-item replay by ScalaCheck.
+    */
+  def bfdHistogram(hist: Seq[(Long, Long)], binLen: Long): Seq[BfdSeg] = {
+    // groups: (firstId, count, rem) — bins [firstId, firstId+count) all
+    // at remaining capacity rem; ids are creation-ordered and a group
+    // drains in id order, so groups stay contiguous forever.
+    final case class G(first: Long, count: Long, rem: Long)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[G]
+    var nextBin = 0L
+    val segs = scala.collection.mutable.ArrayBuffer.empty[BfdSeg]
+    hist.sortBy { case (len, _) => -len }.foreach { case (len, total) =>
+      require(len >= 1 && len <= binLen, s"length $len outside (0, $binLen]")
+      var c = total
+      var rank = 0L
+      while (c > 0) {
+        // best fit: smallest rem >= len, tie -> lowest first id
+        val fitIdx = groups.zipWithIndex
+          .filter(_._1.rem >= len)
+          .sortBy { case (g, _) => (g.rem, g.first) }
+          .headOption.map(_._2)
+        fitIdx match {
+          case Some(i) =>
+            val g = groups(i)
+            val perBin = g.rem / len // items one bin absorbs
+            val binsNeeded =
+              math.min(g.count, (c + perBin - 1) / perBin)
+            val fullBins = math.min(binsNeeded, c / perBin)
+            if (fullBins > 0) {
+              segs += BfdSeg(len, rank, fullBins, perBin, g.first)
+              rank += fullBins * perBin
+              c -= fullBins * perBin
+            }
+            val partial = if (fullBins < binsNeeded) c % perBin else 0L
+            if (partial > 0) {
+              segs += BfdSeg(len, rank, 1L, partial, g.first + fullBins)
+              rank += partial
+              c -= partial
+            }
+            // split the group: drained bins re-enter at their new rem
+            val drained = fullBins + (if (partial > 0) 1L else 0L)
+            groups.remove(i)
+            if (drained < g.count)
+              groups += G(g.first + drained, g.count - drained, g.rem)
+            if (fullBins > 0 && g.rem - perBin * len > 0)
+              groups += G(g.first, fullBins, g.rem - perBin * len)
+            if (partial > 0 && g.rem - partial * len > 0)
+              groups += G(g.first + fullBins, 1L, g.rem - partial * len)
+          case None =>
+            // open fresh bins: each absorbs binLen/len items
+            val perBin = binLen / len
+            val fullBins = c / perBin
+            if (fullBins > 0) {
+              segs += BfdSeg(len, rank, fullBins, perBin, nextBin)
+              rank += fullBins * perBin
+              c -= fullBins * perBin
+              if (binLen - perBin * len > 0)
+                groups += G(nextBin, fullBins, binLen - perBin * len)
+              nextBin += fullBins
+            }
+            if (c > 0) {
+              segs += BfdSeg(len, rank, 1L, c, nextBin)
+              if (binLen - c * len > 0)
+                groups += G(nextBin, 1L, binLen - c * len)
+              nextBin += 1
+              rank += c
+              c = 0
+            }
+        }
+      }
+    }
+    segs.toSeq
+  }
+
+  /** Naive per-item BFD with the same determinism rules — the spec
+    * reference the histogram solve must reproduce exactly.
+    */
+  def bfdNaive(items: Seq[(Long, Long)], binLen: Long): Map[Long, Long] = {
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Long] // rem
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    items.sortBy { case (id, len) => (-len, id) }.foreach { case (id, len) =>
+      val fit = bins.zipWithIndex.filter(_._1 >= len)
+        .sortBy { case (rem, i) => (rem, i) }.headOption.map(_._2)
+      val b = fit.getOrElse { bins += binLen; bins.length - 1 }
+      bins(b) -= len
+      out(id) = b.toLong
+    }
+    out.toMap
+  }
+
+  /** Whole-document best-fit-decreasing packing into [[BfdLen]]-token
+    * context windows (documents are never split — the packing variant
+    * that avoids cross-document attention contamination; over-long
+    * docs are capped at L, standing in for a pre-chunking pass).
+    * Output: one row per document with its bin assignment.
+    *
+    * 100 TB shape: one scan → (len, count) histogram (≤ L rows to the
+    * driver), the bounded [[bfdHistogram]] solve, then assignment is a
+    * broadcast join of the O(L²) segment plan against per-class ranks.
+    * The only wide operation is the rank (window by length class —
+    * at extreme per-length skew the class rank could use the
+    * pack_shards prefix-count instead). No corpus-sized driver state.
+    */
+  def packBfd(s: SparkSession, dir: String, binLen: Long = BfdLen): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id",
+        least(TextAnalysis.tokenCount($"text"), lit(binLen)).as("n"))
+      .filter($"n" > 0L)
+      .localCheckpoint(eager = true) // one scan feeds histogram + ranks
+    val hist = docs.groupBy($"n").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toSeq
+    val segs = bfdHistogram(hist, binLen)
+    val segDf = s.createDataFrame(segs).toDF(
+      "n", "rank_from", "n_bins", "per_bin", "first_bin")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"n").orderBy($"doc_id")
+    docs
+      .withColumn("rank", row_number().over(w).cast("long") - 1L)
+      .join(broadcast(segDf),
+        docs("n") === segDf("n") &&
+          $"rank" >= $"rank_from" &&
+          $"rank" < $"rank_from" + $"n_bins" * $"per_bin")
+      .select($"doc_id", docs("n").as("n_tokens"),
+        ($"first_bin" + ($"rank" - $"rank_from") / $"per_bin")
+          .cast("long").as("bin_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
     "pack_shards" -> ((s, d) => packShards(s, d)),
+    // rows-only: best-fit-decreasing is inherently sequential (not
+    // one-SQL-expressible); pinned by ScalaCheck vs the naive replay
+    "pack_bfd" -> ((s, d) => packBfd(s, d)),
     "pack_chunks" -> packChunks)
 
   /** DuckDB token count, identical to TextAnalysis.tokenCount (parity

@@ -134,6 +134,58 @@ class PackingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(again.toSeq == got.toSeq)
   }
+
+  private def forAllSampled[T](gen: org.scalacheck.Gen[T], n: Int)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)).foreach(body)
+    }
+
+  test("ScalaCheck: histogram BFD solve equals the naive per-item replay") {
+    import org.scalacheck.Gen
+    val L = 64L
+    val genItems = for {
+      n <- Gen.choose(1, 120)
+      lens <- Gen.listOfN(n, Gen.choose(1L, L))
+    } yield lens.zipWithIndex.map { case (len, i) => (i.toLong, len) }
+    forAllSampled(genItems, 60) { items =>
+      val naive = Packing.bfdNaive(items, L)
+      // histogram solve + rank arithmetic, replayed without Spark
+      val hist = items.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      val segs = Packing.bfdHistogram(hist, L)
+      val got = items.groupBy(_._2).flatMap { case (len, its) =>
+        val ranked = its.map(_._1).sorted.zipWithIndex
+        ranked.map { case (id, rank) =>
+          val seg = segs.find(sg => sg.len == len && rank >= sg.rankFrom &&
+            rank < sg.rankFrom + sg.nBins * sg.perBin).get
+          id -> (seg.firstBin + (rank - seg.rankFrom) / seg.perBin)
+        }
+      }
+      assert(got == naive, s"histogram BFD diverged on ${items.take(8)}…")
+      // invariants: no bin over capacity, bin count within BFD bounds
+      val binLoads = items.map { case (id, len) => (got(id), len) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      assert(binLoads.values.forall(_ <= L), "bin over capacity")
+      val total = items.map(_._2).sum
+      assert(binLoads.size >= (total + L - 1) / L, "fewer bins than lower bound")
+    }
+  }
+
+  test("pack_bfd: every doc packed once, bins under capacity, equals naive") {
+    val got = Packing.packBfd(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id",
+        least(TextAnalysis.tokenCount($"text"), lit(Packing.BfdLen)).as("n"))
+      .filter($"n" > 0L).as[(Long, Long)].collect()
+    assert(got.map(_._1).distinct.length == docs.length, "one row per doc")
+    val naive = Packing.bfdNaive(docs.toSeq, Packing.BfdLen)
+    got.foreach { case (id, _, bin) =>
+      assert(naive(id) == bin, s"doc $id bin mismatch vs naive replay")
+    }
+    val loads = got.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    assert(loads.values.forall(_ <= Packing.BfdLen))
+  }
 }
 
 class DecontaminationSpec extends SparkSpec {

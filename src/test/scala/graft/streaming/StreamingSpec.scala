@@ -709,6 +709,41 @@ class StreamingSpec extends SparkSpec {
     assert(before == after, "min-merge must be idempotent to re-delivery")
   }
 
+  test("incremental paragraph-dedup state: per-batch results concatenate to the one-shot batch answer") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val state = Files.createTempDirectory("graft-paradedup").resolve("s").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    val ids = docs.select(max($"doc_id")).head.getLong(0)
+    val bounds = Seq(0L, ids / 3, 2 * ids / 3, ids + 1)
+    val perBatch = (0 until 3).map { i =>
+      val b = docs.filter($"doc_id" >= bounds(i) && $"doc_id" < bounds(i + 1))
+      // score BEFORE folding (the state must describe only PRIOR batches)
+      val scored = StreamingCuration.paraDedupFromState(spark, state, b)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getDouble(4)))
+      StreamingCuration.mergeParaState(spark, state, b)
+      scored
+    }
+    val got = perBatch.flatten.sortBy(_._1).toSeq
+    val want = graft.ops.CorpusFilters.paragraphDedupOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    assert(got == want,
+      "per-batch paragraph dedup must equal the one-shot batch operator")
+    // idempotence: re-folding the last batch cannot change the state
+    val lastB = docs.filter($"doc_id" >= bounds(2))
+    val before = StreamingCuration.paraDedupFromState(spark, state, lastB)
+      .collect().map(_.toSeq).toSeq
+    StreamingCuration.mergeParaState(spark, state, lastB)
+    val after = StreamingCuration.paraDedupFromState(spark, state, lastB)
+      .collect().map(_.toSeq).toSeq
+    assert(before == after, "struct-min merge must be idempotent to re-delivery")
+  }
+
   test("streaming IVF ingestion: micro-batches append against the frozen quantizer") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
