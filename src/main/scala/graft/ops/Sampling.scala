@@ -317,7 +317,66 @@ object Sampling {
       .limit(k)
   }
 
+  // ---- greedy k-center (farthest-point) coreset selection ----
+
+  val KCenterK = 8
+
+  /** Squared euclidean distance as an ordered left-to-right fold —
+    * the same fold order as the in-memory replay, so the doubles are
+    * bit-identical between the operator and its spec reference.
+    */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Greedy k-center / farthest-point traversal (Gonzalez 1985 — the
+    * 2-approximation; used for diversity coreset selection, Sener &
+    * Savarese ICLR 2018): seed at the lowest vec_id, then k−1 rounds
+    * of "pick the point farthest from the chosen set" (ties to the
+    * lowest vec_id), tracking each pick's coverage radius. The radius
+    * sequence is nonincreasing — the classic coverage curve.
+    *
+    * Rows-only by design (iterative data-dependent argmax); pinned
+    * bit-exact against an in-memory greedy replay in the spec.
+    *
+    * 100 TB shape: k narrow passes over (vec_id, v, running min-dist²)
+    * state; each round broadcasts ONE center vector into the compiled
+    * distance fold and collects ONE argmax row via a TakeOrdered heap
+    * (no global sort). State is localCheckpointed per round so lineage
+    * stays flat. No pairwise matrix, no corpus-sized driver traffic.
+    */
+  def sampleKCenter(s: SparkSession, dir: String, k: Int = KCenterK): DataFrame = {
+    import s.implicits._
+    var st = t(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("mind", lit(Double.MaxValue))
+      .localCheckpoint(eager = true)
+    val seed = st.orderBy($"vec_id".asc).limit(1)
+      .select($"vec_id", $"v").collect().head
+    var centerId = seed.getLong(0)
+    var center = seed.getSeq[Double](1).toArray
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](
+      (0L, centerId, 0.0))
+    (1 until k).foreach { rank =>
+      st = st
+        .withColumn("mind", least($"mind", dist2($"v", typedlit(center))))
+        .localCheckpoint(eager = true)
+      val chosen = picked.map(_._2).toSeq
+      val next = st.filter(!$"vec_id".isin(chosen: _*))
+        .orderBy($"mind".desc, $"vec_id".asc).limit(1)
+        .select($"vec_id", $"mind", $"v").collect().head
+      centerId = next.getLong(0)
+      center = next.getSeq[Double](2).toArray
+      picked += ((rank.toLong, centerId, next.getDouble(1)))
+    }
+    s.createDataFrame(picked.toSeq)
+      .toDF("rank", "vec_id", "radius2")
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // rows-only: iterative farthest-point argmax, spec-pinned vs replay
+    "sample_kcenter" -> ((s, d) => sampleKCenter(s, d)),
     "sample_split" -> splitSummary,
     "sample_temperature" -> ((s, d) => temperatureSummary(s, d)),
     "sample_unimax" -> ((s, d) => sampleUnimax(s, d)),

@@ -534,6 +534,45 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject, got:\n$plan")
   }
+
+  test("k-center: bit-exact vs in-memory farthest-point replay; radii nonincreasing") {
+    val k = Sampling.KCenterK
+    val got = Sampling.sampleKCenter(spark, sfDir, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // naive greedy with the SAME left-to-right fold order
+    val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val mind = scala.collection.mutable.Map(
+      vecs.map(v => v._1 -> Double.MaxValue): _*)
+    var center = vecs.head._2
+    val want = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](
+      (0L, vecs.head._1, 0.0))
+    (1 until k).foreach { rank =>
+      vecs.foreach { case (id, v) =>
+        mind(id) = math.min(mind(id), d2(v, center))
+      }
+      val chosen = want.map(_._2).toSet
+      val next = vecs.filter(v => !chosen(v._1))
+        .map { case (id, v) => (id, mind(id), v) }
+        .minBy { case (id, d, _) => (-d, id) }
+      center = next._3
+      want += ((rank.toLong, next._1, next._2))
+    }
+    assert(got.toSeq == want.toSeq, "greedy trace must match the replay exactly")
+    // coverage radii nonincreasing after the seed
+    got.drop(1).map(_._3).sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0) >= w(1), "radius sequence must be nonincreasing")
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
