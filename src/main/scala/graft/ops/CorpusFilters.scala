@@ -276,11 +276,109 @@ object CorpusFilters {
       .orderBy($"doc_id", $"rk")
   }
 
+  // ---- cross-source overlap forensics ----
+
+  /** Word-trigram column as a codegen'd HOF chain (distinct per row). */
+  private def trigrams(text: Column): Column = {
+    val ws = filter(split(trim(text), "\\s+"), tk => length(tk) > 0)
+    array_distinct(transform(sequence(lit(0), size(ws) - 3),
+      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
+        element_at(ws, i + 3))))
+  }
+
+  /** Which sources share content: the source-pair overlap matrix over
+    * distinct word trigrams — the corpus-forensics view that finds
+    * mirrored/scraped-twice feeds before they skew a mixture. Keys are
+    * md5(trigram) (16-byte join keys, engine-portable).
+    *
+    * 100 TB shape: per-source distinct shingles is one hash aggregation
+    * of (source, 16-byte key); the pair join is an inverted-index-style
+    * equi-join on the key whose output is bounded by shared mass, and
+    * the result is sources² rows — tiny. No all-pairs over documents.
+    */
+  def dedupSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(t(s, dir, "documents"))
+
+  def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sh = docs
+      .filter(size(filter(split(trim($"text"), "\\s+"),
+        tk => length(tk) > 0)) >= 3)
+      .select($"source", explode(trigrams($"text")).as("g"))
+      .select($"source", md5($"g").as("k"))
+      .distinct()
+      .localCheckpoint(eager = true) // one shingle pass feeds totals + join
+    val totals = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+    val shared = sh.as("a").join(sh.as("b"),
+        $"a.k" === $"b.k" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(totals.select($"source".as("source_a"), $"n".as("n_a")), "source_a")
+      .join(totals.select($"source".as("source_b"), $"n".as("n_b")), "source_b")
+      .select($"source_a", $"source_b", $"n_shared", $"n_a", $"n_b",
+        ($"n_shared".cast("double") /
+          ($"n_a" + $"n_b" - $"n_shared").cast("double")).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  // ---- curation funnel ----
+
+  /** Staged curation funnel — the per-stage survivor report every
+    * cleaning pipeline publishes: all docs → exact-dedup firsts →
+    * length floor → language identified → Gopher max-word-length rule.
+    * Stages are CUMULATIVE (a doc must pass all earlier stages), and
+    * the whole funnel is computed in ONE documents scan (per-doc flags,
+    * then conditional sums unpivoted to stage rows) — at 100 TB the
+    * only shuffle is the fingerprint first-occurrence aggregation.
+    */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"fp")
+    val flagged = t(s, dir, "documents")
+      .select($"doc_id", $"text",
+        TextAnalysis.fingerprint($"text").as("fp"),
+        TextAnalysis.tokenCount($"text").as("n"),
+        TextAnalysis.langId($"text").as("lang"))
+      .withColumn("first", $"doc_id" === min($"doc_id").over(w))
+      .withColumn("maxw", array_max(transform(
+        filter(split(trim($"text"), "\\s+"), tk => length(tk) > 0),
+        tk => length(tk))))
+      .select($"n",
+        $"first".as("f1"),
+        ($"first" && $"n" >= 20).as("f2"),
+        ($"first" && $"n" >= 20 && $"lang" =!= "und").as("f3"),
+        ($"first" && $"n" >= 20 && $"lang" =!= "und" && $"maxw" <= 15)
+          .as("f4"))
+    val agg = flagged.agg(
+      count(lit(1)).as("d0"), sum($"n").as("t0"),
+      sum(when($"f1", 1L).otherwise(0L)).as("d1"),
+      sum(when($"f1", $"n").otherwise(0L)).as("t1"),
+      sum(when($"f2", 1L).otherwise(0L)).as("d2"),
+      sum(when($"f2", $"n").otherwise(0L)).as("t2"),
+      sum(when($"f3", 1L).otherwise(0L)).as("d3"),
+      sum(when($"f3", $"n").otherwise(0L)).as("t3"),
+      sum(when($"f4", 1L).otherwise(0L)).as("d4"),
+      sum(when($"f4", $"n").otherwise(0L)).as("t4"))
+    agg.select(expr(
+      """stack(5,
+         0L, 'all', d0, t0,
+         1L, 'exact_dedup', d1, t1,
+         2L, 'min_length', d2, t2,
+         3L, 'lang_id', d3, t3,
+         4L, 'gopher_word_len', d4, t4)
+         AS (stage_id, stage, n_docs, n_tokens)"""))
+      .orderBy("stage_id")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_c4_rules" -> taC4Rules,
     "dedup_paragraph" -> dedupParagraph,
+    "dedup_source_overlap" -> dedupSourceOverlap,
+    "curation_funnel" -> curationFunnel,
     "ta_readability" -> taReadability,
     "ta_code_detect" -> taCodeDetect,
     "ta_tfidf" -> taTfidf)
@@ -334,6 +432,78 @@ object CorpusFilters {
         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
           / CAST(COUNT(*) AS DOUBLE) AS kept_frac
       FROM k GROUP BY doc_id ORDER BY doc_id""",
+    "dedup_source_overlap" -> """
+      WITH ssh AS (
+        SELECT DISTINCT source,
+          unnest([array_to_string(ws[i:i+2], ' ')
+            for i in range(1, len(ws) - 1)]) AS g
+        FROM (SELECT source,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> len(x) > 0) AS ws
+              FROM documents)
+        WHERE len(ws) >= 3),
+      tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ssh GROUP BY 1),
+      sh2 AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+          CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM ssh a JOIN ssh b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT s.source_a, s.source_b, s.n_shared, ta.n AS n_a, tb.n AS n_b,
+        CAST(s.n_shared AS DOUBLE)
+          / CAST(ta.n + tb.n - s.n_shared AS DOUBLE) AS jaccard
+      FROM sh2 s
+      JOIN tot ta ON s.source_a = ta.source
+      JOIN tot tb ON s.source_b = tb.source
+      ORDER BY source_a, source_b""",
+    "curation_funnel" -> {
+      val scores = TextAnalysis.langProfiles.map { case (l, ws) =>
+        l -> ("CAST(len(regexp_extract_all(text, '\\b(" + ws.mkString("|") +
+          ")\\b')) AS BIGINT)")
+      }
+      val scoreSel = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+      val best = "GREATEST(" + scores.map(x => "s_" + x._1).mkString(", ") + ")"
+      val cases = scores.map { case (l, _) =>
+        s"WHEN s_$l = best AND best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""
+      WITH f AS (
+        SELECT doc_id,
+          md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS n,
+          list_max([len(x) for x in list_filter(
+            string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)]) AS maxw,
+          $scoreSel
+        FROM documents),
+      mx AS (
+        SELECT *, $best AS best,
+          doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS first
+        FROM f),
+      fl AS (
+        SELECT n, first AS f1,
+          (first AND n >= 20) AS f2,
+          (first AND n >= 20 AND (CASE $cases ELSE 'und' END) <> 'und') AS f3,
+          (first AND n >= 20 AND (CASE $cases ELSE 'und' END) <> 'und'
+            AND maxw <= 15) AS f4
+        FROM mx),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS d0, CAST(SUM(n) AS BIGINT) AS t0,
+          CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+          CAST(SUM(CASE WHEN f1 THEN n ELSE 0 END) AS BIGINT) AS t1,
+          CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+          CAST(SUM(CASE WHEN f2 THEN n ELSE 0 END) AS BIGINT) AS t2,
+          CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+          CAST(SUM(CASE WHEN f3 THEN n ELSE 0 END) AS BIGINT) AS t3,
+          CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+          CAST(SUM(CASE WHEN f4 THEN n ELSE 0 END) AS BIGINT) AS t4
+        FROM fl)
+      SELECT CAST(0 AS BIGINT) AS stage_id, 'all' AS stage, d0 AS n_docs, t0 AS n_tokens FROM agg
+      UNION ALL SELECT 1, 'exact_dedup', d1, t1 FROM agg
+      UNION ALL SELECT 2, 'min_length', d2, t2 FROM agg
+      UNION ALL SELECT 3, 'lang_id', d3, t3 FROM agg
+      UNION ALL SELECT 4, 'gopher_word_len', d4, t4 FROM agg
+      ORDER BY stage_id"""
+    },
     "ta_readability" -> """
       WITH b AS (
         SELECT doc_id, trim(text) AS tx,

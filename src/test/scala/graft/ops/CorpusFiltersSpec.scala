@@ -117,6 +117,43 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(got(0L).getAs[Long]("score") == 3 * 2 + 3 * 1 + 2 * 2)
   }
 
+  test("source overlap: shared trigrams counted once, jaccard exact") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4", "A"),   // trigrams: {w1 w2 w3, w2 w3 w4}
+      (2L, "w1 w2 w3 x", "B"),    // {w1 w2 w3, w2 w3 x}
+      (3L, "w1 w2 w3 w4", "B"),   // dup of doc 1's trigrams, same source B
+      (4L, "y1 y2 y3", "C"))      // {y1 y2 y3} — no overlap
+      .toDF("doc_id", "text", "source")
+    val got = CorpusFilters.sourceOverlapOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // A has 2 distinct trigrams, B has 3 (w1w2w3, w2w3x, w2w3w4), C 1
+    assert(got.keySet == Set(("A", "B")))
+    val (shared, na, nb, jac) = got(("A", "B"))
+    assert(shared == 2 && na == 2 && nb == 3)
+    assert(math.abs(jac - 2.0 / 3.0) < 1e-15)
+  }
+
+  test("funnel: cumulative stages shrink monotonically; stage1 = distinct fingerprints") {
+    val rows = CorpusFilters.curationFunnel(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("stage_id"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("all", "exact_dedup", "min_length", "lang_id", "gopher_word_len"))
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    docs.sliding(2).foreach { w => assert(w(0) >= w(1), "docs must shrink") }
+    toks.sliding(2).foreach { w => assert(w(0) >= w(1), "tokens must shrink") }
+    val total = graft.Tables.t(spark, sfDir, "documents").count()
+    assert(docs(0) == total)
+    val distinctFp = graft.Tables.t(spark, sfDir, "documents")
+      .select(TextAnalysis.fingerprint(org.apache.spark.sql.functions.col("text")))
+      .distinct().count()
+    assert(docs(1) == distinctFp, "stage 1 must equal distinct-fingerprint count")
+    assert(docs.last > 0, "some docs must survive the full funnel")
+  }
+
   test("tfidf: scores are tf·N/df, descending, tie-broken by term") {
     val docs = docsDf(Seq(
       (1L, "apple apple banana cherry"),
