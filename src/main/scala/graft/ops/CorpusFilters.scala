@@ -278,23 +278,17 @@ object CorpusFilters {
 
   // ---- cross-source overlap forensics ----
 
-  /** Word-trigram column as a codegen'd HOF chain (distinct per row). */
-  private def trigrams(text: Column): Column = {
-    val ws = filter(split(trim(text), "\\s+"), tk => length(tk) > 0)
-    array_distinct(transform(sequence(lit(0), size(ws) - 3),
-      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
-        element_at(ws, i + 3))))
-  }
-
   /** Which sources share content: the source-pair overlap matrix over
     * distinct word trigrams — the corpus-forensics view that finds
     * mirrored/scraped-twice feeds before they skew a mixture. Keys are
-    * md5(trigram) (16-byte join keys, engine-portable).
+    * fnv64(trigram) (8-byte keys; collision-free-on-the-corpus is the
+    * same standing assumption the Jaccard oracle family documents).
     *
     * 100 TB shape: per-source distinct shingles is one hash aggregation
-    * of (source, 16-byte key); the pair join is an inverted-index-style
-    * equi-join on the key whose output is bounded by shared mass, and
-    * the result is sources² rows — tiny. No all-pairs over documents.
+    * of (source, 8-byte xxhash64 key); each key then aggregates its
+    * source SET (bounded by #sources) and fans out its pairs, which
+    * collapse map-side into the sources² matrix — no self-join ever
+    * re-shuffles the shingle table, no all-pairs over documents.
     */
   def dedupSourceOverlap(s: SparkSession, dir: String): DataFrame =
     sourceOverlapOf(t(s, dir, "documents"))
@@ -302,17 +296,42 @@ object CorpusFilters {
   def sourceOverlapOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // distinct (source, trigram-hash64): 8-byte keys from the compiled
+    // shingling kernel (the Dedup.shingledOf pattern — a Catalyst HOF
+    // chain here re-evaluates the tokenize regex per lambda element,
+    // ~8× slower; the fnv64 kernel is one pass per doc)
     val sh = docs
-      .filter(size(filter(split(trim($"text"), "\\s+"),
-        tk => length(tk) > 0)) >= 3)
-      .select($"source", explode(trigrams($"text")).as("g"))
-      .select($"source", md5($"g").as("k"))
+      .select($"source", $"text").as[(String, String)]
+      .flatMap { case (src, text) =>
+        val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (ws.length < 3) Iterator.empty
+        else {
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          var i = 0
+          while (i + 3 <= ws.length) {
+            val h = Dedup.fnv64(ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
+            if (seen.add(h)) out += ((src, h))
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("source", "k")
       .distinct()
-      .localCheckpoint(eager = true) // one shingle pass feeds totals + join
+      .localCheckpoint(eager = true) // one shingle pass feeds totals + sets
     val totals = sh.groupBy($"source").agg(count(lit(1)).as("n"))
-    val shared = sh.as("a").join(sh.as("b"),
-        $"a.k" === $"b.k" && $"a.source" < $"b.source")
-      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+    // per-trigram source set, then the bounded pair fan-out — replaces a
+    // self-join that would re-shuffle (and hash-probe) the shingle table
+    // twice: one aggregation keyed by the 8-byte hash, pair rows are
+    // ≤ sources² per key and collapse map-side into the 190-row matrix
+    val shared = sh.groupBy($"k")
+      .agg(sort_array(collect_set($"source")).as("ss"))
+      .filter(size($"ss") >= 2)
+      .select(explode(flatten(transform($"ss", (a, i) =>
+        transform(slice($"ss", i + 2, size($"ss")), b =>
+          struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+      .groupBy($"p.source_a".as("source_a"), $"p.source_b".as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
       .join(totals.select($"source".as("source_a"), $"n".as("n_a")), "source_a")

@@ -105,7 +105,7 @@ class PlanSpec extends SparkSpec {
   test("no relational query plans a CartesianProduct") {
     for ((name, fn) <- Relational.queries ++ Extended.queries ++
         Extended2.queries ++ Extended3.queries ++ Extended4.queries ++
-        Extended5.queries) {
+        Extended5.queries ++ Extended6.queries) {
       val p = plan(fn(spark, sfDir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
     }
@@ -305,6 +305,28 @@ class PlanSpec extends SparkSpec {
       s"table stats must cost one scan regardless of column count:\n$p")
     assert("Expand".r.findAllIn(p).size == 1,
       s"the k COUNT(DISTINCT) measures should share one Expand (q38 shape):\n$p")
+  }
+
+  test("ta_tfidf: the df vocabulary joins broadcast; the term shuffle is the only wide exchange") {
+    val p = plan(graft.ops.CorpusFilters.taTfidf(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"df/N sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the corpus-sized side must never sort-merge against the tiny vocab
+    assert(!p.contains("SortMergeJoin"), s"vocab join sort-merges:\n$p")
+  }
+
+  test("curation_funnel: one documents scan feeds the whole funnel") {
+    val p = plan(graft.ops.CorpusFilters.curationFunnel(spark, sfDir))
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected ONE documents scan, got $scans:\n$p")
+  }
+
+  test("sim_maxsim: query tokens broadcast; corpus scanned, never shuffled whole") {
+    val p = plan(graft.ops.Similarity.simMaxSim(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"maxsim plans a cartesian:\n$p")
   }
 
   test("sim_range_search: threshold filter in the scan stage, no rank window, corpus never broadcast") {
