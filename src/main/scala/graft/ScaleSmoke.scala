@@ -33,7 +33,10 @@ object ScaleSmoke {
   val SlowestQueries: Seq[String] = Seq(
     "sim_graph_centrality", "dedup_containment", "dedup_components_alt",
     "dedup_editdist", "sim_knn_graph", "dq_outlier_mad", "mix_budget",
-    "q66_equidepth_hist", "ta_cms_freq", "dedup_minhash_lsh")
+    "q66_equidepth_hist", "ta_cms_freq", "dedup_minhash_lsh",
+    // round-7 session-2 heavyweights: shingle-set overlap matrix,
+    // TF-IDF vocab join, line dedup reassembly, histogram BFD packing
+    "dedup_source_overlap", "ta_tfidf", "dedup_paragraph", "pack_bfd")
 
   def ensureSf1(spark: SparkSession, srcDir: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_sf1"

@@ -84,9 +84,62 @@ object Extended6 {
       .orderBy($"user_id")
   }
 
+  /** q72: SCD Type-2 merge — the warehouse upsert-with-history pattern
+    * (Kimball dimension maintenance; what MERGE INTO + a history table
+    * does on Delta/Iceberg, expressed engine-neutrally). A deterministic
+    * change set against the customer dimension (segment rewrites on
+    * key%7, balance adjustments on key%11, inserts on key%13) merges
+    * into versioned history rows: changed keys close their v1 row
+    * (valid_to=2, not current) and open a v2 row; unchanged keys keep
+    * one open v1 row; inserts open at v2.
+    *
+    * Scale shape: ONE full-outer equi-join on the dimension key decides
+    * every row's fate; history rows are emitted by three projections of
+    * that single joined frame (no second scan, no window). At 100 TB
+    * the join is an ordinary key shuffle and AQE handles key skew.
+    */
+  def q72Scd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cur = t(s, dir, "customer")
+    val upd = cur.filter($"c_custkey" % 7 === 0 || $"c_custkey" % 11 === 0)
+      .select($"c_custkey", $"c_name", $"c_nationkey",
+        when($"c_custkey" % 11 === 0, $"c_acctbal" + 100.0)
+          .otherwise($"c_acctbal").as("c_acctbal"),
+        when($"c_custkey" % 7 === 0, lit("SEGMENT_V2"))
+          .otherwise($"c_mktsegment").as("c_mktsegment"))
+    val ins = cur.filter($"c_custkey" % 13 === 0)
+      .select(($"c_custkey" + 1000000L).as("c_custkey"),
+        concat(lit("new_"), ($"c_custkey" + 1000000L).cast("string"))
+          .as("c_name"),
+        $"c_nationkey", lit(50.0).as("c_acctbal"), lit("NEW").as("c_mktsegment"))
+    val updates = upd.unionByName(ins)
+    val j = cur.as("c").join(updates.as("u"),
+      col("c.c_custkey") === col("u.c_custkey"), "full_outer")
+      .localCheckpoint(eager = true) // one join feeds all three projections
+    val unchanged = j.filter(col("u.c_custkey").isNull)
+      .select(col("c.c_custkey"), col("c.c_name"), col("c.c_nationkey"),
+        col("c.c_acctbal"), col("c.c_mktsegment"),
+        lit(1L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+    val closed = j.filter(col("c.c_custkey").isNotNull &&
+        col("u.c_custkey").isNotNull)
+      .select(col("c.c_custkey"), col("c.c_name"), col("c.c_nationkey"),
+        col("c.c_acctbal"), col("c.c_mktsegment"),
+        lit(1L).as("valid_from"), lit(2L).cast("long").as("valid_to"),
+        lit(false).as("is_current"))
+    val opened = j.filter(col("u.c_custkey").isNotNull)
+      .select(col("u.c_custkey"), col("u.c_name"), col("u.c_nationkey"),
+        col("u.c_acctbal"), col("u.c_mktsegment"),
+        lit(2L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+    unchanged.unionByName(closed).unionByName(opened)
+      .orderBy("c_custkey", "valid_from")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_cohort_retention" -> q70CohortRetention,
-    "q71_rfm" -> q71Rfm)
+    "q71_rfm" -> q71Rfm,
+    "q72_scd2" -> q72Scd2)
 
   val oracles: Map[String, String] = Map(
     "q70_cohort_retention" -> """
@@ -100,6 +153,37 @@ object Extended6 {
         CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
       FROM ev JOIN first f USING (user_id)
       GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q72_scd2" -> """
+      WITH upd AS (
+        SELECT c_custkey, c_name, c_nationkey,
+          CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100.0
+               ELSE c_acctbal END AS c_acctbal,
+          CASE WHEN c_custkey % 7 = 0 THEN 'SEGMENT_V2'
+               ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'new_' || CAST(c_custkey + 1000000 AS VARCHAR),
+          c_nationkey, 50.0, 'NEW'
+        FROM customer WHERE c_custkey % 13 = 0),
+      j AS (
+        SELECT c.c_custkey AS ck, u.c_custkey AS uk,
+          c.c_name AS cn, c.c_nationkey AS cnk, c.c_acctbal AS cb,
+          c.c_mktsegment AS cs,
+          u.c_name AS un, u.c_nationkey AS unk, u.c_acctbal AS ub,
+          u.c_mktsegment AS us
+        FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.c_custkey)
+      SELECT ck AS c_custkey, cn AS c_name, cnk AS c_nationkey,
+        cb AS c_acctbal, cs AS c_mktsegment,
+        CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+        TRUE AS is_current
+      FROM j WHERE uk IS NULL
+      UNION ALL
+      SELECT ck, cn, cnk, cb, cs, 1, 2, FALSE
+      FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL
+      UNION ALL
+      SELECT uk, un, unk, ub, us, 2, NULL, TRUE
+      FROM j WHERE uk IS NOT NULL
+      ORDER BY c_custkey, valid_from""",
     "q71_rfm" -> """
       WITH by_user AS (
         SELECT user_id,

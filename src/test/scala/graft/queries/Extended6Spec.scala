@@ -42,6 +42,37 @@ class Extended6Spec extends SparkSpec {
     assert(sizes.values.max - sizes.values.min <= 1)
   }
 
+  test("q72 scd2: one current row per key, changed keys close v1, inserts open at v2") {
+    val s = spark
+    import s.implicits._
+    val rows = Extended6.q72Scd2(spark, sfDir).collect()
+    val byKey = rows.groupBy(_.getLong(0))
+    byKey.foreach { case (k, rs) =>
+      assert(rs.count(_.getAs[Boolean]("is_current")) == 1,
+        s"key $k must have exactly one current row")
+    }
+    val cur = graft.Tables.t(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    cur.keys.foreach { k =>
+      val rs = byKey(k).sortBy(_.getAs[Long]("valid_from"))
+      if (k % 7 == 0 || k % 11 == 0) {
+        assert(rs.length == 2, s"changed key $k needs closed v1 + open v2")
+        assert(!rs.head.getAs[Boolean]("is_current") &&
+          rs.head.getAs[Long]("valid_to") == 2L)
+        val v2 = rs.last
+        if (k % 11 == 0)
+          assert(v2.getAs[Double]("c_acctbal") == cur(k)._1 + 100.0)
+        if (k % 7 == 0)
+          assert(v2.getAs[String]("c_mktsegment") == "SEGMENT_V2")
+      } else {
+        assert(rs.length == 1 && rs.head.getAs[Long]("valid_from") == 1L)
+      }
+      if (k % 13 == 0)
+        assert(byKey.contains(k + 1000000L), s"insert for $k missing")
+    }
+  }
+
   test("maxsim: a doc containing every query token vector ranks first") {
     val s = spark
     import s.implicits._
