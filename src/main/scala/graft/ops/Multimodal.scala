@@ -386,7 +386,61 @@ object Multimodal {
       .orderBy("media_id", "px", "py")
   }
 
+  val SceneFrameBytes = 64
+  val SceneCutThreshold = 200L
+
+  /** Scene-change detection over "video" payloads: the frame-difference
+    * thresholding every shot-boundary detector starts from, on the
+    * byte-energy feature (integer sum of unsigned frame bytes — the
+    * [[mmAudioWindows]] trick that keeps the whole stage hash-exact
+    * cross-engine; a production build swaps energy for a perceptual
+    * frame feature, the kernel shape is identical). A cut fires where
+    * consecutive full frames differ by ≥ [[SceneCutThreshold]];
+    * first_cut_frame is −1 when a clip has no cut.
+    *
+    * 100 TB shape: one streamed pass per payload inside mapPartitions
+    * (no per-frame row fan-out at all — frames never leave the kernel),
+    * output is one row per media item.
+    */
+  def mmSceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = SceneFrameBytes
+    val T = SceneCutThreshold
+    mediaTable(s, dir).filter($"kind" === "video")
+      .select($"media_id", $"payload").as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val n = bytes.length / W
+        var cuts = 0L
+        var total = 0L
+        var first = -1L
+        var prev = 0L
+        var f = 0
+        while (f < n) {
+          var e = 0L
+          var i = f * W
+          val end = i + W
+          while (i < end) { e += (bytes(i) & 0xff); i += 1 }
+          if (f > 0) {
+            val d = math.abs(e - prev)
+            total += d
+            if (d >= T) { cuts += 1; if (first < 0) first = f.toLong }
+          }
+          prev = e
+          f += 1
+        }
+        (id, n.toLong, cuts, total, first)
+      }
+      .toDF("media_id", "n_frames", "n_cuts", "total_absdiff",
+        "first_cut_frame")
+      .filter($"n_frames" >= 1)
+      .withColumn("n_scenes", $"n_cuts" + 1L)
+      .select($"media_id", $"n_frames", $"n_cuts", $"n_scenes",
+        $"total_absdiff", $"first_cut_frame")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_scene_cuts" -> mmSceneCuts,
     "mm_stats" -> mmStats,
     "mm_decode" -> ((s, d) => mmDecode(s, d)),
     "mm_resize" -> ((s, d) => mmResize(s, d)),
@@ -457,6 +511,35 @@ object Multimodal {
       FROM nibs GROUP BY doc_id)"""
 
   val oracles: Map[String, String] = Map(
+    // text is ASCII so ord(char) == payload byte (the mm_audio_windows
+    // equivalence); frames are consecutive full 64-byte windows
+    "mm_scene_cuts" -> s"""
+      WITH vids AS (
+        SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
+      b AS (
+        SELECT media_id,
+          [ord(substr(text, i, 1)) for i in range(1, len(text) + 1)] AS bv
+        FROM vids),
+      fr AS (
+        SELECT media_id, u.f AS f,
+          CAST(list_sum(bv[(u.f * $SceneFrameBytes + 1):
+            ((u.f + 1) * $SceneFrameBytes)]) AS BIGINT) AS e
+        FROM b, UNNEST(range(0, len(bv) // $SceneFrameBytes)) AS u(f)
+        WHERE len(bv) >= $SceneFrameBytes),
+      d AS (
+        SELECT media_id, f, e,
+          abs(e - lag(e) OVER (PARTITION BY media_id ORDER BY f)) AS ad
+        FROM fr)
+      SELECT media_id,
+        CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(SUM(CASE WHEN ad >= $SceneCutThreshold THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_cuts,
+        CAST(SUM(CASE WHEN ad >= $SceneCutThreshold THEN 1 ELSE 0 END) + 1
+          AS BIGINT) AS n_scenes,
+        CAST(COALESCE(SUM(ad), 0) AS BIGINT) AS total_absdiff,
+        CAST(COALESCE(MIN(CASE WHEN ad >= $SceneCutThreshold THEN f END), -1)
+          AS BIGINT) AS first_cut_frame
+      FROM d GROUP BY media_id ORDER BY media_id""",
     "mm_patches" -> s"""
       WITH $decodedCte,
       img AS (

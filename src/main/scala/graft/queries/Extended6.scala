@@ -136,10 +136,42 @@ object Extended6 {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** q73: sequence-pattern matching over per-user event strings — the
+    * MATCH_RECOGNIZE workload Spark has no operator for, emulated by
+    * encoding each user's (ts, event_id)-ordered event types as a
+    * character string and running regexes over it. Patterns: v+c+p
+    * (browse→click→buy runs), e+p (purchase straight after errors),
+    * e{2,} (error bursts). Non-overlapping greedy matching is identical
+    * under Java regex and RE2, and seq_md5 pins the sequence
+    * construction itself cross-engine.
+    *
+    * Scale shape: ONE shuffle keyed by user; per-user state is that
+    * user's event string (the same per-entity bound sessionization
+    * carries). The regex sweep is a narrow compiled pass.
+    */
+  def q73EventRegex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seq = t(s, dir, "events")
+      .select($"user_id",
+        struct(unix_micros($"ts").as("us"), $"event_id",
+          substring($"event_type", 1, 1).as("c")).as("e"))
+      .groupBy($"user_id")
+      .agg(array_join(transform(sort_array(collect_list($"e")),
+        x => x.getField("c")), "").as("seq"))
+    seq.select($"user_id",
+        length($"seq").cast("long").as("seq_len"),
+        md5($"seq").as("seq_md5"),
+        regexp_count($"seq", lit("v+c+p")).cast("long").as("n_buy_runs"),
+        regexp_count($"seq", lit("e+p")).cast("long").as("n_error_buys"),
+        regexp_count($"seq", lit("e{2,}")).cast("long").as("n_error_bursts"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_cohort_retention" -> q70CohortRetention,
     "q71_rfm" -> q71Rfm,
-    "q72_scd2" -> q72Scd2)
+    "q72_scd2" -> q72Scd2,
+    "q73_event_regex" -> q73EventRegex)
 
   val oracles: Map[String, String] = Map(
     "q70_cohort_retention" -> """
@@ -153,6 +185,19 @@ object Extended6 {
         CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
       FROM ev JOIN first f USING (user_id)
       GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q73_event_regex" -> """
+      WITH seqs AS (
+        SELECT user_id,
+          string_agg(substr(event_type, 1, 1), ''
+            ORDER BY epoch_us(ts), event_id) AS seq
+        FROM events GROUP BY user_id)
+      SELECT user_id,
+        CAST(length(seq) AS BIGINT) AS seq_len,
+        md5(seq) AS seq_md5,
+        CAST(len(regexp_extract_all(seq, 'v+c+p')) AS BIGINT) AS n_buy_runs,
+        CAST(len(regexp_extract_all(seq, 'e+p')) AS BIGINT) AS n_error_buys,
+        CAST(len(regexp_extract_all(seq, 'e{2,}')) AS BIGINT) AS n_error_bursts
+      FROM seqs ORDER BY user_id""",
     "q72_scd2" -> """
       WITH upd AS (
         SELECT c_custkey, c_name, c_nationkey,

@@ -86,4 +86,31 @@ class MultimodalSpec extends SparkSpec {
     // 50% hop: consecutive windows genuinely overlap
     assert(got.values.exists(_._1 > 1), "multi-window payloads exist")
   }
+
+  test("scene cuts: equals an in-memory frame-energy replay; mixed outcomes") {
+    val W = Multimodal.SceneFrameBytes
+    val T = Multimodal.SceneCutThreshold
+    val vids = graft.Tables.t(spark, sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 2)
+      .collect().map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    val expected = vids.flatMap { case (id, bytes) =>
+      val n = bytes.length / W
+      if (n < 1) None
+      else {
+        val e = (0 until n).map(f =>
+          (f * W until (f + 1) * W).map(i => (bytes(i) & 0xff).toLong).sum)
+        val ds = (1 until n).map(f => math.abs(e(f) - e(f - 1)))
+        val cutIdx = (1 until n).filter(f => ds(f - 1) >= T)
+        Some(id -> ((n.toLong, cutIdx.length.toLong, cutIdx.length + 1L,
+          ds.sum, cutIdx.headOption.map(_.toLong).getOrElse(-1L))))
+      }
+    }.toMap
+    val got = Multimodal.mmSceneCuts(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0), "some videos must have cuts")
+    assert(got.values.exists(v => v._2 == 0 && v._1 > 1),
+      "some multi-frame videos must have none")
+  }
 }

@@ -73,6 +73,32 @@ class Extended6Spec extends SparkSpec {
     }
   }
 
+  test("q73: per-user event strings order by (ts, id); regex counts match a replay") {
+    val s = spark
+    import s.implicits._
+    val rows = Extended6.q73EventRegex(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independent replay: collect events, build sequences in plain Scala
+    val evs = graft.Tables.t(spark, sfDir, "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        substring($"event_type", 1, 1).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = evs.groupBy(_._1).view.mapValues { es =>
+      val seq = es.sortBy(e => (e._2, e._3)).map(_._4).mkString
+      (seq.length.toLong,
+        "v+c+p".r.findAllIn(seq).length.toLong,
+        "e+p".r.findAllIn(seq).length.toLong,
+        "e{2,}".r.findAllIn(seq).length.toLong)
+    }.toMap
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      assert((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)) == want(u),
+        s"user $u sequence stats diverge from replay")
+    }
+    assert(rows.map(_.getLong(3)).sum > 0, "some buy runs must exist")
+  }
+
   test("maxsim: a doc containing every query token vector ranks first") {
     val s = spark
     import s.implicits._
