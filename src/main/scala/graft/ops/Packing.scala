@@ -336,8 +336,6 @@ object Packing {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
     "pack_shards" -> ((s, d) => packShards(s, d)),
-    // rows-only: best-fit-decreasing is inherently sequential (not
-    // one-SQL-expressible); pinned by ScalaCheck vs the naive replay
     "pack_bfd" -> ((s, d) => packBfd(s, d)),
     "pack_chunks" -> packChunks)
 
@@ -351,6 +349,55 @@ object Packing {
       FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    // BFD is sequential, but fully deterministic — so the whole greedy
+    // replays as a recursive CTE: state (item index, bin-rem list,
+    // assignment list), each step placing item rn=i+1 into the
+    // smallest-rem fitting bin (tie → lowest bin index) or appending a
+    // fresh bin. Independent of the Spark side's HISTOGRAM solve — the
+    // oracle is the naive per-item definition, so a histogram-batching
+    // bug cannot hide.
+    "pack_bfd" -> s"""
+      WITH RECURSIVE
+      toks AS (
+        SELECT doc_id,
+          LEAST(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> len(x) > 0)) AS BIGINT), $BfdLen) AS n
+        FROM documents
+        WHERE len(list_filter(string_split_regex(trim(text), '\\s+'),
+          x -> len(x) > 0)) > 0),
+      items AS (
+        SELECT doc_id, n, ROW_NUMBER() OVER (ORDER BY n DESC, doc_id ASC) AS rn
+        FROM toks),
+      nitems AS (SELECT COUNT(*) AS total FROM items),
+      st(i, bins, assigns) AS (
+        SELECT 0, CAST([] AS BIGINT[]),
+          CAST([] AS STRUCT(id BIGINT, bin BIGINT)[])
+        UNION ALL
+        SELECT st.i + 1,
+          CASE WHEN best.bj IS NULL
+               THEN list_append(st.bins, $BfdLen - it.n)
+               ELSE [CASE WHEN j = best.bj THEN st.bins[j] - it.n
+                          ELSE st.bins[j] END
+                     for j in range(1, len(st.bins) + 1)]
+          END,
+          list_append(st.assigns, {'id': it.doc_id,
+            'bin': COALESCE(best.bj, len(st.bins) + 1) - 1})
+        FROM st
+        JOIN items it ON it.rn = st.i + 1
+        LEFT JOIN LATERAL (
+          SELECT [j for j in range(1, len(st.bins) + 1)
+                  if st.bins[j] >= it.n
+                     and st.bins[j] = list_min(
+                       [st.bins[x] for x in range(1, len(st.bins) + 1)
+                        if st.bins[x] >= it.n])][1] AS bj
+        ) best ON TRUE
+        WHERE st.i < (SELECT total FROM nitems)
+      ),
+      final AS (SELECT assigns FROM st ORDER BY i DESC LIMIT 1)
+      SELECT a.id AS doc_id, it.n AS n_tokens, a.bin AS bin_id
+      FROM final, UNNEST(final.assigns) AS t(a)
+      JOIN items it ON it.doc_id = a.id
+      ORDER BY doc_id""",
     "pack_sequences" -> s"""
       WITH $tokCte,
       cum AS (

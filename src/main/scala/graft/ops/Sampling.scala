@@ -375,7 +375,6 @@ object Sampling {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // rows-only: iterative farthest-point argmax, spec-pinned vs replay
     "sample_kcenter" -> ((s, d) => sampleKCenter(s, d)),
     "sample_split" -> splitSummary,
     "sample_temperature" -> ((s, d) => temperatureSummary(s, d)),
@@ -384,6 +383,48 @@ object Sampling {
     "sample_cap_per_source" -> ((s, d) => capPerSourceSummary(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // The greedy trace is fully deterministic, so the whole k-round
+    // farthest-point loop replays as a recursive CTE: state rows
+    // (round, vec_id, running min-dist²), each round's center = the
+    // previous round's argmax (mind DESC, vec_id ASC). The distance is
+    // the same left-to-right list_sum fold as the Spark kernel, so ids
+    // AND radius doubles are bit-identical. Standing assumption (like
+    // the fnv families): coverage radii stay > 0 — an exact-duplicate
+    // corpus could let the CTE re-pick a zero-radius chosen center
+    // where the Spark side's explicit exclusion picks the next id.
+    "sample_kcenter" -> s"""
+      WITH RECURSIVE
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      seed AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+      st(r, vec_id, mind) AS (
+        SELECT 1, e.vec_id,
+          list_sum([(e.v[i] - s.v[i]) * (e.v[i] - s.v[i])
+            for i in range(1, 65)])
+        FROM e, seed s
+        UNION ALL
+        SELECT st.r + 1, st.vec_id,
+          least(st.mind,
+            list_sum([(ev.v[i] - c.v[i]) * (ev.v[i] - c.v[i])
+              for i in range(1, 65)]))
+        FROM st
+        JOIN e ev ON ev.vec_id = st.vec_id
+        JOIN (
+          SELECT e2.vec_id, e2.v
+          FROM st s2 JOIN e e2 ON e2.vec_id = s2.vec_id
+          ORDER BY s2.mind DESC, s2.vec_id ASC LIMIT 1
+        ) c ON TRUE
+        WHERE st.r < ${KCenterK - 1}
+      ),
+      sel AS (
+        SELECT r, vec_id, mind,
+          ROW_NUMBER() OVER (PARTITION BY r
+            ORDER BY mind DESC, vec_id ASC) AS rk
+        FROM st)
+      SELECT CAST(0 AS BIGINT) AS rank, (SELECT vec_id FROM seed) AS vec_id,
+        0.0 AS radius2
+      UNION ALL
+      SELECT CAST(r AS BIGINT), vec_id, mind FROM sel WHERE rk = 1
+      ORDER BY rank""",
     "sample_reservoir" -> s"""
       SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
       FROM documents
