@@ -65,6 +65,12 @@ object StreamingCuration {
     // cmsEstimateFromState answers "how often has token X arrived"
     // without any corpus rescan (constant-size register fold ∝ batch)
     mergeCmsState(spark, stateDir, batch)
+    // 0c: doc-length quantile sketch state — arriving documents' token
+    // counts fold into the bounded decimal-bucket sketch, so p50/p99
+    // document length stays monitorable per batch (quantilesFromState)
+    // with a constant-size state rewrite and no corpus rescan
+    mergeQuantileState(spark, stateDir,
+      batch.select(TextAnalysis.tokenCount($"text").cast("double").as("value")))
 
     // 1–2: redact, gate
     val clean = qualityGate(
@@ -601,6 +607,38 @@ object StreamingCuration {
     graft.functions.CountMinAggregator.estimate(
       readCmsState(spark, stateDir),
       graft.functions.CountMinAggregator.cellsOf(token))
+
+  /** Fold a batch of positive numeric `value` rows into the persistent
+    * decimal quantile-sketch state `quantile_buckets(lo, width, cnt)` —
+    * the [[graft.queries.QualityQueries.sketchBuckets]] cells merged by
+    * plain count addition. The sketch is bounded (two significant
+    * decimal digits → ≤ 90 cells per decade), so each fold costs one
+    * batch aggregation plus a constant-size state rewrite, and integer
+    * counts make the fold EXACT: the folded state equals the one-shot
+    * sketch over the concatenation of all folded batches (spec-pinned),
+    * so rank estimates from state carry the batch query's ≤10%
+    * relative-error certificate unchanged.
+    */
+  def mergeQuantileState(spark: SparkSession, stateDir: String,
+      values: DataFrame): Unit = {
+    import spark.implicits._
+    val dir = s"$stateDir/quantile_buckets"
+    val batchB = graft.queries.QualityQueries.sketchBuckets(values)
+    val merged =
+      if (!new java.io.File(dir).exists()) batchB
+      else spark.read.parquet(dir).unionByName(batchB)
+        .groupBy($"lo", $"width").agg(sum($"cnt").as("cnt"))
+    val frozen = merged.localCheckpoint(eager = true)
+    frozen.write.mode("overwrite").parquet(dir)
+  }
+
+  /** Quantile estimates from the accumulated sketch state — the same
+    * kernel as the batch `dq_quantile_sketch` query, over state only.
+    */
+  def quantilesFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.queries.QualityQueries.quantilesFromBuckets(
+      spark.read.parquet(s"$stateDir/quantile_buckets"),
+      graft.queries.QualityQueries.QsPcts)
 
   /** Fold a batch into the persistent BM25 corpus-statistics state:
     * (token, df) per distinct token — vocabulary-sized, the same bound

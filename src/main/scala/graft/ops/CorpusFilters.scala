@@ -391,9 +391,62 @@ object CorpusFilters {
       .orderBy("stage_id")
   }
 
+  // ---- hashing-trick quality classifier ----
+
+  /** Weight-vector width of the frozen classifier (hashing trick —
+    * Weinberger et al. 2009): every token maps to one of this many
+    * buckets via md5, so the model is a FIXED-size weight vector no
+    * matter how large the vocabulary grows.
+    */
+  val QcBuckets = 64
+
+  /** Frozen linear quality classifier over hashed bag-of-words — the
+    * fastText-style quality gate LLM corpora are filtered with (GPT-3's
+    * quality classifier, Brown et al. 2020 App. A; DataComp-LM, Li et
+    * al. 2024 §4.4): score(doc) = Σ_tokens w[h(token) mod B]. The
+    * weights here are md5-derived integers standing in for trained
+    * parameters (training happens offline; serving always runs a FROZEN
+    * model) — what this operator verifies end-to-end is the serving
+    * architecture: tokenize → hash to a bounded bucket id → broadcast
+    * the fixed-size weight vector → map-side integer scoring.
+    *
+    * 100 TB shape: one documents scan; the explode fans out (doc_id,
+    * bucket) ints only; the weight table is [[QcBuckets]] rows and
+    * broadcast, so the only shuffle is the map-side-combinable per-doc
+    * sum. Integer score ⇒ partition-independent and hash-exact
+    * cross-engine; `score_per_1k` is one IEEE double division at the
+    * end.
+    */
+  def taQualityClassifier(s: SparkSession, dir: String): DataFrame =
+    qualityClassifierOf(t(s, dir, "documents"))
+
+  def qualityClassifierOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val weights = broadcast(s.range(QcBuckets).select(
+      $"id".as("bucket"),
+      (conv(substring(md5(concat(lit("w:"), $"id".cast("string"))), 1, 4),
+        16, 10).cast("long") % 1999 - 999).as("w")))
+    docs
+      .select($"doc_id", explode(filter(
+        split(trim(lower($"text")), "\\s+"), tk => length(tk) > 0)).as("term"))
+      .select($"doc_id",
+        (conv(substring(md5($"term"), 1, 3), 16, 10).cast("long")
+          % QcBuckets).as("bucket"))
+      .join(weights, "bucket")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"w").as("score"))
+      .select($"doc_id", $"n_tokens", $"score",
+        (($"score" * 1000L).cast("double") / $"n_tokens".cast("double"))
+          .as("score_per_1k"),
+        ($"score" > 0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_quality_classifier" -> taQualityClassifier,
     "ta_c4_rules" -> taC4Rules,
     "dedup_paragraph" -> dedupParagraph,
     "dedup_source_overlap" -> dedupSourceOverlap,
@@ -402,7 +455,38 @@ object CorpusFilters {
     "ta_code_detect" -> taCodeDetect,
     "ta_tfidf" -> taTfidf)
 
+  /** First `n` md5-hex nibbles decoded to an integer — DuckDB has no
+    * conv(), so the hex prefix is replayed nibble-by-nibble (the
+    * [[TextAnalysis]] CMS-cell precedent).
+    */
+  private def duckHexPrefix(hexExpr: String, n: Int): String =
+    (0 until n).map { i =>
+      val mult = math.pow(16, n - 1 - i).toLong
+      s"(strpos('0123456789abcdef', substr($hexExpr, ${i + 1}, 1)) - 1) * $mult"
+    }.mkString("(", " + ", ")")
+
   val oracles: Map[String, String] = Map(
+    "ta_quality_classifier" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS term
+        FROM documents),
+      tb AS (
+        SELECT doc_id,
+          ${duckHexPrefix("md5(term)", 3)} % $QcBuckets AS bucket
+        FROM toks),
+      wt AS (
+        SELECT b AS bucket,
+          (${duckHexPrefix("md5('w:' || b)", 4)} % 1999) - 999 AS w
+        FROM (SELECT unnest(range($QcBuckets)) AS b)),
+      sc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(w) AS BIGINT) AS score
+        FROM tb JOIN wt USING (bucket) GROUP BY doc_id)
+      SELECT doc_id, n_tokens, score,
+        CAST(score * 1000 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS score_per_1k,
+        score > 0 AS keep
+      FROM sc ORDER BY doc_id""",
     "ta_c4_rules" -> s"""
       WITH $linesCte,
       pl AS (

@@ -1353,7 +1353,159 @@ object Similarity {
       .orderBy($"qid", $"rk")
   }
 
+  // ---- hard-negative mining (contrastive training data) ----
+
+  /** Every 20th vector is an anchor — a bounded, deterministic anchor
+    * set at any corpus size.
+    */
+  val HardNegEvery = 20
+
+  /** Hard negatives returned per anchor. */
+  val HardNegK = 3
+
+  /** Hard-negative mining for contrastive/embedding training (the
+    * in-batch-negatives upgrade every dual-encoder recipe needs, e.g.
+    * Karpukhin et al. 2020 DPR §3.2): for each anchor vector, the K
+    * nearest-by-cosine vectors with a DIFFERENT label — maximally
+    * confusable examples that are known non-matches. Zero-norm vectors
+    * are excluded on BOTH sides (NaN cosine orders differently in Spark
+    * Column comparisons vs DuckDB IEEE).
+    *
+    * 100 TB shape: the anchor set is bounded and broadcast; the corpus
+    * streams through ONE scan with the codegen'd cosine kernel; per-
+    * anchor top-k is a window over |anchors|·|corpus| rows — linear in
+    * the corpus. At real scale the exact scan swaps for an ANN probe
+    * ([[searchIvfIndex]] partitions / LSH buckets) with a label-filter
+    * pushed into the candidate stage; the ranking kernel is unchanged.
+    */
+  def sampleHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir)
+      .filter(dot(asDouble($"embedding"), asDouble($"embedding")) > 0.0)
+    val anchors = all.filter($"vec_id" % HardNegEvery === 0)
+      .select($"vec_id".as("anchor_id"), $"label".as("anchor_label"),
+        asDouble($"embedding").as("va"))
+    val cands = all.select($"vec_id".as("neg_id"),
+      $"label".as("neg_label"), asDouble($"embedding").as("vn"))
+    val w = Window.partitionBy($"anchor_id")
+      .orderBy($"cos".desc, $"neg_id".asc)
+    cands.join(broadcast(anchors), $"anchor_label" =!= $"neg_label")
+      .select($"anchor_id", $"anchor_label", $"neg_id", $"neg_label",
+        call_function("cosine_sim", $"va", $"vn").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= HardNegK)
+      .select($"anchor_id", $"rk", $"anchor_label", $"neg_id",
+        $"neg_label", $"cos")
+      .orderBy("anchor_id", "rk")
+  }
+
+  // ---- co-occurrence graph triangle counting ----
+
+  /** Per-part supplier-set size cap: parts stocked by more suppliers
+    * than this are dropped before the pair fan-out (the same df-cap
+    * guard as the shingle inverted indexes — an ultra-common key would
+    * otherwise fan out quadratically).
+    */
+  val TriMaxSetSize = 64
+
+  /** Triangle census of the supplier co-occurrence graph — the
+    * standard cohesion diagnostic for any co-occurrence structure
+    * (co-purchase, co-citation, shared-shingle). Nodes are suppliers;
+    * an edge joins two suppliers whose shared-part count is STRICTLY
+    * above the observed-pair mean (an integer cross-multiplied
+    * comparison, so both engines threshold identically with no float).
+    * Triangles are counted with the compact-forward / degree-ordered
+    * orientation (Schank & Wagner 2005): orient u→v iff
+    * (deg u, u) < (deg v, v), enumerate out-wedges from each node's
+    * ordered out-neighbors, and close them against the oriented edge
+    * set — every triangle is counted exactly once, and out-degrees are
+    * bounded so the wedge fan-out is near the theoretical minimum.
+    *
+    * 100 TB shape: the bipartite (part, supplier) table aggregates to
+    * bounded per-part sets ([[TriMaxSetSize]] df cap) and fans out
+    * pairs that collapse map-side (the [[CorpusFilters.sourceOverlapOf]]
+    * shape — no self-join of the bipartite table); degrees attach by
+    * broadcast when |V| is small and by equi-join otherwise; the wedge
+    * closure is one equi-join on the wedge endpoint pair. No collect,
+    * no all-pairs over the bipartite table.
+    */
+  /** Exact triangle and wedge totals of an undirected simple graph
+    * given as distinct (a, b) rows with a < b. Compact-forward
+    * orientation bounds the out-wedge fan-out; the wedge total counts
+    * open+closed wedges over the UNDIRECTED degree sequence
+    * (denominator of the global clustering coefficient).
+    */
+  private[ops] def triangleCensus(edges: DataFrame): (Long, Long) = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val deg = edges.select($"a".as("v")).union(edges.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+    // orient u->v iff (deg u, u) < (deg v, v); attach degrees by
+    // broadcast (|V| = supplier count, bounded here; equi-join at scale)
+    val da = broadcast(deg.select($"v".as("a"), $"deg".as("dega")))
+    val db = broadcast(deg.select($"v".as("b"), $"deg".as("degb")))
+    val oriented = edges.join(da, "a").join(db, "b")
+      .select(
+        when($"dega" < $"degb" || ($"dega" === $"degb" && $"a" < $"b"),
+          struct($"a".as("u"), $"dega".as("du"), $"b".as("w"), $"degb".as("dw")))
+          .otherwise(
+            struct($"b".as("u"), $"degb".as("du"), $"a".as("w"), $"dega".as("dw")))
+          .as("o"))
+      .select($"o.u", $"o.du", $"o.w", $"o.dw")
+      .localCheckpoint(eager = true)
+    // out-wedges (u -> x, u -> y with x before y in the same order),
+    // closed against the oriented edge set
+    val w1 = oriented.select($"u", $"w".as("x"), $"dw".as("dx"))
+    val w2 = oriented.select($"u", $"w".as("y"), $"dw".as("dy"))
+    val wedges = w1.join(w2, "u")
+      .filter($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"))
+      .select($"x", $"y")
+    val closing = oriented.select($"u".as("x"), $"w".as("y"))
+    val nTri = wedges.join(closing, Seq("x", "y"), "left_semi").count()
+    // open+closed wedge total over the UNDIRECTED degree sequence
+    // (Column `/` is DOUBLE division — halve on the driver instead)
+    val nWedges = deg.agg(
+      coalesce(sum($"deg" * ($"deg" - 1L)), lit(0L)).as("nw"))
+      .as[Long].head() / 2L
+    (nTri, nWedges)
+  }
+
+  def simTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sp = t(s, dir, "lineitem")
+      .select($"l_suppkey".as("supp"), $"l_partkey".as("part")).distinct()
+    val nNodes = sp.select($"supp").distinct().count()
+    // bounded per-part supplier sets -> pair fan-out, map-side collapse
+    val pairs = sp.groupBy($"part")
+      .agg(sort_array(collect_set($"supp")).as("ss"))
+      .filter(size($"ss").between(2, TriMaxSetSize))
+      .select(explode(flatten(transform($"ss", (a, i) =>
+        transform(slice($"ss", i + 2, size($"ss")), b =>
+          struct(a.as("a"), b.as("b")))))).as("p"))
+      .groupBy($"p.a".as("a"), $"p.b".as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .localCheckpoint(eager = true) // feeds stats + edges
+    val st = pairs.agg(count(lit(1)).as("cnt"), sum($"n_shared").as("tot"))
+    // edge iff n_shared strictly above the observed-pair mean:
+    // n_shared * cnt > tot (all integers — engine-portable)
+    val edges = pairs.join(broadcast(st))
+      .filter($"n_shared" * $"cnt" > $"tot")
+      .select($"a", $"b")
+      .localCheckpoint(eager = true)
+    val (nTri, nWedges) = triangleCensus(edges)
+    val nEdges = edges.count()
+    s.range(1).select(
+      lit(nNodes).as("n_nodes"),
+      lit(nEdges).as("n_edges"),
+      lit(nTri).as("n_triangles"),
+      lit(nWedges).as("n_wedges"),
+      (when(lit(nWedges) > 0, lit(3.0) * lit(nTri) / lit(nWedges).cast("double"))
+        .otherwise(lit(0.0))).as("global_cc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_hard_negatives" -> sampleHardNegatives,
+    "sim_triangles" -> simTriangles,
     "sim_maxsim" -> simMaxSim,
     "sample_triplets" -> ((s, d) => sampleTriplets(s, d)),
     "sim_brute_topk" -> simBruteTopK,
@@ -1386,6 +1538,71 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "sample_hard_negatives" -> s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+        WHERE list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]) > 0),
+      a AS (
+        SELECT vec_id AS anchor_id, label AS anchor_label, v AS va
+        FROM e WHERE vec_id % $HardNegEvery = 0),
+      p AS (
+        SELECT a.anchor_id, a.anchor_label, e.vec_id AS neg_id,
+          e.label AS neg_label,
+          (list_sum([a.va[i] * e.v[i] for i in range(1, 65)])
+            / (sqrt(list_sum([a.va[i] * a.va[i] for i in range(1, 65)]))
+             * sqrt(list_sum([e.v[i] * e.v[i] for i in range(1, 65)])))) AS cos
+        FROM e JOIN a ON a.anchor_label <> e.label),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+          ORDER BY cos DESC, neg_id ASC) AS rk FROM p)
+      SELECT anchor_id, rk, anchor_label, neg_id, neg_label, cos
+      FROM r WHERE rk <= $HardNegK ORDER BY anchor_id, rk""",
+    "sim_triangles" -> s"""
+      WITH sp AS (
+        SELECT DISTINCT l_suppkey AS supp, l_partkey AS part FROM lineitem),
+      ok AS (
+        SELECT part FROM sp GROUP BY part
+        HAVING COUNT(*) BETWEEN 2 AND $TriMaxSetSize),
+      pairs AS (
+        SELECT x.supp AS a, y.supp AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sp x JOIN sp y ON x.part = y.part AND x.supp < y.supp
+        JOIN ok ON ok.part = x.part
+        GROUP BY 1, 2),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                    CAST(SUM(n_shared) AS BIGINT) AS tot FROM pairs),
+      edges AS (
+        SELECT a, b FROM pairs, st WHERE n_shared * cnt > tot),
+      deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+        GROUP BY v),
+      o AS (
+        SELECT
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+               THEN e.a ELSE e.b END AS u,
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+               THEN e.b ELSE e.a END AS w,
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+               THEN db.deg ELSE da.deg END AS dw
+        FROM edges e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+      tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM o w1 JOIN o w2 ON w1.u = w2.u
+          AND (w1.dw < w2.dw OR (w1.dw = w2.dw AND w1.w < w2.w))
+        WHERE EXISTS (SELECT 1 FROM o c WHERE c.u = w1.w AND c.w = w2.w)),
+      sc AS (
+        SELECT
+          (SELECT CAST(COUNT(DISTINCT supp) AS BIGINT) FROM sp) AS n_nodes,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+          (SELECT n FROM tri) AS n_triangles,
+          (SELECT CAST(COALESCE(SUM(deg * (deg - 1)), 0) // 2 AS BIGINT)
+           FROM deg) AS n_wedges)
+      SELECT n_nodes, n_edges, n_triangles, n_wedges,
+        CASE WHEN n_wedges > 0
+          THEN CAST(3 AS DOUBLE) * CAST(n_triangles AS DOUBLE)
+               / CAST(n_wedges AS DOUBLE)
+          ELSE CAST(0 AS DOUBLE) END AS global_cc
+      FROM sc""",
     "sim_maxsim" -> s"""
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -511,7 +512,83 @@ object QualityQueries {
       .orderBy("col_name")
   }
 
+  // ---- mergeable quantile sketch (DDSketch-shaped) ----
+
+  /** Percentiles the sketch query reports. */
+  val QsPcts: Seq[Int] = Seq(50, 90, 95, 99)
+
+  /** Two-significant-decimal-digit bucketing of a positive value: the
+    * bucket holding `v ≥ 1` is keyed by its LOWER BOUND — the first two
+    * digits of floor(v) zero-extended to its digit count — with width
+    * 10^(digits-2) (width 1 below 100, where buckets are exact). A
+    * fixed-size, mergeable, deterministic relative-error histogram: the
+    * DDSketch idea (Masson et al., VLDB 2019) with γ chosen so buckets
+    * are exact decimal prefixes, which makes the sketch replayable in
+    * ANY engine with string ops — no log(), no float bin edges.
+    * Guaranteed relative bucket width ≤ 1/10 of the lower bound.
+    */
+  private[graft] def sketchBuckets(vals: DataFrame): DataFrame = {
+    val s = vals.sparkSession
+    import s.implicits._
+    vals.filter($"value" >= 1.0)
+      .select(floor($"value").cast("long").cast("string").as("sv"))
+      .select(
+        expr("CAST(rpad(substr(sv, 1, 2), length(sv), '0') AS BIGINT)").as("lo"),
+        expr("CAST(rpad('1', greatest(length(sv) - 1, 1), '0') AS BIGINT)")
+          .as("width"))
+      .groupBy($"lo", $"width").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Rank-based quantile estimates from a (lo, width, cnt) bucket
+    * sketch: for percentile p, target rank = ceil(p·n/100) (integer
+    * arithmetic) and the estimate is the first bucket whose cumulative
+    * count reaches it — the true value lies in [est_lo, est_hi).
+    */
+  private[graft] def quantilesFromBuckets(
+      buckets: DataFrame, pcts: Seq[Int]): DataFrame = {
+    val s = buckets.sparkSession
+    import s.implicits._
+    // the sketch feeds BOTH the cumulative window and the total —
+    // materialize it (bounded: ≤ ~90 cells/decade) so neither branch
+    // re-runs the upstream scan
+    val b = buckets.localCheckpoint(eager = true)
+    // the window runs over the BOUNDED sketch (≤ ~90 buckets per decade
+    // × decades present), not the data — single-task is fine
+    val w = Window.orderBy($"lo")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = b.withColumn("cum", sum($"cnt").over(w))
+    val tot = b.agg(sum($"cnt").cast("long").as("n"))
+    cum.crossJoin(broadcast(tot))
+      .select($"lo", $"width", $"cum", $"n",
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("p"))
+      .withColumn("target", expr("(p * n + 99) div 100"))
+      .filter($"cum" >= $"target")
+      .groupBy($"p", $"n", $"target")
+      .agg(min(struct($"lo", $"width")).as("m"))
+      .select($"p", $"n", $"target".as("target_rank"),
+        $"m.lo".as("est_lo"), ($"m.lo" + $"m.width").as("est_hi"))
+      .orderBy("p")
+  }
+
+  /** Quantile estimates of `lineitem.l_extendedprice` through the
+    * mergeable decimal sketch — the scale path for percentile
+    * monitoring: at 100 TB the exact-rank kernels (dq_outlier_mad,
+    * q66) shuffle (value, count) pairs, while this sketch reduces every
+    * partition to ≤ a few hundred integer cells that merge by plain
+    * count addition — the same one-pass/mergeable contract as the HLL,
+    * CMS, and Misra-Gries entries, but for ranks. Estimates carry a
+    * ≤ 10% relative error certificate (bucket width / lower bound).
+    */
+  def dqQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    quantilesFromBuckets(
+      sketchBuckets(t(s, dir, "lineitem")
+        .select($"l_extendedprice".as("value"))),
+      QsPcts)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_quantile_sketch" -> dqQuantileSketch,
     "dq_table_stats" -> dqTableStats,
     "dq_cross_field" -> dqCrossField,
     "dq_drift_chi2" -> dqDriftChi2,
@@ -536,6 +613,36 @@ object QualityQueries {
     }.mkString + "ELSE 0.0 END"
 
   val oracles: Map[String, String] = Map(
+    "dq_quantile_sketch" -> s"""
+      WITH v AS (
+        SELECT CAST(floor(l_extendedprice) AS BIGINT) AS fv
+        FROM lineitem WHERE l_extendedprice >= 1.0),
+      b AS (
+        SELECT
+          CAST(rpad(substr(CAST(fv AS VARCHAR), 1, 2),
+            CAST(len(CAST(fv AS VARCHAR)) AS INT), '0') AS BIGINT) AS lo,
+          CAST(rpad('1',
+            CAST(greatest(len(CAST(fv AS VARCHAR)) - 1, 1) AS INT),
+            '0') AS BIGINT) AS width,
+          CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM v GROUP BY 1, 2),
+      c AS (
+        SELECT lo, width, cnt,
+          SUM(cnt) OVER (ORDER BY lo
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM b),
+      tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM b),
+      pq AS (SELECT CAST(unnest([${QsPcts.mkString(", ")}]) AS BIGINT) AS p),
+      sel AS (
+        SELECT pq.p, tt.n, (pq.p * tt.n + 99) // 100 AS target,
+          CAST(MIN(c.lo) AS BIGINT) AS est_lo,
+          CAST(arg_min(c.width, c.lo) AS BIGINT) AS w
+        FROM pq CROSS JOIN tt
+        JOIN c ON c.cum >= (pq.p * tt.n + 99) // 100
+        GROUP BY 1, 2, 3)
+      SELECT p, n, CAST(target AS BIGINT) AS target_rank, est_lo,
+        est_lo + w AS est_hi
+      FROM sel ORDER BY p""",
     // the exact half of the HLL check: DuckDB replays exact_distinct
     // and asserts bounds_ok — a sketch regression past HllRelBound
     // flips Spark's boolean and the hashes diverge

@@ -174,4 +174,49 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(d1(1).getAs[String]("term") == "banana") // 1.5 tie → term asc
     assert(d1(2).getAs[String]("term") == "cherry")
   }
+
+  /** In-memory replay of the frozen hashed-linear classifier: md5 via
+    * MessageDigest, same bucket/weight derivation, integer score —
+    * independent of both Spark SQL and the DuckDB oracle.
+    */
+  private def qcRef(rows: Seq[(Long, String)]): Seq[(Long, Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      TextAnalysis.md5Hex(md, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def weight(b: Long): Long =
+      java.lang.Long.parseLong(hex(s"w:$b").substring(0, 4), 16) % 1999 - 999
+    rows.flatMap { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) None
+      else {
+        val score = toks.map(tk =>
+          weight(java.lang.Long.parseLong(hex(tk).substring(0, 3), 16)
+            % CorpusFilters.QcBuckets)).sum
+        Some((id, toks.length.toLong, score))
+      }
+    }.sortBy(_._1)
+  }
+
+  test("quality classifier == in-memory md5/weight replay; keep gate consistent") {
+    val fixture = Seq(
+      (1L, "Alpha beta GAMMA delta epsilon"),
+      (2L, "one one one one"),
+      (3L, "  padded   whitespace   tokens  "),
+      (4L, "mixedCASE Tokens with-punct 42 #tag"))
+    val got = CorpusFilters.qualityClassifierOf(docsDf(fixture)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val want = qcRef(fixture)
+    assert(got.map(x => (x._1, x._2, x._3)).toSeq == want,
+      s"\n got=${got.toSeq}\nwant=$want")
+    got.foreach { case (_, n, score, per1k, keep) =>
+      assert(per1k == score * 1000.0 / n)
+      assert(keep == (score > 0))
+    }
+    // corpus smoke: every document scores, deterministically
+    val corpus = CorpusFilters.taQualityClassifier(spark, sfDir).collect()
+    assert(corpus.length == 500)
+    val again = CorpusFilters.taQualityClassifier(spark, sfDir).collect()
+    assert(corpus.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

@@ -878,6 +878,91 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class TriangleSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive O(V³) triangle count + exact wedge total from the degree
+    * sequence — the reference [[Similarity.triangleCensus]] must match.
+    */
+  private def naiveCensus(edges: Seq[(Long, Long)]): (Long, Long) = {
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val vs = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var tri = 0L
+    for {
+      i <- vs.indices; j <- (i + 1) until vs.length
+      if es((vs(i), vs(j)))
+      k <- (j + 1) until vs.length
+      if es((vs(i), vs(k))) && es((vs(j), vs(k)))
+    } tri += 1
+    val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map(_._2.size.toLong)
+    (tri, deg.map(d => d * (d - 1) / 2).sum)
+  }
+
+  test("triangle census == naive O(V^3) reference on 40 random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 40) {
+      val n = 2 + rnd.nextInt(9)
+      val p = rnd.nextDouble()
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < p
+      } yield (a, b)).toSeq
+      val want = naiveCensus(edges)
+      val got =
+        if (edges.isEmpty) (0L, 0L) // empty frame: no rows to census
+        else graft.ops.Similarity.triangleCensus(edges.toDF("a", "b"))
+      assert(got == want,
+        s"trial $trial (n=$n p=$p edges=${edges.size}): got $got want $want")
+    }
+  }
+
+  test("triangle census: complete K5 and a triangle-free star") {
+    val k5 = (for { a <- 0L until 5; b <- (a + 1) until 5 } yield (a, b)).toDF("a", "b")
+    assert(graft.ops.Similarity.triangleCensus(k5) == (10L, 30L))
+    val star = (1L to 6L).map(v => (0L, v)).toDF("a", "b")
+    assert(graft.ops.Similarity.triangleCensus(star) == (0L, 15L))
+  }
+
+  test("hard negatives: labels differ, ranking is the per-anchor exact top-k") {
+    val got = graft.ops.Similarity.sampleHardNegatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (a, _, al, n, nl, cos) =>
+      assert(al != nl, s"negative $n shares anchor $a's label $al")
+      assert(cos >= -1.0 - 1e-12 && cos <= 1.0 + 1e-12)
+    }
+    // per anchor: ranks are 1..k and cosines are non-increasing
+    got.groupBy(_._1).foreach { case (a, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"anchor $a ranks not contiguous")
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._6 >= y._6; case _ => true
+      }, s"anchor $a cosines not sorted")
+    }
+    // naive replay on the raw table: the top negative for anchor 0 is
+    // the true argmax cosine over different-label vectors
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v", "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+      .filter(x => graft.ops.Similarity.dotArr(x._2, x._2) > 0.0)
+    val a0 = raw.find(_._1 == 0L).get
+    def cos(x: Array[Double], y: Array[Double]) =
+      graft.ops.Similarity.dotArr(x, y) /
+        (math.sqrt(graft.ops.Similarity.dotArr(x, x)) *
+          math.sqrt(graft.ops.Similarity.dotArr(y, y)))
+    val wantTop = raw.filter(_._3 != a0._3)
+      .map(x => (x._1, cos(a0._2, x._2)))
+      .sortBy { case (id, c) => (-c, id) }.head
+    val gotTop = got.filter(x => x._1 == 0L && x._2 == 1L).head
+    assert((gotTop._4, gotTop._6) == wantTop,
+      s"anchor 0 top negative: got ${(gotTop._4, gotTop._6)} want $wantTop")
+  }
+}
+
 class TripletSpec extends SparkSpec {
   import spark.implicits._
 

@@ -648,6 +648,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental quantile-sketch state: folded == one-shot; estimates bracket exact ranks") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-qsk")
+    val folded = work.resolve("folded").toString
+    val oneShot = work.resolve("oneshot").toString
+    val li = graft.Tables.t(spark, sfDir, "lineitem")
+      .select($"l_extendedprice".as("value"))
+    (0 until 3).foreach { i =>
+      StreamingCuration.mergeQuantileState(spark, folded,
+        li.filter(pmod($"value".cast("long"), lit(3)) === i))
+    }
+    StreamingCuration.mergeQuantileState(spark, oneShot, li)
+    def buckets(dir: String) =
+      spark.read.parquet(s"$dir/quantile_buckets").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(buckets(folded) == buckets(oneShot),
+      "folded bucket counts must equal the single-pass sketch exactly")
+    // every bucket honors the <=10% relative-width certificate
+    buckets(folded).foreach { case (lo, w, _) =>
+      assert(w == 1 || w * 10 <= lo, s"bucket $lo width $w exceeds 10%")
+    }
+    // state estimates == the registered batch query, and each bracket
+    // contains the TRUE rank value from a naive sorted replay
+    val got = StreamingCuration.quantilesFromState(spark, folded).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val batch = graft.queries.QualityQueries.dqQuantileSketch(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == batch.toSeq,
+      "state quantiles must equal the batch sketch query")
+    val exactSorted = li.collect().map(r => math.floor(r.getDouble(0)).toLong)
+      .filter(_ >= 1L).sorted
+    got.foreach { case (p, n2, target, lo, hi) =>
+      assert(n2 == exactSorted.length)
+      assert(target == (p * n2 + 99) / 100)
+      val truth = exactSorted(target.toInt - 1)
+      assert(lo <= truth && truth < hi,
+        s"p$p: true rank-$target value $truth outside [$lo, $hi)")
+    }
+  }
+
   test("incremental BM25 stats: folded state reproduces the batch scores bit-exactly") {
     import spark.implicits._
     import graft.examples.StreamingCuration
