@@ -998,8 +998,11 @@ object Dedup {
       WHERE hamming <= 3
       ORDER BY a, b""")
 
-  private lazy val componentsOracle = s"""
-      WITH RECURSIVE $shingleCte,
+  /** CTE chain deriving near-dup components (reach(id, lbl)) — shared
+    * by the components oracles here and the group-split oracle in
+    * [[Sampling]].
+    */
+  private[ops] lazy val componentsCteBody = s"""$shingleCte,
       cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       inter AS (
         SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
@@ -1014,7 +1017,10 @@ object Dedup {
       reach(id, lbl) AS (
         SELECT a, a FROM edges
         UNION
-        SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)
+        SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)"""
+
+  private lazy val componentsOracle = s"""
+      WITH RECURSIVE $componentsCteBody
       SELECT id AS doc_id, MIN(lbl) AS component_id
       FROM reach GROUP BY id ORDER BY doc_id"""
   // dedup_simhash / dedup_simhash_pairs (fnv64+splitmix64 form): the

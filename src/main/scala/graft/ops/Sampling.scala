@@ -374,7 +374,45 @@ object Sampling {
       .orderBy("rank")
   }
 
+  /** Leakage-safe (group-aware) train/val/test split: the fold is
+    * decided by a document's near-duplicate COMPONENT, not the document
+    * itself — the corpus form of GroupShuffleSplit. A doc-keyed split
+    * scatters near-copies across folds, so eval measures memorization of
+    * train near-duplicates (the contamination Lee et al. 2022 §5 show
+    * inflates scores); hashing the component root instead keeps every
+    * near-dup cluster whole in one fold BY CONSTRUCTION. Membership
+    * stays recomputable from the component id alone ([[splitColumn]]'s
+    * md5-threshold contract).
+    *
+    * 100 TB shape: components come from the banded-LSH near-dup
+    * pipeline (never all-pairs); the component table joins back by
+    * doc_id equi-join (dup-mass-sized — NOT broadcast); the fold
+    * assignment is a per-row hash and the summary one map-side
+    * combinable aggregation. Cross-engine equality of the per-fold
+    * masses IS the leakage proof: the oracle re-derives components
+    * independently, so a cluster split across folds would shift a
+    * count and break the hash.
+    */
+  def sampleGroupSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val comps = Dedup.dedupComponents(s, dir)
+      .select($"doc_id", $"component_id")
+    t(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokenCount($"text").as("n_tokens"))
+      .join(comps, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"component_id", $"doc_id").as("comp"))
+      .withColumn("fold", splitColumn($"comp"))
+      .groupBy($"fold")
+      .agg(
+        countDistinct($"comp").as("n_components"),
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"))
+      .orderBy("fold")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_group_split" -> sampleGroupSplit,
     "sample_kcenter" -> ((s, d) => sampleKCenter(s, d)),
     "sample_split" -> splitSummary,
     "sample_temperature" -> ((s, d) => temperatureSummary(s, d)),
@@ -383,6 +421,33 @@ object Sampling {
     "sample_cap_per_source" -> ((s, d) => capPerSourceSummary(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // components re-derived INDEPENDENTLY (all-pairs jaccard + recursive
+    // CTE), so matching per-fold masses proves no near-dup cluster
+    // spans folds in the Spark plan either
+    "sample_group_split" -> s"""
+      WITH RECURSIVE ${Dedup.componentsCteBody},
+      comp AS (
+        SELECT id AS doc_id, MIN(lbl) AS component_id
+        FROM reach GROUP BY id),
+      d AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      j AS (
+        SELECT d.doc_id, d.n_tokens,
+          COALESCE(c.component_id, d.doc_id) AS comp
+        FROM d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+      f AS (
+        SELECT comp, n_tokens,
+          CASE WHEN md5(CAST(comp AS VARCHAR)) < '$TrainUpper' THEN 'train'
+               WHEN md5(CAST(comp AS VARCHAR)) < '$ValUpper' THEN 'val'
+               ELSE 'test' END AS fold
+        FROM j)
+      SELECT fold, CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_components,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM f GROUP BY fold ORDER BY fold""",
     // The greedy trace is fully deterministic, so the whole k-round
     // farthest-point loop replays as a recursive CTE: state rows
     // (round, vec_id, running min-dist²), each round's center = the

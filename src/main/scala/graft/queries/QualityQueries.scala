@@ -587,7 +587,116 @@ object QualityQueries {
       QsPcts)
   }
 
+  // ---- join-key skew audit ----
+
+  /** A key is "heavy" when its row count exceeds this multiple of the
+    * mean rows-per-key (integer cross-multiplied, engine-portable).
+    */
+  val SkewHeavyFactor = 10L
+
+  /** Per-key skew statistics for one candidate join/aggregation key:
+    * the per-key count collapse (≤ |distinct keys| rows, computed
+    * distributed and checkpointed because BOTH the totals and the
+    * heavy-mass pass read it), then one re-aggregation. No global sort
+    * and no top-k collect: "heavy" is a THRESHOLD against the mean
+    * (cnt · n_keys > factor · n_rows), so the audit stays one
+    * bounded-output aggregation no matter how many distinct keys exist
+    * — unlike a top-1%-of-keys definition, whose cut set grows with
+    * the key universe.
+    */
+  private[graft] def keySkew(df: DataFrame, keyCol: String, label: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val counts = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
+    val tot = counts.agg(
+      count(lit(1)).as("n_keys"), sum($"cnt").as("n_rows"),
+      max($"cnt").as("max_cnt"))
+    counts.crossJoin(broadcast(tot))
+      .select($"cnt", $"n_keys", $"n_rows", $"max_cnt",
+        ($"cnt" * $"n_keys" > lit(SkewHeavyFactor) * $"n_rows").as("heavy"))
+      .groupBy($"n_keys", $"n_rows", $"max_cnt")
+      .agg(
+        sum(when($"heavy", 1L).otherwise(0L)).as("n_heavy_keys"),
+        sum(when($"heavy", $"cnt").otherwise(0L)).as("heavy_rows"))
+      .select(lit(label).as("key_col"), $"n_rows", $"n_keys", $"max_cnt",
+        $"n_heavy_keys", $"heavy_rows",
+        ($"heavy_rows".cast("double") / $"n_rows".cast("double"))
+          .as("heavy_share"),
+        (($"max_cnt" * $"n_keys").cast("double") / $"n_rows".cast("double"))
+          .as("skew_factor"))
+  }
+
+  /** Join-key skew audit across the candidate shuffle keys — the
+    * pre-flight check that decides WHERE salting / AQE skew-join
+    * handling is needed before a 100 TB run: rows per key, the max/mean
+    * skew factor, and the row mass held by heavy keys
+    * (> [[SkewHeavyFactor]]× mean). A skew_factor near 1 means uniform
+    * (hash partitioning balances); heavy_share > 0 pinpoints the keys
+    * that will straggle a shuffle join. All counts integer ⇒ hash-exact
+    * cross-engine; the two shares are final IEEE divisions.
+    */
+  def dqSkewReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    keySkew(li, "l_partkey", "lineitem.l_partkey")
+      .unionByName(keySkew(li, "l_suppkey", "lineitem.l_suppkey"))
+      .unionByName(keySkew(t(s, dir, "orders"), "o_custkey", "orders.o_custkey"))
+      .unionByName(keySkew(t(s, dir, "events"), "event_type", "events.event_type"))
+      .orderBy("key_col")
+  }
+
+  // ---- CUSUM change-point localization ----
+
+  /** CUSUM change-point screen over the event stream, per event_type:
+    * the classic Page (1954) statistic S_k = Σ_{i≤k}(x_i − x̄) whose
+    * |max| locates the most likely level-shift point — the TIME
+    * localization counterpart of [[dqDriftChi2]]'s distributional
+    * drift test. Values quantize to integer cents (the [[dqAnomaly]]
+    * trick) and the mean is cleared by cross-multiplying:
+    * S_k·n = n·prefix_k − k·total — all BIGINT, so the argmax and the
+    * statistic are hash-exact cross-engine with no float accumulation.
+    *
+    * 100 TB shape: per-entity ordered windows (here one per
+    * event_type; real deployments shard per (entity, day)); prefix
+    * sums are one windowed pass, the argmax one rank — no collect, no
+    * self-join. Overflow bound: n·prefix ≤ n²·max_cents — safe in
+    * BIGINT up to ~10⁹ rows/group at 10⁵ cents.
+    */
+  def dqCusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cusumOf(t(s, dir, "events").select($"event_type", $"event_id", $"ts",
+      floor($"value" * 100.0 + 0.5).cast("long").as("cents")))
+  }
+
+  /** CUSUM kernel over any (event_type, event_id, ts, cents) frame. */
+  private[graft] def cusumOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val wOrd = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val wAll = Window.partitionBy($"event_type")
+    val scored = ev
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("prefix", sum($"cents").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum($"cents").over(wAll))
+      .withColumn("s_scaled", $"n" * $"prefix" - $"k" * $"total")
+      .withColumn("abs_s", abs($"s_scaled"))
+    val wPick = Window.partitionBy($"event_type")
+      .orderBy($"abs_s".desc, $"k".asc)
+    scored.withColumn("rk", row_number().over(wPick))
+      .filter($"rk" === 1)
+      .select($"event_type", $"n".as("n_events"), $"k".as("cp_k"),
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("cp_ts"),
+        $"s_scaled", $"abs_s".as("cusum_max"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_skew_report" -> dqSkewReport,
+    "dq_cusum_changepoint" -> dqCusumChangepoint,
     "dq_quantile_sketch" -> dqQuantileSketch,
     "dq_table_stats" -> dqTableStats,
     "dq_cross_field" -> dqCrossField,
@@ -612,7 +721,64 @@ object QualityQueries {
       s"WHEN '$d' THEN CAST($p AS DOUBLE) "
     }.mkString + "ELSE 0.0 END"
 
+  /** One UNION-ALL branch of the skew-audit oracle: the same per-key
+    * collapse, threshold, and re-aggregation on one (table, key).
+    */
+  private def skewSql(table: String, key: String, label: String): String = s"""
+    SELECT '$label' AS key_col, n_rows, n_keys, max_cnt, n_heavy_keys,
+      heavy_rows,
+      CAST(heavy_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS heavy_share,
+      CAST(max_cnt * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE) AS skew_factor
+    FROM (
+      WITH c AS (
+        SELECT $key AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM $table GROUP BY 1),
+      t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nk, CAST(SUM(cnt) AS BIGINT) AS nr,
+          CAST(MAX(cnt) AS BIGINT) AS mx
+        FROM c)
+      SELECT t.nk AS n_keys, t.nr AS n_rows, t.mx AS max_cnt,
+        CAST(SUM(CASE WHEN c.cnt * t.nk > $SkewHeavyFactor * t.nr
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_keys,
+        CAST(SUM(CASE WHEN c.cnt * t.nk > $SkewHeavyFactor * t.nr
+          THEN c.cnt ELSE 0 END) AS BIGINT) AS heavy_rows
+      FROM c CROSS JOIN t GROUP BY 1, 2, 3)"""
+
   val oracles: Map[String, String] = Map(
+    "dq_skew_report" -> (Seq(
+      skewSql("lineitem", "l_partkey", "lineitem.l_partkey"),
+      skewSql("lineitem", "l_suppkey", "lineitem.l_suppkey"),
+      skewSql("orders", "o_custkey", "orders.o_custkey"),
+      skewSql("events", "event_type", "events.event_type"))
+      .mkString("", " UNION ALL ", " ORDER BY key_col")),
+    "dq_cusum_changepoint" -> """
+      WITH e AS (
+        SELECT event_type, event_id, ts,
+          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events),
+      sc AS (
+        SELECT event_type, ts,
+          CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY ts, event_id) AS BIGINT) AS k,
+          SUM(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+          CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+          SUM(cents) OVER (PARTITION BY event_type) AS total
+        FROM e),
+      st AS (
+        SELECT event_type, n, k, ts,
+          n * prefix - k * total AS s_scaled,
+          abs(n * prefix - k * total) AS abs_s
+        FROM sc),
+      rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY abs_s DESC, k ASC) AS rk
+        FROM st)
+      SELECT event_type, n AS n_events, k AS cp_k,
+        STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS cp_ts,
+        CAST(s_scaled AS BIGINT) AS s_scaled,
+        CAST(abs_s AS BIGINT) AS cusum_max
+      FROM rk WHERE rk = 1 ORDER BY event_type""",
     "dq_quantile_sketch" -> s"""
       WITH v AS (
         SELECT CAST(floor(l_extendedprice) AS BIGINT) AS fv

@@ -272,4 +272,46 @@ class SchemaSpec extends SparkSpec {
     assert(SchemaValidator.validate(None, None).isValid)
     assert(!SchemaValidator.validate(None, None, strict = true).isValid)
   }
+
+  test("skew audit: planted hot key detected, uniform key clean") {
+    import spark.implicits._
+    // 1000 rows on one key + 10 rows each on 100 keys: mean ≈ 19.8,
+    // hot key is 50× the mean — far past the 10× threshold
+    val hot = Seq.fill(1000)(0L) ++ (1L to 100L).flatMap(k => Seq.fill(10)(k))
+    val r = graft.queries.QualityQueries
+      .keySkew(hot.toDF("k"), "k", "hot").head()
+    assert(r.getAs[Long]("n_rows") == 2000 && r.getAs[Long]("n_keys") == 101)
+    assert(r.getAs[Long]("max_cnt") == 1000)
+    assert(r.getAs[Long]("n_heavy_keys") == 1 &&
+      r.getAs[Long]("heavy_rows") == 1000)
+    assert(r.getAs[Double]("heavy_share") == 0.5)
+    assert(r.getAs[Double]("skew_factor") == 1000.0 * 101 / 2000)
+    val uni = (1L to 100L).flatMap(k => Seq.fill(10)(k))
+    val u = graft.queries.QualityQueries
+      .keySkew(uni.toDF("k"), "k", "uniform").head()
+    assert(u.getAs[Long]("n_heavy_keys") == 0)
+    assert(u.getAs[Double]("skew_factor") == 1.0)
+  }
+
+  test("CUSUM: planted level shift localized at the shift point") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(i: Int) = new java.sql.Timestamp(base.getTime + i * 60000L)
+    // group a: 100 then 200 cents, shift after k=50 → argmax |S_k| at 50;
+    // group b: constant → S_k = 0 everywhere, argmax ties break to k=1
+    val rows =
+      (1 to 50).map(i => ("a", i.toLong, ts(i), 100L)) ++
+      (51 to 100).map(i => ("a", i.toLong, ts(i), 200L)) ++
+      (1 to 40).map(i => ("b", i.toLong, ts(i), 77L))
+    val got = graft.queries.QualityQueries
+      .cusumOf(rows.toDF("event_type", "event_id", "ts", "cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(5)))
+    val a = got.find(_._1 == "a").get
+    assert(a._2 == 100 && a._3 == 50, s"shift must localize at k=50: $a")
+    // |S_50|·1 = |n·prefix − k·total| = |100·5000 − 50·15000| = 250000
+    assert(a._4 == 250000L)
+    val b = got.find(_._1 == "b").get
+    assert(b._3 == 1 && b._4 == 0L, s"constant series: zero CUSUM, k=1: $b")
+  }
 }

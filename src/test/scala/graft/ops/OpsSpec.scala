@@ -377,6 +377,37 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(shares("test") - 0.10) < 0.03)
   }
 
+  test("group split: components never span folds; a doc-keyed split would leak") {
+    // splitColumn replayed in plain JVM md5 (same cast-to-string input)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def foldOf(id: Long): String = {
+      val h = TextAnalysis.md5Hex(md,
+        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (h < Sampling.TrainUpper) "train"
+      else if (h < Sampling.ValUpper) "val" else "test"
+    }
+    val comps = Dedup.dedupComponents(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.nonEmpty && comps.exists { case (d, c) => d != c },
+      "fixture must contain multi-doc near-dup components")
+    // group-keyed: all docs of a component share the component's fold —
+    // and the naive doc-keyed split WOULD scatter at least one component
+    // (the leakage this operator exists to prevent is present in data)
+    val scattered = comps.groupBy(_._2).exists { case (_, members) =>
+      members.keys.map(foldOf).toSet.size > 1
+    }
+    assert(scattered, "fixture too small to demonstrate doc-keyed leakage")
+    // summary conserves the corpus and matches the JVM fold replay
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val wantDocs = ids.groupBy(id => foldOf(comps.getOrElse(id, id)))
+      .view.mapValues(_.length.toLong).toMap
+    val sum = Sampling.sampleGroupSplit(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(sum == wantDocs, s"got $sum want $wantDocs")
+    assert(sum.values.sum == ids.length)
+  }
+
   test("per-source cap: exact cap enforced, small sources untouched, counts consistent") {
     val got = Sampling.capPerSourceSummary(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
