@@ -333,10 +333,36 @@ object Packing {
       .orderBy("doc_id")
   }
 
+  /** Per-bin boundary metadata for the BFD packing — the artifact a
+    * trainer actually consumes: each packed context window's ordered
+    * (doc, start_offset, length) layout, from which position ids and
+    * the block-diagonal attention mask are built (the "mask out
+    * cross-document attention" requirement of packed training, Krell
+    * et al. 2021 §3). Within a bin, documents sit in BFD arrival order
+    * — the global (len desc, id asc) order restricted to the bin — so
+    * offsets are a windowed prefix sum over that order. The window
+    * partitions by bin (≤ binLen docs each), never globally.
+    */
+  def packBfdOffsets(s: SparkSession, dir: String,
+      binLen: Long = BfdLen): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bin_id").orderBy($"n_tokens".desc, $"doc_id".asc)
+    packBfd(s, dir, binLen)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("start_offset",
+        sum($"n_tokens").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)) - $"n_tokens")
+      .select($"bin_id", $"pos", $"doc_id", $"start_offset", $"n_tokens")
+      .orderBy("bin_id", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
     "pack_shards" -> ((s, d) => packShards(s, d)),
     "pack_bfd" -> ((s, d) => packBfd(s, d)),
+    "pack_bfd_offsets" -> ((s, d) => packBfdOffsets(s, d)),
     "pack_chunks" -> packChunks)
 
   /** DuckDB token count, identical to TextAnalysis.tokenCount (parity
@@ -348,15 +374,14 @@ object Packing {
         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n
       FROM documents)"""
 
-  val oracles: Map[String, String] = Map(
-    // BFD is sequential, but fully deterministic — so the whole greedy
-    // replays as a recursive CTE: state (item index, bin-rem list,
-    // assignment list), each step placing item rn=i+1 into the
-    // smallest-rem fitting bin (tie → lowest bin index) or appending a
-    // fresh bin. Independent of the Spark side's HISTOGRAM solve — the
-    // oracle is the naive per-item definition, so a histogram-batching
-    // bug cannot hide.
-    "pack_bfd" -> s"""
+  // BFD is sequential, but fully deterministic — so the whole greedy
+  // replays as a recursive CTE: state (item index, bin-rem list,
+  // assignment list), each step placing item rn=i+1 into the
+  // smallest-rem fitting bin (tie → lowest bin index) or appending a
+  // fresh bin. Independent of the Spark side's HISTOGRAM solve — the
+  // oracle is the naive per-item definition, so a histogram-batching
+  // bug cannot hide. Shared by pack_bfd and pack_bfd_offsets.
+  private lazy val bfdCore: String = s"""
       WITH RECURSIVE
       toks AS (
         SELECT doc_id,
@@ -393,11 +418,26 @@ object Packing {
         ) best ON TRUE
         WHERE st.i < (SELECT total FROM nitems)
       ),
-      final AS (SELECT assigns FROM st ORDER BY i DESC LIMIT 1)
-      SELECT a.id AS doc_id, it.n AS n_tokens, a.bin AS bin_id
-      FROM final, UNNEST(final.assigns) AS t(a)
-      JOIN items it ON it.doc_id = a.id
-      ORDER BY doc_id""",
+      final AS (SELECT assigns FROM st ORDER BY i DESC LIMIT 1),
+      asg AS (
+        SELECT a.id AS doc_id, it.n AS n_tokens, a.bin AS bin_id
+        FROM final, UNNEST(final.assigns) AS t(a)
+        JOIN items it ON it.doc_id = a.id)"""
+
+  val oracles: Map[String, String] = Map(
+    "pack_bfd" -> s"""$bfdCore
+      SELECT doc_id, n_tokens, bin_id FROM asg ORDER BY doc_id""",
+    "pack_bfd_offsets" -> s"""$bfdCore
+      SELECT bin_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY bin_id
+          ORDER BY n_tokens DESC, doc_id ASC) AS BIGINT) AS pos,
+        doc_id,
+        CAST(SUM(n_tokens) OVER (PARTITION BY bin_id
+          ORDER BY n_tokens DESC, doc_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tokens AS BIGINT) AS start_offset,
+        n_tokens
+      FROM asg ORDER BY bin_id, pos""",
     "pack_sequences" -> s"""
       WITH $tokCte,
       cum AS (

@@ -1429,17 +1429,32 @@ object Similarity {
     * closure is one equi-join on the wedge endpoint pair. No collect,
     * no all-pairs over the bipartite table.
     */
+  /** Edge-count ceiling for the broadcast closure kernel; larger
+    * graphs (or ids outside [0, 2³¹)) take the pure-join path.
+    */
+  val TriBroadcastMaxEdges = 5000000L
+
   /** Exact triangle and wedge totals of an undirected simple graph
     * given as distinct (a, b) rows with a < b. Compact-forward
     * orientation bounds the out-wedge fan-out; the wedge total counts
     * open+closed wedges over the UNDIRECTED degree sequence
     * (denominator of the global clustering coefficient).
+    *
+    * Two closure plans, budget-switched (the boilerplate-removal
+    * precedent): when the oriented edge set fits a broadcast
+    * (≤ [[TriBroadcastMaxEdges]], non-negative ids < 2³¹), wedges are
+    * enumerated AND probed inside one compiled kernel against a sorted
+    * packed-long edge array — no wedge-row materialization at all
+    * (34M Tungsten rows + a 55M-row join enumeration cost ~4.5 s at
+    * sf0.1 in the declarative form). Larger graphs fall back to the
+    * join plan, whose shuffles are all id-only.
     */
   private[ops] def triangleCensus(edges: DataFrame): (Long, Long) = {
     val s = edges.sparkSession
     import s.implicits._
     val deg = edges.select($"a".as("v")).union(edges.select($"b".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true) // feeds orientation + wedge total
     // orient u->v iff (deg u, u) < (deg v, v); attach degrees by
     // broadcast (|V| = supplier count, bounded here; equi-join at scale)
     val da = broadcast(deg.select($"v".as("a"), $"deg".as("dega")))
@@ -1453,15 +1468,15 @@ object Similarity {
           .as("o"))
       .select($"o.u", $"o.du", $"o.w", $"o.dw")
       .localCheckpoint(eager = true)
-    // out-wedges (u -> x, u -> y with x before y in the same order),
-    // closed against the oriented edge set
-    val w1 = oriented.select($"u", $"w".as("x"), $"dw".as("dx"))
-    val w2 = oriented.select($"u", $"w".as("y"), $"dw".as("dy"))
-    val wedges = w1.join(w2, "u")
-      .filter($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"))
-      .select($"x", $"y")
-    val closing = oriented.select($"u".as("x"), $"w".as("y"))
-    val nTri = wedges.join(closing, Seq("x", "y"), "left_semi").count()
+    val bounds = oriented.agg(
+      count(lit(1)), coalesce(min(least($"u", $"w")), lit(0L)),
+      coalesce(max(greatest($"u", $"w")), lit(0L))).head()
+    val (nE, minId, maxId) =
+      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    val nTri =
+      if (nE <= TriBroadcastMaxEdges && minId >= 0L && maxId < (1L << 31))
+        closeWedgesKernel(oriented)
+      else closeWedgesJoin(oriented)
     // open+closed wedge total over the UNDIRECTED degree sequence
     // (Column `/` is DOUBLE division — halve on the driver instead)
     val nWedges = deg.agg(
@@ -1470,19 +1485,93 @@ object Similarity {
     (nTri, nWedges)
   }
 
+  /** Broadcast closure: per-node out-neighbor arrays (already in
+    * (dw, w) orientation order) enumerate ordered wedges in a compiled
+    * loop and probe a SORTED packed-long edge array by binary search —
+    * one aggregation row per partition comes back, nothing else moves.
+    */
+  private def closeWedgesKernel(oriented: DataFrame): Long = {
+    val s = oriented.sparkSession
+    import s.implicits._
+    val keys = oriented
+      .select((($"u" * (1L << 32)) + $"w").as("k")).as[Long]
+      .collect()
+    java.util.Arrays.sort(keys)
+    val bc = s.sparkContext.broadcast(keys)
+    val counts = oriented.groupBy($"u")
+      .agg(sort_array(collect_list(struct($"dw", $"w"))).as("ns"))
+      .select($"ns.w".as("ws")).as[Seq[Long]]
+      .mapPartitions { it =>
+        val ks = bc.value
+        var c = 0L
+        it.foreach { ws =>
+          val arr = ws.toArray
+          var i = 0
+          while (i < arr.length) {
+            val base = arr(i) * (1L << 32)
+            var j = i + 1
+            while (j < arr.length) {
+              if (java.util.Arrays.binarySearch(ks, base + arr(j)) >= 0) c += 1
+              j += 1
+            }
+            i += 1
+          }
+        }
+        Iterator.single(c)
+      }
+    // agg, not reduce: reduce throws on a zero-partition empty plan
+    val n = counts.toDF("c")
+      .agg(coalesce(sum($"c"), lit(0L))).as[Long].head()
+    bc.destroy()
+    n
+  }
+
+  /** Declarative closure (the any-scale fallback): out-wedges
+    * (u → x, u → y with x before y in orientation order) left-semi
+    * joined against the oriented edge set.
+    */
+  private def closeWedgesJoin(oriented: DataFrame): Long = {
+    val s = oriented.sparkSession
+    import s.implicits._
+    val w1 = oriented.select($"u", $"w".as("x"), $"dw".as("dx"))
+    val w2 = oriented.select($"u", $"w".as("y"), $"dw".as("dy"))
+    val wedges = w1.join(w2, "u")
+      .filter($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"))
+      .select($"x", $"y")
+    val closing = oriented.select($"u".as("x"), $"w".as("y"))
+    wedges.join(closing, Seq("x", "y"), "left_semi").count()
+  }
+
   def simTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sp = t(s, dir, "lineitem")
-      .select($"l_suppkey".as("supp"), $"l_partkey".as("part")).distinct()
-    val nNodes = sp.select($"supp").distinct().count()
-    // bounded per-part supplier sets -> pair fan-out, map-side collapse
-    val pairs = sp.groupBy($"part")
+    // no pre-distinct: collect_set dedups (part, supp) inside the ONE
+    // set aggregation (map-side partial sets), and the node count is
+    // its own partial-aggregated countDistinct — a separate DISTINCT
+    // shuffle here cost ~1.8 s at sf0.1 (recomputed by both consumers)
+    val li = t(s, dir, "lineitem")
+      .select($"l_suppkey".as("supp"), $"l_partkey".as("part"))
+    val nNodes = li.agg(countDistinct($"supp")).as[Long].head()
+    // bounded per-part supplier sets -> pair fan-out, map-side collapse.
+    // The fan-out is a compiled flatMap, not a Catalyst HOF chain —
+    // transform/slice lambdas are interpreted per element and cost ~6 s
+    // at sf0.1 for the same 8.7M pairs (the dedup_source_overlap lesson)
+    val pairs = li.groupBy($"part")
       .agg(sort_array(collect_set($"supp")).as("ss"))
       .filter(size($"ss").between(2, TriMaxSetSize))
-      .select(explode(flatten(transform($"ss", (a, i) =>
-        transform(slice($"ss", i + 2, size($"ss")), b =>
-          struct(a.as("a"), b.as("b")))))).as("p"))
-      .groupBy($"p.a".as("a"), $"p.b".as("b"))
+      .select($"ss").as[Seq[Long]]
+      .flatMap { ss =>
+        val arr = ss.toArray
+        val out = new Array[(Long, Long)](arr.length * (arr.length - 1) / 2)
+        var k = 0; var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) { out(k) = (arr(i), arr(j)); k += 1; j += 1 }
+          i += 1
+        }
+        out
+      }
+      .toDF("a", "b")
+      .groupBy($"a", $"b")
       .agg(count(lit(1)).as("n_shared"))
       .localCheckpoint(eager = true) // feeds stats + edges
     val st = pairs.agg(count(lit(1)).as("cnt"), sum($"n_shared").as("tot"))

@@ -167,13 +167,104 @@ object Extended6 {
       .orderBy("user_id")
   }
 
+  /** Per-order part-set size cap for the pair fan-out (df-cap guard —
+    * an order with thousands of lines would otherwise fan out
+    * quadratically; here orders hold a handful).
+    */
+  val BasketMaxSize = 64
+  val BasketMinSupport = 2L
+  val BasketTopK = 20
+
+  /** Market-basket association rules: the top-[[BasketTopK]] part pairs
+    * by LIFT = P(a,b) / (P(a)·P(b)) with a minimum co-occurrence
+    * support — the classic co-purchase affinity query (Agrawal &
+    * Srikant 1994 reframed as lift ranking). All counts are integers
+    * and lift/confidence are single IEEE divisions, so ranks and
+    * doubles are hash-exact cross-engine; ties break (a, b) asc.
+    *
+    * 100 TB shape: one distinct (order, part) collapse feeds the
+    * per-part support aggregation AND the bounded per-order set
+    * fan-out (pairs collapse map-side; [[BasketMaxSize]] caps the
+    * per-key fan-out); supports re-attach by equi-join; the top-k is
+    * orderBy+limit → TakeOrderedAndProject (per-partition heaps), with
+    * the rank window applied only to the k surviving rows.
+    */
+  def q74BasketLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    basketLiftOf(t(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")))
+  }
+
+  /** Lift kernel over any (o, p) basket-membership frame. */
+  private[queries] def basketLiftOf(rawOp: DataFrame): DataFrame = {
+    val s = rawOp.sparkSession
+    import s.implicits._
+    val op = rawOp.distinct()
+      .localCheckpoint(eager = true) // feeds totals + support + pairs
+    val nOrders = op.select($"o").distinct().count()
+    val sup = op.groupBy($"p").agg(count(lit(1)).as("n_p"))
+    val pairs = op.groupBy($"o")
+      .agg(sort_array(collect_set($"p")).as("ps"))
+      .filter(size($"ps").between(2, BasketMaxSize))
+      .select(explode(flatten(transform($"ps", (a, i) =>
+        transform(slice($"ps", i + 2, size($"ps")), b =>
+          struct(a.as("a"), b.as("b")))))).as("x"))
+      .groupBy($"x.a".as("a"), $"x.b".as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= BasketMinSupport)
+    val scored = pairs
+      .join(sup.select($"p".as("a"), $"n_p".as("n_a")), "a")
+      .join(sup.select($"p".as("b"), $"n_p".as("n_b")), "b")
+      .select($"a", $"b", $"n_a", $"n_b", $"n_ab",
+        lit(nOrders).as("n_orders"),
+        (($"n_ab" * nOrders).cast("double") / ($"n_a" * $"n_b").cast("double"))
+          .as("lift"),
+        ($"n_ab".cast("double") / $"n_a".cast("double")).as("confidence"))
+    val top = scored.orderBy($"lift".desc, $"a".asc, $"b".asc)
+      .limit(BasketTopK)
+    top.withColumn("rk", row_number()
+        .over(Window.orderBy($"lift".desc, $"a".asc, $"b".asc)).cast("long"))
+      .select($"rk", $"a", $"b", $"n_a", $"n_b", $"n_ab", $"n_orders",
+        $"lift", $"confidence")
+      .orderBy("rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_cohort_retention" -> q70CohortRetention,
     "q71_rfm" -> q71Rfm,
     "q72_scd2" -> q72Scd2,
-    "q73_event_regex" -> q73EventRegex)
+    "q73_event_regex" -> q73EventRegex,
+    "q74_basket_lift" -> q74BasketLift)
 
   val oracles: Map[String, String] = Map(
+    "q74_basket_lift" -> s"""
+      WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      no AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+      sup AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p FROM op GROUP BY 1),
+      sz AS (SELECT o FROM op GROUP BY o
+             HAVING COUNT(*) BETWEEN 2 AND $BasketMaxSize),
+      pr AS (
+        SELECT x.p AS a, y.p AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        JOIN sz ON sz.o = x.o
+        GROUP BY 1, 2 HAVING COUNT(*) >= $BasketMinSupport),
+      sc AS (
+        SELECT pr.a, pr.b, sa.n_p AS n_a, sb.n_p AS n_b, pr.n_ab,
+          no.n_orders,
+          CAST(pr.n_ab * no.n_orders AS DOUBLE)
+            / CAST(sa.n_p * sb.n_p AS DOUBLE) AS lift,
+          CAST(pr.n_ab AS DOUBLE) / CAST(sa.n_p AS DOUBLE) AS confidence
+        FROM pr
+        JOIN sup sa ON sa.p = pr.a
+        JOIN sup sb ON sb.p = pr.b
+        CROSS JOIN no),
+      rk AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, a ASC, b ASC)
+          AS BIGINT) AS rk
+        FROM sc)
+      SELECT rk, a, b, n_a, n_b, n_ab, n_orders, lift, confidence
+      FROM rk WHERE rk <= $BasketTopK ORDER BY rk""",
     "q70_cohort_retention" -> """
       WITH ev AS (
         SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS ew

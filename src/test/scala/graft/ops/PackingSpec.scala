@@ -296,4 +296,32 @@ class DecontaminationSpec extends SparkSpec {
     assert(viaFrozen.exists(r => r._1 == 1L && r._2 == 900L), "leak flagged")
     assert(!viaFrozen.exists(_._1 == 2L), "clean batch doc passes")
   }
+
+  test("bfd offsets: contiguous per-bin layout, fill within capacity, matches assignment") {
+    val asg = Packing.packBfd(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rows = Packing.packBfdOffsets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty && rows.length == asg.size)
+    rows.foreach { case (bin, _, doc, _, _) =>
+      assert(asg(doc) == bin, s"doc $doc offsets bin $bin != packBfd ${asg(doc)}")
+    }
+    rows.groupBy(_._1).foreach { case (bin, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"bin $bin positions not contiguous")
+      // offsets tile the window: start_1 = 0, start_{i+1} = start_i + len_i
+      var expect = 0L
+      sorted.foreach { case (_, _, _, start, len) =>
+        assert(start == expect, s"bin $bin: start $start != $expect")
+        expect = start + len
+      }
+      assert(expect <= graft.ops.Packing.BfdLen, s"bin $bin overfilled: $expect")
+      // arrival order within a bin is the global BFD order: len desc, id asc
+      val order = sorted.map(r => (-r._5, r._3))
+      assert(order.toSeq == order.sortBy(identity).toSeq,
+        s"bin $bin not in BFD arrival order")
+    }
+  }
 }

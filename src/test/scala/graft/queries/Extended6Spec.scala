@@ -119,4 +119,33 @@ class Extended6Spec extends SparkSpec {
     val far9 = got.find(_.getAs[Int]("label") == 9).get
     assert(math.abs(far9.getAs[Double]("score")) < 1e-12)
   }
+
+  test("basket lift: planted affinity ranks above independence, singles excluded") {
+    val s = spark
+    import s.implicits._
+    // 8 orders. 10/11: 4 co-occurrences over support 4 each → lift
+    // 4·8/16 = 2.0. 30/31: 3 co-occurrences over support 3 each →
+    // lift 3·8/9 ≈ 2.67, the top pair. 20/21: one co-occurrence —
+    // below min support, excluded.
+    val op = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L), (4L, 10L), (4L, 11L),
+      (5L, 20L), (5L, 21L),
+      (6L, 30L), (6L, 31L), (7L, 30L), (7L, 31L), (8L, 30L),
+      (8L, 31L)).toDF("o", "p")
+    val got = Extended6.basketLiftOf(op).collect()
+    val top = got.head
+    assert(top.getAs[Long]("rk") == 1L)
+    assert((top.getAs[Long]("a"), top.getAs[Long]("b")) == (30L, 31L))
+    assert(top.getAs[Double]("lift") == 3.0 * 8 / 9)
+    val second = got(1)
+    assert((second.getAs[Long]("a"), second.getAs[Long]("b")) == (10L, 11L))
+    assert(second.getAs[Double]("lift") == 2.0)
+    assert(!got.exists(r => r.getAs[Long]("a") == 20L),
+      "single co-occurrence is below min support")
+    got.foreach { r =>
+      assert(r.getAs[Double]("confidence") ==
+        r.getAs[Long]("n_ab").toDouble / r.getAs[Long]("n_a"))
+    }
+  }
 }
