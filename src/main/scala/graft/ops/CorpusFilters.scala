@@ -443,9 +443,52 @@ object CorpusFilters {
       .orderBy("doc_id")
   }
 
+  // ---- vocabulary coverage (Heaps-law view) ----
+
+  /** Per-source vocabulary coverage: token mass, unigram/bigram type
+    * counts, and the type-token ratio — the Heaps-law diagnostic that
+    * separates genuinely diverse sources from template-generated or
+    * mirrored feeds (a low TTR at high token mass means the source
+    * repeats itself; a bigram-type count near its unigram² ceiling
+    * means unusually free word order). Exact distinct counts ⇒
+    * hash-exact cross-engine; swap in approx_count_distinct at corpus
+    * scale where a 1% vocabulary estimate suffices.
+    *
+    * One documents scan feeds all three aggregations (the tokenized
+    * frame is checkpointed); bigrams via equal-length slice zip — NOT
+    * sequence(1, size-1), which DESCENDS [1, 0] on single-token docs.
+    */
+  def taNgramCoverage(s: SparkSession, dir: String): DataFrame =
+    ngramCoverageOf(t(s, dir, "documents"))
+
+  def ngramCoverageOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tk = docs
+      .select($"source", filter(
+        split(trim(lower($"text")), "\\s+"), x => length(x) > 0).as("tk"))
+      .localCheckpoint(eager = true)
+    val ct = tk.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size($"tk")).cast("long").as("n_tokens"))
+    val uni = tk.select($"source", explode($"tk").as("g"))
+      .groupBy($"source").agg(countDistinct($"g").as("uni_types"))
+    val bi = tk
+      .select($"source", explode(zip_with(
+        slice($"tk", lit(1), size($"tk") - 1),
+        slice($"tk", lit(2), size($"tk") - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+      .groupBy($"source").agg(countDistinct($"g").as("bi_types"))
+    ct.join(uni, "source").join(bi, "source")
+      .select($"source", $"n_docs", $"n_tokens", $"uni_types", $"bi_types",
+        ($"uni_types".cast("double") / $"n_tokens".cast("double")).as("ttr"))
+      .orderBy("source")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_ngram_coverage" -> taNgramCoverage,
     "ta_quality_classifier" -> taQualityClassifier,
     "ta_c4_rules" -> taC4Rules,
     "dedup_paragraph" -> dedupParagraph,
@@ -466,6 +509,30 @@ object CorpusFilters {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "ta_ngram_coverage" -> """
+      WITH tk AS (
+        SELECT source, list_filter(
+          string_split_regex(trim(lower(text)), '\s+'),
+          x -> len(x) > 0) AS tk
+        FROM documents),
+      ct AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(tk)) AS BIGINT) AS n_tokens
+        FROM tk GROUP BY source),
+      uni AS (
+        SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT) AS uni_types
+        FROM (SELECT source, unnest(tk) AS g FROM tk) GROUP BY source),
+      bi AS (
+        SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT) AS bi_types
+        FROM (SELECT source,
+                unnest([tk[i] || ' ' || tk[i + 1]
+                        for i in range(1, len(tk))]) AS g
+              FROM tk)
+        GROUP BY source)
+      SELECT ct.source, n_docs, n_tokens, uni_types, bi_types,
+        CAST(uni_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+      FROM ct JOIN uni USING (source) JOIN bi USING (source)
+      ORDER BY source""",
     "ta_quality_classifier" -> s"""
       WITH toks AS (
         SELECT doc_id, unnest(list_filter(

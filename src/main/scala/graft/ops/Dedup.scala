@@ -728,7 +728,53 @@ object Dedup {
     simhashPairs(simhashSets(shingleSets(s, dir)))
       .orderBy("a", "b")
 
+  /** Strategy-agreement forensics: how much of the exact-duplicate
+    * removal set the near-duplicate (Jaccard-component) pass already
+    * covers, and vice versa — the report that tells a pipeline owner
+    * whether the cheap exact pass is subsumed (skip it) or
+    * complementary (keep both). Removal sets use each family's
+    * keep-first survivor rule: exact drops non-minimum doc_ids per
+    * normalized-text fingerprint; near drops non-root members of
+    * Jaccard ≥ 0.8 components. One full-outer join of two id-only
+    * sets → a single integer Venn row; the agreement share is one IEEE
+    * division.
+    */
+  def dedupMethodAgreement(s: SparkSession, dir: String): DataFrame =
+    methodAgreementOf(t(s, dir, "documents"))
+
+  /** Agreement kernel over any (doc_id, text) frame — near-dup removal
+    * via the same banded-LSH → verify → components chain the corpus
+    * pipeline runs.
+    */
+  def methodAgreementOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+    val exactRemoved = docs
+      .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .withColumn("m", min($"doc_id").over(w))
+      .filter($"doc_id" =!= $"m").select($"doc_id")
+    val sets = shingleSetsOf(docs).localCheckpoint(eager = true)
+    val prs = verifyJaccardSets(
+      candidatePairs(lshBucketsFused(sets)), sets, 0.8)
+    val nearRemoved = connectedComponents(prs)
+      .filter($"doc_id" =!= $"component_id").select($"doc_id")
+    exactRemoved.withColumn("e", lit(1L))
+      .join(nearRemoved.withColumn("n", lit(1L)), Seq("doc_id"), "full_outer")
+      .agg(
+        coalesce(sum($"e"), lit(0L)).as("n_exact"),
+        coalesce(sum($"n"), lit(0L)).as("n_near"),
+        coalesce(sum(when($"e".isNotNull && $"n".isNotNull, 1L)), lit(0L))
+          .as("n_both"),
+        count(lit(1)).as("n_either"))
+      .select($"n_exact", $"n_near", $"n_both", $"n_either",
+        when($"n_either" > 0L,
+          $"n_both".cast("double") / $"n_either".cast("double"))
+          .otherwise(lit(0.0)).as("agreement_jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_method_agreement" -> dedupMethodAgreement,
     "dedup_exact" -> dedupExact,
     "dedup_bloom_novel" -> dedupBloomNovel,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -983,6 +1029,35 @@ object Dedup {
     // side computes with iterative min-label propagation
     "dedup_components" -> componentsOracle,
     "dedup_components_alt" -> componentsOracle,
+    "dedup_method_agreement" -> s"""
+      WITH RECURSIVE $componentsCteBody,
+      comp AS (
+        SELECT id AS doc_id, MIN(lbl) AS component_id
+        FROM reach GROUP BY id),
+      nearr AS (SELECT doc_id FROM comp WHERE doc_id <> component_id),
+      fp AS (
+        SELECT doc_id,
+          md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      exr AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS m FROM fp)
+        WHERE doc_id <> m),
+      u AS (
+        SELECT COALESCE(e.doc_id, n.doc_id) AS doc_id,
+          e.doc_id IS NOT NULL AS ise, n.doc_id IS NOT NULL AS isn
+        FROM exr e FULL OUTER JOIN nearr n ON e.doc_id = n.doc_id)
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN ise THEN 1 END), 0) AS BIGINT) AS n_exact,
+        CAST(COALESCE(SUM(CASE WHEN isn THEN 1 END), 0) AS BIGINT) AS n_near,
+        CAST(COALESCE(SUM(CASE WHEN ise AND isn THEN 1 END), 0) AS BIGINT)
+          AS n_both,
+        CAST(COUNT(*) AS BIGINT) AS n_either,
+        CASE WHEN COUNT(*) > 0
+          THEN CAST(COALESCE(SUM(CASE WHEN ise AND isn THEN 1 END), 0)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          ELSE CAST(0 AS DOUBLE) END AS agreement_jaccard
+      FROM u""",
     "dedup_simhash_portable" -> s"""
       WITH $portableSigCte
       SELECT doc_id, simhash_hex FROM sigs ORDER BY doc_id""",

@@ -219,4 +219,19 @@ class CorpusFiltersSpec extends SparkSpec {
     val again = CorpusFilters.taQualityClassifier(spark, sfDir).collect()
     assert(corpus.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("ngram coverage: hand-counted types, single-token docs yield no bigrams") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "A b a", "s1"),   // tokens a,b,a → uni {a,b}; bigrams "a b","b a"
+      (2L, "c", "s1"),       // single token: no bigrams
+      (3L, "x y x y", "s2")) // uni {x,y}; bigrams "x y","y x"
+      .toDF("doc_id", "text", "source")
+    val got = CorpusFilters.ngramCoverageOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(got("s1") == ((2L, 4L, 3L, 2L, 3.0 / 4)))
+    assert(got("s2") == ((1L, 4L, 2L, 2L, 2.0 / 4)))
+  }
 }

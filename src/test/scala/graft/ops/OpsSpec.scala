@@ -16,6 +16,27 @@ class DedupSpec extends SparkSpec {
     assert(m(3L) == Seq("x x x")) // distinct collapses repeats
   }
 
+  test("method agreement: planted exact/near/unique docs produce the full Venn") {
+    val textA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val textB2 = (1 to 29).map(i => s"beta$i").mkString(" ") + " CHANGED"
+    val textC = (1 to 30).map(i => s"gamma$i").mkString(" ")
+    val docs = Seq(
+      (1L, textA), (2L, textA), // exact pair — removed by BOTH families
+      (3L, textB), (4L, textB2), // near pair only (jaccard ≈ 0.93)
+      (5L, textC)).toDF("doc_id", "text")
+    val r = Dedup.methodAgreementOf(docs).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 2L, 1L, 2L)),
+      s"Venn mismatch: $r")
+    assert(r.getDouble(4) == 0.5)
+    // degenerate corpus: no duplicates at all → all-zero row, no NaN
+    val clean = Seq((1L, textA), (2L, textB), (3L, textC)).toDF("doc_id", "text")
+    val z = Dedup.methodAgreementOf(clean).head()
+    assert((z.getLong(0), z.getLong(1), z.getLong(2), z.getLong(3),
+      z.getDouble(4)) == ((0L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("bloom-prefiltered novelty is exact: equals the plain anti-join") {
     val corpus = (1L to 1000L).map(i => (i, s"corpus-doc-$i"))
       .toDF("doc_id", "text_md5")
