@@ -145,6 +145,38 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    import spark.implicits._
+    // a selective dim filter should inject a bloom-filter runtime filter
+    // into the fact scan (row-level semi-join reduction before the
+    // shuffle) — the Spark-native counterpart of a manual bloom gate.
+    // Thresholds are tuned down to fire at test scale; at 100 TB the
+    // defaults (10MB creation side / 10GB application side) do the same.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // broadcast would bypass
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.Tables.t(spark, sfDir, "lineitem")
+        .select($"l_partkey", $"l_quantity")
+      val dim = graft.Tables.t(spark, sfDir, "part")
+        .filter($"p_size" === 1).select($"p_partkey", $"p_name")
+      val joined = li.join(dim, $"l_partkey" === $"p_partkey")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter injected:\n$plan")
+      // and it did not change the answer
+      val expected = li.join(dim.hint("broadcast"), $"l_partkey" === $"p_partkey").count()
+      assert(joined.count() == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("z-ordered layout prunes a 2-D box better than single-column clustering") {
     import spark.implicits._
     val bits = 10
