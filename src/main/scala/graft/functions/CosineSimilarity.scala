@@ -149,6 +149,11 @@ object GraftFunctions {
       if (!registry.functionExists(id))
         registry.registerFunction(id, info, builder)
     }
+    // live-session counterpart of injectOptimizerRule (idempotent)
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.CollapseRedundantRedaction))
+      spark.experimental.extraOptimizations =
+        extra :+ graft.plans.CollapseRedundantRedaction
   }
 }
 
@@ -161,5 +166,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSim)
     ext.injectFunction(GraftFunctions.piiRedact)
+    ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantRedaction)
   }
 }
