@@ -36,7 +36,11 @@ object ScaleSmoke {
     "q66_equidepth_hist", "ta_cms_freq", "dedup_minhash_lsh",
     // round-7 session-2 heavyweights: shingle-set overlap matrix,
     // TF-IDF vocab join, line dedup reassembly, histogram BFD packing
-    "dedup_source_overlap", "ta_tfidf", "dedup_paragraph", "pack_bfd")
+    "dedup_source_overlap", "ta_tfidf", "dedup_paragraph", "pack_bfd",
+    // session-3 heavyweights: dense-graph triangle census, agreement
+    // forensics (reruns the LSH chain), component-keyed split, lift
+    "sim_triangles", "dedup_method_agreement", "sample_group_split",
+    "q74_basket_lift")
 
   def ensureSf1(spark: SparkSession, srcDir: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_sf1"

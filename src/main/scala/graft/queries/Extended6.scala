@@ -203,13 +203,25 @@ object Extended6 {
       .localCheckpoint(eager = true) // feeds totals + support + pairs
     val nOrders = op.select($"o").distinct().count()
     val sup = op.groupBy($"p").agg(count(lit(1)).as("n_p"))
+    // compiled pair fan-out (interpreted HOF lambdas are ~2× slower on
+    // the 900k-pair mass — the sim_triangles/source-overlap lesson)
     val pairs = op.groupBy($"o")
       .agg(sort_array(collect_set($"p")).as("ps"))
       .filter(size($"ps").between(2, BasketMaxSize))
-      .select(explode(flatten(transform($"ps", (a, i) =>
-        transform(slice($"ps", i + 2, size($"ps")), b =>
-          struct(a.as("a"), b.as("b")))))).as("x"))
-      .groupBy($"x.a".as("a"), $"x.b".as("b"))
+      .select($"ps").as[Seq[Long]]
+      .flatMap { ps =>
+        val arr = ps.toArray
+        val out = new Array[(Long, Long)](arr.length * (arr.length - 1) / 2)
+        var k = 0; var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) { out(k) = (arr(i), arr(j)); k += 1; j += 1 }
+          i += 1
+        }
+        out
+      }
+      .toDF("a", "b")
+      .groupBy($"a", $"b")
       .agg(count(lit(1)).as("n_ab"))
       .filter($"n_ab" >= BasketMinSupport)
     val scored = pairs
