@@ -71,6 +71,12 @@ object StreamingCuration {
     // with a constant-size state rewrite and no corpus rescan
     mergeQuantileState(spark, stateDir,
       batch.select(TextAnalysis.tokenCount($"text").cast("double").as("value")))
+    // 0d: per-source key-count state — the arriving stream's skew audit
+    // (skewFromState) folds additively, key-cardinality-bounded
+    mergeKeyCountState(spark, stateDir,
+      if (batch.columns.contains("source")) batch
+      else batch.withColumn("source", lit("stream")),
+      "source")
 
     // 1–2: redact, gate
     val clean = qualityGate(
@@ -639,6 +645,34 @@ object StreamingCuration {
     graft.queries.QualityQueries.quantilesFromBuckets(
       spark.read.parquet(s"$stateDir/quantile_buckets"),
       graft.queries.QualityQueries.QsPcts)
+
+  /** Fold a batch's per-key row counts into the persistent key-count
+    * state `key_counts_<col>(k, cnt)` — additive integer counts (the
+    * chunk-freq pattern), bounded by the key cardinality, so the skew
+    * audit of EVERYTHING THAT EVER ARRIVED stays answerable per batch
+    * without a corpus rescan.
+    */
+  def mergeKeyCountState(spark: SparkSession, stateDir: String,
+      batch: DataFrame, keyCol: String): Unit = {
+    import spark.implicits._
+    val dir = s"$stateDir/key_counts_$keyCol"
+    val bc = batch.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+    val merged =
+      if (!new java.io.File(dir).exists()) bc
+      else spark.read.parquet(dir).unionByName(bc)
+        .groupBy($"k").agg(sum($"cnt").as("cnt"))
+    val frozen = merged.localCheckpoint(eager = true)
+    frozen.write.mode("overwrite").parquet(dir)
+  }
+
+  /** The accumulated-stream skew audit — the batch
+    * [[graft.queries.QualityQueries.keySkew]] statistics over state.
+    */
+  def skewFromState(spark: SparkSession, stateDir: String,
+      keyCol: String): DataFrame =
+    graft.queries.QualityQueries.keySkewFromCounts(
+      spark.read.parquet(s"$stateDir/key_counts_$keyCol"),
+      s"stream.$keyCol")
 
   /** Fold a batch into the persistent BM25 corpus-statistics state:
     * (token, df) per distinct token — vocabulary-sized, the same bound

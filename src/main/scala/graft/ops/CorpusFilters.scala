@@ -485,9 +485,65 @@ object CorpusFilters {
       .orderBy("source")
   }
 
+  // ---- RAKE keyword extraction ----
+
+  /** Phrase delimiters for RAKE — the corpus-present subset of the
+    * function-word list (a real deployment plugs in a full stopword
+    * lexicon; the algorithm is delimiter-set-agnostic).
+    */
+  val RakeStops: Seq[String] = Seq("a", "the")
+
+  /** How many keywords the registered query reports. */
+  val RakeTopN = 30
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs; a word's score is
+    * degree/frequency, where degree sums the lengths of every phrase
+    * the word occurs in — words that live in LONG multi-word phrases
+    * outrank equally-frequent words that appear alone. Integer
+    * (freq, deg) pairs ⇒ hash-exact; the score is one IEEE division.
+    *
+    * 100 TB shape: one scan → posexplode of (short word, int pos) →
+    * per-DOC windows (entity-bounded, the sessionization bound) for
+    * phrase ids → two map-side-combinable aggregations → top-k via
+    * orderBy+limit (TakeOrderedAndProject) with the rank window on the
+    * k survivors only.
+    */
+  def taRakeKeywords(s: SparkSession, dir: String): DataFrame =
+    rakeKeywordsOf(t(s, dir, "documents"), RakeTopN)
+
+  def rakeKeywordsOf(docs: DataFrame, topN: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tk = docs.select($"doc_id", posexplode(filter(
+      split(trim(lower($"text")), "\\s+"), x => length(x) > 0))
+      .as(Seq("pos", "w")))
+    val win = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ph = tk
+      .withColumn("is_stop", $"w".isInCollection(RakeStops))
+      .withColumn("phrase_id",
+        sum(when($"is_stop", 1L).otherwise(0L)).over(win))
+      .filter(!$"is_stop")
+      .select($"doc_id", $"phrase_id", $"w")
+      .localCheckpoint(eager = true) // feeds lengths + word stats
+    val plen = ph.groupBy($"doc_id", $"phrase_id")
+      .agg(count(lit(1)).as("plen"))
+    val stats = ph.join(plen, Seq("doc_id", "phrase_id"))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+      .withColumn("score", $"deg".cast("double") / $"freq".cast("double"))
+    val top = stats.orderBy($"score".desc, $"w".asc).limit(topN)
+    top.withColumn("rk", row_number()
+        .over(Window.orderBy($"score".desc, $"w".asc)).cast("long"))
+      .select($"rk", $"w", $"freq", $"deg", $"score")
+      .orderBy("rk")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_rake_keywords" -> taRakeKeywords,
     "ta_ngram_coverage" -> taNgramCoverage,
     "ta_quality_classifier" -> taQualityClassifier,
     "ta_c4_rules" -> taC4Rules,
@@ -509,6 +565,39 @@ object CorpusFilters {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "ta_rake_keywords" -> s"""
+      WITH ws0 AS (
+        SELECT doc_id, list_filter(
+          string_split_regex(trim(lower(text)), '\\s+'),
+          x -> len(x) > 0) AS ws
+        FROM documents),
+      tk AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        FROM ws0, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+      ph AS (
+        SELECT doc_id, pos, w,
+          SUM(CASE WHEN w IN (${RakeStops.map("'" + _ + "'").mkString(", ")})
+            THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id,
+          w IN (${RakeStops.map("'" + _ + "'").mkString(", ")}) AS is_stop
+        FROM tk),
+      pw AS (SELECT doc_id, phrase_id, w FROM ph WHERE NOT is_stop),
+      plen AS (
+        SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS plen
+        FROM pw GROUP BY 1, 2),
+      st AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+          CAST(SUM(plen) AS BIGINT) AS deg
+        FROM pw JOIN plen USING (doc_id, phrase_id) GROUP BY w),
+      rk AS (
+        SELECT w, freq, deg,
+          CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score,
+          CAST(ROW_NUMBER() OVER (ORDER BY
+            CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) DESC, w ASC)
+            AS BIGINT) AS rk
+        FROM st)
+      SELECT rk, w, freq, deg, score FROM rk
+      WHERE rk <= $RakeTopN ORDER BY rk""",
     "ta_ngram_coverage" -> """
       WITH tk AS (
         SELECT source, list_filter(

@@ -604,12 +604,20 @@ object QualityQueries {
     * — unlike a top-1%-of-keys definition, whose cut set grows with
     * the key universe.
     */
-  private[graft] def keySkew(df: DataFrame, keyCol: String, label: String): DataFrame = {
-    val s = df.sparkSession
+  private[graft] def keySkew(df: DataFrame, keyCol: String, label: String): DataFrame =
+    keySkewFromCounts(
+      df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = true),
+      label)
+
+  /** Skew statistics from a precomputed (k, cnt) table — shared with
+    * the incremental streaming key-count state. The counts frame is
+    * read twice (totals + heavy mass); callers pass a materialized one.
+    */
+  private[graft] def keySkewFromCounts(
+      counts: DataFrame, label: String): DataFrame = {
+    val s = counts.sparkSession
     import s.implicits._
-    val counts = df.groupBy(col(keyCol).as("k"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(eager = true)
     val tot = counts.agg(
       count(lit(1)).as("n_keys"), sum($"cnt").as("n_rows"),
       max($"cnt").as("max_cnt"))
@@ -694,7 +702,47 @@ object QualityQueries {
       .orderBy("event_type")
   }
 
+  /** Quality TREND: the least-squares slope of the per-day null count
+    * of `events.props` — drift direction for a completeness metric,
+    * complementing the point-in-time [[dqNullCheck]] and the
+    * distributional [[dqDriftChi2]]. The slope is computed as an exact
+    * integer rational (the readability precedent): num = nΣxy − ΣxΣy,
+    * den = nΣx² − (Σx)² over (epoch-day, null-count) points — both
+    * BIGINT, so the verdict is partition-independent and hash-exact;
+    * the quotient is one IEEE division. One scan → per-day collapse
+    * (≤ days rows) → one re-aggregation.
+    */
+  def dqNullTrend(s: SparkSession, dir: String): DataFrame =
+    nullTrendOf(t(s, dir, "events"))
+
+  /** Trend kernel over any (ts, props) frame. */
+  private[graft] def nullTrendOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val daily = ev
+      .select(
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"),
+        when($"props".isNull, 1L).otherwise(0L).as("isnull"))
+      .groupBy($"x")
+      .agg(count(lit(1)).as("t"), sum($"isnull").as("y"))
+    daily.agg(
+        count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"t").as("rows_total"))
+      .select($"n".as("n_days"), $"rows_total", $"sy".as("null_total"),
+        ($"n" * $"sxy" - $"sx" * $"sy").as("slope_num"),
+        ($"n" * $"sxx" - $"sx" * $"sx").as("slope_den"))
+      .select($"n_days", $"rows_total", $"null_total", $"slope_num",
+        $"slope_den",
+        when($"slope_den" =!= 0L,
+          $"slope_num".cast("double") / $"slope_den".cast("double"))
+          .otherwise(lit(0.0)).as("slope"),
+        ($"slope_num" > 0L).as("rising"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_null_trend" -> dqNullTrend,
     "dq_skew_report" -> dqSkewReport,
     "dq_cusum_changepoint" -> dqCusumChangepoint,
     "dq_quantile_sketch" -> dqQuantileSketch,
@@ -745,6 +793,27 @@ object QualityQueries {
       FROM c CROSS JOIN t GROUP BY 1, 2, 3)"""
 
   val oracles: Map[String, String] = Map(
+    "dq_null_trend" -> """
+      WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+          CAST(COUNT(*) AS BIGINT) AS t,
+          CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1),
+      ag AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+          CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+          CAST(SUM(x * x) AS BIGINT) AS sxx,
+          CAST(SUM(t) AS BIGINT) AS rows_total
+        FROM daily)
+      SELECT n AS n_days, rows_total, sy AS null_total,
+        CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        CASE WHEN n * sxx - sx * sx <> 0
+          THEN CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE)
+          ELSE CAST(0 AS DOUBLE) END AS slope,
+        n * sxy - sx * sy > 0 AS rising
+      FROM ag""",
     "dq_skew_report" -> (Seq(
       skewSql("lineitem", "l_partkey", "lineitem.l_partkey"),
       skewSql("lineitem", "l_suppkey", "lineitem.l_suppkey"),

@@ -293,6 +293,29 @@ class SchemaSpec extends SparkSpec {
     assert(u.getAs[Double]("skew_factor") == 1.0)
   }
 
+  test("null trend: planted rising null series gives exact slope 1, flat gives 0") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+        + day * 86400000L + i * 1000L)
+    // day d carries d null rows (+ 5 non-null) → per-day y = 0,1,2 → the
+    // least-squares slope is exactly 1 null/day (num=den=6)
+    val rising = (0 to 2).flatMap { d =>
+      (1 to 5).map(i => (ts(d, i), "v")) ++
+        (1 to d).map(i => (ts(d, 100 + i), null: String))
+    }
+    val r = graft.queries.QualityQueries
+      .nullTrendOf(rising.toDF("ts", "props")).head()
+    assert(r.getAs[Long]("n_days") == 3 && r.getAs[Long]("null_total") == 3)
+    assert(r.getAs[Long]("slope_num") == 6 && r.getAs[Long]("slope_den") == 6)
+    assert(r.getAs[Double]("slope") == 1.0 && r.getAs[Boolean]("rising"))
+    val flat = (0 to 2).flatMap(d => (1 to 4).map(i => (ts(d, i), "v")))
+    val f = graft.queries.QualityQueries
+      .nullTrendOf(flat.toDF("ts", "props")).head()
+    assert(f.getAs[Long]("slope_num") == 0 && !f.getAs[Boolean]("rising"))
+    assert(f.getAs[Double]("slope") == 0.0)
+  }
+
   test("CUSUM: planted level shift localized at the shift point") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

@@ -220,6 +220,22 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(corpus.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("RAKE: degree/frequency hand-computed; long-phrase words outrank loners") {
+    val s = spark
+    import s.implicits._
+    // doc: "x y the x" → phrases [x y] (len 2), [x] (len 1)
+    // x: freq 2, deg 2+1=3, score 1.5; y: freq 1, deg 2, score 2.0
+    val docs = Seq((1L, "x y the x", "s")).toDF("doc_id", "text", "source")
+    val got = CorpusFilters.rakeKeywordsOf(docs, topN = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, "y", 1L, 2L, 2.0),
+      (2L, "x", 2L, 3L, 1.5)))
+    // stopwords never appear as keywords
+    assert(!got.exists(r => CorpusFilters.RakeStops.contains(r._2)))
+  }
+
   test("ngram coverage: hand-counted types, single-token docs yield no bigrams") {
     val s = spark
     import s.implicits._

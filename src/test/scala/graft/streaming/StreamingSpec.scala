@@ -648,6 +648,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental key-count state: folded counts exact; skew audit == batch") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-skew")
+    val folded = work.resolve("folded").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    (0 until 3).foreach { i =>
+      StreamingCuration.mergeKeyCountState(spark, folded,
+        docs.filter(pmod($"doc_id", lit(3)) === i), "source")
+    }
+    val stateCounts = spark.read.parquet(s"$folded/key_counts_source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = docs.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stateCounts == want, "folded per-key counts must be exact")
+    val fromState = StreamingCuration.skewFromState(spark, folded, "source")
+      .collect().map(_.toSeq.drop(1)) // drop the label column
+    val batch = graft.queries.QualityQueries
+      .keySkew(docs, "source", "stream.source")
+      .collect().map(_.toSeq.drop(1))
+    assert(fromState.toSeq == batch.toSeq,
+      "state skew audit must equal the batch audit")
+  }
+
   test("incremental quantile-sketch state: folded == one-shot; estimates bracket exact ranks") {
     import spark.implicits._
     import graft.examples.StreamingCuration
