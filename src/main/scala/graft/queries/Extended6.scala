@@ -241,7 +241,57 @@ object Extended6 {
       .orderBy("rk")
   }
 
+  /** Fixed offset that turns the non-negative event `value` into a
+    * signed per-event delta (cents): debits below, credits above.
+    */
+  val BalanceOffsetCents = 24500L
+
+  /** Floor-at-zero running balance per user — the inventory/credit
+    * pattern ("a balance can't go negative") whose DEFINITION is a
+    * non-associative recurrence balance_k = max(0, balance_{k−1} + δ_k)
+    * that no built-in window aggregate computes directly. It IS
+    * declarative via the prefix identity
+    * `balance_k = prefix_k − min(0, min_{j≤k} prefix_j)` (two windowed
+    * passes over the same per-user ordering — one Exchange), which this
+    * plan uses; the DuckDB oracle replays the DEFINITIONAL recurrence
+    * with a recursive CTE, so the hash match is a cross-engine proof of
+    * the identity. All integer cents ⇒ exact.
+    *
+    * Output per user: final balance, peak balance, and how many events
+    * touched zero (clamps) — a skew-free per-entity windowed plan.
+    */
+  def q75CappedBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cappedBalanceOf(t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id",
+        (floor($"value" * 100.0 + 0.5).cast("long") - BalanceOffsetCents)
+          .as("delta")))
+  }
+
+  /** Balance kernel over any (user_id, ts, event_id, delta) frame. */
+  private[queries] def cappedBalanceOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = ev
+      .withColumn("prefix", sum($"delta").over(wOrd))
+      .withColumn("runmin", least(lit(0L), min($"prefix").over(wOrd)))
+      .withColumn("balance", $"prefix" - $"runmin")
+    scored.groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max($"balance").as("peak_balance"),
+        sum(when($"balance" === 0L, 1L).otherwise(0L)).as("n_zero_touches"),
+        // the final balance is the last row's: max by (ts, event_id)
+        max_by($"balance", struct($"ts", $"event_id")).as("final_balance"))
+      .select($"user_id", $"n_events", $"final_balance", $"peak_balance",
+        $"n_zero_touches")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_capped_balance" -> q75CappedBalance,
     "q70_cohort_retention" -> q70CohortRetention,
     "q71_rfm" -> q71Rfm,
     "q72_scd2" -> q72Scd2,
@@ -249,6 +299,28 @@ object Extended6 {
     "q74_basket_lift" -> q74BasketLift)
 
   val oracles: Map[String, String] = Map(
+    // the DEFINITIONAL recurrence balance_k = max(0, balance_{k-1} + d)
+    // replayed step-by-step — independent of the Spark plan's prefix
+    // identity, so the hash match proves the identity cross-engine
+    "q75_capped_balance" -> s"""
+      WITH RECURSIVE e AS (
+        SELECT user_id, ts, event_id,
+          CAST(floor(value * 100.0 + 0.5) AS BIGINT) - $BalanceOffsetCents
+            AS delta,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS rn
+        FROM events),
+      st(user_id, rn, bal) AS (
+        SELECT user_id, rn, GREATEST(0, delta) FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, GREATEST(0, st.bal + e.delta)
+        FROM st JOIN e ON e.user_id = st.user_id AND e.rn = st.rn + 1)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(arg_max(bal, rn) AS BIGINT) AS final_balance,
+        CAST(MAX(bal) AS BIGINT) AS peak_balance,
+        CAST(SUM(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_zero_touches
+      FROM st GROUP BY user_id ORDER BY user_id""",
     "q74_basket_lift" -> s"""
       WITH op AS (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

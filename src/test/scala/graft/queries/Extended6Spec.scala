@@ -120,6 +120,32 @@ class Extended6Spec extends SparkSpec {
     assert(math.abs(far9.getAs[Double]("score")) < 1e-12)
   }
 
+  test("capped balance: prefix identity == naive recurrence on random series") {
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 20L).flatMap { u =>
+      (1 to 30).map(i => (u, new java.sql.Timestamp(base + i * 60000L),
+        u * 1000L + i, rnd.nextLong(21) - 10))
+    }
+    val got = Extended6.cappedBalanceOf(
+        rows.toDF("user_id", "ts", "event_id", "delta"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // naive per-user recurrence: balance = max(0, balance + delta)
+    val want = rows.groupBy(_._1).map { case (u, rs) =>
+      val bs = rs.sortBy(r => (r._2.getTime, r._3))
+        .scanLeft(0L) { case (b, r) => math.max(0L, b + r._4) }.tail
+      u -> ((bs.length.toLong, bs.last, bs.max,
+        bs.count(_ == 0L).toLong))
+    }
+    assert(got == want)
+    // sanity: clamps actually occurred somewhere in the fixture
+    assert(want.values.exists(_._4 > 0), "fixture never clamps")
+  }
+
   test("basket lift: planted affinity ranks above independence, singles excluded") {
     val s = spark
     import s.implicits._

@@ -62,6 +62,33 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("ReadFormat PERMISSIVE mode captures malformed jsonl rows instead of failing") {
+    import graft.components.ReadFormat
+    val dir = java.nio.file.Files.createTempDirectory("badjson")
+    java.nio.file.Files.writeString(dir.resolve("data.jsonl"),
+      """{"id": 1, "v": "ok"}
+        |{"id": not-json at all
+        |{"id": 3, "v": "fine"}
+        |""".stripMargin)
+    val r = ReadFormat.fromConfig(Map(
+      "format" -> "json", "path" -> dir.toString,
+      "output_view" -> "bad_json",
+      "options" -> Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt"),
+      "schema" -> "id LONG, v STRING, _corrupt STRING"))
+      .asInstanceOf[graft.core.component.DataFlow]
+    r.setSparkSession(spark); r.run()
+    val rows = spark.table("bad_json").collect()
+    assert(rows.length == 3, "all three lines must surface")
+    val corrupt = rows.filter(!_.isNullAt(2))
+    assert(corrupt.length == 1 &&
+      corrupt.head.getString(2).contains("not-json"),
+      "the malformed line must land in the corrupt-record column")
+    assert(rows.filter(_.isNullAt(2)).map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L), "well-formed rows parse normally")
+  }
+
   test("UnimaxMix component: balanced selection with epoch replication through the runner") {
     import spark.implicits._
     // two sources: tiny (12 tokens capacity-bound) and large (share-bound)
