@@ -1456,7 +1456,37 @@ object Curation {
       .orderBy($"src_rank", $"source", $"doc_id")
   }
 
+  /** Cluster-quality telemetry for the coarse quantizer: per cluster
+    * the vector count, dominant label, and label purity (top-label
+    * share) — the health report an IVF/SemDeDup deployment watches to
+    * decide when the quantizer needs retraining (purity collapsing
+    * toward 1/|labels| means the partitioning no longer separates the
+    * data). Assignment is the same fused argmax-cosine kernel the
+    * semantic dedup family uses (md5-derived frozen centroids, so the
+    * DuckDB oracle replays assignment bit-exactly); the report is one
+    * (cluster, label) aggregation + a rank over the bounded cluster
+    * set. Integer counts ⇒ hash-exact; purity is one IEEE division.
+    */
+  def simClusterPurity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asg = assignClusters(s, dir).select($"vec_id", $"cluster")
+    val lc = asg
+      .join(t(s, dir, "embeddings").select($"vec_id", $"label"), "vec_id")
+      .groupBy($"cluster", $"label").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster").orderBy($"n".desc, $"label".asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
+    lc.withColumn("rk", row_number().over(w))
+      .withColumn("n_vecs", sum($"n").over(wAll))
+      .filter($"rk" === 1)
+      .select($"cluster", $"n_vecs", $"label".as("top_label"),
+        $"n".as("top_n"),
+        ($"n".cast("double") / $"n_vecs".cast("double")).as("purity"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cluster_purity" -> simClusterPurity,
     "mix_curriculum" -> mixCurriculum,
     "ta_boilerplate" -> ((s, d) => taBoilerplate(s, d)),
     "ta_intradoc" -> ((s, d) => taIntradoc(s, d)),
@@ -1549,6 +1579,32 @@ object Curation {
         GROUP BY g.doc_id)"""
 
   val oracles: Map[String, String] = Map(
+    "sim_cluster_purity" -> s"""
+      WITH cents AS (
+        SELECT k,
+          [CAST(strpos('0123456789abcdef', substr(md5('c' || k || '_' || j), 1, 1)) - 8.5 AS DOUBLE)
+           for j in range(1, 65)] AS cv
+        FROM (SELECT unnest(range($NumCentroids)) AS k)),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+            FROM embeddings),
+      assign AS (
+        SELECT vec_id, label, k AS cluster FROM (
+          SELECT e.vec_id, e.label, c.k,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${duckCosL("v", "cv")} DESC, c.k ASC) AS rk
+          FROM e CROSS JOIN cents c) WHERE rk = 1),
+      lc AS (
+        SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM assign GROUP BY 1, 2),
+      rk AS (
+        SELECT cluster, label, n,
+          ROW_NUMBER() OVER (PARTITION BY cluster
+            ORDER BY n DESC, label ASC) AS rk,
+          CAST(SUM(n) OVER (PARTITION BY cluster) AS BIGINT) AS n_vecs
+        FROM lc)
+      SELECT cluster, n_vecs, label AS top_label, n AS top_n,
+        CAST(n AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS purity
+      FROM rk WHERE rk = 1 ORDER BY cluster""",
     "ta_importance" -> s"""
       WITH $importanceScoreCte
       SELECT doc_id, n_tris, raw_score, mean_score

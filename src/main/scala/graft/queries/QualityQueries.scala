@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
@@ -741,7 +741,69 @@ object QualityQueries {
         ($"slope_num" > 0L).as("rising"))
   }
 
+  /** KMV sketch size. */
+  val KmvK = 64
+
+  /** Cross-table key-overlap profiling WITHOUT a join — the KMV
+    * (k-minimum-values) sketch (Bar-Yossef et al. 2002; the Theta/
+    * DataSketches family): each side keeps only the k smallest md5
+    * values of its distinct keys, distinct-count estimates come from
+    * the kth minimum ((k−1)/kth as a fraction of hash space), and the
+    * overlap estimate intersects the two sketches inside the union's
+    * k-minimum set. Here: which customers appear in the event stream
+    * (identity coverage across datasets — the events side is a strict
+    * subset, so the overlap is genuinely partial)? Exact counterparts
+    * are emitted alongside at bench scale — at 100 TB only the
+    * sketches are computable, and each side costs one scan + a
+    * k-row TakeOrdered (per-partition heaps, no global sort, no join).
+    * md5 makes every estimate deterministic ⇒ full cross-engine oracle.
+    */
+  def dqKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def sketch(df: DataFrame, keyCol: String): DataFrame =
+      df.select(md5(concat(lit("kmv:"), col(keyCol).cast("string"))).as("h"))
+        .distinct().orderBy($"h").limit(KmvK)
+        .localCheckpoint(eager = true)
+    val events = t(s, dir, "events")
+    val customer = t(s, dir, "customer")
+    val a = sketch(events, "user_id")
+    val b = sketch(customer, "c_custkey")
+    val u = a.unionByName(b).distinct().orderBy($"h").limit(KmvK)
+      .localCheckpoint(eager = true)
+    def est(n: Column, kth: Column): Column =
+      when(n < KmvK, n.cast("double"))
+        .otherwise(lit((KmvK - 1L) * (1L << 48)).cast("double")
+          / conv(substring(kth, 1, 12), 16, 10).cast("long").cast("double"))
+    val sa = a.agg(count(lit(1)).as("n_ka"), max($"h").as("kth_a"))
+    val sb = b.agg(count(lit(1)).as("n_kb"), max($"h").as("kth_b"))
+    val inter = u.join(a, Seq("h"), "left_semi")
+      .join(b, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("n_inter_sk"))
+    val un = u.agg(count(lit(1)).as("n_u"))
+    val aK = events.select($"user_id".as("kk")).distinct()
+      .localCheckpoint(eager = true)
+    val bK = customer.select($"c_custkey".as("kk")).distinct()
+      .localCheckpoint(eager = true)
+    val exact = aK.agg(count(lit(1)).as("n_a_exact")).crossJoin(
+      bK.agg(count(lit(1)).as("n_b_exact"))).crossJoin(
+      aK.join(bK, Seq("kk"), "left_semi")
+        .agg(count(lit(1)).as("n_inter_exact"))).crossJoin(
+      aK.unionByName(bK).distinct()
+        .agg(count(lit(1)).as("n_union_exact")))
+    sa.crossJoin(sb).crossJoin(inter).crossJoin(un).crossJoin(exact)
+      .select(
+        lit(KmvK.toLong).as("k"),
+        $"n_a_exact", $"n_b_exact", $"n_inter_exact",
+        est($"n_ka", $"kth_a").as("est_a"),
+        est($"n_kb", $"kth_b").as("est_b"),
+        ($"n_inter_exact".cast("double") / $"n_union_exact".cast("double"))
+          .as("jaccard_exact"),
+        ($"n_inter_sk".cast("double") / $"n_u".cast("double"))
+          .as("jaccard_est"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_kmv_overlap" -> dqKmvOverlap,
     "dq_null_trend" -> dqNullTrend,
     "dq_skew_report" -> dqSkewReport,
     "dq_cusum_changepoint" -> dqCusumChangepoint,
@@ -792,7 +854,54 @@ object QualityQueries {
           THEN c.cnt ELSE 0 END) AS BIGINT) AS heavy_rows
       FROM c CROSS JOIN t GROUP BY 1, 2, 3)"""
 
+  /** First 12 md5-hex nibbles as a 48-bit integer (no conv() in
+    * DuckDB — replayed nibble-by-nibble, the CMS-cell precedent).
+    */
+  private def hex12(expr: String): String =
+    (0 until 12).map { i =>
+      val mult = 1L << (4 * (11 - i))
+      s"(strpos('0123456789abcdef', substr($expr, ${i + 1}, 1)) - 1) * ${mult}"
+    }.mkString("(", " + ", ")")
+
   val oracles: Map[String, String] = Map(
+    "dq_kmv_overlap" -> s"""
+      WITH a AS (
+        SELECT DISTINCT md5('kmv:' || user_id) AS h FROM events
+        ORDER BY h LIMIT $KmvK),
+      b AS (
+        SELECT DISTINCT md5('kmv:' || c_custkey) AS h FROM customer
+        ORDER BY h LIMIT $KmvK),
+      u AS (
+        SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+        ORDER BY h LIMIT $KmvK),
+      sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ka, MAX(h) AS kth_a FROM a),
+      sb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kb, MAX(h) AS kth_b FROM b),
+      si AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_inter_sk FROM u
+        WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+      su AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_u FROM u),
+      ak AS (SELECT DISTINCT user_id AS kk FROM events),
+      bk AS (SELECT DISTINCT c_custkey AS kk FROM customer),
+      ex AS (
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM ak) AS n_a_exact,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM bk) AS n_b_exact,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM ak
+           WHERE kk IN (SELECT kk FROM bk)) AS n_inter_exact,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT kk FROM ak UNION SELECT kk FROM bk)) AS n_union_exact)
+      SELECT CAST($KmvK AS BIGINT) AS k,
+        n_a_exact, n_b_exact, n_inter_exact,
+        CASE WHEN n_ka < $KmvK THEN CAST(n_ka AS DOUBLE)
+          ELSE CAST(${(KmvK - 1L) * (1L << 48)} AS DOUBLE)
+            / CAST(${hex12("kth_a")} AS DOUBLE) END AS est_a,
+        CASE WHEN n_kb < $KmvK THEN CAST(n_kb AS DOUBLE)
+          ELSE CAST(${(KmvK - 1L) * (1L << 48)} AS DOUBLE)
+            / CAST(${hex12("kth_b")} AS DOUBLE) END AS est_b,
+        CAST(n_inter_exact AS DOUBLE) / CAST(n_union_exact AS DOUBLE)
+          AS jaccard_exact,
+        CAST(n_inter_sk AS DOUBLE) / CAST(n_u AS DOUBLE) AS jaccard_est
+      FROM sa, sb, si, su, ex""",
     "dq_null_trend" -> """
       WITH daily AS (
         SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,

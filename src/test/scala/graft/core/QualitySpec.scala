@@ -293,6 +293,53 @@ class SchemaSpec extends SparkSpec {
     assert(u.getAs[Double]("skew_factor") == 1.0)
   }
 
+  test("KMV sketch: sub-k side exact, full side within theory, jaccard near truth") {
+    val r = graft.queries.QualityQueries.dqKmvOverlap(spark, sfDir).head()
+    val (nA, nB) = (r.getAs[Long]("n_a_exact"), r.getAs[Long]("n_b_exact"))
+    assert(nA == 15 && nB == 150) // sf0.001 fixture
+    // A has fewer distinct keys than k → its sketch IS the key set and
+    // the estimate must be exact, not estimated
+    assert(r.getAs[Double]("est_a") == nA.toDouble)
+    // B is k-saturated → relative error within ~3σ = 3/sqrt(k-2)
+    val relB = math.abs(r.getAs[Double]("est_b") - nB) / nB
+    assert(relB < 3.0 / math.sqrt(64 - 2), s"est_b off by $relB")
+    val jEx = r.getAs[Double]("jaccard_exact")
+    val jEst = r.getAs[Double]("jaccard_est")
+    assert(jEx == 0.1)
+    assert(math.abs(jEst - jEx) < 0.2, s"jaccard est $jEst vs $jEx")
+  }
+
+  test("cluster purity: totals conserve the corpus, purity consistent with counts") {
+    val rows = graft.ops.Curation.simClusterPurity(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == 500)
+    rows.foreach { r =>
+      val (n, top, p) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("top_n"),
+        r.getAs[Double]("purity"))
+      assert(top >= 1 && top <= n)
+      assert(p == top.toDouble / n)
+      assert(p > 0.0 && p <= 1.0)
+    }
+    // naive replay: per-cluster top label from the assignment itself
+    val asg = graft.ops.Curation.assignClusters(spark, sfDir)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = asg.groupBy(_._2).map { case (c, ms) =>
+      val byLabel = ms.keys.map(labels).groupBy(identity)
+        .map { case (l, xs) => (l, xs.size) }
+      val (topL, topN) = byLabel.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      c -> ((ms.size.toLong, topL, topN.toLong))
+    }
+    rows.foreach { r =>
+      val c = r.getAs[Long]("cluster")
+      assert(want(c) == ((r.getAs[Long]("n_vecs"),
+        r.getAs[Int]("top_label"), r.getAs[Long]("top_n"))),
+        s"cluster $c mismatch")
+    }
+  }
+
   test("null trend: planted rising null series gives exact slope 1, flat gives 0") {
     import spark.implicits._
     def ts(day: Int, i: Int) = new java.sql.Timestamp(
