@@ -77,6 +77,9 @@ object StreamingCuration {
       if (batch.columns.contains("source")) batch
       else batch.withColumn("source", lit("stream")),
       "source")
+    // 0e: KMV sketch state over arriving doc_ids — distinct-volume
+    // telemetry at k rows of state (kmvEstimateFromState)
+    mergeKmvState(spark, stateDir, batch, "doc_id")
 
     // 1–2: redact, gate
     val clean = qualityGate(
@@ -673,6 +676,45 @@ object StreamingCuration {
     graft.queries.QualityQueries.keySkewFromCounts(
       spark.read.parquet(s"$stateDir/key_counts_$keyCol"),
       s"stream.$keyCol")
+
+  /** Fold a batch's keys into the persistent KMV sketch state: the k
+    * smallest md5 values seen so far. k-min-of-union == min-merge of
+    * k-min sketches (order-free, duplicate-safe — md5 of a re-seen key
+    * is already in or above the sketch), so the folded state is
+    * EXACTLY the one-shot sketch over everything that ever arrived,
+    * and the distinct-count estimate inherits KMV's guarantee. State
+    * is ≤ k rows; per-batch cost is one distinct + TakeOrdered.
+    */
+  def mergeKmvState(spark: SparkSession, stateDir: String,
+      batch: DataFrame, keyCol: String): Unit = {
+    import spark.implicits._
+    val k = graft.queries.QualityQueries.KmvK
+    val dir = s"$stateDir/kmv_$keyCol"
+    val bs = batch
+      .select(md5(concat(lit("kmv:"), col(keyCol).cast("string"))).as("h"))
+      .distinct().orderBy($"h").limit(k)
+    val merged =
+      if (!new java.io.File(dir).exists()) bs
+      else spark.read.parquet(dir).unionByName(bs)
+        .distinct().orderBy($"h").limit(k)
+    val frozen = merged.localCheckpoint(eager = true)
+    frozen.coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Distinct-key estimate from the accumulated KMV state — exact
+    * below k distinct keys, (k−1)/kth-minimum above.
+    */
+  def kmvEstimateFromState(spark: SparkSession, stateDir: String,
+      keyCol: String): Double = {
+    import spark.implicits._
+    val k = graft.queries.QualityQueries.KmvK
+    val r = spark.read.parquet(s"$stateDir/kmv_$keyCol")
+      .agg(count(lit(1)), max($"h")).head()
+    val n = r.getLong(0)
+    if (n < k) n.toDouble
+    else ((k - 1L) * (1L << 48)).toDouble /
+      java.lang.Long.parseLong(r.getString(1).substring(0, 12), 16).toDouble
+  }
 
   /** Fold a batch into the persistent BM25 corpus-statistics state:
     * (token, df) per distinct token — vocabulary-sized, the same bound

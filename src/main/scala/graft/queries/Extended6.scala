@@ -290,7 +290,51 @@ object Extended6 {
       .orderBy("user_id")
   }
 
+  /** Peak interval concurrency per event_type — the classic sweep-line
+    * reduction: each event occupies [ts, ts + value seconds) and the
+    * question "how many run at once, and when does the peak occur?" is
+    * answered by exploding ±1 boundary points and taking the running
+    * sum's maximum. End-EXCLUSIVE: at an identical instant the −1
+    * processes before the +1 (ORDER BY t, d), so back-to-back
+    * intervals never double-count. All integer microseconds ⇒
+    * hash-exact; ties within an equal (t, d) group are sign-uniform,
+    * so the peak and its first instant are order-invariant.
+    *
+    * 100 TB shape: one scan → 2 rows per event into per-entity ordered
+    * windows (the sessionization bound; shard per (entity, day) at
+    * scale); the peak is one rank. No self-join over intervals — the
+    * O(n²) overlap-join formulation never appears.
+    */
+  def q76MaxConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    maxConcurrencyOf(t(s, dir, "events").select($"event_type",
+      unix_micros($"ts").as("s_us"),
+      (unix_micros($"ts") + floor($"value" * 1000000.0 + 0.5).cast("long"))
+        .as("e_us")))
+  }
+
+  /** Sweep kernel over any (event_type, s_us, e_us) interval frame. */
+  private[queries] def maxConcurrencyOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val pts = ev.select($"event_type", $"s_us".as("t"), lit(1L).as("d"))
+      .unionByName(ev.select($"event_type", $"e_us".as("t"), lit(-1L).as("d")))
+    val wOrd = Window.partitionBy($"event_type").orderBy($"t", $"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"event_type")
+    val cum = pts
+      .withColumn("c", sum($"d").over(wOrd))
+      .withColumn("n2", count(lit(1)).over(wAll))
+    val wPk = Window.partitionBy($"event_type").orderBy($"c".desc, $"t".asc)
+    cum.withColumn("rk", row_number().over(wPk))
+      .filter($"rk" === 1)
+      .select($"event_type", expr("n2 div 2").as("n_intervals"),
+        $"c".as("peak_concurrency"), $"t".as("peak_at_us"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_max_concurrency" -> q76MaxConcurrency,
     "q75_capped_balance" -> q75CappedBalance,
     "q70_cohort_retention" -> q70CohortRetention,
     "q71_rfm" -> q71Rfm,
@@ -299,6 +343,29 @@ object Extended6 {
     "q74_basket_lift" -> q74BasketLift)
 
   val oracles: Map[String, String] = Map(
+    "q76_max_concurrency" -> """
+      WITH ev AS (
+        SELECT event_type, epoch_us(ts) AS s_us,
+          epoch_us(ts) + CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)
+            AS e_us
+        FROM events),
+      pts AS (
+        SELECT event_type, s_us AS t, CAST(1 AS BIGINT) AS d FROM ev
+        UNION ALL
+        SELECT event_type, e_us, CAST(-1 AS BIGINT) FROM ev),
+      cum AS (
+        SELECT event_type, t, d,
+          SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+          COUNT(*) OVER (PARTITION BY event_type) AS n2
+        FROM pts),
+      rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY c DESC, t ASC) AS rk
+        FROM cum)
+      SELECT event_type, CAST(n2 // 2 AS BIGINT) AS n_intervals,
+        CAST(c AS BIGINT) AS peak_concurrency, CAST(t AS BIGINT) AS peak_at_us
+      FROM rk WHERE rk = 1 ORDER BY event_type""",
     // the DEFINITIONAL recurrence balance_k = max(0, balance_{k-1} + d)
     // replayed step-by-step — independent of the Spark plan's prefix
     // identity, so the hash match proves the identity cross-engine

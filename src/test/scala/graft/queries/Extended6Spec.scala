@@ -120,6 +120,23 @@ class Extended6Spec extends SparkSpec {
     assert(math.abs(far9.getAs[Double]("score")) < 1e-12)
   }
 
+  test("max concurrency: hand-computed peak; touching intervals never double-count") {
+    val s = spark
+    import s.implicits._
+    // type a: [0,10) [5,15) [8,20) → peak 3 at t=8; [20,25) starts
+    // exactly when [8,20) ends — end-exclusive, so concurrency at 20 is 1
+    val ev = Seq(
+      ("a", 0L, 10L), ("a", 5L, 15L), ("a", 8L, 20L), ("a", 20L, 25L),
+      ("b", 0L, 1L), ("b", 1L, 2L), ("b", 2L, 3L) // chain: peak 1
+    ).toDF("event_type", "s_us", "e_us")
+    val got = Extended6.maxConcurrencyOf(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got("a") == ((4L, 3L, 8L)), s"a: ${got("a")}")
+    assert(got("b") == ((3L, 1L, 0L)),
+      s"touching chain must peak at 1: ${got("b")}")
+  }
+
   test("capped balance: prefix identity == naive recurrence on random series") {
     val s = spark
     import s.implicits._

@@ -648,6 +648,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental KMV state: folded sketch == one-shot; estimate exact below k") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-kmv")
+    val folded = work.resolve("folded").toString
+    val oneShot = work.resolve("oneshot").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    (0 until 3).foreach { i =>
+      // overlapping slices: re-seen keys must not perturb the sketch
+      StreamingCuration.mergeKmvState(spark, folded,
+        docs.filter(pmod($"doc_id", lit(2)) === (i % 2)), "doc_id")
+    }
+    StreamingCuration.mergeKmvState(spark, oneShot, docs, "doc_id")
+    def sk(dir: String) = spark.read.parquet(s"$dir/kmv_doc_id")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(sk(folded) == sk(oneShot),
+      "k-min merge must equal the one-shot sketch exactly")
+    // 500 distinct ids >= k=64 → real estimate, within ~3 sigma
+    val est = StreamingCuration.kmvEstimateFromState(spark, folded, "doc_id")
+    assert(math.abs(est - 500.0) / 500.0 < 3.0 / math.sqrt(62),
+      s"estimate $est too far from 500")
+    // sub-k state: exact
+    val small = work.resolve("small").toString
+    StreamingCuration.mergeKmvState(spark, small,
+      docs.filter($"doc_id" < 10), "doc_id")
+    assert(StreamingCuration.kmvEstimateFromState(spark, small, "doc_id") == 10.0)
+  }
+
   test("incremental key-count state: folded counts exact; skew audit == batch") {
     import spark.implicits._
     import graft.examples.StreamingCuration
