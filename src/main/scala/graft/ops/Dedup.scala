@@ -376,6 +376,58 @@ object Dedup {
     } finally sets.unpersist()
   }
 
+  /** Similarity histogram for threshold TUNING: how many candidate
+    * pairs fall in each Jaccard tenth-band — the evidence a
+    * pipeline owner looks at before choosing the dedup threshold (a
+    * cliff between bands says thresholds inside the gap are stable; a
+    * smear says the corpus has no natural cut). Candidates come from
+    * the same df-capped inverted index as [[dedupNgramJaccard]]; the
+    * band is the INTEGER (10·inter) div union, so banding never
+    * touches a float boundary and both engines bin identically. The
+    * cumulative column n_cum is "pairs a threshold of band/10 would
+    * match". The window runs over ≤ 6 band rows.
+    */
+  def dedupJaccardHist(s: SparkSession, dir: String,
+      maxDocFreq: Int = NearDupMaxDocFreq): DataFrame = {
+    import s.implicits._
+    val sets = shingleSets(s, dir).cache()
+    try {
+      val sh = sets.select(col("doc_id"), explode(col("set")).as("sh"))
+      val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq)
+        .select(col("sh"))
+      val rare = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      val cand = rare.as("x").join(rare.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val iu = cand
+        .join(sets.as("pa"), col("a") === col("pa.doc_id"))
+        .join(sets.as("pb"), col("b") === col("pb.doc_id"))
+        .select(col("a"), col("b"), col("pa.set").as("sa"),
+          col("pb.set").as("sb"))
+        .as[(Long, Long, Array[Long], Array[Long])]
+        .map { case (_, _, sa, sb) =>
+          var i = 0; var j = 0; var inter = 0
+          while (i < sa.length && j < sb.length) {
+            if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+            else if (sa(i) < sb(j)) i += 1
+            else j += 1
+          }
+          (inter.toLong, (sa.length + sb.length - inter).toLong)
+        }
+        .toDF("i", "u")
+      val banded = iu.select(expr("(10 * i) div u").as("band"))
+        .groupBy($"band").agg(count(lit(1)).as("n_pairs"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"band".desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      banded.withColumn("n_cum", sum($"n_pairs").over(w))
+        .orderBy("band")
+        .localCheckpoint(eager = true)
+    } finally sets.unpersist()
+  }
+
   /** Default near-dup verify parameters — the SINGLE source of truth
     * for the Scala-side defaults AND the DuckDB oracle SQL (which
     * interpolates these at construction), so the registered query and
@@ -774,6 +826,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_jaccard_hist" -> ((s, d) => dedupJaccardHist(s, d)),
     "dedup_method_agreement" -> dedupMethodAgreement,
     "dedup_exact" -> dedupExact,
     "dedup_bloom_novel" -> dedupBloomNovel,
@@ -1029,6 +1082,40 @@ object Dedup {
     // side computes with iterative min-label propagation
     "dedup_components" -> componentsOracle,
     "dedup_components_alt" -> componentsOracle,
+    // candidate rule parameter-derived from the SAME Scala default
+    // (NearDupMaxDocFreq); intersections are over FULL shingle sets,
+    // candidates over the df-capped index — mirroring the Spark plan
+    "dedup_jaccard_hist" -> s"""
+      WITH $shingleCte,
+      dft AS (SELECT sh AS g, COUNT(*) AS df FROM sh GROUP BY sh),
+      rare AS (
+        SELECT s.doc_id, s.sh FROM sh s
+        JOIN dft ON dft.g = s.sh WHERE dft.df <= $NearDupMaxDocFreq),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM rare x JOIN rare y
+          ON x.sh = y.sh AND x.doc_id < y.doc_id),
+      cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM sh GROUP BY doc_id),
+      i2 AS (
+        SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.a
+        JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+        GROUP BY c.a, c.b),
+      bands AS (
+        SELECT (10 * i2.i) // (ca.n + cb.n - i2.i) AS band
+        FROM i2 JOIN cnt ca ON i2.a = ca.doc_id
+        JOIN cnt cb ON i2.b = cb.doc_id),
+      hist AS (
+        SELECT CAST(band AS BIGINT) AS band,
+          CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM bands GROUP BY band)
+      SELECT band, n_pairs,
+        CAST(SUM(n_pairs) OVER (ORDER BY band DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS n_cum
+      FROM hist ORDER BY band""",
     "dedup_method_agreement" -> s"""
       WITH RECURSIVE $componentsCteBody,
       comp AS (

@@ -16,6 +16,23 @@ class DedupSpec extends SparkSpec {
     assert(m(3L) == Seq("x x x")) // distinct collapses repeats
   }
 
+  test("jaccard histogram: valid bands, suffix-sum cumulative, >=0.8 mass == verify") {
+    val rows = Dedup.dedupJaccardHist(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, n, c) =>
+      assert(b >= 0 && b <= 10 && n >= 1 && c >= n)
+    }
+    val sorted = rows.sortBy(-_._1)
+    assert(sorted.map(_._2).scanLeft(0L)(_ + _).tail.toSeq ==
+      sorted.map(_._3).toSeq, "n_cum must be the suffix sum over bands")
+    // the histogram's >= 0.8 mass is exactly the pairs the registered
+    // exact-jaccard dedup finds at its 0.8 threshold
+    val cum08 = rows.filter(_._1 >= 8).map(_._2).sum
+    val ngram = Dedup.dedupNgramJaccard(spark, sfDir).count()
+    assert(cum08 == ngram, s"hist >=0.8 mass $cum08 != ngram pairs $ngram")
+  }
+
   test("method agreement: planted exact/near/unique docs produce the full Venn") {
     val textA = (1 to 30).map(i => s"alpha$i").mkString(" ")
     val textB = (1 to 30).map(i => s"beta$i").mkString(" ")
