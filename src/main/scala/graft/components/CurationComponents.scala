@@ -175,3 +175,32 @@ object PerSourceCap extends ComponentFactory {
       Cfg.str(c, "input_view"), Cfg.str(c, "output_view"),
       Cfg.intOr(c, "cap", graft.ops.Sampling.CapPerSource))
 }
+
+/** Frozen hashed-linear quality gate over a (doc_id, text, …) view
+  * ([[graft.ops.CorpusFilters.qualityClassifierOf]] — the
+  * fastText-style corpus filter): every document is scored by the
+  * broadcast fixed-width weight vector and rows with
+  * `quality_score > min_score` survive; the score and token count ride
+  * along as columns so downstream mixing/reporting stages can reuse
+  * them without re-scoring.
+  */
+final class QualityClassifierGate(
+    inputView: String, outputView: String, minScore: Long)
+  extends DataFlow {
+  val name = s"quality_classifier_gate($outputView)"
+  def run(): Unit = {
+    val docs = spark.table(inputView)
+    val scored = graft.ops.CorpusFilters.qualityClassifierOf(docs)
+      .select(col("doc_id"), col("score").as("quality_score"),
+        col("n_tokens").as("quality_n_tokens"))
+    docs.join(scored, Seq("doc_id"))
+      .filter(col("quality_score") > minScore)
+      .createOrReplaceTempView(outputView)
+  }
+}
+object QualityClassifierGate extends ComponentFactory {
+  def fromConfig(c: Map[String, Any]): PipelineComponent =
+    new QualityClassifierGate(
+      Cfg.str(c, "input_view"), Cfg.str(c, "output_view"),
+      Cfg.longOr(c, "min_score", 0L))
+}

@@ -327,7 +327,9 @@ class SchemaSpec extends SparkSpec {
       .select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val want = asg.groupBy(_._2).map { case (c, ms) =>
-      val byLabel = ms.keys.map(labels).groupBy(identity)
+      // keys is a SET — materialize to a Seq before mapping to labels,
+      // or the per-label counts collapse to 1
+      val byLabel = ms.keys.toSeq.map(labels).groupBy(identity)
         .map { case (l, xs) => (l, xs.size) }
       val (topL, topN) = byLabel.toSeq.sortBy { case (l, n) => (-n, l) }.head
       c -> ((ms.size.toLong, topL, topN.toLong))

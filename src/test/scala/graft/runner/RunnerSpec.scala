@@ -211,7 +211,7 @@ class LocalDemoSpec extends SparkSpec {
     assert(rows.head == "1,ALICE,alice@x.com,us-east")
   }
 
-  test("curation pipeline e2e: boilerplate -> familiarity -> importance -> filter -> budget -> cap -> parquet") {
+  test("curation pipeline e2e: boilerplate -> familiarity -> importance -> filter -> gate -> budget -> cap -> parquet") {
     val work = Files.createTempDirectory("graft-curation-e2e")
     val out = work.resolve("snapshot").toString
     val conf = Files.readString(java.nio.file.Path.of("examples/curation_pipeline.conf"))
@@ -225,7 +225,10 @@ class LocalDemoSpec extends SparkSpec {
     val snap = spark.read.parquet(out)
     assert(snap.columns.toSet ==
       Set("doc_id", "text", "source", "lang", "n_chars", "familiarity",
-        "importance"))
+        "importance", "quality_score", "quality_n_tokens"))
+    // the classifier gate scored every surviving row above its floor
+    assert(snap.filter(org.apache.spark.sql.functions.col("quality_score")
+      <= -100000L).count() == 0)
     val n = snap.count()
     assert(n > 0 && n < 500, s"budget cut must drop docs, kept $n")
     // the snapshot respects the per-source budget on CLEANED token counts
