@@ -295,6 +295,63 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Winnow-pair guards: fingerprints appearing in more documents than
+    * this carry no discrimination (boilerplate character runs) and are
+    * dropped before the pair fan-out; a pair must then share at least
+    * [[WinnowMinShared]] surviving fingerprints to be reported.
+    */
+  val WinnowMaxFpDf = 20
+  val WinnowMinShared = 10L
+
+  /** MOSS-style plagiarism candidates (Schleimer et al. 2003 §4 — the
+    * original application of winnowing): document pairs sharing ≥
+    * [[WinnowMinShared]] df-capped winnow fingerprints, scored by
+    * shared / min(|fpA|, |fpB|) (a containment-style score, so a short
+    * document lifted wholesale into a long one still scores ~1). The
+    * winnowing guarantee transfers: any shared substring of length ≥
+    * k + w − 1 contributes at least one shared fingerprint, so long
+    * verbatim overlaps cannot evade the report.
+    *
+    * 100 TB shape: the fingerprint pass is the compiled per-doc kernel
+    * (no per-gram rows until the explode of the ~2/(w+1)-density
+    * selection); the pair space is the df-capped inverted index — the
+    * same skew-guarded blocking as every near-dup family here, never
+    * all-pairs.
+    */
+  def dedupWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    winnowPairsOf(t(s, dir, "documents"))
+
+  /** Pair kernel over any (doc_id, text) frame. */
+  def winnowPairsOf(docs: DataFrame,
+      minShared: Long = WinnowMinShared): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val fps = docs.select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new Md5Memo()
+        it.map { case (id, text) => (id, winnowPortable(text, memo)) }
+      }
+      .toDF("doc_id", "f")
+      .localCheckpoint(eager = true) // feeds sizes + the inverted index
+    val cnt = fps.select($"doc_id", size($"f").cast("long").as("n"))
+    val fpx = fps.select($"doc_id", explode($"f").as("fp"))
+    val hot = fpx.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" > WinnowMaxFpDf).select($"fp")
+    val rare = fpx.join(broadcast(hot), Seq("fp"), "left_anti")
+    val pr = rare.as("x").join(rare.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+    pr.join(cnt.select($"doc_id".as("a"), $"n".as("n_a")), "a")
+      .join(cnt.select($"doc_id".as("b"), $"n".as("n_b")), "b")
+      .select($"a", $"b", $"n_shared", $"n_a", $"n_b",
+        ($"n_shared".cast("double") / least($"n_a", $"n_b").cast("double"))
+          .as("score"))
+      .orderBy("a", "b")
+  }
+
   // ---- PII redaction ----
 
   /** PII patterns in the Java∩RE2 common subset (ASCII classes, \b
@@ -986,7 +1043,8 @@ object TextAnalysis {
     "ta_fingerprint" -> taFingerprint,
     "ta_bpe_tokens" -> taBpeTokens,
     "ta_winnow" -> taWinnow,
-    "ta_winnow_portable" -> taWinnowPortable)
+    "ta_winnow_portable" -> taWinnowPortable,
+    "dedup_winnow_pairs" -> dedupWinnowPairs)
 
   private val enPat = "\\b(" + langProfiles.head._2.mkString("|") + ")\\b"
   private def hitsSql(pat: String) =
@@ -1269,6 +1327,35 @@ object TextAnalysis {
         CAST(len(regexp_extract_all(text, '${BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens
       FROM documents ORDER BY doc_id""",
+    "dedup_winnow_pairs" -> s"""
+      WITH norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+        FROM documents),
+      grams AS (
+        SELECT doc_id, [md5(s[i:i+7]) for i in range(1, len(s) - 8 + 2)] AS hs
+        FROM norm WHERE len(s) >= 8),
+      fps AS (
+        SELECT doc_id,
+          CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+               ELSE list_sort(list_distinct(
+                 [list_min(hs[i:i+3]) for i in range(1, len(hs) - 4 + 2)]))
+          END AS f
+        FROM grams),
+      fpx AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+      dfq AS (SELECT fp, COUNT(*) AS df FROM fpx GROUP BY fp),
+      rare AS (
+        SELECT x.doc_id, x.fp FROM fpx x
+        JOIN dfq ON dfq.fp = x.fp WHERE dfq.df <= $WinnowMaxFpDf),
+      cnt AS (SELECT doc_id, CAST(len(f) AS BIGINT) AS n FROM fps),
+      pr AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM rare x JOIN rare y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared)
+      SELECT pr.a, pr.b, pr.n_shared, ca.n AS n_a, cb.n AS n_b,
+        CAST(pr.n_shared AS DOUBLE) / CAST(LEAST(ca.n, cb.n) AS DOUBLE)
+          AS score
+      FROM pr JOIN cnt ca ON pr.a = ca.doc_id JOIN cnt cb ON pr.b = cb.doc_id
+      ORDER BY pr.a, pr.b""",
     "ta_winnow_portable" -> """
       WITH norm AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s

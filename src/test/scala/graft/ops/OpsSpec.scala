@@ -1060,6 +1060,32 @@ class TripletSpec extends SparkSpec {
   }
 }
 
+class WinnowPairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("winnow pairs: verbatim lift detected with high score; disjoint docs silent") {
+    // doc 2 lifts doc 1's entire text into a longer document; doc 3 is
+    // unrelated. The winnowing guarantee (shared substring >= k+w-1
+    // chars -> >=1 shared fingerprint) plus the containment-style score
+    // means the lifted pair scores high; the unrelated doc reports no
+    // pair at all.
+    val lifted = (1 to 40).map(i => s"liftme$i").mkString(" ")
+    val docs = Seq(
+      (1L, lifted),
+      (2L, "own prologue words here " + lifted + " and an epilogue tail"),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.winnowPairsOf(docs, minShared = 5L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"pairs: ${got.keySet}")
+    val (shared, na, nb, score) = got((1L, 2L))
+    assert(shared >= 5 && na <= nb)
+    assert(score > 0.8, s"wholesale lift must score near 1, got $score")
+    assert(score <= 1.0)
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
