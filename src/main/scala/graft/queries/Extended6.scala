@@ -333,7 +333,46 @@ object Extended6 {
       .orderBy("event_type")
   }
 
+  /** Hierarchical share-of-parent: each nation's revenue as a share of
+    * its region and of the grand total — the contribution view every
+    * rollup dashboard derives. Revenue accumulates through DECIMAL on
+    * both engines (order-independent — the q26/q40 rule), converts to
+    * double ONCE, and the shares are plain IEEE divisions of those
+    * doubles, so every ratio is hash-exact. The region/grand subtotals
+    * come from windows over the ~25-row aggregate, not a second scan.
+    */
+  def q77ShareOfParent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = org.apache.spark.sql.types.DecimalType(14, 2)
+    val f = org.apache.spark.sql.types.DecimalType(6, 4)
+    val dims = broadcast(
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey", $"n_name", $"r_name"))
+    val base = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(dims, $"o_custkey" === $"c_custkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum($"l_extendedprice".cast(m) * (lit(1.0) - $"l_discount").cast(f))
+        .as("rev_d"))
+    val wr = Window.partitionBy($"r_name")
+    val wg = Window.partitionBy()
+    base
+      .withColumn("region_d", sum($"rev_d").over(wr))
+      .withColumn("grand_d", sum($"rev_d").over(wg))
+      .select($"r_name", $"n_name",
+        $"rev_d".cast("double").as("revenue"),
+        $"region_d".cast("double").as("region_revenue"),
+        ($"rev_d".cast("double") / $"region_d".cast("double"))
+          .as("share_of_region"),
+        ($"rev_d".cast("double") / $"grand_d".cast("double"))
+          .as("share_of_total"))
+      .orderBy("r_name", "n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_share_of_parent" -> q77ShareOfParent,
     "q76_max_concurrency" -> q76MaxConcurrency,
     "q75_capped_balance" -> q75CappedBalance,
     "q70_cohort_retention" -> q70CohortRetention,
@@ -343,6 +382,28 @@ object Extended6 {
     "q74_basket_lift" -> q74BasketLift)
 
   val oracles: Map[String, String] = Map(
+    "q77_share_of_parent" -> """
+      WITH b AS (
+        SELECT r_name, n_name,
+          SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+            * CAST(1.0 - l_discount AS DECIMAL(6,4))) AS rev_d
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name),
+      w AS (
+        SELECT r_name, n_name,
+          CAST(CAST(rev_d AS VARCHAR) AS DOUBLE) AS revenue,
+          CAST(CAST(SUM(rev_d) OVER (PARTITION BY r_name) AS VARCHAR)
+            AS DOUBLE) AS region_revenue,
+          CAST(CAST(SUM(rev_d) OVER () AS VARCHAR) AS DOUBLE) AS grand
+        FROM b)
+      SELECT r_name, n_name, revenue, region_revenue,
+        revenue / region_revenue AS share_of_region,
+        revenue / grand AS share_of_total
+      FROM w ORDER BY r_name, n_name""",
     "q76_max_concurrency" -> """
       WITH ev AS (
         SELECT event_type, epoch_us(ts) AS s_us,

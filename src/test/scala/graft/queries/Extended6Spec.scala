@@ -120,6 +120,19 @@ class Extended6Spec extends SparkSpec {
     assert(math.abs(far9.getAs[Double]("score")) < 1e-12)
   }
 
+  test("share of parent: shares partition to 1 within each region and overall") {
+    val rows = Extended6.q77ShareOfParent(spark, sfDir).collect()
+    assert(rows.length == 25) // 5 regions x 5 nations
+    rows.groupBy(_.getString(0)).foreach { case (r, rs) =>
+      val s = rs.map(_.getAs[Double]("share_of_region")).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"region $r shares sum to $s")
+      // every nation's region_revenue agrees within the region
+      assert(rs.map(_.getAs[Double]("region_revenue")).distinct.length == 1)
+    }
+    val total = rows.map(_.getAs[Double]("share_of_total")).sum
+    assert(math.abs(total - 1.0) < 1e-9, s"grand shares sum to $total")
+  }
+
   test("max concurrency: hand-computed peak; touching intervals never double-count") {
     val s = spark
     import s.implicits._
