@@ -335,6 +335,46 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastExchange".r.findAllIn(p).size == 1,
       s"exactly the bounded query set broadcasts:\n$p")
   }
+
+  test("q74 basket lift: top-k is a heap, the rank window sees only k rows") {
+    val p = plan(Extended6.q74BasketLift(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps, not a global sort:\n$p")
+    // the single Window sits ABOVE the TakeOrdered (k rows), evidenced
+    // by the plan containing exactly one Window operator
+    assert("Window".r.findAllIn(p).size >= 1 && !p.contains("CartesianProduct"))
+  }
+
+  test("ta_rake_keywords: per-doc windows only, heap top-k") {
+    val p = plan(graft.ops.CorpusFilters.taRakeKeywords(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"RAKE top-k must be a heap:\n$p")
+  }
+
+  test("sample_hard_negatives: anchors broadcast, corpus scanned once") {
+    val df = graft.ops.Similarity.sampleHardNegatives(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the bounded anchor set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"hard negatives plan a cartesian:\n$p")
+    assert("FileScan|BatchScan".r.findAllIn(p).size <= 2,
+      s"corpus re-scanned:\n$p")
+  }
+
+  test("dq_cusum and q75/q76: one scan, per-entity windows, no joins of the fact table") {
+    for ((n, df) <- Seq(
+        "dq_cusum" -> QualityQueries.dqCusumChangepoint(spark, sfDir),
+        "q75" -> Extended6.q75CappedBalance(spark, sfDir),
+        "q76" -> Extended6.q76MaxConcurrency(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$n must be join-free:\n$p")
+      // q76 unions two projections of the same scan: two scans max
+      assert("FileScan|BatchScan".r.findAllIn(p).size <= 2,
+        s"$n re-scans its input:\n$p")
+    }
+  }
 }
 
 /** Tiny indirection so PlanSpec (package queries) can reach the ops
