@@ -352,6 +352,42 @@ object TextAnalysis {
       .orderBy("a", "b")
   }
 
+  /** Compression-ratio quality signal — the classic "is this document
+    * mostly repeated bytes" filter (low deflate ratio ⇒ templated or
+    * repetitive text; the signal DCLM/RefinedWeb-style pipelines use
+    * alongside the Gopher ratios). One compiled pass with a reused
+    * per-partition Deflater (fixed level ⇒ deterministic); rows-only by
+    * design — no SQL engine exposes zlib — with the discrimination
+    * property (repetitive ≪ diverse) pinned by spec. Output ratio =
+    * compressed/raw bytes, exact integers + one IEEE division.
+    */
+  def taCompressionRatio(s: SparkSession, dir: String): DataFrame =
+    compressionRatioOf(t(s, dir, "documents"))
+
+  def compressionRatioOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.BEST_COMPRESSION, false)
+          d.setInput(raw); d.finish()
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          d.end()
+          (id, raw.length.toLong, n)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_compressed")
+      .select($"doc_id", $"n_bytes", $"n_compressed",
+        ($"n_compressed".cast("double") /
+          greatest($"n_bytes", lit(1L)).cast("double")).as("ratio"))
+      .orderBy("doc_id")
+  }
+
   // ---- PII redaction ----
 
   /** PII patterns in the Java∩RE2 common subset (ASCII classes, \b
@@ -1044,7 +1080,10 @@ object TextAnalysis {
     "ta_bpe_tokens" -> taBpeTokens,
     "ta_winnow" -> taWinnow,
     "ta_winnow_portable" -> taWinnowPortable,
-    "dedup_winnow_pairs" -> dedupWinnowPairs)
+    "dedup_winnow_pairs" -> dedupWinnowPairs,
+    // rows-only by design: no SQL engine exposes zlib; discrimination
+    // property (repetitive << diverse) is spec-pinned
+    "ta_compression_ratio" -> taCompressionRatio)
 
   private val enPat = "\\b(" + langProfiles.head._2.mkString("|") + ")\\b"
   private def hitsSql(pat: String) =

@@ -1086,6 +1086,32 @@ class WinnowPairsSpec extends SparkSpec {
   }
 }
 
+class CompressionRatioSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compression ratio: repetitive text far below diverse; deterministic; sane bounds") {
+    val repetitive = "spam ham " * 200
+    val diverse = (1 to 400).map(i => s"w${i * 7919 % 99991}").mkString(" ")
+    val docs = Seq((1L, repetitive), (2L, diverse)).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatioOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val (rb, rc, rr) = got(1L)
+    val (db, dc, dr) = got(2L)
+    assert(rb == repetitive.length && db == diverse.length)
+    assert(rc > 0 && dc > 0)
+    assert(rr < 0.05, s"repetitive text must compress hard, ratio $rr")
+    assert(dr > 3 * rr, s"diverse ($dr) must compress far worse than repetitive ($rr)")
+    assert(rr > 0.0 && dr < 1.5) // deflate overhead can exceed 1 slightly
+    // deterministic across runs and partitionings
+    val again = TextAnalysis.compressionRatioOf(docs.repartition(3)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == got.view.mapValues(_._2).toMap)
+    // corpus smoke: every doc measured
+    assert(TextAnalysis.taCompressionRatio(spark, sfDir).count() == 500)
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
