@@ -193,7 +193,15 @@ final class QualityClassifierGate(
     val scored = graft.ops.CorpusFilters.qualityClassifierOf(docs)
       .select(col("doc_id"), col("score").as("quality_score"),
         col("n_tokens").as("quality_n_tokens"))
-    docs.join(scored, Seq("doc_id"))
+    // ADVICE r7: left-join, not inner — qualityClassifierOf emits no
+    // row for documents that tokenize to zero tokens (explode drops
+    // them), and an inner join would silently gate those out even under
+    // a keep-everything min_score. Unscored docs get score 0 / 0 tokens
+    // and face the same threshold as everything else.
+    docs.join(scored, Seq("doc_id"), "left")
+      .withColumn("quality_score", coalesce(col("quality_score"), lit(0L)))
+      .withColumn("quality_n_tokens",
+        coalesce(col("quality_n_tokens"), lit(0L)))
       .filter(col("quality_score") > minScore)
       .createOrReplaceTempView(outputView)
   }

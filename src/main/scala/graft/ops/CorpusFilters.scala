@@ -473,10 +473,16 @@ object CorpusFilters {
       sum(size($"tk")).cast("long").as("n_tokens"))
     val uni = tk.select($"source", explode($"tk").as("g"))
       .groupBy($"source").agg(countDistinct($"g").as("uni_types"))
+    // ADVICE r7: clamp the slice length at 0 — a zero-token document
+    // (empty/whitespace-only text) would otherwise pass length -1 and
+    // Spark throws at runtime; the DuckDB oracle's list comprehension
+    // just yields no bigrams, which greatest(size-1, 0) now matches
+    // (empty zip_with → explode drops the row).
+    val biLen = greatest(size($"tk") - 1, lit(0))
     val bi = tk
       .select($"source", explode(zip_with(
-        slice($"tk", lit(1), size($"tk") - 1),
-        slice($"tk", lit(2), size($"tk") - 1),
+        slice($"tk", lit(1), biLen),
+        slice($"tk", lit(2), biLen),
         (a, b) => concat(a, lit(" "), b))).as("g"))
       .groupBy($"source").agg(countDistinct($"g").as("bi_types"))
     ct.join(uni, "source").join(bi, "source")

@@ -392,6 +392,17 @@ object Sampling {
     * masses IS the leakage proof: the oracle re-derives components
     * independently, so a cluster split across folds would shift a
     * count and break the hash.
+    *
+    * ADVICE r7 — probabilistic caveat, stated explicitly: the Spark
+    * side derives edges from BANDED MinHash candidates while the
+    * oracle uses exact all-pairs Jaccard ≥ 0.8, so the hash-parity
+    * additionally certifies that the banding had ZERO false negatives
+    * on this corpus (P[miss] = (1-s^r)^b ≈ 2e-4 at s=0.8 with the
+    * configured 16 bands × 4 rows). On a new corpus a ≥0.8 pair that
+    * misses every band would split a cluster across folds and fail the
+    * hash — that is the check doing its job, not a bug; same standing
+    * assumption as `dedup_components`/`dedup_method_agreement`
+    * (documented in PARITY.md).
     */
   def sampleGroupSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -369,16 +369,24 @@ object TextAnalysis {
     import s.implicits._
     docs.select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
+        // ADVICE r7: ONE Deflater per partition, reset() per row — the
+        // native zlib stream allocation is the per-row cost worth
+        // hoisting (the doc comment always promised this).
         val buf = new Array[Byte](1 << 16)
-        it.map { case (id, text) =>
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.BEST_COMPRESSION, false)
+        val out = it.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val d = new java.util.zip.Deflater(
-            java.util.zip.Deflater.BEST_COMPRESSION, false)
+          d.reset()
           d.setInput(raw); d.finish()
           var n = 0L
           while (!d.finished()) n += d.deflate(buf)
-          d.end()
           (id, raw.length.toLong, n)
+        }
+        // release the native zlib stream once the partition is drained
+        new Iterator[(Long, Long, Long)] {
+          def hasNext: Boolean = { val h = out.hasNext; if (!h) d.end(); h }
+          def next(): (Long, Long, Long) = out.next()
         }
       }
       .toDF("doc_id", "n_bytes", "n_compressed")

@@ -250,4 +250,20 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(got("s1") == ((2L, 4L, 3L, 2L, 3.0 / 4)))
     assert(got("s2") == ((1L, 4L, 2L, 2L, 2.0 / 4)))
   }
+
+  test("ngram coverage: empty/whitespace-only docs don't crash (ADVICE r7)") {
+    val s = spark
+    import s.implicits._
+    // a zero-token doc used to pass slice length -1 and throw at runtime
+    val docs = Seq(
+      (1L, "", "s1"),
+      (2L, "   ", "s1"),
+      (3L, "a b", "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusFilters.ngramCoverageOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // 3 docs, 2 tokens total, uni {a,b}, one bigram "a b"
+    assert(got("s1") == ((3L, 2L, 2L, 1L)))
+  }
 }

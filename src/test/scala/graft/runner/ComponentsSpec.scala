@@ -123,6 +123,30 @@ class ComponentsSpec extends SparkSpec {
     assert(out.sorted.toSeq == want.sorted.toSeq)
   }
 
+  test("quality gate keeps zero-token docs under a keep-everything floor (ADVICE r7)") {
+    import spark.implicits._
+    // doc 2 tokenizes to zero tokens; the gate's left-join scores it 0
+    // instead of silently dropping it via the old inner join
+    Seq((1L, "real words here", "s"), (2L, "   ", "s"))
+      .toDF("doc_id", "text", "source").createOrReplaceTempView("qg_src")
+    val cfg = ConfigLoader.loadString("""
+      name = gate-demo
+      components = [
+        { name = gate, component_type = transformation
+          class_path = "graft.components.QualityClassifierGate"
+          config { input_view = qg_src, output_view = qg_out,
+            min_score = -100000 } }
+      ]
+    """)
+    val r = new SimplePipelineRunner(cfg, NoOpHooks, Some(spark)).run()
+    assert(r.status == PipelineStatus.Success)
+    val out = spark.table("qg_out")
+      .select($"doc_id", $"quality_score", $"quality_n_tokens")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted
+    assert(out.map(_._1).toSeq == Seq(1L, 2L), s"both docs survive: ${out.toSeq}")
+    assert(out(1) == ((2L, 0L, 0L)), "token-less doc scored 0/0")
+  }
+
   test("session wrapper: injected sessions are never stopped; connect gating") {
     val injected = new SessionWrapper(injected = Some(spark))
     assert(!injected.ownsSession)
