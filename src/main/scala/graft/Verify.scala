@@ -44,6 +44,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // enable data-derived frozen-literal oracles (PQ codebook) — the
+    // literals must come from the SAME sfDir the queries just ran on
+    graft.ops.Similarity.oracleContext = Some((spark, sfDir))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

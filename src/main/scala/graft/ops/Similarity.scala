@@ -292,6 +292,32 @@ object Similarity {
       .select($"label".as("cent_id"), $"cent")
   }
 
+  /** Oracle-deterministic coarse quantizer (r7 ask #3): the per-label
+    * mean computed as a vec_id-ORDERED left-to-right fold per
+    * coordinate, so DuckDB replays the exact IEEE add sequence
+    * (`list_sum(list(x ORDER BY vec_id)) / n`) and the whole IVF search
+    * becomes hash-exact cross-engine. [[centroids]] (the UDAF mean)
+    * keeps the 100 TB shape — one shuffle of (sum[64], count) buffers —
+    * but its partial-buffer merge order is not fixed, which perturbs
+    * last-bit coordinates (a recall knob, not a correctness issue) yet
+    * breaks bit-parity; the REGISTERED query pays one collect_list per
+    * label (group size = corpus/k, the documented oracle-mode trade)
+    * while the on-disk index path ([[writeIvfIndex]]) stays on the
+    * UDAF.
+    */
+  def centroidsExact(all: DataFrame): DataFrame = {
+    val s = all.sparkSession
+    import s.implicits._
+    all.select($"label", $"vec_id", asDouble($"embedding").as("e"))
+      .groupBy($"label")
+      .agg(sort_array(collect_list(struct($"vec_id", $"e"))).as("ves"))
+      .select($"label".as("cent_id"),
+        transform(
+          aggregate($"ves", array_repeat(lit(0.0), 64),
+            (acc, x) => zip_with(acc, x.getField("e"), (a, b) => a + b)),
+          v => v / size($"ves")).as("cent"))
+  }
+
   /** Distributed Lloyd's k-means over (vec_id, e) rows — the trainer
     * for a production coarse quantizer (IVF partitioning, SemDeDup
     * clustering). Deterministic init: the k lowest vec_ids. Each round
@@ -384,12 +410,14 @@ object Similarity {
     * brute-forces only those partitions (~nprobe/k of the corpus read).
     * With nprobe = #centroids the search is exhaustive and must equal
     * brute force EXACTLY — the recall knob's correctness anchor, pinned
-    * by spec.
+    * by spec. Uses [[centroidsExact]] (vec_id-ordered fold) so the
+    * whole search — centroid build, assignment, probe ranking, re-rank
+    * — replays bit-exactly in the DuckDB oracle.
     */
   def simIvfANN(s: SparkSession, dir: String, nprobe: Int = NProbe): DataFrame = {
     import s.implicits._
     val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
-    val cents = broadcast(centroids(emb(s, dir)))
+    val cents = broadcast(centroidsExact(emb(s, dir)))
     def nearest(n: Int, vecCol: String, idCol: String, df: DataFrame) = {
       val w = Window.partitionBy(col(idCol)).orderBy($"d".asc, $"cent_id".asc)
       df.crossJoin(cents)
@@ -664,9 +692,12 @@ object Similarity {
     * broadcasts (it IS a model artifact); the code table is the
     * resident index; the scan never shuffles — only
     * (query_id, cand_id, approx) scalars reach the top-C window, ids
-    * re-attach vectors for the re-rank exactly as SQ8/LSH do. Recall is
-    * data-dependent (codebook quality) → recall-bound spec, not a SQL
-    * oracle, like LSH/IVF.
+    * re-attach vectors for the re-rank exactly as SQ8/LSH do. Fully
+    * deterministic end-to-end (driver-side training is a pure function
+    * of the vec_id-ordered sample), so it carries a FULL oracle: the
+    * codebook re-derives at Verify time and interpolates into the SQL
+    * as literals ([[pqOracleSql]]); recall ≥ bound vs brute force is
+    * additionally spec-pinned.
     */
   def simPqANN(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1626,7 +1657,23 @@ object Similarity {
     s"(${dt(a, b)} / (sqrt(${dt(a, a)}) * sqrt(${dt(b, b)})))"
   }
 
-  val oracles: Map[String, String] = Map(
+  /** Set by [[graft.Verify]] (before dumping oracle_sql.json) to the
+    * live (session, sfDir) so oracles may interpolate data-derived
+    * FROZEN MODEL LITERALS — the PQ codebook trains driver-side as a
+    * deterministic pure function of the sample, so re-deriving it here
+    * reproduces the query's codebook bit-for-bit. Unset (sbt test,
+    * bench) → those entries are omitted and the driver records the
+    * rows-only check, exactly the pre-upgrade behavior.
+    */
+  @volatile var oracleContext: Option[(SparkSession, String)] = None
+
+  def oracles: Map[String, String] =
+    staticOracles ++
+      oracleContext.map { case (s, dir) =>
+        Map("sim_pq_ann" -> pqOracleSql(s, dir))
+      }.getOrElse(Map.empty)
+
+  private lazy val staticOracles: Map[String, String] = Map(
     "sample_hard_negatives" -> s"""
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
@@ -1895,7 +1942,49 @@ object Similarity {
         SELECT query_id, cand_id, cos,
           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
         FROM rer) WHERE rk <= $TopK
-      ORDER BY query_id, rk""")
+      ORDER BY query_id, rk""",
+    // IVF replays END-TO-END (r7 ask #3): the coarse quantizer is the
+    // vec_id-ordered per-coordinate fold (centroidsExact), so the
+    // centroid build, the nearest-centroid assignment, the nprobe probe
+    // ranking, and the exact re-rank are all the same IEEE op chains in
+    // both engines — no frozen literals needed.
+    "sim_ivf_ann" -> {
+      def dt(x: String, y: String) =
+        s"list_sum([$x[i] * $y[i] for i in range(1, 65)])"
+      def cosv(x: String, y: String) =
+        s"(${dt(x, y)} / (sqrt(${dt(x, x)}) * sqrt(${dt(y, y)})))"
+      s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      coords AS (
+        SELECT label, vec_id, i, v[i] AS x FROM e, UNNEST(range(1, 65)) AS u(i)),
+      csum AS (
+        SELECT label, i, list_sum(list(x ORDER BY vec_id)) / count(*) AS m
+        FROM coords GROUP BY label, i),
+      cent AS (
+        SELECT label AS cent_id, list(m ORDER BY i) AS c FROM csum GROUP BY label),
+      ranked_cents AS (
+        SELECT vec_id, v, cent_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY -(${cosv("v", "c")}) ASC, cent_id ASC) AS cr
+        FROM e CROSS JOIN cent),
+      asg AS (
+        SELECT vec_id AS cand_id, v AS cv, cent_id
+        FROM ranked_cents WHERE cr = 1),
+      probes AS (
+        SELECT vec_id AS query_id, v AS qv, cent_id
+        FROM ranked_cents WHERE vec_id < $NumQueries AND cr <= $NProbe),
+      scored AS (
+        SELECT p.query_id, a.cand_id, ${cosv("p.qv", "a.cv")} AS cos
+        FROM asg a JOIN probes p ON a.cent_id = p.cent_id
+        WHERE a.cand_id <> p.query_id),
+      rnk AS (
+        SELECT query_id, cand_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+        FROM scored)
+      SELECT query_id, rk, cand_id, cos FROM rnk WHERE rk <= $TopK
+      ORDER BY query_id, rk"""
+    })
 
   private lazy val embCosOracle = s"""
       SELECT x.vec_id AS a, y.vec_id AS b,
@@ -1903,7 +1992,81 @@ object Similarity {
       FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
       WHERE ${duckCos("x.embedding", "y.embedding")} >= 0.40
       ORDER BY a, b"""
-  // sim_lsh_ann / sim_ivf_ann / sim_pq_ann: data-dependent recall →
-  // rows-only check here; recall ≥ bound vs brute force asserted in
-  // SimilaritySpec.
+
+  /** PQ full oracle (r7 ask #3): the codebook is re-derived here by the
+    * SAME deterministic driver-side trainer the query uses (bounded
+    * sample in vec_id order, fixed Lloyd iterations, lowest-index
+    * tie-breaks — a pure function of the data), then interpolated into
+    * the SQL as double literals (`Double.toString` round-trips, and
+    * DuckDB's correctly-rounded parse recovers the identical bits). The
+    * SQL then replays unit-normalization, per-subspace encode
+    * (squared-L2 arg-min, strict-<-lowest-index), the ADC approx sum in
+    * subspace order, the top-[[PqCand]] pool, and the exact re-rank —
+    * every accumulation a left-to-right fold matching the Scala loops.
+    */
+  def pqOracleSql(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val sample = emb(s, dir)
+      .select($"vec_id", asDouble($"embedding").as("e"))
+      .as[(Long, Array[Double])]
+      .filter(_._1 < PqSampleIds).collect()
+      .sortBy(_._1).map(t => unitVec(t._2))
+    val books = pqTrain(sample)
+    def dl(x: Double): String = java.lang.Double.toString(x)
+    val bookRows = (for {
+      m <- 0 until PqM
+      k <- 0 until PqK
+    } yield s"($m, $k, [${books(m)(k).map(dl).mkString(", ")}])")
+      .mkString(", ")
+    def dt64(x: String, y: String) =
+      s"list_sum([$x[i] * $y[i] for i in range(1, 65)])"
+    s"""
+      WITH books AS (SELECT * FROM (VALUES $bookRows) b(m, k, c)),
+      e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      un AS (
+        SELECT vec_id,
+          [v[i] / sqrt(${dt64("v", "v")}) for i in range(1, 65)] AS u
+        FROM e),
+      dists AS (
+        SELECT un.vec_id, b.m, b.k,
+          list_sum([(un.u[b.m * 8 + i] - b.c[i]) * (un.u[b.m * 8 + i] - b.c[i])
+                    for i in range(1, 9)]) AS d
+        FROM un CROSS JOIN books b),
+      codes AS (
+        SELECT vec_id, m, k FROM (
+          SELECT vec_id, m, k,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS cr
+          FROM dists) WHERE cr = 1),
+      terms AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.m,
+          list_sum([q.u[c.m * 8 + i] * b.c[i] for i in range(1, 9)]) AS t
+        FROM codes c
+        JOIN books b ON b.m = c.m AND b.k = c.k
+        CROSS JOIN un q
+        WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id),
+      approx AS (
+        SELECT query_id, cand_id, list_sum(list(t ORDER BY m)) AS a
+        FROM terms GROUP BY query_id, cand_id),
+      pool AS (
+        SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY a DESC, cand_id ASC) AS ark
+          FROM approx) WHERE ark <= $PqCand),
+      rer AS (
+        SELECT p.query_id, p.cand_id,
+          ${duckCos("qe.embedding", "ce.embedding")} AS cos
+        FROM pool p
+        JOIN embeddings qe ON qe.vec_id = p.query_id
+        JOIN embeddings ce ON ce.vec_id = p.cand_id)
+      SELECT query_id, rk, cand_id, cos FROM (
+        SELECT query_id, cand_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+        FROM rer) WHERE rk <= $TopK
+      ORDER BY query_id, rk"""
+  }
+  // sim_lsh_ann / sim_sq_ann / sim_ivf_ann replay fully in static SQL;
+  // sim_pq_ann needs the Verify-time oracleContext for its codebook
+  // literals (rows-only fallback when unset). Recall ≥ bound vs brute
+  // force additionally asserted in SimilaritySpec for all ANN tiers.
 }
