@@ -93,6 +93,9 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_BENCH_SF1").contains("1"))
       try ScaleSmoke.run(spark, sfDir)
       catch { case e: Throwable => System.err.println(s"[sf1] FAILED: $e") }
+    if (sys.env.get("SPARK_GRAFT_BENCH_SF3").contains("1"))
+      try ScaleSmoke.runSf3(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[sf3] FAILED: $e") }
     val streamSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_SECS", "8").toInt
     val streamRps: Long =
       if (streamSecs <= 0) 0L

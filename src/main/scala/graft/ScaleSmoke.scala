@@ -42,8 +42,19 @@ object ScaleSmoke {
     "sim_triangles", "dedup_method_agreement", "sample_group_split",
     "q74_basket_lift")
 
-  def ensureSf1(spark: SparkSession, srcDir: String): String = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sf1"
+  def ensureSf1(spark: SparkSession, srcDir: String): String =
+    ensureScaled(spark, srcDir, Reps, "graft_sf1")
+
+  /** sf3 materialization (VERDICT r7 ask #6): 30× sf0.1 — a second
+    * order of magnitude above the bench corpus, same replication
+    * construction as sf1.
+    */
+  def ensureSf3(spark: SparkSession, srcDir: String): String =
+    ensureScaled(spark, srcDir, 3 * Reps, "graft_sf3")
+
+  def ensureScaled(
+      spark: SparkSession, srcDir: String, reps: Int, name: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/$name"
     val done = new java.io.File(s"$out/_DONE")
     if (done.exists()) return out
     import spark.implicits._
@@ -51,7 +62,7 @@ object ScaleSmoke {
     def keyBase(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head.getLong(0) + 1L
     def replicate(n: String)(f: (DataFrame, Int) => DataFrame): Unit =
-      (0 until Reps).map(i => f(tbl(n), i)).reduce(_ unionByName _)
+      (0 until reps).map(i => f(tbl(n), i)).reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$n.parquet")
     Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
       tbl(n).write.mode("overwrite").parquet(s"$out/$n.parquet")
@@ -93,5 +104,43 @@ object ScaleSmoke {
       val secs = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[sf1] $name%-24s $secs%.1f s")
     }
+  }
+
+  /** sf3 probe of the top-3 heavies (VERDICT r7 ask #6): a single
+    * completion sweep at 30× sf0.1 pushing the scale evidence a second
+    * order of magnitude. Gated by SPARK_GRAFT_BENCH_SF3=1 (never set by
+    * the driver); stderr-only like [[run]]; results recorded as a table
+    * in NOTES.md.
+    */
+  val Sf3Queries: Seq[String] =
+    Seq("sim_triangles", "dedup_components_alt", "dedup_minhash_lsh")
+
+  def runSf3(spark: SparkSession, srcDir: String): Unit = {
+    val dir = ensureSf3(spark, srcDir)
+    Sf3Queries.foreach { name =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[sf3] $name%-24s $secs%.1f s")
+    }
+  }
+
+  /** Standalone entry so the sf1/sf3 sweeps can run without the full
+    * bench: `sbt "runMain graft.ScaleSmoke sf3"` (or `sf1`).
+    */
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.contains("sf3")) runSf3(spark, src) else run(spark, src)
+    spark.stop()
   }
 }

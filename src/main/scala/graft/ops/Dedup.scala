@@ -469,6 +469,34 @@ object Dedup {
       minShared, maxDistFrac, maxDocFreq)
   }
 
+  /** Blocking-stage candidates for [[dedupEditDistanceOf]]: pairs
+    * sharing ≥ `minShared` sub-df-cap shingles. The df cap (the
+    * dedupNgramJaccard guard): a stop-shingle in a million docs would
+    * alone contribute 10^12 candidate pairs — drop shingles above the
+    * document-frequency cap via a broadcast anti-join BEFORE pairing.
+    * The cap is part of the operator's definition (pairs must share
+    * >= minShared RARE shingles), so the oracle replays it identically
+    * and the result stays hash-exact. Exposed separately so the
+    * pair-mass certificate ([[graft.PairMass]], NOTES.md) can measure
+    * candidate growth vs verified-pair growth across scale factors.
+    */
+  def editCandidatesOf(
+      docs: DataFrame, minShared: Long = EditMinShared,
+      maxDocFreq: Int = NearDupMaxDocFreq): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sh = shingledOf(docs)
+    val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDocFreq).select($"sh")
+    val rare = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    rare.as("x").join(rare.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+      .select($"a", $"b")
+  }
+
   /** [[dedupEditDistance]] over an arbitrary (doc_id, text) frame — the
     * form the ScalaCheck kernel property drives with generated corpora.
     */
@@ -478,22 +506,7 @@ object Dedup {
       maxDocFreq: Int = NearDupMaxDocFreq): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val sh = shingledOf(docs)
-    // df cap (the dedupNgramJaccard guard): a stop-shingle in a million
-    // docs would alone contribute 10^12 candidate pairs — drop shingles
-    // above the document-frequency cap via a broadcast anti-join BEFORE
-    // pairing. The cap is part of the operator's definition (pairs must
-    // share >= minShared RARE shingles), so the oracle replays it
-    // identically and the result stays hash-exact.
-    val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .filter($"df" > maxDocFreq).select($"sh")
-    val rare = sh.join(broadcast(hot), Seq("sh"), "left_anti")
-    val cand = rare.as("x").join(rare.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter($"n_shared" >= minShared)
-      .select($"a", $"b")
+    val cand = editCandidatesOf(docs, minShared, maxDocFreq)
     // two semantics-preserving cost cuts before/inside the quadratic DP
     // (neither can change the answer, so the oracle stays the plain
     // unbounded form):
@@ -564,17 +577,29 @@ object Dedup {
     import s.implicits._
     val sets = shingleSetsOf(docs.select($"doc_id", $"text")).cache()
     try {
-      val sh = sets.select($"doc_id", explode($"set").as("sh"))
-      val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-        .filter($"df" > maxDocFreq).select($"sh")
-      val rare = sh.join(broadcast(hot), Seq("sh"), "left_anti")
-      val cand = rare.as("x").join(rare.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
+      val cand = containmentCandidatesOf(sets, maxDocFreq)
       verifyContainmentSets(cand, sets, threshold).orderBy("a", "b")
         .localCheckpoint(eager = true)
     } finally sets.unpersist()
+  }
+
+  /** Blocking-stage candidates for [[dedupContainmentOf]] over a
+    * precomputed (doc_id, set) frame: pairs sharing ≥1 sub-df-cap
+    * shingle, distinct. Exposed for the pair-mass certificate
+    * ([[graft.PairMass]], NOTES.md).
+    */
+  def containmentCandidatesOf(
+      sets: DataFrame, maxDocFreq: Int = NearDupMaxDocFreq): DataFrame = {
+    val s = sets.sparkSession
+    import s.implicits._
+    val sh = sets.select($"doc_id", explode($"set").as("sh"))
+    val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDocFreq).select($"sh")
+    val rare = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    rare.as("x").join(rare.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
   }
 
   /** Exact containment verify over precomputed sorted sets: two-pointer

@@ -1520,14 +1520,22 @@ object Similarity {
     * (dw, w) orientation order) enumerate ordered wedges in a compiled
     * loop and probe a SORTED packed-long edge array by binary search —
     * one aggregation row per partition comes back, nothing else moves.
+    *
+    * Driver-memory bound (ADVICE r7 #5): the packed-long array is
+    * ≤ [[TriBroadcastMaxEdges]] × 8 B = 40 MB by the dispatcher's
+    * budget check — an explicit, documented driver allocation (the
+    * same size any broadcast model artifact would be; Spark broadcasts
+    * always originate at the driver, so a fully executor-side build
+    * buys nothing). The SORT runs inside Spark (range-partitioned
+    * orderBy) and the ordered collect just concatenates — the driver
+    * never sorts.
     */
   private def closeWedgesKernel(oriented: DataFrame): Long = {
     val s = oriented.sparkSession
     import s.implicits._
     val keys = oriented
-      .select((($"u" * (1L << 32)) + $"w").as("k")).as[Long]
-      .collect()
-    java.util.Arrays.sort(keys)
+      .select((($"u" * (1L << 32)) + $"w").as("k")).orderBy($"k")
+      .as[Long].collect()
     val bc = s.sparkContext.broadcast(keys)
     val counts = oriented.groupBy($"u")
       .agg(sort_array(collect_list(struct($"dw", $"w"))).as("ns"))
