@@ -548,7 +548,56 @@ object CorpusFilters {
 
   // ---- registry ----
 
+  /** Heaps-law vocabulary growth curve: the corpus is consumed in
+    * doc_id order and the distinct-token (vocabulary) count is reported
+    * at each decile of token mass — the diagnostic that separates a
+    * diverse corpus (vocab keeps climbing) from a templated/mirrored
+    * one (the curve flattens early). Complements [[ngramCoverageOf]]'s
+    * single end-point TTR with the whole trajectory.
+    *
+    * Determinism: a token's first-occurrence position is an integer
+    * (per-doc offset prefix-sum + in-doc position); decile boundaries
+    * are integer ceil-div of the total token mass; vocab counts are
+    * exact. One IEEE division per output row (ttr).
+    *
+    * 100 TB shape: the per-doc offset is the [[Packing]] distributed
+    * prefix-sum shape (a single-partition window over per-DOC counts
+    * here — one row per doc, not per token); first-occurrence is one
+    * min per token; the decile probe is a 10-row broadcast theta-join
+    * whose fan-out collapses map-side into 10 aggregation rows.
+    */
+  def taHeapsCurve(s: SparkSession, dir: String): DataFrame =
+    heapsCurveOf(t(s, dir, "documents"))
+
+  def heapsCurveOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tk = docs.select($"doc_id", posexplode(filter(
+        split(trim(lower($"text")), "\\s+"), x => length(x) > 0))
+      .as(Seq("pos", "w")))
+    val cnts = tk.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // feeds offsets + the total
+    val wDoc = Window.orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cnts.select($"doc_id",
+      coalesce(sum($"n").over(wDoc), lit(0L)).as("off"))
+    val firstOcc = tk.join(offs, "doc_id")
+      .select($"w", ($"off" + $"pos" + 1L).as("gpos"))
+      .groupBy($"w").agg(min($"gpos").as("f"))
+    val total = cnts.agg(coalesce(sum($"n"), lit(0L))).as[Long].head()
+    val dec = s.range(1, 11).toDF("decile")
+      .withColumn("tokens_seen",
+        floor((lit(total) * $"decile" + lit(9L)) / 10.0).cast("long"))
+    dec.join(firstOcc, $"f" <= $"tokens_seen")
+      .groupBy($"decile", $"tokens_seen")
+      .agg(count(lit(1)).as("vocab"))
+      .select($"decile", $"tokens_seen", $"vocab",
+        ($"vocab".cast("double") / $"tokens_seen".cast("double")).as("ttr"))
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_heaps_curve" -> taHeapsCurve,
     "ta_rake_keywords" -> taRakeKeywords,
     "ta_ngram_coverage" -> taNgramCoverage,
     "ta_quality_classifier" -> taQualityClassifier,
@@ -571,6 +620,34 @@ object CorpusFilters {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "ta_heaps_curve" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            x -> len(x) > 0) AS l
+        FROM documents),
+      tk AS (
+        SELECT doc_id, i AS pos, l[i] AS w
+        FROM toks, UNNEST(range(1, len(l) + 1)) AS u(i)),
+      cnts AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n FROM toks),
+      offs AS (
+        SELECT doc_id, COALESCE(SUM(n) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM cnts),
+      firstocc AS (
+        SELECT w, MIN(o.off + t.pos) AS f
+        FROM tk t JOIN offs o ON t.doc_id = o.doc_id
+        GROUP BY w),
+      tot AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n FROM cnts),
+      dec AS (
+        SELECT CAST(d AS BIGINT) AS decile,
+          CAST((tot.n * d + 9) // 10 AS BIGINT) AS tokens_seen
+        FROM tot, UNNEST(range(1, 11)) AS u(d))
+      SELECT decile, tokens_seen, CAST(COUNT(*) AS BIGINT) AS vocab,
+        CAST(COUNT(*) AS DOUBLE) / CAST(tokens_seen AS DOUBLE) AS ttr
+      FROM dec JOIN firstocc ON f <= tokens_seen
+      GROUP BY decile, tokens_seen
+      ORDER BY decile""",
     "ta_rake_keywords" -> s"""
       WITH ws0 AS (
         SELECT doc_id, list_filter(

@@ -1485,8 +1485,58 @@ object Curation {
       .orderBy("cluster")
   }
 
+  /** Learning rate for the multiplicative-weights mixing step. */
+  val MwuEta = 0.5
+
+  /** One multiplicative-weights domain-reweighting step — the
+    * DoReMi-shaped update (Xie et al. 2023): domains whose signal says
+    * "underweighted" gain mixture share, renormalized. DoReMi's signal
+    * is per-domain excess LOSS from a proxy model; the registered
+    * query derives a deterministic stand-in (each source's mean doc
+    * length vs the corpus mean — any per-doc metric plugs in via
+    * [[mixMwuStepOf]]) and applies the POLYNOMIAL update
+    * w' ∝ share·(1 + η·excess) rather than exp(η·excess): libm exp is
+    * not bit-identical across engines, while the polynomial form is
+    * plain IEEE arithmetic, so the whole step replays hash-exact.
+    *
+    * Determinism: integer (count, Σ) moments per source; spelled
+    * divisions; the renormalizer folds weights in source order.
+    *
+    * 100 TB shape: one scan → map-side-combinable per-source moments;
+    * the update itself runs on the bounded source table.
+    */
+  def mixMwuStep(s: SparkSession, dir: String): DataFrame =
+    mixMwuStepOf(t(s, dir, "documents"), MwuEta)
+
+  def mixMwuStepOf(docs: DataFrame, eta: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val st = docs.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n_chars").as("sx"))
+    val tot = st.agg(
+      coalesce(sum($"n_docs"), lit(0L)).as("nn"),
+      coalesce(sum($"sx"), lit(0L)).as("tx"))
+    val base = st.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs",
+        ($"n_docs".cast("double") / $"nn".cast("double")).as("share"),
+        ((($"sx".cast("double") / $"n_docs".cast("double")) -
+          ($"tx".cast("double") / $"nn".cast("double"))) /
+          ($"tx".cast("double") / $"nn".cast("double"))).as("excess"))
+      .withColumn("w_raw", $"share" * (lit(1.0) + lit(eta) * $"excess"))
+    val tw = base
+      .select(sort_array(collect_list(struct($"source", $"w_raw"))).as("l"))
+      .select(aggregate($"l", lit(0.0),
+        (acc, x) => acc + x.getField("w_raw")).as("tw"))
+    base.crossJoin(broadcast(tw))
+      .select($"source", $"n_docs", $"share", $"excess",
+        ($"w_raw" / $"tw").as("w_next"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cluster_purity" -> simClusterPurity,
+    "mix_mwu_step" -> ((s, d) => mixMwuStep(s, d)),
     "mix_curriculum" -> mixCurriculum,
     "ta_boilerplate" -> ((s, d) => taBoilerplate(s, d)),
     "ta_intradoc" -> ((s, d) => taIntradoc(s, d)),
@@ -1660,6 +1710,26 @@ object Curation {
       FROM tris t JOIN model m ON t.tri = m.tri
       GROUP BY t.doc_id
       ORDER BY t.doc_id""",
+    "mix_mwu_step" -> s"""
+      WITH st AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sx
+        FROM documents GROUP BY source),
+      tot AS (
+        SELECT CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) AS nn,
+          CAST(COALESCE(SUM(sx), 0) AS BIGINT) AS tx
+        FROM st),
+      base AS (
+        SELECT source, n_docs,
+          CAST(n_docs AS DOUBLE) / CAST(nn AS DOUBLE) AS share,
+          ((CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE)) -
+           (CAST(tx AS DOUBLE) / CAST(nn AS DOUBLE))) /
+           (CAST(tx AS DOUBLE) / CAST(nn AS DOUBLE)) AS excess
+        FROM st, tot),
+      w AS (SELECT *, share * (1.0 + $MwuEta * excess) AS w_raw FROM base),
+      tw AS (SELECT list_sum(list(w_raw ORDER BY source)) AS t FROM w)
+      SELECT source, n_docs, share, excess, w_raw / tw.t AS w_next
+      FROM w, tw ORDER BY source""",
     "mix_report" -> s"""
       WITH sized AS (
         SELECT source, doc_id, n_chars,

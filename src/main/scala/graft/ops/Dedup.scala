@@ -864,6 +864,7 @@ object Dedup {
     "dedup_simhash_portable" -> dedupSimhashPortable,
     "dedup_simhash_pairs_portable" -> dedupSimhashPairsPortable,
     "dedup_components" -> dedupComponents,
+    "dedup_cluster_sizes" -> dedupClusterSizes,
     "dedup_components_alt" -> dedupComponentsAlternating)
 
   /** DuckDB-side distinct (doc_id, shingle) pairs, mirroring
@@ -949,6 +950,32 @@ object Dedup {
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
     connectedComponents(dedupMinhashLsh(s, dir))
       .orderBy("doc_id")
+
+  /** Cluster-size histogram over the near-dup components — the
+    * dedup-planning summary: how many clusters of each size, how many
+    * docs they hold, and how many docs a keep-one-per-cluster pass
+    * would drop (`n_redundant` — the storage/compute savings
+    * estimate). Docs in no verified pair count as singletons via the
+    * usual coalesce(component_id, doc_id).
+    *
+    * 100 TB shape: components come from the banded-LSH pipeline; the
+    * doc join is a doc_id equi-join; both aggregations are map-side
+    * combinable and the final key space is the handful of distinct
+    * cluster sizes.
+    */
+  def dedupClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val comps = dedupComponents(s, dir).select($"doc_id", $"component_id")
+    t(s, dir, "documents").select($"doc_id")
+      .join(comps, Seq("doc_id"), "left")
+      .select(coalesce($"component_id", $"doc_id").as("comp"))
+      .groupBy($"comp").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz").agg(count(lit(1)).as("n_clusters"))
+      .select($"sz".as("cluster_size"), $"n_clusters",
+        ($"sz" * $"n_clusters").as("n_docs"),
+        (($"sz" - 1L) * $"n_clusters").as("n_redundant"))
+      .orderBy($"cluster_size")
+  }
 
   /** Alternating large-star/small-star connected components (the
     * MapReduce-era two-phase algorithm: Kiveris et al., "Connected
@@ -1106,6 +1133,21 @@ object Dedup {
     // per node via a recursive CTE — DuckDB's answer to what the Spark
     // side computes with iterative min-label propagation
     "dedup_components" -> componentsOracle,
+    // size histogram over the INDEPENDENTLY re-derived components
+    // (all-pairs jaccard + recursive CTE), singletons via left join
+    "dedup_cluster_sizes" -> s"""
+      WITH RECURSIVE $componentsCteBody,
+      comp AS (SELECT id AS doc_id, MIN(lbl) AS component_id
+               FROM reach GROUP BY id),
+      wc AS (
+        SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS comp
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+      sizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz
+                FROM wc GROUP BY comp)
+      SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        sz * CAST(COUNT(*) AS BIGINT) AS n_docs,
+        (sz - 1) * CAST(COUNT(*) AS BIGINT) AS n_redundant
+      FROM sizes GROUP BY sz ORDER BY sz""",
     "dedup_components_alt" -> componentsOracle,
     // candidate rule parameter-derived from the SAME Scala default
     // (NearDupMaxDocFreq); intersections are over FULL shingle sets,

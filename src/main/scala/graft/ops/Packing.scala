@@ -358,11 +358,63 @@ object Packing {
       .orderBy("bin_id", "pos")
   }
 
+  /** Length buckets for [[packBucketWaste]]: powers of two from the
+    * smallest practical batch window to the context cap. A doc longer
+    * than the cap is chunked into cap-sized windows (the last one
+    * padded) rather than assigned a bigger bucket.
+    */
+  val WasteBuckets: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L, 512L,
+    1024L, 2048L, 4096L)
+
+  /** Padding-waste report for length-bucketed batching — the
+    * answer to "what fraction of accelerator tokens would be pad?" per
+    * candidate window size. Every doc lands in the smallest power-of-2
+    * bucket ≥ its token count (cap-bucket docs chunk into
+    * ceil(n/cap) windows); per bucket: docs, windows, real tokens,
+    * padded slots, waste and waste fraction. Pure integer arithmetic
+    * plus one IEEE division per row ⇒ hash-exact cross-engine.
+    * Zero-token docs contribute no sequence and are excluded (same
+    * choice as the packers, replayed by the oracle).
+    *
+    * 100 TB shape: one scan → map-side-combinable aggregation on a
+    * 9-value key. Nothing else moves.
+    */
+  def packBucketWaste(s: SparkSession, dir: String): DataFrame =
+    packBucketWasteOf(t(s, dir, "documents"))
+
+  def packBucketWasteOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val cap = WasteBuckets.last
+    val n = graft.ops.TextAnalysis.tokenCount($"text")
+    val bucket = WasteBuckets.init.reverse
+      .foldLeft(lit(cap)) { (acc, b) => when(n <= b, lit(b)).otherwise(acc) }
+    docs
+      .select(n.as("n"), bucket.as("bucket"))
+      .filter($"n" > 0L)
+      // Column `/` is DOUBLE division — floor it back to the exact
+      // integer ceil-div (token counts ≪ 2^52, so the double is exact)
+      .withColumn("windows",
+        floor(($"n" + $"bucket" - 1L) / $"bucket").cast("long"))
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"windows").as("n_windows"),
+        sum($"n").as("n_tokens"),
+        sum($"windows" * $"bucket").as("n_padded"))
+      .select($"bucket", $"n_docs", $"n_windows", $"n_tokens", $"n_padded",
+        ($"n_padded" - $"n_tokens").as("waste"),
+        (($"n_padded" - $"n_tokens").cast("double") /
+          $"n_padded".cast("double")).as("waste_frac"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
     "pack_shards" -> ((s, d) => packShards(s, d)),
     "pack_bfd" -> ((s, d) => packBfd(s, d)),
     "pack_bfd_offsets" -> ((s, d) => packBfdOffsets(s, d)),
+    "pack_bucket_waste" -> ((s, d) => packBucketWaste(s, d)),
     "pack_chunks" -> packChunks)
 
   /** DuckDB token count, identical to TextAnalysis.tokenCount (parity
@@ -425,6 +477,27 @@ object Packing {
         JOIN items it ON it.doc_id = a.id)"""
 
   val oracles: Map[String, String] = Map(
+    "pack_bucket_waste" -> s"""
+      WITH $tokCte,
+      b AS (
+        SELECT n,
+          CASE ${Packing.WasteBuckets.init
+            .map(b => s"WHEN n <= $b THEN $b").mkString(" ")}
+            ELSE ${Packing.WasteBuckets.last} END AS bucket
+        FROM toks WHERE n > 0),
+      w AS (
+        SELECT n, bucket, CAST((n + bucket - 1) // bucket AS BIGINT) AS windows
+        FROM b),
+      agg AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(windows) AS BIGINT) AS n_windows,
+          CAST(SUM(n) AS BIGINT) AS n_tokens,
+          CAST(SUM(windows * bucket) AS BIGINT) AS n_padded
+        FROM w GROUP BY bucket)
+      SELECT bucket, n_docs, n_windows, n_tokens, n_padded,
+        n_padded - n_tokens AS waste,
+        CAST(n_padded - n_tokens AS DOUBLE) / CAST(n_padded AS DOUBLE) AS waste_frac
+      FROM agg ORDER BY bucket""",
     "pack_bfd" -> s"""$bfdCore
       SELECT doc_id, n_tokens, bin_id FROM asg ORDER BY doc_id""",
     "pack_bfd_offsets" -> s"""$bfdCore

@@ -422,7 +422,62 @@ object Sampling {
       .orderBy("fold")
   }
 
+  /** Total sample size for the registered Neyman-allocation query. */
+  val NeymanTarget = 1000L
+
+  /** Neyman (optimal) stratified allocation: given a target sample
+    * size, stratum h receives n_h ∝ N_h·S_h — more budget where the
+    * stratum is big AND internally variable (Neyman 1934; the standard
+    * survey-sampling result minimizing estimator variance at fixed n).
+    * Here strata = sources and the measured variable is doc length
+    * (n_chars); a real pipeline plugs in any per-doc quality metric.
+    * Fractional shares round by largest remainder (ties → source asc),
+    * so allocations are integers summing exactly to the target.
+    *
+    * Determinism: population stddev from exact integer (Σx, Σx²) in a
+    * SPELLED double op chain; the share normalizer folds the per-source
+    * weights in source order (bounded source set), so every IEEE op
+    * replays cross-engine. Largest-remainder ranking is total-ordered.
+    *
+    * 100 TB shape: one scan → map-side-combinable (count, Σx, Σx²) per
+    * source; everything after operates on the bounded source table.
+    */
+  def sampleNeyman(s: SparkSession, dir: String): DataFrame =
+    neymanOf(t(s, dir, "documents"), NeymanTarget)
+
+  def neymanOf(docs: DataFrame, target: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy($"frac".desc, $"source".asc)
+    val st = docs.groupBy($"source").agg(
+      count(lit(1)).as("n_pop"),
+      sum($"n_chars").as("sx"),
+      sum($"n_chars" * $"n_chars").as("sxx"))
+    val ws = st.select($"source", $"n_pop",
+      sqrt(($"sxx".cast("double") -
+        $"sx".cast("double") * $"sx".cast("double") / $"n_pop".cast("double"))
+        / $"n_pop".cast("double")).as("s_pop"))
+      .withColumn("wt", $"n_pop".cast("double") * $"s_pop")
+    val tw = ws.select(sort_array(collect_list(struct($"source", $"wt"))).as("l"))
+      .select(aggregate($"l", lit(0.0),
+        (acc, x) => acc + x.getField("wt")).as("tw"))
+    ws.crossJoin(broadcast(tw))
+      .withColumn("share", lit(target).cast("double") * $"wt" / $"tw")
+      .withColumn("base", floor($"share").cast("long"))
+      .withColumn("frac", $"share" - floor($"share"))
+      .withColumn("leftover",
+        lit(target) - sum($"base").over(
+          W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select($"source", $"n_pop", $"s_pop",
+        ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+          .as("allocation"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_neyman" -> ((s, d) => sampleNeyman(s, d)),
     "sample_group_split" -> sampleGroupSplit,
     "sample_kcenter" -> ((s, d) => sampleKCenter(s, d)),
     "sample_split" -> splitSummary,
@@ -432,6 +487,39 @@ object Sampling {
     "sample_cap_per_source" -> ((s, d) => capPerSourceSummary(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // exact-integer moments -> spelled IEEE stddev/share chain ->
+    // largest-remainder integer rounding; the weight normalizer folds
+    // in source order (list_sum(list(...)), the proven idiom)
+    "sample_neyman" -> s"""
+      WITH st AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pop,
+          CAST(SUM(n_chars) AS BIGINT) AS sx,
+          CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        FROM documents GROUP BY source),
+      ws AS (
+        SELECT source, n_pop,
+          sqrt((CAST(sxx AS DOUBLE) -
+            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_pop AS DOUBLE))
+            / CAST(n_pop AS DOUBLE)) AS s_pop
+        FROM st),
+      w2 AS (SELECT *, CAST(n_pop AS DOUBLE) * s_pop AS wt FROM ws),
+      tw AS (SELECT list_sum(list(wt ORDER BY source)) AS t FROM w2),
+      sh AS (
+        SELECT source, n_pop, s_pop,
+          CAST($NeymanTarget AS DOUBLE) * wt / tw.t AS share
+        FROM w2, tw),
+      b AS (
+        SELECT *, CAST(FLOOR(share) AS BIGINT) AS base,
+          share - FLOOR(share) AS frac
+        FROM sh),
+      lo AS (SELECT $NeymanTarget - SUM(base) AS l FROM b),
+      rk AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY frac DESC, source ASC) AS r
+        FROM b)
+      SELECT source, n_pop, s_pop,
+        CAST(base + CASE WHEN r <= lo.l THEN 1 ELSE 0 END AS BIGINT)
+          AS allocation
+      FROM rk, lo ORDER BY source""",
     // components re-derived INDEPENDENTLY (all-pairs jaccard + recursive
     // CTE), so matching per-fold masses proves no near-dup cluster
     // spans folds in the Spark plan either

@@ -442,6 +442,65 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** IVF recall curve — recall@[[TopK]] as a function of nprobe, the
+    * tuning artifact every IVF deployment derives before picking its
+    * probe budget (recall rises with nprobe, scan cost rises
+    * linearly; the knee is the operating point). Computed in ONE pass:
+    * each (query, candidate) pair carries the PROBE RANK of the
+    * candidate's centroid for that query, so "reachable at nprobe=p"
+    * is just `pr <= p` — the curve needs no per-p re-search, only a
+    * 10-way fan-out of the bounded pair set and one window per p.
+    * nprobe = k is exhaustive ⇒ equals brute force, so the truth set
+    * is internal and recall(k) = 1 by construction (spec-pinned).
+    * Deterministic end-to-end ([[centroidsExact]] + integer counts +
+    * one IEEE division) ⇒ full oracle.
+    *
+    * 100 TB shape: the pair set is queries × probed-partition
+    * contents (bounded query batch), the fan-out multiplies by the
+    * centroid count only, and each window ranks a per-(query,p) slice.
+    */
+  def simRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    val cents = broadcast(centroidsExact(emb(s, dir)))
+    val k = centroidsExact(emb(s, dir)).count()
+    val wv = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cent_id".asc)
+    val assigned = all.crossJoin(cents)
+      .select($"vec_id", $"e", $"cent_id", (-cosine($"e", $"cent")).as("d"))
+      .withColumn("cr", row_number().over(wv))
+      .filter($"cr" === 1)
+      .select($"vec_id".as("cand_id"), $"e", $"cent_id")
+    val wq = Window.partitionBy($"query_id").orderBy($"d".asc, $"cent_id".asc)
+    val probes = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"e".as("qe"))
+      .crossJoin(cents)
+      .select($"query_id", $"qe", $"cent_id",
+        (-cosine($"qe", $"cent")).as("d"))
+      .withColumn("pr", row_number().over(wq))
+      .select($"query_id", $"qe", $"cent_id", $"pr")
+    val pairs = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter($"cand_id" =!= $"query_id")
+      .select($"query_id", $"cand_id", $"pr", cosine($"qe", $"e").as("cos"))
+    val ps = s.range(1, k + 1).toDF("nprobe")
+    val wTop = Window.partitionBy($"nprobe", $"query_id")
+      .orderBy($"cos".desc, $"cand_id".asc)
+    val top = pairs.crossJoin(broadcast(ps))
+      .filter($"pr" <= $"nprobe")
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= TopK)
+      .select($"nprobe", $"query_id", $"cand_id")
+      .localCheckpoint(eager = true) // truth slice (nprobe=k) reused below
+    val truth = top.filter($"nprobe" === k)
+      .select($"query_id", $"cand_id")
+    val nTruth = truth.count()
+    top.join(truth, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy($"nprobe").agg(count(lit(1)).as("n_hits"))
+      .select($"nprobe", $"n_hits",
+        ($"n_hits".cast("double") / lit(nTruth).cast("double"))
+          .as("recall"))
+      .orderBy($"nprobe")
+  }
+
   /** Persist the IVF layout SCALING.md describes: every corpus vector
     * written under its nearest centroid's partition directory
     * (`cent_id=<k>/`), plus the coarse quantizer itself FROZEN at
@@ -1641,6 +1700,7 @@ object Similarity {
     "sim_bitext_mining" -> ((s, d) => simBitextMining(s, d)),
     "sim_lsh_ann" -> simLshANN,
     "sim_ivf_ann" -> ((s, d) => simIvfANN(s, d)),
+    "sim_recall_curve" -> simRecallCurve,
     "sim_sq_ann" -> simSqANN,
     "sim_pq_ann" -> simPqANN,
     // rows-only: iterative NN-Descent refinement, recall-gated by spec
@@ -1992,6 +2052,60 @@ object Similarity {
         FROM scored)
       SELECT query_id, rk, cand_id, cos FROM rnk WHERE rk <= $TopK
       ORDER BY query_id, rk"""
+    },
+    // the recall-vs-nprobe curve replays the same centroid fold +
+    // probe ranking; "reachable at nprobe=p" = probe rank <= p, truth
+    // slice = p = k (exhaustive == brute force)
+    "sim_recall_curve" -> {
+      def dt(x: String, y: String) =
+        s"list_sum([$x[i] * $y[i] for i in range(1, 65)])"
+      def cosv(x: String, y: String) =
+        s"(${dt(x, y)} / (sqrt(${dt(x, x)}) * sqrt(${dt(y, y)})))"
+      s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      coords AS (
+        SELECT label, vec_id, i, v[i] AS x FROM e, UNNEST(range(1, 65)) AS u(i)),
+      csum AS (
+        SELECT label, i, list_sum(list(x ORDER BY vec_id)) / count(*) AS m
+        FROM coords GROUP BY label, i),
+      cent AS (
+        SELECT label AS cent_id, list(m ORDER BY i) AS c FROM csum GROUP BY label),
+      ranked_cents AS (
+        SELECT vec_id, v, cent_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY -(${cosv("v", "c")}) ASC, cent_id ASC) AS cr
+        FROM e CROSS JOIN cent),
+      asg AS (
+        SELECT vec_id AS cand_id, v AS cv, cent_id
+        FROM ranked_cents WHERE cr = 1),
+      probes AS (
+        SELECT vec_id AS query_id, v AS qv, cent_id, cr AS pr
+        FROM ranked_cents WHERE vec_id < $NumQueries),
+      pairs AS (
+        SELECT p.query_id, a.cand_id, p.pr,
+          ${cosv("p.qv", "a.cv")} AS cos
+        FROM asg a JOIN probes p ON a.cent_id = p.cent_id
+        WHERE a.cand_id <> p.query_id),
+      ks AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM cent),
+      ps AS (
+        SELECT CAST(pp AS BIGINT) AS nprobe
+        FROM ks, UNNEST(range(1, ks.k + 1)) AS u(pp)),
+      top AS (
+        SELECT nprobe, query_id, cand_id FROM (
+          SELECT ps.nprobe, pr.query_id, pr.cand_id,
+            ROW_NUMBER() OVER (PARTITION BY ps.nprobe, pr.query_id
+              ORDER BY pr.cos DESC, pr.cand_id ASC) AS rk
+          FROM pairs pr JOIN ps ON pr.pr <= ps.nprobe)
+        WHERE rk <= $TopK),
+      truth AS (
+        SELECT query_id, cand_id FROM top, ks WHERE nprobe = ks.k)
+      SELECT t.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        CAST(COUNT(*) AS DOUBLE) /
+          (SELECT CAST(COUNT(*) AS DOUBLE) FROM truth) AS recall
+      FROM top t
+      JOIN truth tr ON t.query_id = tr.query_id AND t.cand_id = tr.cand_id
+      GROUP BY t.nprobe ORDER BY t.nprobe"""
     })
 
   private lazy val embCosOracle = s"""

@@ -371,7 +371,40 @@ object Extended6 {
       .orderBy("r_name", "n_name")
   }
 
+  /** q78: the NOT IN / NOT EXISTS / anti-join three-valued-logic pin.
+    * The subquery's key list contains NULLs (pending orders map to
+    * NULL), so `NOT IN` must return ZERO rows — `x <> NULL` is UNKNOWN,
+    * never true — while NOT EXISTS and LEFT ANTI JOIN (which test only
+    * provable matches) return the real complement. One row with all
+    * three counts pins the semantics cross-engine; a planner that
+    * "optimizes" NOT IN into an anti-join without the null guard is
+    * caught immediately. (Spark plans the NOT IN as a
+    * NullAwareAntiJoin — the correct form.)
+    *
+    * 100 TB shape: three aggregations over one orders projection; the
+    * null-aware anti-join broadcasts the key set like any IN-subquery.
+    */
+  def q78NotInNulls(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("q78_customer")
+    t(s, dir, "orders").createOrReplaceTempView("q78_orders")
+    s.sql("""
+      WITH sub AS (
+        SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                    ELSE o_custkey END AS k
+        FROM q78_orders)
+      SELECT
+        (SELECT COUNT(*) FROM q78_customer
+          WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_not_in,
+        (SELECT COUNT(*) FROM q78_customer c
+          WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey))
+          AS n_not_exists,
+        (SELECT COUNT(*) FROM q78_customer c LEFT ANTI JOIN sub
+          ON c.c_custkey = sub.k) AS n_anti
+    """)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_notin_nulls" -> q78NotInNulls,
     "q77_share_of_parent" -> q77ShareOfParent,
     "q76_max_concurrency" -> q76MaxConcurrency,
     "q75_capped_balance" -> q75CappedBalance,
@@ -382,6 +415,20 @@ object Extended6 {
     "q74_basket_lift" -> q74BasketLift)
 
   val oracles: Map[String, String] = Map(
+    // DuckDB spells anti-join as ANTI JOIN (no LEFT); semantics match
+    "q78_notin_nulls" -> """
+      WITH sub AS (
+        SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                    ELSE o_custkey END AS k
+        FROM orders)
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+          WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_not_in,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey))
+          AS n_not_exists,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c ANTI JOIN sub
+          ON c.c_custkey = sub.k) AS n_anti""",
     "q77_share_of_parent" -> """
       WITH b AS (
         SELECT r_name, n_name,

@@ -802,7 +802,39 @@ object QualityQueries {
           .as("jaccard_est"))
   }
 
+  /** Day-of-week seasonality profile over the events stream — the
+    * weekly-rhythm baseline a freshness/volume monitor compares
+    * against (a weekday-heavy product that suddenly spikes Sunday is
+    * an incident; without the profile it's invisible in daily totals).
+    * dow is computed portably as days-since-a-known-Monday mod 7
+    * (0=Mon … 6=Sun) — engine dayofweek() builtins disagree on week
+    * start, integer date arithmetic doesn't. Counts are exact; share
+    * is one IEEE division per row.
+    *
+    * 100 TB shape: one scan → map-side-combinable aggregation on a
+    * 7-value key; the total rides the same frame via a window over 7
+    * rows.
+    */
+  def dqSeasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val anchor = lit(java.sql.Date.valueOf("1970-01-05")) // a Monday
+    val byDow = t(s, dir, "events")
+      .select(pmod(datediff($"ts".cast("date"), anchor), lit(7))
+        .cast("long").as("dow"), $"user_id")
+      .groupBy($"dow")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byDow
+      .withColumn("total", sum($"n_events").over(w))
+      .select($"dow", $"n_events", $"n_users",
+        ($"n_events".cast("double") / $"total".cast("double")).as("share"))
+      .orderBy("dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_seasonality" -> dqSeasonality,
     "dq_kmv_overlap" -> dqKmvOverlap,
     "dq_null_trend" -> dqNullTrend,
     "dq_skew_report" -> dqSkewReport,
@@ -864,6 +896,20 @@ object QualityQueries {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "dq_seasonality" -> """
+      WITH d AS (
+        SELECT ((DATE_DIFF('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7)
+                + 7) % 7 AS dow, user_id
+        FROM events),
+      g AS (
+        SELECT CAST(dow AS BIGINT) AS dow,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM d GROUP BY dow),
+      tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t FROM g)
+      SELECT dow, n_events, n_users,
+        CAST(n_events AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share
+      FROM g, tot ORDER BY dow""",
     "dq_kmv_overlap" -> s"""
       WITH a AS (
         SELECT DISTINCT md5('kmv:' || user_id) AS h FROM events

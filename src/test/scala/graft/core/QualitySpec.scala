@@ -386,4 +386,22 @@ class SchemaSpec extends SparkSpec {
     val b = got.find(_._1 == "b").get
     assert(b._3 == 1 && b._4 == 0L, s"constant series: zero CUSUM, k=1: $b")
   }
+
+  test("seasonality: conserves events, dow anchored to Monday, shares sum to 1") {
+    val ev = graft.Tables.t(spark, sfDir, "events")
+    val got = graft.queries.QualityQueries.dqSeasonality(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._2).sum == ev.count(), "every event lands in one dow")
+    assert(got.forall(r => r._1 >= 0L && r._1 <= 6L))
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-12)
+    // anchor check: 2024-01-01 is a Monday -> its events must be dow 0
+    import org.apache.spark.sql.functions._
+    val jan1 = ev.filter(col("ts").cast("date") === lit("2024-01-01")).count()
+    if (jan1 > 0) {
+      val viaLocalDate = java.time.LocalDate.of(2024, 1, 1).getDayOfWeek
+      assert(viaLocalDate == java.time.DayOfWeek.MONDAY)
+      assert(got.exists(_._1 == 0L), "Monday bucket must exist")
+    }
+  }
 }

@@ -251,6 +251,23 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(got("s2") == ((1L, 4L, 2L, 2L, 2.0 / 4)))
   }
 
+  test("heaps curve: hand-computed vocabulary growth at each decile") {
+    val s = spark
+    import s.implicits._
+    // tokens in doc_id order: a b a | c a -> N=5; first occurrence:
+    // a@1, b@2, c@4; boundary(d)=ceil(5d/10) -> 1,1,2,2,3,3,4,4,5,5
+    val docs = Seq((1L, "a b a"), (2L, "c a")).toDF("doc_id", "text")
+    val got = CorpusFilters.heapsCurveOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1L), (2L, 1L, 1L), (3L, 2L, 2L), (4L, 2L, 2L),
+      (5L, 3L, 2L), (6L, 3L, 2L), (7L, 4L, 3L), (8L, 4L, 3L),
+      (9L, 5L, 3L), (10L, 5L, 3L)))
+    // the curve is monotone in both tokens_seen and vocab
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq)
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+  }
+
   test("ngram coverage: empty/whitespace-only docs don't crash (ADVICE r7)") {
     val s = spark
     import s.implicits._

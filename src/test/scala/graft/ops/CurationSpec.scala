@@ -773,6 +773,23 @@ class CurationSpec extends SparkSpec {
       "cached model must reproduce the fresh retrain exactly")
   }
 
+  test("mwu step: underweighted-long source gains share, weights renormalize") {
+    val s = spark
+    import s.implicits._
+    // A: mean 10, B: mean 30; corpus mean 20 -> excess -0.5 / +0.5;
+    // eta 0.5 -> raw 0.5*0.75 / 0.5*1.25 -> renormalized 0.375 / 0.625
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "b", 30L), (4L, "b", 30L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = Curation.mixMwuStepOf(docs, eta = 0.5).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("a", 0.5, -0.5, 0.375), ("b", 0.5, 0.5, 0.625)))
+    // the next-step mixture is a distribution
+    assert(got.map(_._4).sum == 1.0)
+  }
+
   test("charlm buckets: decile histogram conserves the corpus and stays near-uniform") {
     val got = Curation.taCharLmBuckets(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))

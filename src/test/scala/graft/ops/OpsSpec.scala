@@ -16,6 +16,24 @@ class DedupSpec extends SparkSpec {
     assert(m(3L) == Seq("x x x")) // distinct collapses repeats
   }
 
+  test("cluster sizes: histogram conserves docs; multi-clusters match components") {
+    val nDocs = graft.Tables.t(spark, sfDir, "documents").count()
+    val hist = Dedup.dedupClusterSizes(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(hist.map(_._3).sum == nDocs, "every doc lands in one cluster")
+    hist.foreach { case (sz, nc, nd, nr) =>
+      assert(nd == sz * nc && nr == (sz - 1L) * nc)
+    }
+    // keep-one-per-cluster savings = docs minus clusters
+    assert(hist.map(_._4).sum == nDocs - hist.map(_._2).sum)
+    // the multi-doc rows re-derive the components' cluster count
+    val multi = Dedup.dedupComponents(spark, sfDir)
+      .groupBy($"component_id").count().count()
+    assert(hist.filter(_._1 > 1L).map(_._2).sum == multi,
+      "non-singleton clusters must equal the components output")
+    assert(hist.exists(_._1 > 1L), "fixture corpus has near-dup clusters")
+  }
+
   test("jaccard histogram: valid bands, suffix-sum cumulative, >=0.8 mass == verify") {
     val rows = Dedup.dedupJaccardHist(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -401,6 +419,26 @@ class DedupSpec extends SparkSpec {
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("neyman allocation: budget follows size x spread; ties break by source") {
+    // A: zero variance (S=0, weight 0); B: mean 10, S=10 -> all budget
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "b", 0L), (4L, "b", 20L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = Sampling.neymanOf(docs, target = 10L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", 2L, 0.0, 0L), ("b", 2L, 10.0, 10L)))
+
+    // equal weights, odd target: largest-remainder tie -> source asc
+    val tied = Seq(
+      (1L, "a", 0L), (2L, "a", 20L), (3L, "b", 0L), (4L, "b", 20L))
+      .toDF("doc_id", "source", "n_chars")
+    val t2 = Sampling.neymanOf(tied, target = 7L).collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    assert(t2.toSeq == Seq(("a", 4L), ("b", 3L)))
+    // allocations always sum exactly to the target
+    assert(t2.map(_._2).sum == 7L)
+  }
+
   test("hash split: deterministic membership, disjoint and complete") {
     val df = (1L to 2000L).toDF("id")
     val once = Sampling.hashSplit(df, "id").collect()
@@ -711,6 +749,22 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.size == Similarity.NumQueries)
     assert(brute.forall(_._2.size == Similarity.TopK))
     assert(brute.forall { case (q, cands) => !cands.contains(q) })
+  }
+
+  test("recall curve: monotone in nprobe; exhaustive probe equals brute force") {
+    val got = Similarity.simRecallCurve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    // recall@k is monotone in nprobe: a truth member in top-k at p stays
+    // in top-k at p' > p (fewer than k candidates beat it globally)
+    got.map(_._3).sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0) <= w(1), s"recall not monotone: ${got.toSeq}")
+    }
+    assert(got.last._3 == 1.0, "exhaustive probing must reach recall 1")
+    // the internal truth slice IS the brute-force answer
+    assert(got.last._2 == brute.values.map(_.size).sum,
+      "truth pair count must equal brute force")
   }
 
   test("LSH ANN recall >= 0.6 vs brute force") {

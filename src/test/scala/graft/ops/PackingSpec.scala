@@ -324,4 +324,22 @@ class DecontaminationSpec extends SparkSpec {
         s"bin $bin not in BFD arrival order")
     }
   }
+
+  test("bucket waste: hand-computed buckets, windows, and waste") {
+    // token counts: 10 -> bucket 16 (waste 6), 16 -> 16 (waste 0),
+    // 100 -> 128 (waste 28), 5000 -> cap 4096, 2 windows (waste 3192);
+    // the empty doc contributes nothing
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10)), (2L, words(16)), (3L, words(100)),
+      (4L, words(5000)), (5L, "   "))
+      .toDF("doc_id", "text")
+    val got = Packing.packBucketWasteOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      (16L, 2L, 2L, 26L, 32L, 6L, 6.0 / 32),
+      (128L, 1L, 1L, 100L, 128L, 28L, 28.0 / 128),
+      (4096L, 1L, 2L, 5000L, 8192L, 3192L, 3192.0 / 8192)))
+  }
 }

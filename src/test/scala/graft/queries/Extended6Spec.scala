@@ -204,4 +204,25 @@ class Extended6Spec extends SparkSpec {
         r.getAs[Long]("n_ab").toDouble / r.getAs[Long]("n_a"))
     }
   }
+
+  test("q78: NOT IN collapses under a NULL-bearing list; anti-join does not") {
+    import org.apache.spark.sql.functions._
+    val row = Extended6.q78NotInNulls(spark, sfDir).head()
+    val (nNotIn, nNotExists, nAnti) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    // independent replay with DataFrame ops
+    val cust = graft.Tables.t(spark, sfDir, "customer")
+    val ord = graft.Tables.t(spark, sfDir, "orders")
+    val hasPending = ord.filter(col("o_orderstatus") === "P").count() > 0
+    val nonPendingKeys = ord.filter(col("o_orderstatus") =!= "P")
+      .select(col("o_custkey")).distinct()
+    val expectAnti = cust.join(nonPendingKeys,
+      cust("c_custkey") === nonPendingKeys("o_custkey"), "left_anti").count()
+    assert(nAnti == expectAnti)
+    assert(nNotExists == nAnti, "NOT EXISTS and anti-join agree")
+    if (hasPending)
+      assert(nNotIn == 0L,
+        "a NULL in the NOT IN list makes every comparison UNKNOWN")
+    else assert(nNotIn == nAnti)
+  }
 }
