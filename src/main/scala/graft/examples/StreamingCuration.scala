@@ -80,6 +80,9 @@ object StreamingCuration {
     // 0e: KMV sketch state over arriving doc_ids — distinct-volume
     // telemetry at k rows of state (kmvEstimateFromState)
     mergeKmvState(spark, stateDir, batch, "doc_id")
+    // 0f: batching-waste state — the arriving stream's padding-waste
+    // report folds additively per length bucket (bucketWasteFromState)
+    mergeBucketWasteState(spark, stateDir, batch)
 
     // 1–2: redact, gate
     val clean = qualityGate(
@@ -676,6 +679,44 @@ object StreamingCuration {
     graft.queries.QualityQueries.keySkewFromCounts(
       spark.read.parquet(s"$stateDir/key_counts_$keyCol"),
       s"stream.$keyCol")
+
+  /** Fold a batch's docs into the persistent batching-waste state:
+    * per power-of-2 length bucket, the additive (docs, windows,
+    * tokens, padded) counters of [[graft.ops.Packing.packBucketWasteOf]].
+    * Every counter is a plain sum over disjoint batches, so the folded
+    * state EXACTLY equals the one-shot report over everything that
+    * ever arrived (spec-pinned); state is ≤ 9 rows.
+    */
+  def mergeBucketWasteState(spark: SparkSession, stateDir: String,
+      batch: DataFrame): Unit = {
+    import spark.implicits._
+    val dir = s"$stateDir/bucket_waste"
+    val bs = graft.ops.Packing.packBucketWasteOf(batch)
+      .select($"bucket", $"n_docs", $"n_windows", $"n_tokens", $"n_padded")
+    val merged =
+      if (!new java.io.File(dir).exists()) bs
+      else spark.read.parquet(dir).unionByName(bs)
+        .groupBy($"bucket").agg(
+          sum($"n_docs").as("n_docs"),
+          sum($"n_windows").as("n_windows"),
+          sum($"n_tokens").as("n_tokens"),
+          sum($"n_padded").as("n_padded"))
+    val frozen = merged.localCheckpoint(eager = true)
+    frozen.coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** The accumulated batching-waste report — identical columns to the
+    * batch [[graft.ops.Packing.packBucketWasteOf]].
+    */
+  def bucketWasteFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$stateDir/bucket_waste")
+      .select($"bucket", $"n_docs", $"n_windows", $"n_tokens", $"n_padded",
+        ($"n_padded" - $"n_tokens").as("waste"),
+        (($"n_padded" - $"n_tokens").cast("double") /
+          $"n_padded".cast("double")).as("waste_frac"))
+      .orderBy($"bucket")
+  }
 
   /** Fold a batch's keys into the persistent KMV sketch state: the k
     * smallest md5 values seen so far. k-min-of-union == min-merge of

@@ -648,6 +648,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental bucket-waste state: folded report == batch op exactly") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-waste")
+    val folded = work.resolve("folded").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    (0 until 3).foreach { i =>
+      StreamingCuration.mergeBucketWasteState(spark, folded,
+        docs.filter(pmod($"doc_id", lit(3)) === i))
+    }
+    val got = StreamingCuration.bucketWasteFromState(spark, folded)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val want = graft.ops.Packing.packBucketWasteOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq == want.toSeq,
+      "additive fold over disjoint batches must equal the one-shot report")
+  }
+
   test("incremental KMV state: folded sketch == one-shot; estimate exact below k") {
     import spark.implicits._
     import graft.examples.StreamingCuration
