@@ -596,7 +596,62 @@ object CorpusFilters {
       .orderBy($"decile")
   }
 
+  /** Per-source distributional divergence from the corpus: total
+    * variation distance between each source's unigram distribution and
+    * the corpus-wide one — the "does this source speak a different
+    * language than the mix" signal mixture tuners watch (KL/JS need
+    * libm log, which is NOT bit-identical across engines; TVD is the
+    * same metric family in pure integer arithmetic).
+    *
+    * Identity that keeps it exact AND scale-safe: with c_i = source
+    * counts (total C), d_i = corpus counts (total D),
+    *   TVD = Σ|c_i/C − d_i/D| / 2 = [Σ_{i∈src}|c_i·D − d_i·C|
+    *         + C·(D − Σ_{i∈src} d_i)] / (2·C·D)
+    * — the out-of-vocabulary mass folds into one closed-form term, so
+    * only the source's OWN token rows are ever joined (never a
+    * source × full-vocabulary outer product). Integer numerators sum
+    * exactly in any order; one spelled IEEE division per source.
+    *
+    * 100 TB shape: one tokenized scan → (source, token) counts →
+    * token-keyed equi-join to the corpus counts → per-source
+    * map-side-combinable sums. The global total is a broadcast scalar.
+    */
+  def taSourceDivergence(s: SparkSession, dir: String): DataFrame =
+    sourceDivergenceOf(t(s, dir, "documents"))
+
+  def sourceDivergenceOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tk = docs
+      .select($"source", explode(filter(
+        split(trim(lower($"text")), "\\s+"), x => length(x) > 0)).as("w"))
+    val st = tk.groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true) // feeds corpus counts + the join
+    val dt = st.groupBy($"w").agg(sum($"c").as("d"))
+    val totals = st.groupBy($"source").agg(sum($"c").as("ctot"))
+    val dTot = dt.agg(coalesce(sum($"d"), lit(0L)).as("dtot"))
+    st.join(dt, "w")
+      .join(totals, "source")
+      .crossJoin(broadcast(dTot))
+      .groupBy($"source")
+      .agg(
+        first($"ctot").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        first($"dtot").as("dtot"),
+        sum(abs($"c" * $"dtot" - $"d" * $"ctot")).as("in_vocab_num"),
+        sum($"d").as("d_in_vocab"))
+      .select($"source", $"n_tokens", $"vocab",
+        ($"in_vocab_num" + $"n_tokens" * ($"dtot" - $"d_in_vocab"))
+          .as("tvd_num"),
+        (($"in_vocab_num" + $"n_tokens" * ($"dtot" - $"d_in_vocab"))
+          .cast("double") /
+          (lit(2.0) * $"n_tokens".cast("double") * $"dtot".cast("double")))
+          .as("tvd"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_source_divergence" -> taSourceDivergence,
     "ta_heaps_curve" -> taHeapsCurve,
     "ta_rake_keywords" -> taRakeKeywords,
     "ta_ngram_coverage" -> taNgramCoverage,
@@ -620,6 +675,35 @@ object CorpusFilters {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "ta_source_divergence" -> """
+      WITH tk AS (
+        SELECT source, u.w FROM documents,
+          UNNEST(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            x -> len(x) > 0)) AS u(w)),
+      st AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tk GROUP BY source, w),
+      dt AS (SELECT w, CAST(SUM(c) AS BIGINT) AS d FROM st GROUP BY w),
+      totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ctot
+                 FROM st GROUP BY source),
+      dtot AS (SELECT CAST(COALESCE(SUM(d), 0) AS BIGINT) AS dtot FROM dt),
+      agg AS (
+        SELECT st.source,
+          MIN(t.ctot) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS vocab,
+          MIN(dtot.dtot) AS dtot,
+          CAST(SUM(ABS(st.c * dtot.dtot - dt.d * t.ctot)) AS BIGINT)
+            AS in_vocab_num,
+          CAST(SUM(dt.d) AS BIGINT) AS d_in_vocab
+        FROM st
+        JOIN dt ON st.w = dt.w
+        JOIN totals t ON st.source = t.source
+        CROSS JOIN dtot
+        GROUP BY st.source)
+      SELECT source, n_tokens, vocab,
+        in_vocab_num + n_tokens * (dtot - d_in_vocab) AS tvd_num,
+        CAST(in_vocab_num + n_tokens * (dtot - d_in_vocab) AS DOUBLE) /
+          (2.0 * CAST(n_tokens AS DOUBLE) * CAST(dtot AS DOUBLE)) AS tvd
+      FROM agg ORDER BY source""",
     "ta_heaps_curve" -> """
       WITH toks AS (
         SELECT doc_id,

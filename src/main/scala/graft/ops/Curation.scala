@@ -1511,9 +1511,14 @@ object Curation {
   def mixMwuStepOf(docs: DataFrame, eta: Double): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // ONE documents scan: the per-source moment table is bounded
+    // (#sources rows), so it checkpoints and every downstream consumer
+    // (totals, base, renormalizer) reads the materialized handful of
+    // rows instead of re-scanning the corpus (PlanSpec-pinned).
     val st = docs.groupBy($"source").agg(
       count(lit(1)).as("n_docs"),
       sum($"n_chars").as("sx"))
+      .localCheckpoint(eager = true)
     val tot = st.agg(
       coalesce(sum($"n_docs"), lit(0L)).as("nn"),
       coalesce(sum($"sx"), lit(0L)).as("tx"))

@@ -439,7 +439,42 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Resolution tiers for [[mmBatchShapes]]: square-pixel budgets from
+    * 128² to 1024² (the synthetic dims top out at 575², so the last
+    * tier doubles as the overflow bucket).
+    */
+  val ShapeTiers: Seq[Long] = Seq(16384L, 65536L, 262144L, 1048576L)
+
+  /** Vision-batching shape report — the image/video sibling of
+    * `pack_bucket_waste`: visual media batch by SHAPE, so the planner
+    * needs, per (orientation, resolution tier): media count, real
+    * pixels, and the pad-pixels a tier-sized canvas would waste.
+    * Orientation from integer width/height comparison; tier = smallest
+    * square budget ≥ the pixel count. Metadata-only: the payload bytes
+    * never move, exactly like [[mmStats]]. All-integer ⇒ hash-exact.
+    */
+  def mmBatchShapes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = mmDecode(s, dir)
+      .filter($"kind" =!= "audio")
+      .select($"media_id", $"width", $"height",
+        ($"width" * $"height").as("px"))
+    val tier = ShapeTiers.init.reverse
+      .foldLeft(lit(ShapeTiers.last)) { (acc, t) =>
+        when($"px" <= t, lit(t)).otherwise(acc)
+      }
+    val shape = when($"width" > $"height", "wide")
+      .when($"height" > $"width", "tall").otherwise("square")
+    d.select(shape.as("shape"), tier.as("tier"), $"px")
+      .groupBy($"shape", $"tier")
+      .agg(count(lit(1)).as("n_media"), sum($"px").as("total_px"))
+      .select($"shape", $"tier", $"n_media", $"total_px",
+        ($"tier" * $"n_media" - $"total_px").as("pad_px"))
+      .orderBy($"shape", $"tier")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_batch_shapes" -> ((s, d) => mmBatchShapes(s, d)),
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_stats" -> mmStats,
     "mm_decode" -> ((s, d) => mmDecode(s, d)),
@@ -613,6 +648,30 @@ object Multimodal {
                        ELSE 1 + byte_len // 100 END AS BIGINT) AS duration_ms,
         $featureSumSql AS feature_sum
       FROM geom ORDER BY media_id""",
+    "mm_batch_shapes" -> s"""
+      WITH $decodedCte,
+      dims AS (
+        SELECT media_id,
+          CAST(64 + hv % 512 AS BIGINT) AS w,
+          CAST(64 + (hv // 512) % 512 AS BIGINT) AS h
+        FROM geom WHERE kind <> 'audio'),
+      px AS (
+        SELECT media_id,
+          CASE WHEN w > h THEN 'wide' WHEN h > w THEN 'tall'
+               ELSE 'square' END AS shape,
+          CASE ${Multimodal.ShapeTiers.init
+            .map(t => s"WHEN w * h <= $t THEN $t").mkString(" ")}
+            ELSE ${Multimodal.ShapeTiers.last} END AS tier,
+          w * h AS p
+        FROM dims),
+      agg AS (
+        SELECT shape, CAST(tier AS BIGINT) AS tier,
+          CAST(COUNT(*) AS BIGINT) AS n_media,
+          CAST(SUM(p) AS BIGINT) AS total_px
+        FROM px GROUP BY shape, tier)
+      SELECT shape, tier, n_media, total_px,
+        tier * n_media - total_px AS pad_px
+      FROM agg ORDER BY shape, tier""",
     "mm_resize" -> s"""
       WITH $decodedCte,
       dims AS (

@@ -450,10 +450,13 @@ object Sampling {
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
     val w = W.orderBy($"frac".desc, $"source".asc)
+    // one documents scan: the moment table is #sources rows — it
+    // checkpoints so the weight fold and the final join don't re-scan
     val st = docs.groupBy($"source").agg(
       count(lit(1)).as("n_pop"),
       sum($"n_chars").as("sx"),
       sum($"n_chars" * $"n_chars").as("sxx"))
+      .localCheckpoint(eager = true)
     val ws = st.select($"source", $"n_pop",
       sqrt(($"sxx".cast("double") -
         $"sx".cast("double") * $"sx".cast("double") / $"n_pop".cast("double"))

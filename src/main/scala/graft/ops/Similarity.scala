@@ -493,7 +493,9 @@ object Similarity {
     val truth = top.filter($"nprobe" === k)
       .select($"query_id", $"cand_id")
     val nTruth = truth.count()
-    top.join(truth, Seq("query_id", "cand_id"), "left_semi")
+    // truth is NumQueries×TopK rows — broadcast it (the checkpointed
+    // RDD carries no stats, so auto-broadcast can't see how small it is)
+    top.join(broadcast(truth), Seq("query_id", "cand_id"), "left_semi")
       .groupBy($"nprobe").agg(count(lit(1)).as("n_hits"))
       .select($"nprobe", $"n_hits",
         ($"n_hits".cast("double") / lit(nTruth).cast("double"))
@@ -1331,6 +1333,28 @@ object Similarity {
     s.createDataFrame(pairs).toDF("a", "b", "cos").orderBy("a", "b")
   }
 
+  /** Cosine-band histogram over the embedding near-dup pairs — the
+    * threshold-tuning evidence for semantic dedup, the embedding-space
+    * sibling of [[Dedup.dedupJaccardHist]]: how many pairs each 0.05
+    * cosine band holds, plus the cumulative "pairs a threshold of
+    * band/20 would keep" suffix sum. The band is floor(cos·20) — one
+    * IEEE product + floor, bit-identical cross-engine since the cosine
+    * itself is. Runs on the tiled exact pass, so the histogram costs
+    * one tiny re-aggregation of pairs already mined.
+    */
+  def dedupEmbCosHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = dedupEmbCosineTiled(s, dir, numBlocks = 8)
+    val w = Window.orderBy($"band".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs
+      .select(floor($"cos" * 20).cast("long").as("band"))
+      .groupBy($"band").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_cum", sum($"n_pairs").over(w))
+      .select($"band", $"n_pairs", $"n_cum")
+      .orderBy($"band")
+  }
+
   /** Contrastive triplet mining for embedding-model training: per
     * anchor, positive = its highest-cosine near-dup (ties to the lowest
     * id) from the tiled exact pair pass, negative = a PSEUDORANDOM BUT
@@ -1586,8 +1610,11 @@ object Similarity {
     * same size any broadcast model artifact would be; Spark broadcasts
     * always originate at the driver, so a fully executor-side build
     * buys nothing). The SORT runs inside Spark (range-partitioned
-    * orderBy) and the ordered collect just concatenates — the driver
-    * never sorts.
+    * orderBy over the checkpointed edge set) and the ordered collect
+    * just concatenates — the driver never sorts. (r8 A/B: the two
+    * variants measure within machine noise of each other, 5.1 s vs
+    * 5.6 s across interleaved runs, so the distributed form wins on
+    * principle, not cost.)
     */
   private def closeWedgesKernel(oriented: DataFrame): Long = {
     val s = oriented.sparkSession
@@ -1701,6 +1728,7 @@ object Similarity {
     "sim_lsh_ann" -> simLshANN,
     "sim_ivf_ann" -> ((s, d) => simIvfANN(s, d)),
     "sim_recall_curve" -> simRecallCurve,
+    "dedup_embcos_hist" -> ((s, d) => dedupEmbCosHist(s, d)),
     "sim_sq_ann" -> simSqANN,
     "sim_pq_ann" -> simPqANN,
     // rows-only: iterative NN-Descent refinement, recall-gated by spec
@@ -1979,6 +2007,21 @@ object Similarity {
     },
     "dedup_embcos" -> embCosOracle,
     "dedup_embcos_tiled" -> embCosOracle,
+    "dedup_embcos_hist" -> s"""
+      WITH pairs AS (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               ${duckCos("x.embedding", "y.embedding")} AS cos
+        FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        WHERE ${duckCos("x.embedding", "y.embedding")} >= 0.40),
+      h AS (
+        SELECT CAST(FLOOR(cos * 20) AS BIGINT) AS band,
+          CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY band)
+      SELECT band, n_pairs,
+        CAST(SUM(n_pairs) OVER (ORDER BY band DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS n_cum
+      FROM h ORDER BY band""",
     // SQ8 is deterministic end-to-end (integer dots + IEEE-exact
     // quantization + exact re-rank), so unlike LSH/IVF it gets a full
     // hash-matching oracle replaying the same quantize → top-C → re-rank

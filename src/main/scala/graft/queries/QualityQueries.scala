@@ -833,7 +833,47 @@ object QualityQueries {
       .orderBy("dow")
   }
 
+  /** Trailing window for [[dqVolumeZscore]]. */
+  val ZscoreWindow = 7
+
+  /** Daily-volume anomaly score: each day's event count against the
+    * mean/stddev of the TRAILING [[ZscoreWindow]] days (excluding
+    * itself) — the alerting primitive behind "today's ingest is 4σ off
+    * its weekly baseline". Complements [[dqCusumChangepoint]] (level
+    * shifts in hindsight) and [[dqSeasonality]] (the weekly rhythm):
+    * this one is computable the moment a day closes. Only days with a
+    * FULL trailing window score (deterministic row set); population
+    * variance from exact integer window sums in a spelled IEEE chain;
+    * zero-variance baselines emit null z (0/0 stays honest).
+    *
+    * 100 TB shape: one scan → per-day collapse (≤ days rows), then
+    * windows over the tiny daily series.
+    */
+  def dqVolumeZscore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy($"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy($"day").rowsBetween(-ZscoreWindow, -1)
+    daily
+      .withColumn("w_cnt", count(lit(1)).over(w))
+      .withColumn("w_sum", sum($"n_events").over(w))
+      .withColumn("w_sumsq", sum($"n_events" * $"n_events").over(w))
+      .filter($"w_cnt" === ZscoreWindow)
+      .withColumn("mean7",
+        $"w_sum".cast("double") / $"w_cnt".cast("double"))
+      .withColumn("sd7", sqrt(
+        ($"w_sumsq".cast("double") -
+          $"w_sum".cast("double") * $"w_sum".cast("double") /
+            $"w_cnt".cast("double")) / $"w_cnt".cast("double")))
+      .select($"day", $"n_events", $"mean7",
+        when($"sd7" > 0.0,
+          ($"n_events".cast("double") - $"mean7") / $"sd7").as("z"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_volume_zscore" -> dqVolumeZscore,
     "dq_seasonality" -> dqSeasonality,
     "dq_kmv_overlap" -> dqKmvOverlap,
     "dq_null_trend" -> dqNullTrend,
@@ -896,6 +936,30 @@ object QualityQueries {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "dq_volume_zscore" -> s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY day),
+      win AS (
+        SELECT day, n_events,
+          COUNT(*) OVER tw AS w_cnt,
+          SUM(n_events) OVER tw AS w_sum,
+          SUM(n_events * n_events) OVER tw AS w_sumsq
+        FROM daily
+        WINDOW tw AS (ORDER BY day
+          ROWS BETWEEN $ZscoreWindow PRECEDING AND 1 PRECEDING)),
+      scored AS (
+        SELECT day, n_events,
+          CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE) AS mean7,
+          sqrt((CAST(w_sumsq AS DOUBLE) -
+            CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) /
+              CAST(w_cnt AS DOUBLE)) / CAST(w_cnt AS DOUBLE)) AS sd7
+        FROM win WHERE w_cnt = $ZscoreWindow)
+      SELECT day, n_events, mean7,
+        CASE WHEN sd7 > 0.0
+          THEN (CAST(n_events AS DOUBLE) - mean7) / sd7 END AS z
+      FROM scored ORDER BY day""",
     "dq_seasonality" -> """
       WITH d AS (
         SELECT ((DATE_DIFF('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7)

@@ -387,6 +387,33 @@ class SchemaSpec extends SparkSpec {
     assert(b._3 == 1 && b._4 == 0L, s"constant series: zero CUSUM, k=1: $b")
   }
 
+  test("volume z-score: full-window rows only; JVM replay of mean and z") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.t(spark, sfDir, "events")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val got = graft.queries.QualityQueries.dqVolumeZscore(spark, sfDir)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val w = graft.queries.QualityQueries.ZscoreWindow
+    assert(got.length == math.max(0, daily.length - w),
+      "exactly the days with a full trailing window score")
+    got.foreach { case (day, n, mean7, z) =>
+      val i = daily.indexWhere(_._1 == day)
+      val trail = daily.slice(i - w, i).map(_._2)
+      assert(trail.length == w)
+      val m = trail.sum.toDouble / w.toDouble
+      assert(mean7 == m, s"$day: mean $mean7 != $m")
+      val sd = math.sqrt((trail.map(x => x * x).sum.toDouble -
+        trail.sum.toDouble * trail.sum.toDouble / w.toDouble) / w.toDouble)
+      if (sd > 0.0) assert(z.contains((n.toDouble - m) / sd))
+      else assert(z.isEmpty, s"$day: zero-variance baseline must yield null z")
+    }
+  }
+
   test("seasonality: conserves events, dow anchored to Monday, shares sum to 1") {
     val ev = graft.Tables.t(spark, sfDir, "events")
     val got = graft.queries.QualityQueries.dqSeasonality(spark, sfDir)

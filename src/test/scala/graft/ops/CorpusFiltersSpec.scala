@@ -251,6 +251,25 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(got("s2") == ((1L, 4L, 2L, 2L, 2.0 / 4)))
   }
 
+  test("source divergence: hand-computed TVD via the OOV-mass identity") {
+    val s = spark
+    import s.implicits._
+    // A: "x x y" (C=3), B: "x z" (C=2); corpus x3 y1 z1 (D=5)
+    // p_A=(2/3,1/3,0) vs p=(3/5,1/5,1/5): TVD = 0.2; p_B: TVD = 0.3
+    val docs = Seq((1L, "x x y", "A"), (2L, "x z", "B"))
+      .toDF("doc_id", "text", "source")
+    val gotSeq = CorpusFilters.sourceDivergenceOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(gotSeq.toSeq == Seq(
+      ("A", 3L, 2L, 6L, 0.2), ("B", 2L, 2L, 6L, 0.3)))
+    // identical distributions diverge by zero
+    val same = Seq((1L, "x y", "A"), (2L, "x y", "B"))
+      .toDF("doc_id", "text", "source")
+    assert(CorpusFilters.sourceDivergenceOf(same).collect()
+      .forall(_.getDouble(4) == 0.0))
+  }
+
   test("heaps curve: hand-computed vocabulary growth at each decile") {
     val s = spark
     import s.implicits._

@@ -113,4 +113,22 @@ class MultimodalSpec extends SparkSpec {
     assert(got.values.exists(v => v._2 == 0 && v._1 > 1),
       "some multi-frame videos must have none")
   }
+
+  test("batch shapes: conserves visual media; tiers bound pixels; pad non-negative") {
+    import org.apache.spark.sql.functions._
+    val got = Multimodal.mmBatchShapes(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    val visual = Multimodal.mmDecode(spark, sfDir)
+      .filter(col("kind") =!= "audio").count()
+    assert(got.map(_._3).sum == visual,
+      "every non-audio medium lands in exactly one (shape, tier) cell")
+    got.foreach { case (shape, tier, n, totalPx, padPx) =>
+      assert(Seq("wide", "tall", "square").contains(shape))
+      assert(Multimodal.ShapeTiers.contains(tier), s"unknown tier $tier")
+      assert(totalPx <= tier * n, "pixels cannot exceed the tier canvas")
+      assert(padPx == tier * n - totalPx && padPx >= 0L)
+    }
+  }
 }

@@ -751,6 +751,22 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.forall { case (q, cands) => !cands.contains(q) })
   }
 
+  test("embcos histogram: suffix-sum cumulative; mass equals the tiled pair pass") {
+    val rows = Similarity.dedupEmbCosHist(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, n, c) =>
+      assert(b >= 8L && b <= 20L && n >= 1L && c >= n,
+        s"band $b out of the >=0.4 cosine range")
+    }
+    val sorted = rows.sortBy(-_._1)
+    assert(sorted.map(_._2).scanLeft(0L)(_ + _).tail.toSeq ==
+      sorted.map(_._3).toSeq, "n_cum must be the suffix sum over bands")
+    assert(rows.map(_._2).sum ==
+      Similarity.dedupEmbCosineTiled(spark, sfDir, numBlocks = 8).count(),
+      "histogram mass must equal the mined pair count")
+  }
+
   test("recall curve: monotone in nprobe; exhaustive probe equals brute force") {
     val got = Similarity.simRecallCurve(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -375,6 +375,33 @@ class PlanSpec extends SparkSpec {
         s"$n re-scans its input:\n$p")
     }
   }
+
+  test("round-8 single-scan aggregations: one scan, no joins, partial agg") {
+    for ((n, df) <- Seq(
+        "pack_bucket_waste" -> graft.ops.Packing.packBucketWaste(spark, sfDir),
+        "dq_seasonality" -> QualityQueries.dqSeasonality(spark, sfDir),
+        "mix_mwu_step" -> graft.ops.Curation.mixMwuStep(spark, sfDir),
+        "sample_neyman" -> graft.ops.Sampling.sampleNeyman(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$n must not shuffle-join:\n$p")
+      assert(p.contains("partial"), s"$n lacks map-side partial agg:\n$p")
+      // one fact scan (mwu/neyman re-read only the bounded source table)
+      assert("FileScan|BatchScan".r.findAllIn(p).size <= 2,
+        s"$n re-scans its input:\n$p")
+    }
+  }
+
+  test("sim_recall_curve: tiny truth side broadcasts; no shuffle join, no cartesian") {
+    // the visible plan starts at the localCheckpointed top-k frame (the
+    // fan-out NLJ lives before the checkpoint); what must hold here:
+    // the 50-row truth slice broadcasts into a hash semi-join — never a
+    // sort-merge shuffle of the pair set — and nothing is a cartesian
+    val p = plan(graft.ops.Similarity.simRecallCurve(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), s"truth join must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
 }
 
 /** Tiny indirection so PlanSpec (package queries) can reach the ops
