@@ -650,7 +650,46 @@ object CorpusFilters {
       .orderBy("source")
   }
 
+  /** Per-source Simpson concentration and effective vocabulary — the
+    * log-free diversity measure (Shannon entropy needs libm log, which
+    * is not bit-identical across engines; Simpson's index is pure
+    * integer arithmetic): simpson = Σc_i²/C² is the probability two
+    * random tokens coincide, and C²/Σc_i² is the "effective number of
+    * tokens" (inverse-Simpson / Hill number of order 2 — a corpus that
+    * uses 10k words like a 40-word template scores 40). Integer Σc²
+    * numerators sum exactly in any order; two spelled IEEE divisions
+    * per source.
+    *
+    * 100 TB shape: one tokenized scan → (source, token) counts →
+    * per-source map-side-combinable Σ/Σ² — the same two-level collapse
+    * as every moment profile here.
+    */
+  def taSimpsonDiversity(s: SparkSession, dir: String): DataFrame =
+    simpsonDiversityOf(t(s, dir, "documents"))
+
+  def simpsonDiversityOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"source", explode(filter(
+        split(trim(lower($"text")), "\\s+"), x => length(x) > 0)).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(
+        sum($"c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum($"c" * $"c").as("sumsq"))
+      .select($"source", $"n_tokens", $"vocab", $"sumsq",
+        ($"sumsq".cast("double") /
+          ($"n_tokens".cast("double") * $"n_tokens".cast("double")))
+          .as("simpson"),
+        (($"n_tokens".cast("double") * $"n_tokens".cast("double")) /
+          $"sumsq".cast("double")).as("effective_vocab"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_simpson_diversity" -> taSimpsonDiversity,
     "ta_source_divergence" -> taSourceDivergence,
     "ta_heaps_curve" -> taHeapsCurve,
     "ta_rake_keywords" -> taRakeKeywords,
@@ -675,6 +714,24 @@ object CorpusFilters {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "ta_simpson_diversity" -> """
+      WITH tk AS (
+        SELECT source, u.w FROM documents,
+          UNNEST(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            x -> len(x) > 0)) AS u(w)),
+      st AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tk GROUP BY source, w),
+      agg AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS vocab,
+          CAST(SUM(c * c) AS BIGINT) AS sumsq
+        FROM st GROUP BY source)
+      SELECT source, n_tokens, vocab, sumsq,
+        CAST(sumsq AS DOUBLE) /
+          (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS simpson,
+        (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) /
+          CAST(sumsq AS DOUBLE) AS effective_vocab
+      FROM agg ORDER BY source""",
     "ta_source_divergence" -> """
       WITH tk AS (
         SELECT source, u.w FROM documents,

@@ -172,7 +172,36 @@ object Decontamination {
       .orderBy("eval_id")
   }
 
+  /** Jaccard bound for the MinHash decon sweep — the near-dup
+    * threshold, not the shared-shingle heuristic: this tier catches
+    * eval documents that are WHOLESALE near-copies of training docs
+    * (the Lee et al. 2022 contamination class), complementing
+    * [[contaminationPairs]]' n-gram-overlap evidence tier.
+    */
+  val MinhashThreshold = 0.8
+
+  /** MinHash-LSH decontamination: banded-LSH candidates between the
+    * eval split and the training split, exact-Jaccard verified — the
+    * scale tier of decontamination (the n-gram pair sweep touches
+    * every shared shingle; this one touches only band-bucket
+    * collisions, cost ∝ eval batch). Delegates to
+    * [[Dedup.crossCorpusNearDups]], so the incremental contract holds:
+    * a frozen benchmark's buckets/sets persist and each corpus batch
+    * probes them. Output (eval_id, train_id, jaccard).
+    */
+  def deconMinhash(s: SparkSession, dir: String,
+      threshold: Double = MinhashThreshold): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.t(s, dir, "documents").select($"doc_id", $"text")
+    val evalSets = Dedup.shingleSetsOf(docs.filter(isEval($"doc_id")))
+    val trainSets = Dedup.shingleSetsOf(docs.filter(!isEval($"doc_id")))
+    Dedup.crossCorpusNearDups(evalSets, trainSets, threshold)
+      .select($"a".as("eval_id"), $"b".as("train_id"), $"jaccard")
+      .orderBy("eval_id", "train_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decon_minhash" -> ((s, d) => deconMinhash(s, d)),
     "decon_pairs" -> ((s, d) => contaminationPairs(s, d)),
     "decon_pairs_13gram" -> ((s, d) =>
       contaminationPairs(s, d, n = WideN, minShared = 1L)),
@@ -209,6 +238,24 @@ object Decontamination {
     s"list_sum([CAST($x AS DOUBLE[])[i] * CAST($y AS DOUBLE[])[i] for i in range(1, 65)])"
 
   val oracles: Map[String, String] = Map(
+    // cross-set all-pairs exact Jaccard truth — the banded plan must
+    // reproduce it exactly (the dedup_minhash_lsh stance, cross-split)
+    "decon_minhash" -> s"""
+      WITH ${shingleCteN(Dedup.ShingleN)},
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT e.doc_id AS eval_id, t.doc_id AS train_id, COUNT(*) AS i
+        FROM sh e JOIN sh t ON e.sh = t.sh
+        WHERE md5(CAST(e.doc_id AS VARCHAR)) >= '$EvalLower'
+          AND md5(CAST(t.doc_id AS VARCHAR)) < '$EvalLower'
+        GROUP BY 1, 2)
+      SELECT eval_id, train_id,
+        CAST(i AS DOUBLE) / (ce.n + ct.n - i) AS jaccard
+      FROM inter
+      JOIN cnt ce ON eval_id = ce.doc_id
+      JOIN cnt ct ON train_id = ct.doc_id
+      WHERE CAST(i AS DOUBLE) / (ce.n + ct.n - i) >= $MinhashThreshold
+      ORDER BY eval_id, train_id""",
     "decon_semantic" -> s"""
       WITH ev AS (
         SELECT vec_id, embedding FROM embeddings

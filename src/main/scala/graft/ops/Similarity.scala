@@ -503,6 +503,32 @@ object Similarity {
       .orderBy($"nprobe")
   }
 
+  /** How many lowest-centrality vectors [[simOodOutliers]] reports. */
+  val OodTopN = 20
+
+  /** Out-of-distribution candidates: the corpus vectors LEAST similar
+    * to their own nearest centroid — the quantizer-health / data-audit
+    * view (a training-data pipeline reviews exactly these rows for
+    * mislabeled, corrupted, or genuinely novel content before they
+    * skew a cluster; SemDeDup-style pipelines drop or re-cluster
+    * them). Assignment cosine doubles as the centrality score; bottom
+    * [[OodTopN]] by (cos asc, vec_id asc) — a TakeOrdered heap, never
+    * a full sort. Deterministic via [[centroidsExact]] ⇒ full oracle.
+    */
+  def simOodOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    val cents = broadcast(centroidsExact(emb(s, dir)))
+    val wv = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cent_id".asc)
+    all.crossJoin(cents)
+      .select($"vec_id", $"cent_id", (-cosine($"e", $"cent")).as("d"))
+      .withColumn("cr", row_number().over(wv))
+      .filter($"cr" === 1)
+      .select($"vec_id", $"cent_id", (-$"d").as("cos"))
+      .orderBy($"cos".asc, $"vec_id".asc)
+      .limit(OodTopN)
+  }
+
   /** Persist the IVF layout SCALING.md describes: every corpus vector
     * written under its nearest centroid's partition directory
     * (`cent_id=<k>/`), plus the coarse quantizer itself FROZEN at
@@ -1728,6 +1754,7 @@ object Similarity {
     "sim_lsh_ann" -> simLshANN,
     "sim_ivf_ann" -> ((s, d) => simIvfANN(s, d)),
     "sim_recall_curve" -> simRecallCurve,
+    "sim_ood_outliers" -> ((s, d) => simOodOutliers(s, d)),
     "dedup_embcos_hist" -> ((s, d) => dedupEmbCosHist(s, d)),
     "sim_sq_ann" -> simSqANN,
     "sim_pq_ann" -> simPqANN,
@@ -2095,6 +2122,32 @@ object Similarity {
         FROM scored)
       SELECT query_id, rk, cand_id, cos FROM rnk WHERE rk <= $TopK
       ORDER BY query_id, rk"""
+    },
+    // lowest assignment-cosine rows under the same centroid fold
+    "sim_ood_outliers" -> {
+      def dt(x: String, y: String) =
+        s"list_sum([$x[i] * $y[i] for i in range(1, 65)])"
+      def cosv(x: String, y: String) =
+        s"(${dt(x, y)} / (sqrt(${dt(x, x)}) * sqrt(${dt(y, y)})))"
+      s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      coords AS (
+        SELECT label, vec_id, i, v[i] AS x FROM e, UNNEST(range(1, 65)) AS u(i)),
+      csum AS (
+        SELECT label, i, list_sum(list(x ORDER BY vec_id)) / count(*) AS m
+        FROM coords GROUP BY label, i),
+      cent AS (
+        SELECT label AS cent_id, list(m ORDER BY i) AS c FROM csum GROUP BY label),
+      ranked_cents AS (
+        SELECT vec_id, cent_id, -(${cosv("v", "c")}) AS d,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY -(${cosv("v", "c")}) ASC, cent_id ASC) AS cr
+        FROM e CROSS JOIN cent)
+      SELECT vec_id, cent_id, -(d) AS cos
+      FROM ranked_cents WHERE cr = 1
+      ORDER BY cos ASC, vec_id ASC
+      LIMIT $OodTopN"""
     },
     // the recall-vs-nprobe curve replays the same centroid fold +
     // probe ranking; "reachable at nprobe=p" = probe rank <= p, truth

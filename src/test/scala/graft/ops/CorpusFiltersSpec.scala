@@ -251,6 +251,23 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(got("s2") == ((1L, 4L, 2L, 2L, 2.0 / 4)))
   }
 
+  test("simpson diversity: hand-computed; template source collapses to 1 effective token") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "x x y", "A"),     // c={x:2,y:1}: simpson 5/9, eff 9/5
+      (2L, "a b", "B"),       // uniform pair: simpson 1/2, eff 2
+      (3L, "t t t t", "T"))   // pure template: simpson 1, eff 1
+      .toDF("doc_id", "text", "source")
+    val got = CorpusFilters.simpsonDiversityOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("A", 3L, 2L, 5L, 5.0 / 9, 9.0 / 5),
+      ("B", 2L, 2L, 2L, 0.5, 2.0),
+      ("T", 4L, 1L, 16L, 1.0, 1.0)))
+  }
+
   test("source divergence: hand-computed TVD via the OOV-mass identity") {
     val s = spark
     import s.implicits._

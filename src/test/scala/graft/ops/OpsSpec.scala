@@ -751,6 +751,30 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.forall { case (q, cands) => !cands.contains(q) })
   }
 
+  test("ood outliers: exactly the bottom-N assignment cosines (independent replay)") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.simOodOutliers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2)))
+    assert(got.length == Similarity.OodTopN)
+    assert(got.map(_._1).distinct.length == got.length, "distinct vectors")
+    val order = got.map(r => (r._3, r._1))
+    assert(order.toSeq == order.sortBy(identity).toSeq,
+      "ascending (cos, vec_id) order")
+    // independent replay: a vector's assignment cosine is its MAX cosine
+    // over the centroids; the report must be the N smallest such values
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.t(spark, sfDir, "embeddings")
+    val best = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .crossJoin(broadcast(Similarity.centroidsExact(emb)))
+      .select(col("vec_id"), Similarity.cosine(col("e"), col("cent")).as("cos"))
+      .groupBy(col("vec_id")).agg(max(col("cos")).as("best"))
+      .collect().map(r => (r.getDouble(1), r.getLong(0)))
+      .sortBy(x => x).take(Similarity.OodTopN)
+    assert(got.map(r => (r._3, r._1)).toSeq == best.toSeq,
+      "report must be the global bottom-N of assignment centrality")
+  }
+
   test("embcos histogram: suffix-sum cumulative; mass equals the tiled pair pass") {
     val rows = Similarity.dedupEmbCosHist(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -297,6 +297,31 @@ class DecontaminationSpec extends SparkSpec {
     assert(!viaFrozen.exists(_._1 == 2L), "clean batch doc passes")
   }
 
+  test("decon minhash: equals the full-corpus LSH pairs restricted to cross-split") {
+    def isEval(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hx = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hx >= Decontamination.EvalLower
+    }
+    val got = Decontamination.deconMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    got.foreach { case (e, t, j) =>
+      assert(isEval(e) && !isEval(t), s"($e,$t) violates the split")
+      assert(j >= Decontamination.MinhashThreshold)
+    }
+    // the cross-split slice of the full-corpus near-dup pass is the truth
+    val cross = Dedup.dedupMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        if (isEval(a) && !isEval(b)) Some((a, b, j))
+        else if (isEval(b) && !isEval(a)) Some((b, a, j))
+        else None
+      }.toSet
+    assert(got == cross,
+      s"cross-corpus sweep must equal the full pass's cross-split pairs")
+  }
+
   test("bfd offsets: contiguous per-bin layout, fill within capacity, matches assignment") {
     val asg = Packing.packBfd(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
