@@ -462,11 +462,20 @@ object Sampling {
         $"sx".cast("double") * $"sx".cast("double") / $"n_pop".cast("double"))
         / $"n_pop".cast("double")).as("s_pop"))
       .withColumn("wt", $"n_pop".cast("double") * $"s_pop")
-    val tw = ws.select(sort_array(collect_list(struct($"source", $"wt"))).as("l"))
+    val tw = ws.select(
+      sort_array(collect_list(struct($"source", $"wt"))).as("l"),
+      sum($"n_pop").as("npop_total"))
       .select(aggregate($"l", lit(0.0),
-        (acc, x) => acc + x.getField("wt")).as("tw"))
+        (acc, x) => acc + x.getField("wt")).as("tw"), $"npop_total")
     ws.crossJoin(broadcast(tw))
-      .withColumn("share", lit(target).cast("double") * $"wt" / $"tw")
+      // degenerate corpus (every stratum zero-variance ⇒ all weights 0):
+      // fall back to proportional allocation — the standard convention,
+      // and it keeps the share arithmetic NaN-free
+      .withColumn("share",
+        when($"tw" === 0.0,
+          lit(target).cast("double") * $"n_pop".cast("double") /
+            $"npop_total".cast("double"))
+          .otherwise(lit(target).cast("double") * $"wt" / $"tw"))
       .withColumn("base", floor($"share").cast("long"))
       .withColumn("frac", $"share" - floor($"share"))
       .withColumn("leftover",
@@ -506,10 +515,14 @@ object Sampling {
             / CAST(n_pop AS DOUBLE)) AS s_pop
         FROM st),
       w2 AS (SELECT *, CAST(n_pop AS DOUBLE) * s_pop AS wt FROM ws),
-      tw AS (SELECT list_sum(list(wt ORDER BY source)) AS t FROM w2),
+      tw AS (SELECT list_sum(list(wt ORDER BY source)) AS t,
+               CAST(SUM(n_pop) AS BIGINT) AS npop_total FROM w2),
       sh AS (
         SELECT source, n_pop, s_pop,
-          CAST($NeymanTarget AS DOUBLE) * wt / tw.t AS share
+          CASE WHEN tw.t = 0.0
+            THEN CAST($NeymanTarget AS DOUBLE) * CAST(n_pop AS DOUBLE) /
+              CAST(tw.npop_total AS DOUBLE)
+            ELSE CAST($NeymanTarget AS DOUBLE) * wt / tw.t END AS share
         FROM w2, tw),
       b AS (
         SELECT *, CAST(FLOOR(share) AS BIGINT) AS base,

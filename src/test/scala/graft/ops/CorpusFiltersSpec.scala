@@ -251,6 +251,53 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(got("s2") == ((1L, 4L, 2L, 2L, 2.0 / 4)))
   }
 
+  test("ScalaCheck: TVD in [0,1] and equals a JVM replay; simpson bounds hold") {
+    import org.scalacheck.Gen
+    val s = spark
+    import s.implicits._
+    val genDocs = for {
+      k <- Gen.choose(2, 4)
+      docs <- Gen.nonEmptyListOf(for {
+        src <- Gen.choose(0, k - 1)
+        words <- Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
+      } yield (src, words.mkString(" ")))
+    } yield docs
+    (0 until 25).foreach { seed =>
+      genDocs(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed.toLong)).foreach { raw =>
+        val docs = raw.zipWithIndex
+          .map { case ((src, text), i) => (i.toLong, text, s"s$src") }
+          .toDF("doc_id", "text", "source")
+        val tvd = CorpusFilters.sourceDivergenceOf(docs).collect()
+          .map(r => r.getString(0) -> r.getDouble(4)).toMap
+        tvd.values.foreach(v =>
+          assert(v >= 0.0 && v <= 1.0, s"seed $seed: tvd $v out of [0,1]"))
+        // JVM replay: exact distributions per source vs corpus
+        val toks = raw.zipWithIndex.flatMap { case ((src, text), _) =>
+          text.split("\\s+").filter(_.nonEmpty).map(w => (s"s$src", w))
+        }
+        val corpus = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val dTot = toks.size.toLong
+        toks.groupBy(_._1).foreach { case (src, st) =>
+          val c = st.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+          val cTot = st.size.toLong
+          val num = corpus.keys.map { w =>
+            math.abs(c.getOrElse(w, 0L) * dTot - corpus(w) * cTot)
+          }.sum
+          val want = num.toDouble / (2.0 * cTot.toDouble * dTot.toDouble)
+          assert(math.abs(tvd(src) - want) < 1e-12,
+            s"seed $seed $src: tvd ${tvd(src)} != replay $want")
+        }
+        val simp = CorpusFilters.simpsonDiversityOf(docs).collect()
+          .map(r => (r.getLong(2), r.getDouble(4), r.getDouble(5)))
+        simp.foreach { case (vocab, simpson, eff) =>
+          assert(simpson >= 1.0 / vocab - 1e-12 && simpson <= 1.0 + 1e-12)
+          assert(eff <= vocab + 1e-9, s"effective vocab $eff > vocab $vocab")
+        }
+      }
+    }
+  }
+
   test("simpson diversity: hand-computed; template source collapses to 1 effective token") {
     val s = spark
     import s.implicits._

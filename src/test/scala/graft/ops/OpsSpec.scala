@@ -439,6 +439,32 @@ class SamplingSpec extends SparkSpec {
     assert(t2.map(_._2).sum == 7L)
   }
 
+  test("ScalaCheck: neyman allocations are non-negative and sum exactly to target") {
+    import org.scalacheck.Gen
+    val genStrata = for {
+      k <- Gen.choose(1, 5)
+      target <- Gen.choose(1L, 200L)
+      strata <- Gen.listOfN(k, Gen.nonEmptyListOf(Gen.choose(0L, 50L)))
+    } yield (target, strata)
+    (0 until 40).foreach { seed =>
+      genStrata(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed.toLong)).foreach { case (target, strata) =>
+        val docs = strata.zipWithIndex.flatMap { case (lens, si) =>
+          lens.zipWithIndex.map { case (len, di) =>
+            ((si * 1000 + di).toLong, s"s$si", len)
+          }
+        }.toDF("doc_id", "source", "n_chars")
+        val got = Sampling.neymanOf(docs, target).collect()
+          .map(r => r.getString(0) -> r.getLong(3))
+        assert(got.map(_._2).sum == target,
+          s"seed $seed: allocations ${got.toSeq} must sum to $target")
+        assert(got.forall(_._2 >= 0L), s"seed $seed: negative allocation")
+        // all-constant strata (zero weight everywhere) still allocate
+        assert(got.length == strata.length)
+      }
+    }
+  }
+
   test("hash split: deterministic membership, disjoint and complete") {
     val df = (1L to 2000L).toDF("id")
     val once = Sampling.hashSplit(df, "id").collect()
