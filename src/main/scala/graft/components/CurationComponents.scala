@@ -212,3 +212,53 @@ object QualityClassifierGate extends ComponentFactory {
       Cfg.str(c, "input_view"), Cfg.str(c, "output_view"),
       Cfg.longOr(c, "min_score", 0L))
 }
+
+/** Neyman stratified sampler as a pipeline stage: allocates the target
+  * across sources by N_h·S_h over a metric column
+  * ([[graft.ops.Sampling.neymanOf]] semantics), then DRAWS the
+  * allocation deterministically — each source's n_h lowest-md5(doc_id)
+  * docs — so membership is recomputable from ids alone (the sampling
+  * doctrine every other sampler here follows).
+  */
+final class NeymanSample(
+    inputView: String, outputView: String, target: Long)
+  extends DataFlow {
+  val name = s"neyman_sample($outputView)"
+  def run(): Unit = {
+    val docs = spark.table(inputView)
+    val alloc = graft.ops.Sampling.neymanOf(docs, target)
+      .select(col("source"), col("allocation"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    docs
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(w))
+      .join(broadcast(alloc), Seq("source"))
+      .filter(col("__rk") <= col("allocation"))
+      .drop("__rk", "allocation")
+      .createOrReplaceTempView(outputView)
+  }
+}
+object NeymanSample extends ComponentFactory {
+  def fromConfig(c: Map[String, Any]): PipelineComponent =
+    new NeymanSample(
+      Cfg.str(c, "input_view"), Cfg.str(c, "output_view"),
+      Cfg.longOr(c, "target", graft.ops.Sampling.NeymanTarget))
+}
+
+/** Batching-waste report as a pipeline stage: materializes
+  * [[graft.ops.Packing.packBucketWasteOf]] for the view — the
+  * planning artifact a packing stage reads before choosing its window.
+  */
+final class BucketWasteReport(inputView: String, outputView: String)
+  extends DataFlow {
+  val name = s"bucket_waste_report($outputView)"
+  def run(): Unit =
+    graft.ops.Packing.packBucketWasteOf(spark.table(inputView))
+      .createOrReplaceTempView(outputView)
+}
+object BucketWasteReport extends ComponentFactory {
+  def fromConfig(c: Map[String, Any]): PipelineComponent =
+    new BucketWasteReport(
+      Cfg.str(c, "input_view"), Cfg.str(c, "output_view"))
+}

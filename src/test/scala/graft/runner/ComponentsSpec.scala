@@ -147,6 +147,43 @@ class ComponentsSpec extends SparkSpec {
     assert(out(1) == ((2L, 0L, 0L)), "token-less doc scored 0/0")
   }
 
+  test("NeymanSample + BucketWasteReport components: allocation drawn, report materialized") {
+    import spark.implicits._
+    // source a: zero variance (weight 0) -> 0 drawn; b: all budget
+    Seq((1L, "a", 10L, "w w w"), (2L, "a", 10L, "w w"),
+        (3L, "b", 0L, "x"), (4L, "b", 20L, "x y z"))
+      .toDF("doc_id", "source", "n_chars", "text")
+      .createOrReplaceTempView("ny_src")
+    val cfg = ConfigLoader.loadString("""
+      name = neyman-demo
+      components = [
+        { name = draw, component_type = transformation
+          class_path = "graft.components.NeymanSample"
+          config { input_view = ny_src, output_view = ny_out, target = 1 } },
+        { name = waste, component_type = transformation
+          class_path = "graft.components.BucketWasteReport"
+          depends_on = [draw]
+          config { input_view = ny_src, output_view = ny_waste } }
+      ]
+    """)
+    val r = new SimplePipelineRunner(cfg, NoOpHooks, Some(spark)).run()
+    assert(r.status == PipelineStatus.Success)
+    val drawn = spark.table("ny_out")
+      .select($"doc_id", $"source").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    assert(drawn.length == 1 && drawn.head._2 == "b",
+      s"all budget goes to the only positive-variance source: ${drawn.toSeq}")
+    // membership is the md5-rank rule — recomputable, so rerunning draws
+    // the same doc
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = Seq(3L, 4L).minBy(id => (h(id), id))
+    assert(drawn.head._1 == expect)
+    val waste = spark.table("ny_waste").collect()
+    assert(waste.nonEmpty && waste.forall(_.getLong(5) >= 0L))
+  }
+
   test("session wrapper: injected sessions are never stopped; connect gating") {
     val injected = new SessionWrapper(injected = Some(spark))
     assert(!injected.ownsSession)
