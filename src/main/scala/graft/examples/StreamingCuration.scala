@@ -83,6 +83,10 @@ object StreamingCuration {
     // 0f: batching-waste state — the arriving stream's padding-waste
     // report folds additively per length bucket (bucketWasteFromState)
     mergeBucketWasteState(spark, stateDir, batch)
+    // 0g: (source, token) count state — the additive sufficient
+    // statistic for Simpson diversity and source-vs-corpus TVD
+    // (simpsonFromState / divergenceFromState)
+    mergeTokenCountState(spark, stateDir, batch)
 
     // 1–2: redact, gate
     val clean = qualityGate(
@@ -716,6 +720,82 @@ object StreamingCuration {
         (($"n_padded" - $"n_tokens").cast("double") /
           $"n_padded".cast("double")).as("waste_frac"))
       .orderBy($"bucket")
+  }
+
+  /** Fold a batch's (source, token) counts into persistent state —
+    * the additive sufficient statistic for BOTH the Simpson diversity
+    * profile and the source-vs-corpus TVD ([[simpsonFromState]] /
+    * [[divergenceFromState]] equal their one-shot batch ops exactly,
+    * spec-pinned). State is vocabulary×sources rows — the
+    * key-cardinality-bounded regime of [[mergeKeyCountState]]; a
+    * deployment that can't hold its vocabulary swaps in the CMS
+    * register state at the cost of exactness.
+    */
+  def mergeTokenCountState(spark: SparkSession, stateDir: String,
+      batch: DataFrame): Unit = {
+    import spark.implicits._
+    val dir = s"$stateDir/token_counts"
+    val src = if (batch.columns.contains("source")) batch
+      else batch.withColumn("source", lit("stream"))
+    val bc = src
+      .select($"source", explode(filter(
+        split(trim(lower($"text")), "\\s+"), x => length(x) > 0)).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    val merged =
+      if (!new java.io.File(dir).exists()) bc
+      else spark.read.parquet(dir).unionByName(bc)
+        .groupBy($"source", $"w").agg(sum($"c").as("c"))
+    val frozen = merged.localCheckpoint(eager = true)
+    frozen.write.mode("overwrite").parquet(dir)
+  }
+
+  /** Simpson diversity over the accumulated stream — identical columns
+    * to [[graft.ops.CorpusFilters.simpsonDiversityOf]].
+    */
+  def simpsonFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$stateDir/token_counts")
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum($"c" * $"c").as("sumsq"))
+      .select($"source", $"n_tokens", $"vocab", $"sumsq",
+        ($"sumsq".cast("double") /
+          ($"n_tokens".cast("double") * $"n_tokens".cast("double")))
+          .as("simpson"),
+        (($"n_tokens".cast("double") * $"n_tokens".cast("double")) /
+          $"sumsq".cast("double")).as("effective_vocab"))
+      .orderBy("source")
+  }
+
+  /** Source-vs-corpus TVD over the accumulated stream — identical
+    * columns to [[graft.ops.CorpusFilters.sourceDivergenceOf]],
+    * via the same OOV-mass identity over the state counts.
+    */
+  def divergenceFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    val st = spark.read.parquet(s"$stateDir/token_counts")
+      .localCheckpoint(eager = true)
+    val dt = st.groupBy($"w").agg(sum($"c").as("d"))
+    val totals = st.groupBy($"source").agg(sum($"c").as("ctot"))
+    val dTot = dt.agg(coalesce(sum($"d"), lit(0L)).as("dtot"))
+    st.join(dt, "w")
+      .join(totals, "source")
+      .crossJoin(broadcast(dTot))
+      .groupBy($"source")
+      .agg(
+        first($"ctot").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        first($"dtot").as("dtot"),
+        sum(abs($"c" * $"dtot" - $"d" * $"ctot")).as("in_vocab_num"),
+        sum($"d").as("d_in_vocab"))
+      .select($"source", $"n_tokens", $"vocab",
+        ($"in_vocab_num" + $"n_tokens" * ($"dtot" - $"d_in_vocab"))
+          .as("tvd_num"),
+        (($"in_vocab_num" + $"n_tokens" * ($"dtot" - $"d_in_vocab"))
+          .cast("double") /
+          (lit(2.0) * $"n_tokens".cast("double") * $"dtot".cast("double")))
+          .as("tvd"))
+      .orderBy("source")
   }
 
   /** Fold a batch's keys into the persistent KMV sketch state: the k

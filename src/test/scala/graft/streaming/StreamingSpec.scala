@@ -648,6 +648,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental token-count state: simpson and TVD from state == batch ops") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-tokcnt")
+    val folded = work.resolve("folded").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    (0 until 3).foreach { i =>
+      StreamingCuration.mergeTokenCountState(spark, folded,
+        docs.filter(pmod($"doc_id", lit(3)) === i))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(StreamingCuration.simpsonFromState(spark, folded)) ==
+      rows(graft.ops.CorpusFilters.simpsonDiversityOf(docs)),
+      "folded simpson must equal the one-shot batch op")
+    assert(rows(StreamingCuration.divergenceFromState(spark, folded)) ==
+      rows(graft.ops.CorpusFilters.sourceDivergenceOf(docs)),
+      "folded TVD must equal the one-shot batch op")
+  }
+
   test("incremental bucket-waste state: folded report == batch op exactly") {
     import spark.implicits._
     import graft.examples.StreamingCuration
