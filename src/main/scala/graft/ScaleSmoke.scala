@@ -40,7 +40,10 @@ object ScaleSmoke {
     // session-3 heavyweights: dense-graph triangle census, agreement
     // forensics (reruns the LSH chain), component-keyed split, lift
     "sim_triangles", "dedup_method_agreement", "sample_group_split",
-    "q74_basket_lift")
+    "q74_basket_lift",
+    // round-8 heavyweights: component-size histogram (reruns the LSH
+    // chain), cross-split LSH decon, one-pass recall curve
+    "dedup_cluster_sizes", "decon_minhash", "sim_recall_curve")
 
   def ensureSf1(spark: SparkSession, srcDir: String): String =
     ensureScaled(spark, srcDir, Reps, "graft_sf1")

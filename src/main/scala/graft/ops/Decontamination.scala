@@ -193,11 +193,17 @@ object Decontamination {
       threshold: Double = MinhashThreshold): DataFrame = {
     import s.implicits._
     val docs = graft.Tables.t(s, dir, "documents").select($"doc_id", $"text")
-    val evalSets = Dedup.shingleSetsOf(docs.filter(isEval($"doc_id")))
-    val trainSets = Dedup.shingleSetsOf(docs.filter(!isEval($"doc_id")))
-    Dedup.crossCorpusNearDups(evalSets, trainSets, threshold)
-      .select($"a".as("eval_id"), $"b".as("train_id"), $"jaccard")
-      .orderBy("eval_id", "train_id")
+    // shingle the corpus ONCE and split the cached set table — the
+    // shingling pass is the dominant cost and both sides need it
+    val sets = Dedup.shingleSetsOf(docs).cache()
+    try {
+      Dedup.crossCorpusNearDups(
+          sets.filter(isEval($"doc_id")),
+          sets.filter(!isEval($"doc_id")), threshold)
+        .select($"a".as("eval_id"), $"b".as("train_id"), $"jaccard")
+        .orderBy("eval_id", "train_id")
+        .localCheckpoint(eager = true)
+    } finally sets.unpersist()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
