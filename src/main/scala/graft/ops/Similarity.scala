@@ -506,6 +506,38 @@ object Similarity {
   /** How many lowest-centrality vectors [[simOodOutliers]] reports. */
   val OodTopN = 20
 
+  /** Embedding drift monitor: per label, the cosine between the
+    * centroid of the EARLIER half of the corpus (even vec_ids — the
+    * deterministic stand-in for "last month's snapshot") and the LATER
+    * half (odd vec_ids) — the production check that an embedding
+    * model/pipeline change hasn't silently moved a class's centroid
+    * (drift_cos ≈ 1 means stable; a drop flags re-embedding or data
+    * shift). Both centroids are vec_id-ordered folds
+    * ([[centroidsExact]] arithmetic per half), so the whole monitor
+    * replays bit-exactly in SQL.
+    *
+    * 100 TB shape: one scan; each half's fold is the documented
+    * oracle-mode collect_list trade (the UDAF mean is the scale path);
+    * output is one row per label.
+    */
+  def simCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def half(parity: Int) =
+      centroidsExact(emb(s, dir).filter(pmod($"vec_id", lit(2)) === parity))
+    val a = half(0).select($"cent_id", $"cent".as("ca"))
+    val counts = emb(s, dir)
+      .groupBy($"label".as("cent_id"))
+      .agg(
+        sum(when(pmod($"vec_id", lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(pmod($"vec_id", lit(2)) === 1, 1L).otherwise(0L)).as("n_b"))
+    half(1).select($"cent_id", $"cent".as("cb"))
+      .join(a, "cent_id")
+      .join(counts, "cent_id")
+      .select($"cent_id".as("label"), $"n_a", $"n_b",
+        cosine($"ca", $"cb").as("drift_cos"))
+      .orderBy("label")
+  }
+
   /** Out-of-distribution candidates: the corpus vectors LEAST similar
     * to their own nearest centroid — the quantizer-health / data-audit
     * view (a training-data pipeline reviews exactly these rows for
@@ -1772,6 +1804,7 @@ object Similarity {
     "sim_ivf_ann" -> ((s, d) => simIvfANN(s, d)),
     "sim_recall_curve" -> simRecallCurve,
     "sim_ood_outliers" -> ((s, d) => simOodOutliers(s, d)),
+    "sim_centroid_drift" -> simCentroidDrift,
     "dedup_embcos_hist" -> ((s, d) => dedupEmbCosHist(s, d)),
     "sim_sq_ann" -> simSqANN,
     "sim_pq_ann" -> simPqANN,
@@ -2139,6 +2172,39 @@ object Similarity {
         FROM scored)
       SELECT query_id, rk, cand_id, cos FROM rnk WHERE rk <= $TopK
       ORDER BY query_id, rk"""
+    },
+    // per-label half-corpus centroid folds + one cosine — full replay
+    "sim_centroid_drift" -> {
+      def dt(x: String, y: String) =
+        s"list_sum([$x[i] * $y[i] for i in range(1, 65)])"
+      def cosv(x: String, y: String) =
+        s"(${dt(x, y)} / (sqrt(${dt(x, x)}) * sqrt(${dt(y, y)})))"
+      def halfCte(tag: String, parity: Int) = s"""
+      coords_$tag AS (
+        SELECT label, vec_id, i, v[i] AS x
+        FROM e, UNNEST(range(1, 65)) AS u(i)
+        WHERE vec_id % 2 = $parity),
+      cent_$tag AS (
+        SELECT label, list(m ORDER BY i) AS c FROM (
+          SELECT label, i, list_sum(list(x ORDER BY vec_id)) / count(*) AS m
+          FROM coords_$tag GROUP BY label, i)
+        GROUP BY label)"""
+      s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ${halfCte("a", 0)},
+      ${halfCte("b", 1)},
+      counts AS (
+        SELECT label,
+          CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM e GROUP BY label)
+      SELECT ca.label AS label, counts.n_a, counts.n_b,
+        ${cosv("ca.c", "cb.c")} AS drift_cos
+      FROM cent_a ca
+      JOIN cent_b cb ON ca.label = cb.label
+      JOIN counts ON ca.label = counts.label
+      ORDER BY label"""
     },
     // lowest assignment-cosine rows under the same centroid fold
     "sim_ood_outliers" -> {

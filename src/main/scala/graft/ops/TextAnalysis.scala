@@ -1067,7 +1067,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility report: per source, characters-per-BPE-symbol
+    * and symbols-per-word under the corpus's FROZEN merge table — the
+    * multilingual tokenizer-efficiency metric (a language whose
+    * fertility is 2× pays 2× the context budget per character;
+    * tokenizer papers report exactly this table). Rides
+    * [[taBpeEncode]]'s cached per-corpus merges, so the iterative
+    * trainer runs once per corpus fingerprint. Rows-only like every
+    * BPE query (the merge table is an iterative argmax, not
+    * one-SQL-expressible); the arithmetic is integer sums + two IEEE
+    * divisions, spec-pinned on a hand corpus.
+    *
+    * 100 TB shape: the encode pass is the memoized per-partition
+    * kernel; the report is one map-side-combinable per-source
+    * aggregation over its output.
+    */
+  def taFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    taBpeEncode(s, dir)
+      .join(docs.select($"doc_id", $"source",
+        length($"text").cast("long").as("n_chars")), "doc_id")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("n_chars"),
+        sum($"n_words").as("n_words"),
+        sum($"n_syms").as("n_syms"))
+      .select($"source", $"n_docs", $"n_chars", $"n_words", $"n_syms",
+        ($"n_chars".cast("double") / $"n_syms".cast("double"))
+          .as("chars_per_sym"),
+        ($"n_syms".cast("double") / $"n_words".cast("double"))
+          .as("syms_per_word"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // rows-only: derived from the BPE encode (iterative merge table)
+    "ta_fertility" -> ((s, d) => taFertility(s, d)),
     "ta_novelty" -> taNovelty,
     "ta_bm25" -> ((s, d) => taBm25(s, d)),
     "ta_bm25_multi" -> ((s, d) => taBm25Multi(s, d)),

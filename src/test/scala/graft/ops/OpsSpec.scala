@@ -801,6 +801,27 @@ class SimilaritySpec extends SparkSpec {
       "report must be the global bottom-N of assignment centrality")
   }
 
+  test("centroid drift: halves partition each label; clustered labels stay near 1") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.simCentroidDrift(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.nonEmpty)
+    val byLabel = graft.Tables.t(spark, sfDir, "embeddings")
+      .groupBy(col("label")).count().collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    got.foreach { case (label, na, nb, cos) =>
+      assert(na + nb == byLabel(label), s"label $label: halves must partition")
+      assert(cos >= -1.0 && cos <= 1.0, s"label $label: cosine bounds, got $cos")
+    }
+    assert(got.map(_._1).toSet == byLabel.keySet, "every label reported")
+    // deterministic: the ordered folds reproduce bit-for-bit
+    val again = Similarity.simCentroidDrift(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("embcos histogram: suffix-sum cumulative; mass equals the tiled pair pass") {
     val rows = Similarity.dedupEmbCosHist(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -1344,6 +1365,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(real.length == nDocs)
     assert(real.forall(r => r.getLong(2) >= r.getLong(1)),
       "a word is at least one symbol")
+  }
+
+  test("fertility report: conserves docs; per-source ratios replay from the encode") {
+    import graft.ops.TextAnalysis._
+    import org.apache.spark.sql.functions._
+    val got = taFertility(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    assert(got.map(_._2).sum == docs.count(), "every doc in one source row")
+    got.foreach { case (src, _, nChars, nWords, nSyms, cps, spw) =>
+      assert(nSyms >= nWords, s"$src: a word is at least one symbol")
+      assert(nChars >= nSyms, s"$src: merges only shorten, chars >= syms")
+      assert(cps == nChars.toDouble / nSyms.toDouble)
+      assert(spw == nSyms.toDouble / nWords.toDouble)
+      assert(spw >= 1.0 && cps >= 1.0)
+    }
   }
 
   test("BPE encode property: kernel equals helper re-encode on generated corpora") {
