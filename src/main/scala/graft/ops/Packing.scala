@@ -409,7 +409,54 @@ object Packing {
       .orderBy($"bucket")
   }
 
+  /** Epochs / shards for the registered epoch-order query. */
+  val EpochOrderEpochs = 3
+  val EpochOrderShards = 8
+
+  /** Deterministic per-epoch reshuffling — the RNG-free form of the
+    * training loader's shuffle buffer: epoch e assigns every doc a
+    * fresh pseudo-random rank md5("epoch:e:doc"), which yields a
+    * different shard assignment AND intra-shard order each epoch while
+    * staying a pure function of (epoch, doc_id) — any worker can
+    * recompute its shard without a shared RNG state or a global
+    * shuffle service (the same recomputable-membership doctrine as the
+    * samplers). Shard = rank-hash bucket; position = rank within
+    * shard. Summary output (epoch × shard): docs, tokens, and the
+    * first doc in order — enough to pin both the assignment and the
+    * ordering cross-engine without materializing E×N rows in the
+    * artifact.
+    *
+    * 100 TB shape: one scan per epoch fan-out (E is small), one
+    * shuffle on (epoch, shard); ranks are per-(epoch, shard) windows —
+    * entity-bounded. The loader-side full (epoch, doc, shard, pos)
+    * table is the same plan minus the final aggregation.
+    */
+  def packEpochOrder(s: SparkSession, dir: String,
+      epochs: Int = EpochOrderEpochs, shards: Int = EpochOrderShards): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", graft.ops.TextAnalysis.tokenCount($"text").as("n"))
+      .filter($"n" > 0L)
+    val eps = s.range(1, epochs + 1).toDF("epoch")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"epoch", $"shard").orderBy($"rk".asc, $"doc_id".asc)
+    docs.crossJoin(broadcast(eps))
+      .withColumn("rk", md5(concat(lit("epoch:"), $"epoch".cast("string"),
+        lit(":"), $"doc_id".cast("string"))))
+      .withColumn("shard",
+        pmod(conv(substring($"rk", 1, 4), 16, 10).cast("long"),
+          lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy($"epoch", $"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n").as("n_tokens"),
+        min(struct($"pos", $"doc_id")).getField("doc_id").as("first_doc"))
+      .orderBy($"epoch", $"shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_epoch_order" -> ((s, d) => packEpochOrder(s, d)),
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
     "pack_shards" -> ((s, d) => packShards(s, d)),
     "pack_bfd" -> ((s, d) => packBfd(s, d)),
@@ -477,6 +524,32 @@ object Packing {
         JOIN items it ON it.doc_id = a.id)"""
 
   val oracles: Map[String, String] = Map(
+    "pack_epoch_order" -> s"""
+      WITH $tokCte,
+      d AS (SELECT doc_id, n FROM toks WHERE n > 0),
+      ep AS (SELECT CAST(e AS BIGINT) AS epoch
+             FROM UNNEST(range(1, ${EpochOrderEpochs + 1})) AS u(e)),
+      r AS (
+        SELECT d.doc_id, d.n, ep.epoch,
+          md5('epoch:' || ep.epoch || ':' || d.doc_id) AS rk
+        FROM d CROSS JOIN ep),
+      h AS (
+        SELECT *,
+          ((strpos('0123456789abcdef', substr(rk, 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(rk, 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(rk, 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(rk, 4, 1)) - 1))
+            % $EpochOrderShards AS shard
+        FROM r),
+      p AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY epoch, shard
+          ORDER BY rk ASC, doc_id ASC) AS pos
+        FROM h)
+      SELECT epoch, CAST(shard AS BIGINT) AS shard,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n) AS BIGINT) AS n_tokens,
+        CAST(MIN(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS first_doc
+      FROM p GROUP BY epoch, shard ORDER BY epoch, shard""",
     "pack_bucket_waste" -> s"""
       WITH $tokCte,
       b AS (

@@ -350,6 +350,29 @@ class DecontaminationSpec extends SparkSpec {
     }
   }
 
+  test("epoch order: epochs conserve the corpus but permute it; recomputable") {
+    val got = Packing.packEpochOrder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val epochs = got.map(_._1).distinct.sorted
+    assert(epochs.toSeq == (1L to Packing.EpochOrderEpochs).toSeq)
+    // every epoch holds the whole corpus (same doc and token mass)
+    val perEpoch = got.groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._3).sum, rs.map(_._4).sum)).toMap
+    assert(perEpoch.values.toSet.size == 1,
+      s"epochs must conserve the corpus: $perEpoch")
+    // ...but genuinely permute it: shard leaders differ across epochs
+    val leaders = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._5).toSeq).toMap
+    assert(leaders.values.toSet.size > 1,
+      "per-epoch hash must produce different orders")
+    // deterministic: a rerun reproduces the summary exactly
+    val again = Packing.packEpochOrder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("bucket waste: hand-computed buckets, windows, and waste") {
     // token counts: 10 -> bucket 16 (waste 6), 16 -> 16 (waste 0),
     // 100 -> 128 (waste 28), 5000 -> cap 4096, 2 windows (waste 3192);
