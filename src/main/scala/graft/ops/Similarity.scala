@@ -463,7 +463,8 @@ object Similarity {
     import s.implicits._
     val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
     val cents = broadcast(centroidsExact(emb(s, dir)))
-    val k = centroidsExact(emb(s, dir)).count()
+    // centroid count = label count — no need to run the fold for it
+    val k = emb(s, dir).select($"label").distinct().count()
     val wv = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cent_id".asc)
     val assigned = all.crossJoin(cents)
       .select($"vec_id", $"e", $"cent_id", (-cosine($"e", $"cent")).as("d"))
