@@ -244,6 +244,35 @@ class LocalDemoSpec extends SparkSpec {
     assert(overCap == 0L, "no source exceeds its document cap")
   }
 
+  test("sampling pipeline e2e: neyman draw -> waste report -> parquet outputs") {
+    val work = Files.createTempDirectory("graft-sampling-e2e")
+    val sampleOut = work.resolve("sample").toString
+    val wasteOut = work.resolve("waste").toString
+    val conf = Files.readString(
+        java.nio.file.Path.of("examples/sampling_pipeline.conf"))
+      .replace("/tmp/graft_neyman_sample", sampleOut)
+      .replace("/tmp/graft_sample_waste", wasteOut)
+    val cfg = ConfigLoader.loadString(conf)
+    val r = new SimplePipelineRunner(cfg, NoOpHooks, Some(spark)).run()
+    assert(r.status == PipelineStatus.Success,
+      s"pipeline failed: ${r.components.map(c => c.name -> c.error)}")
+    import org.apache.spark.sql.functions._
+    val sample = spark.read.parquet(sampleOut)
+    // the draw hits the configured target exactly (allocations sum to it)
+    assert(sample.count() == 120, s"drew ${sample.count()} docs, want 120")
+    // the draw follows the op-level allocation per source
+    val drawn = sample.groupBy(col("source")).count().collect()
+      .map(rw => rw.getString(0) -> rw.getLong(1)).toMap
+    val alloc = graft.ops.Sampling.neymanOf(
+        graft.Tables.t(spark, "/root/testdata/sf0.001", "documents"), 120L)
+      .collect().map(rw => rw.getString(0) -> rw.getLong(3)).toMap
+    assert(drawn == alloc.filter(_._2 > 0L),
+      s"per-source draw $drawn must match the allocation $alloc")
+    val waste = spark.read.parquet(wasteOut)
+    assert(waste.count() > 0 &&
+      waste.columns.toSet.contains("waste_frac"))
+  }
+
   test("CLI dry-run validates config; bad class path rejected") {
     val good = Files.createTempFile("graft", ".conf")
     Files.writeString(good,
