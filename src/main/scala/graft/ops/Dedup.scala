@@ -865,6 +865,7 @@ object Dedup {
     "dedup_simhash_pairs_portable" -> dedupSimhashPairsPortable,
     "dedup_components" -> dedupComponents,
     "dedup_cluster_sizes" -> dedupClusterSizes,
+    "dedup_shingle_profile" -> dedupShingleProfile,
     "dedup_components_alt" -> dedupComponentsAlternating)
 
   /** DuckDB-side distinct (doc_id, shingle) pairs, mirroring
@@ -950,6 +951,33 @@ object Dedup {
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
     connectedComponents(dedupMinhashLsh(s, dir))
       .orderBy("doc_id")
+
+  /** Document-frequency profile of the shingle space — the evidence
+    * for choosing the blocking df cap ([[NearDupMaxDocFreq]]): per df
+    * band (1, 2–10, 11–100, >100): how many distinct shingles, how
+    * many postings they carry, and the candidate-pair mass
+    * Σ df·(df−1)/2 each band would contribute to an UNCAPPED inverted
+    * index — the band above the cap is exactly the work the cap
+    * avoids. Pure integer arithmetic, one scan → shingle-keyed df agg
+    * → 4-key collapse.
+    */
+  def dedupShingleProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = shingledOf(t(s, dir, "documents").select($"doc_id", $"text"))
+      .groupBy($"sh").agg(count(lit(1)).as("df"))
+    df.select(
+        when($"df" === 1L, "1").when($"df" <= 10L, "2-10")
+          .when($"df" <= 100L, "11-100").otherwise(">100").as("df_band"),
+        $"df")
+      .groupBy($"df_band")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum($"df").as("n_postings"),
+        // Column `/` is DOUBLE division — sum the (always even) integer
+        // products and halve once, floor-cast back to the exact long
+        floor(sum($"df" * ($"df" - 1L)) / 2.0).cast("long").as("pair_mass"))
+      .orderBy("df_band")
+  }
 
   /** Cluster-size histogram over the near-dup components — the
     * dedup-planning summary: how many clusters of each size, how many
@@ -1133,6 +1161,18 @@ object Dedup {
     // per node via a recursive CTE — DuckDB's answer to what the Spark
     // side computes with iterative min-label propagation
     "dedup_components" -> componentsOracle,
+    "dedup_shingle_profile" -> s"""
+      WITH $shingleCte,
+      dft AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY sh),
+      banded AS (
+        SELECT CASE WHEN df = 1 THEN '1' WHEN df <= 10 THEN '2-10'
+                    WHEN df <= 100 THEN '11-100' ELSE '>100' END AS df_band,
+          df
+        FROM dft)
+      SELECT df_band, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        CAST(SUM(df) AS BIGINT) AS n_postings,
+        CAST(SUM(df * (df - 1)) // 2 AS BIGINT) AS pair_mass
+      FROM banded GROUP BY df_band ORDER BY df_band""",
     // size histogram over the INDEPENDENTLY re-derived components
     // (all-pairs jaccard + recursive CTE), singletons via left join
     "dedup_cluster_sizes" -> s"""

@@ -507,6 +507,23 @@ object Similarity {
   /** How many lowest-centrality vectors [[simOodOutliers]] reports. */
   val OodTopN = 20
 
+  /** Embedding-norm health histogram: vectors per floor(‖v‖·10)/10
+    * band — the ingest check that catches unnormalized batches, zero
+    * vectors, and scale drift BEFORE they poison cosine pipelines (a
+    * unit-normalized corpus collapses into the 1.0 band; a stray raw
+    * batch shows up as mass elsewhere). Norm = sqrt of the
+    * left-to-right self-dot (the proven fold), band = one IEEE
+    * product + floor ⇒ hash-exact counts.
+    */
+  def simNormHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    emb(s, dir)
+      .select(floor(norm(asDouble($"embedding")) * 10).cast("long")
+        .as("norm_band"))
+      .groupBy($"norm_band").agg(count(lit(1)).as("n_vecs"))
+      .orderBy($"norm_band")
+  }
+
   /** Embedding drift monitor: per label, the cosine between the
     * centroid of the EARLIER half of the corpus (even vec_ids — the
     * deterministic stand-in for "last month's snapshot") and the LATER
@@ -1806,6 +1823,7 @@ object Similarity {
     "sim_recall_curve" -> simRecallCurve,
     "sim_ood_outliers" -> ((s, d) => simOodOutliers(s, d)),
     "sim_centroid_drift" -> simCentroidDrift,
+    "sim_norm_hist" -> simNormHist,
     "dedup_embcos_hist" -> ((s, d) => dedupEmbCosHist(s, d)),
     "sim_sq_ann" -> simSqANN,
     "sim_pq_ann" -> simPqANN,
@@ -2174,6 +2192,14 @@ object Similarity {
       SELECT query_id, rk, cand_id, cos FROM rnk WHERE rk <= $TopK
       ORDER BY query_id, rk"""
     },
+    "sim_norm_hist" -> """
+      WITH n AS (
+        SELECT CAST(FLOOR(sqrt(list_sum(
+          [CAST(embedding AS DOUBLE[])[i] * CAST(embedding AS DOUBLE[])[i]
+           for i in range(1, 65)])) * 10) AS BIGINT) AS norm_band
+        FROM embeddings)
+      SELECT norm_band, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM n GROUP BY norm_band ORDER BY norm_band""",
     // per-label half-corpus centroid folds + one cosine — full replay
     "sim_centroid_drift" -> {
       def dt(x: String, y: String) =

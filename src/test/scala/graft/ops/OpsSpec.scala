@@ -16,6 +16,23 @@ class DedupSpec extends SparkSpec {
     assert(m(3L) == Seq("x x x")) // distinct collapses repeats
   }
 
+  test("shingle profile: bands partition the shingle space; pair mass replays") {
+    import org.apache.spark.sql.functions._
+    val got = Dedup.dedupShingleProfile(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // independent replay from the raw shingle table
+    val dfs = Dedup.shingledOf(
+        graft.Tables.t(spark, sfDir, "documents").select(col("doc_id"), col("text")))
+      .groupBy(col("sh")).count().collect().map(_.getLong(1))
+    assert(got.map(_._2).sum == dfs.length, "bands partition distinct shingles")
+    assert(got.map(_._3).sum == dfs.sum, "postings conserve")
+    val wantPairMass = dfs.map(d => d * (d - 1) / 2).sum
+    assert(got.map(_._4).sum == wantPairMass, "uncapped pair mass replays")
+    // the fixture corpus has repeated shingles -> at least two bands
+    assert(got.length >= 2, s"degenerate profile: ${got.toSeq}")
+  }
+
   test("cluster sizes: histogram conserves docs; multi-clusters match components") {
     val nDocs = graft.Tables.t(spark, sfDir, "documents").count()
     val hist = Dedup.dedupClusterSizes(spark, sfDir).collect()
@@ -799,6 +816,20 @@ class SimilaritySpec extends SparkSpec {
       .sortBy(x => x).take(Similarity.OodTopN)
     assert(got.map(r => (r._3, r._1)).toSeq == best.toSeq,
       "report must be the global bottom-N of assignment centrality")
+  }
+
+  test("norm histogram: conserves vectors; bands replay from JVM norms") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.simNormHist(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    assert(got.values.sum == vecs.length)
+    val want = vecs
+      .map(v => math.floor(math.sqrt(Similarity.dotArr(v, v)) * 10).toLong)
+      .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    assert(got == want, s"bands must replay: got $got want $want")
   }
 
   test("centroid drift: halves partition each label; clustered labels stay near 1") {
