@@ -87,6 +87,9 @@ object StreamingCuration {
     // statistic for Simpson diversity and source-vs-corpus TVD
     // (simpsonFromState / divergenceFromState)
     mergeTokenCountState(spark, stateDir, batch)
+    // 0h: vocabulary-growth state — the live Heaps curve over arrival
+    // order (heapsCurveFromState)
+    mergeVocabGrowthState(spark, stateDir, batch)
 
     // 1–2: redact, gate
     val clean = qualityGate(
@@ -720,6 +723,67 @@ object StreamingCuration {
         (($"n_padded" - $"n_tokens").cast("double") /
           $"n_padded".cast("double")).as("waste_frac"))
       .orderBy($"bucket")
+  }
+
+  /** Fold a batch into the vocabulary-growth state — the LIVE Heaps
+    * curve: state is (w, first_gpos) minima over the stream's global
+    * token positions plus the running token total, so
+    * [[heapsCurveFromState]] reports vocabulary-vs-token-mass deciles
+    * over everything that ever arrived without a rescan. Positions are
+    * assigned arrival-order-globally (previous total + batch-local
+    * doc_id-ordered prefix), so feeding doc_id-ordered batches folds
+    * to EXACTLY the one-shot [[graft.ops.CorpusFilters.heapsCurveOf]]
+    * (spec-pinned); min-merge makes re-seen tokens free.
+    */
+  def mergeVocabGrowthState(spark: SparkSession, stateDir: String,
+      batch: DataFrame): Unit = {
+    import spark.implicits._
+    val dir = s"$stateDir/vocab_first"
+    val totFile = new java.io.File(s"$stateDir/vocab_total.txt")
+    val prevTotal =
+      if (totFile.exists())
+        new String(java.nio.file.Files.readAllBytes(totFile.toPath)).trim.toLong
+      else 0L
+    val tk = batch.select($"doc_id", posexplode(filter(
+        split(trim(lower($"text")), "\\s+"), x => length(x) > 0))
+      .as(Seq("pos", "w")))
+    val cnts = tk.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true)
+    val wDoc = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = cnts.select($"doc_id",
+      coalesce(sum($"n").over(wDoc), lit(0L)).as("off"))
+    val firstB = tk.join(offs, "doc_id")
+      .select($"w", (lit(prevTotal) + $"off" + $"pos" + 1L).as("f"))
+      .groupBy($"w").agg(min($"f").as("f"))
+    val merged =
+      if (!new java.io.File(dir).exists()) firstB
+      else spark.read.parquet(dir).unionByName(firstB)
+        .groupBy($"w").agg(min($"f").as("f"))
+    val frozen = merged.localCheckpoint(eager = true)
+    frozen.write.mode("overwrite").parquet(dir)
+    val batchTokens = cnts.agg(coalesce(sum($"n"), lit(0L))).as[Long].head()
+    java.nio.file.Files.write(totFile.toPath,
+      (prevTotal + batchTokens).toString.getBytes("UTF-8"))
+  }
+
+  /** The accumulated-stream Heaps curve — identical columns to the
+    * batch [[graft.ops.CorpusFilters.heapsCurveOf]].
+    */
+  def heapsCurveFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    val total = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$stateDir/vocab_total.txt").toPath)).trim.toLong
+    val firstOcc = spark.read.parquet(s"$stateDir/vocab_first")
+    val dec = spark.range(1, 11).toDF("decile")
+      .withColumn("tokens_seen",
+        floor((lit(total) * $"decile" + lit(9L)) / 10.0).cast("long"))
+    dec.join(firstOcc, $"f" <= $"tokens_seen")
+      .groupBy($"decile", $"tokens_seen")
+      .agg(count(lit(1)).as("vocab"))
+      .select($"decile", $"tokens_seen", $"vocab",
+        ($"vocab".cast("double") / $"tokens_seen".cast("double")).as("ttr"))
+      .orderBy($"decile")
   }
 
   /** Fold a batch's (source, token) counts into persistent state —

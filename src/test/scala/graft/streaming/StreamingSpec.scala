@@ -648,6 +648,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental vocab-growth state: doc_id-ordered folds == one-shot Heaps curve") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-vocab")
+    val folded = work.resolve("folded").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    // arrival order == doc_id order: three contiguous id slices
+    val n = docs.count()
+    val cuts = Seq((0L, n / 3), (n / 3, 2 * n / 3), (2 * n / 3, n + 1))
+    cuts.foreach { case (lo, hi) =>
+      StreamingCuration.mergeVocabGrowthState(spark, folded,
+        docs.filter($"doc_id" >= lo && $"doc_id" < hi))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(StreamingCuration.heapsCurveFromState(spark, folded)) ==
+      rows(graft.ops.CorpusFilters.heapsCurveOf(docs)),
+      "streamed Heaps curve must equal the one-shot batch op")
+  }
+
   test("incremental token-count state: simpson and TVD from state == batch ops") {
     import spark.implicits._
     import graft.examples.StreamingCuration
