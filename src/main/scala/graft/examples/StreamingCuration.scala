@@ -90,6 +90,10 @@ object StreamingCuration {
     // 0h: vocabulary-growth state — the live Heaps curve over arrival
     // order (heapsCurveFromState)
     mergeVocabGrowthState(spark, stateDir, batch)
+    // 0i: embedding-norm health bands, when the stream carries vectors
+    // (normHistFromState)
+    if (batch.columns.contains("embedding"))
+      mergeNormHistState(spark, stateDir, batch)
 
     // 1–2: redact, gate
     val clean = qualityGate(
@@ -723,6 +727,39 @@ object StreamingCuration {
         (($"n_padded" - $"n_tokens").cast("double") /
           $"n_padded".cast("double")).as("waste_frac"))
       .orderBy($"bucket")
+  }
+
+  /** Fold a batch of embedding vectors into the persistent norm-band
+    * state — additive per-band counts of
+    * [[graft.ops.Similarity.simNormHist]] semantics, so an
+    * unnormalized or zero-vector batch shows up in the accumulated
+    * histogram the moment it arrives. Folded == one-shot by
+    * arithmetic (spec-pinned); state is a handful of band rows.
+    * Callers pass the batch's (embedding: array<float|double>) frame.
+    */
+  def mergeNormHistState(spark: SparkSession, stateDir: String,
+      vecs: DataFrame): Unit = {
+    import spark.implicits._
+    val dir = s"$stateDir/norm_hist"
+    val bs = vecs.select(
+        floor(graft.ops.Similarity.norm(
+          col("embedding").cast("array<double>")) * 10)
+          .cast("long").as("norm_band"))
+      .groupBy($"norm_band").agg(count(lit(1)).as("n_vecs"))
+    val merged =
+      if (!new java.io.File(dir).exists()) bs
+      else spark.read.parquet(dir).unionByName(bs)
+        .groupBy($"norm_band").agg(sum($"n_vecs").as("n_vecs"))
+    val frozen = merged.localCheckpoint(eager = true)
+    frozen.coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** The accumulated norm histogram — identical columns to the batch
+    * [[graft.ops.Similarity.simNormHist]].
+    */
+  def normHistFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$stateDir/norm_hist").orderBy($"norm_band")
   }
 
   /** Fold a batch into the vocabulary-growth state — the LIVE Heaps

@@ -648,6 +648,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental norm-hist state: folded bands == one-shot histogram") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-normhist")
+    val folded = work.resolve("folded").toString
+    val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+    (0 until 3).foreach { i =>
+      StreamingCuration.mergeNormHistState(spark, folded,
+        vecs.filter(pmod($"vec_id", lit(3)) === i))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(StreamingCuration.normHistFromState(spark, folded)) ==
+      rows(graft.ops.Similarity.simNormHist(spark, sfDir)),
+      "additive band fold must equal the one-shot histogram")
+  }
+
   test("incremental vocab-growth state: doc_id-ordered folds == one-shot Heaps curve") {
     import spark.implicits._
     import graft.examples.StreamingCuration
