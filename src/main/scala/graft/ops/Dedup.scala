@@ -859,6 +859,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "dedup_containment" -> ((s, d) => dedupContainment(s, d)),
     "dedup_editdist" -> ((s, d) => dedupEditDistance(s, d)),
+    // rows-only pair: Spark-hash simhash bits (the md5-portable twins
+    // dedup_simhash_portable/_pairs_portable carry the full oracles)
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_simhash_portable" -> dedupSimhashPortable,

@@ -1123,6 +1123,8 @@ object TextAnalysis {
     "ta_langid" -> taLangId,
     "ta_fingerprint" -> taFingerprint,
     "ta_bpe_tokens" -> taBpeTokens,
+    // rows-only: JVM-hash winnow fingerprints (the md5-portable twin
+    // ta_winnow_portable carries the full oracle)
     "ta_winnow" -> taWinnow,
     "ta_winnow_portable" -> taWinnowPortable,
     "dedup_winnow_pairs" -> dedupWinnowPairs,
