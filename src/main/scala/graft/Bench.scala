@@ -61,12 +61,11 @@ object Bench {
     val results = measured.head.indices.map { i =>
       measured.head(i)._1 -> measured.map(_(i)._2).min
     }
-    // The driver stores only the LAST ~2KB of output, cutting the line
-    // from the FRONT once the query count outgrows the window. Degrade
-    // gracefully: one valid JSON line (key order is free in JSON), with
-    // the queries map sorted by ASCENDING duration so truncation eats
-    // the cheapest entries first, and the suite total at the very END
-    // so it always survives. Millisecond precision.
+    // The FULL per-query line (written to BENCH_full_local.json below,
+    // never to stdout — see the r7 post-mortem there) keeps its
+    // ASCENDING-duration key order and total-at-the-end layout so any
+    // bounded tail of the FILE still ends with the headline entries and
+    // the suite total. Millisecond precision.
     // streaming throughput row: a short SATURATED rate → transform →
     // parquet run (source faster than sink capacity, so the figure
     // reflects capacity, not the source), measured through the same
