@@ -488,7 +488,70 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Number of bootstrap replicates for the registered query. */
+  val BootstrapReplicates = 3
+
+  /** Cumulative Poisson(1) probabilities as 32-hex-digit thresholds
+    * over the md5 space — floor(C_k · 16³²) rendered in hex, so a
+    * replicate count is pure STRING comparison (the [[splitColumn]]
+    * idiom): k(doc, b) = |{j : md5("boot:b:doc") ≥ t_j}|, capped at 8.
+    * No float ever enters the draw, so both engines agree exactly.
+    * Computed once from the e⁻¹ decimal constant under DECIMAL128.
+    */
+  lazy val PoissonCumHex: Seq[String] = {
+    val eInv = BigDecimal("0.3678794411714423215955237701614608674458")
+    val fact = Seq(1, 1, 2, 6, 24, 120, 720, 5040)
+    fact.scanLeft(BigDecimal(0)) { (acc, f) => acc + eInv / BigDecimal(f) }
+      .tail
+      .map { c =>
+        val n = (c * BigDecimal(BigInt(16).pow(32))).toBigInt
+        val hx = n.toString(16)
+        ("0" * (32 - hx.length)) + hx
+      }
+  }
+
+  /** Poisson bootstrap over the corpus (Chamandy et al. 2012 — the
+    * standard way to put uncertainty bars on massive-data statistics
+    * without resampling rows): replicate b draws each doc
+    * k ~ Poisson(1) times, with k derived DETERMINISTICALLY from
+    * md5("boot:b:doc") against the [[PoissonCumHex]] thresholds — any
+    * worker recomputes its replicate membership from ids alone, the
+    * recomputable-membership doctrine. Per replicate: docs, dropped
+    * (k=0) docs, total draws, and the replicate's weighted mean doc
+    * length — the spread ACROSS replicates is the bootstrap standard
+    * error of the corpus mean. Integer sums + one IEEE division per
+    * replicate ⇒ hash-exact.
+    *
+    * 100 TB shape: one scan fanned out ×B (B small), per-replicate
+    * map-side-combinable sums; no shuffle of doc rows at all.
+    */
+  def samplePoissonBootstrap(s: SparkSession, dir: String,
+      replicates: Int = BootstrapReplicates): DataFrame = {
+    import s.implicits._
+    val reps = s.range(1, replicates + 1).toDF("b")
+    val h = md5(concat(lit("boot:"), $"b".cast("string"), lit(":"),
+      $"doc_id".cast("string")))
+    val k = PoissonCumHex.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(h >= t, 1L).otherwise(0L)
+    }
+    t(s, dir, "documents")
+      .select($"doc_id", $"n_chars")
+      .crossJoin(broadcast(reps))
+      .select($"b", $"n_chars", k.as("k"))
+      .groupBy($"b")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"k" === 0L, 1L).otherwise(0L)).as("n_dropped"),
+        sum($"k").as("total_draws"),
+        sum($"k" * $"n_chars").as("drawn_chars"))
+      .select($"b", $"n_docs", $"n_dropped", $"total_draws",
+        ($"drawn_chars".cast("double") / $"total_draws".cast("double"))
+          .as("mean_chars"))
+      .orderBy($"b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_poisson_bootstrap" -> ((s, d) => samplePoissonBootstrap(s, d)),
     "sample_neyman" -> ((s, d) => sampleNeyman(s, d)),
     "sample_group_split" -> sampleGroupSplit,
     "sample_kcenter" -> ((s, d) => sampleKCenter(s, d)),
@@ -499,6 +562,28 @@ object Sampling {
     "sample_cap_per_source" -> ((s, d) => capPerSourceSummary(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // hex-threshold Poisson draws replay as plain string comparisons
+    "sample_poisson_bootstrap" -> {
+      val kExpr = PoissonCumHex
+        .map(t => s"(CASE WHEN h >= '$t' THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH reps AS (SELECT CAST(b AS BIGINT) AS b
+                    FROM UNNEST(range(1, ${BootstrapReplicates + 1})) AS u(b)),
+      hashed AS (
+        SELECT reps.b, d.n_chars,
+          md5('boot:' || reps.b || ':' || d.doc_id) AS h
+        FROM documents d CROSS JOIN reps),
+      keyed AS (
+        SELECT b, n_chars, CAST($kExpr AS BIGINT) AS k
+        FROM hashed)
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        CAST(SUM(k) AS BIGINT) AS total_draws,
+        CAST(SUM(k * n_chars) AS DOUBLE) /
+          CAST(SUM(k) AS DOUBLE) AS mean_chars
+      FROM keyed GROUP BY b ORDER BY b"""
+    },
     // exact-integer moments -> spelled IEEE stddev/share chain ->
     // largest-remainder integer rounding; the weight normalizer folds
     // in source order (list_sum(list(...)), the proven idiom)

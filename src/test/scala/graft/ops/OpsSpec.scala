@@ -456,6 +456,39 @@ class SamplingSpec extends SparkSpec {
     assert(t2.map(_._2).sum == 7L)
   }
 
+  test("poisson bootstrap: draws near n per replicate; JVM threshold replay") {
+    val got = Sampling.samplePoissonBootstrap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.length == Sampling.BootstrapReplicates)
+    val n = graft.Tables.t(spark, sfDir, "documents").count()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def kOf(b: Long, id: Long): Long = {
+      val hx = md.digest(s"boot:$b:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Sampling.PoissonCumHex.count(t => hx >= t).toLong
+    }
+    val chars = graft.Tables.t(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    got.foreach { case (b, nDocs, nDropped, draws, mean) =>
+      assert(nDocs == n)
+      // full JVM replay of the hex-threshold draw
+      val ks = chars.map { case (id, nc) => (kOf(b, id), nc) }
+      assert(draws == ks.map(_._1).sum, s"replicate $b draws mismatch")
+      assert(nDropped == ks.count(_._1 == 0L))
+      val wantMean = ks.map { case (k, nc) => k * nc }.sum.toDouble /
+        ks.map(_._1).sum.toDouble
+      assert(mean == wantMean, s"replicate $b mean mismatch")
+      // E[draws] = n, sd = sqrt(n): stay within ~4 sigma of Poisson mass
+      assert(math.abs(draws - n) < 4 * math.sqrt(n.toDouble) + 8,
+        s"replicate $b drew $draws of $n")
+    }
+    // replicate draws are genuinely different
+    assert(got.map(_._4).distinct.length > 1, "replicates must differ")
+  }
+
   test("ScalaCheck: neyman allocations are non-negative and sum exactly to target") {
     import org.scalacheck.Gen
     val genStrata = for {
