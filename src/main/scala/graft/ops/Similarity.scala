@@ -524,6 +524,34 @@ object Similarity {
       .orderBy($"norm_band")
   }
 
+  /** Label-noise detector: the near-dup pairs (cosine ≥ 0.40, the
+    * tiled exact pass) grouped by their LABEL pair — mass on the
+    * off-diagonal is vectors that are nearly identical yet labeled
+    * differently, the classic mislabeling/taxonomy-overlap signal a
+    * training-data audit reviews before trusting the labels
+    * (same-label mass is ordinary intra-class redundancy). Cheap: one
+    * re-aggregation + two id-keyed label joins over pairs already
+    * mined; all-integer counts + one IEEE share division.
+    */
+  def simLabelConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = emb(s, dir).select($"vec_id", $"label")
+    val pairs = dedupEmbCosineTiled(s, dir, numBlocks = 8)
+      .join(labels.select($"vec_id".as("a"), $"label".as("la")), "a")
+      .join(labels.select($"vec_id".as("b"), $"label".as("lb")), "b")
+      .select(least($"la", $"lb").as("label_a"),
+        greatest($"la", $"lb").as("label_b"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    pairs.groupBy($"label_a", $"label_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("total", sum($"n_pairs").over(w))
+      .select($"label_a", $"label_b", $"n_pairs",
+        ($"label_a" =!= $"label_b").as("cross_label"),
+        ($"n_pairs".cast("double") / $"total".cast("double")).as("share"))
+      .orderBy($"label_a", $"label_b")
+  }
+
   /** Embedding drift monitor: per label, the cosine between the
     * centroid of the EARLIER half of the corpus (even vec_ids — the
     * deterministic stand-in for "last month's snapshot") and the LATER
@@ -1824,6 +1852,7 @@ object Similarity {
     "sim_ood_outliers" -> ((s, d) => simOodOutliers(s, d)),
     "sim_centroid_drift" -> simCentroidDrift,
     "sim_norm_hist" -> simNormHist,
+    "sim_label_confusion" -> simLabelConfusion,
     "dedup_embcos_hist" -> ((s, d) => dedupEmbCosHist(s, d)),
     "sim_sq_ann" -> simSqANN,
     "sim_pq_ann" -> simPqANN,
@@ -2192,6 +2221,22 @@ object Similarity {
       SELECT query_id, rk, cand_id, cos FROM rnk WHERE rk <= $TopK
       ORDER BY query_id, rk"""
     },
+    "sim_label_confusion" -> s"""
+      WITH pairs AS (
+        SELECT x.vec_id AS a, y.vec_id AS b, x.label AS la, y.label AS lb
+        FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        WHERE ${duckCos("x.embedding", "y.embedding")} >= 0.40),
+      keyed AS (
+        SELECT LEAST(la, lb) AS label_a, GREATEST(la, lb) AS label_b
+        FROM pairs),
+      agg AS (
+        SELECT label_a, label_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM keyed GROUP BY label_a, label_b),
+      tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t FROM agg)
+      SELECT label_a, label_b, n_pairs,
+        label_a <> label_b AS cross_label,
+        CAST(n_pairs AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share
+      FROM agg, tot ORDER BY label_a, label_b""",
     "sim_norm_hist" -> """
       WITH n AS (
         SELECT CAST(FLOOR(sqrt(list_sum(

@@ -851,6 +851,21 @@ class SimilaritySpec extends SparkSpec {
       "report must be the global bottom-N of assignment centrality")
   }
 
+  test("label confusion: conserves mined pairs; shares form a distribution") {
+    val got = Similarity.simLabelConfusion(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getLong(2), r.getBoolean(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    assert(got.map(_._3).sum ==
+      Similarity.dedupEmbCosineTiled(spark, sfDir, numBlocks = 8).count(),
+      "every mined pair lands in one label cell")
+    got.foreach { case (a, b, _, cross, _) =>
+      assert(a <= b, "label pair must be canonicalized")
+      assert(cross == (a != b))
+    }
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-12)
+  }
+
   test("norm histogram: conserves vectors; bands replay from JVM norms") {
     import org.apache.spark.sql.functions._
     val got = Similarity.simNormHist(spark, sfDir).collect()
