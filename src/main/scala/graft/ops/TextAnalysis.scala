@@ -1082,6 +1082,49 @@ object TextAnalysis {
     * kernel; the report is one map-side-combinable per-source
     * aggregation over its output.
     */
+  /** DuckDB replay of the n-gram-profile language id, shared by the
+    * ta_langid oracle and the confusion-matrix oracle.
+    */
+  private lazy val langIdOracleSql: String = {
+    val scores = langProfiles.map { case (l, ws) =>
+      l -> hitsSql("\\b(" + ws.mkString("|") + ")\\b")
+    }
+    val scoreSel = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+    val best = "GREATEST(" + scores.map(x => "s_" + x._1).mkString(", ") + ")"
+    val cases = scores.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""
+      SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+      FROM (SELECT *, $best AS best
+            FROM (SELECT doc_id, $scoreSel FROM documents))
+      ORDER BY doc_id"""
+  }
+
+  /** Language-metadata audit: declared `lang` column vs the n-gram
+    * language id, as an agreement matrix — off-diagonal mass is
+    * mislabeled or code-mixed metadata, the check a multilingual
+    * pipeline runs before trusting upstream language tags for mixing
+    * or filtering decisions. Integer counts + one IEEE share division.
+    *
+    * 100 TB shape: one scan through the langid expression chain → a
+    * (declared, detected)-keyed map-side-combinable aggregation.
+    */
+  def taLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    t(s, dir, "documents")
+      .select($"lang".as("lang_declared"), langId($"text").as("lang_pred"))
+      .groupBy($"lang_declared", $"lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum($"n_docs").over(w))
+      .select($"lang_declared", $"lang_pred", $"n_docs",
+        ($"lang_declared" =!= $"lang_pred").as("mismatch"),
+        ($"n_docs".cast("double") / $"total".cast("double")).as("share"))
+      .orderBy("lang_declared", "lang_pred")
+  }
+
   def taFertility(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
@@ -1121,6 +1164,7 @@ object TextAnalysis {
     "ta_quality" -> taQuality,
     "ta_gopher_rules" -> taGopherRules,
     "ta_langid" -> taLangId,
+    "ta_lang_confusion" -> taLangConfusion,
     "ta_fingerprint" -> taFingerprint,
     "ta_bpe_tokens" -> taBpeTokens,
     // rows-only: JVM-hash winnow fingerprints (the md5-portable twin
@@ -1360,21 +1404,21 @@ object TextAnalysis {
         (n_tokens >= 5 AND n_tokens <= 10000
           AND CAST(nonalpha AS DOUBLE) / GREATEST(CAST(length(text) AS BIGINT), 1) < 0.3) AS quality_ok
       FROM base ORDER BY doc_id""",
-    "ta_langid" -> {
-      val scores = langProfiles.map { case (l, ws) =>
-        l -> hitsSql("\\b(" + ws.mkString("|") + ")\\b")
-      }
-      val scoreSel = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
-      val best = "GREATEST(" + scores.map(x => "s_" + x._1).mkString(", ") + ")"
-      val cases = scores.map { case (l, _) =>
-        s"WHEN s_$l = best AND best > 0 THEN '$l'"
-      }.mkString(" ")
-      s"""
-      WITH sc AS (SELECT doc_id, $scoreSel FROM documents),
-      mx AS (SELECT *, $best AS best FROM sc)
-      SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
-      FROM mx ORDER BY doc_id"""
-    },
+    "ta_langid" -> langIdOracleSql,
+    // declared-vs-detected agreement matrix over the same langid CTE
+    "ta_lang_confusion" -> s"""
+      WITH pred AS ($langIdOracleSql),
+      joined AS (
+        SELECT d.lang AS lang_declared, p.lang_pred
+        FROM documents d JOIN pred p ON d.doc_id = p.doc_id),
+      agg AS (
+        SELECT lang_declared, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM joined GROUP BY lang_declared, lang_pred),
+      tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM agg)
+      SELECT lang_declared, lang_pred, n_docs,
+        lang_declared <> lang_pred AS mismatch,
+        CAST(n_docs AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share
+      FROM agg, tot ORDER BY lang_declared, lang_pred""",
     "ta_gopher_rules" -> {
       val stopTerms = GopherStops.map(w =>
         s"CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END")

@@ -1446,6 +1446,20 @@ class TextAnalysisSpec extends SparkSpec {
       "a word is at least one symbol")
   }
 
+  test("lang confusion: conserves docs; matrix equals a langid join replay") {
+    import org.apache.spark.sql.functions._
+    val got = TextAnalysis.taLangConfusion(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    assert(got.values.sum == docs.count(), "every doc in one matrix cell")
+    // independent replay: join the registered langid output to lang
+    val want = TextAnalysis.taLangId(spark, sfDir)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("lang_pred")).count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
   test("fertility report: conserves docs; per-source ratios replay from the encode") {
     import graft.ops.TextAnalysis._
     import org.apache.spark.sql.functions._
