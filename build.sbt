@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench stdout protocol (driver parses the LAST stdout line as JSON):
+// sbt must not decorate the forked run's output. StdoutOutput inherits
+// the forked JVM's stdout/stderr directly — no "[info] " prefix on the
+// summary JSON line — and showSuccess := false kills the trailing
+// "[success] Total time: ..." banner, so the bare summary JSON printed
+// by graft.Bench is the final line on sbt's stdout.
+ThisBuild / showSuccess := false
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
