@@ -776,11 +776,19 @@ object StreamingCuration {
       batch: DataFrame): Unit = {
     import spark.implicits._
     val dir = s"$stateDir/vocab_first"
-    val totFile = new java.io.File(s"$stateDir/vocab_total.txt")
+    // State is ONE parquet table: token rows (w, first_gpos) plus a
+    // reserved row w = "" whose f carries the running token total —
+    // "" can never be a token (whitespace split + length>0 filter), so
+    // a single overwrite commits positions AND total together. The
+    // former two-file layout (parquet + vocab_total.txt) could crash
+    // between the writes and leave positions computed against a stale
+    // total, corrupting every later batch's global positions
+    // (ADVICE r8 #3).
+    val exists = new java.io.File(dir).exists()
     val prevTotal =
-      if (totFile.exists())
-        new String(java.nio.file.Files.readAllBytes(totFile.toPath)).trim.toLong
-      else 0L
+      if (!exists) 0L
+      else spark.read.parquet(dir).filter($"w" === "")
+        .agg(coalesce(max($"f"), lit(0L))).as[Long].head()
     val tk = batch.select($"doc_id", posexplode(filter(
         split(trim(lower($"text")), "\\s+"), x => length(x) > 0))
       .as(Seq("pos", "w")))
@@ -793,28 +801,31 @@ object StreamingCuration {
     val firstB = tk.join(offs, "doc_id")
       .select($"w", (lit(prevTotal) + $"off" + $"pos" + 1L).as("f"))
       .groupBy($"w").agg(min($"f").as("f"))
-    val merged =
-      if (!new java.io.File(dir).exists()) firstB
-      else spark.read.parquet(dir).unionByName(firstB)
+    val batchTokens = cnts.agg(coalesce(sum($"n"), lit(0L))).as[Long].head()
+    val tokens =
+      if (!exists) firstB
+      else spark.read.parquet(dir).filter($"w" =!= "").unionByName(firstB)
         .groupBy($"w").agg(min($"f").as("f"))
+    val merged = tokens.unionByName(
+      Seq(("", prevTotal + batchTokens)).toDF("w", "f"))
     val frozen = merged.localCheckpoint(eager = true)
     frozen.write.mode("overwrite").parquet(dir)
-    val batchTokens = cnts.agg(coalesce(sum($"n"), lit(0L))).as[Long].head()
-    java.nio.file.Files.write(totFile.toPath,
-      (prevTotal + batchTokens).toString.getBytes("UTF-8"))
   }
 
   /** The accumulated-stream Heaps curve — identical columns to the
-    * batch [[graft.ops.CorpusFilters.heapsCurveOf]].
+    * batch [[graft.ops.CorpusFilters.heapsCurveOf]]. The running total
+    * comes from the state's reserved w = "" row; decile boundaries are
+    * exact integer ceil-div on the driver (the [[heapsCurveOf]]
+    * doctrine — no IEEE division in the token-mass arithmetic).
     */
   def heapsCurveFromState(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    val total = new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(s"$stateDir/vocab_total.txt").toPath)).trim.toLong
-    val firstOcc = spark.read.parquet(s"$stateDir/vocab_first")
-    val dec = spark.range(1, 11).toDF("decile")
-      .withColumn("tokens_seen",
-        floor((lit(total) * $"decile" + lit(9L)) / 10.0).cast("long"))
+    val state = spark.read.parquet(s"$stateDir/vocab_first")
+    val total = state.filter($"w" === "")
+      .agg(coalesce(max($"f"), lit(0L))).as[Long].head()
+    val firstOcc = state.filter($"w" =!= "")
+    val dec = (1L to 10L).map(d => (d, (total * d + 9L) / 10L))
+      .toDF("decile", "tokens_seen")
     dec.join(firstOcc, $"f" <= $"tokens_seen")
       .groupBy($"decile", $"tokens_seen")
       .agg(count(lit(1)).as("vocab"))

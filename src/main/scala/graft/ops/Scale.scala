@@ -177,6 +177,80 @@ object Scale {
     (1 until den).map(cuts).toArray
   }
 
+  /** The last-row-of-each-tile boundaries of `ntile(n)` over the total
+    * order (key asc, id asc) — the distributed replacement for an
+    * unpartitioned `ntile(n).over(Window.orderBy(...))`, which funnels
+    * EVERY input row through one task (the serialized-quantile killer
+    * at 10⁹ rows; VERDICT r8 #3). Standard ntile semantics: with
+    * total = q·n + r, the first r tiles hold q+1 rows; tile t's last
+    * row has rank t·q + min(t, r).
+    *
+    * Kernel: range-partition by (key, id), per-partition COUNTS (one
+    * tiny job — #partitions rows to the driver), prefix-sum bases,
+    * then each partition emits only the ≤ n−1 rows whose global rank
+    * is a tile boundary. Two scans of (key, id), nothing else ever
+    * leaves the executors. The caller turns the boundaries into a
+    * codegen'd score with [[ntileFromBoundaries]] — a broadcast-free
+    * comparison chain against n−1 literal pairs.
+    *
+    * The (key, id) pair must be unique (id a tiebreaker), exactly the
+    * precondition a deterministic ntile ordering needs anyway. DESC
+    * orderings: negate the key. Returns an empty array when the input
+    * is empty (no rows to score).
+    */
+  def ntileBoundaries(df: DataFrame, key: Column, id: Column, n: Int,
+      partitions: Int = 32): Array[(Long, Long)] = {
+    val s = df.sparkSession
+    import s.implicits._
+    val sorted = df.select(key.cast("long").as("k"), id.cast("long").as("id"))
+      .repartitionByRange(partitions, $"k".asc, $"id".asc)
+      .sortWithinPartitions($"k".asc, $"id".asc)
+      .as[(Long, Long)]
+      .localCheckpoint(eager = true) // freeze sampled range boundaries
+    val partials = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = 0L
+      it.foreach(_ => c += 1)
+      Iterator.single((pid, c))
+    }.collect().sortBy(_._1)
+    val total = partials.map(_._2).sum
+    if (total == 0L) return Array.empty
+    val per = total / n
+    val rem = (total % n).toInt
+    // rank (1-based) of the LAST row of tile q, q = 1..n-1; duplicates
+    // when total < n (trailing empty tiles share the final row's rank)
+    val targets = (1 until n).map(q => q * per + math.min(q, rem)).toArray
+    val bases = partials.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid + 1, acc + c)
+    }.init.map { case (pid, acc) => pid -> acc }.toMap
+    val basesBc = s.sparkContext.broadcast(bases)
+    val targetsBc = s.sparkContext.broadcast(targets)
+    val found = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rank = basesBc.value(pid)
+      val ts = targetsBc.value
+      it.flatMap { case (k, id) =>
+        rank += 1
+        val r = rank
+        ts.indices.iterator.filter(ts(_) == r).map(qi => (qi, k, id))
+      }
+    }.collect()
+    val byQ = found.map { case (qi, k, id) => qi -> ((k, id)) }.toMap
+    (0 until n - 1).map(byQ).toArray
+  }
+
+  /** The ntile score column for [[ntileBoundaries]] output: a row's
+    * tile is 1 + the number of tile-boundary rows strictly before it
+    * in the (key asc, id asc) order — a pure codegen'd comparison
+    * chain against literal pairs; no window, no shuffle, no broadcast.
+    */
+  def ntileFromBoundaries(key: Column, id: Column,
+      bounds: Array[(Long, Long)]): Column =
+    if (bounds.isEmpty) lit(1L)
+    else bounds.map { case (bk, bid) =>
+      when(key.cast("long") > lit(bk) ||
+        (key.cast("long") === lit(bk) && id.cast("long") > lit(bid)), 1L)
+        .otherwise(0L)
+    }.reduce(_ + _) + lit(1L)
+
   /** Rank (equi-depth) scaling to the [0, 2^bits) grid: a value's cell
     * is how many cutpoints it exceeds — each cell holds ~the same row
     * count no matter how skewed the distribution. [[scaleToBits]]'

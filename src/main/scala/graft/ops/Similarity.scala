@@ -1703,22 +1703,53 @@ object Similarity {
     (nTri, nWedges)
   }
 
+  /** Broadcast payload of [[closeWedgesKernel]]: the packed oriented
+    * edge keys plus a per-JVM-memoized open-addressing probe table
+    * (linear probing, ≥2× slots, power-of-two capacity; packed keys
+    * are non-negative by the dispatcher's id gate, so -1 is a free
+    * empty sentinel). The table is a @transient lazy val — built at
+    * most ONCE per executor JVM on first access (Scala lazy init is
+    * synchronized) instead of once per partition TASK: at the 5M-edge
+    * budget the table is up to 16.7M slots (~134 MB), and per-task
+    * construction multiplies that by the concurrent-task count
+    * (ADVICE r8 #1: ~32 under local[32] — a multi-GB transient).
+    * Executors cache the deserialized broadcast value, so every task
+    * on a JVM shares the one table.
+    */
+  private final class PackedEdgeSet(val keys: Array[Long]) extends Serializable {
+    @transient lazy val table: Array[Long] = {
+      var cap = 16
+      while (cap < keys.length * 2) cap <<= 1
+      val mask = cap - 1
+      val tab = Array.fill(cap)(-1L)
+      var t = 0
+      while (t < keys.length) {
+        val k = keys(t)
+        var i = ((k * 0x9E3779B97F4A7C15L) >>> 33).toInt & mask
+        while (tab(i) != -1L && tab(i) != k) i = (i + 1) & mask
+        tab(i) = k
+        t += 1
+      }
+      tab
+    }
+  }
+
   /** Broadcast closure: per-node out-neighbor arrays (already in
     * (dw, w) orientation order) enumerate ordered wedges in a compiled
-    * loop and probe an OPEN-ADDRESSING long hash set of the packed
-    * edges — one aggregation row per partition comes back, nothing
-    * else moves. The set (linear probing, ≥2× slots, built once per
-    * partition from the broadcast array in O(|E|)) replaced a sorted
-    * binary search in r8: the closure does |wedges| ≫ |E| probes, and
-    * O(1) beats log₂|E| ≈ 18 compares per probe on the suite's most
-    * expensive query.
+    * loop and probe the [[PackedEdgeSet]] open-addressing long hash
+    * set — one aggregation row per partition comes back, nothing
+    * else moves. The set replaced a sorted binary search in r8: the
+    * closure does |wedges| ≫ |E| probes, and O(1) beats log₂|E| ≈ 18
+    * compares per probe on the suite's most expensive query.
     *
     * Driver-memory bound (ADVICE r7 #5): the packed-long array is
     * ≤ [[TriBroadcastMaxEdges]] × 8 B = 40 MB by the dispatcher's
     * budget check — an explicit, documented driver allocation (the
     * same size any broadcast model artifact would be; Spark broadcasts
     * always originate at the driver, so a fully executor-side build
-    * buys nothing).
+    * buys nothing). The probe TABLE is executor-side and per-JVM
+    * (see [[PackedEdgeSet]]), so its ≤134 MB is paid once per
+    * executor, not once per task.
     */
   private def closeWedgesKernel(oriented: DataFrame): Long = {
     val s = oriented.sparkSession
@@ -1726,26 +1757,15 @@ object Similarity {
     val keys = oriented
       .select((($"u" * (1L << 32)) + $"w").as("k"))
       .as[Long].collect()
-    val bc = s.sparkContext.broadcast(keys)
+    val bc = s.sparkContext.broadcast(new PackedEdgeSet(keys))
     val counts = oriented.groupBy($"u")
       .agg(sort_array(collect_list(struct($"dw", $"w"))).as("ns"))
       .select($"ns.w".as("ws")).as[Seq[Long]]
       .mapPartitions { it =>
-        val ks = bc.value
-        // packed keys are non-negative (ids < 2^31 by the dispatcher
-        // gate), so -1 is a free empty sentinel
-        var cap = 16
-        while (cap < ks.length * 2) cap <<= 1
-        val mask = cap - 1
-        val tab = Array.fill(cap)(-1L)
-        var t = 0
-        while (t < ks.length) {
-          val k = ks(t)
-          var i = ((k * 0x9E3779B97F4A7C15L) >>> 33).toInt & mask
-          while (tab(i) != -1L && tab(i) != k) i = (i + 1) & mask
-          tab(i) = k
-          t += 1
-        }
+        // local refs keep the probe loop free of the lazy-val
+        // volatile read; the table itself is shared across tasks
+        val tab = bc.value.table
+        val mask = tab.length - 1
         var c = 0L
         it.foreach { ws =>
           val arr = ws.toArray

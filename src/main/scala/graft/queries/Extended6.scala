@@ -47,15 +47,28 @@ object Extended6 {
 
   /** q71: RFM segmentation — per user, days since last event (vs the
     * corpus max), event count, and decimal-exact monetary sum, then
-    * quintile scores from ntile(5) over total orders (metric + user_id
-    * tiebreak, so the bucketing is deterministic in both engines) and
-    * the composite RFM segment code.
+    * quintile scores with ntile(5) semantics over total orders (metric
+    * + user_id tiebreak, so the bucketing is deterministic in both
+    * engines) and the composite RFM segment code.
     *
-    * Scale shape: one events scan → one user-keyed aggregation; the
-    * corpus max timestamp is a scalar broadcast; the three ntiles
-    * share one per-user frame (thousands of rows per million users —
-    * window cost is trivial next to the scan). The monetary fold is
-    * DECIMAL (exact, order-free) and cast to double only on output.
+    * The quintiles are NOT window ntiles: one row per USER means an
+    * unpartitioned `ntile(5).over(orderBy(...))` funnels 10⁹ rows
+    * through a single task at scale (VERDICT r8 #3 — this query was
+    * one of the suite's two single-partition-window killers). Instead
+    * each metric's four tile-boundary rows come from
+    * [[graft.ops.Scale.ntileBoundaries]] (range-partition +
+    * distributed rank, only the boundary rows reach the driver) and
+    * scores are a codegen'd literal-comparison chain
+    * ([[graft.ops.Scale.ntileFromBoundaries]]) — bit-identical to
+    * ntile by construction, spec-pinned against the window form.
+    *
+    * Scale shape: one events scan → one user-keyed aggregation, frozen
+    * once (localCheckpoint) so the three boundary kernels and the
+    * output pass share it; the corpus max timestamp is a scalar
+    * broadcast; each kernel shuffles only (long, long) pairs. The
+    * monetary fold is DECIMAL (exact, order-free), ranked via its
+    * exact micros-scaled long image, and cast to double only on
+    * output.
     */
   def q71Rfm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -69,14 +82,24 @@ object Extended6 {
       .select($"user_id",
         (($"ref_us" - $"last_us") / lit(86400000000L)).cast("long")
           .as("recency_days"),
-        $"frequency", $"mon_dec")
-    val r = Window.orderBy($"recency_days".asc, $"user_id".asc)
-    val f = Window.orderBy($"frequency".desc, $"user_id".asc)
-    val m = Window.orderBy($"mon_dec".desc, $"user_id".asc)
+        $"frequency", $"mon_dec",
+        // exact long image of DECIMAL(18,6): ×10⁶ is integral and
+        // |mon|×10⁶ < 10¹⁸ < 2⁶³ — order-preserving at any scale
+        ($"mon_dec" * lit(1000000L)).cast("long").as("mon_us"))
+      .localCheckpoint(eager = true)
+    val rB = graft.ops.Scale.ntileBoundaries(
+      base, $"recency_days", $"user_id", 5)
+    val fB = graft.ops.Scale.ntileBoundaries(
+      base, -$"frequency", $"user_id", 5)
+    val mB = graft.ops.Scale.ntileBoundaries(
+      base, -$"mon_us", $"user_id", 5)
     base
-      .withColumn("r_score", ntile(5).over(r).cast("long"))
-      .withColumn("f_score", ntile(5).over(f).cast("long"))
-      .withColumn("m_score", ntile(5).over(m).cast("long"))
+      .withColumn("r_score",
+        graft.ops.Scale.ntileFromBoundaries($"recency_days", $"user_id", rB))
+      .withColumn("f_score",
+        graft.ops.Scale.ntileFromBoundaries(-$"frequency", $"user_id", fB))
+      .withColumn("m_score",
+        graft.ops.Scale.ntileFromBoundaries(-$"mon_us", $"user_id", mB))
       .select($"user_id", $"recency_days", $"frequency",
         $"mon_dec".cast("double").as("monetary"),
         $"r_score", $"f_score", $"m_score",

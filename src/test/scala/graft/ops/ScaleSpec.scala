@@ -366,4 +366,28 @@ class ScaleSpec extends SparkSpec {
     assert(n2 == nAfter && n3 <= nAfter,
       "re-compacting an already-compact directory must not fragment it")
   }
+
+  test("ntile boundaries + codegen score equal the window ntile exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    // totals straddling the empty, total<n, total==n, remainder and
+    // heavy-duplicate-key regimes of the ntile size formula
+    Seq(0, 1, 3, 5, 6, 23, 97, 250).foreach { n =>
+      val rows = (0 until n).map(i => (rnd.nextInt(7).toLong, i.toLong))
+      val df = rows.toDF("k", "id")
+      val bounds = Scale.ntileBoundaries(df, col("k"), col("id"), 5, partitions = 3)
+      if (n == 0) assert(bounds.isEmpty)
+      else {
+        assert(bounds.length == 4, s"n=$n: ${bounds.toSeq}")
+        val got = df.withColumn("t",
+            Scale.ntileFromBoundaries(col("k"), col("id"), bounds))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val ref = df.withColumn("t",
+            ntile(5).over(Window.orderBy(col("k").asc, col("id").asc)).cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(got == ref, s"n=$n")
+      }
+    }
+  }
 }

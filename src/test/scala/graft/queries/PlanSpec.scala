@@ -402,6 +402,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"truth join must broadcast:\n$p")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
+
+  test("no unpartitioned window over an unbounded input in any registered query") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // The serialized-quantile/prefix-sum killer (VERDICT r8 #2/#3): an
+    // unpartitioned WindowExec funnels its WHOLE input through one task.
+    // Gate: every registered query's OPTIMIZED plan may contain a
+    // window with an empty partitionSpec only if the window's input is
+    // bounded by construction — under a logical Limit, or named below
+    // with the bound that makes it safe. (Caveat: windows inside an
+    // eagerly-checkpointed segment are invisible here — those segments
+    // have already executed into a LogicalRDD by plan time — so this
+    // gate covers the declarative tail of each plan, which is where
+    // both r8 findings lived.)
+    val bounded: Map[String, String] = Map(
+      // audited 2026-08 (r9): every entry windows over a group-aggregate
+      // whose KEY cardinality — not the data volume — bounds the rows
+      "dedup_embcos_hist" -> "≤41 cosine bands (floor(cos*20) ∈ [-20,20])",
+      "dq_benford" -> "≤9 leading-digit rows",
+      "dq_drift_chi2" -> "≤10 rank buckets (rankCutpointsN(10))",
+      "dq_quantile_sketch" -> "≤~90 sketch cells/decade × decades present",
+      "dq_seasonality" -> "7 day-of-week rows",
+      "dq_volume_zscore" -> "one row per calendar DAY — grows with time span, not volume",
+      "q77_share_of_parent" -> "≤25 (region, nation) group rows",
+      "sample_neyman" -> "≤#sources strata rows",
+      "sim_label_confusion" -> "≤|labels|² confusion cells",
+      "ta_lang_confusion" -> "≤|langs|² agreement cells")
+    def hasLimitBelow(p: logical.LogicalPlan): Boolean =
+      p.collectFirst { case _: logical.GlobalLimit => (); case _: logical.LocalLimit => () }.nonEmpty
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty && !hasLimitBelow(w.child) => w
+      }
+      if (bad.nonEmpty && !bounded.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned unbounded windows in: ${offenders.mkString(", ")}")
+    // whitelist hygiene: drop entries whose plan no longer has one
+    val stale = bounded.keys.filterNot { name =>
+      graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+    }
+    assert(stale.isEmpty, s"stale whitelist entries: ${stale.mkString(", ")}")
+  }
 }
 
 /** Tiny indirection so PlanSpec (package queries) can reach the ops
