@@ -473,7 +473,60 @@ object Multimodal {
       .orderBy($"shape", $"tier")
   }
 
+  /** Image-placeholder token cost in [[mmInterleave]] — the context
+    * budget one image embedding occupies in an interleaved sequence
+    * (a fixed per-image patch budget, the Flamingo/MMC4 convention).
+    */
+  val InterleaveImgTok = 64L
+
+  /** Interleaved image-text sequence layout — the MMC4/OBELICS packing
+    * shape for multimodal LM training: media docs stream in doc_id
+    * order, an image-kind doc contributes one [[InterleaveImgTok]]-token
+    * image placeholder at its start followed by its caption/body text,
+    * and fixed [[Packing.SeqLen]]-token training windows are cut across
+    * doc boundaries. Per window the loader needs exactly this row:
+    * how many docs overlap it, how many image slots START in it (=
+    * image embeddings to fetch), and its image-token vs text-token
+    * split (placeholders pay context but no text loss).
+    *
+    * 100 TB shape: the global offset is [[Packing.packSequencesOf]]'s
+    * two-pass distributed prefix sum (never an unpartitioned window);
+    * the split arithmetic is codegen'd integer min/max on the span
+    * rows; one seq_id aggregation ends the plan. All-integer ⇒
+    * hash-exact.
+    */
+  def mmInterleave(s: SparkSession, dir: String, partitions: Int = 32): DataFrame = {
+    import s.implicits._
+    val eff = t(s, dir, "documents")
+      .select($"doc_id",
+        when($"doc_id" % 3 === 0, lit(InterleaveImgTok)).otherwise(lit(0L))
+          .as("it"),
+        TextAnalysis.tokenCount($"text").as("nt"))
+      .select($"doc_id", $"it", ($"it" + $"nt").as("eff"))
+      .filter($"eff" > 0L)
+      .localCheckpoint(eager = true) // feeds the ranged kernel AND the span join
+    val ranged = eff.select($"doc_id", $"eff")
+      .repartitionByRange(partitions, $"doc_id")
+      .sortWithinPartitions($"doc_id")
+      .as[(Long, Long)]
+      .localCheckpoint(eager = true) // freeze sampled range boundaries
+    val spans = Packing.packSequencesOf(ranged, Packing.SeqLen)
+    spans.join(eff.select($"doc_id", $"it"), "doc_id")
+      // span [tok_from, tok_to) on the doc's LOCAL axis; images occupy
+      // the [0, it) prefix, so the image share is an integer clamp
+      .select($"seq_id", $"it", $"tok_from", $"tok_to",
+        greatest(lit(0L), least($"tok_to", $"it") - $"tok_from").as("img_here"))
+      .groupBy($"seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"it" > 0L && $"tok_from" === 0L, 1L).otherwise(0L))
+          .as("n_images"),
+        sum($"img_here").as("n_image_tokens"),
+        sum(($"tok_to" - $"tok_from") - $"img_here").as("n_text_tokens"))
+      .orderBy("seq_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_interleave" -> ((s, d) => mmInterleave(s, d)),
     "mm_batch_shapes" -> ((s, d) => mmBatchShapes(s, d)),
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_stats" -> mmStats,
@@ -546,6 +599,34 @@ object Multimodal {
       FROM nibs GROUP BY doc_id)"""
 
   val oracles: Map[String, String] = Map(
+    "mm_interleave" -> s"""
+      WITH toks AS (
+        SELECT doc_id,
+          CAST(CASE WHEN doc_id % 3 = 0 THEN $InterleaveImgTok ELSE 0 END AS BIGINT) AS it,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS nt
+        FROM documents),
+      eff AS (
+        SELECT doc_id, it, it + nt AS eff FROM toks WHERE it + nt > 0),
+      cum AS (
+        SELECT doc_id, it, eff,
+          CAST(SUM(eff) OVER (ORDER BY doc_id) - eff AS BIGINT) AS strt
+        FROM eff),
+      spans AS (
+        SELECT doc_id, it, eff, strt,
+          unnest(range(strt // ${Packing.SeqLen},
+            (strt + eff - 1) // ${Packing.SeqLen} + 1)) AS seq_id
+        FROM cum),
+      sl AS (
+        SELECT seq_id, it,
+          CAST(GREATEST(0, seq_id * ${Packing.SeqLen} - strt) AS BIGINT) AS lo,
+          CAST(LEAST(eff, (seq_id + 1) * ${Packing.SeqLen} - strt) AS BIGINT) AS hi
+        FROM spans)
+      SELECT CAST(seq_id AS BIGINT) AS seq_id,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN it > 0 AND lo = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_images,
+        CAST(SUM(GREATEST(0, LEAST(hi, it) - lo)) AS BIGINT) AS n_image_tokens,
+        CAST(SUM((hi - lo) - GREATEST(0, LEAST(hi, it) - lo)) AS BIGINT) AS n_text_tokens
+      FROM sl GROUP BY seq_id ORDER BY seq_id""",
     // text is ASCII so ord(char) == payload byte (the mm_audio_windows
     // equivalence); frames are consecutive full 64-byte windows
     "mm_scene_cuts" -> s"""

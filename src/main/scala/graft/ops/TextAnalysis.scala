@@ -172,6 +172,75 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Rule names for [[taFilterAblation]], in output order. */
+  val GopherRuleNames: Seq[String] = Seq(
+    "word_count", "mean_word_len", "hash_ratio",
+    "ellipsis_ratio", "alpha_word_frac", "stop_hits")
+
+  /** Per-rule ablation of the Gopher bundle — the corpus-paper
+    * ablation table (RefinedWeb/Dolma/FineWeb all publish one): for
+    * each published sub-rule, how many docs fail it, how many fail
+    * ONLY it (the marginal docs that dropping the rule would recover),
+    * and the word mass of those unique fails; the trailing 'any' row
+    * summarizes the conjunction (docs failing ≥1 rule / exactly one
+    * rule / their word mass). Unlike
+    * [[graft.ops.CorpusFilters.curationFunnel]]'s sequential stage
+    * survival (order-dependent by design), ablation is order-FREE —
+    * unique-fail counts are properties of the rule SET, the artifact
+    * that decides which rule to relax when the kept fraction is too
+    * low.
+    *
+    * 100 TB shape: one codegen'd scan → six boolean flags + a per-doc
+    * fail count → ONE map-side-combinable aggregation row → a 7-row
+    * stack. Counts are exact integers; no divisions in the output.
+    */
+  def taFilterAblation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val nWords = size(toks).cast("long")
+    val wordChars = length(regexp_replace($"text", "\\s+", "")).cast("long")
+    val meanWl = wordChars.cast("double") / nWords
+    val hashRatio = regexp_count($"text", lit("#")).cast("double") / nWords
+    val ellipsisRatio = regexp_count($"text", lit("\\.\\.\\.|…")).cast("double") / nWords
+    val alphaFrac = size(filter(toks, w => w.rlike("[a-zA-Z]")))
+      .cast("double") / nWords
+    val stopHits = GopherStops
+      .map(w => when(lower($"text").rlike(s"\\b$w\\b"), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    val pass: Seq[org.apache.spark.sql.Column] = Seq(
+      nWords >= 50L && nWords <= 100000L,
+      meanWl >= 3.0 && meanWl <= 10.0,
+      hashRatio <= 0.1,
+      ellipsisRatio <= 0.1,
+      alphaFrac >= 0.8,
+      stopHits >= 2L)
+    val flagged = t(s, dir, "documents")
+      .select(nWords.as("nw") +:
+        pass.zipWithIndex.map { case (p, i) => p.as(s"p$i") }: _*)
+      .withColumn("fc",
+        (0 until 6).map(i => when(!col(s"p$i"), 1).otherwise(0)).reduce(_ + _))
+    val aggCols = (0 until 6).flatMap { i =>
+      Seq(
+        coalesce(sum(when(!col(s"p$i"), 1L).otherwise(0L)), lit(0L)).as(s"f$i"),
+        coalesce(sum(when(!col(s"p$i") && $"fc" === 1, 1L).otherwise(0L)),
+          lit(0L)).as(s"u$i"),
+        coalesce(sum(when(!col(s"p$i") && $"fc" === 1, $"nw").otherwise(0L)),
+          lit(0L)).as(s"w$i"))
+    } ++ Seq(
+      coalesce(sum(when($"fc" >= 1, 1L).otherwise(0L)), lit(0L)).as("fa"),
+      coalesce(sum(when($"fc" === 1, 1L).otherwise(0L)), lit(0L)).as("ua"),
+      coalesce(sum(when($"fc" === 1, $"nw").otherwise(0L)), lit(0L)).as("wa"))
+    val stackArgs = GopherRuleNames.zipWithIndex.map { case (n, i) =>
+      s"${i + 1}L, '$n', f$i, u$i, w$i"
+    }.mkString(",\n         ") + ",\n         7L, 'any', fa, ua, wa"
+    flagged.agg(aggCols.head, aggCols.tail: _*)
+      .select(expr(
+        s"""stack(7,
+         $stackArgs)
+         AS (rule_id, rule, n_fail, n_unique_fail, words_unique_fail)"""))
+      .orderBy("rule_id")
+  }
+
   def taLangId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
@@ -375,18 +444,19 @@ object TextAnalysis {
         val buf = new Array[Byte](1 << 16)
         val d = new java.util.zip.Deflater(
           java.util.zip.Deflater.BEST_COMPRESSION, false)
-        val out = it.map { case (id, text) =>
+        // release the native zlib stream when the TASK completes
+        // (ADVICE r8 #2): iterator-exhaustion cleanup leaks it under
+        // partial consumption (limit/take/sample) or a mid-partition
+        // failure — the completion listener fires on all three paths
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => d.end())
+        it.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           d.reset()
           d.setInput(raw); d.finish()
           var n = 0L
           while (!d.finished()) n += d.deflate(buf)
           (id, raw.length.toLong, n)
-        }
-        // release the native zlib stream once the partition is drained
-        new Iterator[(Long, Long, Long)] {
-          def hasNext: Boolean = { val h = out.hasNext; if (!h) d.end(); h }
-          def next(): (Long, Long, Long) = out.next()
         }
       }
       .toDF("doc_id", "n_bytes", "n_compressed")
@@ -1067,21 +1137,6 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Tokenizer fertility report: per source, characters-per-BPE-symbol
-    * and symbols-per-word under the corpus's FROZEN merge table — the
-    * multilingual tokenizer-efficiency metric (a language whose
-    * fertility is 2× pays 2× the context budget per character;
-    * tokenizer papers report exactly this table). Rides
-    * [[taBpeEncode]]'s cached per-corpus merges, so the iterative
-    * trainer runs once per corpus fingerprint. Rows-only like every
-    * BPE query (the merge table is an iterative argmax, not
-    * one-SQL-expressible); the arithmetic is integer sums + two IEEE
-    * divisions, spec-pinned on a hand corpus.
-    *
-    * 100 TB shape: the encode pass is the memoized per-partition
-    * kernel; the report is one map-side-combinable per-source
-    * aggregation over its output.
-    */
   /** DuckDB replay of the n-gram-profile language id, shared by the
     * ta_langid oracle and the confusion-matrix oracle.
     */
@@ -1125,6 +1180,21 @@ object TextAnalysis {
       .orderBy("lang_declared", "lang_pred")
   }
 
+  /** Tokenizer fertility report: per source, characters-per-BPE-symbol
+    * and symbols-per-word under the corpus's FROZEN merge table — the
+    * multilingual tokenizer-efficiency metric (a language whose
+    * fertility is 2× pays 2× the context budget per character;
+    * tokenizer papers report exactly this table). Rides
+    * [[taBpeEncode]]'s cached per-corpus merges, so the iterative
+    * trainer runs once per corpus fingerprint. Rows-only like every
+    * BPE query (the merge table is an iterative argmax, not
+    * one-SQL-expressible); the arithmetic is integer sums + two IEEE
+    * divisions, spec-pinned on a hand corpus.
+    *
+    * 100 TB shape: the encode pass is the memoized per-partition
+    * kernel; the report is one map-side-combinable per-source
+    * aggregation over its output.
+    */
   def taFertility(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
@@ -1163,6 +1233,7 @@ object TextAnalysis {
     "ta_tokens" -> taTokens,
     "ta_quality" -> taQuality,
     "ta_gopher_rules" -> taGopherRules,
+    "ta_filter_ablation" -> taFilterAblation,
     "ta_langid" -> taLangId,
     "ta_lang_confusion" -> taLangConfusion,
     "ta_fingerprint" -> taFingerprint,
@@ -1448,6 +1519,58 @@ object TextAnalysis {
           AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
           AND n_stop_hits >= 2) AS passed
       FROM b ORDER BY doc_id"""
+    },
+    "ta_filter_ablation" -> {
+      val stopTerms = GopherStops.map(w =>
+        s"CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val unions = GopherRuleNames.zipWithIndex.map { case (n, i) =>
+        s"""SELECT ${i + 1} AS rule_id, '$n' AS rule,
+            f$i AS n_fail, u$i AS n_unique_fail, w$i AS words_unique_fail
+            FROM a"""
+      }.mkString(" UNION ALL ") +
+        " UNION ALL SELECT 7, 'any', fa, ua, wa FROM a"
+      s"""
+      WITH b AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
+          CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS word_chars,
+          CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+          CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT) AS n_ell,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> len(x) > 0 AND regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+          CAST($stopTerms AS BIGINT) AS n_stop_hits
+        FROM documents),
+      fl AS (
+        SELECT n_words AS nw,
+          (n_words >= 50 AND n_words <= 100000) AS p0,
+          (CAST(word_chars AS DOUBLE) / n_words >= 3.0
+            AND CAST(word_chars AS DOUBLE) / n_words <= 10.0) AS p1,
+          (CAST(n_hash AS DOUBLE) / n_words <= 0.1) AS p2,
+          (CAST(n_ell AS DOUBLE) / n_words <= 0.1) AS p3,
+          (CAST(n_alpha AS DOUBLE) / n_words >= 0.8) AS p4,
+          (n_stop_hits >= 2) AS p5
+        FROM b),
+      fx AS (
+        SELECT *,
+          (CASE WHEN NOT p0 THEN 1 ELSE 0 END + CASE WHEN NOT p1 THEN 1 ELSE 0 END
+           + CASE WHEN NOT p2 THEN 1 ELSE 0 END + CASE WHEN NOT p3 THEN 1 ELSE 0 END
+           + CASE WHEN NOT p4 THEN 1 ELSE 0 END + CASE WHEN NOT p5 THEN 1 ELSE 0 END) AS fc
+        FROM fl),
+      a AS (
+        SELECT
+          ${(0 until 6).map(i =>
+            s"""CAST(COALESCE(SUM(CASE WHEN NOT p$i THEN 1 ELSE 0 END), 0) AS BIGINT) AS f$i,
+            CAST(COALESCE(SUM(CASE WHEN NOT p$i AND fc = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS u$i,
+            CAST(COALESCE(SUM(CASE WHEN NOT p$i AND fc = 1 THEN nw ELSE 0 END), 0) AS BIGINT) AS w$i""")
+            .mkString(",\n          ")},
+          CAST(COALESCE(SUM(CASE WHEN fc >= 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fa,
+          CAST(COALESCE(SUM(CASE WHEN fc = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS ua,
+          CAST(COALESCE(SUM(CASE WHEN fc = 1 THEN nw ELSE 0 END), 0) AS BIGINT) AS wa
+        FROM fx)
+      SELECT CAST(rule_id AS BIGINT) AS rule_id, rule, n_fail, n_unique_fail,
+        words_unique_fail
+      FROM ($unions) ORDER BY rule_id"""
     },
     "ta_fingerprint" -> """
       SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
