@@ -95,6 +95,9 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_BENCH_SF3").contains("1"))
       try ScaleSmoke.runSf3(spark, sfDir)
       catch { case e: Throwable => System.err.println(s"[sf3] FAILED: $e") }
+    if (sys.env.get("SPARK_GRAFT_BENCH_SF10").contains("1"))
+      try ScaleSmoke.runSf10(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[sf10] FAILED: $e") }
     val streamSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_SECS", "8").toInt
     val streamRps: Long =
       if (streamSecs <= 0) 0L

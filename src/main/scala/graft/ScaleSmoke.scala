@@ -129,8 +129,34 @@ object ScaleSmoke {
     }
   }
 
-  /** Standalone entry so the sf1/sf3 sweeps can run without the full
-    * bench: `sbt "runMain graft.ScaleSmoke sf3"` (or `sf1`).
+  /** sf10 probe (VERDICT r8 ask #6): 100× the bench corpus — TWO full
+    * orders of magnitude — on the two heavies whose scale story
+    * matters most: the LSH banding chain and the triangle kernel
+    * (which at 100× crosses its [[graft.ops.Similarity.TriBroadcastMaxEdges]]
+    * budget and exercises the declarative join FALLBACK — the probe
+    * certifies the budget switch, not just the kernel). ~15 GB of
+    * parquet in /tmp; same replication construction as sf1/sf3.
+    * Gated by SPARK_GRAFT_BENCH_SF10=1 (never set by the driver);
+    * stderr-only; results recorded as a table in NOTES.md.
+    */
+  val Sf10Queries: Seq[String] = Seq("dedup_minhash_lsh", "sim_triangles")
+
+  def ensureSf10(spark: SparkSession, srcDir: String): String =
+    ensureScaled(spark, srcDir, 10 * Reps, "graft_sf10")
+
+  def runSf10(spark: SparkSession, srcDir: String): Unit = {
+    val dir = ensureSf10(spark, srcDir)
+    Sf10Queries.foreach { name =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[sf10] $name%-24s $secs%.1f s")
+    }
+  }
+
+  /** Standalone entry so the sf1/sf3/sf10 sweeps can run without the
+    * full bench: `sbt "runMain graft.ScaleSmoke sf10"` (or `sf1`/`sf3`).
     */
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -143,7 +169,9 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    if (args.contains("sf3")) runSf3(spark, src) else run(spark, src)
+    if (args.contains("sf10")) runSf10(spark, src)
+    else if (args.contains("sf3")) runSf3(spark, src)
+    else run(spark, src)
     spark.stop()
   }
 }

@@ -762,6 +762,41 @@ object StreamingCuration {
     spark.read.parquet(s"$stateDir/norm_hist").orderBy($"norm_band")
   }
 
+  /** Fold a batch's Gopher-rule ablation counters into persistent
+    * state — the LIVE ablation table: per-doc rule flags are
+    * independent of every other doc, so the 7-row (rule_id, rule,
+    * n_fail, n_unique_fail, words_unique_fail) table of
+    * [[graft.ops.TextAnalysis.filterAblationOf]] is ADDITIVE across
+    * batches and folded == one-shot exactly (spec-pinned). State is
+    * 7 rows.
+    */
+  def mergeFilterAblationState(spark: SparkSession, stateDir: String,
+      batch: DataFrame): Unit = {
+    import spark.implicits._
+    val dir = s"$stateDir/filter_ablation"
+    val b = graft.ops.TextAnalysis.filterAblationOf(batch)
+    val merged =
+      if (!new java.io.File(dir).exists()) b
+      else spark.read.parquet(dir).unionByName(b)
+        .groupBy($"rule_id", $"rule")
+        .agg(sum($"n_fail").as("n_fail"),
+          sum($"n_unique_fail").as("n_unique_fail"),
+          sum($"words_unique_fail").as("words_unique_fail"))
+    val frozen = merged.localCheckpoint(eager = true)
+    frozen.coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** The accumulated ablation table — identical columns to the batch
+    * [[graft.ops.TextAnalysis.taFilterAblation]].
+    */
+  def filterAblationFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$stateDir/filter_ablation")
+      .select($"rule_id", $"rule", $"n_fail", $"n_unique_fail",
+        $"words_unique_fail")
+      .orderBy($"rule_id")
+  }
+
   /** Fold a batch into the vocabulary-growth state — the LIVE Heaps
     * curve: state is (w, first_gpos) minima over the stream's global
     * token positions plus the running token total, so

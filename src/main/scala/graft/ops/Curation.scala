@@ -1016,6 +1016,46 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Importance-weight concentration report, per source: effective
+    * sample size and max-weight share of the DSIR discriminant weights
+    * — THE health metric for importance sampling/reweighting (Kong
+    * 1992: ESS = (Σw)²/Σw²): when ESS/n collapses, the "resampled"
+    * corpus is effectively a handful of documents and the mixture
+    * tuner must clip or temper before trusting [[sampleDsirTopK]]-style
+    * selection. Weights are the non-negative part of the integer raw
+    * scores (the discriminant is signed; sampling mass can't be).
+    *
+    * Determinism: Σw and Σw² fold in DECIMAL(38,0) — exact in any
+    * accumulation order, mirrored by DuckDB's HUGEINT — and only the
+    * final ratio steps are IEEE doubles (a product and a division,
+    * identical instruction-for-instruction in both engines).
+    *
+    * 100 TB shape: rides the one-scan fused importance model
+    * ([[taImportance]]); the report itself is one map-side-combinable
+    * per-source aggregation over (source, w) rows.
+    */
+  def sampleEss(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = taImportance(s, dir)
+      .join(t(s, dir, "documents").select($"doc_id", $"source"), "doc_id")
+      .select($"source", greatest($"raw_score", lit(0L)).as("w"))
+    ws.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"w" > 0L, 1L).otherwise(0L)).as("n_pos"),
+        sum($"w".cast("decimal(38,0)")).as("sw"),
+        sum(($"w".cast("decimal(19,0)") * $"w".cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("sww"),
+        max($"w").as("wmax"))
+      .select($"source", $"n_docs", $"n_pos",
+        when($"sww" > 0,
+          $"sw".cast("double") * $"sw".cast("double") / $"sww".cast("double"))
+          .as("ess"),
+        when($"sw" > 0, $"wmax".cast("double") / $"sw".cast("double"))
+          .as("max_share"))
+      .orderBy("source")
+  }
+
   /** Persist a trained importance model — (code, freq_r, freq_t) plus a
     * one-row `_totals/` sidecar (written AFTER the main table; Spark
     * scans skip underscore dirs) — the train-once half: a deployment
@@ -1553,6 +1593,7 @@ object Curation {
     "ta_charlm" -> taCharLm,
     "ta_charlm_buckets" -> taCharLmBuckets,
     "sample_dsir_topk" -> ((s, d) => sampleDsirTopK(s, d)),
+    "sample_ess" -> sampleEss,
     "mix_budget" -> ((s, d) => mixBudget(s, d)),
     "mix_epochs" -> ((s, d) => mixEpochs(s, d)),
     "mix_report" -> ((s, d) => mixReport(s, d)),
@@ -1664,6 +1705,22 @@ object Curation {
       WITH $importanceScoreCte
       SELECT doc_id, n_tris, raw_score, mean_score
       FROM isc ORDER BY doc_id""",
+    "sample_ess" -> s"""
+      WITH $importanceScoreCte,
+      ws AS (
+        SELECT d.source, GREATEST(isc.raw_score, 0) AS w
+        FROM isc JOIN documents d USING (doc_id))
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        CASE WHEN SUM(CAST(w AS HUGEINT) * w) > 0 THEN
+          CAST(SUM(w) AS DOUBLE) * CAST(SUM(w) AS DOUBLE)
+            / CAST(SUM(CAST(w AS HUGEINT) * w) AS DOUBLE)
+        END AS ess,
+        CASE WHEN SUM(w) > 0 THEN
+          CAST(MAX(w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+        END AS max_share
+      FROM ws GROUP BY source ORDER BY source""",
     "sample_dsir_topk" -> s"""
       WITH $importanceScoreCte,
       ranked AS (

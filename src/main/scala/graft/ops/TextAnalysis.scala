@@ -194,7 +194,16 @@ object TextAnalysis {
     * fail count → ONE map-side-combinable aggregation row → a 7-row
     * stack. Counts are exact integers; no divisions in the output.
     */
-  def taFilterAblation(s: SparkSession, dir: String): DataFrame = {
+  def taFilterAblation(s: SparkSession, dir: String): DataFrame =
+    filterAblationOf(t(s, dir, "documents"))
+
+  /** [[taFilterAblation]] over any (text, …) frame — shared by the
+    * registered query, the incremental streaming twin (the 7×3 counter
+    * table is additive across batches because per-doc flags are
+    * independent), and the planted-corpus specs.
+    */
+  def filterAblationOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val toks = tokens($"text")
     val nWords = size(toks).cast("long")
@@ -214,7 +223,7 @@ object TextAnalysis {
       ellipsisRatio <= 0.1,
       alphaFrac >= 0.8,
       stopHits >= 2L)
-    val flagged = t(s, dir, "documents")
+    val flagged = docs
       .select(nWords.as("nw") +:
         pass.zipWithIndex.map { case (p, i) => p.as(s"p$i") }: _*)
       .withColumn("fc",

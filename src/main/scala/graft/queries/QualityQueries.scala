@@ -849,6 +849,42 @@ object QualityQueries {
     * 100 TB shape: one scan → per-day collapse (≤ days rows), then
     * windows over the tiny daily series.
     */
+  /** Full-row duplicate audit of the event stream — the classic
+    * ingestion DQ check (at-least-once delivery, replayed batches, and
+    * CDC re-emits all manifest as exact row duplicates): group on the
+    * ENTIRE row, then report per event_type (plus an '_all' rollup
+    * row) the duplicate-group count, the extra-row mass a compaction
+    * would drop, and the worst multiplicity. The synthetic feed is
+    * dup-free by construction, so the audit plants a deterministic
+    * redelivery slice (every 97th event re-emitted — the
+    * [[graft.ops.TextAnalysis.taPiiRedact]] planting precedent; same
+    * expression in the oracle) so every counter is exercised nonzero.
+    *
+    * 100 TB shape: one hash aggregation on the full row — map-side
+    * combine collapses clean data to ~unique rows before the shuffle —
+    * then a rollup re-aggregation over the group counts. No window, no
+    * sort, no collect.
+    */
+  def dqDupRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val stream = ev.unionByName(ev.filter($"event_id" % 97 === 0))
+    stream
+      .groupBy($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .agg(count(lit(1)).as("m"))
+      .rollup($"event_type")
+      .agg(
+        sum($"m").as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        sum(when($"m" > 1L, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(when($"m" > 1L, $"m" - 1L).otherwise(0L)).as("n_extra_rows"),
+        max($"m").as("max_multiplicity"))
+      .select(coalesce($"event_type", lit("_all")).as("event_type"),
+        $"n_rows", $"n_distinct", $"n_dup_groups", $"n_extra_rows",
+        $"max_multiplicity")
+      .orderBy("event_type")
+  }
+
   def dqVolumeZscore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val daily = t(s, dir, "events")
@@ -874,6 +910,7 @@ object QualityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_volume_zscore" -> dqVolumeZscore,
+    "dq_dup_rows" -> dqDupRows,
     "dq_seasonality" -> dqSeasonality,
     "dq_kmv_overlap" -> dqKmvOverlap,
     "dq_null_trend" -> dqNullTrend,
@@ -936,6 +973,22 @@ object QualityQueries {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "dq_dup_rows" -> """
+      WITH stream AS (
+        SELECT * FROM events
+        UNION ALL
+        SELECT * FROM events WHERE event_id % 97 = 0),
+      g AS (
+        SELECT event_type, COUNT(*) AS m
+        FROM stream
+        GROUP BY event_id, ts, user_id, event_type, value, props)
+      SELECT COALESCE(event_type, '_all') AS event_type,
+        CAST(SUM(m) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+        CAST(SUM(CASE WHEN m > 1 THEN m - 1 ELSE 0 END) AS BIGINT) AS n_extra_rows,
+        CAST(MAX(m) AS BIGINT) AS max_multiplicity
+      FROM g GROUP BY ROLLUP(event_type) ORDER BY event_type""",
     "dq_volume_zscore" -> s"""
       WITH daily AS (
         SELECT CAST(ts AS DATE) AS day,

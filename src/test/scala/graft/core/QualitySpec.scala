@@ -431,4 +431,23 @@ class SchemaSpec extends SparkSpec {
       assert(got.exists(_._1 == 0L), "Monday bucket must exist")
     }
   }
+
+  test("dup rows: planted redelivery slice accounted exactly; clean key has zero dups") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.QualityQueries.dqDupRows(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val ev = graft.Tables.t(spark, sfDir, "events")
+    val n = ev.count()
+    val planted = ev.filter(col("event_id") % 97 === 0).count()
+    val (rows, distinct, groups, extra, maxm) = got("_all")
+    // every replayed row is one extra copy of an existing distinct row
+    assert(rows == n + planted && distinct == n)
+    assert(groups == planted && extra == planted)
+    assert(maxm == (if (planted > 0) 2L else 1L))
+    assert(planted > 0, "plant must fire at this SF")
+    // per-type rows conserve the rollup
+    val types = got.view.filterKeys(_ != "_all").values
+    assert(types.map(_._1).sum == rows && types.map(_._4).sum == extra)
+  }
 }

@@ -665,6 +665,27 @@ class StreamingSpec extends SparkSpec {
       "additive band fold must equal the one-shot histogram")
   }
 
+  test("incremental filter-ablation state: additive folds == one-shot ablation table") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-ablation")
+    val folded = work.resolve("folded").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    (0 until 3).foreach { i =>
+      StreamingCuration.mergeFilterAblationState(spark, folded,
+        docs.filter(pmod($"doc_id", lit(3)) === i))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(StreamingCuration.filterAblationFromState(spark, folded)) ==
+      rows(graft.ops.TextAnalysis.filterAblationOf(docs)),
+      "additive counter fold must equal the one-shot ablation table")
+    // the planted corpus exercises the counters: something fails a rule
+    val any = StreamingCuration.filterAblationFromState(spark, folded)
+      .filter($"rule" === "any").select($"n_fail").collect().head.getLong(0)
+    assert(any > 0, "expected at least one rule failure in the corpus")
+  }
+
   test("incremental vocab-growth state: doc_id-ordered folds == one-shot Heaps curve") {
     import spark.implicits._
     import graft.examples.StreamingCuration
