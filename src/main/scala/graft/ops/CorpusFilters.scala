@@ -624,6 +624,45 @@ object CorpusFilters {
       .orderBy($"decile")
   }
 
+  /** Percentiles reported by [[taLenProfile]]. */
+  val LenPcts: Seq[Int] = Seq(10, 25, 50, 75, 90)
+
+  /** Per-source document-length profile: exact token-count percentiles
+    * (value at rank ceil(p·n/100) of the ascending order) — the length
+    * panel of a curation dashboard, read before setting min/max-length
+    * gates or packing bucket boundaries per source.
+    *
+    * Exactness + scale: the percentile probe runs over per-source
+    * (length, count) collapse rows — the dq_outlier_mad idiom — so the
+    * per-source window input is bounded by the DISTINCT length domain,
+    * not the document volume; rank targets clear by integer
+    * cross-multiplication (100·cum ≥ p·n), no division anywhere.
+    *
+    * 100 TB shape: one scan → (source, len) counts with map-side
+    * combine → a bounded per-source cumulative window → a 5-way probe
+    * fan-out that collapses to 5 rows per source.
+    */
+  def taLenProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val vc = docs
+      .select($"source", TextAnalysis.tokenCount($"text").as("len"))
+      .groupBy($"source", $"len").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"source").orderBy($"len".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"source")
+    val cum = vc
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n_docs", sum($"c").over(wAll))
+    cum.select($"source", $"len", $"c", $"cum", $"n_docs",
+        explode(array(LenPcts.map(p => lit(p.toLong)): _*)).as("p"))
+      .filter($"cum" * 100L >= $"p" * $"n_docs" &&
+        ($"cum" - $"c") * 100L < $"p" * $"n_docs")
+      .select($"source", $"p", $"n_docs", $"len")
+      .orderBy("source", "p")
+  }
+
   /** Per-source distributional divergence from the corpus: total
     * variation distance between each source's unigram distribution and
     * the corpus-wide one — the "does this source speak a different
@@ -719,6 +758,7 @@ object CorpusFilters {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_simpson_diversity" -> taSimpsonDiversity,
     "ta_source_divergence" -> taSourceDivergence,
+    "ta_len_profile" -> taLenProfile,
     "ta_heaps_curve" -> taHeapsCurve,
     "ta_rake_keywords" -> taRakeKeywords,
     "ta_ngram_coverage" -> taNgramCoverage,
@@ -760,6 +800,23 @@ object CorpusFilters {
         (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) /
           CAST(sumsq AS DOUBLE) AS effective_vocab
       FROM agg ORDER BY source""",
+    "ta_len_profile" -> s"""
+      WITH toks AS (
+        SELECT source,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS len
+        FROM documents),
+      vc AS (
+        SELECT source, len, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY source, len),
+      cum AS (
+        SELECT source, len, c,
+          CAST(SUM(c) OVER (PARTITION BY source ORDER BY len) AS BIGINT) AS cum,
+          CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+        FROM vc)
+      SELECT source, p, n_docs, len
+      FROM cum CROSS JOIN (SELECT CAST(unnest([${LenPcts.mkString(", ")}]) AS BIGINT) AS p) ps
+      WHERE cum * 100 >= p * n_docs AND (cum - c) * 100 < p * n_docs
+      ORDER BY source, p""",
     "ta_source_divergence" -> """
       WITH tk AS (
         SELECT source, u.w FROM documents,

@@ -1451,6 +1451,50 @@ object Curation {
     * fraction of the source's tokens made it in. Integer sums + one
     * IEEE division per row, so the oracle hash-matches exactly.
     */
+  /** Temperature exponents swept by [[mixTemperatureCurve]] — dyadic
+    * α values only, so n^α composes from `sqrt` (correctly-rounded
+    * IEEE, hence engine-portable), never `pow` (libm, whose fractional
+    * powers are NOT bit-identical across implementations).
+    */
+  val TempCurveAlphas: Seq[Double] = Seq(0.25, 0.5, 0.75, 1.0)
+
+  /** Temperature-mixing curve: each source's sampling share under
+    * n^α flattening for a sweep of temperatures α — the table mixture
+    * designers read before fixing the corpus temperature (UniMax /
+    * multilingual-LM practice: α→0 flattens toward uniform, α=1 is
+    * natural proportions; the chosen α is wherever head sources stop
+    * drowning the tail). Weights use only sqrt compositions (see
+    * [[TempCurveAlphas]]) and per-α totals fold in sorted source
+    * order (the neymanOf ordered-fold idiom), so every double is
+    * bit-identical cross-engine.
+    *
+    * 100 TB shape: one scan → |sources| count rows → a 4-way α
+    * fan-out over the bounded table → per-α ordered fold (bounded
+    * collect_list) + broadcast join. Nothing scales with volume but
+    * the first aggregation.
+    */
+  def mixTemperatureCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nd = $"n".cast("double")
+    val ex = t(s, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .select($"source", $"n",
+        explode(array(TempCurveAlphas.map(lit(_)): _*)).as("alpha"))
+      .withColumn("w",
+        when($"alpha" === 0.25, sqrt(sqrt(nd)))
+          .when($"alpha" === 0.5, sqrt(nd))
+          .when($"alpha" === 0.75, sqrt(nd) * sqrt(sqrt(nd)))
+          .otherwise(nd))
+      .localCheckpoint(eager = true) // bounded: |sources| × |alphas| rows
+    val tots = ex.groupBy($"alpha").agg(
+      aggregate(sort_array(collect_list(struct($"source", $"w"))), lit(0.0),
+        (acc, x) => acc + x.getField("w")).as("tot"))
+    ex.join(broadcast(tots), "alpha")
+      .select($"alpha", $"source", $"n".as("n_docs"), $"w",
+        ($"w" / $"tot").as("share"))
+      .orderBy("alpha", "source")
+  }
+
   def mixReport(s: SparkSession, dir: String, budget: Long = MixBudget): DataFrame = {
     import s.implicits._
     val sized = t(s, dir, "documents")
@@ -1597,6 +1641,7 @@ object Curation {
     "mix_budget" -> ((s, d) => mixBudget(s, d)),
     "mix_epochs" -> ((s, d) => mixEpochs(s, d)),
     "mix_report" -> ((s, d) => mixReport(s, d)),
+    "mix_temperature_curve" -> mixTemperatureCurve,
     "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
     "sample_cluster_balanced" -> sampleClusterBalanced,
     // rows-only: k-means float centroids aren't cross-engine replayable
@@ -1705,6 +1750,25 @@ object Curation {
       WITH $importanceScoreCte
       SELECT doc_id, n_tris, raw_score, mean_score
       FROM isc ORDER BY doc_id""",
+    "mix_temperature_curve" -> s"""
+      WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source),
+      ex AS (
+        SELECT source, n, a.alpha,
+          CASE a.alpha
+            WHEN 0.25 THEN sqrt(sqrt(CAST(n AS DOUBLE)))
+            WHEN 0.5 THEN sqrt(CAST(n AS DOUBLE))
+            WHEN 0.75 THEN sqrt(CAST(n AS DOUBLE)) * sqrt(sqrt(CAST(n AS DOUBLE)))
+            ELSE CAST(n AS DOUBLE) END AS w
+        FROM c CROSS JOIN
+          (SELECT CAST(unnest([${TempCurveAlphas.mkString(", ")}]) AS DOUBLE) AS alpha) a),
+      tots AS (
+        SELECT alpha, list_sum(list(w ORDER BY source)) AS tot
+        FROM ex GROUP BY alpha)
+      SELECT ex.alpha, source, n AS n_docs, w, w / tot AS share
+      FROM ex JOIN tots USING (alpha)
+      ORDER BY alpha, source""",
     "sample_ess" -> s"""
       WITH $importanceScoreCte,
       ws AS (

@@ -106,6 +106,30 @@ object Dedup {
       .orderBy("canonical_id")
   }
 
+  /** Bag-of-words (word-order-insensitive) exact dedup: the signature
+    * is the md5 of the SORTED token multiset, so shuffled/reordered
+    * duplicates — template rotations, list reorderings, title/body
+    * swaps — collapse into one family where byte-exact dedup
+    * ([[dedupExact]]) sees distinct texts. The multiset (sort_array
+    * keeps repeats) preserves token counts, so two docs sharing a
+    * vocabulary at different frequencies do NOT collide.
+    *
+    * 100 TB shape: one codegen'd scan (split → sort_array → concat_ws
+    * → md5) and one signature-keyed aggregation with map-side
+    * combine — the [[dedupExact]] plan with a richer key; per-doc sort
+    * cost is local and linearithmic in doc length.
+    */
+  def dedupBow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy(md5(concat_ws(" ", sort_array(
+        filter(split(trim(lower($"text")), "\\s+"), x => length(x) > 0))))
+        .as("bow_hash"))
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select($"canonical_id", $"n_copies", $"bow_hash")
+      .orderBy("canonical_id")
+  }
+
   /** Bloom-prefiltered incremental exact dedup: which batch documents
     * are NOVEL against a stored corpus. The corpus's md5 set compresses
     * into a Bloom filter (`df.stat.bloomFilter` — Spark's own sketch,
@@ -854,6 +878,7 @@ object Dedup {
     "dedup_jaccard_hist" -> ((s, d) => dedupJaccardHist(s, d)),
     "dedup_method_agreement" -> dedupMethodAgreement,
     "dedup_exact" -> dedupExact,
+    "dedup_bow" -> dedupBow,
     "dedup_bloom_novel" -> dedupBloomNovel,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
@@ -1114,6 +1139,15 @@ object Dedup {
       FROM documents
       GROUP BY text
       ORDER BY canonical_id""",
+    "dedup_bow" -> """
+      WITH sig AS (
+        SELECT doc_id,
+          md5(array_to_string(list_sort(
+            list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              x -> len(x) > 0)), ' ')) AS bow_hash
+        FROM documents)
+      SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies, bow_hash
+      FROM sig GROUP BY bow_hash ORDER BY canonical_id""",
     // the bloom is only an accelerator — the exact answer is the plain
     // anti-join, which is the oracle
     "dedup_bloom_novel" -> """

@@ -85,6 +85,59 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Query-set bound for [[simKnnProbe]] — wider than [[NumQueries]]
+    * so per-label accuracy has mass, still a broadcastable batch.
+    */
+  val ProbeQueries = 100L
+
+  /** kNN label probe — the standard embedding-quality eval (majority-
+    * vote k-nearest-neighbor classification, the train-free sibling of
+    * the linear probe): for each query vector, its [[TopK]] exact
+    * cosine neighbors vote on a label (ties → higher vote count, then
+    * smaller label), and per TRUE label the probe reports how often
+    * the vote recovers it. A collapsing or poorly-separated embedding
+    * space shows up as per-class accuracy dropping toward the label
+    * prior — the check run after every re-embedding before trusting
+    * downstream ANN/dedup decisions.
+    *
+    * Determinism: cosine is the codegen'd left-fold kernel the sim_*
+    * oracles replay bit-exactly; votes and the argmax are integer
+    * comparisons; one IEEE division per output row.
+    *
+    * 100 TB shape: the bounded query batch broadcasts; ONE corpus scan
+    * computes all query×candidate cosines; the rank window partitions
+    * by query. At production scale the exact scan swaps for any ANN
+    * front end (IVF/LSH above) with the same vote tail.
+    */
+  def simKnnProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir)
+    val q = all.filter($"vec_id" < ProbeQueries)
+      .select($"vec_id".as("query_id"), asDouble($"embedding").as("qe"),
+        $"label".cast("long").as("true_label"))
+    val c = all.select($"vec_id".as("cand_id"), asDouble($"embedding").as("ce"),
+      $"label".cast("long").as("cand_label"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+    val pred = c.join(broadcast(q), $"query_id" =!= $"cand_id")
+      .select($"query_id", $"true_label", $"cand_id", $"cand_label",
+        cosine($"qe", $"ce").as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TopK)
+      .groupBy($"query_id", $"true_label", $"cand_label")
+      .agg(count(lit(1)).as("v"))
+      .groupBy($"query_id", $"true_label")
+      .agg(min(struct((-$"v").as("nv"), $"cand_label".as("l"))).as("m"))
+      .select($"query_id", $"true_label", $"m.l".as("pred_label"))
+    pred.groupBy($"true_label")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when($"pred_label" === $"true_label", 1L).otherwise(0L))
+          .as("n_correct"))
+      .select($"true_label", $"n_queries", $"n_correct",
+        ($"n_correct".cast("double") / $"n_queries".cast("double"))
+          .as("accuracy"))
+      .orderBy("true_label")
+  }
+
   /** Cosine threshold for the registered range search — tuned to the
     * synthetic corpus's loose clusters the same way the embcos dedup
     * threshold is (max pairwise cosine ~0.5).
@@ -1864,6 +1917,7 @@ object Similarity {
     "sim_maxsim" -> simMaxSim,
     "sample_triplets" -> ((s, d) => sampleTriplets(s, d)),
     "sim_brute_topk" -> simBruteTopK,
+    "sim_knn_probe" -> simKnnProbe,
     "sim_range_search" -> ((s, d) => simRangeSearch(s, d)),
     "sim_bitext_mining" -> ((s, d) => simBitextMining(s, d)),
     "sim_lsh_ann" -> simLshANN,
@@ -2060,6 +2114,34 @@ object Similarity {
       SELECT query_id, rk, cand_id, cos FROM ranked
       WHERE rk <= $TopK
       ORDER BY query_id, rk""",
+    "sim_knn_probe" -> s"""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS true_label,
+               c.vec_id AS cand_id, CAST(c.label AS BIGINT) AS cand_label,
+               ${duckCos("q.embedding", "c.embedding")} AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < $ProbeQueries),
+      topk AS (
+        SELECT * FROM (
+          SELECT query_id, true_label, cand_id, cand_label,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+          FROM pairs)
+        WHERE rk <= $TopK),
+      votes AS (
+        SELECT query_id, true_label, cand_label, COUNT(*) AS v
+        FROM topk GROUP BY query_id, true_label, cand_label),
+      pred AS (
+        SELECT query_id, true_label, cand_label AS pred_label FROM (
+          SELECT query_id, true_label, cand_label,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY v DESC, cand_label ASC) AS vr
+          FROM votes)
+        WHERE vr = 1)
+      SELECT true_label,
+        CAST(COUNT(*) AS BIGINT) AS n_queries,
+        CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS accuracy
+      FROM pred GROUP BY true_label ORDER BY true_label""",
     "sim_range_search" -> s"""
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
              ${duckCos("q.embedding", "c.embedding")} AS cos

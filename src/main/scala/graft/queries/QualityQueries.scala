@@ -868,7 +868,12 @@ object QualityQueries {
   def dqDupRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = t(s, dir, "events")
-    val stream = ev.unionByName(ev.filter($"event_id" % 97 === 0))
+    // plant rides the ONE scan: a per-row copy count exploded in place
+    // (a union of a second filtered read would scan events twice)
+    val stream = ev
+      .withColumn("copy", explode(sequence(lit(1),
+        when($"event_id" % 97 === 0, 2).otherwise(1))))
+      .drop("copy")
     stream
       .groupBy($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
       .agg(count(lit(1)).as("m"))
