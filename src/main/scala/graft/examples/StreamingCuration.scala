@@ -762,6 +762,46 @@ object StreamingCuration {
     spark.read.parquet(s"$stateDir/norm_hist").orderBy($"norm_band")
   }
 
+  /** Fold a batch into the corpus-manifest state — the LIVE
+    * reproducibility manifest: counts and sums add, and the 60-bit
+    * content signature is a bit_xor (commutative, associative,
+    * self-inverse), so folding batches in ANY arrival order equals the
+    * one-shot [[graft.queries.QualityQueries.dqManifest]] exactly
+    * (spec-pinned) — and a re-delivered batch can even be RETRACTED by
+    * xor-folding it again with negated counts. State is |sources| rows.
+    */
+  def mergeManifestState(spark: SparkSession, stateDir: String,
+      batch: DataFrame): Unit = {
+    import spark.implicits._
+    val dir = s"$stateDir/manifest"
+    val b = batch.select($"source",
+        graft.ops.TextAnalysis.tokenCount($"text").as("nt"),
+        $"n_chars",
+        conv(substring(md5($"text"), 1, 15), 16, 10).cast("long").as("sig"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
+        sum($"n_chars").as("n_chars"), expr("bit_xor(sig)").as("content_sig"))
+    val merged =
+      if (!new java.io.File(dir).exists()) b
+      else spark.read.parquet(dir).unionByName(b)
+        .groupBy($"source")
+        .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"),
+          sum($"n_chars").as("n_chars"),
+          expr("bit_xor(content_sig)").as("content_sig"))
+    val frozen = merged.localCheckpoint(eager = true)
+    frozen.coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** The accumulated manifest — identical columns to the batch
+    * [[graft.queries.QualityQueries.dqManifest]].
+    */
+  def manifestFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$stateDir/manifest")
+      .select($"source", $"n_docs", $"n_tokens", $"n_chars", $"content_sig")
+      .orderBy($"source")
+  }
+
   /** Fold a batch's Gopher-rule ablation counters into persistent
     * state — the LIVE ablation table: per-doc rule flags are
     * independent of every other doc, so the 7-row (rule_id, rule,

@@ -90,6 +90,56 @@ object Similarity {
     */
   val ProbeQueries = 100L
 
+  /** Embedding prefix lengths probed by [[simMatryoshka]]; the full
+    * 64-dim row doubles as an internal recall==1 sanity anchor.
+    */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Matryoshka (truncated-dimension) recall curve: recall@[[TopK]] of
+    * prefix-dimension cosine search against the full-dimension truth,
+    * per prefix length — the table that decides how far MRL-style
+    * embeddings can be truncated (2–8× cheaper ANN, storage, and
+    * bandwidth) before recall pays for it. Truncation quality is THE
+    * deployment question for nested-representation embedding models.
+    *
+    * Determinism: prefix cosine is the same codegen'd left-fold kernel
+    * over `slice`d arrays (prefix norms included, exactly what a
+    * truncated deployment computes); ranks are integer windows with
+    * cand_id tiebreaks; one IEEE division per output row.
+    *
+    * 100 TB shape: the bounded query batch broadcasts; ONE corpus scan
+    * computes all prefix cosines (checkpointed: |queries|·|corpus|
+    * bounded pair rows feed 4 rank windows + the truth join); windows
+    * partition by query.
+    */
+  def simMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir)
+    val q = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), asDouble($"embedding").as("qe"))
+    val c = all.select($"vec_id".as("cand_id"), asDouble($"embedding").as("ce"))
+    val pairs = c.join(broadcast(q), $"query_id" =!= $"cand_id")
+      .select($"query_id" +: $"cand_id" +: MatryoshkaDims.map(d =>
+        cosine(slice($"qe", 1, d), slice($"ce", 1, d)).as(s"cos_$d")): _*)
+      .localCheckpoint(eager = true)
+    def topkOf(d: Int) = pairs
+      .withColumn("rk", row_number().over(Window.partitionBy($"query_id")
+        .orderBy(col(s"cos_$d").desc, $"cand_id".asc)))
+      .filter($"rk" <= TopK)
+      .select($"query_id", $"cand_id")
+    val truth = topkOf(MatryoshkaDims.last).withColumn("hit", lit(1L))
+    MatryoshkaDims
+      .map(d => topkOf(d).withColumn("dims", lit(d.toLong)))
+      .reduce(_ unionByName _)
+      .join(truth, Seq("query_id", "cand_id"), "left")
+      .groupBy($"dims")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce($"hit", lit(0L))).as("n_matched"))
+      .select($"dims", $"n_pairs", $"n_matched",
+        ($"n_matched".cast("double") / $"n_pairs".cast("double")).as("recall"))
+      .orderBy("dims")
+  }
+
   /** kNN label probe — the standard embedding-quality eval (majority-
     * vote k-nearest-neighbor classification, the train-free sibling of
     * the linear probe): for each query vector, its [[TopK]] exact
@@ -1918,6 +1968,7 @@ object Similarity {
     "sample_triplets" -> ((s, d) => sampleTriplets(s, d)),
     "sim_brute_topk" -> simBruteTopK,
     "sim_knn_probe" -> simKnnProbe,
+    "sim_matryoshka" -> simMatryoshka,
     "sim_range_search" -> ((s, d) => simRangeSearch(s, d)),
     "sim_bitext_mining" -> ((s, d) => simBitextMining(s, d)),
     "sim_lsh_ann" -> simLshANN,
@@ -2114,6 +2165,37 @@ object Similarity {
       SELECT query_id, rk, cand_id, cos FROM ranked
       WHERE rk <= $TopK
       ORDER BY query_id, rk""",
+    "sim_matryoshka" -> {
+      def duckCosN(a: String, b: String, n: Int) = {
+        def d(v: String) = s"CAST($v AS DOUBLE[])"
+        def dt(x: String, y: String) =
+          s"list_sum([${d(x)}[i] * ${d(y)}[i] for i in range(1, ${n + 1})])"
+        s"(${dt(a, b)} / (sqrt(${dt(a, a)}) * sqrt(${dt(b, b)})))"
+      }
+      val cosCols = MatryoshkaDims.map(dm =>
+        s"${duckCosN("q.embedding", "c.embedding", dm)} AS cos_$dm").mkString(",\n               ")
+      val branches = MatryoshkaDims.map(dm => s"""
+        SELECT $dm AS dims, query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_$dm DESC, cand_id ASC) AS rk
+          FROM pairs) WHERE rk <= $TopK""").mkString(" UNION ALL ")
+      s"""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               $cosCols
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < $NumQueries),
+      tk AS ($branches),
+      truth AS (SELECT query_id, cand_id FROM tk WHERE dims = ${MatryoshkaDims.last})
+      SELECT CAST(tk.dims AS BIGINT) AS dims,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        CAST(SUM(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS recall
+      FROM tk LEFT JOIN truth t
+        ON tk.query_id = t.query_id AND tk.cand_id = t.cand_id
+      GROUP BY tk.dims ORDER BY dims"""
+    },
     "sim_knn_probe" -> s"""
       WITH pairs AS (
         SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS true_label,

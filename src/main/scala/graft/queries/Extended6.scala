@@ -466,7 +466,67 @@ object Extended6 {
       .orderBy($"user_id")
   }
 
+  /** q80: snapshot data-diff — the pipeline-regression primitive (what
+    * data-diff tooling and dbt audit packages compute): classify every
+    * key of two dimension snapshots as added / removed / changed /
+    * unchanged and count which COLUMNS changed. The "next" snapshot is
+    * a deterministic planted change set over the current one (balance
+    * bump on key%11, segment rewrite on key%7, deletes on key%13,
+    * inserts above the key space — the q72 change generator's
+    * diff-view sibling), so both engines derive identical inputs.
+    *
+    * Scale shape: ONE full-outer equi-join on the key classifies every
+    * row; all eight counters collapse in one map-side-combinable
+    * aggregation; output is an 8-row stack. At 100 TB the join is an
+    * ordinary key shuffle (AQE handles skew) — no window, no collect.
+    */
+  def q80TableDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cur = t(s, dir, "customer")
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+    val next = cur
+      .filter($"c_custkey" % 13 =!= 0) // deletes
+      .select($"c_custkey",
+        when($"c_custkey" % 11 === 0, $"c_acctbal" + 100.0)
+          .otherwise($"c_acctbal").as("c_acctbal"),
+        when($"c_custkey" % 7 === 0, lit("SEGMENT_V2"))
+          .otherwise($"c_mktsegment").as("c_mktsegment"))
+      .unionByName(
+        cur.filter($"c_custkey" % 13 === 0)
+          .select(($"c_custkey" + 1000000L).as("c_custkey"),
+            lit(50.0).as("c_acctbal"), lit("NEW").as("c_mktsegment")))
+    val j = cur.as("a").join(next.as("b"),
+      col("a.c_custkey") === col("b.c_custkey"), "full_outer")
+    val inA = col("a.c_custkey").isNotNull
+    val inB = col("b.c_custkey").isNotNull
+    val balCh = inA && inB && col("a.c_acctbal") =!= col("b.c_acctbal")
+    val segCh = inA && inB && col("a.c_mktsegment") =!= col("b.c_mktsegment")
+    j.agg(
+        coalesce(sum(when(inA, 1L).otherwise(0L)), lit(0L)).as("m0"),
+        coalesce(sum(when(inB, 1L).otherwise(0L)), lit(0L)).as("m1"),
+        coalesce(sum(when(!inA && inB, 1L).otherwise(0L)), lit(0L)).as("m2"),
+        coalesce(sum(when(inA && !inB, 1L).otherwise(0L)), lit(0L)).as("m3"),
+        coalesce(sum(when(balCh || segCh, 1L).otherwise(0L)), lit(0L)).as("m4"),
+        coalesce(sum(when(inA && inB && !(balCh || segCh), 1L).otherwise(0L)),
+          lit(0L)).as("m5"),
+        coalesce(sum(when(balCh, 1L).otherwise(0L)), lit(0L)).as("m6"),
+        coalesce(sum(when(segCh, 1L).otherwise(0L)), lit(0L)).as("m7"))
+      .select(expr(
+        """stack(8,
+           0L, 'rows_current', m0,
+           1L, 'rows_next', m1,
+           2L, 'added', m2,
+           3L, 'removed', m3,
+           4L, 'changed', m4,
+           5L, 'unchanged', m5,
+           6L, 'col_acctbal_changed', m6,
+           7L, 'col_mktsegment_changed', m7)
+           AS (metric_id, metric, n)"""))
+      .orderBy("metric_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_table_diff" -> q80TableDiff,
     "q79_interval_coalesce" -> q79IntervalCoalesce,
     "q78_notin_nulls" -> q78NotInNulls,
     "q77_share_of_parent" -> q77ShareOfParent,
@@ -479,6 +539,47 @@ object Extended6 {
     "q74_basket_lift" -> q74BasketLift)
 
   val oracles: Map[String, String] = Map(
+    "q80_table_diff" -> """
+      WITH cur AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      nxt AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+          CASE WHEN c_custkey % 7 = 0 THEN 'SEGMENT_V2' ELSE c_mktsegment END AS c_mktsegment
+        FROM cur WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 50.0, 'NEW' FROM cur WHERE c_custkey % 13 = 0),
+      j AS (
+        SELECT a.c_custkey AS ak, b.c_custkey AS bk,
+          a.c_acctbal AS ab, b.c_acctbal AS bb,
+          a.c_mktsegment AS asg, b.c_mktsegment AS bsg
+        FROM cur a FULL OUTER JOIN nxt b ON a.c_custkey = b.c_custkey),
+      f AS (
+        SELECT ak, bk,
+          (ak IS NOT NULL AND bk IS NOT NULL AND ab <> bb) AS balch,
+          (ak IS NOT NULL AND bk IS NOT NULL AND asg <> bsg) AS segch
+        FROM j),
+      m AS (
+        SELECT
+          CAST(SUM(CASE WHEN ak IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+          CAST(SUM(CASE WHEN bk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+          CAST(SUM(CASE WHEN ak IS NULL AND bk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+          CAST(SUM(CASE WHEN ak IS NOT NULL AND bk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+          CAST(SUM(CASE WHEN balch OR segch THEN 1 ELSE 0 END) AS BIGINT) AS m4,
+          CAST(SUM(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+            AND NOT (balch OR segch) THEN 1 ELSE 0 END) AS BIGINT) AS m5,
+          CAST(SUM(CASE WHEN balch THEN 1 ELSE 0 END) AS BIGINT) AS m6,
+          CAST(SUM(CASE WHEN segch THEN 1 ELSE 0 END) AS BIGINT) AS m7
+        FROM f)
+      SELECT CAST(metric_id AS BIGINT) AS metric_id, metric, n FROM (
+        SELECT 0 AS metric_id, 'rows_current' AS metric, m0 AS n FROM m
+        UNION ALL SELECT 1, 'rows_next', m1 FROM m
+        UNION ALL SELECT 2, 'added', m2 FROM m
+        UNION ALL SELECT 3, 'removed', m3 FROM m
+        UNION ALL SELECT 4, 'changed', m4 FROM m
+        UNION ALL SELECT 5, 'unchanged', m5 FROM m
+        UNION ALL SELECT 6, 'col_acctbal_changed', m6 FROM m
+        UNION ALL SELECT 7, 'col_mktsegment_changed', m7 FROM m)
+      ORDER BY metric_id""",
     "q79_interval_coalesce" -> s"""
       WITH iv AS (
         SELECT user_id, epoch_us(ts) AS st,

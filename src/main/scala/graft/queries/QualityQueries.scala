@@ -849,6 +849,42 @@ object QualityQueries {
     * 100 TB shape: one scan → per-day collapse (≤ days rows), then
     * windows over the tiny daily series.
     */
+  /** Reproducibility manifest of the document corpus — the dataset-
+    * card artifact a training run records before touching data: per
+    * source, doc/token/char counts and an ORDER-FREE content signature
+    * (bit_xor of a 60-bit md5 prefix per document), so two
+    * independently-shuffled materializations of the same corpus
+    * produce byte-identical manifests and any single changed/missing
+    * document flips the signature. The check run between pipeline
+    * re-executions, cross-region copies, and vendor deliveries.
+    *
+    * 100 TB shape: one codegen'd scan → one per-source aggregation
+    * with map-side combine (count/sum/bit_xor all commute). Pure
+    * integers — hash-exact by construction.
+    */
+  def dqManifest(s: SparkSession, dir: String): DataFrame =
+    manifestOf(t(s, dir, "documents"))
+
+  /** [[dqManifest]] over any (source, text, n_chars) frame — shared by
+    * the registered query, the streaming twin, and the
+    * signature-sensitivity spec.
+    */
+  def manifestOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"source",
+        graft.ops.TextAnalysis.tokenCount($"text").as("nt"),
+        $"n_chars",
+        conv(substring(md5($"text"), 1, 15), 16, 10).cast("long").as("sig"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"nt").as("n_tokens"),
+        sum($"n_chars").as("n_chars"),
+        expr("bit_xor(sig)").as("content_sig"))
+      .orderBy("source")
+  }
+
   /** Full-row duplicate audit of the event stream — the classic
     * ingestion DQ check (at-least-once delivery, replayed batches, and
     * CDC re-emits all manifest as exact row duplicates): group on the
@@ -916,6 +952,7 @@ object QualityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_volume_zscore" -> dqVolumeZscore,
     "dq_dup_rows" -> dqDupRows,
+    "dq_manifest" -> dqManifest,
     "dq_seasonality" -> dqSeasonality,
     "dq_kmv_overlap" -> dqKmvOverlap,
     "dq_null_trend" -> dqNullTrend,
@@ -978,6 +1015,27 @@ object QualityQueries {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "dq_manifest" -> {
+      // 15 md5-hex nibbles decoded to a 60-bit integer — DuckDB has no
+      // conv(), so the prefix replays nibble-by-nibble (the
+      // CorpusFilters duckHexPrefix idiom)
+      val sig = (0 until 15).map { i =>
+        val mult = java.math.BigInteger.valueOf(16L).pow(14 - i).longValueExact()
+        s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""
+      WITH d AS (
+        SELECT source,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS nt,
+          n_chars, md5(text) AS hx
+        FROM documents)
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        CAST(bit_xor($sig) AS BIGINT) AS content_sig
+      FROM d GROUP BY source ORDER BY source"""
+    },
     "dq_dup_rows" -> """
       WITH stream AS (
         SELECT * FROM events

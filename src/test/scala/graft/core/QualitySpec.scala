@@ -450,4 +450,28 @@ class SchemaSpec extends SparkSpec {
     val types = got.view.filterKeys(_ != "_all").values
     assert(types.map(_._1).sum == rows && types.map(_._4).sum == extra)
   }
+
+  test("manifest: order-free signature; any single-document edit flips exactly its source row") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val base = graft.queries.QualityQueries.manifestOf(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    // shuffle arrival order: signature must not move (bit_xor commutes)
+    val shuffled = graft.queries.QualityQueries.manifestOf(
+        docs.orderBy(md5(col("text"))))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(shuffled == base)
+    // flip one character of one document: ONLY its source's sig changes
+    val victim = docs.select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id")).head()
+    val edited = graft.queries.QualityQueries.manifestOf(
+        docs.withColumn("text",
+          when(col("doc_id") === victim.getLong(0),
+            concat(col("text"), lit("X"))).otherwise(col("text"))))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(edited(victim.getString(1)) != base(victim.getString(1)),
+      "edited source signature must flip")
+    assert((edited - victim.getString(1)) == (base - victim.getString(1)),
+      "untouched sources must keep their signatures")
+  }
 }

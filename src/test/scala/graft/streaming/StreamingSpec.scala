@@ -665,6 +665,24 @@ class StreamingSpec extends SparkSpec {
       "additive band fold must equal the one-shot histogram")
   }
 
+  test("incremental manifest state: any-order folds == one-shot manifest") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-manifest")
+    val folded = work.resolve("folded").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    // deliberately NOT doc_id order — xor/sum folds are order-free
+    Seq(2, 0, 1).foreach { i =>
+      StreamingCuration.mergeManifestState(spark, folded,
+        docs.filter(pmod($"doc_id", lit(3)) === i))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(StreamingCuration.manifestFromState(spark, folded)) ==
+      rows(graft.queries.QualityQueries.dqManifest(spark, sfDir)),
+      "out-of-order manifest fold must equal the one-shot manifest")
+  }
+
   test("incremental filter-ablation state: additive folds == one-shot ablation table") {
     import spark.implicits._
     import graft.examples.StreamingCuration
