@@ -106,6 +106,34 @@ object Dedup {
       .orderBy("canonical_id")
   }
 
+  /** Per-source exact-duplicate rate — the "which feed is dirtiest"
+    * report a curation dashboard leads with: per source, docs vs
+    * distinct texts, the extra copies a keep-one pass would drop, the
+    * worst family size, and the duplicate rate. Same two-level
+    * aggregation as [[dedupExact]] with `source` carried through
+    * (intra-SOURCE duplicates only — cross-source overlap is
+    * [[graft.ops.CorpusFilters]]' source_overlap matrix).
+    *
+    * 100 TB shape: (source, text-hash) aggregation with map-side
+    * combine → per-source re-aggregation; no window, no collect.
+    */
+  def dedupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy($"source", md5($"text").as("h"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy($"source")
+      .agg(sum($"m").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum($"m" - 1L).as("n_dup_docs"),
+        max($"m").as("max_family"))
+      .select($"source", $"n_docs", $"n_distinct", $"n_dup_docs",
+        $"max_family",
+        ($"n_dup_docs".cast("double") / $"n_docs".cast("double"))
+          .as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** Bag-of-words (word-order-insensitive) exact dedup: the signature
     * is the md5 of the SORTED token multiset, so shuffled/reordered
     * duplicates — template rotations, list reorderings, title/body
@@ -879,6 +907,7 @@ object Dedup {
     "dedup_method_agreement" -> dedupMethodAgreement,
     "dedup_exact" -> dedupExact,
     "dedup_bow" -> dedupBow,
+    "dedup_rate_by_source" -> dedupRateBySource,
     "dedup_bloom_novel" -> dedupBloomNovel,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
@@ -1139,6 +1168,17 @@ object Dedup {
       FROM documents
       GROUP BY text
       ORDER BY canonical_id""",
+    "dedup_rate_by_source" -> """
+      WITH fam AS (
+        SELECT source, md5(text) AS h, COUNT(*) AS m
+        FROM documents GROUP BY source, md5(text))
+      SELECT source,
+        CAST(SUM(m) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        CAST(SUM(m - 1) AS BIGINT) AS n_dup_docs,
+        CAST(MAX(m) AS BIGINT) AS max_family,
+        CAST(SUM(m - 1) AS DOUBLE) / CAST(SUM(m) AS DOUBLE) AS dup_rate
+      FROM fam GROUP BY source ORDER BY source""",
     "dedup_bow" -> """
       WITH sig AS (
         SELECT doc_id,

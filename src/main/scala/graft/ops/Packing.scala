@@ -455,7 +455,43 @@ object Packing {
       .orderBy($"epoch", $"shard")
   }
 
+  /** Turn width of [[packSftTurns]]' synthetic dialogs. */
+  val SftTurnLen = 12L
+
+  /** SFT loss-mask turn layout: each document becomes a deterministic
+    * multi-turn dialog — fixed [[SftTurnLen]]-token turns alternating
+    * user/assistant roles (a synthetic stand-in for chat transcripts,
+    * which the testdata doesn't carry; the corpus is punctuation-free
+    * so sentence splitting degenerates) — and the op emits the layout
+    * an SFT trainer needs: per turn its role, the token slice
+    * [tok_from, tok_to) on the doc's token axis, and whether it
+    * trains. The convention is the standard "train on assistant
+    * tokens only" SFT recipe; the layout machinery (offsets, masks,
+    * alternation), not the dialog synthesis, is the operator.
+    *
+    * 100 TB shape: pure narrow codegen over the scan — the
+    * [[packChunks]] shape (`sequence` + `explode`, integer `div`), no
+    * shuffle, no window at all.
+    */
+  def packSftTurns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
+      .filter($"n" > 0L)
+      .select($"doc_id", $"n",
+        explode(sequence(lit(0L), $"n" - 1L, lit(SftTurnLen))).as("tok_from"))
+      .withColumn("turn_idx", expr(s"tok_from div $SftTurnLen"))
+      .select($"doc_id", $"turn_idx",
+        when($"turn_idx" % 2 === 0, "user").otherwise("assistant").as("role"),
+        (least($"n", $"tok_from" + SftTurnLen) - $"tok_from").as("n_tokens"),
+        $"tok_from",
+        least($"n", $"tok_from" + SftTurnLen).as("tok_to"),
+        ($"turn_idx" % 2 === 1).as("in_loss"))
+      .orderBy("doc_id", "turn_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_sft_turns" -> packSftTurns,
     "pack_epoch_order" -> ((s, d) => packEpochOrder(s, d)),
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
     "pack_shards" -> ((s, d) => packShards(s, d)),
@@ -584,6 +620,18 @@ object Packing {
           - n_tokens AS BIGINT) AS start_offset,
         n_tokens
       FROM asg ORDER BY bin_id, pos""",
+    "pack_sft_turns" -> s"""
+      WITH $tokCte
+      SELECT doc_id,
+        tok_from // $SftTurnLen AS turn_idx,
+        CASE WHEN (tok_from // $SftTurnLen) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        CAST(LEAST(n, tok_from + $SftTurnLen) - tok_from AS BIGINT) AS n_tokens,
+        tok_from,
+        CAST(LEAST(n, tok_from + $SftTurnLen) AS BIGINT) AS tok_to,
+        ((tok_from // $SftTurnLen) % 2 = 1) AS in_loss
+      FROM (SELECT doc_id, n, unnest(range(0, n, $SftTurnLen)) AS tok_from
+            FROM toks WHERE n > 0)
+      ORDER BY doc_id, turn_idx""",
     "pack_sequences" -> s"""
       WITH $tokCte,
       cum AS (

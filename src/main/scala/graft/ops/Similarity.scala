@@ -562,6 +562,39 @@ object Similarity {
     * contents (bounded query batch), the fan-out multiplies by the
     * centroid count only, and each window ranks a per-(query,p) slice.
     */
+  /** IVF cell-balance report: vectors per coarse cell plus the
+    * imbalance diagnostics an ANN deployment reads before trusting its
+    * nprobe math — probe-cost estimates assume near-even cells, and a
+    * hot cell makes every probe that touches it pay the full cell
+    * size. Per cell: count, corpus share, and a hot flag (cell > 2×
+    * the mean size, integer cross-multiplied: n·k > 2·N). Assignment
+    * is the [[centroidsExact]] replay, so the whole table is
+    * hash-exact.
+    *
+    * 100 TB shape: one assignment pass (broadcast centroids, per-row
+    * window over k centroid rows) → one k-row aggregation; the total
+    * is a broadcast scalar. Production swaps the exact fold for the
+    * UDAF quantizer with identical plan shape.
+    */
+  def simIvfBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    val cents = broadcast(centroidsExact(emb(s, dir)))
+    val k = emb(s, dir).select($"label").distinct().count()
+    val wv = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cent_id".asc)
+    val cells = all.crossJoin(cents)
+      .select($"vec_id", $"cent_id", (-cosine($"e", $"cent")).as("d"))
+      .withColumn("cr", row_number().over(wv))
+      .filter($"cr" === 1)
+      .groupBy($"cent_id").agg(count(lit(1)).as("n_vecs"))
+    val tot = cells.agg(coalesce(sum($"n_vecs"), lit(0L)).as("n_total"))
+    cells.crossJoin(broadcast(tot))
+      .select($"cent_id", $"n_vecs",
+        ($"n_vecs".cast("double") / $"n_total".cast("double")).as("share"),
+        ($"n_vecs" * lit(k) > $"n_total" * 2L).as("is_hot"))
+      .orderBy("cent_id")
+  }
+
   def simRecallCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
@@ -1969,6 +2002,7 @@ object Similarity {
     "sim_brute_topk" -> simBruteTopK,
     "sim_knn_probe" -> simKnnProbe,
     "sim_matryoshka" -> simMatryoshka,
+    "sim_ivf_balance" -> simIvfBalance,
     "sim_range_search" -> ((s, d) => simRangeSearch(s, d)),
     "sim_bitext_mining" -> ((s, d) => simBitextMining(s, d)),
     "sim_lsh_ann" -> simLshANN,
@@ -2368,6 +2402,38 @@ object Similarity {
     // centroid build, the nearest-centroid assignment, the nprobe probe
     // ranking, and the exact re-rank are all the same IEEE op chains in
     // both engines — no frozen literals needed.
+    "sim_ivf_balance" -> {
+      def dt(x: String, y: String) =
+        s"list_sum([$x[i] * $y[i] for i in range(1, 65)])"
+      def cosv(x: String, y: String) =
+        s"(${dt(x, y)} / (sqrt(${dt(x, x)}) * sqrt(${dt(y, y)})))"
+      s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      coords AS (
+        SELECT label, vec_id, i, v[i] AS x FROM e, UNNEST(range(1, 65)) AS u(i)),
+      csum AS (
+        SELECT label, i, list_sum(list(x ORDER BY vec_id)) / count(*) AS m
+        FROM coords GROUP BY label, i),
+      cent AS (
+        SELECT label AS cent_id, list(m ORDER BY i) AS c FROM csum GROUP BY label),
+      k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM cent),
+      asg AS (
+        SELECT vec_id, cent_id FROM (
+          SELECT vec_id, cent_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY -(${cosv("v", "c")}) ASC, cent_id ASC) AS cr
+          FROM e CROSS JOIN cent) WHERE cr = 1),
+      cells AS (
+        SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM asg GROUP BY cent_id),
+      tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total FROM cells)
+      SELECT cent_id, n_vecs,
+        CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+        (n_vecs * k > n_total * 2) AS is_hot
+      FROM cells CROSS JOIN tot CROSS JOIN k
+      ORDER BY cent_id"""
+    },
     "sim_ivf_ann" -> {
       def dt(x: String, y: String) =
         s"list_sum([$x[i] * $y[i] for i in range(1, 65)])"
