@@ -172,6 +172,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Garbage-text detector — the mojibake/OCR-noise filter (broken
+    * decodes, scanner output, binary-in-text) that runs beside the
+    * Gopher ratios in web-corpus pipelines: per doc, non-printable-
+    * ASCII mass, U+FFFD replacement-character count (the universal
+    * "decode went wrong" tracer), a long-consonant-run flag (OCR
+    * keyboard-mash signature), the digit ratio, and the composite
+    * garbage verdict. The synthetic corpus is clean, so the query
+    * plants a deterministic junk block on every 43rd doc (the
+    * [[taPiiRedact]] planting precedent; same expression in the
+    * oracle) so every counter and the verdict are exercised nonzero.
+    *
+    * 100 TB shape: one codegen'd regex projection over the scan — no
+    * shuffle, no UDF; counts are exact integers, one IEEE division.
+    */
+  def taGarbageScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val txt = when($"doc_id" % 43 === 0,
+      concat($"text", lit(" �� zzzzxxxxqqqwwww 999999999999")))
+      .otherwise($"text")
+    t(s, dir, "documents")
+      .select($"doc_id",
+        length(txt).cast("long").as("n_chars_eff"),
+        regexp_count(txt, lit("[^\\x20-\\x7E]")).cast("long").as("n_non_ascii"),
+        regexp_count(txt, lit("�")).cast("long").as("n_repl"),
+        lower(txt).rlike("[bcdfghjklmnpqrstvwxz]{7,}").as("has_long_run"),
+        (regexp_count(txt, lit("[0-9]")).cast("double") /
+          length(txt).cast("double")).as("digit_ratio"))
+      .withColumn("is_garbage",
+        $"n_repl" > 0L || $"has_long_run" || $"digit_ratio" > 0.3)
+      .orderBy("doc_id")
+  }
+
   /** Rule names for [[taFilterAblation]], in output order. */
   val GopherRuleNames: Seq[String] = Seq(
     "word_count", "mean_word_len", "hash_ratio",
@@ -1243,6 +1275,7 @@ object TextAnalysis {
     "ta_quality" -> taQuality,
     "ta_gopher_rules" -> taGopherRules,
     "ta_filter_ablation" -> taFilterAblation,
+    "ta_garbage_score" -> taGarbageScore,
     "ta_langid" -> taLangId,
     "ta_lang_confusion" -> taLangConfusion,
     "ta_fingerprint" -> taFingerprint,
@@ -1529,6 +1562,25 @@ object TextAnalysis {
           AND n_stop_hits >= 2) AS passed
       FROM b ORDER BY doc_id"""
     },
+    "ta_garbage_score" -> """
+      WITH g AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 43 = 0
+            THEN text || ' ' || chr(65533) || chr(65533) || ' zzzzxxxxqqqwwww 999999999999'
+            ELSE text END AS txt
+        FROM documents)
+      SELECT doc_id,
+        CAST(length(txt) AS BIGINT) AS n_chars_eff,
+        CAST(len(regexp_extract_all(txt, '[^\x20-\x7E]')) AS BIGINT) AS n_non_ascii,
+        CAST(len(regexp_extract_all(txt, chr(65533))) AS BIGINT) AS n_repl,
+        regexp_matches(lower(txt), '[bcdfghjklmnpqrstvwxz]{7,}') AS has_long_run,
+        CAST(len(regexp_extract_all(txt, '[0-9]')) AS DOUBLE)
+          / CAST(length(txt) AS DOUBLE) AS digit_ratio,
+        (len(regexp_extract_all(txt, chr(65533))) > 0
+          OR regexp_matches(lower(txt), '[bcdfghjklmnpqrstvwxz]{7,}')
+          OR CAST(len(regexp_extract_all(txt, '[0-9]')) AS DOUBLE)
+             / CAST(length(txt) AS DOUBLE) > 0.3) AS is_garbage
+      FROM g ORDER BY doc_id""",
     "ta_filter_ablation" -> {
       val stopTerms = GopherStops.map(w =>
         s"CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END")

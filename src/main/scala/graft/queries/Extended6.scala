@@ -525,7 +525,70 @@ object Extended6 {
       .orderBy("metric_id")
   }
 
+  /** Funnel window of [[q81WindowFunnel]] (24 h in microseconds — the
+    * standard purchase-attribution horizon; 1 h yields zero depth-3
+    * chains on the synthetic event density). */
+  val FunnelWindowUs = 86400000000L
+
+  /** q81: windowed funnel depth (the ClickHouse `windowFunnel`
+    * primitive): per user, the deepest view → click → purchase chain
+    * where every later step lands strictly after its predecessor and
+    * within [[FunnelWindowUs]] of the anchoring view. Depth semantics
+    * are the declarative EXISTS form (depth ≥ 3 iff ∃ v < c < p ≤
+    * v + W …), which the imperative per-user scan provably maximizes:
+    * for a fixed anchor the EARLIEST qualifying click dominates (any
+    * later click only shrinks the purchase window), so the two-pointer
+    * greedy equals the EXISTS truth — and the DuckDB oracle CHECKS
+    * that by computing the depth from pure joins.
+    *
+    * Implementation is the typed `KeyValueGroupedDataset.mapGroups`
+    * path — the batch sibling of the streaming `mapGroupsWithState`
+    * surface: events shuffle once on user_id and each group runs a
+    * bounded O(n log n) in-memory scan (entity-bounded, the q17/q79
+    * per-user discipline). All arithmetic is integer microseconds.
+    */
+  def q81WindowFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_type")
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val evs = it.toArray
+        def sortedOf(t: String) =
+          evs.collect { case (_, ts, et) if et == t => ts }.sorted
+        val views = sortedOf("view")
+        val clicks = sortedOf("click")
+        val purchases = sortedOf("purchase")
+        // first element of `arr` strictly after `after` and <= `until`
+        def firstIn(arr: Array[Long], after: Long, until: Long): Long = {
+          var lo = 0; var hi = arr.length
+          while (lo < hi) { // lower_bound of (after, +inf)
+            val mid = (lo + hi) >>> 1
+            if (arr(mid) <= after) lo = mid + 1 else hi = mid
+          }
+          if (lo < arr.length && arr(lo) <= until) arr(lo) else Long.MinValue
+        }
+        var depth = if (views.nonEmpty) 1L else 0L
+        var i = 0
+        while (i < views.length && depth < 3L) {
+          val v = views(i)
+          val until = v + FunnelWindowUs
+          val c = firstIn(clicks, v, until)
+          if (c != Long.MinValue) {
+            if (depth < 2L) depth = 2L
+            if (firstIn(purchases, c, until) != Long.MinValue) depth = 3L
+          }
+          i += 1
+        }
+        (uid, depth)
+      }
+      .toDF("user_id", "funnel_depth")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_window_funnel" -> q81WindowFunnel,
     "q80_table_diff" -> q80TableDiff,
     "q79_interval_coalesce" -> q79IntervalCoalesce,
     "q78_notin_nulls" -> q78NotInNulls,
@@ -539,6 +602,34 @@ object Extended6 {
     "q74_basket_lift" -> q74BasketLift)
 
   val oracles: Map[String, String] = Map(
+    "q81_window_funnel" -> s"""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+      v AS (SELECT user_id, tus FROM e WHERE event_type = 'view'),
+      c AS (SELECT user_id, tus FROM e WHERE event_type = 'click'),
+      p AS (SELECT user_id, tus FROM e WHERE event_type = 'purchase'),
+      d3 AS (
+        SELECT DISTINCT v.user_id FROM v
+        JOIN c ON c.user_id = v.user_id
+          AND c.tus > v.tus AND c.tus <= v.tus + $FunnelWindowUs
+        JOIN p ON p.user_id = v.user_id
+          AND p.tus > c.tus AND p.tus <= v.tus + $FunnelWindowUs),
+      d2 AS (
+        SELECT DISTINCT v.user_id FROM v
+        JOIN c ON c.user_id = v.user_id
+          AND c.tus > v.tus AND c.tus <= v.tus + $FunnelWindowUs),
+      d1 AS (SELECT DISTINCT user_id FROM v),
+      users AS (SELECT DISTINCT user_id FROM e)
+      SELECT u.user_id,
+        CAST(CASE WHEN d3.user_id IS NOT NULL THEN 3
+                  WHEN d2.user_id IS NOT NULL THEN 2
+                  WHEN d1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS BIGINT) AS funnel_depth
+      FROM users u
+      LEFT JOIN d3 ON d3.user_id = u.user_id
+      LEFT JOIN d2 ON d2.user_id = u.user_id
+      LEFT JOIN d1 ON d1.user_id = u.user_id
+      ORDER BY u.user_id""",
     "q80_table_diff" -> """
       WITH cur AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
       nxt AS (
