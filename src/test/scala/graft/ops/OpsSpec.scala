@@ -1714,4 +1714,38 @@ class TextAnalysisSpec extends SparkSpec {
     val distinctShingles = Dedup.shingledOf(docs).select("sh").distinct().count()
     assert(got.values.map(_._2).sum == distinctShingles)
   }
+
+  test("matryoshka: full-dim recall anchors at 1; every dim ranks queries*k pairs") {
+    val rows = Similarity.simMatryoshka(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+    assert(rows.map(_._1).toSeq == Similarity.MatryoshkaDims.map(_.toLong))
+    val expectPairs = Similarity.NumQueries.toLong * Similarity.TopK
+    rows.foreach { case (d, (np, nm, rec)) =>
+      assert(np == expectPairs, s"dims=$d pairs=$np")
+      assert(nm >= 0 && nm <= np && rec >= 0.0 && rec <= 1.0)
+    }
+    val full = rows.toMap.apply(Similarity.MatryoshkaDims.last.toLong)
+    assert(full._2 == expectPairs && full._3 == 1.0,
+      "full-dimension search must equal its own truth")
+  }
+
+  test("ivf balance: cells conserve the corpus; shares sum to 1; hot flag consistent") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.simIvfBalance(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val n = graft.Tables.t(spark, sfDir, "embeddings").count()
+    val k = got.length.toLong
+    assert(got.map(_._2).sum == n)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9)
+    got.foreach { case (c, nv, _, hot) =>
+      assert(hot == (nv * k > 2 * n), s"cell $c hot flag") }
+  }
+
+  test("knn probe: per-label query counts conserve the probe set; accuracy in [0,1]") {
+    val got = Similarity.simKnnProbe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._2).sum == Similarity.ProbeQueries)
+    got.foreach { case (_, nq, nc, acc) =>
+      assert(nc <= nq && acc >= 0.0 && acc <= 1.0) }
+  }
 }

@@ -273,4 +273,31 @@ class Extended6Spec extends SparkSpec {
         "a NULL in the NOT IN list makes every comparison UNKNOWN")
     else assert(nNotIn == nAnti)
   }
+
+  test("q81: funnel depth on a hand-built event sequence; window boundary strict") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val W = Extended6.FunnelWindowUs
+    // user 1: full chain inside the window -> 3
+    // user 2: view+click inside, purchase outside the anchor window -> 2
+    // user 3: click before the view only -> 1
+    // user 4: no view at all -> 0
+    // user 5: chain exactly ON the boundary (p at v+W) -> 3 (inclusive <=)
+    // user 6: click strictly at the view instant (tie) -> excluded -> 1
+    val rows = Seq(
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 20L, "purchase"),
+      (2L, 0L, "view"), (2L, 10L, "click"), (2L, W + 1L, "purchase"),
+      (3L, 10L, "view"), (3L, 5L, "click"),
+      (4L, 0L, "click"), (4L, 5L, "purchase"),
+      (5L, 0L, "view"), (5L, 1L, "click"), (5L, W, "purchase"),
+      (6L, 7L, "view"), (6L, 7L, "click"))
+    val ev = rows.toDF("user_id", "tus", "event_type")
+      .select($"user_id", timestamp_micros($"tus").as("ts"), $"event_type",
+        lit(0L).as("event_id"), lit(0.0).as("value"), lit("").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Extended6.q81WindowFunnel(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L, 5L -> 3L, 6L -> 1L), got)
+  }
 }
