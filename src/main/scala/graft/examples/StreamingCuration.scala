@@ -762,6 +762,36 @@ object StreamingCuration {
     spark.read.parquet(s"$stateDir/norm_hist").orderBy($"norm_band")
   }
 
+  /** Fold a batch's (source, token-length) histogram into persistent
+    * state — the LIVE per-source length profile: the (length, count)
+    * collapse is additive, so percentiles probed from the accumulated
+    * state equal the one-shot
+    * [[graft.ops.CorpusFilters.taLenProfile]] exactly (spec-pinned).
+    * State is |sources| × |distinct lengths| rows — bounded by the
+    * value DOMAIN, not the stream volume.
+    */
+  def mergeLenProfileState(spark: SparkSession, stateDir: String,
+      batch: DataFrame): Unit = {
+    import spark.implicits._
+    val dir = s"$stateDir/len_profile"
+    val b = batch
+      .select($"source", graft.ops.TextAnalysis.tokenCount($"text").as("len"))
+      .groupBy($"source", $"len").agg(count(lit(1)).as("c"))
+    val merged =
+      if (!new java.io.File(dir).exists()) b
+      else spark.read.parquet(dir).unionByName(b)
+        .groupBy($"source", $"len").agg(sum($"c").as("c"))
+    val frozen = merged.localCheckpoint(eager = true)
+    frozen.coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** The accumulated-stream length profile — identical columns to the
+    * batch [[graft.ops.CorpusFilters.taLenProfile]].
+    */
+  def lenProfileFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.ops.CorpusFilters.lenProfileOfCounts(
+      spark.read.parquet(s"$stateDir/len_profile"))
+
   /** Fold a batch into the corpus-manifest state — the LIVE
     * reproducibility manifest: counts and sums add, and the 60-bit
     * content signature is a bit_xor (commutative, associative,

@@ -646,9 +646,18 @@ object CorpusFilters {
     val docs = t(s, dir, "documents")
     val sp = docs.sparkSession
     import sp.implicits._
-    val vc = docs
+    lenProfileOfCounts(docs
       .select($"source", TextAnalysis.tokenCount($"text").as("len"))
-      .groupBy($"source", $"len").agg(count(lit(1)).as("c"))
+      .groupBy($"source", $"len").agg(count(lit(1)).as("c")))
+  }
+
+  /** The percentile probe over a pre-collapsed (source, len, c) count
+    * table — shared by the registered query and the additive streaming
+    * twin (the collapse is a sum, so folded state probes identically).
+    */
+  def lenProfileOfCounts(vc: DataFrame): DataFrame = {
+    val sp = vc.sparkSession
+    import sp.implicits._
     val wCum = Window.partitionBy($"source").orderBy($"len".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy($"source")

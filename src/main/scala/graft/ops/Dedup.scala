@@ -106,6 +106,42 @@ object Dedup {
       .orderBy("canonical_id")
   }
 
+  /** x^n for power-of-two n as an explicit squaring chain — the
+    * libm-free dyadic power both engines evaluate with the SAME
+    * multiplication tree (hence identical bits); `pow()` with a
+    * fractional or runtime exponent is NOT cross-engine stable.
+    */
+  private def powDyadic(c: org.apache.spark.sql.Column, n: Int) = {
+    require(n > 0 && Integer.bitCount(n) == 1, s"n=$n must be a power of 2")
+    var x = c; var m = 1
+    while (m < n) { x = x * x; m *= 2 }
+    x
+  }
+
+  /** LSH banding S-curve — the (bands × rows) tuning chart: for each
+    * Jaccard band midpoint s, the probability the repo's
+    * [[Bands]]×[[RowsPerBand]] MinHash banding emits a pair as a
+    * candidate, P(s) = 1 − (1 − s^r)^b. This is the analytic
+    * justification of the banding parameters (P ≈ 1 at the 0.8
+    * near-dup threshold, P ≈ 0 under the sub-0.3 noise mass) — the
+    * complement of the MEASURED dedup_jaccard_hist /
+    * dedup_method_agreement evidence, and the chart consulted before
+    * changing either parameter. EXACT cross-engine because r = 4 and
+    * b = 16 are dyadic: both powers evaluate as fixed squaring chains
+    * ([[powDyadic]]) — no libm pow anywhere.
+    *
+    * 100 TB shape: a 20-row generated table; free at any scale.
+    */
+  def dedupLshSCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val jac = ($"k" * 2 + 1).cast("double") / lit(40.0)
+    val pBand = powDyadic(jac, RowsPerBand)
+    val pDet = lit(1.0) - powDyadic(lit(1.0) - pBand, Bands)
+    s.range(0, 20).toDF("k")
+      .select(jac.as("jaccard"), pBand.as("p_band"), pDet.as("p_detect"))
+      .orderBy("jaccard")
+  }
+
   /** Per-source exact-duplicate rate — the "which feed is dirtiest"
     * report a curation dashboard leads with: per source, docs vs
     * distinct texts, the extra copies a keep-one pass would drop, the
@@ -908,6 +944,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_bow" -> dedupBow,
     "dedup_rate_by_source" -> dedupRateBySource,
+    "dedup_lsh_scurve" -> dedupLshSCurve,
     "dedup_bloom_novel" -> dedupBloomNovel,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
@@ -1168,6 +1205,17 @@ object Dedup {
       FROM documents
       GROUP BY text
       ORDER BY canonical_id""",
+    // same multiplication TREE as the Spark powDyadic chains:
+    // s^4 = (s·s)·(s·s), y^16 = (y4·y4)·(y4·y4) with y4 = (y·y)·(y·y)
+    "dedup_lsh_scurve" -> """
+      WITH ks AS (SELECT unnest(range(0, 20)) AS k),
+      j AS (SELECT CAST(2 * k + 1 AS DOUBLE) / 40.0 AS jaccard FROM ks),
+      b AS (SELECT jaccard,
+              (jaccard * jaccard) * (jaccard * jaccard) AS p_band FROM j),
+      y AS (SELECT jaccard, p_band, 1 - p_band AS y0 FROM b),
+      y4 AS (SELECT jaccard, p_band, (y0 * y0) * (y0 * y0) AS v FROM y)
+      SELECT jaccard, p_band, 1 - ((v * v) * (v * v)) AS p_detect
+      FROM y4 ORDER BY jaccard""",
     "dedup_rate_by_source" -> """
       WITH fam AS (
         SELECT source, md5(text) AS h, COUNT(*) AS m

@@ -665,6 +665,23 @@ class StreamingSpec extends SparkSpec {
       "additive band fold must equal the one-shot histogram")
   }
 
+  test("incremental len-profile state: additive folds == one-shot percentiles") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-lenprof")
+    val folded = work.resolve("folded").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    (0 until 3).foreach { i =>
+      StreamingCuration.mergeLenProfileState(spark, folded,
+        docs.filter(pmod($"doc_id", lit(3)) === i))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(StreamingCuration.lenProfileFromState(spark, folded)) ==
+      rows(graft.ops.CorpusFilters.taLenProfile(spark, sfDir)),
+      "folded length histogram must probe to the one-shot percentiles")
+  }
+
   test("incremental manifest state: any-order folds == one-shot manifest") {
     import spark.implicits._
     import graft.examples.StreamingCuration
