@@ -762,6 +762,32 @@ object StreamingCuration {
     spark.read.parquet(s"$stateDir/norm_hist").orderBy($"norm_band")
   }
 
+  /** The PURE readStream → writeStream form of the curation monitor —
+    * the declarative sibling of [[processBatch]]'s foreachBatch form
+    * (NOTES r8 forward note): the quality signals (token count,
+    * language id, a Gopher-style keep gate) run as codegen'd column
+    * expressions INSIDE the stream, a watermarked tumbling window
+    * aggregates per (window, source), and the sink is an ordinary
+    * streaming sink — no foreachBatch, no manual state files; the
+    * streaming state store holds only open windows (watermark-evicted
+    * under append mode). Returned as a plain DataFrame => DataFrame so
+    * the spec pins stream == batch on the same fixture — the
+    * [[graft.streaming.WindowTransforms]] parity contract.
+    *
+    * Input contract: (event_ts: timestamp, source, text). At 100 TB/s
+    * scale the aggregation state is (active windows × sources) rows —
+    * independent of stream length.
+    */
+  def declarativeCurationTransform(
+      windowLen: String = "1 minute"): DataFrame => DataFrame = df =>
+    df.withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .withColumn("keep", col("n_tokens") >= 20L && col("lang_pred") =!= "und")
+      .groupBy(window(col("event_ts"), windowLen), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+
   /** Fold a batch's (source, token-length) histogram into persistent
     * state — the LIVE per-source length profile: the (length, count)
     * collapse is additive, so percentiles probed from the accumulated

@@ -849,6 +849,49 @@ object QualityQueries {
     * 100 TB shape: one scan → per-day collapse (≤ days rows), then
     * windows over the tiny daily series.
     */
+  /** Cross-table reconciliation report — the classic warehouse audit
+    * (header total vs detail rollup: does `o_totalprice` equal the
+    * order's lineitem revenue?): every order lands in a ratio band
+    * (actual/expected <0.5, 0.5–0.9, 0.9–1.1 "reconciled", 1.1–2, ≥2,
+    * or no_lines), with counts and the absolute money gap per band.
+    * On the synthetic corpus header totals are independent of the
+    * details, so the report SHOWS that (nothing reconciles) — which is
+    * precisely what the check is for.
+    *
+    * Exactness: the expected revenue folds in DECIMAL; ratio bands are
+    * integer-scaled DECIMAL cross-multiplications (10·tp < 5·exp ⇔
+    * ratio < 0.5) — no division anywhere; gaps convert to double only
+    * on output.
+    *
+    * 100 TB shape: one lineitem aggregation keyed by order, one
+    * order-keyed join (sort-merge at scale, AQE-skew-safe), one 6-row
+    * band aggregation with map-side combine.
+    */
+  def dqReconciliation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exp = t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
+        (lit(1) - $"l_discount".cast("decimal(6,4)"))).as("expected"))
+    val j = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice".cast("decimal(18,2)").as("tp"))
+      .join(exp, $"o_orderkey" === $"l_orderkey", "left")
+    val banded = j.select($"tp", $"expected",
+      when($"expected".isNull, "0_no_lines")
+        .when($"tp" * 10 < $"expected" * 5, "1_below_half")
+        .when($"tp" * 10 < $"expected" * 9, "2_low")
+        .when($"tp" * 10 < $"expected" * 11, "3_reconciled")
+        .when($"tp" < $"expected" * 2, "4_high")
+        .otherwise("5_above_double").as("band"))
+    banded.groupBy($"band")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"tp").cast("double").as("total_actual"),
+        coalesce(sum($"expected"), lit(0)).cast("double").as("total_expected"),
+        coalesce(sum(abs($"tp" - $"expected")), lit(0)).cast("double")
+          .as("abs_gap"))
+      .orderBy("band")
+  }
+
   /** Reproducibility manifest of the document corpus — the dataset-
     * card artifact a training run records before touching data: per
     * source, doc/token/char counts and an ORDER-FREE content signature
@@ -953,6 +996,7 @@ object QualityQueries {
     "dq_volume_zscore" -> dqVolumeZscore,
     "dq_dup_rows" -> dqDupRows,
     "dq_manifest" -> dqManifest,
+    "dq_reconciliation" -> dqReconciliation,
     "dq_seasonality" -> dqSeasonality,
     "dq_kmv_overlap" -> dqKmvOverlap,
     "dq_null_trend" -> dqNullTrend,
@@ -1015,6 +1059,30 @@ object QualityQueries {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "dq_reconciliation" -> """
+      WITH exp AS (
+        SELECT l_orderkey,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (1 - CAST(l_discount AS DECIMAL(6,4)))) AS expected
+        FROM lineitem GROUP BY l_orderkey),
+      j AS (
+        SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS tp, expected
+        FROM orders o LEFT JOIN exp ON exp.l_orderkey = o.o_orderkey),
+      banded AS (
+        SELECT tp, expected,
+          CASE WHEN expected IS NULL THEN '0_no_lines'
+               WHEN tp * 10 < expected * 5 THEN '1_below_half'
+               WHEN tp * 10 < expected * 9 THEN '2_low'
+               WHEN tp * 10 < expected * 11 THEN '3_reconciled'
+               WHEN tp < expected * 2 THEN '4_high'
+               ELSE '5_above_double' END AS band
+        FROM j)
+      SELECT band,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(tp) AS DOUBLE) AS total_actual,
+        CAST(COALESCE(SUM(expected), 0) AS DOUBLE) AS total_expected,
+        CAST(COALESCE(SUM(ABS(tp - expected)), 0) AS DOUBLE) AS abs_gap
+      FROM banded GROUP BY band ORDER BY band""",
     "dq_manifest" -> {
       // 15 md5-hex nibbles decoded to a 60-bit integer — DuckDB has no
       // conv(), so the prefix replays nibble-by-nibble (the

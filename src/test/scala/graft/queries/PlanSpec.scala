@@ -123,8 +123,10 @@ class PlanSpec extends SparkSpec {
       // groupedDiscMedian (localCheckpoint-truncated), so its RETURNED
       // plan is one scan + a broadcast local stats table and the
       // default bound applies.
+      // reconciliation joins header to detail — two tables by definition
       val allowed =
-        if (Set("dq_referential", "dq_anomaly", "dq_cross_field")(name)) 2 else 1
+        if (Set("dq_referential", "dq_anomaly", "dq_cross_field",
+          "dq_reconciliation")(name)) 2 else 1
       assert(scans <= allowed, s"$name reads its input more than once")
     }
   }

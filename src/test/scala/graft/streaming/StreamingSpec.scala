@@ -665,6 +665,45 @@ class StreamingSpec extends SparkSpec {
       "additive band fold must equal the one-shot histogram")
   }
 
+  test("declarative curation stream: watermarked windowed gate == batch run") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    // synthetic event time: docs land one per 2s across ~3 windows
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select(
+        timestamp_micros(lit(1704067200000000L) + $"doc_id" * 2000000L)
+          .as("event_ts"),
+        $"source", $"text")
+    val transform = StreamingCuration.declarativeCurationTransform("1 minute")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getStruct(0).getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+    val batch = transform(docs).collect().map(key).toSet
+    assert(batch.nonEmpty && batch.exists(_._5 > 0),
+      "fixture must produce windows with kept docs")
+
+    val work = Files.createTempDirectory("graft-declcur")
+    // two drops: out-of-order arrival across the file boundary
+    docs.filter($"source" < "src2").write
+      .parquet(work.resolve("in/b1").toString)
+    docs.filter($"source" >= "src2").write
+      .parquet(work.resolve("in/b2").toString)
+    val q = new StreamingPipeline(
+      source = FileStreamingSource(work.resolve("in").toString + "/*",
+        schemaDdl = Some("event_ts TIMESTAMP, source STRING, text STRING"),
+        options = Map("maxFilesPerTrigger" -> "1"),
+        watermarkColumn = Some("event_ts"), watermarkDelay = Some("10 minutes")),
+      sink = MemoryStreamingSink("declcur"),
+      transform = transform,
+      outputMode = OutputMode.Complete,
+      queryName = Some("declcur"),
+      trigger = TriggerConfig.AvailableNow).startStream(spark)
+    q.awaitTermination(120000)
+    val streamed = spark.table("declcur").collect().map(key).toSet
+    assert(streamed == batch,
+      "declarative stream must equal the batch run of the same transform")
+  }
+
   test("incremental len-profile state: additive folds == one-shot percentiles") {
     import spark.implicits._
     import graft.examples.StreamingCuration
