@@ -1030,6 +1030,19 @@ object Curation {
     * final ratio steps are IEEE doubles (a product and a division,
     * identical instruction-for-instruction in both engines).
     *
+    * Overflow contract (ADVICE r9 #1): a per-row long square always
+    * fits DECIMAL(38,0) (max long² ≈ 8.5e37 < 1e38), so the only cap
+    * that can bind is the Σw² accumulator — exact while
+    * n·wmax² < 10^38, i.e. |raw_score| ≤ ~10^17/√n per source (the
+    * trigram discriminant is ≤ ~10^6·doc_len, orders of magnitude
+    * inside the bound at any plausible corpus). If the bound is ever
+    * exceeded the query FAILS LOUDLY rather than diverging: under
+    * ANSI mode (Spark 4 default) the decimal sum itself throws, and
+    * under non-ANSI mode the raise_error guard below converts the
+    * silent overflow-NULL into an error — DuckDB's HUGEINT would stay
+    * exact to 1.7e38, so a silent NULL would otherwise read as a
+    * value mismatch instead of the overflow it is.
+    *
     * 100 TB shape: rides the one-scan fused importance model
     * ([[taImportance]]); the report itself is one map-side-combinable
     * per-source aggregation over (source, w) rows.
@@ -1048,10 +1061,20 @@ object Curation {
           .cast("decimal(38,0)")).as("sww"),
         max($"w").as("wmax"))
       .select($"source", $"n_docs", $"n_pos",
-        when($"sww" > 0,
-          $"sw".cast("double") * $"sw".cast("double") / $"sww".cast("double"))
+        // w is never NULL (greatest(raw,0) over non-null longs), so a
+        // NULL accumulator can only mean non-ANSI decimal overflow —
+        // fail loudly instead of diverging from the HUGEINT oracle
+        when($"sww".isNull || $"sw".isNull,
+          raise_error(lit("sample_ess: Σw/Σw² overflowed decimal(38,0)" +
+            " — raw_score magnitude exceeded the documented bound"))
+            .cast("double"))
+          .when($"sww" > 0,
+            $"sw".cast("double") * $"sw".cast("double") / $"sww".cast("double"))
           .as("ess"),
-        when($"sw" > 0, $"wmax".cast("double") / $"sw".cast("double"))
+        when($"sw".isNull,
+          raise_error(lit("sample_ess: Σw overflowed decimal(38,0)"))
+            .cast("double"))
+          .when($"sw" > 0, $"wmax".cast("double") / $"sw".cast("double"))
           .as("max_share"))
       .orderBy("source")
   }

@@ -573,14 +573,20 @@ object Similarity {
     *
     * 100 TB shape: one assignment pass (broadcast centroids, per-row
     * window over k centroid rows) → one k-row aggregation; the total
-    * is a broadcast scalar. Production swaps the exact fold for the
+    * AND the cell count k are 1-row broadcast scalars folded into the
+    * final projection — the whole query is ONE lazy plan with no
+    * construction-time job (ADVICE r9 #3: the former eager
+    * distinct().count() ran a third embeddings scan even when callers
+    * only wanted the plan). Production swaps the exact fold for the
     * UDAF quantizer with identical plan shape.
     */
   def simIvfBalance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
     val cents = broadcast(centroidsExact(emb(s, dir)))
-    val k = emb(s, dir).select($"label").distinct().count()
+    // centroid count = distinct labels (exactly the oracle's COUNT(*)
+    // FROM cent) as a LAZY column-pruned 1-row aggregate, not a job
+    val kdf = emb(s, dir).agg(countDistinct($"label").as("k_cells"))
     val wv = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cent_id".asc)
     val cells = all.crossJoin(cents)
       .select($"vec_id", $"cent_id", (-cosine($"e", $"cent")).as("d"))
@@ -588,10 +594,10 @@ object Similarity {
       .filter($"cr" === 1)
       .groupBy($"cent_id").agg(count(lit(1)).as("n_vecs"))
     val tot = cells.agg(coalesce(sum($"n_vecs"), lit(0L)).as("n_total"))
-    cells.crossJoin(broadcast(tot))
+    cells.crossJoin(broadcast(tot)).crossJoin(broadcast(kdf))
       .select($"cent_id", $"n_vecs",
         ($"n_vecs".cast("double") / $"n_total".cast("double")).as("share"),
-        ($"n_vecs" * lit(k) > $"n_total" * 2L).as("is_hot"))
+        ($"n_vecs" * $"k_cells" > $"n_total" * 2L).as("is_hot"))
       .orderBy("cent_id")
   }
 

@@ -474,6 +474,11 @@ object Extended6 {
     * bump on key%11, segment rewrite on key%7, deletes on key%13,
     * inserts above the key space — the q72 change generator's
     * diff-view sibling), so both engines derive identical inputs.
+    * Inserted keys are `c_custkey + max(c_custkey)` — derived from the
+    * ACTUAL key space via a lazy 1-row broadcast, so planted inserts
+    * land strictly above every real key at any SF (ADVICE r9 #2: a
+    * fixed +1000000 literal collides with real custkeys at SF ≥ ~7,
+    * silently degrading the added/removed semantics).
     *
     * Scale shape: ONE full-outer equi-join on the key classifies every
     * row; all eight counters collapse in one map-side-combinable
@@ -493,7 +498,8 @@ object Extended6 {
           .otherwise($"c_mktsegment").as("c_mktsegment"))
       .unionByName(
         cur.filter($"c_custkey" % 13 === 0)
-          .select(($"c_custkey" + 1000000L).as("c_custkey"),
+          .crossJoin(broadcast(cur.agg(max($"c_custkey").as("__mk"))))
+          .select(($"c_custkey" + $"__mk").as("c_custkey"),
             lit(50.0).as("c_acctbal"), lit("NEW").as("c_mktsegment")))
     val j = cur.as("a").join(next.as("b"),
       col("a.c_custkey") === col("b.c_custkey"), "full_outer")
@@ -638,7 +644,8 @@ object Extended6 {
           CASE WHEN c_custkey % 7 = 0 THEN 'SEGMENT_V2' ELSE c_mktsegment END AS c_mktsegment
         FROM cur WHERE c_custkey % 13 <> 0
         UNION ALL
-        SELECT c_custkey + 1000000, 50.0, 'NEW' FROM cur WHERE c_custkey % 13 = 0),
+        SELECT c_custkey + (SELECT MAX(c_custkey) FROM cur), 50.0, 'NEW'
+        FROM cur WHERE c_custkey % 13 = 0),
       j AS (
         SELECT a.c_custkey AS ak, b.c_custkey AS bk,
           a.c_acctbal AS ab, b.c_acctbal AS bb,
