@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Sampling, TextAnalysis}
-import graft.streaming.{FileStreamingSource, ForeachBatchSink, StreamingPipeline, TriggerConfig}
+import graft.streaming.{FileStreamingSource, ForeachBatchSink, StreamingPipeline, TriggerConfig, VersionedState}
 
 /** Incremental streaming curation — the batch capstone pipeline
   * ([[TrainingDataPipeline]]) restructured for the production shape: a
@@ -34,6 +34,16 @@ import graft.streaming.{FileStreamingSource, ForeachBatchSink, StreamingPipeline
   */
 object StreamingCuration {
 
+  /** The latest committed payload table of a versioned state
+    * ([[graft.streaming.VersionedState]] layout) — loud error when the
+    * state has never been committed (readers are only meaningful after
+    * at least one fold).
+    */
+  private def stateTable(spark: SparkSession, stateDir: String,
+      name: String, table: String = "data"): DataFrame =
+    VersionedState.readTable(spark, stateDir, name, table).getOrElse(
+      sys.error(s"no committed '$name' state under $stateDir"))
+
   /** Quality gate shared with the batch pipeline. */
   def qualityGate(df: DataFrame): DataFrame = {
     val nTok = TextAnalysis.tokenCount(col("text"))
@@ -47,10 +57,20 @@ object StreamingCuration {
     * append to the state tables; returns the POST-APPEND total corpus
     * row count (callers wanting the per-batch acceptance count should
     * diff successive returns or count the appended split table).
+    *
+    * Replay contract (VERDICT r9 ask #1): pass the foreachBatch
+    * `batchId` and an at-least-once redelivery of a micro-batch leaves
+    * EVERY state bit-identical — the count-based monitor folds are
+    * watermark-gated inside [[graft.streaming.VersionedState]], the
+    * sketch states (bloom/HLL/KMV) are idempotent merges, and the
+    * corpus tables themselves are naturally replay-safe because the
+    * exact-dedup gate anti-joins the very corpus the first delivery
+    * appended to (a replayed doc is, by definition, a duplicate now).
     */
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
       threshold: Double = 0.8,
-      bloomExpectedDocs: Long = BloomExpectedDocs): Long = {
+      bloomExpectedDocs: Long = BloomExpectedDocs,
+      batchId: Long = -1L): Long = {
     import spark.implicits._
     val docsDir = s"$stateDir/corpus_docs"
     val setsDir = s"$stateDir/corpus_sets"
@@ -60,40 +80,41 @@ object StreamingCuration {
     // and short-doc counts fold into profile_texts BEFORE any curation
     // stage, so the accumulated profile describes what ARRIVED (the
     // health signal a pipeline alerts on), not what survived
-    mergeProfileState(spark, stateDir, batch)
+    mergeProfileState(spark, stateDir, batch, batchId)
     // 0b: token-frequency sketch state — same pre-gate placement, so
     // cmsEstimateFromState answers "how often has token X arrived"
     // without any corpus rescan (constant-size register fold ∝ batch)
-    mergeCmsState(spark, stateDir, batch)
+    mergeCmsState(spark, stateDir, batch, batchId)
     // 0c: doc-length quantile sketch state — arriving documents' token
     // counts fold into the bounded decimal-bucket sketch, so p50/p99
     // document length stays monitorable per batch (quantilesFromState)
     // with a constant-size state rewrite and no corpus rescan
     mergeQuantileState(spark, stateDir,
-      batch.select(TextAnalysis.tokenCount($"text").cast("double").as("value")))
+      batch.select(TextAnalysis.tokenCount($"text").cast("double").as("value")),
+      batchId)
     // 0d: per-source key-count state — the arriving stream's skew audit
     // (skewFromState) folds additively, key-cardinality-bounded
     mergeKeyCountState(spark, stateDir,
       if (batch.columns.contains("source")) batch
       else batch.withColumn("source", lit("stream")),
-      "source")
+      "source", batchId)
     // 0e: KMV sketch state over arriving doc_ids — distinct-volume
     // telemetry at k rows of state (kmvEstimateFromState)
-    mergeKmvState(spark, stateDir, batch, "doc_id")
+    mergeKmvState(spark, stateDir, batch, "doc_id", batchId)
     // 0f: batching-waste state — the arriving stream's padding-waste
     // report folds additively per length bucket (bucketWasteFromState)
-    mergeBucketWasteState(spark, stateDir, batch)
+    mergeBucketWasteState(spark, stateDir, batch, batchId)
     // 0g: (source, token) count state — the additive sufficient
     // statistic for Simpson diversity and source-vs-corpus TVD
     // (simpsonFromState / divergenceFromState)
-    mergeTokenCountState(spark, stateDir, batch)
+    mergeTokenCountState(spark, stateDir, batch, batchId)
     // 0h: vocabulary-growth state — the live Heaps curve over arrival
     // order (heapsCurveFromState)
-    mergeVocabGrowthState(spark, stateDir, batch)
+    mergeVocabGrowthState(spark, stateDir, batch, batchId)
     // 0i: embedding-norm health bands, when the stream carries vectors
     // (normHistFromState)
     if (batch.columns.contains("embedding"))
-      mergeNormHistState(spark, stateDir, batch)
+      mergeNormHistState(spark, stateDir, batch, batchId)
 
     // 1–2: redact, gate
     val clean = qualityGate(
@@ -183,11 +204,11 @@ object StreamingCuration {
       withSplit.write.mode("append").parquet(docsDir)
       batchSets.join(withSplit.select($"doc_id"), Seq("doc_id"), "left_semi")
         .write.mode("append").parquet(setsDir)
-      mergeChunkFreq(spark, stateDir, newChunks)
-      mergeNoveltyState(spark, stateDir, noveltyDocs)
+      mergeChunkFreq(spark, stateDir, newChunks, batchId)
+      mergeNoveltyState(spark, stateDir, noveltyDocs, batchId)
       // line first-occurrence state for incremental paragraph dedup —
       // reuses the already-materialized accepted (doc_id, text) frame
-      mergeParaState(spark, stateDir, noveltyDocs)
+      mergeParaState(spark, stateDir, noveltyDocs, batchId)
       // fold the accepted md5s into the persisted corpus bloom (the
       // collect is batch-bounded; withSplit is already materialized)
       updateBloom(stateDir,
@@ -343,21 +364,24 @@ object StreamingCuration {
   /** Fold a batch's (doc_id, h) distinct chunk hashes into the
     * persistent `chunk_freq(h, nd)` table (nd = how many accepted docs
     * ever contained the chunk; doc_ids are unique across batches, so
-    * per-batch distinct counts add). The merged table is MATERIALIZED
-    * before the overwrite — the overwrite's input is the table being
-    * replaced, the exact read-your-own-write hazard class the
-    * processBatch regression spec guards.
+    * per-batch distinct counts add). Crash-safe + replay-idempotent
+    * via the [[graft.streaming.VersionedState]] commit protocol: the
+    * merge reads the previous committed version and writes a fresh
+    * one, and a redelivered batchId is a no-op.
     */
-  def mergeChunkFreq(spark: SparkSession, stateDir: String, newChunks: DataFrame): Unit = {
+  def mergeChunkFreq(spark: SparkSession, stateDir: String,
+      newChunks: DataFrame, batchId: Long = -1L): Unit = {
     import spark.implicits._
-    val freqDir = s"$stateDir/chunk_freq"
+    if (VersionedState.alreadyFolded(spark, stateDir, "chunk_freq", batchId)) return
     val batchCounts = newChunks.groupBy($"h").agg(count(lit(1)).as("nd"))
-    val merged =
-      if (!new java.io.File(freqDir).exists()) batchCounts
-      else spark.read.parquet(freqDir).unionByName(batchCounts)
+    val merged = VersionedState.readTable(spark, stateDir, "chunk_freq") match {
+      case None => batchCounts
+      case Some(prior) => prior.unionByName(batchCounts)
         .groupBy($"h").agg(sum($"nd").as("nd"))
-    val frozen = merged.localCheckpoint(eager = true)
-    frozen.write.mode("overwrite").parquet(freqDir)
+    }
+    VersionedState.commit(spark, stateDir, "chunk_freq", batchId) { dir =>
+      merged.write.mode("overwrite").parquet(s"$dir/data")
+    }
   }
 
   /** Fold a batch into the persistent per-source profile state
@@ -371,9 +395,10 @@ object StreamingCuration {
     * only the md5-keyed counts do). Batches without a `source` column
     * profile under the single source "stream".
     */
-  def mergeProfileState(spark: SparkSession, stateDir: String, batch: DataFrame): Unit = {
+  def mergeProfileState(spark: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long = -1L): Unit = {
     import spark.implicits._
-    val dir = s"$stateDir/profile_texts"
+    if (VersionedState.alreadyFolded(spark, stateDir, "profile_texts", batchId)) return
     val src =
       if (batch.columns.contains("source")) col("source") else lit("stream")
     val rows = batch
@@ -382,16 +407,16 @@ object StreamingCuration {
       .groupBy($"source", $"m")
       .agg(count(lit(1)).as("n"), sum($"n_tokens").as("tokens"),
         sum(when($"n_tokens" < 5L, 1L).otherwise(0L)).as("short"))
-    val merged =
-      if (!new java.io.File(dir).exists()) rows
-      else spark.read.parquet(dir).unionByName(rows)
+    val merged = VersionedState.readTable(spark, stateDir, "profile_texts") match {
+      case None => rows
+      case Some(prior) => prior.unionByName(rows)
         .groupBy($"source", $"m")
         .agg(sum($"n").as("n"), sum($"tokens").as("tokens"),
           sum($"short").as("short"))
-    // materialize before the overwrite — the merge reads the table it
-    // replaces (the mergeChunkFreq read-your-own-write hazard)
-    val frozen = merged.localCheckpoint(eager = true)
-    frozen.write.mode("overwrite").parquet(dir)
+    }
+    VersionedState.commit(spark, stateDir, "profile_texts", batchId) { dir =>
+      merged.write.mode("overwrite").parquet(s"$dir/data")
+    }
   }
 
   /** The accumulated profile, shaped exactly like
@@ -403,7 +428,7 @@ object StreamingCuration {
     */
   def profileFromState(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$stateDir/profile_texts")
+    stateTable(spark, stateDir, "profile_texts")
       .groupBy($"source")
       .agg(sum($"n").as("n_docs"), sum($"tokens").as("total_tokens"),
         count(lit(1)).as("distinct_texts"), sum($"short").as("short_docs"))
@@ -427,29 +452,51 @@ object StreamingCuration {
     * nothing ever after. Driver state is one bounded #sources-row
     * collect per batch (the same boundedness as the prefix-sum bases);
     * selection work is ∝ batch via the shared two-pass kernel.
+    *
+    * Both halves — the #sources `runs` table and the budget-BOUNDED
+    * `selected` table (admission stops at `budget` tokens, so its size
+    * is capped by the budget, never the stream) — commit together in
+    * ONE [[graft.streaming.VersionedState]] version: the former
+    * append-selected/overwrite-runs pair could crash between the two
+    * writes and leave selection ahead of the run bases, double-
+    * admitting on refold. A replayed batchId is a no-op that returns
+    * the batch's already-admitted rows (tagged per-fold via the stored
+    * `__batch_id` column).
     */
   def mergeMixState(spark: SparkSession, stateDir: String, batch: DataFrame,
-      budget: Long = graft.ops.Curation.MixBudget): DataFrame = {
+      budget: Long = graft.ops.Curation.MixBudget,
+      batchId: Long = -1L): DataFrame = {
     import spark.implicits._
-    val runsDir = s"$stateDir/mix_runs"
-    val selDir = s"$stateDir/mix_selected"
+    val selOf = (df: DataFrame) => df.drop("__batch_id")
+    if (VersionedState.alreadyFolded(spark, stateDir, "mix", batchId))
+      return selOf(stateTable(spark, stateDir, "mix", "selected")
+        .filter($"__batch_id" === batchId))
     val prior: Map[String, Long] =
-      if (!new java.io.File(runsDir).exists()) Map.empty
-      else spark.read.parquet(runsDir).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      VersionedState.readTable(spark, stateDir, "mix", "runs") match {
+        case None => Map.empty
+        case Some(r) => r.collect()
+          .map(x => x.getString(0) -> x.getLong(1)).toMap
+      }
     val sel = graft.ops.Curation
       .mixBudgetOf(batch, budget, initialRuns = prior)
+      .withColumn("__batch_id", lit(batchId))
       .localCheckpoint(eager = true)
-    sel.write.mode("append").parquet(selDir)
+    val allSel = VersionedState.readTable(spark, stateDir, "mix", "selected") match {
+      case None => sel
+      case Some(p) => p.unionByName(sel)
+    }
     val batchTotals = batch
       .groupBy($"source")
       .agg(sum(graft.ops.TextAnalysis.tokenCount($"text")).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val runs = (prior.keySet ++ batchTotals.keySet).toSeq.sorted
       .map(src => (src, prior.getOrElse(src, 0L) + batchTotals.getOrElse(src, 0L)))
-    runs.toDF("source", "run").coalesce(1)
-      .write.mode("overwrite").parquet(runsDir)
-    sel
+    VersionedState.commit(spark, stateDir, "mix", batchId) { dir =>
+      allSel.write.mode("overwrite").parquet(s"$dir/selected")
+      runs.toDF("source", "run").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/runs")
+    }
+    selOf(sel)
   }
 
   /** The accumulated mix selection, shaped exactly like the batch
@@ -458,7 +505,7 @@ object StreamingCuration {
     */
   def mixFromState(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$stateDir/mix_selected")
+    stateTable(spark, stateDir, "mix", "selected").drop("__batch_id")
       .orderBy($"source", $"cum_tokens")
   }
 
@@ -473,17 +520,19 @@ object StreamingCuration {
     * matches the batch operator exactly (spec-pinned).
     */
   def mergeWindowFreq(spark: SparkSession, stateDir: String, batch: DataFrame,
-      k: Int = graft.ops.Curation.SubstrWindow): Unit = {
+      k: Int = graft.ops.Curation.SubstrWindow, batchId: Long = -1L): Unit = {
     import spark.implicits._
-    val dir = s"$stateDir/window_freq"
+    if (VersionedState.alreadyFolded(spark, stateDir, "window_freq", batchId)) return
     val batchCounts = graft.ops.Curation.windowHashes(batch, k)
       .groupBy($"h").agg(countDistinct($"doc_id").as("nd"))
-    val merged =
-      if (!new java.io.File(dir).exists()) batchCounts
-      else spark.read.parquet(dir).unionByName(batchCounts)
+    val merged = VersionedState.readTable(spark, stateDir, "window_freq") match {
+      case None => batchCounts
+      case Some(prior) => prior.unionByName(batchCounts)
         .groupBy($"h").agg(sum($"nd").as("nd"))
-    val frozen = merged.localCheckpoint(eager = true)
-    frozen.write.mode("overwrite").parquet(dir)
+    }
+    VersionedState.commit(spark, stateDir, "window_freq", batchId) { dir =>
+      merged.write.mode("overwrite").parquet(s"$dir/data")
+    }
   }
 
   /** Strip repeated spans from documents against the ACCUMULATED
@@ -495,11 +544,10 @@ object StreamingCuration {
       k: Int = graft.ops.Curation.SubstrWindow,
       minDocs: Int = graft.ops.Curation.BoilerMinDocs): DataFrame = {
     import spark.implicits._
-    val dir = s"$stateDir/window_freq"
-    val dup =
-      if (!new java.io.File(dir).exists())
-        Seq.empty[String].toDF("h")
-      else spark.read.parquet(dir).filter($"nd" >= minDocs).select($"h")
+    val dup = VersionedState.readTable(spark, stateDir, "window_freq") match {
+      case None => Seq.empty[String].toDF("h")
+      case Some(st) => st.filter($"nd" >= minDocs).select($"h")
+    }
     graft.ops.Curation.exactSubstrWithDup(docs, dup, k)
   }
 
@@ -512,24 +560,30 @@ object StreamingCuration {
     * cannot inflate the count.
     */
   def mergeDistinctSketch(spark: SparkSession, stateDir: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, batchId: Long = -1L): Unit = {
     import spark.implicits._
+    // register max is idempotent — a replay couldn't corrupt it — but
+    // the watermark skip still saves the fold, and the versioned
+    // commit (vs the former overwrite-in-place) survives a crash
+    if (VersionedState.alreadyFolded(spark, stateDir, "hll_regs", batchId)) return
     val agg = new graft.functions.HllAggregator()
     val hll = udaf(agg)
     val batchRegs = batch.select(xxhash64(col("text")).as("h"))
       .agg(hll($"h")).head().getAs[Array[Byte]](0)
-    val dir = s"$stateDir/hll_regs"
-    val merged =
-      if (!new java.io.File(dir).exists()) batchRegs
-      else agg.merge(
-        spark.read.parquet(dir).head().getAs[Array[Byte]](0), batchRegs)
-    Seq(merged).toDF("regs").coalesce(1).write.mode("overwrite").parquet(dir)
+    val merged = VersionedState.readTable(spark, stateDir, "hll_regs") match {
+      case None => batchRegs
+      case Some(prior) => agg.merge(prior.head().getAs[Array[Byte]](0), batchRegs)
+    }
+    VersionedState.commit(spark, stateDir, "hll_regs", batchId) { dir =>
+      Seq(merged).toDF("regs").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/data")
+    }
   }
 
   /** The accumulated distinct-text estimate (deterministic). */
   def distinctFromState(spark: SparkSession, stateDir: String): Long =
     graft.functions.HllAggregator.estimate(
-      spark.read.parquet(s"$stateDir/hll_regs").head().getAs[Array[Byte]](0))
+      stateTable(spark, stateDir, "hll_regs").head().getAs[Array[Byte]](0))
 
   /** Fold a batch into the persistent heavy-hitter sketch state: ONE
     * bounded Misra–Gries summary (<= k counters) plus the running token
@@ -540,8 +594,12 @@ object StreamingCuration {
     * n/(k+1) of ALL tokens seen so far is in the candidate set.
     */
   def mergeHeavyHitterState(spark: SparkSession, stateDir: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, batchId: Long = -1L): Unit = {
     import spark.implicits._
+    // count-based (MG counters + token total add) → watermark-gated;
+    // the sketch and total also commit in ONE version now, so a crash
+    // can no longer leave the pair torn (formerly two separate writes)
+    if (VersionedState.alreadyFolded(spark, stateDir, "hh", batchId)) return
     val agg = new graft.functions.MisraGriesAggregator(TextAnalysis.HhSketchK)
     val mg = udaf(agg)
     val row = batch
@@ -551,19 +609,23 @@ object StreamingCuration {
     val batchN = row.getLong(0)
     val batchSketch = row.getMap[String, Long](1).toMap
     val (priorN, priorSketch) = readHeavyHitterState(spark, stateDir)
-    agg.merge(priorSketch, batchSketch).toSeq.toDF("token", "est")
-      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/hh_sketch")
-    Seq(priorN + batchN).toDF("n")
-      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/hh_n")
+    VersionedState.commit(spark, stateDir, "hh", batchId) { dir =>
+      agg.merge(priorSketch, batchSketch).toSeq.toDF("token", "est")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/sketch")
+      Seq(priorN + batchN).toDF("n")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/n")
+    }
   }
 
   /** (total tokens seen, sketch) — bounded: 1 + <= k rows. */
   def readHeavyHitterState(spark: SparkSession, stateDir: String): (Long, Map[String, Long]) =
-    if (!new java.io.File(s"$stateDir/hh_n").exists()) (0L, Map.empty)
-    else (
-      spark.read.parquet(s"$stateDir/hh_n").head().getLong(0),
-      spark.read.parquet(s"$stateDir/hh_sketch").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    VersionedState.latest(stateDir, "hh") match {
+      case None => (0L, Map.empty)
+      case Some((_, dir)) => (
+        spark.read.parquet(s"$dir/n").head().getLong(0),
+        spark.read.parquet(s"$dir/sketch").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    }
 
   /** The on-demand verify half over an accumulated corpus: exact
     * recount RESTRICTED to the <= k sketch candidates (a filtered scan
@@ -598,8 +660,12 @@ object StreamingCuration {
     * sketch over the concatenation (spec-pinned), so estimates keep the
     * one-sided error bound at any batch split.
     */
-  def mergeCmsState(spark: SparkSession, stateDir: String, batch: DataFrame): Unit = {
+  def mergeCmsState(spark: SparkSession, stateDir: String, batch: DataFrame,
+      batchId: Long = -1L): Unit = {
     import spark.implicits._
+    // register SUMS add — NOT idempotent — so the watermark gate is
+    // what keeps a replayed micro-batch from inflating every estimate
+    if (VersionedState.alreadyFolded(spark, stateDir, "cms_sketch", batchId)) return
     val depth = graft.functions.CountMinAggregator.DefaultDepth
     val width = graft.functions.CountMinAggregator.DefaultWidth
     val agg = new graft.functions.CountMinAggregator(depth, width)
@@ -611,17 +677,20 @@ object StreamingCuration {
       .select(array(cells: _*).as("cells"))
       .agg(cm(col("cells"))).head().getSeq[Long](0).toArray
     val merged = agg.merge(readCmsState(spark, stateDir), batchSketch)
-    Seq(merged).toDF("sketch").coalesce(1)
-      .write.mode("overwrite").parquet(s"$stateDir/cms_sketch")
+    VersionedState.commit(spark, stateDir, "cms_sketch", batchId) { dir =>
+      Seq(merged).toDF("sketch").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/data")
+    }
   }
 
   /** The accumulated register file (zeros when no state exists). */
   def readCmsState(spark: SparkSession, stateDir: String): Array[Long] =
-    if (!new java.io.File(s"$stateDir/cms_sketch").exists())
-      new Array[Long](graft.functions.CountMinAggregator.DefaultDepth *
-        graft.functions.CountMinAggregator.DefaultWidth)
-    else spark.read.parquet(s"$stateDir/cms_sketch")
-      .head().getSeq[Long](0).toArray
+    VersionedState.readTable(spark, stateDir, "cms_sketch") match {
+      case None =>
+        new Array[Long](graft.functions.CountMinAggregator.DefaultDepth *
+          graft.functions.CountMinAggregator.DefaultWidth)
+      case Some(st) => st.head().getSeq[Long](0).toArray
+    }
 
   /** Point-frequency estimate for any token from the accumulated state
     * — a pure driver-side array lookup, no corpus rescan.
@@ -643,16 +712,18 @@ object StreamingCuration {
     * relative-error certificate unchanged.
     */
   def mergeQuantileState(spark: SparkSession, stateDir: String,
-      values: DataFrame): Unit = {
+      values: DataFrame, batchId: Long = -1L): Unit = {
     import spark.implicits._
-    val dir = s"$stateDir/quantile_buckets"
+    if (VersionedState.alreadyFolded(spark, stateDir, "quantile_buckets", batchId)) return
     val batchB = graft.queries.QualityQueries.sketchBuckets(values)
-    val merged =
-      if (!new java.io.File(dir).exists()) batchB
-      else spark.read.parquet(dir).unionByName(batchB)
+    val merged = VersionedState.readTable(spark, stateDir, "quantile_buckets") match {
+      case None => batchB
+      case Some(prior) => prior.unionByName(batchB)
         .groupBy($"lo", $"width").agg(sum($"cnt").as("cnt"))
-    val frozen = merged.localCheckpoint(eager = true)
-    frozen.write.mode("overwrite").parquet(dir)
+    }
+    VersionedState.commit(spark, stateDir, "quantile_buckets", batchId) { dir =>
+      merged.write.mode("overwrite").parquet(s"$dir/data")
+    }
   }
 
   /** Quantile estimates from the accumulated sketch state — the same
@@ -660,7 +731,7 @@ object StreamingCuration {
     */
   def quantilesFromState(spark: SparkSession, stateDir: String): DataFrame =
     graft.queries.QualityQueries.quantilesFromBuckets(
-      spark.read.parquet(s"$stateDir/quantile_buckets"),
+      stateTable(spark, stateDir, "quantile_buckets"),
       graft.queries.QualityQueries.QsPcts)
 
   /** Fold a batch's per-key row counts into the persistent key-count
@@ -670,16 +741,19 @@ object StreamingCuration {
     * without a corpus rescan.
     */
   def mergeKeyCountState(spark: SparkSession, stateDir: String,
-      batch: DataFrame, keyCol: String): Unit = {
+      batch: DataFrame, keyCol: String, batchId: Long = -1L): Unit = {
     import spark.implicits._
-    val dir = s"$stateDir/key_counts_$keyCol"
+    val name = s"key_counts_$keyCol"
+    if (VersionedState.alreadyFolded(spark, stateDir, name, batchId)) return
     val bc = batch.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
-    val merged =
-      if (!new java.io.File(dir).exists()) bc
-      else spark.read.parquet(dir).unionByName(bc)
+    val merged = VersionedState.readTable(spark, stateDir, name) match {
+      case None => bc
+      case Some(prior) => prior.unionByName(bc)
         .groupBy($"k").agg(sum($"cnt").as("cnt"))
-    val frozen = merged.localCheckpoint(eager = true)
-    frozen.write.mode("overwrite").parquet(dir)
+    }
+    VersionedState.commit(spark, stateDir, name, batchId) { dir =>
+      merged.write.mode("overwrite").parquet(s"$dir/data")
+    }
   }
 
   /** The accumulated-stream skew audit — the batch
@@ -688,7 +762,7 @@ object StreamingCuration {
   def skewFromState(spark: SparkSession, stateDir: String,
       keyCol: String): DataFrame =
     graft.queries.QualityQueries.keySkewFromCounts(
-      spark.read.parquet(s"$stateDir/key_counts_$keyCol"),
+      stateTable(spark, stateDir, s"key_counts_$keyCol"),
       s"stream.$keyCol")
 
   /** Fold a batch's docs into the persistent batching-waste state:
@@ -699,21 +773,23 @@ object StreamingCuration {
     * ever arrived (spec-pinned); state is ≤ 9 rows.
     */
   def mergeBucketWasteState(spark: SparkSession, stateDir: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, batchId: Long = -1L): Unit = {
     import spark.implicits._
-    val dir = s"$stateDir/bucket_waste"
+    if (VersionedState.alreadyFolded(spark, stateDir, "bucket_waste", batchId)) return
     val bs = graft.ops.Packing.packBucketWasteOf(batch)
       .select($"bucket", $"n_docs", $"n_windows", $"n_tokens", $"n_padded")
-    val merged =
-      if (!new java.io.File(dir).exists()) bs
-      else spark.read.parquet(dir).unionByName(bs)
+    val merged = VersionedState.readTable(spark, stateDir, "bucket_waste") match {
+      case None => bs
+      case Some(prior) => prior.unionByName(bs)
         .groupBy($"bucket").agg(
           sum($"n_docs").as("n_docs"),
           sum($"n_windows").as("n_windows"),
           sum($"n_tokens").as("n_tokens"),
           sum($"n_padded").as("n_padded"))
-    val frozen = merged.localCheckpoint(eager = true)
-    frozen.coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    VersionedState.commit(spark, stateDir, "bucket_waste", batchId) { dir =>
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    }
   }
 
   /** The accumulated batching-waste report — identical columns to the
@@ -721,7 +797,7 @@ object StreamingCuration {
     */
   def bucketWasteFromState(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$stateDir/bucket_waste")
+    stateTable(spark, stateDir, "bucket_waste")
       .select($"bucket", $"n_docs", $"n_windows", $"n_tokens", $"n_padded",
         ($"n_padded" - $"n_tokens").as("waste"),
         (($"n_padded" - $"n_tokens").cast("double") /
@@ -738,20 +814,22 @@ object StreamingCuration {
     * Callers pass the batch's (embedding: array<float|double>) frame.
     */
   def mergeNormHistState(spark: SparkSession, stateDir: String,
-      vecs: DataFrame): Unit = {
+      vecs: DataFrame, batchId: Long = -1L): Unit = {
     import spark.implicits._
-    val dir = s"$stateDir/norm_hist"
+    if (VersionedState.alreadyFolded(spark, stateDir, "norm_hist", batchId)) return
     val bs = vecs.select(
         floor(graft.ops.Similarity.norm(
           col("embedding").cast("array<double>")) * 10)
           .cast("long").as("norm_band"))
       .groupBy($"norm_band").agg(count(lit(1)).as("n_vecs"))
-    val merged =
-      if (!new java.io.File(dir).exists()) bs
-      else spark.read.parquet(dir).unionByName(bs)
+    val merged = VersionedState.readTable(spark, stateDir, "norm_hist") match {
+      case None => bs
+      case Some(prior) => prior.unionByName(bs)
         .groupBy($"norm_band").agg(sum($"n_vecs").as("n_vecs"))
-    val frozen = merged.localCheckpoint(eager = true)
-    frozen.coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    VersionedState.commit(spark, stateDir, "norm_hist", batchId) { dir =>
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    }
   }
 
   /** The accumulated norm histogram — identical columns to the batch
@@ -759,7 +837,7 @@ object StreamingCuration {
     */
   def normHistFromState(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$stateDir/norm_hist").orderBy($"norm_band")
+    stateTable(spark, stateDir, "norm_hist").orderBy($"norm_band")
   }
 
   /** The PURE readStream → writeStream form of the curation monitor —
@@ -797,18 +875,20 @@ object StreamingCuration {
     * value DOMAIN, not the stream volume.
     */
   def mergeLenProfileState(spark: SparkSession, stateDir: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, batchId: Long = -1L): Unit = {
     import spark.implicits._
-    val dir = s"$stateDir/len_profile"
+    if (VersionedState.alreadyFolded(spark, stateDir, "len_profile", batchId)) return
     val b = batch
       .select($"source", graft.ops.TextAnalysis.tokenCount($"text").as("len"))
       .groupBy($"source", $"len").agg(count(lit(1)).as("c"))
-    val merged =
-      if (!new java.io.File(dir).exists()) b
-      else spark.read.parquet(dir).unionByName(b)
+    val merged = VersionedState.readTable(spark, stateDir, "len_profile") match {
+      case None => b
+      case Some(prior) => prior.unionByName(b)
         .groupBy($"source", $"len").agg(sum($"c").as("c"))
-    val frozen = merged.localCheckpoint(eager = true)
-    frozen.coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    VersionedState.commit(spark, stateDir, "len_profile", batchId) { dir =>
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    }
   }
 
   /** The accumulated-stream length profile — identical columns to the
@@ -816,7 +896,7 @@ object StreamingCuration {
     */
   def lenProfileFromState(spark: SparkSession, stateDir: String): DataFrame =
     graft.ops.CorpusFilters.lenProfileOfCounts(
-      spark.read.parquet(s"$stateDir/len_profile"))
+      stateTable(spark, stateDir, "len_profile"))
 
   /** Fold a batch into the corpus-manifest state — the LIVE
     * reproducibility manifest: counts and sums add, and the 60-bit
@@ -827,9 +907,11 @@ object StreamingCuration {
     * xor-folding it again with negated counts. State is |sources| rows.
     */
   def mergeManifestState(spark: SparkSession, stateDir: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, batchId: Long = -1L): Unit = {
     import spark.implicits._
-    val dir = s"$stateDir/manifest"
+    // xor is SELF-INVERSE: a double-folded batch would silently CANCEL
+    // its own signature — the watermark gate is load-bearing here
+    if (VersionedState.alreadyFolded(spark, stateDir, "manifest", batchId)) return
     val b = batch.select($"source",
         graft.ops.TextAnalysis.tokenCount($"text").as("nt"),
         $"n_chars",
@@ -837,15 +919,17 @@ object StreamingCuration {
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
         sum($"n_chars").as("n_chars"), expr("bit_xor(sig)").as("content_sig"))
-    val merged =
-      if (!new java.io.File(dir).exists()) b
-      else spark.read.parquet(dir).unionByName(b)
+    val merged = VersionedState.readTable(spark, stateDir, "manifest") match {
+      case None => b
+      case Some(prior) => prior.unionByName(b)
         .groupBy($"source")
         .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"),
           sum($"n_chars").as("n_chars"),
           expr("bit_xor(content_sig)").as("content_sig"))
-    val frozen = merged.localCheckpoint(eager = true)
-    frozen.coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    VersionedState.commit(spark, stateDir, "manifest", batchId) { dir =>
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    }
   }
 
   /** The accumulated manifest — identical columns to the batch
@@ -853,7 +937,7 @@ object StreamingCuration {
     */
   def manifestFromState(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$stateDir/manifest")
+    stateTable(spark, stateDir, "manifest")
       .select($"source", $"n_docs", $"n_tokens", $"n_chars", $"content_sig")
       .orderBy($"source")
   }
@@ -867,19 +951,21 @@ object StreamingCuration {
     * 7 rows.
     */
   def mergeFilterAblationState(spark: SparkSession, stateDir: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, batchId: Long = -1L): Unit = {
     import spark.implicits._
-    val dir = s"$stateDir/filter_ablation"
+    if (VersionedState.alreadyFolded(spark, stateDir, "filter_ablation", batchId)) return
     val b = graft.ops.TextAnalysis.filterAblationOf(batch)
-    val merged =
-      if (!new java.io.File(dir).exists()) b
-      else spark.read.parquet(dir).unionByName(b)
+    val merged = VersionedState.readTable(spark, stateDir, "filter_ablation") match {
+      case None => b
+      case Some(prior) => prior.unionByName(b)
         .groupBy($"rule_id", $"rule")
         .agg(sum($"n_fail").as("n_fail"),
           sum($"n_unique_fail").as("n_unique_fail"),
           sum($"words_unique_fail").as("words_unique_fail"))
-    val frozen = merged.localCheckpoint(eager = true)
-    frozen.coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    VersionedState.commit(spark, stateDir, "filter_ablation", batchId) { dir =>
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    }
   }
 
   /** The accumulated ablation table — identical columns to the batch
@@ -887,7 +973,7 @@ object StreamingCuration {
     */
   def filterAblationFromState(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$stateDir/filter_ablation")
+    stateTable(spark, stateDir, "filter_ablation")
       .select($"rule_id", $"rule", $"n_fail", $"n_unique_fail",
         $"words_unique_fail")
       .orderBy($"rule_id")
@@ -904,22 +990,28 @@ object StreamingCuration {
     * (spec-pinned); min-merge makes re-seen tokens free.
     */
   def mergeVocabGrowthState(spark: SparkSession, stateDir: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, batchId: Long = -1L): Unit = {
     import spark.implicits._
-    val dir = s"$stateDir/vocab_first"
+    // The min-merged first positions are idempotent, but the running
+    // token total ADDS — the watermark gate keeps a replayed batch
+    // from shifting every later batch's global positions
+    if (VersionedState.alreadyFolded(spark, stateDir, "vocab_first", batchId)) return
     // State is ONE parquet table: token rows (w, first_gpos) plus a
     // reserved row w = "" whose f carries the running token total —
     // "" can never be a token (whitespace split + length>0 filter), so
-    // a single overwrite commits positions AND total together. The
-    // former two-file layout (parquet + vocab_total.txt) could crash
-    // between the writes and leave positions computed against a stale
-    // total, corrupting every later batch's global positions
-    // (ADVICE r8 #3).
-    val exists = new java.io.File(dir).exists()
-    val prevTotal =
-      if (!exists) 0L
-      else spark.read.parquet(dir).filter($"w" === "")
+    // a single versioned commit carries positions AND total together.
+    // The former two-file layout (parquet + vocab_total.txt) could
+    // crash between the writes and leave positions computed against a
+    // stale total, corrupting every later batch's global positions
+    // (ADVICE r8 #3); the versioned commit also survives a crash
+    // MID-write, which the overwrite-in-place form did not
+    // (ADVICE r9 #4).
+    val priorState = VersionedState.readTable(spark, stateDir, "vocab_first")
+    val prevTotal = priorState match {
+      case None => 0L
+      case Some(st) => st.filter($"w" === "")
         .agg(coalesce(max($"f"), lit(0L))).as[Long].head()
+    }
     val tk = batch.select($"doc_id", posexplode(filter(
         split(trim(lower($"text")), "\\s+"), x => length(x) > 0))
       .as(Seq("pos", "w")))
@@ -933,14 +1025,16 @@ object StreamingCuration {
       .select($"w", (lit(prevTotal) + $"off" + $"pos" + 1L).as("f"))
       .groupBy($"w").agg(min($"f").as("f"))
     val batchTokens = cnts.agg(coalesce(sum($"n"), lit(0L))).as[Long].head()
-    val tokens =
-      if (!exists) firstB
-      else spark.read.parquet(dir).filter($"w" =!= "").unionByName(firstB)
+    val tokens = priorState match {
+      case None => firstB
+      case Some(st) => st.filter($"w" =!= "").unionByName(firstB)
         .groupBy($"w").agg(min($"f").as("f"))
+    }
     val merged = tokens.unionByName(
       Seq(("", prevTotal + batchTokens)).toDF("w", "f"))
-    val frozen = merged.localCheckpoint(eager = true)
-    frozen.write.mode("overwrite").parquet(dir)
+    VersionedState.commit(spark, stateDir, "vocab_first", batchId) { dir =>
+      merged.write.mode("overwrite").parquet(s"$dir/data")
+    }
   }
 
   /** The accumulated-stream Heaps curve — identical columns to the
@@ -951,7 +1045,7 @@ object StreamingCuration {
     */
   def heapsCurveFromState(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    val state = spark.read.parquet(s"$stateDir/vocab_first")
+    val state = stateTable(spark, stateDir, "vocab_first")
     val total = state.filter($"w" === "")
       .agg(coalesce(max($"f"), lit(0L))).as[Long].head()
     val firstOcc = state.filter($"w" =!= "")
@@ -975,21 +1069,23 @@ object StreamingCuration {
     * register state at the cost of exactness.
     */
   def mergeTokenCountState(spark: SparkSession, stateDir: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, batchId: Long = -1L): Unit = {
     import spark.implicits._
-    val dir = s"$stateDir/token_counts"
+    if (VersionedState.alreadyFolded(spark, stateDir, "token_counts", batchId)) return
     val src = if (batch.columns.contains("source")) batch
       else batch.withColumn("source", lit("stream"))
     val bc = src
       .select($"source", explode(filter(
         split(trim(lower($"text")), "\\s+"), x => length(x) > 0)).as("w"))
       .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
-    val merged =
-      if (!new java.io.File(dir).exists()) bc
-      else spark.read.parquet(dir).unionByName(bc)
+    val merged = VersionedState.readTable(spark, stateDir, "token_counts") match {
+      case None => bc
+      case Some(prior) => prior.unionByName(bc)
         .groupBy($"source", $"w").agg(sum($"c").as("c"))
-    val frozen = merged.localCheckpoint(eager = true)
-    frozen.write.mode("overwrite").parquet(dir)
+    }
+    VersionedState.commit(spark, stateDir, "token_counts", batchId) { dir =>
+      merged.write.mode("overwrite").parquet(s"$dir/data")
+    }
   }
 
   /** Simpson diversity over the accumulated stream — identical columns
@@ -997,7 +1093,7 @@ object StreamingCuration {
     */
   def simpsonFromState(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$stateDir/token_counts")
+    stateTable(spark, stateDir, "token_counts")
       .groupBy($"source")
       .agg(sum($"c").as("n_tokens"), count(lit(1)).as("vocab"),
         sum($"c" * $"c").as("sumsq"))
@@ -1016,7 +1112,7 @@ object StreamingCuration {
     */
   def divergenceFromState(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    val st = spark.read.parquet(s"$stateDir/token_counts")
+    val st = stateTable(spark, stateDir, "token_counts")
       .localCheckpoint(eager = true)
     val dt = st.groupBy($"w").agg(sum($"c").as("d"))
     val totals = st.groupBy($"source").agg(sum($"c").as("ctot"))
@@ -1050,19 +1146,22 @@ object StreamingCuration {
     * is ≤ k rows; per-batch cost is one distinct + TakeOrdered.
     */
   def mergeKmvState(spark: SparkSession, stateDir: String,
-      batch: DataFrame, keyCol: String): Unit = {
+      batch: DataFrame, keyCol: String, batchId: Long = -1L): Unit = {
     import spark.implicits._
     val k = graft.queries.QualityQueries.KmvK
-    val dir = s"$stateDir/kmv_$keyCol"
+    val name = s"kmv_$keyCol"
+    if (VersionedState.alreadyFolded(spark, stateDir, name, batchId)) return
     val bs = batch
       .select(md5(concat(lit("kmv:"), col(keyCol).cast("string"))).as("h"))
       .distinct().orderBy($"h").limit(k)
-    val merged =
-      if (!new java.io.File(dir).exists()) bs
-      else spark.read.parquet(dir).unionByName(bs)
+    val merged = VersionedState.readTable(spark, stateDir, name) match {
+      case None => bs
+      case Some(prior) => prior.unionByName(bs)
         .distinct().orderBy($"h").limit(k)
-    val frozen = merged.localCheckpoint(eager = true)
-    frozen.coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    VersionedState.commit(spark, stateDir, name, batchId) { dir =>
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    }
   }
 
   /** Distinct-key estimate from the accumulated KMV state — exact
@@ -1072,7 +1171,7 @@ object StreamingCuration {
       keyCol: String): Double = {
     import spark.implicits._
     val k = graft.queries.QualityQueries.KmvK
-    val r = spark.read.parquet(s"$stateDir/kmv_$keyCol")
+    val r = stateTable(spark, stateDir, s"kmv_$keyCol")
       .agg(count(lit(1)), max($"h")).head()
     val n = r.getLong(0)
     if (n < k) n.toDouble
@@ -1090,70 +1189,45 @@ object StreamingCuration {
     * without ever rescanning the corpus — the streaming-retrieval twin
     * of [[graft.ops.TextAnalysis.bm25Of]]'s stats pass.
     */
-  def mergeBm25State(spark: SparkSession, stateDir: String, batch: DataFrame): Unit = {
+  def mergeBm25State(spark: SparkSession, stateDir: String, batch: DataFrame,
+      batchId: Long = -1L): Unit = {
     import spark.implicits._
-    // Crash-safe versioned commit (ADVICE r6): each fold writes a FRESH
-    // bm25_v<N>/ directory — df first, then the scalar pair whose
-    // parquet _SUCCESS marker is the commit point readers key on. A
-    // crash mid-merge leaves an incomplete vN+1 that every reader
-    // ignores while vN stays intact; older versions are deleted
-    // best-effort only after the new one is committed. No
-    // overwrite-in-place of live state ever happens.
-    // Assumption (documented): a doc_id appears in EXACTLY ONE folded
-    // batch — re-folding a doc double-counts its tokens into df/n_docs,
-    // the same at-least-once hazard every count-based streaming state
-    // has; dedupe upstream (e.g. [[mergeBloomState]]) when the source
-    // can replay.
+    // Crash-safe versioned commit (ADVICE r6, generalized to every
+    // state in r10 as [[graft.streaming.VersionedState]]): each fold
+    // writes a FRESH bm25_v<N>/ directory — df and scalars first, then
+    // the meta row whose parquet _SUCCESS marker is the commit point
+    // readers key on. A crash mid-merge leaves an incomplete vN+1 that
+    // every reader ignores while vN stays intact. The recorded batchId
+    // watermark makes an at-least-once REPLAY a no-op (VERDICT r9 ask
+    // #1): re-folding a doc would double-count its tokens into
+    // df/n_docs, so the former "dedupe upstream" scaladoc caveat is
+    // now an engineered guarantee (spec: folding the same batchId
+    // twice equals folding it once).
+    if (VersionedState.alreadyFolded(spark, stateDir, "bm25", batchId)) return
     val toks = batch
       .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
     val batchDf = toks.distinct().groupBy($"token").agg(count(lit(1)).as("df"))
     val row = toks.agg(countDistinct($"doc_id"), count(lit(1))).head()
     val (batchNd, batchTt) = (row.getLong(0), row.getLong(1))
     val (priorNd, priorTt) = readBm25Scalars(spark, stateDir)
-    val prior = bm25Latest(stateDir)
-    val merged = prior match {
+    val merged = VersionedState.readTable(spark, stateDir, "bm25", "df") match {
       case None => batchDf
-      case Some((_, dir)) => spark.read.parquet(s"$dir/df")
-        .unionByName(batchDf)
+      case Some(prior) => prior.unionByName(batchDf)
         .groupBy($"token").agg(sum($"df").as("df"))
     }
-    val nextV = prior.map(_._1 + 1).getOrElse(1)
-    val nextDir = s"$stateDir/bm25_v$nextV"
-    merged.write.mode("overwrite").parquet(s"$nextDir/df")
-    Seq((priorNd + batchNd, priorTt + batchTt)).toDF("n_docs", "total_tokens")
-      .coalesce(1).write.mode("overwrite").parquet(s"$nextDir/scalars")
-    prior.foreach { case (v, _) =>
-      (1 to v).foreach { old =>
-        graft.ops.Curation.deleteRecursively(
-          new java.io.File(s"$stateDir/bm25_v$old"))
-      }
+    VersionedState.commit(spark, stateDir, "bm25", batchId) { dir =>
+      merged.write.mode("overwrite").parquet(s"$dir/df")
+      Seq((priorNd + batchNd, priorTt + batchTt)).toDF("n_docs", "total_tokens")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/scalars")
     }
-  }
-
-  /** Latest COMMITTED bm25 state version: highest bm25_v<N> whose
-    * scalars/_SUCCESS marker exists (scalars are written last, so the
-    * marker implies the df half is complete too).
-    */
-  private def bm25Latest(stateDir: String): Option[(Int, String)] = {
-    val root = new java.io.File(stateDir)
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .flatMap { f =>
-        val n = f.getName
-        if (n.startsWith("bm25_v") &&
-            new java.io.File(f, "scalars/_SUCCESS").exists())
-          scala.util.Try(n.stripPrefix("bm25_v").toInt).toOption
-            .map(v => (v, f.getPath))
-        else None
-      }
-      .sortBy(-_._1).headOption
   }
 
   /** (docs seen, tokens seen) — the BM25 scalars (zeros when absent). */
   def readBm25Scalars(spark: SparkSession, stateDir: String): (Long, Long) =
-    bm25Latest(stateDir) match {
+    VersionedState.readTable(spark, stateDir, "bm25", "scalars") match {
       case None => (0L, 0L)
-      case Some((_, dir)) =>
-        val r = spark.read.parquet(s"$dir/scalars").head()
+      case Some(st) =>
+        val r = st.head()
         (r.getLong(0), r.getLong(1))
     }
 
@@ -1174,9 +1248,9 @@ object StreamingCuration {
     val k = terms.length
     require(k > 0, "bm25 needs at least one query term")
     val (nd, tt) = readBm25Scalars(spark, stateDir)
-    val dfMap = bm25Latest(stateDir) match {
+    val dfMap = VersionedState.readTable(spark, stateDir, "bm25", "df") match {
       case None => Map.empty[String, Long]
-      case Some((_, dir)) => spark.read.parquet(s"$dir/df")
+      case Some(st) => st
         .filter($"token".isin(terms.toSeq: _*))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     }
@@ -1215,44 +1289,24 @@ object StreamingCuration {
     * shingle-vocabulary-bounded (the window-freq/chunk-freq bound, one
     * row per distinct trigram ever seen, never corpus-sized) and the
     * fold is associative/idempotent (min), so re-folding an identical
-    * batch cannot corrupt it. Crash-safe versioned commit: each fold
-    * writes a fresh novelty_v<N>/first whose parquet _SUCCESS is the
-    * commit marker; prior versions are deleted only after.
+    * batch cannot corrupt it. Crash-safe versioned commit via
+    * [[graft.streaming.VersionedState]]; the watermark skip just saves
+    * a replayed batch the wasted fold.
     */
-  def mergeNoveltyState(spark: SparkSession, stateDir: String, batch: DataFrame): Unit = {
+  def mergeNoveltyState(spark: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long = -1L): Unit = {
     import spark.implicits._
+    if (VersionedState.alreadyFolded(spark, stateDir, "novelty", batchId)) return
     val batchFirst = Dedup.shingledOf(batch.select(col("doc_id"), col("text")))
       .groupBy($"sh").agg(min($"doc_id").as("first_id"))
-    val prior = noveltyLatest(stateDir)
-    val merged = prior match {
+    val merged = VersionedState.readTable(spark, stateDir, "novelty", "first") match {
       case None => batchFirst
-      case Some((_, dir)) => spark.read.parquet(s"$dir/first")
-        .unionByName(batchFirst)
+      case Some(prior) => prior.unionByName(batchFirst)
         .groupBy($"sh").agg(min($"first_id").as("first_id"))
     }
-    val nextV = prior.map(_._1 + 1).getOrElse(1)
-    merged.write.mode("overwrite")
-      .parquet(s"$stateDir/novelty_v$nextV/first")
-    prior.foreach { case (v, _) =>
-      (1 to v).foreach { old =>
-        graft.ops.Curation.deleteRecursively(
-          new java.io.File(s"$stateDir/novelty_v$old"))
-      }
+    VersionedState.commit(spark, stateDir, "novelty", batchId) { dir =>
+      merged.write.mode("overwrite").parquet(s"$dir/first")
     }
-  }
-
-  private def noveltyLatest(stateDir: String): Option[(Int, String)] = {
-    val root = new java.io.File(stateDir)
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .flatMap { f =>
-        val n = f.getName
-        if (n.startsWith("novelty_v") &&
-            new java.io.File(f, "first/_SUCCESS").exists())
-          scala.util.Try(n.stripPrefix("novelty_v").toInt).toOption
-            .map(v => (v, f.getPath))
-        else None
-      }
-      .sortBy(-_._1).headOption
   }
 
   /** Score a batch's novelty against the ACCUMULATED first-occurrence
@@ -1269,14 +1323,11 @@ object StreamingCuration {
     import spark.implicits._
     val sh = Dedup.shingledOf(docs.select(col("doc_id"), col("text")))
     val batchFirst = sh.groupBy($"sh").agg(min($"doc_id").as("bfirst"))
-    val withState = noveltyLatest(stateDir) match {
+    val withState = VersionedState.readTable(spark, stateDir, "novelty", "first") match {
       case None => sh.join(batchFirst, Seq("sh"))
         .withColumn("sfirst", lit(null).cast("long"))
-      case Some((_, dir)) => sh.join(batchFirst, Seq("sh"))
-        .join(
-          spark.read.parquet(s"$dir/first")
-            .withColumnRenamed("first_id", "sfirst"),
-          Seq("sh"), "left")
+      case Some(st) => sh.join(batchFirst, Seq("sh"))
+        .join(st.withColumnRenamed("first_id", "sfirst"), Seq("sh"), "left")
     }
     withState
       .groupBy($"doc_id")
@@ -1297,43 +1348,24 @@ object StreamingCuration {
     * re-delivery of a batch cannot corrupt it. Same crash-safe
     * versioned-commit protocol as [[mergeNoveltyState]].
     */
-  def mergeParaState(spark: SparkSession, stateDir: String, batch: DataFrame): Unit = {
+  def mergeParaState(spark: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long = -1L): Unit = {
     import spark.implicits._
+    if (VersionedState.alreadyFolded(spark, stateDir, "paradedup", batchId)) return
     val batchFirst = graft.ops.CorpusFilters
       .lines(batch.select(col("doc_id"), col("text")))
       .withColumn("key", md5(lower(trim($"line"))))
       .groupBy($"key").agg(min(struct($"doc_id", $"idx")).as("f"))
       .select($"key", $"f.doc_id".as("fdoc"), $"f.idx".as("fidx"))
-    val prior = paraLatest(stateDir)
-    val merged = prior match {
+    val merged = VersionedState.readTable(spark, stateDir, "paradedup", "first") match {
       case None => batchFirst
-      case Some((_, dir)) => spark.read.parquet(s"$dir/first")
-        .unionByName(batchFirst)
+      case Some(prior) => prior.unionByName(batchFirst)
         .groupBy($"key").agg(min(struct($"fdoc", $"fidx")).as("f"))
         .select($"key", $"f.fdoc".as("fdoc"), $"f.fidx".as("fidx"))
     }
-    val nextV = prior.map(_._1 + 1).getOrElse(1)
-    merged.write.mode("overwrite").parquet(s"$stateDir/paradedup_v$nextV/first")
-    prior.foreach { case (v, _) =>
-      (1 to v).foreach { old =>
-        graft.ops.Curation.deleteRecursively(
-          new java.io.File(s"$stateDir/paradedup_v$old"))
-      }
+    VersionedState.commit(spark, stateDir, "paradedup", batchId) { dir =>
+      merged.write.mode("overwrite").parquet(s"$dir/first")
     }
-  }
-
-  private def paraLatest(stateDir: String): Option[(Int, String)] = {
-    val root = new java.io.File(stateDir)
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .flatMap { f =>
-        val n = f.getName
-        if (n.startsWith("paradedup_v") &&
-            new java.io.File(f, "first/_SUCCESS").exists())
-          scala.util.Try(n.stripPrefix("paradedup_v").toInt).toOption
-            .map(v => (v, f.getPath))
-        else None
-      }
-      .sortBy(-_._1).headOption
   }
 
   /** Deduplicate a batch's lines against the ACCUMULATED
@@ -1353,12 +1385,11 @@ object StreamingCuration {
       .withColumn("key", md5(lower(trim($"line"))))
     val batchFirst = l.groupBy($"key")
       .agg(min(struct($"doc_id", $"idx")).as("bf"))
-    val withState = paraLatest(stateDir) match {
+    val withState = VersionedState.readTable(spark, stateDir, "paradedup", "first") match {
       case None => l.join(batchFirst, Seq("key"))
         .withColumn("sdoc", lit(null).cast("long"))
-      case Some((_, dir)) => l.join(batchFirst, Seq("key"))
-        .join(spark.read.parquet(s"$dir/first")
-          .select($"key", $"fdoc".as("sdoc")), Seq("key"), "left")
+      case Some(st) => l.join(batchFirst, Seq("key"))
+        .join(st.select($"key", $"fdoc".as("sdoc")), Seq("key"), "left")
     }
     withState
       .withColumn("kept", $"sdoc".isNull && struct($"doc_id", $"idx") === $"bf")
@@ -1386,26 +1417,25 @@ object StreamingCuration {
       minDocs: Int = graft.ops.Curation.BoilerMinDocs,
       broadcastBudget: Int = graft.ops.Curation.BoilerBroadcastBudget): DataFrame = {
     import spark.implicits._
-    val freqDir = s"$stateDir/chunk_freq"
-    if (!new java.io.File(freqDir).exists())
-      graft.ops.Curation.removeChunks(docs, Set.empty[String])
-    else
+    VersionedState.readTable(spark, stateDir, "chunk_freq") match {
+      case None => graft.ops.Curation.removeChunks(docs, Set.empty[String])
       // same budget switch as the batch form: the accumulated frequent
       // set stays a DataFrame and is only collected if it fits the
       // broadcast budget — a long-lived corpus's chunk_freq table is
       // exactly the case that outgrows the driver
-      graft.ops.Curation.boilerplateWithFrequent(
+      case Some(st) => graft.ops.Curation.boilerplateWithFrequent(
         docs,
-        spark.read.parquet(freqDir).filter($"nd" >= minDocs).select($"h"),
+        st.filter($"nd" >= minDocs).select($"h"),
         broadcastBudget = broadcastBudget)
+    }
   }
 
   /** Wire the per-batch graph into a file-source micro-batch stream. */
   def start(spark: SparkSession, inGlob: String, stateDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     new StreamingPipeline(
       source = FileStreamingSource(inGlob, schemaDdl = Some("doc_id LONG, text STRING")),
-      sink = ForeachBatchSink { (batch, _) =>
-        processBatch(batch.sparkSession, batch, stateDir); ()
+      sink = ForeachBatchSink { (batch, batchId) =>
+        processBatch(batch.sparkSession, batch, stateDir, batchId = batchId); ()
       },
       trigger = TriggerConfig.AvailableNow).startStream(spark)
 }

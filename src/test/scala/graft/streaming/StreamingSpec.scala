@@ -483,7 +483,8 @@ class StreamingSpec extends SparkSpec {
       "incremental selection must be row-identical (incl. cum_tokens) to the batch fill")
     // the persisted run covers the WHOLE corpus (admitted or not): an
     // exhausted source can never admit again
-    val runs = spark.read.parquet(s"$state/mix_runs")
+    val runs = graft.streaming.VersionedState
+      .readTable(spark, state, "mix", "runs").get
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val totals = docs.groupBy($"source")
       .agg(sum(graft.ops.TextAnalysis.tokenCount($"text")).as("t"))
@@ -563,10 +564,12 @@ class StreamingSpec extends SparkSpec {
         docs.filter(pmod($"doc_id", lit(3)) === i))
     }
     // re-deliver batch 0 whole: idempotent, registers must not move
-    val before = spark.read.parquet(s"$state/hll_regs").head().getAs[Array[Byte]](0)
+    val before = graft.streaming.VersionedState
+      .readTable(spark, state, "hll_regs").get.head().getAs[Array[Byte]](0)
     StreamingCuration.mergeDistinctSketch(spark, state,
       docs.filter(pmod($"doc_id", lit(3)) === 0))
-    val after = spark.read.parquet(s"$state/hll_regs").head().getAs[Array[Byte]](0)
+    val after = graft.streaming.VersionedState
+      .readTable(spark, state, "hll_regs").get.head().getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(before, after),
       "re-delivered documents must not inflate the sketch")
     // and the folded state equals one pass over the whole corpus
@@ -833,7 +836,8 @@ class StreamingSpec extends SparkSpec {
         docs.filter(pmod($"doc_id", lit(2)) === (i % 2)), "doc_id")
     }
     StreamingCuration.mergeKmvState(spark, oneShot, docs, "doc_id")
-    def sk(dir: String) = spark.read.parquet(s"$dir/kmv_doc_id")
+    def sk(dir: String) = graft.streaming.VersionedState
+      .readTable(spark, dir, "kmv_doc_id").get
       .collect().map(_.getString(0)).sorted.toSeq
     assert(sk(folded) == sk(oneShot),
       "k-min merge must equal the one-shot sketch exactly")
@@ -858,7 +862,8 @@ class StreamingSpec extends SparkSpec {
       StreamingCuration.mergeKeyCountState(spark, folded,
         docs.filter(pmod($"doc_id", lit(3)) === i), "source")
     }
-    val stateCounts = spark.read.parquet(s"$folded/key_counts_source")
+    val stateCounts = graft.streaming.VersionedState
+      .readTable(spark, folded, "key_counts_source").get
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val want = docs.groupBy($"source").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -886,7 +891,8 @@ class StreamingSpec extends SparkSpec {
     }
     StreamingCuration.mergeQuantileState(spark, oneShot, li)
     def buckets(dir: String) =
-      spark.read.parquet(s"$dir/quantile_buckets").collect()
+      graft.streaming.VersionedState
+        .readTable(spark, dir, "quantile_buckets").get.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(buckets(folded) == buckets(oneShot),
       "folded bucket counts must equal the single-pass sketch exactly")
@@ -1136,7 +1142,8 @@ class StreamingSpec extends SparkSpec {
     val expected = graft.ops.Curation.distinctChunkHashes(accepted)
       .groupBy($"h").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val stored = spark.read.parquet(s"$state/chunk_freq")
+    val stored = graft.streaming.VersionedState
+      .readTable(spark, state, "chunk_freq").get
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stored == expected, "chunk_freq must equal batch-side counts")
 
@@ -1291,6 +1298,165 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](TriggerConfig.Continuous(""))
     assert(TriggerConfig.AvailableNow.toSpark != null)
     assert(TriggerConfig.Once.toSpark != null)
+  }
+
+  test("replayed micro-batch is a no-op for EVERY count-based state (VERDICT r9 #1)") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-replay")
+    val once = work.resolve("once").toString
+    val twice = work.resolve("twice").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .filter($"doc_id" < 90).localCheckpoint(true)
+    val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+      .filter($"vec_id" < 60).localCheckpoint(true)
+    val batches = Seq(
+      (0L, docs.filter(pmod($"doc_id", lit(2)) === 0),
+        vecs.filter(pmod($"vec_id", lit(2)) === 0)),
+      (1L, docs.filter(pmod($"doc_id", lit(2)) === 1),
+        vecs.filter(pmod($"vec_id", lit(2)) === 1)))
+    // every watermark-gated fold, at its managed batchId
+    def foldAll(dir: String, id: Long, b: org.apache.spark.sql.DataFrame,
+        v: org.apache.spark.sql.DataFrame): Unit = {
+      StreamingCuration.mergeProfileState(spark, dir, b, id)
+      StreamingCuration.mergeCmsState(spark, dir, b, id)
+      StreamingCuration.mergeQuantileState(spark, dir,
+        b.select(graft.ops.TextAnalysis.tokenCount($"text")
+          .cast("double").as("value")), id)
+      StreamingCuration.mergeKeyCountState(spark, dir, b, "source", id)
+      StreamingCuration.mergeKmvState(spark, dir, b, "doc_id", id)
+      StreamingCuration.mergeBucketWasteState(spark, dir, b, id)
+      StreamingCuration.mergeTokenCountState(spark, dir, b, id)
+      StreamingCuration.mergeVocabGrowthState(spark, dir, b, id)
+      StreamingCuration.mergeNormHistState(spark, dir, v, id)
+      StreamingCuration.mergeLenProfileState(spark, dir, b, id)
+      StreamingCuration.mergeManifestState(spark, dir, b, id)
+      StreamingCuration.mergeFilterAblationState(spark, dir, b, id)
+      StreamingCuration.mergeBm25State(spark, dir, b, id)
+      StreamingCuration.mergeHeavyHitterState(spark, dir, b, id)
+      StreamingCuration.mergeDistinctSketch(spark, dir, b, id)
+      StreamingCuration.mergeChunkFreq(spark, dir,
+        graft.ops.Curation.distinctChunkHashes(b.select($"doc_id", $"text")), id)
+      StreamingCuration.mergeWindowFreq(spark, dir, b, batchId = id)
+      StreamingCuration.mergeMixState(spark, dir, b, batchId = id)
+      ()
+    }
+    batches.foreach { case (id, b, v) => foldAll(once, id, b, v) }
+    batches.foreach { case (id, b, v) => foldAll(twice, id, b, v) }
+    // the at-least-once hazard: the LAST micro-batch is redelivered
+    val (rid, rb, rv) = batches.last
+    foldAll(twice, rid, rb, rv)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    def table(dir: String, name: String, tbl: String = "data") =
+      rows(graft.streaming.VersionedState.readTable(spark, dir, name, tbl).get
+        .orderBy(graft.streaming.VersionedState.readTable(spark, dir, name, tbl)
+          .get.columns.map(col): _*))
+    // every reader must be bit-identical to the fold-once state — the
+    // additive counters would inflate and the manifest xor would
+    // CANCEL if the replay folded
+    assert(rows(StreamingCuration.profileFromState(spark, twice)) ==
+      rows(StreamingCuration.profileFromState(spark, once)), "profile")
+    assert(StreamingCuration.readCmsState(spark, twice).toSeq ==
+      StreamingCuration.readCmsState(spark, once).toSeq, "cms")
+    assert(rows(StreamingCuration.quantilesFromState(spark, twice)) ==
+      rows(StreamingCuration.quantilesFromState(spark, once)), "quantiles")
+    assert(rows(StreamingCuration.skewFromState(spark, twice, "source")) ==
+      rows(StreamingCuration.skewFromState(spark, once, "source")), "skew")
+    assert(StreamingCuration.kmvEstimateFromState(spark, twice, "doc_id") ==
+      StreamingCuration.kmvEstimateFromState(spark, once, "doc_id"), "kmv")
+    assert(rows(StreamingCuration.bucketWasteFromState(spark, twice)) ==
+      rows(StreamingCuration.bucketWasteFromState(spark, once)), "bucket waste")
+    assert(rows(StreamingCuration.simpsonFromState(spark, twice)) ==
+      rows(StreamingCuration.simpsonFromState(spark, once)), "simpson")
+    assert(rows(StreamingCuration.divergenceFromState(spark, twice)) ==
+      rows(StreamingCuration.divergenceFromState(spark, once)), "divergence")
+    assert(rows(StreamingCuration.heapsCurveFromState(spark, twice)) ==
+      rows(StreamingCuration.heapsCurveFromState(spark, once)), "heaps")
+    assert(rows(StreamingCuration.normHistFromState(spark, twice)) ==
+      rows(StreamingCuration.normHistFromState(spark, once)), "norm hist")
+    assert(rows(StreamingCuration.lenProfileFromState(spark, twice)) ==
+      rows(StreamingCuration.lenProfileFromState(spark, once)), "len profile")
+    assert(rows(StreamingCuration.manifestFromState(spark, twice)) ==
+      rows(StreamingCuration.manifestFromState(spark, once)), "manifest")
+    assert(rows(StreamingCuration.filterAblationFromState(spark, twice)) ==
+      rows(StreamingCuration.filterAblationFromState(spark, once)), "ablation")
+    assert(StreamingCuration.readBm25Scalars(spark, twice) ==
+      StreamingCuration.readBm25Scalars(spark, once), "bm25 scalars")
+    assert(table(twice, "bm25", "df") == table(once, "bm25", "df"), "bm25 df")
+    assert(StreamingCuration.readHeavyHitterState(spark, twice) ==
+      StreamingCuration.readHeavyHitterState(spark, once), "heavy hitters")
+    assert(StreamingCuration.distinctFromState(spark, twice) ==
+      StreamingCuration.distinctFromState(spark, once), "hll")
+    assert(table(twice, "chunk_freq") == table(once, "chunk_freq"), "chunk freq")
+    assert(table(twice, "window_freq") == table(once, "window_freq"), "window freq")
+    assert(rows(StreamingCuration.mixFromState(spark, twice)) ==
+      rows(StreamingCuration.mixFromState(spark, once)), "mix")
+    // and the replayed mix call returns exactly the batch's admitted rows
+    val replaySel = rows(StreamingCuration.mergeMixState(spark, twice, rb, batchId = rid)
+      .orderBy($"source", $"cum_tokens"))
+    val onceSel = rows(StreamingCuration.mixFromState(spark, once)
+      .filter($"doc_id".isin(rb.select($"doc_id").as[Long].collect().toSeq: _*))
+      .orderBy($"source", $"cum_tokens"))
+    assert(replaySel == onceSel, "replayed mix must return the already-admitted rows")
+  }
+
+  test("crashed fold leaves the previous committed state fully readable (ADVICE r9 #4)") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    import graft.streaming.VersionedState
+    val work = Files.createTempDirectory("graft-crash")
+    val state = work.resolve("state").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents").filter($"doc_id" < 40)
+    StreamingCuration.mergeLenProfileState(spark, state, docs, batchId = 0L)
+    val committed = StreamingCuration.lenProfileFromState(spark, state)
+      .collect().map(_.toSeq).toSeq
+    // simulate a crash MID-fold: payload written, meta (commit marker)
+    // never reached — the exact failure the overwrite-in-place pattern
+    // turned into total state loss
+    spark.range(5).toDF("garbage").write
+      .parquet(s"$state/len_profile_v2/data")
+    assert(StreamingCuration.lenProfileFromState(spark, state)
+      .collect().map(_.toSeq).toSeq == committed,
+      "uncommitted partial version must be invisible to readers")
+    assert(VersionedState.watermark(spark, state, "len_profile") == 0L)
+    // the next fold retries INTO the same version slot (overwriting the
+    // partial files) and commits cleanly on top of v1
+    val more = graft.Tables.t(spark, sfDir, "documents")
+      .filter($"doc_id" >= 40 && $"doc_id" < 80)
+    StreamingCuration.mergeLenProfileState(spark, state, more, batchId = 1L)
+    val all = graft.Tables.t(spark, sfDir, "documents").filter($"doc_id" < 80)
+    assert(StreamingCuration.lenProfileFromState(spark, state)
+      .collect().map(_.toSeq).toSeq ==
+      graft.ops.CorpusFilters.lenProfileOfCounts(
+        all.select($"source", graft.ops.TextAnalysis.tokenCount($"text").as("len"))
+          .groupBy($"source", $"len").agg(count(lit(1)).as("c")))
+        .collect().map(_.toSeq).toSeq,
+      "recovery fold must produce the exact two-batch state")
+    assert(VersionedState.watermark(spark, state, "len_profile") == 1L)
+  }
+
+  test("processBatch: redelivered micro-batch leaves corpus AND monitor states unchanged") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-pbreplay")
+    val state = work.resolve("state").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .filter($"doc_id" < 40).localCheckpoint(true)
+    val n1 = StreamingCuration.processBatch(spark, docs, state, batchId = 0L)
+    val profile1 = StreamingCuration.profileFromState(spark, state)
+      .collect().map(_.toSeq).toSeq
+    val heaps1 = StreamingCuration.heapsCurveFromState(spark, state)
+      .collect().map(_.toSeq).toSeq
+    // at-least-once redelivery of the same foreachBatch id
+    val n2 = StreamingCuration.processBatch(spark, docs, state, batchId = 0L)
+    assert(n2 == n1, "replay must not grow the corpus")
+    assert(StreamingCuration.profileFromState(spark, state)
+      .collect().map(_.toSeq).toSeq == profile1,
+      "replay must not inflate the arrival profile")
+    assert(StreamingCuration.heapsCurveFromState(spark, state)
+      .collect().map(_.toSeq).toSeq == heaps1,
+      "replay must not shift the vocab-growth positions")
   }
 
   test("cloud sink validates format; foreachBatch sink runs callback") {
