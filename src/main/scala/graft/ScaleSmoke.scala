@@ -155,6 +155,52 @@ object ScaleSmoke {
     }
   }
 
+  /** sf10 document corpus at ~CONSTANT dup density (VERDICT r9 ask
+    * #3): the plain ×100 replication hands every doc N−1 near-replicas
+    * (the `r$i ` prefix shifts 1 token of ~50, Jaccard ≈ 0.95), so
+    * TRUE pair mass grows ~N²/2 — the 148.2 s sf10 minhash row
+    * measures that synthetic pair-mass explosion, not the candidate
+    * generator. Here every replica i > 0 is DEEP-salted instead: each
+    * token is prefixed with the replica tag, so replicas share no
+    * shingles across copies while each copy preserves the original's
+    * intra-copy near-dup families exactly — pair mass scales ×N
+    * (linear), the dup DENSITY a real 100× corpus has. Only the
+    * documents table is materialized (the probe query reads nothing
+    * else).
+    */
+  def ensureSf10ConstDup(spark: SparkSession, srcDir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sf10cd"
+    val done = new java.io.File(s"$out/_DONE")
+    if (done.exists()) return out
+    import spark.implicits._
+    val docs = Tables.t(spark, srcDir, "documents")
+    val docBase = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    (0 until 10 * Reps).map { i =>
+      if (i == 0) docs
+      else docs
+        .withColumn("doc_id", $"doc_id" + lit(i * docBase))
+        .withColumn("text", array_join(
+          transform(filter(split(trim($"text"), "\\s+"), t => length(t) > 0),
+            t => concat(lit(s"x$i"), t)), " "))
+        .withColumn("n_chars", length($"text").cast(docs.schema("n_chars").dataType))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    out
+  }
+
+  /** Constant-density sf10 probe: time AND output-pair count for the
+    * LSH chain, so NOTES.md can put measured pair mass beside the wall
+    * time. Gated by the `sf10cd` arg; stderr-only like the others.
+    */
+  def runSf10ConstDup(spark: SparkSession, srcDir: String): Unit = {
+    val dir = ensureSf10ConstDup(spark, srcDir)
+    val t0 = System.nanoTime()
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, dir).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[sf10cd] dedup_minhash_lsh $secs%.1f s, $pairs pairs")
+  }
+
   /** Standalone entry so the sf1/sf3/sf10 sweeps can run without the
     * full bench: `sbt "runMain graft.ScaleSmoke sf10"` (or `sf1`/`sf3`).
     */
@@ -169,7 +215,8 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    if (args.contains("sf10")) runSf10(spark, src)
+    if (args.contains("sf10cd")) runSf10ConstDup(spark, src)
+    else if (args.contains("sf10")) runSf10(spark, src)
     else if (args.contains("sf3")) runSf3(spark, src)
     else run(spark, src)
     spark.stop()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Sampling, TextAnalysis}
 import graft.streaming.{FileStreamingSource, ForeachBatchSink, StreamingPipeline, TriggerConfig, VersionedState}
+import graft.ops.Scale.GatedCheckpoint
 
 /** Incremental streaming curation — the batch capstone pipeline
   * ([[TrainingDataPipeline]]) restructured for the production shape: a
@@ -149,7 +150,7 @@ object StreamingCuration {
     // (novelExact's anti-join does), forcing re-evaluation against the
     // batch's own appended rows. Checkpointing truncates the lineage so
     // the sets append cannot see the docs append.
-    val batchSets = Dedup.shingleSetsOf(novelExact).localCheckpoint(eager = true)
+    val batchSets = Dedup.shingleSetsOf(novelExact).gatedCheckpoint()
     try {
       val inBatchPairs = Dedup.verifyJaccardSets(
         Dedup.candidatePairs(Dedup.lshBucketsFused(batchSets)), batchSets, threshold)
@@ -186,21 +187,21 @@ object StreamingCuration {
       // truncates the lineage so both writes read the same computed set.
       val withSplit = Sampling.hashSplit(accepted, "doc_id")
         .select($"doc_id", $"text_md5", $"split")
-        .localCheckpoint(eager = true)
+        .gatedCheckpoint()
       // 6: chunk-frequency state for incremental boilerplate removal —
       // the accepted docs' distinct chunk hashes, ALSO materialized
       // before any append (same lazy-re-read hazard as withSplit:
       // `accepted` anti-joins the docsDir read)
       val newChunks = graft.ops.Curation
         .distinctChunkHashes(accepted.select($"doc_id", $"text"))
-        .localCheckpoint(eager = true)
+        .gatedCheckpoint()
       // 6b: first-occurrence novelty state input — the accepted docs'
       // (doc_id, text), ALSO materialized before any append (the same
       // lazy-re-read hazard: `accepted` anti-joins the docsDir read,
       // so evaluating it after the docs append would resolve empty and
       // silently fold nothing)
       val noveltyDocs = accepted.select($"doc_id", $"text")
-        .localCheckpoint(eager = true)
+        .gatedCheckpoint()
       withSplit.write.mode("append").parquet(docsDir)
       batchSets.join(withSplit.select($"doc_id"), Seq("doc_id"), "left_semi")
         .write.mode("append").parquet(setsDir)
@@ -480,7 +481,7 @@ object StreamingCuration {
     val sel = graft.ops.Curation
       .mixBudgetOf(batch, budget, initialRuns = prior)
       .withColumn("__batch_id", lit(batchId))
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     val allSel = VersionedState.readTable(spark, stateDir, "mix", "selected") match {
       case None => sel
       case Some(p) => p.unionByName(sel)
@@ -1016,7 +1017,7 @@ object StreamingCuration {
         split(trim(lower($"text")), "\\s+"), x => length(x) > 0))
       .as(Seq("pos", "w")))
     val cnts = tk.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     val wDoc = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offs = cnts.select($"doc_id",
@@ -1113,7 +1114,7 @@ object StreamingCuration {
   def divergenceFromState(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
     val st = stateTable(spark, stateDir, "token_counts")
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     val dt = st.groupBy($"w").agg(sum($"c").as("d"))
     val totals = st.groupBy($"source").agg(sum($"c").as("ctot"))
     val dTot = dt.agg(coalesce(sum($"d"), lit(0L)).as("dtot"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.ops.{Dedup, Sampling, TextAnalysis}
+import graft.ops.Scale.GatedCheckpoint
 
 /** End-to-end training-data curation pipeline — the capstone composition
   * of the engine's operators, in the order a corpus pipeline actually
@@ -94,7 +95,7 @@ object TrainingDataPipeline {
             .filter(col("doc_id") =!= col("component_id"))
             .select(col("doc_id"))
           canonicalExact.join(dupIds, Seq("doc_id"), "left_anti")
-            .localCheckpoint(eager = true)
+            .gatedCheckpoint()
         } finally { sets.unpersist(); () }
       }
     val nKept = kept.count()

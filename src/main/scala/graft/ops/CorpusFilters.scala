@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.ops.Scale.GatedCheckpoint
 
 /** Corpus-cleaning filters for LLM training-data pipelines: the C4
   * line/document rules (Raffel et al. 2020, "Exploring the Limits of
@@ -319,7 +320,7 @@ object CorpusFilters {
       }
       .toDF("source", "k")
       .distinct()
-      .localCheckpoint(eager = true) // one shingle pass feeds totals + sets
+      .gatedCheckpoint() // one shingle pass feeds totals + sets
     val totals = sh.groupBy($"source").agg(count(lit(1)).as("n"))
     // per-trigram source set, then the bounded pair fan-out — replaces a
     // self-join that would re-shuffle (and hash-probe) the shingle table
@@ -467,7 +468,7 @@ object CorpusFilters {
     val tk = docs
       .select($"source", filter(
         split(trim(lower($"text")), "\\s+"), x => length(x) > 0).as("tk"))
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     val ct = tk.groupBy($"source").agg(
       count(lit(1)).as("n_docs"),
       sum(size($"tk")).cast("long").as("n_tokens"))
@@ -532,7 +533,7 @@ object CorpusFilters {
         sum(when($"is_stop", 1L).otherwise(0L)).over(win))
       .filter(!$"is_stop")
       .select($"doc_id", $"phrase_id", $"w")
-      .localCheckpoint(eager = true) // feeds lengths + word stats
+      .gatedCheckpoint() // feeds lengths + word stats
     val plen = ph.groupBy($"doc_id", $"phrase_id")
       .agg(count(lit(1)).as("plen"))
     val stats = ph.join(plen, Seq("doc_id", "phrase_id"))
@@ -590,7 +591,7 @@ object CorpusFilters {
       .repartitionByRange(partitions, $"doc_id")
       .sortWithinPartitions($"doc_id")
       .as[(Long, Long)]
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     // pass 1: per-partition token totals -> base offset per partition
     // (and the corpus total, free — no separate aggregation job)
     val partials = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -702,7 +703,7 @@ object CorpusFilters {
       .select($"source", explode(filter(
         split(trim(lower($"text")), "\\s+"), x => length(x) > 0)).as("w"))
     val st = tk.groupBy($"source", $"w").agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = true) // feeds corpus counts + the join
+      .gatedCheckpoint() // feeds corpus counts + the join
     val dt = st.groupBy($"w").agg(sum($"c").as("d"))
     val totals = st.groupBy($"source").agg(sum($"c").as("ctot"))
     val dTot = dt.agg(coalesce(sum($"d"), lit(0L)).as("dtot"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
+import graft.ops.Scale.GatedCheckpoint
 
 /** Corpus-curation operators layered on the dedup/similarity stack:
   * boilerplate segment removal (CCNet-style), clustered semantic
@@ -366,6 +367,82 @@ object Curation {
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= minDocs).select($"h")
     exactSubstrWithDup(docsIn, dup, k)
+  }
+
+  /** Character-level duplicated-span audit length (Lee et al. use 50
+    * bytes; scaled to the synthetic corpus's ~300-char documents so the
+    * fixture actually exercises span merging).
+    */
+  val SubstrSpanL = 25
+
+  /** dedup_substr_spans: CHARACTER-level exact duplicated-span report —
+    * the suffix-array ExactSubstr convention of Lee et al. 2022 §4.1
+    * (and the BigQuery replication), complementing [[taExactSubstr]]'s
+    * token-window form: byte/char granularity, and a span is duplicated
+    * when it occurs ≥2 times ANYWHERE in the corpus (total occurrences,
+    * within-doc repeats included), not in `minDocs` distinct documents.
+    * Per document: the maximal merged spans of length ≥ L that also
+    * occur elsewhere, their count, character mass, and fraction.
+    *
+    * Suffix-array-free formulation: every duplicated span of length
+    * ≥ L is exactly a maximal run of duplicated L-grams at consecutive
+    * start positions, so (1) slide an L-char window (pure codegen'd
+    * substring — no UDF), (2) count occurrences per gram corpus-wide,
+    * (3) mark positions whose gram occurs ≥2 times, (4) coalesce
+    * overlapping [p, p+L) intervals per document (the q79 prev-max-end
+    * pattern, window PARTITIONED by doc_id). Identical spans to the
+    * suffix-array algorithm for every duplicate of length ≥ L, with no
+    * non-distributable global suffix sort.
+    *
+    * 100 TB shape: the gram table is ~n_chars rows carrying (15-byte
+    * hash, doc_id, pos) — the occurrence count is one hash-partitioned
+    * aggregate with map-side partials, the mark-back a semi-join, the
+    * interval merge a per-document window. The md5-hex prefix key is
+    * the oracle-portability choice; production swaps it for xxhash64
+    * longs (8-byte shuffle keys) with identical plan shape — and at
+    * corpus scale widens to 128 bits, since a 60-bit space collides
+    * well below 10¹² grams.
+    */
+  def dedupSubstrSpans(s: SparkSession, dir: String): DataFrame =
+    substrSpansOf(t(s, dir, "documents"))
+
+  /** [[dedupSubstrSpans]] over any (doc_id, text) frame. */
+  def substrSpansOf(docsIn: DataFrame, l: Int = SubstrSpanL): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val docs = docsIn.select($"doc_id", $"text",
+      length($"text").cast("long").as("n_chars"))
+    val grams = docs.filter($"n_chars" >= l)
+      .select($"doc_id",
+        explode(sequence(lit(1L), $"n_chars" - (l - 1))).as("p"),
+        $"text")
+      .select($"doc_id", $"p",
+        substring(md5(expr(s"substring(text, p, $l)")), 1, 15).as("h"))
+    val dup = grams.groupBy($"h").agg(count(lit(1)).as("occ"))
+      .filter($"occ" >= 2L).select($"h")
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p")
+    val perDoc = grams.join(dup, "h")
+      .select($"doc_id", $"p")
+      .withColumn("prev_end", max($"p" + l).over(wPrev))
+      .withColumn("new_span",
+        when($"prev_end".isNull || $"p" > $"prev_end", 1L).otherwise(0L))
+      .withColumn("span_id", sum($"new_span").over(wRun))
+      .groupBy($"doc_id", $"span_id")
+      .agg(min($"p").as("sp"), (max($"p") + l).as("ep"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum($"ep" - $"sp").as("dup_chars"))
+    docs.select($"doc_id", $"n_chars")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_chars",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"dup_chars", lit(0L)).as("dup_chars"),
+        (coalesce($"dup_chars", lit(0L)).cast("double") /
+          $"n_chars".cast("double")).as("dup_frac"))
+      .orderBy($"doc_id")
   }
 
   /** The (doc_id, p, h) sliding-window hash table of a corpus — the
@@ -994,7 +1071,7 @@ object Curation {
   private def scoreImportance(tris: DataFrame, model: DataFrame): DataFrame = {
     val s = tris.sparkSession
     import s.implicits._
-    val frozen = model.localCheckpoint(eager = true)
+    val frozen = model.gatedCheckpoint()
     val totals = frozen
       .agg(coalesce(sum($"freq_r"), lit(0L)),
         coalesce(sum($"freq_t"), lit(0L))).head()
@@ -1094,7 +1171,7 @@ object Curation {
       .select($"code",
         coalesce($"freq_r", lit(0L)).as("freq_r"),
         coalesce($"freq_t", lit(0L)).as("freq_t"))
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     model.write.mode("overwrite").parquet(path)
     model.agg(
         coalesce(sum($"freq_r"), lit(0L)).as("n_r"),
@@ -1145,7 +1222,7 @@ object Curation {
   def trainCharLm(docs: DataFrame): CharLm = {
     val s = docs.sparkSession
     import s.implicits._
-    val tri = trainTrigramModel(docs).localCheckpoint(true)
+    val tri = trainTrigramModel(docs).gatedCheckpoint()
     val ctx = tri.groupBy(shiftright($"code", 16).as("ctx"))
       .agg(sum($"freq").as("cfreq"))
     val vocab = tri
@@ -1272,7 +1349,7 @@ object Curation {
     val scored = scoreCharLmMicro(t(s, dir, "documents"), charLmFor(s, dir))
       .select(($"prob_micro_sum".cast("double") / $"n_tris".cast("double"))
         .as("v"))
-      .localCheckpoint(eager = true) // score once, scan twice
+      .gatedCheckpoint() // score once, scan twice
     val cuts = graft.ops.Scale.rankCutpointsN(scored, $"v", 10)
     val bucket =
       if (cuts.isEmpty) lit(0)
@@ -1350,7 +1427,7 @@ object Curation {
       .repartitionByRange(partitions, $"source".asc, $"n_chars".desc, $"doc_id".asc)
       .sortWithinPartitions($"source".asc, $"n_chars".desc, $"doc_id".asc)
       .as[(Long, String, Long, Long)]
-      .localCheckpoint(true)
+      .gatedCheckpoint()
     // pass 1: per-(partition, source) token totals — bounded by
     // #partitions + #sources rows, never corpus-sized
     val partials = sized.rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -1437,7 +1514,7 @@ object Curation {
         $"source".asc, $"epoch".asc, $"n_chars".desc, $"doc_id".asc)
       .select($"doc_id", $"source", $"epoch", $"n_chars", $"n_tokens")
       .as[(Long, String, Long, Long, Long)]
-      .localCheckpoint(eager = true) // freeze sampled range boundaries
+      .gatedCheckpoint() // freeze sampled range boundaries
     val partials = sized.rdd.mapPartitionsWithIndex { (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       it.foreach { case (_, src, _, _, n) =>
@@ -1508,7 +1585,7 @@ object Curation {
           .when($"alpha" === 0.5, sqrt(nd))
           .when($"alpha" === 0.75, sqrt(nd) * sqrt(sqrt(nd)))
           .otherwise(nd))
-      .localCheckpoint(eager = true) // bounded: |sources| × |alphas| rows
+      .gatedCheckpoint() // bounded: |sources| × |alphas| rows
     val tots = ex.groupBy($"alpha").agg(
       aggregate(sort_array(collect_list(struct($"source", $"w"))), lit(0.0),
         (acc, x) => acc + x.getField("w")).as("tot"))
@@ -1625,7 +1702,7 @@ object Curation {
     val st = docs.groupBy($"source").agg(
       count(lit(1)).as("n_docs"),
       sum($"n_chars").as("sx"))
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     val tot = st.agg(
       coalesce(sum($"n_docs"), lit(0L)).as("nn"),
       coalesce(sum($"sx"), lit(0L)).as("tx"))
@@ -1653,6 +1730,7 @@ object Curation {
     "ta_boilerplate" -> ((s, d) => taBoilerplate(s, d)),
     "ta_intradoc" -> ((s, d) => taIntradoc(s, d)),
     "ta_exact_substr" -> ((s, d) => taExactSubstr(s, d)),
+    "dedup_substr_spans" -> dedupSubstrSpans,
     "ta_profile" -> taProfile,
     "ta_ngram_top" -> ((s, d) => taNgramTop(s, d)),
     "ta_familiarity" -> taFamiliarity,
@@ -2000,6 +2078,40 @@ object Curation {
              source, doc_id, n_tokens
       FROM sized
       ORDER BY src_rank, source, doc_id""",
+    "dedup_substr_spans" -> s"""
+      WITH d AS (
+        SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n_chars
+        FROM documents),
+      g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS p,
+          substr(md5(substr(text, CAST(i AS INT), $SubstrSpanL)), 1, 15) AS h
+        FROM d, UNNEST(range(1, n_chars - $SubstrSpanL + 2)) u(i)),
+      dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+      marks AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
+      flagged AS (
+        SELECT doc_id, p,
+          MAX(p + $SubstrSpanL) OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM marks),
+      spans AS (
+        SELECT doc_id, p,
+          SUM(CASE WHEN prev_end IS NULL OR p > prev_end THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+        FROM flagged),
+      merged AS (
+        SELECT doc_id, span_id, MIN(p) AS sp, MAX(p) + $SubstrSpanL AS ep
+        FROM spans GROUP BY doc_id, span_id),
+      per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+          CAST(SUM(ep - sp) AS BIGINT) AS dup_chars
+        FROM merged GROUP BY doc_id)
+      SELECT d.doc_id, d.n_chars,
+        COALESCE(n_spans, 0) AS n_spans,
+        COALESCE(dup_chars, 0) AS dup_chars,
+        CAST(COALESCE(dup_chars, 0) AS DOUBLE) / CAST(d.n_chars AS DOUBLE)
+          AS dup_frac
+      FROM d LEFT JOIN per_doc USING (doc_id)
+      ORDER BY d.doc_id""",
     "ta_exact_substr" -> s"""
       WITH toks AS (
         SELECT doc_id,

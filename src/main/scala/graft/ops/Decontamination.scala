@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Scale.GatedCheckpoint
 
 /** Benchmark decontamination over the `documents` table: find training
   * documents that share word n-grams with a held-out evaluation set, so
@@ -202,7 +203,7 @@ object Decontamination {
           sets.filter(!isEval($"doc_id")), threshold)
         .select($"a".as("eval_id"), $"b".as("train_id"), $"jaccard")
         .orderBy("eval_id", "train_id")
-        .localCheckpoint(eager = true)
+        .gatedCheckpoint()
     } finally sets.unpersist()
   }
 

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.ops.Scale.GatedCheckpoint
 
 /** Near-duplicate detection for LLM training corpora, at four levels of
   * fidelity/cost. All variants are pure DataFrame plans (no collect, no
@@ -407,7 +408,7 @@ object Dedup {
       val buckets = lshBucketsFused(sets)
       val cand = candidatePairs(buckets)
       verifyJaccardSets(cand, sets, 0.8).orderBy("a", "b")
-        .localCheckpoint(eager = true)
+        .gatedCheckpoint()
     } finally sets.unpersist()
   }
 
@@ -460,7 +461,7 @@ object Dedup {
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
       verifyJaccardSets(cand, sets, 0.8).orderBy("a", "b")
-        .localCheckpoint(eager = true)
+        .gatedCheckpoint()
     } finally sets.unpersist()
   }
 
@@ -512,7 +513,9 @@ object Dedup {
           org.apache.spark.sql.expressions.Window.currentRow)
       banded.withColumn("n_cum", sum($"n_pairs").over(w))
         .orderBy("band")
-        .localCheckpoint(eager = true)
+        // the window input is the band aggregate: ≤11 rows (band =
+        // (10·i) div u ∈ [0,10]) regardless of corpus size
+        .gatedCheckpoint(boundedWindowOk = "≤11 jaccard-band rows")
     } finally sets.unpersist()
   }
 
@@ -667,7 +670,7 @@ object Dedup {
     try {
       val cand = containmentCandidatesOf(sets, maxDocFreq)
       verifyContainmentSets(cand, sets, threshold).orderBy("a", "b")
-        .localCheckpoint(eager = true)
+        .gatedCheckpoint()
     } finally sets.unpersist()
   }
 
@@ -919,7 +922,7 @@ object Dedup {
       .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
       .withColumn("m", min($"doc_id").over(w))
       .filter($"doc_id" =!= $"m").select($"doc_id")
-    val sets = shingleSetsOf(docs).localCheckpoint(eager = true)
+    val sets = shingleSetsOf(docs).gatedCheckpoint()
     val prs = verifyJaccardSets(
       candidatePairs(lshBucketsFused(sets)), sets, 0.8)
     val nearRemoved = connectedComponents(prs)
@@ -1009,10 +1012,10 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -1028,7 +1031,7 @@ object Dedup {
         .join(labels.as("p"), col("h.lbl") === col("p.id"))
         .select(col("h.id").as("id"),
           least(col("h.lbl"), col("p.lbl")).as("lbl"))
-        .localCheckpoint(eager = true)
+        .gatedCheckpoint()
       // converged when no node's label changed vs the previous round
       converged = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
@@ -1119,10 +1122,10 @@ object Dedup {
         least(col("a"), col("b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     val allNodes = edges.select(col("hi").as("id"))
       .union(edges.select(col("lo").as("id"))).distinct()
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -1144,7 +1147,7 @@ object Dedup {
         .union(m2.select(col("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo"))
         .distinct()
-        .localCheckpoint(eager = true)
+        .gatedCheckpoint()
       // fixpoint when the canonical edge set stops changing (both
       // sides are distinct sets, so two one-row except probes decide)
       converged = next.except(edges).limit(1).isEmpty &&

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.ops.Scale.GatedCheckpoint
 
 /** Multimodal-column plumbing for training-data pipelines: image/audio/
   * video payloads ride through Spark as opaque `binary` columns with
@@ -504,12 +505,12 @@ object Multimodal {
         TextAnalysis.tokenCount($"text").as("nt"))
       .select($"doc_id", $"it", ($"it" + $"nt").as("eff"))
       .filter($"eff" > 0L)
-      .localCheckpoint(eager = true) // feeds the ranged kernel AND the span join
+      .gatedCheckpoint() // feeds the ranged kernel AND the span join
     val ranged = eff.select($"doc_id", $"eff")
       .repartitionByRange(partitions, $"doc_id")
       .sortWithinPartitions($"doc_id")
       .as[(Long, Long)]
-      .localCheckpoint(eager = true) // freeze sampled range boundaries
+      .gatedCheckpoint() // freeze sampled range boundaries
     val spans = Packing.packSequencesOf(ranged, Packing.SeqLen)
     spans.join(eff.select($"doc_id", $"it"), "doc_id")
       // span [tok_from, tok_to) on the doc's LOCAL axis; images occupy

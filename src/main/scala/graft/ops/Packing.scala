@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.ops.Scale.GatedCheckpoint
 
 /** Sequence assembly for LLM training and retrieval pipelines, over the
   * `documents` table.
@@ -52,7 +53,7 @@ object Packing {
       .repartitionByRange(partitions, $"doc_id")
       .sortWithinPartitions($"doc_id")
       .as[(Long, Long)]
-      .localCheckpoint(true)
+      .gatedCheckpoint()
   }
 
   /** Concat-and-chunk packing: rows (doc_id, seq_id, tok_from, tok_to) —
@@ -152,7 +153,7 @@ object Packing {
       .repartitionByRange(partitions, $"n".desc, $"doc_id".asc)
       .sortWithinPartitions($"n".desc, $"doc_id".asc)
       .as[(Long, Long)]
-      .localCheckpoint(true)
+      .gatedCheckpoint()
     val counts = ranged.rdd
       .mapPartitionsWithIndex { (pid, it) => Iterator.single((pid, it.size.toLong)) }
       .collect().sortBy(_._1)
@@ -313,7 +314,7 @@ object Packing {
       .select($"doc_id",
         least(TextAnalysis.tokenCount($"text"), lit(binLen)).as("n"))
       .filter($"n" > 0L)
-      .localCheckpoint(eager = true) // one scan feeds histogram + ranks
+      .gatedCheckpoint() // one scan feeds histogram + ranks
     val hist = docs.groupBy($"n").agg(count(lit(1)).as("c"))
       .as[(Long, Long)].collect().toSeq
     val segs = bfdHistogram(hist, binLen)

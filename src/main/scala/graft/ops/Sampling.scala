@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.ops.Scale.GatedCheckpoint
 
 /** Deterministic sampling/splitting for training-data pipelines.
   *
@@ -231,7 +232,7 @@ object Sampling {
         $"source".asc, $"epoch".asc, $"h".asc, $"doc_id".asc)
       .select($"source", $"epoch", $"doc_id", $"n_tokens")
       .as[(String, Long, Long, Long)]
-      .localCheckpoint(eager = true) // freeze sampled range boundaries
+      .gatedCheckpoint() // freeze sampled range boundaries
     val partials = rep.rdd.mapPartitionsWithIndex { (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       it.foreach { case (src, _, _, n) =>
@@ -350,7 +351,7 @@ object Sampling {
     var st = t(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("mind", lit(Double.MaxValue))
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     val seed = st.orderBy($"vec_id".asc).limit(1)
       .select($"vec_id", $"v").collect().head
     var centerId = seed.getLong(0)
@@ -360,7 +361,7 @@ object Sampling {
     (1 until k).foreach { rank =>
       st = st
         .withColumn("mind", least($"mind", dist2($"v", typedlit(center))))
-        .localCheckpoint(eager = true)
+        .gatedCheckpoint()
       val chosen = picked.map(_._2).toSeq
       val next = st.filter(!$"vec_id".isin(chosen: _*))
         .orderBy($"mind".desc, $"vec_id".asc).limit(1)
@@ -456,7 +457,7 @@ object Sampling {
       count(lit(1)).as("n_pop"),
       sum($"n_chars").as("sx"),
       sum($"n_chars" * $"n_chars").as("sxx"))
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     val ws = st.select($"source", $"n_pop",
       sqrt(($"sxx".cast("double") -
         $"sx".cast("double") * $"sx".cast("double") / $"n_pop".cast("double"))

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.functions._
 
 /** Scale patterns as reusable operators: skew-salted aggregation and
@@ -9,6 +10,52 @@ import org.apache.spark.sql.functions._
   * overwhelming one reducer, and a fact-fact join shuffling both sides.
   */
 object Scale {
+
+  /** Unpartitioned windows over an unbounded input in an optimized
+    * plan — the serialized-window scale killer (every row funnels
+    * through ONE task). A window with an empty partitionSpec is
+    * tolerated only when its input is bounded by construction, i.e. a
+    * logical Limit sits below it. Shared by the PlanSpec sweep over
+    * every registered query's declarative plan AND the
+    * [[GatedCheckpoint]] runtime gate, so the two can never drift.
+    */
+  def serialWindows(plan: logical.LogicalPlan): Seq[logical.Window] =
+    plan.collect {
+      case w: logical.Window if w.partitionSpec.isEmpty &&
+          w.child.collectFirst {
+            case _: logical.GlobalLimit => ()
+            case _: logical.LocalLimit => ()
+          }.isEmpty => w
+    }
+
+  /** `localCheckpoint` with the unpartitioned-window gate applied to
+    * the segment about to execute (PlanSpec r9 blind spot: an eagerly
+    * checkpointed segment has already collapsed to a LogicalRDD by the
+    * time the registered-query sweep inspects the optimized plan, so a
+    * serialized window hiding inside one was invisible to the gate).
+    * Every kernel checkpoint in this repo routes through here, so the
+    * gate now covers 100% of each query's plan: the declarative tail
+    * via PlanSpec, every executed-early segment via this assert. The
+    * plan traversal is driver-side and costs microseconds — the
+    * optimizer output is computed for the execution anyway.
+    *
+    * `boundedWindowOk` is the audited escape hatch: pass the bound
+    * that makes a deliberate unpartitioned window safe (e.g. "≤10
+    * decile rows") and it is waved through, mirroring the PlanSpec
+    * whitelist.
+    */
+  implicit class GatedCheckpoint[T](private val ds: Dataset[T]) {
+    def gatedCheckpoint(eager: Boolean = true,
+        boundedWindowOk: String = null): Dataset[T] = {
+      if (boundedWindowOk == null) {
+        val bad = serialWindows(ds.queryExecution.optimizedPlan)
+        require(bad.isEmpty,
+          s"unpartitioned unbounded window inside a checkpointed segment " +
+            s"— a 100 TB single-task funnel: ${bad.head.simpleString(120)}")
+      }
+      ds.localCheckpoint(eager)
+    }
+  }
 
   /** Two-phase salted aggregation: groupBy (key, salt) with map-side
     * partials spreads a hot key over `salts` reducers, then a second
@@ -152,7 +199,7 @@ object Scale {
       .repartitionByRange(partitions, $"v".asc)
       .sortWithinPartitions($"v".asc)
       .as[(Double, Long)]
-      .localCheckpoint(eager = true) // freeze sampled range boundaries
+      .gatedCheckpoint() // freeze sampled range boundaries
     val partials = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var tot = 0L
       it.foreach(tot += _._2)
@@ -206,7 +253,7 @@ object Scale {
       .repartitionByRange(partitions, $"k".asc, $"id".asc)
       .sortWithinPartitions($"k".asc, $"id".asc)
       .as[(Long, Long)]
-      .localCheckpoint(eager = true) // freeze sampled range boundaries
+      .gatedCheckpoint() // freeze sampled range boundaries
     val partials = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var c = 0L
       it.foreach(_ => c += 1)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
+import graft.ops.Scale.GatedCheckpoint
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
   * array<float> 64-dim, label).
@@ -121,7 +122,7 @@ object Similarity {
     val pairs = c.join(broadcast(q), $"query_id" =!= $"cand_id")
       .select($"query_id" +: $"cand_id" +: MatryoshkaDims.map(d =>
         cosine(slice($"qe", 1, d), slice($"ce", 1, d)).as(s"cos_$d")): _*)
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     def topkOf(d: Int) = pairs
       .withColumn("rk", row_number().over(Window.partitionBy($"query_id")
         .orderBy(col(s"cos_$d").desc, $"cand_id".asc)))
@@ -265,7 +266,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     val pairs = ys.join(broadcast(xs))
       .select($"x_id", $"y_id", cosine($"xv", $"yv").as("cos"))
-      .localCheckpoint(eager = true) // one cosine pass feeds all three uses
+      .gatedCheckpoint() // one cosine pass feeds all three uses
     def knnAvg(idCol: String, w: org.apache.spark.sql.expressions.WindowSpec,
         out: String): DataFrame =
       pairs.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
@@ -438,7 +439,7 @@ object Similarity {
     import s.implicits._
     val ds = vecs.select(col("vec_id"), col("e"))
       .as[(Long, Array[Double])]
-      .localCheckpoint(true)
+      .gatedCheckpoint()
     var cents: Array[Array[Double]] =
       ds.orderBy(col("vec_id").asc).limit(k).collect().map(_._2)
     // buffer width = the corpus's actual dimensionality (the init
@@ -450,7 +451,7 @@ object Similarity {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val assign = assignEuclidean(ds, cents).localCheckpoint(true)
+      val assign = assignEuclidean(ds, cents).gatedCheckpoint()
       converged = prevAssign != null &&
         assign.as("n").join(prevAssign.as("p"), col("n.vec_id") === col("p.vec_id"))
           .filter(col("n.cluster") =!= col("p.cluster"))
@@ -601,6 +602,64 @@ object Similarity {
       .orderBy("cent_id")
   }
 
+  /** IVF cell re-balance PLAN — the maintenance step a frozen on-disk
+    * IVF index ([[writeIvfIndex]]) needs once drift unbalances its
+    * cells (VERDICT r9 next-step #8): per cell, the action a rebalancer
+    * would take — `split` when the cell exceeds 1.2× the mean (every
+    * probe touching it pays the hot-cell scan), `merge` when it holds
+    * under 0.9× the mean (a light cell wastes a probe slot), else
+    * `keep` — and for each merge cell the target it folds into: the
+    * nearest non-merge centroid by cosine (tie → lowest cent_id). The
+    * tight 1.2×/0.9× SLA is chosen so the near-balanced synthetic
+    * fixture exercises all three actions end-to-end; production
+    * loosens toward the conventional 2×/0.5×, and the plan shape is
+    * threshold-independent. All thresholds are integer
+    * cross-multiplications (5·n·k vs 6·N, 10·n·k vs 9·N) and the
+    * target choice ranks the same [[centroidsExact]]
+    * IEEE chains the other IVF oracles replay, so the whole plan table
+    * is hash-exact.
+    *
+    * 100 TB shape: one assignment pass → k-row cells table; the
+    * pairwise-target ranking is a k×k broadcast cross of CENTROIDS
+    * (k rows, never vectors). Executing the plan is one partition
+    * rewrite per split/merge cell — cost ∝ the cells touched, the
+    * point of planning instead of rebuilding.
+    */
+  def simIvfRebalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    val cents = broadcast(centroidsExact(emb(s, dir)))
+    val kdf = emb(s, dir).agg(countDistinct($"label").as("k_cells"))
+    val wv = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cent_id".asc)
+    val cells = all.crossJoin(cents)
+      .select($"vec_id", $"cent_id", (-cosine($"e", $"cent")).as("d"))
+      .withColumn("cr", row_number().over(wv))
+      .filter($"cr" === 1)
+      .groupBy($"cent_id").agg(count(lit(1)).as("n_vecs"))
+    val tot = cells.agg(coalesce(sum($"n_vecs"), lit(0L)).as("n_total"))
+    val classified = cells.crossJoin(broadcast(tot)).crossJoin(broadcast(kdf))
+      .select($"cent_id", $"n_vecs",
+        when($"n_vecs" * $"k_cells" * 5L > $"n_total" * 6L, lit("split"))
+          .when($"n_vecs" * $"k_cells" * 10L < $"n_total" * 9L, lit("merge"))
+          .otherwise(lit("keep")).as("action"))
+    val mergeSide = classified.filter($"action" === "merge")
+      .join(cents, "cent_id").select($"cent_id", $"cent")
+    val keepSide = classified.filter($"action" =!= "merge")
+      .select($"cent_id".as("tgt_id"))
+      .join(cents.select($"cent_id".as("tgt_id"), $"cent".as("tgt_cent")),
+        "tgt_id")
+    val wt = Window.partitionBy($"cent_id").orderBy($"dist".asc, $"tgt_id".asc)
+    val chosen = mergeSide.crossJoin(broadcast(keepSide))
+      .select($"cent_id", $"tgt_id",
+        (-cosine($"cent", $"tgt_cent")).as("dist"))
+      .withColumn("r", row_number().over(wt)).filter($"r" === 1)
+      .select($"cent_id", $"tgt_id")
+    classified.join(chosen, Seq("cent_id"), "left")
+      .select($"cent_id", $"n_vecs", $"action",
+        $"tgt_id".as("merge_target"))
+      .orderBy("cent_id")
+  }
+
   def simRecallCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
@@ -632,7 +691,7 @@ object Similarity {
       .withColumn("rk", row_number().over(wTop))
       .filter($"rk" <= TopK)
       .select($"nprobe", $"query_id", $"cand_id")
-      .localCheckpoint(eager = true) // truth slice (nprobe=k) reused below
+      .gatedCheckpoint() // truth slice (nprobe=k) reused below
     val truth = top.filter($"nprobe" === k)
       .select($"query_id", $"cand_id")
     val nTruth = truth.count()
@@ -764,7 +823,7 @@ object Similarity {
     import s.implicits._
     // overwrite of the root truncates it, so the corpus goes first and
     // the quantizer snapshot second (from the same materialized frame)
-    val cents = centroids(emb(s, dir)).localCheckpoint(true)
+    val cents = centroids(emb(s, dir)).gatedCheckpoint()
     assignTo(cents, emb(s, dir).select($"vec_id", asDouble($"embedding").as("e")))
       .write.mode("overwrite").partitionBy("cent_id").parquet(path)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
@@ -1133,7 +1192,7 @@ object Similarity {
     val s = vecsIn.sparkSession
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val vecs = vecsIn.localCheckpoint(eager = true)
+    val vecs = vecsIn.gatedCheckpoint()
     val banded = lshBandsFused(vecs)
     val wB = Window.partitionBy($"band", $"bh").orderBy($"vec_id")
     val chunked = banded
@@ -1144,7 +1203,7 @@ object Similarity {
       .filter($"src" =!= $"dst")
       .select($"src", $"dst").distinct()
     var edges = topKEdges(scorePairs(seed, vecs), k)
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     var r = 0
     while (r < rounds) {
       val u = edges.select($"src", $"dst")
@@ -1154,7 +1213,7 @@ object Similarity {
         .filter($"src" =!= $"dst")
       val cand = u.union(nn).distinct()
       edges = topKEdges(scorePairs(cand, vecs), k)
-        .localCheckpoint(eager = true)
+        .gatedCheckpoint()
       r += 1
     }
     edges.select($"src", $"rk", $"dst", $"cos")
@@ -1184,7 +1243,7 @@ object Similarity {
       k: Int = GraphK, rounds: Int = GraphRounds): Unit = {
     val s = vecsIn.sparkSession
     import s.implicits._
-    val vecs = vecsIn.localCheckpoint(eager = true)
+    val vecs = vecsIn.gatedCheckpoint()
     knnGraphEdges(vecs, k, rounds).write.mode("overwrite").parquet(s"$path/edges")
     vecs.write.mode("overwrite").parquet(s"$path/vecs")
     lshBandsFused(vecs).write.mode("overwrite").parquet(s"$path/bands")
@@ -1223,11 +1282,11 @@ object Similarity {
       k: Int = GraphK): Unit = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val batch = batchIn.select($"vec_id", $"e").localCheckpoint(eager = true)
+    val batch = batchIn.select($"vec_id", $"e").gatedCheckpoint()
     val oldVecs = s.read.parquet(s"$path/vecs")
     val oldBands = s.read.parquet(s"$path/bands")
     val oldEdges = s.read.parquet(s"$path/edges").select($"src", $"dst")
-    val newBands = lshBandsFused(batch).localCheckpoint(eager = true)
+    val newBands = lshBandsFused(batch).gatedCheckpoint()
     // stored bucket-mates, capped per (new node, bucket) in id order
     val wc = Window.partitionBy($"nid", $"band", $"bh").orderBy($"cand")
     val mates = newBands.select($"vec_id".as("nid"), $"band", $"bh")
@@ -1251,7 +1310,7 @@ object Similarity {
       .filter($"nid" =!= $"cand").distinct()
       .select($"nid".as("src"), $"cand".as("dst"))
     val allVecs = oldVecs.unionByName(batch)
-    val scored = scorePairs(cands, allVecs).localCheckpoint(eager = true)
+    val scored = scorePairs(cands, allVecs).gatedCheckpoint()
     val fwd = topKEdges(scored, k).select($"src", $"rk", $"dst", $"cos")
     val rev = topKEdges(
       scored.select($"dst".as("src"), $"src".as("dst"), $"cos"), k)
@@ -1266,7 +1325,7 @@ object Similarity {
     * up — the same maintenance cadence as small-file compaction.
     */
   def compactKnnGraph(s: SparkSession, path: String, k: Int = GraphK): Unit = {
-    val snap = knnNeighbors(s, path, k).localCheckpoint(eager = true)
+    val snap = knnNeighbors(s, path, k).gatedCheckpoint()
     snap.write.mode("overwrite").parquet(s"$path/edges")
   }
 
@@ -1304,12 +1363,12 @@ object Similarity {
   def graphCentrality(edgesIn: DataFrame, iters: Int = CentralityIters): DataFrame = {
     val s = edgesIn.sparkSession
     import s.implicits._
-    val edges = edgesIn.select($"src", $"dst").localCheckpoint(eager = true)
+    val edges = edgesIn.select($"src", $"dst").gatedCheckpoint()
     val nodes = edges.select($"src".as("id"))
       .union(edges.select($"dst".as("id"))).distinct()
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     var ranks = nodes.select($"id", lit(RankUnit).as("rank"))
     var i = 0
     while (i < iters) {
@@ -1329,7 +1388,7 @@ object Similarity {
       // scheduling cost (the whole query is overhead-bound at bench
       // scale) without changing a single integer — the plan just
       // carries two rounds of joins instead of one before truncating.
-      ranks = if (i % 2 == 1) next.localCheckpoint(eager = true) else next
+      ranks = if (i % 2 == 1) next.gatedCheckpoint() else next
       i += 1
     }
     val indeg = edges.groupBy($"dst").agg(count(lit(1)).as("in_deg"))
@@ -1399,7 +1458,7 @@ object Similarity {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val vecs = vecsIn.select($"vec_id", $"e")
-    val edges = edgesIn.select($"src", $"dst").localCheckpoint(eager = true)
+    val edges = edgesIn.select($"src", $"dst").gatedCheckpoint()
     val q = queriesIn.select($"query_id", $"qe")
     def score(cand: DataFrame): DataFrame =
       cand.join(vecs.select($"vec_id".as("node"), $"e".as("ce")), Seq("node"))
@@ -1413,7 +1472,7 @@ object Similarity {
       .orderBy(md5($"node".cast("string")), $"node").limit(seeds)
     var beamDf = cut(score(
         entry.crossJoin(q.select($"query_id")).filter($"node" =!= $"query_id")),
-      beam).localCheckpoint(eager = true)
+      beam).gatedCheckpoint()
     var r = 0
     while (r < rounds) {
       val frontier = beamDf.select($"query_id", $"node")
@@ -1421,7 +1480,7 @@ object Similarity {
         .select($"query_id", $"dst".as("node"))
       val cand = beamDf.select($"query_id", $"node").union(frontier)
         .filter($"node" =!= $"query_id").distinct()
-      beamDf = cut(score(cand), beam).localCheckpoint(eager = true)
+      beamDf = cut(score(cand), beam).gatedCheckpoint()
       r += 1
     }
     beamDf.withColumn("rk", row_number().over(wq).cast("long"))
@@ -1814,7 +1873,7 @@ object Similarity {
     import s.implicits._
     val deg = edges.select($"a".as("v")).union(edges.select($"b".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = true) // feeds orientation + wedge total
+      .gatedCheckpoint() // feeds orientation + wedge total
     // orient u->v iff (deg u, u) < (deg v, v); attach degrees by
     // broadcast (|V| = supplier count, bounded here; equi-join at scale)
     val da = broadcast(deg.select($"v".as("a"), $"deg".as("dega")))
@@ -1827,7 +1886,7 @@ object Similarity {
             struct($"b".as("u"), $"degb".as("du"), $"a".as("w"), $"dega".as("dw")))
           .as("o"))
       .select($"o.u", $"o.du", $"o.w", $"o.dw")
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     val bounds = oriented.agg(
       count(lit(1)), coalesce(min(least($"u", $"w")), lit(0L)),
       coalesce(max(greatest($"u", $"w")), lit(0L))).head()
@@ -1981,14 +2040,14 @@ object Similarity {
       .toDF("a", "b")
       .groupBy($"a", $"b")
       .agg(count(lit(1)).as("n_shared"))
-      .localCheckpoint(eager = true) // feeds stats + edges
+      .gatedCheckpoint() // feeds stats + edges
     val st = pairs.agg(count(lit(1)).as("cnt"), sum($"n_shared").as("tot"))
     // edge iff n_shared strictly above the observed-pair mean:
     // n_shared * cnt > tot (all integers — engine-portable)
     val edges = pairs.join(broadcast(st))
       .filter($"n_shared" * $"cnt" > $"tot")
       .select($"a", $"b")
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     val (nTri, nWedges) = triangleCensus(edges)
     val nEdges = edges.count()
     s.range(1).select(
@@ -2009,6 +2068,7 @@ object Similarity {
     "sim_knn_probe" -> simKnnProbe,
     "sim_matryoshka" -> simMatryoshka,
     "sim_ivf_balance" -> simIvfBalance,
+    "sim_ivf_rebalance" -> simIvfRebalance,
     "sim_range_search" -> ((s, d) => simRangeSearch(s, d)),
     "sim_bitext_mining" -> ((s, d) => simBitextMining(s, d)),
     "sim_lsh_ann" -> simLshANN,
@@ -2439,6 +2499,51 @@ object Similarity {
         (n_vecs * k > n_total * 2) AS is_hot
       FROM cells CROSS JOIN tot CROSS JOIN k
       ORDER BY cent_id"""
+    },
+    "sim_ivf_rebalance" -> {
+      def dt(x: String, y: String) =
+        s"list_sum([$x[i] * $y[i] for i in range(1, 65)])"
+      def cosv(x: String, y: String) =
+        s"(${dt(x, y)} / (sqrt(${dt(x, x)}) * sqrt(${dt(y, y)})))"
+      s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      coords AS (
+        SELECT label, vec_id, i, v[i] AS x FROM e, UNNEST(range(1, 65)) AS u(i)),
+      csum AS (
+        SELECT label, i, list_sum(list(x ORDER BY vec_id)) / count(*) AS m
+        FROM coords GROUP BY label, i),
+      cent AS (
+        SELECT label AS cent_id, list(m ORDER BY i) AS c FROM csum GROUP BY label),
+      k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM cent),
+      asg AS (
+        SELECT vec_id, cent_id FROM (
+          SELECT vec_id, cent_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY -(${cosv("v", "c")}) ASC, cent_id ASC) AS cr
+          FROM e CROSS JOIN cent) WHERE cr = 1),
+      cells AS (
+        SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM asg GROUP BY cent_id),
+      tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total FROM cells),
+      cls AS (
+        SELECT cent_id, n_vecs,
+          CASE WHEN n_vecs * k * 5 > n_total * 6 THEN 'split'
+               WHEN n_vecs * k * 10 < n_total * 9 THEN 'merge'
+               ELSE 'keep' END AS action
+        FROM cells CROSS JOIN tot CROSS JOIN k),
+      pd AS (
+        SELECT a.cent_id AS mid, b.cent_id AS tid,
+          ROW_NUMBER() OVER (PARTITION BY a.cent_id
+            ORDER BY -(${cosv("ca.c", "cb.c")}) ASC, b.cent_id ASC) AS r
+        FROM cls a
+        JOIN cent ca ON ca.cent_id = a.cent_id
+        CROSS JOIN cls b
+        JOIN cent cb ON cb.cent_id = b.cent_id
+        WHERE a.action = 'merge' AND b.action <> 'merge')
+      SELECT cls.cent_id, n_vecs, action, pd.tid AS merge_target
+      FROM cls LEFT JOIN pd ON pd.mid = cls.cent_id AND pd.r = 1
+      ORDER BY cls.cent_id"""
     },
     "sim_ivf_ann" -> {
       def dt(x: String, y: String) =

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.ops.Scale.GatedCheckpoint
 
 /** Text-analysis operators for LLM training-data pipelines, over the
   * `documents` table: tokenization stats, quality scoring, n-gram
@@ -443,7 +444,7 @@ object TextAnalysis {
         it.map { case (id, text) => (id, winnowPortable(text, memo)) }
       }
       .toDF("doc_id", "f")
-      .localCheckpoint(eager = true) // feeds sizes + the inverted index
+      .gatedCheckpoint() // feeds sizes + the inverted index
     val cnt = fps.select($"doc_id", size($"f").cast("long").as("n"))
     val fpx = fps.select($"doc_id", explode($"f").as("fp"))
     val hot = fpx.groupBy($"fp").agg(count(lit(1)).as("df"))
@@ -697,7 +698,7 @@ object TextAnalysis {
       }
       .toDF("doc_id", "dl", "tfs")
       .filter($"dl" > 0L)
-      .localCheckpoint(eager = true) // skinny (id, dl, k ints): one text scan feeds all three passes
+      .gatedCheckpoint() // skinny (id, dl, k ints): one text scan feeds all three passes
     val statsRow = base.agg(
       count(lit(1)), sum($"dl"),
       array((0 until k).map(i =>
@@ -774,7 +775,7 @@ object TextAnalysis {
       }
       .toDF("doc_id", "dl", "tfs")
       .filter($"dl" > 0L)
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     val statsRow = base.agg(
       count(lit(1)), sum($"dl"),
       array((0 until nu).map(i =>
@@ -948,7 +949,7 @@ object TextAnalysis {
     val wordFreq = docsIn
       .select(explode(tokens(lower($"text"))).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     // right-size the iteration: ~50k words per task keeps each of the
     // V rounds one short stage instead of |shuffle.partitions| empty
     // tasks — the vocabulary (not the corpus) sets the parallelism
@@ -960,7 +961,7 @@ object TextAnalysis {
       .toDF("syms", "freq")
       .as[(Seq[String], Long)]
       .repartition(nPart)
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var round = 0
     var done = false
@@ -1001,7 +1002,7 @@ object TextAnalysis {
           }
           (out.toSeq, f)
         }
-        if (round % 5 == 4) words = words.localCheckpoint(eager = true)
+        if (round % 5 == 4) words = words.gatedCheckpoint()
         round += 1
       }
     }
@@ -1256,7 +1257,57 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Ranks entering the dyadic Zipf fit (the head of the frequency
+    * table carries the Zipf signal; the tail is noise at any K).
+    */
+  val ZipfTopK = 256
+
+  /** ta_zipf_dyadic: Zipf-law slope of the corpus token-frequency
+    * distribution at DYADIC (doubling-bucket) resolution — the
+    * corpus-health scalar every mixing/dedup run reads first: a
+    * healthy natural-language corpus fits ln f ≈ c − s·ln r with
+    * s ≈ 1; a template-flooded or deduplicated-to-death corpus bends
+    * away. The least-squares fit runs over (⌊log₂ rank⌋, ⌊log₂ freq⌋)
+    * of the top [[ZipfTopK]] tokens.
+    *
+    * Why dyadic and not ln: floor(log₂ n) of an integer is EXACT in
+    * both engines (length(bin(n))−1 — a string length, no
+    * transcendental), so every regression sum folds in pure integers,
+    * order-free, and only the final slope/intercept divisions are
+    * IEEE — the [[graft.ops.Curation.mixTemperatureCurve]]
+    * dyadic-exponent doctrine. A natural-log fit would hash-diverge on
+    * the last bit because ln is not correctly-rounded and JVM/libm
+    * disagree.
+    *
+    * 100 TB shape: one token aggregation (map-side combine) →
+    * TakeOrdered K rows → a K-row window (Limit-bounded, gate-exempt)
+    * → one 1-row integer aggregation. The corpus never moves twice.
+    */
+  def taZipfDyadic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top = t(s, dir, "documents")
+      .select(explode(tokens(lower($"text"))).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token".asc).limit(ZipfTopK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"freq".desc, $"token".asc)
+    val pts = top
+      .withColumn("r", row_number().over(w).cast("long"))
+      .select((length(bin($"r")) - 1).cast("long").as("x"),
+        (length(bin($"freq")) - 1).cast("long").as("y"))
+    pts.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"n".as("n_ranked"),
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("slope"),
+        (($"sy".cast("double") -
+          (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+            $"sx".cast("double")) / $"n".cast("double")).as("intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_zipf_dyadic" -> taZipfDyadic,
     // rows-only: derived from the BPE encode (iterative merge table)
     "ta_fertility" -> ((s, d) => taFertility(s, d)),
     "ta_novelty" -> taNovelty,
@@ -1336,6 +1387,36 @@ object TextAnalysis {
     }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // dyadic log₂ via binary-string length — exact integers in both
+    // engines, so every regression sum is order-free; only the final
+    // slope/intercept divisions are IEEE (same op order both sides)
+    "ta_zipf_dyadic" -> s"""
+      WITH tk AS (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+          '\\s+'), x -> len(x) > 0)) AS token
+        FROM documents),
+      f AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tk
+        GROUP BY token ORDER BY freq DESC, token ASC LIMIT $ZipfTopK),
+      p AS (
+        SELECT
+          CAST(len(bin(CAST(ROW_NUMBER() OVER
+            (ORDER BY freq DESC, token ASC) AS BIGINT))) - 1 AS BIGINT) AS x,
+          CAST(len(bin(freq)) - 1 AS BIGINT) AS y
+        FROM f),
+      a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+          CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+          CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM p)
+      SELECT n AS n_ranked,
+        CAST(n * sxy - sx * sy AS DOUBLE) /
+          CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        (CAST(sy AS DOUBLE) -
+          (CAST(n * sxy - sx * sy AS DOUBLE) /
+           CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
+          CAST(n AS DOUBLE) AS intercept
+      FROM a""",
     // same doc-distinct word-trigram space as the dedup family
     // (Dedup.shingleCte); hashed vs string shingles agree on every
     // count as long as fnv is collision-free on the corpus — the same

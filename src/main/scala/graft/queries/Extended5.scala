@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
+import graft.ops.Scale.GatedCheckpoint
 
 /** Fifth extension block of the SQL-pass-through surface (SURVEY.md
   * §2.B): the interval/temporal join family Spark has no dedicated
@@ -176,7 +177,7 @@ object Extended5 {
       .repartitionByRange(parts, $"x".asc)
       .sortWithinPartitions($"x".asc)
       .as[(Double, Long)]
-      .localCheckpoint(eager = true) // freeze sampled range boundaries
+      .gatedCheckpoint() // freeze sampled range boundaries
     val partials = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var tot = 0L
       it.foreach(tot += _._2)

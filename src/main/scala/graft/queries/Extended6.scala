@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
+import graft.ops.Scale.GatedCheckpoint
 
 /** Sixth extension block of the SQL-pass-through surface (SURVEY.md
   * §2.B): the product-analytics pair every events warehouse runs —
@@ -86,7 +87,7 @@ object Extended6 {
         // exact long image of DECIMAL(18,6): ×10⁶ is integral and
         // |mon|×10⁶ < 10¹⁸ < 2⁶³ — order-preserving at any scale
         ($"mon_dec" * lit(1000000L)).cast("long").as("mon_us"))
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     val rB = graft.ops.Scale.ntileBoundaries(
       base, $"recency_days", $"user_id", 5)
     val fB = graft.ops.Scale.ntileBoundaries(
@@ -138,7 +139,7 @@ object Extended6 {
     val updates = upd.unionByName(ins)
     val j = cur.as("c").join(updates.as("u"),
       col("c.c_custkey") === col("u.c_custkey"), "full_outer")
-      .localCheckpoint(eager = true) // one join feeds all three projections
+      .gatedCheckpoint() // one join feeds all three projections
     val unchanged = j.filter(col("u.c_custkey").isNull)
       .select(col("c.c_custkey"), col("c.c_name"), col("c.c_nationkey"),
         col("c.c_acctbal"), col("c.c_mktsegment"),
@@ -223,7 +224,7 @@ object Extended6 {
     val s = rawOp.sparkSession
     import s.implicits._
     val op = rawOp.distinct()
-      .localCheckpoint(eager = true) // feeds totals + support + pairs
+      .gatedCheckpoint() // feeds totals + support + pairs
     val nOrders = op.select($"o").distinct().count()
     val sup = op.groupBy($"p").agg(count(lit(1)).as("n_p"))
     // compiled pair fan-out (interpreted HOF lambdas are ~2× slower on
@@ -547,25 +548,33 @@ object Extended6 {
     * greedy equals the EXISTS truth — and the DuckDB oracle CHECKS
     * that by computing the depth from pure joins.
     *
-    * Implementation is the typed `KeyValueGroupedDataset.mapGroups`
-    * path — the batch sibling of the streaming `mapGroupsWithState`
-    * surface: events shuffle once on user_id and each group runs a
-    * bounded O(n log n) in-memory scan (entity-bounded, the q17/q79
-    * per-user discipline). All arithmetic is integer microseconds.
+    * Implementation (r10 whale hardening, VERDICT r9 wrong-list #3):
+    * events PRE-COLLAPSE to per-user sorted timestamp arrays per step
+    * type in ONE declarative aggregation — `sort_array(collect_list
+    * (when(type=…)))` — before any typed code runs. The former
+    * `mapGroups + it.toArray` buffered a whale user's raw event
+    * iterator in task memory with no spill path; collect_list buffers
+    * the same data inside an ObjectHashAggregate buffer, which FALLS
+    * BACK to sort-based aggregation and spills when a group outgrows
+    * memory, and the typed scan then sees exactly one pre-shaped row
+    * per user (three arrays bounded by the user's per-type event
+    * counts). Work per user stays the two-pointer O(n log n) greedy.
+    * All arithmetic is integer microseconds.
     */
   def q81WindowFunnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "events")
       .select($"user_id", unix_micros($"ts").as("tus"), $"event_type")
-      .as[(Long, Long, String)]
-      .groupByKey(_._1)
-      .mapGroups { (uid, it) =>
-        val evs = it.toArray
-        def sortedOf(t: String) =
-          evs.collect { case (_, ts, et) if et == t => ts }.sorted
-        val views = sortedOf("view")
-        val clicks = sortedOf("click")
-        val purchases = sortedOf("purchase")
+      .groupBy($"user_id")
+      .agg(
+        sort_array(collect_list(when($"event_type" === "view", $"tus")))
+          .as("vs"),
+        sort_array(collect_list(when($"event_type" === "click", $"tus")))
+          .as("cs"),
+        sort_array(collect_list(when($"event_type" === "purchase", $"tus")))
+          .as("ps"))
+      .as[(Long, Array[Long], Array[Long], Array[Long])]
+      .map { case (uid, views, clicks, purchases) =>
         // first element of `arr` strictly after `after` and <= `until`
         def firstIn(arr: Array[Long], after: Long, until: Long): Long = {
           var lo = 0; var hi = arr.length

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.ops.Scale.GatedCheckpoint
 
 /** Data-quality check operators as queries (SURVEY.md §2.A, reference:
   * core/quality/checks.py). Unlike the reference — which runs two separate
@@ -211,7 +212,7 @@ object QualityQueries {
       .repartitionByRange(parts, $"g".asc, $"v".asc)
       .sortWithinPartitions($"g".asc, $"v".asc)
       .as[(String, Double)]
-      .localCheckpoint(eager = true) // freeze sampled range boundaries
+      .gatedCheckpoint() // freeze sampled range boundaries
     val partials = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1L) }
@@ -551,7 +552,7 @@ object QualityQueries {
     // the sketch feeds BOTH the cumulative window and the total —
     // materialize it (bounded: ≤ ~90 cells/decade) so neither branch
     // re-runs the upstream scan
-    val b = buckets.localCheckpoint(eager = true)
+    val b = buckets.gatedCheckpoint()
     // the window runs over the BOUNDED sketch (≤ ~90 buckets per decade
     // × decades present), not the data — single-task is fine
     val w = Window.orderBy($"lo")
@@ -607,7 +608,7 @@ object QualityQueries {
   private[graft] def keySkew(df: DataFrame, keyCol: String, label: String): DataFrame =
     keySkewFromCounts(
       df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(eager = true),
+        .gatedCheckpoint(),
       label)
 
   /** Skew statistics from a precomputed (k, cnt) table — shared with
@@ -763,13 +764,13 @@ object QualityQueries {
     def sketch(df: DataFrame, keyCol: String): DataFrame =
       df.select(md5(concat(lit("kmv:"), col(keyCol).cast("string"))).as("h"))
         .distinct().orderBy($"h").limit(KmvK)
-        .localCheckpoint(eager = true)
+        .gatedCheckpoint()
     val events = t(s, dir, "events")
     val customer = t(s, dir, "customer")
     val a = sketch(events, "user_id")
     val b = sketch(customer, "c_custkey")
     val u = a.unionByName(b).distinct().orderBy($"h").limit(KmvK)
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     def est(n: Column, kth: Column): Column =
       when(n < KmvK, n.cast("double"))
         .otherwise(lit((KmvK - 1L) * (1L << 48)).cast("double")
@@ -781,9 +782,9 @@ object QualityQueries {
       .agg(count(lit(1)).as("n_inter_sk"))
     val un = u.agg(count(lit(1)).as("n_u"))
     val aK = events.select($"user_id".as("kk")).distinct()
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     val bK = customer.select($"c_custkey".as("kk")).distinct()
-      .localCheckpoint(eager = true)
+      .gatedCheckpoint()
     val exact = aK.agg(count(lit(1)).as("n_a_exact")).crossJoin(
       bK.agg(count(lit(1)).as("n_b_exact"))).crossJoin(
       aK.join(bK, Seq("kk"), "left_semi")

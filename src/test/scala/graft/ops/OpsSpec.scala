@@ -1748,4 +1748,78 @@ class TextAnalysisSpec extends SparkSpec {
     got.foreach { case (_, nq, nc, acc) =>
       assert(nc <= nq && acc >= 0.0 && acc <= 1.0) }
   }
+
+  test("ivf rebalance: actions partition the cells; merge targets are non-merge cells") {
+    val bal = Similarity.simIvfBalance(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = Similarity.simIvfRebalance(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3))))
+    // same cells, same counts as the balance report
+    assert(got.map(x => x._1 -> x._2).toMap == bal)
+    val n = got.map(_._2).sum
+    val k = got.length.toLong
+    val nonMerge = got.filter(_._3 != "merge").map(_._1).toSet
+    got.foreach { case (c, nv, action, tgt) =>
+      // thresholds replay exactly (5nk vs 6N split, 10nk vs 9N merge)
+      val want = if (nv * k * 5 > n * 6) "split"
+        else if (nv * k * 10 < n * 9) "merge" else "keep"
+      assert(action == want, s"cell $c action")
+      // a merge cell folds into a surviving cell; others have no target
+      assert(tgt.isDefined == (action == "merge"), s"cell $c target presence")
+      tgt.foreach(t => assert(nonMerge.contains(t) && t != c, s"cell $c target"))
+    }
+  }
+
+  test("zipf dyadic: hand-computed regression on a planted frequency table") {
+    import graft.ops.{TextAnalysis => TA}
+    // corpus: 'a'×8, 'b'×4, 'c'×2, 'd'×1 → ranks 1..4
+    // points (x=⌊lb r⌋, y=⌊lb f⌋): (0,3) (1,2) (1,1) (2,0)
+    // n=4 Sx=4 Sy=6 Sxy=0+2+1+0=3 Sxx=0+1+1+4=6
+    // slope=(12-24)/(24-16)=-1.5; intercept=(6-(-1.5*4))/4=3.0
+    val docs = Seq((1L, ("a " * 8 + "b " * 4 + "c c d").trim))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TA.taZipfDyadic(spark, dir).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == -1.5)
+    assert(r.getDouble(2) == 3.0)
+  }
+}
+
+class SubstrSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("char-level dup spans: overlapping grams merge to maximal spans; short docs skip") {
+    // L=5: docs 1 and 2 share the 9-char run 'ABCDEFGHI' (5 dup grams
+    // at p=1..5 in doc 1 → ONE merged span of 9 chars); doc 3 is
+    // shorter than L and must report zero with no gram rows; doc 4
+    // repeats a 5-char block WITHIN itself at a distance, giving two
+    // disjoint single-gram spans (occurrences ≥ 2 counts within-doc)
+    val docs = Seq(
+      (1L, "ABCDEFGHIxxxx"), // shared run at p=1..5 → span [1,10) = 9
+      (2L, "zzABCDEFGHI"),   // same run at p=3..7 → span [3,12) = 9
+      (3L, "abc"),           // < L: no grams
+      // self-repeat separated by an all-distinct filler (a repeated
+      // filler char would gram-match itself and weld one giant span)
+      (4L, "QRSTUabcdefQRSTU") // spans [1,6) and [12,17)
+    ).toDF("doc_id", "text")
+    val got = Curation.substrSpansOf(docs, l = 5).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((13L, 1L, 9L)))
+    assert(got(2L) == ((11L, 1L, 9L)))
+    assert(got(3L) == ((3L, 0L, 0L)))
+    assert(got(4L) == ((16L, 2L, 10L)))
+  }
+
+  test("adjacent marks coalesce: a duplicated run one char apart stays one span") {
+    // docs share 'ABCDEF' (6 chars, L=5 → grams at p=1,2 in doc 1;
+    // p <= prev_end always, single span of 6)
+    val docs = Seq((1L, "ABCDEFxx"), (2L, "yyABCDEF")).toDF("doc_id", "text")
+    val got = Curation.substrSpansOf(docs, l = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 1L, 6L), (2L, 1L, 6L)))
+  }
 }

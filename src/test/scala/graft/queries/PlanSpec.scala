@@ -412,11 +412,12 @@ class PlanSpec extends SparkSpec {
     // Gate: every registered query's OPTIMIZED plan may contain a
     // window with an empty partitionSpec only if the window's input is
     // bounded by construction — under a logical Limit, or named below
-    // with the bound that makes it safe. (Caveat: windows inside an
-    // eagerly-checkpointed segment are invisible here — those segments
-    // have already executed into a LogicalRDD by plan time — so this
-    // gate covers the declarative tail of each plan, which is where
-    // both r8 findings lived.)
+    // with the bound that makes it safe. Eagerly-checkpointed segments
+    // (invisible here as LogicalRDDs — the r9 blind spot) are covered
+    // by the SAME detector at runtime: every kernel checkpoint routes
+    // through Scale.gatedCheckpoint, which asserts on the segment's
+    // optimized plan before executing it (gate test below), so the two
+    // sweeps together cover 100% of each query's plan.
     val bounded: Map[String, String] = Map(
       // audited 2026-08 (r9): every entry windows over a group-aggregate
       // whose KEY cardinality — not the data volume — bounds the rows
@@ -430,13 +431,9 @@ class PlanSpec extends SparkSpec {
       "sample_neyman" -> "≤#sources strata rows",
       "sim_label_confusion" -> "≤|labels|² confusion cells",
       "ta_lang_confusion" -> "≤|langs|² agreement cells")
-    def hasLimitBelow(p: logical.LogicalPlan): Boolean =
-      p.collectFirst { case _: logical.GlobalLimit => (); case _: logical.LocalLimit => () }.nonEmpty
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
-      val bad = df.queryExecution.optimizedPlan.collect {
-        case w: logical.Window if w.partitionSpec.isEmpty && !hasLimitBelow(w.child) => w
-      }
+      val bad = graft.ops.Scale.serialWindows(df.queryExecution.optimizedPlan)
       if (bad.nonEmpty && !bounded.contains(name)) Some(name) else None
     }
     assert(offenders.isEmpty,
@@ -448,6 +445,26 @@ class PlanSpec extends SparkSpec {
       }.nonEmpty
     }
     assert(stale.isEmpty, s"stale whitelist entries: ${stale.mkString(", ")}")
+  }
+
+  test("gatedCheckpoint refuses a serialized-window segment (checkpoint blind-spot gate)") {
+    import graft.ops.Scale.GatedCheckpoint
+    import spark.implicits._
+    // the exact shape the r8 findings had: an unpartitioned running
+    // window over an unbounded frame, about to be hidden from the plan
+    // sweep by an eager checkpoint
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"id")
+    val serial = spark.range(100).toDF("id")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+    val e = intercept[IllegalArgumentException](serial.gatedCheckpoint())
+    assert(e.getMessage.contains("unpartitioned unbounded window"))
+    // a Limit below the window bounds it → allowed
+    val bounded = spark.range(100).toDF("id").limit(10)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+    assert(bounded.gatedCheckpoint().count() == 10)
+    // the audited escape hatch records its bound and is waved through
+    assert(serial.gatedCheckpoint(boundedWindowOk = "test: 100 rows")
+      .count() == 100)
   }
 }
 
