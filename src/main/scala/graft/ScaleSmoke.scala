@@ -43,7 +43,9 @@ object ScaleSmoke {
     "q74_basket_lift",
     // round-8 heavyweights: component-size histogram (reruns the LSH
     // chain), cross-split LSH decon, one-pass recall curve
-    "dedup_cluster_sizes", "decon_minhash", "sim_recall_curve")
+    "dedup_cluster_sizes", "decon_minhash", "sim_recall_curve",
+    // round-10: char-gram span audit — the suite's newest heavy
+    "dedup_substr_spans")
 
   def ensureSf1(spark: SparkSession, srcDir: String): String =
     ensureScaled(spark, srcDir, Reps, "graft_sf1")

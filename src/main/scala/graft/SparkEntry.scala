@@ -25,7 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Extended.queries ++ Extended2.queries ++
       Extended3.queries ++ Extended4.queries ++ Extended5.queries ++
-      Extended6.queries ++
+      Extended6.queries ++ Extended7.queries ++
       QualityQueries.queries ++ Dedup.queries ++ TextAnalysis.queries ++
       Similarity.queries ++ Multimodal.queries ++ Sampling.queries ++
       Packing.queries ++ Decontamination.queries ++ Curation.queries ++
@@ -37,7 +37,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Extended.oracles ++ Extended2.oracles ++
       Extended3.oracles ++ Extended4.oracles ++ Extended5.oracles ++
-      Extended6.oracles ++
+      Extended6.oracles ++ Extended7.oracles ++
       QualityQueries.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Sampling.oracles ++
       Packing.oracles ++ Decontamination.oracles ++ Curation.oracles ++

@@ -394,14 +394,19 @@ object Curation {
     * suffix-array algorithm for every duplicate of length ≥ L, with no
     * non-distributable global suffix sort.
     *
-    * 100 TB shape: the gram table is ~n_chars rows carrying (15-byte
-    * hash, doc_id, pos) — the occurrence count is one hash-partitioned
-    * aggregate with map-side partials, the mark-back a semi-join, the
-    * interval merge a per-document window. The md5-hex prefix key is
-    * the oracle-portability choice; production swaps it for xxhash64
-    * longs (8-byte shuffle keys) with identical plan shape — and at
-    * corpus scale widens to 128 bits, since a 60-bit space collides
-    * well below 10¹² grams.
+    * 100 TB shape: all of a document's gram fingerprints are computed
+    * in ONE projection (`transform` over the position sequence, then
+    * posexplode of the 8-byte hash array — the document text never
+    * rides the explode, so the gram table is (doc_id, pos, long) and
+    * nothing wider ever shuffles); the corpus-wide occurrence count is
+    * a single h-partitioned window over that one gram pass (no second
+    * scan, no mark-back join); the interval merge is a per-document
+    * window. Engines fingerprint DIFFERENTLY on purpose — Spark
+    * xxhash64, the oracle the raw gram string — so agreement rests
+    * only on xxhash64 being collision-free on the corpus (the
+    * standing fnv assumption of the jaccard oracle family); at corpus
+    * scale production widens to 128 bits, since 64-bit collides
+    * approaching 10⁹–10¹⁰ grams.
     */
   def dedupSubstrSpans(s: SparkSession, dir: String): DataFrame =
     substrSpansOf(t(s, dir, "documents"))
@@ -413,19 +418,19 @@ object Curation {
     val docs = docsIn.select($"doc_id", $"text",
       length($"text").cast("long").as("n_chars"))
     val grams = docs.filter($"n_chars" >= l)
-      .select($"doc_id",
-        explode(sequence(lit(1L), $"n_chars" - (l - 1))).as("p"),
-        $"text")
-      .select($"doc_id", $"p",
-        substring(md5(expr(s"substring(text, p, $l)")), 1, 15).as("h"))
-    val dup = grams.groupBy($"h").agg(count(lit(1)).as("occ"))
-      .filter($"occ" >= 2L).select($"h")
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(1, cast(n_chars - ${l - 1} as int)), " +
+          s"p -> xxhash64(substring(text, p, $l)))")))
+      .select($"doc_id", ($"pos" + 1L).cast("long").as("p"), $"col".as("h"))
+    val wOcc = org.apache.spark.sql.expressions.Window.partitionBy($"h")
     val wPrev = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"p")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val wRun = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"p")
-    val perDoc = grams.join(dup, "h")
+    val perDoc = grams
+      .withColumn("occ", count(lit(1)).over(wOcc))
+      .filter($"occ" >= 2L)
       .select($"doc_id", $"p")
       .withColumn("prev_end", max($"p" + l).over(wPrev))
       .withColumn("new_span",
@@ -2083,8 +2088,12 @@ object Curation {
         SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n_chars
         FROM documents),
       g AS (
+        -- the RAW gram is the oracle's fingerprint (Spark uses
+        -- xxhash64 of it; both are collision-free on the corpus, so
+        -- the >= 2 occurrence sets agree — the jaccard-family
+        -- cross-hash convention)
         SELECT doc_id, CAST(i AS BIGINT) AS p,
-          substr(md5(substr(text, CAST(i AS INT), $SubstrSpanL)), 1, 15) AS h
+          substr(text, CAST(i AS INT), $SubstrSpanL) AS h
         FROM d, UNNEST(range(1, n_chars - $SubstrSpanL + 2)) u(i)),
       dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
       marks AS (SELECT doc_id, p FROM g JOIN dup USING (h)),

@@ -868,6 +868,52 @@ object QualityQueries {
     * order-keyed join (sort-merge at scale, AQE-skew-safe), one 6-row
     * band aggregation with map-side combine.
     */
+  /** dq_fk_orphans: multi-relationship referential-integrity audit —
+    * per FK relationship, child rows/keys and ORPHAN rows/keys
+    * (children whose parent key is absent). [[dqReferential]] proves
+    * the zero path on one clean relationship; this is the full join-
+    * graph audit with DETECTION evidence: two clean TPC-H
+    * relationships, plus a STAGED orders table with planted
+    * orphans (o_custkey shifted above the real key space on
+    * o_orderkey % 17 = 0 — the q80/q72 planted-change-set discipline,
+    * offset derived from max(c_custkey) via a lazy broadcast so it
+    * can't collide at any SF), proving detection with an exactly
+    * predictable count.
+    *
+    * 100 TB shape: each relationship is ONE scan of the child — a
+    * left equi-join against the parent key set (sort-merge at scale,
+    * AQE-skew-safe) whose hit/miss flag feeds all four counters in a
+    * single conditional aggregation (the oracle's own shape) — so no
+    * fact table is read twice and nothing wider than (key, flag) ever
+    * shuffles.
+    */
+  def dqFkOrphans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def audit(rel: String, child: DataFrame, key: String,
+        parentKeys: DataFrame): DataFrame =
+      child
+        .join(parentKeys.withColumn("__hit", lit(1)), Seq(key), "left")
+        .agg(count(lit(1)).as("n_child"),
+          countDistinct(col(key)).as("n_child_keys"),
+          sum(when($"__hit".isNull, 1L).otherwise(0L)).as("n_orphan_rows"),
+          countDistinct(when($"__hit".isNull, col(key))).as("n_orphan_keys"))
+        .select(lit(rel).as("relationship"),
+          $"n_child", $"n_child_keys", $"n_orphan_rows", $"n_orphan_keys")
+    val cust = t(s, dir, "customer").select($"c_custkey")
+    val ord = t(s, dir, "orders")
+    val staged = ord
+      .crossJoin(broadcast(cust.agg(max($"c_custkey").as("__mk"))))
+      .select(when($"o_orderkey" % 17 === 0, $"o_custkey" + $"__mk")
+        .otherwise($"o_custkey").as("c_custkey"))
+    audit("lineitem->orders",
+        t(s, dir, "lineitem").select($"l_orderkey".as("o_orderkey")),
+        "o_orderkey", ord.select($"o_orderkey"))
+      .unionByName(audit("orders->customer",
+        ord.select($"o_custkey".as("c_custkey")), "c_custkey", cust))
+      .unionByName(audit("staged_orders->customer", staged, "c_custkey", cust))
+      .orderBy("relationship")
+  }
+
   def dqReconciliation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val exp = t(s, dir, "lineitem")
@@ -997,6 +1043,7 @@ object QualityQueries {
     "dq_volume_zscore" -> dqVolumeZscore,
     "dq_dup_rows" -> dqDupRows,
     "dq_manifest" -> dqManifest,
+    "dq_fk_orphans" -> dqFkOrphans,
     "dq_reconciliation" -> dqReconciliation,
     "dq_seasonality" -> dqSeasonality,
     "dq_kmv_overlap" -> dqKmvOverlap,
@@ -1060,6 +1107,41 @@ object QualityQueries {
     }.mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    "dq_fk_orphans" -> """
+      WITH mk AS (SELECT MAX(c_custkey) AS m FROM customer),
+      a1 AS (
+        SELECT 'lineitem->orders' AS relationship,
+          CAST(COUNT(*) AS BIGINT) AS n_child,
+          CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_child_keys,
+          CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphan_rows,
+          CAST(COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL
+            THEN l_orderkey END) AS BIGINT) AS n_orphan_keys
+        FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      a2 AS (
+        SELECT 'orders->customer',
+          CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+          CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+          CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL
+            THEN o_custkey END) AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey),
+      st AS (
+        SELECT CASE WHEN o_orderkey % 17 = 0
+          THEN o_custkey + (SELECT m FROM mk) ELSE o_custkey END AS k
+        FROM orders),
+      a3 AS (
+        SELECT 'staged_orders->customer',
+          CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(DISTINCT k) AS BIGINT),
+          CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+          CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL
+            THEN k END) AS BIGINT)
+        FROM st LEFT JOIN customer c ON c.c_custkey = st.k)
+      SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL
+      SELECT * FROM a3 ORDER BY relationship""",
     "dq_reconciliation" -> """
       WITH exp AS (
         SELECT l_orderkey,

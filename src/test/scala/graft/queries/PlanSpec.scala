@@ -123,9 +123,14 @@ class PlanSpec extends SparkSpec {
       // groupedDiscMedian (localCheckpoint-truncated), so its RETURNED
       // plan is one scan + a broadcast local stats table and the
       // default bound applies.
-      // reconciliation joins header to detail — two tables by definition
+      // reconciliation joins header to detail — two tables by definition.
+      // fk_orphans audits THREE relationships (3 × child⋈parent = 6) plus
+      // the 1-row max-key scan for the planted-orphan offset: 7 scans,
+      // each table read at most once PER RELATIONSHIP (the single-scan
+      // discipline applies per audit, not per report).
       val allowed =
-        if (Set("dq_referential", "dq_anomaly", "dq_cross_field",
+        if (name == "dq_fk_orphans") 7
+        else if (Set("dq_referential", "dq_anomaly", "dq_cross_field",
           "dq_reconciliation")(name)) 2 else 1
       assert(scans <= allowed, s"$name reads its input more than once")
     }
@@ -445,6 +450,22 @@ class PlanSpec extends SparkSpec {
       }.nonEmpty
     }
     assert(stale.isEmpty, s"stale whitelist entries: ${stale.mkString(", ")}")
+  }
+
+  test("q83 range join: bounded window side broadcasts into a nested-loop join") {
+    val p = plan(Extended7.q83RangeWindows(spark, sfDir))
+    // the non-equi containment condition admits no hash join; the
+    // 12-row side must BROADCAST (BNLJ), never a cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q82 as-of: one user-keyed exchange feeds the window; no join at all") {
+    val p = plan(Extended7.q82AsofJoin(spark, sfDir))
+    // the whole as-of is window-over-union: any Join node would mean
+    // the range-probing formulation snuck back in
+    assert(!p.contains("Join"), p)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty, p)
   }
 
   test("gatedCheckpoint refuses a serialized-window segment (checkpoint blind-spot gate)") {
