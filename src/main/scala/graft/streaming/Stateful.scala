@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => SparkOutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => SparkOutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Stateful streaming transforms (the gap SURVEY.md §2.A notes: the
   * reference reaches mapGroupsWithState only through user transform()
@@ -37,6 +37,50 @@ object StatefulTransforms {
           state.update(next)
           Iterator(next)
       }
+      .toDF()
+  }
+
+  /** [[runningUserTotals]] on the MODERN arbitrary-stateful API
+    * (`transformWithState` + `StatefulProcessor`, SPARK-49564 — the
+    * operator Spark 4 positions as the successor to
+    * (flat)mapGroupsWithState): per-key state is a named, individually
+    * encoded [[ValueState]] in the state store (RocksDB-backed on a
+    * cluster, TTL-evictable per state variable, schema-evolvable),
+    * instead of one opaque per-key blob. Output is bit-identical to
+    * the legacy form on any input (spec-pinned three ways: tws ==
+    * fmgws == the batch aggregation) — this is the migration target a
+    * production deployment moves its stateful transforms onto, kept
+    * beside the legacy form so both surfaces stay exercised.
+    */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, UserEvent, UserTotals] {
+    @transient private var totals: ValueState[UserTotals] = _
+    override def init(outputMode: SparkOutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals](
+        "totals", Encoders.product[UserTotals], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      val prev =
+        if (totals.exists()) totals.get() else UserTotals(key, 0L, 0.0)
+      var n = prev.n_events
+      var total = prev.total_value
+      rows.foreach { e => n += 1; total += e.value }
+      val next = UserTotals(key, n, total)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Per-user running totals via the transformWithState processor —
+    * the modern twin of [[runningUserTotals]].
+    */
+  def runningUserTotalsTws(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select("user_id", "value").as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), SparkOutputMode.Update())
       .toDF()
   }
 
