@@ -1660,6 +1660,44 @@ object Similarity {
       .orderBy($"band")
   }
 
+  /** SemDeDup-style DOC-removal curve: for every cosine threshold band
+    * τ = band/20 down to the 0.40 mining floor, how many DOCUMENTS a
+    * keep-the-lowest-id semantic dedup pass would remove and the
+    * retention fraction — the aggressiveness-ablation curve the
+    * SemDeDup/D4 papers publish ([[dedupEmbCosHist]] counts PAIRS per
+    * band; removal decisions are per-doc, and the two curves differ
+    * precisely when near-dup clusters are larger than 2). A doc is
+    * removed at τ iff some LOWER id is within cosine ≥ τ, so the whole
+    * sweep collapses to: per doc, the max cosine to any lower id
+    * (order-free max over the mined pairs), banded, then one suffix
+    * cumsum over the ≤41 band rows.
+    *
+    * 100 TB shape: rides the tiled exact pair pass (or any blocked
+    * candidate source) → one b-keyed max aggregation → band
+    * histogram → a window over band-count rows (bounded by the band
+    * DOMAIN, not the corpus — the dq_benford regime).
+    */
+  def dedupRemovalCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = dedupEmbCosineTiled(s, dir, numBlocks = 8)
+    val nDocs = emb(s, dir).agg(count(lit(1)).as("n_docs"))
+    val perDoc = pairs.groupBy($"b").agg(max($"cos").as("max_cos_lower"))
+    val bands = perDoc
+      .select(floor($"max_cos_lower" * 20).cast("long").as("band"))
+      .groupBy($"band").agg(count(lit(1)).as("n_at_band"))
+    val w = Window.orderBy($"band".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bands
+      .withColumn("n_removed", sum($"n_at_band").over(w))
+      .crossJoin(broadcast(nDocs))
+      .select($"band",
+        ($"band".cast("double") / 20.0).as("tau"),
+        $"n_removed", $"n_docs",
+        (lit(1.0) - $"n_removed".cast("double") / $"n_docs".cast("double"))
+          .as("retention"))
+      .orderBy($"band")
+  }
+
   /** Contrastive triplet mining for embedding-model training: per
     * anchor, positive = its highest-cosine near-dup (ties to the lowest
     * id) from the tiled exact pair pass, negative = a PSEUDORANDOM BUT
@@ -2079,6 +2117,7 @@ object Similarity {
     "sim_norm_hist" -> simNormHist,
     "sim_label_confusion" -> simLabelConfusion,
     "dedup_embcos_hist" -> ((s, d) => dedupEmbCosHist(s, d)),
+    "dedup_removal_curve" -> dedupRemovalCurve,
     "sim_sq_ann" -> simSqANN,
     "sim_pq_ann" -> simPqANN,
     // rows-only: iterative NN-Descent refinement, recall-gated by spec
@@ -2416,6 +2455,27 @@ object Similarity {
     },
     "dedup_embcos" -> embCosOracle,
     "dedup_embcos_tiled" -> embCosOracle,
+    "dedup_removal_curve" -> s"""
+      WITH pairs AS (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               ${duckCos("x.embedding", "y.embedding")} AS cos
+        FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        WHERE ${duckCos("x.embedding", "y.embedding")} >= 0.40),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM embeddings),
+      pd AS (SELECT b, MAX(cos) AS mc FROM pairs GROUP BY b),
+      h AS (
+        SELECT CAST(FLOOR(mc * 20) AS BIGINT) AS band,
+          CAST(COUNT(*) AS BIGINT) AS n_at_band
+        FROM pd GROUP BY band),
+      c AS (
+        SELECT band,
+          CAST(SUM(n_at_band) OVER (ORDER BY band DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS n_removed
+        FROM h)
+      SELECT band, CAST(band AS DOUBLE) / 20.0 AS tau, n_removed, n_docs,
+        1.0 - CAST(n_removed AS DOUBLE) / CAST(n_docs AS DOUBLE) AS retention
+      FROM c CROSS JOIN n ORDER BY band""",
     "dedup_embcos_hist" -> s"""
       WITH pairs AS (
         SELECT x.vec_id AS a, y.vec_id AS b,

@@ -25,8 +25,8 @@ class RegistrySpec extends AnyFunSuite {
     assert(bad.isEmpty, s"non-conforming names: $bad")
   }
 
-  test("registered query count matches the round-9 record") {
-    assert(SparkEntry.queries.size == 251,
+  test("registered query count matches the round record") {
+    assert(SparkEntry.queries.size == 252,
       s"query count drifted: ${SparkEntry.queries.size} — update the " +
         "round record (NOTES.md/README.md) together with this pin")
   }

@@ -427,6 +427,7 @@ class PlanSpec extends SparkSpec {
       // audited 2026-08 (r9): every entry windows over a group-aggregate
       // whose KEY cardinality — not the data volume — bounds the rows
       "dedup_embcos_hist" -> "≤41 cosine bands (floor(cos*20) ∈ [-20,20])",
+      "dedup_removal_curve" -> "≤41 cosine bands (per-doc max-cos collapse)",
       "dq_benford" -> "≤9 leading-digit rows",
       "dq_drift_chi2" -> "≤10 rank buckets (rankCutpointsN(10))",
       "dq_quantile_sketch" -> "≤~90 sketch cells/decade × decades present",
