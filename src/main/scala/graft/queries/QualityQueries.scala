@@ -1039,7 +1039,60 @@ object QualityQueries {
       .orderBy($"day")
   }
 
+  /** dq_ewma_dyadic: EWMA volume anomaly monitor with α = 1/2 — the
+    * exponentially-weighted complement of [[dqVolumeZscore]]'s flat
+    * 7-day window (EWMA reacts in one day; the flat window dilutes a
+    * spike by 1/7). The recurrence s_t = (s_{t-1} + x_t)/2 is
+    * cross-engine EXACT because α is dyadic: with W_t ≡ s_t·2^{t-1}
+    * the recurrence collapses to the INTEGER cumsum
+    * W_t = W_{t-1} + x_t·2^{t-2} (W_1 = x_1), so the state is exact
+    * longs (day count ≤ 62 before 2^{t-2} overflows — a month of
+    * days uses 2^29), the reported ewma is one exact
+    * division-by-a-power-of-two, and the spike flag
+    * x_t·2^{t-2} > 2·W_{t-1} ("today > 2× yesterday's EWMA") is a
+    * pure integer cross-multiplication — no float ever enters a
+    * comparison. The mix_temperature_curve dyadic doctrine applied to
+    * time-series smoothing.
+    *
+    * 100 TB shape: one events scan → per-day counts (map-side
+    * combinable); everything after operates on one row per calendar
+    * DAY (the dq_volume_zscore window regime — bounded by the time
+    * span, not the volume).
+    */
+  def dqEwmaDyadic(s: SparkSession, dir: String): DataFrame =
+    ewmaDyadicOf(t(s, dir, "events")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events")))
+
+  /** [[dqEwmaDyadic]] over any (day, n_events) frame. */
+  def ewmaDyadicOf(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val wOrd = Window.orderBy($"day")
+    val wCum = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("wt",
+        when($"t" === 1L, $"n_events")
+          .otherwise($"n_events" * expr("shiftleft(cast(1 as bigint), cast(t - 2 as int))")))
+      .withColumn("w_cum", sum($"wt").over(wCum))
+      .withColumn("w_prev", $"w_cum" - $"wt")
+      .select($"day", $"n_events",
+        // exact: W_t / 2^(t-1) — numerator exact long, divisor a power
+        // of two, one IEEE division
+        ($"w_cum".cast("double") /
+          expr("shiftleft(cast(1 as bigint), cast(t - 1 as int))").cast("double"))
+          .as("ewma"),
+        when($"t" > 1L,
+          $"wt".cast("double") / $"w_prev".cast("double")).as("vol_ratio"),
+        when($"t" > 1L, $"wt" > $"w_prev" * 2L).otherwise(lit(false))
+          .as("spike"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_ewma_dyadic" -> dqEwmaDyadic,
     "dq_volume_zscore" -> dqVolumeZscore,
     "dq_dup_rows" -> dqDupRows,
     "dq_manifest" -> dqManifest,
@@ -1203,6 +1256,33 @@ object QualityQueries {
         CAST(SUM(CASE WHEN m > 1 THEN m - 1 ELSE 0 END) AS BIGINT) AS n_extra_rows,
         CAST(MAX(m) AS BIGINT) AS max_multiplicity
       FROM g GROUP BY ROLLUP(event_type) ORDER BY event_type""",
+    "dq_ewma_dyadic" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1),
+      r AS (
+        SELECT day, n_events,
+          CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM daily),
+      w AS (
+        SELECT day, n_events, t,
+          CASE WHEN t = 1 THEN n_events
+               ELSE n_events * (CAST(1 AS BIGINT) << (t - 2)) END AS wt
+        FROM r),
+      c AS (
+        SELECT day, n_events, t, wt,
+          CAST(SUM(wt) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS w_cum
+        FROM w)
+      SELECT day, n_events,
+        CAST(w_cum AS DOUBLE) /
+          CAST((CAST(1 AS BIGINT) << (t - 1)) AS DOUBLE) AS ewma,
+        CASE WHEN t > 1
+          THEN CAST(wt AS DOUBLE) / CAST(w_cum - wt AS DOUBLE) END
+          AS vol_ratio,
+        CASE WHEN t > 1 THEN wt > (w_cum - wt) * 2 ELSE FALSE END AS spike
+      FROM c ORDER BY day""",
     "dq_volume_zscore" -> s"""
       WITH daily AS (
         SELECT CAST(ts AS DATE) AS day,

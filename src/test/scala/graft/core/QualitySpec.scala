@@ -474,4 +474,25 @@ class SchemaSpec extends SparkSpec {
     assert((edited - victim.getString(1)) == (base - victim.getString(1)),
       "untouched sources must keep their signatures")
   }
+
+  test("dyadic EWMA: hand-computed recurrence; planted 10x spike flags exactly once") {
+    import spark.implicits._
+    import java.sql.Date
+    // volumes 8, 8, 8, 80 (the spike), 8 — s: 8, 8, 8, 44, 26
+    val daily = Seq(
+      (Date.valueOf("2024-03-01"), 8L),
+      (Date.valueOf("2024-03-02"), 8L),
+      (Date.valueOf("2024-03-03"), 8L),
+      (Date.valueOf("2024-03-04"), 80L),
+      (Date.valueOf("2024-03-05"), 8L)).toDF("day", "n_events")
+    val got = graft.queries.QualityQueries.ewmaDyadicOf(daily).collect()
+      .map(r => (r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3), r.getBoolean(4)))
+    // s_t = (s_{t-1} + x_t)/2 exactly; ratio = x_t / s_{t-1}
+    assert(got.map(t => (t._1, t._2, t._4)).toSeq == Seq(
+      (8L, 8.0, false), (8L, 8.0, false), (8L, 8.0, false),
+      (80L, 44.0, true), (8L, 26.0, false)))
+    assert(got(3)._3 == 10.0, "spike day ratio = 80/8")
+    assert(got(4)._3 == 8.0 / 44.0, "post-spike ratio vs the elevated EWMA")
+  }
 }

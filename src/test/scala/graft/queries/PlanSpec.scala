@@ -433,6 +433,7 @@ class PlanSpec extends SparkSpec {
       "dq_quantile_sketch" -> "≤~90 sketch cells/decade × decades present",
       "dq_seasonality" -> "7 day-of-week rows",
       "dq_volume_zscore" -> "one row per calendar DAY — grows with time span, not volume",
+      "dq_ewma_dyadic" -> "one row per calendar DAY — the dq_volume_zscore regime",
       "q77_share_of_parent" -> "≤25 (region, nation) group rows",
       "sample_neyman" -> "≤#sources strata rows",
       "sim_label_confusion" -> "≤|labels|² confusion cells",
