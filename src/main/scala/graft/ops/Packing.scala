@@ -491,7 +491,77 @@ object Packing {
       .orderBy("doc_id", "turn_idx")
   }
 
+  /** Span-corruption start probability as a 12-hex-nibble threshold:
+    * ⌊0.05·16¹²⌋ = 0x0CCCCCCCCCCC. With span length 3 and overlap
+    * merge the expected mask fraction is 1 − 0.95³ ≈ 14.3% — the T5
+    * corruption-rate neighborhood.
+    */
+  val SpanCorruptStartHex = "0ccccccccccc"
+  val SpanCorruptLen = 3L
+
+  /** pack_span_corruption: the T5/UL2 span-corruption LAYOUT plan —
+    * per document, the denoising spans a deterministic corruption draw
+    * selects, and the resulting encoder/decoder sequence lengths
+    * (inputs = kept tokens + one sentinel per span; targets =
+    * sentinels + masked tokens + final sentinel — the packer's sizing
+    * inputs for denoising-objective batches). The draw follows the
+    * recomputable-membership doctrine (Poisson-bootstrap precedent):
+    * position p starts a length-[[SpanCorruptLen]] span iff the first
+    * 12 md5 nibbles of "doc_id:p" fall below [[SpanCorruptStartHex]]
+    * (lexicographic hex compare = numeric compare), so any row's mask
+    * is re-derivable from ids alone — no RNG state, identical in both
+    * engines. Overlapping/adjacent spans merge (the q79 interval
+    * coalesce), and the final span clips at the document end.
+    *
+    * 100 TB shape: all of a document's draw bits are computed in ONE
+    * projection (`transform` over the position sequence — the
+    * dedup_substr_spans shape) and only marked positions leave the
+    * row; the span merge is a per-DOCUMENT window; the summary is one
+    * map-side-combinable aggregation.
+    */
+  def packSpanCorruption(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = SpanCorruptLen
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
+      .filter($"n" > 0L)
+    val marks = docs
+      .select($"doc_id", $"n", posexplode(expr(
+        "transform(sequence(1, cast(n as int)), p -> " +
+          "substring(md5(concat(cast(doc_id as string), ':', " +
+          s"cast(p as string))), 1, 12) < '$SpanCorruptStartHex')")))
+      .filter($"col")
+      .select($"doc_id", $"n", ($"pos" + 1L).cast("long").as("p"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p")
+    val perDoc = marks
+      .withColumn("prev_end", max($"p" + l).over(wPrev))
+      .withColumn("new_span",
+        when($"prev_end".isNull || $"p" > $"prev_end", 1L).otherwise(0L))
+      .withColumn("span_id", sum($"new_span").over(wRun))
+      .groupBy($"doc_id", $"span_id")
+      .agg(first($"n").as("n"), min($"p").as("sp"),
+        least(max($"p") + l, first($"n") + 1L).as("ep"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum($"ep" - $"sp").as("n_masked"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n".as("n_tokens"),
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"n_masked", lit(0L)).as("n_masked"),
+        (coalesce($"n_masked", lit(0L)).cast("double") /
+          $"n".cast("double")).as("mask_frac"),
+        ($"n" - coalesce($"n_masked", lit(0L)) +
+          coalesce($"n_spans", lit(0L))).as("inputs_len"),
+        (coalesce($"n_masked", lit(0L)) +
+          coalesce($"n_spans", lit(0L)) + 1L).as("targets_len"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_span_corruption" -> packSpanCorruption,
     "pack_sft_turns" -> packSftTurns,
     "pack_epoch_order" -> ((s, d) => packEpochOrder(s, d)),
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
@@ -561,6 +631,41 @@ object Packing {
         JOIN items it ON it.doc_id = a.id)"""
 
   val oracles: Map[String, String] = Map(
+    "pack_span_corruption" -> s"""
+      WITH $tokCte,
+      d AS (SELECT doc_id, n FROM toks WHERE n > 0),
+      m AS (
+        SELECT doc_id, n, CAST(i AS BIGINT) AS p
+        FROM d, UNNEST(range(1, n + 1)) u(i)
+        WHERE substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+          CAST(i AS VARCHAR))), 1, 12) < '$SpanCorruptStartHex'),
+      f AS (
+        SELECT doc_id, n, p,
+          MAX(p + $SpanCorruptLen) OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM m),
+      sp AS (
+        SELECT doc_id, n, p,
+          SUM(CASE WHEN prev_end IS NULL OR p > prev_end THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+        FROM f),
+      mg AS (
+        SELECT doc_id, span_id, MIN(n) AS n, MIN(p) AS sp,
+          LEAST(MAX(p) + $SpanCorruptLen, MIN(n) + 1) AS ep
+        FROM sp GROUP BY doc_id, span_id),
+      pd AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+          CAST(SUM(ep - sp) AS BIGINT) AS n_masked
+        FROM mg GROUP BY doc_id)
+      SELECT d.doc_id, n AS n_tokens,
+        COALESCE(n_spans, 0) AS n_spans,
+        COALESCE(n_masked, 0) AS n_masked,
+        CAST(COALESCE(n_masked, 0) AS DOUBLE) / CAST(n AS DOUBLE)
+          AS mask_frac,
+        n - COALESCE(n_masked, 0) + COALESCE(n_spans, 0) AS inputs_len,
+        COALESCE(n_masked, 0) + COALESCE(n_spans, 0) + 1 AS targets_len
+      FROM d LEFT JOIN pd USING (doc_id)
+      ORDER BY d.doc_id""",
     "pack_epoch_order" -> s"""
       WITH $tokCte,
       d AS (SELECT doc_id, n FROM toks WHERE n > 0),
