@@ -445,8 +445,11 @@ object Curation {
       .select($"doc_id", $"n_chars",
         coalesce($"n_spans", lit(0L)).as("n_spans"),
         coalesce($"dup_chars", lit(0L)).as("dup_chars"),
-        (coalesce($"dup_chars", lit(0L)).cast("double") /
-          $"n_chars".cast("double")).as("dup_frac"))
+        // empty documents are legal input: NULL frac, not a 0/0 ANSI
+        // error (caught by the random-corpus property spec)
+        when($"n_chars" > 0L,
+          coalesce($"dup_chars", lit(0L)).cast("double") /
+            $"n_chars".cast("double")).as("dup_frac"))
       .orderBy($"doc_id")
   }
 
@@ -2117,8 +2120,9 @@ object Curation {
       SELECT d.doc_id, d.n_chars,
         COALESCE(n_spans, 0) AS n_spans,
         COALESCE(dup_chars, 0) AS dup_chars,
-        CAST(COALESCE(dup_chars, 0) AS DOUBLE) / CAST(d.n_chars AS DOUBLE)
-          AS dup_frac
+        CASE WHEN d.n_chars > 0 THEN
+          CAST(COALESCE(dup_chars, 0) AS DOUBLE) / CAST(d.n_chars AS DOUBLE)
+        END AS dup_frac
       FROM d LEFT JOIN per_doc USING (doc_id)
       ORDER BY d.doc_id""",
     "ta_exact_substr" -> s"""

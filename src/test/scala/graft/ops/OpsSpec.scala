@@ -1822,4 +1822,47 @@ class SubstrSpansSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
     assert(got == Set((1L, 1L, 6L), (2L, 1L, 6L)))
   }
+
+  test("random small-alphabet corpora match a brute-force span reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val L = 4
+    // 3-char alphabet forces dense gram collisions — the adversarial
+    // regime for the merge logic (runs, self-overlaps, adjacency)
+    val genDoc = Gen.choose(0, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val genCorpus = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, genDoc))
+    def brute(texts: Seq[String]): Map[Long, (Long, Long, Long)] = {
+      val grams = texts.zipWithIndex.flatMap { case (t, di) =>
+        (0 to t.length - L).filter(_ => t.length >= L)
+          .map(p => (t.substring(p, p + L), di.toLong, p))
+      }
+      val occ = grams.groupBy(_._1).view.mapValues(_.size).toMap
+      texts.zipWithIndex.map { case (t, di) =>
+        val masked = Array.fill(t.length)(false)
+        if (t.length >= L)
+          (0 to t.length - L).foreach { p =>
+            if (occ(t.substring(p, p + L)) >= 2)
+              (p until p + L).foreach(masked(_) = true)
+          }
+        // spans = maximal masked runs
+        var spans = 0L; var chars = 0L; var in = false
+        masked.foreach { m =>
+          if (m) { chars += 1; if (!in) spans += 1 }
+          in = m
+        }
+        di.toLong -> ((t.length.toLong, spans, chars))
+      }.toMap
+    }
+    (1 to 12).foreach { i =>
+      genCorpus(Gen.Parameters.default, Seed(100L + i)).foreach { texts =>
+        val docs = texts.zipWithIndex
+          .map { case (t, di) => (di.toLong, t) }.toDF("doc_id", "text")
+        val got = Curation.substrSpansOf(docs, l = L).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+          .toMap
+        assert(got == brute(texts), s"seed ${100 + i}: $texts")
+      }
+    }
+  }
 }
