@@ -1295,15 +1295,21 @@ object TextAnalysis {
       .withColumn("r", row_number().over(w).cast("long"))
       .select((length(bin($"r")) - 1).cast("long").as("x"),
         (length(bin($"freq")) - 1).cast("long").as("y"))
+    // degenerate-regressor guard: a vocabulary of ONE ranked token has
+    // zero x-variance (n·Sxx = Sx²) — report NULL fit instead of an
+    // ANSI divide-by-zero (same class as the substrSpansOf empty-doc
+    // fix; n ≥ 2 always has x-variance since ⌊lb 1⌋ ≠ ⌊lb 2⌋)
     pts.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
       .select($"n".as("n_ranked"),
-        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-          ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("slope"),
-        (($"sy".cast("double") -
-          (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-            ($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
-            $"sx".cast("double")) / $"n".cast("double")).as("intercept"))
+        when($"n" * $"sxx" =!= $"sx" * $"sx",
+          ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("slope"),
+        when($"n" * $"sxx" =!= $"sx" * $"sx",
+          ($"sy".cast("double") -
+            (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              ($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+              $"sx".cast("double")) / $"n".cast("double")).as("intercept"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1410,12 +1416,14 @@ object TextAnalysis {
           CAST(SUM(x * x) AS BIGINT) AS sxx
         FROM p)
       SELECT n AS n_ranked,
-        CAST(n * sxy - sx * sy AS DOUBLE) /
-          CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
-        (CAST(sy AS DOUBLE) -
-          (CAST(n * sxy - sx * sy AS DOUBLE) /
-           CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
-          CAST(n AS DOUBLE) AS intercept
+        CASE WHEN n * sxx <> sx * sx THEN
+          CAST(n * sxy - sx * sy AS DOUBLE) /
+            CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+        CASE WHEN n * sxx <> sx * sx THEN
+          (CAST(sy AS DOUBLE) -
+            (CAST(n * sxy - sx * sy AS DOUBLE) /
+             CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
+            CAST(n AS DOUBLE) END AS intercept
       FROM a""",
     // same doc-distinct word-trigram space as the dedup family
     // (Dedup.shingleCte); hashed vs string shingles agree on every
