@@ -118,7 +118,8 @@ object ScaleSmoke {
     * in NOTES.md.
     */
   val Sf3Queries: Seq[String] =
-    Seq("sim_triangles", "dedup_components_alt", "dedup_minhash_lsh")
+    Seq("sim_triangles", "dedup_components_alt", "dedup_minhash_lsh",
+      "dedup_substr_spans")
 
   def runSf3(spark: SparkSession, srcDir: String): Unit = {
     val dir = ensureSf3(spark, srcDir)

@@ -262,3 +262,41 @@ object BucketWasteReport extends ComponentFactory {
     new BucketWasteReport(
       Cfg.str(c, "input_view"), Cfg.str(c, "output_view"))
 }
+
+/** T5/UL2 span-corruption layout planning over a (doc_id, text, …)
+  * view — materializes the per-document denoising-span plan and
+  * encoder/decoder sequence sizing ([[graft.ops.Packing.spanCorruptionOf]])
+  * as a view the downstream batch packer consumes.
+  */
+final class SpanCorruptionPlan(inputView: String, outputView: String)
+  extends DataFlow {
+  val name = s"span_corruption_plan($outputView)"
+  def run(): Unit =
+    graft.ops.Packing.spanCorruptionOf(spark.table(inputView))
+      .createOrReplaceTempView(outputView)
+}
+object SpanCorruptionPlan extends ComponentFactory {
+  def fromConfig(c: Map[String, Any]): PipelineComponent =
+    new SpanCorruptionPlan(
+      Cfg.str(c, "input_view"), Cfg.str(c, "output_view"))
+}
+
+/** Character-level duplicated-span audit over a (doc_id, text, …)
+  * view — the Lee et al. ExactSubstr convention
+  * ([[graft.ops.Curation.substrSpansOf]]) as a pipeline stage: per-doc
+  * duplicated-span counts/mass/fraction, the report a curation run
+  * reads before deciding span-level removal.
+  */
+final class DupSpanAudit(inputView: String, outputView: String, l: Int)
+  extends DataFlow {
+  val name = s"dup_span_audit($outputView)"
+  def run(): Unit =
+    Curation.substrSpansOf(spark.table(inputView), l)
+      .createOrReplaceTempView(outputView)
+}
+object DupSpanAudit extends ComponentFactory {
+  def fromConfig(c: Map[String, Any]): PipelineComponent =
+    new DupSpanAudit(
+      Cfg.str(c, "input_view"), Cfg.str(c, "output_view"),
+      Cfg.intOr(c, "span_chars", Curation.SubstrSpanL))
+}

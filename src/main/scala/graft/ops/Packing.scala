@@ -519,10 +519,18 @@ object Packing {
     * row; the span merge is a per-DOCUMENT window; the summary is one
     * map-side-combinable aggregation.
     */
-  def packSpanCorruption(s: SparkSession, dir: String): DataFrame = {
+  def packSpanCorruption(s: SparkSession, dir: String): DataFrame =
+    spanCorruptionOf(t(s, dir, "documents"))
+
+  /** [[packSpanCorruption]] over any (doc_id, text) frame — the form
+    * the [[graft.components.SpanCorruptionPlan]] component wires into
+    * pipelines.
+    */
+  def spanCorruptionOf(docsIn: DataFrame): DataFrame = {
+    val s = docsIn.sparkSession
     import s.implicits._
     val l = SpanCorruptLen
-    val docs = t(s, dir, "documents")
+    val docs = docsIn
       .select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
       .filter($"n" > 0L)
     val marks = docs

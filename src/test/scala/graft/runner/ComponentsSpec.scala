@@ -195,4 +195,38 @@ class ComponentsSpec extends SparkSpec {
     assert(connect.isConnect)
     intercept[UnsupportedOperationException](connect.sparkContext)
   }
+
+  test("SpanCorruptionPlan + DupSpanAudit components chain over one view") {
+    import spark.implicits._
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3L, "completely different words here"))
+      .toDF("doc_id", "text")
+      .createOrReplaceTempView("sc_src")
+    val cfg = ConfigLoader.loadString("""
+      name = span-demo
+      components = [
+        { name = plan, component_type = transformation
+          class_path = "graft.components.SpanCorruptionPlan"
+          config { input_view = sc_src, output_view = sc_plan } },
+        { name = audit, component_type = transformation
+          class_path = "graft.components.DupSpanAudit"
+          depends_on = [plan]
+          config { input_view = sc_src, output_view = sc_audit, span_chars = 10 } }
+      ]
+    """)
+    val r = new SimplePipelineRunner(cfg, NoOpHooks, Some(spark)).run()
+    assert(r.status == PipelineStatus.Success)
+    val plan = spark.table("sc_plan").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(6)))).toMap
+    // every doc planned; targets = masked + spans + 1 ≥ 1
+    assert(plan.keySet == Set(1L, 2L, 3L))
+    assert(plan.values.forall { case (n, tl) => n > 0L && tl >= 1L })
+    val audit = spark.table("sc_audit").collect()
+      .map(x => x.getLong(0) -> x.getLong(3)).toMap
+    // docs 1 and 2 are verbatim copies: their whole text is one
+    // duplicated span; doc 3 shares nothing
+    assert(audit(1L) > 0L && audit(1L) == audit(2L))
+    assert(audit(3L) == 0L)
+  }
 }
