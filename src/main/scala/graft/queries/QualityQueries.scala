@@ -1091,7 +1091,55 @@ object QualityQueries {
       .orderBy($"day")
   }
 
+  /** dq_completeness_matrix: per-COLUMN completeness profile — the
+    * whole-table null matrix every data-profiling pass (Deequ
+    * completeness, Great Expectations column summaries) starts with,
+    * where [[dqNullCheck]] audits one configured column. Two variants
+    * ride ONE scan: the clean documents table (zero path) and a
+    * STAGED variant with planted nulls (lang on doc_id%13, text on
+    * doc_id%31 — the planted-damage discipline), whose flags derive
+    * from doc_id inside the same projection, so detection evidence
+    * costs no second read.
+    *
+    * 100 TB shape: one scan → ONE aggregation row holding every
+    * (variant, column) counter (map-side combinable) → a fixed-width
+    * stack; the dq single-scan discipline holds even with both
+    * variants audited.
+    */
+  def dqCompletenessMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    def nulls(c: Column) = sum(when(c.isNull, 1L).otherwise(0L))
+    d.agg(
+        count(lit(1)).as("n"),
+        nulls($"lang").as("c_lang"), nulls($"source").as("c_source"),
+        nulls($"text").as("c_text"), nulls($"n_chars").as("c_nchars"),
+        nulls(when($"doc_id" % 13 === 0, lit(null)).otherwise($"lang"))
+          .as("s_lang"),
+        nulls($"source").as("s_source"),
+        nulls(when($"doc_id" % 31 === 0, lit(null)).otherwise($"text"))
+          .as("s_text"),
+        nulls($"n_chars").as("s_nchars"))
+      .select(expr(
+        """stack(8,
+           'clean', 'lang',    c_lang,
+           'clean', 'n_chars', c_nchars,
+           'clean', 'source',  c_source,
+           'clean', 'text',    c_text,
+           'staged', 'lang',    s_lang,
+           'staged', 'n_chars', s_nchars,
+           'staged', 'source',  s_source,
+           'staged', 'text',    s_text)
+           AS (variant, column_name, n_null)"""),
+        $"n".as("n_rows"))
+      .select($"variant", $"column_name", $"n_rows", $"n_null",
+        (($"n_rows" - $"n_null").cast("double") / $"n_rows".cast("double"))
+          .as("completeness"))
+      .orderBy($"variant", $"column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_completeness_matrix" -> dqCompletenessMatrix,
     "dq_ewma_dyadic" -> dqEwmaDyadic,
     "dq_volume_zscore" -> dqVolumeZscore,
     "dq_dup_rows" -> dqDupRows,
@@ -1256,6 +1304,28 @@ object QualityQueries {
         CAST(SUM(CASE WHEN m > 1 THEN m - 1 ELSE 0 END) AS BIGINT) AS n_extra_rows,
         CAST(MAX(m) AS BIGINT) AS max_multiplicity
       FROM g GROUP BY ROLLUP(event_type) ORDER BY event_type""",
+    "dq_completeness_matrix" -> """
+      WITH a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_lang,
+          CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_source,
+          CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_text,
+          CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nchars,
+          CAST(SUM(CASE WHEN doc_id % 13 = 0 OR lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_lang,
+          CAST(SUM(CASE WHEN doc_id % 31 = 0 OR text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_text
+        FROM documents),
+      st AS (
+        SELECT 'clean' AS variant, 'lang' AS column_name, n AS n_rows, c_lang AS n_null FROM a
+        UNION ALL SELECT 'clean', 'n_chars', n, c_nchars FROM a
+        UNION ALL SELECT 'clean', 'source', n, c_source FROM a
+        UNION ALL SELECT 'clean', 'text', n, c_text FROM a
+        UNION ALL SELECT 'staged', 'lang', n, s_lang FROM a
+        UNION ALL SELECT 'staged', 'n_chars', n, c_nchars FROM a
+        UNION ALL SELECT 'staged', 'source', n, c_source FROM a
+        UNION ALL SELECT 'staged', 'text', n, s_text FROM a)
+      SELECT variant, column_name, n_rows, n_null,
+        CAST(n_rows - n_null AS DOUBLE) / CAST(n_rows AS DOUBLE) AS completeness
+      FROM st ORDER BY variant, column_name""",
     "dq_ewma_dyadic" -> """
       WITH daily AS (
         SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
