@@ -182,9 +182,13 @@ object ScaleSmoke {
       if (i == 0) docs
       else docs
         .withColumn("doc_id", $"doc_id" + lit(i * docBase))
+        // separator after the replica tag: a bare "x$i" prefix is
+        // ambiguous (replica 1 of token "2foo" == replica 12 of
+        // "foo"), which would silently re-introduce cross-replica
+        // shingle overlap on digit-leading tokens
         .withColumn("text", array_join(
           transform(filter(split(trim($"text"), "\\s+"), t => length(t) > 0),
-            t => concat(lit(s"x$i"), t)), " "))
+            t => concat(lit(s"x${i}_"), t)), " "))
         .withColumn("n_chars", length($"text").cast(docs.schema("n_chars").dataType))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")

@@ -67,6 +67,12 @@ object StreamingCuration {
     * corpus tables themselves are naturally replay-safe because the
     * exact-dedup gate anti-joins the very corpus the first delivery
     * appended to (a replayed doc is, by definition, a duplicate now).
+    * The guarantee holds across a crash at ANY point in the batch, not
+    * just clean redelivery: the docs append is the accept-phase COMMIT
+    * POINT and runs last, every earlier write tolerates re-execution
+    * (idempotent sets append, watermark-gated folds, verify-backed
+    * bloom), and a partially-visible crashed docs append self-repairs
+    * — see the commit-order comment in the accept phase.
     */
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
       threshold: Double = 0.8,
@@ -179,12 +185,13 @@ object StreamingCuration {
             .select($"train_id".as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
 
-      // 5: split assignment; state append (docs then their sets).
-      // MATERIALIZE before the first append: the plan anti-joins
+      // 5: split assignment; state writes (sets, folds, bloom, then
+      // docs LAST — the accept-phase commit point, see below).
+      // MATERIALIZE before any append: the plan anti-joins
       // spark.read.parquet(docsDir), so a lazy re-evaluation after the
-      // docs append would see the batch's own rows and resolve to empty,
-      // silently dropping every corpus_sets row. localCheckpoint(eager)
-      // truncates the lineage so both writes read the same computed set.
+      // docs append would see the batch's own rows and resolve to empty.
+      // localCheckpoint(eager) truncates the lineage so every write
+      // reads the same computed set.
       val withSplit = Sampling.hashSplit(accepted, "doc_id")
         .select($"doc_id", $"text_md5", $"split")
         .gatedCheckpoint()
@@ -202,9 +209,33 @@ object StreamingCuration {
       // silently fold nothing)
       val noveltyDocs = accepted.select($"doc_id", $"text")
         .gatedCheckpoint()
-      withSplit.write.mode("append").parquet(docsDir)
-      batchSets.join(withSplit.select($"doc_id"), Seq("doc_id"), "left_semi")
-        .write.mode("append").parquet(setsDir)
+      // ACCEPT-PHASE COMMIT ORDER (r10 review finding #1): the docs
+      // append is the COMMIT POINT and runs LAST. Until it lands, a
+      // redelivery recomputes the IDENTICAL accepted set (the dedup
+      // gate's corpus is unchanged), so every earlier write just has
+      // to tolerate re-execution: the sets append is made idempotent
+      // by an anti-join on already-present doc_ids (same cost class as
+      // the cross-corpus join that reads setsDir anyway), the
+      // chunk/novelty/para folds are watermark-gated (a replay skips
+      // them, and their first execution already folded the full
+      // accepted set), and the bloom fold is harmless to repeat —
+      // bloom positives are exact-verified, so pre-commit bloom
+      // entries cannot drop a replayed doc. The former order (docs
+      // first) could crash between the two appends and leave the
+      // corpus permanently missing its shingle sets, with the
+      // watermarks blocking any repair.
+      val setsToAppend = {
+        val acceptedSets = batchSets
+          .join(withSplit.select($"doc_id"), Seq("doc_id"), "left_semi")
+        val novel =
+          if (!new java.io.File(setsDir).exists()) acceptedSets
+          else acceptedSets.join(
+            spark.read.parquet(setsDir).select($"doc_id"),
+            Seq("doc_id"), "left_anti")
+        // materialize: the anti-join READS the table being appended
+        novel.localCheckpoint(eager = true)
+      }
+      setsToAppend.write.mode("append").parquet(setsDir)
       mergeChunkFreq(spark, stateDir, newChunks, batchId)
       mergeNoveltyState(spark, stateDir, noveltyDocs, batchId)
       // line first-occurrence state for incremental paragraph dedup —
@@ -215,6 +246,11 @@ object StreamingCuration {
       updateBloom(stateDir,
         withSplit.select($"text_md5").collect().map(_.getString(0)),
         bloomExpectedDocs)
+      // COMMIT POINT: only now do the accepted docs enter the corpus
+      // the dedup gate reads — a partially-visible crashed append
+      // self-repairs on replay (visible rows are dropped by the gate,
+      // missing rows are re-accepted and re-appended)
+      withSplit.write.mode("append").parquet(docsDir)
       val corpusSize = spark.read.parquet(docsDir).count() // post-append
       // lifecycle trigger: once the corpus outgrows the sizing the
       // bloom was created with, its fpp degrades toward all-positive —

@@ -411,6 +411,34 @@ object Curation {
   def dedupSubstrSpans(s: SparkSession, dir: String): DataFrame =
     substrSpansOf(t(s, dir, "documents"))
 
+  /** Coalesce fixed-length gram marks into maximal per-document spans
+    * — the ONE implementation of the q79 prev-max-end interval merge
+    * shared by [[substrSpansOf]] and
+    * [[graft.ops.Packing.spanCorruptionOf]] (formerly three hand-rolled
+    * copies). Input: (doc_id, p [, carry…]) mark rows; output one row
+    * per merged span (doc_id, span_id, sp, ep) with ep = last mark + l
+    * and any carry columns passed through via first().
+    */
+  def coalesceFixedSpans(marks: DataFrame, l: Long,
+      carry: Seq[String] = Nil): DataFrame = {
+    val s = marks.sparkSession
+    import s.implicits._
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p")
+    val aggs = (max($"p") + l).as("ep") +:
+      carry.map(c => first(col(c)).as(c))
+    marks
+      .withColumn("prev_end", max($"p" + l).over(wPrev))
+      .withColumn("new_span",
+        when($"prev_end".isNull || $"p" > $"prev_end", 1L).otherwise(0L))
+      .withColumn("span_id", sum($"new_span").over(wRun))
+      .groupBy($"doc_id", $"span_id")
+      .agg(min($"p").as("sp"), aggs: _*)
+  }
+
   /** [[dedupSubstrSpans]] over any (doc_id, text) frame. */
   def substrSpansOf(docsIn: DataFrame, l: Int = SubstrSpanL): DataFrame = {
     val s = docsIn.sparkSession
@@ -423,21 +451,12 @@ object Curation {
           s"p -> xxhash64(substring(text, p, $l)))")))
       .select($"doc_id", ($"pos" + 1L).cast("long").as("p"), $"col".as("h"))
     val wOcc = org.apache.spark.sql.expressions.Window.partitionBy($"h")
-    val wPrev = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"p")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val wRun = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"p")
-    val perDoc = grams
-      .withColumn("occ", count(lit(1)).over(wOcc))
-      .filter($"occ" >= 2L)
-      .select($"doc_id", $"p")
-      .withColumn("prev_end", max($"p" + l).over(wPrev))
-      .withColumn("new_span",
-        when($"prev_end".isNull || $"p" > $"prev_end", 1L).otherwise(0L))
-      .withColumn("span_id", sum($"new_span").over(wRun))
-      .groupBy($"doc_id", $"span_id")
-      .agg(min($"p").as("sp"), (max($"p") + l).as("ep"))
+    val perDoc = coalesceFixedSpans(
+        grams
+          .withColumn("occ", count(lit(1)).over(wOcc))
+          .filter($"occ" >= 2L)
+          .select($"doc_id", $"p"),
+        l.toLong)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_spans"), sum($"ep" - $"sp").as("dup_chars"))
     docs.select($"doc_id", $"n_chars")

@@ -540,19 +540,8 @@ object Packing {
           s"cast(p as string))), 1, 12) < '$SpanCorruptStartHex')")))
       .filter($"col")
       .select($"doc_id", $"n", ($"pos" + 1L).cast("long").as("p"))
-    val wPrev = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"p")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val wRun = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"p")
-    val perDoc = marks
-      .withColumn("prev_end", max($"p" + l).over(wPrev))
-      .withColumn("new_span",
-        when($"prev_end".isNull || $"p" > $"prev_end", 1L).otherwise(0L))
-      .withColumn("span_id", sum($"new_span").over(wRun))
-      .groupBy($"doc_id", $"span_id")
-      .agg(first($"n").as("n"), min($"p").as("sp"),
-        least(max($"p") + l, first($"n") + 1L).as("ep"))
+    val perDoc = Curation.coalesceFixedSpans(marks, l, carry = Seq("n"))
+      .select($"doc_id", $"sp", least($"ep", $"n" + 1L).as("ep"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_spans"), sum($"ep" - $"sp").as("n_masked"))
     docs.join(perDoc, Seq("doc_id"), "left")

@@ -19,14 +19,22 @@ object Scale {
     * every registered query's declarative plan AND the
     * [[GatedCheckpoint]] runtime gate, so the two can never drift.
     */
-  def serialWindows(plan: logical.LogicalPlan): Seq[logical.Window] =
+  def serialWindows(plan: logical.LogicalPlan): Seq[logical.Window] = {
+    // a Limit bounds the window ONLY if it sits on the window's input
+    // CHAIN (unary ancestors of the scan feeding it). Searching the
+    // whole subtree would wave through `big.join(dim.limit(10))` — a
+    // limit on a JOIN BRANCH bounds nothing about the fact side, and
+    // this detector is runtime-load-bearing (gatedCheckpoint).
+    def boundedByLimit(p: logical.LogicalPlan): Boolean = p match {
+      case _: logical.GlobalLimit | _: logical.LocalLimit => true
+      case u: logical.UnaryNode => boundedByLimit(u.child)
+      case _ => false
+    }
     plan.collect {
       case w: logical.Window if w.partitionSpec.isEmpty &&
-          w.child.collectFirst {
-            case _: logical.GlobalLimit => ()
-            case _: logical.LocalLimit => ()
-          }.isEmpty => w
+          !boundedByLimit(w.child) => w
     }
+  }
 
   /** `localCheckpoint` with the unpartitioned-window gate applied to
     * the segment about to execute (PlanSpec r9 blind spot: an eagerly

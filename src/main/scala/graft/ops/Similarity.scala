@@ -583,10 +583,25 @@ object Similarity {
     */
   def simIvfBalance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val (cells, tot, kdf) = ivfCells(s, dir)
+    cells.crossJoin(broadcast(tot)).crossJoin(broadcast(kdf))
+      .select($"cent_id", $"n_vecs",
+        ($"n_vecs".cast("double") / $"n_total".cast("double")).as("share"),
+        ($"n_vecs" * $"k_cells" > $"n_total" * 2L).as("is_hot"))
+      .orderBy("cent_id")
+  }
+
+  /** Shared IVF occupancy pipeline of [[simIvfBalance]] and
+    * [[simIvfRebalance]]: the exact-assignment cells table (one row
+    * per non-empty coarse cell), the 1-row vector total, and the lazy
+    * centroid count — all as UNEXECUTED plan fragments (the centroid
+    * count is a column-pruned 1-row aggregate, exactly the oracle's
+    * COUNT(*) FROM cent, never a construction-time job).
+    */
+  private def ivfCells(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
     val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
     val cents = broadcast(centroidsExact(emb(s, dir)))
-    // centroid count = distinct labels (exactly the oracle's COUNT(*)
-    // FROM cent) as a LAZY column-pruned 1-row aggregate, not a job
     val kdf = emb(s, dir).agg(countDistinct($"label").as("k_cells"))
     val wv = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cent_id".asc)
     val cells = all.crossJoin(cents)
@@ -595,11 +610,7 @@ object Similarity {
       .filter($"cr" === 1)
       .groupBy($"cent_id").agg(count(lit(1)).as("n_vecs"))
     val tot = cells.agg(coalesce(sum($"n_vecs"), lit(0L)).as("n_total"))
-    cells.crossJoin(broadcast(tot)).crossJoin(broadcast(kdf))
-      .select($"cent_id", $"n_vecs",
-        ($"n_vecs".cast("double") / $"n_total".cast("double")).as("share"),
-        ($"n_vecs" * $"k_cells" > $"n_total" * 2L).as("is_hot"))
-      .orderBy("cent_id")
+    (cells, tot, kdf)
   }
 
   /** IVF cell re-balance PLAN — the maintenance step a frozen on-disk
@@ -627,16 +638,8 @@ object Similarity {
     */
   def simIvfRebalance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    val (cells, tot, kdf) = ivfCells(s, dir)
     val cents = broadcast(centroidsExact(emb(s, dir)))
-    val kdf = emb(s, dir).agg(countDistinct($"label").as("k_cells"))
-    val wv = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cent_id".asc)
-    val cells = all.crossJoin(cents)
-      .select($"vec_id", $"cent_id", (-cosine($"e", $"cent")).as("d"))
-      .withColumn("cr", row_number().over(wv))
-      .filter($"cr" === 1)
-      .groupBy($"cent_id").agg(count(lit(1)).as("n_vecs"))
-    val tot = cells.agg(coalesce(sum($"n_vecs"), lit(0L)).as("n_total"))
     val classified = cells.crossJoin(broadcast(tot)).crossJoin(broadcast(kdf))
       .select($"cent_id", $"n_vecs",
         when($"n_vecs" * $"k_cells" * 5L > $"n_total" * 6L, lit("split"))

@@ -37,6 +37,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sketch- or budget-bounded — never corpus-sized; see each merge's
   * doc), so the per-fold rewrite is state-sized, not stream-sized, and
   * the meta read is one 1-row parquet footer.
+  *
+  * Format-versioning non-goal: a version dir committed by a PROTOCOL
+  * this library never shipped (e.g. a marker other than
+  * `state_meta/_SUCCESS`) is indistinguishable from a crashed partial
+  * and is ignored — the state restarts from its next fold and the
+  * orphan dir above the new latest is leaked until manually removed.
+  * No released state format predates this protocol, so no migration
+  * path is carried; re-folding the source is the migration.
   */
 object VersionedState {
 
@@ -104,17 +112,28 @@ object VersionedState {
       batchId: Long)(write: String => Unit): Unit = {
     import spark.implicits._
     val prior = latest(root, name)
-    val prevWm = watermark(spark, root, name)
+    // read the watermark from the already-located prior version rather
+    // than re-listing the root (one listing + one 1-row read per commit)
+    val prevWm = prior match {
+      case None => -1L
+      case Some((_, dir)) =>
+        spark.read.parquet(s"$dir/$MetaTable").head().getLong(0)
+    }
     val nextV = prior.map(_._1 + 1).getOrElse(1)
     val dir = s"$root/${name}_v$nextV"
     write(dir)
     Seq(math.max(prevWm, batchId)).toDF("folded_watermark")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/$MetaTable")
-    prior.foreach { case (v, _) =>
-      (1 to v).foreach { old =>
-        graft.ops.Curation.deleteRecursively(
-          new java.io.File(s"$root/${name}_v$old"))
+    // delete the version dirs that actually EXIST below the new commit
+    // (one listing), not a 1..v probe walk — that walk was O(v) stat
+    // calls per commit, O(v²) over a stream's life
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .foreach { f =>
+        val n = f.getName
+        if (n.startsWith(name + "_v"))
+          scala.util.Try(n.stripPrefix(name + "_v").toInt).toOption
+            .filter(_ < nextV)
+            .foreach(_ => graft.ops.Curation.deleteRecursively(f))
       }
-    }
   }
 }

@@ -105,7 +105,7 @@ class PlanSpec extends SparkSpec {
   test("no relational query plans a CartesianProduct") {
     for ((name, fn) <- Relational.queries ++ Extended.queries ++
         Extended2.queries ++ Extended3.queries ++ Extended4.queries ++
-        Extended5.queries ++ Extended6.queries) {
+        Extended5.queries ++ Extended6.queries ++ Extended7.queries) {
       val p = plan(fn(spark, sfDir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
     }

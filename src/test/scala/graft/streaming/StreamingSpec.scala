@@ -1436,6 +1436,50 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedState.watermark(spark, state, "len_profile") == 1L)
   }
 
+  test("accept-phase crash before the docs commit point self-repairs on replay") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-acceptcrash")
+    val ctrl = work.resolve("ctrl").toString
+    val crash = work.resolve("crash").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .filter($"doc_id" < 40).localCheckpoint(true)
+    // control: one clean delivery
+    StreamingCuration.processBatch(spark, docs, ctrl, batchId = 0L)
+    // crashed first attempt: the sets append landed but the process
+    // died BEFORE the docs commit point (the exact window the old
+    // docs-first order could not survive) — emulate by pre-seeding the
+    // batch's corpus_sets and nothing else
+    def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      Files.createDirectories(to)
+      Files.list(from).forEach { p =>
+        if (!Files.isDirectory(p))
+          Files.copy(p, to.resolve(p.getFileName.toString))
+      }
+    }
+    copyDir(java.nio.file.Paths.get(ctrl, "corpus_sets"),
+      java.nio.file.Paths.get(crash, "corpus_sets"))
+    // redelivery runs the whole batch again
+    StreamingCuration.processBatch(spark, docs, crash, batchId = 0L)
+    def rows(dir: String, table: String) =
+      spark.read.parquet(s"$dir/$table").collect().map(_.toSeq).toSet
+    // exactly-once everywhere: no duplicated shingle sets, identical
+    // corpus, identical accept-phase fold state
+    assert(rows(crash, "corpus_sets") == rows(ctrl, "corpus_sets"),
+      "sets append must be idempotent under replay")
+    val crashIds = spark.read.parquet(s"$crash/corpus_sets")
+      .groupBy($"doc_id").count().filter($"count" > 1).count()
+    assert(crashIds == 0L, "no doc may hold two shingle-set rows")
+    assert(rows(crash, "corpus_docs") == rows(ctrl, "corpus_docs"),
+      "corpus must converge to the clean-delivery corpus")
+    assert(
+      graft.streaming.VersionedState
+        .readTable(spark, crash, "chunk_freq").get.collect().map(_.toSeq).toSet ==
+      graft.streaming.VersionedState
+        .readTable(spark, ctrl, "chunk_freq").get.collect().map(_.toSeq).toSet,
+      "accept-phase folds must converge")
+  }
+
   test("processBatch: redelivered micro-batch leaves corpus AND monitor states unchanged") {
     import spark.implicits._
     import graft.examples.StreamingCuration
