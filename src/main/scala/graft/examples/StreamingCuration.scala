@@ -793,6 +793,30 @@ object StreamingCuration {
     }
   }
 
+  /** Fold a batch's per-day event counts into persistent state — the
+    * additive sufficient statistic for the LIVE dyadic-EWMA volume
+    * monitor (25th streaming twin): daily counts add across batches in
+    * any order, so [[ewmaFromState]] equals the one-shot batch
+    * [[graft.queries.QualityQueries.dqEwmaDyadic]] exactly
+    * (spec-pinned). Rides the [[mergeKeyCountState]] machinery with
+    * `day` as the key — state is one row per calendar day, bounded by
+    * the time span, never the volume.
+    */
+  def mergeDailyVolumeState(spark: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long = -1L): Unit =
+    mergeKeyCountState(spark, stateDir,
+      batch.select(col("ts").cast("date").as("day")), "day", batchId)
+
+  /** The accumulated-stream EWMA volume monitor — identical columns to
+    * the batch [[graft.queries.QualityQueries.dqEwmaDyadic]].
+    */
+  def ewmaFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    graft.queries.QualityQueries.ewmaDyadicOf(
+      stateTable(spark, stateDir, "key_counts_day")
+        .select($"k".as("day"), $"cnt".as("n_events")))
+  }
+
   /** The accumulated-stream skew audit — the batch
     * [[graft.queries.QualityQueries.keySkew]] statistics over state.
     */

@@ -1436,6 +1436,31 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedState.watermark(spark, state, "len_profile") == 1L)
   }
 
+  test("incremental daily-volume state: any-order folds == one-shot dyadic EWMA") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-ewma")
+    val folded = work.resolve("folded").toString
+    val ev = graft.Tables.t(spark, sfDir, "events")
+    // EWMA depends only on per-day totals, which add order-free — so
+    // ANY slicing of the stream folds to the one-shot monitor
+    Seq(2, 0, 1).foreach { i =>
+      StreamingCuration.mergeDailyVolumeState(spark, folded,
+        ev.filter(pmod($"event_id", lit(3)) === i), batchId = i.toLong)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(StreamingCuration.ewmaFromState(spark, folded)) ==
+      rows(graft.queries.QualityQueries.dqEwmaDyadic(spark, sfDir)),
+      "streamed EWMA monitor must equal the one-shot batch op")
+    // replay of the last batch id is a no-op (count-based state)
+    StreamingCuration.mergeDailyVolumeState(spark, folded,
+      ev.filter(pmod($"event_id", lit(3)) === 1), batchId = 1L)
+    assert(rows(StreamingCuration.ewmaFromState(spark, folded)) ==
+      rows(graft.queries.QualityQueries.dqEwmaDyadic(spark, sfDir)),
+      "redelivered batch must not inflate the daily totals")
+  }
+
   test("accept-phase crash before the docs commit point self-repairs on replay") {
     import spark.implicits._
     import graft.examples.StreamingCuration
