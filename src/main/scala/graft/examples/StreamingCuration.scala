@@ -81,7 +81,7 @@ object StreamingCuration {
     import spark.implicits._
     val docsDir = s"$stateDir/corpus_docs"
     val setsDir = s"$stateDir/corpus_sets"
-    val haveCorpus = new java.io.File(docsDir).exists()
+    val haveCorpus = graft.streaming.StateFs.exists(docsDir)
 
     // 0: per-source profile state — the incoming batch's volume, dup
     // and short-doc counts fold into profile_texts BEFORE any curation
@@ -178,7 +178,7 @@ object StreamingCuration {
       // the table, the gate is a no-op.
       val evalShDir = s"$stateDir/eval_shingles"
       val accepted =
-        if (!new java.io.File(evalShDir).exists()) acceptedDedup
+        if (!graft.streaming.StateFs.exists(evalShDir)) acceptedDedup
         else acceptedDedup.join(
           graft.ops.Decontamination
             .contaminationAgainst(acceptedDedup, spark.read.parquet(evalShDir))
@@ -228,7 +228,7 @@ object StreamingCuration {
         val acceptedSets = batchSets
           .join(withSplit.select($"doc_id"), Seq("doc_id"), "left_semi")
         val novel =
-          if (!new java.io.File(setsDir).exists()) acceptedSets
+          if (!graft.streaming.StateFs.exists(setsDir)) acceptedSets
           else acceptedSets.join(
             spark.read.parquet(setsDir).select($"doc_id"),
             Seq("doc_id"), "left_anti")
@@ -274,9 +274,9 @@ object StreamingCuration {
   def maybeCompactCorpus(spark: SparkSession, stateDir: String,
       maxFiles: Int = 256, targetBytes: Long = 128L << 20): Unit =
     Seq(s"$stateDir/corpus_docs", s"$stateDir/corpus_sets").foreach { dir =>
-      val d = new java.io.File(dir)
-      if (d.exists()) {
-        val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      if (graft.streaming.StateFs.exists(dir)) {
+        val n = graft.streaming.StateFs.list(dir)
+          .count(_.getName.endsWith(".parquet"))
         if (n > maxFiles) {
           graft.ops.Scale.compactSmallFiles(spark, dir, targetBytes)
           ()
@@ -300,7 +300,7 @@ object StreamingCuration {
   private def capacityPath(stateDir: String) = s"$stateDir/corpus_bloom.capacity"
 
   def readBloom(stateDir: String): org.apache.spark.util.sketch.BloomFilter = {
-    val in = new java.io.FileInputStream(bloomPath(stateDir))
+    val in = graft.streaming.StateFs.open(bloomPath(stateDir))
     try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
     finally in.close()
   }
@@ -310,10 +310,10 @@ object StreamingCuration {
     * configured default).
     */
   def bloomCapacity(stateDir: String): Option[Long] = {
-    val f = new java.io.File(capacityPath(stateDir))
-    if (!f.exists()) None
+    val p = capacityPath(stateDir)
+    if (!graft.streaming.StateFs.exists(p)) None
     else Some(new String(
-      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong)
+      graft.streaming.StateFs.readAllBytes(p), "UTF-8").trim.toLong)
   }
 
   /** A corpus without a sketch (state written by an earlier version, or
@@ -324,7 +324,7 @@ object StreamingCuration {
   def readOrRebuildBloom(
       spark: SparkSession, stateDir: String,
       expectedDocs: Long = BloomExpectedDocs): org.apache.spark.util.sketch.BloomFilter =
-    if (new java.io.File(bloomPath(stateDir)).exists()) readBloom(stateDir)
+    if (graft.streaming.StateFs.exists(bloomPath(stateDir))) readBloom(stateDir)
     else {
       rebuildBloom(spark, stateDir,
         math.max(expectedDocs,
@@ -365,7 +365,7 @@ object StreamingCuration {
     */
   def updateBloom(stateDir: String, acceptedMd5s: Array[String],
       expectedDocs: Long = BloomExpectedDocs): Unit = {
-    val exists = new java.io.File(bloomPath(stateDir)).exists()
+    val exists = graft.streaming.StateFs.exists(bloomPath(stateDir))
     val bloom =
       if (exists) readBloom(stateDir)
       else org.apache.spark.util.sketch.BloomFilter
@@ -375,27 +375,19 @@ object StreamingCuration {
       if (exists) bloomCapacity(stateDir).getOrElse(expectedDocs) else expectedDocs)
   }
 
-  /** Write-to-temp + atomic rename for sketch and capacity sidecar, so
-    * a crashed update can't leave a torn pair.
+  /** Write-to-temp + rename for sketch and capacity sidecar, so a
+    * crashed update can't leave a torn pair. Routed through
+    * [[graft.streaming.StateFs.writeAtomic]] (VERDICT r10 ask #2) so
+    * remote state dirs get the same protection; see that method's doc
+    * for the object-store rename caveat (covered here by
+    * [[readOrRebuildBloom]]'s rebuild fallback).
     */
   private def writeBloomAtomic(
       stateDir: String, bloom: org.apache.spark.util.sketch.BloomFilter,
       capacity: Long): Unit = {
-    val path = new java.io.File(bloomPath(stateDir))
-    val tmp = new java.io.File(path.getParentFile, path.getName + ".tmp")
-    val out = new java.io.FileOutputStream(tmp)
-    try bloom.writeTo(out) finally out.close()
-    if (!tmp.renameTo(path)) {
-      java.nio.file.Files.move(tmp.toPath, path.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    val capFile = new java.io.File(capacityPath(stateDir))
-    val capTmp = new java.io.File(capFile.getParentFile, capFile.getName + ".tmp")
-    java.nio.file.Files.write(capTmp.toPath, capacity.toString.getBytes("UTF-8"))
-    if (!capTmp.renameTo(capFile)) {
-      java.nio.file.Files.move(capTmp.toPath, capFile.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    graft.streaming.StateFs.writeAtomic(bloomPath(stateDir))(bloom.writeTo)
+    graft.streaming.StateFs.writeAtomic(capacityPath(stateDir))(
+      _.write(capacity.toString.getBytes("UTF-8")))
   }
 
   /** Fold a batch's (doc_id, h) distinct chunk hashes into the

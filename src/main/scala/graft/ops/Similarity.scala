@@ -601,8 +601,16 @@ object Similarity {
   private def ivfCells(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
-    val cents = broadcast(centroidsExact(emb(s, dir)))
-    val kdf = emb(s, dir).agg(countDistinct($"label").as("k_cells"))
+    val centsRaw = centroidsExact(emb(s, dir))
+    val cents = broadcast(centsRaw)
+    // count the CENTROID TABLE itself, not countDistinct(label) over
+    // the vectors (ADVICE r10 #3): countDistinct excludes NULLs while
+    // centroidsExact's GROUP BY — and the oracle's COUNT(*) FROM cent
+    // — keeps a NULL-label group, so under null labels the two k_cells
+    // diverged; counting the same plan fragment both sides rank makes
+    // the divergence impossible. Still a lazy column-pruned 1-row
+    // aggregate, never a construction-time job.
+    val kdf = centsRaw.agg(count(lit(1)).as("k_cells"))
     val wv = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cent_id".asc)
     val cells = all.crossJoin(cents)
       .select($"vec_id", $"cent_id", (-cosine($"e", $"cent")).as("d"))

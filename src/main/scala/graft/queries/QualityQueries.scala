@@ -1046,8 +1046,11 @@ object QualityQueries {
     * cross-engine EXACT because α is dyadic: with W_t ≡ s_t·2^{t-1}
     * the recurrence collapses to the INTEGER cumsum
     * W_t = W_{t-1} + x_t·2^{t-2} (W_1 = x_1), so the state is exact
-    * longs (day count ≤ 62 before 2^{t-2} overflows — a month of
-    * days uses 2^29), the reported ewma is one exact
+    * longs — the REAL bound is t ≤ 65 − bitlen(max daily count), not
+    * a flat day count (ADVICE r10 #1: at 10⁹ events/day the exponent
+    * budget is ~34 days), and [[ewmaDyadicOf]] raise_errors past it
+    * rather than let shiftleft's mod-64 shift masking wrap wt
+    * silently — the reported ewma is one exact
     * division-by-a-power-of-two, and the spike flag
     * x_t·2^{t-2} > 2·W_{t-1} ("today > 2× yesterday's EWMA") is a
     * pure integer cross-multiplication — no float ever enters a
@@ -1064,7 +1067,24 @@ object QualityQueries {
       .groupBy(col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("n_events")))
 
-  /** [[dqEwmaDyadic]] over any (day, n_events) frame. */
+  /** [[dqEwmaDyadic]] over any (day, n_events) frame.
+    *
+    * Overflow guard (ADVICE r10 #1): wt = n_events·2^{t−2} needs
+    * bitlen(n_events) + (t−2) ≤ 63 bits; past that Spark's shiftleft
+    * masks the shift amount mod 64 (1<<64 == 1) and wt wraps with NO
+    * ANSI error, silently diverging from DuckDB's << — and since
+    * [[graft.examples.StreamingCuration.mergeDailyVolumeState]] makes
+    * the day count unbounded over a stream's lifetime, the monitor
+    * fails LOUDLY at the exact first unsafe row instead (bitlen via
+    * `length(bin(x))`, an integer check — no float enters the guard).
+    * The cumulative W_t is covered separately: each safe wt is a
+    * positive long and the window sum overflow throws under ANSI
+    * (Spark 4 default). A stream that outlives the exponent budget
+    * rebases by restarting the state epoch (the daily totals are the
+    * sufficient statistic; re-anchoring t=1 at any day re-opens 63
+    * bits), which keeps every in-range row bit-exact vs the oracle —
+    * a silent renormalization inside this op would not be.
+    */
   def ewmaDyadicOf(daily: DataFrame): DataFrame = {
     val s = daily.sparkSession
     import s.implicits._
@@ -1074,7 +1094,15 @@ object QualityQueries {
     daily
       .withColumn("t", row_number().over(wOrd).cast("long"))
       .withColumn("wt",
-        when($"t" === 1L, $"n_events")
+        when($"t" > 1L &&
+            length(bin($"n_events".cast("long"))).cast("long") + $"t" - 2L > 63L,
+          raise_error(format_string(
+            "dq_ewma_dyadic: 2^(t-2) exponent overflow at day %s (t=%s, " +
+              "n_events=%s): bitlen(n_events)+t-2 > 63. Re-anchor the " +
+              "EWMA epoch (restart the daily-volume state) to re-open " +
+              "the dyadic exponent budget.",
+            $"day".cast("string"), $"t", $"n_events")).cast("long"))
+          .when($"t" === 1L, $"n_events")
           .otherwise($"n_events" * expr("shiftleft(cast(1 as bigint), cast(t - 2 as int))")))
       .withColumn("w_cum", sum($"wt").over(wCum))
       .withColumn("w_prev", $"w_cum" - $"wt")

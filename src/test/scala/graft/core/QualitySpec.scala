@@ -495,4 +495,33 @@ class SchemaSpec extends SparkSpec {
     assert(got(3)._3 == 10.0, "spike day ratio = 80/8")
     assert(got(4)._3 == 8.0 / 44.0, "post-spike ratio vs the elevated EWMA")
   }
+
+  test("dyadic EWMA fails loudly past the 2^(t-2) exponent budget (ADVICE r10 #1)") {
+    import spark.implicits._
+    import java.sql.Date
+    def series(lastDay: Long) = ((1 to 30).map(d =>
+      (Date.valueOf(f"2024-01-$d%02d"), 1L)) :+
+      (Date.valueOf("2024-01-31"), lastDay)).toDF("day", "n_events")
+    // the SILENT-wrap regime the guard uniquely covers: after 30 quiet
+    // days a 2^40 day needs bitlen 41 + (31-2) = 70 > 63 bits, but the
+    // cumulative W is tiny (2^29), so ANSI sum overflow never fires —
+    // without the guard shiftleft masks the shift mod 64 and wt wraps
+    // with NO error at all
+    val e = intercept[Exception] {
+      graft.queries.QualityQueries.ewmaDyadicOf(series(1L << 40)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exponent overflow")),
+      s"expected the exponent-overflow raise_error, got: ${msgs(e)}")
+    // inside the budget the same shape still computes exactly: 2^32
+    // needs 33+29 = 62 ≤ 63 bits — the guard is tight, not paranoid.
+    // W_31 = 2^29·(1 + 2^32), so ewma_31 = W_31/2^30 = 2^31 + 0.5
+    val rows = graft.queries.QualityQueries.ewmaDyadicOf(series(1L << 32))
+      .collect()
+    assert(rows.length == 31)
+    assert(rows.last.getDouble(2) == math.pow(2.0, 31) + 0.5,
+      "edge-of-budget day must still be dyadic-exact")
+  }
 }

@@ -80,4 +80,65 @@ class VersionedStateSpec extends SparkSpec {
       }
     }
   }
+
+  test("out-of-order managed folds apply exactly once and compact (VERDICT r10 #1)") {
+    import spark.implicits._
+    // the r10 bare-watermark guard silently DROPPED any id below an
+    // already-folded higher id; the folded-id set applies each id
+    // exactly once in ANY order, and a contiguous prefix compacts so
+    // the persisted set is empty once every gap fills
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"graft-vsooo$seed").toString
+      val ids = rnd.shuffle((0L until 6L).toList)
+      val deliveries = ids ++ rnd.shuffle(ids).take(2) // + 2 redeliveries
+      var model = Map.empty[String, Long]
+      var folded = Set.empty[Long]
+      deliveries.foreach { id =>
+        val rows = List.fill(1 + (id % 3).toInt)(s"k$id")
+        StreamingCuration.mergeKeyCountState(spark, dir,
+          rows.toDF("source"), "source", id)
+        if (!folded.contains(id)) {
+          rows.foreach(k => model += k -> (model.getOrElse(k, 0L) + 1L))
+          folded += id
+        }
+      }
+      val got = VersionedState.readTable(spark, dir, name).get
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == model, s"seed $seed: out-of-order state diverged ($ids)")
+      assert(VersionedState.watermark(spark, dir, name) == 5L,
+        s"seed $seed: full prefix must compact into the watermark")
+      assert(VersionedState.meta(spark, dir, name).foldedAbove.isEmpty,
+        s"seed $seed: persisted set must be empty once every gap fills")
+    }
+  }
+
+  test("state protocol works against a non-file:// scheme (VERDICT r10 ask #2)") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val local = Files.createTempDirectory("graft-vsfs").toString
+    val dir = s"graftfs:$local"
+    // fold, crash mid-write, fold, replay — the full protocol trace,
+    // through a path java.io.File cannot even parse
+    StreamingCuration.mergeKeyCountState(spark, dir,
+      Seq("a", "b", "a").toDF("source"), "source", 0L)
+    Seq(("junk", 9L)).toDF("k", "cnt")
+      .write.mode("overwrite").parquet(s"$dir/${name}_v2/data")
+    def state() = VersionedState.readTable(spark, dir, name).get
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state() == Map("a" -> 2L, "b" -> 1L),
+      "uncommitted partial version must be invisible on the remote scheme")
+    StreamingCuration.mergeKeyCountState(spark, dir,
+      Seq("b").toDF("source"), "source", 1L)
+    StreamingCuration.mergeKeyCountState(spark, dir,
+      Seq("b").toDF("source"), "source", 1L) // replay: must be a no-op
+    assert(state() == Map("a" -> 2L, "b" -> 2L),
+      "replay must be a no-op on the remote scheme")
+    assert(VersionedState.watermark(spark, dir, name) == 1L)
+    // bloom + capacity sidecars ride the same FileSystem resolution
+    StreamingCuration.updateBloom(dir, Array("x", "y"), expectedDocs = 100L)
+    assert(StreamingCuration.readBloom(dir).mightContainString("x"))
+    assert(StreamingCuration.bloomCapacity(dir).contains(100L))
+  }
 }
