@@ -6,6 +6,13 @@ Usage: python3 tools/bench_diff.py OLD NEW [--threshold 1.3]
 Prints per-query ratios for queries slower than threshold x, new/removed
 queries, and the total delta. Exit 1 if any regression exceeds the
 threshold (useful as a pre-commit perf gate).
+
+Which OLD to diff against (VERDICT r10 #3): use BENCH_floor_local.json —
+the best DEMONSTRATED full run, updated only when a run beats it —
+as the regression denominator. BENCH_full_local.json is overwritten by
+every graft.Bench run (it is "latest", and the driver's elevated runs
+land there too), so diffing against it under-reports regressions
+whenever the previous run was noise-elevated.
 """
 import json, re, sys
 
