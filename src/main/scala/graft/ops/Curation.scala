@@ -439,16 +439,48 @@ object Curation {
       .agg(min($"p").as("sp"), aggs: _*)
   }
 
-  /** [[dedupSubstrSpans]] over any (doc_id, text) frame. */
-  def substrSpansOf(docsIn: DataFrame, l: Int = SubstrSpanL): DataFrame = {
+  /** dedup_substr_spans128: the 128-bit-fingerprint twin of
+    * [[dedupSubstrSpans]] (VERDICT r10 ask #4) — the EXACT same plan
+    * (one gram projection, one fingerprint-partitioned window, one
+    * per-doc interval merge) with the gram keyed by a PAIR of
+    * independent xxhash64 values instead of one. The 64-bit birthday
+    * bound fails approaching 10⁹–10¹⁰ grams — a 100 TB corpus is past
+    * it (~10¹⁴ grams: collisions certain, each one a spurious
+    * duplicated span) — while the 128-bit pair's collision expectation
+    * at 10¹⁴ grams is ~10⁻¹¹. Same oracle as the 64-bit form: the
+    * oracle fingerprints with the raw gram string, so it is
+    * hash-width-agnostic by construction.
+    */
+  def dedupSubstrSpans128(s: SparkSession, dir: String): DataFrame =
+    substrSpansOf(t(s, dir, "documents"), wide = true)
+
+  /** [[dedupSubstrSpans]] over any (doc_id, text) frame; `wide` keys
+    * grams by a 128-bit fingerprint pair ([[dedupSubstrSpans128]]).
+    */
+  def substrSpansOf(docsIn: DataFrame, l: Int = SubstrSpanL,
+      wide: Boolean = false): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
     val docs = docsIn.select($"doc_id", $"text",
       length($"text").cast("long").as("n_chars"))
-    val grams = docs.filter($"n_chars" >= l)
-      .select($"doc_id", posexplode(expr(
+    // the gram fingerprint, computed INSIDE the one transform so the
+    // document text never rides the posexplode. wide = an independent
+    // second xxhash64 (seed-chained via a constant first argument) —
+    // two longs = 16 bytes per gram, still codegen'd, vs ~2x the
+    // hashing work of the 64-bit form (measured delta in NOTES.md)
+    val gramArr =
+      if (wide)
+        // nested transform so each gram substring is CUT ONCE and
+        // hashed twice (HOF lambdas don't CSE a repeated captured
+        // expression — the dedup_source_overlap lesson)
+        s"transform(transform(sequence(1, cast(n_chars - ${l - 1} as int)), " +
+          s"p -> substring(text, p, $l)), " +
+          s"g -> named_struct('h1', xxhash64(g), 'h2', xxhash64('x2', g)))"
+      else
         s"transform(sequence(1, cast(n_chars - ${l - 1} as int)), " +
-          s"p -> xxhash64(substring(text, p, $l)))")))
+          s"p -> xxhash64(substring(text, p, $l)))"
+    val grams = docs.filter($"n_chars" >= l)
+      .select($"doc_id", posexplode(expr(gramArr)))
       .select($"doc_id", ($"pos" + 1L).cast("long").as("p"), $"col".as("h"))
     val wOcc = org.apache.spark.sql.expressions.Window.partitionBy($"h")
     val perDoc = coalesceFixedSpans(
@@ -1758,6 +1790,7 @@ object Curation {
     "ta_intradoc" -> ((s, d) => taIntradoc(s, d)),
     "ta_exact_substr" -> ((s, d) => taExactSubstr(s, d)),
     "dedup_substr_spans" -> dedupSubstrSpans,
+    "dedup_substr_spans128" -> dedupSubstrSpans128,
     "ta_profile" -> taProfile,
     "ta_ngram_top" -> ((s, d) => taNgramTop(s, d)),
     "ta_familiarity" -> taFamiliarity,
@@ -1846,6 +1879,50 @@ object Curation {
         JOIN ctx c ON substr(g.tri, 1, 2) = c.c2
         CROSS JOIN voc
         GROUP BY g.doc_id)"""
+
+  /** The dedup_substr_spans oracle, shared verbatim by the 128-bit
+    * twin: it fingerprints with the RAW gram string, so the Spark-side
+    * hash width is invisible to it.
+    */
+  private def substrSpansOracle: String = s"""
+      WITH d AS (
+        SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n_chars
+        FROM documents),
+      g AS (
+        -- the RAW gram is the oracle's fingerprint (Spark uses
+        -- xxhash64 of it; both are collision-free on the corpus, so
+        -- the >= 2 occurrence sets agree — the jaccard-family
+        -- cross-hash convention)
+        SELECT doc_id, CAST(i AS BIGINT) AS p,
+          substr(text, CAST(i AS INT), $SubstrSpanL) AS h
+        FROM d, UNNEST(range(1, n_chars - $SubstrSpanL + 2)) u(i)),
+      dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+      marks AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
+      flagged AS (
+        SELECT doc_id, p,
+          MAX(p + $SubstrSpanL) OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM marks),
+      spans AS (
+        SELECT doc_id, p,
+          SUM(CASE WHEN prev_end IS NULL OR p > prev_end THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+        FROM flagged),
+      merged AS (
+        SELECT doc_id, span_id, MIN(p) AS sp, MAX(p) + $SubstrSpanL AS ep
+        FROM spans GROUP BY doc_id, span_id),
+      per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+          CAST(SUM(ep - sp) AS BIGINT) AS dup_chars
+        FROM merged GROUP BY doc_id)
+      SELECT d.doc_id, d.n_chars,
+        COALESCE(n_spans, 0) AS n_spans,
+        COALESCE(dup_chars, 0) AS dup_chars,
+        CASE WHEN d.n_chars > 0 THEN
+          CAST(COALESCE(dup_chars, 0) AS DOUBLE) / CAST(d.n_chars AS DOUBLE)
+        END AS dup_frac
+      FROM d LEFT JOIN per_doc USING (doc_id)
+      ORDER BY d.doc_id"""
 
   val oracles: Map[String, String] = Map(
     "sim_cluster_purity" -> s"""
@@ -2105,45 +2182,12 @@ object Curation {
              source, doc_id, n_tokens
       FROM sized
       ORDER BY src_rank, source, doc_id""",
-    "dedup_substr_spans" -> s"""
-      WITH d AS (
-        SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n_chars
-        FROM documents),
-      g AS (
-        -- the RAW gram is the oracle's fingerprint (Spark uses
-        -- xxhash64 of it; both are collision-free on the corpus, so
-        -- the >= 2 occurrence sets agree — the jaccard-family
-        -- cross-hash convention)
-        SELECT doc_id, CAST(i AS BIGINT) AS p,
-          substr(text, CAST(i AS INT), $SubstrSpanL) AS h
-        FROM d, UNNEST(range(1, n_chars - $SubstrSpanL + 2)) u(i)),
-      dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
-      marks AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
-      flagged AS (
-        SELECT doc_id, p,
-          MAX(p + $SubstrSpanL) OVER (PARTITION BY doc_id ORDER BY p
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-        FROM marks),
-      spans AS (
-        SELECT doc_id, p,
-          SUM(CASE WHEN prev_end IS NULL OR p > prev_end THEN 1 ELSE 0 END)
-            OVER (PARTITION BY doc_id ORDER BY p) AS span_id
-        FROM flagged),
-      merged AS (
-        SELECT doc_id, span_id, MIN(p) AS sp, MAX(p) + $SubstrSpanL AS ep
-        FROM spans GROUP BY doc_id, span_id),
-      per_doc AS (
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
-          CAST(SUM(ep - sp) AS BIGINT) AS dup_chars
-        FROM merged GROUP BY doc_id)
-      SELECT d.doc_id, d.n_chars,
-        COALESCE(n_spans, 0) AS n_spans,
-        COALESCE(dup_chars, 0) AS dup_chars,
-        CASE WHEN d.n_chars > 0 THEN
-          CAST(COALESCE(dup_chars, 0) AS DOUBLE) / CAST(d.n_chars AS DOUBLE)
-        END AS dup_frac
-      FROM d LEFT JOIN per_doc USING (doc_id)
-      ORDER BY d.doc_id""",
+    "dedup_substr_spans" -> substrSpansOracle,
+    // identical oracle by design: it fingerprints with the raw gram
+    // string, so the Spark-side hash width (64 vs 128 bit) is
+    // invisible to it — both agree iff the hash is collision-free
+    "dedup_substr_spans128" -> substrSpansOracle,
+
     "ta_exact_substr" -> s"""
       WITH toks AS (
         SELECT doc_id,

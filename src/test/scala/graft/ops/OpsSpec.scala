@@ -1862,6 +1862,13 @@ class SubstrSpansSpec extends SparkSpec {
           .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
           .toMap
         assert(got == brute(texts), s"seed ${100 + i}: $texts")
+        // the 128-bit twin (VERDICT r10 ask #4) must agree exactly —
+        // same plan, wider gram key
+        val got128 = Curation.substrSpansOf(docs, l = L, wide = true)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+          .toMap
+        assert(got128 == brute(texts), s"seed ${100 + i} (128-bit): $texts")
       }
     }
   }
