@@ -2131,12 +2131,13 @@ object Similarity {
     "dedup_removal_curve" -> dedupRemovalCurve,
     "sim_sq_ann" -> simSqANN,
     "sim_pq_ann" -> simPqANN,
-    // rows-only: iterative NN-Descent refinement, recall-gated by spec
+    // oracle-gated since r11 via the frozen-pair replay (the pq
+    // codebook pattern — see frozenPairsOracleSql); recall-gated by spec
     "sim_knn_graph" -> simKnnGraph,
     // rows-only: iterative integer PageRank, spec-pinned vs in-memory replay
     "sim_graph_centrality" -> simGraphCentrality,
-    // rows-only: iterative graph walk over the frozen on-disk index,
-    // recall- and monotonicity-gated by spec
+    // oracle-gated since r11 via the frozen-pair replay; recall- and
+    // monotonicity-gated by spec
     "sim_graph_search" -> simGraphSearch,
     // both routes are the tiled (no-driver-collect) plan; two block
     // counts prove the tiling is invariant under the same oracle
@@ -2166,8 +2167,57 @@ object Similarity {
   def oracles: Map[String, String] =
     staticOracles ++
       oracleContext.map { case (s, dir) =>
-        Map("sim_pq_ann" -> pqOracleSql(s, dir))
+        Map(
+          "sim_pq_ann" -> pqOracleSql(s, dir),
+          "sim_knn_graph" -> knnGraphOracleSql(s, dir),
+          "sim_graph_search" -> graphSearchOracleSql(s, dir))
       }.getOrElse(Map.empty)
+
+  /** Frozen-pair oracle shared by sim_knn_graph and sim_graph_search
+    * (VERDICT r10 ask #5) — the pqOracleSql contract applied to the
+    * graph queries: the iterative NN-Descent build and the beam walk
+    * are DETERMINISTIC pure functions of the corpus (md5-ordered entry
+    * points, total-order beam cuts and edge cuts), so the final
+    * (query_id, cand_id) pair set re-derives bit-identically at Verify
+    * time and freezes into the SQL as literals; DuckDB then recomputes
+    * every VALUE independently — the duckCos IEEE chain over the raw
+    * stored embeddings and the (cos desc, cand_id asc) rank — so the
+    * gate validates the emitted rows end-to-end given the pair set,
+    * exactly what the codebook oracle validates given the codebook.
+    * (The pair-set QUALITY is the spec layer's job: recall vs brute
+    * force, round monotonicity, frozen-index-equals-fresh-build.)
+    */
+  private def frozenPairsOracleSql(pairs: Array[(Long, Long)]): String = {
+    val rows = pairs.sorted
+      .map { case (q, c) => s"($q, $c)" }.mkString(", ")
+    s"""
+      WITH pairs AS (SELECT * FROM (VALUES $rows) p(query_id, cand_id)),
+      scored AS (
+        SELECT CAST(p.query_id AS BIGINT) AS query_id,
+          CAST(p.cand_id AS BIGINT) AS cand_id,
+          ${duckCos("qe.embedding", "ce.embedding")} AS cos
+        FROM pairs p
+        JOIN embeddings qe ON qe.vec_id = p.query_id
+        JOIN embeddings ce ON ce.vec_id = p.cand_id)
+      SELECT query_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rk,
+        cand_id, cos
+      FROM scored
+      ORDER BY query_id, rk"""
+  }
+
+  def knnGraphOracleSql(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    frozenPairsOracleSql(simKnnGraph(s, dir)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect())
+  }
+
+  def graphSearchOracleSql(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    frozenPairsOracleSql(simGraphSearch(s, dir)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect())
+  }
 
   private lazy val staticOracles: Map[String, String] = Map(
     "sample_hard_negatives" -> s"""
