@@ -475,6 +475,62 @@ object TextAnalysis {
   def taCompressionRatio(s: SparkSession, dir: String): DataFrame =
     compressionRatioOf(t(s, dir, "documents"))
 
+  /** Gram length of the portable compressibility estimate — deflate's
+    * minimum back-reference length is 3, but at 3 chars natural text is
+    * saturated with incidental repeats; 8 keeps the distinct-fraction
+    * signal discriminative on ~300-char docs.
+    */
+  val CompressGramL = 8
+
+  /** ta_compression_portable: the oracle-portable arithmetic stand-in
+    * for [[taCompressionRatio]] (VERDICT r10 ask #5, the
+    * ta_winnow_portable pattern): zlib's output size is an
+    * implementation detail of the codec (level, window, match
+    * heuristics — no SQL engine reproduces it), so the deflate query
+    * stays rows-only FOREVER; this twin distills the LZ core of the
+    * signal — repeated-substring mass — into exact integer arithmetic
+    * both engines replay bit-for-bit. Model: a doc's overlapping
+    * L-grams split into FIRST occurrences (coded as L literal bytes)
+    * and REPEATS (a 2-byte back-reference); docs shorter than L code
+    * raw. The estimate RANKS compressibility (repetitive text → few
+    * distinct grams → small estimate), it does not predict zlib's
+    * byte count. Engines fingerprint differently on purpose — Spark
+    * xxhash64, the oracle the raw gram — the standing cross-hash
+    * convention.
+    *
+    * 100 TB shape: ONE projection — gram-hash array, size, and
+    * size(array_distinct) all inside whole-stage codegen; no explode,
+    * no shuffle, embarrassingly parallel (the per-doc distinct set is
+    * bounded by doc length, never corpus-sized).
+    */
+  def taCompressionPortable(s: SparkSession, dir: String): DataFrame =
+    compressionPortableOf(t(s, dir, "documents"))
+
+  def compressionPortableOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val l = CompressGramL
+    docs
+      .select($"doc_id", length($"text").cast("long").as("n_chars"),
+        // guarded: sequence(1, n-l+1) with n < l would DESCEND
+        expr(
+          s"if(length(text) >= $l, " +
+            s"transform(sequence(1, cast(length(text) - ${l - 1} as int)), " +
+            s"p -> xxhash64(substring(text, p, $l))), " +
+            "cast(array() as array<bigint>))").as("g"))
+      .select($"doc_id", $"n_chars",
+        size($"g").cast("long").as("n_grams"),
+        size(array_distinct($"g")).cast("long").as("n_distinct"))
+      .select($"doc_id", $"n_chars", $"n_grams", $"n_distinct",
+        when($"n_grams" === 0L, $"n_chars")
+          .otherwise($"n_distinct" * l + ($"n_grams" - $"n_distinct") * 2L)
+          .as("est_bytes"))
+      .withColumn("est_ratio",
+        when($"n_chars" > 0L,
+          $"est_bytes".cast("double") / $"n_chars".cast("double")))
+      .orderBy("doc_id")
+  }
+
   def compressionRatioOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -1342,9 +1398,14 @@ object TextAnalysis {
     "ta_winnow" -> taWinnow,
     "ta_winnow_portable" -> taWinnowPortable,
     "dedup_winnow_pairs" -> dedupWinnowPairs,
-    // rows-only by design: no SQL engine exposes zlib; discrimination
-    // property (repetitive << diverse) is spec-pinned
-    "ta_compression_ratio" -> taCompressionRatio)
+    // rows-only FOREVER (VERDICT r10 ask #5 located proof): the value
+    // IS zlib's output size, an implementation detail of the codec —
+    // level, 32K window, lazy-match heuristics — that no SQL engine
+    // reproduces; any portable reformulation is a DIFFERENT statistic,
+    // which is exactly what ta_compression_portable registers below.
+    // Discrimination property (repetitive << diverse) is spec-pinned.
+    "ta_compression_ratio" -> taCompressionRatio,
+    "ta_compression_portable" -> taCompressionPortable)
 
   private val enPat = "\\b(" + langProfiles.head._2.mkString("|") + ")\\b"
   private def hitsSql(pat: String) =
@@ -1393,6 +1454,35 @@ object TextAnalysis {
     }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // the raw gram is the oracle's fingerprint (Spark uses xxhash64 —
+    // the standing cross-hash convention); every output column is
+    // exact integers + one final IEEE division
+    "ta_compression_portable" -> s"""
+      WITH d AS (
+        SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n_chars
+        FROM documents),
+      g AS (
+        SELECT doc_id, substr(text, CAST(i AS INT), $CompressGramL) AS h
+        FROM d, UNNEST(range(1, n_chars - $CompressGramL + 2)) u(i)
+        WHERE n_chars >= $CompressGramL),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct
+        FROM g GROUP BY doc_id),
+      est AS (
+        SELECT d.doc_id, d.n_chars,
+          COALESCE(n_grams, 0) AS n_grams,
+          COALESCE(n_distinct, 0) AS n_distinct,
+          CASE WHEN COALESCE(n_grams, 0) = 0 THEN d.n_chars
+            ELSE n_distinct * $CompressGramL + (n_grams - n_distinct) * 2
+          END AS est_bytes
+        FROM d LEFT JOIN agg USING (doc_id))
+      SELECT doc_id, n_chars, n_grams, n_distinct, est_bytes,
+        CASE WHEN n_chars > 0 THEN
+          CAST(est_bytes AS DOUBLE) / CAST(n_chars AS DOUBLE)
+        END AS est_ratio
+      FROM est
+      ORDER BY doc_id""",
     // dyadic log₂ via binary-string length — exact integers in both
     // engines, so every regression sum is order-free; only the final
     // slope/intercept divisions are IEEE (same op order both sides)

@@ -1330,6 +1330,34 @@ class CompressionRatioSpec extends SparkSpec {
     // corpus smoke: every doc measured
     assert(TextAnalysis.taCompressionRatio(spark, sfDir).count() == 500)
   }
+
+  test("portable compressibility twin: hand-computed estimate; discriminates like deflate") {
+    val l = TextAnalysis.CompressGramL
+    // "abcdefgh" * 5 (40 chars): 33 grams, distinct = the 8 rotations
+    // of the period → est = 8*8 + 25*2 = 114
+    val repetitive = "abcdefgh" * 5
+    val diverse = (1 to 5).map(i => s"w${i * 7919 % 99991}!").mkString(" ")
+      .padTo(40, '.').take(40) // 40 chars, essentially all-distinct grams
+    val short = "tiny" // < L: codes raw, est_bytes = n_chars
+    val docs = Seq((1L, repetitive), (2L, diverse), (3L, short), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.compressionPortableOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) -1.0 else r.getDouble(5)))).toMap
+    assert(got(1L) == ((40L, 33L, 8L, 8L * l + 25L * 2L,
+      (8.0 * l + 50.0) / 40.0)))
+    val (dn, dg, dd, de, dr) = got(2L)
+    assert(dn == 40L && dg == 33L && dd > 25L, s"diverse distinct: $dd")
+    assert(de > got(1L)._4 && dr > got(1L)._5,
+      "diverse must estimate larger than repetitive — the deflate ordering")
+    assert(got(3L) == ((4L, 0L, 0L, 4L, 1.0)))
+    assert(got(4L) == ((0L, 0L, 0L, 0L, -1.0)), "empty doc: NULL ratio")
+    // and the twin orders the SAME planted pair the zlib query orders
+    val z = TextAnalysis.compressionRatioOf(docs.filter($"doc_id" <= 2))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert((z(1L) < z(2L)) == (got(1L)._5 < got(2L)._5),
+      "portable twin must agree with deflate on the planted ordering")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
