@@ -809,6 +809,74 @@ object StreamingCuration {
         .select($"k".as("day"), $"cnt".as("n_events")))
   }
 
+  /** Fold a batch's documents into the persistent ExactSubstr state —
+    * the incremental form of the Lee et al. 2022 §4.1 duplicated-span
+    * audit (VERDICT r10 next-step #8): the sufficient statistic is the
+    * gram INVERTED INDEX (doc_id, p, h) plus the per-doc length table,
+    * both APPEND-ONLY (a doc's grams never change once ingested), so
+    * the fold is strictly ∝ batch — the batch's one gram projection +
+    * two appends; the accumulated index is never read, rewritten, or
+    * re-grammed at fold time. [[substrSpansFromState]] then equals the
+    * one-shot [[graft.ops.Curation.dedupSubstrSpans]] over everything
+    * that ever arrived (spec-pinned), INCLUDING retroactive spans: a
+    * doc folded in batch 1 gains its duplicated spans the moment batch
+    * 7 delivers the second occurrence, because occurrence counting
+    * happens at report time over the whole index.
+    *
+    * Replay/crash contract: clean redeliveries are watermark-gated
+    * no-ops ([[VersionedState]] — the meta fold is also this state's
+    * commit point, carrying a 1-row audit payload); a crash BETWEEN
+    * the appends and the meta commit re-appends on replay, and the
+    * duplicate rows are healed AT READ by `dropDuplicates` on the
+    * natural primary keys ((doc_id, p) for grams, doc_id for lengths)
+    * — the knnNeighbors enforce-at-read pattern, which costs one
+    * exchange the report's own window needs anyway. This is STRONGER
+    * than the corpus_sets anti-join idempotence: it tolerates even a
+    * torn job commit that left a fraction of the batch's files
+    * visible, and the fold never pays an index read for it.
+    *
+    * 100 TB shape: fold ∝ batch (gram projection + append); the index
+    * is corpus-gram-sized — the same class as the corpus_docs/sets
+    * tables, i.e. the STATE IS THE INDEX, not a summary; the report is
+    * one h-partitioned window + per-doc merge over the index, never a
+    * text re-scan or re-hash.
+    */
+  def mergeSubstrSpanState(spark: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long = -1L): Unit = {
+    import spark.implicits._
+    val name = "substr_spans"
+    if (VersionedState.alreadyFolded(spark, stateDir, name, batchId)) return
+    val docs = batch.select($"doc_id", $"text")
+    // materialize ∝-batch inputs once; both appends and the audit row
+    // read them (no lazy double evaluation of the gram projection)
+    val grams = graft.ops.Curation.substrGramsOf(docs).gatedCheckpoint()
+    val lens = docs.select($"doc_id",
+      length($"text").cast("long").as("n_chars")).gatedCheckpoint()
+    grams.write.mode("append").parquet(s"$stateDir/substr_gram_index")
+    lens.write.mode("append").parquet(s"$stateDir/substr_doc_lens")
+    VersionedState.commit(spark, stateDir, name, batchId) { dir =>
+      // audit payload: what this fold contributed (the appends above
+      // become durable exactly when this meta row commits)
+      lens.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(grams.agg(count(lit(1)).as("n_grams")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    }
+  }
+
+  /** The accumulated-stream duplicated-span report — identical columns
+    * to the batch [[graft.ops.Curation.dedupSubstrSpans]], served from
+    * the gram index (no text re-scan). `dropDuplicates` heals any
+    * crashed double-append (see [[mergeSubstrSpanState]]).
+    */
+  def substrSpansFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Curation.substrSpansFromGrams(
+      spark.read.parquet(s"$stateDir/substr_doc_lens")
+        .dropDuplicates("doc_id"),
+      spark.read.parquet(s"$stateDir/substr_gram_index")
+        .dropDuplicates("doc_id", "p"))
+  }
+
   /** The accumulated-stream skew audit — the batch
     * [[graft.queries.QualityQueries.keySkew]] statistics over state.
     */

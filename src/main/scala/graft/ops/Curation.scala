@@ -456,32 +456,57 @@ object Curation {
 
   /** [[dedupSubstrSpans]] over any (doc_id, text) frame; `wide` keys
     * grams by a 128-bit fingerprint pair ([[dedupSubstrSpans128]]).
+    * Split into [[substrGramsOf]] (the gram inverted index) +
+    * [[substrSpansFromGrams]] (the count/merge tail) so the streaming
+    * twin ([[graft.examples.StreamingCuration.mergeSubstrSpanState]])
+    * reports through the IDENTICAL tail over its accumulated index.
     */
   def substrSpansOf(docsIn: DataFrame, l: Int = SubstrSpanL,
       wide: Boolean = false): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
-    val docs = docsIn.select($"doc_id", $"text",
+    val docs = docsIn.select($"doc_id",
       length($"text").cast("long").as("n_chars"))
-    // the gram fingerprint, computed INSIDE the one transform so the
-    // document text never rides the posexplode. wide = an independent
-    // second xxhash64 (seed-chained via a constant first argument) —
-    // two longs = 16 bytes per gram, still codegen'd, vs ~2x the
-    // hashing work of the 64-bit form (measured delta in NOTES.md)
+    substrSpansFromGrams(docs, substrGramsOf(docsIn, l, wide), l)
+  }
+
+  /** The (doc_id, p, h) L-gram fingerprint table of a corpus — the
+    * inverted index [[substrSpansOf]] counts over and the streaming
+    * twin accumulates. The gram fingerprint is computed INSIDE the one
+    * transform so the document text never rides the posexplode; wide =
+    * an independent second xxhash64 (seed-chained via a constant first
+    * argument) — two longs = 16 bytes per gram, still codegen'd, ~1.14x
+    * the 64-bit cost (measured in NOTES.md).
+    */
+  def substrGramsOf(docsIn: DataFrame, l: Int = SubstrSpanL,
+      wide: Boolean = false): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
     val gramArr =
       if (wide)
         // nested transform so each gram substring is CUT ONCE and
         // hashed twice (HOF lambdas don't CSE a repeated captured
         // expression — the dedup_source_overlap lesson)
-        s"transform(transform(sequence(1, cast(n_chars - ${l - 1} as int)), " +
+        s"transform(transform(sequence(1, cast(length(text) - ${l - 1} as int)), " +
           s"p -> substring(text, p, $l)), " +
           s"g -> named_struct('h1', xxhash64(g), 'h2', xxhash64('x2', g)))"
       else
-        s"transform(sequence(1, cast(n_chars - ${l - 1} as int)), " +
+        s"transform(sequence(1, cast(length(text) - ${l - 1} as int)), " +
           s"p -> xxhash64(substring(text, p, $l)))"
-    val grams = docs.filter($"n_chars" >= l)
+    docsIn.filter(length($"text") >= l)
       .select($"doc_id", posexplode(expr(gramArr)))
       .select($"doc_id", ($"pos" + 1L).cast("long").as("p"), $"col".as("h"))
+  }
+
+  /** The count/merge tail of [[substrSpansOf]]: corpus-wide occurrence
+    * count (ONE h-partitioned window), mark positions whose gram occurs
+    * ≥2 times, per-doc interval merge, report against the (doc_id,
+    * n_chars) length table.
+    */
+  def substrSpansFromGrams(docLens: DataFrame, grams: DataFrame,
+      l: Int = SubstrSpanL): DataFrame = {
+    val s = grams.sparkSession
+    import s.implicits._
     val wOcc = org.apache.spark.sql.expressions.Window.partitionBy($"h")
     val perDoc = coalesceFixedSpans(
         grams
@@ -491,7 +516,7 @@ object Curation {
         l.toLong)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_spans"), sum($"ep" - $"sp").as("dup_chars"))
-    docs.select($"doc_id", $"n_chars")
+    docLens.select($"doc_id", $"n_chars")
       .join(perDoc, Seq("doc_id"), "left")
       .select($"doc_id", $"n_chars",
         coalesce($"n_spans", lit(0L)).as("n_spans"),
