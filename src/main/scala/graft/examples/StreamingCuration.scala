@@ -171,19 +171,30 @@ object StreamingCuration {
         .join(inBatchDups.unionByName(crossDups).distinct(), Seq("doc_id"), "left_anti")
 
       // 4b: benchmark decontamination — when the state dir carries a
-      // frozen eval-shingle table (written once via
-      // Decontamination.writeEvalShingles), batch docs sharing n-grams
-      // with the benchmark are rejected before they can enter the
-      // corpus. Probe cost ∝ batch (the eval side broadcasts); absent
-      // the table, the gate is a no-op.
+      // frozen eval-shingle snapshot, batch docs sharing n-grams with
+      // the benchmark are rejected before they can enter the corpus.
+      // Preference order: the latest VERSIONED snapshot
+      // (Decontamination.writeEvalShinglesVersioned — refreshes are
+      // crash-safe, a torn refresh leaves the previous snapshot
+      // servable), else the legacy flat writeEvalShingles dir. Probe
+      // cost ∝ batch (the eval side broadcasts); absent both, the gate
+      // is a no-op.
       val evalShDir = s"$stateDir/eval_shingles"
-      val accepted =
-        if (!graft.streaming.StateFs.exists(evalShDir)) acceptedDedup
-        else acceptedDedup.join(
+      val evalSh = graft.ops.Decontamination
+        .latestEvalShingles(spark, stateDir)
+        .orElse {
+          if (graft.streaming.StateFs.exists(evalShDir))
+            Some(spark.read.parquet(evalShDir))
+          else None
+        }
+      val accepted = evalSh match {
+        case None => acceptedDedup
+        case Some(es) => acceptedDedup.join(
           graft.ops.Decontamination
-            .contaminationAgainst(acceptedDedup, spark.read.parquet(evalShDir))
+            .contaminationAgainst(acceptedDedup, es)
             .select($"train_id".as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
+      }
 
       // 5: split assignment; state writes (sets, folds, bloom, then
       // docs LAST — the accept-phase commit point, see below).

@@ -207,12 +207,95 @@ object Decontamination {
     } finally sets.unpersist()
   }
 
+  /** Snapshot V1 of the synthetic benchmark: md5 tail slice [f4, fc) —
+    * overlapping [[EvalLower]]'s ≥ f8 (snapshot V2) on [f8, fc), so a
+    * refresh exhibits all three transition classes: evals RELEASED by
+    * V2 ([f4, f8)), KEPT ([f8, fc)), and NEW (≥ fc). Same
+    * recomputable-membership idiom as the base split.
+    */
+  val SnapV1Lower = "f4"
+  val SnapV1Upper = "fc"
+
+  /** decon_cross_snapshot: the benchmark-REFRESH audit (VERDICT r10
+    * next-step #8) — when the frozen eval set moves from snapshot V1
+    * to V2, which training documents does the new snapshot newly
+    * forbid, which stay forbidden, and which V1-only hits are released?
+    * One row per train doc contaminated under EITHER snapshot:
+    * (train_id, n_eval_v1, n_eval_v2, status ∈ new|kept|released),
+    * with n_eval_* = distinct eval docs hit at the [[MinShared]]
+    * evidence tier. The training universe is docs in NEITHER snapshot,
+    * so both probes audit the same corpus and the statuses are pure
+    * snapshot deltas.
+    *
+    * 100 TB shape: the corpus is shingled ONCE; both snapshots ride a
+    * single broadcast join against the tagged union of the two
+    * (bounded) eval shingle tables — no second corpus scan, no shuffle
+    * of the training side; the per-pair and per-doc aggregates are
+    * bounded by |eval| × matches. Production swaps the md5 slices for
+    * two frozen [[writeEvalShinglesVersioned]] snapshot versions —
+    * identical probe shape.
+    */
+  def deconCrossSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.t(s, dir, "documents")
+    def m(c: Column) = md5(c.cast("string"))
+    val inV1 = m($"doc_id") >= SnapV1Lower && m($"doc_id") < SnapV1Upper
+    val inV2 = m($"doc_id") >= EvalLower
+    val trainSh = Dedup.shingledOf(docs.filter(!inV1 && !inV2), Dedup.ShingleN)
+    def evalSh(pred: Column, snap: Int) =
+      Dedup.shingledOf(docs.filter(pred), Dedup.ShingleN)
+        .select($"doc_id".as("eval_id"), $"sh", lit(snap).as("snap"))
+    val tagged = evalSh(inV1, 1).unionByName(evalSh(inV2, 2))
+    val pairs = trainSh
+      .join(broadcast(tagged), "sh")
+      .groupBy($"doc_id".as("train_id"), $"eval_id", $"snap")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= MinShared)
+    pairs.groupBy($"train_id")
+      .agg(
+        countDistinct(when($"snap" === 1, $"eval_id")).as("n_eval_v1"),
+        countDistinct(when($"snap" === 2, $"eval_id")).as("n_eval_v2"))
+      .select($"train_id", $"n_eval_v1", $"n_eval_v2",
+        when($"n_eval_v1" > 0L && $"n_eval_v2" > 0L, "kept")
+          .when($"n_eval_v2" > 0L, "new")
+          .otherwise("released").as("status"))
+      .orderBy("train_id")
+  }
+
+  /** Persist an eval/benchmark shingle snapshot as a VERSIONED state —
+    * the crash-safe form of [[writeEvalShingles]] (VERDICT r10
+    * next-step #8): each benchmark refresh commits a fresh
+    * `eval_shingles_v<N>` under the [[graft.streaming.VersionedState]]
+    * protocol, so a crashed refresh leaves the previous snapshot fully
+    * servable and readers only ever see a committed version. Snapshots
+    * are unmanaged versions (batchId −1): a benchmark refresh is an
+    * operator action, not a stream batch.
+    */
+  def writeEvalShinglesVersioned(spark: SparkSession, stateDir: String,
+      evalDocs: DataFrame, n: Int = Dedup.ShingleN): Unit = {
+    import spark.implicits._
+    val sh = Dedup.shingledOf(evalDocs, n)
+      .select($"doc_id".as("eval_id"), $"sh")
+    graft.streaming.VersionedState.commit(spark, stateDir,
+      "eval_shingles", -1L) { dir =>
+      sh.write.mode("overwrite").parquet(s"$dir/data")
+    }
+  }
+
+  /** The latest committed eval-shingle snapshot (None before the first
+    * [[writeEvalShinglesVersioned]] refresh).
+    */
+  def latestEvalShingles(spark: SparkSession,
+      stateDir: String): Option[DataFrame] =
+    graft.streaming.VersionedState.readTable(spark, stateDir, "eval_shingles")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decon_minhash" -> ((s, d) => deconMinhash(s, d)),
     "decon_pairs" -> ((s, d) => contaminationPairs(s, d)),
     "decon_pairs_13gram" -> ((s, d) =>
       contaminationPairs(s, d, n = WideN, minShared = 1L)),
     "decon_semantic" -> ((s, d) => deconSemantic(s, d)),
+    "decon_cross_snapshot" -> deconCrossSnapshot,
     "decon_report" -> contaminationReport)
 
   /** DuckDB n-gram shingle CTE, the n-parameterized twin of
@@ -295,5 +378,33 @@ object Decontamination {
         CAST(COUNT(*) AS BIGINT) AS n_train_docs,
         MAX(n_shared) AS max_shared,
         CAST(SUM(n_shared) AS BIGINT) AS total_shared
-      FROM pairs GROUP BY eval_id ORDER BY eval_id""")
+      FROM pairs GROUP BY eval_id ORDER BY eval_id""",
+    "decon_cross_snapshot" -> s"""
+      WITH ${shingleCteN(Dedup.ShingleN)},
+      tagged AS (
+        SELECT doc_id AS eval_id, sh, 1 AS snap FROM sh
+        WHERE md5(CAST(doc_id AS VARCHAR)) >= '$SnapV1Lower'
+          AND md5(CAST(doc_id AS VARCHAR)) < '$SnapV1Upper'
+        UNION ALL
+        SELECT doc_id, sh, 2 FROM sh
+        WHERE md5(CAST(doc_id AS VARCHAR)) >= '$EvalLower'),
+      pairs AS (
+        SELECT t.doc_id AS train_id, e.eval_id, e.snap,
+          COUNT(*) AS n_shared
+        FROM sh t JOIN tagged e ON t.sh = e.sh
+        WHERE md5(CAST(t.doc_id AS VARCHAR)) < '$SnapV1Lower'
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) >= $MinShared),
+      per AS (
+        SELECT train_id,
+          CAST(COUNT(DISTINCT CASE WHEN snap = 1 THEN eval_id END) AS BIGINT)
+            AS n_eval_v1,
+          CAST(COUNT(DISTINCT CASE WHEN snap = 2 THEN eval_id END) AS BIGINT)
+            AS n_eval_v2
+        FROM pairs GROUP BY train_id)
+      SELECT train_id, n_eval_v1, n_eval_v2,
+        CASE WHEN n_eval_v1 > 0 AND n_eval_v2 > 0 THEN 'kept'
+             WHEN n_eval_v2 > 0 THEN 'new'
+             ELSE 'released' END AS status
+      FROM per ORDER BY train_id""")
 }

@@ -391,6 +391,44 @@ class StreamingSpec extends SparkSpec {
     assert(ids2 == Set(2L, 3L))
   }
 
+  test("versioned eval snapshots: refreshes re-gate, crashed refresh serves the old snapshot") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    import graft.ops.Decontamination
+    val state = Files.createTempDirectory("graft-decon-ver").resolve("s").toString
+    val leakA = "alpha benchmark question about rivers and their bridges in autumn"
+    val leakB = "beta benchmark prompt concerning mountains and their shadows at dawn"
+    // snapshot V1 carries only benchmark A
+    Decontamination.writeEvalShinglesVersioned(spark, state,
+      Seq((900L, leakA)).toDF("doc_id", "text"))
+    StreamingCuration.processBatch(spark, Seq(
+        (1L, s"padding words $leakA more padding words"),
+        (2L, s"padding words $leakB more padding words"))
+      .toDF("doc_id", "text"), state, batchId = 0L)
+    def corpus() = spark.read.parquet(s"$state/corpus_docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpus() == Set(2L), s"V1 gates only benchmark A: ${corpus()}")
+    // refresh to V2 = benchmark B: the NEW snapshot gates, A no longer
+    Decontamination.writeEvalShinglesVersioned(spark, state,
+      Seq((901L, leakB)).toDF("doc_id", "text"))
+    StreamingCuration.processBatch(spark, Seq(
+        (3L, s"other words $leakA trailing words"),
+        (4L, s"other words $leakB trailing words"))
+      .toDF("doc_id", "text"), state, batchId = 1L)
+    assert(corpus() == Set(2L, 3L), s"V2 gates only benchmark B: ${corpus()}")
+    // crashed refresh: payload written, commit marker never reached —
+    // the gate must keep serving the COMMITTED V2 snapshot
+    val v = graft.streaming.VersionedState
+      .latest(state, "eval_shingles").map(_._1).getOrElse(0) + 1
+    Seq((999L, "junk")).toDF("eval_id", "sh")
+      .write.mode("overwrite").parquet(s"$state/eval_shingles_v$v/data")
+    StreamingCuration.processBatch(spark, Seq(
+        (5L, s"closing words $leakB final words"))
+      .toDF("doc_id", "text"), state, batchId = 2L)
+    assert(corpus() == Set(2L, 3L),
+      "uncommitted snapshot must be invisible: B still gated")
+  }
+
   test("bloom lifecycle: an outgrown sketch rebuilds at 2x and novelty stays exact") {
     import spark.implicits._
     import graft.examples.StreamingCuration
