@@ -2134,7 +2134,9 @@ object Similarity {
     // oracle-gated since r11 via the frozen-pair replay (the pq
     // codebook pattern — see frozenPairsOracleSql); recall-gated by spec
     "sim_knn_graph" -> simKnnGraph,
-    // rows-only: iterative integer PageRank, spec-pinned vs in-memory replay
+    // oracle-gated since r11: full unrolled integer-PageRank replay
+    // over the frozen edges (graphCentralityOracleSql); also
+    // spec-pinned vs an in-memory replay
     "sim_graph_centrality" -> simGraphCentrality,
     // oracle-gated since r11 via the frozen-pair replay; recall- and
     // monotonicity-gated by spec
@@ -2170,8 +2172,55 @@ object Similarity {
         Map(
           "sim_pq_ann" -> pqOracleSql(s, dir),
           "sim_knn_graph" -> knnGraphOracleSql(s, dir),
-          "sim_graph_search" -> graphSearchOracleSql(s, dir))
+          "sim_graph_search" -> graphSearchOracleSql(s, dir),
+          "sim_graph_centrality" -> graphCentralityOracleSql(s, dir))
       }.getOrElse(Map.empty)
+
+  /** sim_graph_centrality oracle: the FULL integer-PageRank replay —
+    * stronger than the frozen-pair form, because everything after the
+    * graph is integer-exact and SQL-expressible: the frozen index's
+    * edges freeze as literals (the graph build itself is covered by
+    * the sim_knn_graph frozen-pair oracle + recall specs), and DuckDB
+    * independently re-derives nodes, out/in-degrees, and all
+    * [[CentralityIters]] unrolled rounds of
+    * `rank' = 0.15·unit + (85·Σ rank DIV deg) DIV 100` in integer
+    * micro-units — truncating division agrees across engines because
+    * every operand is non-negative. Intermediate sums ride DuckDB
+    * HUGEINT; every SELECTed column casts back to BIGINT (the
+    * documented driver-compare hazard).
+    */
+  def graphCentralityOracleSql(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val gpath = ensureGraphIndex(s, dir)
+    val edges = knnNeighbors(s, gpath).select($"src", $"dst")
+      .as[(Long, Long)].collect().sorted
+    val rows = edges.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    val base = RankUnit * 15L / 100L
+    val iterCtes = (1 to CentralityIters).map { i =>
+      s"""c$i AS (
+        SELECT e.dst, SUM(r.rank // o.deg) AS contribs
+        FROM edges e
+        JOIN r${i - 1} r ON r.id = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst),
+      r$i AS (
+        SELECT n.id, $base + (85 * COALESCE(c.contribs, 0)) // 100 AS rank
+        FROM nodes n LEFT JOIN c$i c ON c.dst = n.id)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH edges AS (SELECT * FROM (VALUES $rows) e(src, dst)),
+      nodes AS (SELECT DISTINCT id FROM
+        (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+      outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      r0 AS (SELECT id, CAST($RankUnit AS BIGINT) AS rank FROM nodes),
+      $iterCtes,
+      indeg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_deg
+        FROM edges GROUP BY dst)
+      SELECT CAST(r.id AS BIGINT) AS vec_id, CAST(r.rank AS BIGINT) AS rank,
+        COALESCE(i.in_deg, 0) AS in_deg
+      FROM r$CentralityIters r LEFT JOIN indeg i ON i.dst = r.id
+      ORDER BY rank DESC, vec_id ASC"""
+  }
 
   /** Frozen-pair oracle shared by sim_knn_graph and sim_graph_search
     * (VERDICT r10 ask #5) — the pqOracleSql contract applied to the
