@@ -454,6 +454,39 @@ class PlanSpec extends SparkSpec {
     assert(stale.isEmpty, s"stale whitelist entries: ${stale.mkString(", ")}")
   }
 
+  test("substr-spans family: gram window is hash-partitioned; no cartesian, no NLJ") {
+    // both widths must keep the r10 plan shape: the corpus-wide
+    // occurrence count is ONE h-partitioned window (never a self-join
+    // of the gram table), the only joins are the per-doc report joins
+    Seq(
+      graft.ops.Curation.dedupSubstrSpans(spark, sfDir),
+      graft.ops.Curation.dedupSubstrSpans128(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert("hashpartitioning\\(h".r.findAllIn(p).nonEmpty,
+        s"gram window must hash-partition on the fingerprint:\n$p")
+    }
+  }
+
+  test("ta_compression_portable: zero shuffles before the output sort; no join") {
+    val p = plan(graft.ops.TextAnalysis.taCompressionPortable(spark, sfDir))
+    // the whole estimate is ONE codegen'd projection per doc: any
+    // hashpartitioning exchange or join means the per-doc distinct
+    // count leaked into a shuffle
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"), s"must stay shuffle-free:\n$p")
+    assert(p.contains("rangepartitioning"), p) // only the orderBy
+  }
+
+  test("decon_cross_snapshot: both snapshots probe via ONE broadcast join; no cartesian") {
+    val p = plan(graft.ops.Decontamination.deconCrossSnapshot(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"eval union must broadcast:\n$p")
+    // the training side must never sort-merge against the eval side
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q83 range join: bounded window side broadcasts into a nested-loop join") {
     val p = plan(Extended7.q83RangeWindows(spark, sfDir))
     // the non-equi containment condition admits no hash join; the
