@@ -45,7 +45,10 @@ object ScaleSmoke {
     // chain), cross-split LSH decon, one-pass recall curve
     "dedup_cluster_sizes", "decon_minhash", "sim_recall_curve",
     // round-10: char-gram span audit — the suite's newest heavy
-    "dedup_substr_spans")
+    "dedup_substr_spans",
+    // round-11: the 128-bit span twin (2x the gram shuffle width) and
+    // the two-snapshot decon probe (two eval broadcasts over one scan)
+    "dedup_substr_spans128", "decon_cross_snapshot")
 
   def ensureSf1(spark: SparkSession, srcDir: String): String =
     ensureScaled(spark, srcDir, Reps, "graft_sf1")
