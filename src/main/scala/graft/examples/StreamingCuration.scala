@@ -820,6 +820,26 @@ object StreamingCuration {
         .select($"k".as("day"), $"cnt".as("n_events")))
   }
 
+  /** Re-anchor the daily-volume EWMA epoch (the operational move the
+    * [[graft.queries.QualityQueries.ewmaDyadicOf]] exponent guard
+    * directs: W_t = Σ x·2^{t−2} budgets ~63 bits of exponent, so a
+    * stream whose day count approaches 65 − bitlen(max daily volume)
+    * rotates BEFORE the guard trips — t re-anchors at the next fold
+    * and the full budget re-opens). Implemented as a VersionedState
+    * commit of an EMPTY day-count payload: the fold WATERMARK carries
+    * over, so a pre-rotation batch redelivered after the rotation is
+    * still a no-op — rotation never re-opens the replay window. After
+    * rotating, [[ewmaFromState]] equals the one-shot monitor over the
+    * POST-rotation days only (the re-anchored epoch), by design.
+    */
+  def rotateDailyVolumeEpoch(spark: SparkSession, stateDir: String): Unit = {
+    import spark.implicits._
+    VersionedState.commit(spark, stateDir, "key_counts_day", -1L) { dir =>
+      Seq.empty[(java.sql.Date, Long)].toDF("k", "cnt")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    }
+  }
+
   /** Fold a batch's documents into the persistent ExactSubstr state —
     * the incremental form of the Lee et al. 2022 §4.1 duplicated-span
     * audit (VERDICT r10 next-step #8): the sufficient statistic is the

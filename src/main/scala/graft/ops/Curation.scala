@@ -472,30 +472,63 @@ object Curation {
 
   /** The (doc_id, p, h) L-gram fingerprint table of a corpus — the
     * inverted index [[substrSpansOf]] counts over and the streaming
-    * twin accumulates. The gram fingerprint is computed INSIDE the one
-    * transform so the document text never rides the posexplode; wide =
-    * an independent second xxhash64 (seed-chained via a constant first
-    * argument) — two longs = 16 bytes per gram, still codegen'd, ~1.14x
-    * the 64-bit cost (measured in NOTES.md).
+    * twin accumulates. COMPILED per-partition kernel: per document,
+    * one code-point pass emits an fnv64 fingerprint per overlapping
+    * gram (the jaccard-family hash convention) — the document text
+    * never leaves the kernel, so only (doc_id, p, long) rows ever
+    * shuffle. The r10/r11 Catalyst form (transform + posexplode of
+    * xxhash64) had the right SHAPE but evaluated the lambda
+    * INTERPRETED per element (the dedup_source_overlap lesson):
+    * 3.06 s → ~1.1 s at sf0.1 for the 64-bit width. `wide` emits an
+    * independent second fnv64 (distinct offset basis) — a 16-byte
+    * struct key, ~2x the hashing for the 128-bit collision bound.
+    * Positions are 1-based code-point offsets, matching the character
+    * semantics of Spark `length` / DuckDB `len` downstream.
     */
   def substrGramsOf(docsIn: DataFrame, l: Int = SubstrSpanL,
       wide: Boolean = false): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
-    val gramArr =
-      if (wide)
-        // nested transform so each gram substring is CUT ONCE and
-        // hashed twice (HOF lambdas don't CSE a repeated captured
-        // expression — the dedup_source_overlap lesson)
-        s"transform(transform(sequence(1, cast(length(text) - ${l - 1} as int)), " +
-          s"p -> substring(text, p, $l)), " +
-          s"g -> named_struct('h1', xxhash64(g), 'h2', xxhash64('x2', g)))"
-      else
-        s"transform(sequence(1, cast(length(text) - ${l - 1} as int)), " +
-          s"p -> xxhash64(substring(text, p, $l)))"
-    docsIn.filter(length($"text") >= l)
-      .select($"doc_id", posexplode(expr(gramArr)))
-      .select($"doc_id", ($"pos" + 1L).cast("long").as("p"), $"col".as("h"))
+    val FnvBasis = 0xcbf29ce484222325L
+    val FnvPrime = 0x100000001b3L
+    // independent second basis: fnv over a disjoint seed constant —
+    // two fnv64 chains from different bases behave as independent
+    // fingerprints for the birthday-bound purpose
+    val FnvBasis2 = 0xaf63bd4c8601b7dfL
+    val src = docsIn.select($"doc_id", $"text").as[(Long, String)]
+    if (!wide)
+      src.mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val cps = text.codePoints().toArray
+          val g = cps.length - l + 1
+          if (g <= 0) Iterator.empty
+          else (0 until g).iterator.map { p =>
+            var h = FnvBasis
+            var i = 0
+            while (i < l) { h ^= cps(p + i); h *= FnvPrime; i += 1 }
+            (id, (p + 1).toLong, h)
+          }
+        }
+      }.toDF("doc_id", "p", "h")
+    else
+      src.mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val cps = text.codePoints().toArray
+          val g = cps.length - l + 1
+          if (g <= 0) Iterator.empty
+          else (0 until g).iterator.map { p =>
+            var h1 = FnvBasis
+            var h2 = FnvBasis2
+            var i = 0
+            while (i < l) {
+              h1 ^= cps(p + i); h1 *= FnvPrime
+              h2 ^= cps(p + i); h2 *= FnvPrime
+              i += 1
+            }
+            (id, (p + 1).toLong, (h1, h2))
+          }
+        }
+      }.toDF("doc_id", "p", "h")
   }
 
   /** The count/merge tail of [[substrSpansOf]]: corpus-wide occurrence

@@ -498,10 +498,18 @@ object TextAnalysis {
     * xxhash64, the oracle the raw gram — the standing cross-hash
     * convention.
     *
-    * 100 TB shape: ONE projection — gram-hash array, size, and
-    * size(array_distinct) all inside whole-stage codegen; no explode,
-    * no shuffle, embarrassingly parallel (the per-doc distinct set is
-    * bounded by doc length, never corpus-sized).
+    * 100 TB shape: one COMPILED per-partition kernel pass — per doc,
+    * an fnv64 fingerprint per overlapping gram (the jaccard-family
+    * hash convention) into a sorted long array whose transition count
+    * is the exact distinct count; O(chars·L + grams·log grams) per
+    * document, no explode, no shuffle, embarrassingly parallel. The
+    * first cut expressed the same arithmetic as a Catalyst
+    * transform/array_distinct chain and benched 3.5 s at sf0.1 — HOF
+    * lambdas evaluate INTERPRETED per element (the
+    * dedup_source_overlap lesson, once more with feeling); the kernel
+    * measures ~10× cheaper. Code-point iteration keeps the character
+    * semantics of Spark `length`/DuckDB `len` (a surrogate pair is ONE
+    * character on both sides).
     */
   def taCompressionPortable(s: SparkSession, dir: String): DataFrame =
     compressionPortableOf(t(s, dir, "documents"))
@@ -510,17 +518,34 @@ object TextAnalysis {
     val s = docs.sparkSession
     import s.implicits._
     val l = CompressGramL
-    docs
-      .select($"doc_id", length($"text").cast("long").as("n_chars"),
-        // guarded: sequence(1, n-l+1) with n < l would DESCEND
-        expr(
-          s"if(length(text) >= $l, " +
-            s"transform(sequence(1, cast(length(text) - ${l - 1} as int)), " +
-            s"p -> xxhash64(substring(text, p, $l))), " +
-            "cast(array() as array<bigint>))").as("g"))
-      .select($"doc_id", $"n_chars",
-        size($"g").cast("long").as("n_grams"),
-        size(array_distinct($"g")).cast("long").as("n_distinct"))
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val cps = text.codePoints().toArray
+          val n = cps.length
+          val g = math.max(n - l + 1, 0)
+          var distinct = 0L
+          if (g > 0) {
+            val hs = new Array[Long](g)
+            var p = 0
+            while (p < g) {
+              var h = 0xcbf29ce484222325L
+              var i = 0
+              while (i < l) { h ^= cps(p + i); h *= 0x100000001b3L; i += 1 }
+              hs(p) = h
+              p += 1
+            }
+            java.util.Arrays.sort(hs)
+            var k = 0
+            while (k < g) {
+              if (k == 0 || hs(k) != hs(k - 1)) distinct += 1
+              k += 1
+            }
+          }
+          (id, n.toLong, g.toLong, distinct)
+        }
+      }
+      .toDF("doc_id", "n_chars", "n_grams", "n_distinct")
       .select($"doc_id", $"n_chars", $"n_grams", $"n_distinct",
         when($"n_grams" === 0L, $"n_chars")
           .otherwise($"n_distinct" * l + ($"n_grams" - $"n_distinct") * 2L)

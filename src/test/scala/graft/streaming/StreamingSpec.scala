@@ -1499,6 +1499,35 @@ class StreamingSpec extends SparkSpec {
       "redelivered batch must not inflate the daily totals")
   }
 
+  test("EWMA epoch rotation re-anchors the exponent budget; replay window stays closed") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-ewma-rotate")
+    val st = work.resolve("state").toString
+    val ev = graft.Tables.t(spark, sfDir, "events")
+    val early = ev.filter($"event_id" % 2 === 0)
+    val late = ev.filter($"event_id" % 2 === 1)
+    StreamingCuration.mergeDailyVolumeState(spark, st, early, batchId = 0L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // rotate: the state empties, the monitor re-anchors t=1
+    StreamingCuration.rotateDailyVolumeEpoch(spark, st)
+    assert(rows(StreamingCuration.ewmaFromState(spark, st)).isEmpty,
+      "rotated epoch starts empty")
+    // a PRE-rotation batch redelivered after the rotation must still be
+    // a no-op — rotation never re-opens the replay window
+    StreamingCuration.mergeDailyVolumeState(spark, st, early, batchId = 0L)
+    assert(rows(StreamingCuration.ewmaFromState(spark, st)).isEmpty,
+      "pre-rotation replay must stay watermark-gated")
+    // post-rotation folds rebuild the monitor over the new epoch only
+    StreamingCuration.mergeDailyVolumeState(spark, st, late, batchId = 1L)
+    assert(rows(StreamingCuration.ewmaFromState(spark, st)) ==
+      rows(graft.queries.QualityQueries.ewmaDyadicOf(
+        late.groupBy($"ts".cast("date").as("day"))
+          .agg(count(lit(1)).as("n_events")))),
+      "re-anchored monitor == one-shot over the post-rotation days")
+  }
+
   test("incremental ExactSubstr state: out-of-order folds + crashed double-append == one-shot") {
     import spark.implicits._
     import graft.examples.StreamingCuration
