@@ -122,7 +122,7 @@ object ScaleSmoke {
     */
   val Sf3Queries: Seq[String] =
     Seq("sim_triangles", "dedup_components_alt", "dedup_minhash_lsh",
-      "dedup_substr_spans")
+      "dedup_substr_spans", "dedup_substr_spans128")
 
   def runSf3(spark: SparkSession, srcDir: String): Unit = {
     val dir = ensureSf3(spark, srcDir)

@@ -284,7 +284,12 @@ object StreamingCuration {
     */
   def maybeCompactCorpus(spark: SparkSession, stateDir: String,
       maxFiles: Int = 256, targetBytes: Long = 128L << 20): Unit =
-    Seq(s"$stateDir/corpus_docs", s"$stateDir/corpus_sets").foreach { dir =>
+    Seq(s"$stateDir/corpus_docs", s"$stateDir/corpus_sets",
+        // the ExactSubstr append-only index accumulates files at the
+        // same per-batch rate as the sets table; compaction preserves
+        // rows exactly, so the read-side natural-key dedup is unmoved
+        s"$stateDir/substr_gram_index", s"$stateDir/substr_doc_lens")
+      .foreach { dir =>
       if (graft.streaming.StateFs.exists(dir)) {
         val n = graft.streaming.StateFs.list(dir)
           .count(_.getName.endsWith(".parquet"))

@@ -454,6 +454,48 @@ object Curation {
   def dedupSubstrSpans128(s: SparkSession, dir: String): DataFrame =
     substrSpansOf(t(s, dir, "documents"), wide = true)
 
+  /** dedup_span_length_hist: the duplicated-span LENGTH distribution —
+    * the companion report the ExactSubstr line of work publishes next
+    * to the per-doc audit (how much duplicated mass lives in barely-L
+    * spans vs whole-document runs — the shape that decides whether to
+    * cut spans or drop documents). Per power-of-2 length band
+    * (band_lo = 2^⌊log₂ len⌋ via the binary-string-length idiom, an
+    * exact integer in both engines): merged-span count, character
+    * mass, and the corpus-wide mass share (one IEEE division against
+    * a window total).
+    *
+    * 100 TB shape: identical to [[dedupSubstrSpans]] up to the merged
+    * span table (compiled gram kernel → ONE h-partitioned window →
+    * per-doc merge), then a band collapse whose output is bounded by
+    * log₂(max doc length) rows — the dq single-scan discipline.
+    */
+  def dedupSpanLengthHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = substrGramsOf(t(s, dir, "documents"))
+    val wOcc = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+    val spans = coalesceFixedSpans(
+      grams
+        .withColumn("occ", count(lit(1)).over(wOcc))
+        .filter($"occ" >= 2L)
+        .select($"doc_id", $"p"),
+      SubstrSpanL.toLong)
+    val banded = spans
+      .select(($"ep" - $"sp").as("len"))
+      .select(expr(
+        "shiftleft(cast(1 as bigint), cast(length(bin(len)) - 1 as int))")
+        .as("band_lo"), $"len")
+      .groupBy($"band_lo")
+      .agg(count(lit(1)).as("n_spans"), sum($"len").as("dup_chars"))
+    // corpus total as a lazy broadcast scalar (the simIvfBalance
+    // pattern) — no unpartitioned window enters the plan
+    val tot = banded.agg(sum($"dup_chars").as("total_chars"))
+    banded.crossJoin(broadcast(tot))
+      .select($"band_lo", $"n_spans", $"dup_chars",
+        ($"dup_chars".cast("double") / $"total_chars".cast("double"))
+          .as("mass_share"))
+      .orderBy("band_lo")
+  }
+
   /** [[dedupSubstrSpans]] over any (doc_id, text) frame; `wide` keys
     * grams by a 128-bit fingerprint pair ([[dedupSubstrSpans128]]).
     * Split into [[substrGramsOf]] (the gram inverted index) +
@@ -1849,6 +1891,7 @@ object Curation {
     "ta_exact_substr" -> ((s, d) => taExactSubstr(s, d)),
     "dedup_substr_spans" -> dedupSubstrSpans,
     "dedup_substr_spans128" -> dedupSubstrSpans128,
+    "dedup_span_length_hist" -> dedupSpanLengthHist,
     "ta_profile" -> taProfile,
     "ta_ngram_top" -> ((s, d) => taNgramTop(s, d)),
     "ta_familiarity" -> taFamiliarity,
@@ -2241,6 +2284,44 @@ object Curation {
       FROM sized
       ORDER BY src_rank, source, doc_id""",
     "dedup_substr_spans" -> substrSpansOracle,
+    // same raw-gram fingerprint + merge CTEs as the span audit, then
+    // the dyadic band collapse (binary-string-length log2, exact
+    // integers) and one IEEE division against the corpus total
+    "dedup_span_length_hist" -> s"""
+      WITH d AS (
+        SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n_chars
+        FROM documents),
+      g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS p,
+          substr(text, CAST(i AS INT), $SubstrSpanL) AS h
+        FROM d, UNNEST(range(1, n_chars - $SubstrSpanL + 2)) u(i)
+        WHERE n_chars >= $SubstrSpanL),
+      dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+      marks AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
+      flagged AS (
+        SELECT doc_id, p,
+          MAX(p + $SubstrSpanL) OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM marks),
+      spans AS (
+        SELECT doc_id, p,
+          SUM(CASE WHEN prev_end IS NULL OR p > prev_end THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+        FROM flagged),
+      merged AS (
+        SELECT doc_id, span_id,
+          MAX(p) + $SubstrSpanL - MIN(p) AS len
+        FROM spans GROUP BY doc_id, span_id),
+      banded AS (
+        SELECT CAST(2 ** (length(bin(len)) - 1) AS BIGINT) AS band_lo,
+          CAST(COUNT(*) AS BIGINT) AS n_spans,
+          CAST(SUM(len) AS BIGINT) AS dup_chars
+        FROM merged GROUP BY 1)
+      SELECT band_lo, n_spans, dup_chars,
+        CAST(dup_chars AS DOUBLE) /
+          CAST((SELECT SUM(dup_chars) FROM banded) AS DOUBLE) AS mass_share
+      FROM banded
+      ORDER BY band_lo""",
     // identical oracle by design: it fingerprints with the raw gram
     // string, so the Spark-side hash width (64 vs 128 bit) is
     // invisible to it — both agree iff the hash is collision-free

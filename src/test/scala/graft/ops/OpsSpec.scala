@@ -1900,4 +1900,22 @@ class SubstrSpansSpec extends SparkSpec {
       }
     }
   }
+
+  test("span length hist: bands are dyadic, mass reconciles with the per-doc audit") {
+    import spark.implicits._
+    val hist = Curation.dedupSpanLengthHist(spark, sfDir).collect()
+    assert(hist.nonEmpty)
+    val total = hist.map(_.getLong(2)).sum
+    val audit = Curation.dedupSubstrSpans(spark, sfDir)
+      .agg(sum($"dup_chars")).head().getLong(0)
+    assert(total == audit,
+      s"band mass $total must equal the per-doc audit's dup mass $audit")
+    assert(math.abs(hist.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    hist.foreach { r =>
+      val (b, n, m) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(java.lang.Long.bitCount(b) == 1, s"band_lo $b not a power of 2")
+      assert(m >= b * n && m <= (2 * b - 1) * n,
+        s"band $b mass $m outside [$b*$n, ${2 * b - 1}*$n]")
+    }
+  }
 }
