@@ -283,22 +283,28 @@ object StreamingCuration {
     * directory per batch, so a swap between batches is safe.
     */
   def maybeCompactCorpus(spark: SparkSession, stateDir: String,
-      maxFiles: Int = 256, targetBytes: Long = 128L << 20): Unit =
-    Seq(s"$stateDir/corpus_docs", s"$stateDir/corpus_sets",
-        // the ExactSubstr append-only index accumulates files at the
-        // same per-batch rate as the sets table; compaction preserves
-        // rows exactly, so the read-side natural-key dedup is unmoved
-        s"$stateDir/substr_gram_index", s"$stateDir/substr_doc_lens")
-      .foreach { dir =>
-      if (graft.streaming.StateFs.exists(dir)) {
-        val n = graft.streaming.StateFs.list(dir)
-          .count(_.getName.endsWith(".parquet"))
-        if (n > maxFiles) {
-          graft.ops.Scale.compactSmallFiles(spark, dir, targetBytes)
-          ()
+      maxFiles: Int = 256, targetBytes: Long = 128L << 20): Unit = {
+    // the ExactSubstr append-only index accumulates files at the same
+    // per-batch rate as the sets table; it compacts in the
+    // duplicate-safe swap order (move-in before delete) because its
+    // readers dedup on natural keys and — unlike the bloom — the index
+    // is NOT rebuildable from another table, so a crash mid-swap must
+    // err toward duplicates, never loss (r11 review finding #1)
+    Seq((s"$stateDir/corpus_docs", false), (s"$stateDir/corpus_sets", false),
+        (s"$stateDir/substr_gram_index", true),
+        (s"$stateDir/substr_doc_lens", true))
+      .foreach { case (dir, dupSafe) =>
+        if (graft.streaming.StateFs.exists(dir)) {
+          val n = graft.streaming.StateFs.list(dir)
+            .count(_.getName.endsWith(".parquet"))
+          if (n > maxFiles) {
+            graft.ops.Scale.compactSmallFiles(spark, dir, targetBytes,
+              duplicateSafe = dupSafe)
+            ()
+          }
         }
       }
-    }
+  }
 
   /** Persisted corpus Bloom filter — the fixed-size exact-dedup
     * prefilter (see [[graft.ops.Dedup.bloomNovelWith]]): sized for 10M
@@ -883,18 +889,23 @@ object StreamingCuration {
     val name = "substr_spans"
     if (VersionedState.alreadyFolded(spark, stateDir, name, batchId)) return
     val docs = batch.select($"doc_id", $"text")
-    // materialize ∝-batch inputs once; both appends and the audit row
-    // read them (no lazy double evaluation of the gram projection)
-    val grams = graft.ops.Curation.substrGramsOf(docs).gatedCheckpoint()
+    // the gram projection materializes exactly ONCE — into the index
+    // append; the audit's gram count is a pure function of n_chars
+    // (grams per doc = max(n_chars − L + 1, 0)), so it rides the cheap
+    // checkpointed lens table instead of a second gram pass (r11
+    // review finding #6)
     val lens = docs.select($"doc_id",
       length($"text").cast("long").as("n_chars")).gatedCheckpoint()
-    grams.write.mode("append").parquet(s"$stateDir/substr_gram_index")
+    graft.ops.Curation.substrGramsOf(docs)
+      .write.mode("append").parquet(s"$stateDir/substr_gram_index")
     lens.write.mode("append").parquet(s"$stateDir/substr_doc_lens")
     VersionedState.commit(spark, stateDir, name, batchId) { dir =>
       // audit payload: what this fold contributed (the appends above
       // become durable exactly when this meta row commits)
-      lens.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(grams.agg(count(lit(1)).as("n_grams")))
+      lens.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(greatest(
+            $"n_chars" - (graft.ops.Curation.SubstrSpanL - 1), lit(0L))),
+            lit(0L)).as("n_grams"))
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
     }
   }

@@ -527,47 +527,59 @@ object Curation {
     * Positions are 1-based code-point offsets, matching the character
     * semantics of Spark `length` / DuckDB `len` downstream.
     */
+  /** ONE definition of the gram fingerprint (FNV-1a over a code-point
+    * window) shared by [[substrGramsOf]] both widths and
+    * [[graft.ops.TextAnalysis.compressionPortableOf]] — a fork here
+    * would silently break the cross-hash oracle convention (r11 review
+    * finding #5). The second basis gives the 128-bit width its
+    * independent chain.
+    */
+  private[graft] val Fnv64Basis = 0xcbf29ce484222325L
+  private[graft] val Fnv64Basis2 = 0xaf63bd4c8601b7dfL
+  private[graft] val Fnv64Prime = 0x100000001b3L
+
+  private[graft] def fnv64Window(
+      cps: Array[Int], from: Int, l: Int, basis: Long): Long = {
+    var h = basis
+    var i = 0
+    while (i < l) { h ^= cps(from + i); h *= Fnv64Prime; i += 1 }
+    h
+  }
+
+  /** Code points of a possibly-null text — null reads as empty, the
+    * row-preserving semantics the Catalyst predecessor had via
+    * length(NULL) = NULL (r11 review finding #2: the raw
+    * `text.codePoints()` NPE'd an executor on a null text row).
+    */
+  private[graft] def codePointsOf(text: String): Array[Int] =
+    if (text == null) Array.emptyIntArray else text.codePoints().toArray
+
   def substrGramsOf(docsIn: DataFrame, l: Int = SubstrSpanL,
       wide: Boolean = false): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
-    val FnvBasis = 0xcbf29ce484222325L
-    val FnvPrime = 0x100000001b3L
-    // independent second basis: fnv over a disjoint seed constant —
-    // two fnv64 chains from different bases behave as independent
-    // fingerprints for the birthday-bound purpose
-    val FnvBasis2 = 0xaf63bd4c8601b7dfL
     val src = docsIn.select($"doc_id", $"text").as[(Long, String)]
     if (!wide)
       src.mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val cps = text.codePoints().toArray
+          val cps = codePointsOf(text)
           val g = cps.length - l + 1
           if (g <= 0) Iterator.empty
           else (0 until g).iterator.map { p =>
-            var h = FnvBasis
-            var i = 0
-            while (i < l) { h ^= cps(p + i); h *= FnvPrime; i += 1 }
-            (id, (p + 1).toLong, h)
+            (id, (p + 1).toLong, fnv64Window(cps, p, l, Fnv64Basis))
           }
         }
       }.toDF("doc_id", "p", "h")
     else
       src.mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val cps = text.codePoints().toArray
+          val cps = codePointsOf(text)
           val g = cps.length - l + 1
           if (g <= 0) Iterator.empty
           else (0 until g).iterator.map { p =>
-            var h1 = FnvBasis
-            var h2 = FnvBasis2
-            var i = 0
-            while (i < l) {
-              h1 ^= cps(p + i); h1 *= FnvPrime
-              h2 ^= cps(p + i); h2 *= FnvPrime
-              i += 1
-            }
-            (id, (p + 1).toLong, (h1, h2))
+            (id, (p + 1).toLong,
+              (fnv64Window(cps, p, l, Fnv64Basis),
+                fnv64Window(cps, p, l, Fnv64Basis2)))
           }
         }
       }.toDF("doc_id", "p", "h")

@@ -356,8 +356,27 @@ object Scale {
     * needing co-location compact via [[writeRangeClustered]]/
     * [[writeZOrdered]] instead, which this does not replace.
     */
+  /** Compact a directory of small parquet files. Swap ordering is the
+    * crash-safety choice (r11 review finding #1):
+    *
+    *  - default (`duplicateSafe = false`): delete originals, then move
+    *    compacted files in — a crash in the window loses rows, so this
+    *    order is ONLY for tables whose consumers cannot tolerate
+    *    duplicate rows (corpus_docs feeds the xor manifest signature);
+    *    their loss exposure is bounded by the re-foldability of the
+    *    corpus tables.
+    *  - `duplicateSafe = true`: move compacted files IN first, delete
+    *    originals after — a crash in the window leaves DUPLICATES,
+    *    never loss. Correct for append-only state whose readers dedup
+    *    on a natural key (the ExactSubstr gram index / doc-lens tables,
+    *    which `dropDuplicates` at read) — those states are NOT
+    *    rebuildable from elsewhere, so the loss-free order is the only
+    *    admissible one. Compacted file names are UUID-fresh, so no
+    *    originals are overwritten by the move.
+    */
   def compactSmallFiles(
-      s: SparkSession, path: String, targetBytes: Long = 128L << 20): (Long, Long, Long) = {
+      s: SparkSession, path: String, targetBytes: Long = 128L << 20,
+      duplicateSafe: Boolean = false): (Long, Long, Long) = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(path)
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -368,11 +387,14 @@ object Scale {
     val tmp = path.stripSuffix("/") + "_compact_tmp"
     s.read.parquet(path).repartition(nOut)
       .write.mode("overwrite").parquet(tmp)
-    // swap atomically-ish: remove originals, move compacted files in
-    files.foreach(f => fs.delete(f.getPath, false))
-    fs.listStatus(new Path(tmp)).toSeq
-      .filter(f => f.getPath.getName.endsWith(".parquet"))
-      .foreach(f => fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+    def moveIn(): Unit =
+      fs.listStatus(new Path(tmp)).toSeq
+        .filter(f => f.getPath.getName.endsWith(".parquet"))
+        .foreach(f => fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+    def dropOriginals(): Unit =
+      files.foreach(f => fs.delete(f.getPath, false))
+    if (duplicateSafe) { moveIn(); dropOriginals() }
+    else { dropOriginals(); moveIn() }
     fs.delete(new Path(tmp), true)
     val after = fs.listStatus(dir).toSeq
       .count(f => f.getPath.getName.endsWith(".parquet")).toLong

@@ -2194,6 +2194,13 @@ object Similarity {
     val gpath = ensureGraphIndex(s, dir)
     val edges = knnNeighbors(s, gpath).select($"src", $"dst")
       .as[(Long, Long)].collect().sorted
+    // zero edges ⇒ zero nodes ⇒ the Spark op emits nothing; an empty
+    // VALUES clause would be invalid SQL (r11 review finding #3)
+    if (edges.isEmpty)
+      return """
+      SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS rank,
+        CAST(NULL AS BIGINT) AS in_deg
+      WHERE FALSE"""
     val rows = edges.map { case (a, b) => s"($a, $b)" }.mkString(", ")
     val base = RankUnit * 15L / 100L
     val iterCtes = (1 to CentralityIters).map { i =>
@@ -2237,6 +2244,13 @@ object Similarity {
     * force, round monotonicity, frozen-index-equals-fresh-build.)
     */
   private def frozenPairsOracleSql(pairs: Array[(Long, Long)]): String = {
+    // an empty pair set would render `(VALUES )` — invalid SQL (r11
+    // review finding #3); emit the empty result with the right schema
+    if (pairs.isEmpty)
+      return """
+      SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS rk,
+        CAST(NULL AS BIGINT) AS cand_id, CAST(NULL AS DOUBLE) AS cos
+      WHERE FALSE"""
     val rows = pairs.sorted
       .map { case (q, c) => s"($q, $c)" }.mkString(", ")
     s"""

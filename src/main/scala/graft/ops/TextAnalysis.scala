@@ -521,7 +521,9 @@ object TextAnalysis {
     docs.select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val cps = text.codePoints().toArray
+          // shared fingerprint + null-as-empty semantics (r11 review
+          // findings #2/#5) — see Curation.fnv64Window
+          val cps = graft.ops.Curation.codePointsOf(text)
           val n = cps.length
           val g = math.max(n - l + 1, 0)
           var distinct = 0L
@@ -529,10 +531,8 @@ object TextAnalysis {
             val hs = new Array[Long](g)
             var p = 0
             while (p < g) {
-              var h = 0xcbf29ce484222325L
-              var i = 0
-              while (i < l) { h ^= cps(p + i); h *= 0x100000001b3L; i += 1 }
-              hs(p) = h
+              hs(p) = graft.ops.Curation.fnv64Window(
+                cps, p, l, graft.ops.Curation.Fnv64Basis)
               p += 1
             }
             java.util.Arrays.sort(hs)

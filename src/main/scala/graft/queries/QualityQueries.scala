@@ -1094,7 +1094,10 @@ object QualityQueries {
     daily
       .withColumn("t", row_number().over(wOrd).cast("long"))
       .withColumn("wt",
-        when($"t" > 1L &&
+        // n_events = 0 is exact at ANY t (0·2^k = 0 under any shift
+        // wrapping — r11 review finding #4: a gap-filled series must
+        // not trip the guard on its zero days)
+        when($"t" > 1L && $"n_events" > 0L &&
             length(bin($"n_events".cast("long"))).cast("long") + $"t" - 2L > 63L,
           raise_error(format_string(
             "dq_ewma_dyadic: 2^(t-2) exponent overflow at day %s (t=%s, " +

@@ -1901,6 +1901,26 @@ class SubstrSpansSpec extends SparkSpec {
     }
   }
 
+  test("null text rows survive the compiled kernels (r11 review finding #2)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "ABCDEFGHIxxxx"), Row(2L, null))),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))))
+    // the raw codePoints() call NPE'd here; null must read as empty
+    val spans = Curation.substrSpansOf(docs, l = 5).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getLong(2))).toMap
+    assert(spans(2L) == ((-1L, 0L)),
+      "null-text doc keeps its report row (NULL n_chars, zero spans)")
+    assert(spans.contains(1L))
+    val comp = TextAnalysis.compressionPortableOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    assert(comp(2L) == ((0L, 0L)), "null text codes as empty in the twin")
+  }
+
   test("span length hist: bands are dyadic, mass reconciles with the per-doc audit") {
     import spark.implicits._
     val hist = Curation.dedupSpanLengthHist(spark, sfDir).collect()

@@ -1577,6 +1577,19 @@ class StreamingSpec extends SparkSpec {
     val after = rows(StreamingCuration.substrSpansFromState(spark, st2))
     assert(after.forall(r => r(2).asInstanceOf[Long] >= 1L),
       s"both docs must now carry the shared span: $after")
+    // duplicate-safe compaction (r11 review finding #1): the gram
+    // index compacts move-in-first, and the report is unmoved
+    val preFiles = graft.streaming.StateFs
+      .list(s"$st/substr_gram_index").count(_.getName.endsWith(".parquet"))
+    assert(preFiles > 1, s"fixture needs multiple files, got $preFiles")
+    val pre = rows(StreamingCuration.substrSpansFromState(spark, st))
+    StreamingCuration.maybeCompactCorpus(spark, st, maxFiles = 1)
+    val postFiles = graft.streaming.StateFs
+      .list(s"$st/substr_gram_index").count(_.getName.endsWith(".parquet"))
+    assert(postFiles < preFiles,
+      s"compaction must reduce files: $preFiles -> $postFiles")
+    assert(rows(StreamingCuration.substrSpansFromState(spark, st)) == pre,
+      "compaction must not move the report")
   }
 
   test("accept-phase crash before the docs commit point self-repairs on replay") {
