@@ -533,13 +533,29 @@ object Packing {
     val docs = docsIn
       .select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
       .filter($"n" > 0L)
-    val marks = docs
-      .select($"doc_id", $"n", posexplode(expr(
-        "transform(sequence(1, cast(n as int)), p -> " +
-          "substring(md5(concat(cast(doc_id as string), ':', " +
-          s"cast(p as string))), 1, 12) < '$SpanCorruptStartHex')")))
-      .filter($"col")
-      .select($"doc_id", $"n", ($"pos" + 1L).cast("long").as("p"))
+    // COMPILED kernel for the per-position md5 draw (the r11
+    // interpreted-HOF lesson: the former transform-lambda evaluated
+    // Catalyst md5 interpreted per position). Identical membership:
+    // `substring(md5(...), 1, 12) < SpanCorruptStartHex` compares two
+    // fixed-length lowercase-hex strings, which is exactly the numeric
+    // comparison of the digest's first 48 bits against the threshold
+    // value — the windowHashes MessageDigest-per-partition pattern.
+    val thresholdBits = java.lang.Long.parseLong(SpanCorruptStartHex, 16)
+    val marks = docs.as[(Long, Long)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, n) =>
+          (1L to n).iterator.flatMap { p =>
+            md.reset()
+            val d = md.digest(s"$id:$p".getBytes("UTF-8"))
+            var v = 0L
+            var i = 0
+            while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+            if (v < thresholdBits) Iterator.single((id, n, p))
+            else Iterator.empty
+          }
+        }
+      }.toDF("doc_id", "n", "p")
     val perDoc = Curation.coalesceFixedSpans(marks, l, carry = Seq("n"))
       .select($"doc_id", $"sp", least($"ep", $"n" + 1L).as("ep"))
       .groupBy($"doc_id")
