@@ -254,7 +254,7 @@ object StreamingCuration {
       mergeParaState(spark, stateDir, noveltyDocs, batchId)
       // fold the accepted md5s into the persisted corpus bloom (the
       // collect is batch-bounded; withSplit is already materialized)
-      updateBloom(stateDir,
+      updateBloom(spark, stateDir,
         withSplit.select($"text_md5").collect().map(_.getString(0)),
         bloomExpectedDocs)
       // COMMIT POINT: only now do the accepted docs enter the corpus
@@ -383,18 +383,31 @@ object StreamingCuration {
   }
 
   /** Put a batch's accepted md5s into the stored bloom (creating it on
-    * first use).
+    * first use). A missing sidecar with an EXISTING corpus is a
+    * torn/crashed write (the [[graft.streaming.StateFs.writeAtomic]]
+    * object-store copy+delete window), not first use — minting an
+    * empty sketch there would mark every prior doc bloom-negative, and
+    * their future duplicates would flow through `bloomNovelWith`'s
+    * definite-novel branch straight into the corpus (ADVICE r11 #1).
+    * So this reader gets the same rebuild-from-authoritative-table
+    * fallback as the gate's read path: [[readOrRebuildBloom]].
     */
-  def updateBloom(stateDir: String, acceptedMd5s: Array[String],
+  def updateBloom(spark: SparkSession, stateDir: String,
+      acceptedMd5s: Array[String],
       expectedDocs: Long = BloomExpectedDocs): Unit = {
-    val exists = graft.streaming.StateFs.exists(bloomPath(stateDir))
     val bloom =
-      if (exists) readBloom(stateDir)
-      else org.apache.spark.util.sketch.BloomFilter
-        .create(math.max(1L, expectedDocs), BloomFpp)
+      if (graft.streaming.StateFs.exists(bloomPath(stateDir)))
+        readBloom(stateDir)
+      else if (graft.streaming.StateFs.exists(s"$stateDir/corpus_docs"))
+        readOrRebuildBloom(spark, stateDir, expectedDocs)
+      else // genuinely first use: no corpus appended yet
+        org.apache.spark.util.sketch.BloomFilter
+          .create(math.max(1L, expectedDocs), BloomFpp)
     acceptedMd5s.foreach(bloom.putString)
+    // the rebuild path re-wrote the capacity sidecar, so reading it
+    // back is uniform across all three branches
     writeBloomAtomic(stateDir, bloom,
-      if (exists) bloomCapacity(stateDir).getOrElse(expectedDocs) else expectedDocs)
+      bloomCapacity(stateDir).getOrElse(expectedDocs))
   }
 
   /** Write-to-temp + rename for sketch and capacity sidecar, so a

@@ -382,10 +382,15 @@ object Scale {
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(dir).toSeq
       .filter(f => f.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) return (0L, 0L, 0L)
     val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val tmp = path.stripSuffix("/") + "_compact_tmp"
-    s.read.parquet(path).repartition(nOut)
+    // read EXACTLY the snapshotted file list, not the directory — a
+    // file appended between the snapshot and this read would be both
+    // compacted into tmp and left in place (it's not in `files`),
+    // duplicating its rows for dupSafe=false tables (ADVICE r11 #4)
+    s.read.parquet(files.map(_.getPath.toString): _*).repartition(nOut)
       .write.mode("overwrite").parquet(tmp)
     def moveIn(): Unit =
       fs.listStatus(new Path(tmp)).toSeq

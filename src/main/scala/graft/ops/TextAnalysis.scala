@@ -521,28 +521,34 @@ object TextAnalysis {
     docs.select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          // shared fingerprint + null-as-empty semantics (r11 review
-          // findings #2/#5) — see Curation.fnv64Window
-          val cps = graft.ops.Curation.codePointsOf(text)
-          val n = cps.length
-          val g = math.max(n - l + 1, 0)
-          var distinct = 0L
-          if (g > 0) {
-            val hs = new Array[Long](g)
-            var p = 0
-            while (p < g) {
-              hs(p) = graft.ops.Curation.fnv64Window(
-                cps, p, l, graft.ops.Curation.Fnv64Basis)
-              p += 1
+          // null text keeps its row with NULL n_chars (so est_bytes /
+          // est_ratio fall out NULL too) — the dedup_substr_spans
+          // convention, and what the DuckDB oracle's len(NULL)=NULL
+          // computes (ADVICE r11 #2); shared fingerprint kernel —
+          // see Curation.fnv64Window
+          if (text == null) (id, Option.empty[Long], 0L, 0L)
+          else {
+            val cps = graft.ops.Curation.codePointsOf(text)
+            val n = cps.length
+            val g = math.max(n - l + 1, 0)
+            var distinct = 0L
+            if (g > 0) {
+              val hs = new Array[Long](g)
+              var p = 0
+              while (p < g) {
+                hs(p) = graft.ops.Curation.fnv64Window(
+                  cps, p, l, graft.ops.Curation.Fnv64Basis)
+                p += 1
+              }
+              java.util.Arrays.sort(hs)
+              var k = 0
+              while (k < g) {
+                if (k == 0 || hs(k) != hs(k - 1)) distinct += 1
+                k += 1
+              }
             }
-            java.util.Arrays.sort(hs)
-            var k = 0
-            while (k < g) {
-              if (k == 0 || hs(k) != hs(k - 1)) distinct += 1
-              k += 1
-            }
+            (id, Some(n.toLong), g.toLong, distinct)
           }
-          (id, n.toLong, g.toLong, distinct)
         }
       }
       .toDF("doc_id", "n_chars", "n_grams", "n_distinct")

@@ -30,7 +30,12 @@ import org.apache.spark.sql.SparkSession
 object StateFs {
 
   private def conf(): Configuration =
+    // getActiveSession is thread-local; listener/cleanup threads that
+    // never set it must still see the cluster's object-store
+    // credentials, so fall through to the JVM-global default session
+    // before surrendering to a vanilla Configuration (ADVICE r11 #3)
     SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 

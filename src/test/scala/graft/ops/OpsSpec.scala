@@ -1917,8 +1917,11 @@ class SubstrSpansSpec extends SparkSpec {
       "null-text doc keeps its report row (NULL n_chars, zero spans)")
     assert(spans.contains(1L))
     val comp = TextAnalysis.compressionPortableOf(docs).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4)))).toMap
-    assert(comp(2L) == ((0L, 0L)), "null text codes as empty in the twin")
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(comp(2L) == ((-1L, -1L)),
+      "null text keeps NULL n_chars/est_bytes (len(NULL) oracle parity, ADVICE r11 #2)")
   }
 
   test("span length hist: bands are dyadic, mass reconciles with the per-doc audit") {

@@ -363,6 +363,16 @@ class StreamingSpec extends SparkSpec {
     val rebuilt = StreamingCuration.readOrRebuildBloom(spark, state)
     assert(md5s.forall(rebuilt.mightContainString))
     assert(Files.exists(java.nio.file.Path.of(s"$state/corpus_bloom.bin")))
+    // updateBloom is a reader too (ADVICE r11 #1): a sidecar torn away
+    // mid-writeAtomic with an EXISTING corpus must rebuild from
+    // corpus_docs, not mint an empty sketch that would bloom-negate
+    // every prior doc and let their future duplicates into the corpus
+    Files.delete(java.nio.file.Path.of(s"$state/corpus_bloom.bin"))
+    StreamingCuration.updateBloom(spark, state, Array("freshmd5only"))
+    val folded = StreamingCuration.readBloom(state)
+    assert(md5s.forall(folded.mightContainString),
+      "updateBloom on a torn sidecar must carry every prior corpus md5")
+    assert(folded.mightContainString("freshmd5only"))
   }
 
   test("streaming decontamination: a frozen eval-shingle table gates batch acceptance") {

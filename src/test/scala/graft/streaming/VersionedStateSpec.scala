@@ -137,7 +137,7 @@ class VersionedStateSpec extends SparkSpec {
       "replay must be a no-op on the remote scheme")
     assert(VersionedState.watermark(spark, dir, name) == 1L)
     // bloom + capacity sidecars ride the same FileSystem resolution
-    StreamingCuration.updateBloom(dir, Array("x", "y"), expectedDocs = 100L)
+    StreamingCuration.updateBloom(spark, dir, Array("x", "y"), expectedDocs = 100L)
     assert(StreamingCuration.readBloom(dir).mightContainString("x"))
     assert(StreamingCuration.bloomCapacity(dir).contains(100L))
   }
