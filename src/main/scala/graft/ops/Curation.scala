@@ -828,7 +828,16 @@ object Curation {
     */
   def dedupSemanticKmeans(
       s: SparkSession, dir: String,
-      threshold: Double = SemThreshold, k: Int = NumCentroids): DataFrame = {
+      threshold: Double = SemThreshold, k: Int = NumCentroids): DataFrame =
+    dedupSemanticFrozen(s, dir, ensureSemanticQuantizer(s, dir, k), threshold)
+
+  /** Train-or-reuse the cached quantizer for (dir, k, fingerprint) and
+    * return its path — shared by the registered query and its
+    * frozen-centroid oracle ([[kmeansOracleSql]]), so both sides of the
+    * Verify compare read the IDENTICAL centroid bits.
+    */
+  def ensureSemanticQuantizer(
+      s: SparkSession, dir: String, k: Int = NumCentroids): String = {
     val qpath = cachedQuantizerPath(dir, k, corpusFingerprint(s, dir))
     if (!new java.io.File(s"$qpath/_SUCCESS").exists()) {
       // race-safe publish: train into a private dir, then atomically
@@ -839,7 +848,7 @@ object Curation {
       if (!new java.io.File(tmp).renameTo(new java.io.File(qpath)))
         deleteRecursively(new java.io.File(tmp))
     }
-    dedupSemanticFrozen(s, dir, qpath, threshold)
+    qpath
   }
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
@@ -1918,7 +1927,10 @@ object Curation {
     "mix_temperature_curve" -> mixTemperatureCurve,
     "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
     "sample_cluster_balanced" -> sampleClusterBalanced,
-    // rows-only: k-means float centroids aren't cross-engine replayable
+    // oracle-gated since r12 via the frozen-centroid replay
+    // ([[kmeansOracleSql]] — the pq-codebook pattern): the trained
+    // centroids freeze as literals; DuckDB independently recomputes
+    // assignment + cosine + representative choice
     "dedup_semantic_kmeans" -> ((s, d) => dedupSemanticKmeans(s, d)),
     "dedup_representatives" -> dedupRepresentatives)
 
@@ -2037,7 +2049,70 @@ object Curation {
       FROM d LEFT JOIN per_doc USING (doc_id)
       ORDER BY d.doc_id"""
 
-  val oracles: Map[String, String] = Map(
+  /** dedup_semantic_kmeans oracle: the FROZEN-CENTROID replay (the
+    * [[Similarity.pqOracleSql]] codebook contract applied to the
+    * Lloyd's quantizer). The trained centroids are read from the SAME
+    * cached quantizer the registered query scores under
+    * ([[ensureSemanticQuantizer]] — whichever side runs first trains,
+    * the other reads the cache), so they freeze into the SQL
+    * bit-identically via shortest-round-trip `Double.toString`
+    * literals; DuckDB then independently recomputes EVERYTHING
+    * downstream of the model — the squared-euclidean argmin assignment
+    * (same left-to-right per-dimension IEEE fold as
+    * [[Similarity.assignEuclidean]]'s while-loop, ties to the lowest
+    * cent_id), the within-cluster cosine, the threshold, and the
+    * keep-first representative choice. Centroid QUALITY (monotone
+    * WCSS, fixpoint stability, no-drift freezing) stays spec-gated —
+    * the same division of labor as the knn-graph frozen-pair oracle.
+    */
+  def kmeansOracleSql(s: SparkSession, dir: String): String = {
+    val cents = readSemanticQuantizer(
+      s, ensureSemanticQuantizer(s, dir, NumCentroids))
+    if (cents.isEmpty || cents(0).isEmpty)
+      return """
+      SELECT CAST(NULL AS BIGINT) AS cluster, CAST(NULL AS BIGINT) AS dup_id,
+        CAST(NULL AS BIGINT) AS keeper_id, CAST(NULL AS DOUBLE) AS cos
+      WHERE FALSE"""
+    val dim = cents(0).length
+    def dl(x: Double): String = java.lang.Double.toString(x)
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.map(dl).mkString(", ")}])" }
+      .mkString(", ")
+    // per-dimension (v-c)² terms then one left-to-right list_sum — the
+    // exact op sequence of assignEuclidean's compiled loop
+    val dist2 =
+      s"list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]) for i in range(1, ${dim + 1})])"
+    s"""
+      WITH cents AS (SELECT * FROM (VALUES $centRows) c(k, cv)),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      assign AS (
+        SELECT vec_id, v, k AS cluster FROM (
+          SELECT e.vec_id, e.v, c.k,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY $dist2 ASC, c.k ASC) AS rk
+          FROM e CROSS JOIN cents c) WHERE rk = 1),
+      hits AS (
+        SELECT x.cluster, x.vec_id AS a, y.vec_id AS b,
+               ${duckCosL("x.v", "y.v")} AS cos
+        FROM assign x JOIN assign y
+          ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+      SELECT CAST(cluster AS BIGINT) AS cluster, b AS dup_id,
+        min(a) AS keeper_id, min_by(cos, a) AS cos
+      FROM hits WHERE cos >= $SemThreshold
+      GROUP BY cluster, b
+      ORDER BY dup_id"""
+  }
+
+  /** Static entries plus — when [[Similarity.oracleContext]] is set by
+    * Verify — the data-derived frozen-centroid kmeans oracle.
+    */
+  def oracles: Map[String, String] =
+    staticOracles ++
+      Similarity.oracleContext.map { case (s, dir) =>
+        Map("dedup_semantic_kmeans" -> kmeansOracleSql(s, dir))
+      }.getOrElse(Map.empty)
+
+  private val staticOracles: Map[String, String] = Map(
     "sim_cluster_purity" -> s"""
       WITH cents AS (
         SELECT k,
