@@ -199,16 +199,27 @@ object ScaleSmoke {
     out
   }
 
-  /** Constant-density sf10 probe: time AND output-pair count for the
-    * LSH chain, so NOTES.md can put measured pair mass beside the wall
-    * time. Gated by the `sf10cd` arg; stderr-only like the others.
+  /** Constant-density sf10 probe: time AND output row count (pair /
+    * span mass) per query, so NOTES.md can put measured mass beside
+    * the wall time. The LSH chain certified near-linear here in r10;
+    * r12 adds the substr-spans family (VERDICT r11 ask #4) — its
+    * fingerprint-partitioned occurrence window is the suite's heaviest
+    * shape and its cost is gram-mass-proportional, exactly what the
+    * deep-salted corpus scales linearly. Gated by the `sf10cd` arg;
+    * stderr-only like the others.
     */
+  val Sf10cdQueries: Seq[String] =
+    Seq("dedup_minhash_lsh", "dedup_substr_spans", "dedup_substr_spans128",
+      "dedup_span_length_hist")
+
   def runSf10ConstDup(spark: SparkSession, srcDir: String): Unit = {
     val dir = ensureSf10ConstDup(spark, srcDir)
-    val t0 = System.nanoTime()
-    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, dir).count()
-    val secs = (System.nanoTime() - t0) / 1e9
-    System.err.println(f"[sf10cd] dedup_minhash_lsh $secs%.1f s, $pairs pairs")
+    Sf10cdQueries.foreach { name =>
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[sf10cd] $name%-24s $secs%.1f s, $rows rows")
+    }
   }
 
   /** Standalone entry so the sf1/sf3/sf10 sweeps can run without the
