@@ -216,9 +216,17 @@ object ScaleSmoke {
     val dir = ensureSf10ConstDup(spark, srcDir)
     Sf10cdQueries.foreach { name =>
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(name)(spark, dir).count()
+      val d = SparkEntry.queries(name)(spark, dir)
+      // hash-reduce over EVERY output column: a bare count() lets
+      // Catalyst prune unused window/span columns (Window preserves
+      // cardinality, so ColumnPruning deletes it outright) and the
+      // probe times a gutted plan — first sf10cd run measured
+      // dedup_substr_spans at 1.8 s "for" 100× data
+      val r = d.select(xxhash64(d.columns.map(col): _*).as("h"))
+        // double-fold the hash: a long SUM overflows under ANSI mode
+        .agg(count(lit(1)), sum(col("h").cast("double"))).head()
       val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[sf10cd] $name%-24s $secs%.1f s, $rows rows")
+      System.err.println(f"[sf10cd] $name%-24s $secs%.1f s, ${r.getLong(0)} rows")
     }
   }
 

@@ -241,26 +241,41 @@ object Decontamination {
     def m(c: Column) = md5(c.cast("string"))
     val inV1 = m($"doc_id") >= SnapV1Lower && m($"doc_id") < SnapV1Upper
     val inV2 = m($"doc_id") >= EvalLower
-    val trainSh = Dedup.shingledOf(docs.filter(!inV1 && !inV2), Dedup.ShingleN)
     def evalSh(pred: Column, snap: Int) =
       Dedup.shingledOf(docs.filter(pred), Dedup.ShingleN)
         .select($"doc_id".as("eval_id"), $"sh", lit(snap).as("snap"))
-    val tagged = evalSh(inV1, 1).unionByName(evalSh(inV2, 2))
-    val pairs = trainSh
-      .join(broadcast(tagged), "sh")
-      .groupBy($"doc_id".as("train_id"), $"eval_id", $"snap")
-      .agg(count(lit(1)).as("n_shared"))
-      .filter($"n_shared" >= MinShared)
-    pairs.groupBy($"train_id")
-      .agg(
-        countDistinct(when($"snap" === 1, $"eval_id")).as("n_eval_v1"),
-        countDistinct(when($"snap" === 2, $"eval_id")).as("n_eval_v2"))
-      .select($"train_id", $"n_eval_v1", $"n_eval_v2",
-        when($"n_eval_v1" > 0L && $"n_eval_v2" > 0L, "kept")
-          .when($"n_eval_v2" > 0L, "new")
-          .otherwise("released").as("status"))
+    crossSnapshotStatus(crossSnapshotHitsOf(
+        docs.filter(!inV1 && !inV2),
+        evalSh(inV1, 1).unionByName(evalSh(inV2, 2))))
       .orderBy("train_id")
   }
+
+  /** The cross-snapshot probe's shared trunk — one corpus shingle
+    * pass, ONE broadcast join of the tagged two-snapshot shingle
+    * union, per-(train, eval, snap) evidence at the [[MinShared]]
+    * tier, reduced per train doc. Shared by the registered batch query
+    * and its incremental streaming twin
+    * ([[graft.examples.StreamingCuration.mergeCrossSnapshotState]]),
+    * so the two can never drift. `taggedEval` is (eval_id, sh, snap);
+    * `train` is (doc_id, text, …).
+    */
+  def crossSnapshotHitsOf(train: DataFrame, taggedEval: DataFrame): DataFrame =
+    Dedup.shingledOf(train, Dedup.ShingleN)
+      .join(broadcast(taggedEval), "sh")
+      .groupBy(col("doc_id").as("train_id"), col("eval_id"), col("snap"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinShared)
+      .groupBy(col("train_id"))
+      .agg(
+        countDistinct(when(col("snap") === 1, col("eval_id"))).as("n_eval_v1"),
+        countDistinct(when(col("snap") === 2, col("eval_id"))).as("n_eval_v2"))
+
+  /** Status classification over [[crossSnapshotHitsOf]] rows. */
+  def crossSnapshotStatus(counts: DataFrame): DataFrame =
+    counts.select(col("train_id"), col("n_eval_v1"), col("n_eval_v2"),
+      when(col("n_eval_v1") > 0L && col("n_eval_v2") > 0L, "kept")
+        .when(col("n_eval_v2") > 0L, "new")
+        .otherwise("released").as("status"))
 
   /** Persist an eval/benchmark shingle snapshot as a VERSIONED state —
     * the crash-safe form of [[writeEvalShingles]] (VERDICT r10

@@ -1182,6 +1182,69 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Merge-budget grid for [[taBpeCurve]]. */
+  val BpeCurveBudgets: Seq[Int] = Seq(0, 5, 10, 15, 20, 25, 30)
+
+  /** ta_bpe_curve: the tokenizer merge-BUDGET ablation — total corpus
+    * symbol count and symbols-per-word under the first b merges of the
+    * frozen table, for every b in [[BpeCurveBudgets]] — the curve a
+    * tokenizer owner reads to pick a vocabulary size (each extra merge
+    * buys less compression; the knee is the budget). Rides
+    * [[ensureBpeMerges]]'s cached per-corpus table.
+    *
+    * 100 TB shape: the corpus collapses ONCE to the (word, freq)
+    * vocabulary (the trainer's move), then ONE kernel pass applies the
+    * merges sequentially per word and snapshots |symbols| at each
+    * budget — cost ≈ one full encode, not one per budget; the output
+    * aggregation is map-side-combinable over budgets × vocab.
+    */
+  def taBpeCurve(s: SparkSession, dir: String): DataFrame =
+    bpeCurveOf(t(s, dir, "documents"),
+      readBpeMerges(s, ensureBpeMerges(s, dir)))
+
+  def bpeCurveOf(docsIn: DataFrame, merges: Seq[(String, String)],
+      budgets: Seq[Int] = BpeCurveBudgets): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(merges)
+    val grid = budgets.distinct.sorted
+    docsIn
+      .select(explode(tokens(lower($"text"))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.flatMap { case (w, f) =>
+          var syms = w.map(_.toString).toArray
+          var r = 0
+          grid.map { b =>
+            while (r < b && r < ms.length) {
+              val (a, bb) = ms(r)
+              if (syms.length >= 2) {
+                val out = scala.collection.mutable.ArrayBuffer.empty[String]
+                var i = 0
+                while (i < syms.length) {
+                  if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == bb) {
+                    out += (a + bb); i += 2
+                  } else { out += syms(i); i += 1 }
+                }
+                syms = out.toArray
+              }
+              r += 1
+            }
+            (b, f, f * syms.length)
+          }
+        }
+      }
+      .toDF("budget", "f", "fsyms")
+      .groupBy($"budget")
+      .agg(sum($"f").as("n_words"), sum($"fsyms").as("n_syms"))
+      .select($"budget".cast("long").as("budget"), $"n_words", $"n_syms",
+        ($"n_syms".cast("double") / $"n_words".cast("double"))
+          .as("syms_per_word"))
+      .orderBy("budget")
+  }
+
   /** Cheap corpus identity for the merge-table cache: row count + an
     * order-independent integer hash-sum over (doc_id, text) — an
     * in-place rewrite of the corpus changes it, so a stale model can
@@ -1428,6 +1491,9 @@ object TextAnalysis {
     // oracle-gated since r12: frozen-merge replay over the distinct
     // vocabulary ([[bpeEncodeOracleSql]])
     "ta_bpe_encode" -> ((s, d) => taBpeEncode(s, d)),
+    // new in r12, oracle-gated: merge-budget ablation curve (one
+    // kernel pass, snapshots at each budget; [[bpeCurveOracleSql]])
+    "ta_bpe_curve" -> ((s, d) => taBpeCurve(s, d)),
     "ta_char_diversity" -> taCharDiversity,
     "ta_pii_redact" -> taPiiRedact,
     "ta_repetition" -> taRepetition,
@@ -1624,8 +1690,40 @@ $chainSql      enc AS MATERIALIZED (
       FROM j GROUP BY source ORDER BY source"""
   }
 
+  /** ta_bpe_curve oracle: ONE shared frozen-merge chain over the
+    * (word, freq) vocabulary with a per-budget symbol-count snapshot —
+    * the same single-pass shape as the Spark kernel. Budgets beyond
+    * the trained merge count snapshot the full chain on both sides.
+    */
+  def bpeCurveOracleSql(s: SparkSession, dir: String): String = {
+    val merges = readBpeMerges(s, ensureBpeMerges(s, dir))
+    val S = BpeSep
+    val chain = merges.zipWithIndex.map { case ((a, b), i) =>
+      s"""      u${i + 1} AS MATERIALIZED (
+        SELECT freq, replace(s, ${sqlLit(S + a + S + S + b + S)},
+          ${sqlLit(S + a + b + S)}) AS s FROM u$i)"""
+    }
+    val chainSql = if (chain.isEmpty) "" else chain.mkString(",\n") + ",\n"
+    val budgetSelects = BpeCurveBudgets.distinct.sorted.map { b =>
+      val pos = math.min(b, merges.length)
+      s"""SELECT CAST($b AS BIGINT) AS budget,
+        CAST(SUM(freq) AS BIGINT) AS n_words,
+        CAST(SUM(freq * len(string_split(substr(s, 2, len(s) - 2),
+          ${sqlLit(S + S)}))) AS BIGINT) AS n_syms
+        FROM u$pos HAVING COUNT(*) > 0"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH ${bpeTokSql("")},
+      wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM tk GROUP BY w),
+      u0 AS MATERIALIZED (SELECT freq, ${bpeWrapExpr("w")} AS s FROM wf),
+$chainSql      curve AS ($budgetSelects)
+      SELECT budget, n_words, n_syms,
+        CAST(n_syms AS DOUBLE) / CAST(n_words AS DOUBLE) AS syms_per_word
+      FROM curve ORDER BY budget"""
+  }
+
   /** Static entries plus — when [[Similarity.oracleContext]] is set by
-    * Verify and the corpus passes [[bpeReplaySafe]] — the three
+    * Verify and the corpus passes [[bpeReplaySafe]] — the four
     * data-derived BPE replay oracles.
     */
   def oracles: Map[String, String] =
@@ -1635,7 +1733,8 @@ $chainSql      enc AS MATERIALIZED (
         else Some(Map(
           "ta_bpe_train" -> bpeTrainOracleSql(s, dir),
           "ta_bpe_encode" -> bpeEncodeOracleSql(s, dir),
-          "ta_fertility" -> bpeFertilityOracleSql(s, dir)))
+          "ta_fertility" -> bpeFertilityOracleSql(s, dir),
+          "ta_bpe_curve" -> bpeCurveOracleSql(s, dir)))
       }.getOrElse(Map.empty)
 
   private val enPat = "\\b(" + langProfiles.head._2.mkString("|") + ")\\b"

@@ -1537,6 +1537,33 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("BPE curve: one-pass budget snapshots equal per-budget re-encodes; monotone") {
+    import graft.ops.TextAnalysis._
+    val docs = Seq(
+      (1L, "low lower lowest newer newest new low low lower"),
+      (2L, "widest wider wide new newest lowest low"),
+      (3L, "er er er est est newer wider lower")).toDF("doc_id", "text")
+    val merges = bpeTrainOf(docs, 10).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val budgets = Seq(0, 2, 5, 10, 15) // 15 > trained count: full chain
+    val got = bpeCurveOf(docs.repartition(4), merges, budgets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // reference: independent re-encode under each PREFIX of the table
+    val words = docs.collect().flatMap(
+      _.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty))
+    val want = budgets.map { b =>
+      val syms = words.map(w => bpeEncode(w, merges.take(b)).length.toLong).sum
+      (b.toLong, words.length.toLong, syms,
+        syms.toDouble / words.length.toDouble)
+    }
+    assert(got.toSeq == want, "curve must equal per-budget re-encodes")
+    // budget 0 codes raw characters; symbol mass never grows with budget
+    assert(got.head._3 == words.map(_.length.toLong).sum)
+    got.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._3 <= lo._3, s"n_syms must be non-increasing: $lo -> $hi")
+    }
+  }
+
   test("BPE encode cache: hit is bit-identical; corpus rewrite in place retrains") {
     import graft.ops.TextAnalysis._
     val dir = java.nio.file.Files.createTempDirectory("bpe_cache").toString

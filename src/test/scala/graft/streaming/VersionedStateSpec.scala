@@ -141,4 +141,33 @@ class VersionedStateSpec extends SparkSpec {
     assert(StreamingCuration.readBloom(dir).mightContainString("x"))
     assert(StreamingCuration.bloomCapacity(dir).contains(100L))
   }
+
+  test("gram-index compaction lifecycle works on a non-file:// scheme (VERDICT r11 ask #5)") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val local = Files.createTempDirectory("graft-compactfs").toString
+    val state = s"graftfs:$local"
+    val idx = s"$state/substr_gram_index"
+    // fragment the append-only index the way micro-batches do: one
+    // small append per batch
+    (0 until 6).foreach { b =>
+      Seq((b.toLong, b * 100L, b + 7L)).toDF("g", "doc_id", "p")
+        .coalesce(1).write.mode("append").parquet(idx)
+    }
+    val preFiles = StateFs.list(idx).count(_.getName.endsWith(".parquet"))
+    assert(preFiles >= 6, s"fixture needs one file per append, got $preFiles")
+    val preRows = spark.read.parquet(idx).collect().map(_.toSeq).toSet
+    // the scheduled lifecycle entry point, exactly as processBatch
+    // calls it — duplicate-safe swap order on the Hadoop FS resolved
+    // from the graftfs: path itself
+    StreamingCuration.maybeCompactCorpus(spark, state, maxFiles = 2)
+    val postFiles = StateFs.list(idx).count(_.getName.endsWith(".parquet"))
+    assert(postFiles < preFiles,
+      s"compaction must reduce files on the remote scheme: $preFiles -> $postFiles")
+    assert(spark.read.parquet(idx).collect().map(_.toSeq).toSet == preRows,
+      "compaction must preserve the index rows exactly")
+    // the tmp staging dir must not leak
+    assert(!StateFs.exists(s"${idx}_compact_tmp"))
+  }
 }
