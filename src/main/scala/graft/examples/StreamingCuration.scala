@@ -820,6 +820,35 @@ object StreamingCuration {
     }
   }
 
+  /** Fold a batch's whitespace-token frequencies into persistent
+    * state — the additive sufficient statistic of the BPE trainer
+    * (r12, the 29th streaming twin): the trainer's first move is
+    * collapsing the corpus to (word, freq), and counts add across
+    * batches in any order, so a benchmark-cadence retrain
+    * ([[bpeTrainFromState]]) reads the folded vocabulary instead of
+    * re-scanning corpus text — at 100 TB the retrain input is
+    * vocabulary-sized (~10^8 rows), not corpus-sized (~10^12 docs).
+    * Rides [[mergeKeyCountState]] with the token as the key.
+    */
+  def mergeTokenFreqState(spark: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long = -1L): Unit =
+    mergeKeyCountState(spark, stateDir,
+      batch.select(explode(
+        graft.ops.TextAnalysis.tokens(lower(col("text")))).as("token")),
+      "token", batchId)
+
+  /** Retrain the BPE merge table from the folded vocabulary state —
+    * equals the one-shot [[graft.ops.TextAnalysis.bpeTrainOf]] over
+    * every folded doc exactly (the trainer is a pure function of the
+    * word-frequency table; spec-pinned).
+    */
+  def bpeTrainFromState(spark: SparkSession, stateDir: String,
+      nMerges: Int = graft.ops.TextAnalysis.BpeMerges): DataFrame =
+    graft.ops.TextAnalysis.bpeTrainFromFreq(
+      stateTable(spark, stateDir, "key_counts_token")
+        .select(col("k").as("w"), col("cnt").as("freq")),
+      nMerges)
+
   /** Fold a batch's per-day event counts into persistent state — the
     * additive sufficient statistic for the LIVE dyadic-EWMA volume
     * monitor (25th streaming twin): daily counts add across batches in

@@ -1036,9 +1036,25 @@ object TextAnalysis {
   def bpeTrainOf(docsIn: DataFrame, nMerges: Int): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
-    val wordFreq = docsIn
-      .select(explode(tokens(lower($"text"))).as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    bpeTrainFromFreq(
+      docsIn.select(explode(tokens(lower($"text"))).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("freq")),
+      nMerges)
+  }
+
+  /** The trainer's merge loop over an already-collapsed (w, freq)
+    * vocabulary — the entry point for INCREMENTAL retraining: the
+    * word-frequency table is an additive sufficient statistic, so a
+    * stream folds it per batch
+    * ([[graft.examples.StreamingCuration.mergeTokenFreqState]]) and a
+    * benchmark-cadence retrain reads the folded state instead of
+    * re-scanning corpus text (at 100 TB: vocabulary-sized input, not
+    * corpus-sized).
+    */
+  def bpeTrainFromFreq(wordFreqIn: DataFrame, nMerges: Int): DataFrame = {
+    val s = wordFreqIn.sparkSession
+    import s.implicits._
+    val wordFreq = wordFreqIn.select(col("w"), col("freq"))
       .gatedCheckpoint()
     // right-size the iteration: ~50k words per task keeps each of the
     // V rounds one short stage instead of |shuffle.partitions| empty

@@ -1538,6 +1538,30 @@ class StreamingSpec extends SparkSpec {
       "re-anchored monitor == one-shot over the post-rotation days")
   }
 
+  test("incremental BPE vocabulary state: out-of-order folds + retrain-from-state == one-shot trainer") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-bpestate")
+    val st = work.resolve("state").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents").filter($"doc_id" < 150)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // token-frequency counts add in any order — fold thirds shuffled
+    Seq(2, 0, 1).foreach { i =>
+      StreamingCuration.mergeTokenFreqState(spark, st,
+        docs.filter(pmod($"doc_id", lit(3)) === i), batchId = i.toLong)
+    }
+    val oneShot = rows(graft.ops.TextAnalysis.bpeTrainOf(docs, 12))
+    assert(oneShot.nonEmpty)
+    assert(rows(StreamingCuration.bpeTrainFromState(spark, st, 12)) == oneShot,
+      "retrain from folded vocabulary must equal the one-shot trainer")
+    // replay: watermark-gated no-op, counts must not double
+    StreamingCuration.mergeTokenFreqState(spark, st,
+      docs.filter(pmod($"doc_id", lit(3)) === 0), batchId = 0L)
+    assert(rows(StreamingCuration.bpeTrainFromState(spark, st, 12)) == oneShot,
+      "redelivered batch must not inflate the vocabulary")
+  }
+
   test("incremental cross-snapshot decon audit: rotated snapshots + per-batch folds == one-shot (VERDICT r11 ask #8)") {
     import spark.implicits._
     import graft.examples.StreamingCuration
