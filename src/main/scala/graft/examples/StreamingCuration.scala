@@ -991,6 +991,18 @@ object StreamingCuration {
           dir => snap.write.mode("overwrite").parquet(s"$dir/data")
         }
       }
+    // a rotation starts a NEW audit EPOCH: hit rows folded under the
+    // outgoing pair must not mix with the incoming pair's, and the
+    // fold watermark must reset with the data it summarizes (the
+    // gram-index retention rule) — else post-refresh redeliveries of
+    // pre-refresh batchIds would skip instead of auditing under the
+    // new pair. A crash inside this window heals by re-running the
+    // refresh (every step is idempotent and re-converges).
+    graft.streaming.StateFs.deleteRecursively(s"$stateDir/cross_snapshot_hits")
+    graft.streaming.StateFs.list(stateDir).foreach { p =>
+      if (p.getName.startsWith("cross_snapshot_v"))
+        graft.streaming.StateFs.deleteRecursively(p.toString)
+    }
     graft.ops.Decontamination
       .writeEvalShinglesVersioned(spark, stateDir, evalDocs, n)
   }
@@ -1039,13 +1051,20 @@ object StreamingCuration {
   /** The accumulated-stream refresh audit — identical columns to the
     * batch [[graft.ops.Decontamination.deconCrossSnapshot]], served
     * from the folded hit state (no corpus re-scan). `dropDuplicates`
-    * on the natural key heals any crashed double-append.
+    * on the natural key heals any crashed double-append; an epoch with
+    * no folds yet (fresh rotation, or no contaminated docs) reads as
+    * the empty report rather than a missing-path error.
     */
-  def crossSnapshotFromState(spark: SparkSession, stateDir: String): DataFrame =
-    graft.ops.Decontamination.crossSnapshotStatus(
-        spark.read.parquet(s"$stateDir/cross_snapshot_hits")
-          .dropDuplicates("train_id"))
+  def crossSnapshotFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$stateDir/cross_snapshot_hits"
+    val hits =
+      if (graft.streaming.StateFs.exists(path)) spark.read.parquet(path)
+      else Seq.empty[(Long, Long, Long)].toDF("train_id", "n_eval_v1", "n_eval_v2")
+    graft.ops.Decontamination
+      .crossSnapshotStatus(hits.dropDuplicates("train_id"))
       .orderBy("train_id")
+  }
 
   /** The accumulated-stream skew audit — the batch
     * [[graft.queries.QualityQueries.keySkew]] statistics over state.

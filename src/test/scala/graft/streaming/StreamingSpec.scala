@@ -1609,6 +1609,31 @@ class StreamingSpec extends SparkSpec {
       .write.mode("append").parquet(s"$st/cross_snapshot_hits")
     assert(rows(StreamingCuration.crossSnapshotFromState(spark, st)) == oneShot,
       "crashed double-append must heal at read")
+    // a THIRD refresh starts a new audit epoch: old-pair hit rows and
+    // the fold watermark reset together, so the report empties and a
+    // redelivered old batchId AUDITS under the new pair instead of
+    // being watermark-skipped (r12 self-review finding)
+    StreamingCuration.refreshEvalShingles(spark, st, docs.filter(inV1))
+    assert(rows(StreamingCuration.crossSnapshotFromState(spark, st)).isEmpty,
+      "rotation must reset the audit epoch")
+    Seq(0, 1).foreach { i =>
+      StreamingCuration.mergeCrossSnapshotState(spark, st,
+        docs.filter(pmod($"doc_id", lit(2)) === i), batchId = i.toLong)
+    }
+    val prevSh3 = graft.streaming.VersionedState
+      .readTable(spark, st, "eval_shingles_prev").get
+    val curSh3 = Decontamination.latestEvalShingles(spark, st).get
+    val tagged3 = prevSh3.select($"eval_id", $"sh", lit(1).as("snap"))
+      .unionByName(curSh3.select($"eval_id", $"sh", lit(2).as("snap")))
+    val want3 = rows(Decontamination.crossSnapshotStatus(
+        Decontamination.crossSnapshotHitsOf(
+          docs.join(broadcast(tagged3.select($"eval_id".as("doc_id")).distinct()),
+            Seq("doc_id"), "left_anti"), tagged3))
+      .orderBy("train_id"))
+    assert(want3.nonEmpty,
+      "new-epoch fixture must produce audit rows")
+    assert(rows(StreamingCuration.crossSnapshotFromState(spark, st)) == want3,
+      "post-rotation folds must audit under the NEW snapshot pair")
   }
 
   test("incremental ExactSubstr state: out-of-order folds + crashed double-append == one-shot") {
