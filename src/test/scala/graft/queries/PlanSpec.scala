@@ -487,6 +487,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("ta_bpe_curve: one vocabulary pass — a single token aggregation, no join") {
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val p = plan(graft.ops.TextAnalysis.bpeCurveOf(
+      graft.Tables.t(spark, sfDir, "documents"), merges))
+    // the curve is ONE kernel pass over the collapsed vocabulary: any
+    // Join means the per-budget snapshots forked into per-budget scans
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly the two aggregations (vocab collapse + budget rollup),
+    // not one per budget
+    assert("HashAggregate".r.findAllIn(p).length <= 4,
+      s"vocab + budget aggregations only (partial+final each):\n$p")
+  }
+
+  test("dedup_semantic_kmeans: frozen assignment kernel — no Lloyd's rounds in the query plan") {
+    // the registered query scores under the CACHED quantizer: the plan
+    // must be assignment + within-cluster pairs (one equi-join on
+    // cluster), never a cartesian or an NLJ of the embedding table
+    val p = plan(graft.ops.Curation.dedupSemanticKmeans(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("hashpartitioning\\(cluster".r.findAllIn(p).nonEmpty ||
+      p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"within-cluster pairs must ride an equi-join on cluster:\n$p")
+  }
+
   test("q83 range join: bounded window side broadcasts into a nested-loop join") {
     val p = plan(Extended7.q83RangeWindows(spark, sfDir))
     // the non-equi containment condition admits no hash join; the
