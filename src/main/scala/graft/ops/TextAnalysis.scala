@@ -1174,7 +1174,11 @@ object TextAnalysis {
         val ms = bc.value
         val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
         it.map { case (id, text) =>
-          val words = text.trim.split("\\s+").filter(_.nonEmpty)
+          // null text ≡ no words (r11 null-kernel convention; the
+          // replay oracle's LEFT JOIN emits the same (0, 0, '', 0) row)
+          val words =
+            if (text == null) Array.empty[String]
+            else text.trim.split("\\s+").filter(_.nonEmpty)
           val freq = scala.collection.mutable.HashMap.empty[String, Long]
           var nSyms = 0L
           words.foreach { w =>

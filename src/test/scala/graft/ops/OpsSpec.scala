@@ -1949,6 +1949,11 @@ class SubstrSpansSpec extends SparkSpec {
         if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
     assert(comp(2L) == ((-1L, -1L)),
       "null text keeps NULL n_chars/est_bytes (len(NULL) oracle parity, ADVICE r11 #2)")
+    val enc = TextAnalysis.bpeEncodeDocs(docs, Seq(("A", "B"))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(enc(2L) == ((0L, 0L, "")),
+      "null text encodes as the zero-word row (no NPE; oracle LEFT-JOIN parity)")
   }
 
   test("span length hist: bands are dyadic, mass reconciles with the per-doc audit") {
