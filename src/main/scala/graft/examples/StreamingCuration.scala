@@ -849,6 +849,21 @@ object StreamingCuration {
         .select(col("k").as("w"), col("cnt").as("freq")),
       nMerges)
 
+  /** The merge-budget ablation curve from the folded vocabulary state
+    * (30th streaming twin) — [[graft.ops.TextAnalysis.taBpeCurve]]'s
+    * arithmetic over [[mergeTokenFreqState]]'s counts under a frozen
+    * merge table: the curve a tokenizer owner re-reads on retrain
+    * cadence, priced at one vocabulary-sized kernel pass with zero
+    * corpus-text rescans (spec-pinned equal to the batch curve).
+    */
+  def bpeCurveFromState(spark: SparkSession, stateDir: String,
+      merges: Seq[(String, String)],
+      budgets: Seq[Int] = graft.ops.TextAnalysis.BpeCurveBudgets): DataFrame =
+    graft.ops.TextAnalysis.bpeCurveFromFreq(
+      stateTable(spark, stateDir, "key_counts_token")
+        .select(col("k").as("w"), col("cnt").as("freq")),
+      merges, budgets)
+
   /** Fold a batch's per-day event counts into persistent state — the
     * additive sufficient statistic for the LIVE dyadic-EWMA volume
     * monitor (25th streaming twin): daily counts add across batches in

@@ -1226,11 +1226,24 @@ object TextAnalysis {
       budgets: Seq[Int] = BpeCurveBudgets): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
+    bpeCurveFromFreq(
+      docsIn.select(explode(tokens(lower($"text"))).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("freq")),
+      merges, budgets)
+  }
+
+  /** The curve kernel over an already-collapsed (w, freq) vocabulary —
+    * like [[bpeTrainFromFreq]], the entry point for the incremental
+    * form: a stream folds token counts and the budget curve recomputes
+    * from the folded state, never from corpus text.
+    */
+  def bpeCurveFromFreq(wordFreq: DataFrame, merges: Seq[(String, String)],
+      budgets: Seq[Int] = BpeCurveBudgets): DataFrame = {
+    val s = wordFreq.sparkSession
+    import s.implicits._
     val bc = s.sparkContext.broadcast(merges)
     val grid = budgets.distinct.sorted
-    docsIn
-      .select(explode(tokens(lower($"text"))).as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    wordFreq.select(col("w"), col("freq"))
       .as[(String, Long)]
       .mapPartitions { it =>
         val ms = bc.value

@@ -1560,6 +1560,13 @@ class StreamingSpec extends SparkSpec {
       docs.filter(pmod($"doc_id", lit(3)) === 0), batchId = 0L)
     assert(rows(StreamingCuration.bpeTrainFromState(spark, st, 12)) == oneShot,
       "redelivered batch must not inflate the vocabulary")
+    // the budget curve rides the same folded vocabulary (30th twin)
+    val merges = graft.ops.TextAnalysis.bpeTrainOf(docs, 12)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rows(StreamingCuration.bpeCurveFromState(spark, st, merges)) ==
+      rows(graft.ops.TextAnalysis.bpeCurveOf(docs, merges)),
+      "curve from folded vocabulary must equal the batch curve")
   }
 
   test("incremental cross-snapshot decon audit: rotated snapshots + per-batch folds == one-shot (VERDICT r11 ask #8)") {
