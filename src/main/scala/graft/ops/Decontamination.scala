@@ -277,6 +277,42 @@ object Decontamination {
         .when(col("n_eval_v2") > 0L, "new")
         .otherwise("released").as("status"))
 
+  /** Evidence tiers for [[deconTierCurve]] — dyadic, like the EWMA and
+    * span-length bands.
+    */
+  val TierCurveTiers: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L)
+
+  /** decon_tier_curve: the evidence-threshold TUNING curve — for each
+    * dyadic `n_shared` tier, how many (train, eval) pairs, distinct
+    * training docs, and distinct eval docs a decontamination gate at
+    * that tier would flag. The decon analog of `dedup_jaccard_hist`: a
+    * pipeline owner reads this before choosing [[MinShared]] (a cliff
+    * between tiers says thresholds inside the gap are stable; a smear
+    * says the benchmark leaks gradually and the gate needs the wide-N
+    * variant instead).
+    *
+    * 100 TB shape: ONE corpus shingle pass + ONE broadcast eval probe
+    * (the [[contaminationPairs]] trunk at evidence tier 1), then every
+    * tier reads the SAME bounded pair table via conditional aggregates
+    * in a single pass — no re-probe per tier; the 1-row aggregate
+    * reshapes to tier rows with `stack`.
+    */
+  def deconTierCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = contaminationPairs(s, dir, minShared = 1L)
+    val aggs = TierCurveTiers.flatMap { t =>
+      Seq(
+        count(when($"n_shared" >= t, 1)).as(s"p$t"),
+        countDistinct(when($"n_shared" >= t, $"train_id")).as(s"tr$t"),
+        countDistinct(when($"n_shared" >= t, $"eval_id")).as(s"ev$t"))
+    }
+    pairs.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("stack(" + TierCurveTiers.length + ", " +
+        TierCurveTiers.map(t => s"${t}L, p$t, tr$t, ev$t").mkString(", ") +
+        ") as (tier, n_pairs, n_train_docs, n_eval_docs)")
+      .orderBy("tier")
+  }
+
   /** Persist an eval/benchmark shingle snapshot as a VERSIONED state —
     * the crash-safe form of [[writeEvalShingles]] (VERDICT r10
     * next-step #8): each benchmark refresh commits a fresh
@@ -311,6 +347,9 @@ object Decontamination {
       contaminationPairs(s, d, n = WideN, minShared = 1L)),
     "decon_semantic" -> ((s, d) => deconSemantic(s, d)),
     "decon_cross_snapshot" -> deconCrossSnapshot,
+    // new in r12: evidence-threshold tuning curve (one probe, one
+    // conditional-aggregate pass over the bounded pair table)
+    "decon_tier_curve" -> deconTierCurve,
     "decon_report" -> contaminationReport)
 
   /** DuckDB n-gram shingle CTE, the n-parameterized twin of
@@ -343,6 +382,23 @@ object Decontamination {
     s"list_sum([CAST($x AS DOUBLE[])[i] * CAST($y AS DOUBLE[])[i] for i in range(1, 65)])"
 
   val oracles: Map[String, String] = Map(
+    // per-tier conditional aggregates over the SAME tier-1 pair table
+    // the Spark single pass reads; LEFT JOIN ON TRUE keeps all tier
+    // rows alive on a contamination-free corpus (zero counts, like
+    // Spark's agg-on-empty)
+    "decon_tier_curve" -> s"""
+      ${pairsSql(Dedup.ShingleN, 1L)}
+      SELECT CAST(t.tier AS BIGINT) AS tier,
+        CAST(COUNT(*) FILTER (WHERE p.n_shared >= t.tier) AS BIGINT)
+          AS n_pairs,
+        CAST(COUNT(DISTINCT p.train_id) FILTER (WHERE p.n_shared >= t.tier)
+          AS BIGINT) AS n_train_docs,
+        CAST(COUNT(DISTINCT p.eval_id) FILTER (WHERE p.n_shared >= t.tier)
+          AS BIGINT) AS n_eval_docs
+      FROM (VALUES ${TierCurveTiers.map(t => s"($t)").mkString(", ")}) t(tier)
+      LEFT JOIN pairs p ON TRUE
+      GROUP BY t.tier
+      ORDER BY tier""",
     // cross-set all-pairs exact Jaccard truth — the banded plan must
     // reproduce it exactly (the dedup_minhash_lsh stance, cross-split)
     "decon_minhash" -> s"""
