@@ -1014,8 +1014,12 @@ object StreamingCuration {
     // new pair. A crash inside this window heals by re-running the
     // refresh (every step is idempotent and re-converges).
     graft.streaming.StateFs.deleteRecursively(s"$stateDir/cross_snapshot_hits")
+    // the tier-evidence state audits against the SERVED snapshot, so a
+    // refresh resets its epoch too (same watermark-with-data rule)
+    graft.streaming.StateFs.deleteRecursively(s"$stateDir/tier_evidence")
     graft.streaming.StateFs.list(stateDir).foreach { p =>
-      if (p.getName.startsWith("cross_snapshot_v"))
+      val n = p.getName
+      if (n.startsWith("cross_snapshot_v") || n.startsWith("tier_evidence_v"))
         graft.streaming.StateFs.deleteRecursively(p.toString)
     }
     graft.ops.Decontamination
@@ -1061,6 +1065,58 @@ object StreamingCuration {
         }
       case _ => ()
     }
+  }
+
+  /** Fold a batch's contamination evidence against the served
+    * eval-shingle snapshot into persistent state (31st streaming
+    * twin) — the per-(train, eval) `n_shared` counts are complete
+    * within a doc's batch (whole documents arrive in one row), so
+    * appends ARE the merge, exactly the cross-snapshot/ExactSubstr
+    * contract: crashed double-appends heal at read on the
+    * (train_id, eval_id) natural key, replays are watermark-gated
+    * no-ops, and fold cost ∝ batch (the eval side is bounded and
+    * broadcast). Benchmark members are excluded from the audited
+    * universe via the same broadcast anti-join as the cross-snapshot
+    * twin (a shingle-less eval doc is absent from the shingle table
+    * but produces no pairs either way). No snapshot yet → documented
+    * no-op; the batch query backfills.
+    */
+  def mergeTierEvidenceState(spark: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long = -1L): Unit = {
+    import spark.implicits._
+    val name = "tier_evidence"
+    if (VersionedState.alreadyFolded(spark, stateDir, name, batchId)) return
+    graft.ops.Decontamination.latestEvalShingles(spark, stateDir) match {
+      case None => ()
+      case Some(evalSh) =>
+        val train = batch.select($"doc_id", $"text")
+          .join(broadcast(evalSh.select($"eval_id".as("doc_id")).distinct()),
+            Seq("doc_id"), "left_anti")
+        val pairs = graft.ops.Decontamination
+          .contaminationAgainst(train, evalSh, minShared = 1L)
+          .gatedCheckpoint()
+        pairs.write.mode("append").parquet(s"$stateDir/tier_evidence")
+        VersionedState.commit(spark, stateDir, name, batchId) { dir =>
+          pairs.agg(count(lit(1)).as("n_pairs"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+        }
+    }
+  }
+
+  /** The accumulated-stream evidence-threshold tuning curve —
+    * identical columns to the batch
+    * [[graft.ops.Decontamination.deconTierCurve]], served from the
+    * folded evidence (no corpus re-scan; the rollup input is the
+    * bounded contaminated-pair table, not the stream).
+    */
+  def tierCurveFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$stateDir/tier_evidence"
+    val pairs =
+      if (graft.streaming.StateFs.exists(path)) spark.read.parquet(path)
+      else Seq.empty[(Long, Long, Long)].toDF("train_id", "eval_id", "n_shared")
+    graft.ops.Decontamination.tierCurveOfPairs(
+      pairs.dropDuplicates("train_id", "eval_id"))
   }
 
   /** The accumulated-stream refresh audit — identical columns to the

@@ -297,14 +297,20 @@ object Decontamination {
     * in a single pass — no re-probe per tier; the 1-row aggregate
     * reshapes to tier rows with `stack`.
     */
-  def deconTierCurve(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pairs = contaminationPairs(s, dir, minShared = 1L)
+  def deconTierCurve(s: SparkSession, dir: String): DataFrame =
+    tierCurveOfPairs(contaminationPairs(s, dir, minShared = 1L))
+
+  /** The per-tier rollup over any (train_id, eval_id, n_shared)
+    * evidence table — shared by the registered query and the
+    * incremental twin
+    * ([[graft.examples.StreamingCuration.tierCurveFromState]]).
+    */
+  def tierCurveOfPairs(pairs: DataFrame): DataFrame = {
     val aggs = TierCurveTiers.flatMap { t =>
       Seq(
-        count(when($"n_shared" >= t, 1)).as(s"p$t"),
-        countDistinct(when($"n_shared" >= t, $"train_id")).as(s"tr$t"),
-        countDistinct(when($"n_shared" >= t, $"eval_id")).as(s"ev$t"))
+        count(when(col("n_shared") >= t, 1)).as(s"p$t"),
+        countDistinct(when(col("n_shared") >= t, col("train_id"))).as(s"tr$t"),
+        countDistinct(when(col("n_shared") >= t, col("eval_id"))).as(s"ev$t"))
     }
     pairs.agg(aggs.head, aggs.tail: _*)
       .selectExpr("stack(" + TierCurveTiers.length + ", " +

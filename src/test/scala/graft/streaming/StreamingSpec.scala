@@ -1569,6 +1569,58 @@ class StreamingSpec extends SparkSpec {
       "curve from folded vocabulary must equal the batch curve")
   }
 
+  test("incremental tier-evidence state: per-batch folds + replay == one-shot tier curve") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    import graft.ops.Decontamination
+    val work = Files.createTempDirectory("graft-tierstate")
+    val st = work.resolve("state").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val isEval = md5($"doc_id".cast("string")) >= Decontamination.EvalLower
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // before any snapshot: the fold is a documented no-op and the
+    // curve reads as the all-zero report
+    StreamingCuration.mergeTierEvidenceState(spark, st,
+      docs.filter(pmod($"doc_id", lit(2)) === 0), batchId = 0L)
+    assert(rows(StreamingCuration.tierCurveFromState(spark, st))
+      .forall(r => r(1) == 0L && r(2) == 0L && r(3) == 0L))
+    // freeze the benchmark (the same md5 slice the batch query uses),
+    // then fold both halves out of order — batchId 0 re-folds because
+    // the pre-snapshot attempt committed nothing
+    Decontamination.writeEvalShinglesVersioned(spark, st, docs.filter(isEval))
+    Seq(1, 0).foreach { i =>
+      StreamingCuration.mergeTierEvidenceState(spark, st,
+        docs.filter(pmod($"doc_id", lit(2)) === i), batchId = i.toLong)
+    }
+    val oneShot = rows(Decontamination.deconTierCurve(spark, sfDir))
+    assert(oneShot.exists(r => r(1).asInstanceOf[Long] > 0L),
+      "fixture must have contamination evidence")
+    assert(rows(StreamingCuration.tierCurveFromState(spark, st)) == oneShot,
+      "streamed tier curve must equal the one-shot batch curve")
+    // replay: watermark-gated no-op
+    StreamingCuration.mergeTierEvidenceState(spark, st,
+      docs.filter(pmod($"doc_id", lit(2)) === 1), batchId = 1L)
+    assert(rows(StreamingCuration.tierCurveFromState(spark, st)) == oneShot,
+      "redelivered batch must not inflate the evidence")
+    // crashed fold: the evidence append landed, the meta commit did
+    // not — the (train_id, eval_id) natural key heals at read
+    val evalSh = Decontamination.latestEvalShingles(spark, st).get
+    Decontamination.contaminationAgainst(
+        docs.filter(pmod($"doc_id", lit(2)) === 0)
+          .join(broadcast(evalSh.select($"eval_id".as("doc_id")).distinct()),
+            Seq("doc_id"), "left_anti"),
+        evalSh, minShared = 1L)
+      .write.mode("append").parquet(s"$st/tier_evidence")
+    assert(rows(StreamingCuration.tierCurveFromState(spark, st)) == oneShot,
+      "crashed double-append must heal at read")
+    // a benchmark refresh resets the evidence epoch with its watermark
+    StreamingCuration.refreshEvalShingles(spark, st, docs.filter(isEval))
+    assert(rows(StreamingCuration.tierCurveFromState(spark, st))
+      .forall(r => r(1) == 0L && r(2) == 0L && r(3) == 0L),
+      "rotation must reset the tier-evidence epoch")
+  }
+
   test("incremental cross-snapshot decon audit: rotated snapshots + per-batch folds == one-shot (VERDICT r11 ask #8)") {
     import spark.implicits._
     import graft.examples.StreamingCuration
