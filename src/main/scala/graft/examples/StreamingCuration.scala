@@ -996,7 +996,8 @@ object StreamingCuration {
     * ingestion, only what the audit compares.
     */
   def refreshEvalShingles(spark: SparkSession, stateDir: String,
-      evalDocs: DataFrame, n: Int = graft.ops.Dedup.ShingleN): Unit = {
+      evalDocs: DataFrame, n: Int = graft.ops.Dedup.ShingleN): Unit =
+    rotationLock.synchronized {
     graft.ops.Decontamination.latestEvalShingles(spark, stateDir)
       .foreach { cur =>
         // materialize before the commit: the new eval_shingles commit
@@ -1026,6 +1027,25 @@ object StreamingCuration {
       .writeEvalShinglesVersioned(spark, stateDir, evalDocs, n)
   }
 
+  /** Serializes snapshot ROTATION against the epoch-scoped batch folds
+    * (r12 ADVICE #2): the epoch reset inside [[refreshEvalShingles]]
+    * (delete hit state + fold watermark, then commit the new snapshot)
+    * is multiple non-atomic steps, and a [[mergeCrossSnapshotState]] /
+    * [[mergeTierEvidenceState]] fold INTERLEAVED with them could append
+    * hits computed under the outgoing snapshot pair yet watermark-commit
+    * its batchId under the new epoch — a redelivery would then skip
+    * instead of re-auditing. The crash-heal argument in the rotation
+    * scaladoc covers sequential retry only, so concurrent execution must
+    * be excluded, not healed. This lock closes the single-driver case —
+    * the only deployment shape here, since both folds run inside
+    * foreachBatch on the driver and rotation is a driver-side admin
+    * action. A multi-driver deployment (two Spark apps sharing one
+    * stateDir) must serialize rotation against folds externally; that
+    * topology is out of scope for every state protocol in this file
+    * (VersionedState assumes a single committer likewise).
+    */
+  private[graft] val rotationLock = new Object
+
   /** Incremental benchmark-refresh audit — the streaming twin of the
     * batch [[graft.ops.Decontamination.deconCrossSnapshot]]: each
     * accepted batch is probed ONCE against the broadcast tagged union
@@ -1040,7 +1060,8 @@ object StreamingCuration {
     * pre-rotation batches with the batch query.
     */
   def mergeCrossSnapshotState(spark: SparkSession, stateDir: String,
-      batch: DataFrame, batchId: Long = -1L): Unit = {
+      batch: DataFrame, batchId: Long = -1L): Unit =
+    rotationLock.synchronized {
     import spark.implicits._
     val name = "cross_snapshot"
     if (VersionedState.alreadyFolded(spark, stateDir, name, batchId)) return
@@ -1082,7 +1103,8 @@ object StreamingCuration {
     * no-op; the batch query backfills.
     */
   def mergeTierEvidenceState(spark: SparkSession, stateDir: String,
-      batch: DataFrame, batchId: Long = -1L): Unit = {
+      batch: DataFrame, batchId: Long = -1L): Unit =
+    rotationLock.synchronized {
     import spark.implicits._
     val name = "tier_evidence"
     if (VersionedState.alreadyFolded(spark, stateDir, name, batchId)) return

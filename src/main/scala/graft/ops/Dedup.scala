@@ -888,12 +888,14 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs over the corpus (banded candidates +
-    * hamming verify), from the fused signature kernel. Hash signatures
-    * aren't expressible in DuckDB → rows-only check; pair semantics
-    * covered by DedupSpec.
+    * hamming verify), from the fused signature kernel. Oracle:
+    * [[simhashPairsOracleSql]] replays fnv64+splitmix64 in DuckDB
+    * mod-2^64 arithmetic and compares against ALL-PAIRS hamming — the
+    * banded plan must equal the ground truth (pigeonhole at ≤3).
     */
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
     simhashPairs(simhashSets(shingleSets(s, dir)))
+      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
       .orderBy("a", "b")
 
   /** Strategy-agreement forensics: how much of the exact-duplicate
@@ -953,8 +955,9 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "dedup_containment" -> ((s, d) => dedupContainment(s, d)),
     "dedup_editdist" -> ((s, d) => dedupEditDistance(s, d)),
-    // rows-only pair: Spark-hash simhash bits (the md5-portable twins
-    // dedup_simhash_portable/_pairs_portable carry the full oracles)
+    // oracle-gated since r13 via the full fnv64+splitmix64 DuckDB
+    // replay ([[simhashOracleSql]]); rows-only fallback only when the
+    // corpus fails [[TextAnalysis.asciiReplaySafe]]
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_simhash_portable" -> dedupSimhashPortable,
@@ -1202,7 +1205,21 @@ object Dedup {
       newSets.unionByName(baseSets).dropDuplicates("doc_id"), threshold)
   }
 
-  val oracles: Map[String, String] = Map(
+  /** Static entries plus — when [[Similarity.oracleContext]] is set by
+    * Verify and the corpus passes [[TextAnalysis.asciiReplaySafe]] — the
+    * fnv64/splitmix64 simhash replay oracles (r12 VERDICT ask #2: the
+    * last two hash-determined rows-only entries go oracle-gated).
+    */
+  def oracles: Map[String, String] =
+    staticOracles ++
+      graft.ops.Similarity.oracleContext.flatMap { case (s, dir) =>
+        if (!TextAnalysis.asciiReplaySafe(s, dir)) None
+        else Some(Map(
+          "dedup_simhash" -> simhashOracleSql,
+          "dedup_simhash_pairs" -> simhashPairsOracleSql))
+      }.getOrElse(Map.empty)
+
+  private val staticOracles: Map[String, String] = Map(
     "dedup_exact" -> """
       SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies, md5(text) AS text_hash
       FROM documents
@@ -1419,10 +1436,12 @@ object Dedup {
       WITH RECURSIVE $componentsCteBody
       SELECT id AS doc_id, MIN(lbl) AS component_id
       FROM reach GROUP BY id ORDER BY doc_id"""
-  // dedup_simhash / dedup_simhash_pairs (fnv64+splitmix64 form): the
-  // wrapping 64-bit arithmetic is not SQL-expressible → rows-only check;
-  // pair semantics covered by DedupSpec. The *_portable twins above are
-  // the oracle-checked equivalents (md5-nibble feature bits).
+  // dedup_simhash / dedup_simhash_pairs (fnv64+splitmix64 form): native
+  // DuckDB integers can't wrap, but mod-2^64 arithmetic is expressible
+  // through UBIGINT/HUGEINT — the Verify-time dynamic oracles
+  // ([[simhashOracleSql]], asciiReplaySafe-gated) replay both hashes
+  // from raw characters. The *_portable twins remain as the
+  // engine-agnostic md5-nibble form.
 
   /** DuckDB mirror of [[simhashPortableSigs]] + [[sigHex]]: per-shingle
     * md5 nibble bits → per-bit majority votes → hex-rendered signature
@@ -1446,4 +1465,95 @@ object Dedup {
       SELECT doc_id,
         string_agg(substr('0123456789abcdef', CAST(nib AS INT) + 1, 1), '' ORDER BY ni) AS simhash_hex
       FROM nibs GROUP BY doc_id)"""
+
+  // ---- fnv64+splitmix64 simhash replay (r12 VERDICT ask #2) ----------
+  //
+  // DuckDB cannot wrap 64-bit arithmetic natively (every integer op
+  // errors on overflow), but mod-2^64 arithmetic is EXPRESSIBLE: carry
+  // values as UBIGINT (exact [0, 2^64) domain — xor and logical >> are
+  // native), and route every product through HUGEINT with an explicit
+  // `% 2^64`. A 64×64-bit product can reach 2^128 (overflowing signed
+  // HUGEINT), so multipliers ≥ 2^63 are split into 32-bit halves:
+  //   a·b mod 2^64 = (a·b_lo + (a·b_hi mod 2^32)·2^32) mod 2^64,
+  // every partial ≤ 2^97. The fnv64 prime (2^40+0x1b3) is small enough
+  // to multiply directly. This yields a FULL independent replay — DuckDB
+  // re-derives every per-shingle hash from raw characters — rather than
+  // a frozen (shingle → hash) literal table; gated on asciiReplaySafe
+  // because the per-char fold assumes charAt(i) == unicode(substr(s,i,1)).
+
+  private val U64 = BigInt(1) << 64
+
+  /** `a · mult (mod 2^64)` over a UBIGINT SQL expression, splitting the
+    * multiplier so no intermediate exceeds HUGEINT range.
+    */
+  private def mulmod64(a: String, mult: BigInt): String = {
+    val lo = mult & 0xFFFFFFFFL
+    val hi = mult >> 32
+    s"CAST(((CAST($a AS HUGEINT) * $lo) + " +
+      s"((CAST($a AS HUGEINT) * $hi) % 4294967296) * 4294967296) % $U64 AS UBIGINT)"
+  }
+
+  private def u64(x: Long): BigInt = BigInt(x) & (U64 - 1)
+
+  /** CTE chain `sigs(doc_id, usig)` — the exact [[simhashSets]] kernel
+    * in DuckDB: distinct shingles per doc (shared [[shingleCte]]), fnv64
+    * per character (recursive CTE over the DISTINCT shingle vocabulary —
+    * |vocab| · maxlen rows, not corpus-sized), splitmix64 staged through
+    * the split multiplies, then the per-bit majority vote. Distinctness
+    * is by shingle TEXT here vs by fnv64 HASH in [[shingleSets]] —
+    * identical absent a 64-bit collision inside one document.
+    */
+  private lazy val simhashReplayCte: String = {
+    val fnvBasis = u64(0xcbf29ce484222325L)
+    val golden = u64(0x9e3779b97f4a7c15L)
+    s"""$shingleCte,
+    vocab AS (SELECT DISTINCT sh FROM sh),
+    fnv(sh, i, h) AS (
+      SELECT sh, 1, CAST($fnvBasis AS UBIGINT) FROM vocab
+      UNION ALL
+      SELECT sh, i + 1,
+        CAST((CAST(xor(h, CAST(unicode(substr(sh, i, 1)) AS UBIGINT)) AS HUGEINT)
+              * ${graft.ops.Curation.Fnv64Prime}) % $U64 AS UBIGINT)
+      FROM fnv WHERE i <= len(sh)),
+    fh AS (SELECT sh, h FROM fnv WHERE i = len(sh) + 1),
+    s1 AS (SELECT sh, CAST((CAST(h AS HUGEINT) + $golden) % $U64 AS UBIGINT) AS z FROM fh),
+    s2 AS (SELECT sh, ${mulmod64("xor(z, z >> 30)", u64(0xbf58476d1ce4e5b9L))} AS z FROM s1),
+    s3 AS (SELECT sh, ${mulmod64("xor(z, z >> 27)", u64(0x94d049bb133111ebL))} AS z FROM s2),
+    hv AS (SELECT sh, xor(z, z >> 31) AS hh FROM s3),
+    dh AS (SELECT DISTINCT s.doc_id, v.hh FROM sh s JOIN hv v USING (sh)),
+    bits AS (
+      SELECT doc_id, bb.j AS j, CAST((hh >> CAST(bb.j AS INT)) & 1 AS INT) AS bit
+      FROM dh CROSS JOIN (SELECT unnest(range(64)) AS j) bb),
+    votes AS (
+      SELECT doc_id, j, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY doc_id, j),
+    sigs AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << CAST(j AS INT)
+                 ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS usig
+      FROM votes GROUP BY doc_id)"""
+  }
+
+  /** Unsigned signature rendered back to the Spark LongType domain. */
+  private val sigAsBigint =
+    s"""CAST(CASE WHEN usig >= ${BigInt(1) << 63}
+         THEN CAST(usig AS HUGEINT) - $U64
+         ELSE CAST(usig AS HUGEINT) END AS BIGINT)"""
+
+  private[ops] lazy val simhashOracleSql = s"""
+      WITH RECURSIVE $simhashReplayCte
+      SELECT doc_id, $sigAsBigint AS simhash FROM sigs ORDER BY doc_id"""
+
+  /** Ground-truth pairs: ALL-PAIRS hamming ≤ 3 over the replayed
+    * signatures — the Spark side's 4×16-bit banding must lose nothing
+    * (pigeonhole: 3 flips touch ≤ 3 of 4 bands).
+    */
+  private[ops] lazy val simhashPairsOracleSql = s"""
+      WITH RECURSIVE $simhashReplayCte
+      SELECT a, b, hamming FROM (
+        SELECT x.doc_id AS a, y.doc_id AS b,
+          CAST(bit_count(xor(x.usig, y.usig)) AS BIGINT) AS hamming
+        FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id) p
+      WHERE hamming <= 3
+      ORDER BY a, b"""
 }

@@ -1576,18 +1576,34 @@ object TextAnalysis {
 
   private def sqlLit(x: String) = "'" + x.replace("'", "''") + "'"
 
-  /** Replay safety: the string encoding assumes the separator never
-    * occurs in text, and that Scala's per-UTF-16-char symbol split
-    * agrees with DuckDB's per-codepoint split — both true unless the
-    * corpus contains U+001F or non-BMP codepoints. One bounded
-    * aggregate; on a violation the BPE oracle entries are simply
-    * omitted (the pre-r12 rows-only fallback).
+  /** Replay safety for the data-derived DuckDB oracles (BPE family here,
+    * the fnv64/splitmix64 simhash replay in [[graft.ops.Dedup]]): TRUE
+    * iff every document is printable-ASCII plus {\t, \n, \f, \r} with no
+    * NULL texts. That closed class is exactly where the two engines'
+    * text primitives provably agree:
+    *  - Java regex `\s` vs DuckDB RE2 `\s` (U+000B is whitespace only to
+    *    Java — a VT-split corpus tokenizes differently on the two sides);
+    *  - `lower()` (locale-style mappings such as U+0130 İ → "i̇" are
+    *    Java-side multi-char expansions RE2-side lower never performs);
+    *  - per-UTF-16-char iteration vs per-codepoint iteration (non-BMP),
+    *    which the U+001F-separator BPE encoding and the per-char fnv64
+    *    fold both assume;
+    *  - DuckDB `unicode(substr(s,i,1))` == Java `charAt(i)`.
+    * One bounded aggregate; on a violation the data-derived oracle
+    * entries are simply omitted → the rows-only fallback (r12 ADVICE #1:
+    * the old guard rejected only U+001F and non-BMP, so a VT or İ corpus
+    * could pass the guard yet diverge — this class is closed under every
+    * primitive the replays use).
     */
-  private def bpeReplaySafe(s: SparkSession, dir: String): Boolean =
+  private[ops] def asciiReplaySafe(s: SparkSession, dir: String): Boolean =
     t(s, dir, "documents")
-      .agg(coalesce(sum(regexp_count(col("text"),
-        lit("[\\x{10000}-\\x{10FFFF}\\x1f]"))), lit(0L)))
+      .agg(coalesce(sum(when(col("text").isNull, lit(1L)).otherwise(
+        regexp_count(col("text"), lit("[^\\x20-\\x7e\\t\\n\\f\\r]")))),
+        lit(0L)))
       .head().getLong(0) == 0L
+
+  private def bpeReplaySafe(s: SparkSession, dir: String): Boolean =
+    asciiReplaySafe(s, dir)
 
   private def bpeTokSql(cols: String) = s"""
       tk AS (

@@ -133,6 +133,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash replay oracles are emitted iff the corpus is replay-safe (r12 VERDICT ask #2)") {
+    val saved = graft.ops.Similarity.oracleContext
+    try {
+      // no Verify context → static map only (no orphan keys either way)
+      graft.ops.Similarity.oracleContext = None
+      assert(!Dedup.oracles.contains("dedup_simhash"))
+      // replay-safe corpus → both fnv64/splitmix64 replays are emitted
+      graft.ops.Similarity.oracleContext = Some((spark, sfDir))
+      val o = Dedup.oracles
+      assert(o.contains("dedup_simhash") && o.contains("dedup_simhash_pairs"),
+        "ASCII corpus must carry the full replay oracles")
+      assert(o("dedup_simhash").contains("RECURSIVE"),
+        "the oracle must re-derive hashes, not read frozen literals")
+      // divergent corpus → entries omitted, rows-only fallback
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-simhashunsafe").toString
+      Seq((1L, "has a vertical\u000Btab")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      graft.ops.Similarity.oracleContext = Some((spark, dir))
+      assert(!Dedup.oracles.contains("dedup_simhash") &&
+        !Dedup.oracles.contains("dedup_simhash_pairs"),
+        "an engine-divergent corpus must fall back to rows-only")
+    } finally graft.ops.Similarity.oracleContext = saved
+  }
+
   test("minhash LSH + verify finds near-identical docs at jaccard 0.8") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " wX" // ~0.9 jaccard
@@ -1840,6 +1865,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(0) == 4L)
     assert(r.getDouble(1) == -1.5)
     assert(r.getDouble(2) == 3.0)
+  }
+
+  test("asciiReplaySafe: accepts the ASCII corpus, rejects every engine-divergent character class (r12 ADVICE #1)") {
+    import spark.implicits._
+    assert(graft.ops.TextAnalysis.asciiReplaySafe(spark, sfDir),
+      "the testdata corpus is printable-ASCII and must pass")
+    // each fixture is a character where Java-side and DuckDB-side text
+    // primitives provably diverge; any one of them must veto the
+    // data-derived replay oracles (fall back to rows-only)
+    val divergent = Seq(
+      "vt is java-regex-only whitespace \u000B split diverges",
+      "dotted capital I \u0130 lower() diverges",
+      "bpe separator \u001F collides",
+      "non-bmp \uD83D\uDE00 charAt diverges",
+      "nbsp \u00A0 is non-ascii")
+    divergent.zipWithIndex.foreach { case (txt, i) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-replaysafe$i").toString
+      Seq((1L, "plain ascii doc"), (2L, txt)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      assert(!graft.ops.TextAnalysis.asciiReplaySafe(spark, dir),
+        s"corpus with ${txt.take(20)}... must fall back to rows-only")
+    }
+    // NULL text: the replay kernels and the guard must agree it is unsafe
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-replaysafenull").toString
+    Seq((1L, "plain"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(!graft.ops.TextAnalysis.asciiReplaySafe(spark, dir),
+      "a NULL text must veto the replay oracles")
   }
 }
 

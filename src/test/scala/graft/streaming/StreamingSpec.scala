@@ -1695,6 +1695,52 @@ class StreamingSpec extends SparkSpec {
       "post-rotation folds must audit under the NEW snapshot pair")
   }
 
+  test("rotation lock serializes benchmark refresh against epoch-scoped folds (r12 ADVICE #2)") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    import graft.ops.Decontamination
+    val work = Files.createTempDirectory("graft-rotlock")
+    val st = work.resolve("state").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    def m(c: org.apache.spark.sql.Column) = md5(c.cast("string"))
+    val inV1 = m($"doc_id") >= Decontamination.SnapV1Lower &&
+      m($"doc_id") < Decontamination.SnapV1Upper
+    val inV2 = m($"doc_id") >= Decontamination.EvalLower
+    StreamingCuration.refreshEvalShingles(spark, st, docs.filter(inV1))
+    StreamingCuration.refreshEvalShingles(spark, st, docs.filter(inV2))
+    // A fold attempted while a rotation holds the lock must BLOCK on
+    // monitor entry — never interleave with the multi-step epoch reset.
+    // Thread.State.BLOCKED is reachable ONLY by contending the monitor,
+    // so this is a deterministic wiring check, not a sleep race.
+    @volatile var folded = false
+    val t = new Thread(() => {
+      StreamingCuration.mergeCrossSnapshotState(spark, st,
+        docs.filter(pmod($"doc_id", lit(2)) === 0), batchId = 0L)
+      folded = true
+    })
+    StreamingCuration.rotationLock.synchronized {
+      t.start()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (t.getState != Thread.State.BLOCKED && t.isAlive &&
+          System.nanoTime() < deadline)
+        Thread.sleep(5)
+      assert(t.getState == Thread.State.BLOCKED,
+        "a concurrent fold must wait on the rotation lock")
+      assert(!folded, "fold must not complete while rotation is in flight")
+    }
+    t.join(120000)
+    assert(folded, "fold must proceed once the rotation releases the lock")
+    // the serialized schedule then behaves exactly like the sequential
+    // one the crash-heal scaladoc argues about
+    StreamingCuration.mergeCrossSnapshotState(spark, st,
+      docs.filter(pmod($"doc_id", lit(2)) === 1), batchId = 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(StreamingCuration.crossSnapshotFromState(spark, st)) ==
+      rows(Decontamination.deconCrossSnapshot(spark, sfDir)),
+      "serialized fold schedule must equal the one-shot batch audit")
+  }
+
   test("incremental ExactSubstr state: out-of-order folds + crashed double-append == one-shot") {
     import spark.implicits._
     import graft.examples.StreamingCuration
