@@ -319,6 +319,47 @@ object Decontamination {
       .orderBy("tier")
   }
 
+  /** decon_smear_report: the combined-width evidence report the
+    * [[deconTierCurve]] doc points at — for every train/eval pair
+    * flagged at EITHER evidence width, the trigram mass (n=3, the
+    * smear-sensitive window) and the 13-gram count (the verbatim
+    * window) side by side, classed `hard` (≥1 shared 13-gram — long
+    * verbatim overlap, the conventional production trip-wire) vs
+    * `smeared` (trigram mass ≥ [[MinShared]] with NO 13-gram — gradual
+    * paraphrase-style leakage only the narrow window sees). A pipeline
+    * owner reads this to decide whether [[WideN]] alone is a safe gate
+    * for a given benchmark or the narrow sweep must stay on.
+    *
+    * 100 TB shape: the training corpus is scanned ONCE, emitting both
+    * widths from one tokenize ([[Dedup.shingledOfWidths]]); the eval
+    * side is bounded and broadcasts as a width-tagged union (the
+    * cross-snapshot tagged-probe pattern); one broadcast join on
+    * (width, 8-byte hash), one (train, eval) aggregation with
+    * conditional sums — cardinality bounded by contaminated mass, and
+    * nothing corpus-sized shuffles.
+    */
+  def deconSmearReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.t(s, dir, "documents")
+    val evalDocs = docs.filter(isEval($"doc_id"))
+    val widths = Seq(Dedup.ShingleN, WideN)
+    val evalSh = widths.map { n =>
+      Dedup.shingledOf(evalDocs, n)
+        .select(lit(n).as("n"), $"doc_id".as("eval_id"), $"sh")
+    }.reduce(_ unionByName _)
+    Dedup.shingledOfWidths(docs.filter(!isEval($"doc_id")), widths)
+      .join(broadcast(evalSh), Seq("n", "sh"))
+      .groupBy($"doc_id".as("train_id"), $"eval_id")
+      .agg(
+        sum(when($"n" === Dedup.ShingleN, 1L).otherwise(0L)).as("n_shared_3"),
+        sum(when($"n" === WideN, 1L).otherwise(0L)).as("n_shared_13"))
+      .filter($"n_shared_3" >= MinShared || $"n_shared_13" >= 1L)
+      .select($"train_id", $"eval_id", $"n_shared_3", $"n_shared_13",
+        when($"n_shared_13" >= 1L, lit("hard")).otherwise(lit("smeared"))
+          .as("status"))
+      .orderBy("train_id", "eval_id")
+  }
+
   /** Persist an eval/benchmark shingle snapshot as a VERSIONED state —
     * the crash-safe form of [[writeEvalShingles]] (VERDICT r10
     * next-step #8): each benchmark refresh commits a fresh
@@ -356,13 +397,16 @@ object Decontamination {
     // new in r12: evidence-threshold tuning curve (one probe, one
     // conditional-aggregate pass over the bounded pair table)
     "decon_tier_curve" -> deconTierCurve,
+    // new in r13: combined-width hard-vs-smeared leakage report (one
+    // corpus scan emitting both widths, width-tagged broadcast probe)
+    "decon_smear_report" -> ((s, d) => deconSmearReport(s, d)),
     "decon_report" -> contaminationReport)
 
   /** DuckDB n-gram shingle CTE, the n-parameterized twin of
     * [[Dedup.shingleCte]] (identical output at n=3).
     */
-  private def shingleCteN(n: Int) = s"""
-    sh AS (
+  private def shingleCteN(n: Int, name: String = "sh") = s"""
+    $name AS (
       SELECT doc_id, unnest(list_distinct(
         [array_to_string(ws[i:i+${n - 1}], ' ') for i in range(1, len(ws) - ${n - 2})])) AS sh
       FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS ws
@@ -448,6 +492,38 @@ object Decontamination {
     "decon_pairs_13gram" -> s"""
       ${pairsSql(WideN, 1L)}
       SELECT train_id, eval_id, n_shared FROM pairs
+      ORDER BY train_id, eval_id""",
+    // two independent width sweeps FULL-OUTER-joined — deliberately NOT
+    // the Spark plan's one-scan tagged union, so the oracle checks the
+    // combined report against a structurally different derivation
+    "decon_smear_report" -> s"""
+      WITH ${shingleCteN(Dedup.ShingleN, "sh3")},
+      ${shingleCteN(WideN, "sh13")},
+      p3 AS (
+        SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+          CAST(COUNT(*) AS BIGINT) AS n3
+        FROM sh3 t JOIN sh3 e ON t.sh = e.sh
+        WHERE md5(CAST(e.doc_id AS VARCHAR)) >= '$EvalLower'
+          AND md5(CAST(t.doc_id AS VARCHAR)) < '$EvalLower'
+        GROUP BY 1, 2),
+      p13 AS (
+        SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+          CAST(COUNT(*) AS BIGINT) AS n13
+        FROM sh13 t JOIN sh13 e ON t.sh = e.sh
+        WHERE md5(CAST(e.doc_id AS VARCHAR)) >= '$EvalLower'
+          AND md5(CAST(t.doc_id AS VARCHAR)) < '$EvalLower'
+        GROUP BY 1, 2),
+      j AS (
+        SELECT COALESCE(p3.train_id, p13.train_id) AS train_id,
+          COALESCE(p3.eval_id, p13.eval_id) AS eval_id,
+          COALESCE(n3, 0) AS n_shared_3,
+          COALESCE(n13, 0) AS n_shared_13
+        FROM p3 FULL OUTER JOIN p13
+          ON p3.train_id = p13.train_id AND p3.eval_id = p13.eval_id)
+      SELECT train_id, eval_id, n_shared_3, n_shared_13,
+        CASE WHEN n_shared_13 >= 1 THEN 'hard' ELSE 'smeared' END AS status
+      FROM j
+      WHERE n_shared_3 >= $MinShared OR n_shared_13 >= 1
       ORDER BY train_id, eval_id""",
     "decon_report" -> s"""
       ${pairsSql(Dedup.ShingleN, MinShared)}

@@ -95,6 +95,39 @@ object Dedup {
       .toDF("doc_id", "sh")
   }
 
+  /** Multi-width shingling in ONE corpus scan: (doc_id, n, sh) rows for
+    * every width in `ns`, per-doc-distinct within each width — the
+    * tokenize happens once per document and each width walks the shared
+    * token array (vs one full corpus pass per width through
+    * [[shingledOf]]). Built for [[Decontamination.deconSmearReport]],
+    * which probes the 3-gram and 13-gram evidence widths side by side.
+    */
+  private[graft] def shingledOfWidths(
+      docs: DataFrame, ns: Seq[Int]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val widths = ns.distinct.sorted
+    docs
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]
+        widths.foreach { n =>
+          if (ws.length >= n) {
+            val seen = new scala.collection.mutable.HashSet[Long]
+            var i = 0
+            while (i + n <= ws.length) {
+              val h = fnv64(ws.slice(i, i + n).mkString(" "))
+              if (seen.add(h)) out += ((id, n, h))
+              i += 1
+            }
+          }
+        }
+        out.iterator
+      }
+      .toDF("doc_id", "n", "sh")
+  }
+
   /** Exact dedup: group identical texts, keep the smallest doc_id as the
     * canonical representative. One shuffle on the text hash.
     */

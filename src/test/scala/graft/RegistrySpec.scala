@@ -26,7 +26,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registered query count matches the round record") {
-    assert(SparkEntry.queries.size == 261, // r12: +ta_bpe_curve, +decon_tier_curve
+    assert(SparkEntry.queries.size == 262, // r13: +decon_smear_report
       s"query count drifted: ${SparkEntry.queries.size} — update the " +
         "round record (NOTES.md/README.md) together with this pin")
   }

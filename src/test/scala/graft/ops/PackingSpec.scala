@@ -214,6 +214,55 @@ class DecontaminationSpec extends SparkSpec {
     }
   }
 
+  test("decon_smear_report: hard vs smeared classes on planted fixtures; consistent with decon_pairs") {
+    // corpus-level consistency first: a row is `hard` iff it has
+    // 13-gram evidence, every row clears one of the two gates, and the
+    // trigram mass of flagged pairs matches the standalone 3-gram sweep
+    val rows = Decontamination.deconSmearReport(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (n3, n13, st) = (r.getLong(2), r.getLong(3), r.getString(4))
+      assert((st == "hard") == (n13 >= 1L), s"class/evidence mismatch: $r")
+      assert(n3 >= Decontamination.MinShared || n13 >= 1L)
+    }
+    val pairs3 = Decontamination.contaminationPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.filter(_.getLong(2) >= Decontamination.MinShared).foreach { r =>
+      assert(pairs3.get((r.getLong(0), r.getLong(1))).contains(r.getLong(2)),
+        "trigram mass must equal the standalone 3-gram sweep")
+    }
+    // planted fixtures: a verbatim 13-word run (hard) vs scattered
+    // trigram overlap that never completes a 13-gram (smeared)
+    val hashOf = (id: Long) =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val evalId = (0L until 200L).find(hashOf(_) >= "f8").get
+    val trainIds = (0L until 200L).filter(hashOf(_) < "f8")
+    val (hardId, smearId, cleanId) =
+      (trainIds(0), trainIds(1), trainIds(2))
+    val ew = (1 to 20).map(i => s"e$i")
+    val evalText = ew.mkString(" ")
+    val hardText = "pad1 pad2 " + ew.take(13).mkString(" ") + " pad3"
+    val smearText = Seq(ew(0), ew(1), ew(2), "qq", ew(4), ew(5), ew(6),
+      "rr", ew(8), ew(9), ew(10)).mkString(" ")
+    val cleanText = (1 to 15).map(i => s"c$i").mkString(" ")
+    val work = java.nio.file.Files.createTempDirectory("graft-smear").toString
+    Seq((evalId, evalText), (hardId, hardText), (smearId, smearText),
+        (cleanId, cleanText))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val got = Decontamination.deconSmearReport(spark, work).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(got.keySet == Set(hardId, smearId), s"flagged: ${got.keySet}")
+    val (h3, h13, hst) = got(hardId)
+    assert(hst == "hard" && h13 == 1L && h3 == 11L,
+      s"verbatim 13-run must class hard with 11 shared trigrams: $got")
+    val (s3, s13, sst) = got(smearId)
+    assert(sst == "smeared" && s13 == 0L && s3 == 3L,
+      s"scattered trigrams must class smeared: $got")
+  }
+
   test("decon_pairs: a planted benchmark leak is caught end-to-end") {
     // build a tiny corpus-shaped frame where train doc 1 contains eval
     // doc's exact text (verbatim leak) and train doc 2 is clean;

@@ -487,6 +487,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("decon_smear_report: width-tagged eval union broadcasts; one pair aggregation; no cartesian") {
+    val p = plan(graft.ops.Decontamination.deconSmearReport(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the width-tagged eval union must broadcast:\n$p")
+    // the corpus-sized train side must never shuffle against eval
+    assert(!p.contains("SortMergeJoin"), p)
+    // both widths roll up in ONE (train, eval) aggregation with
+    // conditional sums — a per-width fork would double the probe
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 1,
+      s"exactly one probe join expected:\n$p")
+  }
+
   test("ta_bpe_curve: one vocabulary pass — a single token aggregation, no join") {
     val merges = Seq(("a", "b"), ("ab", "c"))
     val p = plan(graft.ops.TextAnalysis.bpeCurveOf(
