@@ -13,8 +13,26 @@ as the regression denominator. BENCH_full_local.json is overwritten by
 every graft.Bench run (it is "latest", and the driver's elevated runs
 land there too), so diffing against it under-reports regressions
 whenever the previous run was noise-elevated.
+
+Canary normalization (VERDICT r12 #1b): the floor artifact is from a
+machine window no later run reproduces, so EVERY query reads "slower"
+under whole-machine elevation and a real single-query regression hides
+inside the global band. CANARY_QUERIES is a fixed set of byte-stable
+queries spanning families (pinned equal to graft.Canary.Queries by
+CanarySpec); their median new/old ratio estimates the run's elevation
+factor, each query's ratio is divided by it, and the regression gate
+applies to the NORMALIZED ratio. Raw ratios are still printed. Pass
+--no-canary to gate on raw ratios (the pre-r13 behavior).
 """
 import json, re, sys
+
+# Byte-stable canary set — keep in sync with graft.Canary.Queries
+# (src/main/scala/graft/Canary.scala); CanarySpec pins the two lists.
+CANARY_QUERIES = [
+    "q1_pricing_summary", "q4_star_join", "q40_time_range_frame",
+    "q45_lateral", "dedup_minhash_lsh", "dedup_jaccard_hist",
+    "sim_triangles", "ta_tfidf", "dq_outlier_mad", "mm_decode",
+]
 
 
 def load(path):
@@ -48,16 +66,37 @@ def load(path):
     raise SystemExit(f"no bench JSON found in {path}")
 
 
-def main(old_path, new_path, threshold=1.3):
+def canary_factor(oq, nq):
+    """Median new/old ratio over the canary set — the run's estimated
+    whole-machine elevation. Requires >=5 canaries present in both files
+    (else returns 1.0 and a warning: no normalization)."""
+    ratios = sorted(nq[c] / oq[c] for c in CANARY_QUERIES
+                    if c in oq and c in nq and oq[c] > 0)
+    if len(ratios) < 5:
+        print(f"WARNING: only {len(ratios)} canaries present in both "
+              "files; gating on RAW ratios")
+        return 1.0
+    mid = len(ratios) // 2
+    return (ratios[mid] if len(ratios) % 2 == 1
+            else (ratios[mid - 1] + ratios[mid]) / 2)
+
+
+def main(old_path, new_path, threshold=1.3, canary=True):
     old, new = load(old_path), load(new_path)
     oq, nq = old["queries"], new["queries"]
+    factor = canary_factor(oq, nq) if canary else 1.0
+    if canary:
+        print(f"canary elevation factor: {factor:.3f} "
+              f"(median new/old over {sum(1 for c in CANARY_QUERIES if c in oq and c in nq)} canaries)")
     regressions = []
     for name in sorted(set(oq) & set(nq)):
         ratio = nq[name] / oq[name] if oq[name] > 0 else float("inf")
-        if ratio >= threshold and nq[name] - oq[name] > 0.2:  # ignore sub-noise
-            regressions.append((ratio, name))
-    for ratio, name in sorted(regressions, reverse=True):
-        print(f"REGRESSION {name:28s} {oq[name]:6.2f}s -> {nq[name]:6.2f}s  ({ratio:.2f}x)")
+        norm = ratio / factor
+        if norm >= threshold and nq[name] - oq[name] * factor > 0.2:  # ignore sub-noise
+            regressions.append((norm, ratio, name))
+    for norm, ratio, name in sorted(regressions, reverse=True):
+        print(f"REGRESSION {name:28s} {oq[name]:6.2f}s -> {nq[name]:6.2f}s  "
+              f"({ratio:.2f}x raw, {norm:.2f}x canary-normalized)")
     for name in sorted(set(nq) - set(oq)):
         print(f"NEW        {name:28s} {nq[name]:6.2f}s")
     for name in sorted(set(oq) - set(nq)):
@@ -73,4 +112,4 @@ if __name__ == "__main__":
     for a in sys.argv[1:]:
         if a.startswith("--threshold"):
             thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
-    sys.exit(main(args[0], args[1], thr))
+    sys.exit(main(args[0], args[1], thr, canary="--no-canary" not in sys.argv))
