@@ -1125,6 +1125,60 @@ object StreamingCuration {
     }
   }
 
+  /** Fold a batch's combined-width (3-gram + 13-gram) contamination
+    * evidence against a provided benchmark set into persistent state
+    * (32nd streaming twin — the incremental form of
+    * [[graft.ops.Decontamination.deconSmearReport]]): per-(train, eval)
+    * width counts are complete within a doc's batch (whole documents
+    * arrive in one row), so appends ARE the merge — the
+    * tier-evidence/ExactSubstr contract: crashed double-appends heal at
+    * read on the (train_id, eval_id) natural key, replays are
+    * watermark-gated no-ops, and fold cost ∝ batch + |eval| (the eval
+    * side shingles per fold but benchmarks are bounded; both widths
+    * leave ONE tokenize of the batch). Benchmark members are excluded
+    * from the audited universe via the same broadcast anti-join as the
+    * sibling twins. The eval set is caller-provided (the production
+    * shape — an external benchmark table), so this state carries no
+    * rotation epoch; a deployment auditing the SERVED snapshot uses the
+    * tier-evidence twin instead.
+    */
+  def mergeSmearEvidenceState(spark: SparkSession, stateDir: String,
+      batch: DataFrame, evalDocs: DataFrame, batchId: Long = -1L): Unit = {
+    import spark.implicits._
+    val name = "smear_evidence"
+    if (VersionedState.alreadyFolded(spark, stateDir, name, batchId)) return
+    val train = batch.select($"doc_id", $"text")
+      .join(broadcast(evalDocs.select($"doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+    val pairs = graft.ops.Decontamination.smearPairsOf(train, evalDocs)
+      .gatedCheckpoint()
+    pairs.write.mode("append").parquet(s"$stateDir/smear_evidence")
+    VersionedState.commit(spark, stateDir, name, batchId) { dir =>
+      pairs.agg(count(lit(1)).as("n_pairs"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    }
+  }
+
+  /** The accumulated-stream combined-width leakage report — identical
+    * columns to the batch
+    * [[graft.ops.Decontamination.deconSmearReport]], served from the
+    * folded evidence (no corpus re-scan; the gate/class tail is the
+    * shared [[graft.ops.Decontamination.smearClassOf]] trunk).
+    * `dropDuplicates` heals any crashed double-append.
+    */
+  def smearReportFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    val path = s"$stateDir/smear_evidence"
+    val pairs =
+      if (graft.streaming.StateFs.exists(path)) spark.read.parquet(path)
+      else {
+        import spark.implicits._
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("train_id", "eval_id", "n_shared_3", "n_shared_13")
+      }
+    graft.ops.Decontamination.smearClassOf(
+      pairs.dropDuplicates("train_id", "eval_id"))
+  }
+
   /** The accumulated-stream evidence-threshold tuning curve —
     * identical columns to the batch
     * [[graft.ops.Decontamination.deconTierCurve]], served from the

@@ -341,24 +341,46 @@ object Decontamination {
   def deconSmearReport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = graft.Tables.t(s, dir, "documents")
-    val evalDocs = docs.filter(isEval($"doc_id"))
+    smearClassOf(smearPairsOf(
+      docs.filter(!isEval($"doc_id")), docs.filter(isEval($"doc_id"))))
+  }
+
+  /** The smear report's probe trunk — (train_id, eval_id, n_shared_3,
+    * n_shared_13) for every pair sharing ≥1 shingle at EITHER width —
+    * shared by the registered query and the incremental twin
+    * ([[graft.examples.StreamingCuration.smearReportFromState]]), so
+    * the two derivations cannot drift. Per-pair counts are complete
+    * within a train doc's batch (whole documents arrive in one row),
+    * which is what makes the twin's appends the merge.
+    */
+  def smearPairsOf(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
     val widths = Seq(Dedup.ShingleN, WideN)
     val evalSh = widths.map { n =>
       Dedup.shingledOf(evalDocs, n)
         .select(lit(n).as("n"), $"doc_id".as("eval_id"), $"sh")
     }.reduce(_ unionByName _)
-    Dedup.shingledOfWidths(docs.filter(!isEval($"doc_id")), widths)
+    Dedup.shingledOfWidths(train, widths)
       .join(broadcast(evalSh), Seq("n", "sh"))
       .groupBy($"doc_id".as("train_id"), $"eval_id")
       .agg(
         sum(when($"n" === Dedup.ShingleN, 1L).otherwise(0L)).as("n_shared_3"),
         sum(when($"n" === WideN, 1L).otherwise(0L)).as("n_shared_13"))
-      .filter($"n_shared_3" >= MinShared || $"n_shared_13" >= 1L)
-      .select($"train_id", $"eval_id", $"n_shared_3", $"n_shared_13",
-        when($"n_shared_13" >= 1L, lit("hard")).otherwise(lit("smeared"))
+  }
+
+  /** The report tail over any (train_id, eval_id, n_shared_3,
+    * n_shared_13) evidence table: gate at [[MinShared]] trigrams OR one
+    * 13-gram, class hard vs smeared.
+    */
+  def smearClassOf(pairs: DataFrame): DataFrame =
+    pairs
+      .filter(col("n_shared_3") >= MinShared || col("n_shared_13") >= 1L)
+      .select(col("train_id"), col("eval_id"),
+        col("n_shared_3"), col("n_shared_13"),
+        when(col("n_shared_13") >= 1L, lit("hard")).otherwise(lit("smeared"))
           .as("status"))
       .orderBy("train_id", "eval_id")
-  }
 
   /** Persist an eval/benchmark shingle snapshot as a VERSIONED state —
     * the crash-safe form of [[writeEvalShingles]] (VERDICT r10

@@ -128,6 +128,10 @@ object TwinRegistry {
     Twin("para_dedup", "versioned-state", "Curation.paragraphDedupOf",
       Seq(sc("mergeParaState")), "paraDedupFromState", Seq("paradedup"),
       "incremental paragraph-dedup state: per-batch results concatenate to the one-shot batch answer"),
+    Twin("smear_evidence", "versioned-state", "Decontamination.deconSmearReport",
+      Seq(sc("mergeSmearEvidenceState")), "smearReportFromState",
+      Seq("smear_evidence"),
+      "incremental smear-evidence state: out-of-order folds + replay + torn append == one-shot smear report"),
     // persisted-artifact protocol (artifact lifecycle != VersionedState,
     // but the same contract: fold ∝ batch, reader == batch twin)
     Twin("knn_graph", "persisted-artifact", "Similarity.simKnnGraph",

@@ -1569,6 +1569,49 @@ class StreamingSpec extends SparkSpec {
       "curve from folded vocabulary must equal the batch curve")
   }
 
+  test("incremental smear-evidence state: out-of-order folds + replay + torn append == one-shot smear report") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    import graft.ops.Decontamination
+    val work = Files.createTempDirectory("graft-smearstate")
+    val st = work.resolve("state").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val isEval = md5($"doc_id".cast("string")) >= Decontamination.EvalLower
+    val evalDocs = docs.filter(isEval)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // empty state reads as the empty report (schema-stable)
+    assert(rows(StreamingCuration.smearReportFromState(spark, st)).isEmpty)
+    // the training corpus streams in two OUT-OF-ORDER batches; the
+    // fold's anti-join excludes benchmark members, so feed the
+    // UNFILTERED halves (what a real stream delivers)
+    Seq(1, 0).foreach { i =>
+      StreamingCuration.mergeSmearEvidenceState(spark, st,
+        docs.filter(pmod($"doc_id", lit(2)) === i), evalDocs,
+        batchId = i.toLong)
+    }
+    val oneShot = rows(Decontamination.deconSmearReport(spark, sfDir))
+    assert(oneShot.exists(_(4) == "hard") || oneShot.nonEmpty,
+      "fixture must produce smear-report rows")
+    assert(rows(StreamingCuration.smearReportFromState(spark, st)) == oneShot,
+      "streamed smear report must equal the one-shot batch report")
+    // replay: watermark-gated no-op
+    StreamingCuration.mergeSmearEvidenceState(spark, st,
+      docs.filter(pmod($"doc_id", lit(2)) === 0), evalDocs, batchId = 0L)
+    assert(rows(StreamingCuration.smearReportFromState(spark, st)) == oneShot,
+      "redelivered batch must not inflate the evidence")
+    // crashed fold: the evidence append landed, the meta commit did
+    // not — the (train_id, eval_id) natural key heals at read
+    Decontamination.smearPairsOf(
+        docs.filter(pmod($"doc_id", lit(2)) === 0)
+          .join(broadcast(evalDocs.select($"doc_id").distinct()),
+            Seq("doc_id"), "left_anti"),
+        evalDocs)
+      .write.mode("append").parquet(s"$st/smear_evidence")
+    assert(rows(StreamingCuration.smearReportFromState(spark, st)) == oneShot,
+      "crashed double-append must heal at read")
+  }
+
   test("incremental tier-evidence state: per-batch folds + replay == one-shot tier curve") {
     import spark.implicits._
     import graft.examples.StreamingCuration
