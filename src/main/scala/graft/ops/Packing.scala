@@ -380,6 +380,56 @@ object Packing {
     * 100 TB shape: one scan → map-side-combinable aggregation on a
     * 9-value key. Nothing else moves.
     */
+  /** Dyadic context-length budgets for [[packBudgetCurve]]. */
+  val BudgetCurveLengths: Seq[Long] =
+    Seq(256L, 512L, 1024L, 2048L, 4096L, 8192L)
+
+  /** pack_budget_curve: the max-sequence-length TUNING curve — for each
+    * dyadic context budget L, what the corpus costs under the two
+    * standard fill policies, all read from ONE token-count pass:
+    * truncate-to-L (docs over budget, tokens lost) and concat-and-cut
+    * packing of the truncated stream (bins, tail padding, utilization).
+    * The packing analog of `decon_tier_curve`/`ta_bpe_curve`: a
+    * pipeline owner reads this table to pick max_seq_len BEFORE
+    * committing a tokenization run, instead of re-packing per
+    * candidate length. (The fixed-bucket per-doc padding policy lives
+    * in [[packBucketWaste]]; BFD bin packing at ONE length in
+    * [[packBfd]] — this is the cross-length sweep.)
+    *
+    * 100 TB shape: ONE corpus scan → ONE 1-row aggregate (per-budget
+    * conditional sums, map-side combinable) → `stack` reshape to
+    * |budgets| rows. No join, no per-budget re-scan — cost independent
+    * of the budget count, exactly the ta_bpe_curve shape.
+    */
+  def packBudgetCurve(s: SparkSession, dir: String): DataFrame =
+    packBudgetCurveOf(t(s, dir, "documents"))
+
+  def packBudgetCurveOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val lens = docs
+      .select(graft.ops.TextAnalysis.tokenCount($"text").as("n"))
+      .filter($"n" > 0L)
+    val aggs = BudgetCurveLengths.flatMap { l =>
+      Seq(
+        sum(when($"n" > l, lit(1L)).otherwise(lit(0L))).as(s"o$l"),
+        sum(when($"n" > l, $"n" - lit(l)).otherwise(lit(0L))).as(s"t$l"),
+        sum(least($"n", lit(l))).as(s"k$l"))
+    }
+    lens.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${BudgetCurveLengths.size}, " +
+        BudgetCurveLengths.map(l => s"${l}L, o$l, t$l, k$l").mkString(", ") +
+        ") as (context_len, n_docs_truncated, tokens_lost, tokens_kept)")
+      .withColumn("n_bins", expr(
+        "CAST((tokens_kept + context_len - 1) DIV context_len AS LONG)"))
+      .withColumn("pad_waste", $"n_bins" * $"context_len" - $"tokens_kept")
+      .withColumn("utilization",
+        when($"n_bins" === 0L, lit(1.0)).otherwise(
+          $"tokens_kept".cast("double") /
+            ($"n_bins" * $"context_len").cast("double")))
+      .orderBy("context_len")
+  }
+
   def packBucketWaste(s: SparkSession, dir: String): DataFrame =
     packBucketWasteOf(t(s, dir, "documents"))
 
@@ -582,6 +632,8 @@ object Packing {
     "pack_bfd" -> ((s, d) => packBfd(s, d)),
     "pack_bfd_offsets" -> ((s, d) => packBfdOffsets(s, d)),
     "pack_bucket_waste" -> ((s, d) => packBucketWaste(s, d)),
+    // new in r13: the max-seq-len sweep (one pass, stack reshape)
+    "pack_budget_curve" -> ((s, d) => packBudgetCurve(s, d)),
     "pack_chunks" -> packChunks)
 
   /** DuckDB token count, identical to TextAnalysis.tokenCount (parity
@@ -705,6 +757,32 @@ object Packing {
         CAST(SUM(n) AS BIGINT) AS n_tokens,
         CAST(MIN(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS first_doc
       FROM p GROUP BY epoch, shard ORDER BY epoch, shard""",
+    // per-budget conditional aggregates via the VALUES × LEFT JOIN +
+    // FILTER idiom (the tier-curve oracle's reshape); bins/pad/util
+    // derive in an outer select with the same single IEEE division
+    "pack_budget_curve" -> s"""
+      WITH $tokCte,
+      l AS (SELECT n FROM toks WHERE n > 0),
+      agg AS (
+        SELECT CAST(b.l AS BIGINT) AS context_len,
+          CAST(COUNT(*) FILTER (WHERE x.n > b.l) AS BIGINT)
+            AS n_docs_truncated,
+          CAST(COALESCE(SUM(x.n - b.l) FILTER (WHERE x.n > b.l), 0)
+            AS BIGINT) AS tokens_lost,
+          CAST(COALESCE(SUM(LEAST(x.n, b.l)), 0) AS BIGINT) AS tokens_kept
+        FROM (VALUES ${Packing.BudgetCurveLengths.map(l => s"($l)").mkString(", ")}) b(l)
+        LEFT JOIN l x ON TRUE
+        GROUP BY b.l)
+      SELECT context_len, n_docs_truncated, tokens_lost, tokens_kept,
+        CAST((tokens_kept + context_len - 1) // context_len AS BIGINT)
+          AS n_bins,
+        CAST((tokens_kept + context_len - 1) // context_len AS BIGINT)
+          * context_len - tokens_kept AS pad_waste,
+        CASE WHEN tokens_kept = 0 THEN CAST(1.0 AS DOUBLE)
+          ELSE CAST(tokens_kept AS DOUBLE) /
+            CAST(CAST((tokens_kept + context_len - 1) // context_len AS BIGINT)
+              * context_len AS DOUBLE) END AS utilization
+      FROM agg ORDER BY context_len""",
     "pack_bucket_waste" -> s"""
       WITH $tokCte,
       b AS (

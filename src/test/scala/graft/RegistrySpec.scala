@@ -26,7 +26,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registered query count matches the round record") {
-    assert(SparkEntry.queries.size == 262, // r13: +decon_smear_report
+    assert(SparkEntry.queries.size == 263, // r13: +decon_smear_report, +pack_budget_curve
       s"query count drifted: ${SparkEntry.queries.size} — update the " +
         "round record (NOTES.md/README.md) together with this pin")
   }

@@ -186,6 +186,38 @@ class PackingSpec extends SparkSpec {
     val loads = got.groupBy(_._3).view.mapValues(_.map(_._2).sum)
     assert(loads.values.forall(_ <= Packing.BfdLen))
   }
+  test("budget curve: hand-computed sweep; invariants hold on the corpus") {
+    // token counts 10 / 300 / 600: at L=256 → 2 truncated,
+    // lost (300-256)+(600-256)=388, kept 10+256+256=522,
+    // bins ceil(522/256)=3, pad 768-522=246; at L=1024 → nothing
+    // truncated, kept 910, 1 bin, pad 114
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words(10)), (2L, words(300)), (3L, words(600)),
+      (4L, " "))
+      .toDF("doc_id", "text")
+    val got = Packing.packBudgetCurveOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got(256L) == ((2L, 388L, 522L, 3L, 246L, 522.0 / 768.0)))
+    assert(got(1024L) == ((0L, 0L, 910L, 1L, 114L, 910.0 / 1024.0)))
+    // corpus invariants: pad is always a sub-bin tail; truncation loss
+    // and truncated-doc count are non-increasing in the budget; kept +
+    // lost reconciles to the constant corpus token mass
+    val rows = Packing.packBudgetCurve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Packing.BudgetCurveLengths)
+    rows.foreach { case (l, _, _, kept, bins, pad) =>
+      assert(pad >= 0L && pad < l, s"pad $pad outside [0, $l)")
+      assert(bins * l == kept + pad)
+    }
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq,
+      "n_docs_truncated must be non-increasing in the budget")
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.reverse.toSeq,
+      "tokens_lost must be non-increasing in the budget")
+    val mass = rows.map(r => r._3 + r._4).distinct
+    assert(mass.size == 1, s"kept+lost must be budget-invariant: $mass")
+  }
 }
 
 class DecontaminationSpec extends SparkSpec {

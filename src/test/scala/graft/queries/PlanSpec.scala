@@ -487,6 +487,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("pack_budget_curve: one corpus pass — a single conditional aggregation, no join") {
+    val p = plan(graft.ops.Packing.packBudgetCurve(spark, sfDir))
+    // every budget reads the SAME 1-row aggregate: a Join (or more than
+    // the one partial+final aggregate pair) means the sweep forked into
+    // per-budget scans
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).length <= 2,
+      s"one aggregation pair expected:\n$p")
+  }
+
   test("decon_smear_report: width-tagged eval union broadcasts; one pair aggregation; no cartesian") {
     val p = plan(graft.ops.Decontamination.deconSmearReport(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
