@@ -1355,6 +1355,22 @@ object StreamingCuration {
     graft.ops.CorpusFilters.lenProfileOfCounts(
       stateTable(spark, stateDir, "len_profile"))
 
+  /** The accumulated-stream max-sequence-length sweep (33rd streaming
+    * twin) — identical columns to the batch
+    * [[graft.ops.Packing.packBudgetCurve]], served from the SAME
+    * `len_profile` value-domain histogram the length-profile twin
+    * folds: state REUSE (the token_counts → simpson/divergence/bpe
+    * pattern), so this twin adds NO new fold and never re-scans the
+    * corpus. The curve's sums are linear in the histogram counts
+    * ([[graft.ops.Packing.packBudgetCurveOfCounts]]), so per-source
+    * rows add freely and folded == one-shot exactly.
+    */
+  def budgetCurveFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Packing.packBudgetCurveOfCounts(
+      stateTable(spark, stateDir, "len_profile").select($"len", $"c"))
+  }
+
   /** Fold a batch into the corpus-manifest state — the LIVE
     * reproducibility manifest: counts and sums add, and the 60-bit
     * content signature is a bit_xor (commutative, associative,

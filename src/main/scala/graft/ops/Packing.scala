@@ -416,9 +416,44 @@ object Packing {
         sum(when($"n" > l, $"n" - lit(l)).otherwise(lit(0L))).as(s"t$l"),
         sum(least($"n", lit(l))).as(s"k$l"))
     }
-    lens.agg(aggs.head, aggs.tail: _*)
+    budgetCurveTail(lens.agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** [[packBudgetCurve]] from a (len, c) value-domain token-count
+    * HISTOGRAM instead of raw documents — the sums are linear in the
+    * counts, so a c-weighted conditional aggregate over the bounded
+    * histogram equals the per-doc pass exactly (spec-pinned). This is
+    * what lets the incremental twin
+    * ([[graft.examples.StreamingCuration.budgetCurveFromState]]) serve
+    * the sweep from the length-profile fold state with NO new fold and
+    * no corpus re-scan; rows may repeat a `len` (e.g. per-source) —
+    * linearity makes that free.
+    */
+  def packBudgetCurveOfCounts(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val pos = counts.filter($"len" > 0L)
+    val aggs = BudgetCurveLengths.flatMap { l =>
+      Seq(
+        sum(when($"len" > l, $"c").otherwise(lit(0L))).as(s"o$l"),
+        sum(when($"len" > l, ($"len" - lit(l)) * $"c").otherwise(lit(0L)))
+          .as(s"t$l"),
+        sum(least($"len", lit(l)) * $"c").as(s"k$l"))
+    }
+    budgetCurveTail(pos.agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** Shared reshape/derivation tail over the 1-row (o_l, t_l, k_l)
+    * aggregate — both curve forms read the same stack + ceil-div +
+    * IEEE-division expressions, so bins/pad/utilization cannot drift.
+    */
+  private def budgetCurveTail(agg1: DataFrame): DataFrame = {
+    val s = agg1.sparkSession
+    import s.implicits._
+    agg1
       .selectExpr(s"stack(${BudgetCurveLengths.size}, " +
-        BudgetCurveLengths.map(l => s"${l}L, o$l, t$l, k$l").mkString(", ") +
+        BudgetCurveLengths.map(l => s"${l}L, coalesce(o$l, 0L), " +
+          s"coalesce(t$l, 0L), coalesce(k$l, 0L)").mkString(", ") +
         ") as (context_len, n_docs_truncated, tokens_lost, tokens_kept)")
       .withColumn("n_bins", expr(
         "CAST((tokens_kept + context_len - 1) DIV context_len AS LONG)"))

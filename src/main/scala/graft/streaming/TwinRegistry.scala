@@ -132,6 +132,10 @@ object TwinRegistry {
       Seq(sc("mergeSmearEvidenceState")), "smearReportFromState",
       Seq("smear_evidence"),
       "incremental smear-evidence state: out-of-order folds + replay + torn append == one-shot smear report"),
+    Twin("budget_curve", "versioned-state", "Packing.packBudgetCurve",
+      Seq(sc("mergeLenProfileState")), "budgetCurveFromState",
+      Seq("len_profile"),
+      "incremental budget curve: the max-seq-len sweep from the folded length histogram == one-shot"),
     // persisted-artifact protocol (artifact lifecycle != VersionedState,
     // but the same contract: fold ∝ batch, reader == batch twin)
     Twin("knn_graph", "persisted-artifact", "Similarity.simKnnGraph",

@@ -772,6 +772,26 @@ class StreamingSpec extends SparkSpec {
       "folded length histogram must probe to the one-shot percentiles")
   }
 
+  test("incremental budget curve: the max-seq-len sweep from the folded length histogram == one-shot") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-budgetcurve")
+    val st = work.resolve("state").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    // the twin REUSES the len_profile fold — no fold of its own
+    (0 until 3).foreach { i =>
+      StreamingCuration.mergeLenProfileState(spark, st,
+        docs.filter(pmod($"doc_id", lit(3)) === i), batchId = i.toLong)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val oneShot = rows(graft.ops.Packing.packBudgetCurve(spark, sfDir))
+    assert(oneShot.exists(_(3).asInstanceOf[Long] > 0L),
+      "fixture must carry token mass")
+    assert(rows(StreamingCuration.budgetCurveFromState(spark, st)) == oneShot,
+      "histogram-served sweep must equal the one-shot per-doc pass")
+  }
+
   test("incremental manifest state: any-order folds == one-shot manifest") {
     import spark.implicits._
     import graft.examples.StreamingCuration
