@@ -221,11 +221,21 @@ object ScaleSmoke {
       // ta_bpe_curve the budget-ablation kernel, ta_bpe_encode the
       // per-doc encode under a PRE-WARMED cached merge table (training
       // cost is its own row, not double-counted into encode).
-      "ta_bpe_train", "ta_bpe_curve", "ta_bpe_encode")
+      "ta_bpe_train", "ta_bpe_curve", "ta_bpe_encode",
+      // r13 session 2: the decontamination probes — the broadcast-eval
+      // single-scan shape at 100× corpus (the eval side stays the same
+      // ~3% md5 tail, so the broadcast grows with it; the question the
+      // probe answers is whether the train-side scan + probe join stays
+      // corpus-linear and the bounded pair table stays bounded)
+      "decon_tier_curve", "decon_smear_report")
 
   def runSf10ConstDup(spark: SparkSession, srcDir: String): Unit = {
     val dir = ensureSf10ConstDup(spark, srcDir)
-    Sf10cdQueries.foreach { name =>
+    // iteration aid (never set by the driver): restrict the sweep to
+    // matching names so a new probe row doesn't re-pay the whole table
+    val only = sys.env.get("SPARK_GRAFT_SF10CD_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    Sf10cdQueries.filter(n => only.forall(_.exists(n.contains))).foreach { name =>
       // time each query at the SOURCE sf too (identical probe protocol),
       // so the NOTES ratio table compares like with like instead of
       // borrowing bench-suite figures measured under a different
