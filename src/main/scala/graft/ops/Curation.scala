@@ -1594,9 +1594,24 @@ object Curation {
   def mixBudgetOf(
       docs: DataFrame, budget: Long = MixBudget,
       partitions: Int = 32,
+      initialRuns: Map[String, Long] = Map.empty): DataFrame =
+    mixRunsOf(docs, budget, partitions, initialRuns)
+      .orderBy("source", "cum_tokens")
+
+  /** The greedy-fill kernel shared by [[mixBudgetOf]] and
+    * [[mixBudgetCurveOf]]: per-source inclusive prefix sums over the
+    * (n_chars desc, doc_id) order, emitting only rows whose running
+    * total stays within `cap` — the single-budget fill caps at its
+    * budget; the budget SWEEP caps at its LARGEST budget, so nothing
+    * unkeepable under any budget is ever emitted.
+    */
+  private def mixRunsOf(
+      docs: DataFrame, cap: Long,
+      partitions: Int = 32,
       initialRuns: Map[String, Long] = Map.empty): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    val budget = cap
     // range-partition + sort on the FULL greedy order (source, n_chars
     // desc, doc_id): partition p holds a contiguous slice, sources may
     // span partitions. localCheckpoint freezes the sampled range
@@ -1643,7 +1658,51 @@ object Curation {
       }
     }
     s.createDataFrame(rows).toDF("source", "doc_id", "n_tokens", "cum_tokens")
-      .orderBy("source", "cum_tokens")
+  }
+
+  /** Budgets for [[mixBudgetCurve]] — dyadic around [[MixBudget]]. */
+  val MixCurveBudgets: Seq[Long] = Seq(150L, 300L, 600L, 1200L, 2400L)
+
+  /** mix_budget_curve: the per-source token-budget TUNING curve — for
+    * each candidate budget, how many documents / tokens the greedy fill
+    * keeps and how many sources are actively contributing, WITHOUT
+    * re-running the fill per budget. The mixing analog of
+    * `pack_budget_curve`/`decon_tier_curve`: the inclusive-greedy rule
+    * is a PREFIX rule (doc kept at budget B iff its running total ≤ B),
+    * so one prefix-sum pass capped at the largest candidate answers
+    * every budget via conditional aggregates + `stack`.
+    *
+    * 100 TB shape: the capped [[mixRunsOf]] kernel (two-pass
+    * distributed prefix sum — a mega-source parallelizes across range
+    * partitions, only per-(partition, source) totals reach the driver)
+    * emits at most sources × maxBudget tokens' worth of rows; then ONE
+    * map-side-combinable aggregation. Cost independent of the budget
+    * count.
+    */
+  def mixBudgetCurve(s: SparkSession, dir: String): DataFrame =
+    mixBudgetCurveOf(t(s, dir, "documents"))
+
+  def mixBudgetCurveOf(
+      docs: DataFrame,
+      budgets: Seq[Long] = MixCurveBudgets): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bs = budgets.distinct.sorted
+    val runs = mixRunsOf(docs, cap = bs.max)
+    val aggs = bs.flatMap { b =>
+      Seq(
+        sum(when($"cum_tokens" <= b, lit(1L)).otherwise(lit(0L)))
+          .as(s"d$b"),
+        sum(when($"cum_tokens" <= b, $"n_tokens").otherwise(lit(0L)))
+          .as(s"t$b"),
+        countDistinct(when($"cum_tokens" <= b, $"source")).as(s"s$b"))
+    }
+    runs.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${bs.size}, " +
+        bs.map(b => s"${b}L, coalesce(d$b, 0L), coalesce(t$b, 0L), " +
+          s"coalesce(s$b, 0L)").mkString(", ") +
+        ") as (budget, n_docs, n_tokens, n_sources)")
+      .orderBy("budget")
   }
 
   /** Epoch cap and budget for the registered epoch-aware mix: at the
@@ -1922,6 +1981,8 @@ object Curation {
     "sample_dsir_topk" -> ((s, d) => sampleDsirTopK(s, d)),
     "sample_ess" -> sampleEss,
     "mix_budget" -> ((s, d) => mixBudget(s, d)),
+    // new in r13: the budget sweep (one capped greedy pass, stack)
+    "mix_budget_curve" -> ((s, d) => mixBudgetCurve(s, d)),
     "mix_epochs" -> ((s, d) => mixEpochs(s, d)),
     "mix_report" -> ((s, d) => mixReport(s, d)),
     "mix_temperature_curve" -> mixTemperatureCurve,
@@ -2288,6 +2349,28 @@ object Curation {
       SELECT source, doc_id, n_tokens, cum_tokens
       FROM cum WHERE cum_tokens <= $MixBudget
       ORDER BY source, cum_tokens""",
+    // the same per-source window prefix sum as mix_budget, swept via
+    // the VALUES × LEFT JOIN + FILTER reshape (the tier-curve idiom)
+    "mix_budget_curve" -> s"""
+      WITH sized AS (
+        SELECT source, doc_id, n_chars,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      cum AS (
+        SELECT source, doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM sized)
+      SELECT CAST(b.b AS BIGINT) AS budget,
+        CAST(COUNT(*) FILTER (WHERE c.cum_tokens <= b.b) AS BIGINT) AS n_docs,
+        CAST(COALESCE(SUM(c.n_tokens) FILTER (WHERE c.cum_tokens <= b.b), 0)
+          AS BIGINT) AS n_tokens,
+        CAST(COUNT(DISTINCT c.source) FILTER (WHERE c.cum_tokens <= b.b)
+          AS BIGINT) AS n_sources
+      FROM (VALUES ${MixCurveBudgets.map(b => s"($b)").mkString(", ")}) b(b)
+      LEFT JOIN cum c ON TRUE
+      GROUP BY b.b ORDER BY budget""",
     "mix_epochs" -> s"""
       WITH sized AS (
         SELECT source, doc_id, n_chars,

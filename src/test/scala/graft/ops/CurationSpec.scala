@@ -398,6 +398,29 @@ class CurationSpec extends SparkSpec {
     assert(report.keySet == all.map(_._1).toSet, "report covers every source")
   }
 
+  test("mix budget curve: every budget row equals its own greedy re-fill; monotone in budget") {
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val curve = Curation.mixBudgetCurveOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(curve.map(_._1).toSeq == Curation.MixCurveBudgets,
+      "one row per candidate budget, ordered")
+    // ground truth: re-run the single-budget greedy fill per candidate —
+    // the curve must read the SAME selection off one capped pass
+    curve.foreach { case (b, got) =>
+      val fill = Curation.mixBudgetOf(docs, b).collect()
+      val want = (fill.length.toLong, fill.map(_.getLong(2)).sum,
+        fill.map(_.getString(0)).distinct.length.toLong)
+      assert(got == want, s"budget $b: curve $got vs re-fill $want")
+    }
+    // the inclusive-prefix rule makes every column non-decreasing
+    curve.map(_._2).sliding(2).foreach {
+      case Array((d1, t1, s1), (d2, t2, s2)) =>
+        assert(d1 <= d2 && t1 <= t2 && s1 <= s2, "curve must be monotone")
+      case _ => ()
+    }
+    assert(curve.last._2._1 > 0L, "largest budget must keep documents")
+  }
+
   test("mix budget: two-pass prefix sum is partition-independent and matches the window form") {
     val docs = graft.Tables.t(spark, sfDir, "documents")
     def key(r: org.apache.spark.sql.Row) =
