@@ -232,9 +232,12 @@ object ScaleSmoke {
   def runSf10ConstDup(spark: SparkSession, srcDir: String): Unit = {
     val dir = ensureSf10ConstDup(spark, srcDir)
     // iteration aid (never set by the driver): restrict the sweep to
-    // matching names so a new probe row doesn't re-pay the whole table
+    // matching names so a new probe row doesn't re-pay the whole table.
+    // An EMPTY value reads as unset — Some(Seq()) would silently match
+    // nothing and the certification sweep would "succeed" at 0 queries.
     val only = sys.env.get("SPARK_GRAFT_SF10CD_ONLY")
       .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty)
     Sf10cdQueries.filter(n => only.forall(_.exists(n.contains))).foreach { name =>
       // time each query at the SOURCE sf too (identical probe protocol),
       // so the NOTES ratio table compares like with like instead of
@@ -246,23 +249,23 @@ object ScaleSmoke {
       def probe(d: String, warm: Boolean): (Double, Long) = {
         if (name == "ta_bpe_encode")
           graft.ops.TextAnalysis.ensureBpeMerges(spark, d)
+        // hash-reduce over EVERY output column: a bare count() lets
+        // Catalyst prune unused window/span columns (Window preserves
+        // cardinality, so ColumnPruning deletes it outright) and the
+        // probe times a gutted plan — first sf10cd run measured
+        // dedup_substr_spans at 1.8 s "for" 100× data. The double
+        // fold dodges ANSI long-SUM overflow.
         def once(): Long = {
           val q0 = SparkEntry.queries(name)(spark, d)
           q0.select(xxhash64(q0.columns.map(col): _*).as("h"))
             .agg(count(lit(1)), sum(col("h").cast("double"))).head().getLong(0)
         }
         if (warm) once()
+        // the measured pass IS once() — one copy of the hash-reduce
+        // shape, so the warm and measured plans can never drift apart
         val t0 = System.nanoTime()
-        val q = SparkEntry.queries(name)(spark, d)
-        // hash-reduce over EVERY output column: a bare count() lets
-        // Catalyst prune unused window/span columns (Window preserves
-        // cardinality, so ColumnPruning deletes it outright) and the
-        // probe times a gutted plan — first sf10cd run measured
-        // dedup_substr_spans at 1.8 s "for" 100× data
-        val r = q.select(xxhash64(q.columns.map(col): _*).as("h"))
-          // double-fold the hash: a long SUM overflows under ANSI mode
-          .agg(count(lit(1)), sum(col("h").cast("double"))).head()
-        ((System.nanoTime() - t0) / 1e9, r.getLong(0))
+        val n = once()
+        ((System.nanoTime() - t0) / 1e9, n)
       }
       // the sf0.1 side is warmed; the 100× side inherits that warmth
       // (same codegen'd plan shape), so the two sides are symmetric

@@ -1675,9 +1675,13 @@ object Curation {
     * 100 TB shape: the capped [[mixRunsOf]] kernel (two-pass
     * distributed prefix sum — a mega-source parallelizes across range
     * partitions, only per-(partition, source) totals reach the driver)
-    * emits at most sources × maxBudget tokens' worth of rows; then ONE
-    * map-side-combinable aggregation. Cost independent of the budget
-    * count.
+    * emits at most sources × maxBudget tokens' worth of rows; then TWO
+    * map-side-combinable aggregations (doc/token mass conditionals, and
+    * a per-source min-run rollup for the active-source counts — a
+    * source is active at B iff its FIRST kept run ≤ B, which avoids the
+    * Expand-style multi-countDistinct that would replicate the rows
+    * |budgets|+1 times) joined as a broadcast 1-row cross. Cost
+    * independent of the budget count; plan-gated.
     */
   def mixBudgetCurve(s: SparkSession, dir: String): DataFrame =
     mixBudgetCurveOf(t(s, dir, "documents"))
@@ -1689,15 +1693,23 @@ object Curation {
     import s.implicits._
     val bs = budgets.distinct.sorted
     val runs = mixRunsOf(docs, cap = bs.max)
-    val aggs = bs.flatMap { b =>
+    val massAggs = bs.flatMap { b =>
       Seq(
         sum(when($"cum_tokens" <= b, lit(1L)).otherwise(lit(0L)))
           .as(s"d$b"),
         sum(when($"cum_tokens" <= b, $"n_tokens").otherwise(lit(0L)))
-          .as(s"t$b"),
-        countDistinct(when($"cum_tokens" <= b, $"source")).as(s"s$b"))
+          .as(s"t$b"))
     }
-    runs.agg(aggs.head, aggs.tail: _*)
+    val mass = runs.agg(massAggs.head, massAggs.tail: _*)
+    // cum_tokens is increasing within a source, so min(cum) is the
+    // source's first kept run — active at B ⇔ min(cum) ≤ B
+    val srcAggs = bs.map { b =>
+      sum(when($"m" <= b, lit(1L)).otherwise(lit(0L))).as(s"s$b")
+    }
+    val active = runs.groupBy($"source")
+      .agg(min($"cum_tokens").as("m"))
+      .agg(srcAggs.head, srcAggs.tail: _*)
+    mass.crossJoin(broadcast(active))
       .selectExpr(s"stack(${bs.size}, " +
         bs.map(b => s"${b}L, coalesce(d$b, 0L), coalesce(t$b, 0L), " +
           s"coalesce(s$b, 0L)").mkString(", ") +

@@ -1595,12 +1595,34 @@ object TextAnalysis {
     * could pass the guard yet diverge — this class is closed under every
     * primitive the replays use).
     */
-  private[ops] def asciiReplaySafe(s: SparkSession, dir: String): Boolean =
-    t(s, dir, "documents")
-      .agg(coalesce(sum(when(col("text").isNull, lit(1L)).otherwise(
-        regexp_count(col("text"), lit("[^\\x20-\\x7e\\t\\n\\f\\r]")))),
-        lit(0L)))
-      .head().getLong(0) == 0L
+  private[ops] def asciiReplaySafe(s: SparkSession, dir: String): Boolean = {
+    def compute(): Boolean =
+      t(s, dir, "documents")
+        .agg(coalesce(sum(when(col("text").isNull, lit(1L)).otherwise(
+          regexp_count(col("text"), lit("[^\\x20-\\x7e\\t\\n\\f\\r]")))),
+          lit(0L)))
+        .head().getLong(0) == 0L
+    // the guard is a full corpus scan and BOTH oracle gates (BPE here,
+    // simhash in Dedup) consult it per Verify run — memoize on the
+    // local parquet listing's (name, length, mtime) signature so a
+    // rewritten fixture dir invalidates; non-local paths skip the memo
+    // (correctness over reuse)
+    val d = new java.io.File(s"$dir/documents.parquet")
+    if (!d.isDirectory) compute()
+    else {
+      val files = d.listFiles()
+      if (files == null) compute()
+      else {
+        val sig = dir + "|" + files.sortBy(_.getName)
+          .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+          .mkString(",")
+        replaySafeMemo.computeIfAbsent(sig, _ => compute()).booleanValue()
+      }
+    }
+  }
+
+  private val replaySafeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   private def bpeReplaySafe(s: SparkSession, dir: String): Boolean =
     asciiReplaySafe(s, dir)

@@ -487,6 +487,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("mix_budget_curve: conditional-sum aggregates, broadcast 1-row cross — no Expand replication") {
+    val p = plan(graft.ops.Curation.mixBudgetCurve(spark, sfDir))
+    // the curve must NOT plan |budgets| countDistinct branches (Expand
+    // replicates the runs table once per budget); the active-source
+    // counts come from the per-source min-run rollup instead
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the two 1-row aggregates must join as a broadcast cross:\n$p")
+  }
+
   test("pack_budget_curve: one corpus pass — a single conditional aggregation, no join") {
     val p = plan(graft.ops.Packing.packBudgetCurve(spark, sfDir))
     // every budget reads the SAME 1-row aggregate: a Join (or more than

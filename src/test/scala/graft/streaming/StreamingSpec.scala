@@ -1611,8 +1611,7 @@ class StreamingSpec extends SparkSpec {
         batchId = i.toLong)
     }
     val oneShot = rows(Decontamination.deconSmearReport(spark, sfDir))
-    assert(oneShot.exists(_(4) == "hard") || oneShot.nonEmpty,
-      "fixture must produce smear-report rows")
+    assert(oneShot.nonEmpty, "fixture must produce smear-report rows")
     assert(rows(StreamingCuration.smearReportFromState(spark, st)) == oneShot,
       "streamed smear report must equal the one-shot batch report")
     // replay: watermark-gated no-op
@@ -1630,6 +1629,33 @@ class StreamingSpec extends SparkSpec {
       .write.mode("append").parquet(s"$st/smear_evidence")
     assert(rows(StreamingCuration.smearReportFromState(spark, st)) == oneShot,
       "crashed double-append must heal at read")
+    // the sf corpus smears but carries no verbatim 13-gram leak, so the
+    // twin's HARD path gets a planted fixture: a train doc embedding a
+    // 13-word run of an eval doc, folded in two batches and compared to
+    // the shared-trunk one-shot over the same docs — both classes must
+    // appear (a corpus regeneration can't silently untest `hard`)
+    val st2 = work.resolve("state2").toString
+    val ew = (1 to 20).map(i => s"e$i")
+    val planted = Seq(
+      (1L, ew.mkString(" ")),                                   // eval
+      (2L, "pad1 pad2 " + ew.take(13).mkString(" ") + " pad3"), // hard
+      (3L, Seq(ew(0), ew(1), ew(2), "qq", ew(4), ew(5), ew(6),
+        "rr", ew(8), ew(9), ew(10)).mkString(" ")),             // smeared
+      (4L, (1 to 15).map(i => s"c$i").mkString(" ")))           // clean
+      .toDF("doc_id", "text")
+    val pEval = planted.filter($"doc_id" === 1L)
+    Seq(0L, 1L).foreach { i =>
+      StreamingCuration.mergeSmearEvidenceState(spark, st2,
+        planted.filter(pmod($"doc_id", lit(2)) === i), pEval, batchId = i)
+    }
+    val plantedWant = rows(Decontamination.smearClassOf(
+      Decontamination.smearPairsOf(planted.filter($"doc_id" =!= 1L), pEval)))
+    val plantedGot = rows(StreamingCuration.smearReportFromState(spark, st2))
+    assert(plantedGot == plantedWant,
+      "planted-fixture twin must equal the shared-trunk one-shot")
+    assert(plantedGot.exists(_(4) == "hard") &&
+      plantedGot.exists(_(4) == "smeared"),
+      s"both classes must be exercised: ${plantedGot.map(_(4)).distinct}")
   }
 
   test("incremental tier-evidence state: per-batch folds + replay == one-shot tier curve") {

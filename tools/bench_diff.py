@@ -107,9 +107,16 @@ def main(old_path, new_path, threshold=1.3, canary=True):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thr = 1.3
+    args, skip = [], False
     for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+        if skip:  # the value of a space-separated --threshold
+            thr = float(a)
+            skip = False
+        elif a == "--threshold":
+            skip = True
+        elif a.startswith("--threshold="):
+            thr = float(a.split("=", 1)[1])
+        elif not a.startswith("--"):
+            args.append(a)
     sys.exit(main(args[0], args[1], thr, canary="--no-canary" not in sys.argv))
