@@ -72,6 +72,21 @@ class TwinRegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("every versioned-state twin's state tables exist verbatim in the main sources") {
+    TwinRegistry.twins.filter(_.protocol == "versioned-state").foreach { t =>
+      t.stateTables.foreach { tbl =>
+        // parameterized tables (key_counts_<key>, kmv_<key>) pin their
+        // literal prefix; concrete names pin the quoted literal
+        val needle =
+          if (tbl.contains("<")) "\"" + tbl.takeWhile(_ != '<')
+          else "\"" + tbl + "\""
+        assert(mainSrc.exists(_.contains(needle)),
+          s"${t.name}: state table $tbl (as $needle) not found in " +
+            "src/main — registry drifted after a table rename?")
+      }
+    }
+  }
+
   test("every StreamingCuration state reader is claimed by the registry") {
     val cur = new String(Files.readAllBytes(Paths.get(
       "src/main/scala/graft/examples/StreamingCuration.scala")), "UTF-8")
