@@ -129,7 +129,9 @@ object Bench {
         try { q.stop(); q.awaitTermination() } catch { case _: Throwable => () }
         math.round(measuredRows / elapsed)
       } catch { case _: Throwable => 0L }
-    def fmt(v: Double) = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale (de_DE) would render
+    // "1,234" and corrupt the machine-read JSON artifacts (r13 ADVICE)
+    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.sortBy(_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -227,7 +227,15 @@ object ScaleSmoke {
       // ~3% md5 tail, so the broadcast grows with it; the question the
       // probe answers is whether the train-side scan + probe join stays
       // corpus-linear and the bounded pair table stays bounded)
-      "decon_tier_curve", "decon_smear_report")
+      "decon_tier_curve", "decon_smear_report",
+      // r14 (VERDICT r13 ask #3): the two remaining top-cost uncertified
+      // heavies — banded edit-distance candidate generation and the
+      // prefix-band containment join. Both generate candidate PAIRS from
+      // banded inverted indexes; the deep-salted corpus keeps dup
+      // density constant so their pair mass should scale ×N, and the
+      // probe checks the candidate fan-out (not just the verify step)
+      // rides that linear mass rather than a hidden quadratic.
+      "dedup_editdist", "dedup_containment")
 
   def runSf10ConstDup(spark: SparkSession, srcDir: String): Unit = {
     val dir = ensureSf10ConstDup(spark, srcDir)
@@ -267,10 +275,14 @@ object ScaleSmoke {
         val n = once()
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      // the sf0.1 side is warmed; the 100× side inherits that warmth
-      // (same codegen'd plan shape), so the two sides are symmetric
+      // BOTH sides warm (r13 ADVICE #5): the sf0.1 warm pass covers JIT
+      // and codegen, but parquet-footer and page-cache reads are
+      // per-DATASET — an unwarmed 100× side pays cold-read cost its
+      // warmed denominator does not, biasing ratios upward and risking
+      // false superlinearity verdicts. One unmeasured pass per side,
+      // min-of-N-spirit symmetric.
       val (s0, n0) = probe(srcDir, warm = true)
-      val (s1, n1) = probe(dir, warm = false)
+      val (s1, n1) = probe(dir, warm = true)
       System.err.println(
         f"[sf10cd] $name%-24s sf0.1 $s0%6.1f s ($n0%d rows) -> 100x " +
           f"$s1%7.1f s ($n1%d rows), ratio ${s1 / s0}%.1f")

@@ -1141,6 +1141,16 @@ object StreamingCuration {
     * shape — an external benchmark table), so this state carries no
     * rotation epoch; a deployment auditing the SERVED snapshot uses the
     * tier-evidence twin instead.
+    *
+    * CONTRACT (r13 ADVICE #4): `evalDocs` must be DETERMINISTIC per
+    * `batchId` — snapshot/materialize the benchmark table before
+    * folding (mirroring the eval_shingles versioning the
+    * rotation-scoped twins use). The crash-heal path relies on it: a
+    * torn append heals at read via `dropDuplicates(train_id, eval_id)`,
+    * which is only sound when the retry recomputes IDENTICAL
+    * (n_shared_3, n_shared_13) counts; a live eval table that changed
+    * between the torn append and the retry leaves two conflicting rows
+    * for one key and an arbitrary one wins.
     */
   def mergeSmearEvidenceState(spark: SparkSession, stateDir: String,
       batch: DataFrame, evalDocs: DataFrame, batchId: Long = -1L): Unit = {

@@ -1604,18 +1604,27 @@ object TextAnalysis {
         .head().getLong(0) == 0L
     // the guard is a full corpus scan and BOTH oracle gates (BPE here,
     // simhash in Dedup) consult it per Verify run — memoize on the
-    // local parquet listing's (name, length, mtime) signature so a
-    // rewritten fixture dir invalidates; non-local paths skip the memo
-    // (correctness over reuse)
+    // local parquet listing's signature so a rewritten fixture dir
+    // invalidates; non-local paths skip the memo (correctness over
+    // reuse). r13 ADVICE #3: millisecond lastModified can miss an
+    // in-place same-size rewrite inside one mtime tick, so the key
+    // carries NANOSECOND mtimes (Files.getLastModifiedTime) plus file
+    // count — and the memo is bounded (a Verify run touches a handful
+    // of dirs; clearing on overflow only costs a rescan).
     val d = new java.io.File(s"$dir/documents.parquet")
     if (!d.isDirectory) compute()
     else {
       val files = d.listFiles()
       if (files == null) compute()
       else {
-        val sig = dir + "|" + files.sortBy(_.getName)
-          .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        def mtimeNs(f: java.io.File): Long =
+          try java.nio.file.Files.getLastModifiedTime(f.toPath)
+            .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+          catch { case _: java.io.IOException => f.lastModified }
+        val sig = dir + "|n=" + files.length + "|" + files.sortBy(_.getName)
+          .map(f => s"${f.getName}:${f.length}:${mtimeNs(f)}")
           .mkString(",")
+        if (replaySafeMemo.size > 64) replaySafeMemo.clear()
         replaySafeMemo.computeIfAbsent(sig, _ => compute()).booleanValue()
       }
     }

@@ -23,8 +23,34 @@ CanarySpec); their median new/old ratio estimates the run's elevation
 factor, each query's ratio is divided by it, and the regression gate
 applies to the NORMALIZED ratio. Raw ratios are still printed. Pass
 --no-canary to gate on raw ratios (the pre-r13 behavior).
+
+Canary-factor gate (r13 ADVICE, medium): the canaries share the same
+driver/session/shuffle infrastructure as every other query, so a real
+FRAMEWORK-WIDE regression (config/codec change slowing everything
+~uniformly) elevates the canaries too and normalization would absorb
+it silently. Therefore the factor ITSELF is gated: factor >= threshold
+prints a CANARY-FACTOR REGRESSION line and exits 1 — a uniform
+slowdown cannot be classified as machine elevation without a human
+deciding so (re-run in a quiet window, or sign off explicitly with
+--no-canary-gate after checking the isolated graft.Canary line).
+
+Chronic flags (VERDICT r13 #1b): each regression line is annotated
+with how many consecutive PRIOR driver artifacts (BENCH_r*.json next
+to OLD, newest backwards) also raw-flagged that query against the same
+floor entry, so a repeat offender is visually distinct from a fresh
+flag. (Prior artifacts only persist their slowest-20 tail, and their
+canary factors are unrecoverable, so the history count uses RAW
+ratios — an annotation, not a gate.)
+
+Floor-entry re-arm rule (VERDICT r13 #1a): when a query flags in >= 2
+consecutive rounds, its floor ENTRY is stale-suspect — re-measure it
+with the isolated min-of-4 protocol (SPARK_GRAFT_CANARY_QUERIES=<name>
+sbt "runMain graft.Canary") and replace the single entry in
+BENCH_floor_local.json, recording provenance (old value, new value,
+measurement source, date) in BENCH_floor_provenance.json. Existing
+entries stay byte-identical otherwise.
 """
-import json, re, sys
+import glob, json, os, re, sys
 
 # Byte-stable canary set — keep in sync with graft.Canary.Queries
 # (src/main/scala/graft/Canary.scala); CanarySpec pins the two lists.
@@ -81,13 +107,43 @@ def canary_factor(oq, nq):
             else (ratios[mid - 1] + ratios[mid]) / 2)
 
 
-def main(old_path, new_path, threshold=1.3, canary=True):
+def prior_raw_flag_rounds(old_q, name, threshold, near):
+    """Consecutive prior driver artifacts (BENCH_r*.json in `near`'s
+    directory, newest backwards) whose tail contains `name` RAW-flagged
+    against the same floor entry. Artifacts whose slowest-20 tail
+    simply omits the query break the chain (absence of evidence — the
+    count is a lower bound, which is the honest direction for an
+    annotation)."""
+    if name not in old_q or old_q[name] <= 0:
+        return []
+    paths = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(near)) or ".", "BENCH_r[0-9]*.json")))
+    rounds = []
+    for p in reversed(paths):
+        try:
+            q = load(p)["queries"]
+        except SystemExit:
+            break
+        if name not in q or q[name] / old_q[name] < threshold:
+            break
+        rounds.append(re.sub(r"^BENCH_", "", os.path.basename(p)).split(".")[0])
+    return rounds
+
+
+def main(old_path, new_path, threshold=1.3, canary=True, canary_gate=True):
     old, new = load(old_path), load(new_path)
     oq, nq = old["queries"], new["queries"]
     factor = canary_factor(oq, nq) if canary else 1.0
+    factor_regressed = False
     if canary:
         print(f"canary elevation factor: {factor:.3f} "
               f"(median new/old over {sum(1 for c in CANARY_QUERIES if c in oq and c in nq)} canaries)")
+        if canary_gate and factor >= threshold:
+            print(f"CANARY-FACTOR REGRESSION: elevation {factor:.3f} >= "
+                  f"{threshold} — a ~uniform slowdown this large is NOT "
+                  "automatically machine elevation; verify with an isolated "
+                  "graft.Canary run before trusting the normalized gate")
+            factor_regressed = True
     regressions = []
     for name in sorted(set(oq) & set(nq)):
         ratio = nq[name] / oq[name] if oq[name] > 0 else float("inf")
@@ -95,15 +151,21 @@ def main(old_path, new_path, threshold=1.3, canary=True):
         if norm >= threshold and nq[name] - oq[name] * factor > 0.2:  # ignore sub-noise
             regressions.append((norm, ratio, name))
     for norm, ratio, name in sorted(regressions, reverse=True):
+        prior = prior_raw_flag_rounds(oq, name, threshold, old_path)
+        chronic = (f"  [CHRONIC: raw-flagged in {len(prior)} prior "
+                   f"consecutive driver artifacts: {','.join(prior)} — "
+                   "re-arm rule applies, see module docstring]"
+                   if len(prior) >= 2 else
+                   f"  [also raw-flagged in {prior[0]}]" if prior else "")
         print(f"REGRESSION {name:28s} {oq[name]:6.2f}s -> {nq[name]:6.2f}s  "
-              f"({ratio:.2f}x raw, {norm:.2f}x canary-normalized)")
+              f"({ratio:.2f}x raw, {norm:.2f}x canary-normalized){chronic}")
     for name in sorted(set(nq) - set(oq)):
         print(f"NEW        {name:28s} {nq[name]:6.2f}s")
     for name in sorted(set(oq) - set(nq)):
         print(f"REMOVED    {name:28s} (was {oq[name]:.2f}s)")
     print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
           f"({len(oq)} -> {len(nq)} queries)")
-    return 1 if regressions else 0
+    return 1 if regressions or factor_regressed else 0
 
 
 if __name__ == "__main__":
@@ -119,4 +181,6 @@ if __name__ == "__main__":
             thr = float(a.split("=", 1)[1])
         elif not a.startswith("--"):
             args.append(a)
-    sys.exit(main(args[0], args[1], thr, canary="--no-canary" not in sys.argv))
+    sys.exit(main(args[0], args[1], thr,
+                  canary="--no-canary" not in sys.argv,
+                  canary_gate="--no-canary-gate" not in sys.argv))
