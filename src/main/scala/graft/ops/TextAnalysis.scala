@@ -1804,7 +1804,10 @@ $chainSql      curve AS ($budgetSelects)
 
   /** Static entries plus — when [[Similarity.oracleContext]] is set by
     * Verify and the corpus passes [[bpeReplaySafe]] — the four
-    * data-derived BPE replay oracles.
+    * data-derived BPE replay oracles and the winnow mod-2^64 replay
+    * (r14: ta_winnow moves rows-only → hash-exact, leaving
+    * ta_compression_ratio as the single located-forever rows-only
+    * entry — a zlib codec output size is genuinely not SQL-replayable).
     */
   def oracles: Map[String, String] =
     staticOracles ++
@@ -1814,7 +1817,8 @@ $chainSql      curve AS ($budgetSelects)
           "ta_bpe_train" -> bpeTrainOracleSql(s, dir),
           "ta_bpe_encode" -> bpeEncodeOracleSql(s, dir),
           "ta_fertility" -> bpeFertilityOracleSql(s, dir),
-          "ta_bpe_curve" -> bpeCurveOracleSql(s, dir)))
+          "ta_bpe_curve" -> bpeCurveOracleSql(s, dir),
+          "ta_winnow" -> winnowReplayOracleSql))
       }.getOrElse(Map.empty)
 
   private val enPat = "\\b(" + langProfiles.head._2.mkString("|") + ")\\b"
@@ -2277,7 +2281,65 @@ $chainSql      curve AS ($budgetSelects)
         CAST(len(f) AS BIGINT) AS n_fp,
         md5(array_to_string(f, ',')) AS fp_digest
       FROM fps ORDER BY doc_id""")
-  // ta_winnow (fnv64 form): wrapping 64-bit rolling-hash arithmetic is
-  // not SQL-expressible → rows-only check; substring-match guarantee
-  // covered by its spec. ta_winnow_portable is the oracle-checked twin.
+
+  // ---- ta_winnow replay oracle (VERDICT r13 ask #2) ------------------
+  //
+  // The [[winnow]] kernel's rolling hash runs in WRAPPING signed-Long
+  // arithmetic — i.e. mod 2^64 with a signed reinterpretation at every
+  // comparison. The r13 simhash replay (ops/Dedup.scala) demonstrated
+  // mod-2^64 arithmetic is DuckDB-expressible; winnowing is in fact
+  // easier, because the rolling recurrence
+  //   h_{i+1} = (h_i - c_i·B^{k-1})·B + c_{i+k}   (all ops mod 2^64)
+  // telescopes to the direct polynomial h_i = Σ_j c_{i+j}·B^{k-1-j}
+  // (mod 2^64) — ring identities hold regardless of evaluation order,
+  // including through the wrapped precomputed B^{k-1}. With k = 8 fixed
+  // that is 8 HUGEINT products per position (each ≤ 2^16·2^64 = 2^80,
+  // the sum ≤ 2^83 — far inside HUGEINT), one `% 2^64`, and a signed
+  // reinterpretation (x ≥ 2^63 → x − 2^64) BEFORE min-selection, since
+  // the kernel's hs.min / `<=` / TreeSet all order signed. No recursive
+  // CTE, no split multiplies. Gated on [[asciiReplaySafe]] like every
+  // replay (charAt(i) == unicode(substr(s,i,1)) only holds there).
+  // Window selection/dedup mirrors ta_winnow_portable's proven shape.
+
+  private[ops] lazy val winnowReplayOracleSql: String = {
+    val U64 = BigInt(1) << 64
+    val B = BigInt(1000003)
+    // B^(7-j) mod 2^64 for term j of the degree-7 polynomial
+    val pow = (0 to 7).map(j => B.modPow(7 - j, U64))
+    val terms = (0 to 7).map { j =>
+      val idx = if (j == 0) "i" else s"i+$j"
+      s"CAST(unicode(s[$idx:$idx]) AS HUGEINT) * ${pow(j)}"
+    }.mkString(" + ")
+    s"""
+      WITH norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+        FROM documents),
+      grams0 AS (
+        SELECT doc_id,
+          [CAST(($terms) % $U64 AS HUGEINT)
+           for i in range(1, len(s) - 8 + 2)] AS mu
+        FROM norm WHERE len(s) >= 8),
+      grams AS (
+        SELECT doc_id,
+          [CAST(CASE WHEN m >= ${BigInt(1) << 63} THEN m - $U64 ELSE m END
+                AS BIGINT) for m in mu] AS hs
+        FROM grams0),
+      fps AS (
+        SELECT doc_id,
+          CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+               ELSE list_sort(list_distinct(
+                 [list_min(hs[i:i+3]) for i in range(1, len(hs) - 4 + 2)]))
+          END AS f
+        FROM grams),
+      fpx AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+      ag AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+          CAST(bit_xor(fp) AS BIGINT) AS fp_xor
+        FROM fpx GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(ag.n_fingerprints, CAST(0 AS BIGINT)) AS n_fingerprints,
+        COALESCE(ag.fp_xor, CAST(0 AS BIGINT)) AS fp_xor
+      FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
+      ORDER BY d.doc_id"""
+  }
 }

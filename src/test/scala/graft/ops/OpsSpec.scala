@@ -1750,6 +1750,62 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.winnow("short").isEmpty, "below k yields no fingerprints")
   }
 
+  test("winnow rolling hash equals the direct polynomial mod 2^64 (the r14 replay-oracle identity)") {
+    // The DuckDB ta_winnow oracle replays each k-gram hash as the
+    // DIRECT polynomial sum c_j·B^(k-1-j) mod 2^64, while the kernel
+    // computes it by the rolling recurrence through a WRAPPED
+    // precomputed B^(k-1). The two are equal by ring identities; this
+    // pins the claim on the JVM side with an independent BigInt
+    // reference (including texts long enough that every intermediate
+    // wraps many times, and the n<=w single-min and len<k empty paths).
+    val U64 = BigInt(1) << 64
+    val B = BigInt(1000003)
+    def reference(text: String, k: Int = 8, w: Int = 4): Seq[Long] = {
+      val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+      if (s.length < k) return Seq.empty
+      val hs = (0 to s.length - k).map { i =>
+        val u = (0 until k).foldLeft(BigInt(0)) { (acc, j) =>
+          (acc * B + s.charAt(i + j).toInt).mod(U64)
+        }
+        (if (u >= (BigInt(1) << 63)) u - U64 else u).toLong
+      }
+      if (hs.length <= w) Seq(hs.min)
+      else (0 to hs.length - w).map(i => hs.slice(i, i + w).min).distinct.sorted
+    }
+    val rnd = new scala.util.Random(42)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog while the cat sleeps",
+      "exactly8", "nine char", "tiny", "",
+      (1 to 500).map(_ => rnd.nextPrintableChar()).mkString,
+      "~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~") // high char codes, heavy wrap
+    texts.foreach { t =>
+      assert(TextAnalysis.winnow(t).toSeq == reference(t),
+        s"rolling != polynomial for ${t.take(20)}")
+    }
+  }
+
+  test("winnow replay oracle is emitted iff the corpus is replay-safe (r13 VERDICT ask #2)") {
+    val saved = graft.ops.Similarity.oracleContext
+    try {
+      graft.ops.Similarity.oracleContext = None
+      assert(!TextAnalysis.oracles.contains("ta_winnow"))
+      graft.ops.Similarity.oracleContext = Some((spark, sfDir))
+      val o = TextAnalysis.oracles
+      assert(o.contains("ta_winnow"),
+        "ASCII corpus must carry the mod-2^64 winnow replay oracle")
+      assert(o("ta_winnow").contains("unicode(") &&
+        o("ta_winnow").contains("bit_xor"),
+        "the oracle must re-derive hashes from raw characters")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-winnowunsafe").toString
+      Seq((1L, "has a vertical\u000Btab")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      graft.ops.Similarity.oracleContext = Some((spark, dir))
+      assert(!TextAnalysis.oracles.contains("ta_winnow"),
+        "an engine-divergent corpus must fall back to rows-only")
+    } finally graft.ops.Similarity.oracleContext = saved
+  }
+
   test("portable winnowing keeps the substring-sharing guarantee") {
     val md = new TextAnalysis.Md5Memo()
     val base = "the quick brown fox jumps over the lazy dog while the cat sleeps"
