@@ -526,17 +526,23 @@ object StreamingCuration {
     * admitting on refold. A replayed batchId is a no-op that returns
     * the batch's already-admitted rows (tagged per-fold via the stored
     * `__batch_id` column).
+    *
+    * `stateName` selects the state family: the default `"mix"` is the
+    * single-budget fill; [[mergeMixCurveState]] folds the same kernel
+    * at the budget SWEEP's cap into a separate `"mix_curve"` state so
+    * the two selections (bounded at 600 vs 2400 tokens/source) never
+    * mix.
     */
   def mergeMixState(spark: SparkSession, stateDir: String, batch: DataFrame,
       budget: Long = graft.ops.Curation.MixBudget,
-      batchId: Long = -1L): DataFrame = {
+      batchId: Long = -1L, stateName: String = "mix"): DataFrame = {
     import spark.implicits._
     val selOf = (df: DataFrame) => df.drop("__batch_id")
-    if (VersionedState.alreadyFolded(spark, stateDir, "mix", batchId))
-      return selOf(stateTable(spark, stateDir, "mix", "selected")
+    if (VersionedState.alreadyFolded(spark, stateDir, stateName, batchId))
+      return selOf(stateTable(spark, stateDir, stateName, "selected")
         .filter($"__batch_id" === batchId))
     val prior: Map[String, Long] =
-      VersionedState.readTable(spark, stateDir, "mix", "runs") match {
+      VersionedState.readTable(spark, stateDir, stateName, "runs") match {
         case None => Map.empty
         case Some(r) => r.collect()
           .map(x => x.getString(0) -> x.getLong(1)).toMap
@@ -545,7 +551,7 @@ object StreamingCuration {
       .mixBudgetOf(batch, budget, initialRuns = prior)
       .withColumn("__batch_id", lit(batchId))
       .gatedCheckpoint()
-    val allSel = VersionedState.readTable(spark, stateDir, "mix", "selected") match {
+    val allSel = VersionedState.readTable(spark, stateDir, stateName, "selected") match {
       case None => sel
       case Some(p) => p.unionByName(sel)
     }
@@ -555,7 +561,7 @@ object StreamingCuration {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val runs = (prior.keySet ++ batchTotals.keySet).toSeq.sorted
       .map(src => (src, prior.getOrElse(src, 0L) + batchTotals.getOrElse(src, 0L)))
-    VersionedState.commit(spark, stateDir, "mix", batchId) { dir =>
+    VersionedState.commit(spark, stateDir, stateName, batchId) { dir =>
       allSel.write.mode("overwrite").parquet(s"$dir/selected")
       runs.toDF("source", "run").coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/runs")
@@ -571,6 +577,35 @@ object StreamingCuration {
     import spark.implicits._
     stateTable(spark, stateDir, "mix", "selected").drop("__batch_id")
       .orderBy($"source", $"cum_tokens")
+  }
+
+  /** Fold a batch into the budget-SWEEP mix state — the incremental
+    * half of [[graft.ops.Curation.mixBudgetCurve]]: the same greedy
+    * kernel as [[mergeMixState]] (replay gate, crash-atomic
+    * selected+runs commit, run continuation included) but capped at the
+    * sweep's LARGEST candidate budget into the separate `"mix_curve"`
+    * state, so the accumulated selection contains every row any
+    * candidate budget could keep. Fold cost ∝ batch; the state stays
+    * bounded at sources × maxBudget tokens' worth of rows.
+    */
+  def mergeMixCurveState(spark: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long = -1L): DataFrame =
+    mergeMixState(spark, stateDir, batch,
+      budget = graft.ops.Curation.MixCurveBudgets.max,
+      batchId = batchId, stateName = "mix_curve")
+
+  /** The per-budget mix tuning curve served from the accumulated
+    * `"mix_curve"` state — [[graft.ops.Curation.mixCurveOfRuns]] (the
+    * registered query's own aggregate tail, so the derivations cannot
+    * drift) over the state's greedy runs, whose cum_tokens continue
+    * across batches exactly like the batch fill of their concatenation
+    * (spec-pinned). Reading the curve costs one pass over the BOUNDED
+    * state table — no corpus re-scan per budget ablation.
+    */
+  def mixCurveFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.Curation.mixCurveOfRuns(
+      stateTable(spark, stateDir, "mix_curve", "selected").drop("__batch_id"))
   }
 
   /** Fold a batch into the persistent window-frequency state

@@ -1689,10 +1689,26 @@ object Curation {
   def mixBudgetCurveOf(
       docs: DataFrame,
       budgets: Seq[Long] = MixCurveBudgets): DataFrame = {
-    val s = docs.sparkSession
+    val bs = budgets.distinct.sorted
+    mixCurveOfRuns(mixRunsOf(docs, cap = bs.max), bs)
+  }
+
+  /** The curve's aggregate tail over ANY accumulated greedy-runs table
+    * (source, doc_id, n_tokens, cum_tokens) whose fill was capped at ≥
+    * `budgets.max` — shared by the registered [[mixBudgetCurve]] query
+    * and its incremental streaming twin
+    * ([[graft.examples.StreamingCuration.mixCurveFromState]]), so the
+    * two derivations cannot drift. The prefix-rule invariant transfers:
+    * a doc is kept at budget B iff its running total ≤ B, regardless of
+    * whether the runs accumulated in one pass or across stream batches
+    * (cum_tokens continues across batches in the state form).
+    */
+  def mixCurveOfRuns(
+      runs: DataFrame,
+      budgets: Seq[Long] = MixCurveBudgets): DataFrame = {
+    val s = runs.sparkSession
     import s.implicits._
     val bs = budgets.distinct.sorted
-    val runs = mixRunsOf(docs, cap = bs.max)
     val massAggs = bs.flatMap { b =>
       Seq(
         sum(when($"cum_tokens" <= b, lit(1L)).otherwise(lit(0L)))

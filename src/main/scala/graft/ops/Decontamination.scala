@@ -382,6 +382,76 @@ object Decontamination {
           .as("status"))
       .orderBy("train_id", "eval_id")
 
+  /** Eval-side document-frequency cap for the winnow probe: a
+    * fingerprint present in more eval documents than this is benchmark
+    * boilerplate (shared preamble/license runs) and carries no
+    * discrimination — dropping it bounds the per-fingerprint join
+    * fan-out, the same skew guard as
+    * [[TextAnalysis.dedupWinnowPairs]]'s corpus-wide cap. Computed on
+    * the BOUNDED eval side only, so the guard itself is cheap.
+    */
+  val WinnowEvalMaxDf = 20L
+
+  /** decon_winnow: character-level decontamination via winnowing
+    * fingerprints (Schleimer et al. 2003) — the third evidence width
+    * next to the word-3-gram and word-13-gram sweeps: winnowing's
+    * guarantee (any shared substring of length ≥ k+w−1 = 11 CHARS
+    * shares a fingerprint) catches verbatim character runs that word
+    * tokenization smears across token boundaries (joined words,
+    * punctuation-mangled quotes), the leakage class neither word width
+    * sees. Pairs must share ≥ [[MinShared]] distinct df-capped
+    * fingerprints.
+    *
+    * 100 TB shape: identical to [[contaminationPairs]] — fingerprints
+    * leave the scan as 8-byte longs from the compiled
+    * [[TextAnalysis.winnow]] kernel (~2/(w+1) of positions, so the
+    * exploded fingerprint table is a fraction of the character mass);
+    * the eval side is bounded, df-capped on ITS OWN document
+    * frequencies, and broadcast, so the training corpus is scanned
+    * once with a broadcast hash join and the per-pair aggregate is
+    * bounded by contaminated mass — nothing corpus-sized shuffles.
+    */
+  def deconWinnow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.t(s, dir, "documents")
+    deconWinnowOf(docs.filter(!isEval($"doc_id")), docs.filter(isEval($"doc_id")))
+  }
+
+  /** [[deconWinnow]] over arbitrary (doc_id, text) frames — the
+    * production shape with an external benchmark table.
+    */
+  def deconWinnowOf(train: DataFrame, evalDocs: DataFrame,
+      minShared: Long = MinShared): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    val evFp = winnowFpsOf(evalDocs).select($"doc_id".as("eval_id"), $"fp")
+    val hot = evFp.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" > WinnowEvalMaxDf).select($"fp")
+    // both sides of the guard are eval-bounded; the surviving probe
+    // table broadcasts
+    val rare = evFp.join(hot, Seq("fp"), "left_anti")
+    winnowFpsOf(train)
+      .join(broadcast(rare), "fp")
+      .groupBy($"doc_id".as("train_id"), $"eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+      .orderBy("train_id", "eval_id")
+  }
+
+  /** Exploded (doc_id, fp) winnow fingerprints — the compiled
+    * signed-Long kernel; per-doc sets arrive already deduplicated, so
+    * downstream pair counts are distinct-fingerprint counts.
+    */
+  private def winnowFpsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        TextAnalysis.winnow(text).iterator.map(fp => (id, fp))
+      }
+      .toDF("doc_id", "fp")
+  }
+
   /** Persist an eval/benchmark shingle snapshot as a VERSIONED state —
     * the crash-safe form of [[writeEvalShingles]] (VERDICT r10
     * next-step #8): each benchmark refresh commits a fresh
@@ -422,6 +492,9 @@ object Decontamination {
     // new in r13: combined-width hard-vs-smeared leakage report (one
     // corpus scan emitting both widths, width-tagged broadcast probe)
     "decon_smear_report" -> ((s, d) => deconSmearReport(s, d)),
+    // new in r14: character-level winnow-fingerprint sweep (VERDICT r13
+    // next-step #7a), hash-exact via the ta_winnow mod-2^64 replay
+    "decon_winnow" -> ((s, d) => deconWinnow(s, d)),
     "decon_report" -> contaminationReport)
 
   /** DuckDB n-gram shingle CTE, the n-parameterized twin of
@@ -453,7 +526,44 @@ object Decontamination {
   private def dt(x: String, y: String) =
     s"list_sum([CAST($x AS DOUBLE[])[i] * CAST($y AS DOUBLE[])[i] for i in range(1, 65)])"
 
-  val oracles: Map[String, String] = Map(
+  /** Static entries plus — when [[Similarity.oracleContext]] is set by
+    * Verify and the corpus passes [[TextAnalysis.asciiReplaySafe]] —
+    * the winnow-probe replay, which rides the same mod-2^64 fingerprint
+    * CTEs as the ta_winnow oracle (charAt(i) == unicode(substr(s,i,1))
+    * only holds on ASCII-safe corpora).
+    */
+  def oracles: Map[String, String] =
+    staticOracles ++
+      graft.ops.Similarity.oracleContext.flatMap { case (s, dir) =>
+        if (!TextAnalysis.asciiReplaySafe(s, dir)) None
+        else Some(Map("decon_winnow" -> deconWinnowOracleSql))
+      }.getOrElse(Map.empty)
+
+  /** decon_winnow oracle: the ta_winnow fps CTEs (the proven mod-2^64
+    * signed replay of the [[TextAnalysis.winnow]] kernel), exploded and
+    * split by the same md5 eval predicate, with the eval-df cap and
+    * pair tier mirrored. fpx feeds both splits, so it materializes
+    * (the CTE-inliner 2^N hazard).
+    */
+  private def deconWinnowOracleSql: String = s"""
+      WITH ${TextAnalysis.winnowFpsCtesSql},
+      fpx AS MATERIALIZED (SELECT doc_id, unnest(f) AS fp FROM fps),
+      ev AS MATERIALIZED (
+        SELECT doc_id AS eval_id, fp FROM fpx
+        WHERE md5(CAST(doc_id AS VARCHAR)) >= '$EvalLower'),
+      hot AS (SELECT fp FROM ev GROUP BY fp HAVING COUNT(*) > $WinnowEvalMaxDf),
+      pairs AS (
+        SELECT t.doc_id AS train_id, e.eval_id,
+          CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fpx t JOIN ev e ON t.fp = e.fp
+        WHERE md5(CAST(t.doc_id AS VARCHAR)) < '$EvalLower'
+          AND t.fp NOT IN (SELECT fp FROM hot)
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= $MinShared)
+      SELECT train_id, eval_id, n_shared FROM pairs
+      ORDER BY train_id, eval_id"""
+
+  private val staticOracles: Map[String, String] = Map(
     // per-tier conditional aggregates over the SAME tier-1 pair table
     // the Spark single pass reads; LEFT JOIN ON TRUE keeps all tier
     // rows alive on a contamination-free corpus (zero counts, like

@@ -2301,7 +2301,13 @@ $chainSql      curve AS ($budgetSelects)
   // replay (charAt(i) == unicode(substr(s,i,1)) only holds there).
   // Window selection/dedup mirrors ta_winnow_portable's proven shape.
 
-  private[ops] lazy val winnowReplayOracleSql: String = {
+  /** The replay's fps CTE chain (norm → grams0 → grams → fps), ending
+    * in `fps(doc_id, f: BIGINT[])` — the per-doc deduplicated signed
+    * fingerprint list, exactly [[winnow]]'s output. Shared by the
+    * ta_winnow oracle and [[Decontamination]]'s winnow-probe oracle
+    * (same gate: emitted only where [[asciiReplaySafe]] holds).
+    */
+  private[ops] lazy val winnowFpsCtesSql: String = {
     val U64 = BigInt(1) << 64
     val B = BigInt(1000003)
     // B^(7-j) mod 2^64 for term j of the degree-7 polynomial
@@ -2310,8 +2316,7 @@ $chainSql      curve AS ($budgetSelects)
       val idx = if (j == 0) "i" else s"i+$j"
       s"CAST(unicode(s[$idx:$idx]) AS HUGEINT) * ${pow(j)}"
     }.mkString(" + ")
-    s"""
-      WITH norm AS (
+    s"""norm AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
         FROM documents),
       grams0 AS (
@@ -2330,7 +2335,11 @@ $chainSql      curve AS ($budgetSelects)
                ELSE list_sort(list_distinct(
                  [list_min(hs[i:i+3]) for i in range(1, len(hs) - 4 + 2)]))
           END AS f
-        FROM grams),
+        FROM grams)"""
+  }
+
+  private[ops] lazy val winnowReplayOracleSql: String = s"""
+      WITH $winnowFpsCtesSql,
       fpx AS (SELECT doc_id, unnest(f) AS fp FROM fps),
       ag AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
@@ -2341,5 +2350,4 @@ $chainSql      curve AS ($budgetSelects)
         COALESCE(ag.fp_xor, CAST(0 AS BIGINT)) AS fp_xor
       FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
       ORDER BY d.doc_id"""
-  }
 }

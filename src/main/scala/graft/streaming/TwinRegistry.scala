@@ -136,6 +136,9 @@ object TwinRegistry {
       Seq(sc("mergeLenProfileState")), "budgetCurveFromState",
       Seq("len_profile"),
       "incremental budget curve: the max-seq-len sweep from the folded length histogram == one-shot"),
+    Twin("mix_curve", "versioned-state", "Curation.mixBudgetCurve",
+      Seq(sc("mergeMixCurveState")), "mixCurveFromState", Seq("mix_curve"),
+      "incremental mix-curve state: greedy runs folded at the sweep cap reproduce the batch budget curve"),
     // persisted-artifact protocol (artifact lifecycle != VersionedState,
     // but the same contract: fold ∝ batch, reader == batch twin)
     Twin("knn_graph", "persisted-artifact", "Similarity.simKnnGraph",

@@ -26,8 +26,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registered query count matches the round record") {
-    assert(SparkEntry.queries.size == 264, // r13: +decon_smear_report,
-      // +pack_budget_curve, +mix_budget_curve
+    assert(SparkEntry.queries.size == 265, // r14: +decon_winnow
       s"query count drifted: ${SparkEntry.queries.size} — update the " +
         "round record (NOTES.md/README.md) together with this pin")
   }

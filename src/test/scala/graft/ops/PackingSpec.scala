@@ -295,6 +295,69 @@ class DecontaminationSpec extends SparkSpec {
       s"scattered trigrams must class smeared: $got")
   }
 
+  test("decon_winnow: matches an in-JVM brute-force winnow probe at the corpus") {
+    // ground truth recomputed directly from the kernel: per-doc winnow
+    // fingerprint sets, eval-side df cap, pairwise distinct-shared
+    // counts at the MinShared tier — the distributed plan must
+    // reproduce it exactly
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val hashOf = (id: Long) =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val fps = docs.map { case (id, t) =>
+      id -> graft.ops.TextAnalysis.winnow(t).toSet
+    }.toMap
+    val (evalIds, trainIds) = docs.map(_._1)
+      .partition(hashOf(_) >= Decontamination.EvalLower)
+    val evDf = evalIds.flatMap(fps(_)).groupBy(identity)
+      .map { case (fp, xs) => fp -> xs.length }
+    val hot = evDf.filter(_._2 > Decontamination.WinnowEvalMaxDf).keySet
+    val want = (for {
+      tr <- trainIds; ev <- evalIds
+      n = ((fps(tr) & fps(ev)) -- hot).size.toLong
+      if n >= Decontamination.MinShared
+    } yield (tr, ev, n)).sorted.toSeq
+    val got = Decontamination.deconWinnow(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"winnow probe diverged: got ${got.length} pairs, " +
+      s"want ${want.length}")
+  }
+
+  test("decon_winnow: planted 11+ char leak flags; eval boilerplate is df-capped out") {
+    val hashOf = (id: Long) =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val ids = 0L until 5000L
+    // 21 eval docs — one over the df cap — all sharing a boilerplate
+    // run, each with unique filler; one eval doc additionally carries a
+    // distinctive sentence
+    val evalIds = ids.filter(hashOf(_) >= Decontamination.EvalLower)
+      .take(Decontamination.WinnowEvalMaxDf.toInt + 1)
+    val trainIds = ids.filter(hashOf(_) < Decontamination.EvalLower)
+    val boiler = "standard benchmark license header text common to every item"
+    val secret = "zylophant quartzite embrasure dirigible mnemonic overture"
+    val evalRows = evalIds.zipWithIndex.map { case (id, i) =>
+      val extra = if (i == 0) s" $secret" else ""
+      (id, s"unique filler u${i}a u${i}b u${i}c $boiler$extra")
+    }
+    val (leakId, cleanBoilerId) = (trainIds(0), trainIds(1))
+    val rows = evalRows ++ Seq(
+      (leakId, s"surrounding words $secret more surrounding words"),
+      (cleanBoilerId, s"different document carrying only $boiler here"))
+    val work = java.nio.file.Files.createTempDirectory("graft-dwin").toString
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val got = Decontamination.deconWinnow(spark, work).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((leakId, evalIds(0))),
+      s"verbatim character leak must flag: $got")
+    assert(!got.exists(_._1 == cleanBoilerId),
+      s"boilerplate-only overlap must be df-capped out: $got")
+  }
+
   test("decon_pairs: a planted benchmark leak is caught end-to-end") {
     // build a tiny corpus-shaped frame where train doc 1 contains eval
     // doc's exact text (verbatim leak) and train doc 2 is clean;

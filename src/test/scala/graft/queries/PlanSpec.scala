@@ -522,6 +522,16 @@ class PlanSpec extends SparkSpec {
       s"exactly one probe join expected:\n$p")
   }
 
+  test("decon_winnow: df-capped eval fingerprints broadcast; corpus side never shuffles into the probe") {
+    val p = plan(graft.ops.Decontamination.deconWinnow(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus-sized train fingerprint stream must never sort-merge
+    // against eval — the df-capped eval table is bounded and broadcasts
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounded eval fingerprints must broadcast:\n$p")
+  }
+
   test("ta_bpe_curve: one vocabulary pass — a single token aggregation, no join") {
     val merges = Seq(("a", "b"), ("ab", "c"))
     val p = plan(graft.ops.TextAnalysis.bpeCurveOf(

@@ -540,6 +540,40 @@ class StreamingSpec extends SparkSpec {
     assert(runs == totals, "state runs must equal per-source corpus token totals")
   }
 
+  test("incremental mix-curve state: greedy runs folded at the sweep cap reproduce the batch budget curve") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val state = Files.createTempDirectory("graft-mixcurve").resolve("s").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    // same greedy-order banding as the single-budget mix parity test:
+    // batches arrive longest-first on distinct n_chars cuts
+    val cuts = docs.select($"n_chars").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val (a, b) = (cuts(cuts.length / 3), cuts(2 * cuts.length / 3))
+    val batches = Seq(
+      docs.filter($"n_chars" > b),
+      docs.filter($"n_chars" > a && $"n_chars" <= b),
+      docs.filter($"n_chars" <= a))
+    batches.zipWithIndex.foreach { case (bt, i) =>
+      StreamingCuration.mergeMixCurveState(spark, state, bt, batchId = i.toLong)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = rows(StreamingCuration.mixCurveFromState(spark, state))
+    val want = rows(graft.ops.Curation.mixBudgetCurveOf(docs))
+    assert(got == want,
+      s"curve from state must equal the one-shot batch sweep: $got != $want")
+    // the curve state is its OWN family: folding it never touched the
+    // single-budget "mix" state...
+    assert(graft.streaming.VersionedState
+      .readTable(spark, state, "mix", "selected").isEmpty)
+    // ...and a replayed batchId is a no-op (the curve is unchanged)
+    StreamingCuration.mergeMixCurveState(spark, state, batches(1), batchId = 1L)
+    assert(rows(StreamingCuration.mixCurveFromState(spark, state)) == want,
+      "replayed fold must not change the served curve")
+  }
+
   test("corpus compaction: fragmented state collapses; dedup stays exact afterward") {
     import spark.implicits._
     import graft.examples.StreamingCuration
