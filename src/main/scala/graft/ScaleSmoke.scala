@@ -235,7 +235,14 @@ object ScaleSmoke {
       // density constant so their pair mass should scale ×N, and the
       // probe checks the candidate fan-out (not just the verify step)
       // rides that linear mass rather than a hidden quadratic.
-      "dedup_editdist", "dedup_containment")
+      "dedup_editdist", "dedup_containment",
+      // r14: the first containment probe read 230× — the old verify
+      // attached FULL shingle arrays to every candidate (two array
+      // shuffles × candidate mass + a corpus-sized array cache). The
+      // decomposed intersectCandidatesOf trunk fixed it; jaccard and
+      // its band histogram shared the defective shape, so all three
+      // certify under the new trunk.
+      "dedup_ngram_jaccard", "dedup_jaccard_hist")
 
   def runSf10ConstDup(spark: SparkSession, srcDir: String): Unit = {
     val dir = ensureSf10ConstDup(spark, srcDir)

@@ -1204,6 +1204,68 @@ object StreamingCuration {
     }
   }
 
+  /** Fold a batch's character-level winnow-fingerprint contamination
+    * evidence against a provided benchmark set into persistent state
+    * (35th streaming twin — the incremental form of
+    * [[graft.ops.Decontamination.deconWinnow]]): per-(train, eval)
+    * distinct-shared-fingerprint counts are complete within a doc's
+    * batch (whole documents arrive in one row and the compiled kernel
+    * emits per-doc deduplicated fingerprints), so appends ARE the
+    * merge — the smear-evidence contract exactly: crashed
+    * double-appends heal at read on the (train_id, eval_id) natural
+    * key, replays are watermark-gated no-ops, and fold cost ∝ batch +
+    * |eval| (the bounded eval side re-fingerprints per fold, df cap
+    * included — the cap is a property of the benchmark snapshot, so it
+    * rides [[graft.ops.Decontamination.cappedEvalWinnowFps]] unchanged
+    * between batch and twin). Benchmark members are excluded from the
+    * audited universe via the same broadcast anti-join as the sibling
+    * twins.
+    *
+    * CONTRACT (shared with [[mergeSmearEvidenceState]], r13 ADVICE
+    * #4): `evalDocs` must be DETERMINISTIC per `batchId` —
+    * snapshot/materialize the benchmark table before folding; the torn
+    * -append heal is only sound when a retry recomputes identical
+    * counts.
+    */
+  def mergeWinnowEvidenceState(spark: SparkSession, stateDir: String,
+      batch: DataFrame, evalDocs: DataFrame, batchId: Long = -1L): Unit = {
+    import spark.implicits._
+    val name = "winnow_evidence"
+    if (VersionedState.alreadyFolded(spark, stateDir, name, batchId)) return
+    val train = batch.select($"doc_id", $"text")
+      .join(broadcast(evalDocs.select($"doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+    val pairs = graft.ops.Decontamination
+      .winnowProbeOf(train,
+        graft.ops.Decontamination.cappedEvalWinnowFps(evalDocs))
+      .gatedCheckpoint()
+    pairs.write.mode("append").parquet(s"$stateDir/winnow_evidence")
+    VersionedState.commit(spark, stateDir, name, batchId) { dir =>
+      pairs.agg(count(lit(1)).as("n_pairs"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    }
+  }
+
+  /** The accumulated-stream winnow contamination report — identical
+    * columns to the batch
+    * [[graft.ops.Decontamination.deconWinnow]], served from the folded
+    * evidence (no corpus re-scan; the gate tail is the shared
+    * [[graft.ops.Decontamination.winnowGate]] trunk). `dropDuplicates`
+    * heals any crashed double-append.
+    */
+  def winnowReportFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    val path = s"$stateDir/winnow_evidence"
+    val pairs =
+      if (graft.streaming.StateFs.exists(path)) spark.read.parquet(path)
+      else {
+        import spark.implicits._
+        Seq.empty[(Long, Long, Long)]
+          .toDF("train_id", "eval_id", "n_shared")
+      }
+    graft.ops.Decontamination.winnowGate(
+      pairs.dropDuplicates("train_id", "eval_id"))
+  }
+
   /** The accumulated-stream combined-width leakage report — identical
     * columns to the batch
     * [[graft.ops.Decontamination.deconSmearReport]], served from the

@@ -421,22 +421,50 @@ object Decontamination {
     * production shape with an external benchmark table.
     */
   def deconWinnowOf(train: DataFrame, evalDocs: DataFrame,
-      minShared: Long = MinShared): DataFrame = {
-    val s = train.sparkSession
+      minShared: Long = MinShared): DataFrame =
+    winnowGate(
+      winnowProbeOf(train, cappedEvalWinnowFps(evalDocs)), minShared)
+
+  /** The df-capped eval fingerprint table (eval_id, fp) — the frozen
+    * half of the winnow probe: benchmarks change rarely, so a pipeline
+    * fingerprints them once (cap INCLUDED — the guard is a property of
+    * the snapshot, not of the probing batch) and every corpus batch
+    * joins the bounded result.
+    */
+  def cappedEvalWinnowFps(evalDocs: DataFrame): DataFrame = {
+    val s = evalDocs.sparkSession
     import s.implicits._
     val evFp = winnowFpsOf(evalDocs).select($"doc_id".as("eval_id"), $"fp")
     val hot = evFp.groupBy($"fp").agg(count(lit(1)).as("df"))
       .filter($"df" > WinnowEvalMaxDf).select($"fp")
     // both sides of the guard are eval-bounded; the surviving probe
     // table broadcasts
-    val rare = evFp.join(hot, Seq("fp"), "left_anti")
-    winnowFpsOf(train)
-      .join(broadcast(rare), "fp")
-      .groupBy($"doc_id".as("train_id"), $"eval_id")
-      .agg(count(lit(1)).as("n_shared"))
-      .filter($"n_shared" >= minShared)
-      .orderBy("train_id", "eval_id")
+    evFp.join(hot, Seq("fp"), "left_anti")
   }
+
+  /** The probe trunk: per-(train, eval) distinct-shared-fingerprint
+    * counts at evidence tier ≥ 1 against a prepared
+    * [[cappedEvalWinnowFps]] table — shared by the registered query
+    * and the incremental streaming twin
+    * ([[graft.examples.StreamingCuration.mergeWinnowEvidenceState]]),
+    * so the two derivations cannot drift. Counts are complete within a
+    * train doc's batch (whole documents arrive in one row, and the
+    * kernel emits per-doc DEDUPLICATED fingerprints), which is what
+    * makes the twin's appends the merge.
+    */
+  def winnowProbeOf(train: DataFrame, evalFps: DataFrame): DataFrame =
+    winnowFpsOf(train)
+      .join(broadcast(evalFps), "fp")
+      .groupBy(col("doc_id").as("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+
+  /** The report tail over any (train_id, eval_id, n_shared) winnow
+    * evidence table: gate at `minShared` distinct fingerprints.
+    */
+  def winnowGate(pairs: DataFrame,
+      minShared: Long = MinShared): DataFrame =
+    pairs.filter(col("n_shared") >= minShared)
+      .orderBy("train_id", "eval_id")
 
   /** Exploded (doc_id, fp) winnow fingerprints — the compiled
     * signed-Long kernel; per-doc sets arrive already deduplicated, so

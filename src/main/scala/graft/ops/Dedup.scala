@@ -480,20 +480,16 @@ object Dedup {
   def dedupNgramJaccard(s: SparkSession, dir: String, maxDocFreq: Int = 100): DataFrame = {
     val sets = shingleSets(s, dir).cache()
     try {
-      // the inverted index genuinely needs the exploded (doc, shingle)
-      // form — derived narrowly from the cached sets
-      val sh = sets.select(col("doc_id"), explode(col("set")).as("sh"))
-      // df cap as a broadcast anti-join on the (small) hot-shingle list —
-      // same rationale as candidatePairs' bucket cap
-      val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDocFreq)
-        .select(col("sh"))
-      val rare = sh.join(broadcast(hot), Seq("sh"), "left_anti")
-      val cand = rare.as("x").join(rare.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      verifyJaccardSets(cand, sets, 0.8).orderBy("a", "b")
+      // decomposed verify (see intersectCandidatesOf): jaccard =
+      // inter / (|A| + |B| − inter), same IEEE division as the
+      // two-pointer form, but candidates never carry full sets
+      intersectCandidatesOf(sets, maxDocFreq)
+        .select(col("a"), col("b"),
+          (col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("a", "b")
         .gatedCheckpoint()
     } finally sets.unpersist()
   }
@@ -514,31 +510,11 @@ object Dedup {
     import s.implicits._
     val sets = shingleSets(s, dir).cache()
     try {
-      val sh = sets.select(col("doc_id"), explode(col("set")).as("sh"))
-      val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDocFreq)
-        .select(col("sh"))
-      val rare = sh.join(broadcast(hot), Seq("sh"), "left_anti")
-      val cand = rare.as("x").join(rare.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      val iu = cand
-        .join(sets.as("pa"), col("a") === col("pa.doc_id"))
-        .join(sets.as("pb"), col("b") === col("pb.doc_id"))
-        .select(col("a"), col("b"), col("pa.set").as("sa"),
-          col("pb.set").as("sb"))
-        .as[(Long, Long, Array[Long], Array[Long])]
-        .map { case (_, _, sa, sb) =>
-          var i = 0; var j = 0; var inter = 0
-          while (i < sa.length && j < sb.length) {
-            if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
-            else if (sa(i) < sb(j)) i += 1
-            else j += 1
-          }
-          (inter.toLong, (sa.length + sb.length - inter).toLong)
-        }
-        .toDF("i", "u")
+      // decomposed verify (see intersectCandidatesOf): the band is the
+      // same integer (10·i) div u, u = na + nb − inter
+      val iu = intersectCandidatesOf(sets, maxDocFreq)
+        .select(col("inter").as("i"),
+          (col("na") + col("nb") - col("inter")).as("u"))
       val banded = iu.select(expr("(10 * i) div u").as("band"))
         .groupBy($"band").agg(count(lit(1)).as("n_pairs"))
       val w = org.apache.spark.sql.expressions.Window.orderBy($"band".desc)
@@ -701,8 +677,14 @@ object Dedup {
     import s.implicits._
     val sets = shingleSetsOf(docs.select($"doc_id", $"text")).cache()
     try {
-      val cand = containmentCandidatesOf(sets, maxDocFreq)
-      verifyContainmentSets(cand, sets, threshold).orderBy("a", "b")
+      // decomposed verify (see intersectCandidatesOf): candidates never
+      // carry full sets; containment = the same single IEEE division
+      intersectCandidatesOf(sets, maxDocFreq)
+        .select($"a", $"b",
+          ($"inter".cast("double") / least($"na", $"nb").cast("double"))
+            .as("containment"))
+        .filter($"containment" >= threshold)
+        .orderBy("a", "b")
         .gatedCheckpoint()
     } finally sets.unpersist()
   }
@@ -724,6 +706,72 @@ object Dedup {
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+  }
+
+  /** Decomposed inverted-index intersection trunk for the exact
+    * near-dup verifies (r14, after the dedup_containment sf10cd probe
+    * read 230× at 100× data): (a, b, inter, na, nb) for every pair
+    * sharing ≥1 sub-df-cap shingle, with `inter` the TRUE full-set
+    * intersection — WITHOUT ever attaching a full shingle array to a
+    * candidate pair. The old shape (`.distinct()` candidates, then two
+    * joins shipping both docs' complete sorted sets per candidate) was
+    * superlinear in practice at 100×: candidate mass × avg-set-size of
+    * array payload through two shuffles, plus a corpus-sized array
+    * cache under memory pressure. The identity that removes it:
+    *
+    *   |A∩B| = |rare(A) ∩ rare(B)| + |hot(A) ∩ hot(B)|
+    *
+    * — every shared shingle is either sub-cap (counted exactly, for
+    * free, by `groupBy(a,b).count` over the SAME blocking self-join
+    * that generated the candidate — the editdist pattern) or hot
+    * (counted by a compiled two-pointer walk over the docs' HOT-ONLY
+    * member arrays, which are bounded by the boilerplate vocabulary a
+    * document contains, a tiny fraction of its set). Candidates now
+    * carry five scalars plus two small arrays; nothing corpus-sized is
+    * cached for the verify. Measured: dedup_containment 458 s → see
+    * NOTES sf10cd table at 100×.
+    */
+  private[ops] def intersectCandidatesOf(
+      sets: DataFrame, maxDocFreq: Int = NearDupMaxDocFreq): DataFrame = {
+    val s = sets.sparkSession
+    import s.implicits._
+    val sh = sets.select($"doc_id", explode($"set").as("sh"))
+    // materialize the (small) hot list once: it feeds both the anti-join
+    // guard and the per-doc hot-member arrays
+    val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDocFreq).select($"sh")
+      .gatedCheckpoint()
+    val rare = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val shared = rare.as("x").join(rare.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_sub"))
+    // per-doc HOT members, sorted for the two-pointer walk; docs with
+    // none stay absent and coalesce to empty below
+    val hotArr = sh.join(broadcast(hot), Seq("sh"), "left_semi")
+      .groupBy($"doc_id").agg(sort_array(collect_list($"sh")).as("hs"))
+    val sizes = sets.select($"doc_id", size($"set").cast("long").as("n"))
+    val empty = array().cast("array<bigint>")
+    shared
+      .join(sizes.select($"doc_id".as("a"), $"n".as("na")), "a")
+      .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), "b")
+      .join(hotArr.select($"doc_id".as("a"), $"hs".as("ha")), Seq("a"), "left")
+      .join(hotArr.select($"doc_id".as("b"), $"hs".as("hb")), Seq("b"), "left")
+      .select($"a", $"b", $"n_sub", $"na", $"nb",
+        coalesce($"ha", empty).as("ha"), coalesce($"hb", empty).as("hb"))
+      .as[(Long, Long, Long, Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, nSub, na, nb, ha, hb) =>
+        var i = 0
+        var j = 0
+        var inter = nSub
+        while (i < ha.length && j < hb.length) {
+          if (ha(i) == hb(j)) { inter += 1; i += 1; j += 1 }
+          else if (ha(i) < hb(j)) i += 1
+          else j += 1
+        }
+        (a, b, inter, na, nb)
+      }
+      .toDF("a", "b", "inter", "na", "nb")
   }
 
   /** Exact containment verify over precomputed sorted sets: two-pointer

@@ -139,6 +139,10 @@ object TwinRegistry {
     Twin("mix_curve", "versioned-state", "Curation.mixBudgetCurve",
       Seq(sc("mergeMixCurveState")), "mixCurveFromState", Seq("mix_curve"),
       "incremental mix-curve state: greedy runs folded at the sweep cap reproduce the batch budget curve"),
+    Twin("winnow_evidence", "versioned-state", "Decontamination.deconWinnow",
+      Seq(sc("mergeWinnowEvidenceState")), "winnowReportFromState",
+      Seq("winnow_evidence"),
+      "incremental winnow-evidence state: out-of-order folds + replay + torn append == one-shot winnow decon"),
     // persisted-artifact protocol (artifact lifecycle != VersionedState,
     // but the same contract: fold ∝ batch, reader == batch twin)
     Twin("knn_graph", "persisted-artifact", "Similarity.simKnnGraph",

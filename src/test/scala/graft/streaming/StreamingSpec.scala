@@ -1692,6 +1692,48 @@ class StreamingSpec extends SparkSpec {
       s"both classes must be exercised: ${plantedGot.map(_(4)).distinct}")
   }
 
+  test("incremental winnow-evidence state: out-of-order folds + replay + torn append == one-shot winnow decon") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    import graft.ops.Decontamination
+    val work = Files.createTempDirectory("graft-winstate")
+    val st = work.resolve("state").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val isEval = md5($"doc_id".cast("string")) >= Decontamination.EvalLower
+    val evalDocs = docs.filter(isEval)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // empty state reads as the empty report (schema-stable)
+    assert(rows(StreamingCuration.winnowReportFromState(spark, st)).isEmpty)
+    // the training corpus streams in two OUT-OF-ORDER batches; the
+    // fold's anti-join excludes benchmark members, so feed the
+    // UNFILTERED halves (what a real stream delivers)
+    Seq(1, 0).foreach { i =>
+      StreamingCuration.mergeWinnowEvidenceState(spark, st,
+        docs.filter(pmod($"doc_id", lit(2)) === i), evalDocs,
+        batchId = i.toLong)
+    }
+    val oneShot = rows(Decontamination.deconWinnow(spark, sfDir))
+    assert(oneShot.nonEmpty, "fixture must produce winnow-decon rows")
+    assert(rows(StreamingCuration.winnowReportFromState(spark, st)) == oneShot,
+      "streamed winnow report must equal the one-shot batch report")
+    // replay: watermark-gated no-op
+    StreamingCuration.mergeWinnowEvidenceState(spark, st,
+      docs.filter(pmod($"doc_id", lit(2)) === 0), evalDocs, batchId = 0L)
+    assert(rows(StreamingCuration.winnowReportFromState(spark, st)) == oneShot,
+      "redelivered batch must not inflate the evidence")
+    // crashed fold: the evidence append landed, the meta commit did
+    // not — the (train_id, eval_id) natural key heals at read
+    Decontamination.winnowProbeOf(
+        docs.filter(pmod($"doc_id", lit(2)) === 0)
+          .join(broadcast(evalDocs.select($"doc_id").distinct()),
+            Seq("doc_id"), "left_anti"),
+        Decontamination.cappedEvalWinnowFps(evalDocs))
+      .write.mode("append").parquet(s"$st/winnow_evidence")
+    assert(rows(StreamingCuration.winnowReportFromState(spark, st)) == oneShot,
+      "crashed double-append must heal at read")
+  }
+
   test("incremental tier-evidence state: per-batch folds + replay == one-shot tier curve") {
     import spark.implicits._
     import graft.examples.StreamingCuration
