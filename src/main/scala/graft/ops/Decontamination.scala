@@ -466,6 +466,23 @@ object Decontamination {
     pairs.filter(col("n_shared") >= minShared)
       .orderBy("train_id", "eval_id")
 
+  /** Per-eval-doc winnow contamination rollup — [[contaminationReport]]
+    * at the character level: how many training docs hit each benchmark
+    * item through the fingerprint sweep, and how hard. Same bounded
+    * aggregation over the gated pair table; a pipeline gates a
+    * training run on this next to the word-level report.
+    */
+  def deconWinnowReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    deconWinnow(s, dir)
+      .groupBy($"eval_id")
+      .agg(
+        count(lit(1)).as("n_train_docs"),
+        max($"n_shared").as("max_shared"),
+        sum($"n_shared").as("total_shared"))
+      .orderBy("eval_id")
+  }
+
   /** Exploded (doc_id, fp) winnow fingerprints — the compiled
     * signed-Long kernel; per-doc sets arrive already deduplicated, so
     * downstream pair counts are distinct-fingerprint counts.
@@ -523,6 +540,7 @@ object Decontamination {
     // new in r14: character-level winnow-fingerprint sweep (VERDICT r13
     // next-step #7a), hash-exact via the ta_winnow mod-2^64 replay
     "decon_winnow" -> ((s, d) => deconWinnow(s, d)),
+    "decon_winnow_report" -> ((s, d) => deconWinnowReport(s, d)),
     "decon_report" -> contaminationReport)
 
   /** DuckDB n-gram shingle CTE, the n-parameterized twin of
@@ -564,16 +582,28 @@ object Decontamination {
     staticOracles ++
       graft.ops.Similarity.oracleContext.flatMap { case (s, dir) =>
         if (!TextAnalysis.asciiReplaySafe(s, dir)) None
-        else Some(Map("decon_winnow" -> deconWinnowOracleSql))
+        else Some(Map(
+          "decon_winnow" -> s"""
+            $winnowPairsCtes
+            SELECT train_id, eval_id, n_shared FROM pairs
+            ORDER BY train_id, eval_id""",
+          "decon_winnow_report" -> s"""
+            $winnowPairsCtes
+            SELECT eval_id,
+              CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+              MAX(n_shared) AS max_shared,
+              CAST(SUM(n_shared) AS BIGINT) AS total_shared
+            FROM pairs GROUP BY eval_id ORDER BY eval_id"""))
       }.getOrElse(Map.empty)
 
-  /** decon_winnow oracle: the ta_winnow fps CTEs (the proven mod-2^64
-    * signed replay of the [[TextAnalysis.winnow]] kernel), exploded and
-    * split by the same md5 eval predicate, with the eval-df cap and
-    * pair tier mirrored. fpx feeds both splits, so it materializes
-    * (the CTE-inliner 2^N hazard).
+  /** Winnow contamination pair CTEs shared by the decon_winnow and
+    * decon_winnow_report oracles: the ta_winnow fps CTEs (the proven
+    * mod-2^64 signed replay of the [[TextAnalysis.winnow]] kernel),
+    * exploded and split by the same md5 eval predicate, with the
+    * eval-df cap and pair tier mirrored. fpx feeds both splits, so it
+    * materializes (the CTE-inliner 2^N hazard).
     */
-  private def deconWinnowOracleSql: String = s"""
+  private def winnowPairsCtes: String = s"""
       WITH ${TextAnalysis.winnowFpsCtesSql},
       fpx AS MATERIALIZED (SELECT doc_id, unnest(f) AS fp FROM fps),
       ev AS MATERIALIZED (
@@ -587,9 +617,7 @@ object Decontamination {
         WHERE md5(CAST(t.doc_id AS VARCHAR)) < '$EvalLower'
           AND t.fp NOT IN (SELECT fp FROM hot)
         GROUP BY 1, 2
-        HAVING COUNT(*) >= $MinShared)
-      SELECT train_id, eval_id, n_shared FROM pairs
-      ORDER BY train_id, eval_id"""
+        HAVING COUNT(*) >= $MinShared)"""
 
   private val staticOracles: Map[String, String] = Map(
     // per-tier conditional aggregates over the SAME tier-1 pair table

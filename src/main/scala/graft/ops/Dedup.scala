@@ -528,6 +528,39 @@ object Dedup {
     } finally sets.unpersist()
   }
 
+  /** Containment-band tuning histogram — [[dedupJaccardHist]]'s sibling
+    * for the ASYMMETRIC score: pairs per containment tenth-band with
+    * the cumulative "pairs a threshold of band/10 would match" column,
+    * read before fixing [[ContainThreshold]]. Subset duplicates smear
+    * under Jaccard but cliff under containment, so the two histograms
+    * together tell a pipeline owner which operator family their corpus
+    * actually needs. Band = (10·|A∩B|) div min(|A|,|B|) — integer
+    * arithmetic, so banding never touches a float boundary and both
+    * engines bin identically (the jaccard_hist rule).
+    *
+    * 100 TB shape: rides [[intersectCandidatesOf]] (scalar+hot-array
+    * candidates, no full-set shipping); the band aggregation is
+    * map-side combinable and the cumulative window runs over ≤ 11
+    * band rows regardless of corpus size.
+    */
+  def dedupContainmentHist(s: SparkSession, dir: String,
+      maxDocFreq: Int = NearDupMaxDocFreq): DataFrame = {
+    import s.implicits._
+    val sets = shingleSets(s, dir).cache()
+    try {
+      val banded = intersectCandidatesOf(sets, maxDocFreq)
+        .select(expr("(10 * inter) div least(na, nb)").as("band"))
+        .groupBy($"band").agg(count(lit(1)).as("n_pairs"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"band".desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      banded.withColumn("n_cum", sum($"n_pairs").over(w))
+        .orderBy("band")
+        // ≤11 rows: band = (10·inter) div min ∈ [0,10]
+        .gatedCheckpoint(boundedWindowOk = "≤11 containment-band rows")
+    } finally sets.unpersist()
+  }
+
   /** Default near-dup verify parameters — the SINGLE source of truth
     * for the Scala-side defaults AND the DuckDB oracle SQL (which
     * interpolates these at construction), so the registered query and
@@ -1026,6 +1059,8 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_jaccard_hist" -> ((s, d) => dedupJaccardHist(s, d)),
+    // new in r14: the asymmetric-score sibling, on the decomposed trunk
+    "dedup_containment_hist" -> ((s, d) => dedupContainmentHist(s, d)),
     "dedup_method_agreement" -> dedupMethodAgreement,
     "dedup_exact" -> dedupExact,
     "dedup_bow" -> dedupBow,
@@ -1437,6 +1472,39 @@ object Dedup {
         GROUP BY c.a, c.b),
       bands AS (
         SELECT (10 * i2.i) // (ca.n + cb.n - i2.i) AS band
+        FROM i2 JOIN cnt ca ON i2.a = ca.doc_id
+        JOIN cnt cb ON i2.b = cb.doc_id),
+      hist AS (
+        SELECT CAST(band AS BIGINT) AS band,
+          CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM bands GROUP BY band)
+      SELECT band, n_pairs,
+        CAST(SUM(n_pairs) OVER (ORDER BY band DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS n_cum
+      FROM hist ORDER BY band""",
+    // identical all-pairs derivation with the asymmetric denominator:
+    // the decomposed Spark trunk must reproduce the uncapped truth
+    "dedup_containment_hist" -> s"""
+      WITH $shingleCte,
+      dft AS (SELECT sh AS g, COUNT(*) AS df FROM sh GROUP BY sh),
+      rare AS (
+        SELECT s.doc_id, s.sh FROM sh s
+        JOIN dft ON dft.g = s.sh WHERE dft.df <= $NearDupMaxDocFreq),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM rare x JOIN rare y
+          ON x.sh = y.sh AND x.doc_id < y.doc_id),
+      cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM sh GROUP BY doc_id),
+      i2 AS (
+        SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.a
+        JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+        GROUP BY c.a, c.b),
+      bands AS (
+        SELECT (10 * i2.i) // least(ca.n, cb.n) AS band
         FROM i2 JOIN cnt ca ON i2.a = ca.doc_id
         JOIN cnt cb ON i2.b = cb.doc_id),
       hist AS (

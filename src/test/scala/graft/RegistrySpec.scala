@@ -26,7 +26,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registered query count matches the round record") {
-    assert(SparkEntry.queries.size == 265, // r14: +decon_winnow
+    assert(SparkEntry.queries.size == 267, // r14: +decon_winnow,
+      // +decon_winnow_report, +dedup_containment_hist
       s"query count drifted: ${SparkEntry.queries.size} — update the " +
         "round record (NOTES.md/README.md) together with this pin")
   }

@@ -68,6 +68,27 @@ class DedupSpec extends SparkSpec {
     assert(cum08 == ngram, s"hist >=0.8 mass $cum08 != ngram pairs $ngram")
   }
 
+  test("containment histogram: valid bands, suffix-sum cumulative, >=0.9 mass == verify") {
+    val rows = Dedup.dedupContainmentHist(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, n, c) =>
+      assert(b >= 0 && b <= 10 && n >= 1 && c >= n)
+    }
+    val sorted = rows.sortBy(-_._1)
+    assert(sorted.map(_._2).scanLeft(0L)(_ + _).tail.toSeq ==
+      sorted.map(_._3).toSeq, "n_cum must be the suffix sum over bands")
+    // containment >= 0.9 ⇔ 10·inter >= 9·min ⇔ band ∈ {9, 10}, so the
+    // >= 0.9 mass equals the registered containment dedup's pair count
+    val cum09 = rows.filter(_._1 >= 9).map(_._2).sum
+    val contain = Dedup.dedupContainment(spark, sfDir).count()
+    assert(cum09 == contain,
+      s"hist >=0.9 mass $cum09 != containment pairs $contain")
+    // subset duplicates cliff under containment: the fixture corpus
+    // must put mass at the top band (full containment)
+    assert(rows.exists(_._1 == 10L), "expected exact-containment mass")
+  }
+
   test("method agreement: planted exact/near/unique docs produce the full Venn") {
     val textA = (1 to 30).map(i => s"alpha$i").mkString(" ")
     val textB = (1 to 30).map(i => s"beta$i").mkString(" ")

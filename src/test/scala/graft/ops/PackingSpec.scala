@@ -325,6 +325,19 @@ class DecontaminationSpec extends SparkSpec {
       s"want ${want.length}")
   }
 
+  test("decon_winnow_report: per-eval rollup is consistent with the pair sweep") {
+    val pairs = Decontamination.deconWinnow(spark, sfDir).collect()
+    val report = Decontamination.deconWinnowReport(spark, sfDir).collect()
+    val byEval = pairs.groupBy(_.getLong(1))
+    assert(report.length == byEval.size)
+    report.foreach { r =>
+      val ps = byEval(r.getLong(0))
+      assert(r.getLong(1) == ps.length.toLong)
+      assert(r.getLong(2) == ps.map(_.getLong(2)).max)
+      assert(r.getLong(3) == ps.map(_.getLong(2)).sum)
+    }
+  }
+
   test("decon_winnow: planted 11+ char leak flags; eval boilerplate is df-capped out") {
     val hashOf = (id: Long) =>
       java.security.MessageDigest.getInstance("MD5")
