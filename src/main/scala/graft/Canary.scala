@@ -23,14 +23,18 @@ import org.apache.spark.sql.SparkSession
 object Canary {
 
   /** Byte-stable queries spanning families (all present in the r10 floor
-    * artifact; none touched since r9/r10): relational agg / star join /
-    * window frame / lateral, the LSH chain + the pair-mass histogram,
-    * the triangle kernel, TF-IDF, the MAD outlier kernel, and the
-    * multimodal decode chain.
+    * artifact): relational agg / star join / window frame / lateral,
+    * the LSH chain, the blocked edit-distance verify, the triangle
+    * kernel, TF-IDF, the MAD outlier kernel, and the multimodal decode
+    * chain. r14 ROTATION (the documented replace-don't-mask rule):
+    * dedup_jaccard_hist was rewritten onto the decomposed
+    * intersectCandidatesOf trunk this round, so it left the canary set
+    * — dedup_editdist (byte-unchanged since r10, same near-dup family,
+    * floor entry 2.253) replaces it.
     */
   val Queries: Seq[String] = Seq(
     "q1_pricing_summary", "q4_star_join", "q40_time_range_frame",
-    "q45_lateral", "dedup_minhash_lsh", "dedup_jaccard_hist",
+    "q45_lateral", "dedup_minhash_lsh", "dedup_editdist",
     "sim_triangles", "ta_tfidf", "dq_outlier_mad", "mm_decode")
 
   val MeasuredSweeps = 4

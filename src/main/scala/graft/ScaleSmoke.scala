@@ -242,7 +242,15 @@ object ScaleSmoke {
       // decomposed intersectCandidatesOf trunk fixed it; jaccard and
       // its band histogram shared the defective shape, so all three
       // certify under the new trunk.
-      "dedup_ngram_jaccard", "dedup_jaccard_hist")
+      "dedup_ngram_jaccard", "dedup_jaccard_hist",
+      // r14 session 2: the character-level winnow family — decon_winnow
+      // (compiled signed-Long kernel + broadcast df-capped eval probe;
+      // at 100× the eval side grows ×100 with the md5 tail, so the probe
+      // checks the broadcast-probe shape holds when the benchmark itself
+      // is large) and dedup_winnow_pairs (md5-STRING fingerprints through
+      // the df-capped inverted index — strings in the shuffle are the
+      // suspected scale smell worth measuring, the containment lesson)
+      "decon_winnow", "dedup_winnow_pairs")
 
   def runSf10ConstDup(spark: SparkSession, srcDir: String): Unit = {
     val dir = ensureSf10ConstDup(spark, srcDir)

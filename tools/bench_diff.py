@@ -55,8 +55,11 @@ import glob, json, os, re, sys
 # Byte-stable canary set — keep in sync with graft.Canary.Queries
 # (src/main/scala/graft/Canary.scala); CanarySpec pins the two lists.
 CANARY_QUERIES = [
+    # r14 rotation: dedup_jaccard_hist was rewritten (decomposed verify
+    # trunk) and left the set; dedup_editdist (byte-unchanged since r10)
+    # replaced it per the replace-don't-mask rule.
     "q1_pricing_summary", "q4_star_join", "q40_time_range_frame",
-    "q45_lateral", "dedup_minhash_lsh", "dedup_jaccard_hist",
+    "q45_lateral", "dedup_minhash_lsh", "dedup_editdist",
     "sim_triangles", "ta_tfidf", "dq_outlier_mad", "mm_decode",
 ]
 
