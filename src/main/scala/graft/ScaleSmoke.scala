@@ -250,7 +250,16 @@ object ScaleSmoke {
       // is large) and dedup_winnow_pairs (md5-STRING fingerprints through
       // the df-capped inverted index — strings in the shuffle are the
       // suspected scale smell worth measuring, the containment lesson)
-      "decon_winnow", "dedup_winnow_pairs")
+      "decon_winnow", "dedup_winnow_pairs",
+      // r14 session 2: the remaining top-cost documents-table queries
+      // without a 100× row (suite ranks 4/5/10/11). All ride the LSH
+      // candidate chain (certified 5.1× in r13) into different tails:
+      // connected components (star contraction, O(log n) rounds — the
+      // probe checks the round count's log growth doesn't hide a
+      // superlinear edge mass), leak-safe group splitting, cluster-size
+      // histogram, and representative election.
+      "dedup_components_alt", "sample_group_split",
+      "dedup_cluster_sizes", "dedup_representatives")
 
   def runSf10ConstDup(spark: SparkSession, srcDir: String): Unit = {
     val dir = ensureSf10ConstDup(spark, srcDir)
