@@ -261,8 +261,16 @@ object ScaleSmoke {
       "dedup_components_alt", "sample_group_split",
       "dedup_cluster_sizes", "dedup_representatives")
 
-  def runSf10ConstDup(spark: SparkSession, srcDir: String): Unit = {
-    val dir = ensureSf10ConstDup(spark, srcDir)
+  def runSf10ConstDup(spark: SparkSession, srcDir: String): Unit =
+    runConstDensityProbes(spark, srcDir, ensureSf10ConstDup(spark, srcDir),
+      Sf10cdQueries, "sf10cd")
+
+  /** The shared symmetric-warm probe sweep over a pre-built 100×
+    * constant-density fixture — used by the documents-table sweep
+    * (`sf10cd`) and the embeddings sweep (`sf10emb`).
+    */
+  private def runConstDensityProbes(spark: SparkSession, srcDir: String,
+      dir: String, queries: Seq[String], tag: String): Unit = {
     // iteration aid (never set by the driver): restrict the sweep to
     // matching names so a new probe row doesn't re-pay the whole table.
     // An EMPTY value reads as unset — Some(Seq()) would silently match
@@ -270,7 +278,7 @@ object ScaleSmoke {
     val only = sys.env.get("SPARK_GRAFT_SF10CD_ONLY")
       .map(_.split(",").toSeq.filter(_.nonEmpty))
       .filter(_.nonEmpty)
-    Sf10cdQueries.filter(n => only.forall(_.exists(n.contains))).foreach { name =>
+    queries.filter(n => only.forall(_.exists(n.contains))).foreach { name =>
       // time each query at the SOURCE sf too (identical probe protocol),
       // so the NOTES ratio table compares like with like instead of
       // borrowing bench-suite figures measured under a different
@@ -308,10 +316,62 @@ object ScaleSmoke {
       val (s0, n0) = probe(srcDir, warm = true)
       val (s1, n1) = probe(dir, warm = true)
       System.err.println(
-        f"[sf10cd] $name%-24s sf0.1 $s0%6.1f s ($n0%d rows) -> 100x " +
+        f"[$tag] $name%-24s sf0.1 $s0%6.1f s ($n0%d rows) -> 100x " +
           f"$s1%7.1f s ($n1%d rows), ratio ${s1 / s0}%.1f")
     }
   }
+
+  /** 100× embeddings at constant NEIGHBOR density (r14): each replica
+    * i > 0 is the base table under a per-replica DIAGONAL ±1 orthogonal
+    * transform — coordinate j's sign flips when
+    * xxhash64(i·64 + j) is odd — with vec_ids remapped by +i·base.
+    * Intra-replica dot products are IEEE-IDENTICAL to the base's (the
+    * same per-coordinate products in the same order; the two sign
+    * flips cancel), so every replica preserves the base corpus's
+    * neighbor structure EXACTLY, while cross-replica cosines are
+    * Rademacher-modulated sums concentrating near 0 — the corpus grows
+    * ×100 without densifying any neighborhood, the embedding analog of
+    * the deep-salted documents fixture. The query set (vec_id <
+    * NumQueries) stays the base ten vectors, so the sweep measures the
+    * production ANN scale question: THE SAME queries against a 100×
+    * index. Labels carry through unchanged (schema-identical table).
+    */
+  def ensureSf10Emb(spark: SparkSession, srcDir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sf10emb"
+    val done = new java.io.File(s"$out/_DONE")
+    if (done.exists()) return out
+    import spark.implicits._
+    val e = Tables.t(spark, srcDir, "embeddings")
+    val base = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    (0 until 10 * Reps).map { i =>
+      if (i == 0) e
+      else e
+        .withColumn("vec_id", $"vec_id" + lit(i * base))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, j) -> CAST(x * (CASE WHEN " +
+            s"pmod(xxhash64(${i}L * 64 + j), 2) = 0 THEN 1.0 ELSE -1.0 " +
+            s"END) AS FLOAT))"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    out
+  }
+
+  /** Embeddings-family probes over [[ensureSf10Emb]]: the exact
+    * broadcast-query baseline (brute top-k and range search — linear
+    * scans by construction, certifying the codegen'd kernel rides the
+    * scale step), the three compressed/bucketed ANN tiers (LSH bands,
+    * IVF with broadcast centroids — the chronic bench-flag query, SQ8),
+    * and the kNN-graph builder (the banded blocking that backs the
+    * persisted-artifact twin).
+    */
+  val Sf10EmbQueries: Seq[String] = Seq(
+    "sim_brute_topk", "sim_range_search", "sim_lsh_ann", "sim_ivf_ann",
+    "sim_sq_ann", "sim_knn_graph")
+
+  def runSf10Emb(spark: SparkSession, srcDir: String): Unit =
+    runConstDensityProbes(spark, srcDir, ensureSf10Emb(spark, srcDir),
+      Sf10EmbQueries, "sf10emb")
 
   /** Standalone entry so the sf1/sf3/sf10 sweeps can run without the
     * full bench: `sbt "runMain graft.ScaleSmoke sf10"` (or `sf1`/`sf3`).
@@ -328,6 +388,7 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.contains("sf10cd")) runSf10ConstDup(spark, src)
+    else if (args.contains("sf10emb")) runSf10Emb(spark, src)
     else if (args.contains("sf10")) runSf10(spark, src)
     else if (args.contains("sf3")) runSf3(spark, src)
     else run(spark, src)
