@@ -60,6 +60,12 @@ object ScaleSmoke {
   def ensureSf3(spark: SparkSession, srcDir: String): String =
     ensureScaled(spark, srcDir, 3 * Reps, "graft_sf3")
 
+  /** First free key after a table's max — the replica id-remap base
+    * (shared by every scaled-fixture builder).
+    */
+  private def keyBase(df: DataFrame, c: String): Long =
+    df.agg(max(col(c))).head.getLong(0) + 1L
+
   def ensureScaled(
       spark: SparkSession, srcDir: String, reps: Int, name: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/$name"
@@ -67,8 +73,6 @@ object ScaleSmoke {
     if (done.exists()) return out
     import spark.implicits._
     def tbl(n: String) = Tables.t(spark, srcDir, n)
-    def keyBase(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head.getLong(0) + 1L
     def replicate(n: String)(f: (DataFrame, Int) => DataFrame): Unit =
       (0 until reps).map(i => f(tbl(n), i)).reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$n.parquet")
@@ -180,7 +184,7 @@ object ScaleSmoke {
     if (done.exists()) return out
     import spark.implicits._
     val docs = Tables.t(spark, srcDir, "documents")
-    val docBase = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val docBase = keyBase(docs, "doc_id")
     (0 until 10 * Reps).map { i =>
       if (i == 0) docs
       else docs
@@ -275,8 +279,12 @@ object ScaleSmoke {
     // matching names so a new probe row doesn't re-pay the whole table.
     // An EMPTY value reads as unset — Some(Seq()) would silently match
     // nothing and the certification sweep would "succeed" at 0 queries.
+    // SPARK_GRAFT_SF10CD_ONLY governs BOTH const-density sweeps (sf10cd
+    // documents AND sf10emb embeddings — one knob, the sweeps never run
+    // together); entries are trimmed so "a, b" lists work like
+    // SPARK_GRAFT_CANARY_QUERIES' do.
     val only = sys.env.get("SPARK_GRAFT_SF10CD_ONLY")
-      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
     queries.filter(n => only.forall(_.exists(n.contains))).foreach { name =>
       // time each query at the SOURCE sf too (identical probe protocol),
@@ -342,7 +350,7 @@ object ScaleSmoke {
     if (done.exists()) return out
     import spark.implicits._
     val e = Tables.t(spark, srcDir, "embeddings")
-    val base = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val base = keyBase(e, "vec_id")
     (0 until 10 * Reps).map { i =>
       if (i == 0) e
       else e

@@ -1824,7 +1824,7 @@ object StreamingCuration {
       query: String, n: Int): DataFrame = {
     import spark.implicits._
     val terms: Array[String] =
-      query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+      query.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty).distinct
     val k = terms.length
     require(k > 0, "bm25 needs at least one query term")
     val (nd, tt) = readBm25Scalars(spark, stateDir)
@@ -1838,7 +1838,7 @@ object StreamingCuration {
     docs.select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+          val toks = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
           val tfs = new Array[Long](k)
           toks.foreach { tk =>
             var i = 0

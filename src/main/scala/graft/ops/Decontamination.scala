@@ -437,9 +437,10 @@ object Decontamination {
     val evFp = winnowFpsOf(evalDocs).select($"doc_id".as("eval_id"), $"fp")
     val hot = evFp.groupBy($"fp").agg(count(lit(1)).as("df"))
       .filter($"df" > WinnowEvalMaxDf).select($"fp")
-    // both sides of the guard are eval-bounded; the surviving probe
-    // table broadcasts
-    evFp.join(hot, Seq("fp"), "left_anti")
+    // both sides of the guard are eval-bounded; broadcast the hot list
+    // explicitly (the sibling df-cap guards' form) so a large benchmark
+    // snapshot can never sort-merge the exploded eval fingerprints
+    evFp.join(broadcast(hot), Seq("fp"), "left_anti")
   }
 
   /** The probe trunk: per-(train, eval) distinct-shared-fingerprint

@@ -503,7 +503,7 @@ object Dedup {
     * band is the INTEGER (10·inter) div union, so banding never
     * touches a float boundary and both engines bin identically. The
     * cumulative column n_cum is "pairs a threshold of band/10 would
-    * match". The window runs over ≤ 6 band rows.
+    * match". The window runs over ≤ 11 band rows (band ∈ [0, 10]).
     */
   def dedupJaccardHist(s: SparkSession, dir: String,
       maxDocFreq: Int = NearDupMaxDocFreq): DataFrame = {

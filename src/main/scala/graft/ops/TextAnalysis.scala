@@ -73,7 +73,7 @@ object TextAnalysis {
     * same rationale as the shingling path in [[Dedup]].
     */
   def winnow(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
-    val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val s = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
     if (s.length < k) return Array.empty
     val B = 1000003L
     var bk = 1L // B^(k-1), wrapping in Long is fine: deterministic
@@ -367,7 +367,7 @@ object TextAnalysis {
 
   def winnowPortable(text: String, memo: Md5Memo,
       k: Int = 8, w: Int = 4): Array[String] = {
-    val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val s = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
     if (s.length < k) return Array.empty
     val n = s.length - k + 1
     val hs = new Array[String](n)
@@ -768,13 +768,13 @@ object TextAnalysis {
     val s = docsIn.sparkSession
     import s.implicits._
     val terms: Array[String] =
-      query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+      query.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty).distinct
     val k = terms.length
     require(k > 0, "bm25 needs at least one query term")
     val base = docsIn.select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+          val toks = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
           val tfs = new Array[Long](k)
           toks.foreach { tk =>
             var i = 0
@@ -843,7 +843,7 @@ object TextAnalysis {
     val s = docsIn.sparkSession
     import s.implicits._
     val qTerms: Seq[(String, Array[String])] = queries.map { case (qid, q) =>
-      qid -> q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+      qid -> q.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty).distinct
     }
     val union: Array[String] = qTerms.flatMap(_._2).distinct.toArray
     val nu = union.length
@@ -851,7 +851,7 @@ object TextAnalysis {
     val base = docsIn.select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+          val toks = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
           val tfs = new Array[Long](nu)
           toks.foreach { tk =>
             var i = 0
@@ -1857,13 +1857,13 @@ $chainSql      curve AS ($budgetSelects)
     * the kernel.
     */
   private def bm25TermValues: String =
-    Bm25Query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+    Bm25Query.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty).distinct
       .zipWithIndex.map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
 
   /** (qid, fold-order i, term) VALUES for the multi-query oracle. */
   private def bm25MultiTermValues: String =
     Bm25MultiQueries.flatMap { case (qid, q) =>
-      q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+      q.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty).distinct
         .zipWithIndex.map { case (t, i) => s"('$qid', ${i + 1}, '$t')" }
     }.mkString(", ")
 

@@ -110,6 +110,27 @@ def canary_factor(oq, nq):
             else (ratios[mid - 1] + ratios[mid]) / 2)
 
 
+_ARTIFACT_CACHE = {}
+
+
+def _round_artifacts(near):
+    """Parsed (path, queries) for every BENCH_r*.json beside `near`,
+    oldest-first, loaded once per process (a run with k flagged queries
+    previously re-globbed and re-parsed all artifacts k times).
+    Zero-padded round numbers make the lexicographic sort chronological.
+    """
+    key = os.path.dirname(os.path.abspath(near)) or "."
+    if key not in _ARTIFACT_CACHE:
+        out = []
+        for p in sorted(glob.glob(os.path.join(key, "BENCH_r[0-9]*.json"))):
+            try:
+                out.append((p, load(p)["queries"]))
+            except SystemExit:
+                out.append((p, None))  # unparseable tail: chain-breaker
+        _ARTIFACT_CACHE[key] = out
+    return _ARTIFACT_CACHE[key]
+
+
 def prior_raw_flag_rounds(old_q, name, threshold, near):
     """Consecutive prior driver artifacts (BENCH_r*.json in `near`'s
     directory, newest backwards) whose tail contains `name` RAW-flagged
@@ -119,15 +140,9 @@ def prior_raw_flag_rounds(old_q, name, threshold, near):
     annotation)."""
     if name not in old_q or old_q[name] <= 0:
         return []
-    paths = sorted(glob.glob(os.path.join(
-        os.path.dirname(os.path.abspath(near)) or ".", "BENCH_r[0-9]*.json")))
     rounds = []
-    for p in reversed(paths):
-        try:
-            q = load(p)["queries"]
-        except SystemExit:
-            break
-        if name not in q or q[name] / old_q[name] < threshold:
+    for p, q in reversed(_round_artifacts(near)):
+        if q is None or name not in q or q[name] / old_q[name] < threshold:
             break
         rounds.append(re.sub(r"^BENCH_", "", os.path.basename(p)).split(".")[0])
     return rounds
