@@ -381,6 +381,23 @@ object ScaleSmoke {
     runConstDensityProbes(spark, srcDir, ensureSf10Emb(spark, srcDir),
       Sf10EmbQueries, "sf10emb")
 
+  /** Relational/metric probes at 100× over the PLAIN replicated fixture
+    * ([[ensureSf10]] — keys shift per replica, referential pairs stay
+    * consistent, part keys deliberately do NOT shift so co-purchase
+    * identities repeat across replicas the way real catalog keys do):
+    * the last top-10 bench entries without a 100× row. q74's pair mass
+    * grows exactly ×100 (same baskets per replica, same pair
+    * identities, supports ×100 — lift VALUES are scale-invariant, so
+    * the top-k is stable and only the aggregation mass grows);
+    * dq_outlier_mad's exact-rank MAD kernel re-ranks ×100 rows per
+    * group.
+    */
+  val Sf10RelQueries: Seq[String] = Seq("q74_basket_lift", "dq_outlier_mad")
+
+  def runSf10Rel(spark: SparkSession, srcDir: String): Unit =
+    runConstDensityProbes(spark, srcDir, ensureSf10(spark, srcDir),
+      Sf10RelQueries, "sf10rel")
+
   /** Standalone entry so the sf1/sf3/sf10 sweeps can run without the
     * full bench: `sbt "runMain graft.ScaleSmoke sf10"` (or `sf1`/`sf3`).
     */
@@ -397,6 +414,7 @@ object ScaleSmoke {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.contains("sf10cd")) runSf10ConstDup(spark, src)
     else if (args.contains("sf10emb")) runSf10Emb(spark, src)
+    else if (args.contains("sf10rel")) runSf10Rel(spark, src)
     else if (args.contains("sf10")) runSf10(spark, src)
     else if (args.contains("sf3")) runSf3(spark, src)
     else run(spark, src)
