@@ -398,6 +398,57 @@ object ScaleSmoke {
     runConstDensityProbes(spark, srcDir, ensureSf10(spark, srcDir),
       Sf10RelQueries, "sf10rel")
 
+  /** Streaming-twin FOLD-COST probe (r14): the twins' 100 TB claim is
+    * "fold cost ∝ batch, never ∝ accumulated state" — argued
+    * structurally (append-only evidence, no state reads on the fold
+    * path) but never measured. The falsifiable part is the
+    * [[graft.streaming.VersionedState]] machinery itself: version dirs
+    * and fold-meta accumulate per batch, so a hidden list/copy-all
+    * step would make LATE folds slower than EARLY ones. Protocol: the
+    * corpus streams in [[TwinFoldBatches]] equal disjoint batches into
+    * (a) the winnow-evidence twin (append-mode evidence, a frozen eval
+    * split as the benchmark) and (b) the mix-curve twin
+    * (budget-BOUNDED state rewritten per fold); per-fold wall times
+    * print as first/median/last thirds — flat means the claim holds at
+    * a state 25× the batch.
+    */
+  val TwinFoldBatches = 25
+
+  def runTwinFold(spark: SparkSession, srcDir: String): Unit = {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_twinfold").toString
+    val docs = Tables.t(spark, srcDir, "documents")
+    val isEval = md5($"doc_id".cast("string")) >=
+      graft.ops.Decontamination.EvalLower
+    // frozen benchmark split — deterministic per batchId (the fold
+    // contract), materialized once like a persisted eval table
+    import graft.ops.Scale.GatedCheckpoint
+    val evalDocs = docs.filter(isEval)
+      .select($"doc_id", $"text").gatedCheckpoint()
+    def sweep(tag: String)(fold: (Int, DataFrame) => Unit): Unit = {
+      val times = (0 until TwinFoldBatches).map { i =>
+        val batch = docs.filter(pmod($"doc_id", lit(TwinFoldBatches)) === i)
+        val t0 = System.nanoTime()
+        fold(i, batch)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sorted = times.sorted
+      System.err.println(
+        f"[twinfold] $tag%-16s folds=${times.size} first=${times.head}%.2f s " +
+          f"median=${sorted(times.size / 2)}%.2f s last=${times.last}%.2f s " +
+          f"last3/first3=${times.takeRight(3).sum / times.take(3).sum}%.2f")
+    }
+    sweep("winnow_evidence") { (i, b) =>
+      graft.examples.StreamingCuration.mergeWinnowEvidenceState(
+        spark, s"$root/win", b, evalDocs, batchId = i.toLong)
+    }
+    sweep("mix_curve") { (i, b) =>
+      graft.examples.StreamingCuration.mergeMixCurveState(
+        spark, s"$root/mix", b, batchId = i.toLong)
+    }
+  }
+
   /** Standalone entry so the sf1/sf3/sf10 sweeps can run without the
     * full bench: `sbt "runMain graft.ScaleSmoke sf10"` (or `sf1`/`sf3`).
     */
@@ -415,6 +466,7 @@ object ScaleSmoke {
     if (args.contains("sf10cd")) runSf10ConstDup(spark, src)
     else if (args.contains("sf10emb")) runSf10Emb(spark, src)
     else if (args.contains("sf10rel")) runSf10Rel(spark, src)
+    else if (args.contains("twinfold")) runTwinFold(spark, src)
     else if (args.contains("sf10")) runSf10(spark, src)
     else if (args.contains("sf3")) runSf3(spark, src)
     else run(spark, src)
