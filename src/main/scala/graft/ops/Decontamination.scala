@@ -467,6 +467,25 @@ object Decontamination {
     pairs.filter(col("n_shared") >= minShared)
       .orderBy("train_id", "eval_id")
 
+  /** decon_winnow_curve: the evidence-threshold TUNING curve for the
+    * character-level gate — [[deconTierCurve]]'s exact analog over
+    * winnow-fingerprint evidence: per dyadic shared-fingerprint tier,
+    * the pairs / distinct train docs / distinct eval docs a char-level
+    * gate at that tier would flag. Read before choosing the winnow
+    * [[MinShared]] the same way the word-level curve tunes the n-gram
+    * gate. Shares [[tierCurveOfPairs]] (one conditional-aggregate pass
+    * over the bounded tier-1 pair table, `stack` reshape) and the
+    * [[winnowProbeOf]]/[[cappedEvalWinnowFps]] probe trunks, so the
+    * three winnow queries and the streaming twin can never drift.
+    */
+  def deconWinnowCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.t(s, dir, "documents")
+    tierCurveOfPairs(winnowProbeOf(
+      docs.filter(!isEval($"doc_id")),
+      cappedEvalWinnowFps(docs.filter(isEval($"doc_id")))))
+  }
+
   /** Per-eval-doc winnow contamination rollup — [[contaminationReport]]
     * at the character level: how many training docs hit each benchmark
     * item through the fingerprint sweep, and how hard. Same bounded
@@ -542,6 +561,7 @@ object Decontamination {
     // next-step #7a), hash-exact via the ta_winnow mod-2^64 replay
     "decon_winnow" -> ((s, d) => deconWinnow(s, d)),
     "decon_winnow_report" -> ((s, d) => deconWinnowReport(s, d)),
+    "decon_winnow_curve" -> deconWinnowCurve,
     "decon_report" -> contaminationReport)
 
   /** DuckDB n-gram shingle CTE, the n-parameterized twin of
@@ -585,26 +605,47 @@ object Decontamination {
         if (!TextAnalysis.asciiReplaySafe(s, dir)) None
         else Some(Map(
           "decon_winnow" -> s"""
-            $winnowPairsCtes
+            ${winnowPairsCtes()}
             SELECT train_id, eval_id, n_shared FROM pairs
             ORDER BY train_id, eval_id""",
           "decon_winnow_report" -> s"""
-            $winnowPairsCtes
+            ${winnowPairsCtes()}
             SELECT eval_id,
               CAST(COUNT(*) AS BIGINT) AS n_train_docs,
               MAX(n_shared) AS max_shared,
               CAST(SUM(n_shared) AS BIGINT) AS total_shared
-            FROM pairs GROUP BY eval_id ORDER BY eval_id"""))
+            FROM pairs GROUP BY eval_id ORDER BY eval_id""",
+          // per-tier conditional aggregates over the SAME tier-1 pair
+          // table the Spark single pass reads — the decon_tier_curve
+          // oracle tail verbatim, over winnow evidence
+          "decon_winnow_curve" -> s"""
+            ${winnowPairsCtes(1L)}
+            SELECT CAST(t.tier AS BIGINT) AS tier,
+              CAST(COUNT(*) FILTER (WHERE p.n_shared >= t.tier) AS BIGINT)
+                AS n_pairs,
+              CAST(COUNT(DISTINCT p.train_id)
+                FILTER (WHERE p.n_shared >= t.tier) AS BIGINT)
+                AS n_train_docs,
+              CAST(COUNT(DISTINCT p.eval_id)
+                FILTER (WHERE p.n_shared >= t.tier) AS BIGINT)
+                AS n_eval_docs
+            FROM (VALUES ${TierCurveTiers.map(t => s"($t)").mkString(", ")})
+              t(tier)
+            LEFT JOIN pairs p ON TRUE
+            GROUP BY t.tier
+            ORDER BY tier"""))
       }.getOrElse(Map.empty)
 
-  /** Winnow contamination pair CTEs shared by the decon_winnow and
-    * decon_winnow_report oracles: the ta_winnow fps CTEs (the proven
-    * mod-2^64 signed replay of the [[TextAnalysis.winnow]] kernel),
-    * exploded and split by the same md5 eval predicate, with the
-    * eval-df cap and pair tier mirrored. fpx feeds both splits, so it
-    * materializes (the CTE-inliner 2^N hazard).
+  /** Winnow contamination pair CTEs shared by the decon_winnow,
+    * decon_winnow_report, and decon_winnow_curve oracles: the
+    * ta_winnow fps CTEs (the proven mod-2^64 signed replay of the
+    * [[TextAnalysis.winnow]] kernel), exploded and split by the same
+    * md5 eval predicate, with the eval-df cap and pair tier mirrored
+    * (`minShared` = 1 gives the curve's tier-1 evidence table). fpx
+    * feeds both splits, so it materializes (the CTE-inliner 2^N
+    * hazard).
     */
-  private def winnowPairsCtes: String = s"""
+  private def winnowPairsCtes(minShared: Long = MinShared): String = s"""
       WITH ${TextAnalysis.winnowFpsCtesSql},
       fpx AS MATERIALIZED (SELECT doc_id, unnest(f) AS fp FROM fps),
       ev AS MATERIALIZED (
@@ -618,7 +659,7 @@ object Decontamination {
         WHERE md5(CAST(t.doc_id AS VARCHAR)) < '$EvalLower'
           AND t.fp NOT IN (SELECT fp FROM hot)
         GROUP BY 1, 2
-        HAVING COUNT(*) >= $MinShared)"""
+        HAVING COUNT(*) >= $minShared)"""
 
   private val staticOracles: Map[String, String] = Map(
     // per-tier conditional aggregates over the SAME tier-1 pair table

@@ -325,6 +325,26 @@ class DecontaminationSpec extends SparkSpec {
       s"want ${want.length}")
   }
 
+  test("decon_winnow_curve: per-tier counts equal brute recomputation from tier-1 pairs") {
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val isEval = md5($"doc_id".cast("string")) >= Decontamination.EvalLower
+    val pairs = Decontamination.deconWinnowOf(
+        docs.filter(!isEval), docs.filter(isEval), minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = Decontamination.deconWinnowCurve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Decontamination.TierCurveTiers,
+      s"tier rows must cover the dyadic grid: ${got.toSeq}")
+    got.foreach { case (t, nP, nTr, nEv) =>
+      val hit = pairs.filter(_._3 >= t)
+      assert(nP == hit.length.toLong, s"tier $t pair count")
+      assert(nTr == hit.map(_._1).distinct.length.toLong, s"tier $t train count")
+      assert(nEv == hit.map(_._2).distinct.length.toLong, s"tier $t eval count")
+    }
+    // the curve is monotone non-increasing in the tier
+    assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq)
+  }
+
   test("decon_winnow_report: per-eval rollup is consistent with the pair sweep") {
     val pairs = Decontamination.deconWinnow(spark, sfDir).collect()
     val report = Decontamination.deconWinnowReport(spark, sfDir).collect()
