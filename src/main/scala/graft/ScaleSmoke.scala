@@ -375,7 +375,13 @@ object ScaleSmoke {
     */
   val Sf10EmbQueries: Seq[String] = Seq(
     "sim_brute_topk", "sim_range_search", "sim_lsh_ann", "sim_ivf_ann",
-    "sim_sq_ann", "sim_knn_graph")
+    "sim_sq_ann", "sim_knn_graph",
+    // r14 session 2: the graph SERVING path against a prebuilt 100×
+    // artifact — both queries run over the frozen on-disk index
+    // (ensureGraphIndex builds once per corpus fingerprint during the
+    // warm pass; the measured pass is pure beam search / centrality
+    // against the stored neighbor lists, the production shape)
+    "sim_graph_search", "sim_graph_centrality")
 
   def runSf10Emb(spark: SparkSession, srcDir: String): Unit =
     runConstDensityProbes(spark, srcDir, ensureSf10Emb(spark, srcDir),
