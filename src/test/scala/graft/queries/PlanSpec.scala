@@ -532,6 +532,19 @@ class PlanSpec extends SparkSpec {
       s"bounded eval fingerprints must broadcast:\n$p")
   }
 
+  test("decon_winnow_curve: probe broadcasts; tiers aggregate the bounded pair table, no re-probe") {
+    val p = plan(graft.ops.Decontamination.deconWinnowCurve(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"df-capped eval fingerprints must broadcast:\n$p")
+    // ONE probe join feeds every tier (conditional aggregates over the
+    // bounded tier-1 pair table) — a per-tier fork would re-probe the
+    // corpus |tiers| times
+    assert("BroadcastHashJoin".r.findAllIn(p).length <= 2, // probe + df-cap anti
+      s"tiers must share one probe:\n$p")
+  }
+
   test("ta_bpe_curve: one vocabulary pass — a single token aggregation, no join") {
     val merges = Seq(("a", "b"), ("ab", "c"))
     val p = plan(graft.ops.TextAnalysis.bpeCurveOf(
