@@ -47,7 +47,12 @@ object Verify {
     // enable data-derived frozen-literal oracles (PQ codebook) — the
     // literals must come from the SAME sfDir the queries just ran on
     graft.ops.Similarity.oracleContext = Some((spark, sfDir))
+    // emit only the SELECTED queries' oracles: under SPARK_GRAFT_ONLY a
+    // full oracle map would make every unrun query read as MISSING to
+    // check_oracle's completeness sweep (the driver never filters, so
+    // its gate always sees the full map)
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -106,6 +106,13 @@ def main(sf_dir, out_dir):
         # the real driver hashes values EXACTLY: float-close is a failure
         if verdict == "OK": n_ok += 1
         else: n_bad += 1
+    # completeness sweep: a query that THREW inside graft.Verify writes
+    # no output dir and would otherwise vanish from this report entirely
+    # (the only trace being a "[verify] <name> failed" stderr line in a
+    # log nobody greps). Every oracle key must have a dump.
+    for name in sorted(set(oracle) - set(names)):
+        print(f"{name:28s} MISSING SPARK OUTPUT (query failed in Verify?)")
+        n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} bad")
     return 1 if n_bad else 0
 
