@@ -279,8 +279,10 @@ object ScaleSmoke {
     // matching names so a new probe row doesn't re-pay the whole table.
     // An EMPTY value reads as unset — Some(Seq()) would silently match
     // nothing and the certification sweep would "succeed" at 0 queries.
-    // SPARK_GRAFT_SF10CD_ONLY governs BOTH const-density sweeps (sf10cd
-    // documents AND sf10emb embeddings — one knob, the sweeps never run
+    // SPARK_GRAFT_SF10CD_ONLY governs EVERY probe sweep routed through
+    // this helper — sf10cd documents, sf10emb embeddings, AND the
+    // sf10rel relational sweep (the name predates sf10rel; kept for
+    // muscle-memory compatibility — one knob, the sweeps never run
     // together); entries are trimmed so "a, b" lists work like
     // SPARK_GRAFT_CANARY_QUERIES' do.
     val only = sys.env.get("SPARK_GRAFT_SF10CD_ONLY")

@@ -55,6 +55,13 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the completeness sweep's ground truth: EVERY selected query name,
+    // oracle-backed or not. A rows-only query that throws above writes
+    // no output dir and has no oracle key, so sweeping oracle keys alone
+    // leaves it invisible (ADVICE r14 #1) — check_oracle sweeps this
+    // list instead when present.
+    val sel = selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/selected_queries.json"), sel)
     spark.stop()
   }
 }

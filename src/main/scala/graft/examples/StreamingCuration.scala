@@ -1181,11 +1181,13 @@ object StreamingCuration {
     * `batchId` — snapshot/materialize the benchmark table before
     * folding (mirroring the eval_shingles versioning the
     * rotation-scoped twins use). The crash-heal path relies on it: a
-    * torn append heals at read via `dropDuplicates(train_id, eval_id)`,
-    * which is only sound when the retry recomputes IDENTICAL
-    * (n_shared_3, n_shared_13) counts; a live eval table that changed
-    * between the torn append and the retry leaves two conflicting rows
-    * for one key and an arbitrary one wins.
+    * torn append heals at read via [[healTornAppend]] (max per
+    * (train_id, eval_id)), which equals either row exactly when the
+    * retry recomputes IDENTICAL (n_shared_3, n_shared_13) counts; a
+    * live eval table that changed between the torn append and the
+    * retry leaves two conflicting rows for one key, and the heal then
+    * serves the deterministic conservative (max) reading rather than
+    * an arbitrary winner.
     */
   def mergeSmearEvidenceState(spark: SparkSession, stateDir: String,
       batch: DataFrame, evalDocs: DataFrame, batchId: Long = -1L): Unit = {
@@ -1246,12 +1248,28 @@ object StreamingCuration {
     }
   }
 
+  /** Deterministic torn-append heal (ADVICE r14 #3): a crashed
+    * double-append leaves two rows for one natural key; under the
+    * deterministic-evalDocs contract both rows carry IDENTICAL counts,
+    * so `max` per key equals either. If the contract is ever violated
+    * (a retry recomputed against a changed eval table), `max` still
+    * serves ONE deterministic value — the more-contaminated reading,
+    * the conservative side for a leakage gate — where
+    * `dropDuplicates` would pick whichever row a shuffle surfaced
+    * first and the served report would wobble run-to-run.
+    */
+  private def healTornAppend(df: DataFrame, keyCols: Seq[String],
+      countCols: Seq[String]): DataFrame = {
+    val aggs = countCols.map(c => max(col(c)).as(c))
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** The accumulated-stream winnow contamination report — identical
     * columns to the batch
     * [[graft.ops.Decontamination.deconWinnow]], served from the folded
     * evidence (no corpus re-scan; the gate tail is the shared
-    * [[graft.ops.Decontamination.winnowGate]] trunk). `dropDuplicates`
-    * heals any crashed double-append.
+    * [[graft.ops.Decontamination.winnowGate]] trunk).
+    * [[healTornAppend]] heals any crashed double-append.
     */
   def winnowReportFromState(spark: SparkSession, stateDir: String): DataFrame = {
     val path = s"$stateDir/winnow_evidence"
@@ -1263,7 +1281,7 @@ object StreamingCuration {
           .toDF("train_id", "eval_id", "n_shared")
       }
     graft.ops.Decontamination.winnowGate(
-      pairs.dropDuplicates("train_id", "eval_id"))
+      healTornAppend(pairs, Seq("train_id", "eval_id"), Seq("n_shared")))
   }
 
   /** The accumulated-stream combined-width leakage report — identical
@@ -1271,7 +1289,9 @@ object StreamingCuration {
     * [[graft.ops.Decontamination.deconSmearReport]], served from the
     * folded evidence (no corpus re-scan; the gate/class tail is the
     * shared [[graft.ops.Decontamination.smearClassOf]] trunk).
-    * `dropDuplicates` heals any crashed double-append.
+    * [[healTornAppend]] heals any crashed double-append (over every
+    * `n_shared*` width the folded schema carries, so a state written
+    * before a width was added heals the widths it has).
     */
   def smearReportFromState(spark: SparkSession, stateDir: String): DataFrame = {
     val path = s"$stateDir/smear_evidence"
@@ -1283,7 +1303,8 @@ object StreamingCuration {
           .toDF("train_id", "eval_id", "n_shared_3", "n_shared_13")
       }
     graft.ops.Decontamination.smearClassOf(
-      pairs.dropDuplicates("train_id", "eval_id"))
+      healTornAppend(pairs, Seq("train_id", "eval_id"),
+        pairs.columns.filter(_.startsWith("n_shared")).toSeq))
   }
 
   /** The accumulated-stream evidence-threshold tuning curve —
@@ -1299,12 +1320,12 @@ object StreamingCuration {
       if (graft.streaming.StateFs.exists(path)) spark.read.parquet(path)
       else Seq.empty[(Long, Long, Long)].toDF("train_id", "eval_id", "n_shared")
     graft.ops.Decontamination.tierCurveOfPairs(
-      pairs.dropDuplicates("train_id", "eval_id"))
+      healTornAppend(pairs, Seq("train_id", "eval_id"), Seq("n_shared")))
   }
 
   /** The accumulated-stream refresh audit — identical columns to the
     * batch [[graft.ops.Decontamination.deconCrossSnapshot]], served
-    * from the folded hit state (no corpus re-scan). `dropDuplicates`
+    * from the folded hit state (no corpus re-scan). [[healTornAppend]]
     * on the natural key heals any crashed double-append; an epoch with
     * no folds yet (fresh rotation, or no contaminated docs) reads as
     * the empty report rather than a missing-path error.
@@ -1316,7 +1337,8 @@ object StreamingCuration {
       if (graft.streaming.StateFs.exists(path)) spark.read.parquet(path)
       else Seq.empty[(Long, Long, Long)].toDF("train_id", "n_eval_v1", "n_eval_v2")
     graft.ops.Decontamination
-      .crossSnapshotStatus(hits.dropDuplicates("train_id"))
+      .crossSnapshotStatus(healTornAppend(hits, Seq("train_id"),
+        Seq("n_eval_v1", "n_eval_v2")))
       .orderBy("train_id")
   }
 

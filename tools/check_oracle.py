@@ -109,8 +109,14 @@ def main(sf_dir, out_dir):
     # completeness sweep: a query that THREW inside graft.Verify writes
     # no output dir and would otherwise vanish from this report entirely
     # (the only trace being a "[verify] <name> failed" stderr line in a
-    # log nobody greps). Every oracle key must have a dump.
-    for name in sorted(set(oracle) - set(names)):
+    # log nobody greps). Ground truth is Verify's selected_queries.json
+    # (EVERY selected name, including rows-only queries with no oracle
+    # SQL — ADVICE r14 #1); fall back to oracle keys for dumps from
+    # pre-r15 Verify builds that didn't emit the list.
+    sel_path = f"{out_dir}/selected_queries.json"
+    expected = (set(json.load(open(sel_path))) if os.path.exists(sel_path)
+                else set(oracle))
+    for name in sorted(expected - set(names)):
         print(f"{name:28s} MISSING SPARK OUTPUT (query failed in Verify?)")
         n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} bad")
