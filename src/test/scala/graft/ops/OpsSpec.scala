@@ -979,6 +979,45 @@ class SimilaritySpec extends SparkSpec {
       "truth pair count must equal brute force")
   }
 
+  test("IVF occupancy + recall curve construct without running any data job") {
+    // VERDICT r14 ask #5: simRecallCurve ran an eager label count (and
+    // an eager truth count + an EAGER kernel checkpoint) at
+    // plan-construction time. All three queries must now be pure plan
+    // builders — data jobs happen at the first ACTION. The one job
+    // class construction legitimately submits is parquet FOOTER
+    // schema inference inside Tables.t (driver-side metadata, scale-
+    // independent); anything else — a shuffle, an aggregation, a
+    // broadcast-relation future (what localCheckpoint(eager=false)
+    // fires by forcing physical-plan prep) — is an eager kernel leak.
+    val sc = spark.sparkContext
+    // force the lazy fixture (sfDir parquet writes) BEFORE the group
+    // opens, or its jobs would be charged to the probe
+    spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val stageNames = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val group = s"lazy-construction-${System.nanoTime()}"
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          js.stageInfos.foreach(si => stageNames.add(si.name))
+    }
+    sc.addSparkListener(listener)
+    try {
+      sc.setJobGroup(group, "construction-laziness probe")
+      try {
+        Similarity.simIvfBalance(spark, sfDir)
+        Similarity.simIvfRebalance(spark, sfDir)
+        Similarity.simRecallCurve(spark, sfDir)
+      } finally sc.clearJobGroup()
+      org.apache.spark.graft.ListenerBusFlush.drain(sc)
+      import scala.jdk.CollectionConverters._
+      val dataStages = stageNames.asScala.filterNot(_.startsWith("parquet at"))
+      assert(dataStages.isEmpty,
+        s"plan construction ran data stages: ${dataStages.mkString("; ")}")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("LSH ANN recall >= 0.6 vs brute force") {
     val lsh = topkSet(Similarity.simLshANN(spark, sfDir))
     val recall = brute.keys.toSeq.map { q =>
