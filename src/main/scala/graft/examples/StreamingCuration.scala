@@ -1295,13 +1295,27 @@ object StreamingCuration {
     */
   def smearReportFromState(spark: SparkSession, stateDir: String): DataFrame = {
     val path = s"$stateDir/smear_evidence"
-    val pairs =
-      if (graft.streaming.StateFs.exists(path)) spark.read.parquet(path)
+    val raw =
+      if (graft.streaming.StateFs.exists(path))
+        // mergeSchema: a state can hold appends from BOTH sides of the
+        // r15 char-width widening; merge so no file's width is dropped
+        spark.read.option("mergeSchema", "true").parquet(path)
       else {
         import spark.implicits._
-        Seq.empty[(Long, Long, Long, Long)]
-          .toDF("train_id", "eval_id", "n_shared_3", "n_shared_13")
+        Seq.empty[(Long, Long, Long, Long, Long)]
+          .toDF("train_id", "eval_id", "n_shared_3", "n_shared_13",
+            "n_shared_w")
       }
+    // schema evolution: evidence folded before the r15 char-width
+    // widening has no n_shared_w column (all-old state) or reads it
+    // as null (mixed state) — those batches were never probed at the
+    // char level, so their char evidence is zero (the pair can still
+    // gate/class through its word widths; re-fold the corpus to gain
+    // char evidence retroactively)
+    val pairs =
+      if (!raw.columns.contains("n_shared_w"))
+        raw.withColumn("n_shared_w", lit(0L))
+      else raw.withColumn("n_shared_w", coalesce(col("n_shared_w"), lit(0L)))
     graft.ops.Decontamination.smearClassOf(
       healTornAppend(pairs, Seq("train_id", "eval_id"),
         pairs.columns.filter(_.startsWith("n_shared")).toSeq))

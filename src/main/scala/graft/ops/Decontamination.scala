@@ -330,13 +330,22 @@ object Decontamination {
     * owner reads this to decide whether [[WideN]] alone is a safe gate
     * for a given benchmark or the narrow sweep must stay on.
     *
-    * 100 TB shape: the training corpus is scanned ONCE, emitting both
-    * widths from one tokenize ([[Dedup.shingledOfWidths]]); the eval
-    * side is bounded and broadcasts as a width-tagged union (the
-    * cross-snapshot tagged-probe pattern); one broadcast join on
-    * (width, 8-byte hash), one (train, eval) aggregation with
-    * conditional sums — cardinality bounded by contaminated mass, and
-    * nothing corpus-sized shuffles.
+    * r15 (VERDICT r14 ask #3): the report carries a THIRD evidence
+    * width — character-level winnow fingerprints (`n_shared_w`, the
+    * [[deconWinnow]] kernel) — and the class `char_verbatim` for pairs
+    * whose verbatim character runs word tokenization smears (joined
+    * words, punctuation-mangled quotes): ≥ [[MinShared]] shared
+    * df-capped fingerprints with no 13-gram.
+    *
+    * 100 TB shape: the training corpus is scanned ONCE, emitting all
+    * three channels from one text pass ([[smearChannelsOf]] — the
+    * shared [[Dedup.widthShingleHashes]] + [[TextAnalysis.winnow]]
+    * kernels); the eval side is bounded and broadcasts as a
+    * channel-tagged union (the cross-snapshot tagged-probe pattern;
+    * the char channel df-capped on eval's own frequencies); one
+    * broadcast join on (channel, 8-byte hash), one (train, eval)
+    * aggregation with conditional sums — cardinality bounded by
+    * contaminated mass, and nothing corpus-sized shuffles.
     */
   def deconSmearReport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -345,13 +354,23 @@ object Decontamination {
       docs.filter(!isEval($"doc_id")), docs.filter(isEval($"doc_id"))))
   }
 
+  /** Channel tag for character-level winnow fingerprints in the
+    * width-tagged smear probe — word widths use their gram count
+    * (3/13), the char channel uses 0 (no word width is 0, so the tag
+    * can never collide with a shingle width).
+    */
+  val WinnowChannel = 0
+
   /** The smear report's probe trunk — (train_id, eval_id, n_shared_3,
-    * n_shared_13) for every pair sharing ≥1 shingle at EITHER width —
-    * shared by the registered query and the incremental twin
+    * n_shared_13, n_shared_w) for every pair sharing ≥1 shingle at
+    * either word width OR ≥1 winnow fingerprint (the char channel,
+    * VERDICT r14 ask #3) — shared by the registered query and the
+    * incremental twin
     * ([[graft.examples.StreamingCuration.smearReportFromState]]), so
     * the two derivations cannot drift. Per-pair counts are complete
-    * within a train doc's batch (whole documents arrive in one row),
-    * which is what makes the twin's appends the merge.
+    * within a train doc's batch (whole documents arrive in one row,
+    * and both kernels emit per-doc DEDUPLICATED hashes), which is what
+    * makes the twin's appends the merge.
     */
   def smearPairsOf(train: DataFrame, evalDocs: DataFrame): DataFrame = {
     val s = train.sparkSession
@@ -361,24 +380,56 @@ object Decontamination {
       Dedup.shingledOf(evalDocs, n)
         .select(lit(n).as("n"), $"doc_id".as("eval_id"), $"sh")
     }.reduce(_ unionByName _)
-    Dedup.shingledOfWidths(train, widths)
+      // char channel: the df-CAPPED eval fingerprint table (the cap is
+      // a property of the benchmark snapshot — deconWinnow's stance)
+      .unionByName(cappedEvalWinnowFps(evalDocs)
+        .select(lit(WinnowChannel).as("n"), $"eval_id", $"fp".as("sh")))
+    smearChannelsOf(train, widths)
       .join(broadcast(evalSh), Seq("n", "sh"))
       .groupBy($"doc_id".as("train_id"), $"eval_id")
       .agg(
         sum(when($"n" === Dedup.ShingleN, 1L).otherwise(0L)).as("n_shared_3"),
-        sum(when($"n" === WideN, 1L).otherwise(0L)).as("n_shared_13"))
+        sum(when($"n" === WideN, 1L).otherwise(0L)).as("n_shared_13"),
+        sum(when($"n" === WinnowChannel, 1L).otherwise(0L)).as("n_shared_w"))
+  }
+
+  /** ONE corpus scan emitting all three probe channels: word shingles
+    * at each width via the shared [[Dedup.widthShingleHashes]] kernel
+    * (tag = width) plus winnow fingerprints via the compiled
+    * [[TextAnalysis.winnow]] kernel (tag = [[WinnowChannel]]) — the
+    * widened form of the r13 both-widths-from-one-tokenize shape.
+    */
+  private def smearChannelsOf(train: DataFrame, widths: Seq[Int]): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    val ws = widths.distinct.sorted
+    train.select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        (Dedup.widthShingleHashes(text, ws) ++
+          TextAnalysis.winnow(text).iterator.map(fp => (WinnowChannel, fp)))
+          .map { case (n, h) => (id, n, h) }
+      }
+      .toDF("doc_id", "n", "sh")
   }
 
   /** The report tail over any (train_id, eval_id, n_shared_3,
-    * n_shared_13) evidence table: gate at [[MinShared]] trigrams OR one
-    * 13-gram, class hard vs smeared.
+    * n_shared_13, n_shared_w) evidence table: gate at [[MinShared]]
+    * trigrams OR one 13-gram OR [[MinShared]] winnow fingerprints;
+    * class `hard` (verbatim 13-word run — the conventional trip-wire)
+    * vs `char_verbatim` (no 13-gram, but a character-level verbatim
+    * run the winnow sweep caught — the leakage class word
+    * tokenization smears) vs `smeared` (word-trigram mass only —
+    * paraphrase-style gradual overlap).
     */
   def smearClassOf(pairs: DataFrame): DataFrame =
     pairs
-      .filter(col("n_shared_3") >= MinShared || col("n_shared_13") >= 1L)
+      .filter(col("n_shared_3") >= MinShared || col("n_shared_13") >= 1L ||
+        col("n_shared_w") >= MinShared)
       .select(col("train_id"), col("eval_id"),
-        col("n_shared_3"), col("n_shared_13"),
-        when(col("n_shared_13") >= 1L, lit("hard")).otherwise(lit("smeared"))
+        col("n_shared_3"), col("n_shared_13"), col("n_shared_w"),
+        when(col("n_shared_13") >= 1L, lit("hard"))
+          .when(col("n_shared_w") >= MinShared, lit("char_verbatim"))
+          .otherwise(lit("smeared"))
           .as("status"))
       .orderBy("train_id", "eval_id")
 
@@ -608,6 +659,51 @@ object Decontamination {
             ${winnowPairsCtes()}
             SELECT train_id, eval_id, n_shared FROM pairs
             ORDER BY train_id, eval_id""",
+          // three independent sweeps FULL-OUTER-joined — structurally
+          // different from the Spark one-scan channel-tagged probe; in
+          // the DYNAMIC set since r15 because the char width rides the
+          // winnow mod-2^64 replay (ascii-gated like its siblings)
+          "decon_smear_report" -> s"""
+            ${winnowPairsCtes(1L)},
+            ${shingleCteN(Dedup.ShingleN, "sh3")},
+            ${shingleCteN(WideN, "sh13")},
+            p3 AS (
+              SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+                CAST(COUNT(*) AS BIGINT) AS n3
+              FROM sh3 t JOIN sh3 e ON t.sh = e.sh
+              WHERE md5(CAST(e.doc_id AS VARCHAR)) >= '$EvalLower'
+                AND md5(CAST(t.doc_id AS VARCHAR)) < '$EvalLower'
+              GROUP BY 1, 2),
+            p13 AS (
+              SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+                CAST(COUNT(*) AS BIGINT) AS n13
+              FROM sh13 t JOIN sh13 e ON t.sh = e.sh
+              WHERE md5(CAST(e.doc_id AS VARCHAR)) >= '$EvalLower'
+                AND md5(CAST(t.doc_id AS VARCHAR)) < '$EvalLower'
+              GROUP BY 1, 2),
+            j AS (
+              SELECT COALESCE(p3.train_id, p13.train_id) AS train_id,
+                COALESCE(p3.eval_id, p13.eval_id) AS eval_id,
+                COALESCE(n3, 0) AS n_shared_3,
+                COALESCE(n13, 0) AS n_shared_13
+              FROM p3 FULL OUTER JOIN p13
+                ON p3.train_id = p13.train_id AND p3.eval_id = p13.eval_id),
+            j2 AS (
+              SELECT COALESCE(j.train_id, w.train_id) AS train_id,
+                COALESCE(j.eval_id, w.eval_id) AS eval_id,
+                COALESCE(j.n_shared_3, 0) AS n_shared_3,
+                COALESCE(j.n_shared_13, 0) AS n_shared_13,
+                COALESCE(w.n_shared, 0) AS n_shared_w
+              FROM j FULL OUTER JOIN pairs w
+                ON j.train_id = w.train_id AND j.eval_id = w.eval_id)
+            SELECT train_id, eval_id, n_shared_3, n_shared_13, n_shared_w,
+              CASE WHEN n_shared_13 >= 1 THEN 'hard'
+                   WHEN n_shared_w >= $MinShared THEN 'char_verbatim'
+                   ELSE 'smeared' END AS status
+            FROM j2
+            WHERE n_shared_3 >= $MinShared OR n_shared_13 >= 1
+              OR n_shared_w >= $MinShared
+            ORDER BY train_id, eval_id""",
           "decon_winnow_report" -> s"""
             ${winnowPairsCtes()}
             SELECT eval_id,
@@ -726,35 +822,6 @@ object Decontamination {
     // two independent width sweeps FULL-OUTER-joined — deliberately NOT
     // the Spark plan's one-scan tagged union, so the oracle checks the
     // combined report against a structurally different derivation
-    "decon_smear_report" -> s"""
-      WITH ${shingleCteN(Dedup.ShingleN, "sh3")},
-      ${shingleCteN(WideN, "sh13")},
-      p3 AS (
-        SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
-          CAST(COUNT(*) AS BIGINT) AS n3
-        FROM sh3 t JOIN sh3 e ON t.sh = e.sh
-        WHERE md5(CAST(e.doc_id AS VARCHAR)) >= '$EvalLower'
-          AND md5(CAST(t.doc_id AS VARCHAR)) < '$EvalLower'
-        GROUP BY 1, 2),
-      p13 AS (
-        SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
-          CAST(COUNT(*) AS BIGINT) AS n13
-        FROM sh13 t JOIN sh13 e ON t.sh = e.sh
-        WHERE md5(CAST(e.doc_id AS VARCHAR)) >= '$EvalLower'
-          AND md5(CAST(t.doc_id AS VARCHAR)) < '$EvalLower'
-        GROUP BY 1, 2),
-      j AS (
-        SELECT COALESCE(p3.train_id, p13.train_id) AS train_id,
-          COALESCE(p3.eval_id, p13.eval_id) AS eval_id,
-          COALESCE(n3, 0) AS n_shared_3,
-          COALESCE(n13, 0) AS n_shared_13
-        FROM p3 FULL OUTER JOIN p13
-          ON p3.train_id = p13.train_id AND p3.eval_id = p13.eval_id)
-      SELECT train_id, eval_id, n_shared_3, n_shared_13,
-        CASE WHEN n_shared_13 >= 1 THEN 'hard' ELSE 'smeared' END AS status
-      FROM j
-      WHERE n_shared_3 >= $MinShared OR n_shared_13 >= 1
-      ORDER BY train_id, eval_id""",
     "decon_report" -> s"""
       ${pairsSql(Dedup.ShingleN, MinShared)}
       SELECT eval_id,

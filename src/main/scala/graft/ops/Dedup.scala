@@ -110,22 +110,35 @@ object Dedup {
     docs
       .select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        val ws = text.trim.split("\\s+").filter(_.nonEmpty)
-        val out = new scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]
-        widths.foreach { n =>
-          if (ws.length >= n) {
-            val seen = new scala.collection.mutable.HashSet[Long]
-            var i = 0
-            while (i + n <= ws.length) {
-              val h = fnv64(ws.slice(i, i + n).mkString(" "))
-              if (seen.add(h)) out += ((id, n, h))
-              i += 1
-            }
-          }
-        }
-        out.iterator
+        widthShingleHashes(text, widths).map { case (n, h) => (id, n, h) }
       }
       .toDF("doc_id", "n", "sh")
+  }
+
+  /** Per-text kernel of [[shingledOfWidths]]: width-tagged DISTINCT
+    * fnv64 shingle hashes, one pass per width. Shared with the
+    * decon_smear_report channel emitter
+    * ([[graft.ops.Decontamination.smearChannelsOf]]) so the combined
+    * word+char probe reads the corpus once without forking the
+    * shingling logic. Callers pass widths already distinct (dup widths
+    * would double-count).
+    */
+  private[graft] def widthShingleHashes(
+      text: String, widths: Seq[Int]): Iterator[(Int, Long)] = {
+    val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Long)]
+    widths.foreach { n =>
+      if (ws.length >= n) {
+        val seen = new scala.collection.mutable.HashSet[Long]
+        var i = 0
+        while (i + n <= ws.length) {
+          val h = fnv64(ws.slice(i, i + n).mkString(" "))
+          if (seen.add(h)) out += ((n, h))
+          i += 1
+        }
+      }
+    }
+    out.iterator
   }
 
   /** Exact dedup: group identical texts, keep the smallest doc_id as the

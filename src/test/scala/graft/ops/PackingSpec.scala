@@ -246,21 +246,35 @@ class DecontaminationSpec extends SparkSpec {
     }
   }
 
-  test("decon_smear_report: hard vs smeared classes on planted fixtures; consistent with decon_pairs") {
-    // corpus-level consistency first: a row is `hard` iff it has
-    // 13-gram evidence, every row clears one of the two gates, and the
-    // trigram mass of flagged pairs matches the standalone 3-gram sweep
+  test("decon_smear_report: hard vs char_verbatim vs smeared on planted fixtures; consistent with decon_pairs + decon_winnow") {
+    // corpus-level consistency first: class follows the evidence
+    // hierarchy (13-gram > winnow > trigram), every row clears one of
+    // the three gates, the trigram mass of flagged pairs matches the
+    // standalone 3-gram sweep, and the winnow mass matches the
+    // standalone char-level sweep
     val rows = Decontamination.deconSmearReport(spark, sfDir).collect()
     rows.foreach { r =>
-      val (n3, n13, st) = (r.getLong(2), r.getLong(3), r.getString(4))
-      assert((st == "hard") == (n13 >= 1L), s"class/evidence mismatch: $r")
-      assert(n3 >= Decontamination.MinShared || n13 >= 1L)
+      val (n3, n13, nw, st) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))
+      val expSt =
+        if (n13 >= 1L) "hard"
+        else if (nw >= Decontamination.MinShared) "char_verbatim"
+        else "smeared"
+      assert(st == expSt, s"class/evidence mismatch: $r")
+      assert(n3 >= Decontamination.MinShared || n13 >= 1L ||
+        nw >= Decontamination.MinShared)
     }
     val pairs3 = Decontamination.contaminationPairs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     rows.filter(_.getLong(2) >= Decontamination.MinShared).foreach { r =>
       assert(pairs3.get((r.getLong(0), r.getLong(1))).contains(r.getLong(2)),
         "trigram mass must equal the standalone 3-gram sweep")
+    }
+    val pairsW = Decontamination.deconWinnow(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.filter(_.getLong(4) >= Decontamination.MinShared).foreach { r =>
+      assert(pairsW.get((r.getLong(0), r.getLong(1))).contains(r.getLong(4)),
+        "winnow mass must equal the standalone char-level sweep")
     }
     // planted fixtures: a verbatim 13-word run (hard) vs scattered
     // trigram overlap that never completes a 13-gram (smeared)
@@ -284,15 +298,32 @@ class DecontaminationSpec extends SparkSpec {
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$work/documents.parquet")
     val got = Decontamination.deconSmearReport(spark, work).collect()
-      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4)))
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
       .toMap
+    // expected char-channel evidence straight from the kernel (the
+    // planted texts share short verbatim char runs — e.g. smearText's
+    // " e9 e10 e11" tail is an 11-char run the winnow guarantee
+    // covers — so the char width legitimately co-fires; the single
+    // eval doc means no fingerprint can exceed the eval df cap)
+    val wfp = Map(
+      hardId -> graft.ops.TextAnalysis.winnow(hardText).toSet,
+      smearId -> graft.ops.TextAnalysis.winnow(smearText).toSet,
+      cleanId -> graft.ops.TextAnalysis.winnow(cleanText).toSet)
+    val evFp = graft.ops.TextAnalysis.winnow(evalText).toSet
+    val nwOf = (id: Long) => (wfp(id) & evFp).size.toLong
+    assert(nwOf(cleanId) < Decontamination.MinShared,
+      "fixture sanity: the clean doc must not share char evidence")
     assert(got.keySet == Set(hardId, smearId), s"flagged: ${got.keySet}")
-    val (h3, h13, hst) = got(hardId)
-    assert(hst == "hard" && h13 == 1L && h3 == 11L,
+    val (h3, h13, hw, hst) = got(hardId)
+    assert(hst == "hard" && h13 == 1L && h3 == 11L && hw == nwOf(hardId),
       s"verbatim 13-run must class hard with 11 shared trigrams: $got")
-    val (s3, s13, sst) = got(smearId)
-    assert(sst == "smeared" && s13 == 0L && s3 == 3L,
-      s"scattered trigrams must class smeared: $got")
+    val (s3, s13, sw, sst) = got(smearId)
+    val expSmearSt =
+      if (nwOf(smearId) >= Decontamination.MinShared) "char_verbatim"
+      else "smeared"
+    assert(sst == expSmearSt && s13 == 0L && s3 == 3L && sw == nwOf(smearId),
+      s"scattered trigrams must class $expSmearSt: $got")
   }
 
   test("decon_winnow: matches an in-JVM brute-force winnow probe at the corpus") {

@@ -509,17 +509,24 @@ class PlanSpec extends SparkSpec {
       s"one aggregation pair expected:\n$p")
   }
 
-  test("decon_smear_report: width-tagged eval union broadcasts; one pair aggregation; no cartesian") {
+  test("decon_smear_report: channel-tagged eval union broadcasts; one pair aggregation; no cartesian") {
     val p = plan(graft.ops.Decontamination.deconSmearReport(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"),
-      s"the width-tagged eval union must broadcast:\n$p")
+      s"the channel-tagged eval union must broadcast:\n$p")
     // the corpus-sized train side must never shuffle against eval
     assert(!p.contains("SortMergeJoin"), p)
-    // both widths roll up in ONE (train, eval) aggregation with
-    // conditional sums — a per-width fork would double the probe
-    assert("BroadcastHashJoin".r.findAllIn(p).length == 1,
-      s"exactly one probe join expected:\n$p")
+    // all three channels (3-gram, 13-gram, winnow char) roll up in ONE
+    // (train, eval) aggregation fed by ONE probe join — a per-channel
+    // fork would triple the probe. The only other broadcast join
+    // allowed is the eval-side winnow df-cap guard (LeftAnti over the
+    // BOUNDED eval fingerprints — deconWinnow's boilerplate guard).
+    val bhjLines = p.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+    val (anti, probe) = bhjLines.partition(_.contains("LeftAnti"))
+    assert(probe.length == 1,
+      s"exactly one probe join expected, got ${probe.length}:\n$p")
+    assert(anti.length == 1,
+      s"exactly one eval df-cap anti join expected, got ${anti.length}:\n$p")
   }
 
   test("decon_winnow: df-capped eval fingerprints broadcast; corpus side never shuffles into the probe") {

@@ -1687,9 +1687,14 @@ class StreamingSpec extends SparkSpec {
     val plantedGot = rows(StreamingCuration.smearReportFromState(spark, st2))
     assert(plantedGot == plantedWant,
       "planted-fixture twin must equal the shared-trunk one-shot")
-    assert(plantedGot.exists(_(4) == "hard") &&
-      plantedGot.exists(_(4) == "smeared"),
-      s"both classes must be exercised: ${plantedGot.map(_(4)).distinct}")
+    // status moved to index 5 when the char width landed (r15); the
+    // scattered-trigram doc may legitimately class char_verbatim now
+    // (its " e9 e10 e11" tail is an 11-char verbatim run) — the planted
+    // guarantee is: the verbatim 13-run classes hard AND a non-hard
+    // class is exercised alongside it
+    assert(plantedGot.exists(_(5) == "hard") &&
+      plantedGot.exists(r => r(5) == "smeared" || r(5) == "char_verbatim"),
+      s"hard + a non-hard class must be exercised: ${plantedGot.map(_(5)).distinct}")
   }
 
   test("incremental winnow-evidence state: out-of-order folds + replay + torn append == one-shot winnow decon") {
