@@ -383,7 +383,12 @@ object ScaleSmoke {
     // (ensureGraphIndex builds once per corpus fingerprint during the
     // warm pass; the measured pass is pure beam search / centrality
     // against the stored neighbor lists, the production shape)
-    "sim_graph_search", "sim_graph_centrality")
+    "sim_graph_search", "sim_graph_centrality",
+    // r15: the IVF-PQ hybrid serving tier (VERDICT r14 ask #6) — the
+    // same fixed query set against a ×100 index; cost should ride the
+    // probed-cell mass (~nprobe/k of the corpus) through the 8-byte
+    // ADC sieve, not the corpus
+    "sim_ivfpq_ann")
 
   def runSf10Emb(spark: SparkSession, srcDir: String): Unit =
     runConstDensityProbes(spark, srcDir, ensureSf10Emb(spark, srcDir),

@@ -1163,6 +1163,116 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** IVF-PQ hybrid ANN (VERDICT r14 ask #6) — the production serving
+    * shape for >10⁹-vector indexes (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011; the FAISS
+    * IndexIVFPQ composition): the coarse IVF quantizer gates WHICH
+    * vectors are scored (each query probes its `nprobe` nearest of the
+    * k cells — ~nprobe/k of the query×corpus ADC mass), the PQ codes
+    * gate HOW each survivor is scored ([[PqM]] table lookups against
+    * an 8-byte code, never float math on the stored vector), and an
+    * exact double re-rank of the per-query top-[[PqCand]] pool
+    * restores metric fidelity. Codes quantize the UNIT vectors
+    * themselves (FAISS `by_residual=false`), which keeps the ADC
+    * tables pure query-side artifacts and the whole search replayable
+    * in SQL.
+    *
+    * 100 TB shape: both model artifacts are bounded and broadcast (the
+    * codebook trains driver-side on the deterministic vec_id-ordered
+    * sample — [[pqTrain]]'s trust model; the coarse centroids are the
+    * k-row exact fold; the probe lists are a queries×k grid). The
+    * corpus is scanned ONCE with coarse-assign + encode + ADC fused in
+    * one compiled pass and NO shuffle before the bounded
+    * (query, cand, approx) scalar stream — a vector whose cell no
+    * query probes emits nothing and its code is never built. The
+    * top-pool window and exact re-rank ride id scalars exactly as the
+    * PQ/SQ tiers do.
+    *
+    * Identity anchor (spec-pinned): with `nprobe = k` every cell is
+    * probed, so the hybrid degenerates to exactly [[simPqANN]] — the
+    * recall knob's correctness anchor, the nprobe=k ⇒ brute-force
+    * stance of [[simIvfANN]] applied at the PQ tier.
+    */
+  def simIvfPqANN(s: SparkSession, dir: String,
+      nprobe: Int = NProbe): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    val typed = all.as[(Long, Array[Double])]
+    val sample = typed.filter(_._1 < PqSampleIds).collect()
+      .sortBy(_._1).map(t => unitVec(t._2))
+    val books = pqTrain(sample)
+    val cents = centroidsExact(emb(s, dir))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val queries = typed.filter(_._1 < NumQueries).collect().sortBy(_._1)
+    def cosOf(a: Array[Double], b: Array[Double]): Double =
+      dotArr(a, b) / (math.sqrt(dotArr(a, a)) * math.sqrt(dotArr(b, b)))
+    // per-query ADC tables over the probed-cell set: cents are already
+    // cent_id-ascending, so "max cos, strict >" = the (d asc, cent_id
+    // asc) window order of simIvfANN/ivfCells
+    val tables: Map[Long, Array[(Long, Array[Array[Double]])]] = queries
+      .flatMap { case (qid, qv) =>
+        val qu = unitVec(qv)
+        val tb = Array.tabulate(PqM, PqK) { (m, k) =>
+          var acc = 0.0
+          var i = 0
+          val c = books(m)(k)
+          while (i < PqDim) { acc += qu(m * PqDim + i) * c(i); i += 1 }
+          acc
+        }
+        cents.map { case (cid, c) => (cid, qid, cosOf(qv, c)) }
+          .sortBy { case (cid, _, cos) => (-cos, cid) }
+          .take(nprobe)
+          .map { case (cid, _, _) => (cid, (qid, tb)) }
+      }
+      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2) }
+    val bcBooks = s.sparkContext.broadcast(books)
+    val bcCents = s.sparkContext.broadcast(cents)
+    val bcTables = s.sparkContext.broadcast(tables)
+    val approx = typed.mapPartitions { it =>
+      val bks = bcBooks.value
+      val cs = bcCents.value
+      val tbs = bcTables.value
+      it.flatMap { case (id, v) =>
+        // coarse assign: max cosine, lowest cent_id on ties (strict >
+        // over the cent_id-ascending array)
+        var bestId = if (cs.isEmpty) -1L else cs(0)._1
+        var bestCos = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cs.length) {
+          val cos = dotArr(v, cs(ci)._2) /
+            (math.sqrt(dotArr(v, v)) * math.sqrt(dotArr(cs(ci)._2, cs(ci)._2)))
+          if (cos > bestCos) { bestCos = cos; bestId = cs(ci)._1 }
+          ci += 1
+        }
+        val qs = tbs.getOrElse(bestId, Array.empty[(Long, Array[Array[Double]])])
+        if (qs.isEmpty) Iterator.empty // unprobed cell: code never built
+        else {
+          val code = pqEncode(unitVec(v), bks)
+          qs.iterator.filter(_._1 != id).map { case (qid, tb) =>
+            var acc = 0.0
+            var m = 0
+            while (m < PqM) { acc += tb(m)(code(m) & 0xff); m += 1 }
+            (qid, id, acc)
+          }
+        }
+      }
+    }.toDF("query_id", "cand_id", "approx")
+    val wA = Window.partitionBy($"query_id").orderBy($"approx".desc, $"cand_id".asc)
+    val cand = approx.withColumn("ark", row_number().over(wA))
+      .filter($"ark" <= PqCand)
+      .select($"query_id", $"cand_id")
+    val qVecs = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"e".as("qe"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+    all.join(broadcast(cand), $"vec_id" === $"cand_id")
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select($"query_id", $"cand_id", cosine($"qe", $"e").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= TopK)
+      .select($"query_id", $"rk", $"cand_id", $"cos")
+      .orderBy("query_id", "rk")
+  }
+
   /** Primitive left-to-right dot product — the same op order as the
     * Column-level fold and the DuckDB oracle, so results stay
     * bit-identical across all three implementations.
@@ -2168,6 +2278,8 @@ object Similarity {
     "dedup_removal_curve" -> dedupRemovalCurve,
     "sim_sq_ann" -> simSqANN,
     "sim_pq_ann" -> simPqANN,
+    // new in r15 (VERDICT r14 ask #6): the IVF-PQ hybrid serving tier
+    "sim_ivfpq_ann" -> ((s, d) => simIvfPqANN(s, d)),
     // oracle-gated since r11 via the frozen-pair replay (the pq
     // codebook pattern — see frozenPairsOracleSql); recall-gated by spec
     "sim_knn_graph" -> simKnnGraph,
@@ -2208,6 +2320,7 @@ object Similarity {
       oracleContext.map { case (s, dir) =>
         Map(
           "sim_pq_ann" -> pqOracleSql(s, dir),
+          "sim_ivfpq_ann" -> ivfPqOracleSql(s, dir),
           "sim_knn_graph" -> knnGraphOracleSql(s, dir),
           "sim_graph_search" -> graphSearchOracleSql(s, dir),
           "sim_graph_centrality" -> graphCentralityOracleSql(s, dir))
@@ -3024,4 +3137,102 @@ object Similarity {
   // sim_pq_ann needs the Verify-time oracleContext for its codebook
   // literals (rows-only fallback when unset). Recall ≥ bound vs brute
   // force additionally asserted in SimilaritySpec for all ANN tiers.
+
+  /** sim_ivfpq_ann oracle: the [[pqOracleSql]] codebook-literal replay
+    * composed with the sim_ivf_ann coarse CTEs — DuckDB independently
+    * re-derives the exact label-centroid fold, the coarse assignment
+    * and probe ranking (raw-vector cosine, the Spark side's exact
+    * comparison), the unit vectors, the PQ codes from the interpolated
+    * codebook, the ADC terms restricted to probed (query, cand) pairs,
+    * the top-[[PqCand]] pool, and the exact re-rank.
+    */
+  def ivfPqOracleSql(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val sample = emb(s, dir)
+      .select($"vec_id", asDouble($"embedding").as("e"))
+      .as[(Long, Array[Double])]
+      .filter(_._1 < PqSampleIds).collect()
+      .sortBy(_._1).map(t => unitVec(t._2))
+    val books = pqTrain(sample)
+    def dl(x: Double): String = java.lang.Double.toString(x)
+    val bookRows = (for {
+      m <- 0 until PqM
+      k <- 0 until PqK
+    } yield s"($m, $k, [${books(m)(k).map(dl).mkString(", ")}])")
+      .mkString(", ")
+    def dt64(x: String, y: String) =
+      s"list_sum([$x[i] * $y[i] for i in range(1, 65)])"
+    def cosv(x: String, y: String) =
+      s"(${dt64(x, y)} / (sqrt(${dt64(x, x)}) * sqrt(${dt64(y, y)})))"
+    s"""
+      WITH books AS (SELECT * FROM (VALUES $bookRows) b(m, k, c)),
+      e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      coords AS (
+        SELECT label, vec_id, i, v[i] AS x FROM e, UNNEST(range(1, 65)) AS u(i)),
+      csum AS (
+        SELECT label, i, list_sum(list(x ORDER BY vec_id)) / count(*) AS m
+        FROM coords GROUP BY label, i),
+      cent AS (
+        SELECT label AS cent_id, list(m ORDER BY i) AS c FROM csum GROUP BY label),
+      ranked_cents AS MATERIALIZED (
+        SELECT vec_id, v, cent_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY -(${cosv("v", "c")}) ASC, cent_id ASC) AS cr
+        FROM e CROSS JOIN cent),
+      asg AS (
+        SELECT vec_id AS cand_id, cent_id FROM ranked_cents WHERE cr = 1),
+      probes AS (
+        SELECT vec_id AS query_id, cent_id
+        FROM ranked_cents WHERE vec_id < $NumQueries AND cr <= $NProbe),
+      un AS MATERIALIZED (
+        SELECT vec_id,
+          [v[i] / sqrt(${dt64("v", "v")}) for i in range(1, 65)] AS u
+        FROM e),
+      dists AS (
+        SELECT un.vec_id, b.m, b.k,
+          list_sum([(un.u[b.m * 8 + i] - b.c[i]) * (un.u[b.m * 8 + i] - b.c[i])
+                    for i in range(1, 9)]) AS d
+        FROM un CROSS JOIN books b
+        -- codes exist only for vectors in PROBED cells (the Spark scan
+        -- never encodes an unprobed vector; restricting here keeps the
+        -- replay's work IVF-shaped too)
+        WHERE un.vec_id IN (SELECT a.cand_id FROM asg a
+          JOIN probes p ON a.cent_id = p.cent_id)),
+      codes AS (
+        SELECT vec_id, m, k FROM (
+          SELECT vec_id, m, k,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS cr
+          FROM dists) WHERE cr = 1),
+      cand0 AS (
+        SELECT p.query_id, a.cand_id
+        FROM asg a JOIN probes p ON a.cent_id = p.cent_id
+        WHERE a.cand_id <> p.query_id),
+      terms AS (
+        SELECT pr.query_id, pr.cand_id, c.m,
+          list_sum([qu.u[c.m * 8 + i] * b.c[i] for i in range(1, 9)]) AS t
+        FROM cand0 pr
+        JOIN codes c ON c.vec_id = pr.cand_id
+        JOIN books b ON b.m = c.m AND b.k = c.k
+        JOIN un qu ON qu.vec_id = pr.query_id),
+      approx AS (
+        SELECT query_id, cand_id, list_sum(list(t ORDER BY m)) AS a
+        FROM terms GROUP BY query_id, cand_id),
+      pool AS (
+        SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY a DESC, cand_id ASC) AS ark
+          FROM approx) WHERE ark <= $PqCand),
+      rer AS (
+        SELECT p.query_id, p.cand_id,
+          ${duckCos("qe.embedding", "ce.embedding")} AS cos
+        FROM pool p
+        JOIN embeddings qe ON qe.vec_id = p.query_id
+        JOIN embeddings ce ON ce.vec_id = p.cand_id)
+      SELECT query_id, rk, cand_id, cos FROM (
+        SELECT query_id, cand_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+        FROM rer) WHERE rk <= $TopK
+      ORDER BY query_id, rk"""
+  }
 }

@@ -1018,6 +1018,25 @@ class SimilaritySpec extends SparkSpec {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("IVF-PQ hybrid: recall >= 0.5 vs brute force; nprobe=k degenerates to exactly sim_pq_ann") {
+    val hyb = topkSet(Similarity.simIvfPqANN(spark, sfDir))
+    val recall = brute.keys.toSeq.map { q =>
+      val hits = hyb.getOrElse(q, Set.empty).intersect(brute(q)).size
+      hits.toDouble / Similarity.TopK
+    }.sum / brute.size
+    assert(recall >= 0.5, s"IVF-PQ recall $recall below bound")
+    // the identity anchor: probing every cell removes the IVF gate, so
+    // the hybrid must equal the flat PQ tier EXACTLY (same codebook,
+    // same ADC, same pool, same re-rank) — rank, id, AND score
+    import spark.implicits._
+    val k = graft.Tables.t(spark, sfDir, "embeddings")
+      .select($"label").distinct().count().toInt
+    val full = Similarity.simIvfPqANN(spark, sfDir, nprobe = k).collect()
+      .map(_.toSeq).toSeq
+    val pq = Similarity.simPqANN(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(full == pq, "nprobe=k hybrid must equal sim_pq_ann exactly")
+  }
+
   test("LSH ANN recall >= 0.6 vs brute force") {
     val lsh = topkSet(Similarity.simLshANN(spark, sfDir))
     val recall = brute.keys.toSeq.map { q =>

@@ -529,6 +529,18 @@ class PlanSpec extends SparkSpec {
       s"exactly one eval df-cap anti join expected, got ${anti.length}:\n$p")
   }
 
+  test("sim_ivfpq_ann: bounded pool + query vectors broadcast into the re-rank; no SMJ, no cartesian") {
+    val p = plan(graft.ops.Similarity.simIvfPqANN(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus never shuffles against anything: the fused
+    // assign+encode+ADC scan emits bounded scalars, the pool window is
+    // the only wide exchange before the re-rank, and both re-rank
+    // joins broadcast their bounded side
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+      s"the pool and the query vectors must both broadcast:\n$p")
+  }
+
   test("decon_winnow: df-capped eval fingerprints broadcast; corpus side never shuffles into the probe") {
     val p = plan(graft.ops.Decontamination.deconWinnow(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
