@@ -203,6 +203,63 @@ object ScaleSmoke {
     out
   }
 
+  /** Char-gram-preserving 100× fixture (VERDICT r14 ask #4): the
+    * deep-salted [[ensureSf10ConstDup]] prefixes every TOKEN, which
+    * preserves word-shingle df but collapses char-gram spans (~2
+    * words → ~1 word) — so char-level pair-verify mass stayed at
+    * replica-0 level and dedup_winnow_pairs' sf10cd row certified scan
+    * cost only. This fixture replicates by a per-replica CHARACTER
+    * SUBSTITUTION CIPHER instead (class-preserving bijections over
+    * a–z/A–Z/0–9, whitespace and punctuation fixed, built by sorting
+    * each class by md5(replica:char) — deterministic, distinct per
+    * replica): a bijection applied uniformly preserves EVERY
+    * within-replica character-equality structure exactly — gram
+    * lengths, repeats, shared spans, winnow guarantee, fingerprint df
+    * distribution — while cross-replica grams hash apart (the
+    * char-level analog of sf10emb's sign-flip orthogonal transform).
+    * Near-dup pairs therefore replicate ×100 WITH their char-gram
+    * evidence intact, and the corpus-wide df cap behaves exactly as at
+    * base scale. n_chars needs no rewrite: ciphers are
+    * length-preserving.
+    */
+  def ensureSf10CharDup(spark: SparkSession, srcDir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sf10chd"
+    val done = new java.io.File(s"$out/_DONE")
+    if (done.exists()) return out
+    import spark.implicits._
+    val docs = Tables.t(spark, srcDir, "documents")
+    val docBase = keyBase(docs, "doc_id")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def permOf(chars: Seq[Char], r: Int): String =
+      if (r == 0) chars.mkString
+      else chars.sortBy(c => md5hex(s"$r:$c")).mkString
+    val from = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).mkString
+    (0 until 10 * Reps).map { i =>
+      if (i == 0) docs
+      else docs
+        .withColumn("doc_id", $"doc_id" + lit(i * docBase))
+        .withColumn("text", translate($"text", from,
+          permOf('a' to 'z', i) + permOf('A' to 'Z', i) +
+            permOf('0' to '9', i)))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    out
+  }
+
+  /** The char-gram operators probed over [[ensureSf10CharDup]]: winnow
+    * PAIR mass must grow ~×100 (each replica contributes its base-
+    * corpus near-dup pairs with char evidence intact) and wall must be
+    * at-or-below linear.
+    */
+  val Sf10ChdQueries: Seq[String] = Seq("dedup_winnow_pairs")
+
+  def runSf10CharDup(spark: SparkSession, srcDir: String): Unit =
+    runConstDensityProbes(spark, srcDir, ensureSf10CharDup(spark, srcDir),
+      Sf10ChdQueries, "sf10chd")
+
   /** Constant-density sf10 probe: time AND output row count (pair /
     * span mass) per query, so NOTES.md can put measured mass beside
     * the wall time. The LSH chain certified near-linear here in r10;
@@ -462,6 +519,67 @@ object ScaleSmoke {
     }
   }
 
+  /** Twin fold-cost at 100× STATE (VERDICT r14 ask #2): the 25-batch
+    * [[runTwinFold]] sweep shows flat folds at state ≈ 25× batch, but
+    * the 100 TB claim is state ~10⁴× batch. This probe measures the
+    * claim's falsifiable form directly: the SAME small fixed batch
+    * (1/25 of the sf0.1 corpus) folds into (a) a state seeded from the
+    * sf0.1 corpus and (b) a state seeded from the 100× sf10cd corpus —
+    * if any fold path secretly reads accumulated state ∝ its size
+    * (a list-all-versions scan, an evidence re-read, an unbounded
+    * merged-table rewrite), the big-state fold is ~100× slower; if
+    * fold ∝ batch holds, the two walls are equal. Three twins spanning
+    * the state classes: `len_profile` (value-domain-bounded rewrite),
+    * `manifest` (|sources|-row xor fold), `winnow_evidence`
+    * (append-mode evidence — state GROWS with contaminated mass, the
+    * class where a hidden re-read would hurt most). Median of 3
+    * measured folds per side, distinct batchIds, per-fold doc_id
+    * offsets so appends never alias.
+    */
+  def runTwinFold100(spark: SparkSession, srcDir: String): Unit = {
+    import spark.implicits._
+    import graft.ops.Scale.GatedCheckpoint
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_twinfold100").toString
+    val small = Tables.t(spark, srcDir, "documents")
+    val big = Tables.t(spark, ensureSf10ConstDup(spark, srcDir), "documents")
+    val isEval = md5($"doc_id".cast("string")) >=
+      graft.ops.Decontamination.EvalLower
+    // frozen benchmark split from the SOURCE corpus — the same eval
+    // table probes both states (the fold contract's deterministic form)
+    val evalDocs = small.filter(isEval)
+      .select($"doc_id", $"text").gatedCheckpoint()
+    val batch = small.filter(pmod($"doc_id", lit(25)) === 7)
+      .gatedCheckpoint()
+    def offsetIds(df: DataFrame, j: Int): DataFrame =
+      df.withColumn("doc_id", $"doc_id" + lit(j * 100000000L))
+    def probe(tag: String)(
+        fold: (String, Long, DataFrame) => Unit): Unit = {
+      fold(s"$root/$tag-small", 0L, small)
+      fold(s"$root/$tag-big", 0L, big)
+      def measure(dir: String): Double = {
+        val ts = (1 to 3).map { j =>
+          val t0 = System.nanoTime()
+          fold(dir, j.toLong, offsetIds(batch, j))
+          (System.nanoTime() - t0) / 1e9
+        }
+        ts.sorted.apply(1) // median of 3
+      }
+      val s = measure(s"$root/$tag-small")
+      val b = measure(s"$root/$tag-big")
+      System.err.println(
+        f"[twinfold100] $tag%-16s smallState=$s%.2f s bigState=$b%.2f s " +
+          f"big/small=${b / s}%.2f")
+    }
+    probe("len_profile")((d, id, b) =>
+      graft.examples.StreamingCuration.mergeLenProfileState(spark, d, b, id))
+    probe("manifest")((d, id, b) =>
+      graft.examples.StreamingCuration.mergeManifestState(spark, d, b, id))
+    probe("winnow_evidence")((d, id, b) =>
+      graft.examples.StreamingCuration.mergeWinnowEvidenceState(
+        spark, d, b, evalDocs, id))
+  }
+
   /** Standalone entry so the sf1/sf3/sf10 sweeps can run without the
     * full bench: `sbt "runMain graft.ScaleSmoke sf10"` (or `sf1`/`sf3`).
     */
@@ -479,6 +597,8 @@ object ScaleSmoke {
     if (args.contains("sf10cd")) runSf10ConstDup(spark, src)
     else if (args.contains("sf10emb")) runSf10Emb(spark, src)
     else if (args.contains("sf10rel")) runSf10Rel(spark, src)
+    else if (args.contains("sf10chd")) runSf10CharDup(spark, src)
+    else if (args.contains("twinfold100")) runTwinFold100(spark, src)
     else if (args.contains("twinfold")) runTwinFold(spark, src)
     else if (args.contains("sf10")) runSf10(spark, src)
     else if (args.contains("sf3")) runSf3(spark, src)
