@@ -64,7 +64,9 @@ object ScaleSmoke {
     * (shared by every scaled-fixture builder).
     */
   private def keyBase(df: DataFrame, c: String): Long =
-    df.agg(max(col(c))).head.getLong(0) + 1L
+    // cast first: an INT key column (embeddings.label) would otherwise
+    // throw Integer-cannot-cast-to-Long at head()
+    df.agg(max(col(c).cast("long"))).head.getLong(0) + 1L
 
   def ensureScaled(
       spark: SparkSession, srcDir: String, reps: Int, name: String): String = {
@@ -424,6 +426,63 @@ object ScaleSmoke {
     out
   }
 
+  /** LABEL-STRATIFIED embeddings fixture (VERDICT r14 ask #7): the
+    * sign-flip [[ensureSf10Emb]] preserves intra-replica geometry but
+    * keeps the base LABELS, so label semantics scramble at scale — a
+    * replica-7 vector labeled 3 is nowhere near replica-0's label-3
+    * cluster, yet shares its label, so per-label metrics
+    * (sim_knn_probe accuracy, sim_label_confusion's matrix) read
+    * noise. This variant ALSO shifts labels per replica
+    * (label + i·labelBase): each replica is a self-contained labeled
+    * corpus IEEE-identical to the base under its orthogonal transform,
+    * and cross-replica candidates carry DISTINCT labels — a spurious
+    * ~0.3-cosine cross-replica neighbor can never masquerade as a
+    * correct label. Parameterized replica count: the quadratic
+    * all-pairs operator (sim_label_confusion rides the tiled exact
+    * pass) probes at ×10 where its pair mass is already ×100; the
+    * query-bounded kNN probe takes the full ×100.
+    */
+  def ensureSf10EmbLab(spark: SparkSession, srcDir: String,
+      reps: Int): String = {
+    val out =
+      s"${System.getProperty("java.io.tmpdir")}/graft_sf10emblab$reps"
+    val done = new java.io.File(s"$out/_DONE")
+    if (done.exists()) return out
+    import spark.implicits._
+    val e = Tables.t(spark, srcDir, "embeddings")
+    val base = keyBase(e, "vec_id")
+    val labelBase = keyBase(e, "label")
+    (0 until reps).map { i =>
+      if (i == 0) e
+      else e
+        .withColumn("vec_id", $"vec_id" + lit(i * base))
+        // keep the column's physical type (INT in the shipped fixture)
+        // so replica 0 and the shifted replicas union cleanly
+        .withColumn("label", ($"label" + lit(i * labelBase))
+          .cast(e.schema("label").dataType))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, j) -> CAST(x * (CASE WHEN " +
+            s"pmod(xxhash64(${i}L * 64 + j), 2) = 0 THEN 1.0 ELSE -1.0 " +
+            s"END) AS FLOAT))"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    out
+  }
+
+  def runSf10EmbLab(spark: SparkSession, srcDir: String): Unit = {
+    runConstDensityProbes(spark, srcDir,
+      ensureSf10EmbLab(spark, srcDir, 10 * Reps),
+      Seq("sim_knn_probe"), "sf10emblab")
+    // the confusion matrix rides the tiled all-pairs exact pass — a
+    // deliberately quadratic operator (the sim_knn_graph stance), so
+    // its probe runs at ×10 corpus = ×100 PAIR mass; the ratio column
+    // reads against that pair-mass growth, not corpus growth
+    runConstDensityProbes(spark, srcDir,
+      ensureSf10EmbLab(spark, srcDir, Reps),
+      Seq("sim_label_confusion"), "sf10emblab10")
+  }
+
   /** Embeddings-family probes over [[ensureSf10Emb]]: the exact
     * broadcast-query baseline (brute top-k and range search — linear
     * scans by construction, certifying the codegen'd kernel rides the
@@ -595,6 +654,7 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.contains("sf10cd")) runSf10ConstDup(spark, src)
+    else if (args.contains("sf10emblab")) runSf10EmbLab(spark, src)
     else if (args.contains("sf10emb")) runSf10Emb(spark, src)
     else if (args.contains("sf10rel")) runSf10Rel(spark, src)
     else if (args.contains("sf10chd")) runSf10CharDup(spark, src)
