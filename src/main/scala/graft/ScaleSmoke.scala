@@ -503,8 +503,11 @@ object ScaleSmoke {
     // r15: the IVF-PQ hybrid serving tier (VERDICT r14 ask #6) — the
     // same fixed query set against a ×100 index; cost should ride the
     // probed-cell mass (~nprobe/k of the corpus) through the 8-byte
-    // ADC sieve, not the corpus
-    "sim_ivfpq_ann")
+    // ADC sieve, not the corpus. The serve form runs against the
+    // FROZEN on-disk index (built once per corpus fingerprint during
+    // the warm pass — the graph-serving probe protocol): the measured
+    // pass is partition-filtered code scan + ADC + re-rank only.
+    "sim_ivfpq_ann", "sim_ivfpq_serve")
 
   def runSf10Emb(spark: SparkSession, srcDir: String): Unit =
     runConstDensityProbes(spark, srcDir, ensureSf10Emb(spark, srcDir),

@@ -1204,27 +1204,9 @@ object Similarity {
     val cents = centroidsExact(emb(s, dir))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     val queries = typed.filter(_._1 < NumQueries).collect().sortBy(_._1)
-    def cosOf(a: Array[Double], b: Array[Double]): Double =
-      dotArr(a, b) / (math.sqrt(dotArr(a, a)) * math.sqrt(dotArr(b, b)))
-    // per-query ADC tables over the probed-cell set: cents are already
-    // cent_id-ascending, so "max cos, strict >" = the (d asc, cent_id
-    // asc) window order of simIvfANN/ivfCells
-    val tables: Map[Long, Array[(Long, Array[Array[Double]])]] = queries
-      .flatMap { case (qid, qv) =>
-        val qu = unitVec(qv)
-        val tb = Array.tabulate(PqM, PqK) { (m, k) =>
-          var acc = 0.0
-          var i = 0
-          val c = books(m)(k)
-          while (i < PqDim) { acc += qu(m * PqDim + i) * c(i); i += 1 }
-          acc
-        }
-        cents.map { case (cid, c) => (cid, qid, cosOf(qv, c)) }
-          .sortBy { case (cid, _, cos) => (-cos, cid) }
-          .take(nprobe)
-          .map { case (cid, _, _) => (cid, (qid, tb)) }
-      }
-      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2) }
+    // per-query ADC tables over the probed-cell set — the shared
+    // trunk of the inline and frozen-index forms
+    val tables = ivfPqProbeTables(queries, cents, books, nprobe)
     val bcBooks = s.sparkContext.broadcast(books)
     val bcCents = s.sparkContext.broadcast(cents)
     val bcTables = s.sparkContext.broadcast(tables)
@@ -1272,6 +1254,218 @@ object Similarity {
       .select($"query_id", $"rk", $"cand_id", $"cos")
       .orderBy("query_id", "rk")
   }
+
+  // ---- frozen on-disk IVF-PQ index (the production serving form) ----
+
+  /** Per-query ADC tables keyed by probed cell — shared by the inline
+    * [[simIvfPqANN]] and the frozen-index [[searchIvfPqIndex]] so the
+    * two probe derivations cannot drift (the winnow-trunk stance).
+    * cents must be cent_id-ascending: "max cos, strict >" is then the
+    * (d asc, cent_id asc) window order of simIvfANN/ivfCells.
+    */
+  private def ivfPqProbeTables(
+      queries: Array[(Long, Array[Double])],
+      cents: Array[(Long, Array[Double])],
+      books: Array[Array[Array[Double]]],
+      nprobe: Int): Map[Long, Array[(Long, Array[Array[Double]])]] = {
+    def cosOf(a: Array[Double], b: Array[Double]): Double =
+      dotArr(a, b) / (math.sqrt(dotArr(a, a)) * math.sqrt(dotArr(b, b)))
+    queries
+      .flatMap { case (qid, qv) =>
+        val qu = unitVec(qv)
+        val tb = Array.tabulate(PqM, PqK) { (m, k) =>
+          var acc = 0.0
+          var i = 0
+          val c = books(m)(k)
+          while (i < PqDim) { acc += qu(m * PqDim + i) * c(i); i += 1 }
+          acc
+        }
+        cents.map { case (cid, c) => (cid, qid, cosOf(qv, c)) }
+          .sortBy { case (cid, _, cos) => (-cos, cid) }
+          .take(nprobe)
+          .map { case (cid, _, _) => (cid, (qid, tb)) }
+      }
+      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2) }
+  }
+
+  /** Fused coarse-assign + PQ-encode pass — one compiled corpus scan,
+    * no shuffle; shared by [[writeIvfPqIndex]] and
+    * [[appendIvfPqBatch]] so the stored codes can never drift between
+    * initial build and incremental maintenance.
+    */
+  private def assignEncode(
+      typed: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      cents: Array[(Long, Array[Double])],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val s = typed.sparkSession
+    import s.implicits._
+    val bcC = s.sparkContext.broadcast(cents)
+    val bcB = s.sparkContext.broadcast(books)
+    typed.mapPartitions { it =>
+      val cs = bcC.value
+      val bks = bcB.value
+      it.map { case (id, v) =>
+        var bestId = if (cs.isEmpty) -1L else cs(0)._1
+        var bestCos = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cs.length) {
+          val c = cs(ci)._2
+          val cos = dotArr(v, c) /
+            (math.sqrt(dotArr(v, v)) * math.sqrt(dotArr(c, c)))
+          if (cos > bestCos) { bestCos = cos; bestId = cs(ci)._1 }
+          ci += 1
+        }
+        (id, bestId, pqEncode(unitVec(v), bks))
+      }
+    }.toDF("vec_id", "cent_id", "code")
+  }
+
+  /** Write the frozen IVF-PQ index: 8-byte PQ codes partitioned by
+    * coarse cell (probes become PARTITION FILTERS — directories
+    * outside the probe set are never opened), plus the two model
+    * sidecars (`_pqcentroids`, `_codebook` — underscore-prefixed so
+    * root scans ignore them, the [[writeIvfIndex]] `_centroids`
+    * convention). The index stores NO vectors: 8 B/vector of codes vs
+    * 256 B of float32 — the 32× RAM/disk compression that makes
+    * >10⁹-vector serving fit a cluster; the exact re-rank reads the
+    * full vectors by id from the PRIMARY store, never from the index.
+    */
+  def writeIvfPqIndex(s: SparkSession, dir: String, path: String): Unit = {
+    import s.implicits._
+    val typed = emb(s, dir)
+      .select($"vec_id", asDouble($"embedding").as("e"))
+      .as[(Long, Array[Double])]
+    val sample = typed.filter(_._1 < PqSampleIds).collect()
+      .sortBy(_._1).map(t => unitVec(t._2))
+    val books = pqTrain(sample)
+    val cents = centroidsExact(emb(s, dir))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    // root overwrite truncates, so codes go first, sidecars second
+    assignEncode(typed, cents, books)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(path)
+    cents.toSeq.toDF("cent_id", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_pqcentroids")
+    (for { m <- 0 until PqM; k <- 0 until PqK }
+      yield (m, k, books(m)(k).toSeq))
+      .toDF("m", "k", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
+  }
+
+  private def readPqCentroids(
+      s: SparkSession, path: String): Array[(Long, Array[Double])] = {
+    import s.implicits._
+    s.read.parquet(s"$path/_pqcentroids")
+      .select(col("cent_id").cast("long"), col("cent"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+  }
+
+  private def readPqCodebook(
+      s: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    import s.implicits._
+    val rows = s.read.parquet(s"$path/_codebook")
+      .select(col("m").cast("int"), col("k").cast("int"), col("c"))
+      .as[(Int, Int, Array[Double])].collect()
+    val books = Array.ofDim[Array[Double]](PqM, PqK)
+    rows.foreach { case (m, k, c) => books(m)(k) = c }
+    books
+  }
+
+  /** Incremental maintenance: a new batch of (vec_id, e) rows is
+    * assigned + encoded against the FROZEN quantizer and codebook and
+    * appended into the existing partition directories — cost ∝ batch,
+    * the resident index never rewrites (the [[appendIvfBatch]]
+    * contract at the PQ tier).
+    */
+  def appendIvfPqBatch(s: SparkSession, path: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    assignEncode(
+      batch.select(col("vec_id"), col("e")).as[(Long, Array[Double])],
+      readPqCentroids(s, path), readPqCodebook(s, path))
+      .write.mode("append").partitionBy("cent_id").parquet(path)
+  }
+
+  /** IVF-PQ ANN against a [[writeIvfPqIndex]] layout — the serving
+    * path: queries rank the FROZEN stored centroids, the probed cell
+    * ids become a PARTITION FILTER on the code scan, the ADC sieve
+    * reads 8-byte codes (no vector ever leaves the index), and the
+    * exact re-rank joins the bounded pool back to the primary vector
+    * store. With the same model artifacts this reproduces the inline
+    * [[simIvfPqANN]] EXACTLY (spec-pinned — the frozen-equals-fresh
+    * stance of [[searchIvfIndex]]).
+    */
+  def searchIvfPqIndex(s: SparkSession, dir: String, path: String,
+      nprobe: Int = NProbe): DataFrame = {
+    import s.implicits._
+    val books = readPqCodebook(s, path)
+    val cents = readPqCentroids(s, path)
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    val queries = all.as[(Long, Array[Double])]
+      .filter(_._1 < NumQueries).collect().sortBy(_._1)
+    val tables = ivfPqProbeTables(queries, cents, books, nprobe)
+    val probeIds = tables.keys.toSeq.sorted
+    val bcTables = s.sparkContext.broadcast(tables)
+    val idx = s.read.parquet(path)
+      .filter($"cent_id".isin(probeIds: _*))
+      .select($"vec_id", $"cent_id".cast("long").as("cent_id"), $"code")
+      .as[(Long, Long, Array[Byte])]
+    val approx = idx.mapPartitions { it =>
+      val tbs = bcTables.value
+      it.flatMap { case (id, cell, code) =>
+        tbs.getOrElse(cell, Array.empty[(Long, Array[Array[Double]])])
+          .iterator.filter(_._1 != id).map { case (qid, tb) =>
+            var acc = 0.0
+            var m = 0
+            while (m < PqM) { acc += tb(m)(code(m) & 0xff); m += 1 }
+            (qid, id, acc)
+          }
+      }
+    }.toDF("query_id", "cand_id", "approx")
+    val wA = Window.partitionBy($"query_id")
+      .orderBy($"approx".desc, $"cand_id".asc)
+    val cand = approx.withColumn("ark", row_number().over(wA))
+      .filter($"ark" <= PqCand)
+      .select($"query_id", $"cand_id")
+    val qVecs = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"e".as("qe"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+    all.join(broadcast(cand), $"vec_id" === $"cand_id")
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select($"query_id", $"cand_id", cosine($"qe", $"e").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= TopK)
+      .select($"query_id", $"rk", $"cand_id", $"cos")
+      .orderBy("query_id", "rk")
+  }
+
+  /** Build-once gate for the frozen per-corpus-fingerprint IVF-PQ
+    * index — the [[ensureGraphIndex]] lifecycle applied to the PQ
+    * tier (temp-dir build + atomic rename, cached per corpus
+    * fingerprint; a deployment rebuilds on corpus refresh cadence,
+    * never per query).
+    */
+  private[graft] def ensureIvfPqIndex(s: SparkSession, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tag = md.digest(
+      s"$dir|${Curation.corpusFingerprint(s, dir)}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val ipath = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_$tag"
+    if (!new java.io.File(s"$ipath/_codebook/_SUCCESS").exists()) {
+      val tmp = ipath + "_w" + java.util.UUID.randomUUID().toString.take(8)
+      writeIvfPqIndex(s, dir, tmp)
+      if (!new java.io.File(tmp).renameTo(new java.io.File(ipath)))
+        Curation.deleteRecursively(new java.io.File(tmp))
+    }
+    ipath
+  }
+
+  /** Registered form: serve the query set against the corpus's FROZEN
+    * on-disk IVF-PQ index (built on first invocation, cached per
+    * corpus fingerprint). Identical output to [[simIvfPqANN]], so it
+    * shares the full [[ivfPqOracleSql]] replay.
+    */
+  def simIvfPqServe(s: SparkSession, dir: String): DataFrame =
+    searchIvfPqIndex(s, dir, ensureIvfPqIndex(s, dir))
 
   /** Primitive left-to-right dot product — the same op order as the
     * Column-level fold and the DuckDB oracle, so results stay
@@ -2278,8 +2472,10 @@ object Similarity {
     "dedup_removal_curve" -> dedupRemovalCurve,
     "sim_sq_ann" -> simSqANN,
     "sim_pq_ann" -> simPqANN,
-    // new in r15 (VERDICT r14 ask #6): the IVF-PQ hybrid serving tier
+    // new in r15 (VERDICT r14 ask #6): the IVF-PQ hybrid serving tier,
+    // inline and against the frozen on-disk index
     "sim_ivfpq_ann" -> ((s, d) => simIvfPqANN(s, d)),
+    "sim_ivfpq_serve" -> simIvfPqServe,
     // oracle-gated since r11 via the frozen-pair replay (the pq
     // codebook pattern — see frozenPairsOracleSql); recall-gated by spec
     "sim_knn_graph" -> simKnnGraph,
@@ -2321,6 +2517,9 @@ object Similarity {
         Map(
           "sim_pq_ann" -> pqOracleSql(s, dir),
           "sim_ivfpq_ann" -> ivfPqOracleSql(s, dir),
+          // the frozen-index serve is output-identical to the inline
+          // hybrid (spec-pinned), so it shares the full replay
+          "sim_ivfpq_serve" -> ivfPqOracleSql(s, dir),
           "sim_knn_graph" -> knnGraphOracleSql(s, dir),
           "sim_graph_search" -> graphSearchOracleSql(s, dir),
           "sim_graph_centrality" -> graphCentralityOracleSql(s, dir))

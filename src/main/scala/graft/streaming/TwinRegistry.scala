@@ -160,5 +160,9 @@ object TwinRegistry {
     Twin("semantic_assign", "persisted-artifact", "Curation.dedupSemanticKmeans",
       Seq("ensureSemanticQuantizer"), "readSemanticQuantizer",
       Seq("quantizer cache (frozen centroids parquet)"),
-      "frozen semantic quantizer: batches assign against the stored model, no drift"))
+      "frozen semantic quantizer: batches assign against the stored model, no drift"),
+    Twin("ivfpq_index", "persisted-artifact", "Similarity.simIvfPqANN",
+      Seq("writeIvfPqIndex", "appendIvfPqBatch"), "searchIvfPqIndex",
+      Seq("cent_id-partitioned code table", "_pqcentroids", "_codebook"),
+      "frozen IVF-PQ index: serve equals the inline hybrid exactly; appended batches assign against the frozen artifacts"))
 }

@@ -26,8 +26,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registered query count matches the round record") {
-    assert(SparkEntry.queries.size == 268, // r14: +decon_winnow,
-      // +decon_winnow_report, +decon_winnow_curve, +dedup_containment_hist
+    assert(SparkEntry.queries.size == 270, // r15: +sim_ivfpq_ann,
+      // +sim_ivfpq_serve (the frozen-index serving form)
       s"query count drifted: ${SparkEntry.queries.size} — update the " +
         "round record (NOTES.md/README.md) together with this pin")
   }

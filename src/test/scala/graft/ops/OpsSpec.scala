@@ -1037,6 +1037,46 @@ class SimilaritySpec extends SparkSpec {
     assert(full == pq, "nprobe=k hybrid must equal sim_pq_ann exactly")
   }
 
+  test("frozen IVF-PQ index: serve equals the inline hybrid exactly; appended batches assign against the frozen artifacts") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.writeIvfPqIndex(spark, sfDir, work)
+    // one code directory per coarse cell; the model sidecars coexist
+    val dirs = new java.io.File(work).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cent_id="))
+    assert(dirs.length > 2, s"expected several cell partitions: ${dirs.toSeq}")
+    // serve must equal the inline hybrid — rank, id, AND score (same
+    // model artifacts, same probe tables, same ADC, same re-rank)
+    val served = Similarity.searchIvfPqIndex(spark, sfDir, work)
+    val servedRows = served.collect().map(_.toSeq).toSeq
+    val inline = Similarity.simIvfPqANN(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(servedRows == inline, "frozen-index serve drifted from the inline hybrid")
+    // the probe is a PARTITION FILTER: unprobed cell directories are
+    // never opened
+    val scans = served.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val idxScan = scans.find(_.contains(work))
+    assert(idxScan.exists(p =>
+        "PartitionFilters: \\[[^\\]]*cent_id[^\\]]*\\]".r.findFirstIn(p).nonEmpty),
+      s"code scan has no cent_id partition filter:\n${scans.mkString("\n")}")
+    // append lifecycle: exact twins of served top candidates enter via
+    // appendIvfPqBatch (assigned + encoded against the FROZEN
+    // artifacts — identical vectors get identical cells and codes), a
+    // fixture dir carries them in the primary store, and the served
+    // top-k must surface them right next to their originals
+    val base = graft.Tables.t(spark, sfDir, "embeddings")
+    val twinIds = servedRows.filter(_(1) == 1L).map(_(2).asInstanceOf[Long]).take(5)
+    val twins = base.filter($"vec_id".isInCollection(twinIds))
+      .select(($"vec_id" + 100000L).as("vec_id"), $"label", $"embedding")
+    val fixDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-fix").toString
+    base.unionByName(twins).write.parquet(s"$fixDir/embeddings.parquet")
+    Similarity.appendIvfPqBatch(spark, work, twins
+      .select($"vec_id", $"embedding".cast("array<double>").as("e")))
+    val after = Similarity.searchIvfPqIndex(spark, fixDir, work).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(after.exists(_._3 >= 100000L),
+      s"an appended twin must reach the served top-k: ${after.toSeq.take(10)}")
+  }
+
   test("LSH ANN recall >= 0.6 vs brute force") {
     val lsh = topkSet(Similarity.simLshANN(spark, sfDir))
     val recall = brute.keys.toSeq.map { q =>

@@ -30,8 +30,8 @@ class TwinRegistrySpec extends AnyFunSuite {
   private lazy val mainSrc = sourcesUnder("src/main/scala")
 
   test("twin count matches the round record") {
-    assert(TwinRegistry.twins.size == 35, // r14: +mix_curve,
-      // +winnow_evidence — update README/NOTES with this pin
+    assert(TwinRegistry.twins.size == 36, // r15: +ivfpq_index (the
+      // frozen serving artifact) — update README/NOTES with this pin
       s"twin count drifted: ${TwinRegistry.twins.size}")
   }
 
