@@ -1508,7 +1508,85 @@ object TextAnalysis {
               $"sx".cast("double")) / $"n".cast("double")).as("intercept"))
   }
 
+  /** ta_lm_surprisal: bigram language-model quality scoring — the
+    * CCNet/KenLM-style perplexity filter re-expressed INTEGER-EXACT.
+    * An add-one bigram model is trained on the corpus itself
+    * (P(w|prev) = (c(prev,w)+1)/(c(prev)+V)); each bigram occurrence
+    * scores its surprisal as the BIT LENGTH of the reciprocal
+    * probability's integer part — bits = ⌊log₂((c(prev)+V) DIV
+    * (c(prev,w)+1))⌋ computed as `length(binary(den DIV num)) − 1`, so
+    * every term is integer arithmetic both engines evaluate
+    * identically (no libm log — the repo's dyadic-reformulation
+    * stance: a floating ln(·) chain would hash-mismatch between JVM
+    * fdlibm and DuckDB's libm). Per doc: bigram count, total surprisal
+    * bits, and bits/bigram (ONE IEEE division). High bits/bigram =
+    * improbable token transitions (garbled or off-distribution text);
+    * low = templated/repetitive — the two tails a perplexity filter
+    * cuts. Coarser than fractional-bit perplexity, but monotone in the
+    * same signal and exactly replayable.
+    *
+    * 100 TB shape: bigrams come from an array-level zip_with in the
+    * scan projection (no window, no per-doc shuffle); the model IS two
+    * count tables built by linear map-side-combining aggregations; the
+    * scoring joins co-partition on the bigram/unigram keys (fact-fact
+    * joins — at corpus scale the vocabulary is NOT broadcastable, so a
+    * shuffle join is the correct shape, unlike the broadcast-dim gates
+    * elsewhere); V is a broadcast 1-row scalar; the integer sum is
+    * commutative so the rollup needs no ordered fold.
+    */
+  def taLmSurprisal(s: SparkSession, dir: String): DataFrame =
+    lmSurprisalOf(t(s, dir, "documents"))
+
+  /** Per-doc trunk over any (doc_id, text) frame — shared by the
+    * registered query and [[taLmQualityHist]].
+    */
+  def lmSurprisalOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tk = tokens($"text")
+    val toks = docs.select($"doc_id", explode(tk).as("w"))
+    val uni = toks.groupBy($"w").agg(count(lit(1)).as("c_w"))
+    val vdf = uni.agg(count(lit(1)).as("v"))
+    val nb = greatest(size(tk) - 1, lit(0))
+    val big = docs
+      .select($"doc_id", explode(zip_with(
+        slice(tk, lit(1), nb), slice(tk, lit(2), nb),
+        (a, b) => struct(a.as("prev"), b.as("w")))).as("bg"))
+      .select($"doc_id", $"bg.prev".as("prev"), $"bg.w".as("w"))
+    val bcnt = big.groupBy($"prev", $"w").agg(count(lit(1)).as("c_bw"))
+    big
+      .join(bcnt, Seq("prev", "w"))
+      .join(uni.select($"w".as("prev"), $"c_w".as("c_prev")), Seq("prev"))
+      .crossJoin(broadcast(vdf))
+      .select($"doc_id",
+        (length(conv(expr("(c_prev + v) DIV (c_bw + 1)"), 10, 2)) - 1)
+          .cast("long").as("bits"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"bits").as("total_bits"))
+      .select($"doc_id", $"n_bigrams", $"total_bits",
+        ($"total_bits".cast("double") / $"n_bigrams".cast("double"))
+          .as("bits_per_bigram"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus quality distribution: documents per integer
+    * bits-per-bigram band — the histogram a pipeline owner reads to
+    * place the perplexity filter's two cut points (the low templated
+    * tail and the high garbled tail). One more bounded aggregation
+    * over the [[lmSurprisalOf]] per-doc table.
+    */
+  def taLmQualityHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lmSurprisalOf(t(s, dir, "documents"))
+      .groupBy(floor($"bits_per_bigram").cast("long").as("bpb_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_bigrams").as("n_bigrams"))
+      .orderBy("bpb_band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_lm_surprisal" -> taLmSurprisal,
+    "ta_lm_quality_hist" -> taLmQualityHist,
     "ta_zipf_dyadic" -> taZipfDyadic,
     // oracle-gated since r12: frozen-merge replay ([[bpeEncodeCtes]])
     "ta_fertility" -> ((s, d) => taFertility(s, d)),
@@ -1867,7 +1945,51 @@ $chainSql      curve AS ($budgetSelects)
         .zipWithIndex.map { case (t, i) => s"('$qid', ${i + 1}, '$t')" }
     }.mkString(", ")
 
+  /** Shared CTEs of the two LM-surprisal oracles: the add-one bigram
+    * model's count tables and the per-doc integer surprisal rollup —
+    * `length(bin(den // num)) − 1` is the same integer floor-log₂ the
+    * Spark side computes via `length(conv(den DIV num, 10, 2)) − 1`.
+    */
+  private def lmSurprisalCtes: String = s"""
+      ws AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+          x -> len(x) > 0) AS tk
+        FROM documents),
+      toks AS (SELECT doc_id, unnest(tk) AS w FROM ws),
+      uni AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM toks GROUP BY w),
+      vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      big AS MATERIALIZED (
+        SELECT doc_id, tk[i] AS prev, tk[i + 1] AS w
+        FROM ws, UNNEST(range(1, len(tk))) AS r(i)),
+      bcnt AS MATERIALIZED (
+        SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c_bw
+        FROM big GROUP BY prev, w),
+      perdoc AS (
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          CAST(SUM(length(bin((u.c_w + vv.v) // (c.c_bw + 1))) - 1)
+            AS BIGINT) AS total_bits
+        FROM big b
+        JOIN bcnt c ON b.prev = c.prev AND b.w = c.w
+        JOIN uni u ON u.w = b.prev
+        CROSS JOIN vv
+        GROUP BY b.doc_id)"""
+
   private val staticOracles: Map[String, String] = Map(
+    "ta_lm_surprisal" -> s"""
+      WITH $lmSurprisalCtes
+      SELECT doc_id, n_bigrams, total_bits,
+        CAST(total_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+          AS bits_per_bigram
+      FROM perdoc ORDER BY doc_id""",
+    "ta_lm_quality_hist" -> s"""
+      WITH $lmSurprisalCtes
+      SELECT
+        CAST(FLOOR(CAST(total_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+          AS BIGINT) AS bpb_band,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+      FROM perdoc GROUP BY 1 ORDER BY bpb_band""",
     // the raw gram is the oracle's fingerprint (Spark uses xxhash64 —
     // the standing cross-hash convention); every output column is
     // exact integers + one final IEEE division

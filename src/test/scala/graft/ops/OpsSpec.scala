@@ -1507,6 +1507,47 @@ class CompressionRatioSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("LM surprisal: integer bits match an in-JVM bigram model; templated scores below garbled") {
+    // planted corpus: a templated doc (one repeated transition), a
+    // garbled doc (all transitions unique), and a short doc — the
+    // model trains on all three (add-one bigram, V = distinct tokens)
+    val docs = Seq(
+      (1L, "a b a b a b a b a b"),
+      (2L, "q w e r t y u i o p"),
+      (3L, "a b"))
+    val work = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$work/documents.parquet")
+    // brute-force reference, straight from the definition
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val uni = toks.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val v = uni.size.toLong
+    val bigrams = toks.flatMap { case (id, ws) =>
+      ws.zip(ws.drop(1)).map(p => (id, p)) }
+    val bcnt = bigrams.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+    val want = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val bits = bs.map { case (_, p @ (prev, _)) =>
+        val den = uni(prev) + v
+        val num = bcnt(p) + 1L
+        63L - java.lang.Long.numberOfLeadingZeros(den / num)
+      }
+      id -> ((bs.size.toLong, bits.sum,
+        bits.sum.toDouble / bs.size.toDouble))
+    }
+    val got = TextAnalysis.taLmSurprisal(spark, work).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got(1L)._3 < got(2L)._3,
+      "templated transitions must score below garbled ones")
+    // the histogram is the exact rollup of the per-doc table
+    val hist = TextAnalysis.taLmQualityHist(spark, work).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wantHist = want.values.groupBy(t => math.floor(t._3).toLong)
+      .map { case (b, xs) => (b, xs.size.toLong, xs.map(_._1).sum) }
+      .toSeq.sorted
+    assert(hist.toSeq.sorted == wantHist)
+  }
+
   /** Classic single-machine BPE (Sennrich et al.) over a word-freq map
     * — the ground truth the distributed trainer must reproduce merge
     * for merge, same tie-break.

@@ -549,6 +549,21 @@ class PlanSpec extends SparkSpec {
       s"the pool and the query vectors must both broadcast:\n$p")
   }
 
+  test("ta_lm_surprisal: no cartesian, no window; counts partial-aggregate map-side") {
+    val p = plan(graft.ops.TextAnalysis.taLmSurprisal(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the bigram stream comes from an array zip in the projection, so
+    // there is no per-doc window anywhere in the plan
+    assert(!p.contains("Window"), p)
+    // the model's count tables map-side combine before their shuffles
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      "HashAggregate.*partial".r.findFirstIn(p).nonEmpty, p)
+    // NOTE: the scoring joins on bigram/unigram keys are fact-fact at
+    // corpus scale (the vocabulary is not broadcastable at 100 TB), so
+    // SMJ/shuffled-hash is the CORRECT shape here — deliberately no
+    // no-SMJ assertion, unlike the broadcast-dim gates
+  }
+
   test("decon_winnow: df-capped eval fingerprints broadcast; corpus side never shuffles into the probe") {
     val p = plan(graft.ops.Decontamination.deconWinnow(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
