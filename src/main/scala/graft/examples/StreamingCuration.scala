@@ -899,6 +899,65 @@ object StreamingCuration {
         .select(col("k").as("w"), col("cnt").as("freq")),
       merges, budgets)
 
+  /** Fold a batch's unigram and bigram counts into the persistent
+    * add-one bigram LM model state (37th streaming twin — the
+    * incremental form of [[graft.ops.TextAnalysis.taLmSurprisal]]'s
+    * model): both tables are additive sufficient statistics, so
+    * folding batches in any order equals the one-shot model exactly,
+    * and a scoring pass reads the folded model instead of re-counting
+    * the corpus — at 100 TB the model is observed-bigram-bounded
+    * (Heaps-law sublinear), not corpus-sized, and scoring new data
+    * against yesterday's frozen model is exactly the production
+    * perplexity-filter deployment. Two VersionedState commits
+    * (`lm_uni`, `lm_big`) under the same batchId: a crash between them
+    * replays into the per-table alreadyFolded gate, so each folds
+    * exactly once.
+    */
+  def mergeLmModelState(spark: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long = -1L): Unit = {
+    import spark.implicits._
+    if (!VersionedState.alreadyFolded(spark, stateDir, "lm_uni", batchId)) {
+      val bc = graft.ops.TextAnalysis.lmTokensOf(batch)
+        .groupBy($"w").agg(count(lit(1)).as("c_w"))
+      val merged = VersionedState.readTable(spark, stateDir, "lm_uni") match {
+        case None => bc
+        case Some(prior) => prior.unionByName(bc)
+          .groupBy($"w").agg(sum($"c_w").as("c_w"))
+      }
+      VersionedState.commit(spark, stateDir, "lm_uni", batchId) { dir =>
+        merged.write.mode("overwrite").parquet(s"$dir/data")
+      }
+    }
+    if (!VersionedState.alreadyFolded(spark, stateDir, "lm_big", batchId)) {
+      val bc = graft.ops.TextAnalysis.lmBigramsOf(batch)
+        .groupBy($"prev", $"w").agg(count(lit(1)).as("c_bw"))
+      val merged = VersionedState.readTable(spark, stateDir, "lm_big") match {
+        case None => bc
+        case Some(prior) => prior.unionByName(bc)
+          .groupBy($"prev", $"w").agg(sum($"c_bw").as("c_bw"))
+      }
+      VersionedState.commit(spark, stateDir, "lm_big", batchId) { dir =>
+        merged.write.mode("overwrite").parquet(s"$dir/data")
+      }
+    }
+  }
+
+  /** Score a (doc_id, text) frame against the ACCUMULATED bigram model
+    * — identical columns to the batch
+    * [[graft.ops.TextAnalysis.taLmSurprisal]], via the shared
+    * [[graft.ops.TextAnalysis.lmScoreWith]] scoring tail (the two
+    * derivations cannot drift). Bigrams absent from the folded model
+    * are unscorable-OOV and drop out — the documented frozen-model
+    * semantics.
+    */
+  def lmScoreAgainstState(spark: SparkSession, stateDir: String,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.ops.TextAnalysis.lmScoreWith(docs,
+      stateTable(spark, stateDir, "lm_uni"),
+      stateTable(spark, stateDir, "lm_big"))
+  }
+
   /** Fold a batch's per-day event counts into persistent state — the
     * additive sufficient statistic for the LIVE dyadic-EWMA volume
     * monitor (25th streaming twin): daily counts add across batches in

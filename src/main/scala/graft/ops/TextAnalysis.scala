@@ -1537,24 +1537,45 @@ object TextAnalysis {
   def taLmSurprisal(s: SparkSession, dir: String): DataFrame =
     lmSurprisalOf(t(s, dir, "documents"))
 
-  /** Per-doc trunk over any (doc_id, text) frame — shared by the
-    * registered query and [[taLmQualityHist]].
+  /** Per-doc bigram stream of a (doc_id, text) frame — an array-level
+    * zip in the scan projection (no window, no shuffle). Shared by the
+    * one-shot model builder and the incremental model twin's fold.
     */
-  def lmSurprisalOf(docs: DataFrame): DataFrame = {
+  private[graft] def lmBigramsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val tk = tokens($"text")
-    val toks = docs.select($"doc_id", explode(tk).as("w"))
-    val uni = toks.groupBy($"w").agg(count(lit(1)).as("c_w"))
-    val vdf = uni.agg(count(lit(1)).as("v"))
     val nb = greatest(size(tk) - 1, lit(0))
-    val big = docs
+    docs
       .select($"doc_id", explode(zip_with(
         slice(tk, lit(1), nb), slice(tk, lit(2), nb),
         (a, b) => struct(a.as("prev"), b.as("w")))).as("bg"))
       .select($"doc_id", $"bg.prev".as("prev"), $"bg.w".as("w"))
-    val bcnt = big.groupBy($"prev", $"w").agg(count(lit(1)).as("c_bw"))
-    big
+  }
+
+  /** Per-doc token stream (doc_id, w) — the unigram half of the model. */
+  private[graft] def lmTokensOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", explode(tokens($"text")).as("w"))
+  }
+
+  /** The scoring tail over ANY model tables — `uni(w, c_w)` and
+    * `bcnt(prev, w, c_bw)` — shared by the one-shot [[lmSurprisalOf]]
+    * and the incremental twin
+    * ([[graft.examples.StreamingCuration.lmScoreAgainstState]]), so
+    * the two derivations cannot drift. Bigrams whose `prev` or pair is
+    * absent from the model drop out (inner joins): in the one-shot
+    * form every bigram is in-model by construction; against a FROZEN
+    * model they are unscorable-OOV transitions, the documented
+    * score-new-data-against-yesterday's-model semantics.
+    */
+  private[graft] def lmScoreWith(scored: DataFrame, uni: DataFrame,
+      bcnt: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val vdf = uni.agg(count(lit(1)).as("v"))
+    lmBigramsOf(scored)
       .join(bcnt, Seq("prev", "w"))
       .join(uni.select($"w".as("prev"), $"c_w".as("c_prev")), Seq("prev"))
       .crossJoin(broadcast(vdf))
@@ -1567,6 +1588,19 @@ object TextAnalysis {
         ($"total_bits".cast("double") / $"n_bigrams".cast("double"))
           .as("bits_per_bigram"))
       .orderBy("doc_id")
+  }
+
+  /** Per-doc trunk over any (doc_id, text) frame — shared by the
+    * registered query and [[taLmQualityHist]]: train the add-one
+    * bigram model on the frame itself, score the frame against it.
+    */
+  def lmSurprisalOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val uni = lmTokensOf(docs).groupBy($"w").agg(count(lit(1)).as("c_w"))
+    val bcnt = lmBigramsOf(docs)
+      .groupBy($"prev", $"w").agg(count(lit(1)).as("c_bw"))
+    lmScoreWith(docs, uni, bcnt)
   }
 
   /** Corpus quality distribution: documents per integer

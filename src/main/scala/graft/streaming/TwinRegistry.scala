@@ -161,6 +161,10 @@ object TwinRegistry {
       Seq("ensureSemanticQuantizer"), "readSemanticQuantizer",
       Seq("quantizer cache (frozen centroids parquet)"),
       "frozen semantic quantizer: batches assign against the stored model, no drift"),
+    Twin("lm_model", "versioned-state", "TextAnalysis.taLmSurprisal",
+      Seq(sc("mergeLmModelState")), "lmScoreAgainstState",
+      Seq("lm_uni", "lm_big"),
+      "incremental LM model state: folded counts score a corpus identically to the one-shot bigram model"),
     Twin("ivfpq_index", "persisted-artifact", "Similarity.simIvfPqANN",
       Seq("writeIvfPqIndex", "appendIvfPqBatch"), "searchIvfPqIndex",
       Seq("cent_id-partitioned code table", "_pqcentroids", "_codebook"),

@@ -1697,6 +1697,38 @@ class StreamingSpec extends SparkSpec {
       s"hard + a non-hard class must be exercised: ${plantedGot.map(_(5)).distinct}")
   }
 
+  test("incremental LM model state: folded counts score a corpus identically to the one-shot bigram model") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-lmstate")
+    val st = work.resolve("state").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // the corpus streams in two OUT-OF-ORDER batches; counts are
+    // additive sufficient statistics, so arrival order cannot matter
+    Seq(1, 0).foreach { i =>
+      StreamingCuration.mergeLmModelState(spark, st,
+        docs.filter(pmod($"doc_id", lit(2)) === i), batchId = i.toLong)
+    }
+    val oneShot = rows(graft.ops.TextAnalysis.taLmSurprisal(spark, sfDir))
+    assert(oneShot.nonEmpty, "fixture must produce scored docs")
+    assert(rows(StreamingCuration.lmScoreAgainstState(spark, st, docs)) ==
+      oneShot, "scoring against folded state must equal the one-shot model")
+    // replay: watermark-gated no-op (a double-fold would inflate every
+    // count and shift every surprisal)
+    StreamingCuration.mergeLmModelState(spark, st,
+      docs.filter(pmod($"doc_id", lit(2)) === 0), batchId = 0L)
+    assert(rows(StreamingCuration.lmScoreAgainstState(spark, st, docs)) ==
+      oneShot, "redelivered batch must not inflate the model")
+    // frozen-model OOV semantics: transitions absent from the model
+    // are unscorable and drop out
+    val novel = Seq((999999L, "zzqx1 zzqx2 zzqx3")).toDF("doc_id", "text")
+    assert(rows(StreamingCuration.lmScoreAgainstState(spark, st, novel)).isEmpty,
+      "all-novel transitions must be unscorable against the frozen model")
+  }
+
   test("incremental winnow-evidence state: out-of-order folds + replay + torn append == one-shot winnow decon") {
     import spark.implicits._
     import graft.examples.StreamingCuration
