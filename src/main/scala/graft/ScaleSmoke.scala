@@ -306,6 +306,13 @@ object ScaleSmoke {
       // its band histogram shared the defective shape, so all three
       // certify under the new trunk.
       "dedup_ngram_jaccard", "dedup_jaccard_hist",
+      // r15: the bigram-LM quality scorer — like the BPE family, its
+      // 100 TB cost question is vocabulary growth, and the deep-salted
+      // corpus is the WORST case (disjoint word types per replica, so
+      // |vocab| and |observed bigrams| both grow the full ×100 — real
+      // corpora grow sublinearly by Heaps' law); the probe checks the
+      // count tables + co-partitioned scoring joins ride that mass
+      "ta_lm_surprisal",
       // r14 session 2: the character-level winnow family — decon_winnow
       // (compiled signed-Long kernel + broadcast df-capped eval probe;
       // at 100× the eval side grows ×100 with the md5 tail, so the probe
