@@ -554,6 +554,45 @@ object Decontamination {
       .orderBy("eval_id")
   }
 
+  /** decon_source_report: contamination attribution by SOURCE — for
+    * every training source, its corpus size, how many of its docs are
+    * contaminated (≥ [[MinShared]] shared 3-gram shingles with any
+    * benchmark item), the pair/eval-doc/shingle mass behind that, and
+    * the contaminated share. THE actionable form of the sweep: a
+    * pipeline owner doesn't delete individual doc ids, they quarantine
+    * or renegotiate a DATA SOURCE — this report names the vendor and
+    * quantifies the blast radius (and a zero-contamination source
+    * still appears, share 0, so "clean" is a positive finding, not an
+    * absence).
+    *
+    * 100 TB shape: the contaminated pair table is bounded and
+    * BROADCASTS into one training-corpus scan (left join — the
+    * per-source totals ride the same scan as the contamination tags);
+    * one aggregation with three distinct measures (one Expand, the
+    * dq_table_stats stance); output is |sources| rows.
+    */
+  def deconSourceReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.t(s, dir, "documents")
+    val pairs = contaminationPairs(s, dir)
+    docs.filter(!isEval($"doc_id"))
+      .select($"doc_id".as("train_id"), $"source")
+      .join(broadcast(pairs), Seq("train_id"), "left")
+      .groupBy($"source")
+      .agg(
+        countDistinct($"train_id").as("n_docs"),
+        countDistinct(when($"eval_id".isNotNull, $"train_id"))
+          .as("n_contaminated_docs"),
+        count($"eval_id").as("n_pairs"),
+        countDistinct($"eval_id").as("n_eval_docs"),
+        coalesce(sum($"n_shared"), lit(0L)).as("total_shared"))
+      .select($"source", $"n_docs", $"n_contaminated_docs", $"n_pairs",
+        $"n_eval_docs", $"total_shared",
+        ($"n_contaminated_docs".cast("double") / $"n_docs".cast("double"))
+          .as("contaminated_share"))
+      .orderBy("source")
+  }
+
   /** Exploded (doc_id, fp) winnow fingerprints — the compiled
     * signed-Long kernel; per-doc sets arrive already deduplicated, so
     * downstream pair counts are distinct-fingerprint counts.
@@ -613,6 +652,10 @@ object Decontamination {
     "decon_winnow" -> ((s, d) => deconWinnow(s, d)),
     "decon_winnow_report" -> ((s, d) => deconWinnowReport(s, d)),
     "decon_winnow_curve" -> deconWinnowCurve,
+    // new in r15: contamination attribution by training SOURCE — the
+    // quarantine-the-vendor report (bounded pairs broadcast into one
+    // corpus scan; zero-contamination sources appear with share 0)
+    "decon_source_report" -> ((s, d) => deconSourceReport(s, d)),
     "decon_report" -> contaminationReport)
 
   /** DuckDB n-gram shingle CTE, the n-parameterized twin of
@@ -829,6 +872,28 @@ object Decontamination {
         MAX(n_shared) AS max_shared,
         CAST(SUM(n_shared) AS BIGINT) AS total_shared
       FROM pairs GROUP BY eval_id ORDER BY eval_id""",
+    "decon_source_report" -> s"""
+      ${pairsSql(Dedup.ShingleN, MinShared)},
+      src AS (
+        SELECT doc_id AS train_id, source FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) < '$EvalLower'),
+      j AS (
+        SELECT s.source, s.train_id, p.eval_id, p.n_shared
+        FROM src s LEFT JOIN pairs p ON p.train_id = s.train_id),
+      agg AS (
+        SELECT source,
+          CAST(COUNT(DISTINCT train_id) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT CASE WHEN eval_id IS NOT NULL
+            THEN train_id END) AS BIGINT) AS n_contaminated_docs,
+          CAST(COUNT(eval_id) AS BIGINT) AS n_pairs,
+          CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_docs,
+          CAST(COALESCE(SUM(n_shared), 0) AS BIGINT) AS total_shared
+        FROM j GROUP BY source)
+      SELECT source, n_docs, n_contaminated_docs, n_pairs, n_eval_docs,
+        total_shared,
+        CAST(n_contaminated_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          AS contaminated_share
+      FROM agg ORDER BY source""",
     "decon_cross_snapshot" -> s"""
       WITH ${shingleCteN(Dedup.ShingleN)},
       tagged AS (

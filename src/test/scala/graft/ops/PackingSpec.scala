@@ -326,6 +326,47 @@ class DecontaminationSpec extends SparkSpec {
       s"scattered trigrams must class $expSmearSt: $got")
   }
 
+  test("decon_source_report: per-source attribution reconciles with decon_pairs; clean sources appear with share 0") {
+    import spark.implicits._
+    val rows = Decontamination.deconSourceReport(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    // every source of the training split appears — contaminated or not
+    val hashOf = (id: Long) =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val trainSrcOf = docs
+      .filter(d => hashOf(d._1) < Decontamination.EvalLower).toMap
+    val wantDocs = trainSrcOf.values.groupBy(identity)
+      .map { case (s, xs) => s -> xs.size.toLong }
+    assert(rows.keySet == wantDocs.keySet, "every training source must appear")
+    rows.foreach { case (src, (nDocs, nCont, _, _, _, share)) =>
+      assert(nDocs == wantDocs(src), s"$src corpus size")
+      assert(share == nCont.toDouble / nDocs.toDouble)
+    }
+    // pair/shingle mass reconciles with the standalone pair sweep,
+    // attributed through each train doc's source
+    val pairs = Decontamination.contaminationPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bySrc = pairs.groupBy(p => trainSrcOf(p._1))
+    bySrc.foreach { case (src, ps) =>
+      val (_, nCont, nPairs, nEval, totShared, _) = rows(src)
+      assert(nCont == ps.map(_._1).distinct.size.toLong, s"$src n_contaminated")
+      assert(nPairs == ps.size.toLong, s"$src n_pairs")
+      assert(nEval == ps.map(_._2).distinct.size.toLong, s"$src n_eval_docs")
+      assert(totShared == ps.map(_._3).sum, s"$src total_shared")
+    }
+    rows.filterNot { case (src, _) => bySrc.contains(src) }
+      .foreach { case (src, (_, nCont, nPairs, nEval, totShared, share)) =>
+        assert((nCont, nPairs, nEval, totShared, share) ==
+          ((0L, 0L, 0L, 0L, 0.0)), s"clean source $src must read all-zero")
+      }
+  }
+
   test("decon_winnow: matches an in-JVM brute-force winnow probe at the corpus") {
     // ground truth recomputed directly from the kernel: per-doc winnow
     // fingerprint sets, eval-side df cap, pairwise distinct-shared

@@ -549,6 +549,18 @@ class PlanSpec extends SparkSpec {
       s"the pool and the query vectors must both broadcast:\n$p")
   }
 
+  test("decon_source_report: bounded pairs broadcast into one corpus tag-scan; no SMJ") {
+    val p = plan(graft.ops.Decontamination.deconSourceReport(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the contaminated pair table is bounded — it must broadcast into
+    // the corpus scan, never sort-merge against it
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // three distinct measures ride ONE Expand (the dq_table_stats
+    // stance), not one aggregation pass each
+    assert("Expand".r.findAllIn(p).length <= 2, s"distinct-measure fork:\n$p")
+  }
+
   test("ta_lm_surprisal: no cartesian, no window; counts partial-aggregate map-side") {
     val p = plan(graft.ops.TextAnalysis.taLmSurprisal(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
