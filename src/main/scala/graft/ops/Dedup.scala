@@ -1070,7 +1070,44 @@ object Dedup {
           .otherwise(lit(0.0)).as("agreement_jaccard"))
   }
 
+  /** dedup_source_matrix: exact-duplicate mass between every pair of
+    * SOURCES — the data-procurement audit ("am I paying two vendors
+    * for the same documents?"): per unordered source pair, the number
+    * of identical-text doc pairs crossing them and the number of
+    * distinct texts they share; the diagonal carries each source's
+    * internal duplication (n·(n−1)/2 pairs per group). Off-diagonal
+    * rows exist only where overlap exists — a sparse matrix at real
+    * source counts; a source with zero internal dups still appears on
+    * the diagonal at 0 (clean is a positive finding).
+    *
+    * 100 TB shape: one corpus scan collapses to (text-hash, source,
+    * n) group counts — distinct-text-sized, the exact-dedup shuffle —
+    * then a self-equi-join on the hash (co-partitioned; group sizes
+    * are duplicate multiplicities, small by nature) and one
+    * |sources|²-bounded aggregation. All-integer counts ⇒ hash-exact.
+    */
+  def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = t(s, dir, "documents")
+      .groupBy(md5($"text").as("h"), $"source")
+      .agg(count(lit(1)).as("n"))
+    g.as("a").join(g.as("b"),
+        col("a.h") === col("b.h") && col("a.source") <= col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        when(col("a.source") === col("b.source"),
+          expr("a.n * (a.n - 1) DIV 2")).otherwise(expr("a.n * b.n"))
+          .as("pairs"),
+        when(col("a.source") === col("b.source"), when(col("a.n") >= 2, 1L).otherwise(0L))
+          .otherwise(lit(1L)).as("shared"))
+      .groupBy($"source_a", $"source_b")
+      .agg(sum($"pairs").as("n_dup_pairs"),
+        sum($"shared").as("n_shared_texts"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // new in r15: the cross-source exact-duplication audit
+    "dedup_source_matrix" -> dedupSourceMatrix,
     "dedup_jaccard_hist" -> ((s, d) => dedupJaccardHist(s, d)),
     // new in r14: the asymmetric-score sibling, on the decomposed trunk
     "dedup_containment_hist" -> ((s, d) => dedupContainmentHist(s, d)),
@@ -1365,6 +1402,18 @@ object Dedup {
       y4 AS (SELECT jaccard, p_band, (y0 * y0) * (y0 * y0) AS v FROM y)
       SELECT jaccard, p_band, 1 - ((v * v) * (v * v)) AS p_detect
       FROM y4 ORDER BY jaccard""",
+    "dedup_source_matrix" -> """
+      WITH g AS (
+        SELECT md5(text) AS h, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2)
+      SELECT a.source AS source_a, b.source AS source_b,
+        CAST(SUM(CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+          ELSE a.n * b.n END) AS BIGINT) AS n_dup_pairs,
+        CAST(SUM(CASE WHEN a.source = b.source
+          THEN CASE WHEN a.n >= 2 THEN 1 ELSE 0 END
+          ELSE 1 END) AS BIGINT) AS n_shared_texts
+      FROM g a JOIN g b ON a.h = b.h AND a.source <= b.source
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "dedup_rate_by_source" -> """
       WITH fam AS (
         SELECT source, md5(text) AS h, COUNT(*) AS m

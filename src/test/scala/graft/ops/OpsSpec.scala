@@ -126,6 +126,36 @@ class DedupSpec extends SparkSpec {
       "every novel survives (no false negatives), every dup is dropped")
   }
 
+  test("source matrix: planted vendor overlap attributes exactly; global pair mass conserves") {
+    import spark.implicits._
+    // planted: vendorA/vendorB share one text (2×1 cross pairs),
+    // vendorA carries an internal triple (3 pairs), vendorC is clean
+    val docs = Seq(
+      (1L, "shared doc", "vendorA"), (2L, "shared doc", "vendorA"),
+      (3L, "shared doc", "vendorB"),
+      (4L, "triple", "vendorA"), (5L, "triple", "vendorA"),
+      (6L, "triple", "vendorA"),
+      (7L, "clean one", "vendorC"))
+    val work = java.nio.file.Files.createTempDirectory("graft-srcmat").toString
+    docs.toDF("doc_id", "text", "source")
+      .write.parquet(s"$work/documents.parquet")
+    val got = Dedup.dedupSourceMatrix(spark, work).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("vendorA", "vendorA") -> ((4L, 2L)), // 1 pair (shared) + 3 (triple); 2 dup'd texts
+      ("vendorA", "vendorB") -> ((2L, 1L)), // 2 docs × 1 doc of "shared doc"
+      ("vendorB", "vendorB") -> ((0L, 0L)), // present, clean internally
+      ("vendorC", "vendorC") -> ((0L, 0L))), s"got $got")
+    // corpus invariant: the matrix partitions the GLOBAL identical-pair
+    // mass (within-group pairs split exactly across source cells)
+    val matrix = Dedup.dedupSourceMatrix(spark, sfDir).collect()
+      .map(_.getLong(2)).sum
+    val global = Dedup.dedupExact(spark, sfDir).collect()
+      .map(r => { val n = r.getLong(1); n * (n - 1) / 2 }).sum
+    assert(matrix == global, s"matrix mass $matrix != global pair mass $global")
+  }
+
   test("exact dedup groups identical texts under min doc_id") {
     val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
       .toDF("doc_id", "text")
