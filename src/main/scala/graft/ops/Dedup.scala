@@ -1105,9 +1105,44 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** dedup_source_matrix_near: the NEAR-duplicate companion of
+    * [[dedupSourceMatrix]] — verified jaccard ≥ 0.8 pairs from the
+    * banded LSH chain, attributed to unordered source pairs: the
+    * "vendor B is lightly editing vendor A's documents" audit that
+    * exact hashing cannot see. Per source pair: near-dup pair count
+    * and the maximum jaccard (max, not a float sum — an unordered
+    * double sum would be fold-order-dependent and break the replay).
+    *
+    * 100 TB shape: the verified pair table is bounded by near-dup mass
+    * and BROADCASTS as a role-tagged endpoint union into ONE corpus
+    * scan (each pair needs both endpoints' sources; the union tags a/b
+    * so one join resolves both); then two bounded aggregations.
+    */
+  def dedupSourceMatrixNear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = dedupMinhashLsh(s, dir)
+    val eps = pairs
+      .select($"a", $"b", $"jaccard", $"a".as("doc_id"), lit("a").as("role"))
+      .unionByName(pairs
+        .select($"a", $"b", $"jaccard", $"b".as("doc_id"), lit("b").as("role")))
+    t(s, dir, "documents").select($"doc_id", $"source")
+      .join(broadcast(eps), Seq("doc_id"))
+      .groupBy($"a", $"b")
+      .agg(
+        min(when($"role" === "a", $"source")).as("sa"),
+        min(when($"role" === "b", $"source")).as("sb"),
+        min($"jaccard").as("jaccard"))
+      .select(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"), $"jaccard")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"), max($"jaccard").as("max_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // new in r15: the cross-source exact-duplication audit
+    // new in r15: the cross-source duplication audits (exact + near)
     "dedup_source_matrix" -> dedupSourceMatrix,
+    "dedup_source_matrix_near" -> dedupSourceMatrixNear,
     "dedup_jaccard_hist" -> ((s, d) => dedupJaccardHist(s, d)),
     // new in r14: the asymmetric-score sibling, on the decomposed trunk
     "dedup_containment_hist" -> ((s, d) => dedupContainmentHist(s, d)),
@@ -1402,6 +1437,30 @@ object Dedup {
       y4 AS (SELECT jaccard, p_band, (y0 * y0) * (y0 * y0) AS v FROM y)
       SELECT jaccard, p_band, 1 - ((v * v) * (v * v)) AS p_detect
       FROM y4 ORDER BY jaccard""",
+    // all-pairs jaccard truth attributed by source — the banded plan's
+    // pair set must reproduce it exactly (the dedup_minhash_lsh stance)
+    "dedup_source_matrix_near" -> s"""
+      WITH $shingleCte,
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id),
+      pr AS (
+        SELECT a, b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+        FROM inter
+        JOIN cnt ca ON a = ca.doc_id
+        JOIN cnt cb ON b = cb.doc_id
+        WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8),
+      tagged AS (
+        SELECT LEAST(da.source, db.source) AS source_a,
+          GREATEST(da.source, db.source) AS source_b, pr.jaccard
+        FROM pr
+        JOIN documents da ON da.doc_id = pr.a
+        JOIN documents db ON db.doc_id = pr.b)
+      SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        MAX(jaccard) AS max_jaccard
+      FROM tagged GROUP BY 1, 2 ORDER BY 1, 2""",
     "dedup_source_matrix" -> """
       WITH g AS (
         SELECT md5(text) AS h, source, CAST(COUNT(*) AS BIGINT) AS n

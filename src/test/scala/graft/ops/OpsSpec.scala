@@ -156,6 +156,22 @@ class DedupSpec extends SparkSpec {
     assert(matrix == global, s"matrix mass $matrix != global pair mass $global")
   }
 
+  test("near source matrix: partitions the LSH pair mass; max jaccard attributed to the right cell") {
+    import spark.implicits._
+    val pairs = Dedup.dedupMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val srcOf = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val want = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, ps) => k -> ((ps.size.toLong, ps.map(_._3).max)) }
+    val got = Dedup.dedupSourceMatrixNear(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want, "near matrix must partition the verified pair mass by source pair")
+  }
+
   test("exact dedup groups identical texts under min doc_id") {
     val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
       .toDF("doc_id", "text")
