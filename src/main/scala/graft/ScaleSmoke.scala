@@ -306,6 +306,12 @@ object ScaleSmoke {
       // its band histogram shared the defective shape, so all three
       // certify under the new trunk.
       "dedup_ngram_jaccard", "dedup_jaccard_hist",
+      // r15: the source-attribution audits — exact matrix (dedup-exact
+      // shuffle + hash self-join), near matrix (rides the certified LSH
+      // chain + one broadcast endpoint join), and the decon source
+      // rollup (bounded pairs broadcast into one ×100 corpus tag-scan)
+      "dedup_source_matrix", "dedup_source_matrix_near",
+      "decon_source_report",
       // r15: the bigram-LM quality scorer — like the BPE family, its
       // 100 TB cost question is vocabulary growth, and the deep-salted
       // corpus is the WORST case (disjoint word types per replica, so
