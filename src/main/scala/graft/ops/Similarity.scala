@@ -1438,6 +1438,119 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** sim_ivfpq_recall_curve: recall@[[TopK]] of the IVF-PQ hybrid as a
+    * function of nprobe — THE tuning artifact an IVFPQ deployment
+    * derives before choosing its probe budget, measured against the
+    * EXACT brute-force truth (so unlike [[simRecallCurve]], recall at
+    * nprobe = k is NOT 1 by construction: the residual gap is the PQ
+    * sieve's own loss, and the curve displays both effects — cell
+    * coverage rising with nprobe, quantization loss as the ceiling).
+    * One pass: every (query, cand) pair carries the PROBE RANK of the
+    * cand's cell for that query, so "reachable at nprobe=p" is `pr ≤
+    * p` — no per-p re-search, only a k-way fan-out of the bounded
+    * scored stream, one pool window and one exact re-rank per tier
+    * (the [[simRecallCurve]] one-pass stance applied at the PQ tier).
+    *
+    * 100 TB shape: same artifacts as [[simIvfPqANN]] (all bounded,
+    * broadcast); the scan emits one scored row per (query, cand) —
+    * the curve deliberately scores ALL cells (it must know what
+    * low-nprobe settings MISS, so there is no unprobed-cell skip);
+    * the fan-out multiplies only the bounded scored stream. Like
+    * every tuning curve here, production derives it on a corpus
+    * sample at benchmark cadence, not per query.
+    */
+  def simIvfPqRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    val typed = all.as[(Long, Array[Double])]
+    val sample = typed.filter(_._1 < PqSampleIds).collect()
+      .sortBy(_._1).map(t => unitVec(t._2))
+    val books = pqTrain(sample)
+    val cents = centroidsExact(emb(s, dir))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val k = cents.length
+    val queries = typed.filter(_._1 < NumQueries).collect().sortBy(_._1)
+    def cosOf(a: Array[Double], b: Array[Double]): Double =
+      dotArr(a, b) / (math.sqrt(dotArr(a, a)) * math.sqrt(dotArr(b, b)))
+    // per query: the ADC table + the cell → probe-rank map (the same
+    // (-cos, cent_id) order as ivfPqProbeTables, ranks 1..k)
+    val qArt: Array[(Long, Array[Array[Double]], Map[Long, Int])] =
+      queries.map { case (qid, qv) =>
+        val qu = unitVec(qv)
+        val tb = Array.tabulate(PqM, PqK) { (m, kk) =>
+          var acc = 0.0
+          var i = 0
+          val c = books(m)(kk)
+          while (i < PqDim) { acc += qu(m * PqDim + i) * c(i); i += 1 }
+          acc
+        }
+        val prOf = cents.map { case (cid, c) => (cid, cosOf(qv, c)) }
+          .sortBy { case (cid, cos) => (-cos, cid) }
+          .zipWithIndex.map { case ((cid, _), i) => cid -> (i + 1) }.toMap
+        (qid, tb, prOf)
+      }
+    val bcBooks = s.sparkContext.broadcast(books)
+    val bcCents = s.sparkContext.broadcast(cents)
+    val bcQ = s.sparkContext.broadcast(qArt)
+    val scored = typed.mapPartitions { it =>
+      val bks = bcBooks.value
+      val cs = bcCents.value
+      val qs = bcQ.value
+      it.flatMap { case (id, v) =>
+        var bestId = if (cs.isEmpty) -1L else cs(0)._1
+        var bestCos = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cs.length) {
+          val c = cs(ci)._2
+          val cos = dotArr(v, c) /
+            (math.sqrt(dotArr(v, v)) * math.sqrt(dotArr(c, c)))
+          if (cos > bestCos) { bestCos = cos; bestId = cs(ci)._1 }
+          ci += 1
+        }
+        val code = pqEncode(unitVec(v), bks)
+        qs.iterator.filter(_._1 != id).map { case (qid, tb, prOf) =>
+          var acc = 0.0
+          var m = 0
+          while (m < PqM) { acc += tb(m)(code(m) & 0xff); m += 1 }
+          (qid, id, acc, prOf(bestId))
+        }
+      }
+    }.toDF("query_id", "cand_id", "approx", "pr")
+    val ps = s.range(1, k + 1).toDF("nprobe")
+    val wPool = Window.partitionBy($"nprobe", $"query_id")
+      .orderBy($"approx".desc, $"cand_id".asc)
+    val pool = scored.crossJoin(broadcast(ps))
+      .filter($"pr" <= $"nprobe")
+      .withColumn("ark", row_number().over(wPool))
+      .filter($"ark" <= PqCand)
+      .select($"nprobe", $"query_id", $"cand_id")
+    val qVecs = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"e".as("qe"))
+    val wTop = Window.partitionBy($"nprobe", $"query_id")
+      .orderBy($"cos".desc, $"cand_id".asc)
+    val top = all.join(broadcast(pool), $"vec_id" === $"cand_id")
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select($"nprobe", $"query_id", $"cand_id",
+        cosine($"qe", $"e").as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= TopK)
+      .select($"nprobe", $"query_id", $"cand_id")
+    val truth = simBruteTopK(s, dir).select($"query_id", $"cand_id")
+    val ntdf = truth.agg(count(lit(1)).as("n_truth"))
+    val hits = top.join(broadcast(truth), Seq("query_id", "cand_id"),
+        "left_semi")
+      .groupBy($"nprobe").agg(count(lit(1)).as("n_hits"))
+    // every tier row survives even at zero hits (the tier-curve
+    // LEFT-JOIN stance)
+    ps.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(ntdf))
+      .select($"nprobe",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        (coalesce($"n_hits", lit(0L)).cast("double") /
+          $"n_truth".cast("double")).as("recall"))
+      .orderBy("nprobe")
+  }
+
   /** Build-once gate for the frozen per-corpus-fingerprint IVF-PQ
     * index — the [[ensureGraphIndex]] lifecycle applied to the PQ
     * tier (temp-dir build + atomic rename, cached per corpus
@@ -2476,6 +2589,7 @@ object Similarity {
     // inline and against the frozen on-disk index
     "sim_ivfpq_ann" -> ((s, d) => simIvfPqANN(s, d)),
     "sim_ivfpq_serve" -> simIvfPqServe,
+    "sim_ivfpq_recall_curve" -> simIvfPqRecallCurve,
     // oracle-gated since r11 via the frozen-pair replay (the pq
     // codebook pattern — see frozenPairsOracleSql); recall-gated by spec
     "sim_knn_graph" -> simKnnGraph,
@@ -2520,6 +2634,7 @@ object Similarity {
           // the frozen-index serve is output-identical to the inline
           // hybrid (spec-pinned), so it shares the full replay
           "sim_ivfpq_serve" -> ivfPqOracleSql(s, dir),
+          "sim_ivfpq_recall_curve" -> ivfPqRecallCurveOracleSql(s, dir),
           "sim_knn_graph" -> knnGraphOracleSql(s, dir),
           "sim_graph_search" -> graphSearchOracleSql(s, dir),
           "sim_graph_centrality" -> graphCentralityOracleSql(s, dir))
@@ -3433,5 +3548,119 @@ object Similarity {
           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
         FROM rer) WHERE rk <= $TopK
       ORDER BY query_id, rk"""
+  }
+
+  /** sim_ivfpq_recall_curve oracle: the [[ivfPqOracleSql]] replay with
+    * the probe-rank tag and the per-tier pool/re-rank fan-out, scored
+    * against the independently re-derived brute-force truth.
+    */
+  def ivfPqRecallCurveOracleSql(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val sample = emb(s, dir)
+      .select($"vec_id", asDouble($"embedding").as("e"))
+      .as[(Long, Array[Double])]
+      .filter(_._1 < PqSampleIds).collect()
+      .sortBy(_._1).map(t => unitVec(t._2))
+    val books = pqTrain(sample)
+    def dl(x: Double): String = java.lang.Double.toString(x)
+    val bookRows = (for {
+      m <- 0 until PqM
+      k <- 0 until PqK
+    } yield s"($m, $k, [${books(m)(k).map(dl).mkString(", ")}])")
+      .mkString(", ")
+    def dt64(x: String, y: String) =
+      s"list_sum([$x[i] * $y[i] for i in range(1, 65)])"
+    def cosv(x: String, y: String) =
+      s"(${dt64(x, y)} / (sqrt(${dt64(x, x)}) * sqrt(${dt64(y, y)})))"
+    s"""
+      WITH books AS (SELECT * FROM (VALUES $bookRows) b(m, k, c)),
+      e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      coords AS (
+        SELECT label, vec_id, i, v[i] AS x FROM e, UNNEST(range(1, 65)) AS u(i)),
+      csum AS (
+        SELECT label, i, list_sum(list(x ORDER BY vec_id)) / count(*) AS m
+        FROM coords GROUP BY label, i),
+      cent AS MATERIALIZED (
+        SELECT label AS cent_id, list(m ORDER BY i) AS c FROM csum GROUP BY label),
+      ranked_cents AS MATERIALIZED (
+        SELECT vec_id, v, cent_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY -(${cosv("v", "c")}) ASC, cent_id ASC) AS cr
+        FROM e CROSS JOIN cent),
+      asg AS (
+        SELECT vec_id AS cand_id, cent_id FROM ranked_cents WHERE cr = 1),
+      un AS MATERIALIZED (
+        SELECT vec_id,
+          [v[i] / sqrt(${dt64("v", "v")}) for i in range(1, 65)] AS u
+        FROM e),
+      dists AS (
+        SELECT un.vec_id, b.m, b.k,
+          list_sum([(un.u[b.m * 8 + i] - b.c[i]) * (un.u[b.m * 8 + i] - b.c[i])
+                    for i in range(1, 9)]) AS d
+        FROM un CROSS JOIN books b),
+      codes AS (
+        SELECT vec_id, m, k FROM (
+          SELECT vec_id, m, k,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS cr
+          FROM dists) WHERE cr = 1),
+      -- every (query, cand) pair, tagged with the probe rank of the
+      -- cand's cell in the QUERY's centroid ranking
+      cand0 AS (
+        SELECT q.vec_id AS query_id, a.cand_id, p.cr AS pr
+        FROM e q
+        JOIN asg a ON a.cand_id <> q.vec_id
+        JOIN ranked_cents p ON p.vec_id = q.vec_id AND p.cent_id = a.cent_id
+        WHERE q.vec_id < $NumQueries),
+      terms AS (
+        SELECT pr.query_id, pr.cand_id, pr.pr, c.m,
+          list_sum([qu.u[c.m * 8 + i] * b.c[i] for i in range(1, 9)]) AS t
+        FROM cand0 pr
+        JOIN codes c ON c.vec_id = pr.cand_id
+        JOIN books b ON b.m = c.m AND b.k = c.k
+        JOIN un qu ON qu.vec_id = pr.query_id),
+      approx AS MATERIALIZED (
+        SELECT query_id, cand_id, pr, list_sum(list(t ORDER BY m)) AS a
+        FROM terms GROUP BY query_id, cand_id, pr),
+      ks AS (SELECT unnest(range(1, (SELECT COUNT(*) FROM cent) + 1))
+        AS nprobe),
+      pool AS (
+        SELECT nprobe, query_id, cand_id FROM (
+          SELECT k.nprobe, x.query_id, x.cand_id,
+            ROW_NUMBER() OVER (PARTITION BY k.nprobe, x.query_id
+              ORDER BY x.a DESC, x.cand_id ASC) AS ark
+          FROM ks k JOIN approx x ON x.pr <= k.nprobe)
+        WHERE ark <= $PqCand),
+      rer AS (
+        SELECT p.nprobe, p.query_id, p.cand_id FROM (
+          SELECT p0.nprobe, p0.query_id, p0.cand_id,
+            ROW_NUMBER() OVER (PARTITION BY p0.nprobe, p0.query_id
+              ORDER BY ${duckCos("qe.embedding", "ce.embedding")} DESC,
+                p0.cand_id ASC) AS rk
+          FROM pool p0
+          JOIN embeddings qe ON qe.vec_id = p0.query_id
+          JOIN embeddings ce ON ce.vec_id = p0.cand_id) p
+        WHERE p.rk <= $TopK),
+      truth AS MATERIALIZED (
+        SELECT query_id, cand_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckCos("q.embedding", "c.embedding")} DESC,
+                c.vec_id ASC) AS rk
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < $NumQueries)
+        WHERE rk <= $TopK),
+      hits AS (
+        SELECT r.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM rer r SEMI JOIN truth t
+          ON t.query_id = r.query_id AND t.cand_id = r.cand_id
+        GROUP BY r.nprobe),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+      SELECT CAST(k.nprobe AS BIGINT) AS nprobe,
+        COALESCE(h.n_hits, 0) AS n_hits,
+        CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(nt.n_truth AS DOUBLE)
+          AS recall
+      FROM ks k LEFT JOIN hits h ON h.nprobe = k.nprobe CROSS JOIN nt
+      ORDER BY nprobe"""
   }
 }

@@ -1123,6 +1123,27 @@ class SimilaritySpec extends SparkSpec {
       s"an appended twin must reach the served top-k: ${after.toSeq.take(10)}")
   }
 
+  test("IVF-PQ recall curve: monotone in nprobe; exhaustive tier hits the PQ-sieve ceiling exactly") {
+    val got = Similarity.simIvfPqRecallCurve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    // recall@k is monotone in nprobe: widening the probed cell set can
+    // only add pool candidates, and the exact re-rank keeps the best
+    got.map(_._3).sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0) <= w(1), s"not monotone: ${got.toSeq}")
+    }
+    // the exhaustive tier (nprobe = k) is exactly the flat PQ tier, so
+    // its recall equals sim_pq_ann's recall vs brute force — the
+    // quantization-loss ceiling, NOT 1 by construction
+    val pq = topkSet(Similarity.simPqANN(spark, sfDir))
+    val pqHits = brute.keys.toSeq.map { q =>
+      pq.getOrElse(q, Set.empty).intersect(brute(q)).size
+    }.sum
+    assert(got.last._2 == pqHits.toLong,
+      s"exhaustive-tier hits ${got.last._2} != PQ ceiling $pqHits")
+  }
+
   test("LSH ANN recall >= 0.6 vs brute force") {
     val lsh = topkSet(Similarity.simLshANN(spark, sfDir))
     val recall = brute.keys.toSeq.map { q =>
