@@ -1574,6 +1574,56 @@ class CompressionRatioSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  private def forAllSampledTA[T](gen: org.scalacheck.Gen[T], n: Int)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)).foreach(body)
+    }
+
+  /** The LM scorer's contract replayed naively — add-one bigram model
+    * over the corpus, per-occurrence surprisal = floor-log2 of the
+    * integer reciprocal-probability — with none of the distributed
+    * plan's structure (no zip_with, no joins, no conv-string log2).
+    */
+  private def lmRef(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Double)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq }
+    val uni = toks.flatMap(_._2).groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val v = uni.size.toLong
+    val bigrams = toks.flatMap { case (id, ws) =>
+      ws.zip(ws.drop(1)).map(p => (id, p)) }
+    val bcnt = bigrams.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+    bigrams.groupBy(_._1).map { case (id, bs) =>
+      val bits = bs.map { case (_, p @ (prev, _)) =>
+        63L - java.lang.Long.numberOfLeadingZeros((uni(prev) + v) / (bcnt(p) + 1L))
+      }
+      id -> ((bs.size.toLong, bits.sum, bits.sum.toDouble / bs.size.toDouble))
+    }
+  }
+
+  test("ScalaCheck: LM surprisal equals the naive reference on random corpora") {
+    import org.scalacheck.Gen
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val genDoc = for {
+      n <- Gen.choose(0, 12) // includes <2-token docs (no bigrams)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val genCorpus = for {
+      nd <- Gen.choose(2, 8)
+      ds <- Gen.listOfN(nd, genDoc)
+      dup <- Gen.oneOf(true, false) // duplicated docs stress the counts
+    } yield (ds ++ (if (dup) ds.take(2) else Nil)).zipWithIndex
+      .map { case (t, i) => ((i + 1).toLong, t) }
+    forAllSampledTA(genCorpus, n = 8) { docs =>
+      val got = TextAnalysis.lmSurprisalOf(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(got == lmRef(docs), s"kernel diverged on $docs:\n got=$got\nwant=${lmRef(docs)}")
+    }
+  }
+
   test("LM surprisal: integer bits match an in-JVM bigram model; templated scores below garbled") {
     // planted corpus: a templated doc (one repeated transition), a
     // garbled doc (all transitions unique), and a short doc — the
