@@ -653,6 +653,13 @@ object ScaleSmoke {
     probe("winnow_evidence")((d, id, b) =>
       graft.examples.StreamingCuration.mergeWinnowEvidenceState(
         spark, d, b, evalDocs, id))
+    // r15: the LM model twin — two value-domain-bounded count
+    // rewrites (unigram + bigram); under the deep-salted 100× corpus
+    // the BIGRAM table grows the full ×100 (disjoint word types per
+    // replica — the Heaps-law worst case), so this is the twin whose
+    // read-merge-rewrite fold is most exposed to state size
+    probe("lm_model")((d, id, b) =>
+      graft.examples.StreamingCuration.mergeLmModelState(spark, d, b, id))
   }
 
   /** Standalone entry so the sf1/sf3/sf10 sweeps can run without the
