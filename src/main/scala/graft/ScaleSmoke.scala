@@ -214,8 +214,13 @@ object ScaleSmoke {
     * SUBSTITUTION CIPHER instead (class-preserving bijections over
     * a–z/A–Z/0–9, whitespace and punctuation fixed, built by sorting
     * each class by md5(replica:char) — deterministic, distinct per
-    * replica): a bijection applied uniformly preserves EVERY
-    * within-replica character-equality structure exactly — gram
+    * replica; the A–Z permutation is the uppercase IMAGE of the a–z
+    * one, so the bijection COMMUTES with case folding — winnow
+    * lowercases text first, and independent case permutations would
+    * break case-insensitive char equality like 'The' vs 'the' spans
+    * inside replicas, under-replicating char-gram pair mass — the
+    * r15 x95.6-vs-x100 gap): a bijection applied uniformly preserves
+    * EVERY within-replica character-equality structure exactly — gram
     * lengths, repeats, shared spans, winnow guarantee, fingerprint df
     * distribution — while cross-replica grams hash apart (the
     * char-level analog of sf10emb's sign-flip orthogonal transform).
@@ -225,7 +230,10 @@ object ScaleSmoke {
     * length-preserving.
     */
   def ensureSf10CharDup(spark: SparkSession, srcDir: String): String = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sf10chd"
+    // "chd2": the r16 fixture derives the A–Z permutation as the
+    // uppercase IMAGE of the a–z one (r15 ADVICE) — the r15 cache under
+    // graft_sf10chd has independent case permutations and is stale.
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sf10chd2"
     val done = new java.io.File(s"$out/_DONE")
     if (done.exists()) return out
     import spark.implicits._
@@ -243,7 +251,7 @@ object ScaleSmoke {
       else docs
         .withColumn("doc_id", $"doc_id" + lit(i * docBase))
         .withColumn("text", translate($"text", from,
-          permOf('a' to 'z', i) + permOf('A' to 'Z', i) +
+          permOf('a' to 'z', i) + permOf('a' to 'z', i).toUpperCase +
             permOf('0' to '9', i)))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")

@@ -919,9 +919,17 @@ object Curation {
     * cache survives JVM restarts, so a path-only key could).
     */
   private[graft] def corpusFingerprint(s: SparkSession, dir: String): String = {
-    val r = t(s, dir, "embeddings")
+    // EVERY column participates in the hash (r15 ADVICE): the r15 form
+    // hashed only (vec_id, embedding), but IVF coarse cells derive from
+    // the LABEL column (centroidsExact), so a label-only table change
+    // served a stale frozen index and broke the serve==inline parity
+    // contract. Hashing all columns (name-sorted, so physical column
+    // order is immaterial) closes that class for any future dependency.
+    val e = t(s, dir, "embeddings")
+    val r = e
       .agg(count(lit(1)),
-        coalesce(sum(hash(col("vec_id"), col("embedding")).cast("long")),
+        coalesce(
+          sum(hash(e.columns.sorted.map(col).toIndexedSeq: _*).cast("long")),
           lit(0L)))
       .head()
     s"${r.getLong(0)}x${java.lang.Long.toHexString(r.getLong(1))}"

@@ -1113,25 +1113,27 @@ object Dedup {
     * and the maximum jaccard (max, not a float sum — an unordered
     * double sum would be fold-order-dependent and break the replay).
     *
-    * 100 TB shape: the verified pair table is bounded by near-dup mass
-    * and BROADCASTS as a role-tagged endpoint union into ONE corpus
-    * scan (each pair needs both endpoints' sources; the union tags a/b
-    * so one join resolves both); then two bounded aggregations.
+    * 100 TB shape: endpoint sources resolve via two doc_id-keyed
+    * SHUFFLE equi-joins against the (doc_id, source) projection — the
+    * r15 form broadcast the pair table on the claim it is "bounded by
+    * near-dup mass", but near-dup mass is a FRACTION of the corpus,
+    * not a constant: on web-scale data verified ≥0.8-jaccard pairs run
+    * to billions, and a Spark broadcast is a driver-side collect with
+    * a hard size cap — an OOM cliff, not a slowdown. Both join sides
+    * here are scale-free per partition (the pair table co-partitions
+    * on each endpoint in turn; the documents projection is two thin
+    * columns), so the shape survives any pair mass. At test scale AQE
+    * may still elect a broadcast from MEASURED sizes — that is the
+    * safe, size-gated kind; the plan gate pins that no unconditional
+    * broadcast hint remains.
     */
   def dedupSourceMatrixNear(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = dedupMinhashLsh(s, dir)
-    val eps = pairs
-      .select($"a", $"b", $"jaccard", $"a".as("doc_id"), lit("a").as("role"))
-      .unionByName(pairs
-        .select($"a", $"b", $"jaccard", $"b".as("doc_id"), lit("b").as("role")))
-    t(s, dir, "documents").select($"doc_id", $"source")
-      .join(broadcast(eps), Seq("doc_id"))
-      .groupBy($"a", $"b")
-      .agg(
-        min(when($"role" === "a", $"source")).as("sa"),
-        min(when($"role" === "b", $"source")).as("sb"),
-        min($"jaccard").as("jaccard"))
+    val src = t(s, dir, "documents").select($"doc_id", $"source")
+    pairs
+      .join(src.select($"doc_id".as("a"), $"source".as("sa")), Seq("a"))
+      .join(src.select($"doc_id".as("b"), $"source".as("sb")), Seq("b"))
       .select(least($"sa", $"sb").as("source_a"),
         greatest($"sa", $"sb").as("source_b"), $"jaccard")
       .groupBy($"source_a", $"source_b")

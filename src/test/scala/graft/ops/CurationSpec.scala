@@ -714,6 +714,26 @@ class CurationSpec extends SparkSpec {
       "rewritten corpus must retrain under the new fingerprint key")
   }
 
+  test("corpus fingerprint shifts on a LABEL-only rewrite (frozen-IVF staleness, r15 ADVICE)") {
+    val work = java.nio.file.Files.createTempDirectory("graft-fplabel").toString
+    // identical vec_ids and embeddings across the two writes — only the
+    // label column changes, the exact case the r15 (vec_id, embedding)
+    // fingerprint missed: coarse IVF cells derive from label, so a
+    // stale cache here serves wrong cells while looking fresh
+    def writeCorpus(labelShift: Long): Unit =
+      (0 until 40).map { i =>
+        val r = new scala.util.Random(7000 + i)
+        (i.toLong, (i % 4).toLong + labelShift, Array.fill(8)(r.nextFloat()))
+      }.toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    writeCorpus(0)
+    val fp1 = Curation.corpusFingerprint(spark, work)
+    assert(Curation.corpusFingerprint(spark, work) == fp1)
+    writeCorpus(1)
+    assert(Curation.corpusFingerprint(spark, work) != fp1,
+      "a label-only rewrite must shift the fingerprint")
+  }
+
   // ---- ScalaCheck: broadcast-kernel and join removal paths agree ----
 
   private def forAllSampled[T](gen: org.scalacheck.Gen[T], n: Int)(body: T => Unit): Unit =

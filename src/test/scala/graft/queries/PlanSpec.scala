@@ -561,6 +561,29 @@ class PlanSpec extends SparkSpec {
     assert("Expand".r.findAllIn(p).length <= 2, s"distinct-measure fork:\n$p")
   }
 
+  test("dedup_source_matrix_near: no unconditional broadcast of the pair table (r15 weak)") {
+    // near-dup mass is O(corpus) on real data — the r15 form's explicit
+    // broadcast(pairs) was a hard driver-collect cliff at 100 TB. The
+    // r16 shape resolves endpoint sources with doc_id-keyed shuffle
+    // equi-joins. With the auto-broadcast threshold disabled, ANY
+    // remaining BroadcastHashJoin would reveal an unconditional hint
+    // (hints ignore the threshold); size-gated AQE broadcasts at test
+    // scale are fine and deliberately not pinned.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(graft.ops.Dedup.dedupSourceMatrixNear(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"pair-table broadcast hint resurfaced:\n$p")
+      assert(
+        "SortMergeJoin".r.findAllIn(p).length +
+          "ShuffledHashJoin".r.findAllIn(p).length == 2,
+        s"expected exactly two doc_id-keyed shuffle resolves:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("ta_lm_surprisal: no cartesian, no window; counts partial-aggregate map-side") {
     val p = plan(graft.ops.TextAnalysis.taLmSurprisal(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
