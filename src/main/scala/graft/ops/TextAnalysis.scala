@@ -1618,9 +1618,93 @@ object TextAnalysis {
       .orderBy("bpb_band")
   }
 
+  /** Per-doc trigram stream (doc_id, a, b, c) — two nested array zips
+    * in the scan projection, the [[lmBigramsOf]] pattern one order up:
+    * still no window, no per-doc shuffle.
+    */
+  private[graft] def lmTrigramsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tk = tokens($"text")
+    val nt = greatest(size(tk) - 2, lit(0))
+    docs
+      .select($"doc_id", explode(zip_with(
+        zip_with(slice(tk, lit(1), nt), slice(tk, lit(2), nt),
+          (a, b) => struct(a.as("a"), b.as("b"))),
+        slice(tk, lit(3), nt),
+        (ab, c) => struct(ab.getField("a").as("a"),
+          ab.getField("b").as("b"), c.as("c")))).as("tg"))
+      .select($"doc_id", $"tg.a".as("a"), $"tg.b".as("b"), $"tg.c".as("c"))
+  }
+
+  /** ta_lm_trigram: Katz-STYLE trigram-backoff LM scoring (VERDICT r15
+    * ask #7) — the shape CCNet-class filters actually ship, still
+    * INTEGER-EXACT via bit length. Per trigram occurrence (a,b,c):
+    * when the trigram is RELIABLE (model count ≥ 2 — Katz's
+    * count-threshold zone), score the trigram estimate
+    * bits = ⌊log₂((c(a,b)+V) DIV (c(a,b,c)+1))⌋; when it is a
+    * singleton (its only evidence is this occurrence), BACK OFF to the
+    * add-one bigram estimate of the (b,c) transition plus a fixed
+    * 1-bit penalty — Katz's Good-Turing discount α is a float ratio
+    * that would break the integer-exact replay, and a constant-bit
+    * penalty preserves exactly the ordering signal the filter cuts on
+    * (templated text scores low, garbled text high; spec-pinned).
+    * Per doc: trigram count, backoff count (the model-coverage
+    * diagnostic), total bits, bits/trigram (ONE IEEE division).
+    *
+    * 100 TB shape: identical to [[taLmSurprisal]]'s — trigrams from
+    * nested array zips in the scan projection; the model is THREE
+    * map-side-combining count tables; every scoring join co-partitions
+    * on its n-gram key (fact-fact — the vocabulary and the n-gram
+    * tables are NOT broadcastable at corpus scale, SMJ is the correct
+    * shape); V broadcasts as a 1-row scalar; integer sums commute.
+    */
+  def lmTrigramSurprisalOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val uni = lmTokensOf(docs).groupBy($"w").agg(count(lit(1)).as("c_w"))
+    val bcnt = lmBigramsOf(docs)
+      .groupBy($"prev", $"w").agg(count(lit(1)).as("c_bw"))
+    val tris = lmTrigramsOf(docs)
+    val tcnt = tris.groupBy($"a", $"b", $"c").agg(count(lit(1)).as("c_t"))
+    val vdf = uni.agg(count(lit(1)).as("v"))
+    // every join is inner and never drops a row: the model is trained
+    // on the scored frame itself, so (a,b), (b,c) and b are in-model
+    // for every occurrence by construction
+    tris
+      .join(tcnt, Seq("a", "b", "c"))
+      .join(bcnt.select($"prev".as("a"), $"w".as("b"), $"c_bw".as("c_ab")),
+        Seq("a", "b"))
+      .join(bcnt.select($"prev".as("b"), $"w".as("c"), $"c_bw".as("c_bc")),
+        Seq("b", "c"))
+      .join(uni.select($"w".as("b"), $"c_w".as("c_b")), Seq("b"))
+      .crossJoin(broadcast(vdf))
+      .select($"doc_id",
+        when($"c_t" >= 2,
+          (length(conv(expr("(c_ab + v) DIV (c_t + 1)"), 10, 2)) - 1)
+            .cast("long"))
+          .otherwise(
+            (length(conv(expr("(c_b + v) DIV (c_bc + 1)"), 10, 2)))
+              .cast("long"))
+          .as("bits"),
+        when($"c_t" >= 2, lit(0L)).otherwise(lit(1L)).as("backoff"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum($"backoff").as("n_backoff"),
+        sum($"bits").as("total_bits"))
+      .select($"doc_id", $"n_trigrams", $"n_backoff", $"total_bits",
+        ($"total_bits".cast("double") / $"n_trigrams".cast("double"))
+          .as("bits_per_trigram"))
+      .orderBy("doc_id")
+  }
+
+  def taLmTrigram(s: SparkSession, dir: String): DataFrame =
+    lmTrigramSurprisalOf(t(s, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_lm_surprisal" -> taLmSurprisal,
     "ta_lm_quality_hist" -> taLmQualityHist,
+    "ta_lm_trigram" -> taLmTrigram,
     "ta_zipf_dyadic" -> taZipfDyadic,
     // oracle-gated since r12: frozen-merge replay ([[bpeEncodeCtes]])
     "ta_fertility" -> ((s, d) => taFertility(s, d)),
@@ -2024,6 +2108,51 @@ $chainSql      curve AS ($budgetSelects)
         CAST(COUNT(*) AS BIGINT) AS n_docs,
         CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
       FROM perdoc GROUP BY 1 ORDER BY bpb_band""",
+    // Katz-style trigram backoff: reliable trigrams (c_t >= 2) score
+    // the trigram estimate; singletons back off to the (b,c) bigram
+    // estimate + 1 bit (length(bin(x)) = 1 + (length(bin(x)) - 1) IS
+    // the penalty-plus-bit-length fold). Same integer-floor-log2
+    // convention as the bigram oracle above.
+    "ta_lm_trigram" -> s"""
+      WITH ws AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+          x -> len(x) > 0) AS tk
+        FROM documents),
+      toks AS (SELECT doc_id, unnest(tk) AS w FROM ws),
+      uni AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM toks GROUP BY w),
+      vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      big AS MATERIALIZED (
+        SELECT doc_id, tk[i] AS prev, tk[i + 1] AS w
+        FROM ws, UNNEST(range(1, len(tk))) AS r(i)),
+      bcnt AS MATERIALIZED (
+        SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c_bw
+        FROM big GROUP BY prev, w),
+      tri AS MATERIALIZED (
+        SELECT doc_id, tk[i] AS a, tk[i + 1] AS b, tk[i + 2] AS c
+        FROM ws, UNNEST(range(1, len(tk) - 1)) AS r(i)),
+      tcnt AS MATERIALIZED (
+        SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS c_t
+        FROM tri GROUP BY a, b, c),
+      perdoc AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+          CAST(SUM(CASE WHEN tc.c_t >= 2 THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_backoff,
+          CAST(SUM(CASE WHEN tc.c_t >= 2
+            THEN length(bin((ab.c_bw + vv.v) // (tc.c_t + 1))) - 1
+            ELSE length(bin((u.c_w + vv.v) // (bc.c_bw + 1))) END)
+            AS BIGINT) AS total_bits
+        FROM tri t
+        JOIN tcnt tc ON t.a = tc.a AND t.b = tc.b AND t.c = tc.c
+        JOIN bcnt ab ON ab.prev = t.a AND ab.w = t.b
+        JOIN bcnt bc ON bc.prev = t.b AND bc.w = t.c
+        JOIN uni u ON u.w = t.b
+        CROSS JOIN vv
+        GROUP BY t.doc_id)
+      SELECT doc_id, n_trigrams, n_backoff, total_bits,
+        CAST(total_bits AS DOUBLE) / CAST(n_trigrams AS DOUBLE)
+          AS bits_per_trigram
+      FROM perdoc ORDER BY doc_id""",
     // the raw gram is the oracle's fingerprint (Spark uses xxhash64 —
     // the standing cross-hash convention); every output column is
     // exact integers + one final IEEE division

@@ -26,9 +26,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registered query count matches the round record") {
-    assert(SparkEntry.queries.size == 276, // r15: +sim_ivfpq_ann,
-      // +sim_ivfpq_serve, +ta_lm_surprisal, +ta_lm_quality_hist,
-      // +decon_source_report, +dedup_source_matrix, +dedup_source_matrix_near, +sim_ivfpq_recall_curve
+    assert(SparkEntry.queries.size == 277, // r16: +ta_lm_trigram
       s"query count drifted: ${SparkEntry.queries.size} — update the " +
         "round record (NOTES.md/README.md) together with this pin")
   }

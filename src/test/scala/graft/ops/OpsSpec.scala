@@ -1665,6 +1665,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hist.toSeq.sorted == wantHist)
   }
 
+  test("LM trigram backoff: bits match an in-JVM Katz-style model; " +
+      "templated < garbled; singletons back off") {
+    // templated doc (every trigram repeats → the reliable trunk fires),
+    // garbled doc (every trigram is a singleton → every occurrence
+    // backs off), and a 3-token doc with exactly one trigram
+    val docs = Seq(
+      (1L, "a b a b a b a b a b a b"),
+      (2L, "q w e r t y u i o p z x"),
+      (3L, "a b a"))
+    val work = java.nio.file.Files.createTempDirectory("graft-lm3").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$work/documents.parquet")
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val uni = toks.flatMap(_._2).groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val v = uni.size.toLong
+    val bcnt = toks.flatMap { case (_, ws) => ws.zip(ws.drop(1)) }
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val tris = toks.flatMap { case (id, ws) =>
+      ws.lazyZip(ws.drop(1)).lazyZip(ws.drop(2)).toSeq
+        .map { case (a, b, c) => (id, (a, b, c)) } }
+    val tcnt = tris.groupBy(_._2).map { case (t3, xs) => t3 -> xs.size.toLong }
+    def bitlen(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val want = tris.groupBy(_._1).map { case (id, ts) =>
+      val scored = ts.map { case (_, t3 @ (a, b, c)) =>
+        if (tcnt(t3) >= 2L)
+          (bitlen((bcnt((a, b)) + v) / (tcnt(t3) + 1L)), 0L)
+        else // singleton: 1-bit penalty + the (b,c) bigram estimate
+          (1L + bitlen((uni(b) + v) / (bcnt((b, c)) + 1L)), 1L)
+      }
+      id -> ((ts.size.toLong, scored.map(_._2).sum, scored.map(_._1).sum,
+        scored.map(_._1).sum.toDouble / ts.size.toDouble))
+    }
+    val got = TextAnalysis.taLmTrigram(spark, work).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got(1L)._4 < got(2L)._4,
+      "templated trigrams must score below garbled ones")
+    assert(got(1L)._2 == 0L, "repeated trigrams must never back off")
+    assert(got(2L)._2 == got(2L)._1,
+      "all-singleton trigrams must always back off")
+  }
+
   /** Classic single-machine BPE (Sennrich et al.) over a word-freq map
     * — the ground truth the distributed trainer must reproduce merge
     * for merge, same tie-break.

@@ -561,6 +561,20 @@ class PlanSpec extends SparkSpec {
     assert("Expand".r.findAllIn(p).length <= 2, s"distinct-measure fork:\n$p")
   }
 
+  test("ta_lm_trigram: no cartesian, no window; counts partial-aggregate map-side") {
+    val p = plan(graft.ops.TextAnalysis.taLmTrigram(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // trigrams come from nested array zips in the projection — no
+    // per-doc window anywhere (the ta_lm_surprisal stance, one order up)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      "HashAggregate.*partial".r.findFirstIn(p).nonEmpty, p)
+    // scoring joins on n-gram keys are fact-fact at corpus scale (the
+    // trigram table is even less broadcastable than the vocabulary), so
+    // SMJ/shuffled-hash is the CORRECT shape — deliberately not pinned
+    // to broadcast
+  }
+
   test("dedup_source_matrix_near: no unconditional broadcast of the pair table (r15 weak)") {
     // near-dup mass is O(corpus) on real data — the r15 form's explicit
     // broadcast(pairs) was a hard driver-collect cliff at 100 TB. The
