@@ -1255,6 +1255,158 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Coarse cell INDEX of v (max cosine, lowest cent_id on ties —
+    * cents must be cent_id-ascending, so strict > IS the tie-break):
+    * the residual tier's shared assignment primitive; parallel to the
+    * inline loops of [[simIvfPqANN]]/[[assignEncode]].
+    */
+  private def coarseCellOf(v: Array[Double],
+      cents: Array[(Long, Array[Double])]): Int = {
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)._2
+      val cos = dotArr(v, c) /
+        (math.sqrt(dotArr(v, v)) * math.sqrt(dotArr(c, c)))
+      if (cos > bestCos) { bestCos = cos; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** Unit-space residual r = v/‖v‖ − c̄, where c̄ is the coarse cell's
+    * RAW centroid (the exact mean, NOT re-normalized): the cell mean
+    * is the zero-mean anchor — E[v̂ − c̄] ≈ 0 within the cell — so the
+    * residual distribution carries only LOCAL variance for the
+    * codebook to spend bits on (a normalized anchor would offset every
+    * residual by (1 − ‖c̄‖) of systematic bias). The decomposition
+    * qu·v̂ = qu·c̄ + qu·r is EXACT before quantization; only r is
+    * coded.
+    */
+  private[graft] def residualOf(v: Array[Double],
+      cbar: Array[Double]): Array[Double] = {
+    val u = unitVec(v)
+    val r = new Array[Double](u.length)
+    var i = 0
+    while (i < u.length) { r(i) = u(i) - cbar(i); i += 1 }
+    r
+  }
+
+  /** Residual PQ codebooks (FAISS `by_residual=true`): [[pqTrain]] run
+    * over the deterministic sample's residuals against their coarse
+    * cells — same trust model (a bounded driver-side pure function of
+    * sample + centroids, interpolatable as oracle literals).
+    */
+  def pqTrainResidual(sample: Array[Array[Double]],
+      cents: Array[(Long, Array[Double])]): Array[Array[Array[Double]]] =
+    pqTrain(sample.map(v =>
+      residualOf(v, cents(coarseCellOf(v, cents))._2)))
+
+  /** Per-query residual-ADC artifacts keyed by probed cell. Residual
+    * encoding makes the [PqM][PqK] lookup table CELL-INDEPENDENT (it
+    * dots the query against the residual codebook, which is shared by
+    * every cell); the per-(query, cell) part collapses to ONE scalar —
+    * the coarse term qu·cu the decomposition adds back. At a large k
+    * this is the residual tier's serving advantage: probing more cells
+    * costs one double per cell, not a fresh table.
+    */
+  private def ivfPqResidualProbeTables(
+      queries: Array[(Long, Array[Double])],
+      cents: Array[(Long, Array[Double])],
+      books: Array[Array[Array[Double]]],
+      nprobe: Int): Map[Long, Array[(Long, Double, Array[Array[Double]])]] = {
+    def cosOf(a: Array[Double], b: Array[Double]): Double =
+      dotArr(a, b) / (math.sqrt(dotArr(a, a)) * math.sqrt(dotArr(b, b)))
+    val cbars = cents.map(c => (c._1, c._2)).toMap
+    queries
+      .flatMap { case (qid, qv) =>
+        val qu = unitVec(qv)
+        val tb = Array.tabulate(PqM, PqK) { (m, k) =>
+          var acc = 0.0
+          var i = 0
+          val c = books(m)(k)
+          while (i < PqDim) { acc += qu(m * PqDim + i) * c(i); i += 1 }
+          acc
+        }
+        cents.map { case (cid, c) => (cid, qid, cosOf(qv, c)) }
+          .sortBy { case (cid, _, cos) => (-cos, cid) }
+          .take(nprobe)
+          .map { case (cid, _, _) => (cid, (qid, dotArr(qu, cbars(cid)), tb)) }
+      }
+      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2) }
+  }
+
+  /** IVF-PQ with RESIDUAL encoding (VERDICT r15 ask #6; FAISS's
+    * `by_residual=true` default): codes quantize r = v̂ − c̄ (the raw
+    * cell mean) instead of v̂ itself. Residuals are zero-mean within
+    * each cell with the coarse structure removed, so the same [[PqK]]
+    * centroids per subspace spend their resolution on LOCAL detail —
+    * higher recall at equal bits (spec-pinned ≥ the non-residual tier
+    * at equal nprobe). ADC decomposes as approx = qu·c̄ + Σₘ tb[m][codeₘ]: the
+    * coarse term rides the probe list, the table is per-query and
+    * cell-independent. Coarse assignment, probe ranking, pool width
+    * and the exact re-rank are byte-identical to [[simIvfPqANN]] —
+    * the two tiers differ ONLY in what the 8 bytes encode.
+    *
+    * 100 TB shape: identical to the non-residual hybrid's — bounded
+    * broadcast model artifacts, ONE fused corpus scan with no shuffle
+    * before the bounded (query, cand, approx) stream, unprobed cells
+    * never encode.
+    */
+  def simIvfPqResidualANN(s: SparkSession, dir: String,
+      nprobe: Int = NProbe): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    val typed = all.as[(Long, Array[Double])]
+    val cents = centroidsExact(emb(s, dir))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val sample = typed.filter(_._1 < PqSampleIds).collect()
+      .sortBy(_._1).map(_._2)
+    val books = pqTrainResidual(sample, cents)
+    val queries = typed.filter(_._1 < NumQueries).collect().sortBy(_._1)
+    val tables = ivfPqResidualProbeTables(queries, cents, books, nprobe)
+    val bcBooks = s.sparkContext.broadcast(books)
+    val bcCents = s.sparkContext.broadcast(cents)
+    val bcTables = s.sparkContext.broadcast(tables)
+    val approx = typed.mapPartitions { it =>
+      val bks = bcBooks.value
+      val cs = bcCents.value
+      val tbs = bcTables.value
+      it.flatMap { case (id, v) =>
+        val ci = coarseCellOf(v, cs)
+        val qs = tbs.getOrElse(cs(ci)._1,
+          Array.empty[(Long, Double, Array[Array[Double]])])
+        if (qs.isEmpty) Iterator.empty // unprobed cell: code never built
+        else {
+          val code = pqEncode(residualOf(v, cs(ci)._2), bks)
+          qs.iterator.filter(_._1 != id).map { case (qid, coarse, tb) =>
+            var acc = 0.0
+            var m = 0
+            while (m < PqM) { acc += tb(m)(code(m) & 0xff); m += 1 }
+            // coarse FIRST, table-sum second — the oracle's
+            // `coarse + list_sum(...)` association, bit-for-bit
+            (qid, id, coarse + acc)
+          }
+        }
+      }
+    }.toDF("query_id", "cand_id", "approx")
+    val wA = Window.partitionBy($"query_id").orderBy($"approx".desc, $"cand_id".asc)
+    val cand = approx.withColumn("ark", row_number().over(wA))
+      .filter($"ark" <= PqCand)
+      .select($"query_id", $"cand_id")
+    val qVecs = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"e".as("qe"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+    all.join(broadcast(cand), $"vec_id" === $"cand_id")
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select($"query_id", $"cand_id", cosine($"qe", $"e").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= TopK)
+      .select($"query_id", $"rk", $"cand_id", $"cos")
+      .orderBy("query_id", "rk")
+  }
+
   // ---- frozen on-disk IVF-PQ index (the production serving form) ----
 
   /** Per-query ADC tables keyed by probed cell — shared by the inline
@@ -2588,6 +2740,8 @@ object Similarity {
     // new in r15 (VERDICT r14 ask #6): the IVF-PQ hybrid serving tier,
     // inline and against the frozen on-disk index
     "sim_ivfpq_ann" -> ((s, d) => simIvfPqANN(s, d)),
+    // r16: the by_residual=true tier (higher recall at equal bits)
+    "sim_ivfpq_residual" -> ((s, d) => simIvfPqResidualANN(s, d)),
     "sim_ivfpq_serve" -> simIvfPqServe,
     "sim_ivfpq_recall_curve" -> simIvfPqRecallCurve,
     // oracle-gated since r11 via the frozen-pair replay (the pq
@@ -2631,6 +2785,7 @@ object Similarity {
         Map(
           "sim_pq_ann" -> pqOracleSql(s, dir),
           "sim_ivfpq_ann" -> ivfPqOracleSql(s, dir),
+          "sim_ivfpq_residual" -> ivfPqResidualOracleSql(s, dir),
           // the frozen-index serve is output-identical to the inline
           // hybrid (spec-pinned), so it shares the full replay
           "sim_ivfpq_serve" -> ivfPqOracleSql(s, dir),
@@ -3532,6 +3687,119 @@ object Similarity {
       approx AS (
         SELECT query_id, cand_id, list_sum(list(t ORDER BY m)) AS a
         FROM terms GROUP BY query_id, cand_id),
+      pool AS (
+        SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY a DESC, cand_id ASC) AS ark
+          FROM approx) WHERE ark <= $PqCand),
+      rer AS (
+        SELECT p.query_id, p.cand_id,
+          ${duckCos("qe.embedding", "ce.embedding")} AS cos
+        FROM pool p
+        JOIN embeddings qe ON qe.vec_id = p.query_id
+        JOIN embeddings ce ON ce.vec_id = p.cand_id)
+      SELECT query_id, rk, cand_id, cos FROM (
+        SELECT query_id, cand_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
+        FROM rer) WHERE rk <= $TopK
+      ORDER BY query_id, rk"""
+  }
+
+  /** sim_ivfpq_residual oracle: the [[ivfPqOracleSql]] replay with the
+    * residual twist — DuckDB re-derives the unit centroids, subtracts
+    * each probed vector's unit coarse centroid before encoding against
+    * the (residual-trained) codebook literals, and assembles
+    * approx = coarse + Σ table terms in the query's exact float
+    * association (`coarse + list_sum(list(t ORDER BY m))`).
+    */
+  def ivfPqResidualOracleSql(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val typed = emb(s, dir)
+      .select($"vec_id", asDouble($"embedding").as("e"))
+      .as[(Long, Array[Double])]
+    val cents = centroidsExact(emb(s, dir))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val sample = typed.filter(_._1 < PqSampleIds).collect()
+      .sortBy(_._1).map(_._2)
+    val books = pqTrainResidual(sample, cents)
+    def dl(x: Double): String = java.lang.Double.toString(x)
+    val bookRows = (for {
+      m <- 0 until PqM
+      k <- 0 until PqK
+    } yield s"($m, $k, [${books(m)(k).map(dl).mkString(", ")}])")
+      .mkString(", ")
+    def dt64(x: String, y: String) =
+      s"list_sum([$x[i] * $y[i] for i in range(1, 65)])"
+    def cosv(x: String, y: String) =
+      s"(${dt64(x, y)} / (sqrt(${dt64(x, x)}) * sqrt(${dt64(y, y)})))"
+    s"""
+      WITH books AS (SELECT * FROM (VALUES $bookRows) b(m, k, c)),
+      e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      coords AS (
+        SELECT label, vec_id, i, v[i] AS x FROM e, UNNEST(range(1, 65)) AS u(i)),
+      csum AS (
+        SELECT label, i, list_sum(list(x ORDER BY vec_id)) / count(*) AS m
+        FROM coords GROUP BY label, i),
+      cent AS MATERIALIZED (
+        SELECT label AS cent_id, list(m ORDER BY i) AS c FROM csum GROUP BY label),
+      ranked_cents AS MATERIALIZED (
+        SELECT vec_id, v, cent_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY -(${cosv("v", "c")}) ASC, cent_id ASC) AS cr
+        FROM e CROSS JOIN cent),
+      asg AS MATERIALIZED (
+        SELECT vec_id AS cand_id, cent_id FROM ranked_cents WHERE cr = 1),
+      probes AS (
+        SELECT vec_id AS query_id, cent_id
+        FROM ranked_cents WHERE vec_id < $NumQueries AND cr <= $NProbe),
+      un AS MATERIALIZED (
+        SELECT vec_id,
+          [v[i] / sqrt(${dt64("v", "v")}) for i in range(1, 65)] AS u
+        FROM e),
+      -- residuals (vs the RAW cell mean — the zero-mean anchor) exist
+      -- only for vectors in PROBED cells (the Spark scan never encodes
+      -- an unprobed vector)
+      res AS MATERIALIZED (
+        SELECT un.vec_id, [un.u[i] - ct.c[i] for i in range(1, 65)] AS r
+        FROM un
+        JOIN asg a ON a.cand_id = un.vec_id
+        JOIN cent ct ON ct.cent_id = a.cent_id
+        WHERE un.vec_id IN (SELECT a2.cand_id FROM asg a2
+          JOIN probes p ON a2.cent_id = p.cent_id)),
+      dists AS (
+        SELECT res.vec_id, b.m, b.k,
+          list_sum([(res.r[b.m * 8 + i] - b.c[i]) * (res.r[b.m * 8 + i] - b.c[i])
+                    for i in range(1, 9)]) AS d
+        FROM res CROSS JOIN books b),
+      codes AS (
+        SELECT vec_id, m, k FROM (
+          SELECT vec_id, m, k,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS cr
+          FROM dists) WHERE cr = 1),
+      cand0 AS MATERIALIZED (
+        SELECT p.query_id, a.cand_id, a.cent_id
+        FROM asg a JOIN probes p ON a.cent_id = p.cent_id
+        WHERE a.cand_id <> p.query_id),
+      coarse AS (
+        SELECT c0.query_id, c0.cand_id,
+          list_sum([qu.u[i] * cc.c[i] for i in range(1, 65)]) AS ct
+        FROM cand0 c0
+        JOIN un qu ON qu.vec_id = c0.query_id
+        JOIN cent cc ON cc.cent_id = c0.cent_id),
+      terms AS (
+        SELECT pr.query_id, pr.cand_id, c.m,
+          list_sum([qu.u[c.m * 8 + i] * b.c[i] for i in range(1, 9)]) AS t
+        FROM cand0 pr
+        JOIN codes c ON c.vec_id = pr.cand_id
+        JOIN books b ON b.m = c.m AND b.k = c.k
+        JOIN un qu ON qu.vec_id = pr.query_id),
+      approx AS (
+        SELECT t.query_id, t.cand_id,
+          co.ct + list_sum(list(t.t ORDER BY t.m)) AS a
+        FROM terms t
+        JOIN coarse co ON co.query_id = t.query_id AND co.cand_id = t.cand_id
+        GROUP BY t.query_id, t.cand_id, co.ct),
       pool AS (
         SELECT query_id, cand_id FROM (
           SELECT query_id, cand_id,

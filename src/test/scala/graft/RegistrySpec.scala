@@ -26,7 +26,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registered query count matches the round record") {
-    assert(SparkEntry.queries.size == 277, // r16: +ta_lm_trigram
+    assert(SparkEntry.queries.size == 278, // r16: +ta_lm_trigram,
+      // +sim_ivfpq_residual
       s"query count drifted: ${SparkEntry.queries.size} — update the " +
         "round record (NOTES.md/README.md) together with this pin")
   }

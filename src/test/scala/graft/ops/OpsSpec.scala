@@ -1083,6 +1083,26 @@ class SimilaritySpec extends SparkSpec {
     assert(full == pq, "nprobe=k hybrid must equal sim_pq_ann exactly")
   }
 
+  test("IVF-PQ residual tier: recall >= the non-residual tier at equal nprobe") {
+    // the by_residual=true claim (FAISS's default for a reason):
+    // residuals concentrate near the origin with the coarse structure
+    // removed, so the same bits buy more local resolution — at the
+    // SAME nprobe, pool width, and re-rank, the residual tier's
+    // recall@k vs brute force must be at least the plain tier's
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = topkSet(df)
+      brute.keys.toSeq.map { q =>
+        got.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble /
+          Similarity.TopK
+      }.sum / brute.size
+    }
+    val rRes = recallOf(Similarity.simIvfPqResidualANN(spark, sfDir))
+    val rPlain = recallOf(Similarity.simIvfPqANN(spark, sfDir))
+    assert(rRes >= rPlain,
+      s"residual recall $rRes below non-residual $rPlain at equal nprobe")
+    assert(rRes >= 0.5, s"residual recall $rRes below the family bound")
+  }
+
   test("frozen IVF-PQ index: serve equals the inline hybrid exactly; appended batches assign against the frozen artifacts") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
