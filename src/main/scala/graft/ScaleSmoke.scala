@@ -327,6 +327,11 @@ object ScaleSmoke {
       // corpora grow sublinearly by Heaps' law); the probe checks the
       // count tables + co-partitioned scoring joins ride that mass
       "ta_lm_surprisal",
+      // r16: the trigram-backoff scorer — the SAME Heaps-law worst case,
+      // one order harsher (the trigram table grows the full ×100 and is
+      // strictly larger than the bigram one; four co-partitioned
+      // scoring joins instead of two)
+      "ta_lm_trigram",
       // r14 session 2: the character-level winnow family — decon_winnow
       // (compiled signed-Long kernel + broadcast df-capped eval probe;
       // at 100× the eval side grows ×100 with the md5 tail, so the probe
@@ -491,6 +496,136 @@ object ScaleSmoke {
     out
   }
 
+  /** IDENTICAL-replica embeddings fixture (VERDICT r15 ask #8): the
+    * sign-flip fixtures certify WALL at scale but not the 0.40
+    * THRESHOLD semantics — their cross-replica cosines are a
+    * Rademacher tail (measured max 0.795 at ×10, versus a base-corpus
+    * max pair cosine of 0.60), so the ×N confusion matrix picks up
+    * spurious cross-replica rows that no threshold the base corpus
+    * can express would exclude. This fixture replicates with
+    * embeddings BYTE-UNCHANGED and only (vec_id, label) shifted: every
+    * cross-replica dot product is bit-identical to a base dot product,
+    * so the qualifying pair set at ANY threshold is a closed-form
+    * function of the base matrix — within-replica rows are N shifted
+    * copies of the base rows, and the (i<j) cross-replica block is the
+    * base's ordered label-pair mass plus the self-copy diagonal
+    * (cos(u,u) ≥ any threshold). [[labelConfusionExpected]] computes
+    * that prediction; the probe and spec assert the operator's ×N
+    * OUTPUT equals it row-for-row — threshold semantics certified at
+    * scale, not just wall.
+    */
+  def ensureSf10EmbIdent(spark: SparkSession, srcDir: String,
+      reps: Int): String = {
+    // cache key carries the SOURCE dir (unlike the sibling fixtures,
+    // this one is also built from sf0.001 by the spec — a shared name
+    // would serve the wrong corpus)
+    val srcTag = java.lang.Integer.toHexString(srcDir.hashCode)
+    val out =
+      s"${System.getProperty("java.io.tmpdir")}/graft_sf10embident${reps}_$srcTag"
+    val done = new java.io.File(s"$out/_DONE")
+    if (done.exists()) return out
+    import spark.implicits._
+    val e = Tables.t(spark, srcDir, "embeddings")
+    val base = keyBase(e, "vec_id")
+    val labelBase = keyBase(e, "label")
+    (0 until reps).map { i =>
+      if (i == 0) e
+      else e
+        .withColumn("vec_id", $"vec_id" + lit(i * base))
+        .withColumn("label", ($"label" + lit(i * labelBase))
+          .cast(e.schema("label").dataType))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    out
+  }
+
+  /** Closed-form ×reps label-confusion matrix over the identical-
+    * replica fixture, from the BASE matrix rows (label_a, label_b,
+    * n_pairs) and the base per-label vector counts. Label ranges are
+    * disjoint ascending per replica, so for i<j least/greatest always
+    * resolves to (rep-i label, rep-j label). Returns
+    * (label_a, label_b) -> n_pairs; shares follow as count/total (the
+    * same one IEEE division the operator performs).
+    */
+  def labelConfusionExpected(
+      baseRows: Seq[(Long, Long, Long)],
+      hist: Map[Long, Long],
+      reps: Int, labelBase: Long): Map[(Long, Long), Long] = {
+    // ordered qualifying mass m(x,y): an unordered (la<lb) row feeds
+    // both directions; a diagonal row counts twice ordered
+    val m = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baseRows.foreach { case (la, lb, c) =>
+      if (la == lb) m((la, la)) = m.getOrElse((la, la), 0L) + 2L * c
+      else {
+        m((la, lb)) = m.getOrElse((la, lb), 0L) + c
+        m((lb, la)) = m.getOrElse((lb, la), 0L) + c
+      }
+    }
+    val out = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    def add(k: (Long, Long), c: Long): Unit =
+      if (c > 0L) out(k) = out.getOrElse(k, 0L) + c
+    (0 until reps).foreach { i =>
+      // within-replica block: the base matrix, label-shifted
+      baseRows.foreach { case (la, lb, c) =>
+        add((la + i * labelBase, lb + i * labelBase), c)
+      }
+      // cross blocks i<j: ordered mass + the self-copy diagonal
+      ((i + 1) until reps).foreach { j =>
+        m.foreach { case ((x, y), c) =>
+          add((x + i * labelBase, y + j * labelBase), c)
+        }
+        hist.foreach { case (l, n) =>
+          add((l + i * labelBase, l + j * labelBase), n)
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** The ask-#8 probe: run the REGISTERED sim_label_confusion (0.40
+    * threshold, tiled exact pass) over the ×reps identical-replica
+    * fixture and assert its output equals [[labelConfusionExpected]]
+    * row-for-row — counts AND shares. Prints wall + verdict.
+    */
+  def runSf10EmbIdentLab(spark: SparkSession, srcDir: String,
+      reps: Int = 10): Unit = {
+    import spark.implicits._
+    val dir = ensureSf10EmbIdent(spark, srcDir, reps)
+    val e = Tables.t(spark, srcDir, "embeddings")
+    val labelBase = keyBase(e, "label")
+    val hist = e.groupBy($"label".cast("long").as("l"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def asL(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[Number](i).longValue() // label is physically INT
+    val base = graft.ops.Similarity.simLabelConfusion(spark, srcDir)
+      .collect().map(r => (asL(r, 0), asL(r, 1), asL(r, 2))).toSeq
+    val want = labelConfusionExpected(base, hist, reps, labelBase)
+    val t0 = System.nanoTime()
+    val got = graft.ops.Similarity.simLabelConfusion(spark, dir).collect()
+      .map(r => (asL(r, 0), asL(r, 1)) ->
+        ((asL(r, 2), r.getDouble(4)))).toMap
+    val wall = (System.nanoTime() - t0) / 1e9
+    val total = want.values.sum
+    val wantFull = want.map { case (k, c) =>
+      k -> ((c, c.toDouble / total.toDouble)) }
+    val ok = got == wantFull
+    System.err.println(
+      f"[sf10embident] sim_label_confusion reps=$reps wall=$wall%.1f s " +
+        f"rows=${got.size} (base=${base.size}) output==analytic: " +
+        (if (ok) "PASS" else "FAIL"))
+    if (!ok) {
+      val missing = wantFull.keySet.diff(got.keySet)
+      val extra = got.keySet.diff(wantFull.keySet)
+      val diff = wantFull.keySet.intersect(got.keySet)
+        .filter(k => got(k) != wantFull(k))
+      System.err.println(s"[sf10embident] missing=$missing extra=$extra " +
+        s"value-diff=${diff.take(10).map(k => (k, got(k), wantFull(k)))}")
+    }
+    require(ok, "x-scale confusion matrix diverged from the analytic form")
+  }
+
   def runSf10EmbLab(spark: SparkSession, srcDir: String): Unit = {
     runConstDensityProbes(spark, srcDir,
       ensureSf10EmbLab(spark, srcDir, 10 * Reps),
@@ -528,7 +663,12 @@ object ScaleSmoke {
     // FROZEN on-disk index (built once per corpus fingerprint during
     // the warm pass — the graph-serving probe protocol): the measured
     // pass is partition-filtered code scan + ADC + re-rank only.
-    "sim_ivfpq_ann", "sim_ivfpq_serve")
+    "sim_ivfpq_ann", "sim_ivfpq_serve",
+    // r16: the residual tier (same serving shape, residual codes) and
+    // the nprobe fan-out curve (VERDICT r15 ask #5 — its ×k tiers over
+    // a ×100 scored stream make it the sweep's most expensive row;
+    // restrict with SPARK_GRAFT_SF10CD_ONLY when iterating)
+    "sim_ivfpq_residual", "sim_ivfpq_recall_curve")
 
   def runSf10Emb(spark: SparkSession, srcDir: String): Unit =
     runConstDensityProbes(spark, srcDir, ensureSf10Emb(spark, srcDir),
@@ -685,6 +825,7 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.contains("sf10cd")) runSf10ConstDup(spark, src)
+    else if (args.contains("sf10embident")) runSf10EmbIdentLab(spark, src)
     else if (args.contains("sf10emblab")) runSf10EmbLab(spark, src)
     else if (args.contains("sf10emb")) runSf10Emb(spark, src)
     else if (args.contains("sf10rel")) runSf10Rel(spark, src)

@@ -1652,12 +1652,19 @@ object TextAnalysis {
     * Per doc: trigram count, backoff count (the model-coverage
     * diagnostic), total bits, bits/trigram (ONE IEEE division).
     *
-    * 100 TB shape: identical to [[taLmSurprisal]]'s — trigrams from
-    * nested array zips in the scan projection; the model is THREE
-    * map-side-combining count tables; every scoring join co-partitions
-    * on its n-gram key (fact-fact — the vocabulary and the n-gram
-    * tables are NOT broadcastable at corpus scale, SMJ is the correct
-    * shape); V broadcasts as a 1-row scalar; integer sums commute.
+    * 100 TB shape: trigrams from nested array zips in the scan
+    * projection; the model is THREE map-side-combining count tables.
+    * Scoring is VOCABULARY-sided, not stream-sided: a trigram's bits
+    * depend only on model counts, so the model joins run once per
+    * DISTINCT trigram (the scored-lexicon table), and the per-doc
+    * occurrence stream — pre-collapsed to (doc, trigram, n_occ)
+    * aggregates — pays exactly ONE co-partitioned join against it.
+    * (The occurrence-sided form — four string-keyed joins over the
+    * full stream — measured 61× at the ×100 Heaps worst case versus
+    * the bigram scorer's 4.9×; this shape cut it to the same class.)
+    * All joins are fact-fact on n-gram keys (not broadcastable at
+    * corpus scale — SMJ is the correct shape); V broadcasts as a 1-row
+    * scalar; integer sums commute.
     */
   def lmTrigramSurprisalOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -1665,21 +1672,21 @@ object TextAnalysis {
     val uni = lmTokensOf(docs).groupBy($"w").agg(count(lit(1)).as("c_w"))
     val bcnt = lmBigramsOf(docs)
       .groupBy($"prev", $"w").agg(count(lit(1)).as("c_bw"))
-    val tris = lmTrigramsOf(docs)
-    val tcnt = tris.groupBy($"a", $"b", $"c").agg(count(lit(1)).as("c_t"))
+    val tocc = lmTrigramsOf(docs)
+      .groupBy($"doc_id", $"a", $"b", $"c").agg(count(lit(1)).as("n_occ"))
+    val tcnt = tocc.groupBy($"a", $"b", $"c").agg(sum($"n_occ").as("c_t"))
     val vdf = uni.agg(count(lit(1)).as("v"))
     // every join is inner and never drops a row: the model is trained
     // on the scored frame itself, so (a,b), (b,c) and b are in-model
-    // for every occurrence by construction
-    tris
-      .join(tcnt, Seq("a", "b", "c"))
+    // for every trigram by construction
+    val scored = tcnt
       .join(bcnt.select($"prev".as("a"), $"w".as("b"), $"c_bw".as("c_ab")),
         Seq("a", "b"))
       .join(bcnt.select($"prev".as("b"), $"w".as("c"), $"c_bw".as("c_bc")),
         Seq("b", "c"))
       .join(uni.select($"w".as("b"), $"c_w".as("c_b")), Seq("b"))
       .crossJoin(broadcast(vdf))
-      .select($"doc_id",
+      .select($"a", $"b", $"c",
         when($"c_t" >= 2,
           (length(conv(expr("(c_ab + v) DIV (c_t + 1)"), 10, 2)) - 1)
             .cast("long"))
@@ -1688,10 +1695,12 @@ object TextAnalysis {
               .cast("long"))
           .as("bits"),
         when($"c_t" >= 2, lit(0L)).otherwise(lit(1L)).as("backoff"))
+    tocc
+      .join(scored, Seq("a", "b", "c"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_trigrams"),
-        sum($"backoff").as("n_backoff"),
-        sum($"bits").as("total_bits"))
+      .agg(sum($"n_occ").as("n_trigrams"),
+        sum($"backoff" * $"n_occ").as("n_backoff"),
+        sum($"bits" * $"n_occ").as("total_bits"))
       .select($"doc_id", $"n_trigrams", $"n_backoff", $"total_bits",
         ($"total_bits".cast("double") / $"n_trigrams".cast("double"))
           .as("bits_per_trigram"))

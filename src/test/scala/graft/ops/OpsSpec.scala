@@ -1083,6 +1083,44 @@ class SimilaritySpec extends SparkSpec {
     assert(full == pq, "nprobe=k hybrid must equal sim_pq_ann exactly")
   }
 
+  test("label-confusion threshold semantics at scale: x4 identical-replica " +
+      "matrix equals the analytic form row-for-row") {
+    // the r15 ask-#8 gate in permanent form (the x10 run lives in the
+    // ScaleSmoke probe): with embeddings byte-unchanged across
+    // replicas, every cross-replica cosine is bit-identical to a base
+    // cosine, so the 0.40-threshold matrix at x4 is a closed-form
+    // function of the base matrix — counts AND shares
+    import org.apache.spark.sql.functions._
+    val reps = 4
+    val dir = graft.ScaleSmoke.ensureSf10EmbIdent(spark, sfDir, reps)
+    val e = graft.Tables.t(spark, sfDir, "embeddings")
+    def asL(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[Number](i).longValue()
+    val labelBase = e.agg(max(col("label").cast("long"))).head.getLong(0) + 1L
+    val hist = e.groupBy(col("label").cast("long").as("l"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = Similarity.simLabelConfusion(spark, sfDir)
+      .collect().map(r => (asL(r, 0), asL(r, 1), asL(r, 2))).toSeq
+    val want = graft.ScaleSmoke
+      .labelConfusionExpected(base, hist, reps, labelBase)
+    val total = want.values.sum
+    val wantFull = want.map { case (k, c) =>
+      k -> ((c, c.toDouble / total.toDouble)) }
+    val got = Similarity.simLabelConfusion(spark, dir).collect()
+      .map(r => (asL(r, 0), asL(r, 1)) -> ((asL(r, 2), r.getDouble(4))))
+      .toMap
+    assert(got == wantFull,
+      s"missing=${wantFull.keySet.diff(got.keySet)} " +
+        s"extra=${got.keySet.diff(wantFull.keySet)} " +
+        s"diff=${wantFull.keySet.intersect(got.keySet)
+          .filter(k => got(k) != wantFull(k)).take(10)
+          .map(k => (k, got(k), wantFull(k)))}")
+    // the cross-replica blocks are genuinely exercised (non-vacuous)
+    assert(got.keys.exists { case (a, b) =>
+      a / labelBase != b / labelBase }, "no cross-replica rows qualified")
+  }
+
   test("IVF-PQ residual tier: recall >= the non-residual tier at equal nprobe") {
     // the by_residual=true claim (FAISS's default for a reason):
     // residuals concentrate near the origin with the coarse structure
