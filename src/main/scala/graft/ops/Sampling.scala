@@ -551,7 +551,46 @@ object Sampling {
       .orderBy($"b")
   }
 
+  /** Per-LM-quality-band document cap. */
+  val LmBandCap = 50
+
+  /** sample_lm_band: LM-quality-STRATIFIED sampling — the CCNet
+    * deployment of the perplexity filter as a SAMPLER rather than a
+    * cut: documents bucket by integer bits-per-bigram band (the
+    * [[graft.ops.TextAnalysis.lmSurprisalOf]] score, the same bands
+    * ta_lm_quality_hist reports), and each band keeps its `cap` docs
+    * with smallest md5(doc_id) (ties doc_id) — an unbiased,
+    * recomputable within-band draw (the [[capPerSourceSummary]]
+    * md5-rank contract) that preserves the corpus's full quality
+    * SPECTRUM at bounded volume instead of amputating the tails: the
+    * shape used when the filtered-out bands are still wanted as
+    * contrastive/robustness data.
+    *
+    * 100 TB shape: the per-doc score is the certified lm-surprisal
+    * trunk (count-table joins, no window); banding is a projection;
+    * the cap is one window rank partitioned by band — a single shuffle
+    * on ≤ ~64 value-domain-bounded band keys (bits/bigram of an
+    * add-one model is bounded by ⌈log₂(corpus tokens + V)⌉), with
+    * AQE splitting hot bands, the documented [[capPerSourceSummary]]
+    * trade.
+    */
+  def sampleLmBand(s: SparkSession, dir: String,
+      cap: Int = LmBandCap): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bpb_band")
+      .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
+    TextAnalysis.lmSurprisalOf(t(s, dir, "documents"))
+      .select($"doc_id",
+        floor($"bits_per_bigram").cast("long").as("bpb_band"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= cap)
+      .select($"doc_id", $"bpb_band", $"rk")
+      .orderBy("bpb_band", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_lm_band" -> ((s, d) => sampleLmBand(s, d)),
     "sample_poisson_bootstrap" -> ((s, d) => samplePoissonBootstrap(s, d)),
     "sample_neyman" -> ((s, d) => sampleNeyman(s, d)),
     "sample_group_split" -> sampleGroupSplit,
@@ -563,6 +602,23 @@ object Sampling {
     "sample_cap_per_source" -> ((s, d) => capPerSourceSummary(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // the lm-surprisal trunk's CTEs + banding + the md5-rank cap (the
+    // same VARCHAR-md5 ranking contract as sample_cap_per_source)
+    "sample_lm_band" -> s"""
+      WITH ${TextAnalysis.lmSurprisalCtes},
+      banded AS (
+        SELECT doc_id,
+          CAST(FLOOR(CAST(total_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+            AS BIGINT) AS bpb_band
+        FROM perdoc),
+      ranked AS (
+        SELECT doc_id, bpb_band,
+          CAST(ROW_NUMBER() OVER (PARTITION BY bpb_band
+            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+            AS BIGINT) AS rk
+        FROM banded)
+      SELECT doc_id, bpb_band, rk FROM ranked WHERE rk <= $LmBandCap
+      ORDER BY bpb_band, rk""",
     // hex-threshold Poisson draws replay as plain string comparisons
     "sample_poisson_bootstrap" -> {
       val kExpr = PoissonCumHex

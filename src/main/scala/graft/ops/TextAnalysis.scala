@@ -2077,7 +2077,7 @@ $chainSql      curve AS ($budgetSelects)
     * `length(bin(den // num)) − 1` is the same integer floor-log₂ the
     * Spark side computes via `length(conv(den DIV num, 10, 2)) − 1`.
     */
-  private def lmSurprisalCtes: String = s"""
+  private[ops] def lmSurprisalCtes: String = s"""
       ws AS MATERIALIZED (
         SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
           x -> len(x) > 0) AS tk

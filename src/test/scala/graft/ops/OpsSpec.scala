@@ -528,6 +528,32 @@ class DedupSpec extends SparkSpec {
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("lm-band stratified sample: full band coverage, cap respected, md5-rank draw") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val perdoc = graft.ops.TextAnalysis
+      .lmSurprisalOf(graft.Tables.t(spark, sfDir, "documents"))
+      .collect()
+      .map(r => r.getLong(0) -> math.floor(r.getDouble(3)).toLong).toMap
+    val got = Sampling.sampleLmBand(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every band that exists in the per-doc table is represented — the
+    // spectrum-preservation claim (a cut would drop whole bands)
+    assert(got.map(_._2).toSet == perdoc.values.toSet, "band coverage")
+    val byBand = got.groupBy(_._2)
+    byBand.foreach { case (band, rows) =>
+      assert(rows.length <= Sampling.LmBandCap, s"band $band over cap")
+      // kept set = the cap smallest (md5(doc_id), doc_id) of the band
+      val want = perdoc.collect { case (id, b) if b == band => id }
+        .toSeq.sortBy(id => (md5hex(id.toString), id))
+        .take(Sampling.LmBandCap).toSet
+      assert(rows.map(_._1).toSet == want, s"band $band draw diverged")
+      // ranks are 1..n without gaps
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
   test("neyman allocation: budget follows size x spread; ties break by source") {
     // A: zero variance (S=0, weight 0); B: mean 10, S=10 -> all budget
     val docs = Seq(

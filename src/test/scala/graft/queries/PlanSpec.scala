@@ -583,6 +583,15 @@ class PlanSpec extends SparkSpec {
     // to broadcast
   }
 
+  test("sample_lm_band: cap window hash-partitions on the band key; no cartesian") {
+    val p = plan(graft.ops.Sampling.sampleLmBand(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-band md5-rank cap must be a band-partitioned window
+    // (the sample_cap_per_source shape), never a global sort
+    assert("hashpartitioning\\(bpb_band".r.findAllIn(p).nonEmpty,
+      s"cap window must hash-partition on the band:\n$p")
+  }
+
   test("dedup_source_matrix_near: no unconditional broadcast of the pair table (r15 weak)") {
     // near-dup mass is O(corpus) on real data — the r15 form's explicit
     // broadcast(pairs) was a hard driver-collect cliff at 100 TB. The
