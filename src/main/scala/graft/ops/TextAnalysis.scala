@@ -1710,10 +1710,41 @@ object TextAnalysis {
   def taLmTrigram(s: SparkSession, dir: String): DataFrame =
     lmTrigramSurprisalOf(t(s, dir, "documents"))
 
+  /** ta_lm_backoff_rate: trigram-model coverage by SOURCE — per
+    * source, how much of its trigram stream the corpus-level model had
+    * to back off on (singleton trigrams), plus mean bits/trigram. A
+    * source whose backoff share towers over the corpus's is
+    * off-distribution relative to the pooled model — the procurement
+    * diagnostic ("which vendor's text doesn't look like the rest")
+    * that complements [[graft.ops.Dedup.dedupSourceMatrix]]'s
+    * duplication audits. One doc_id-keyed join of the per-doc
+    * [[lmTrigramSurprisalOf]] table against the (doc_id, source)
+    * projection, then a |sources|-bounded aggregation; all-integer
+    * counts + two IEEE divisions.
+    */
+  def taLmBackoffRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lmTrigramSurprisalOf(t(s, dir, "documents"))
+      .join(t(s, dir, "documents").select($"doc_id", $"source"),
+        Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_trigrams").as("n_trigrams"),
+        sum($"n_backoff").as("n_backoff"),
+        sum($"total_bits").as("total_bits"))
+      .select($"source", $"n_docs", $"n_trigrams", $"n_backoff",
+        ($"n_backoff".cast("double") / $"n_trigrams".cast("double"))
+          .as("backoff_share"),
+        ($"total_bits".cast("double") / $"n_trigrams".cast("double"))
+          .as("bits_per_trigram"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_lm_surprisal" -> taLmSurprisal,
     "ta_lm_quality_hist" -> taLmQualityHist,
     "ta_lm_trigram" -> taLmTrigram,
+    "ta_lm_backoff_rate" -> taLmBackoffRate,
     "ta_zipf_dyadic" -> taZipfDyadic,
     // oracle-gated since r12: frozen-merge replay ([[bpeEncodeCtes]])
     "ta_fertility" -> ((s, d) => taFertility(s, d)),
@@ -2077,6 +2108,48 @@ $chainSql      curve AS ($budgetSelects)
     * `length(bin(den // num)) − 1` is the same integer floor-log₂ the
     * Spark side computes via `length(conv(den DIV num, 10, 2)) − 1`.
     */
+  /** Shared CTEs of the trigram-backoff oracles: the three count
+    * tables and the per-doc Katz-style rollup (`perdoc3`). Same
+    * integer-floor-log₂ and backoff-penalty folds as the Spark kernel;
+    * every chained CTE MATERIALIZED (the BPE 2^N-inline lesson).
+    */
+  private[ops] def lmTrigramCtes: String = s"""
+      ws AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+          x -> len(x) > 0) AS tk
+        FROM documents),
+      toks AS (SELECT doc_id, unnest(tk) AS w FROM ws),
+      uni AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM toks GROUP BY w),
+      vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      big AS MATERIALIZED (
+        SELECT doc_id, tk[i] AS prev, tk[i + 1] AS w
+        FROM ws, UNNEST(range(1, len(tk))) AS r(i)),
+      bcnt AS MATERIALIZED (
+        SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c_bw
+        FROM big GROUP BY prev, w),
+      tri AS MATERIALIZED (
+        SELECT doc_id, tk[i] AS a, tk[i + 1] AS b, tk[i + 2] AS c
+        FROM ws, UNNEST(range(1, len(tk) - 1)) AS r(i)),
+      tcnt AS MATERIALIZED (
+        SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS c_t
+        FROM tri GROUP BY a, b, c),
+      perdoc3 AS MATERIALIZED (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+          CAST(SUM(CASE WHEN tc.c_t >= 2 THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_backoff,
+          CAST(SUM(CASE WHEN tc.c_t >= 2
+            THEN length(bin((ab.c_bw + vv.v) // (tc.c_t + 1))) - 1
+            ELSE length(bin((u.c_w + vv.v) // (bc.c_bw + 1))) END)
+            AS BIGINT) AS total_bits
+        FROM tri t
+        JOIN tcnt tc ON t.a = tc.a AND t.b = tc.b AND t.c = tc.c
+        JOIN bcnt ab ON ab.prev = t.a AND ab.w = t.b
+        JOIN bcnt bc ON bc.prev = t.b AND bc.w = t.c
+        JOIN uni u ON u.w = t.b
+        CROSS JOIN vv
+        GROUP BY t.doc_id)"""
+
   private[ops] def lmSurprisalCtes: String = s"""
       ws AS MATERIALIZED (
         SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
@@ -2123,45 +2196,23 @@ $chainSql      curve AS ($budgetSelects)
     // the penalty-plus-bit-length fold). Same integer-floor-log2
     // convention as the bigram oracle above.
     "ta_lm_trigram" -> s"""
-      WITH ws AS MATERIALIZED (
-        SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
-          x -> len(x) > 0) AS tk
-        FROM documents),
-      toks AS (SELECT doc_id, unnest(tk) AS w FROM ws),
-      uni AS MATERIALIZED (
-        SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM toks GROUP BY w),
-      vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
-      big AS MATERIALIZED (
-        SELECT doc_id, tk[i] AS prev, tk[i + 1] AS w
-        FROM ws, UNNEST(range(1, len(tk))) AS r(i)),
-      bcnt AS MATERIALIZED (
-        SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c_bw
-        FROM big GROUP BY prev, w),
-      tri AS MATERIALIZED (
-        SELECT doc_id, tk[i] AS a, tk[i + 1] AS b, tk[i + 2] AS c
-        FROM ws, UNNEST(range(1, len(tk) - 1)) AS r(i)),
-      tcnt AS MATERIALIZED (
-        SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS c_t
-        FROM tri GROUP BY a, b, c),
-      perdoc AS (
-        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-          CAST(SUM(CASE WHEN tc.c_t >= 2 THEN 0 ELSE 1 END) AS BIGINT)
-            AS n_backoff,
-          CAST(SUM(CASE WHEN tc.c_t >= 2
-            THEN length(bin((ab.c_bw + vv.v) // (tc.c_t + 1))) - 1
-            ELSE length(bin((u.c_w + vv.v) // (bc.c_bw + 1))) END)
-            AS BIGINT) AS total_bits
-        FROM tri t
-        JOIN tcnt tc ON t.a = tc.a AND t.b = tc.b AND t.c = tc.c
-        JOIN bcnt ab ON ab.prev = t.a AND ab.w = t.b
-        JOIN bcnt bc ON bc.prev = t.b AND bc.w = t.c
-        JOIN uni u ON u.w = t.b
-        CROSS JOIN vv
-        GROUP BY t.doc_id)
+      WITH $lmTrigramCtes
       SELECT doc_id, n_trigrams, n_backoff, total_bits,
         CAST(total_bits AS DOUBLE) / CAST(n_trigrams AS DOUBLE)
           AS bits_per_trigram
-      FROM perdoc ORDER BY doc_id""",
+      FROM perdoc3 ORDER BY doc_id""",
+    // the per-doc trigram table rolled up by source — coverage audit
+    "ta_lm_backoff_rate" -> s"""
+      WITH $lmTrigramCtes
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_trigrams) AS BIGINT) AS n_trigrams,
+        CAST(SUM(n_backoff) AS BIGINT) AS n_backoff,
+        CAST(SUM(n_backoff) AS DOUBLE) / CAST(SUM(n_trigrams) AS DOUBLE)
+          AS backoff_share,
+        CAST(SUM(total_bits) AS DOUBLE) / CAST(SUM(n_trigrams) AS DOUBLE)
+          AS bits_per_trigram
+      FROM perdoc3 p JOIN documents d USING (doc_id)
+      GROUP BY d.source ORDER BY d.source""",
     // the raw gram is the oracle's fingerprint (Spark uses xxhash64 —
     // the standing cross-hash convention); every output column is
     // exact integers + one final IEEE division

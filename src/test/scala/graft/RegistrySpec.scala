@@ -26,8 +26,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registered query count matches the round record") {
-    assert(SparkEntry.queries.size == 279, // r16: +ta_lm_trigram,
-      // +sim_ivfpq_residual, +sample_lm_band
+    assert(SparkEntry.queries.size == 280, // r16: +ta_lm_trigram,
+      // +sim_ivfpq_residual, +sample_lm_band, +ta_lm_backoff_rate
       s"query count drifted: ${SparkEntry.queries.size} — update the " +
         "round record (NOTES.md/README.md) together with this pin")
   }

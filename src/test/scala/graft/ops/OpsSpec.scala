@@ -1749,6 +1749,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hist.toSeq.sorted == wantHist)
   }
 
+  test("LM backoff rate by source reconciles the per-doc trigram table exactly") {
+    val perdoc = TextAnalysis.taLmTrigram(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val srcOf = graft.Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = perdoc.groupBy { case (id, _) => srcOf(id) }
+      .map { case (s, xs) =>
+        val n = xs.size.toLong
+        val nt = xs.values.map(_._1).sum
+        val nb = xs.values.map(_._2).sum
+        val tb = xs.values.map(_._3).sum
+        s -> ((n, nt, nb, nb.toDouble / nt.toDouble, tb.toDouble / nt.toDouble))
+      }
+    val got = TextAnalysis.taLmBackoffRate(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == want, s"got $got want $want")
+    // docs with < 3 tokens never reach the trigram table; every source
+    // that does appear must be fully accounted
+    assert(got.values.map(_._1).sum == perdoc.size.toLong)
+  }
+
   test("LM trigram backoff: bits match an in-JVM Katz-style model; " +
       "templated < garbled; singletons back off") {
     // templated doc (every trigram repeats → the reliable trunk fires),

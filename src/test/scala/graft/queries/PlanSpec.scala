@@ -583,6 +583,16 @@ class PlanSpec extends SparkSpec {
     // to broadcast
   }
 
+  test("ta_lm_backoff_rate: no cartesian, no window; |sources|-bounded rollup") {
+    val p = plan(graft.ops.TextAnalysis.taLmBackoffRate(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    // the per-doc scores and the (doc_id, source) projection are both
+    // corpus-sized — a doc_id-keyed shuffle join is the correct shape
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      "HashAggregate.*partial".r.findFirstIn(p).nonEmpty, p)
+  }
+
   test("sample_lm_band: cap window hash-partitions on the band key; no cartesian") {
     val p = plan(graft.ops.Sampling.sampleLmBand(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
