@@ -668,7 +668,8 @@ object ScaleSmoke {
     // the nprobe fan-out curve (VERDICT r15 ask #5 — its ×k tiers over
     // a ×100 scored stream make it the sweep's most expensive row;
     // restrict with SPARK_GRAFT_SF10CD_ONLY when iterating)
-    "sim_ivfpq_residual", "sim_ivfpq_recall_curve")
+    "sim_ivfpq_residual", "sim_ivfpq_residual_serve",
+    "sim_ivfpq_recall_curve")
 
   def runSf10Emb(spark: SparkSession, srcDir: String): Unit =
     runConstDensityProbes(spark, srcDir, ensureSf10Emb(spark, srcDir),

@@ -1549,6 +1549,9 @@ object Similarity {
   def searchIvfPqIndex(s: SparkSession, dir: String, path: String,
       nprobe: Int = NProbe): DataFrame = {
     import s.implicits._
+    require(!isResidualIndex(s, path),
+      s"$path carries the _residual marker: its codes quantize " +
+        "residuals — serve it through searchIvfPqResidualIndex")
     val books = readPqCodebook(s, path)
     val cents = readPqCentroids(s, path)
     val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
@@ -1731,6 +1734,162 @@ object Similarity {
     */
   def simIvfPqServe(s: SparkSession, dir: String): DataFrame =
     searchIvfPqIndex(s, dir, ensureIvfPqIndex(s, dir))
+
+  // ---- frozen RESIDUAL IVF-PQ index (by_residual=true serving) ----
+
+  /** Fused coarse-assign + RESIDUAL-encode pass — the [[assignEncode]]
+    * sibling with codes quantizing v̂ − c̄; shared by the residual
+    * index writer and its incremental append so stored codes can never
+    * drift between build and maintenance.
+    */
+  private def assignEncodeResidual(
+      typed: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      cents: Array[(Long, Array[Double])],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val s = typed.sparkSession
+    import s.implicits._
+    val bcC = s.sparkContext.broadcast(cents)
+    val bcB = s.sparkContext.broadcast(books)
+    typed.mapPartitions { it =>
+      val cs = bcC.value
+      val bks = bcB.value
+      it.map { case (id, v) =>
+        val ci = coarseCellOf(v, cs)
+        (id, cs(ci)._1, pqEncode(residualOf(v, cs(ci)._2), bks))
+      }
+    }.toDF("vec_id", "cent_id", "code")
+  }
+
+  /** Write the frozen RESIDUAL IVF-PQ index: the [[writeIvfPqIndex]]
+    * layout (cent_id-partitioned 8-byte codes + `_pqcentroids` /
+    * `_codebook` sidecars) with residual-trained codebooks and
+    * residual codes, plus a `_residual` marker sidecar so the two
+    * physically-identical layouts can never be served through the
+    * wrong decoder (codes mean different things per tier; both search
+    * paths check the marker and refuse a mismatch).
+    */
+  def writeIvfPqResidualIndex(s: SparkSession, dir: String, path: String): Unit = {
+    import s.implicits._
+    val typed = emb(s, dir)
+      .select($"vec_id", asDouble($"embedding").as("e"))
+      .as[(Long, Array[Double])]
+    val cents = centroidsExact(emb(s, dir))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val sample = typed.filter(_._1 < PqSampleIds).collect()
+      .sortBy(_._1).map(_._2)
+    val books = pqTrainResidual(sample, cents)
+    assignEncodeResidual(typed, cents, books)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(path)
+    cents.toSeq.toDF("cent_id", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_pqcentroids")
+    (for { m <- 0 until PqM; k <- 0 until PqK }
+      yield (m, k, books(m)(k).toSeq))
+      .toDF("m", "k", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
+    Seq(true).toDF("residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_residual")
+  }
+
+  /** TRUE iff the index at `path` carries the residual marker (legacy
+    * marker-less layouts are non-residual by construction).
+    */
+  private def isResidualIndex(s: SparkSession, path: String): Boolean =
+    new java.io.File(s"$path/_residual/_SUCCESS").exists()
+
+  /** Incremental maintenance of a residual index — cost ∝ batch
+    * against the FROZEN centroids + residual codebook.
+    */
+  def appendIvfPqResidualBatch(s: SparkSession, path: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    require(isResidualIndex(s, path),
+      s"$path is not a residual IVF-PQ index")
+    assignEncodeResidual(
+      batch.select(col("vec_id"), col("e")).as[(Long, Array[Double])],
+      readPqCentroids(s, path), readPqCodebook(s, path))
+      .write.mode("append").partitionBy("cent_id").parquet(path)
+  }
+
+  /** Residual IVF-PQ ANN against a [[writeIvfPqResidualIndex]] layout:
+    * probed cells are PARTITION FILTERS, per-row score = the
+    * per-(query, cell) coarse scalar + the cell-independent per-query
+    * residual-ADC table, exact re-rank from the primary store. With
+    * the same model artifacts this reproduces the inline
+    * [[simIvfPqResidualANN]] EXACTLY (spec-pinned).
+    */
+  def searchIvfPqResidualIndex(s: SparkSession, dir: String, path: String,
+      nprobe: Int = NProbe): DataFrame = {
+    import s.implicits._
+    require(isResidualIndex(s, path),
+      s"$path lacks the _residual marker: refusing to ADC-decode " +
+        "non-residual codes with residual tables")
+    val books = readPqCodebook(s, path)
+    val cents = readPqCentroids(s, path)
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    val queries = all.as[(Long, Array[Double])]
+      .filter(_._1 < NumQueries).collect().sortBy(_._1)
+    val tables = ivfPqResidualProbeTables(queries, cents, books, nprobe)
+    val probeIds = tables.keys.toSeq.sorted
+    val bcTables = s.sparkContext.broadcast(tables)
+    val idx = s.read.parquet(path)
+      .filter($"cent_id".isin(probeIds: _*))
+      .select($"vec_id", $"cent_id".cast("long").as("cent_id"), $"code")
+      .as[(Long, Long, Array[Byte])]
+    val approx = idx.mapPartitions { it =>
+      val tbs = bcTables.value
+      it.flatMap { case (id, cell, code) =>
+        tbs.getOrElse(cell, Array.empty[(Long, Double, Array[Array[Double]])])
+          .iterator.filter(_._1 != id).map { case (qid, coarse, tb) =>
+            var acc = 0.0
+            var m = 0
+            while (m < PqM) { acc += tb(m)(code(m) & 0xff); m += 1 }
+            (qid, id, coarse + acc)
+          }
+      }
+    }.toDF("query_id", "cand_id", "approx")
+    val wA = Window.partitionBy($"query_id")
+      .orderBy($"approx".desc, $"cand_id".asc)
+    val cand = approx.withColumn("ark", row_number().over(wA))
+      .filter($"ark" <= PqCand)
+      .select($"query_id", $"cand_id")
+    val qVecs = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"e".as("qe"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+    all.join(broadcast(cand), $"vec_id" === $"cand_id")
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select($"query_id", $"cand_id", cosine($"qe", $"e").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= TopK)
+      .select($"query_id", $"rk", $"cand_id", $"cos")
+      .orderBy("query_id", "rk")
+  }
+
+  /** Build-once gate for the frozen residual index — the
+    * [[ensureIvfPqIndex]] lifecycle with its own cache namespace.
+    */
+  private[graft] def ensureIvfPqResidualIndex(s: SparkSession,
+      dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tag = md.digest(
+      s"$dir|${Curation.corpusFingerprint(s, dir)}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val ipath =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqr_$tag"
+    if (!new java.io.File(s"$ipath/_residual/_SUCCESS").exists()) {
+      val tmp = ipath + "_w" + java.util.UUID.randomUUID().toString.take(8)
+      writeIvfPqResidualIndex(s, dir, tmp)
+      if (!new java.io.File(tmp).renameTo(new java.io.File(ipath)))
+        Curation.deleteRecursively(new java.io.File(tmp))
+    }
+    ipath
+  }
+
+  /** Registered form: the residual tier against its FROZEN on-disk
+    * index. Identical output to [[simIvfPqResidualANN]], so it shares
+    * the full [[ivfPqResidualOracleSql]] replay.
+    */
+  def simIvfPqResidualServe(s: SparkSession, dir: String): DataFrame =
+    searchIvfPqResidualIndex(s, dir, ensureIvfPqResidualIndex(s, dir))
 
   /** Primitive left-to-right dot product — the same op order as the
     * Column-level fold and the DuckDB oracle, so results stay
@@ -2742,6 +2901,7 @@ object Similarity {
     "sim_ivfpq_ann" -> ((s, d) => simIvfPqANN(s, d)),
     // r16: the by_residual=true tier (higher recall at equal bits)
     "sim_ivfpq_residual" -> ((s, d) => simIvfPqResidualANN(s, d)),
+    "sim_ivfpq_residual_serve" -> simIvfPqResidualServe,
     "sim_ivfpq_serve" -> simIvfPqServe,
     "sim_ivfpq_recall_curve" -> simIvfPqRecallCurve,
     // oracle-gated since r11 via the frozen-pair replay (the pq
@@ -2786,6 +2946,8 @@ object Similarity {
           "sim_pq_ann" -> pqOracleSql(s, dir),
           "sim_ivfpq_ann" -> ivfPqOracleSql(s, dir),
           "sim_ivfpq_residual" -> ivfPqResidualOracleSql(s, dir),
+          // serve == inline residual exactly (spec-pinned) → shared replay
+          "sim_ivfpq_residual_serve" -> ivfPqResidualOracleSql(s, dir),
           // the frozen-index serve is output-identical to the inline
           // hybrid (spec-pinned), so it shares the full replay
           "sim_ivfpq_serve" -> ivfPqOracleSql(s, dir),

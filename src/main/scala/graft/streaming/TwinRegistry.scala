@@ -168,5 +168,12 @@ object TwinRegistry {
     Twin("ivfpq_index", "persisted-artifact", "Similarity.simIvfPqANN",
       Seq("writeIvfPqIndex", "appendIvfPqBatch"), "searchIvfPqIndex",
       Seq("cent_id-partitioned code table", "_pqcentroids", "_codebook"),
-      "frozen IVF-PQ index: serve equals the inline hybrid exactly; appended batches assign against the frozen artifacts"))
+      "frozen IVF-PQ index: serve equals the inline hybrid exactly; appended batches assign against the frozen artifacts"),
+    Twin("ivfpq_residual_index", "persisted-artifact",
+      "Similarity.simIvfPqResidualANN",
+      Seq("writeIvfPqResidualIndex", "appendIvfPqResidualBatch"),
+      "searchIvfPqResidualIndex",
+      Seq("cent_id-partitioned code table", "_pqcentroids", "_codebook",
+        "_residual marker"),
+      "frozen residual IVF-PQ index: serve equals the inline residual tier exactly; marker blocks cross-tier decoding; appends assign against the frozen artifacts"))
 }

@@ -1207,6 +1207,53 @@ class SimilaritySpec extends SparkSpec {
       s"an appended twin must reach the served top-k: ${after.toSeq.take(10)}")
   }
 
+  test("frozen residual IVF-PQ index: serve equals the inline residual tier exactly; marker blocks cross-tier decoding; appends assign against the frozen artifacts") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ivfpqr").toString
+    Similarity.writeIvfPqResidualIndex(spark, sfDir, work)
+    val served = Similarity.searchIvfPqResidualIndex(spark, sfDir, work)
+    val servedRows = served.collect().map(_.toSeq).toSeq
+    val inline = Similarity.simIvfPqResidualANN(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(servedRows == inline,
+      "frozen residual serve drifted from the inline residual tier")
+    // probes are partition filters here too
+    val scans = served.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.find(_.contains(work)).exists(p =>
+        "PartitionFilters: \\[[^\\]]*cent_id[^\\]]*\\]".r.findFirstIn(p).nonEmpty),
+      s"code scan has no cent_id partition filter:\n${scans.mkString("\n")}")
+    // the marker is load-bearing: residual codes through the plain
+    // decoder (or vice versa) would serve silently wrong scores, so
+    // BOTH search paths must refuse the other tier's layout
+    intercept[IllegalArgumentException] {
+      Similarity.searchIvfPqIndex(spark, sfDir, work)
+    }
+    val plainWork = java.nio.file.Files.createTempDirectory("graft-ivfpqp").toString
+    Similarity.writeIvfPqIndex(spark, sfDir, plainWork)
+    intercept[IllegalArgumentException] {
+      Similarity.searchIvfPqResidualIndex(spark, sfDir, plainWork)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqResidualBatch(spark, plainWork,
+        graft.Tables.t(spark, sfDir, "embeddings").limit(1)
+          .select($"vec_id", $"embedding".cast("array<double>").as("e")))
+    }
+    // append lifecycle: exact twins enter against the FROZEN residual
+    // artifacts and must surface in the served top-k beside originals
+    val base = graft.Tables.t(spark, sfDir, "embeddings")
+    val twinIds = servedRows.filter(_(1) == 1L).map(_(2).asInstanceOf[Long]).take(5)
+    val twins = base.filter($"vec_id".isInCollection(twinIds))
+      .select(($"vec_id" + 100000L).as("vec_id"), $"label", $"embedding")
+    val fixDir = java.nio.file.Files.createTempDirectory("graft-ivfpqr-fix").toString
+    base.unionByName(twins).write.parquet(s"$fixDir/embeddings.parquet")
+    Similarity.appendIvfPqResidualBatch(spark, work, twins
+      .select($"vec_id", $"embedding".cast("array<double>").as("e")))
+    val after = Similarity.searchIvfPqResidualIndex(spark, fixDir, work).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(after.exists(_._3 >= 100000L),
+      s"an appended twin must reach the served top-k: ${after.toSeq.take(10)}")
+  }
+
   test("IVF-PQ recall curve: monotone in nprobe; exhaustive tier hits the PQ-sieve ceiling exactly") {
     val got = Similarity.simIvfPqRecallCurve(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

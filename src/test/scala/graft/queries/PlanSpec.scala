@@ -549,6 +549,14 @@ class PlanSpec extends SparkSpec {
       s"the pool and the query vectors must both broadcast:\n$p")
   }
 
+  test("sim_ivfpq_residual_serve: frozen-index scan feeds the pool; broadcast re-rank; no SMJ, no cartesian") {
+    val p = plan(graft.ops.Similarity.simIvfPqResidualServe(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+      s"the pool and the query vectors must both broadcast:\n$p")
+  }
+
   test("sim_ivfpq_serve: frozen-index scan feeds the pool; broadcast re-rank; no SMJ, no cartesian") {
     val p = plan(graft.ops.Similarity.simIvfPqServe(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
