@@ -332,6 +332,11 @@ object ScaleSmoke {
       // strictly larger than the bigram one; four co-partitioned
       // scoring joins instead of two)
       "ta_lm_trigram",
+      // r16: the trigram trunk's source rollup and the band-stratified
+      // sampler (surprisal trunk + band-partitioned cap window — the
+      // window's partition count is value-domain-bounded, so the probe
+      // checks the per-band sort rides the ×100 band mass)
+      "ta_lm_backoff_rate", "sample_lm_band",
       // r14 session 2: the character-level winnow family — decon_winnow
       // (compiled signed-Long kernel + broadcast df-capped eval probe;
       // at 100× the eval side grows ×100 with the md5 tail, so the probe

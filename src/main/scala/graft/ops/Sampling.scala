@@ -567,25 +567,33 @@ object Sampling {
     * contrastive/robustness data.
     *
     * 100 TB shape: the per-doc score is the certified lm-surprisal
-    * trunk (count-table joins, no window); banding is a projection;
-    * the cap is one window rank partitioned by band — a single shuffle
-    * on ≤ ~64 value-domain-bounded band keys (bits/bigram of an
-    * add-one model is bounded by ⌈log₂(corpus tokens + V)⌉), with
-    * AQE splitting hot bands, the documented [[capPerSourceSummary]]
-    * trade.
+    * trunk (count-table joins, no window); banding is a projection.
+    * The cap is NOT a band-partitioned rank window — band cardinality
+    * is value-domain-bounded (≤ ~64: bits/bigram of an add-one model
+    * is bounded by ⌈log₂(corpus tokens + V)⌉) but band MASS is
+    * O(corpus), so a per-band window sort funnels a band's full mass
+    * through single tasks (the first draft measured 26× on the ×100
+    * one-band worst case vs the trunk's 4.9×). Instead the cap is one
+    * map-side-combining [[graft.functions.MinKPairsAggregator]] pass —
+    * min-k is an EXACT mergeable summary, buffers never exceed cap, so
+    * the shuffle carries ≤ cap pairs per (band, partition) and the
+    * ranked winner set is bands × cap rows.
     */
   def sampleLmBand(s: SparkSession, dir: String,
       cap: Int = LmBandCap): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"bpb_band")
-      .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
-    TextAnalysis.lmSurprisalOf(t(s, dir, "documents"))
-      .select($"doc_id",
-        floor($"bits_per_bigram").cast("long").as("bpb_band"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= cap)
-      .select($"doc_id", $"bpb_band", $"rk")
+    val banded = TextAnalysis.lmSurprisalOf(t(s, dir, "documents"))
+      .select(floor($"bits_per_bigram").cast("long").as("bpb_band"),
+        md5($"doc_id".cast("string")).as("h"), $"doc_id")
+      .as[(Long, String, Long)]
+    banded.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.MinKPairsAggregator(cap)
+        .toColumn.name("top"))
+      .toDF("bpb_band", "top")
+      .select($"bpb_band", posexplode($"top"))
+      .select($"col._2".as("doc_id"), $"bpb_band",
+        ($"pos" + 1).cast("long").as("rk"))
       .orderBy("bpb_band", "rk")
   }
 

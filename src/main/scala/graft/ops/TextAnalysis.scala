@@ -1724,7 +1724,12 @@ object TextAnalysis {
     */
   def taLmBackoffRate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    lmTrigramSurprisalOf(t(s, dir, "documents"))
+    import graft.ops.Scale.GatedCheckpoint
+    // materialize the per-doc table before the source join: it is
+    // doc-count-bounded (not corpus-token-sized), and without the cut
+    // the optimizer re-derives the whole trigram trunk under the join
+    // (measured 170 s vs the trunk's own 52 s at the ×100 probe)
+    lmTrigramSurprisalOf(t(s, dir, "documents")).gatedCheckpoint()
       .join(t(s, dir, "documents").select($"doc_id", $"source"),
         Seq("doc_id"))
       .groupBy($"source")

@@ -601,13 +601,17 @@ class PlanSpec extends SparkSpec {
       "HashAggregate.*partial".r.findFirstIn(p).nonEmpty, p)
   }
 
-  test("sample_lm_band: cap window hash-partitions on the band key; no cartesian") {
+  test("sample_lm_band: bounded min-k aggregation, no rank window; no cartesian") {
     val p = plan(graft.ops.Sampling.sampleLmBand(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
-    // the per-band md5-rank cap must be a band-partitioned window
-    // (the sample_cap_per_source shape), never a global sort
-    assert("hashpartitioning\\(bpb_band".r.findAllIn(p).nonEmpty,
-      s"cap window must hash-partition on the band:\n$p")
+    // the per-band cap must be the mergeable min-k aggregator (buffer
+    // <= cap, map-side combining) — a band-partitioned rank WINDOW
+    // sorts each band's full O(corpus) mass in single tasks (measured
+    // 26x at the x100 one-band worst case before the rewrite)
+    assert(!p.contains("Window"), s"rank-window cap shape resurfaced:\n$p")
+    assert(p.contains("minkpairsaggregator") ||
+      p.toLowerCase.contains("minkpairs"),
+      s"expected the MinKPairs aggregate in the plan:\n$p")
   }
 
   test("dedup_source_matrix_near: no unconditional broadcast of the pair table (r15 weak)") {
