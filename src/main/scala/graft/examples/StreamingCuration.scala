@@ -958,6 +958,51 @@ object StreamingCuration {
       stateTable(spark, stateDir, "lm_big"))
   }
 
+  /** Fold a batch's trigram counts into the persistent trigram-LM
+    * model state (39th streaming twin — the incremental form of
+    * [[graft.ops.TextAnalysis.taLmTrigram]]'s model): the trigram
+    * table is one more additive sufficient statistic, so this DELEGATES
+    * the unigram+bigram halves to [[mergeLmModelState]] (one combined
+    * state serves BOTH the bigram scorer and the trigram-backoff
+    * scorer — they are the same counts) and commits `lm_tri` under the
+    * same batchId with its own alreadyFolded gate.
+    */
+  def mergeLmTrigramModelState(spark: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long = -1L): Unit = {
+    import spark.implicits._
+    mergeLmModelState(spark, stateDir, batch, batchId)
+    if (!VersionedState.alreadyFolded(spark, stateDir, "lm_tri", batchId)) {
+      val bc = graft.ops.TextAnalysis.lmTrigramsOf(batch)
+        .groupBy($"a", $"b", $"c").agg(count(lit(1)).as("c_t"))
+      val merged = VersionedState.readTable(spark, stateDir, "lm_tri") match {
+        case None => bc
+        case Some(prior) => prior.unionByName(bc)
+          .groupBy($"a", $"b", $"c").agg(sum($"c_t").as("c_t"))
+      }
+      VersionedState.commit(spark, stateDir, "lm_tri", batchId) { dir =>
+        merged.write.mode("overwrite").parquet(s"$dir/data")
+      }
+    }
+  }
+
+  /** Score a (doc_id, text) frame against the ACCUMULATED trigram
+    * model — identical columns to the batch
+    * [[graft.ops.TextAnalysis.taLmTrigram]], via the shared
+    * [[graft.ops.TextAnalysis.lmTrigramScoreWith]] tail. Frozen-model
+    * semantics compose with Katz backoff: a trigram the model never
+    * saw backs off (it is the unreliable class, not an error); only a
+    * transition whose BACKOFF estimator — the (b,c) bigram or the b
+    * unigram — is out-of-model is unscorable-OOV and drops.
+    */
+  def lmTrigramScoreAgainstState(spark: SparkSession, stateDir: String,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.ops.TextAnalysis.lmTrigramScoreWith(docs,
+      stateTable(spark, stateDir, "lm_uni"),
+      stateTable(spark, stateDir, "lm_big"),
+      Some(stateTable(spark, stateDir, "lm_tri")))
+  }
+
   /** Fold a batch's per-day event counts into persistent state — the
     * additive sufficient statistic for the LIVE dyadic-EWMA volume
     * monitor (25th streaming twin): daily counts add across batches in

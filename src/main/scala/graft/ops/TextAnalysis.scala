@@ -1672,29 +1672,59 @@ object TextAnalysis {
     val uni = lmTokensOf(docs).groupBy($"w").agg(count(lit(1)).as("c_w"))
     val bcnt = lmBigramsOf(docs)
       .groupBy($"prev", $"w").agg(count(lit(1)).as("c_bw"))
+    // tcnt = None: the tail derives the trigram table from its own
+    // occurrence aggregate, reusing that shuffle instead of extracting
+    // the trigram stream twice
+    lmTrigramScoreWith(docs, uni, bcnt, None)
+  }
+
+  /** The trigram scoring tail over ANY model tables — `uni(w, c_w)`,
+    * `bcnt(prev, w, c_bw)`, `tcnt(a, b, c, c_t)` — shared by the
+    * one-shot [[lmTrigramSurprisalOf]] and the incremental twin
+    * ([[graft.examples.StreamingCuration.lmTrigramScoreAgainstState]]),
+    * so the two derivations cannot drift (the [[lmScoreWith]] stance).
+    * Frozen-model semantics COMPOSE with Katz backoff: a trigram
+    * ABSENT from the model (left join, c_t → 0) is simply the
+    * unreliable class and backs off; only a transition whose backoff
+    * estimator is itself out-of-model — (b,c) or b unseen — is
+    * unscorable-OOV and drops (inner joins, the [[lmScoreWith]]
+    * contract). In the one-shot form everything is in-model by
+    * construction, so the left joins never produce a null and nothing
+    * drops.
+    */
+  private[graft] def lmTrigramScoreWith(docs: DataFrame, uni: DataFrame,
+      bcnt: DataFrame, tcntOpt: Option[DataFrame]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     val tocc = lmTrigramsOf(docs)
       .groupBy($"doc_id", $"a", $"b", $"c").agg(count(lit(1)).as("n_occ"))
-    val tcnt = tocc.groupBy($"a", $"b", $"c").agg(sum($"n_occ").as("c_t"))
+    // self-trained (None): the model's trigram table IS the scored
+    // frame's, re-aggregated from the same occurrence shuffle
+    val tcnt = tcntOpt.getOrElse(
+      tocc.groupBy($"a", $"b", $"c").agg(sum($"n_occ").as("c_t")))
+    val lex = tocc.select($"a", $"b", $"c").distinct()
     val vdf = uni.agg(count(lit(1)).as("v"))
-    // every join is inner and never drops a row: the model is trained
-    // on the scored frame itself, so (a,b), (b,c) and b are in-model
-    // for every trigram by construction
-    val scored = tcnt
-      .join(bcnt.select($"prev".as("a"), $"w".as("b"), $"c_bw".as("c_ab")),
-        Seq("a", "b"))
+    val scored = lex
+      .join(tcnt, Seq("a", "b", "c"), "left")
       .join(bcnt.select($"prev".as("b"), $"w".as("c"), $"c_bw".as("c_bc")),
         Seq("b", "c"))
       .join(uni.select($"w".as("b"), $"c_w".as("c_b")), Seq("b"))
+      // the context bigram is only read on the reliable branch, where
+      // c_t >= 2 guarantees (a,b) is in-model — left join so a
+      // backoff-bound trigram lacking (a,b) is not dropped
+      .join(bcnt.select($"prev".as("a"), $"w".as("b"), $"c_bw".as("c_ab")),
+        Seq("a", "b"), "left")
       .crossJoin(broadcast(vdf))
       .select($"a", $"b", $"c",
-        when($"c_t" >= 2,
+        when(coalesce($"c_t", lit(0L)) >= 2,
           (length(conv(expr("(c_ab + v) DIV (c_t + 1)"), 10, 2)) - 1)
             .cast("long"))
           .otherwise(
             (length(conv(expr("(c_b + v) DIV (c_bc + 1)"), 10, 2)))
               .cast("long"))
           .as("bits"),
-        when($"c_t" >= 2, lit(0L)).otherwise(lit(1L)).as("backoff"))
+        when(coalesce($"c_t", lit(0L)) >= 2, lit(0L)).otherwise(lit(1L))
+          .as("backoff"))
     tocc
       .join(scored, Seq("a", "b", "c"))
       .groupBy($"doc_id")

@@ -165,6 +165,10 @@ object TwinRegistry {
       Seq(sc("mergeLmModelState")), "lmScoreAgainstState",
       Seq("lm_uni", "lm_big"),
       "incremental LM model state: folded counts score a corpus identically to the one-shot bigram model"),
+    Twin("lm_trigram_model", "versioned-state", "TextAnalysis.taLmTrigram",
+      Seq(sc("mergeLmTrigramModelState")), "lmTrigramScoreAgainstState",
+      Seq("lm_uni", "lm_big", "lm_tri"),
+      "incremental trigram-LM model state: folded counts score a corpus identically to the one-shot Katz-backoff model"),
     Twin("ivfpq_index", "persisted-artifact", "Similarity.simIvfPqANN",
       Seq("writeIvfPqIndex", "appendIvfPqBatch"), "searchIvfPqIndex",
       Seq("cent_id-partitioned code table", "_pqcentroids", "_codebook"),

@@ -1729,6 +1729,63 @@ class StreamingSpec extends SparkSpec {
       "all-novel transitions must be unscorable against the frozen model")
   }
 
+  test("incremental trigram-LM model state: folded counts score a corpus identically to the one-shot Katz-backoff model") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-lm3state")
+    val st = work.resolve("state").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // two OUT-OF-ORDER batches; all three count tables are additive
+    Seq(1, 0).foreach { i =>
+      StreamingCuration.mergeLmTrigramModelState(spark, st,
+        docs.filter(pmod($"doc_id", lit(2)) === i), batchId = i.toLong)
+    }
+    val oneShot = rows(graft.ops.TextAnalysis.taLmTrigram(spark, sfDir))
+    assert(oneShot.nonEmpty, "fixture must produce scored docs")
+    assert(rows(StreamingCuration.lmTrigramScoreAgainstState(spark, st, docs))
+      == oneShot, "scoring against folded state must equal the one-shot model")
+    // the combined state serves the BIGRAM scorer too — one model,
+    // both deployments (the delegation claim, pinned)
+    assert(rows(StreamingCuration.lmScoreAgainstState(spark, st, docs)) ==
+      rows(graft.ops.TextAnalysis.taLmSurprisal(spark, sfDir)),
+      "the trigram fold's uni/big halves must serve the bigram scorer")
+    // replay: watermark-gated no-op on all three tables
+    StreamingCuration.mergeLmTrigramModelState(spark, st,
+      docs.filter(pmod($"doc_id", lit(2)) === 0), batchId = 0L)
+    assert(rows(StreamingCuration.lmTrigramScoreAgainstState(spark, st, docs))
+      == oneShot, "redelivered batch must not inflate the model")
+    // frozen-model semantics: an UNSEEN trigram over in-model words
+    // BACKS OFF (c_t -> 0, the unreliable class) rather than dropping;
+    // its doc still scores, flagged 100% backoff
+    val seen = rows(StreamingCuration.lmTrigramScoreAgainstState(spark, st,
+      docs.limit(1)))
+    assert(seen.nonEmpty)
+    val w3 = graft.ops.TextAnalysis.lmTokensOf(docs.limit(50))
+      .select($"w").distinct().limit(3).collect().map(_.getString(0))
+    // three in-model words glued in a (presumably) novel order: if the
+    // trigram happens to be in-model the assertion below still holds
+    // (n_backoff <= n_trigrams); the OOV-drop case is pinned separately
+    val glued = Seq((888888L, s"${w3(0)} ${w3(1)} ${w3(2)}"))
+      .toDF("doc_id", "text")
+    val gluedRows = StreamingCuration
+      .lmTrigramScoreAgainstState(spark, st, glued).collect()
+    // scorable iff the backoff estimators exist; with in-model words
+    // the (b,c) bigram may still be novel -> unscorable is acceptable,
+    // but a SCORED row must carry sane backoff accounting
+    gluedRows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_backoff bounded by n_trigrams")
+    }
+    // all-novel words: every transition's backoff estimator is
+    // out-of-model -> unscorable-OOV, the frame drops entirely
+    val novel = Seq((999999L, "zzqx1 zzqx2 zzqx3 zzqx4")).toDF("doc_id", "text")
+    assert(rows(StreamingCuration
+        .lmTrigramScoreAgainstState(spark, st, novel)).isEmpty,
+      "all-novel transitions must be unscorable against the frozen model")
+  }
+
   test("incremental winnow-evidence state: out-of-order folds + replay + torn append == one-shot winnow decon") {
     import spark.implicits._
     import graft.examples.StreamingCuration

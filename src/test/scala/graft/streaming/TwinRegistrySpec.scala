@@ -30,7 +30,8 @@ class TwinRegistrySpec extends AnyFunSuite {
   private lazy val mainSrc = sourcesUnder("src/main/scala")
 
   test("twin count matches the round record") {
-    assert(TwinRegistry.twins.size == 38, // r16: +ivfpq_residual_index
+    assert(TwinRegistry.twins.size == 39, // r16: +ivfpq_residual_index,
+      // +lm_trigram_model
       // r15: +ivfpq_index (the
       // frozen serving artifact), +lm_model — update README/NOTES
       // with this pin
