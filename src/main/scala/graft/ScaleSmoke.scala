@@ -782,8 +782,14 @@ object ScaleSmoke {
       .gatedCheckpoint()
     def offsetIds(df: DataFrame, j: Int): DataFrame =
       df.withColumn("doc_id", $"doc_id" + lit(j * 100000000L))
+    // the runConstDensityProbes iteration knob, same semantics: empty
+    // reads as unset, entries trimmed, substring match
+    val only = sys.env.get("SPARK_GRAFT_SF10CD_ONLY")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
     def probe(tag: String)(
         fold: (String, Long, DataFrame) => Unit): Unit = {
+      if (!only.forall(_.exists(tag.contains))) return
       fold(s"$root/$tag-small", 0L, small)
       fold(s"$root/$tag-big", 0L, big)
       def measure(dir: String): Double = {
@@ -814,6 +820,12 @@ object ScaleSmoke {
     // read-merge-rewrite fold is most exposed to state size
     probe("lm_model")((d, id, b) =>
       graft.examples.StreamingCuration.mergeLmModelState(spark, d, b, id))
+    // r16: the trigram twin — the same read-merge-rewrite class with a
+    // strictly LARGER merged table (the ×100 deep-salted trigram
+    // lexicon), so this is now the twin most exposed to state size
+    probe("lm_trigram_model")((d, id, b) =>
+      graft.examples.StreamingCuration
+        .mergeLmTrigramModelState(spark, d, b, id))
   }
 
   /** Standalone entry so the sf1/sf3/sf10 sweeps can run without the

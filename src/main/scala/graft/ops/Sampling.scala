@@ -111,24 +111,34 @@ object Sampling {
     * standard guard against one domain dominating a mixed corpus when
     * temperature flattening is too gentle.
     *
-    * 100 TB shape: one window rank partitioned by source — a single
-    * shuffle on the cap key; a pathologically hot source concentrates
-    * its rank in one partition, which AQE splits, and the alternative
-    * (16-bit-prefix threshold like temperature sampling) trades the
-    * exact cap for shuffle-freedom when that matters more.
+    * 100 TB shape (r16 rewrite): the r10–r15 form was one rank window
+    * partitioned by source — but a window partition CANNOT be split by
+    * AQE (every row of a key must reach one task), so a hot source's
+    * full mass funnels through a single sort task at scale: the exact
+    * smell the sample_lm_band ×100 probe measured at 26× before its
+    * rewrite. The cap is now ONE map-side-combining exact
+    * [[graft.functions.MinKPairsAggregator]] aggregation (min-k is a
+    * lossless mergeable summary; buffers never exceed cap, the shuffle
+    * carries ≤ cap pairs + one count per (source, partition)), with
+    * n_docs riding the same pass. Output unchanged — same oracle, same
+    * ranks, same sums.
     */
   def capPerSourceSummary(
       s: SparkSession, dir: String, cap: Int = CapPerSource): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source")
-      .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
-    t(s, dir, "documents").select($"doc_id", $"source")
-      .withColumn("rk", row_number().over(w))
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when($"rk" <= cap, 1L).otherwise(0L)).as("n_kept"),
-        sum(when($"rk" <= cap, $"doc_id").otherwise(0L)).as("sum_kept_ids"))
+    t(s, dir, "documents")
+      .select($"source", md5($"doc_id".cast("string")).as("h"), $"doc_id")
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(
+        new graft.functions.MinKPairsAggregator(cap).toColumn.name("top"),
+        count(lit(1)).as[Long].name("n_docs"))
+      .toDF("source", "top", "n_docs")
+      .select($"source", $"n_docs",
+        size($"top").cast("long").as("n_kept"),
+        coalesce(aggregate($"top", lit(0L),
+          (acc, x) => acc + x.getField("_2")), lit(0L)).as("sum_kept_ids"))
       .orderBy("source")
   }
 

@@ -273,9 +273,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cap/curriculum windows: one shuffle on source, no extra exchanges") {
+    // r16: the cap is a bounded min-k aggregation — one exchange on
+    // the source key, NO rank window (a window partition cannot be
+    // split by AQE, so a hot source funneled through one sort task)
     val cap = plan(graft.ops.Sampling.capPerSourceSummary(spark, sfDir))
-    assert("Exchange hashpartitioning\\(source".r.findAllIn(cap).size == 1,
-      s"cap rank should shuffle by source exactly once:\n$cap")
+    assert(!cap.contains("Window"), s"rank-window cap shape resurfaced:\n$cap")
+    assert("Exchange hashpartitioning".r.findAllIn(cap).size == 1,
+      s"cap aggregation should shuffle exactly once:\n$cap")
+    assert(cap.toLowerCase.contains("minkpairs"),
+      s"expected the MinKPairs aggregate in the plan:\n$cap")
     val cur = plan(graft.ops.Curation.mixCurriculum(spark, sfDir))
     assert("Exchange hashpartitioning\\(source".r.findAllIn(cur).size == 1,
       s"curriculum rank should shuffle by source exactly once:\n$cur")
