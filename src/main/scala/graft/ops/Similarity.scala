@@ -1706,6 +1706,104 @@ object Similarity {
       .orderBy("nprobe")
   }
 
+  /** sim_ivfpq_residual_recall_curve: [[simIvfPqRecallCurve]] for the
+    * RESIDUAL tier — recall@[[TopK]] per probe budget against the
+    * exact brute truth, one pass (candidates carry their probe rank,
+    * tiers are filters), with the residual decomposition's
+    * per-(query, cell) coarse scalar folded into the approx score
+    * exactly as [[simIvfPqResidualANN]] does. The residual tier's
+    * tuning artifact: at equal nprobe its curve should ride at or
+    * above the plain tier's (the equal-bits claim, spec-anchored at
+    * the registered nprobe). NOTE the curve is not globally monotone
+    * at a FIXED re-rank pool: widening the probe set adds high-approx
+    * candidates that can evict true positives from the bounded pool —
+    * the saturation cliff this artifact exists to surface (pick nprobe
+    * at the peak, or widen [[PqCand]] with the probe budget).
+    */
+  def simIvfPqResidualRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
+    val typed = all.as[(Long, Array[Double])]
+    val cents = centroidsExact(emb(s, dir))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val sample = typed.filter(_._1 < PqSampleIds).collect()
+      .sortBy(_._1).map(_._2)
+    val books = pqTrainResidual(sample, cents)
+    val k = cents.length
+    val queries = typed.filter(_._1 < NumQueries).collect().sortBy(_._1)
+    def cosOf(a: Array[Double], b: Array[Double]): Double =
+      dotArr(a, b) / (math.sqrt(dotArr(a, a)) * math.sqrt(dotArr(b, b)))
+    // per query: residual ADC table, cell → probe rank, cell → coarse
+    // term (qu·c̄ — the decomposition's exact half)
+    val qArt: Array[(Long, Array[Array[Double]], Map[Long, Int], Map[Long, Double])] =
+      queries.map { case (qid, qv) =>
+        val qu = unitVec(qv)
+        val tb = Array.tabulate(PqM, PqK) { (m, kk) =>
+          var acc = 0.0
+          var i = 0
+          val c = books(m)(kk)
+          while (i < PqDim) { acc += qu(m * PqDim + i) * c(i); i += 1 }
+          acc
+        }
+        val prOf = cents.map { case (cid, c) => (cid, cosOf(qv, c)) }
+          .sortBy { case (cid, cos) => (-cos, cid) }
+          .zipWithIndex.map { case ((cid, _), i) => cid -> (i + 1) }.toMap
+        val coarseOf = cents.map { case (cid, c) =>
+          cid -> dotArr(qu, c) }.toMap
+        (qid, tb, prOf, coarseOf)
+      }
+    val bcBooks = s.sparkContext.broadcast(books)
+    val bcCents = s.sparkContext.broadcast(cents)
+    val bcQ = s.sparkContext.broadcast(qArt)
+    val scored = typed.mapPartitions { it =>
+      val bks = bcBooks.value
+      val cs = bcCents.value
+      val qs = bcQ.value
+      it.flatMap { case (id, v) =>
+        val ci = coarseCellOf(v, cs)
+        val cellId = cs(ci)._1
+        val code = pqEncode(residualOf(v, cs(ci)._2), bks)
+        qs.iterator.filter(_._1 != id).map { case (qid, tb, prOf, coarseOf) =>
+          var acc = 0.0
+          var m = 0
+          while (m < PqM) { acc += tb(m)(code(m) & 0xff); m += 1 }
+          (qid, id, coarseOf(cellId) + acc, prOf(cellId))
+        }
+      }
+    }.toDF("query_id", "cand_id", "approx", "pr")
+    val ps = s.range(1, k + 1).toDF("nprobe")
+    val wPool = Window.partitionBy($"nprobe", $"query_id")
+      .orderBy($"approx".desc, $"cand_id".asc)
+    val pool = scored.crossJoin(broadcast(ps))
+      .filter($"pr" <= $"nprobe")
+      .withColumn("ark", row_number().over(wPool))
+      .filter($"ark" <= PqCand)
+      .select($"nprobe", $"query_id", $"cand_id")
+    val qVecs = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"e".as("qe"))
+    val wTop = Window.partitionBy($"nprobe", $"query_id")
+      .orderBy($"cos".desc, $"cand_id".asc)
+    val top = all.join(broadcast(pool), $"vec_id" === $"cand_id")
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select($"nprobe", $"query_id", $"cand_id",
+        cosine($"qe", $"e").as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= TopK)
+      .select($"nprobe", $"query_id", $"cand_id")
+    val truth = simBruteTopK(s, dir).select($"query_id", $"cand_id")
+    val ntdf = truth.agg(count(lit(1)).as("n_truth"))
+    val hits = top.join(broadcast(truth), Seq("query_id", "cand_id"),
+        "left_semi")
+      .groupBy($"nprobe").agg(count(lit(1)).as("n_hits"))
+    ps.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(ntdf))
+      .select($"nprobe",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        (coalesce($"n_hits", lit(0L)).cast("double") /
+          $"n_truth".cast("double")).as("recall"))
+      .orderBy("nprobe")
+  }
+
   /** Build-once gate for the frozen per-corpus-fingerprint IVF-PQ
     * index — the [[ensureGraphIndex]] lifecycle applied to the PQ
     * tier (temp-dir build + atomic rename, cached per corpus
@@ -2904,6 +3002,7 @@ object Similarity {
     "sim_ivfpq_residual_serve" -> simIvfPqResidualServe,
     "sim_ivfpq_serve" -> simIvfPqServe,
     "sim_ivfpq_recall_curve" -> simIvfPqRecallCurve,
+    "sim_ivfpq_residual_recall_curve" -> simIvfPqResidualRecallCurve,
     // oracle-gated since r11 via the frozen-pair replay (the pq
     // codebook pattern — see frozenPairsOracleSql); recall-gated by spec
     "sim_knn_graph" -> simKnnGraph,
@@ -2952,6 +3051,8 @@ object Similarity {
           // hybrid (spec-pinned), so it shares the full replay
           "sim_ivfpq_serve" -> ivfPqOracleSql(s, dir),
           "sim_ivfpq_recall_curve" -> ivfPqRecallCurveOracleSql(s, dir),
+          "sim_ivfpq_residual_recall_curve" ->
+            ivfPqResidualRecallCurveOracleSql(s, dir),
           "sim_knn_graph" -> knnGraphOracleSql(s, dir),
           "sim_graph_search" -> graphSearchOracleSql(s, dir),
           "sim_graph_centrality" -> graphCentralityOracleSql(s, dir))
@@ -3978,6 +4079,138 @@ object Similarity {
           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rk
         FROM rer) WHERE rk <= $TopK
       ORDER BY query_id, rk"""
+  }
+
+  /** sim_ivfpq_residual_recall_curve oracle: the
+    * [[ivfPqResidualOracleSql]] replay with the probe-rank tag and the
+    * per-tier pool/re-rank fan-out of [[ivfPqRecallCurveOracleSql]] —
+    * residual codes for EVERY vector (the exhaustive tier probes every
+    * cell), approx = the per-(query, cand) coarse term + the ordered
+    * ADC fold, scored against the independently re-derived brute
+    * truth.
+    */
+  def ivfPqResidualRecallCurveOracleSql(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val typed = emb(s, dir)
+      .select($"vec_id", asDouble($"embedding").as("e"))
+      .as[(Long, Array[Double])]
+    val cents = centroidsExact(emb(s, dir))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val sample = typed.filter(_._1 < PqSampleIds).collect()
+      .sortBy(_._1).map(_._2)
+    val books = pqTrainResidual(sample, cents)
+    def dl(x: Double): String = java.lang.Double.toString(x)
+    val bookRows = (for {
+      m <- 0 until PqM
+      k <- 0 until PqK
+    } yield s"($m, $k, [${books(m)(k).map(dl).mkString(", ")}])")
+      .mkString(", ")
+    def dt64(x: String, y: String) =
+      s"list_sum([$x[i] * $y[i] for i in range(1, 65)])"
+    def cosv(x: String, y: String) =
+      s"(${dt64(x, y)} / (sqrt(${dt64(x, x)}) * sqrt(${dt64(y, y)})))"
+    s"""
+      WITH books AS (SELECT * FROM (VALUES $bookRows) b(m, k, c)),
+      e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      coords AS (
+        SELECT label, vec_id, i, v[i] AS x FROM e, UNNEST(range(1, 65)) AS u(i)),
+      csum AS (
+        SELECT label, i, list_sum(list(x ORDER BY vec_id)) / count(*) AS m
+        FROM coords GROUP BY label, i),
+      cent AS MATERIALIZED (
+        SELECT label AS cent_id, list(m ORDER BY i) AS c FROM csum GROUP BY label),
+      ranked_cents AS MATERIALIZED (
+        SELECT vec_id, v, cent_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY -(${cosv("v", "c")}) ASC, cent_id ASC) AS cr
+        FROM e CROSS JOIN cent),
+      asg AS MATERIALIZED (
+        SELECT vec_id AS cand_id, cent_id FROM ranked_cents WHERE cr = 1),
+      un AS MATERIALIZED (
+        SELECT vec_id,
+          [v[i] / sqrt(${dt64("v", "v")}) for i in range(1, 65)] AS u
+        FROM e),
+      res AS MATERIALIZED (
+        SELECT un.vec_id, [un.u[i] - ct.c[i] for i in range(1, 65)] AS r
+        FROM un
+        JOIN asg a ON a.cand_id = un.vec_id
+        JOIN cent ct ON ct.cent_id = a.cent_id),
+      dists AS (
+        SELECT res.vec_id, b.m, b.k,
+          list_sum([(res.r[b.m * 8 + i] - b.c[i]) * (res.r[b.m * 8 + i] - b.c[i])
+                    for i in range(1, 9)]) AS d
+        FROM res CROSS JOIN books b),
+      codes AS (
+        SELECT vec_id, m, k FROM (
+          SELECT vec_id, m, k,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS cr
+          FROM dists) WHERE cr = 1),
+      cand0 AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, a.cand_id, a.cent_id, p.cr AS pr
+        FROM e q
+        JOIN asg a ON a.cand_id <> q.vec_id
+        JOIN ranked_cents p ON p.vec_id = q.vec_id AND p.cent_id = a.cent_id
+        WHERE q.vec_id < $NumQueries),
+      coarse AS (
+        SELECT c0.query_id, c0.cand_id,
+          list_sum([qu.u[i] * cc.c[i] for i in range(1, 65)]) AS ct
+        FROM cand0 c0
+        JOIN un qu ON qu.vec_id = c0.query_id
+        JOIN cent cc ON cc.cent_id = c0.cent_id),
+      terms AS (
+        SELECT pr.query_id, pr.cand_id, pr.pr, c.m,
+          list_sum([qu.u[c.m * 8 + i] * b.c[i] for i in range(1, 9)]) AS t
+        FROM cand0 pr
+        JOIN codes c ON c.vec_id = pr.cand_id
+        JOIN books b ON b.m = c.m AND b.k = c.k
+        JOIN un qu ON qu.vec_id = pr.query_id),
+      approx AS MATERIALIZED (
+        SELECT t.query_id, t.cand_id, t.pr,
+          co.ct + list_sum(list(t.t ORDER BY t.m)) AS a
+        FROM terms t
+        JOIN coarse co ON co.query_id = t.query_id AND co.cand_id = t.cand_id
+        GROUP BY t.query_id, t.cand_id, t.pr, co.ct),
+      ks AS (SELECT unnest(range(1, (SELECT COUNT(*) FROM cent) + 1))
+        AS nprobe),
+      pool AS (
+        SELECT nprobe, query_id, cand_id FROM (
+          SELECT k.nprobe, x.query_id, x.cand_id,
+            ROW_NUMBER() OVER (PARTITION BY k.nprobe, x.query_id
+              ORDER BY x.a DESC, x.cand_id ASC) AS ark
+          FROM ks k JOIN approx x ON x.pr <= k.nprobe)
+        WHERE ark <= $PqCand),
+      rer AS (
+        SELECT p.nprobe, p.query_id, p.cand_id FROM (
+          SELECT p0.nprobe, p0.query_id, p0.cand_id,
+            ROW_NUMBER() OVER (PARTITION BY p0.nprobe, p0.query_id
+              ORDER BY ${duckCos("qe.embedding", "ce.embedding")} DESC,
+                p0.cand_id ASC) AS rk
+          FROM pool p0
+          JOIN embeddings qe ON qe.vec_id = p0.query_id
+          JOIN embeddings ce ON ce.vec_id = p0.cand_id) p
+        WHERE p.rk <= $TopK),
+      truth AS MATERIALIZED (
+        SELECT query_id, cand_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckCos("q.embedding", "c.embedding")} DESC,
+                c.vec_id ASC) AS rk
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < $NumQueries)
+        WHERE rk <= $TopK),
+      hits AS (
+        SELECT r.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM rer r SEMI JOIN truth t
+          ON t.query_id = r.query_id AND t.cand_id = r.cand_id
+        GROUP BY r.nprobe),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+      SELECT CAST(k.nprobe AS BIGINT) AS nprobe,
+        COALESCE(h.n_hits, 0) AS n_hits,
+        CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(nt.n_truth AS DOUBLE)
+          AS recall
+      FROM ks k LEFT JOIN hits h ON h.nprobe = k.nprobe CROSS JOIN nt
+      ORDER BY nprobe"""
   }
 
   /** sim_ivfpq_recall_curve oracle: the [[ivfPqOracleSql]] replay with

@@ -26,9 +26,9 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registered query count matches the round record") {
-    assert(SparkEntry.queries.size == 281, // r16: +ta_lm_trigram,
+    assert(SparkEntry.queries.size == 282, // r16: +ta_lm_trigram,
       // +sim_ivfpq_residual, +sample_lm_band, +ta_lm_backoff_rate,
-      // +sim_ivfpq_residual_serve
+      // +sim_ivfpq_residual_serve, +sim_ivfpq_residual_recall_curve
       s"query count drifted: ${SparkEntry.queries.size} — update the " +
         "round record (NOTES.md/README.md) together with this pin")
   }
