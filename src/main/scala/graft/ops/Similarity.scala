@@ -1082,6 +1082,54 @@ object Similarity {
     v.map(_ / n)
   }
 
+  /** Cosine of two raw arrays — the same left-to-right folds as the
+    * oracle's list-comprehension replay (object-level for the unitVec
+    * serialization reason).
+    */
+  def cosArr(a: Array[Double], b: Array[Double]): Double =
+    dotArr(a, b) / (math.sqrt(dotArr(a, a)) * math.sqrt(dotArr(b, b)))
+
+  /** The per-query [PqM][PqK] ADC lookup table — query subvector ·
+    * codebook centroid, the in-order fold every PQ tier and both
+    * recall curves share (one definition: the table's fold order is
+    * oracle-load-bearing).
+    */
+  def adcTableOf(qu: Array[Double],
+      books: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    Array.tabulate(PqM, PqK) { (m, k) =>
+      var acc = 0.0
+      var i = 0
+      val c = books(m)(k)
+      while (i < PqDim) { acc += qu(m * PqDim + i) * c(i); i += 1 }
+      acc
+    }
+
+  /** The shared pool/re-rank tail of every ADC tier: top-[[PqCand]]
+    * per query by approx score (cand_id-ascending ties), exact double
+    * re-rank from the primary store, top-[[TopK]]. One definition —
+    * the tie-break columns are spec- and oracle-pinned, so divergent
+    * copies were a parity hazard (r16 review finding).
+    */
+  private def rerankPool(all: DataFrame, approx: DataFrame): DataFrame = {
+    val s = all.sparkSession
+    import s.implicits._
+    val wA = Window.partitionBy($"query_id")
+      .orderBy($"approx".desc, $"cand_id".asc)
+    val cand = approx.withColumn("ark", row_number().over(wA))
+      .filter($"ark" <= PqCand)
+      .select($"query_id", $"cand_id")
+    val qVecs = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"e".as("qe"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+    all.join(broadcast(cand), $"vec_id" === $"cand_id")
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select($"query_id", $"cand_id", cosine($"qe", $"e").as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= TopK)
+      .select($"query_id", $"rk", $"cand_id", $"cos")
+      .orderBy("query_id", "rk")
+  }
+
   /** PQ code of a unit vector: nearest centroid per subspace. */
   def pqEncode(unit: Array[Double], books: Array[Array[Array[Double]]]): Array[Byte] = {
     val code = new Array[Byte](PqM)
@@ -1124,13 +1172,7 @@ object Similarity {
     // per-query ADC tables: table(q)(m)(k) = qUnit_sub(m) · centroid k
     val tables = queries.map { case (qid, qv) =>
       val qu = unitVec(qv)
-      (qid, Array.tabulate(PqM, PqK) { (m, k) =>
-        var acc = 0.0
-        var i = 0
-        val c = books(m)(k)
-        while (i < PqDim) { acc += qu(m * PqDim + i) * c(i); i += 1 }
-        acc
-      })
+      (qid, adcTableOf(qu, books))
     }
     val bcBooks = s.sparkContext.broadcast(books)
     val bcTables = s.sparkContext.broadcast(tables)
@@ -1147,20 +1189,7 @@ object Similarity {
         }
       }
     }.toDF("query_id", "cand_id", "approx")
-    val wA = Window.partitionBy($"query_id").orderBy($"approx".desc, $"cand_id".asc)
-    val cand = approx.withColumn("ark", row_number().over(wA))
-      .filter($"ark" <= PqCand)
-      .select($"query_id", $"cand_id")
-    val qVecs = all.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"e".as("qe"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
-    all.join(broadcast(cand), $"vec_id" === $"cand_id")
-      .join(broadcast(qVecs), Seq("query_id"))
-      .select($"query_id", $"cand_id", cosine($"qe", $"e").as("cos"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= TopK)
-      .select($"query_id", $"rk", $"cand_id", $"cos")
-      .orderBy("query_id", "rk")
+    rerankPool(all, approx)
   }
 
   /** IVF-PQ hybrid ANN (VERDICT r14 ask #6) — the production serving
@@ -1215,17 +1244,9 @@ object Similarity {
       val cs = bcCents.value
       val tbs = bcTables.value
       it.flatMap { case (id, v) =>
-        // coarse assign: max cosine, lowest cent_id on ties (strict >
-        // over the cent_id-ascending array)
-        var bestId = if (cs.isEmpty) -1L else cs(0)._1
-        var bestCos = Double.NegativeInfinity
-        var ci = 0
-        while (ci < cs.length) {
-          val cos = dotArr(v, cs(ci)._2) /
-            (math.sqrt(dotArr(v, v)) * math.sqrt(dotArr(cs(ci)._2, cs(ci)._2)))
-          if (cos > bestCos) { bestCos = cos; bestId = cs(ci)._1 }
-          ci += 1
-        }
+        // coarse assign: the shared coarseCellOf (max cosine, lowest
+        // cent_id on ties over the cent_id-ascending array)
+        val bestId = if (cs.isEmpty) -1L else cs(coarseCellOf(v, cs))._1
         val qs = tbs.getOrElse(bestId, Array.empty[(Long, Array[Array[Double]])])
         if (qs.isEmpty) Iterator.empty // unprobed cell: code never built
         else {
@@ -1239,26 +1260,16 @@ object Similarity {
         }
       }
     }.toDF("query_id", "cand_id", "approx")
-    val wA = Window.partitionBy($"query_id").orderBy($"approx".desc, $"cand_id".asc)
-    val cand = approx.withColumn("ark", row_number().over(wA))
-      .filter($"ark" <= PqCand)
-      .select($"query_id", $"cand_id")
-    val qVecs = all.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"e".as("qe"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
-    all.join(broadcast(cand), $"vec_id" === $"cand_id")
-      .join(broadcast(qVecs), Seq("query_id"))
-      .select($"query_id", $"cand_id", cosine($"qe", $"e").as("cos"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= TopK)
-      .select($"query_id", $"rk", $"cand_id", $"cos")
-      .orderBy("query_id", "rk")
+    rerankPool(all, approx)
   }
 
   /** Coarse cell INDEX of v (max cosine, lowest cent_id on ties —
     * cents must be cent_id-ascending, so strict > IS the tie-break):
-    * the residual tier's shared assignment primitive; parallel to the
-    * inline loops of [[simIvfPqANN]]/[[assignEncode]].
+    * THE shared assignment primitive of every IVF-PQ derivation —
+    * [[simIvfPqANN]], [[assignEncode]], both recall curves and the
+    * residual tier all route through it, so the oracle-load-bearing
+    * tie-break has exactly one definition (r16 review finding: the
+    * first cut left three inline copies).
     */
   private def coarseCellOf(v: Array[Double],
       cents: Array[(Long, Array[Double])]): Int = {
@@ -1266,9 +1277,7 @@ object Similarity {
     var bestCos = Double.NegativeInfinity
     var ci = 0
     while (ci < cents.length) {
-      val c = cents(ci)._2
-      val cos = dotArr(v, c) /
-        (math.sqrt(dotArr(v, v)) * math.sqrt(dotArr(c, c)))
+      val cos = cosArr(v, cents(ci)._2)
       if (cos > bestCos) { bestCos = cos; best = ci }
       ci += 1
     }
@@ -1316,20 +1325,12 @@ object Similarity {
       cents: Array[(Long, Array[Double])],
       books: Array[Array[Array[Double]]],
       nprobe: Int): Map[Long, Array[(Long, Double, Array[Array[Double]])]] = {
-    def cosOf(a: Array[Double], b: Array[Double]): Double =
-      dotArr(a, b) / (math.sqrt(dotArr(a, a)) * math.sqrt(dotArr(b, b)))
     val cbars = cents.map(c => (c._1, c._2)).toMap
     queries
       .flatMap { case (qid, qv) =>
         val qu = unitVec(qv)
-        val tb = Array.tabulate(PqM, PqK) { (m, k) =>
-          var acc = 0.0
-          var i = 0
-          val c = books(m)(k)
-          while (i < PqDim) { acc += qu(m * PqDim + i) * c(i); i += 1 }
-          acc
-        }
-        cents.map { case (cid, c) => (cid, qid, cosOf(qv, c)) }
+        val tb = adcTableOf(qu, books)
+        cents.map { case (cid, c) => (cid, qid, cosArr(qv, c)) }
           .sortBy { case (cid, _, cos) => (-cos, cid) }
           .take(nprobe)
           .map { case (cid, _, _) => (cid, (qid, dotArr(qu, cbars(cid)), tb)) }
@@ -1391,20 +1392,7 @@ object Similarity {
         }
       }
     }.toDF("query_id", "cand_id", "approx")
-    val wA = Window.partitionBy($"query_id").orderBy($"approx".desc, $"cand_id".asc)
-    val cand = approx.withColumn("ark", row_number().over(wA))
-      .filter($"ark" <= PqCand)
-      .select($"query_id", $"cand_id")
-    val qVecs = all.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"e".as("qe"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
-    all.join(broadcast(cand), $"vec_id" === $"cand_id")
-      .join(broadcast(qVecs), Seq("query_id"))
-      .select($"query_id", $"cand_id", cosine($"qe", $"e").as("cos"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= TopK)
-      .select($"query_id", $"rk", $"cand_id", $"cos")
-      .orderBy("query_id", "rk")
+    rerankPool(all, approx)
   }
 
   // ---- frozen on-disk IVF-PQ index (the production serving form) ----
@@ -1420,19 +1408,11 @@ object Similarity {
       cents: Array[(Long, Array[Double])],
       books: Array[Array[Array[Double]]],
       nprobe: Int): Map[Long, Array[(Long, Array[Array[Double]])]] = {
-    def cosOf(a: Array[Double], b: Array[Double]): Double =
-      dotArr(a, b) / (math.sqrt(dotArr(a, a)) * math.sqrt(dotArr(b, b)))
     queries
       .flatMap { case (qid, qv) =>
         val qu = unitVec(qv)
-        val tb = Array.tabulate(PqM, PqK) { (m, k) =>
-          var acc = 0.0
-          var i = 0
-          val c = books(m)(k)
-          while (i < PqDim) { acc += qu(m * PqDim + i) * c(i); i += 1 }
-          acc
-        }
-        cents.map { case (cid, c) => (cid, qid, cosOf(qv, c)) }
+        val tb = adcTableOf(qu, books)
+        cents.map { case (cid, c) => (cid, qid, cosArr(qv, c)) }
           .sortBy { case (cid, _, cos) => (-cos, cid) }
           .take(nprobe)
           .map { case (cid, _, _) => (cid, (qid, tb)) }
@@ -1457,16 +1437,7 @@ object Similarity {
       val cs = bcC.value
       val bks = bcB.value
       it.map { case (id, v) =>
-        var bestId = if (cs.isEmpty) -1L else cs(0)._1
-        var bestCos = Double.NegativeInfinity
-        var ci = 0
-        while (ci < cs.length) {
-          val c = cs(ci)._2
-          val cos = dotArr(v, c) /
-            (math.sqrt(dotArr(v, v)) * math.sqrt(dotArr(c, c)))
-          if (cos > bestCos) { bestCos = cos; bestId = cs(ci)._1 }
-          ci += 1
-        }
+        val bestId = if (cs.isEmpty) -1L else cs(coarseCellOf(v, cs))._1
         (id, bestId, pqEncode(unitVec(v), bks))
       }
     }.toDF("vec_id", "cent_id", "code")
@@ -1531,6 +1502,12 @@ object Similarity {
   def appendIvfPqBatch(s: SparkSession, path: String,
       batch: DataFrame): Unit = {
     import s.implicits._
+    // the fourth cross-tier direction: plain-encoding a batch into a
+    // RESIDUAL index would make every appended vector ADC-decode
+    // wrongly, with no error anywhere — refuse like the search paths
+    require(!isResidualIndex(s, path),
+      s"$path carries the _residual marker: append through " +
+        "appendIvfPqResidualBatch")
     assignEncode(
       batch.select(col("vec_id"), col("e")).as[(Long, Array[Double])],
       readPqCentroids(s, path), readPqCodebook(s, path))
@@ -1576,21 +1553,7 @@ object Similarity {
           }
       }
     }.toDF("query_id", "cand_id", "approx")
-    val wA = Window.partitionBy($"query_id")
-      .orderBy($"approx".desc, $"cand_id".asc)
-    val cand = approx.withColumn("ark", row_number().over(wA))
-      .filter($"ark" <= PqCand)
-      .select($"query_id", $"cand_id")
-    val qVecs = all.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"e".as("qe"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
-    all.join(broadcast(cand), $"vec_id" === $"cand_id")
-      .join(broadcast(qVecs), Seq("query_id"))
-      .select($"query_id", $"cand_id", cosine($"qe", $"e").as("cos"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= TopK)
-      .select($"query_id", $"rk", $"cand_id", $"cos")
-      .orderBy("query_id", "rk")
+    rerankPool(all, approx)
   }
 
   /** sim_ivfpq_recall_curve: recall@[[TopK]] of the IVF-PQ hybrid as a
@@ -1625,21 +1588,13 @@ object Similarity {
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     val k = cents.length
     val queries = typed.filter(_._1 < NumQueries).collect().sortBy(_._1)
-    def cosOf(a: Array[Double], b: Array[Double]): Double =
-      dotArr(a, b) / (math.sqrt(dotArr(a, a)) * math.sqrt(dotArr(b, b)))
     // per query: the ADC table + the cell → probe-rank map (the same
     // (-cos, cent_id) order as ivfPqProbeTables, ranks 1..k)
     val qArt: Array[(Long, Array[Array[Double]], Map[Long, Int])] =
       queries.map { case (qid, qv) =>
         val qu = unitVec(qv)
-        val tb = Array.tabulate(PqM, PqK) { (m, kk) =>
-          var acc = 0.0
-          var i = 0
-          val c = books(m)(kk)
-          while (i < PqDim) { acc += qu(m * PqDim + i) * c(i); i += 1 }
-          acc
-        }
-        val prOf = cents.map { case (cid, c) => (cid, cosOf(qv, c)) }
+        val tb = adcTableOf(qu, books)
+        val prOf = cents.map { case (cid, c) => (cid, cosArr(qv, c)) }
           .sortBy { case (cid, cos) => (-cos, cid) }
           .zipWithIndex.map { case ((cid, _), i) => cid -> (i + 1) }.toMap
         (qid, tb, prOf)
@@ -1652,16 +1607,7 @@ object Similarity {
       val cs = bcCents.value
       val qs = bcQ.value
       it.flatMap { case (id, v) =>
-        var bestId = if (cs.isEmpty) -1L else cs(0)._1
-        var bestCos = Double.NegativeInfinity
-        var ci = 0
-        while (ci < cs.length) {
-          val c = cs(ci)._2
-          val cos = dotArr(v, c) /
-            (math.sqrt(dotArr(v, v)) * math.sqrt(dotArr(c, c)))
-          if (cos > bestCos) { bestCos = cos; bestId = cs(ci)._1 }
-          ci += 1
-        }
+        val bestId = if (cs.isEmpty) -1L else cs(coarseCellOf(v, cs))._1
         val code = pqEncode(unitVec(v), bks)
         qs.iterator.filter(_._1 != id).map { case (qid, tb, prOf) =>
           var acc = 0.0
@@ -1731,21 +1677,13 @@ object Similarity {
     val books = pqTrainResidual(sample, cents)
     val k = cents.length
     val queries = typed.filter(_._1 < NumQueries).collect().sortBy(_._1)
-    def cosOf(a: Array[Double], b: Array[Double]): Double =
-      dotArr(a, b) / (math.sqrt(dotArr(a, a)) * math.sqrt(dotArr(b, b)))
     // per query: residual ADC table, cell → probe rank, cell → coarse
     // term (qu·c̄ — the decomposition's exact half)
     val qArt: Array[(Long, Array[Array[Double]], Map[Long, Int], Map[Long, Double])] =
       queries.map { case (qid, qv) =>
         val qu = unitVec(qv)
-        val tb = Array.tabulate(PqM, PqK) { (m, kk) =>
-          var acc = 0.0
-          var i = 0
-          val c = books(m)(kk)
-          while (i < PqDim) { acc += qu(m * PqDim + i) * c(i); i += 1 }
-          acc
-        }
-        val prOf = cents.map { case (cid, c) => (cid, cosOf(qv, c)) }
+        val tb = adcTableOf(qu, books)
+        val prOf = cents.map { case (cid, c) => (cid, cosArr(qv, c)) }
           .sortBy { case (cid, cos) => (-cos, cid) }
           .zipWithIndex.map { case ((cid, _), i) => cid -> (i + 1) }.toMap
         val coarseOf = cents.map { case (cid, c) =>
@@ -1810,15 +1748,27 @@ object Similarity {
     * fingerprint; a deployment rebuilds on corpus refresh cadence,
     * never per query).
     */
-  private[graft] def ensureIvfPqIndex(s: SparkSession, dir: String): String = {
+  private[graft] def ensureIvfPqIndex(s: SparkSession, dir: String): String =
+    ensureFrozenIndex(s, dir, "graft_ivfpq_", "_codebook/_SUCCESS",
+      writeIvfPqIndex)
+
+  /** The shared build-once lifecycle of both frozen PQ indexes:
+    * temp-dir build + atomic rename, cached per corpus fingerprint
+    * under the JVM temp root (a deployment rebuilds on corpus refresh
+    * cadence, never per query). `probe` is the file whose existence
+    * marks a completed build — the LAST artifact each writer commits.
+    */
+  private def ensureFrozenIndex(s: SparkSession, dir: String,
+      prefix: String, probe: String,
+      build: (SparkSession, String, String) => Unit): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val tag = md.digest(
       s"$dir|${Curation.corpusFingerprint(s, dir)}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
-    val ipath = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_$tag"
-    if (!new java.io.File(s"$ipath/_codebook/_SUCCESS").exists()) {
+    val ipath = s"${System.getProperty("java.io.tmpdir")}/$prefix$tag"
+    if (!new java.io.File(s"$ipath/$probe").exists()) {
       val tmp = ipath + "_w" + java.util.UUID.randomUUID().toString.take(8)
-      writeIvfPqIndex(s, dir, tmp)
+      build(s, dir, tmp)
       if (!new java.io.File(tmp).renameTo(new java.io.File(ipath)))
         Curation.deleteRecursively(new java.io.File(tmp))
     }
@@ -1889,10 +1839,18 @@ object Similarity {
   }
 
   /** TRUE iff the index at `path` carries the residual marker (legacy
-    * marker-less layouts are non-residual by construction).
+    * marker-less layouts are non-residual by construction). Resolved
+    * through the path's OWN Hadoop filesystem — the index I/O is
+    * spark.read/write.parquet, so hdfs://s3a:// layouts are
+    * first-class, and a java.io.File probe would read every remote
+    * residual index as plain: the search guard would then serve
+    * residual codes through the plain decoder, the silent-wrong-scores
+    * case the marker exists to prevent.
     */
-  private def isResidualIndex(s: SparkSession, path: String): Boolean =
-    new java.io.File(s"$path/_residual/_SUCCESS").exists()
+  private def isResidualIndex(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_residual/_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Incremental maintenance of a residual index — cost ∝ batch
     * against the FROZEN centroids + residual codebook.
@@ -1945,42 +1903,16 @@ object Similarity {
           }
       }
     }.toDF("query_id", "cand_id", "approx")
-    val wA = Window.partitionBy($"query_id")
-      .orderBy($"approx".desc, $"cand_id".asc)
-    val cand = approx.withColumn("ark", row_number().over(wA))
-      .filter($"ark" <= PqCand)
-      .select($"query_id", $"cand_id")
-    val qVecs = all.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"e".as("qe"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
-    all.join(broadcast(cand), $"vec_id" === $"cand_id")
-      .join(broadcast(qVecs), Seq("query_id"))
-      .select($"query_id", $"cand_id", cosine($"qe", $"e").as("cos"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= TopK)
-      .select($"query_id", $"rk", $"cand_id", $"cos")
-      .orderBy("query_id", "rk")
+    rerankPool(all, approx)
   }
 
   /** Build-once gate for the frozen residual index — the
     * [[ensureIvfPqIndex]] lifecycle with its own cache namespace.
     */
   private[graft] def ensureIvfPqResidualIndex(s: SparkSession,
-      dir: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val tag = md.digest(
-      s"$dir|${Curation.corpusFingerprint(s, dir)}".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    val ipath =
-      s"${System.getProperty("java.io.tmpdir")}/graft_ivfpqr_$tag"
-    if (!new java.io.File(s"$ipath/_residual/_SUCCESS").exists()) {
-      val tmp = ipath + "_w" + java.util.UUID.randomUUID().toString.take(8)
-      writeIvfPqResidualIndex(s, dir, tmp)
-      if (!new java.io.File(tmp).renameTo(new java.io.File(ipath)))
-        Curation.deleteRecursively(new java.io.File(tmp))
-    }
-    ipath
-  }
+      dir: String): String =
+    ensureFrozenIndex(s, dir, "graft_ivfpqr_", "_residual/_SUCCESS",
+      writeIvfPqResidualIndex)
 
   /** Registered form: the residual tier against its FROZEN on-disk
     * index. Identical output to [[simIvfPqResidualANN]], so it shares

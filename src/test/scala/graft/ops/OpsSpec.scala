@@ -1238,6 +1238,14 @@ class SimilaritySpec extends SparkSpec {
         graft.Tables.t(spark, sfDir, "embeddings").limit(1)
           .select($"vec_id", $"embedding".cast("array<double>").as("e")))
     }
+    // ...and the fourth direction (r16 review finding): the PLAIN
+    // append must refuse a residual index — plain-encoded codes in a
+    // residual layout would ADC-decode silently wrong
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqBatch(spark, work,
+        graft.Tables.t(spark, sfDir, "embeddings").limit(1)
+          .select($"vec_id", $"embedding".cast("array<double>").as("e")))
+    }
     // append lifecycle: exact twins enter against the FROZEN residual
     // artifacts and must surface in the served top-k beside originals
     val base = graft.Tables.t(spark, sfDir, "embeddings")
