@@ -68,6 +68,21 @@ object ScaleSmoke {
     // throw Integer-cannot-cast-to-Long at head()
     df.agg(max(col(c).cast("long"))).head.getLong(0) + 1L
 
+  /** The replica fixtures shift a key by i*base in LONG then cast back
+    * to the column's physical type; on an INT column a shift past
+    * Int.MaxValue would wrap (or null under ANSI) SILENTLY, breaking
+    * the disjoint-range invariant the closed-form predictions
+    * ([[labelConfusionExpected]]) depend on — fail loud instead
+    * (ADVICE r16). Every shifted value is < base*reps (base = max+1),
+    * so the bound is exact.
+    */
+  private def requireShiftFits(df: DataFrame, c: String,
+      base: Long, reps: Int): Unit =
+    if (df.schema(c).dataType == org.apache.spark.sql.types.IntegerType)
+      require(base * reps <= Int.MaxValue.toLong,
+        s"$c shift overflows INT: base=$base reps=$reps — widen $c " +
+          "to LONG before replicating")
+
   def ensureScaled(
       spark: SparkSession, srcDir: String, reps: Int, name: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/$name"
@@ -337,6 +352,12 @@ object ScaleSmoke {
       // window's partition count is value-domain-bounded, so the probe
       // checks the per-band sort rides the ×100 band mass)
       "ta_lm_backoff_rate", "sample_lm_band",
+      // r17: the KN-4-gram tier — the Heaps worst case one order
+      // harsher still: the 4-gram type table grows the full ×100 AND
+      // every continuation-count table is a distinct-type aggregate of
+      // it; the probe checks the checkpointed-lexicon fan-out plus the
+      // single occurrence-side join ride that mass
+      "ta_lm_kn4",
       // r14 session 2: the character-level winnow family — decon_winnow
       // (compiled signed-Long kernel + broadcast df-capped eval probe;
       // at 100× the eval side grows ×100 with the md5 tail, so the probe
@@ -353,7 +374,16 @@ object ScaleSmoke {
       // superlinear edge mass), leak-safe group splitting, cluster-size
       // histogram, and representative election.
       "dedup_components_alt", "sample_group_split",
-      "dedup_cluster_sizes", "dedup_representatives")
+      "dedup_cluster_sizes", "dedup_representatives",
+      // r17: the rank-window retirements (VERDICT r16 #1). The fixture
+      // keeps the SAME source set at ×100 mass per source — the hot-key
+      // worst case for the retired per-source windows. mix_curriculum
+      // probes the two-pass prefix-sum rank kernel (order-producing, so
+      // min-k can't apply); sample_dsir_topk and ta_ngram_top probe the
+      // descending-key min-k aggregations (dsir rides the importance
+      // trunk, ngram_top the Heaps-worst-case bigram lexicon that grows
+      // the full ×100 here like the LM family's tables).
+      "mix_curriculum", "sample_dsir_topk", "ta_ngram_top")
 
   def runSf10ConstDup(spark: SparkSession, srcDir: String): Unit =
     runConstDensityProbes(spark, srcDir, ensureSf10ConstDup(spark, srcDir),
@@ -483,6 +513,7 @@ object ScaleSmoke {
     val e = Tables.t(spark, srcDir, "embeddings")
     val base = keyBase(e, "vec_id")
     val labelBase = keyBase(e, "label")
+    requireShiftFits(e, "label", labelBase, reps)
     (0 until reps).map { i =>
       if (i == 0) e
       else e
@@ -533,6 +564,7 @@ object ScaleSmoke {
     val e = Tables.t(spark, srcDir, "embeddings")
     val base = keyBase(e, "vec_id")
     val labelBase = keyBase(e, "label")
+    requireShiftFits(e, "label", labelBase, reps)
     (0 until reps).map { i =>
       if (i == 0) e
       else e
@@ -674,7 +706,12 @@ object ScaleSmoke {
     // a ×100 scored stream make it the sweep's most expensive row;
     // restrict with SPARK_GRAFT_SF10CD_ONLY when iterating)
     "sim_ivfpq_residual", "sim_ivfpq_residual_serve",
-    "sim_ivfpq_recall_curve")
+    "sim_ivfpq_recall_curve",
+    // r17: the OPQ-rotated tier — identical serving shape; the only
+    // delta vs residual is 64 extra dots per encoded vector inside the
+    // fused scan (inline) / at query-table build time (serve), so the
+    // probe checks rotation cost stays invisible at ×100
+    "sim_ivfpq_opq", "sim_ivfpq_opq_serve")
 
   def runSf10Emb(spark: SparkSession, srcDir: String): Unit =
     runConstDensityProbes(spark, srcDir, ensureSf10Emb(spark, srcDir),

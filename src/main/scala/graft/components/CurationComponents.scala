@@ -150,22 +150,54 @@ object UnimaxMix extends ComponentFactory {
       Cfg.intOr(c, "max_epochs", graft.ops.Sampling.UnimaxEpochs))
 }
 
+/** The kept (source, doc_id, rk) set of a per-source md5(doc_id)-rank
+  * draw, via the bounded mergeable min-k aggregator — shared by the
+  * row-form sampling components. The r1–r16 component form was a
+  * source-partitioned rank window over the FULL view: a window
+  * partition cannot be split by AQE, so a hot source's entire mass
+  * sorted through one task at 100 TB (the smell the registered-suite
+  * rewrites measured at 26× on the ×100 one-band worst case). Min-k
+  * buffers never exceed k, the shuffle carries ≤ k (h, doc_id) pairs
+  * per (source, partition), and the kept id set (≤ k × |sources|
+  * rows) broadcasts into a semi-join that restores the full rows.
+  */
+private[components] object SourceDraw {
+  def keptIds(docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("source").cast("string").as("source"),
+        md5(col("doc_id").cast("string")).as("h"),
+        col("doc_id").cast("long").as("doc_id"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.MinKPairsAggregator(k).toColumn.name("top"))
+      .toDF("source", "top")
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), col("col._2").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+}
+
 /** Per-source document cap over a (doc_id, source, …) view: keeps at
   * most `cap` documents per source, drawn by md5(doc_id) rank — the
   * domain-capping guard with recomputable membership
   * ([[graft.ops.Sampling.capPerSourceSummary]] semantics, row form).
+  * r17: the draw is [[SourceDraw.keptIds]]'s min-k aggregation + a
+  * broadcast semi-join, not a rank window — same membership, no
+  * per-source single-task sort.
   */
 final class PerSourceCap(
     inputView: String, outputView: String, cap: Int)
   extends DataFlow {
   val name = s"per_source_cap($outputView)"
   def run(): Unit = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
-    spark.table(inputView)
-      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("__rk") <= cap).drop("__rk")
+    val docs = spark.table(inputView)
+    val kept = SourceDraw.keptIds(docs, cap).select(col("doc_id"))
+    docs.join(broadcast(kept),
+        docs("doc_id").cast("long") === kept("doc_id"), "left_semi")
       .createOrReplaceTempView(outputView)
   }
 }
@@ -219,6 +251,11 @@ object QualityClassifierGate extends ComponentFactory {
   * allocation deterministically — each source's n_h lowest-md5(doc_id)
   * docs — so membership is recomputable from ids alone (the sampling
   * doctrine every other sampler here follows).
+  * r17: the draw is [[SourceDraw.keptIds]] at the max per-source
+  * allocation (the allocation table is one bounded row per source),
+  * trimmed to each source's own allocation, then a broadcast
+  * semi-join — not a rank window. The min-k buffer is allocation-
+  * sized: a sample TARGET, not corpus-sized, by construction.
   */
 final class NeymanSample(
     inputView: String, outputView: String, target: Long)
@@ -228,14 +265,21 @@ final class NeymanSample(
     val docs = spark.table(inputView)
     val alloc = graft.ops.Sampling.neymanOf(docs, target)
       .select(col("source"), col("allocation"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
-    docs
-      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(w))
-      .join(broadcast(alloc), Seq("source"))
-      .filter(col("__rk") <= col("allocation"))
-      .drop("__rk", "allocation")
+    // bounded: one row per source
+    val maxAlloc = alloc.agg(max(col("allocation"))).head.getLong(0)
+    require(maxAlloc <= Int.MaxValue.toLong,
+      s"per-source allocation $maxAlloc exceeds the min-k buffer bound")
+    val kept =
+      if (maxAlloc <= 0L)
+        docs.select(col("doc_id").cast("long").as("doc_id"))
+          .filter(lit(false))
+      else
+        SourceDraw.keptIds(docs, maxAlloc.toInt)
+          .join(broadcast(alloc), Seq("source"))
+          .filter(col("rk") <= col("allocation"))
+          .select(col("doc_id"))
+    docs.join(broadcast(kept),
+        docs("doc_id").cast("long") === kept("doc_id"), "left_semi")
       .createOrReplaceTempView(outputView)
   }
 }

@@ -1003,6 +1003,136 @@ object StreamingCuration {
       Some(stateTable(spark, stateDir, "lm_tri")))
   }
 
+  /** Fold a batch's per-key md5-rank draw into persistent min-k state
+    * (40th/41st streaming twins — the incremental form of the
+    * [[graft.ops.Sampling.capPerSourceSummary]] /
+    * [[graft.ops.Sampling.sampleLmBand]] cap stage): min-k is a
+    * LOSSLESS mergeable summary (the k smallest of a union are the k
+    * smallest of each side's k smallest), so folding per-batch min-k
+    * buffers in ANY order equals the one-shot draw exactly — and the
+    * state is the first O(cap × |keys|)-BOUNDED twin state by
+    * construction: the fold never stores more than `cap`
+    * (h, doc_id) rows per key no matter how many batches fold, so
+    * fold cost is batch-mass + (cap × keys), never corpus mass.
+    * Two tables per named draw, committed under the same batchId with
+    * per-table alreadyFolded gates (the lm-model crash contract):
+    * `min_k_draw_<name>(k, h, doc_id)` — the surviving buffers — and
+    * `min_k_counts_<name>(k, n_docs)` — the additive per-key totals
+    * the cap-summary reader reports alongside the draw.
+    *
+    * `keyed` is a (k: String, doc_id: Long) frame; the md5-rank draw
+    * contract (h = md5(doc_id), ties doc_id asc) is owned HERE so no
+    * caller can fold an inconsistent order. For the band sampler the
+    * key must come from a FROZEN scorer (score new docs against twin
+    * #37's accumulated LM state, then band) — a self-trained band
+    * would re-band old docs as the model drifts, which is exactly the
+    * semantics a frozen-model deployment avoids.
+    */
+  def mergeMinKDrawState(spark: SparkSession, stateDir: String,
+      name: String, keyed: DataFrame, cap: Int,
+      batchId: Long = -1L): Unit = {
+    import spark.implicits._
+    val drawT = s"min_k_draw_$name"
+    val cntT = s"min_k_counts_$name"
+    val batchRows = keyed
+      .select(col("k").cast("string").as("k"),
+        md5(col("doc_id").cast("string")).as("h"),
+        col("doc_id").cast("long").as("doc_id"))
+    if (!VersionedState.alreadyFolded(spark, stateDir, drawT, batchId)) {
+      val pool = VersionedState.readTable(spark, stateDir, drawT) match {
+        case None => batchRows
+        case Some(prior) => prior.unionByName(batchRows)
+      }
+      // re-select min-k over prior-buffer ∪ batch: ≤ cap + batch rows
+      // per key reach the aggregation, and ≤ cap survive it
+      val merged = pool.as[(String, String, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(new graft.functions.MinKPairsAggregator(cap)
+          .toColumn.name("top"))
+        .toDF("k", "top")
+        .select($"k", explode($"top").as("p"))
+        .select($"k", $"p._1".as("h"), $"p._2".as("doc_id"))
+      VersionedState.commit(spark, stateDir, drawT, batchId) { dir =>
+        merged.write.mode("overwrite").parquet(s"$dir/data")
+      }
+    }
+    if (!VersionedState.alreadyFolded(spark, stateDir, cntT, batchId)) {
+      val bc = keyed.select(col("k").cast("string").as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("n_docs"))
+      val merged = VersionedState.readTable(spark, stateDir, cntT) match {
+        case None => bc
+        case Some(prior) => prior.unionByName(bc)
+          .groupBy($"k").agg(sum($"n_docs").as("n_docs"))
+      }
+      VersionedState.commit(spark, stateDir, cntT, batchId) { dir =>
+        merged.write.mode("overwrite").parquet(s"$dir/data")
+      }
+    }
+  }
+
+  /** Fold a batch of raw documents into the per-SOURCE cap draw —
+    * [[mergeMinKDrawState]] with source as the key and the registered
+    * cap (the [[graft.ops.Sampling.capPerSourceSummary]] contract).
+    */
+  def mergeCapPerSourceState(spark: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long = -1L,
+      cap: Int = graft.ops.Sampling.CapPerSource): Unit =
+    mergeMinKDrawState(spark, stateDir, "cap_per_source",
+      batch.select(col("source").as("k"), col("doc_id")), cap, batchId)
+
+  /** The per-source cap summary from folded state — identical columns
+    * to the batch [[graft.ops.Sampling.capPerSourceSummary]]. All
+    * inputs are state-bounded (≤ cap rows per source + one count row
+    * per source), so the report is state-mass work, zero corpus scans.
+    */
+  def capPerSourceFromState(spark: SparkSession,
+      stateDir: String): DataFrame = {
+    import spark.implicits._
+    val draw = stateTable(spark, stateDir, "min_k_draw_cap_per_source")
+      .groupBy($"k")
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        sum($"doc_id").as("sum_kept_ids"))
+    stateTable(spark, stateDir, "min_k_counts_cap_per_source")
+      .join(draw, Seq("k"), "left")
+      .select($"k".as("source"), $"n_docs",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"sum_kept_ids", lit(0L)).as("sum_kept_ids"))
+      .orderBy("source")
+  }
+
+  /** Fold a batch of PRE-BANDED rows (bpb_band: Long, doc_id) into the
+    * per-band draw — [[mergeMinKDrawState]] with the band as the key
+    * (the [[graft.ops.Sampling.sampleLmBand]] contract). Banding
+    * belongs to the CALLER because it must come from a frozen scorer
+    * ([[lmScoreAgainstState]] + floor) for batches to be rebandable-
+    * free; the parity spec folds the one-shot model's bands to pin
+    * the machinery against the batch operator exactly.
+    */
+  def mergeLmBandState(spark: SparkSession, stateDir: String,
+      banded: DataFrame, batchId: Long = -1L,
+      cap: Int = graft.ops.Sampling.LmBandCap): Unit =
+    mergeMinKDrawState(spark, stateDir, "lm_band",
+      banded.select(col("bpb_band").cast("string").as("k"), col("doc_id")),
+      cap, batchId)
+
+  /** The band-stratified draw from folded state — identical columns
+    * and ranks to the batch [[graft.ops.Sampling.sampleLmBand]].
+    * Ranks come from per-key sorted collect_list over the ≤ cap
+    * surviving buffer rows (state-bounded — no window over corpus
+    * mass, nothing corpus-sized exists here at all).
+    */
+  def lmBandFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    stateTable(spark, stateDir, "min_k_draw_lm_band")
+      .groupBy($"k")
+      .agg(sort_array(collect_list(struct($"h", $"doc_id"))).as("top"))
+      .select($"k".cast("long").as("bpb_band"), posexplode($"top"))
+      .select($"col.doc_id".as("doc_id"), $"bpb_band",
+        ($"pos" + 1).cast("long").as("rk"))
+      .orderBy("bpb_band", "rk")
+  }
+
   /** Fold a batch's per-day event counts into persistent state — the
     * additive sufficient statistic for the LIVE dyadic-EWMA volume
     * monitor (25th streaming twin): daily counts add across batches in

@@ -1,43 +1,111 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Exact bounded minimum-k selector over (sortKey, id) pairs as a typed
-  * `Aggregator` (the [[MisraGriesAggregator]] shell, but EXACT: the k
+/** Exact bounded k-smallest selector as a typed `Aggregator` — the
+  * scale-safe replacement for a key-partitioned rank window. The k
   * smallest elements of a union are the k smallest of each side's k
-  * smallest, so min-k is a lossless mergeable summary — no merge-order
-  * sensitivity, no approximation). Buffers never exceed k entries, so a
+  * smallest, so min-k is a LOSSLESS mergeable summary: no merge-order
+  * sensitivity, no approximation. Buffers never exceed k entries, so a
   * per-key top-k rides ONE map-side-combining aggregation whose shuffle
-  * carries ≤ k pairs per (key, partition) — the scale-safe replacement
-  * for a key-partitioned rank window, whose per-key sort funnels the
-  * whole key's mass through single tasks (measured 26× vs the trunk's
-  * 4.9× on the ×100 one-band worst case before this existed).
+  * carries ≤ k elements per (key, partition), where a window partition
+  * cannot be split by AQE and funnels the whole key's mass through
+  * single tasks (measured 26× vs the trunk's 4.9× on the ×100 one-band
+  * worst case before this existed).
   *
-  * Ordering is the natural (String, Long) tuple order — sortKey
-  * ascending, id ascending as the tie-break — matching the md5-rank
-  * sampling contract. `finish` returns the winners already sorted, so
-  * rank = array position + 1.
+  * The buffer is kept SORTED by `ord` at all times: `reduce` rejects a
+  * loser against the current worst in O(1), and accepts a winner via
+  * binary-search insertion — O(log k) comparisons + one O(k) copy,
+  * versus the draft's O(k log k) re-sort per absorbed row (ADVICE r16).
+  * `finish` returns the winners already sorted, so rank = position + 1.
+  *
+  * Descending orders are concrete subclasses (not an unbounded generic:
+  * each fixes its element type so the Encoders stay compile-time
+  * `ExpressionEncoder`s with no runtime-reflection serialization risk).
+  */
+abstract class BoundedMinKAggregator[T](k: Int)
+  extends Aggregator[T, Seq[T], Seq[T]] {
+
+  require(k > 0, s"min-k cap must be positive, got $k")
+
+  protected def ord: Ordering[T]
+
+  def zero: Seq[T] = Vector.empty
+
+  def reduce(b: Seq[T], x: T): Seq[T] =
+    if (b.length >= k && ord.lteq(b.last, x)) b // full and x can't win
+    else {
+      val v: IndexedSeq[T] = b match {
+        case is: IndexedSeq[T] => is
+        case other => other.toIndexedSeq
+      }
+      // insertion point AFTER equal elements (stable, like .sorted)
+      var lo = 0
+      var hi = v.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.lteq(v(mid), x)) lo = mid + 1 else hi = mid
+      }
+      val ins = (v.take(lo) :+ x) ++ v.drop(lo)
+      if (ins.length > k) ins.take(k) else ins
+    }
+
+  def merge(a: Seq[T], b: Seq[T]): Seq[T] =
+    (a ++ b).sorted(ord).take(k)
+
+  def finish(b: Seq[T]): Seq[T] = b
+}
+
+/** Min-k over (sortKey, id) pairs in the natural (String, Long) order —
+  * sortKey ascending, id ascending as the tie-break — matching the
+  * md5-rank sampling contract (capPerSourceSummary, sampleLmBand).
   */
 class MinKPairsAggregator(k: Int)
-  extends Aggregator[(String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
+  extends BoundedMinKAggregator[(String, Long)](k) {
 
-  private val ord = implicitly[Ordering[(String, Long)]]
-
-  def zero: Seq[(String, Long)] = Seq.empty
-
-  def reduce(b: Seq[(String, Long)], x: (String, Long)): Seq[(String, Long)] =
-    if (b.length >= k && ord.lteq(b.last, x)) b // full and x can't win
-    else (b :+ x).sorted.take(k)
-
-  def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
-    (a ++ b).sorted.take(k)
-
-  def finish(b: Seq[(String, Long)]): Seq[(String, Long)] = b
+  protected val ord: Ordering[(String, Long)] =
+    implicitly[Ordering[(String, Long)]]
 
   def bufferEncoder: Encoder[Seq[(String, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+    ExpressionEncoder[Seq[(String, Long)]]()
 
   def outputEncoder: Encoder[Seq[(String, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+    ExpressionEncoder[Seq[(String, Long)]]()
+}
+
+/** Top-k over (score, id) pairs — score DESCENDING, id ascending as the
+  * tie-break: the per-key "best n by score" selection (sampleDsirTopK's
+  * raw_score desc, doc_id asc contract). Same lossless mergeable min-k,
+  * under the inverted score order.
+  */
+class TopKByScoreAggregator(k: Int)
+  extends BoundedMinKAggregator[(Long, Long)](k) {
+
+  protected val ord: Ordering[(Long, Long)] =
+    Ordering.Tuple2(Ordering[Long].reverse, Ordering[Long])
+
+  def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+
+  def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+}
+
+/** Top-k over (count, item) pairs — count DESCENDING, item ascending as
+  * the tie-break: the per-key "most frequent k strings" selection
+  * (taNgramTop's n desc, bigram asc contract).
+  */
+class TopKCountedAggregator(k: Int)
+  extends BoundedMinKAggregator[(Long, String)](k) {
+
+  protected val ord: Ordering[(Long, String)] =
+    Ordering.Tuple2(Ordering[Long].reverse, Ordering[String])
+
+  def bufferEncoder: Encoder[Seq[(Long, String)]] =
+    ExpressionEncoder[Seq[(Long, String)]]()
+
+  def outputEncoder: Encoder[Seq[(Long, String)]] =
+    ExpressionEncoder[Seq[(Long, String)]]()
 }

@@ -957,9 +957,15 @@ object Curation {
     *
     * Scale shape: one (lang, bigram) count aggregation with map-side
     * partial combine (the explode never reaches the shuffle unreduced),
-    * then a per-lang window over the counted table — the window input
-    * is |distinct bigrams|, not corpus rows, and at 100 TB the count
-    * table would be pre-filtered by a min-count before ranking.
+    * then the per-lang top-k as ONE bounded mergeable
+    * [[graft.functions.TopKCountedAggregator]] pass (r17 rewrite). The
+    * ranked input is the bigram LEXICON, Heaps-sublinear in theory —
+    * but the r16 trigram probes measured lexicon growth near-LINEAR on
+    * adversarial corpora, and a per-lang rank window cannot be split by
+    * AQE: one lang's full lexicon would sort through a single task.
+    * The min-k buffers never exceed k, so the shuffle carries ≤ k
+    * (count, bigram) pairs per (lang, partition) regardless of lexicon
+    * size.
     */
   def taNgramTop(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import s.implicits._
@@ -975,12 +981,17 @@ object Curation {
             i => concat_ws(" ",
               try_element_at($"tks", i), try_element_at($"tks", i + 1))))
           .as("bigram"))
-    val counted = bigrams.groupBy($"lang", $"bigram")
+    bigrams.groupBy($"lang", $"bigram")
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram".asc)
-    counted.withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= k)
-      .select($"lang", $"rk", $"bigram", $"n")
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._3, t._2)) // (n, bigram) under (desc, asc)
+      .agg(new graft.functions.TopKCountedAggregator(k)
+        .toColumn.name("top"))
+      .toDF("lang", "top")
+      .select($"lang", posexplode($"top"))
+      .select($"lang", ($"pos" + 1).cast("long").as("rk"),
+        $"col._2".as("bigram"), $"col._1".as("n"))
       .orderBy("lang", "rk")
   }
 
@@ -1554,20 +1565,32 @@ object Curation {
     * integer importance discriminant (ties doc_id asc) — what
     * [[taImportance]]'s scores exist FOR (Xie et al. 2023 resample the
     * raw corpus toward the target domain; the deterministic top-n is
-    * the auditable variant). Per-source ranking via one window over
-    * the scored rows — the heavy lifting (model build, scoring) is the
-    * importance pass itself; the selection adds one source-partitioned
-    * shuffle of (doc_id, source, score) id-rows only.
+    * the auditable variant). The heavy lifting (model build, scoring)
+    * is the importance pass itself; the selection (r17 rewrite) is ONE
+    * bounded mergeable [[graft.functions.TopKByScoreAggregator]] pass
+    * over (raw_score desc, doc_id asc) pairs — the r10–r16 form was a
+    * source-partitioned rank window, which cannot be split by AQE, so
+    * a hot source's full scored mass (O(corpus docs), thin id-rows but
+    * still one task's sort) funneled through a single reducer at
+    * 100 TB. Min-k buffers never exceed n, so the shuffle carries ≤ n
+    * pairs per (source, partition). Output unchanged — same oracle,
+    * same ranks.
     */
   def sampleDsirTopK(s: SparkSession, dir: String, n: Int = DsirPerSource): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"source").orderBy($"raw_score".desc, $"doc_id".asc)
     taImportance(s, dir)
       .select($"doc_id", $"raw_score")
       .join(t(s, dir, "documents").select($"doc_id", $"source"), Seq("doc_id"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= n)
-      .select($"source", $"rk", $"doc_id", $"raw_score")
+      .select($"source", $"raw_score", $"doc_id")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3)) // (raw_score, doc_id) under (desc, asc)
+      .agg(new graft.functions.TopKByScoreAggregator(n)
+        .toColumn.name("top"))
+      .toDF("source", "top")
+      .select($"source", posexplode($"top"))
+      .select($"source", ($"pos" + 1).cast("long").as("rk"),
+        $"col._2".as("doc_id"), $"col._1".as("raw_score"))
       .orderBy("source", "rk")
   }
 
@@ -1899,18 +1922,24 @@ object Curation {
     * while the key pair sorts distributively whenever the order is
     * actually consumed.
     *
-    * 100 TB shape: one window rank partitioned by source (same shuffle
-    * and skew story as [[Sampling.capPerSourceSummary]]).
+    * 100 TB shape (r17 rewrite): the r10–r16 form was a rank window
+    * partitioned by source — order-PRODUCING (every row keeps its
+    * rank), so the min-k aggregator that retired the top-cap windows
+    * does not apply; and a window partition cannot be split by AQE,
+    * so a hot source's full mass sorted through ONE task. The rank is
+    * now [[Scale.perKeyRowNumber]]'s two-pass distributed prefix
+    * count: range-partition on the FULL (source, n_tokens, doc_id)
+    * order (a mega-source parallelizes across partitions), ship one
+    * bounded (partition, source) count per boundary to the driver,
+    * emit ranks from per-partition base offsets. Output unchanged —
+    * same oracle, same ranks.
     */
   def mixCurriculum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source")
-      .orderBy($"n_tokens".asc, $"doc_id".asc)
-    t(s, dir, "documents")
+    val sized = t(s, dir, "documents")
       .select($"doc_id", $"source",
         TextAnalysis.tokenCount($"text").as("n_tokens"))
-      .withColumn("src_rank", row_number().over(w).cast("long"))
+    Scale.perKeyRowNumber(sized, "source", Seq("n_tokens", "doc_id"), "src_rank")
       .select($"src_rank", $"source", $"doc_id", $"n_tokens")
       .orderBy($"src_rank", $"source", $"doc_id")
   }

@@ -36,6 +36,45 @@ object Scale {
     }
   }
 
+  /** Key-partitioned rank windows over unbounded corpus mass — the
+    * per-key sibling of [[serialWindows]] (VERDICT r16 #6). A window
+    * partitioned by a LOW-CARDINALITY key (source, lang, a quality
+    * band: dimensions whose cardinality grows with the number of
+    * domains, not with data volume) over a corpus-mass input is the
+    * skew twin of the unpartitioned funnel: a window partition cannot
+    * be split by AQE, so one hot key's full mass sorts through ONE
+    * task (measured 26× at the ×100 one-band worst case before the
+    * min-k rewrites). Flagged: a window whose partition keys all
+    * resolve to `lowCardKeys` names and whose input subtree reaches a
+    * relation leaf without passing a bounding node — a Limit, a
+    * LocalRelation, or an Aggregate whose grouping keys are themselves
+    * all low-card (a (lang, bigram) lexicon aggregate does NOT bound:
+    * the r16 trigram probes measured lexicon growth near-linear on
+    * adversarial corpora). Checkpointed segments (LogicalRDD leaves)
+    * conservatively read as unbounded — the PlanSpec whitelist carries
+    * the audited bound.
+    */
+  def perKeyCorpusWindows(plan: logical.LogicalPlan,
+      lowCardKeys: Set[String]): Seq[logical.Window] = {
+    def boundedMass(p: logical.LogicalPlan): Boolean = p match {
+      case _: logical.GlobalLimit | _: logical.LocalLimit => true
+      case a: logical.Aggregate =>
+        a.groupingExpressions.isEmpty ||
+          a.groupingExpressions.forall(
+            _.references.forall(r => lowCardKeys.contains(r.name)))
+      case _: logical.LocalRelation => true
+      case _: logical.LeafNode => false
+      case other => other.children.forall(boundedMass)
+    }
+    plan.collect {
+      case w: logical.Window if w.partitionSpec.nonEmpty &&
+          w.partitionSpec.exists(_.references.nonEmpty) &&
+          w.partitionSpec.forall(
+            _.references.forall(r => lowCardKeys.contains(r.name))) &&
+          !boundedMass(w.child) => w
+    }
+  }
+
   /** `localCheckpoint` with the unpartitioned-window gate applied to
     * the segment about to execute (PlanSpec r9 blind spot: an eagerly
     * checkpointed segment has already collapsed to a LogicalRDD by the
@@ -305,6 +344,73 @@ object Scale {
         (key.cast("long") === lit(bk) && id.cast("long") > lit(bid)), 1L)
         .otherwise(0L)
     }.reduce(_ + _) + lit(1L)
+
+  /** Per-key 1-based row rank over the total order (key asc,
+    * orderCols asc) WITHOUT a key-partitioned rank window — the
+    * order-PRODUCING member of the rank-window-retirement family
+    * (VERDICT r16 #1). A `row_number().over(Window.partitionBy(key))`
+    * assigns a rank to EVERY row, and a window partition cannot be
+    * split by AQE: a hot key's full mass sorts through ONE task at
+    * 100 TB (the smell the min-k aggregator kills for top-CAP shapes —
+    * but min-k cannot produce a full ranking). This kernel can: it is
+    * the [[ntileBoundaries]]/unimax two-pass distributed prefix count.
+    *
+    * Pass 0 range-partitions on the FULL (key, order) sort key, so a
+    * mega-key PARALLELIZES across partitions instead of serializing
+    * through one. Pass 1 ships one (partition, key) row count per
+    * boundary to the driver (≤ partitions + |keys| rows — bounded at
+    * any corpus scale). Pass 2 emits each row with rank = its key's
+    * base offset for this partition + the local running position.
+    * Nothing corpus-sized ever leaves the executors.
+    *
+    * The (key, orderCols) tuple must be a total order (unique — give
+    * it an id tiebreaker), exactly what a deterministic rank needs
+    * anyway. DESC orderings: negate the column.
+    */
+  def perKeyRowNumber(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      rankCol: String, partitions: Int = 32): DataFrame = {
+    val s = df.sparkSession
+    val sortCols = (keyCol +: orderCols).map(c => col(c).asc)
+    val sorted = df
+      .repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .gatedCheckpoint() // freeze sampled range boundaries
+    val keyIdx = sorted.schema.fieldIndex(keyCol)
+    val partials = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { r =>
+        val k = r.get(keyIdx)
+        m.update(k, m.getOrElse(k, 0L) + 1L)
+      }
+      m.iterator.map { case (k, c) => (pid, k, c) }
+    }.collect() // bounded: <= partitions + |keys| rows
+    val base: Map[(Int, Any), Long] =
+      partials.groupBy(_._2).flatMap { case (k, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, c) =>
+          val e = ((pid, k), acc); acc += c; e
+        }
+      }
+    val baseBc = s.sparkContext.broadcast(base)
+    val schema = sorted.schema
+      .add(rankCol, org.apache.spark.sql.types.LongType, nullable = false)
+    val ranked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val bases = baseBc.value
+      var cur: Any = null
+      var started = false
+      var rank = 0L
+      it.map { r =>
+        val k = r.get(keyIdx)
+        if (!started || k != cur) {
+          cur = k; started = true
+          rank = bases.getOrElse((pid, k), 0L)
+        }
+        rank += 1L
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rank)
+      }
+    }
+    s.createDataFrame(ranked, schema)
+  }
 
   /** Rank (equi-depth) scaling to the [0, 2^bits) grid: a value's cell
     * is how many cutpoints it exceeds — each cell holds ~the same row

@@ -1775,11 +1775,179 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Per-doc 4-gram stream (doc_id, a, b, c, d) — three nested array
+    * zips in the scan projection, [[lmTrigramsOf]] one order up: still
+    * no window, no per-doc shuffle.
+    */
+  private[graft] def lmQuadgramsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tk = tokens($"text")
+    val nq = greatest(size(tk) - 3, lit(0))
+    docs
+      .select($"doc_id", explode(zip_with(
+        zip_with(
+          zip_with(slice(tk, lit(1), nq), slice(tk, lit(2), nq),
+            (a, b) => struct(a.as("a"), b.as("b"))),
+          slice(tk, lit(3), nq),
+          (ab, c) => struct(ab.getField("a").as("a"),
+            ab.getField("b").as("b"), c.as("c"))),
+        slice(tk, lit(4), nq),
+        (abc, d) => struct(abc.getField("a").as("a"),
+          abc.getField("b").as("b"), abc.getField("c").as("c"),
+          d.as("d")))).as("qg"))
+      .select($"doc_id", $"qg.a".as("a"), $"qg.b".as("b"),
+        $"qg.c".as("c"), $"qg.d".as("d"))
+  }
+
+  /** ta_lm_kn4: Kneser–Ney-STYLE 4-gram LM scoring (VERDICT r16 ask
+    * #3) — the capstone of the integer-exact LM family. Kneser–Ney's
+    * insight (Kneser & Ney 1995; Chen & Goodman 1999) is that BACKOFF
+    * distributions should weight a continuation by how many DISTINCT
+    * contexts it completes (continuation counts), not how often it
+    * occurs — "Francisco" is frequent but only ever follows "San", so
+    * its backoff weight should be tiny. Continuation counts are
+    * DISTINCT-TYPE counts, i.e. all-integer — which is exactly what
+    * makes a KN-style tier DuckDB-replayable where Good–Turing's
+    * float discount α is not (the open design question the r16
+    * verdict named, resolved the same way the trigram tier replaced
+    * Katz's float α with a constant-bit penalty).
+    *
+    * The model is the textbook continuation-count recursion, every
+    * table derived from the ONE 4-gram type table `qcnt(a,b,c,d,c4)`:
+    *   ctx4(a,b,c)  = Σ_d c4           (higher-order context mass)
+    *   cont3(b,c,d) = |{a : (a,b,c,d) ∈ qcnt}|   N1+(•bcd)
+    *   ctx3(b,c)    = |{(a,d) : (a,b,c,d) ∈ qcnt}|  N1+(•bc•)
+    *   cont2(c,d)   = |{b : (b,c,d) ∈ cont3}|    N1+(•cd) over types
+    *   ctx2(c)      = |{(b,d)}|, cont1(d) = |{c : (c,d) ∈ cont2}|,
+    *   ctx1         = |cont2| (distinct continuation-bigram types).
+    * Scoring ladder per 4-gram occurrence, each level the add-V
+    * floor-log₂ bit estimate of its level's ratio plus a fixed 1-bit
+    * penalty per level backed off (the trigram tier's convention):
+    *   c4 ≥ 2        → ⌊log₂((ctx4+V) DIV (c4+1))⌋           level 0
+    *   cont3 ≥ 2     → ⌊log₂((ctx3+V) DIV (cont3+1))⌋ + 1    level 1
+    *   cont2 ≥ 2     → ⌊log₂((ctx2+V) DIV (cont2+1))⌋ + 2    level 2
+    *   otherwise     → ⌊log₂((ctx1+V) DIV (cont1+1))⌋ + 3    level 3
+    * The ladder keys on evidence BREADTH (≥ 2 distinct contexts), the
+    * genuinely KN-flavored reliability test; V is the corpus
+    * vocabulary, the family's shared smoothing constant.
+    *
+    * 100 TB shape: 4-grams from nested array zips in the scan
+    * projection; ONE (doc, 4-gram) occurrence shuffle; `qcnt` is
+    * gatedCheckpoint-ed (type-lexicon-sized — the model artifact) so
+    * the seven model aggregates are passes over the checkpoint, not
+    * seven re-derivations of the corpus trunk. Scoring is
+    * VOCABULARY-sided (the trigram tier's measured 14.4×-vs-61×
+    * lesson): bits depend only on model counts, so the model joins
+    * run once per DISTINCT 4-gram and the per-doc occurrence stream
+    * pays exactly ONE co-partitioned join against the scored lexicon.
+    * All lexicon joins are fact-fact on n-gram keys (a 4-gram lexicon
+    * is not broadcastable at corpus scale — SMJ is the correct
+    * shape); V and ctx1 broadcast as 1-row scalars; integer sums
+    * commute.
+    */
+  private[graft] def lmKn4Scored(docs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val qocc = lmQuadgramsOf(docs)
+      .groupBy($"doc_id", $"a", $"b", $"c", $"d")
+      .agg(count(lit(1)).as("n_occ"))
+    val qcnt = qocc.groupBy($"a", $"b", $"c", $"d")
+      .agg(sum($"n_occ").as("c4"))
+      .gatedCheckpoint()
+    val ctx4 = qcnt.groupBy($"a", $"b", $"c").agg(sum($"c4").as("ctx4"))
+    val cont3 = qcnt.groupBy($"b", $"c", $"d")
+      .agg(count(lit(1)).as("cont3"))
+    val ctx3 = qcnt.groupBy($"b", $"c").agg(count(lit(1)).as("ctx3"))
+    val cont2 = cont3.groupBy($"c", $"d").agg(count(lit(1)).as("cont2"))
+    val ctx2 = cont3.groupBy($"c").agg(count(lit(1)).as("ctx2"))
+    val cont1 = cont2.groupBy($"d").agg(count(lit(1)).as("cont1"))
+    val scalars = lmTokensOf(docs).select($"w").distinct()
+      .agg(count(lit(1)).as("v"))
+      .crossJoin(cont2.agg(count(lit(1)).as("ctx1")))
+    val level = when($"c4" >= 2, lit(0L))
+      .when($"cont3" >= 2, lit(1L))
+      .when($"cont2" >= 2, lit(2L))
+      .otherwise(lit(3L))
+    // length(bin(x)) - 1 = ⌊log₂ x⌋; the +1-bit-per-level penalty
+    // folds into the constant (-1, 0, +1, +2)
+    val bits = when($"c4" >= 2,
+        (length(conv(expr("(ctx4 + v) DIV (c4 + 1)"), 10, 2)) - 1)
+          .cast("long"))
+      .when($"cont3" >= 2,
+        length(conv(expr("(ctx3 + v) DIV (cont3 + 1)"), 10, 2))
+          .cast("long"))
+      .when($"cont2" >= 2,
+        (length(conv(expr("(ctx2 + v) DIV (cont2 + 1)"), 10, 2)) + 1)
+          .cast("long"))
+      .otherwise(
+        (length(conv(expr("(ctx1 + v) DIV (cont1 + 1)"), 10, 2)) + 2)
+          .cast("long"))
+    val scored = qcnt
+      .join(ctx4, Seq("a", "b", "c"))
+      .join(cont3, Seq("b", "c", "d"))
+      .join(ctx3, Seq("b", "c"))
+      .join(cont2, Seq("c", "d"))
+      .join(ctx2, Seq("c"))
+      .join(cont1, Seq("d"))
+      .crossJoin(broadcast(scalars))
+      .select($"a", $"b", $"c", $"d", level.as("level"), bits.as("bits"))
+    (qocc, scored)
+  }
+
+  /** Per-doc KN-4-gram surprisal over any (doc_id, text) frame:
+    * 4-gram count, backoff count (occurrences scored below level 0 —
+    * the model-coverage diagnostic), total bits, bits/4-gram (ONE
+    * IEEE division). Docs under 4 tokens have no 4-grams and are
+    * absent, the n-gram family convention.
+    */
+  def lmKn4SurprisalOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (qocc, scored) = lmKn4Scored(docs)
+    qocc
+      .join(scored, Seq("a", "b", "c", "d"))
+      .groupBy($"doc_id")
+      .agg(sum($"n_occ").as("n_quadgrams"),
+        sum(when($"level" >= 1, $"n_occ").otherwise(0L)).as("n_backoff"),
+        sum($"bits" * $"n_occ").as("total_bits"))
+      .select($"doc_id", $"n_quadgrams", $"n_backoff", $"total_bits",
+        ($"total_bits".cast("double") / $"n_quadgrams".cast("double"))
+          .as("bits_per_quadgram"))
+      .orderBy("doc_id")
+  }
+
+  def taLmKn4(s: SparkSession, dir: String): DataFrame =
+    lmKn4SurprisalOf(t(s, dir, "documents"))
+
+  /** ta_lm_kn4_levels: the backoff-ladder census — per scoring level,
+    * distinct 4-gram types, occurrence mass, and total bits. The
+    * model-capacity audit a pipeline owner reads to size the n-gram
+    * order (a corpus scoring mostly at level ≥ 2 does not support a
+    * 4-gram model; one scoring mostly at level 0 might support a
+    * 5-gram). Four-row output: one |levels|-bounded rollup over the
+    * scored lexicon joined to the occurrence aggregate.
+    */
+  def taLmKn4Levels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (qocc, scored) = lmKn4Scored(t(s, dir, "documents"))
+    qocc
+      .join(scored, Seq("a", "b", "c", "d"))
+      .groupBy($"level")
+      .agg(count_distinct(struct($"a", $"b", $"c", $"d")).as("n_types"),
+        sum($"n_occ").as("n_occ"),
+        sum($"bits" * $"n_occ").as("total_bits"))
+      .orderBy("level")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_lm_surprisal" -> taLmSurprisal,
     "ta_lm_quality_hist" -> taLmQualityHist,
     "ta_lm_trigram" -> taLmTrigram,
     "ta_lm_backoff_rate" -> taLmBackoffRate,
+    "ta_lm_kn4" -> taLmKn4,
+    "ta_lm_kn4_levels" -> taLmKn4Levels,
     "ta_zipf_dyadic" -> taZipfDyadic,
     // oracle-gated since r12: frozen-merge replay ([[bpeEncodeCtes]])
     "ta_fertility" -> ((s, d) => taFertility(s, d)),
@@ -2185,6 +2353,74 @@ $chainSql      curve AS ($budgetSelects)
         CROSS JOIN vv
         GROUP BY t.doc_id)"""
 
+  /** Shared CTEs of the KN-4-gram oracles: the continuation-count
+    * recursion replayed verbatim — every model table an integer
+    * DISTINCT-type aggregate of the 4-gram type table, the scoring
+    * ladder the same floor-log₂ bit arithmetic (length(bin(x)) - 1),
+    * the per-level penalty folded into the constant. All-integer, so
+    * byte-exact across engines.
+    */
+  private[ops] def lmKn4Ctes: String = s"""
+      ws AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+          x -> len(x) > 0) AS tk
+        FROM documents),
+      toks AS (SELECT doc_id, unnest(tk) AS w FROM ws),
+      vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM toks),
+      quad AS MATERIALIZED (
+        SELECT doc_id, tk[i] AS a, tk[i + 1] AS b, tk[i + 2] AS c,
+          tk[i + 3] AS d
+        FROM ws, UNNEST(range(1, len(tk) - 2)) AS r(i)),
+      qcnt AS MATERIALIZED (
+        SELECT a, b, c, d, CAST(COUNT(*) AS BIGINT) AS c4
+        FROM quad GROUP BY a, b, c, d),
+      kctx4 AS (SELECT a, b, c, CAST(SUM(c4) AS BIGINT) AS ctx4
+        FROM qcnt GROUP BY a, b, c),
+      kcont3 AS MATERIALIZED (
+        SELECT b, c, d, CAST(COUNT(*) AS BIGINT) AS cont3
+        FROM qcnt GROUP BY b, c, d),
+      kctx3 AS (SELECT b, c, CAST(COUNT(*) AS BIGINT) AS ctx3
+        FROM qcnt GROUP BY b, c),
+      kcont2 AS MATERIALIZED (
+        SELECT c, d, CAST(COUNT(*) AS BIGINT) AS cont2
+        FROM kcont3 GROUP BY c, d),
+      kctx2 AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS ctx2
+        FROM kcont3 GROUP BY c),
+      kcont1 AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cont1
+        FROM kcont2 GROUP BY d),
+      kctx1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS ctx1 FROM kcont2),
+      kscored AS MATERIALIZED (
+        SELECT q.a, q.b, q.c, q.d, q.c4,
+          CASE WHEN q.c4 >= 2 THEN 0
+               WHEN t3.cont3 >= 2 THEN 1
+               WHEN t2.cont2 >= 2 THEN 2
+               ELSE 3 END AS level,
+          CAST(CASE WHEN q.c4 >= 2
+            THEN length(bin((x4.ctx4 + vv.v) // (q.c4 + 1))) - 1
+               WHEN t3.cont3 >= 2
+            THEN length(bin((x3.ctx3 + vv.v) // (t3.cont3 + 1)))
+               WHEN t2.cont2 >= 2
+            THEN length(bin((x2.ctx2 + vv.v) // (t2.cont2 + 1))) + 1
+            ELSE length(bin((x1.ctx1 + vv.v) // (t1.cont1 + 1))) + 2
+            END AS BIGINT) AS bits
+        FROM qcnt q
+        JOIN kctx4 x4 ON x4.a = q.a AND x4.b = q.b AND x4.c = q.c
+        JOIN kcont3 t3 ON t3.b = q.b AND t3.c = q.c AND t3.d = q.d
+        JOIN kctx3 x3 ON x3.b = q.b AND x3.c = q.c
+        JOIN kcont2 t2 ON t2.c = q.c AND t2.d = q.d
+        JOIN kctx2 x2 ON x2.c = q.c
+        JOIN kcont1 t1 ON t1.d = q.d
+        CROSS JOIN vv CROSS JOIN kctx1 x1),
+      kperdoc AS MATERIALIZED (
+        SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_quadgrams,
+          CAST(SUM(CASE WHEN s.level >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_backoff,
+          CAST(SUM(s.bits) AS BIGINT) AS total_bits
+        FROM quad g
+        JOIN kscored s
+          ON s.a = g.a AND s.b = g.b AND s.c = g.c AND s.d = g.d
+        GROUP BY g.doc_id)"""
+
   private[ops] def lmSurprisalCtes: String = s"""
       ws AS MATERIALIZED (
         SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
@@ -2236,6 +2472,23 @@ $chainSql      curve AS ($budgetSelects)
         CAST(total_bits AS DOUBLE) / CAST(n_trigrams AS DOUBLE)
           AS bits_per_trigram
       FROM perdoc3 ORDER BY doc_id""",
+    // KN-style 4-gram backoff: the continuation-count recursion,
+    // all-integer, replayed level-for-level (lmKn4Ctes)
+    "ta_lm_kn4" -> s"""
+      WITH $lmKn4Ctes
+      SELECT doc_id, n_quadgrams, n_backoff, total_bits,
+        CAST(total_bits AS DOUBLE) / CAST(n_quadgrams AS DOUBLE)
+          AS bits_per_quadgram
+      FROM kperdoc ORDER BY doc_id""",
+    // the backoff-ladder census: in the self-trained form each type's
+    // occurrence mass IS its model count c4, so the rollup reads the
+    // scored lexicon alone
+    "ta_lm_kn4_levels" -> s"""
+      WITH $lmKn4Ctes
+      SELECT level, CAST(COUNT(*) AS BIGINT) AS n_types,
+        CAST(SUM(c4) AS BIGINT) AS n_occ,
+        CAST(SUM(bits * c4) AS BIGINT) AS total_bits
+      FROM kscored GROUP BY level ORDER BY level""",
     // the per-doc trigram table rolled up by source — coverage audit
     "ta_lm_backoff_rate" -> s"""
       WITH $lmTrigramCtes

@@ -169,6 +169,19 @@ object TwinRegistry {
       Seq(sc("mergeLmTrigramModelState")), "lmTrigramScoreAgainstState",
       Seq("lm_uni", "lm_big", "lm_tri"),
       "incremental trigram-LM model state: folded counts score a corpus identically to the one-shot Katz-backoff model"),
+    // the first O(cap × |keys|)-BOUNDED twin state: min-k is a lossless
+    // mergeable summary, so the fold never stores more than cap rows
+    // per key no matter how many batches fold (40th/41st twins, VERDICT
+    // r16 ask #4 — two readers over the shared mergeMinKDrawState
+    // machinery, the simpson/divergence pattern)
+    Twin("min_k_cap", "versioned-state", "Sampling.capPerSourceSummary",
+      Seq(sc("mergeCapPerSourceState")), "capPerSourceFromState",
+      Seq("min_k_draw_cap_per_source", "min_k_counts_cap_per_source"),
+      "incremental min-k cap state: any-order folds == one-shot per-source cap summary; state stays cap-bounded"),
+    Twin("min_k_band", "versioned-state", "Sampling.sampleLmBand",
+      Seq(sc("mergeLmBandState")), "lmBandFromState",
+      Seq("min_k_draw_lm_band", "min_k_counts_lm_band"),
+      "incremental min-k band state: folded frozen-score bands == one-shot band-stratified draw"),
     Twin("ivfpq_index", "persisted-artifact", "Similarity.simIvfPqANN",
       Seq("writeIvfPqIndex", "appendIvfPqBatch"), "searchIvfPqIndex",
       Seq("cent_id-partitioned code table", "_pqcentroids", "_codebook"),
@@ -179,5 +192,12 @@ object TwinRegistry {
       "searchIvfPqResidualIndex",
       Seq("cent_id-partitioned code table", "_pqcentroids", "_codebook",
         "_residual marker"),
-      "frozen residual IVF-PQ index: serve equals the inline residual tier exactly; marker blocks cross-tier decoding; appends assign against the frozen artifacts"))
+      "frozen residual IVF-PQ index: serve equals the inline residual tier exactly; marker blocks cross-tier decoding; appends assign against the frozen artifacts"),
+    Twin("ivfpq_opq_index", "persisted-artifact",
+      "Similarity.simIvfPqOpqANN",
+      Seq("writeIvfPqOpqIndex", "appendIvfPqOpqBatch"),
+      "searchIvfPqOpqIndex",
+      Seq("cent_id-partitioned code table", "_pqcentroids", "_codebook",
+        "_rotation sidecar", "_opq marker"),
+      "frozen OPQ IVF-PQ index: serve equals the inline OPQ tier exactly; tier markers refuse all six cross-tier directions; appends assign against the frozen artifacts"))
 }

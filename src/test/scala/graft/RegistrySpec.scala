@@ -26,9 +26,9 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registered query count matches the round record") {
-    assert(SparkEntry.queries.size == 282, // r16: +ta_lm_trigram,
-      // +sim_ivfpq_residual, +sample_lm_band, +ta_lm_backoff_rate,
-      // +sim_ivfpq_residual_serve, +sim_ivfpq_residual_recall_curve
+    assert(SparkEntry.queries.size == 286, // r17: +ta_lm_kn4,
+      // +ta_lm_kn4_levels (the KN-style continuation-count tier),
+      // +sim_ivfpq_opq, +sim_ivfpq_opq_serve (the rotated tier)
       s"query count drifted: ${SparkEntry.queries.size} — update the " +
         "round record (NOTES.md/README.md) together with this pin")
   }

@@ -1262,6 +1262,113 @@ class SimilaritySpec extends SparkSpec {
       s"an appended twin must reach the served top-k: ${after.toSeq.take(10)}")
   }
 
+  test("OPQ rotation: exactly orthogonal; rotation preserves dot products") {
+    val r = Similarity.opqRotation()
+    val dim = r.length
+    // RᵀR == I to float round-off (Householder products are orthogonal
+    // by construction — this pins the construction stays one)
+    var maxErr = 0.0
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) {
+        var acc = 0.0
+        var k = 0
+        while (k < dim) { acc += r(k)(i) * r(k)(j); k += 1 }
+        val want = if (i == j) 1.0 else 0.0
+        maxErr = math.max(maxErr, math.abs(acc - want))
+        j += 1
+      }
+      i += 1
+    }
+    assert(maxErr < 1e-12, s"RtR deviates from I by $maxErr")
+    // the ADC-exactness claim: rotations preserve dot products
+    val a = Array.tabulate(dim)(i => math.sin(i + 1.0))
+    val b = Array.tabulate(dim)(i => math.cos(2.0 * i + 1.0))
+    val d0 = Similarity.dotArr(a, b)
+    val d1 = Similarity.dotArr(
+      Similarity.rotate(r, a), Similarity.rotate(r, b))
+    assert(math.abs(d0 - d1) < 1e-12, s"rotation broke the dot: $d0 vs $d1")
+  }
+
+  test("IVF-PQ OPQ tier: recall >= the residual tier at equal nprobe") {
+    // the OPQ claim (Ge et al. 2013): rotating residuals spreads every
+    // original coordinate across all PQ subspaces, so coordinate-
+    // aligned structure stops starving individual codebooks — at the
+    // SAME nprobe, pool width, and re-rank, recall@k vs brute force
+    // must be at least the unrotated residual tier's
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = topkSet(df)
+      brute.keys.toSeq.map { q =>
+        got.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble /
+          Similarity.TopK
+      }.sum / brute.size
+    }
+    val rOpq = recallOf(Similarity.simIvfPqOpqANN(spark, sfDir))
+    val rRes = recallOf(Similarity.simIvfPqResidualANN(spark, sfDir))
+    assert(rOpq >= rRes,
+      s"OPQ recall $rOpq below residual $rRes at equal nprobe")
+    assert(rOpq >= 0.5, s"OPQ recall $rOpq below the family bound")
+  }
+
+  test("frozen OPQ IVF-PQ index: serve equals the inline OPQ tier exactly; tier markers refuse all six cross-tier directions; appends assign against the frozen artifacts") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ivfpqo").toString
+    Similarity.writeIvfPqOpqIndex(spark, sfDir, work)
+    val served = Similarity.searchIvfPqOpqIndex(spark, sfDir, work)
+    val servedRows = served.collect().map(_.toSeq).toSeq
+    val inline = Similarity.simIvfPqOpqANN(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(servedRows == inline,
+      "frozen OPQ serve drifted from the inline OPQ tier")
+    // probes are partition filters here too
+    val scans = served.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.find(_.contains(work)).exists(p =>
+        "PartitionFilters: \\[[^\\]]*cent_id[^\\]]*\\]".r.findFirstIn(p).nonEmpty),
+      s"code scan has no cent_id partition filter:\n${scans.mkString("\n")}")
+    // ALL SIX cross-tier directions (3 tiers × search/append guards,
+    // one indexTier definition): an OPQ index must refuse the plain
+    // and residual paths, and both other layouts must refuse the OPQ
+    // paths — rotated codes through any other decoder score silently
+    // wrong
+    val batch1 = graft.Tables.t(spark, sfDir, "embeddings").limit(1)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    intercept[IllegalArgumentException] {
+      Similarity.searchIvfPqIndex(spark, sfDir, work)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.searchIvfPqResidualIndex(spark, sfDir, work)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqBatch(spark, work, batch1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqResidualBatch(spark, work, batch1)
+    }
+    val plainWork = java.nio.file.Files.createTempDirectory("graft-ivfpqo-p").toString
+    Similarity.writeIvfPqIndex(spark, sfDir, plainWork)
+    intercept[IllegalArgumentException] {
+      Similarity.searchIvfPqOpqIndex(spark, sfDir, plainWork)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqOpqBatch(spark, plainWork, batch1)
+    }
+    // append lifecycle: exact twins enter against the FROZEN rotation,
+    // centroids and codebook, and must surface in the served top-k
+    val base = graft.Tables.t(spark, sfDir, "embeddings")
+    val twinIds = servedRows.filter(_(1) == 1L).map(_(2).asInstanceOf[Long]).take(5)
+    val twins = base.filter($"vec_id".isInCollection(twinIds))
+      .select(($"vec_id" + 100000L).as("vec_id"), $"label", $"embedding")
+    val fixDir = java.nio.file.Files.createTempDirectory("graft-ivfpqo-fix").toString
+    base.unionByName(twins).write.parquet(s"$fixDir/embeddings.parquet")
+    Similarity.appendIvfPqOpqBatch(spark, work, twins
+      .select($"vec_id", $"embedding".cast("array<double>").as("e")))
+    val after = Similarity.searchIvfPqOpqIndex(spark, fixDir, work).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(after.exists(_._3 >= 100000L),
+      s"an appended twin must reach the served top-k: ${after.toSeq.take(10)}")
+  }
+
   test("residual recall curve: coverage-monotone to the pool cliff; at the registered " +
       "nprobe it matches the residual query's own recall and rides at or above the plain curve") {
     val got = Similarity.simIvfPqResidualRecallCurve(spark, sfDir).collect()
@@ -1911,6 +2018,83 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L)._2 == 0L, "repeated trigrams must never back off")
     assert(got(2L)._2 == got(2L)._1,
       "all-singleton trigrams must always back off")
+  }
+
+  test("KN 4-gram: bits match an in-JVM continuation-count model; " +
+      "all four ladder levels fire; templated < garbled") {
+    // fixture exercises every backoff level: doc 1 templated (repeated
+    // 4-grams → level 0, zero backoff), docs 3/4 share a (p1,p2,p3)
+    // tail under two distinct predecessors (singleton 4-grams, cont3=2
+    // → level 1), docs 5/6 share only the (s1,s2) continuation under
+    // two distinct b's (cont3=1, cont2=2 → level 2), doc 2 all-unique
+    // (every count chain bottoms out → level 3, full backoff)
+    val docs = Seq(
+      (1L, "a b a b a b a b a b a b"),
+      (2L, "g1 g2 g3 g4 g5 g6 g7 g8 g9 g10 g11 g12"),
+      (3L, "u1 p1 p2 p3"),
+      (4L, "u2 p1 p2 p3"),
+      (5L, "w1 m1 s1 s2"),
+      (6L, "w2 m2 s1 s2"))
+    val work = java.nio.file.Files.createTempDirectory("graft-kn4").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$work/documents.parquet")
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val v = toks.flatMap(_._2).distinct.size.toLong
+    val quads = toks.flatMap { case (id, ws) =>
+      ws.lazyZip(ws.drop(1)).lazyZip(ws.drop(2)).lazyZip(ws.drop(3)).toSeq
+        .map { case (a, b, c, d) => (id, (a, b, c, d)) } }
+    val qcnt = quads.groupBy(_._2).map { case (q, xs) => q -> xs.size.toLong }
+    // the continuation-count recursion, each level a distinct-type
+    // aggregate of the one above (Chen & Goodman's N1+ chain)
+    val ctx4 = qcnt.groupBy { case ((a, b, c, _), _) => (a, b, c) }
+      .map { case (k, m) => k -> m.values.sum }
+    val cont3 = qcnt.keys.toSeq.groupBy { case (_, b, c, d) => (b, c, d) }
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val ctx3 = qcnt.keys.toSeq.groupBy { case (_, b, c, _) => (b, c) }
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val cont2 = cont3.keys.toSeq.groupBy { case (_, c, d) => (c, d) }
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val ctx2 = cont3.keys.toSeq.groupBy { case (_, c, _) => c }
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val cont1 = cont2.keys.toSeq.groupBy { case (_, d) => d }
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val ctx1 = cont2.size.toLong
+    def bitlen(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    def score(q: (String, String, String, String)): (Long, Long) = {
+      val (a, b, c, d) = q
+      if (qcnt(q) >= 2L)
+        (bitlen((ctx4((a, b, c)) + v) / (qcnt(q) + 1L)), 0L)
+      else if (cont3((b, c, d)) >= 2L)
+        (1L + bitlen((ctx3((b, c)) + v) / (cont3((b, c, d)) + 1L)), 1L)
+      else if (cont2((c, d)) >= 2L)
+        (2L + bitlen((ctx2(c) + v) / (cont2((c, d)) + 1L)), 2L)
+      else
+        (3L + bitlen((ctx1 + v) / (cont1(d) + 1L)), 3L)
+    }
+    val want = quads.groupBy(_._1).map { case (id, qs) =>
+      val scored = qs.map(q => score(q._2))
+      id -> ((qs.size.toLong, scored.count(_._2 >= 1L).toLong,
+        scored.map(_._1).sum,
+        scored.map(_._1).sum.toDouble / qs.size.toDouble))
+    }
+    val got = TextAnalysis.taLmKn4(spark, work).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got(1L)._2 == 0L, "repeated 4-grams must never back off")
+    assert(got(2L)._2 == got(2L)._1, "all-unique 4-grams must always back off")
+    assert(got(1L)._4 < got(2L)._4,
+      "templated 4-grams must score below garbled ones")
+    // the levels census: every ladder level fires, exactly as the
+    // reference predicts (types AND occurrence mass)
+    val wantLevels = quads.map { case (_, q) => (score(q)._2, q) }
+      .groupBy(_._1).map { case (lvl, xs) =>
+        lvl -> ((xs.map(_._2).distinct.size.toLong, xs.size.toLong))
+      }
+    val gotLevels = TextAnalysis.taLmKn4Levels(spark, work).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotLevels == wantLevels, s"got $gotLevels want $wantLevels")
+    assert(gotLevels.keySet == Set(0L, 1L, 2L, 3L),
+      "fixture must exercise all four ladder levels")
   }
 
   /** Classic single-machine BPE (Sennrich et al.) over a word-freq map

@@ -390,4 +390,26 @@ class ScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("perKeyRowNumber equals the per-key rank window exactly, any key skew") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(0x17)
+    // regimes: empty, one hot key owning ~90% of rows (the mega-key
+    // case the kernel exists for), uniform keys, single-row keys
+    Seq(0, 1, 7, 100, 450).foreach { n =>
+      val rows = (0 until n).map { i =>
+        val k = if (rnd.nextInt(10) < 9) "hot" else s"k${rnd.nextInt(5)}"
+        (k, rnd.nextInt(50).toLong, i.toLong)
+      }
+      val df = rows.toDF("k", "v", "id")
+      val got = Scale.perKeyRowNumber(df, "k", Seq("v", "id"), "rk",
+          partitions = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val ref = df.withColumn("rk", row_number().over(
+          Window.partitionBy($"k").orderBy($"v".asc, $"id".asc)).cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(got == ref, s"n=$n")
+    }
+  }
 }

@@ -272,7 +272,7 @@ class PlanSpec extends SparkSpec {
       s"ring windows should partition by the hash bucket:\n$p")
   }
 
-  test("cap/curriculum windows: one shuffle on source, no extra exchanges") {
+  test("cap/curriculum: bounded min-k or prefix-sum rank, never a rank window") {
     // r16: the cap is a bounded min-k aggregation — one exchange on
     // the source key, NO rank window (a window partition cannot be
     // split by AQE, so a hot source funneled through one sort task)
@@ -282,9 +282,34 @@ class PlanSpec extends SparkSpec {
       s"cap aggregation should shuffle exactly once:\n$cap")
     assert(cap.toLowerCase.contains("minkpairs"),
       s"expected the MinKPairs aggregate in the plan:\n$cap")
+    // r17: the curriculum rank is Scale.perKeyRowNumber's two-pass
+    // distributed prefix count (range-partitioned on the FULL sort
+    // key, so a mega-source parallelizes) — the visible tail plan is
+    // the checkpointed ranked frame; what must hold: no Window, no
+    // source-keyed hash shuffle (the retired r10–r16 window shape)
     val cur = plan(graft.ops.Curation.mixCurriculum(spark, sfDir))
-    assert("Exchange hashpartitioning\\(source".r.findAllIn(cur).size == 1,
-      s"curriculum rank should shuffle by source exactly once:\n$cur")
+    assert(!cur.contains("Window"),
+      s"curriculum rank window resurfaced:\n$cur")
+    assert(!cur.contains("Exchange hashpartitioning(source"),
+      s"source-keyed window shuffle resurfaced:\n$cur")
+  }
+
+  test("dsir top-k / ngram top-k: bounded top-k aggregation, no rank window") {
+    // r17 (VERDICT r16 #1a): both were source/lang-partitioned rank
+    // windows — top-CAP-shaped, so they port mechanically to the
+    // descending-key min-k aggregators. The ranked mass (scored corpus
+    // rows; the bigram lexicon, measured near-linear on adversarial
+    // corpora) funneled one hot key through a single sort task before.
+    val dsir = plan(graft.ops.Curation.sampleDsirTopK(spark, sfDir))
+    assert(!dsir.contains("Window"), s"rank-window shape resurfaced:\n$dsir")
+    assert(dsir.toLowerCase.contains("topkbyscore"),
+      s"expected the TopKByScore aggregate in the plan:\n$dsir")
+    assert(!dsir.contains("CartesianProduct"), dsir)
+    val ng = plan(graft.ops.Curation.taNgramTop(spark, sfDir))
+    assert(!ng.contains("Window"), s"rank-window shape resurfaced:\n$ng")
+    assert(ng.toLowerCase.contains("topkcounted"),
+      s"expected the TopKCounted aggregate in the plan:\n$ng")
+    assert(!ng.contains("CartesianProduct"), ng)
   }
 
   test("CMS sketch pass never hash-shuffles the token stream") {
@@ -460,6 +485,38 @@ class PlanSpec extends SparkSpec {
     assert(stale.isEmpty, s"stale whitelist entries: ${stale.mkString(", ")}")
   }
 
+  test("no per-key rank window over unbounded corpus mass in any registered query") {
+    // The skew twin of the sweep above (VERDICT r16 #6): a window
+    // partitioned by a LOW-CARDINALITY corpus dimension (source, lang,
+    // a quality band) over non-aggregated corpus mass funnels a hot
+    // key's full data through ONE un-splittable sort task — the class
+    // the r16/r17 min-k and prefix-sum-rank rewrites retired
+    // (sample_cap_per_source, sample_lm_band, sample_dsir_topk,
+    // ta_ngram_top, mix_curriculum). This gate keeps it retired.
+    val lowCard = Set("source", "lang", "bpb_band")
+    val bounded: Map[String, String] = Map(
+      // audited 2026-08 (r17): per-source cumulative window over the
+      // (source, len) COUNT COLLAPSE — input is bounded by the distinct
+      // token-length domain (sub-linear in volume), not doc count; the
+      // dq_outlier_mad idiom
+      "ta_len_profile" -> "per-source window over the (source, len) count collapse — distinct-length domain, not doc volume")
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val bad = graft.ops.Scale.perKeyCorpusWindows(
+        df.queryExecution.optimizedPlan, lowCard)
+      if (bad.nonEmpty && !bounded.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"per-key corpus-mass windows in: ${offenders.mkString(", ")}")
+    // whitelist hygiene: drop entries whose plan no longer has one
+    val stale = bounded.keys.filterNot { name =>
+      graft.ops.Scale.perKeyCorpusWindows(
+        graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan,
+        lowCard).nonEmpty
+    }
+    assert(stale.isEmpty, s"stale whitelist entries: ${stale.mkString(", ")}")
+  }
+
   test("substr-spans family: gram window is hash-partitioned; no cartesian, no NLJ") {
     // both widths must keep the r10 plan shape: the corpus-wide
     // occurrence count is ONE h-partitioned window (never a self-join
@@ -555,6 +612,21 @@ class PlanSpec extends SparkSpec {
       s"the pool and the query vectors must both broadcast:\n$p")
   }
 
+  test("sim_ivfpq_opq + serve: bounded pool + query vectors broadcast into the re-rank; no SMJ, no cartesian") {
+    // the rotated tier inherits the residual tier's plan obligations:
+    // the rotation is a broadcast model artifact applied inside the
+    // same fused scan, so nothing about the plan shape may change
+    for (q <- Seq(
+        graft.ops.Similarity.simIvfPqOpqANN(spark, sfDir),
+        graft.ops.Similarity.simIvfPqOpqServe(spark, sfDir))) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+      assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+        s"the pool and the query vectors must both broadcast:\n$p")
+    }
+  }
+
   test("sim_ivfpq_residual_recall_curve: tiers are filters over one scored pass; no SMJ, no cartesian") {
     val p = plan(graft.ops.Similarity.simIvfPqResidualRecallCurve(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
@@ -616,6 +688,23 @@ class PlanSpec extends SparkSpec {
     // corpus-sized — a doc_id-keyed shuffle join is the correct shape
     assert(p.contains("partial_count") || p.contains("partial count") ||
       "HashAggregate.*partial".r.findFirstIn(p).nonEmpty, p)
+  }
+
+  test("ta_lm_kn4 family: no cartesian, no window; vocabulary-sided scoring") {
+    // the KN tier inherits the trigram tier's shape obligations: no
+    // per-doc window (4-grams come from nested array zips in the
+    // projection), no cartesian, map-side partial aggregation on every
+    // count table; lexicon joins on n-gram keys are fact-fact at
+    // corpus scale (SMJ correct, deliberately not pinned to broadcast)
+    for (q <- Seq(
+        graft.ops.TextAnalysis.taLmKn4(spark, sfDir),
+        graft.ops.TextAnalysis.taLmKn4Levels(spark, sfDir))) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("Window"), p)
+      assert(p.contains("partial_count") || p.contains("partial count") ||
+        "HashAggregate.*partial".r.findFirstIn(p).nonEmpty, p)
+    }
   }
 
   test("sample_lm_band: bounded min-k aggregation, no rank window; no cartesian") {

@@ -1786,6 +1786,68 @@ class StreamingSpec extends SparkSpec {
       "all-novel transitions must be unscorable against the frozen model")
   }
 
+  test("incremental min-k cap state: any-order folds == one-shot per-source cap summary; state stays cap-bounded") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-minkcap")
+    val st = work.resolve("state").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"source")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // three OUT-OF-ORDER batches: min-k is a lossless mergeable
+    // summary, so arrival order cannot matter
+    Seq(2, 0, 1).foreach { i =>
+      StreamingCuration.mergeCapPerSourceState(spark, st,
+        docs.filter(pmod($"doc_id", lit(3)) === i), batchId = i.toLong)
+    }
+    val oneShot = rows(graft.ops.Sampling.capPerSourceSummary(spark, sfDir))
+    assert(oneShot.nonEmpty)
+    assert(rows(StreamingCuration.capPerSourceFromState(spark, st)) ==
+      oneShot, "folded cap summary must equal the one-shot batch operator")
+    // the BOUNDED-state claim, machine-pinned: after folding the whole
+    // corpus the draw table holds <= cap rows per source (the first
+    // O(cap x |keys|) twin state) and the counts table one row each
+    val perKey = graft.streaming.VersionedState
+      .readTable(spark, st, "min_k_draw_cap_per_source").get
+      .groupBy($"k").count().collect()
+    assert(perKey.nonEmpty &&
+      perKey.forall(_.getLong(1) <= graft.ops.Sampling.CapPerSource),
+      "state must stay cap-bounded per key")
+    // replay: watermark-gated no-op on both tables (a double-fold
+    // would inflate n_docs even though the draw is idempotent)
+    StreamingCuration.mergeCapPerSourceState(spark, st,
+      docs.filter(pmod($"doc_id", lit(3)) === 0), batchId = 0L)
+    assert(rows(StreamingCuration.capPerSourceFromState(spark, st)) ==
+      oneShot, "redelivered batch must not inflate the counts")
+  }
+
+  test("incremental min-k band state: folded frozen-score bands == one-shot band-stratified draw") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-minkband")
+    val st = work.resolve("state").toString
+    // banding must come from a FROZEN scorer (the documented caller
+    // contract); the parity fixture uses the one-shot model's bands so
+    // reader == the batch operator exactly
+    val banded = graft.ops.TextAnalysis
+      .lmSurprisalOf(graft.Tables.t(spark, sfDir, "documents"))
+      .select(floor($"bits_per_bigram").cast("long").as("bpb_band"),
+        $"doc_id")
+      .cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    Seq(1, 0).foreach { i =>
+      StreamingCuration.mergeLmBandState(spark, st,
+        banded.filter(pmod($"doc_id", lit(2)) === i), batchId = i.toLong)
+    }
+    val oneShot = rows(graft.ops.Sampling.sampleLmBand(spark, sfDir))
+    assert(oneShot.nonEmpty)
+    assert(rows(StreamingCuration.lmBandFromState(spark, st)) == oneShot,
+      "folded band draw must equal the one-shot sampler, ranks included")
+    banded.unpersist()
+  }
+
   test("incremental winnow-evidence state: out-of-order folds + replay + torn append == one-shot winnow decon") {
     import spark.implicits._
     import graft.examples.StreamingCuration
