@@ -1003,6 +1003,57 @@ object StreamingCuration {
       Some(stateTable(spark, stateDir, "lm_tri")))
   }
 
+  /** Fold a batch's 4-gram counts into the persistent KN-4-gram model
+    * state (43rd streaming twin — the incremental form of
+    * [[graft.ops.TextAnalysis.taLmKn4]]'s model): the 4-gram count
+    * table is one more additive sufficient statistic, and EVERY
+    * continuation-count table of the KN recursion derives from it at
+    * read time (they are distinct-TYPE counts of the folded table, not
+    * foldable themselves — folding per-batch type counts would double-
+    * count types seen in two batches, so the recursion re-derives from
+    * the lexicon-sized state, which is exactly as cheap as it is in
+    * the one-shot). DELEGATES uni/bi/tri to
+    * [[mergeLmTrigramModelState]]: ONE combined state now serves
+    * THREE scorers (bigram, trigram-backoff, KN-4-gram).
+    */
+  def mergeLmKn4ModelState(spark: SparkSession, stateDir: String,
+      batch: DataFrame, batchId: Long = -1L): Unit = {
+    import spark.implicits._
+    mergeLmTrigramModelState(spark, stateDir, batch, batchId)
+    if (!VersionedState.alreadyFolded(spark, stateDir, "lm_quad", batchId)) {
+      val bc = graft.ops.TextAnalysis.lmQuadgramsOf(batch)
+        .groupBy($"a", $"b", $"c", $"d").agg(count(lit(1)).as("c4"))
+      val merged = VersionedState.readTable(spark, stateDir, "lm_quad") match {
+        case None => bc
+        case Some(prior) => prior.unionByName(bc)
+          .groupBy($"a", $"b", $"c", $"d").agg(sum($"c4").as("c4"))
+      }
+      VersionedState.commit(spark, stateDir, "lm_quad", batchId) { dir =>
+        merged.write.mode("overwrite").parquet(s"$dir/data")
+      }
+    }
+  }
+
+  /** Score a (doc_id, text) frame against the ACCUMULATED 4-gram
+    * model — identical columns to the batch
+    * [[graft.ops.TextAnalysis.taLmKn4]], via the shared
+    * [[graft.ops.TextAnalysis.lmKn4ScoredWith]] tail. Frozen-model
+    * semantics compose with the continuation ladder: an unseen 4-gram
+    * merely lacks level-0 evidence and backs off down the ladder; only
+    * a transition whose d was NEVER seen as a continuation in the
+    * model is unscorable-OOV and drops. V comes from the folded
+    * unigram table (the same |vocab| the one-shot derives).
+    */
+  def lmKn4ScoreAgainstState(spark: SparkSession, stateDir: String,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (qocc, scored) = graft.ops.TextAnalysis.lmKn4ScoredWith(docs,
+      Some(stateTable(spark, stateDir, "lm_quad")),
+      Some(stateTable(spark, stateDir, "lm_uni")
+        .agg(count(lit(1)).as("v"))))
+    graft.ops.TextAnalysis.lmKn4PerDoc(qocc, scored)
+  }
+
   /** Fold a batch's per-key md5-rank draw into persistent min-k state
     * (40th/41st streaming twins — the incremental form of the
     * [[graft.ops.Sampling.capPerSourceSummary]] /

@@ -1847,14 +1847,38 @@ object TextAnalysis {
     * commute.
     */
   private[graft] def lmKn4Scored(docs: DataFrame)
+      : (DataFrame, DataFrame) =
+    lmKn4ScoredWith(docs, None, None)
+
+  /** The KN-4-gram scored-lexicon builder over ANY model — shared by
+    * the one-shot [[lmKn4SurprisalOf]]/[[taLmKn4Levels]] (model =
+    * the frame's own 4-gram table, everything in-model) and the
+    * incremental twin
+    * ([[graft.examples.StreamingCuration.lmKn4ScoreAgainstState]]),
+    * so the two derivations cannot drift (the lmScoreWith stance).
+    * Frozen-model semantics COMPOSE with the continuation ladder: a
+    * 4-gram ABSENT from the model (left join, c4 → 0) simply lacks
+    * level-0 evidence and backs off; an absent (b,c,d) continuation
+    * backs off further; only a transition whose FINAL estimator — the
+    * d unigram-continuation — is out-of-model is unscorable-OOV and
+    * drops (inner join on cont1, the lmScoreWith contract). Each
+    * ladder guard (count ≥ 2) implies its level's context row exists,
+    * so the left-joined context columns are never read as null.
+    */
+  private[graft] def lmKn4ScoredWith(docs: DataFrame,
+      qcntOpt: Option[DataFrame], vdfOpt: Option[DataFrame])
       : (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
     val qocc = lmQuadgramsOf(docs)
       .groupBy($"doc_id", $"a", $"b", $"c", $"d")
       .agg(count(lit(1)).as("n_occ"))
-    val qcnt = qocc.groupBy($"a", $"b", $"c", $"d")
-      .agg(sum($"n_occ").as("c4"))
+    // self-trained (None): the model's 4-gram table IS the scored
+    // frame's, re-aggregated from the same occurrence shuffle;
+    // checkpointed either way — type-lexicon-sized, and SEVEN model
+    // aggregates read it below
+    val qcnt = qcntOpt.getOrElse(
+        qocc.groupBy($"a", $"b", $"c", $"d").agg(sum($"n_occ").as("c4")))
       .gatedCheckpoint()
     val ctx4 = qcnt.groupBy($"a", $"b", $"c").agg(sum($"c4").as("ctx4"))
     val cont3 = qcnt.groupBy($"b", $"c", $"d")
@@ -1863,36 +1887,57 @@ object TextAnalysis {
     val cont2 = cont3.groupBy($"c", $"d").agg(count(lit(1)).as("cont2"))
     val ctx2 = cont3.groupBy($"c").agg(count(lit(1)).as("ctx2"))
     val cont1 = cont2.groupBy($"d").agg(count(lit(1)).as("cont1"))
-    val scalars = lmTokensOf(docs).select($"w").distinct()
-      .agg(count(lit(1)).as("v"))
-      .crossJoin(cont2.agg(count(lit(1)).as("ctx1")))
-    val level = when($"c4" >= 2, lit(0L))
-      .when($"cont3" >= 2, lit(1L))
-      .when($"cont2" >= 2, lit(2L))
+    val vdf = vdfOpt.getOrElse(
+      lmTokensOf(docs).select($"w").distinct().agg(count(lit(1)).as("v")))
+    val scalars = vdf.crossJoin(cont2.agg(count(lit(1)).as("ctx1")))
+    // self-trained: the scored lexicon IS the model's key set (qcnt
+    // re-aggregates from this very frame), so the base is qcnt itself
+    // and the c4 join would be a self-join no-op — skip it. Frozen
+    // model: the lexicon comes from the SCORED frame and c4 attaches
+    // by left join (absent → backoff). Identical columns either way;
+    // the coalesce guards below are no-ops on the self-trained path.
+    val base = qcntOpt match {
+      case None => qcnt
+      case Some(_) => qocc.select($"a", $"b", $"c", $"d").distinct()
+        .join(qcnt, Seq("a", "b", "c", "d"), "left")
+    }
+    val c4v = coalesce($"c4", lit(0L))
+    val cont3v = coalesce($"cont3", lit(0L))
+    val cont2v = coalesce($"cont2", lit(0L))
+    val level = when(c4v >= 2, lit(0L))
+      .when(cont3v >= 2, lit(1L))
+      .when(cont2v >= 2, lit(2L))
       .otherwise(lit(3L))
     // length(bin(x)) - 1 = ⌊log₂ x⌋; the +1-bit-per-level penalty
-    // folds into the constant (-1, 0, +1, +2)
-    val bits = when($"c4" >= 2,
-        (length(conv(expr("(ctx4 + v) DIV (c4 + 1)"), 10, 2)) - 1)
+    // folds into the constant (-1, 0, +1, +2). The DIV operands ride
+    // the same coalesce as the guards so a frozen-model null can
+    // never poison an expression (the guarded branch is unreached,
+    // but Spark evaluates `when` arms' inputs eagerly under codegen).
+    val bits = when(c4v >= 2,
+        (length(conv(expr(
+          "(ctx4 + v) DIV (coalesce(c4, 0) + 1)"), 10, 2)) - 1)
           .cast("long"))
-      .when($"cont3" >= 2,
-        length(conv(expr("(ctx3 + v) DIV (cont3 + 1)"), 10, 2))
+      .when(cont3v >= 2,
+        length(conv(expr(
+          "(ctx3 + v) DIV (coalesce(cont3, 0) + 1)"), 10, 2))
           .cast("long"))
-      .when($"cont2" >= 2,
-        (length(conv(expr("(ctx2 + v) DIV (cont2 + 1)"), 10, 2)) + 1)
+      .when(cont2v >= 2,
+        (length(conv(expr(
+          "(ctx2 + v) DIV (coalesce(cont2, 0) + 1)"), 10, 2)) + 1)
           .cast("long"))
       .otherwise(
         (length(conv(expr("(ctx1 + v) DIV (cont1 + 1)"), 10, 2)) + 2)
           .cast("long"))
-    val scored = qcnt
-      .join(ctx4, Seq("a", "b", "c"))
-      .join(cont3, Seq("b", "c", "d"))
-      .join(ctx3, Seq("b", "c"))
-      .join(cont2, Seq("c", "d"))
-      .join(ctx2, Seq("c"))
+    val scored = base
+      .join(ctx4, Seq("a", "b", "c"), "left")
+      .join(cont3, Seq("b", "c", "d"), "left")
+      .join(ctx3, Seq("b", "c"), "left")
+      .join(cont2, Seq("c", "d"), "left")
+      .join(ctx2, Seq("c"), "left")
       .join(cont1, Seq("d"))
       .crossJoin(broadcast(scalars))
-      .select($"a", $"b", $"c", $"d", level.as("level"), bits.as("bits"))
+      .select($"a", $"b", $"c", $"d", $"c4",
+        level.as("level"), bits.as("bits"))
     (qocc, scored)
   }
 
@@ -1903,9 +1948,18 @@ object TextAnalysis {
     * absent, the n-gram family convention.
     */
   def lmKn4SurprisalOf(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
     val (qocc, scored) = lmKn4Scored(docs)
+    lmKn4PerDoc(qocc, scored)
+  }
+
+  /** The per-doc rollup over a scored 4-gram lexicon — shared by the
+    * one-shot and the incremental twin so the output columns cannot
+    * drift.
+    */
+  private[graft] def lmKn4PerDoc(qocc: DataFrame,
+      scored: DataFrame): DataFrame = {
+    val s = qocc.sparkSession
+    import s.implicits._
     qocc
       .join(scored, Seq("a", "b", "c", "d"))
       .groupBy($"doc_id")
@@ -1931,13 +1985,15 @@ object TextAnalysis {
     */
   def taLmKn4Levels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (qocc, scored) = lmKn4Scored(t(s, dir, "documents"))
-    qocc
-      .join(scored, Seq("a", "b", "c", "d"))
-      .groupBy($"level")
-      .agg(count_distinct(struct($"a", $"b", $"c", $"d")).as("n_types"),
-        sum($"n_occ").as("n_occ"),
-        sum($"bits" * $"n_occ").as("total_bits"))
+    // self-trained, so each type's occurrence mass IS its model count
+    // c4 (qcnt re-aggregates from the same frame) — the census reads
+    // the scored LEXICON alone, no occurrence-stream join (the same
+    // identity the DuckDB oracle exploits)
+    val (_, scored) = lmKn4Scored(t(s, dir, "documents"))
+    scored.groupBy($"level")
+      .agg(count(lit(1)).as("n_types"),
+        sum($"c4").as("n_occ"),
+        sum($"bits" * $"c4").as("total_bits"))
       .orderBy("level")
   }
 

@@ -169,6 +169,10 @@ object TwinRegistry {
       Seq(sc("mergeLmTrigramModelState")), "lmTrigramScoreAgainstState",
       Seq("lm_uni", "lm_big", "lm_tri"),
       "incremental trigram-LM model state: folded counts score a corpus identically to the one-shot Katz-backoff model"),
+    Twin("lm_kn4_model", "versioned-state", "TextAnalysis.taLmKn4",
+      Seq(sc("mergeLmKn4ModelState")), "lmKn4ScoreAgainstState",
+      Seq("lm_uni", "lm_big", "lm_tri", "lm_quad"),
+      "incremental KN-4-gram model state: folded counts score a corpus identically to the one-shot continuation-count model"),
     // the first O(cap × |keys|)-BOUNDED twin state: min-k is a lossless
     // mergeable summary, so the fold never stores more than cap rows
     // per key no matter how many batches fold (40th/41st twins, VERDICT

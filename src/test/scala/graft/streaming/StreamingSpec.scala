@@ -1786,6 +1786,48 @@ class StreamingSpec extends SparkSpec {
       "all-novel transitions must be unscorable against the frozen model")
   }
 
+  test("incremental KN-4-gram model state: folded counts score a corpus identically to the one-shot continuation-count model") {
+    import spark.implicits._
+    import graft.examples.StreamingCuration
+    val work = Files.createTempDirectory("graft-lm4state")
+    val st = work.resolve("state").toString
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // two OUT-OF-ORDER batches; the 4-gram count table is additive
+    Seq(1, 0).foreach { i =>
+      StreamingCuration.mergeLmKn4ModelState(spark, st,
+        docs.filter(pmod($"doc_id", lit(2)) === i), batchId = i.toLong)
+    }
+    val oneShot = rows(graft.ops.TextAnalysis.taLmKn4(spark, sfDir))
+    assert(oneShot.nonEmpty, "fixture must produce scored docs")
+    assert(rows(StreamingCuration.lmKn4ScoreAgainstState(spark, st, docs))
+      == oneShot, "scoring against folded state must equal the one-shot model")
+    // ONE combined state serves all three scorers (the delegation
+    // chain, pinned end-to-end)
+    assert(rows(StreamingCuration.lmTrigramScoreAgainstState(spark, st, docs))
+      == rows(graft.ops.TextAnalysis.taLmTrigram(spark, sfDir)),
+      "the kn4 fold's tri half must serve the trigram scorer")
+    assert(rows(StreamingCuration.lmScoreAgainstState(spark, st, docs)) ==
+      rows(graft.ops.TextAnalysis.taLmSurprisal(spark, sfDir)),
+      "the kn4 fold's uni/big halves must serve the bigram scorer")
+    // replay: watermark-gated no-op on all four tables
+    StreamingCuration.mergeLmKn4ModelState(spark, st,
+      docs.filter(pmod($"doc_id", lit(2)) === 0), batchId = 0L)
+    assert(rows(StreamingCuration.lmKn4ScoreAgainstState(spark, st, docs))
+      == oneShot, "redelivered batch must not inflate the model")
+    // frozen-model ladder semantics: a novel arrangement of IN-MODEL
+    // words backs off (it lacks level-0 evidence, it does not error);
+    // all-novel words have no in-model d-continuation -> the frame
+    // drops entirely as unscorable-OOV
+    val novel = Seq((999999L, "zzqx1 zzqx2 zzqx3 zzqx4 zzqx5"))
+      .toDF("doc_id", "text")
+    assert(rows(StreamingCuration
+        .lmKn4ScoreAgainstState(spark, st, novel)).isEmpty,
+      "all-novel transitions must be unscorable against the frozen model")
+  }
+
   test("incremental min-k cap state: any-order folds == one-shot per-source cap summary; state stays cap-bounded") {
     import spark.implicits._
     import graft.examples.StreamingCuration

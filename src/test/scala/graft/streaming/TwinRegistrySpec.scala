@@ -30,9 +30,10 @@ class TwinRegistrySpec extends AnyFunSuite {
   private lazy val mainSrc = sourcesUnder("src/main/scala")
 
   test("twin count matches the round record") {
-    assert(TwinRegistry.twins.size == 42, // r17: +min_k_cap, +min_k_band
+    assert(TwinRegistry.twins.size == 43, // r17: +min_k_cap, +min_k_band
       // (the first O(cap × |keys|)-bounded-state twins),
-      // +ivfpq_opq_index (the rotated serving tier);
+      // +ivfpq_opq_index (the rotated serving tier),
+      // +lm_kn4_model (one state, three scorers);
       // r16: +ivfpq_residual_index,
       // +lm_trigram_model
       // r15: +ivfpq_index (the
