@@ -1806,7 +1806,20 @@ object Similarity {
     * the saturation cliff this artifact exists to surface (pick nprobe
     * at the peak, or widen [[PqCand]] with the probe budget).
     */
-  def simIvfPqResidualRecallCurve(s: SparkSession, dir: String): DataFrame = {
+  def simIvfPqResidualRecallCurve(s: SparkSession, dir: String): DataFrame =
+    ivfPqResidualCurveWith(s, dir, None)
+
+  /** sim_ivfpq_opq_recall_curve: the residual curve machinery over the
+    * ROTATED tier — same one-pass probe-rank fan-out, codes and ADC
+    * tables in rotated space, coarse terms unrotated (the shared-
+    * kernel stance: both curves ride ONE implementation, the rotation
+    * an Option, so the tiers' tuning artifacts cannot drift either).
+    */
+  def simIvfPqOpqRecallCurve(s: SparkSession, dir: String): DataFrame =
+    ivfPqResidualCurveWith(s, dir, Some(opqRotation()))
+
+  private def ivfPqResidualCurveWith(s: SparkSession, dir: String,
+      rotOpt: Option[Array[Array[Double]]]): DataFrame = {
     import s.implicits._
     val all = emb(s, dir).select($"vec_id", asDouble($"embedding").as("e"))
     val typed = all.as[(Long, Array[Double])]
@@ -1814,15 +1827,19 @@ object Similarity {
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     val sample = typed.filter(_._1 < PqSampleIds).collect()
       .sortBy(_._1).map(_._2)
-    val books = pqTrainResidual(sample, cents)
+    val books = rotOpt match {
+      case None => pqTrainResidual(sample, cents)
+      case Some(rot) => pqTrainOpq(sample, cents, rot)
+    }
     val k = cents.length
     val queries = typed.filter(_._1 < NumQueries).collect().sortBy(_._1)
-    // per query: residual ADC table, cell → probe rank, cell → coarse
-    // term (qu·c̄ — the decomposition's exact half)
+    // per query: residual ADC table (rotated-space when rotating),
+    // cell → probe rank, cell → coarse term (qu·c̄ — the
+    // decomposition's exact half, always unrotated)
     val qArt: Array[(Long, Array[Array[Double]], Map[Long, Int], Map[Long, Double])] =
       queries.map { case (qid, qv) =>
         val qu = unitVec(qv)
-        val tb = adcTableOf(qu, books)
+        val tb = adcTableOf(rotOpt.fold(qu)(r => rotate(r, qu)), books)
         val prOf = cents.map { case (cid, c) => (cid, cosArr(qv, c)) }
           .sortBy { case (cid, cos) => (-cos, cid) }
           .zipWithIndex.map { case ((cid, _), i) => cid -> (i + 1) }.toMap
@@ -1832,15 +1849,18 @@ object Similarity {
       }
     val bcBooks = s.sparkContext.broadcast(books)
     val bcCents = s.sparkContext.broadcast(cents)
+    val bcRot = s.sparkContext.broadcast(rotOpt)
     val bcQ = s.sparkContext.broadcast(qArt)
     val scored = typed.mapPartitions { it =>
       val bks = bcBooks.value
       val cs = bcCents.value
+      val rt = bcRot.value
       val qs = bcQ.value
       it.flatMap { case (id, v) =>
         val ci = coarseCellOf(v, cs)
         val cellId = cs(ci)._1
-        val code = pqEncode(residualOf(v, cs(ci)._2), bks)
+        val r = residualOf(v, cs(ci)._2)
+        val code = pqEncode(rt.fold(r)(m => rotate(m, r)), bks)
         qs.iterator.filter(_._1 != id).map { case (qid, tb, prOf, coarseOf) =>
           var acc = 0.0
           var m = 0
@@ -3222,6 +3242,8 @@ object Similarity {
     "sim_ivfpq_serve" -> simIvfPqServe,
     "sim_ivfpq_recall_curve" -> simIvfPqRecallCurve,
     "sim_ivfpq_residual_recall_curve" -> simIvfPqResidualRecallCurve,
+    // r17: the rotated tier's tuning curve (shared curve kernel)
+    "sim_ivfpq_opq_recall_curve" -> simIvfPqOpqRecallCurve,
     // oracle-gated since r11 via the frozen-pair replay (the pq
     // codebook pattern — see frozenPairsOracleSql); recall-gated by spec
     "sim_knn_graph" -> simKnnGraph,
@@ -3275,6 +3297,8 @@ object Similarity {
           "sim_ivfpq_recall_curve" -> ivfPqRecallCurveOracleSql(s, dir),
           "sim_ivfpq_residual_recall_curve" ->
             ivfPqResidualRecallCurveOracleSql(s, dir),
+          "sim_ivfpq_opq_recall_curve" ->
+            ivfPqOpqRecallCurveOracleSql(s, dir),
           "sim_knn_graph" -> knnGraphOracleSql(s, dir),
           "sim_graph_search" -> graphSearchOracleSql(s, dir),
           "sim_graph_centrality" -> graphCentralityOracleSql(s, dir))
@@ -4443,7 +4467,20 @@ object Similarity {
     * ADC fold, scored against the independently re-derived brute
     * truth.
     */
-  def ivfPqResidualRecallCurveOracleSql(s: SparkSession, dir: String): String = {
+  def ivfPqResidualRecallCurveOracleSql(s: SparkSession,
+      dir: String): String =
+    ivfPqResidualCurveOracleWith(s, dir, None)
+
+  /** sim_ivfpq_opq_recall_curve oracle: the residual-curve replay with
+    * the rotation literals — rotated residual codes, rotated query
+    * tables, unrotated coarse terms (one generator, rotation an
+    * Option, mirroring the Scala side's shared curve kernel).
+    */
+  def ivfPqOpqRecallCurveOracleSql(s: SparkSession, dir: String): String =
+    ivfPqResidualCurveOracleWith(s, dir, Some(opqRotation()))
+
+  private def ivfPqResidualCurveOracleWith(s: SparkSession, dir: String,
+      rotOpt: Option[Array[Array[Double]]]): String = {
     import s.implicits._
     val typed = emb(s, dir)
       .select($"vec_id", asDouble($"embedding").as("e"))
@@ -4452,7 +4489,10 @@ object Similarity {
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     val sample = typed.filter(_._1 < PqSampleIds).collect()
       .sortBy(_._1).map(_._2)
-    val books = pqTrainResidual(sample, cents)
+    val books = rotOpt match {
+      case None => pqTrainResidual(sample, cents)
+      case Some(rot) => pqTrainOpq(sample, cents, rot)
+    }
     def dl(x: Double): String = java.lang.Double.toString(x)
     val bookRows = (for {
       m <- 0 until PqM
@@ -4463,6 +4503,27 @@ object Similarity {
       s"list_sum([$x[i] * $y[i] for i in range(1, 65)])"
     def cosv(x: String, y: String) =
       s"(${dt64(x, y)} / (sqrt(${dt64(x, x)}) * sqrt(${dt64(y, y)})))"
+    // rotation plumbing: with Some(rot), a `rot` literal CTE plus
+    // rotated residuals (cres) and rotated unit queries (cun) replace
+    // the identity versions the unrotated replay reads
+    val rotCte = rotOpt.map { rot =>
+      val rotRows = rot.zipWithIndex
+        .map { case (row, i) => s"(${i + 1}, [${row.map(dl).mkString(", ")}])" }
+        .mkString(", ")
+      s"""rot AS MATERIALIZED (SELECT * FROM (VALUES $rotRows) r(i, rw)),
+      cres AS MATERIALIZED (
+        SELECT res.vec_id,
+          list(list_sum([rot.rw[j] * res.r[j] for j in range(1, 65)])
+            ORDER BY rot.i) AS r
+        FROM res CROSS JOIN rot GROUP BY res.vec_id),
+      cun AS MATERIALIZED (
+        SELECT un.vec_id,
+          list(list_sum([rot.rw[j] * un.u[j] for j in range(1, 65)])
+            ORDER BY rot.i) AS u
+        FROM un CROSS JOIN rot
+        WHERE un.vec_id < $NumQueries GROUP BY un.vec_id),"""
+    }.getOrElse("""cres AS (SELECT vec_id, r FROM res),
+      cun AS (SELECT vec_id, u FROM un),""")
     s"""
       WITH books AS (SELECT * FROM (VALUES $bookRows) b(m, k, c)),
       e AS (
@@ -4490,11 +4551,12 @@ object Similarity {
         FROM un
         JOIN asg a ON a.cand_id = un.vec_id
         JOIN cent ct ON ct.cent_id = a.cent_id),
+      $rotCte
       dists AS (
-        SELECT res.vec_id, b.m, b.k,
-          list_sum([(res.r[b.m * 8 + i] - b.c[i]) * (res.r[b.m * 8 + i] - b.c[i])
+        SELECT cres.vec_id, b.m, b.k,
+          list_sum([(cres.r[b.m * 8 + i] - b.c[i]) * (cres.r[b.m * 8 + i] - b.c[i])
                     for i in range(1, 9)]) AS d
-        FROM res CROSS JOIN books b),
+        FROM cres CROSS JOIN books b),
       codes AS (
         SELECT vec_id, m, k FROM (
           SELECT vec_id, m, k,
@@ -4518,7 +4580,7 @@ object Similarity {
         FROM cand0 pr
         JOIN codes c ON c.vec_id = pr.cand_id
         JOIN books b ON b.m = c.m AND b.k = c.k
-        JOIN un qu ON qu.vec_id = pr.query_id),
+        JOIN cun qu ON qu.vec_id = pr.query_id),
       approx AS MATERIALIZED (
         SELECT t.query_id, t.cand_id, t.pr,
           co.ct + list_sum(list(t.t ORDER BY t.m)) AS a

@@ -26,9 +26,10 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registered query count matches the round record") {
-    assert(SparkEntry.queries.size == 286, // r17: +ta_lm_kn4,
+    assert(SparkEntry.queries.size == 287, // r17: +ta_lm_kn4,
       // +ta_lm_kn4_levels (the KN-style continuation-count tier),
-      // +sim_ivfpq_opq, +sim_ivfpq_opq_serve (the rotated tier)
+      // +sim_ivfpq_opq, +sim_ivfpq_opq_serve,
+      // +sim_ivfpq_opq_recall_curve (the rotated tier)
       s"query count drifted: ${SparkEntry.queries.size} — update the " +
         "round record (NOTES.md/README.md) together with this pin")
   }

@@ -1411,6 +1411,42 @@ class SimilaritySpec extends SparkSpec {
       s"residual curve ${tier._3} below plain ${plain(Similarity.NProbe.toLong)}")
   }
 
+  test("OPQ recall curve: coverage dominates bounded eviction; registered tier matches the OPQ query's own recall") {
+    // the rotated tier's tuning artifact. Unlike the residual curve
+    // (whose peak lands before its saturation dip, so a pre-peak-
+    // monotone pin is meaningful there), THIS curve's measured shape
+    // dips mid-curve and recovers to its global max at the exhaustive
+    // tier (0.74 @ 6 → 0.72 @ 7-8 → 0.76 @ 10): the bounded re-rank
+    // pool evicts one truth member when probes 7-8 add high-approx
+    // impostors, and wider coverage later wins it back. The honest
+    // structural pins: coverage dominates end-to-end (last ≥ first),
+    // and every dip below the running max stays within the eviction
+    // scale — single candidates, not a collapse (≤ 2 hits).
+    val got = Similarity.simIvfPqOpqRecallCurve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    val hitsSeq = got.map(_._2)
+    assert(got.last._3 >= got.head._3,
+      s"coverage must dominate eviction end-to-end: ${got.toSeq}")
+    var runMax = Long.MinValue
+    hitsSeq.foreach { h =>
+      runMax = math.max(runMax, h)
+      assert(runMax - h <= 2L,
+        s"dip beyond the single-candidate eviction scale: ${got.toSeq}")
+    }
+    // consistency anchor: the NProbe tier IS the registered OPQ
+    // query's recall vs brute force
+    val opq = topkSet(Similarity.simIvfPqOpqANN(spark, sfDir))
+    val wantRecall = brute.keys.toSeq.map { q =>
+      opq.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble /
+        Similarity.TopK
+    }.sum / brute.size
+    val tier = got.find(_._1 == Similarity.NProbe.toLong).get
+    assert(math.abs(tier._3 - wantRecall) < 1e-12,
+      s"curve tier ${tier._3} != registered recall $wantRecall")
+  }
+
   test("IVF-PQ recall curve: monotone in nprobe; exhaustive tier hits the PQ-sieve ceiling exactly") {
     val got = Similarity.simIvfPqRecallCurve(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -628,14 +628,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("sim_ivfpq_residual_recall_curve: tiers are filters over one scored pass; no SMJ, no cartesian") {
-    val p = plan(graft.ops.Similarity.simIvfPqResidualRecallCurve(spark, sfDir))
-    assert(!p.contains("CartesianProduct"), p)
-    // the only merge join allowed is the k-row tier table LEFT JOIN
-    // its hit counts — never the scored candidate stream
-    val smjKeys = "SortMergeJoin \\[(\\w+)".r.findAllMatchIn(p)
-      .map(_.group(1)).toSeq
-    assert(smjKeys.forall(_.startsWith("nprobe")),
-      s"scored stream must not sort-merge (SMJ keys: $smjKeys):\n$p")
+    // both curves ride the shared kernel — same gate for both
+    for (q <- Seq(
+        graft.ops.Similarity.simIvfPqResidualRecallCurve(spark, sfDir),
+        graft.ops.Similarity.simIvfPqOpqRecallCurve(spark, sfDir))) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p)
+      // the only merge join allowed is the k-row tier table LEFT JOIN
+      // its hit counts — never the scored candidate stream
+      val smjKeys = "SortMergeJoin \\[(\\w+)".r.findAllMatchIn(p)
+        .map(_.group(1)).toSeq
+      assert(smjKeys.forall(_.startsWith("nprobe")),
+        s"scored stream must not sort-merge (SMJ keys: $smjKeys):\n$p")
+    }
   }
 
   test("sim_ivfpq_residual_serve: frozen-index scan feeds the pool; broadcast re-rank; no SMJ, no cartesian") {
