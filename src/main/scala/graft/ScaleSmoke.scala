@@ -863,6 +863,13 @@ object ScaleSmoke {
     probe("lm_trigram_model")((d, id, b) =>
       graft.examples.StreamingCuration
         .mergeLmTrigramModelState(spark, d, b, id))
+    // r17: the KN-4-gram twin — one order harsher again (the ×100
+    // 4-gram type table strictly contains the trigram lexicon's
+    // growth), and the fold now rewrites FOUR tables; this is the
+    // twin most exposed to state size
+    probe("lm_kn4_model")((d, id, b) =>
+      graft.examples.StreamingCuration
+        .mergeLmKn4ModelState(spark, d, b, id))
   }
 
   /** Standalone entry so the sf1/sf3/sf10 sweeps can run without the
