@@ -1873,12 +1873,23 @@ object TextAnalysis {
     val qocc = lmQuadgramsOf(docs)
       .groupBy($"doc_id", $"a", $"b", $"c", $"d")
       .agg(count(lit(1)).as("n_occ"))
-    // self-trained (None): the model's 4-gram table IS the scored
-    // frame's, re-aggregated from the same occurrence shuffle;
-    // checkpointed either way — type-lexicon-sized, and SEVEN model
-    // aggregates read it below
+    // self-trained (None): the model's 4-gram table comes from its own
+    // DIRECT map-side-combining aggregation of the quadgram stream —
+    // NOT a re-aggregation of qocc: Spark would execute that as scan →
+    // shuffle by the (doc_id, 4-gram) key → second shuffle by the
+    // 4-gram key, and the first shuffle's key is strictly wider with
+    // strictly worse combine ratios (every per-doc occurrence group is
+    // a distinct key). The direct form is scan → one 4-gram-keyed
+    // shuffle — measured neutral at sf0.1 (the small corpus combines
+    // either way) and chosen for the 100 TB shape, where the per-doc
+    // key's extra shuffle mass is corpus-occurrence-sized; neither
+    // form saves a scan (qocc is an uncached second derivation either
+    // way, and the LEVELS query never materializes qocc at all).
+    // Checkpointed: type-lexicon-sized, SEVEN model aggregates read
+    // it below.
     val qcnt = qcntOpt.getOrElse(
-        qocc.groupBy($"a", $"b", $"c", $"d").agg(sum($"n_occ").as("c4")))
+        lmQuadgramsOf(docs).groupBy($"a", $"b", $"c", $"d")
+          .agg(count(lit(1)).as("c4")))
       .gatedCheckpoint()
     val ctx4 = qcnt.groupBy($"a", $"b", $"c").agg(sum($"c4").as("ctx4"))
     val cont3 = qcnt.groupBy($"b", $"c", $"d")
