@@ -1873,23 +1873,21 @@ object TextAnalysis {
     val qocc = lmQuadgramsOf(docs)
       .groupBy($"doc_id", $"a", $"b", $"c", $"d")
       .agg(count(lit(1)).as("n_occ"))
-    // self-trained (None): the model's 4-gram table comes from its own
-    // DIRECT map-side-combining aggregation of the quadgram stream —
-    // NOT a re-aggregation of qocc: Spark would execute that as scan →
-    // shuffle by the (doc_id, 4-gram) key → second shuffle by the
-    // 4-gram key, and the first shuffle's key is strictly wider with
-    // strictly worse combine ratios (every per-doc occurrence group is
-    // a distinct key). The direct form is scan → one 4-gram-keyed
-    // shuffle — measured neutral at sf0.1 (the small corpus combines
-    // either way) and chosen for the 100 TB shape, where the per-doc
-    // key's extra shuffle mass is corpus-occurrence-sized; neither
-    // form saves a scan (qocc is an uncached second derivation either
-    // way, and the LEVELS query never materializes qocc at all).
-    // Checkpointed: type-lexicon-sized, SEVEN model aggregates read
-    // it below.
+    // self-trained (None): the model's 4-gram table re-aggregates the
+    // (doc_id, 4-gram) occurrence table rather than aggregating the
+    // raw quadgram stream directly. This is a MEASURED choice, not an
+    // obvious one — the direct single-shuffle form looks cheaper on
+    // paper (narrower key, one exchange), and at sf0.1 the two are
+    // neutral, but at the ×100 deep-salted Heaps worst case the
+    // direct trunk measured 213.5 s (ratio 22.3) against this form's
+    // 84.3 s (ratio 10.9): with near-unique types, map-side combine
+    // buys nothing for either key, and the two-step form's second
+    // aggregation consumes an already-reduced, already-partitioned
+    // stream instead of re-paying the raw corpus through one giant
+    // hash aggregation. Checkpointed: type-lexicon-sized, SEVEN model
+    // aggregates read it below.
     val qcnt = qcntOpt.getOrElse(
-        lmQuadgramsOf(docs).groupBy($"a", $"b", $"c", $"d")
-          .agg(count(lit(1)).as("c4")))
+        qocc.groupBy($"a", $"b", $"c", $"d").agg(sum($"n_occ").as("c4")))
       .gatedCheckpoint()
     val ctx4 = qcnt.groupBy($"a", $"b", $"c").agg(sum($"c4").as("ctx4"))
     val cont3 = qcnt.groupBy($"b", $"c", $"d")
