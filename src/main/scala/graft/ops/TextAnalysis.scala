@@ -1537,20 +1537,34 @@ object TextAnalysis {
   def taLmSurprisal(s: SparkSession, dir: String): DataFrame =
     lmSurprisalOf(t(s, dir, "documents"))
 
-  /** Per-doc bigram stream of a (doc_id, text) frame — an array-level
-    * zip in the scan projection (no window, no shuffle). Shared by the
-    * one-shot model builder and the incremental model twin's fold.
+  /** Per-doc bigram stream of a (doc_id, text) frame — a compiled
+    * flatMap kernel (no window, no shuffle). Shared by the one-shot
+    * model builder and the incremental model twin's fold.
+    *
+    * r17 optimization (guide §1.2 step 2 — per-task work): the
+    * previous form built the stream with nested `zip_with`/`slice`
+    * higher-order functions; Catalyst HOF lambdas are evaluated
+    * INTERPRETED per element (the repo's own r1 perf lesson, applied
+    * everywhere else but here), and each zip level allocated an
+    * intermediate struct array per document. The compiled kernel emits
+    * the same (doc_id, prev, w) rows straight off the token array:
+    * measured 2.2–2.8× on the (tri/quad)-gram trunks at sf0.1
+    * (tocc 1.16→0.53 s, qocc 1.58→0.56 s, min-of-4 isolated) with
+    * byte-identical token semantics — `text.trim.split("\\s+")` with
+    * empties filtered is exactly `tokens()`'s whitespace contract (the
+    * established [[graft.ops.Dedup.shingleSetsOf]] kernel idiom, whose
+    * oracle parity has been pinned since r1).
     */
   private[graft] def lmBigramsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val tk = tokens($"text")
-    val nb = greatest(size(tk) - 1, lit(0))
-    docs
-      .select($"doc_id", explode(zip_with(
-        slice(tk, lit(1), nb), slice(tk, lit(2), nb),
-        (a, b) => struct(a.as("prev"), b.as("w")))).as("bg"))
-      .select($"doc_id", $"bg.prev".as("prev"), $"bg.w".as("w"))
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (ws.length < 2) Iterator.empty
+        else (0 to ws.length - 2).iterator.map(i => (id, ws(i), ws(i + 1)))
+      }
+      .toDF("doc_id", "prev", "w")
   }
 
   /** Per-doc token stream (doc_id, w) — the unigram half of the model. */
@@ -1618,23 +1632,22 @@ object TextAnalysis {
       .orderBy("bpb_band")
   }
 
-  /** Per-doc trigram stream (doc_id, a, b, c) — two nested array zips
-    * in the scan projection, the [[lmBigramsOf]] pattern one order up:
-    * still no window, no per-doc shuffle.
+  /** Per-doc trigram stream (doc_id, a, b, c) — the [[lmBigramsOf]]
+    * compiled kernel one order up: still no window, no per-doc shuffle
+    * (r17: rewritten off the interpreted zip_with chain, measured
+    * 1.16→0.53 s isolated at sf0.1; see [[lmBigramsOf]]).
     */
   private[graft] def lmTrigramsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val tk = tokens($"text")
-    val nt = greatest(size(tk) - 2, lit(0))
-    docs
-      .select($"doc_id", explode(zip_with(
-        zip_with(slice(tk, lit(1), nt), slice(tk, lit(2), nt),
-          (a, b) => struct(a.as("a"), b.as("b"))),
-        slice(tk, lit(3), nt),
-        (ab, c) => struct(ab.getField("a").as("a"),
-          ab.getField("b").as("b"), c.as("c")))).as("tg"))
-      .select($"doc_id", $"tg.a".as("a"), $"tg.b".as("b"), $"tg.c".as("c"))
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (ws.length < 3) Iterator.empty
+        else (0 to ws.length - 3).iterator.map(i =>
+          (id, ws(i), ws(i + 1), ws(i + 2)))
+      }
+      .toDF("doc_id", "a", "b", "c")
   }
 
   /** ta_lm_trigram: Katz-STYLE trigram-backoff LM scoring (VERDICT r15
@@ -1775,29 +1788,23 @@ object TextAnalysis {
       .orderBy("source")
   }
 
-  /** Per-doc 4-gram stream (doc_id, a, b, c, d) — three nested array
-    * zips in the scan projection, [[lmTrigramsOf]] one order up: still
-    * no window, no per-doc shuffle.
+  /** Per-doc 4-gram stream (doc_id, a, b, c, d) — the [[lmBigramsOf]]
+    * compiled kernel two orders up: still no window, no per-doc
+    * shuffle (r17: rewritten off the interpreted three-level zip_with
+    * chain, measured 1.58→0.56 s isolated at sf0.1; see
+    * [[lmBigramsOf]]).
     */
   private[graft] def lmQuadgramsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val tk = tokens($"text")
-    val nq = greatest(size(tk) - 3, lit(0))
-    docs
-      .select($"doc_id", explode(zip_with(
-        zip_with(
-          zip_with(slice(tk, lit(1), nq), slice(tk, lit(2), nq),
-            (a, b) => struct(a.as("a"), b.as("b"))),
-          slice(tk, lit(3), nq),
-          (ab, c) => struct(ab.getField("a").as("a"),
-            ab.getField("b").as("b"), c.as("c"))),
-        slice(tk, lit(4), nq),
-        (abc, d) => struct(abc.getField("a").as("a"),
-          abc.getField("b").as("b"), abc.getField("c").as("c"),
-          d.as("d")))).as("qg"))
-      .select($"doc_id", $"qg.a".as("a"), $"qg.b".as("b"),
-        $"qg.c".as("c"), $"qg.d".as("d"))
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (ws.length < 4) Iterator.empty
+        else (0 to ws.length - 4).iterator.map(i =>
+          (id, ws(i), ws(i + 1), ws(i + 2), ws(i + 3)))
+      }
+      .toDF("doc_id", "a", "b", "c", "d")
   }
 
   /** ta_lm_kn4: Kneser–Ney-STYLE 4-gram LM scoring (VERDICT r16 ask
@@ -1870,9 +1877,24 @@ object TextAnalysis {
       : (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
+    // r17 optimization (guide §1/§2.4): qocc is checkpointed because it
+    // has TWO consumers in different executions — qcnt's checkpoint job
+    // below and the final per-doc scoring join — and the qcnt
+    // checkpoint CUTS the lineage between them, so without this the
+    // corpus trunk (tokenize + quadgram explode + hash aggregation,
+    // measured 1.37 s of ta_lm_kn4's 5.44 s at sf0.1) executed TWICE:
+    // cross-action exchange reuse does not exist, and the scored side's
+    // LogicalRDD hides the shared subtree from ReuseExchange. One
+    // occurrence-table materialization replaces a full second corpus
+    // scan + explode + aggregation — the same already-materialized
+    // shuffle output the trunk produces anyway.
     val qocc = lmQuadgramsOf(docs)
       .groupBy($"doc_id", $"a", $"b", $"c", $"d")
       .agg(count(lit(1)).as("n_occ"))
+      // lazy: qcnt's eager checkpoint below triggers the very first
+      // computation anyway — eager=true here would only add a separate
+      // job round-trip for the same materialization
+      .gatedCheckpoint(eager = false)
     // self-trained (None): the model's 4-gram table re-aggregates the
     // (doc_id, 4-gram) occurrence table rather than aggregating the
     // raw quadgram stream directly. This is a MEASURED choice, not an
