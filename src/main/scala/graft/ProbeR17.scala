@@ -153,6 +153,71 @@ object ProbeR17 {
             .orderBy("doc_id")
         }
 
+      case "kn4chain" =>
+        import graft.ops.Scale.GatedCheckpoint
+        import graft.ops.TextAnalysis.{lmQuadgramsOf, lmTokensOf}
+        timeMin("kn4 scored (current 6-join chain)") {
+          graft.ops.TextAnalysis.lmKn4Scored(docs)._2
+        }
+        timeMin("kn4 scored (collapsed bcd-model)") {
+          val qocc = lmQuadgramsOf(docs)
+            .groupBy($"doc_id", $"a", $"b", $"c", $"d")
+            .agg(count(lit(1)).as("n_occ"))
+            .gatedCheckpoint(eager = false)
+          val qcnt = qocc.groupBy($"a", $"b", $"c", $"d")
+            .agg(sum($"n_occ").as("c4")).gatedCheckpoint()
+          val ctx4 = qcnt.groupBy($"a", $"b", $"c")
+            .agg(sum($"c4").as("ctx4"))
+          val cont3 = qcnt.groupBy($"b", $"c", $"d")
+            .agg(count(lit(1)).as("cont3"))
+          val ctx3 = qcnt.groupBy($"b", $"c").agg(count(lit(1)).as("ctx3"))
+          val cont2 = cont3.groupBy($"c", $"d")
+            .agg(count(lit(1)).as("cont2"))
+          val ctx2 = cont3.groupBy($"c").agg(count(lit(1)).as("ctx2"))
+          val cont1 = cont2.groupBy($"d").agg(count(lit(1)).as("cont1"))
+          val vdf = lmTokensOf(docs).select($"w").distinct()
+            .agg(count(lit(1)).as("v"))
+          val scalars = vdf.crossJoin(cont2.agg(count(lit(1)).as("ctx1")))
+          // backoff model collapsed at (b,c,d): the four lower-level
+          // tables attach at trigram-lexicon mass, and the chosen
+          // backoff level/bits precompute into two narrow columns
+          val cont3v = coalesce($"cont3", lit(0L))
+          val cont2v = coalesce($"cont2", lit(0L))
+          val bo = cont3
+            .join(ctx3, Seq("b", "c"), "left")
+            .join(cont2, Seq("c", "d"), "left")
+            .join(ctx2, Seq("c"), "left")
+            .join(cont1, Seq("d"))
+            .crossJoin(broadcast(scalars))
+            .select($"b", $"c", $"d", $"cont3",
+              when(cont3v >= 2, lit(1L)).when(cont2v >= 2, lit(2L))
+                .otherwise(lit(3L)).as("bo_level"),
+              when(cont3v >= 2,
+                  length(conv(expr(
+                    "(ctx3 + v) DIV (coalesce(cont3, 0) + 1)"), 10, 2))
+                    .cast("long"))
+                .when(cont2v >= 2,
+                  (length(conv(expr(
+                    "(ctx2 + v) DIV (coalesce(cont2, 0) + 1)"), 10, 2)) + 1)
+                    .cast("long"))
+                .otherwise(
+                  (length(conv(expr("(ctx1 + v) DIV (cont1 + 1)"), 10, 2)) + 2)
+                    .cast("long"))
+                .as("bo_bits"),
+              $"v")
+          val c4v = coalesce($"c4", lit(0L))
+          qcnt
+            .join(ctx4, Seq("a", "b", "c"), "left")
+            .join(bo, Seq("b", "c", "d"))
+            .select($"a", $"b", $"c", $"d", $"c4",
+              when(c4v >= 2, lit(0L)).otherwise($"bo_level").as("level"),
+              when(c4v >= 2,
+                  (length(conv(expr(
+                    "(ctx4 + v) DIV (coalesce(c4, 0) + 1)"), 10, 2)) - 1)
+                    .cast("long"))
+                .otherwise($"bo_bits").as("bits"))
+        }
+
       case "substr" =>
         import graft.ops.Curation
         timeMin("dedup_substr_spans (current)") {

@@ -969,18 +969,23 @@ object Curation {
     */
   def taNgramTop(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import s.implicits._
-    // filter BEFORE building positions: sequence(1, 0) would DESCEND
-    // ([1, 0]) on a sub-2-token doc instead of being empty
-    val docs = t(s, dir, "documents")
-      .select($"lang", TextAnalysis.tokens($"text").as("tks"))
-      .filter(size($"tks") >= 2)
-    val bigrams = docs
-      .select($"lang",
-        explode(
-          transform(sequence(lit(1), size($"tks") - 1),
-            i => concat_ws(" ",
-              try_element_at($"tks", i), try_element_at($"tks", i + 1))))
-          .as("bigram"))
+    // r17: compiled flatMap kernel replaces the transform(sequence)/
+    // try_element_at chain — Catalyst HOF lambdas evaluate interpreted
+    // per element (the lmBigramsOf r17 rewrite, same measured class);
+    // token semantics identical (trim+split+non-empty == tokens()).
+    val bigrams = t(s, dir, "documents")
+      .select($"lang", $"text").as[(String, String)]
+      .flatMap { case (lang, text) =>
+        // null text ⇒ no bigrams (the old tokens(NULL) → size −1 path)
+        if (text == null) Iterator.empty
+        else {
+          val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+          if (ws.length < 2) Iterator.empty
+          else (0 to ws.length - 2).iterator
+            .map(i => (lang, ws(i) + " " + ws(i + 1)))
+        }
+      }
+      .toDF("lang", "bigram")
     bigrams.groupBy($"lang", $"bigram")
       .agg(count(lit(1)).as("n"))
       .as[(String, String, Long)]

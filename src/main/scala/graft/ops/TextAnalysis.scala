@@ -1560,9 +1560,13 @@ object TextAnalysis {
     import s.implicits._
     docs.select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        val ws = text.trim.split("\\s+").filter(_.nonEmpty)
-        if (ws.length < 2) Iterator.empty
-        else (0 to ws.length - 2).iterator.map(i => (id, ws(i), ws(i + 1)))
+        // null text ⇒ no rows (the old zip_with-on-NULL drop semantics)
+        if (text == null) Iterator.empty
+        else {
+          val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+          if (ws.length < 2) Iterator.empty
+          else (0 to ws.length - 2).iterator.map(i => (id, ws(i), ws(i + 1)))
+        }
       }
       .toDF("doc_id", "prev", "w")
   }
@@ -1642,10 +1646,13 @@ object TextAnalysis {
     import s.implicits._
     docs.select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        val ws = text.trim.split("\\s+").filter(_.nonEmpty)
-        if (ws.length < 3) Iterator.empty
-        else (0 to ws.length - 3).iterator.map(i =>
-          (id, ws(i), ws(i + 1), ws(i + 2)))
+        if (text == null) Iterator.empty
+        else {
+          val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+          if (ws.length < 3) Iterator.empty
+          else (0 to ws.length - 3).iterator.map(i =>
+            (id, ws(i), ws(i + 1), ws(i + 2)))
+        }
       }
       .toDF("doc_id", "a", "b", "c")
   }
@@ -1799,10 +1806,13 @@ object TextAnalysis {
     import s.implicits._
     docs.select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        val ws = text.trim.split("\\s+").filter(_.nonEmpty)
-        if (ws.length < 4) Iterator.empty
-        else (0 to ws.length - 4).iterator.map(i =>
-          (id, ws(i), ws(i + 1), ws(i + 2), ws(i + 3)))
+        if (text == null) Iterator.empty
+        else {
+          val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+          if (ws.length < 4) Iterator.empty
+          else (0 to ws.length - 4).iterator.map(i =>
+            (id, ws(i), ws(i + 1), ws(i + 2), ws(i + 3)))
+        }
       }
       .toDF("doc_id", "a", "b", "c", "d")
   }
