@@ -153,6 +153,73 @@ object ProbeR17 {
             .orderBy("doc_id")
         }
 
+      case "kn4nock" =>
+        import graft.ops.TextAnalysis.{lmQuadgramsOf, lmTokensOf}
+        timeMin("ta_lm_kn4 (current: qocc+qcnt ck)") {
+          graft.ops.TextAnalysis.taLmKn4(spark, sfDir)
+        }
+        timeMin("ta_lm_kn4 (no checkpoints, one DAG)") {
+          val qocc = lmQuadgramsOf(docs)
+            .groupBy($"doc_id", $"a", $"b", $"c", $"d")
+            .agg(count(lit(1)).as("n_occ"))
+          val qcnt = qocc.groupBy($"a", $"b", $"c", $"d")
+            .agg(sum($"n_occ").as("c4"))
+          val ctx4 = qcnt.groupBy($"a", $"b", $"c")
+            .agg(sum($"c4").as("ctx4"))
+          val cont3 = qcnt.groupBy($"b", $"c", $"d")
+            .agg(count(lit(1)).as("cont3"))
+          val ctx3 = qcnt.groupBy($"b", $"c").agg(count(lit(1)).as("ctx3"))
+          val cont2 = cont3.groupBy($"c", $"d")
+            .agg(count(lit(1)).as("cont2"))
+          val ctx2 = cont3.groupBy($"c").agg(count(lit(1)).as("ctx2"))
+          val cont1 = cont2.groupBy($"d").agg(count(lit(1)).as("cont1"))
+          val vdf = lmTokensOf(docs).select($"w").distinct()
+            .agg(count(lit(1)).as("v"))
+          val scalars = vdf.crossJoin(cont2.agg(count(lit(1)).as("ctx1")))
+          val c4v = coalesce($"c4", lit(0L))
+          val cont3v = coalesce($"cont3", lit(0L))
+          val cont2v = coalesce($"cont2", lit(0L))
+          val level = when(c4v >= 2, lit(0L))
+            .when(cont3v >= 2, lit(1L))
+            .when(cont2v >= 2, lit(2L))
+            .otherwise(lit(3L))
+          val bits = when(c4v >= 2,
+              (length(conv(expr(
+                "(ctx4 + v) DIV (coalesce(c4, 0) + 1)"), 10, 2)) - 1)
+                .cast("long"))
+            .when(cont3v >= 2,
+              length(conv(expr(
+                "(ctx3 + v) DIV (coalesce(cont3, 0) + 1)"), 10, 2))
+                .cast("long"))
+            .when(cont2v >= 2,
+              (length(conv(expr(
+                "(ctx2 + v) DIV (coalesce(cont2, 0) + 1)"), 10, 2)) + 1)
+                .cast("long"))
+            .otherwise(
+              (length(conv(expr("(ctx1 + v) DIV (cont1 + 1)"), 10, 2)) + 2)
+                .cast("long"))
+          val scored = qcnt
+            .join(ctx4, Seq("a", "b", "c"), "left")
+            .join(cont3, Seq("b", "c", "d"), "left")
+            .join(ctx3, Seq("b", "c"), "left")
+            .join(cont2, Seq("c", "d"), "left")
+            .join(ctx2, Seq("c"), "left")
+            .join(cont1, Seq("d"))
+            .crossJoin(broadcast(scalars))
+            .select($"a", $"b", $"c", $"d", $"c4",
+              level.as("level"), bits.as("bits"))
+          qocc
+            .join(scored, Seq("a", "b", "c", "d"))
+            .groupBy($"doc_id")
+            .agg(sum($"n_occ").as("n_quadgrams"),
+              sum(when($"level" >= 1, $"n_occ").otherwise(0L)).as("n_backoff"),
+              sum($"bits" * $"n_occ").as("total_bits"))
+            .select($"doc_id", $"n_quadgrams", $"n_backoff", $"total_bits",
+              ($"total_bits".cast("double") / $"n_quadgrams".cast("double"))
+                .as("bits_per_quadgram"))
+            .orderBy("doc_id")
+        }
+
       case "kn4chain" =>
         import graft.ops.Scale.GatedCheckpoint
         import graft.ops.TextAnalysis.{lmQuadgramsOf, lmTokensOf}

@@ -1887,24 +1887,27 @@ object TextAnalysis {
       : (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
-    // r17 optimization (guide §1/§2.4): qocc is checkpointed because it
-    // has TWO consumers in different executions — qcnt's checkpoint job
-    // below and the final per-doc scoring join — and the qcnt
-    // checkpoint CUTS the lineage between them, so without this the
-    // corpus trunk (tokenize + quadgram explode + hash aggregation,
-    // measured 1.37 s of ta_lm_kn4's 5.44 s at sf0.1) executed TWICE:
-    // cross-action exchange reuse does not exist, and the scored side's
-    // LogicalRDD hides the shared subtree from ReuseExchange. One
-    // occurrence-table materialization replaces a full second corpus
-    // scan + explode + aggregation — the same already-materialized
-    // shuffle output the trunk produces anyway.
+    // r17 note (guide §1 — measured BOTH scales before choosing): qocc
+    // has two consumers split by qcnt's checkpoint (the model job and
+    // the final per-doc join), so the trunk executes twice. A
+    // qocc-level gatedCheckpoint removes the recompute and measured
+    // ~0.5 s faster for ta_lm_kn4 at sf0.1 in a same-JVM back-to-back
+    // read (3.08 vs 3.56) — but it makes ta_lm_kn4_levels PAY a
+    // corpus-occurrence materialization it never reads (~0.4 s), and
+    // at the ×100 deep-salted probe the checkpointed form read 108.7 s
+    // against same-session non-checkpointed reads of 97.9–138.4 s
+    // (single-shot probes; the window spread is documented at
+    // 1.0–1.4×, so the ×100 comparison is not decisive either way).
+    // The non-checkpointed form is kept because (a) the local net over
+    // the kn4 pair is ~neutral, (b) the occurrence table is the one
+    // table here that grows with the CORPUS, not the lexicon — at
+    // 100 TB block-manager-materializing it is the riskier side of a
+    // tie, while the recomputed trunk is the now-compiled
+    // [[lmBigramsOf]] kernel. Do not re-add the checkpoint without a
+    // clean-window `ScaleSmoke sf10cd` comparison for ta_lm_kn4.
     val qocc = lmQuadgramsOf(docs)
       .groupBy($"doc_id", $"a", $"b", $"c", $"d")
       .agg(count(lit(1)).as("n_occ"))
-      // lazy: qcnt's eager checkpoint below triggers the very first
-      // computation anyway — eager=true here would only add a separate
-      // job round-trip for the same materialization
-      .gatedCheckpoint(eager = false)
     // self-trained (None): the model's 4-gram table re-aggregates the
     // (doc_id, 4-gram) occurrence table rather than aggregating the
     // raw quadgram stream directly. This is a MEASURED choice, not an
